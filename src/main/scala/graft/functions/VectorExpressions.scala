@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Whole-stage-codegen distance kernels over `ARRAY<FLOAT>` columns — the
+  * Spark-native replacement for the reference's hand-written AVX2 SIMD loops
+  * (`/root/reference/src/core/vector_ops.rs:60-136`): a tight scalar JVM loop
+  * inside generated code that HotSpot auto-vectorizes, staying inside
+  * WholeStageCodegen instead of falling out to an interpreted higher-order
+  * function.
+  *
+  * All kernels accumulate in double (f32 inputs, f64 math) and single-pass
+  * fuse dot+norms for cosine. Zero-norm cosine returns 0.0, matching
+  * `src/core/vector_ops.rs:44-48`. Null inputs propagate null (standard SQL
+  * semantics); null ARRAY ELEMENTS are not supported (vectors are dense).
+  */
+object kernels {
+
+  abstract class VectorBinaryExpression extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+  }
+
+  /** M1: sum_i a[i]*b[i]. */
+  case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
+    override def prettyName: String = "vec_dot"
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData].toFloatArray()
+      val y = b.asInstanceOf[ArrayData].toFloatArray()
+      var s = 0.0; var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val x = ctx.freshName("xs"); val y = ctx.freshName("ys")
+        val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+        s"""
+           |float[] $x = $a.toFloatArray();
+           |float[] $y = $b.toFloatArray();
+           |int $n = java.lang.Math.min($x.length, $y.length);
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) { $s += (double)$x[$i] * (double)$y[$i]; }
+           |${ev.value} = $s;
+           |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** M3: sqrt(sum_i (a[i]-b[i])^2). */
+  case class EuclideanDistance(left: Expression, right: Expression) extends VectorBinaryExpression {
+    override def prettyName: String = "vec_l2"
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData].toFloatArray()
+      val y = b.asInstanceOf[ArrayData].toFloatArray()
+      var s = 0.0; var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) { val d = x(i).toDouble - y(i).toDouble; s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val x = ctx.freshName("xs"); val y = ctx.freshName("ys")
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val s = ctx.freshName("s"); val d = ctx.freshName("d")
+        s"""
+           |float[] $x = $a.toFloatArray();
+           |float[] $y = $b.toFloatArray();
+           |int $n = java.lang.Math.min($x.length, $y.length);
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = (double)$x[$i] - (double)$y[$i]; $s += $d * $d;
+           |}
+           |${ev.value} = java.lang.Math.sqrt($s);
+           |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** M2: dot/(|a||b|), zero-norm => 0.0; single fused pass. */
+  case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
+    override def prettyName: String = "vec_cosine"
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData].toFloatArray()
+      val y = b.asInstanceOf[ArrayData].toFloatArray()
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val xv = x(i).toDouble; val yv = y(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0 else dot / den
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val x = ctx.freshName("xs"); val y = ctx.freshName("ys")
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb"); val den = ctx.freshName("den")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |float[] $x = $a.toFloatArray();
+           |float[] $y = $b.toFloatArray();
+           |int $n = java.lang.Math.min($x.length, $y.length);
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = (double)$x[$i]; double $yv = (double)$y[$i];
+           |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+           |}
+           |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+           |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
+           |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** M4: L2 norm. */
+  case class VectorNorm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+    override def prettyName: String = "vec_norm"
+    override def inputTypes = Seq(ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData].toFloatArray()
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i).toDouble * x(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val x = ctx.freshName("xs"); val i = ctx.freshName("i"); val s = ctx.freshName("s")
+        s"""
+           |float[] $x = $a.toFloatArray();
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $x.length; $i++) { $s += (double)$x[$i] * (double)$x[$i]; }
+           |${ev.value} = java.lang.Math.sqrt($s);
+           |""".stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+}
+
+/** Column-level API for the codegen kernels. */
+object VectorExpressions {
+  import kernels._
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def vecL2(a: Column, b: Column): Column =
+    ColumnBridge.column(EuclideanDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def vecCosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def vecNorm(a: Column): Column =
+    ColumnBridge.column(VectorNorm(ColumnBridge.expression(a)))
+
+  /** Register as SQL functions (vec_dot, vec_l2, vec_cosine, vec_norm). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_l2", es => EuclideanDistance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine", es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_norm", es => VectorNorm(es.head), "built-in")
+  }
+}

@@ -1,0 +1,126 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Kernel correctness: codegen expressions vs. the higher-order-function
+  * reference implementations, plus the reference's proptest invariants
+  * (`/root/reference/tests/core/vector_ops.rs:87-139`).
+  */
+class VectorKernelSpec extends SparkSpec {
+  import VectorExpressions._
+
+  /** Deterministic scalacheck sampling (no scalatestplus in the offline cache). */
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private lazy val emb = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100).cache()
+  }
+
+  test("codegen kernels agree with higher-order-function reference on real embeddings") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val joined = emb.crossJoin(broadcast(q))
+    val rows = joined.select(
+      vecDot(col("embedding"), col("q")).as("dot_cg"),
+      VectorFunctions.dotProduct(col("embedding"), col("q")).as("dot_hof"),
+      vecCosine(col("embedding"), col("q")).as("cos_cg"),
+      VectorFunctions.cosineSimilarity(col("embedding"), col("q")).as("cos_hof"),
+      vecL2(col("embedding"), col("q")).as("l2_cg"),
+      VectorFunctions.euclideanDistance(col("embedding"), col("q")).as("l2_hof"),
+      vecNorm(col("embedding")).as("n_cg"),
+      VectorFunctions.norm(col("embedding")).as("n_hof")
+    ).collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-9)
+      assert(math.abs(r.getDouble(4) - r.getDouble(5)) < 1e-9)
+      assert(math.abs(r.getDouble(6) - r.getDouble(7)) < 1e-9)
+    }
+  }
+
+  test("cosine properties: bounded, self-similarity 1, zero-norm -> 0") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 32)
+      v <- Gen.listOfN(n, Gen.choose(-1f, 1f))
+      w <- Gen.listOfN(n, Gen.choose(-1f, 1f))
+    } yield (v.toArray, w.toArray)
+    val df = samples(gen, 30).toDF("a", "b")
+    df.select(
+      vecCosine(col("a"), col("b")).as("ab"),
+      vecCosine(col("a"), col("a")).as("aa"),
+      VectorFunctions.norm(col("a")).as("na")).collect().foreach { r =>
+      val ab = r.getDouble(0)
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+      if (r.getDouble(2) > 1e-6) assert(math.abs(r.getDouble(1) - 1.0) < 1e-6)
+    }
+    // zero-norm => similarity 0 (reference src/core/vector_ops.rs:44-48)
+    val z = Seq((Array(0f, 0f, 0f), Array(1f, 2f, 3f))).toDF("a", "b")
+    assert(z.select(vecCosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
+  }
+
+  test("euclidean properties: symmetric, non-negative, identity") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 32)
+      v <- Gen.listOfN(n, Gen.choose(-100f, 100f))
+      w <- Gen.listOfN(n, Gen.choose(-100f, 100f))
+    } yield (v.toArray, w.toArray)
+    val df = samples(gen, 30).toDF("a", "b")
+    df.select(
+      vecL2(col("a"), col("b")).as("ab"),
+      vecL2(col("b"), col("a")).as("ba"),
+      vecL2(col("a"), col("a")).as("aa")).collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      assert(r.getDouble(0) >= 0.0)
+      assert(r.getDouble(2) == 0.0)
+    }
+  }
+
+  test("null input propagates null") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]])).toDF("a", "b")
+    val r = df.select(vecCosine(col("a"), col("b"))).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("kernels run inside WholeStageCodegen") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val df = emb.crossJoin(broadcast(q))
+      .select(vecCosine(col("embedding"), col("q")).as("c"))
+    df.collect() // finalize the AQE plan so codegen spans are visible
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n) Project [vec_cosine..." — the * prefix marks a WholeStageCodegen span
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[vec_cosine.*"), plan)
+  }
+
+  test("SQL registration works") {
+    VectorExpressions.register(spark)
+    emb.createOrReplaceTempView("emb_t")
+    val n = spark.sql(
+      "SELECT vec_cosine(a.embedding, b.embedding) c FROM emb_t a JOIN emb_t b ON b.vec_id = 0")
+      .filter(col("c") > -2).count()
+    assert(n == 100)
+  }
+
+  test("quantization round-trip within 1/255 of range") {
+    import spark.implicits._
+    val df = emb.select(col("embedding"),
+      VectorFunctions.quantizeU8(col("embedding")).as("q"))
+      .select(col("embedding"),
+        VectorFunctions.dequantizeU8(col("q.codes"), col("q.vmin"), col("q.vmax")).as("deq"))
+    df.collect().foreach { r =>
+      val orig = r.getSeq[Float](0)
+      val deq = r.getSeq[Float](1)
+      val range = orig.max - orig.min
+      orig.zip(deq).foreach { case (o, d) =>
+        assert(math.abs(o - d) <= range / 255.0 + 1e-6)
+      }
+    }
+  }
+}
