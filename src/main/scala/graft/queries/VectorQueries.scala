@@ -1,14 +1,15 @@
 package graft.queries
 
+import graft.core.Tables
+import graft.functions.VectorExpressions._
+import graft.operators.Knn
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
-import graft.functions.VectorFunctions._
 
 /** Exact k-NN search queries over the embeddings table — the Spark-native
   * form of the reference's brute-force kernels (SURVEY.md §2.9 X17:
   * `batch_search_parallel`, `src/core/vector_ops.rs:310-346`) expressed as a
-  * broadcast theta-join (J1) + TakeOrderedAndProject top-k (T1).
+  * broadcast theta-join (J1) + codegen distance kernels + top-k (T1/T3).
   *
   * Distances are computed in double and rounded to 6 decimals on both sides;
   * ordering ties broken by vec_id so Spark and the DuckDB oracle select the
@@ -21,9 +22,9 @@ object VectorQueries {
     val e = Tables.load(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
     val dist = metric match {
-      case "cosine" => round(cosineSimilarity(col("embedding"), col("q_emb")), 6).as("cos_sim")
-      case "l2" => round(euclideanDistance(col("embedding"), col("q_emb")), 6).as("l2_dist")
-      case "dot" => round(dotProduct(col("embedding"), col("q_emb")), 6).as("dot")
+      case "cosine" => round(vecCosine(col("embedding"), col("q_emb")), 6).as("cos_sim")
+      case "l2" => round(vecL2(col("embedding"), col("q_emb")), 6).as("l2_dist")
+      case "dot" => round(vecDot(col("embedding"), col("q_emb")), 6).as("dot")
     }
     val scored = e.crossJoin(broadcast(q)).select(col("vec_id"), dist)
     metric match {
@@ -33,10 +34,43 @@ object VectorQueries {
     }
   }
 
+  /** Embeddings with a synthetic JSON metadata column derived
+    * deterministically from existing columns, so the filter language can be
+    * exercised against a plain-SQL oracle. */
+  private def withMeta(df: DataFrame): DataFrame =
+    df.withColumn("metadata", to_json(struct(
+      col("label"),
+      when(col("vec_id") % 2 === 0, "even").otherwise("odd").as("parity"))))
+
   val queries: Map[String, Q] = Map(
     "knn_cosine" -> ((s, dir) => knn(s, dir, "cosine", 10)),
     "knn_l2" -> ((s, dir) => knn(s, dir, "l2", 10)),
-    "knn_dot" -> ((s, dir) => knn(s, dir, "dot", 10)))
+    "knn_dot" -> ((s, dir) => knn(s, dir, "dot", 10)),
+    // X17 batch search: 8 queries x corpus through the grouped top-k
+    // aggregator (T3) — map-side partial top-k, no full window sort.
+    "knn_batch_topk" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").as("id"), col("embedding"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Knn.batch(corpus, queries, k = 10, metric = "l2", roundDecimals = 6)
+        .select(col("query_id"), col("id"), col("distance"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // X13/F1-F7: filtered search — pre-filter (exact-k) instead of the
+    // reference's k*3 post-filter oversampling.
+    "knn_filtered" -> ((s, dir) => {
+      val e = withMeta(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id").as("id"), col("embedding"), col("metadata"))
+      val qv = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Knn.search(e, qv, k = 10, metric = "cosine",
+        filterJson = Some("""{"$and": [{"label": {"$gte": 3, "$lte": 7}}, {"parity": "even"}]}"""),
+        roundDecimals = 6)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("distance", "id")
+    }))
 
   private val qSub =
     "(SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0) q"
@@ -56,5 +90,25 @@ object VectorQueries {
       s"""SELECT e.vec_id,
          |  round(list_inner_product(e.embedding::DOUBLE[], q.q_emb), 6) AS dot
          |FROM embeddings e, $qSub
-         |ORDER BY dot DESC, e.vec_id LIMIT 10""".stripMargin)
+         |ORDER BY dot DESC, e.vec_id LIMIT 10""".stripMargin,
+    "knn_batch_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |    round(list_distance(e.embedding::DOUBLE[], q.qe), 6) AS distance
+        |  FROM embeddings e CROSS JOIN q),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, id) AS rank
+        |  FROM scored)
+        |SELECT query_id, id, distance, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "knn_filtered" ->
+      s"""SELECT e.vec_id AS id,
+         |  round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb), 6) AS distance,
+         |  round(1.0 / (1.0 + round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb), 6)), 6) AS score
+         |FROM embeddings e, $qSub
+         |WHERE e.label BETWEEN 3 AND 7 AND e.vec_id % 2 = 0
+         |ORDER BY distance, id LIMIT 10""".stripMargin)
 }

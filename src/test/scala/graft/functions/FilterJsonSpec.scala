@@ -1,0 +1,96 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** FIXTURES.md §3 filter-language conformance corpus
+  * (mirrors `/root/reference/src/core/metadata_filter.rs:375-616` and
+  * `tests/unit/metadata_filter_tests.rs`).
+  */
+class FilterJsonSpec extends SparkSpec {
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      1 -> """{"category": "technology", "title": "AI News", "published": true}""",
+      2 -> """{"category": "sports", "title": "Game Results", "published": false}""",
+      3 -> """{"status": "active", "priority": 1}""",
+      4 -> """{"status": "pending", "priority": 8}""",
+      5 -> """{"status": "archived", "priority": 2}""",
+      6 -> """{"age": 17}""", 7 -> """{"age": 25}""",
+      8 -> """{"age": 65}""", 9 -> """{"age": 66}""",
+      10 -> """{"views": 999}""", 11 -> """{"views": 1000}""",
+      12 -> """{"views": 5000}""", 13 -> """{"views": 5001}""",
+      14 -> """{"tags": ["ai", "ml", "technology"]}""",
+      15 -> """{"user": {"id": "123", "name": "Alice", "profile": {"email": "test@example.com"}}}""",
+      16 -> """{"age": "18"}""",
+      17 -> """{"status": "urgent"}"""
+    ).toDF("id", "metadata").cache()
+  }
+
+  private def matches(filter: String): Set[Int] =
+    docs.filter(FilterJson.predicate(filter, col("metadata")))
+      .select("id").collect().map(_.getInt(0)).toSet
+
+  test("F1 equals on string") {
+    assert(matches("""{"category": "technology"}""") == Set(1))
+  }
+  test("F1 equals on boolean") {
+    assert(matches("""{"published": true}""") == Set(1))
+    assert(matches("""{"published": false}""") == Set(2))
+  }
+  test("F2 $in membership") {
+    assert(matches("""{"status": {"$in": ["active", "pending"]}}""") == Set(3, 4))
+    assert(matches("""{"status": {"$in": []}}""") == Set.empty[Int])
+  }
+  test("F3 inclusive range $gte/$lte") {
+    assert(matches("""{"age": {"$gte": 18, "$lte": 65}}""") == Set(7, 8))
+  }
+  test("F3 exclusive bounds $gt/$lt") {
+    assert(matches("""{"views": {"$gt": 999, "$lt": 5001}}""") == Set(11, 12))
+  }
+  test("F3 mixed $gte+$gt is a parse error") {
+    intercept[FilterJson.FilterParseException] {
+      FilterJson.predicate("""{"age": {"$gte": 1, "$gt": 2}}""", col("metadata"))
+    }
+  }
+  test("F3 numeric filter does not match stored string (type-exact)") {
+    assert(matches("""{"age": {"$gte": 18}}""") == Set(7, 8, 9)) // id 16 has "18" string
+    assert(matches("""{"age": 18}""") == Set.empty[Int])
+    assert(matches("""{"age": "18"}""") == Set(16))
+  }
+  test("F4 $and + implicit AND of multiple fields") {
+    assert(matches("""{"$and": [{"category": "technology"}, {"published": true}]}""") == Set(1))
+    assert(matches("""{"category": "technology", "published": true}""") == Set(1))
+    assert(matches("""{"category": "technology", "published": false}""") == Set.empty[Int])
+    assert(matches("""{"$and": []}""") == docs.select("id").collect().map(_.getInt(0)).toSet)
+  }
+  test("F5 $or") {
+    assert(matches("""{"$or": [{"status": "urgent"}, {"priority": {"$gte": 8}}]}""") == Set(4, 17))
+    assert(matches("""{"$or": []}""") == Set.empty[Int])
+  }
+  test("F6 dot-path nested access; missing path never matches") {
+    assert(matches("""{"user.id": "123"}""") == Set(15))
+    assert(matches("""{"user.profile.email": "test@example.com"}""") == Set(15))
+    assert(matches("""{"user.missing.path": "x"}""") == Set.empty[Int])
+  }
+  test("F1 array containment") {
+    assert(matches("""{"tags": "ai"}""") == Set(14))
+    assert(matches("""{"tags": "nope"}""") == Set.empty[Int])
+  }
+  test("F7 unsupported operator / empty object value are parse errors") {
+    intercept[FilterJson.FilterParseException] {
+      FilterJson.predicate("""{"$invalid": "x"}""", col("metadata"))
+    }
+    intercept[FilterJson.FilterParseException] {
+      FilterJson.predicate("""{"f": {}}""", col("metadata"))
+    }
+  }
+  test("F8 empty filter matches everything (delete path)") {
+    assert(matches("{}") == docs.select("id").collect().map(_.getInt(0)).toSet)
+  }
+  test("nested-object-as-equals fallback") {
+    assert(matches("""{"user.profile": {"email": "test@example.com"}}""") == Set(15))
+  }
+}
