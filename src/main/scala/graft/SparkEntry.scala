@@ -14,7 +14,9 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
-      (VectorQueries.queries, VectorQueries.oracles))
+      (VectorQueries.queries, VectorQueries.oracles),
+      (IvfQueries.queries, IvfQueries.oracles),
+      (AggQueries.queries, AggQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.operators.Knn.distance
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) index — the historical-tier ANN of the reference
+  * (SURVEY.md §2.9 X6-X10, `/root/reference/src/ivf/core.rs`), re-expressed
+  * Spark-first:
+  *
+  *  - training (A1, `ivf/core.rs:240-334`): MLlib KMeans (k-means||) instead
+  *    of a hand-rolled Lloyd loop — partial aggregation and distributed init
+  *    come free
+  *  - insert/assignment (X6/J3, `ivf/core.rs:373-386,431-455`): broadcast
+  *    cross-join against the tiny centroid table + min_by, map-side reduced
+  *  - the inverted list (`cluster_id -> vectors`) IS a partitioned Parquet
+  *    table: `write.partitionBy("cluster_id")`; probing n_probe lists is a
+  *    partition-pruned scan (X7, `ivf/core.rs:626-681`) — Spark skips the
+  *    files of unprobed clusters exactly like the reference skips unloaded
+  *    chunks
+  *  - retrain (X8, `ivf/operations.rs:148-193`) = re-run train + assign +
+  *    rewrite, a pure batch job
+  */
+object Ivf {
+
+  /** Reference defaults: `src/ivf/core.rs:50-60`. */
+  case class IvfConfig(
+      nClusters: Int = 256,
+      nProbe: Int = 16,
+      trainSize: Int = 10000,
+      maxIterations: Int = 25,
+      tol: Double = 1e-4,
+      seed: Long = 42L)
+
+  /** Train centroids with MLlib KMeans on (a sample of) the corpus.
+    * Returns (cluster_id INT, centroid ARRAY<FLOAT>). */
+  def train(corpus: DataFrame, config: IvfConfig = IvfConfig(),
+      embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val n = corpus.count()
+    val sampled =
+      if (n <= config.trainSize) corpus
+      else corpus.sample(withReplacement = false, config.trainSize.toDouble / n, config.seed)
+    val feats = sampled.select(array_to_vector(col(embCol)).as("features"))
+    val model = new KMeans()
+      .setK(config.nClusters)
+      .setMaxIter(config.maxIterations)
+      .setTol(config.tol)
+      .setSeed(config.seed)
+      .fit(feats)
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cluster_id", "centroid")
+  }
+
+  /** Assign every row its nearest centroid (cluster_id) — J3/X6. The
+    * centroid table is tiny (<=256 x dim floats), so it is collected once
+    * and inlined as a literal: assignment becomes a map-only projection
+    * (no join, no shuffle), the plan that survives a 100 TB corpus. Ties
+    * resolve to the lowest cluster_id (first position). */
+  def assign(corpus: DataFrame, centroids: DataFrame, embCol: String = "embedding",
+      metric: String = "l2"): DataFrame = {
+    val collected = centroids.select("cluster_id", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val cids = collected.map(_._1)
+    val cents = typedLit(collected.map(_._2))
+    val cidLit = typedLit(cids)
+    val dists = transform(cents, c => distance(metric, col(embCol), c))
+    val idx = array_position(dists, array_min(dists)) // 1-based
+    corpus.withColumn("cluster_id", element_at(cidLit, idx.cast("int")))
+  }
+
+  /** Persist as an inverted file: one parquet partition per cluster. */
+  def writePartitioned(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+  /** (query_id, cluster_id, q_embedding) probe set: the n_probe nearest
+    * centroids per query (X7 shortlist, `ivf/core.rs:645-656`). */
+  def probes(centroids: DataFrame, queries: DataFrame, nProbe: Int,
+      metric: String = "l2", queryIdCol: String = "query_id",
+      queryEmbCol: String = "q_embedding"): DataFrame = {
+    val d = distance(metric, col(queryEmbCol), col("centroid"))
+    val topk = TopK.topK(nProbe)
+    queries.crossJoin(broadcast(centroids))
+      .select(col(queryIdCol), col(queryEmbCol), col("cluster_id").cast("long").as("cid"), d.as("cdist"))
+      .groupBy(queryIdCol, queryEmbCol)
+      .agg(topk(col("cid"), col("cdist")).as("probed"))
+      .select(col(queryIdCol), col(queryEmbCol),
+        explode(col("probed.id")).as("cluster_id"))
+  }
+
+  /** Batch n_probe search: join the corpus to the probe set on cluster_id
+    * (partition-pruned when the corpus is cluster-partitioned), exact
+    * distance within probed lists, grouped top-k. */
+  def searchBatch(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int, metric: String = "l2", idCol: String = "id",
+      embCol: String = "embedding", queryIdCol: String = "query_id",
+      queryEmbCol: String = "q_embedding", roundDecimals: Int = -1): DataFrame = {
+    val p = probes(centroids, queries, nProbe, metric, queryIdCol, queryEmbCol)
+    val dRaw = distance(metric, col(embCol), col(queryEmbCol))
+    val d = if (roundDecimals >= 0) round(dRaw, roundDecimals) else dRaw
+    val scored = corpus
+      .join(broadcast(p), corpus("cluster_id") === p("cluster_id"))
+      .select(col(queryIdCol), col(idCol).as("id"), d.as("distance"))
+    val topk = TopK.topK(k)
+    scored.groupBy(queryIdCol)
+      .agg(topk(col("id"), col("distance")).as("hits"))
+      .select(col(queryIdCol), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col(queryIdCol), col("hit.id").as("id"),
+        col("hit.dist").as("distance"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** A5 (`ivf/operations.rs:329-391`): recall of approximate search against
+    * exact ground truth, averaged over queries. Returns a 1-row DataFrame
+    * (avg_recall DOUBLE, n_queries LONG). */
+  def evaluateRecall(approx: DataFrame, exact: DataFrame,
+      queryIdCol: String = "query_id"): DataFrame = {
+    val hits = approx.select(col(queryIdCol), col("id"))
+      .join(exact.select(col(queryIdCol), col("id")), Seq(queryIdCol, "id"))
+      .groupBy(queryIdCol).agg(count(lit(1)).as("n_hit"))
+    val totals = exact.groupBy(queryIdCol).agg(count(lit(1)).as("n_exact"))
+    totals.join(hits, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact")).as("recall"))
+      .agg(avg("recall").as("avg_recall"), count(lit(1)).as("n_queries"))
+  }
+
+  /** A4 cluster statistics (`ivf/operations.rs:264-289`). */
+  def clusterStats(assigned: DataFrame): DataFrame =
+    assigned.groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum("size").as("total_vectors"),
+        round(avg("size"), 4).as("avg_size"),
+        round(var_pop("size"), 4).as("size_variance"),
+        max("size").as("max_size"), min("size").as("min_size"))
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.VectorExpressions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation / scoring / merge operators over the events + embeddings
+  * tables (SURVEY.md §2.4 A6/A7/A10/A11, §2.6 T4, §2.8 M7-M10).
+  *
+  * All time arithmetic is anchored to max(ts) (not wall-clock) and truncated
+  * to whole seconds, so results are deterministic and oracle-checkable.
+  */
+object AggQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A7 age-distribution histogram (hybrid/core.rs:758-820): buckets
+    // relative to the newest event
+    "age_histogram" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("tss", date_trunc("second", col("ts")))
+      val mx = ev.agg(max("tss").as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("age_s", unix_timestamp(col("mx")) - unix_timestamp(col("tss")))
+        .withColumn("bucket",
+          when(col("age_s") < 3600, "lt_1h")
+            .when(col("age_s") < 86400, "lt_1d")
+            .when(col("age_s") < 604800, "lt_1w")
+            .otherwise("ge_1w"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    }),
+    // A11 search-perf percentiles (search_integration.rs:491-552): exact
+    // p50/p99 per event_type over `value` as the latency stand-in
+    "event_percentiles" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg("value"), 4).as("avg_v"),
+          round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("value"), lit(0.99)), 4).as("p99"))
+        .orderBy("event_type")
+    }),
+    // M7/M8/M9/M10 scoring pipeline: distance->score, time-decay (half-life
+    // 1 day, anchored to max ts), popularity boost, weighted combination
+    "scoring" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("tss", date_trunc("second", col("ts")))
+      val mx = ev.agg(max("tss").as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("base_r", lit(1.0) / (lit(1.0) + col("value")))
+        .withColumn("decay_r",
+          pow(lit(0.5),
+            (unix_timestamp(col("mx")) - unix_timestamp(col("tss"))).cast("double") / 86400.0))
+        .withColumn("boost_r", lit(1.0) + log1p(col("user_id").cast("double")) / 10.0)
+        .select(col("event_id"),
+          round(col("base_r"), 6).as("base"),
+          round(col("decay_r"), 6).as("decay"),
+          round(col("boost_r"), 6).as("boost"),
+          // combine the unrounded components: rounded ones sit exactly on
+          // .5 rounding boundaries and flip between engines
+          round(col("base_r") * 0.5 + col("decay_r") * 0.3 + col("boost_r") * 0.2, 6).as("combined"))
+        .orderBy("event_id")
+    }),
+    // T4/J5 merge+dedup: union two result sets, keep min-distance per id,
+    // global top-10 (SearchResult::deduplicate, types.rs:206-223)
+    "merge_dedup" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      def results(qid: Int): DataFrame = {
+        val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("q_emb"))
+        emb.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(lit(1.0) - vecCosine(col("embedding"), col("q_emb")), 6).as("distance"))
+          .orderBy(col("distance").asc, col("vec_id").asc).limit(20)
+      }
+      results(0).unionByName(results(1))
+        .groupBy("vec_id").agg(min("distance").as("distance"))
+        .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "age_histogram" ->
+      """WITH ev AS (SELECT date_trunc('second', ts) AS tss FROM events),
+        |mx AS (SELECT max(tss) AS mx FROM ev)
+        |SELECT CASE
+        |    WHEN epoch(mx - tss) < 3600 THEN 'lt_1h'
+        |    WHEN epoch(mx - tss) < 86400 THEN 'lt_1d'
+        |    WHEN epoch(mx - tss) < 604800 THEN 'lt_1w'
+        |    ELSE 'ge_1w' END AS bucket, count(*) AS cnt
+        |FROM ev, mx GROUP BY 1 ORDER BY 1""".stripMargin,
+    "event_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(value), 4) AS avg_v,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "scoring" ->
+      """WITH mx AS (SELECT max(date_trunc('second', ts)) AS mx FROM events)
+        |SELECT event_id,
+        |  round(1.0 / (1.0 + value), 6) AS base,
+        |  round(pow(0.5, epoch(mx - date_trunc('second', ts)) / 86400.0), 6) AS decay,
+        |  round(1.0 + ln(1.0 + user_id) / 10.0, 6) AS boost,
+        |  round(1.0 / (1.0 + value) * 0.5
+        |      + pow(0.5, epoch(mx - date_trunc('second', ts)) / 86400.0) * 0.3
+        |      + (1.0 + ln(1.0 + user_id) / 10.0) * 0.2, 6) AS combined
+        |FROM events, mx ORDER BY event_id""".stripMargin,
+    "merge_dedup" ->
+      """WITH r0 AS (
+        |  SELECT e.vec_id,
+        |    round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS distance
+        |  FROM embeddings e, (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0) q
+        |  ORDER BY distance ASC, e.vec_id ASC LIMIT 20),
+        |r1 AS (
+        |  SELECT e.vec_id,
+        |    round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS distance
+        |  FROM embeddings e, (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 1) q
+        |  ORDER BY distance ASC, e.vec_id ASC LIMIT 20),
+        |u AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1)
+        |SELECT vec_id, min(distance) AS distance FROM u
+        |GROUP BY vec_id ORDER BY distance ASC, vec_id ASC LIMIT 10""".stripMargin)
+}

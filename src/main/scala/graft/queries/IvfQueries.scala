@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.VectorExpressions._
+import graft.operators.TopK
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic (oracle-checkable) IVF pipeline over the embeddings table:
+  * centroids here are per-label element-wise means (A3,
+  * `/root/reference/src/ivf/core.rs:388-417`) instead of KMeans output, so
+  * DuckDB can recompute them exactly; the KMeans path is covered by IvfSpec
+  * recall tests. Demonstrates J3 centroid assignment, X7 n_probe search and
+  * A4 cluster stats (SURVEY.md §2.9, §2.4).
+  */
+object IvfQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DIM = 64
+
+  /** Per-label mean centroid as (label, float[]) — pos-exploded avg,
+    * reassembled in dimension order. */
+  private def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg("v").as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x("m").cast("float")).as("centroid"))
+
+  val queries: Map[String, Q] = Map(
+    // A3: element-wise centroid means, one row per (label, dim)
+    "ivf_centroids" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg(round(avg("v"), 6).as("centroid_val"))
+        .select(col("label").cast("long").as("label"), col("pos").cast("long").as("pos"), col("centroid_val"))
+        .orderBy("label", "pos")
+    }),
+    // J3/X6: nearest-centroid assignment, map-only against a centroid literal
+    "ivf_assign" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = labelCentroids(emb).collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val centLit = typedLit(cents.map(_._2))
+      val labLit = typedLit(cents.map(_._1.toLong))
+      val dists = transform(centLit, c => round(vecL2(col("embedding"), c), 6))
+      val idx = array_position(dists, array_min(dists))
+      emb.select(col("vec_id"),
+        element_at(labLit, idx.cast("int")).as("assigned_cluster"))
+        .orderBy("vec_id")
+    }),
+    // X7: n_probe=3 pruned search for query vec 0 over label-clusters
+    "ivf_search" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = labelCentroids(emb)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val probed = cents.crossJoin(broadcast(q))
+        .select(col("label"), round(vecL2(col("centroid"), col("q_emb")), 6).as("cdist"))
+        .orderBy(col("cdist").asc, col("label").asc).limit(3)
+        .select("label")
+      emb.join(broadcast(probed), "label")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(vecL2(col("embedding"), col("q_emb")), 6).as("distance"))
+        .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+    }),
+    // A4: cluster size stats over the label clustering
+    "cluster_stats" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      emb.groupBy(col("label").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("size"),
+          round(avg(vecNorm(col("embedding"))), 6).as("avg_norm"))
+        .orderBy("cluster_id")
+    }))
+
+  private val centSql =
+    s"""cent AS (
+       |  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+       |  FROM embeddings, range(1, ${DIM + 1}) t(i) GROUP BY 1, 2),
+       |centl AS (
+       |  SELECT label, list(m::REAL::DOUBLE ORDER BY i) AS centroid
+       |  FROM cent GROUP BY 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ivf_centroids" ->
+      s"""SELECT label::BIGINT AS label, (i - 1)::BIGINT AS pos,
+         |  round(avg(embedding[i]::DOUBLE), 6) AS centroid_val
+         |FROM embeddings, range(1, ${DIM + 1}) t(i)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ivf_assign" ->
+      s"""WITH $centSql,
+         |d AS (
+         |  SELECT e.vec_id, c.label,
+         |    round(list_distance(e.embedding::DOUBLE[], c.centroid), 6) AS dist
+         |  FROM embeddings e CROSS JOIN centl c),
+         |r AS (
+         |  SELECT vec_id, label,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, label) AS rn
+         |  FROM d)
+         |SELECT vec_id, label::BIGINT AS assigned_cluster FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
+    "ivf_search" ->
+      s"""WITH $centSql,
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |probed AS (
+         |  SELECT c.label FROM centl c, q
+         |  ORDER BY round(list_distance(c.centroid, q.qe), 6) ASC, c.label ASC
+         |  LIMIT 3)
+         |SELECT e.vec_id,
+         |  round(list_distance(e.embedding::DOUBLE[], q.qe), 6) AS distance
+         |FROM embeddings e JOIN probed p ON e.label = p.label, q
+         |ORDER BY distance ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+    "cluster_stats" ->
+      """SELECT label::BIGINT AS cluster_id, count(*) AS size,
+        |  round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin)
+}
