@@ -16,7 +16,8 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracles),
       (VectorQueries.queries, VectorQueries.oracles),
       (IvfQueries.queries, IvfQueries.oracles),
-      (AggQueries.queries, AggQueries.oracles))
+      (AggQueries.queries, AggQueries.oracles),
+      (TextQueries.queries, TextQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

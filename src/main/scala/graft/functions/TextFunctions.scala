@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, cross-engine-stable hashing, shingling, language-ID
+  * heuristics, quality scoring, fingerprinting. All built from codegen'd
+  * built-ins (no UDFs) so they stay inside whole-stage codegen and scale to
+  * a 100 TB documents table as pure map-side work.
+  *
+  * Hashes are derived from md5 (identical in Spark and DuckDB), not
+  * xxhash64/murmur (engine-specific), so every operator here is
+  * oracle-checkable.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a (lowercased, trimmed) text column. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Stable 32-bit hash of any string column: first 8 hex chars of md5.
+    * DuckDB equivalent: ('0x' || substr(md5(x), 1, 8))::UBIGINT. */
+  def stableHash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Token n-gram shingles: ["a b c", "b c d", ...]; empty when the doc has
+    * fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Distinct shingle set (for Jaccard). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** MinHash signature: for each (a,b) pair, min over shingles of
+    * (a*h(s)+b) mod p — the classic universal-hash family over the stable
+    * 32-bit base hash. Returns ARRAY<LONG> of length numHashes. */
+  val MinhashPrime = 4294967311L // smallest prime > 2^32
+  def minhashParams(numHashes: Int): Seq[(Long, Long)] =
+    (1 to numHashes).map(i => (2L * i + 1L, 7919L * i)) // odd a, deterministic b
+
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val hashes = shingles(text, n) // containment duplicates don't affect min
+    val base = (s: Column) => conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+    val mins = minhashParams(numHashes).map { case (a, b) =>
+      array_min(transform(hashes, s => (base(s) * a + b) % MinhashPrime))
+    }
+    array(mins: _*)
+  }
+
+  /** Jaccard similarity of two precomputed distinct-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0.0, 0.0).otherwise(inter / uni)
+  }
+
+  /** SimHash over token hashes, `bits` wide: bit j of the fingerprint is 1
+    * iff the sum over tokens of (2*bit_j(h(token))-1) is positive. */
+  def simhash(text: Column, bits: Int): Column = {
+    val toks = tokens(text)
+    val th = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val bitCols = (0 until bits).map { j =>
+      val votes = aggregate(th, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L) * (1L << j)).otherwise(0L)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** English-marker stopwords present in any corpus; the heuristic is the
+    * ratio of marker tokens (n-gram profile stand-in, deterministic). */
+  val EnMarkers = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  def stopwordRatio(text: Column, markers: Seq[String] = EnMarkers): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isInCollection(markers))).cast("double")
+        / size(toks).cast("double"))
+  }
+
+  /** Heuristic language ID: 'en' when the marker ratio clears the
+    * threshold, else 'unk'. (Real n-gram profiles plug in the same shape.) */
+  def langId(text: Column, threshold: Double = 0.05): Column =
+    when(stopwordRatio(text) >= threshold, "en").otherwise("unk")
+
+  /** Quality score in [0,1]: blend of length saturation, alpha ratio and
+    * mean word length fitness — the shape of reference-style quality
+    * filters for pretraining data. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val alphaChars = length(regexp_replace(lower(text), "[^a-z]", "")).cast("double")
+    val lengthScore = least(nTok / 100.0, lit(1.0))
+    val alphaRatio = when(nChar === 0.0, 0.0).otherwise(alphaChars / nChar)
+    val meanWordLen = when(nTok === 0.0, 0.0).otherwise((nChar - (nTok - 1.0)) / nTok)
+    val wordLenScore = when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    lengthScore * 0.4 + alphaRatio * 0.4 + wordLenScore * 0.2
+  }
+
+  /** Exact-dup fingerprint: md5 of whitespace-normalized lowercase text. */
+  def contentFingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Winnowing-style fingerprint: min stable hash over 3-token shingles. */
+  def minShingleFingerprint(text: Column, n: Int = 3): Column = {
+    val hs = transform(shingles(text, n), s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+    when(size(hs) === 0, stableHash32(text)).otherwise(array_min(hs))
+  }
+}

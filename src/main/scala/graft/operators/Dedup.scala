@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorExpressions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around one shuffle at 100 TB scale:
+  *
+  *  - exact: hash-groupBy on a content fingerprint (one shuffle on a short
+  *    hash key, never on the text itself)
+  *  - MinHash+LSH: shingle -> signature (map-only) -> band buckets ->
+  *    bucket-join candidates -> Jaccard verify (joins only within buckets,
+  *    the classic sub-quadratic near-dup plan)
+  *  - SimHash: map-only fingerprint; near-dups = small Hamming distance,
+  *    bucketed by fingerprint prefix
+  *  - embedding near-dup: cosine over pairs blocked by a cluster column
+  *    (label / IVF cluster_id) — never all-pairs
+  */
+object Dedup {
+
+  /** Exact duplicate groups: (fingerprint, cnt, keep_id) for groups of
+    * size >= minGroup; keep_id is the smallest id (the canonical survivor). */
+  def exactGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      minGroup: Long = 1L): DataFrame =
+    docs.groupBy(contentFingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
+      .filter(col("cnt") >= minGroup)
+
+  /** Drop exact duplicates, keeping the smallest id per fingerprint —
+    * one shuffle, resolved with min_by not a self-join. */
+  def dropExactDuplicates(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val keep = docs.groupBy(contentFingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash-LSH candidate pairs with verified Jaccard: signatures are
+    * banded (numHashes = bands * rowsPerBand); docs sharing any band bucket
+    * become candidates; candidates are verified on true shingle-set Jaccard.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold. */
+  def minhashLshPairs(docs: DataFrame, shingleN: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleN, numHashes).as("sig"),
+      shingleSet(col(textCol), shingleN).as("sh"))
+    // band key: (band index, the band's slice of the signature)
+    val banded = sig.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    cand.select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** All-pairs n-gram Jaccard within small blocks (blockCol bounded): the
+    * exact verify used when a blocking key already exists. */
+  def ngramJaccardPairs(docs: DataFrame, shingleN: Int, threshold: Double,
+      blockCol: String, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val s = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      shingleSet(col(textCol), shingleN).as("sh"))
+    val l = s.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = s.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Map-only SimHash fingerprints: (id, simhash). */
+  def simhashFingerprints(docs: DataFrame, bits: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"), simhash(col(textCol), bits).as("simhash"))
+
+  /** Embedding near-duplicates blocked by a cluster column: pairs in the
+    * same block with cosine >= threshold. At scale the block is the IVF
+    * cluster_id, so the join shuffles on a low-cardinality key instead of
+    * forming all pairs. */
+  def embeddingNearDupPairs(vectors: DataFrame, threshold: Double,
+      blockCol: String, idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(blockCol).as("blk"), col(idCol).as("id"), col(embCol).as("e"))
+    val l = v.select(col("blk"), col("id").as("id_a"), col("e").as("e_a"))
+    val r = v.select(col("blk"), col("id").as("id_b"), col("e").as("e_b"))
+    l.join(r, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), vecCosine(col("e_a"), col("e_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication queries over the documents and embeddings
+  * tables — the training-data-pipeline operator set (exact dedup, MinHash
+  * LSH, SimHash, n-gram Jaccard, embedding near-dup, language ID, quality
+  * scoring, token stats, fingerprinting), each oracle-checked against
+  * DuckDB.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // DuckDB fragments reused across oracles
+  private val toksSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  private def hash32(s: String) = s"(('0x' || substr(md5($s), 1, 8))::UBIGINT)"
+
+  val queries: Map[String, Q] = Map(
+    // token counting + quality scoring (map-only, codegen'd)
+    "text_stats" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          round(qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+    // n-gram-profile language ID heuristic
+    "lang_id" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), langId(col("text")).as("lang_guess"))
+        .groupBy("lang_guess").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang_guess")
+    }),
+    // global token frequency (one shuffle on the token key)
+    "token_frequency" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(20)
+    }),
+    // content + winnowing fingerprints (map-only)
+    "doc_fingerprint" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          contentFingerprint(col("text")).as("fingerprint"),
+          minShingleFingerprint(col("text"), 3).as("min_shingle_hash"))
+        .orderBy("doc_id")
+    }),
+    // exact dedup groups via hash-groupBy
+    "exact_dedup" -> ((s, dir) => {
+      Dedup.exactGroups(Tables.load(s, dir, "documents"))
+        .orderBy("fingerprint")
+    }),
+    // minhash signatures, exploded for oracle compare
+    "minhash_sigs" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(minhashSignature(col("text"), 2, 8)).as(Seq("hash_id", "minhash")))
+        .select(col("doc_id"), (col("hash_id") + 1).cast("long").as("hash_id"), col("minhash"))
+        .orderBy("doc_id", "hash_id")
+    }),
+    // MinHash-LSH near-dup pairs: 4 bands x 2 rows, verified bigram Jaccard
+    "minhash_lsh_pairs" -> ((s, dir) => {
+      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+        shingleN = 2, bands = 4, rowsPerBand = 2, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    // SimHash 16-bit fingerprints
+    "simhash" -> ((s, dir) => {
+      Dedup.simhashFingerprints(Tables.load(s, dir, "documents"), bits = 16)
+        .select(col("id").as("doc_id"), col("simhash"))
+        .orderBy("doc_id")
+    }),
+    // embedding cosine near-dup, blocked by the cluster column (label here,
+    // IVF cluster_id at scale) — candidate pairs only within blocks, never
+    // all-pairs
+    "embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(Tables.load(s, dir, "embeddings"),
+          threshold = 0.4, blockCol = "label", idCol = "vec_id")
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |  round(CASE WHEN len(toks) = 0 THEN 0
+         |    ELSE len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE / len(toks) END, 6) AS stopword_ratio,
+         |  round(least(len(toks) / 100.0, 1.0) * 0.4
+         |    + (CASE WHEN length(text) = 0 THEN 0
+         |        ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text) END) * 0.4
+         |    + (CASE WHEN (length(text) - (len(toks) - 1.0)) / len(toks) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(toks) > 0
+         |    AND len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE / len(toks) >= 0.05
+         |  THEN 'en' ELSE 'unk' END AS lang_guess FROM t)
+         |SELECT lang_guess, count(*) AS cnt FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "token_frequency" ->
+      s"""SELECT token, count(*) AS cnt
+         |FROM (SELECT unnest($toksSql) AS token FROM documents)
+         |GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
+    "doc_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, text, toks,
+         |  list_transform(range(1, greatest(len(toks) - 1, 1)),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+         |  FROM t)
+         |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint,
+         |  CASE WHEN len(shingles) = 0 THEN ${hash32("text")}::BIGINT
+         |    ELSE list_min(list_transform(shingles, s -> ${hash32("s")}))::BIGINT END AS min_shingle_hash
+         |FROM sh ORDER BY doc_id""".stripMargin,
+    "exact_dedup" ->
+      s"""SELECT md5(array_to_string($toksSql, ' ')) AS fingerprint,
+         |  count(*) AS cnt, min(doc_id) AS keep_id
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "minhash_sigs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS shingles
+         |  FROM t)
+         |SELECT doc_id, i AS hash_id,
+         |  list_min(list_transform(shingles,
+         |    s -> (${hash32("s")} * (2 * i + 1) + 7919 * i) % 4294967311))::BIGINT AS minhash
+         |FROM sh, range(1, 9) r(i) ORDER BY doc_id, hash_id""".stripMargin,
+    "minhash_lsh_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS shingles
+         |  FROM t),
+         |sig AS (SELECT doc_id, shingles, list_distinct(shingles) AS shset,
+         |  [list_min(list_transform(shingles,
+         |     s -> (${hash32("s")} * (2 * i + 1) + 7919 * i) % 4294967311))::BIGINT
+         |   FOR i IN range(1, 9)] AS sig
+         |  FROM sh),
+         |banded AS (SELECT doc_id, shset, b AS band, sig[b*2+1:b*2+2] AS bucket
+         |  FROM sig, range(0, 4) r(b)),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         |    l.shset AS sh_a, r.shset AS sh_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+         |SELECT id_a, id_b,
+         |  round(len(list_intersect(sh_a, sh_b))::DOUBLE
+         |    / len(list_distinct(sh_a || sh_b)), 6) AS jaccard
+         |FROM cand
+         |WHERE len(list_intersect(sh_a, sh_b))::DOUBLE / len(list_distinct(sh_a || sh_b)) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "simhash" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, ${hash32("tok")}::BIGINT AS th FROM t),
+         |bits AS (SELECT doc_id, b,
+         |    sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM h, range(0, 16) r(b) GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+         |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin)
+}
