@@ -1,0 +1,328 @@
+package graft.store
+
+import graft.functions.FilterJson
+import graft.operators.{Ivf, Knn}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The vector-store session API — full CRUD + hybrid tiering + persistence
+  * (SURVEY.md §2.9 X11-X16, §2.10 C1-C7, §2.1 S3-S6), re-expressed as two
+  * partitioned Parquet tables plus small sidecars:
+  *
+  * {{{
+  * path/
+  *   manifest.json       version gate + dim + config (S3/S4 manifest analog)
+  *   recent/             parquet: young vectors (HNSW tier analog)
+  *   historical/         parquet partitioned by cluster_id (IVF tier analog)
+  *   centroids/          parquet: IVF centroid sidecar
+  *   tombstones/         parquet: soft-deleted vids (deleted_vectors analog)
+  *   meta_updates/       parquet: metadata overlay (updateMetadata C4)
+  *   schema.json         optional metadata schema (F11)
+  * }}}
+  *
+  * Mutations are appends (inserts, tombstones, metadata updates); `vacuum`
+  * compacts them away (C6). The read view stitches tiers + overlays with
+  * anti-joins — Delta-style semantics from plain Parquet, no driver-side
+  * state. Contrast with the reference, which keeps the whole index in
+  * memory behind RwLocks and rebuilds clusters on every load
+  * (`hybrid/persistence.rs:497-693`).
+  */
+class VectorStore(val spark: SparkSession, val path: String,
+    val config: VectorStore.Config = VectorStore.Config()) {
+  import VectorStore._
+
+  private def dir(name: String) = s"$path/$name"
+  private def exists(name: String) = Files.exists(Paths.get(dir(name), "_SUCCESS"))
+
+  // ---- manifest (version-gated like persistence.rs:499-520) ----
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def writeManifest(m: Manifest): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("version", m.version); node.put("dim", m.dim)
+    node.put("recentThresholdSeconds", config.recentThresholdSeconds)
+    Files.createDirectories(Paths.get(path))
+    Files.writeString(Paths.get(path, "manifest.json"), mapper.writeValueAsString(node))
+  }
+
+  def readManifest(): Option[Manifest] = {
+    val p = Paths.get(path, "manifest.json")
+    if (!Files.exists(p)) None
+    else {
+      val n = mapper.readTree(Files.readString(p))
+      val v = n.get("version").asInt()
+      if (v != FormatVersion)
+        throw new IllegalStateException(s"unsupported store version $v (expected $FormatVersion)")
+      Some(Manifest(v, n.get("dim").asInt()))
+    }
+  }
+
+  def dimension: Option[Int] = readManifest().map(_.dim).filter(_ > 0)
+
+  // ---- metadata schema (F11) ----
+
+  private var schemaOpt: Option[MetadataSchema.Schema] = {
+    val p = Paths.get(path, "schema.json")
+    if (Files.exists(p)) Some(MetadataSchema.parse(Files.readString(p))) else None
+  }
+
+  def setSchema(schemaJson: String): Unit = {
+    val s = MetadataSchema.parse(schemaJson)
+    Files.createDirectories(Paths.get(path))
+    Files.writeString(Paths.get(path, "schema.json"), s.json)
+    schemaOpt = Some(s)
+  }
+
+  // ---- init ----
+
+  def initIfNeeded(dim: Int): Unit = {
+    if (readManifest().isEmpty) {
+      writeManifest(Manifest(FormatVersion, dim))
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], vectorSchema)
+      empty.write.mode(SaveMode.Overwrite).parquet(dir("recent"))
+      empty.withColumn("cluster_id", lit(0))
+        .write.mode(SaveMode.Overwrite).parquet(dir("historical"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tombSchema)
+        .write.mode(SaveMode.Overwrite).parquet(dir("tombstones"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], metaUpdateSchema)
+        .write.mode(SaveMode.Overwrite).parquet(dir("meta_updates"))
+    }
+  }
+
+  // ---- reads ----
+
+  private def readOr(name: String, schema: StructType): DataFrame =
+    if (exists(name)) spark.read.schema(schema).parquet(dir(name))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  def recent: DataFrame = readOr("recent", vectorSchema)
+  def historical: DataFrame =
+    readOr("historical", vectorSchema.add(StructField("cluster_id", IntegerType)))
+  def tombstones: DataFrame = readOr("tombstones", tombSchema)
+  def metaUpdates: DataFrame = readOr("meta_updates", metaUpdateSchema)
+  def centroids: DataFrame =
+    if (exists("centroids")) spark.read.parquet(dir("centroids"))
+    else spark.emptyDataFrame
+
+  /** Tombstones only kill rows inserted before the delete, so
+    * delete-then-reinsert resurrects the id (reference removes the id from
+    * its timestamp map on delete, allowing re-insert). */
+  private def dropTombstoned(df: DataFrame): DataFrame = {
+    val t = tombstones.select(col("vid").as("t_vid"), col("deleted_at"))
+    df.join(t, df("vid") === t("t_vid") && df("ts") <= t("deleted_at"), "left_anti")
+  }
+
+  private def latestMetaOverlay: DataFrame = metaUpdates
+    .groupBy("vid").agg(max_by(col("metadata"), col("updated_at")).as("meta_new"))
+
+  /** The live view: both tiers, tombstones anti-joined away, metadata
+    * overlay applied (latest update wins). */
+  def vectors: DataFrame = {
+    val base = recent.withColumn("tier", lit("recent"))
+      .unionByName(historical.drop("cluster_id").withColumn("tier", lit("historical")))
+    dropTombstoned(base).join(latestMetaOverlay, Seq("vid"), "left")
+      .withColumn("metadata", coalesce(col("meta_new"), col("metadata")))
+      .drop("meta_new")
+  }
+
+  // ---- C1 insert (dup anti-join, dim check, schema validation) ----
+
+  /** Insert a batch; duplicate ids (against live data or within the batch)
+    * are rejected and reported, mirroring the reference's per-id dup error
+    * (`hybrid/core.rs:317-321`). Returns (inserted, duplicates). */
+  def insert(batch: Seq[VectorRecord]): InsertResult = {
+    require(batch.nonEmpty, "empty batch")
+    val dims = batch.map(_.embedding.length).distinct
+    require(dims.size == 1, s"mixed dimensions in batch: $dims")
+    val dim = dims.head
+    dimension match {
+      case Some(d) => require(d == dim, s"dimension mismatch: store=$d batch=$dim")
+      case None => initIfNeeded(dim)
+    }
+    schemaOpt.foreach { sch =>
+      batch.foreach { r =>
+        sch.validate(r.metadata).foreach(err =>
+          throw new MetadataSchema.SchemaViolation(s"id=${r.id}: $err"))
+      }
+    }
+    import spark.implicits._
+    val deduped = batch.groupBy(_.id).map(_._2.head).toSeq
+    val df = deduped.toDF()
+      .withColumn("vid", vidExpr(col("id")))
+      .withColumn("ts", coalesce(to_timestamp(col("tsString")), current_timestamp()))
+      .select("id", "vid", "embedding", "metadata", "ts")
+    val existing = vectors.select("vid")
+    val fresh = df.join(existing, Seq("vid"), "left_anti").cache()
+    val nFresh = fresh.count()
+    fresh.write.mode(SaveMode.Append).parquet(dir("recent"))
+    fresh.unpersist()
+    InsertResult(inserted = nFresh, duplicates = batch.size - nFresh)
+  }
+
+  // ---- C2/C3/C5 soft delete ----
+
+  def delete(ids: Seq[String]): DeleteResult = {
+    import spark.implicits._
+    val target = ids.toDF("id").withColumn("vid", vidExpr(col("id")))
+    val found = vectors.select("id", "vid")
+      .join(broadcast(target.select("vid")), Seq("vid"), "left_semi")
+    val foundIds = found.select("id").as[String].collect().sorted
+    found.select(col("vid"), current_timestamp().as("deleted_at"))
+      .write.mode(SaveMode.Append).parquet(dir("tombstones"))
+    DeleteResult(foundIds.length, foundIds)
+  }
+
+  /** C3: delete everything matching a Mongo-style metadata filter; empty
+    * filter deletes everything (session.rs:838-841). */
+  def deleteByMetadata(filterJson: String): DeleteResult = {
+    import spark.implicits._
+    val matched = vectors.filter(FilterJson.predicate(filterJson, col("metadata")))
+      .select("id", "vid").cache()
+    val ids = matched.select("id").as[String].collect().sorted
+    matched.select(col("vid"), current_timestamp().as("deleted_at"))
+      .write.mode(SaveMode.Append).parquet(dir("tombstones"))
+    matched.unpersist()
+    DeleteResult(ids.length, ids)
+  }
+
+  // ---- C4 metadata update (full replace, schema-validated) ----
+
+  def updateMetadata(id: String, metadataJson: String): Unit = {
+    schemaOpt.foreach(_.validate(Some(metadataJson)).foreach(err =>
+      throw new MetadataSchema.SchemaViolation(s"id=$id: $err")))
+    import spark.implicits._
+    val t = Seq(id).toDF("id").withColumn("vid", vidExpr(col("id")))
+    val known = vectors.join(broadcast(t.select("vid")), Seq("vid"), "left_semi").count()
+    if (known == 0) throw new NoSuchElementException(s"unknown id: $id")
+    t.select(col("vid"), lit(metadataJson).as("metadata"),
+        current_timestamp().as("updated_at"))
+      .write.mode(SaveMode.Append).parquet(dir("meta_updates"))
+  }
+
+  // ---- search (X12 hybrid union is implicit: one view, two tiers) ----
+
+  def search(query: Array[Float], k: Int, metric: String = "cosine",
+      filterJson: Option[String] = None, scoreThreshold: Double = 0.0): DataFrame =
+    Knn.search(vectors, query, k, metric, idCol = "id",
+      filterJson = filterJson, scoreThreshold = scoreThreshold)
+
+  // ---- X15 migration: recent -> historical ----
+
+  /** Move rows older than the threshold into the cluster-partitioned
+    * historical tier; (re)trains centroids when absent. Returns the number
+    * migrated. Unlike the reference (which never removes migrated rows from
+    * HNSW — the double-count bug at `hybrid/core.rs:579,632`), the rewrite
+    * moves rows atomically-per-tier. */
+  def migrate(nowOverride: Option[java.sql.Timestamp] = None): Long = {
+    val now = nowOverride.map(lit(_)).getOrElse(current_timestamp())
+    val cutoff = now - expr(s"INTERVAL ${config.recentThresholdSeconds} SECOND")
+    val rec = recent.cache()
+    val old = rec.filter(col("ts") <= cutoff)
+    val nOld = old.count()
+    if (nOld > 0) {
+      val cents =
+        if (exists("centroids")) centroids
+        else {
+          val trained = Ivf.train(old.withColumnRenamed("vid", "id2"),
+            Ivf.IvfConfig(nClusters = math.min(config.nClusters, math.max(1, nOld.toInt / 2))))
+          trained.write.mode(SaveMode.Overwrite).parquet(dir("centroids"))
+          trained
+        }
+      val assigned = Ivf.assign(old, cents)
+      assigned.write.mode(SaveMode.Append).partitionBy("cluster_id").parquet(dir("historical"))
+      val keep = rec.filter(col("ts") > cutoff).cache()
+      keep.count()
+      keep.write.mode(SaveMode.Overwrite).parquet(dir("recent"))
+      keep.unpersist()
+    }
+    rec.unpersist()
+    nOld
+  }
+
+  // ---- C6 vacuum: physical removal of soft-deleted + overlay compaction ----
+
+  def vacuum(): VacuumResult = {
+    val rec = recent; val hist = historical
+    val latestMeta = latestMetaOverlay
+    def compact(df: DataFrame): DataFrame =
+      dropTombstoned(df)
+        .join(latestMeta, Seq("vid"), "left")
+        .withColumn("metadata", coalesce(col("meta_new"), col("metadata")))
+        .drop("meta_new")
+    val newRec = compact(rec).cache()
+    val newHist = compact(hist).cache()
+    val recRemoved = rec.count() - newRec.count()
+    val histRemoved = hist.count() - newHist.count()
+    newRec.select(vectorSchema.fieldNames.map(col).toSeq: _*)
+      .write.mode(SaveMode.Overwrite).parquet(dir("recent") + "_tmp")
+    newHist.write.mode(SaveMode.Overwrite).partitionBy("cluster_id").parquet(dir("historical") + "_tmp")
+    swap("recent"); swap("historical")
+    newRec.unpersist(); newHist.unpersist()
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tombSchema)
+      .write.mode(SaveMode.Overwrite).parquet(dir("tombstones"))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], metaUpdateSchema)
+      .write.mode(SaveMode.Overwrite).parquet(dir("meta_updates"))
+    VacuumResult(recRemoved, histRemoved)
+  }
+
+  private def swap(name: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(dir(name))
+    val tmp = new org.apache.hadoop.fs.Path(dir(name) + "_tmp")
+    fs.delete(cur, true)
+    fs.rename(tmp, cur)
+  }
+
+  // ---- A6/C7 stats ----
+
+  def stats(): Stats = Stats(
+    recentCount = dropTombstoned(recent).count(),
+    historicalCount = dropTombstoned(historical).count(),
+    tombstoneCount = tombstones.count())
+}
+
+object VectorStore {
+  val FormatVersion = 3 // matches the reference manifest version (chunk.rs:30)
+
+  case class Config(
+      recentThresholdSeconds: Long = 7L * 24 * 3600, // hybrid/core.rs:76-84
+      nClusters: Int = 256,
+      nProbe: Int = 16)
+
+  case class Manifest(version: Int, dim: Int)
+
+  /** Insert-batch record; tsString optional ISO timestamp (defaults now). */
+  case class VectorRecord(id: String, embedding: Array[Float],
+      metadata: Option[String] = None, tsString: Option[String] = None)
+
+  case class InsertResult(inserted: Long, duplicates: Long)
+  case class DeleteResult(deletedCount: Long, deletedIds: Seq[String])
+  case class VacuumResult(recentRemoved: Long, historicalRemoved: Long)
+  case class Stats(recentCount: Long, historicalCount: Long, tombstoneCount: Long)
+
+  /** VectorId analog (M14, `types.rs:12-34`): "vec_" + first 8 hex chars of
+    * a content hash (sha2 here; blake3 byte-compat is irrelevant to
+    * capability parity). */
+  def vidExpr(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("vec_"), substring(sha2(id.cast("string"), 256), 1, 8))
+
+  val vectorSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("vid", StringType, nullable = false),
+    StructField("embedding", ArrayType(FloatType), nullable = false),
+    StructField("metadata", StringType, nullable = true),
+    StructField("ts", TimestampType, nullable = false)))
+
+  val tombSchema: StructType = StructType(Seq(
+    StructField("vid", StringType, nullable = false),
+    StructField("deleted_at", TimestampType, nullable = false)))
+
+  val metaUpdateSchema: StructType = StructType(Seq(
+    StructField("vid", StringType, nullable = false),
+    StructField("metadata", StringType, nullable = true),
+    StructField("updated_at", TimestampType, nullable = false)))
+}

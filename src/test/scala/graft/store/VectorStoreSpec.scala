@@ -1,0 +1,164 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.store.VectorStore._
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** CRUD / lifecycle conformance (FIXTURES.md §4, mirroring the reference's
+  * e2e Node tests: e2e-crud, vacuum, soft-deletion, schema/dimension
+  * validation, persistence round-trip).
+  */
+class VectorStoreSpec extends SparkSpec {
+
+  private def freshStore(): VectorStore = {
+    val p = Files.createTempDirectory("graft_store_").toString
+    new VectorStore(spark, p, Config(recentThresholdSeconds = 3600))
+  }
+
+  private def vec(seed: Int, dim: Int = 8): Array[Float] =
+    Array.tabulate(dim)(j => math.sin(seed * (j + 1)).toFloat)
+
+  test("insert batch + flagship search lifecycle") {
+    val st = freshStore()
+    val r = st.insert((0 until 50).map(i =>
+      VectorRecord(s"doc$i", vec(i), Some(s"""{"category": "c${i % 3}", "rank": $i}"""))))
+    assert(r == InsertResult(50, 0))
+    val hits = st.search(vec(7), k = 5).collect()
+    assert(hits.length == 5)
+    assert(hits.head.getString(0) == "doc7") // self-retrieval
+    assert(hits.head.getDouble(1) < 1e-6)
+    // results ordered ascending by distance
+    assert(hits.map(_.getDouble(1)).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("duplicate insert rejected, dimension mismatch errors") {
+    val st = freshStore()
+    assert(st.insert(Seq(VectorRecord("a", vec(1)))) == InsertResult(1, 0))
+    assert(st.insert(Seq(VectorRecord("a", vec(2)), VectorRecord("b", vec(3)))) ==
+      InsertResult(1, 1))
+    intercept[IllegalArgumentException] {
+      st.insert(Seq(VectorRecord("c", vec(1, dim = 4))))
+    }
+  }
+
+  test("filtered search with metadata pre-filter") {
+    val st = freshStore()
+    st.insert((0 until 30).map(i =>
+      VectorRecord(s"v$i", vec(i), Some(s"""{"category": "c${i % 3}", "rank": $i}"""))))
+    val hits = st.search(vec(0), k = 10,
+      filterJson = Some("""{"category": "c0", "rank": {"$lt": 15}}""")).collect()
+    assert(hits.nonEmpty)
+    val ids = hits.map(_.getString(0)).toSet
+    assert(ids.subsetOf(Set("v0", "v3", "v6", "v9", "v12")))
+  }
+
+  test("soft delete by id excludes from search; re-insert resurrects") {
+    val st = freshStore()
+    st.insert((0 until 10).map(i => VectorRecord(s"d$i", vec(i))))
+    val del = st.delete(Seq("d3", "d4", "nope"))
+    assert(del.deletedCount == 2)
+    assert(del.deletedIds.toSet == Set("d3", "d4"))
+    assert(st.vectors.count() == 8)
+    assert(!st.search(vec(3), k = 10).collect().map(_.getString(0)).contains("d3"))
+    Thread.sleep(1100) // tombstone cut is timestamp-based at second granularity
+    assert(st.insert(Seq(VectorRecord("d3", vec(3)))) == InsertResult(1, 0))
+    assert(st.vectors.count() == 9)
+  }
+
+  test("deleteByMetadata with filter and with empty filter") {
+    val st = freshStore()
+    st.insert((0 until 12).map(i =>
+      VectorRecord(s"m$i", vec(i), Some(s"""{"status": "${if (i < 4) "old" else "new"}"}"""))))
+    val del = st.deleteByMetadata("""{"status": "old"}""")
+    assert(del.deletedCount == 4)
+    assert(del.deletedIds == Seq("m0", "m1", "m2", "m3"))
+    assert(st.vectors.count() == 8)
+    val all = st.deleteByMetadata("{}")
+    assert(all.deletedCount == 8)
+    assert(st.vectors.count() == 0)
+  }
+
+  test("updateMetadata full-replace, unknown id errors") {
+    val st = freshStore()
+    st.insert(Seq(VectorRecord("u1", vec(1), Some("""{"a": 1, "b": 2}"""))))
+    st.updateMetadata("u1", """{"c": 3}""")
+    val m = st.vectors.filter(col("id") === "u1").select("metadata").head().getString(0)
+    assert(m == """{"c": 3}""") // full replace, not merge (session.rs:581-632)
+    intercept[NoSuchElementException] { st.updateMetadata("ghost", "{}") }
+  }
+
+  test("schema validation on insert and update (F11)") {
+    val st = freshStore()
+    st.setSchema(
+      """{"fields": {"title": {"type": "string"}, "views": {"type": "number"},
+        |  "tags": {"type": "array", "items": {"type": "string"}}},
+        | "required": ["title", "views"]}""".stripMargin)
+    // valid
+    st.insert(Seq(VectorRecord("ok", vec(1),
+      Some("""{"title": "t", "views": 3, "tags": ["x"]}"""))))
+    // missing required
+    intercept[MetadataSchema.SchemaViolation] {
+      st.insert(Seq(VectorRecord("bad1", vec(2), Some("""{"title": "t"}"""))))
+    }
+    // wrong scalar type
+    intercept[MetadataSchema.SchemaViolation] {
+      st.insert(Seq(VectorRecord("bad2", vec(3), Some("""{"title": "t", "views": "3"}"""))))
+    }
+    // bad array element
+    intercept[MetadataSchema.SchemaViolation] {
+      st.insert(Seq(VectorRecord("bad3", vec(4),
+        Some("""{"title": "t", "views": 1, "tags": [1]}"""))))
+    }
+    // null always valid (schema.rs:68-71)
+    st.insert(Seq(VectorRecord("ok2", vec(5),
+      Some("""{"title": "t", "views": 2, "tags": null}"""))))
+  }
+
+  test("migration moves old rows to the cluster-partitioned historical tier") {
+    val st = freshStore()
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert((0 until 20).map(i => VectorRecord(s"old$i", vec(i), tsString = Some(oldTs))))
+    st.insert((0 until 5).map(i => VectorRecord(s"new$i", vec(100 + i))))
+    val moved = st.migrate()
+    assert(moved == 20)
+    val s = st.stats()
+    assert(s.recentCount == 5 && s.historicalCount == 20)
+    assert(st.historical.select("cluster_id").distinct().count() >= 1)
+    // search still sees everything (X12 union)
+    assert(st.search(vec(3), k = 30).count() == 25)
+  }
+
+  test("vacuum physically removes tombstoned rows and compacts overlays") {
+    val st = freshStore()
+    st.insert((0 until 10).map(i => VectorRecord(s"x$i", vec(i))))
+    st.delete(Seq("x1", "x2"))
+    st.updateMetadata("x5", """{"u": true}""")
+    val vr = st.vacuum()
+    assert(vr.recentRemoved == 2)
+    assert(st.tombstones.count() == 0 && st.metaUpdates.count() == 0)
+    assert(st.vectors.count() == 8)
+    val m = st.vectors.filter(col("id") === "x5").select("metadata").head().getString(0)
+    assert(m == """{"u": true}""") // overlay folded into the base
+  }
+
+  test("persistence round-trip: reopen from path preserves data and search") {
+    val st = freshStore()
+    st.insert((0 until 25).map(i => VectorRecord(s"p$i", vec(i), Some(s"""{"i": $i}"""))))
+    st.delete(Seq("p9"))
+    val before = st.search(vec(4), k = 5).collect().map(r => (r.getString(0), r.getDouble(1)))
+    val reopened = new VectorStore(spark, st.path)
+    assert(reopened.dimension.contains(8))
+    assert(reopened.vectors.count() == 24)
+    val after = reopened.search(vec(4), k = 5).collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(before.sameElements(after))
+  }
+
+  test("manifest version gate rejects unknown versions") {
+    val st = freshStore()
+    st.insert(Seq(VectorRecord("a", vec(1))))
+    Files.writeString(java.nio.file.Paths.get(st.path, "manifest.json"),
+      """{"version": 99, "dim": 8}""")
+    intercept[IllegalStateException] { new VectorStore(spark, st.path).dimension }
+  }
+}
