@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.Hnsw.{Graph, HnswConfig}
+import org.apache.spark.sql.functions._
+
+/** HNSW conformance mirrored from the reference tests
+  * (`/root/reference/tests/hnsw/core.rs`): self-retrieval, 2D geometric
+  * ordering, ef monotonicity, deleted-node exclusion, plus distributed
+  * recall vs the exact oracle (the per-partition contract).
+  */
+class HnswSpec extends SparkSpec {
+
+  private def sinVec(i: Int, dim: Int = 16): Array[Float] =
+    Array.tabulate(dim)(j => math.sin(i.toDouble * j).toFloat)
+
+  test("local graph: self-retrieval over 100 sin-grid vectors") {
+    val g = new Graph("l2", HnswConfig())
+    (0 until 100).foreach(i => g.insert(i.toLong, sinVec(i)))
+    (0 until 100).foreach { i =>
+      val hits = g.search(sinVec(i), k = 1, ef = 50)
+      assert(hits.head._1 == i.toLong, s"query $i returned ${hits.head}")
+      assert(hits.head._2 < 1e-5)
+    }
+  }
+
+  test("local graph: 2D compass k-NN ordering") {
+    val g = new Graph("l2", HnswConfig())
+    val pts = Seq(
+      0L -> Array(0f, 0f), 1L -> Array(1f, 0f), 2L -> Array(0f, 1f),
+      3L -> Array(-1f, 0f), 4L -> Array(0f, -1f), 5L -> Array(1f, 1f))
+    pts.foreach { case (id, v) => g.insert(id, v) }
+    val hits = g.search(Array(0.9f, 0.1f), k = 3, ef = 10)
+    assert(hits.head._1 == 1L) // (1,0) closest
+    assert(hits.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("local graph: higher ef does not reduce result quality") {
+    val g = new Graph("l2", HnswConfig(efConstruction = 50))
+    (0 until 300).foreach(i => g.insert(i.toLong, sinVec(i, 10)))
+    val q = sinVec(42, 10)
+    val lo = g.search(q, k = 10, ef = 10).map(_._2).sum
+    val hi = g.search(q, k = 10, ef = 200).map(_._2).sum
+    assert(hi <= lo + 1e-9) // larger beam finds equal-or-closer set
+  }
+
+  test("local graph: deleted nodes excluded from results but traversable") {
+    val g = new Graph("l2", HnswConfig())
+    (0 until 50).foreach(i => g.insert(i.toLong, sinVec(i)))
+    assert(g.markDeleted(7L))
+    assert(!g.markDeleted(999L))
+    val hits = g.search(sinVec(7), k = 10, ef = 50)
+    assert(!hits.map(_._1).contains(7L))
+    assert(hits.length == 10)
+  }
+
+  test("distributed searchBatch: recall >= 0.9 vs exact oracle on real embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding")).repartition(4)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val approx = Hnsw.searchBatch(corpus, queries, k = 10,
+      cfg = HnswConfig(efSearch = 100))
+    val exact = Knn.batch(corpus, queries, k = 10, metric = "l2")
+    val recall = Ivf.evaluateRecall(approx, exact).head().getDouble(0)
+    assert(recall >= 0.9, s"hnsw recall $recall")
+  }
+}
