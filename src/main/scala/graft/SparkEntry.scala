@@ -17,7 +17,8 @@ object SparkEntry {
       (VectorQueries.queries, VectorQueries.oracles),
       (IvfQueries.queries, IvfQueries.oracles),
       (AggQueries.queries, AggQueries.oracles),
-      (TextQueries.queries, TextQueries.oracles))
+      (TextQueries.queries, TextQueries.oracles),
+      (AnnQueries.queries, AnnQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (SURVEY.md §2.4 A2 + §2.8 M12,
+  * `/root/reference/src/core/vector_ops.rs:405-577`): split the embedding
+  * into m subspaces, k-means each subspace into k codes, store vectors as m
+  * uint8 codes. Training is MLlib KMeans per subspace (distributed, sampled)
+  * instead of the reference's in-memory Lloyd loop; encode/decode/ADC are
+  * pure column expressions over broadcast codebook literals — map-only at
+  * any scale.
+  */
+object Pq {
+
+  /** codebooks(sub)(code) = centroid of that subspace cell. */
+  case class PqModel(m: Int, k: Int, subDim: Int,
+      codebooks: Array[Array[Array[Float]]])
+
+  def train(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
+      embCol: String = "embedding", trainSize: Int = 10000,
+      seed: Long = 42L): PqModel = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val n = corpus.count()
+    val sampled = (if (n <= trainSize) corpus
+      else corpus.sample(withReplacement = false, trainSize.toDouble / n, seed))
+      .select(embCol).cache()
+    sampled.count()
+    val books = (0 until m).map { s =>
+      val sub = sampled.select(
+        array_to_vector(slice(col(embCol), s * subDim + 1, subDim)).as("features"))
+      new KMeans().setK(k).setMaxIter(20).setSeed(seed + s).fit(sub)
+        .clusterCenters.map(_.toArray.map(_.toFloat))
+    }.toArray
+    sampled.unpersist()
+    PqModel(m, k, subDim, books)
+  }
+
+  /** Nearest-code id for one subspace slice against a codebook literal. */
+  private def codeFor(sub: Column, book: Array[Array[Float]]): Column = {
+    val lit = typedLit(book)
+    val dists = transform(lit, c =>
+      aggregate(zip_with(sub, c, (x, y) => (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))), org.apache.spark.sql.functions.lit(0.0), (a, v) => a + v))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Encode: embedding -> ARRAY<INT> of m codes (map-only). */
+  def encode(model: PqModel, embCol: Column): Column =
+    array((0 until model.m).map { s =>
+      codeFor(slice(embCol, s * model.subDim + 1, model.subDim), model.codebooks(s))
+    }: _*)
+
+  /** Decode: codes -> reconstructed ARRAY<FLOAT>. */
+  def decode(model: PqModel, codesCol: Column): Column = {
+    val books = typedLit(model.codebooks) // [m][k][subDim]
+    flatten(zip_with(books, codesCol, (book, c) => element_at(book, c + 1)))
+  }
+
+  /** Asymmetric-distance (ADC) squared-L2 between a raw query vector and
+    * encoded codes: per-subspace lookup table, summed — the classic PQ
+    * search kernel, here one aggregate over a broadcast table literal. */
+  def adcDistSq(model: PqModel, query: Array[Float], codesCol: Column): Column = {
+    // table(sub)(code) = ||query_sub - centroid||^2, precomputed driver-side
+    val table: Array[Array[Double]] = Array.tabulate(model.m) { s =>
+      val qs = query.slice(s * model.subDim, (s + 1) * model.subDim)
+      model.codebooks(s).map { c =>
+        var acc = 0.0; var i = 0
+        while (i < qs.length) { val d = qs(i).toDouble - c(i).toDouble; acc += d * d; i += 1 }
+        acc
+      }
+    }
+    val tableLit = typedLit(table)
+    aggregate(zip_with(tableLit, codesCol, (row, c) => element_at(row, c + 1)),
+      lit(0.0), (a, v) => a + v)
+  }
+
+  /** PQ-approximate k-NN over an encoded corpus: map-only ADC distance +
+    * TakeOrderedAndProject. */
+  def adcSearch(encoded: DataFrame, model: PqModel, query: Array[Float], k: Int,
+      idCol: String = "id", codesCol: String = "codes"): DataFrame =
+    encoded.select(col(idCol).as("id"),
+        sqrt(adcDistSq(model, query, col(codesCol))).as("distance"))
+      .orderBy(col("distance").asc, col("id").asc).limit(k)
+}

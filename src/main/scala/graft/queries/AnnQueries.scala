@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.VectorExpressions._
+import graft.functions.VectorFunctions
+import graft.operators.{Hnsw, Ivf, Knn, Pq}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hybrid-tier search, recall evaluation, quantization, and the
+  * non-SQL-expressible ANN operators (HNSW / KMeans-IVF / PQ, registered
+  * rows-only — their quality gate is the recall-vs-exact specs).
+  */
+object AnnQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg("v").as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x("m").cast("float")).as("centroid"))
+
+  val queries: Map[String, Q] = Map(
+    // X12/T5 hybrid search: "recent" tier (vec_id >= 400, scanned fully,
+    // the HNSW-tier analog) + "historical" tier (vec_id < 400, probed via
+    // 3 nearest label-centroids) -> union -> global top-10
+    "hybrid_search" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val recent = emb.filter(col("vec_id") >= 400).crossJoin(broadcast(q))
+        .select(col("vec_id"), round(vecL2(col("embedding"), col("q_emb")), 6).as("distance"),
+          lit("recent").as("tier"))
+      val cents = labelCentroids(emb.filter(col("vec_id") < 400))
+      val probed = cents.crossJoin(broadcast(q))
+        .select(col("label"), round(vecL2(col("centroid"), col("q_emb")), 6).as("cdist"))
+        .orderBy(col("cdist").asc, col("label").asc).limit(3).select("label")
+      val historical = emb.filter(col("vec_id") < 400).join(broadcast(probed), "label")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(vecL2(col("embedding"), col("q_emb")), 6).as("distance"),
+          lit("historical").as("tier"))
+      recent.unionByName(historical)
+        .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
+    }),
+    // A5 recall evaluation: n_probe=3 label-IVF vs exact ground truth,
+    // averaged over 5 queries — the reference's own quality metric as a query
+    "recall_eval" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val cents = labelCentroids(emb)
+        .select(col("label").cast("int").as("cluster_id"), col("centroid"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding"),
+        col("label").cast("int").as("cluster_id"))
+      val approx = Ivf.searchBatch(corpus, cents, queries, k = 10, nProbe = 3,
+        roundDecimals = 6)
+      val exact = Knn.batch(corpus, queries, k = 10, metric = "l2", roundDecimals = 6)
+      Ivf.evaluateRecall(approx, exact)
+        .select(round(col("avg_recall"), 6).as("avg_recall"), col("n_queries"))
+    }),
+    // M11 scalar u8 quantization round-trip error per vector
+    "quantize_u8" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      emb.select(col("vec_id"), col("embedding"),
+          VectorFunctions.quantizeU8(col("embedding")).as("q"))
+        .select(col("vec_id"),
+          round(vecL2(col("embedding"),
+            VectorFunctions.dequantizeU8(col("q.codes"), col("q.vmin"), col("q.vmax"))), 6)
+            .as("recon_err"))
+        .orderBy("vec_id")
+    }),
+    // rows-only ANN entries (non-SQL-expressible; recall gated in specs)
+    "ann_hnsw" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding")).repartition(8)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Hnsw.searchBatch(corpus, queries, k = 10, cfg = Hnsw.HnswConfig(efSearch = 100))
+    }),
+    "ann_ivf_kmeans" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+      val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = 16, maxIterations = 10))
+      val assigned = Ivf.assign(corpus, cents)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Ivf.searchBatch(assigned, cents, queries, k = 10, nProbe = 4)
+    }),
+    "ann_pq_adc" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+      val model = Pq.train(corpus, dim = 64, m = 8, k = 16)
+      val enc = corpus.withColumn("codes", Pq.encode(model, col("embedding")))
+      val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      Pq.adcSearch(enc, model, q, k = 10)
+    }))
+
+  private val centSql400 =
+    """cent AS (
+      |  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+      |  FROM embeddings, range(1, 65) t(i) WHERE vec_id < 400 GROUP BY 1, 2),
+      |centl AS (
+      |  SELECT label, list(m::REAL::DOUBLE ORDER BY i) AS centroid
+      |  FROM cent GROUP BY 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "hybrid_search" ->
+      s"""WITH $centSql400,
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |recent AS (
+         |  SELECT vec_id, round(list_distance(embedding::DOUBLE[], q.qe), 6) AS distance,
+         |    'recent' AS tier
+         |  FROM embeddings, q WHERE vec_id >= 400),
+         |probed AS (
+         |  SELECT c.label FROM centl c, q
+         |  ORDER BY round(list_distance(c.centroid, q.qe), 6) ASC, c.label ASC LIMIT 3),
+         |historical AS (
+         |  SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.qe), 6) AS distance,
+         |    'historical' AS tier
+         |  FROM embeddings e JOIN probed p ON e.label = p.label, q
+         |  WHERE e.vec_id < 400)
+         |SELECT * FROM (SELECT * FROM recent UNION ALL SELECT * FROM historical)
+         |ORDER BY distance ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "recall_eval" ->
+      """WITH cent AS (
+        |  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+        |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+        |centl AS (
+        |  SELECT label, list(m::REAL::DOUBLE ORDER BY i) AS centroid FROM cent GROUP BY 1),
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+        |probes AS (
+        |  SELECT query_id, label FROM (
+        |    SELECT q.query_id, c.label,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_distance(c.centroid, q.qe), 6), c.label) AS rn
+        |    FROM centl c CROSS JOIN q) WHERE rn <= 3),
+        |approx AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT q.query_id, e.vec_id AS id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_distance(e.embedding::DOUBLE[], q.qe), 6), e.vec_id) AS rn
+        |    FROM embeddings e JOIN probes p ON e.label = p.label, q
+        |    WHERE p.query_id = q.query_id) WHERE rn <= 10),
+        |exact AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT q.query_id, e.vec_id AS id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_distance(e.embedding::DOUBLE[], q.qe), 6), e.vec_id) AS rn
+        |    FROM embeddings e CROSS JOIN q) WHERE rn <= 10),
+        |per_q AS (
+        |  SELECT e.query_id,
+        |    (SELECT count(*) FROM approx a WHERE a.query_id = e.query_id AND a.id IN
+        |      (SELECT id FROM exact x WHERE x.query_id = e.query_id))::DOUBLE / count(*) AS recall
+        |  FROM exact e GROUP BY e.query_id)
+        |SELECT round(avg(recall), 6) AS avg_recall, count(*) AS n_queries FROM per_q""".stripMargin,
+    "quantize_u8" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_min(embedding)::DOUBLE AS mn, list_max(embedding)::DOUBLE AS mx
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id, embedding, mn, mx,
+        |    CASE WHEN mx - mn = 0 THEN 1.0 ELSE mx - mn END AS rng
+        |  FROM q),
+        |deq AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding,
+        |      x -> (round((x::DOUBLE - mn) / rng * 255.0) / 255.0 * rng + mn)::REAL::DOUBLE) AS d
+        |  FROM codes)
+        |SELECT vec_id,
+        |  round(list_distance(embedding::DOUBLE[], d), 6) AS recon_err
+        |FROM deq ORDER BY vec_id""".stripMargin)
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private lazy val corpus = emb.select(col("vec_id").as("id"), col("embedding")).cache()
+  private lazy val model = Pq.train(corpus, dim = 64, m = 8, k = 16)
+
+  test("train produces m codebooks of k x subDim") {
+    assert(model.codebooks.length == 8)
+    assert(model.codebooks.forall(_.length == 16))
+    assert(model.codebooks.forall(_.forall(_.length == 8)))
+  }
+
+  test("encode emits valid codes; decode reconstructs within tolerable error") {
+    val enc = corpus.withColumn("codes", Pq.encode(model, col("embedding"))).cache()
+    val codes = enc.select(explode(col("codes"))).distinct().collect().map(_.getInt(0))
+    assert(codes.forall(c => c >= 0 && c < 16))
+    val err = enc.withColumn("deq", Pq.decode(model, col("codes")))
+      .select(avg(graft.functions.VectorExpressions.vecL2(col("embedding"), col("deq")))
+        .as("avg_err"),
+        avg(graft.functions.VectorExpressions.vecNorm(col("embedding"))).as("avg_norm"))
+      .head()
+    // reconstruction error well below the vector magnitude (lossy but sane)
+    assert(err.getDouble(0) < err.getDouble(1), s"err=$err")
+    enc.unpersist()
+  }
+
+  test("ADC search recall vs exact on k=10") {
+    val enc = corpus.withColumn("codes", Pq.encode(model, col("embedding")))
+    val q = emb.filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0).toArray
+    val approx = Pq.adcSearch(enc, model, q, k = 10)
+      .withColumn("query_id", lit(3L))
+    val queries = emb.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val exact = Knn.batch(corpus, queries, k = 10, metric = "l2")
+    val recall = Ivf.evaluateRecall(approx, exact).head().getDouble(0)
+    assert(recall >= 0.3, s"ADC recall $recall") // PQ8x16 on 64-dim is coarse
+  }
+
+  test("query expansion: n variants, variant 0 intact, magnitude preserved") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val ex = QueryExpansion.expand(queries, variants = 4, noise = 0.05).cache()
+    assert(ex.count() == 12)
+    // variant 0 equals the original embedding
+    val v0 = ex.filter(col("variant") === 0)
+      .join(queries.withColumnRenamed("q_embedding", "orig"), "query_id")
+      .filter(col("q_embedding") =!= col("orig")).count()
+    assert(v0 == 0)
+    // magnitudes preserved within float tolerance
+    val norms = ex.join(queries.withColumnRenamed("q_embedding", "orig"), "query_id")
+      .select(
+        graft.functions.VectorExpressions.vecNorm(col("q_embedding")).as("n1"),
+        graft.functions.VectorExpressions.vecNorm(col("orig")).as("n0"))
+      .collect()
+    norms.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-3))
+    ex.unpersist()
+  }
+}
