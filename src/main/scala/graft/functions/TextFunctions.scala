@@ -45,14 +45,23 @@ object TextFunctions {
   def minhashParams(numHashes: Int): Seq[(Long, Long)] =
     (1 to numHashes).map(i => (2L * i + 1L, 7919L * i)) // odd a, deterministic b
 
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
-    val hashes = shingles(text, n) // containment duplicates don't affect min
-    val base = (s: Column) => conv(substring(md5(s), 1, 8), 16, 10).cast("long")
-    val mins = minhashParams(numHashes).map { case (a, b) =>
-      array_min(transform(hashes, s => (base(s) * a + b) % MinhashPrime))
-    }
-    array(mins: _*)
+  /** Stable hash of every shingle — compute ONCE and materialize as a
+    * column before deriving signatures: md5 per shingle is the expensive
+    * part and must not be re-evaluated per hash function. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+
+  /** MinHash signature from a (materialized) shingle-hash array column.
+    * The hash-family params live in a literal array, so the per-row work is
+    * numHashes passes over an already-computed long array. */
+  def minhashFromHashes(hashes: Column, numHashes: Int): Column = {
+    val params = typedLit(minhashParams(numHashes).map { case (a, b) => Array(a, b) }.toArray)
+    transform(params, p =>
+      array_min(transform(hashes, h => (h * p.getItem(0) + p.getItem(1)) % MinhashPrime)))
   }
+
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
+    minhashFromHashes(shingleHashes(text, n), numHashes)
 
   /** Jaccard similarity of two precomputed distinct-shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {

@@ -45,20 +45,31 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, shingleN: Int, bands: Int, rowsPerBand: Int,
       threshold: Double, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleN, numHashes).as("sig"),
-      shingleSet(col(textCol), shingleN).as("sh"))
+    // md5 each shingle exactly once; everything downstream (signature,
+    // Jaccard verify) works on compact long arrays — at scale, only the
+    // 8-long signature and the hash set ever cross a shuffle, never text.
+    // cached: referenced three times (band explode + two verify joins);
+    // without it the shingle-hash scan re-runs per reference. At cluster
+    // scale this materialization is the signature table you'd persist.
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        array_distinct(shingleHashes(col(textCol), shingleN)).as("hs"))
+      .withColumn("sig", minhashFromHashes(col("hs"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band key: (band index, the band's slice of the signature)
-    val banded = sig.select(col("id"), col("sh"),
+    val banded = hashed.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val cand = l.join(r, Seq("band", "bucket"))
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-    cand.select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select("id_a", "id_b").distinct()
+    // verify on true (hash-set) Jaccard, re-joining sets after pair dedup
+    cand
+      .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

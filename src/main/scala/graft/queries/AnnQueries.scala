@@ -89,7 +89,7 @@ object AnnQueries {
     "ann_pq_adc" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
-      val model = Pq.train(corpus, dim = 64, m = 8, k = 16)
+      val model = Pq.train(corpus, dim = 64, m = 8, k = 16, trainSize = 1000)
       val enc = corpus.withColumn("codes", Pq.encode(model, col("embedding")))
       val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
       Pq.adcSearch(enc, model, q, k = 10)

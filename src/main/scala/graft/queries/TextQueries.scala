@@ -56,11 +56,13 @@ object TextQueries {
       Dedup.exactGroups(Tables.load(s, dir, "documents"))
         .orderBy("fingerprint")
     }),
-    // minhash signatures, exploded for oracle compare
+    // minhash signatures, exploded for oracle compare; shingle hashes
+    // materialized once, signature derived from the long array
     "minhash_sigs" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
+        .withColumn("hs", shingleHashes(col("text"), 2))
         .select(col("doc_id"),
-          posexplode(minhashSignature(col("text"), 2, 8)).as(Seq("hash_id", "minhash")))
+          posexplode(minhashFromHashes(col("hs"), 8)).as(Seq("hash_id", "minhash")))
         .select(col("doc_id"), (col("hash_id") + 1).cast("long").as("hash_id"), col("minhash"))
         .orderBy("doc_id", "hash_id")
     }),
@@ -133,25 +135,26 @@ object TextQueries {
          |FROM sh, range(1, 9) r(i) ORDER BY doc_id, hash_id""".stripMargin,
     "minhash_lsh_pairs" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |sh AS (SELECT doc_id,
-         |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS shingles
+         |sh AS (SELECT doc_id, list_distinct(
+         |  list_transform(range(1, len(toks)),
+         |    i -> ${hash32("toks[i] || ' ' || toks[i+1]")}::BIGINT)) AS hs
          |  FROM t),
-         |sig AS (SELECT doc_id, shingles, list_distinct(shingles) AS shset,
-         |  [list_min(list_transform(shingles,
-         |     s -> (${hash32("s")} * (2 * i + 1) + 7919 * i) % 4294967311))::BIGINT
+         |sig AS (SELECT doc_id, hs,
+         |  [list_min(list_transform(hs, h -> (h * (2 * i + 1) + 7919 * i) % 4294967311))::BIGINT
          |   FOR i IN range(1, 9)] AS sig
          |  FROM sh),
-         |banded AS (SELECT doc_id, shset, b AS band, sig[b*2+1:b*2+2] AS bucket
+         |banded AS (SELECT doc_id, b AS band, sig[b*2+1:b*2+2] AS bucket
          |  FROM sig, range(0, 4) r(b)),
-         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
-         |    l.shset AS sh_a, r.shset AS sh_b
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
          |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |pairs AS (SELECT id_a, id_b, a.hs AS hs_a, b.hs AS hs_b
+         |  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
          |SELECT id_a, id_b,
-         |  round(len(list_intersect(sh_a, sh_b))::DOUBLE
-         |    / len(list_distinct(sh_a || sh_b)), 6) AS jaccard
-         |FROM cand
-         |WHERE len(list_intersect(sh_a, sh_b))::DOUBLE / len(list_distinct(sh_a || sh_b)) >= 0.3
+         |  round(len(list_intersect(hs_a, hs_b))::DOUBLE
+         |    / len(list_distinct(hs_a || hs_b)), 6) AS jaccard
+         |FROM pairs
+         |WHERE len(list_intersect(hs_a, hs_b))::DOUBLE / len(list_distinct(hs_a || hs_b)) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
     "simhash" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
