@@ -31,16 +31,14 @@ object Pq {
     sampled.count()
     // the m subspace fits are independent — submit them concurrently so the
     // scheduler interleaves their (small) jobs instead of serializing
-    // per-job overhead; random init avoids k-means||'s extra passes on the
-    // bounded training sample
+    // per-job overhead
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val books = Await.result(Future.sequence((0 until m).map { s => Future {
       val sub = sampled.select(
         array_to_vector(slice(col(embCol), s * subDim + 1, subDim)).as("features"))
-      new KMeans().setK(k).setMaxIter(20).setSeed(seed + s)
-        .setInitMode("random").fit(sub)
+      new KMeans().setK(k).setMaxIter(20).setSeed(seed + s).fit(sub)
         .clusterCenters.map(_.toArray.map(_.toFloat))
     }}), Duration.Inf).toArray
     sampled.unpersist()
