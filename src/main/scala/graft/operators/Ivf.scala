@@ -128,6 +128,55 @@ object Ivf {
       .agg(avg("recall").as("avg_recall"), count(lit(1)).as("n_queries"))
   }
 
+  /** X8 (`ivf/operations.rs:148-193`): retrain on the current corpus with a
+    * new config and re-derive every assignment — one batch job, not the
+    * reference's collect-everything loop. Returns (centroids, reassigned). */
+  def retrain(corpus: DataFrame, config: IvfConfig,
+      embCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val cents = train(corpus.drop("cluster_id"), config, embCol)
+    (cents, assign(corpus.drop("cluster_id"), cents, embCol))
+  }
+
+  /** X9 (`balance_clusters`, `ivf/operations.rs:422-492`): clusters above
+    * `maxSize` keep their `maxSize` centroid-closest rows; overflow rows
+    * move to their second-nearest centroid. */
+  def balance(assigned: DataFrame, centroids: DataFrame, maxSize: Int,
+      embCol: String = "embedding", metric: String = "l2"): DataFrame = {
+    val collected = centroids.select("cluster_id", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val cids = typedLit(collected.map(_._1))
+    val cents = typedLit(collected.map(_._2))
+    val dists = transform(cents, c => distance(metric, col(embCol), c))
+    val own = element_at(dists, col("cluster_id") + 1) // cluster ids are 0-based positions
+    // second nearest: min over all centroids except the assigned one
+    val secondIdx = array_position(
+      transform(dists, (d, i) => when(i === col("cluster_id"), lit(Double.MaxValue)).otherwise(d)),
+      array_min(transform(dists, (d, i) =>
+        when(i === col("cluster_id"), lit(Double.MaxValue)).otherwise(d))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(own.asc)
+    assigned
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cluster_id",
+        when(col("rk") <= maxSize, col("cluster_id"))
+          .otherwise(element_at(cids, secondIdx.cast("int"))))
+      .drop("rk")
+  }
+
+  /** X10 (`ivf/operations.rs:494-549`): centroid snapshot with dimension
+    * validation on import. */
+  def exportCentroids(centroids: DataFrame, path: String): Unit =
+    centroids.write.mode("overwrite").parquet(path)
+
+  def importCentroids(spark: org.apache.spark.sql.SparkSession, path: String,
+      expectedDim: Int): DataFrame = {
+    val c = spark.read.parquet(path)
+    val dims = c.select(size(col("centroid"))).distinct().collect().map(_.getInt(0))
+    require(dims.length == 1 && dims.head == expectedDim,
+      s"centroid dimension ${dims.mkString(",")} != expected $expectedDim")
+    c
+  }
+
   /** A4 cluster statistics (`ivf/operations.rs:264-289`). */
   def clusterStats(assigned: DataFrame): DataFrame =
     assigned.groupBy("cluster_id").agg(count(lit(1)).as("size"))

@@ -64,6 +64,35 @@ object AggQueries {
           round(col("base_r") * 0.5 + col("decay_r") * 0.3 + col("boost_r") * 0.2, 6).as("combined"))
         .orderBy("event_id")
     }),
+    // §2.5 window/ranking: top-3 events by value per event_type — the
+    // many-query ranked-output formulation (row_number over partitions)
+    "window_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value").desc, col("event_id").asc)
+      Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("event_type"), col("rn").cast("long").as("rn"),
+          col("event_id"), col("value"))
+        .orderBy("event_type", "rn")
+    }),
+    // A10 merge strategies: weighted merge of two ranked sources
+    "merge_strategies" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      def source(name: String, parity: Int): DataFrame =
+        emb.filter(col("vec_id") % 2 === parity).crossJoin(broadcast(q))
+          .select(col("vec_id").as("id"), lit(name).as("source"),
+            round(lit(1.0) - vecCosine(col("embedding"), col("q_emb")), 6).as("distance"))
+          .withColumn("score", round(lit(1.0) / (lit(1.0) + col("distance")), 6))
+          .orderBy(col("distance").asc, col("id").asc).limit(20)
+      val results = source("hnsw", 0).unionByName(source("ivf", 1))
+      graft.operators.ResultMerger.merge(results,
+          graft.operators.ResultMerger.Weighted(Map("hnsw" -> 2.0, "ivf" -> 1.0)))
+        .select(col("id"), round(col("score"), 6).as("score"),
+          round(col("distance"), 6).as("distance"))
+        .orderBy(col("score").desc, col("id").asc).limit(10)
+    }),
     // T4/J5 merge+dedup: union two result sets, keep min-distance per id,
     // global top-10 (SearchResult::deduplicate, types.rs:206-223)
     "merge_dedup" -> ((s, dir) => {
@@ -106,6 +135,31 @@ object AggQueries {
         |      + pow(0.5, epoch(mx - date_trunc('second', ts)) / 86400.0) * 0.3
         |      + (1.0 + ln(1.0 + user_id) / 10.0) * 0.2, 6) AS combined
         |FROM events, mx ORDER BY event_id""".stripMargin,
+    "window_rank" ->
+      """SELECT event_type, rn, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "merge_strategies" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        |h AS (
+        |  SELECT e.vec_id AS id, 'hnsw' AS source,
+        |    round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS distance
+        |  FROM embeddings e, q WHERE e.vec_id % 2 = 0
+        |  ORDER BY distance ASC, id ASC LIMIT 20),
+        |v AS (
+        |  SELECT e.vec_id AS id, 'ivf' AS source,
+        |    round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS distance
+        |  FROM embeddings e, q WHERE e.vec_id % 2 = 1
+        |  ORDER BY distance ASC, id ASC LIMIT 20),
+        |u AS (
+        |  SELECT *, round(1.0 / (1.0 + distance), 6) AS score,
+        |    CASE source WHEN 'hnsw' THEN 2.0 ELSE 1.0 END AS w
+        |  FROM (SELECT * FROM h UNION ALL SELECT * FROM v))
+        |SELECT id, round(sum(score * w) / sum(w), 6) AS score,
+        |  round(sum(distance * w) / sum(w), 6) AS distance
+        |FROM u GROUP BY id ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     "merge_dedup" ->
       """WITH r0 AS (
         |  SELECT e.vec_id,

@@ -1,0 +1,64 @@
+package graft
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the properties that keep these plans viable at
+  * 100 TB — predicate pushdown into the parquet scan, column pruning,
+  * broadcast of the small join side, and partial (map-side) aggregation.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters are pushed into the parquet scan") {
+    val df = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") > 30.0)
+      .select("l_orderkey", "l_quantity")
+    val plan = executedPlan(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)"), plan)
+  }
+
+  test("column pruning reaches the scan (ReadSchema only projects used columns)") {
+    val df = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val plan = executedPlan(df)
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>"), plan)
+  }
+
+  test("dim-table join is broadcast, not shuffled") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val customer = Tables.load(spark, sfDir, "customer")
+    val plan = executedPlan(
+      orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .groupBy("c_mktsegment").count())
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("grouped top-k aggregator does partial (map-side) aggregation") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val df = graft.operators.Knn.batch(corpus, queries, k = 5)
+    val plan = executedPlan(df)
+    // two-phase hash aggregate around the shuffle => partial aggregation ran
+    assert("(?s).*HashAggregate.*Exchange hashpartitioning\\(query_id.*HashAggregate.*".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("knn scan stays in whole-stage codegen through the distance kernel") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val df = emb.crossJoin(broadcast(q))
+      .select(graft.functions.VectorExpressions.vecL2(col("embedding"), col("q_emb")).as("d"))
+      .orderBy(col("d").asc).limit(5)
+    val plan = executedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan) // heap top-k, not full sort
+    assert("(?s).*\\*\\(\\d+\\) Project \\[vec_l2.*".r.findFirstIn(plan).isDefined, plan)
+  }
+}
