@@ -68,6 +68,12 @@ object VectorFunctions {
     when(n === 0.0, a).otherwise(transform(a, x => (d(x) / n).cast("float")))
   }
 
+  /** M6 inner-product -> cosine correction
+    * (`src/core/vector_ops.rs:581-590`): given a dot-product score and both
+    * norms, recover cosine; zero-norm => 0. */
+  def innerProductToCosine(dot: Column, normA: Column, normB: Column): Column =
+    when(normA * normB === 0.0, 0.0).otherwise(dot / (normA * normB))
+
   // ---- scoring (M7-M10) ----
 
   /** score = 1 / (1 + distance)  (`src/api/rest.rs:653`). */

@@ -159,6 +159,16 @@ object Hnsw {
       if (idx >= 0) { deleted.add(idx); true } else false
     }
 
+    /** A8 graph statistics (`hnsw/operations.rs:227-272`): node/edge
+      * counts, average layer-0 degree, max layer. */
+    def stats: (Int, Long, Double, Int) = {
+      val nodes = ids.length
+      val edges = nbrs.iterator.map(_.iterator.map(_.length.toLong).sum).sum / 2
+      val avgDeg = if (nodes == 0) 0.0
+        else nbrs.iterator.map(n => n(0).length.toDouble).sum / nodes
+      (nodes, edges, avgDeg, maxLevel)
+    }
+
     /** k-NN search; deleted nodes traversed but filtered from results. */
     def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
       if (entry < 0) return Nil

@@ -69,6 +69,14 @@ object AnnQueries {
             .as("recon_err"))
         .orderBy("vec_id")
     }),
+    // A9/X19 watch-history recommender: centroid of watched set, top-10
+    // unwatched by cosine
+    "recommend" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+      graft.operators.Recommend.fromHistory(corpus, Seq(0L, 1L, 2L), k = 10,
+        roundDecimals = 6)
+    }),
     // rows-only ANN entries (non-SQL-expressible; recall gated in specs)
     "ann_hnsw" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
@@ -153,6 +161,17 @@ object AnnQueries {
         |      (SELECT id FROM exact x WHERE x.query_id = e.query_id))::DOUBLE / count(*) AS recall
         |  FROM exact e GROUP BY e.query_id)
         |SELECT round(avg(recall), 6) AS avg_recall, count(*) AS n_queries FROM per_q""".stripMargin,
+    "recommend" ->
+      """WITH cent AS (
+        |  SELECT list(m::REAL::DOUBLE ORDER BY i) AS c FROM (
+        |    SELECT i, avg(embedding[i]::DOUBLE) AS m
+        |    FROM embeddings, range(1, 65) t(i)
+        |    WHERE vec_id IN (0, 1, 2) GROUP BY i))
+        |SELECT e.vec_id AS id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], cent.c), 6) AS similarity
+        |FROM embeddings e, cent
+        |WHERE e.vec_id NOT IN (0, 1, 2)
+        |ORDER BY similarity DESC, id ASC LIMIT 10""".stripMargin,
     "quantize_u8" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,
