@@ -57,6 +57,24 @@ object VectorQueries {
         .select(col("query_id"), col("id"), col("distance"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    // Scale-out throughput demo comparable with the reference's 100K-vector
+    // baseline (BASELINE.md): a 50x deterministically-perturbed replication
+    // of the embeddings table (100K rows at sf0.1) searched by 100 queries
+    // through the same broadcast-join + kernel + grouped-top-k plan.
+    "knn_scale" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val corpus = e
+        .select(col("vec_id"), col("embedding"), explode(sequence(lit(0), lit(49))).as("i"))
+        .select((col("vec_id") * 50 + col("i")).as("id"),
+          transform(col("embedding"),
+            x => (x.cast("double") + col("i").cast("double") * 0.001).cast("float"))
+            .as("embedding"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Knn.batch(corpus, queries, k = 10, metric = "l2", roundDecimals = 6)
+        .select(col("query_id"), col("id"), col("distance"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     // X13/F1-F7: filtered search — pre-filter (exact-k) instead of the
     // reference's k*3 post-filter oversampling.
     "knn_filtered" -> ((s, dir) => {
@@ -91,6 +109,23 @@ object VectorQueries {
          |  round(list_inner_product(e.embedding::DOUBLE[], q.q_emb), 6) AS dot
          |FROM embeddings e, $qSub
          |ORDER BY dot DESC, e.vec_id LIMIT 10""".stripMargin,
+    "knn_scale" ->
+      """WITH corpus AS (
+        |  SELECT e.vec_id * 50 + t.i AS id,
+        |    list_transform(e.embedding, x -> (x::DOUBLE + t.i * 0.001)::REAL) AS emb
+        |  FROM embeddings e, range(0, 50) t(i)),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id < 100),
+        |scored AS (
+        |  SELECT q.query_id, c.id,
+        |    round(list_distance(c.emb::DOUBLE[], q.qe), 6) AS distance
+        |  FROM corpus c CROSS JOIN q),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, id) AS rank
+        |  FROM scored)
+        |SELECT query_id, id, distance, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     "knn_batch_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

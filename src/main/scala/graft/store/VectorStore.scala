@@ -33,6 +33,12 @@ class VectorStore(val spark: SparkSession, val path: String,
     val config: VectorStore.Config = VectorStore.Config()) {
   import VectorStore._
 
+  // S7 analog: zstd-compressed storage, 10K-row chunking via
+  // maxRecordsPerFile (the reference's CBOR chunks + zstd,
+  // `ivf/persistence.rs:101-117`, `chunk.rs:36-97`)
+  spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+  spark.conf.set("spark.sql.files.maxRecordsPerFile", config.chunkSize.toString)
+
   private def dir(name: String) = s"$path/$name"
   private def exists(name: String) = Files.exists(Paths.get(dir(name), "_SUCCESS"))
 
@@ -291,7 +297,8 @@ object VectorStore {
   case class Config(
       recentThresholdSeconds: Long = 7L * 24 * 3600, // hybrid/core.rs:76-84
       nClusters: Int = 256,
-      nProbe: Int = 16)
+      nProbe: Int = 16,
+      chunkSize: Int = 10000) // rows per parquet file (chunk.rs 10K analog)
 
   case class Manifest(version: Int, dim: Int)
 
