@@ -40,14 +40,16 @@ object kernels {
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
-        val x = ctx.freshName("xs"); val y = ctx.freshName("ys")
+        // read straight from ArrayData — toFloatArray() would allocate and
+        // copy two arrays per evaluated pair, which dominates the kernel at
+        // millions of pairs per task
         val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
         s"""
-           |float[] $x = $a.toFloatArray();
-           |float[] $y = $b.toFloatArray();
-           |int $n = java.lang.Math.min($x.length, $y.length);
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $s = 0.0;
-           |for (int $i = 0; $i < $n; $i++) { $s += (double)$x[$i] * (double)$y[$i]; }
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+           |}
            |${ev.value} = $s;
            |""".stripMargin
       })
@@ -67,16 +69,13 @@ object kernels {
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
-        val x = ctx.freshName("xs"); val y = ctx.freshName("ys")
         val i = ctx.freshName("i"); val n = ctx.freshName("n")
         val s = ctx.freshName("s"); val d = ctx.freshName("d")
         s"""
-           |float[] $x = $a.toFloatArray();
-           |float[] $y = $b.toFloatArray();
-           |int $n = java.lang.Math.min($x.length, $y.length);
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $s = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  double $d = (double)$x[$i] - (double)$y[$i]; $s += $d * $d;
+           |  double $d = (double)$a.getFloat($i) - (double)$b.getFloat($i); $s += $d * $d;
            |}
            |${ev.value} = java.lang.Math.sqrt($s);
            |""".stripMargin
@@ -101,18 +100,15 @@ object kernels {
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
-        val x = ctx.freshName("xs"); val y = ctx.freshName("ys")
         val i = ctx.freshName("i"); val n = ctx.freshName("n")
         val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
         val nb = ctx.freshName("nb"); val den = ctx.freshName("den")
         val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
         s"""
-           |float[] $x = $a.toFloatArray();
-           |float[] $y = $b.toFloatArray();
-           |int $n = java.lang.Math.min($x.length, $y.length);
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  double $xv = (double)$x[$i]; double $yv = (double)$y[$i];
+           |  double $xv = (double)$a.getFloat($i); double $yv = (double)$b.getFloat($i);
            |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
            |}
            |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
@@ -135,11 +131,14 @@ object kernels {
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a => {
-        val x = ctx.freshName("xs"); val i = ctx.freshName("i"); val s = ctx.freshName("s")
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val s = ctx.freshName("s"); val v = ctx.freshName("v")
         s"""
-           |float[] $x = $a.toFloatArray();
+           |int $n = $a.numElements();
            |double $s = 0.0;
-           |for (int $i = 0; $i < $x.length; $i++) { $s += (double)$x[$i] * (double)$x[$i]; }
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $v = (double)$a.getFloat($i); $s += $v * $v;
+           |}
            |${ev.value} = java.lang.Math.sqrt($s);
            |""".stripMargin
       })
