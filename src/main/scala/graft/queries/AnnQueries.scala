@@ -77,6 +77,27 @@ object AnnQueries {
       graft.operators.Recommend.fromHistory(corpus, Seq(0L, 1L, 2L), k = 10,
         roundDecimals = 6)
     }),
+    // C1-C7 lifecycle as an oracle-checked query: build a store from the
+    // embeddings table, soft-delete by metadata filter, vacuum, count — the
+    // end state is pure arithmetic over the source table for DuckDB
+    "crud_lifecycle" -> ((s, dir) => {
+      import graft.store.VectorStore
+      val path = java.nio.file.Files.createTempDirectory("graft_crud_q_").toString
+      val store = new VectorStore(s, path)
+      val recs = Tables.load(s, dir, "embeddings").collect().map { r =>
+        VectorStore.VectorRecord(s"v${r.getLong(0)}",
+          r.getSeq[Float](1).toArray,
+          Some(s"""{"label": ${r.getInt(2)}}"""))
+      }.toSeq
+      val ins = store.insert(recs)
+      val del = store.deleteByMetadata("""{"label": {"$gte": 7}}""")
+      val vac = store.vacuum()
+      val st = store.stats()
+      import s.implicits._
+      Seq((ins.inserted, del.deletedCount, vac.recentRemoved,
+        st.recentCount + st.historicalCount))
+        .toDF("inserted", "deleted", "vacuumed", "remaining")
+    }),
     // rows-only ANN entries (non-SQL-expressible; recall gated in specs)
     "ann_hnsw" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
@@ -161,6 +182,12 @@ object AnnQueries {
         |      (SELECT id FROM exact x WHERE x.query_id = e.query_id))::DOUBLE / count(*) AS recall
         |  FROM exact e GROUP BY e.query_id)
         |SELECT round(avg(recall), 6) AS avg_recall, count(*) AS n_queries FROM per_q""".stripMargin,
+    "crud_lifecycle" ->
+      """SELECT count(*) AS inserted,
+        |  count(*) FILTER (label >= 7) AS deleted,
+        |  count(*) FILTER (label >= 7) AS vacuumed,
+        |  count(*) FILTER (label < 7) AS remaining
+        |FROM embeddings""".stripMargin,
     "recommend" ->
       """WITH cent AS (
         |  SELECT list(m::REAL::DOUBLE ORDER BY i) AS c FROM (
