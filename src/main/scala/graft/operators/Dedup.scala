@@ -86,6 +86,19 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-dup removal from LSH pairs: greedy keep-smallest-id — every pair
+    * (a < b) marks b for removal, so each near-dup group keeps exactly its
+    * minimum surviving id (transitively closed enough for dedup purposes:
+    * any removed doc had a smaller near-identical survivor). */
+  def dropNearDuplicates(docs: DataFrame, shingleN: Int, bands: Int,
+      rowsPerBand: Int, threshold: Double, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toRemove = minhashLshPairs(docs, shingleN, bands, rowsPerBand, threshold,
+      textCol, idCol)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(toRemove, Seq(idCol), "left_anti")
+  }
+
   /** Map-only SimHash fingerprints: (id, simhash). */
   def simhashFingerprints(docs: DataFrame, bits: Int = 16,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =

@@ -289,6 +289,51 @@ class VectorStore(val spark: SparkSession, val path: String,
     recentCount = dropTombstoned(recent).count(),
     historicalCount = dropTombstoned(historical).count(),
     tombstoneCount = tombstones.count())
+
+  /** A6/A7 (`hybrid/core.rs:694-820`): average vector age and the
+    * <1h/<1d/<1w/>=1w age histogram over live rows, anchored at `now`. */
+  def ageStats(nowOverride: Option[java.sql.Timestamp] = None): DataFrame = {
+    val now = nowOverride.map(lit(_)).getOrElse(current_timestamp())
+    vectors
+      .withColumn("age_s", unix_timestamp(now) - unix_timestamp(col("ts")))
+      .withColumn("bucket",
+        when(col("age_s") < 3600, "lt_1h")
+          .when(col("age_s") < 86400, "lt_1d")
+          .when(col("age_s") < 604800, "lt_1w")
+          .otherwise("ge_1w"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), avg("age_s").as("avg_age_s"))
+  }
+
+  /** Batch hybrid search (X12/X14 at scale): the recent tier is scanned
+    * fully (small by construction); the historical tier is probe-pruned on
+    * its cluster_id partitions when centroids exist. Results merge through
+    * the grouped top-k. */
+  def searchBatch(queries: DataFrame, k: Int, metric: String = "cosine",
+      nProbe: Int = config.nProbe): DataFrame = {
+    val rec = dropTombstoned(recent)
+      .select(col("id").cast("string").as("sid"), col("vid"), col("embedding"))
+    val recPart = graft.operators.Knn.batch(
+      rec.withColumn("id", xxhash64(col("vid"))), queries, k, metric)
+      .join(rec.withColumn("id", xxhash64(col("vid"))).select("id", "sid"), Seq("id"))
+      .select(col("query_id"), col("sid").as("id"), col("distance"))
+    val hist = dropTombstoned(historical)
+    val histPart =
+      if (!exists("centroids") || hist.isEmpty) None
+      else {
+        val h = hist.select(col("id").cast("string").as("sid"), col("vid"),
+          col("embedding"), col("cluster_id"))
+          .withColumn("id", xxhash64(col("vid")))
+        Some(graft.operators.Ivf.searchBatch(h, centroids, queries, k, nProbe, metric)
+          .join(h.select("id", "sid"), Seq("id"))
+          .select(col("query_id"), col("sid").as("id"), col("distance")))
+      }
+    val union = histPart.map(recPart.unionByName(_)).getOrElse(recPart)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("distance").asc, col("id").asc)
+    union.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "id", "distance")
+  }
 }
 
 object VectorStore {

@@ -1,0 +1,64 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.store.VectorStore._
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Hybrid batch search + age stats over the store. */
+class StoreSearchSpec extends SparkSpec {
+
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(8)(j => math.sin(seed * (j + 1)).toFloat)
+
+  test("batch hybrid search spans both tiers and matches single search") {
+    import spark.implicits._
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_bs_").toString,
+      Config(recentThresholdSeconds = 3600, nClusters = 4))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert((0 until 40).map(i => VectorRecord(s"old$i", vec(i), tsString = Some(oldTs))))
+    st.insert((40 until 50).map(i => VectorRecord(s"new$i", vec(i))))
+    assert(st.migrate() == 40)
+    val queries = Seq((3L, vec(3)), (45L, vec(45)))
+      .toDF("query_id", "q_embedding")
+    val hits = st.searchBatch(queries, k = 5, metric = "l2", nProbe = 4)
+      .collect().groupBy(_.getLong(0))
+    // full probe (nProbe = nClusters) => equals exact single search
+    val h3 = hits(3L).sortBy(_.getDouble(2)).map(_.getString(1))
+    assert(h3.head == "old3")
+    val h45 = hits(45L).sortBy(_.getDouble(2)).map(_.getString(1))
+    assert(h45.head == "new45")
+    assert(hits(3L).length == 5 && hits(45L).length == 5)
+    val single = st.search(vec(3), k = 5, metric = "l2")
+      .collect().map(_.getString(0))
+    assert(h3.sameElements(single))
+  }
+
+  test("ageStats buckets live rows") {
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_age_").toString)
+    val now = java.time.Instant.now()
+    st.insert(Seq(
+      VectorRecord("a", vec(1)),
+      VectorRecord("b", vec(2), tsString = Some(now.minusSeconds(7200).toString)),
+      VectorRecord("c", vec(3), tsString = Some(now.minusSeconds(2 * 604800).toString))))
+    val buckets = st.ageStats().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(buckets("lt_1h") == 1 && buckets("lt_1d") == 1 && buckets("ge_1w") == 1)
+  }
+
+  test("dropNearDuplicates keeps the smallest id per near-dup pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different content about spark query engines at scale"),
+      (4L, "another unrelated document mentioning vectors and embeddings")
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.dropNearDuplicates(
+      docs, shingleN = 2, bands = 4, rowsPerBand = 2, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(2L))
+    assert(kept.contains(3L) && kept.contains(4L))
+  }
+}
