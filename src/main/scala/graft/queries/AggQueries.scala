@@ -64,6 +64,18 @@ object AggQueries {
           round(col("base_r") * 0.5 + col("decay_r") * 0.3 + col("boost_r") * 0.2, 6).as("combined"))
         .orderBy("event_id")
     }),
+    // gap-based sessionization (batch form of the stateful streaming op)
+    "sessionize" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts", date_trunc("second", col("ts")))
+      graft.streaming.Sessionize.sessionsBatch(ev.select("user_id", "ts", "value"), 600)
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("start_s"),
+          unix_timestamp(col("session_end")).as("end_s"),
+          col("n_events").cast("long").as("n_events"),
+          round(col("total_value"), 4).as("total_value"))
+        .orderBy("user_id", "start_s")
+    }),
     // §2.5 window/ranking: top-3 events by value per event_type — the
     // many-query ranked-output formulation (row_number over partitions)
     "window_rank" -> ((s, dir) => {
@@ -135,6 +147,23 @@ object AggQueries {
         |      + pow(0.5, epoch(mx - date_trunc('second', ts)) / 86400.0) * 0.3
         |      + (1.0 + ln(1.0 + user_id) / 10.0) * 0.2, 6) AS combined
         |FROM events, mx ORDER BY event_id""".stripMargin,
+    "sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('second', ts) AS ts, value FROM events),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts - lag(ts) OVER w) > 600 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g)
+        |SELECT user_id, epoch(min(ts))::BIGINT AS start_s,
+        |  epoch(max(ts))::BIGINT AS end_s, count(*) AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, start_s""".stripMargin,
     "window_rank" ->
       """SELECT event_type, rn, event_id, value FROM (
         |  SELECT event_type, event_id, value,

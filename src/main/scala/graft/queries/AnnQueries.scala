@@ -115,6 +115,24 @@ object AnnQueries {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Ivf.searchBatch(assigned, cents, queries, k = 10, nProbe = 4)
     }),
+    // ANN at the 100K scale: KMeans-IVF over the same derived corpus as
+    // knn_scale, probe 4/32 clusters — the plan whose scan cost stays
+    // ~n_probe/n_clusters of exact search at any corpus size
+    "ann_ivf_scale" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val corpus = e
+        .select(col("vec_id"), col("embedding"), explode(sequence(lit(0), lit(49))).as("i"))
+        .select((col("vec_id") * 50 + col("i")).as("id"),
+          transform(col("embedding"),
+            x => (x.cast("double") + col("i").cast("double") * 0.001).cast("float"))
+            .as("embedding"))
+        .repartition(col("id"))
+      val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = 32, maxIterations = 10, trainSize = 20000))
+      val assigned = Ivf.assign(corpus, cents)
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Ivf.searchBatch(assigned, cents, queries, k = 10, nProbe = 4)
+    }),
     "ann_pq_adc" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
