@@ -100,9 +100,16 @@ object Ivf {
       embCol: String = "embedding", queryIdCol: String = "query_id",
       queryEmbCol: String = "q_embedding", roundDecimals: Int = -1): DataFrame = {
     val p = probes(centroids, queries, nProbe, metric, queryIdCol, queryEmbCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // collect the probed cluster set (<= nProbe x |queries| tiny ids) into a
+    // STATIC isin filter: unconditional parquet partition pruning on
+    // cluster_id, not dependent on dynamic-partition-pruning kicking in —
+    // the exact analog of "only load the probed inverted lists"
+    val probedIds = p.select("cluster_id").distinct().collect().map(_.getLong(0))
     val dRaw = distance(metric, col(embCol), col(queryEmbCol))
     val d = if (roundDecimals >= 0) round(dRaw, roundDecimals) else dRaw
     val scored = corpus
+      .filter(col("cluster_id").isin(probedIds: _*))
       .join(broadcast(p), corpus("cluster_id") === p("cluster_id"))
       .select(col(queryIdCol), col(idCol).as("id"), d.as("distance"))
     val topk = TopK.topK(k)

@@ -69,6 +69,20 @@ class IvfSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("searchBatch against a partitioned table prunes unprobed partitions") {
+    val assigned = Ivf.assign(corpus, centroids)
+    val path = "/tmp/graft_test_ivf_search_table"
+    Ivf.writePartitioned(assigned, path)
+    val table = spark.read.parquet(path)
+    val res = Ivf.searchBatch(table, centroids, queries.limit(1), k = 5, nProbe = 2)
+    res.collect()
+    val scans = res.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val scan = scans.find(_.contains("graft_test_ivf_search_table")).get
+    assert(scan.contains("PartitionFilters") && scan.contains("cluster_id"), scan)
+    // the in filter must appear in the partition filters, i.e. static pruning
+    assert(scan.matches("(?s).*PartitionFilters: \\[.*cluster_id.* IN \\(.*\\).*"), scan)
+  }
+
   test("cluster stats aggregate") {
     val assigned = Ivf.assign(corpus, centroids)
     val r = Ivf.clusterStats(assigned).head()
