@@ -211,10 +211,23 @@ class VectorStore(val spark: SparkSession, val path: String,
 
   // ---- search (X12 hybrid union is implicit: one view, two tiers) ----
 
+  /** Single-query search (session.search shape, session.rs:203-336):
+    * optional metadata filter (pre-filter, exact-k), score threshold (F9),
+    * metadata in the result (J2), and `includeVectors` to return the
+    * embedding payload (session.rs:266-281). */
   def search(query: Array[Float], k: Int, metric: String = "cosine",
-      filterJson: Option[String] = None, scoreThreshold: Double = 0.0): DataFrame =
-    Knn.search(vectors, query, k, metric, idCol = "id",
+      filterJson: Option[String] = None, scoreThreshold: Double = 0.0,
+      includeVectors: Boolean = false): DataFrame = {
+    val hits = Knn.search(vectors, query, k, metric, idCol = "id",
       filterJson = filterJson, scoreThreshold = scoreThreshold)
+    val enriched = hits.join(
+      vectors.select(col("id"), col("metadata"),
+        col("embedding").as("result_embedding")), Seq("id"), "left")
+    val base = enriched.select(
+      (Seq("id", "distance", "score", "metadata") ++
+        (if (includeVectors) Seq("result_embedding") else Nil)).map(col): _*)
+    base.orderBy(col("distance").asc, col("id").asc)
+  }
 
   // ---- X15 migration: recent -> historical ----
 
@@ -310,11 +323,12 @@ class VectorStore(val spark: SparkSession, val path: String,
     * its cluster_id partitions when centroids exist. Results merge through
     * the grouped top-k. */
   def searchBatch(queries: DataFrame, k: Int, metric: String = "cosine",
-      nProbe: Int = config.nProbe): DataFrame = {
+      nProbe: Int = config.nProbe, recentK: Option[Int] = None,
+      historicalK: Option[Int] = None): DataFrame = {
     val rec = dropTombstoned(recent)
       .select(col("id").cast("string").as("sid"), col("vid"), col("embedding"))
     val recPart = graft.operators.Knn.batch(
-      rec.withColumn("id", xxhash64(col("vid"))), queries, k, metric)
+      rec.withColumn("id", xxhash64(col("vid"))), queries, recentK.getOrElse(k), metric)
       .join(rec.withColumn("id", xxhash64(col("vid"))).select("id", "sid"), Seq("id"))
       .select(col("query_id"), col("sid").as("id"), col("distance"))
     val hist = dropTombstoned(historical)
@@ -324,7 +338,8 @@ class VectorStore(val spark: SparkSession, val path: String,
         val h = hist.select(col("id").cast("string").as("sid"), col("vid"),
           col("embedding"), col("cluster_id"))
           .withColumn("id", xxhash64(col("vid")))
-        Some(graft.operators.Ivf.searchBatch(h, centroids, queries, k, nProbe, metric)
+        Some(graft.operators.Ivf.searchBatch(h, centroids, queries,
+            historicalK.getOrElse(k), nProbe, metric)
           .join(h.select("id", "sid"), Seq("id"))
           .select(col("query_id"), col("sid").as("id"), col("distance")))
       }

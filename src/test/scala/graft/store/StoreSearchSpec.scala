@@ -35,6 +35,23 @@ class StoreSearchSpec extends SparkSpec {
     assert(h3.sameElements(single))
   }
 
+  test("search returns metadata, respects includeVectors and score threshold") {
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_iv_").toString)
+    st.insert((0 until 10).map(i =>
+      VectorRecord(s"v$i", vec(i), Some(s"""{"i": $i}"""))))
+    val plain = st.search(vec(2), k = 3)
+    assert(plain.columns.toSeq == Seq("id", "distance", "score", "metadata"))
+    val top = plain.collect().head
+    assert(top.getString(0) == "v2" && top.getString(3) == """{"i": 2}""")
+    val withVec = st.search(vec(2), k = 3, includeVectors = true)
+    assert(withVec.columns.contains("result_embedding"))
+    assert(withVec.collect().head.getSeq[Float](4).length == 8)
+    // threshold 1.0 keeps only score >= 1 (exact self-match, distance 0)
+    val thr = st.search(vec(2), k = 10, metric = "l2", scoreThreshold = 0.99)
+    assert(thr.collect().map(_.getString(0)).sameElements(Array("v2")))
+  }
+
   test("ageStats buckets live rows") {
     val st = new VectorStore(spark,
       Files.createTempDirectory("graft_age_").toString)
