@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
 object AnnQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The 50x deterministically-perturbed corpus shared by the *_scale
+    * queries (100K rows at sf0.1); repartition converts the transform-built
+    * boxed arrays to UnsafeArrayData for the kernels. */
+  private def scaleCorpus(e: DataFrame): DataFrame = e
+    .select(col("vec_id"), col("embedding"), explode(sequence(lit(0), lit(49))).as("i"))
+    .select((col("vec_id") * 50 + col("i")).as("id"),
+      transform(col("embedding"),
+        x => (x.cast("double") + col("i").cast("double") * 0.001).cast("float"))
+        .as("embedding"))
+    .repartition(col("id"))
+
   private def labelCentroids(emb: DataFrame): DataFrame =
     emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos").agg(avg("v").as("m"))
@@ -120,18 +131,22 @@ object AnnQueries {
     // ~n_probe/n_clusters of exact search at any corpus size
     "ann_ivf_scale" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      val corpus = e
-        .select(col("vec_id"), col("embedding"), explode(sequence(lit(0), lit(49))).as("i"))
-        .select((col("vec_id") * 50 + col("i")).as("id"),
-          transform(col("embedding"),
-            x => (x.cast("double") + col("i").cast("double") * 0.001).cast("float"))
-            .as("embedding"))
-        .repartition(col("id"))
+      val corpus = scaleCorpus(e)
       val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = 32, maxIterations = 10, trainSize = 20000))
       val assigned = Ivf.assign(corpus, cents)
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Ivf.searchBatch(assigned, cents, queries, k = 10, nProbe = 4)
+    }),
+    // HNSW at the 100K scale: per-partition graphs, build amortized over
+    // the 100-query batch, global top-k merge
+    "ann_hnsw_scale" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val corpus = scaleCorpus(e)
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Hnsw.searchBatch(corpus, queries, k = 10,
+        cfg = Hnsw.HnswConfig(efConstruction = 100, efSearch = 80))
     }),
     "ann_pq_adc" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
