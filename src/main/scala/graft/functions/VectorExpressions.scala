@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Whole-stage-codegen distance kernels over `ARRAY<FLOAT>` columns — the
   * Spark-native replacement for the reference's hand-written AVX2 SIMD loops
@@ -118,6 +118,88 @@ object kernels {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /** J3/X6 fast path: index (0-based) of the nearest centroid in a fixed
+    * matrix, fused into one codegen loop over a referenced float[][] —
+    * no per-centroid HOF lambda, no allocation. Ties resolve to the lowest
+    * index. `metric`: "l2" (squared L2 — same argmin) or "cosine"
+    * (1 - cosine). */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Float]],
+      metric: String) extends UnaryExpression with ExpectsInputTypes {
+    require(metric == "l2" || metric == "cosine", s"unsupported metric $metric")
+    override def prettyName: String = "nearest_centroid"
+    override def inputTypes = Seq(ArrayType(FloatType))
+    override def dataType: DataType = IntegerType
+
+    private def distTo(c: Array[Float], a: ArrayData): Double = {
+      val n = math.min(c.length, a.numElements())
+      if (metric == "l2") {
+        var s = 0.0; var i = 0
+        while (i < n) { val d = a.getFloat(i).toDouble - c(i).toDouble; s += d * d; i += 1 }
+        s
+      } else {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val x = a.getFloat(i).toDouble; val y = c(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        if (den == 0.0) 1.0 else 1.0 - dot / den
+      }
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < centroids.length) {
+        val d = distTo(centroids(c), a)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+        val c = ctx.freshName("c"); val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+        val d = ctx.freshName("d"); val cur = ctx.freshName("cur")
+        val body = if (metric == "l2") {
+          val t = ctx.freshName("t")
+          s"""
+             |double $d = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double $t = (double)$a.getFloat($i) - (double)$cur[$i]; $d += $t * $t;
+             |}
+             |""".stripMargin
+        } else {
+          val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+          val nb = ctx.freshName("nb"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
+          val den = ctx.freshName("den")
+          s"""
+             |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double $x = (double)$a.getFloat($i); double $y = (double)$cur[$i];
+             |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+             |}
+             |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+             |double $d = ($den == 0.0) ? 1.0 : 1.0 - $dot / $den;
+             |""".stripMargin
+        }
+        s"""
+           |int $best = 0; double $bestD = Double.MAX_VALUE;
+           |for (int $c = 0; $c < $cents.length; $c++) {
+           |  float[] $cur = $cents[$c];
+           |  int $n = java.lang.Math.min($cur.length, $a.numElements());
+           |  $body
+           |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+           |}
+           |${ev.value} = $best;
+           |""".stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** M4: L2 norm. */
   case class VectorNorm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
     override def prettyName: String = "vec_norm"
@@ -157,6 +239,9 @@ object VectorExpressions {
     ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def vecNorm(a: Column): Column =
     ColumnBridge.column(VectorNorm(ColumnBridge.expression(a)))
+  def nearestCentroid(a: Column, centroids: Array[Array[Float]],
+      metric: String = "l2"): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(a), centroids, metric))
 
   /** Register as SQL functions (vec_dot, vec_l2, vec_cosine, vec_norm). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -32,7 +32,8 @@ object Ivf {
       trainSize: Int = 10000,
       maxIterations: Int = 25,
       tol: Double = 1e-4,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      initMode: String = "k-means||") // "random" for a cheaper coarse quantizer
 
   /** Train centroids with MLlib KMeans on (a sample of) the corpus.
     * Returns (cluster_id INT, centroid ARRAY<FLOAT>). */
@@ -49,6 +50,7 @@ object Ivf {
       .setMaxIter(config.maxIterations)
       .setTol(config.tol)
       .setSeed(config.seed)
+      .setInitMode(config.initMode)
       .fit(feats)
     import spark.implicits._
     model.clusterCenters.zipWithIndex
@@ -65,12 +67,12 @@ object Ivf {
       metric: String = "l2"): DataFrame = {
     val collected = centroids.select("cluster_id", "centroid").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    val cids = collected.map(_._1)
-    val cents = typedLit(collected.map(_._2))
-    val cidLit = typedLit(cids)
-    val dists = transform(cents, c => distance(metric, col(embCol), c))
-    val idx = array_position(dists, array_min(dists)) // 1-based
-    corpus.withColumn("cluster_id", element_at(cidLit, idx.cast("int")))
+    val cidLit = typedLit(collected.map(_._1))
+    // one fused codegen loop over the centroid matrix (NearestCentroid) —
+    // a transform() HOF here would run interpreted per (row x centroid)
+    val idx = graft.functions.VectorExpressions.nearestCentroid(
+      col(embCol), collected.map(_._2), metric)
+    corpus.withColumn("cluster_id", element_at(cidLit, idx + 1))
   }
 
   /** Persist as an inverted file: one parquet partition per cluster. */

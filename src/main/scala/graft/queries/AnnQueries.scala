@@ -132,7 +132,8 @@ object AnnQueries {
     "ann_ivf_scale" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val corpus = scaleCorpus(e)
-      val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = 32, maxIterations = 10, trainSize = 20000))
+      val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = 32,
+        maxIterations = 10, trainSize = 10000, initMode = "random"))
       val assigned = Ivf.assign(corpus, cents)
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
