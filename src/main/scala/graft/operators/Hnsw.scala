@@ -33,7 +33,7 @@ object Hnsw {
       efSearch: Int = 50, seed: Long = 42L)
 
   /** Partition-local HNSW graph over dense float vectors. */
-  final class Graph(metric: String, cfg: HnswConfig) {
+  final class Graph(metric: String, cfg: HnswConfig) extends Serializable {
     private val ids = mutable.ArrayBuffer[Long]()
     private val vecs = mutable.ArrayBuffer[Array[Float]]()
     private val levels = mutable.ArrayBuffer[Int]()
@@ -182,6 +182,62 @@ object Hnsw {
         .filterNot { case (n, _) => deleted.contains(n) }
         .take(k).map { case (n, d) => (ids(n), d) }.toSeq
     }
+  }
+
+  /** S3/S4 analog for the graph tier: build one graph per partition and
+    * persist each as a serialized blob row (partition_id, graph BINARY) —
+    * the counterpart of the reference's hnsw_nodes.cbor
+    * (`hnsw/persistence.rs:96-185`), except the graphs load straight back
+    * into executors with no O(N·C) reconstruction. */
+  def buildAndSave(corpus: DataFrame, path: String, metric: String = "l2",
+      cfg: HnswConfig = HnswConfig(), idCol: String = "id",
+      embCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val g = new Graph(metric, cfg)
+        it.foreach { case (id, v) => g.insert(id, v) }
+        if (g.size == 0) Iterator.empty
+        else {
+          val bos = new java.io.ByteArrayOutputStream()
+          val oos = new java.io.ObjectOutputStream(bos)
+          oos.writeObject(g); oos.close()
+          Iterator(bos.toByteArray)
+        }
+      }
+      .toDF("graph")
+      .withColumn("part_id", monotonically_increasing_id())
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Search previously persisted partition graphs: one task per graph blob,
+    * global top-k merge. */
+  def searchSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, efSearch: Int = 50,
+      queryIdCol: String = "query_id", queryEmbCol: String = "q_embedding"): DataFrame = {
+    import spark.implicits._
+    val qRows = queries.select(col(queryIdCol), col(queryEmbCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qB = spark.sparkContext.broadcast(qRows)
+    val partial = spark.read.parquet(path)
+      .select(col("graph")).as[Array[Byte]]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .flatMap { bytes =>
+        val g = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+          .readObject().asInstanceOf[Graph]
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, k, efSearch).map { case (id, d) => (qid, id, d) }
+        }
+      }
+      .toDF(queryIdCol, "id", "distance")
+    val topk = TopK.topK(k)
+    partial.groupBy(queryIdCol)
+      .agg(topk(col("id"), col("distance")).as("hits"))
+      .select(col(queryIdCol), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col(queryIdCol), col("hit.id").as("id"),
+        col("hit.dist").as("distance"), (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Batch ANN search: per-partition graph build + broadcast query batch +

@@ -54,6 +54,21 @@ class HnswSpec extends SparkSpec {
     assert(hits.length == 10)
   }
 
+  test("persisted graphs: save/load round-trip returns same results as live build") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding")).repartition(4)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_save_").toString + "/g"
+    val cfg = HnswConfig(efSearch = 100)
+    Hnsw.buildAndSave(corpus, path, cfg = cfg)
+    val saved = Hnsw.searchSaved(spark, path, queries, k = 10, efSearch = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val live = Hnsw.searchBatch(corpus, queries, k = 10, cfg = cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(saved == live)
+  }
+
   test("distributed searchBatch: recall >= 0.9 vs exact oracle on real embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding")).repartition(4)
