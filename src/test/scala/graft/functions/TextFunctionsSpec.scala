@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Row = df.head()
+
+  test("tokenizer and counts") {
+    val df = Seq("The  Quick   brown FOX").toDF("text")
+    assert(one(df.select(tokens(col("text")))).getSeq[String](0) ==
+      Seq("the", "quick", "brown", "fox"))
+    assert(one(df.select(tokenCount(col("text")))).getInt(0) == 4)
+  }
+
+  test("shingles: n-grams, short-text edge cases") {
+    val df = Seq("a b c d").toDF("text")
+    assert(one(df.select(shingles(col("text"), 2))).getSeq[String](0) ==
+      Seq("a b", "b c", "c d"))
+    assert(one(df.select(shingles(col("text"), 3))).getSeq[String](0) ==
+      Seq("a b c", "b c d"))
+    val short = Seq("solo").toDF("text")
+    assert(one(short.select(shingles(col("text"), 2))).getSeq[String](0).isEmpty)
+  }
+
+  test("minhash signatures are deterministic and length numHashes") {
+    val df = Seq("a b c d e f", "a b c d e f", "totally different words here").toDF("text")
+    val sigs = df.select(minhashSignature(col("text"), 2, 8)).collect()
+      .map(_.getSeq[Long](0))
+    assert(sigs(0).length == 8)
+    assert(sigs(0) == sigs(1)) // identical text => identical signature
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("jaccard on shingle sets: identity 1, disjoint 0") {
+    val df = Seq(("a b c", "a b c"), ("a b c", "x y z")).toDF("t1", "t2")
+    val r = df.select(jaccard(shingleSet(col("t1"), 2), shingleSet(col("t2"), 2))).collect()
+    assert(r(0).getDouble(0) == 1.0)
+    assert(r(1).getDouble(0) == 0.0)
+  }
+
+  test("simhash: near-identical texts have small hamming distance") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "the quick brown fox jumps over the lazy dog near the river shore",
+      "spark catalyst optimizer rules rewrite logical plans into physical ones"
+    ).toDF("text")
+    val hs = df.select(simhash(col("text"), 16)).collect().map(_.getLong(0))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(0), hs(1)) <= 4, s"near-dup hamming ${hamming(hs(0), hs(1))}")
+    assert(hamming(hs(0), hs(2)) > hamming(hs(0), hs(1)))
+  }
+
+  test("quality score bounded in [0,1]") {
+    val df = Seq("good clean readable text with several words",
+      "!!!! ???? ....", "x").toDF("text")
+    df.select(qualityScore(col("text"))).collect().foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+    }
+  }
+
+  test("content fingerprint is whitespace/case-insensitive") {
+    val df = Seq(("Hello   World", "hello world"), ("a b", "a c")).toDF("t1", "t2")
+    val r = df.select(
+      (contentFingerprint(col("t1")) === contentFingerprint(col("t2"))).as("eq")).collect()
+    assert(r(0).getBoolean(0))
+    assert(!r(1).getBoolean(0))
+  }
+
+  test("langId marks stopword-bearing text as en") {
+    val df = Seq("the cat sat on the mat", "lorem ipsum dolor sit amet").toDF("text")
+    val r = df.select(langId(col("text"))).collect().map(_.getString(0))
+    assert(r(0) == "en" && r(1) == "unk")
+  }
+}
