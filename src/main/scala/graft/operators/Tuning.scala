@@ -1,0 +1,35 @@
+package graft.operators
+
+/** Adaptive search-parameter heuristics (SURVEY.md §4 "QueryOptimizer",
+  * `/root/reference/src/hybrid/search_integration.rs:375-449`): suggest
+  * ef / n_probe from corpus statistics. Driver-side pure functions — Spark's
+  * AQE owns runtime plan adaptivity; these own the ANN quality knobs.
+  */
+object Tuning {
+
+  /** ef grows with log of corpus size, floored at k and the default 50. */
+  def suggestEf(corpusSize: Long, k: Int): Int = {
+    val base = math.max(50, k * 2)
+    val scaled = (math.log10(math.max(corpusSize, 10).toDouble) * 20).toInt
+    math.max(base, scaled)
+  }
+
+  /** n_probe: ~sqrt share of clusters, bounded [1, nClusters]; more probes
+    * for small corpora (cheap) and high-recall regimes. */
+  def suggestNProbe(nClusters: Int, corpusSize: Long, targetRecall: Double = 0.9): Int = {
+    val frac = if (targetRecall >= 0.99) 0.5 else if (targetRecall >= 0.9) 0.25 else 0.1
+    val bySqrt = math.ceil(math.sqrt(nClusters.toDouble)).toInt
+    val byFrac = math.ceil(nClusters * frac).toInt
+    math.min(nClusters, math.max(1, math.max(bySqrt, math.min(byFrac, nClusters))))
+  }
+
+  /** Cluster count: ~sqrt(N), clamped to [4, 65536] (the IVF rule of
+    * thumb; the reference fixes 256 at any size). */
+  def suggestNClusters(corpusSize: Long): Int =
+    math.min(65536, math.max(4, math.ceil(math.sqrt(corpusSize.toDouble)).toInt))
+
+  /** Per-tier disable when empty (search_integration.rs: skip empty index). */
+  def tiersToSearch(recentCount: Long, historicalCount: Long): Seq[String] =
+    (if (recentCount > 0) Seq("recent") else Nil) ++
+      (if (historicalCount > 0) Seq("historical") else Nil)
+}
