@@ -105,6 +105,24 @@ object AggQueries {
           round(col("distance"), 6).as("distance"))
         .orderBy(col("score").desc, col("id").asc).limit(10)
     }),
+    // §2.7 set operations: overlap between two queries' top-20 neighbor
+    // sets — intersect/except counts (the recall-eval membership shape)
+    "set_ops" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      def top20(qid: Int): DataFrame = {
+        val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("q_emb"))
+        emb.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(lit(1.0) - vecCosine(col("embedding"), col("q_emb")), 6).as("d"))
+          .orderBy(col("d").asc, col("vec_id").asc).limit(20).select("vec_id")
+      }
+      val a = top20(0); val b = top20(1)
+      val inter = a.intersect(b).count()
+      val onlyA = a.except(b).count()
+      val uni = a.union(b).distinct().count()
+      import s.implicits._
+      Seq((inter, onlyA, uni)).toDF("n_intersect", "n_only_a", "n_union")
+    }),
     // T4/J5 merge+dedup: union two result sets, keep min-distance per id,
     // global top-10 (SearchResult::deduplicate, types.rs:206-223)
     "merge_dedup" -> ((s, dir) => {
@@ -147,6 +165,21 @@ object AggQueries {
         |      + pow(0.5, epoch(mx - date_trunc('second', ts)) / 86400.0) * 0.3
         |      + (1.0 + ln(1.0 + user_id) / 10.0) * 0.2, 6) AS combined
         |FROM events, mx ORDER BY event_id""".stripMargin,
+    "set_ops" ->
+      """WITH qa AS (
+        |  SELECT e.vec_id FROM embeddings e,
+        |    (SELECT embedding::DOUBLE[] qe FROM embeddings WHERE vec_id = 0) q
+        |  ORDER BY round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) ASC,
+        |    e.vec_id ASC LIMIT 20),
+        |qb AS (
+        |  SELECT e.vec_id FROM embeddings e,
+        |    (SELECT embedding::DOUBLE[] qe FROM embeddings WHERE vec_id = 1) q
+        |  ORDER BY round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) ASC,
+        |    e.vec_id ASC LIMIT 20)
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT * FROM qa INTERSECT SELECT * FROM qb)) AS n_intersect,
+        |  (SELECT count(*) FROM (SELECT * FROM qa EXCEPT SELECT * FROM qb)) AS n_only_a,
+        |  (SELECT count(*) FROM (SELECT * FROM qa UNION SELECT * FROM qb)) AS n_union""".stripMargin,
     "sessionize" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('second', ts) AS ts, value FROM events),
