@@ -239,26 +239,26 @@ class VectorStore(val spark: SparkSession, val path: String,
   def migrate(nowOverride: Option[java.sql.Timestamp] = None): Long = {
     val now = nowOverride.map(lit(_)).getOrElse(current_timestamp())
     val cutoff = now - expr(s"INTERVAL ${config.recentThresholdSeconds} SECOND")
-    val rec = recent.cache()
+    val rec = recent
     val old = rec.filter(col("ts") <= cutoff)
     val nOld = old.count()
     if (nOld > 0) {
       val cents =
         if (exists("centroids")) centroids
         else {
-          val trained = Ivf.train(old.withColumnRenamed("vid", "id2"),
+          val trained = Ivf.train(old,
             Ivf.IvfConfig(nClusters = math.min(config.nClusters, math.max(1, nOld.toInt / 2))))
           trained.write.mode(SaveMode.Overwrite).parquet(dir("centroids"))
           trained
         }
       val assigned = Ivf.assign(old, cents)
       assigned.write.mode(SaveMode.Append).partitionBy("cluster_id").parquet(dir("historical"))
-      val keep = rec.filter(col("ts") > cutoff).cache()
-      keep.count()
-      keep.write.mode(SaveMode.Overwrite).parquet(dir("recent"))
-      keep.unpersist()
+      // rewrite the recent tier via tmp+swap (same as vacuum): never
+      // overwrite a directory that the plan being written still reads
+      rec.filter(col("ts") > cutoff)
+        .write.mode(SaveMode.Overwrite).parquet(dir("recent") + "_tmp")
+      swap("recent")
     }
-    rec.unpersist()
     nOld
   }
 
