@@ -35,27 +35,37 @@ object Ivf {
       seed: Long = 42L,
       initMode: String = "k-means||") // "random" for a cheaper coarse quantizer
 
-  /** Train centroids with MLlib KMeans on (a sample of) the corpus.
+  /** Train centroids on (a sample of) the corpus: MLlib KMeans by default;
+    * `initMode = "driver"` runs the parallel in-driver Lloyd loop instead —
+    * appropriate exactly when trainSize is bounded (the sample already fits
+    * on the driver; 8+ MLlib jobs of overhead dominate the math).
     * Returns (cluster_id INT, centroid ARRAY<FLOAT>). */
   def train(corpus: DataFrame, config: IvfConfig = IvfConfig(),
       embCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
+    import spark.implicits._
     val n = corpus.count()
     val sampled =
       if (n <= config.trainSize) corpus
       else corpus.sample(withReplacement = false, config.trainSize.toDouble / n, config.seed)
-    val feats = sampled.select(array_to_vector(col(embCol)).as("features"))
-    val model = new KMeans()
-      .setK(config.nClusters)
-      .setMaxIter(config.maxIterations)
-      .setTol(config.tol)
-      .setSeed(config.seed)
-      .setInitMode(config.initMode)
-      .fit(feats)
-    import spark.implicits._
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toSeq.toDF("cluster_id", "centroid")
+    if (config.initMode == "driver") {
+      val data = sampled.select(embCol).collect().map(_.getSeq[Float](0).toArray)
+      Lloyd.kmeans(data, config.nClusters, config.maxIterations, config.seed)
+        .zipWithIndex.map { case (c, i) => (i, c) }
+        .toSeq.toDF("cluster_id", "centroid")
+    } else {
+      val feats = sampled.select(array_to_vector(col(embCol)).as("features"))
+      val model = new KMeans()
+        .setK(config.nClusters)
+        .setMaxIter(config.maxIterations)
+        .setTol(config.tol)
+        .setSeed(config.seed)
+        .setInitMode(config.initMode)
+        .fit(feats)
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+        .toSeq.toDF("cluster_id", "centroid")
+    }
   }
 
   /** Assign every row its nearest centroid (cluster_id) — J3/X6. The

@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -25,23 +23,18 @@ object Pq {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     val n = corpus.count()
-    val sampled = (if (n <= trainSize) corpus
+    // PQ codebooks train on a BOUNDED sample by design (reference
+    // train_size, `vector_ops.rs:405-523`), so the distributed part is only
+    // the sample collection; the m tiny Lloyd fits (k x subDim each) run
+    // in-driver — one Spark job total instead of 8 MLlib fits whose
+    // scheduling overhead dwarfs ~2.5M flops of actual math.
+    val sample: Array[Array[Float]] = (if (n <= trainSize) corpus
       else corpus.sample(withReplacement = false, trainSize.toDouble / n, seed))
-      .select(embCol).cache()
-    sampled.count()
-    // the m subspace fits are independent — submit them concurrently so the
-    // scheduler interleaves their (small) jobs instead of serializing
-    // per-job overhead
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val books = Await.result(Future.sequence((0 until m).map { s => Future {
-      val sub = sampled.select(
-        array_to_vector(slice(col(embCol), s * subDim + 1, subDim)).as("features"))
-      new KMeans().setK(k).setMaxIter(20).setSeed(seed + s).fit(sub)
-        .clusterCenters.map(_.toArray.map(_.toFloat))
-    }}), Duration.Inf).toArray
-    sampled.unpersist()
+      .select(embCol).collect().map(_.getSeq[Float](0).toArray)
+    val books = Array.tabulate(m) { s =>
+      val sub = sample.map(v => v.slice(s * subDim, (s + 1) * subDim))
+      Lloyd.kmeans(sub, k, maxIter = 25, seed = seed + s)
+    }
     PqModel(m, k, subDim, books)
   }
 

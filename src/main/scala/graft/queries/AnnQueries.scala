@@ -120,7 +120,7 @@ object AnnQueries {
     "ann_ivf_kmeans" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
-      val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = 16, maxIterations = 10))
+      val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = 16, maxIterations = 10, initMode = "driver"))
       val assigned = Ivf.assign(corpus, cents)
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
@@ -133,7 +133,7 @@ object AnnQueries {
       val e = Tables.load(s, dir, "embeddings")
       val corpus = scaleCorpus(e)
       val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = 32,
-        maxIterations = 10, trainSize = 10000, initMode = "random"))
+        maxIterations = 10, trainSize = 10000, initMode = "driver"))
       val assigned = Ivf.assign(corpus, cents)
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
