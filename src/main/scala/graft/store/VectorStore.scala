@@ -42,6 +42,16 @@ class VectorStore(val spark: SparkSession, val path: String,
   private def dir(name: String) = s"$path/$name"
   private def exists(name: String) = Files.exists(Paths.get(dir(name), "_SUCCESS"))
 
+  /** FS-metadata check (no Spark job): does this (flat) table dir contain
+    * any non-empty parquet part? Lets the read path skip tombstone/overlay
+    * joins entirely in the common no-mutation case. */
+  private def hasRows(name: String): Boolean = {
+    val p = Paths.get(dir(name))
+    exists(name) && Files.list(p).filter(f =>
+      f.getFileName.toString.endsWith(".parquet") && Files.size(f) > 0)
+      .findFirst().isPresent
+  }
+
   // ---- manifest (version-gated like persistence.rs:499-520) ----
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -117,22 +127,29 @@ class VectorStore(val spark: SparkSession, val path: String,
   /** Tombstones only kill rows inserted before the delete, so
     * delete-then-reinsert resurrects the id (reference removes the id from
     * its timestamp map on delete, allowing re-insert). */
-  private def dropTombstoned(df: DataFrame): DataFrame = {
-    val t = tombstones.select(col("vid").as("t_vid"), col("deleted_at"))
-    df.join(t, df("vid") === t("t_vid") && df("ts") <= t("deleted_at"), "left_anti")
-  }
+  private def dropTombstoned(df: DataFrame): DataFrame =
+    if (!hasRows("tombstones")) df
+    else {
+      val t = tombstones.select(col("vid").as("t_vid"), col("deleted_at"))
+      df.join(t, df("vid") === t("t_vid") && df("ts") <= t("deleted_at"), "left_anti")
+    }
 
   private def latestMetaOverlay: DataFrame = metaUpdates
     .groupBy("vid").agg(max_by(col("metadata"), col("updated_at")).as("meta_new"))
 
+  private def applyMetaOverlay(df: DataFrame): DataFrame =
+    if (!hasRows("meta_updates")) df
+    else df.join(latestMetaOverlay, Seq("vid"), "left")
+      .withColumn("metadata", coalesce(col("meta_new"), col("metadata")))
+      .drop("meta_new")
+
   /** The live view: both tiers, tombstones anti-joined away, metadata
-    * overlay applied (latest update wins). */
+    * overlay applied (latest update wins). Sidecar joins are elided via FS
+    * metadata when there are no mutations to apply. */
   def vectors: DataFrame = {
     val base = recent.withColumn("tier", lit("recent"))
       .unionByName(historical.drop("cluster_id").withColumn("tier", lit("historical")))
-    dropTombstoned(base).join(latestMetaOverlay, Seq("vid"), "left")
-      .withColumn("metadata", coalesce(col("meta_new"), col("metadata")))
-      .drop("meta_new")
+    applyMetaOverlay(dropTombstoned(base))
   }
 
   // ---- C1 insert (dup anti-join, dim check, schema validation) ----
@@ -266,12 +283,8 @@ class VectorStore(val spark: SparkSession, val path: String,
 
   def vacuum(): VacuumResult = {
     val rec = recent; val hist = historical
-    val latestMeta = latestMetaOverlay
     def compact(df: DataFrame): DataFrame =
-      dropTombstoned(df)
-        .join(latestMeta, Seq("vid"), "left")
-        .withColumn("metadata", coalesce(col("meta_new"), col("metadata")))
-        .drop("meta_new")
+      applyMetaOverlay(dropTombstoned(df))
     val newRec = compact(rec).cache()
     val newHist = compact(hist).cache()
     val recRemoved = rec.count() - newRec.count()
