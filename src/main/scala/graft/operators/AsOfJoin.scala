@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (nearest-prior) join — the temporal-alignment operator a
+  * training-data/event pipeline needs that neither the reference nor core
+  * Spark provides: for each left row, attach the latest right row with
+  * `right.ts <= left.ts` per key.
+  *
+  * Composed Spark-first (preference (a) from the build rules) instead of a
+  * custom SparkPlan: union both sides tagged, one sort per (key, ts) inside
+  * a single window, carry the last right row forward. Exactly ONE shuffle
+  * on the key — the same cost as the sort-merge join a custom physical
+  * operator would do, with AQE/skew handling intact.
+  */
+object AsOfJoin {
+
+  /** @param left  (keyCol, tsCol, ...leftCols)
+    * @param right (keyCol, tsCol, ...valueCols)
+    * @param tolerance max allowed staleness in seconds (None = unbounded)
+    * @return left rows + each right value column (null when no prior right
+    *         row within tolerance)
+    */
+  def nearestPrior(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, tolerance: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    val rightCols = right.columns.filterNot(c => c == keyCol || c == tsCol)
+    require(leftCols.intersect(rightCols).isEmpty,
+      s"overlapping columns: ${leftCols.intersect(rightCols).mkString(",")}")
+    val l = left.withColumn("_side", lit(1))
+    val r = right.withColumn("_side", lit(0))
+    val unioned = l.select(
+      (Seq(col(keyCol), col(tsCol), col("_side")) ++
+        leftCols.map(col) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+      .unionByName(r.select(
+        (Seq(col(keyCol), col(tsCol), col("_side")) ++
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          rightCols.map(col)): _*))
+    // right rows sort before left rows at equal ts => "<=" semantics
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
+    }.withColumn("_r_ts",
+      last(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+    val bounded = tolerance match {
+      case Some(t) =>
+        val stale = col("_r_ts").isNull ||
+          (unix_timestamp(col(tsCol)) - unix_timestamp(col("_r_ts"))) > t
+        rightCols.foldLeft(carried) { (df, c) =>
+          df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
+        }
+      case None => carried
+    }
+    bounded.filter(col("_side") === 1).drop("_side", "_r_ts")
+  }
+}

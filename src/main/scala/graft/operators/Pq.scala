@@ -38,19 +38,13 @@ object Pq {
     PqModel(m, k, subDim, books)
   }
 
-  /** Nearest-code id for one subspace slice against a codebook literal. */
-  private def codeFor(sub: Column, book: Array[Array[Float]]): Column = {
-    val lit = typedLit(book)
-    val dists = transform(lit, c =>
-      aggregate(zip_with(sub, c, (x, y) => (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double"))), org.apache.spark.sql.functions.lit(0.0), (a, v) => a + v))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
-
-  /** Encode: embedding -> ARRAY<INT> of m codes (map-only). */
+  /** Encode: embedding -> ARRAY<INT> of m codes (map-only). Each subspace
+    * code is the codegen NearestCentroid argmin over its codebook —
+    * no interpreted per-cell lambda. */
   def encode(model: PqModel, embCol: Column): Column =
     array((0 until model.m).map { s =>
-      codeFor(slice(embCol, s * model.subDim + 1, model.subDim), model.codebooks(s))
+      graft.functions.VectorExpressions.nearestCentroid(
+        slice(embCol, s * model.subDim + 1, model.subDim), model.codebooks(s), "l2")
     }: _*)
 
   /** Decode: codes -> reconstructed ARRAY<FLOAT>. */

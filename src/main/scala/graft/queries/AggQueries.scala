@@ -105,6 +105,19 @@ object AggQueries {
           round(col("distance"), 6).as("distance"))
         .orderBy(col("score").desc, col("id").asc).limit(10)
     }),
+    // as-of join: attach the latest prior purchase value to every view
+    // event per user (temporal alignment, one shuffle via tagged union)
+    "asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("tss", date_trunc("second", col("ts")))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tss"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "tss").agg(max("value").as("pval"))
+      graft.operators.AsOfJoin.nearestPrior(views, purchases, "user_id", "tss")
+        .select(col("event_id"), col("user_id"), round(col("pval"), 4).as("pval"))
+        .orderBy("event_id")
+    }),
     // §2.7 set operations: overlap between two queries' top-20 neighbor
     // sets — intersect/except counts (the recall-eval membership shape)
     "set_ops" -> ((s, dir) => {
@@ -165,6 +178,17 @@ object AggQueries {
         |      + pow(0.5, epoch(mx - date_trunc('second', ts)) / 86400.0) * 0.3
         |      + (1.0 + ln(1.0 + user_id) / 10.0) * 0.2, 6) AS combined
         |FROM events, mx ORDER BY event_id""".stripMargin,
+    "asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    date_trunc('second', ts) AS tss FROM events),
+        |v AS (SELECT user_id, tss, event_id FROM ev WHERE event_type = 'view'),
+        |p AS (SELECT user_id, tss, max(value) AS pval FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT v.event_id, v.user_id, round(p.pval, 4) AS pval
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.user_id AND v.tss >= p.tss
+        |ORDER BY v.event_id""".stripMargin,
     "set_ops" ->
       """WITH qa AS (
         |  SELECT e.vec_id FROM embeddings e,
