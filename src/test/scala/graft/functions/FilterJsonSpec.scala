@@ -93,4 +93,16 @@ class FilterJsonSpec extends SparkSpec {
   test("nested-object-as-equals fallback") {
     assert(matches("""{"user.profile": {"email": "test@example.com"}}""") == Set(15))
   }
+
+  test("null metadata rows never match field filters but match the empty filter") {
+    import spark.implicits._
+    val df = Seq((1, Some("""{"a": 1}""")), (2, Option.empty[String]))
+      .toDF("id", "metadata")
+    def ids(f: String): Set[Int] =
+      df.filter(FilterJson.predicate(f, col("metadata")))
+        .select("id").collect().map(_.getInt(0)).toSet
+    assert(ids("""{"a": 1}""") == Set(1))
+    assert(ids("""{"a": {"$gte": 0}}""") == Set(1))
+    assert(ids("{}") == Set(1, 2)) // empty filter matches everything, null too
+  }
 }
