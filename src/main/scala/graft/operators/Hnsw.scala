@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
@@ -12,10 +12,21 @@ import scala.collection.mutable
   * partition-local graph per corpus partition inside `mapPartitions`
   * (JVM-heap arrays, zero driver involvement), search the whole broadcast
   * query batch against each local graph, and merge per-partition top-k
-  * globally with the grouped top-k aggregator (T4). Build cost is amortized
-  * over the entire query batch; recall is validated against the exact
-  * oracle (per-partition graphs change topology vs the reference's single
-  * global graph, so recall — not structure — is the contract).
+  * globally with the grouped top-k aggregator (T4). Recall is validated
+  * against the exact oracle (per-partition graphs change topology vs the
+  * reference's single global graph, so recall — not structure — is the
+  * contract).
+  *
+  * Two lifecycles:
+  *  - [[searchBatch]] builds throwaway graphs inside the query — only for
+  *    one-shot corpora. Build cost is O(N log N) per query batch.
+  *  - [[buildAndSave]] / [[searchSaved]] persist one [[FrozenGraph]] blob
+  *    per partition (the counterpart of the reference's hnsw_nodes.cbor,
+  *    `hnsw/persistence.rs:96-185`) and serve any number of query batches
+  *    from the saved index; [[deleteFromSaved]] / [[insertIntoSaved]] /
+  *    [[vacuumSaved]] maintain it incrementally the way the reference
+  *    deletes from and compacts a live graph
+  *    (`hnsw/operations.rs:127-200`).
   *
   * Algorithm parity notes (own implementation, same semantics):
   *  - geometric level assignment with mL = 1/ln(M), deterministic per id
@@ -32,8 +43,72 @@ object Hnsw {
   case class HnswConfig(m: Int = 16, m0: Int = 32, efConstruction: Int = 200,
       efSearch: Int = 50, seed: Long = 42L)
 
-  /** Partition-local HNSW graph over dense float vectors. */
+  private def metricCode(metric: String): Int = metric match {
+    case "l2" => 0
+    case "cosine" => 1
+    case m => throw new IllegalArgumentException(s"unsupported hnsw metric: $m")
+  }
+
+  /** Primitive-array binary min-heap over (dist, node) — replaces
+    * `mutable.PriorityQueue[(Double, Int)]`, whose boxed tuple allocations
+    * dominated graph-build time. For max-heap behavior push negated
+    * distances. */
+  private[operators] final class DIHeap(initCap: Int) {
+    private var ds = new Array[Double](math.max(initCap, 8))
+    private var ns = new Array[Int](ds.length)
+    private var sz = 0
+    def size: Int = sz
+    def nonEmpty: Boolean = sz > 0
+    def topDist: Double = ds(0)
+    def topNode: Int = ns(0)
+    def push(d: Double, node: Int): Unit = {
+      if (sz == ds.length) {
+        ds = java.util.Arrays.copyOf(ds, sz * 2)
+        ns = java.util.Arrays.copyOf(ns, sz * 2)
+      }
+      var i = sz; sz += 1
+      while (i > 0 && ds((i - 1) / 2) > d) {
+        val p = (i - 1) / 2
+        ds(i) = ds(p); ns(i) = ns(p); i = p
+      }
+      ds(i) = d; ns(i) = node
+    }
+    def pop(): Unit = {
+      sz -= 1
+      if (sz == 0) return
+      val d = ds(sz); val n = ns(sz)
+      var i = 0
+      var c = 1
+      var done = false
+      while (!done && c < sz) {
+        if (c + 1 < sz && ds(c + 1) < ds(c)) c += 1
+        if (ds(c) >= d) done = true
+        else { ds(i) = ds(c); ns(i) = ns(c); i = c; c = 2 * i + 1 }
+      }
+      ds(i) = d; ns(i) = n
+    }
+  }
+
+  private def distArr(mc: Int, a: Array[Float], b: Array[Float]): Double = {
+    if (mc == 0) {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      math.sqrt(s)
+    } else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 1.0 else 1.0 - dot / den
+    }
+  }
+
+  /** Mutable build-time HNSW graph over dense float vectors. Freeze to a
+    * [[FrozenGraph]] for searching at scale and for persistence. */
   final class Graph(metric: String, cfg: HnswConfig) extends Serializable {
+    private val mc = metricCode(metric)
     private val ids = mutable.ArrayBuffer[Long]()
     private val vecs = mutable.ArrayBuffer[Array[Float]]()
     private val levels = mutable.ArrayBuffer[Int]()
@@ -46,21 +121,7 @@ object Hnsw {
 
     def size: Int = ids.length
 
-    private def dist(a: Array[Float], b: Array[Float]): Double = metric match {
-      case "l2" =>
-        var s = 0.0; var i = 0
-        while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-        math.sqrt(s)
-      case "cosine" =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) {
-          val x = a(i).toDouble; val y = b(i).toDouble
-          dot += x * y; na += x * x; nb += y * y; i += 1
-        }
-        val den = math.sqrt(na) * math.sqrt(nb)
-        if (den == 0.0) 1.0 else 1.0 - dot / den
-      case m => throw new IllegalArgumentException(s"unsupported hnsw metric: $m")
-    }
+    private def dist(a: Array[Float], b: Array[Float]): Double = distArr(mc, a, b)
 
     /** Deterministic geometric level from the id hash. */
     private def levelFor(id: Long): Int = {
@@ -72,34 +133,38 @@ object Hnsw {
     /** Beam search on one layer from one entry point. Returns up to ef
       * (node, dist) pairs, closest first. */
     private def searchLayer(q: Array[Float], ep: Int, ef: Int, level: Int): mutable.ArrayBuffer[(Int, Double)] = {
-      val visited = mutable.BitSet(ep)
-      // candidates: min-heap by dist; results: max-heap bounded ef
-      val cand = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(x => -x._1))
-      val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(_._1))
+      val visited = new java.util.BitSet(ids.length)
+      visited.set(ep)
+      val cand = new DIHeap(ef + 1) // min-heap by dist
+      val res = new DIHeap(ef + 1)  // max-heap by dist (negated)
       val d0 = dist(q, vecs(ep))
-      cand.enqueue((d0, ep)); res.enqueue((d0, ep))
-      while (cand.nonEmpty) {
-        val (dc, c) = cand.dequeue()
-        if (dc > res.head._1 && res.size >= ef) { cand.clear() }
+      cand.push(d0, ep); res.push(-d0, ep)
+      var break = false
+      while (!break && cand.nonEmpty) {
+        val dc = cand.topDist; val c = cand.topNode; cand.pop()
+        if (res.size >= ef && dc > -res.topDist) break = true
         else {
           val ns = nbrs(c)(level)
           var i = 0
           while (i < ns.length) {
             val n = ns(i)
-            if (!visited.contains(n)) {
-              visited.add(n)
+            if (!visited.get(n)) {
+              visited.set(n)
               val dn = dist(q, vecs(n))
-              if (res.size < ef || dn < res.head._1) {
-                cand.enqueue((dn, n)); res.enqueue((dn, n))
-                if (res.size > ef) res.dequeue()
+              if (res.size < ef || dn < -res.topDist) {
+                cand.push(dn, n); res.push(-dn, n)
+                if (res.size > ef) res.pop()
               }
             }
             i += 1
           }
         }
       }
-      val out = mutable.ArrayBuffer.from(res.toSeq.map(x => (x._2, x._1)))
-      out.sortInPlaceBy(_._2)
+      val out = new mutable.ArrayBuffer[(Int, Double)](res.size)
+      while (res.nonEmpty) { out += ((res.topNode, -res.topDist)); res.pop() }
+      // popped worst-first; reverse to closest-first
+      val rev = out.reverse
+      rev
     }
 
     private def connect(a: Int, b: Int, level: Int): Unit = {
@@ -180,15 +245,306 @@ object Hnsw {
       }
       searchLayer(q, curr, math.max(ef, k), 0)
         .filterNot { case (n, _) => deleted.contains(n) }
+        .sortBy { case (n, d) => (d, ids(n)) }
         .take(k).map { case (n, d) => (ids(n), d) }.toSeq
+    }
+
+    /** Flatten into the immutable primitive-array form used for search and
+      * persistence. */
+    def freeze(): FrozenGraph = {
+      val n = ids.length
+      val dim = if (n == 0) 0 else vecs(0).length
+      val idArr = ids.toArray
+      val lvlArr = levels.toArray
+      val slotBase = new Array[Int](n + 1)
+      var i = 0
+      while (i < n) { slotBase(i + 1) = slotBase(i) + lvlArr(i) + 1; i += 1 }
+      val slots = slotBase(n)
+      val slotOff = new Array[Int](slots + 1)
+      var s = 0
+      i = 0
+      while (i < n) {
+        var l = 0
+        while (l <= lvlArr(i)) {
+          s += nbrs(i)(l).length
+          slotOff(slotBase(i) + l + 1) = s
+          l += 1
+        }
+        i += 1
+      }
+      val adj = new Array[Int](s)
+      i = 0
+      while (i < n) {
+        var l = 0
+        while (l <= lvlArr(i)) {
+          val lst = nbrs(i)(l)
+          var p = slotOff(slotBase(i) + l)
+          var j = 0
+          while (j < lst.length) { adj(p) = lst(j); p += 1; j += 1 }
+          l += 1
+        }
+        i += 1
+      }
+      val flat = new Array[Float](n * dim)
+      i = 0
+      while (i < n) { System.arraycopy(vecs(i), 0, flat, i * dim, dim); i += 1 }
+      val del = new java.util.BitSet(n)
+      deleted.foreach(del.set)
+      new FrozenGraph(mc, dim, idArr, lvlArr, flat, slotBase, slotOff, adj,
+        del, entry, maxLevel)
+    }
+  }
+
+  /** Immutable flat-array HNSW graph: CSR-style adjacency (node n's level-l
+    * neighbor list lives at `adj[slotOff(slotBase(n)+l) ..
+    * slotOff(slotBase(n)+l+1))`), vectors flattened row-major, soft deletes
+    * in a bitset. Custom binary (de)serialization — no Java-serialized boxed
+    * collections — so a persisted partition graph loads straight back into
+    * primitive arrays. */
+  final class FrozenGraph(
+      val mc: Int, val dim: Int,
+      val ids: Array[Long], val levels: Array[Int], val vecs: Array[Float],
+      val slotBase: Array[Int], val slotOff: Array[Int], val adj: Array[Int],
+      val deleted: java.util.BitSet, val entry: Int, val maxLevel: Int)
+    extends Serializable {
+
+    def n: Int = ids.length
+    def liveCount: Int = n - deleted.cardinality()
+
+    private def dist(q: Array[Float], node: Int): Double = {
+      val off = node * dim
+      if (mc == 0) {
+        var s = 0.0; var i = 0
+        while (i < dim) { val d = q(i).toDouble - vecs(off + i).toDouble; s += d * d; i += 1 }
+        math.sqrt(s)
+      } else {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < dim) {
+          val x = q(i).toDouble; val y = vecs(off + i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        if (den == 0.0) 1.0 else 1.0 - dot / den
+      }
+    }
+
+    /** Greedy descent (ef=1) on one layer. */
+    private def greedy(q: Array[Float], ep: Int, level: Int): Int = {
+      var curr = ep
+      var best = dist(q, curr)
+      var improved = true
+      while (improved) {
+        improved = false
+        var s = slotOff(slotBase(curr) + level)
+        val e = slotOff(slotBase(curr) + level + 1)
+        while (s < e) {
+          val nb = adj(s)
+          val d = dist(q, nb)
+          if (d < best) { best = d; curr = nb; improved = true }
+          s += 1
+        }
+      }
+      curr
+    }
+
+    /** k-NN search; deleted nodes traversed but excluded from results.
+      * Returns (id, dist) ascending by (dist, id), length <= k. */
+    def search(q: Array[Float], k: Int, ef: Int): Array[(Long, Double)] = {
+      if (n == 0 || entry < 0) return Array.empty
+      var curr = entry
+      var l = maxLevel
+      while (l > 0) { curr = greedy(q, curr, l); l -= 1 }
+      val beam = math.max(ef, k)
+      val visited = new java.util.BitSet(n)
+      visited.set(curr)
+      val cand = new DIHeap(beam + 1)
+      val res = new DIHeap(beam + 1)
+      val d0 = dist(q, curr)
+      cand.push(d0, curr); res.push(-d0, curr)
+      var break = false
+      while (!break && cand.nonEmpty) {
+        val dc = cand.topDist; val c = cand.topNode; cand.pop()
+        if (res.size >= beam && dc > -res.topDist) break = true
+        else {
+          var s = slotOff(slotBase(c))
+          val e = slotOff(slotBase(c) + 1)
+          while (s < e) {
+            val nb = adj(s)
+            if (!visited.get(nb)) {
+              visited.set(nb)
+              val dn = dist(q, nb)
+              if (res.size < beam || dn < -res.topDist) {
+                cand.push(dn, nb); res.push(-dn, nb)
+                if (res.size > beam) res.pop()
+              }
+            }
+            s += 1
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer[(Long, Double)]()
+      while (res.nonEmpty) {
+        val node = res.topNode; val d = -res.topDist; res.pop()
+        if (!deleted.get(node)) out += ((ids(node), d))
+      }
+      out.sortInPlaceBy { case (id, d) => (d, id) }
+      out.take(k).toArray
+    }
+
+    private lazy val idIndex: java.util.HashMap[Long, Int] = {
+      val m = new java.util.HashMap[Long, Int](n * 2)
+      var i = 0
+      while (i < n) { m.put(ids(i), i); i += 1 }
+      m
+    }
+
+    /** Soft-delete by external id; returns how many were found. */
+    def markDeleted(del: Iterable[Long]): Int = {
+      var found = 0
+      del.foreach { id =>
+        val node = idIndex.getOrDefault(id, -1)
+        if (node >= 0 && !deleted.get(node)) { deleted.set(node); found += 1 }
+      }
+      found
+    }
+
+    /** Physically remove soft-deleted nodes: renumber survivors, drop every
+      * edge touching a deleted node (dangling-edge scrub, the analog of
+      * `hnsw/operations.rs:127-200`), re-pick the entry as the highest-level
+      * survivor. */
+    def compact(): FrozenGraph = {
+      if (deleted.isEmpty) return this
+      val remap = new Array[Int](n)
+      java.util.Arrays.fill(remap, -1)
+      var kept = 0
+      var i = 0
+      while (i < n) { if (!deleted.get(i)) { remap(i) = kept; kept += 1 }; i += 1 }
+      val nIds = new Array[Long](kept)
+      val nLvl = new Array[Int](kept)
+      val nVec = new Array[Float](kept * dim)
+      i = 0
+      while (i < n) {
+        val t = remap(i)
+        if (t >= 0) {
+          nIds(t) = ids(i); nLvl(t) = levels(i)
+          System.arraycopy(vecs, i * dim, nVec, t * dim, dim)
+        }
+        i += 1
+      }
+      val nBase = new Array[Int](kept + 1)
+      i = 0
+      while (i < kept) { nBase(i + 1) = nBase(i) + nLvl(i) + 1; i += 1 }
+      val nOff = new Array[Int](nBase(kept) + 1)
+      val adjBuf = new mutable.ArrayBuilder.ofInt
+      var pos = 0
+      i = 0
+      while (i < n) {
+        val t = remap(i)
+        if (t >= 0) {
+          var l = 0
+          while (l <= levels(i)) {
+            var s = slotOff(slotBase(i) + l)
+            val e = slotOff(slotBase(i) + l + 1)
+            while (s < e) {
+              val nb = remap(adj(s))
+              if (nb >= 0) { adjBuf += nb; pos += 1 }
+              s += 1
+            }
+            nOff(nBase(t) + l + 1) = pos
+            l += 1
+          }
+        }
+        i += 1
+      }
+      var nEntry = -1
+      var nMax = -1
+      i = 0
+      while (i < kept) { if (nLvl(i) > nMax) { nMax = nLvl(i); nEntry = i }; i += 1 }
+      new FrozenGraph(mc, dim, nIds, nLvl, nVec, nBase, nOff, adjBuf.result(),
+        new java.util.BitSet(kept), nEntry, nMax)
+    }
+
+    /** Graph statistics: (nodes, edges, avg layer-0 degree, max level). */
+    def stats: (Int, Long, Double, Int) = {
+      var edges = 0L
+      var deg0 = 0L
+      var i = 0
+      while (i < n) {
+        edges += slotOff(slotBase(i + 1)) - slotOff(slotBase(i))
+        deg0 += slotOff(slotBase(i) + 1) - slotOff(slotBase(i))
+        i += 1
+      }
+      (n, edges / 2, if (n == 0) 0.0 else deg0.toDouble / n, maxLevel)
+    }
+
+    def toBytes: Array[Byte] = {
+      val words = deleted.toLongArray
+      val slots = if (n == 0) 0 else slotBase(n)
+      val size = 9 * 4 + n * 8 + n * 4 + (slots + 1) * 4 + adj.length * 4 +
+        n * dim * 4 + words.length * 8
+      val buf = java.nio.ByteBuffer.allocate(size)
+      buf.putInt(FrozenGraph.Magic).putInt(FrozenGraph.Version)
+      buf.putInt(mc).putInt(dim).putInt(n).putInt(entry).putInt(maxLevel)
+      buf.putInt(adj.length).putInt(words.length)
+      var i = 0
+      while (i < n) { buf.putLong(ids(i)); i += 1 }
+      i = 0
+      while (i < n) { buf.putInt(levels(i)); i += 1 }
+      i = 0
+      while (i <= slots) { buf.putInt(slotOff(i)); i += 1 }
+      i = 0
+      while (i < adj.length) { buf.putInt(adj(i)); i += 1 }
+      i = 0
+      while (i < n * dim) { buf.putFloat(vecs(i)); i += 1 }
+      i = 0
+      while (i < words.length) { buf.putLong(words(i)); i += 1 }
+      buf.array()
+    }
+  }
+
+  object FrozenGraph {
+    val Magic = 0x47484e57 // "GHNW"
+    val Version = 2
+
+    def fromBytes(bytes: Array[Byte]): FrozenGraph = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      require(buf.getInt() == Magic, "not a graft HNSW graph blob")
+      val v = buf.getInt()
+      require(v == Version, s"unsupported graph format version $v")
+      val mc = buf.getInt(); val dim = buf.getInt(); val n = buf.getInt()
+      val entry = buf.getInt(); val maxLevel = buf.getInt()
+      val adjLen = buf.getInt(); val wordsLen = buf.getInt()
+      val ids = new Array[Long](n)
+      var i = 0
+      while (i < n) { ids(i) = buf.getLong(); i += 1 }
+      val levels = new Array[Int](n)
+      i = 0
+      while (i < n) { levels(i) = buf.getInt(); i += 1 }
+      val slotBase = new Array[Int](n + 1)
+      i = 0
+      while (i < n) { slotBase(i + 1) = slotBase(i) + levels(i) + 1; i += 1 }
+      val slots = slotBase(n)
+      val slotOff = new Array[Int](slots + 1)
+      i = 0
+      while (i <= slots) { slotOff(i) = buf.getInt(); i += 1 }
+      val adj = new Array[Int](adjLen)
+      i = 0
+      while (i < adjLen) { adj(i) = buf.getInt(); i += 1 }
+      val vecs = new Array[Float](n * dim)
+      i = 0
+      while (i < n * dim) { vecs(i) = buf.getFloat(); i += 1 }
+      val words = new Array[Long](wordsLen)
+      i = 0
+      while (i < wordsLen) { words(i) = buf.getLong(); i += 1 }
+      new FrozenGraph(mc, dim, ids, levels, vecs, slotBase, slotOff, adj,
+        java.util.BitSet.valueOf(words), entry, maxLevel)
     }
   }
 
   /** S3/S4 analog for the graph tier: build one graph per partition and
-    * persist each as a serialized blob row (partition_id, graph BINARY) —
-    * the counterpart of the reference's hnsw_nodes.cbor
-    * (`hnsw/persistence.rs:96-185`), except the graphs load straight back
-    * into executors with no O(N·C) reconstruction. */
+    * persist each as a binary blob row (part_id, graph BINARY). Unlike the
+    * reference's CBOR nodes, the blobs load straight back into primitive
+    * arrays with no per-node reconstruction. */
   def buildAndSave(corpus: DataFrame, path: String, metric: String = "l2",
       cfg: HnswConfig = HnswConfig(), idCol: String = "id",
       embCol: String = "embedding"): Unit = {
@@ -200,21 +556,17 @@ object Hnsw {
         val g = new Graph(metric, cfg)
         it.foreach { case (id, v) => g.insert(id, v) }
         if (g.size == 0) Iterator.empty
-        else {
-          val bos = new java.io.ByteArrayOutputStream()
-          val oos = new java.io.ObjectOutputStream(bos)
-          oos.writeObject(g); oos.close()
-          Iterator(bos.toByteArray)
-        }
+        else Iterator(g.freeze().toBytes)
       }
       .toDF("graph")
       .withColumn("part_id", monotonically_increasing_id())
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Search previously persisted partition graphs: one task per graph blob,
-    * global top-k merge. */
-  def searchSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+  /** Search previously persisted partition graphs: one task per graph blob
+    * (blobs are tiny relative to the corpus, so the repartition that spreads
+    * them across executors is a negligible shuffle), global top-k merge. */
+  def searchSaved(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, efSearch: Int = 50,
       queryIdCol: String = "query_id", queryEmbCol: String = "q_embedding"): DataFrame = {
     import spark.implicits._
@@ -225,10 +577,9 @@ object Hnsw {
       .select(col("graph")).as[Array[Byte]]
       .repartition(spark.sparkContext.defaultParallelism)
       .flatMap { bytes =>
-        val g = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
-          .readObject().asInstanceOf[Graph]
+        val g = FrozenGraph.fromBytes(bytes)
         qB.value.iterator.flatMap { case (qid, qv) =>
-          g.search(qv, k, efSearch).map { case (id, d) => (qid, id, d) }
+          g.search(qv, k, efSearch).iterator.map { case (id, d) => (qid, id, d) }
         }
       }
       .toDF(queryIdCol, "id", "distance")
@@ -240,8 +591,78 @@ object Hnsw {
         col("hit.dist").as("distance"), (col("pos") + 1).cast("long").as("rank"))
   }
 
-  /** Batch ANN search: per-partition graph build + broadcast query batch +
-    * global top-k merge. Returns (query_id, id, distance, rank). */
+  private def swapDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(path + "_tmp"), p)
+  }
+
+  /** Rewrite every saved graph blob through `f`, dropping empty graphs;
+    * returns the per-blob results of `measure` summed. tmp+swap so a failed
+    * rewrite never corrupts the index. */
+  private def rewriteSaved(spark: SparkSession, path: String)(
+      f: FrozenGraph => (FrozenGraph, Long)): Long = {
+    import spark.implicits._
+    val mapped = spark.read.parquet(path)
+      .select(col("part_id"), col("graph")).as[(Long, Array[Byte])]
+      .map { case (pid, bytes) =>
+        val (g, m) = f(FrozenGraph.fromBytes(bytes))
+        (pid, if (g.n == 0) null else g.toBytes, m)
+      }
+      .toDF("part_id", "graph", "measure")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = mapped.agg(sum("measure")).head().getLong(0)
+    mapped.filter(col("graph").isNotNull).select("part_id", "graph")
+      .write.mode("overwrite").parquet(path + "_tmp")
+    mapped.unpersist()
+    swapDir(spark, path)
+    total
+  }
+
+  /** Soft-delete ids from a persisted index (X4/F10 on the saved form):
+    * marks the tombstone bit inside each graph blob so [[searchSaved]]
+    * excludes them immediately. Returns how many ids were found. */
+  def deleteFromSaved(spark: SparkSession, path: String, ids: Seq[Long]): Long = {
+    val idSet = ids.toSet
+    rewriteSaved(spark, path)(g => (g, g.markDeleted(idSet).toLong))
+  }
+
+  /** Append a batch of new vectors as additional partition graphs — the
+    * saved-index analog of the reference's incremental insert
+    * (`hnsw/operations.rs:49-77`): new rows build their own graphs; search
+    * merges across all blobs, so results are identical to a monolithic
+    * insert up to per-partition topology. */
+  def insertIntoSaved(rows: DataFrame, path: String, metric: String = "l2",
+      cfg: HnswConfig = HnswConfig(), idCol: String = "id",
+      embCol: String = "embedding"): Unit = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val g = new Graph(metric, cfg)
+        it.foreach { case (id, v) => g.insert(id, v) }
+        if (g.size == 0) Iterator.empty
+        else Iterator(g.freeze().toBytes)
+      }
+      .toDF("graph")
+      .withColumn("part_id", monotonically_increasing_id())
+      .write.mode("append").parquet(path)
+  }
+
+  /** Physically compact a persisted index: scrub soft-deleted nodes and
+    * every edge touching them (`hnsw/operations.rs:127-200`), drop graphs
+    * that end up empty. Returns the number of nodes removed. */
+  def vacuumSaved(spark: SparkSession, path: String): Long =
+    rewriteSaved(spark, path) { g =>
+      val removed = g.deleted.cardinality().toLong
+      (g.compact(), removed)
+    }
+
+  /** Batch ANN search with a throwaway per-partition graph build — for
+    * one-shot corpora; persistent corpora should [[buildAndSave]] once and
+    * [[searchSaved]] per batch. Returns (query_id, id, distance, rank). */
   def searchBatch(corpus: DataFrame, queries: DataFrame, k: Int,
       metric: String = "l2", cfg: HnswConfig = HnswConfig(),
       idCol: String = "id", embCol: String = "embedding",
@@ -257,8 +678,11 @@ object Hnsw {
         val g = new Graph(metric, cfg)
         it.foreach { case (id, v) => g.insert(id, v) }
         if (g.size == 0) Iterator.empty
-        else qB.value.iterator.flatMap { case (qid, qv) =>
-          g.search(qv, k, cfg.efSearch).map { case (id, d) => (qid, id, d) }
+        else {
+          val fg = g.freeze()
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            fg.search(qv, k, cfg.efSearch).iterator.map { case (id, d) => (qid, id, d) }
+          }
         }
       }
       .toDF(queryIdCol, "id", "distance")

@@ -124,7 +124,10 @@ object Ivf {
       .filter(col("cluster_id").isin(probedIds: _*))
       .join(broadcast(p), corpus("cluster_id") === p("cluster_id"))
       .select(col(queryIdCol), col(idCol).as("id"), d.as("distance"))
-    val topk = TopK.topK(k)
+    val topk =
+      if (corpus.schema(idCol).dataType == org.apache.spark.sql.types.StringType)
+        TopK.topKStr(k)
+      else TopK.topK(k)
     scored.groupBy(queryIdCol)
       .agg(topk(col("id"), col("distance")).as("hits"))
       .select(col(queryIdCol), posexplode(col("hits")).as(Seq("pos", "hit")))

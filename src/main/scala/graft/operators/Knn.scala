@@ -54,7 +54,11 @@ object Knn {
     val scored = filtered
       .crossJoin(broadcast(queries))
       .select(col(queryIdCol), col(idCol).as("id"), d.as("distance"))
-    val topk = TopK.topK(k)
+    // string ids ride through the aggregate natively (no surrogate remap)
+    val topk =
+      if (corpus.schema(idCol).dataType == org.apache.spark.sql.types.StringType)
+        TopK.topKStr(k)
+      else TopK.topK(k)
     scored
       .groupBy(queryIdCol)
       .agg(topk(col("id"), col("distance")).as("hits"))
@@ -65,11 +69,18 @@ object Knn {
 
   /** Single-query search (the reference's `session.search` shape,
     * `bindings/node/src/session.rs:203-336`): returns (id, distance, score)
-    * with score = 1/(1+distance) and optional score threshold (F9). */
+    * with optional score threshold (F9, applied only when given — the
+    * reference thresholds non-negative Euclidean distances, so a default
+    * threshold of 0 must not filter).
+    *
+    * score = 1/(1+distance) for non-negative-distance metrics (M7,
+    * `vector_ops.rs`); for `dot` the distance is -dot (can be any real, and
+    * 1/(1+d) blows up at d = -1), so score = sigmoid(dot) — same (0,1]
+    * range, same monotonicity in similarity. */
   def search(corpus: DataFrame, query: Array[Float], k: Int, metric: String = "cosine",
       idCol: String = "id", embCol: String = "embedding",
       filterJson: Option[String] = None, metadataCol: String = "metadata",
-      scoreThreshold: Double = 0.0, roundDecimals: Int = -1): DataFrame = {
+      scoreThreshold: Option[Double] = None, roundDecimals: Int = -1): DataFrame = {
     val filtered = filterJson match {
       case Some(f) => corpus.filter(FilterJson.predicate(f, col(metadataCol)))
       case None => corpus
@@ -77,10 +88,12 @@ object Knn {
     val q = typedLit(query)
     val dRaw = distance(metric, col(embCol), q)
     val d = if (roundDecimals >= 0) round(dRaw, roundDecimals) else dRaw
-    filtered
+    val scored = filtered
       .select(col(idCol).as("id"), d.as("distance"))
-      .withColumn("score", lit(1.0) / (lit(1.0) + col("distance")))
-      .filter(col("score") >= scoreThreshold)
+      .withColumn("score",
+        if (metric == "dot") lit(1.0) / (lit(1.0) + exp(col("distance")))
+        else lit(1.0) / (lit(1.0) + col("distance")))
+    scoreThreshold.fold(scored)(t => scored.filter(col("score") >= t))
       .orderBy(col("distance").asc, col("id").asc)
       .limit(k)
   }

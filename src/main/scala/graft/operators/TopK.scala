@@ -85,6 +85,11 @@ object TopK {
     (id: Column, dist: Column) =>
       TopKImperative.topK(k)(id.cast("long"), dist.cast("double"))
 
+  /** String-id form: no long-surrogate cast, ARRAY<STRUCT<id STRING, dist>>. */
+  def topKStr(k: Int): (Column, Column) => Column =
+    (id: Column, dist: Column) =>
+      TopKImperative.topKStr(k)(id.cast("string"), dist.cast("double"))
+
   /** The Aggregator-based variant (typed Dataset API). */
   def topKTyped(k: Int): (Column, Column) => Column = {
     val fn = udaf(new TopKAggregator(k), Encoders.product[IdDist])

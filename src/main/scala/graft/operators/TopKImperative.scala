@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Mutable grouped top-k state: parallel primitive arrays, live prefix n. */
 final class TopKState(var ids: Array[Long], var dists: Array[Double], var n: Int) {
@@ -105,10 +106,124 @@ case class TopKAgg(idExpr: Expression, distExpr: Expression, k: Int,
     copy(idExpr = cs(0), distExpr = cs(1))
 }
 
+/** Mutable grouped top-k state over string ids (UTF8String, comparable for
+  * the (dist, id) tie-break). */
+final class TopKStrState(var ids: Array[UTF8String], var dists: Array[Double], var n: Int) {
+  def compactTo(keep: Int): Unit = {
+    if (n > keep) {
+      val idx = Array.range(0, n).sortWith { (a, b) =>
+        val c = java.lang.Double.compare(dists(a), dists(b))
+        if (c != 0) c < 0 else ids(a).compareTo(ids(b)) < 0
+      }
+      val nid = new Array[UTF8String](ids.length); val nd = new Array[Double](dists.length)
+      var i = 0
+      while (i < keep) { nid(i) = ids(idx(i)); nd(i) = dists(idx(i)); i += 1 }
+      ids = nid; dists = nd; n = keep
+    }
+  }
+}
+
+/** String-id sibling of [[TopKAgg]]: grouped top-k that carries the natural
+  * string id through the aggregation, so store-level searches need no
+  * long-surrogate remap (and no hash-collision risk) and no join back to
+  * recover the id. Output: ARRAY<STRUCT<id STRING, dist DOUBLE>> by
+  * (dist, id), length <= k. */
+case class TopKStrAgg(idExpr: Expression, distExpr: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKStrState] {
+
+  private val cap = math.max(4 * k, 64)
+
+  override def children: Seq[Expression] = Seq(idExpr, distExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", StringType), StructField("dist", DoubleType))))
+  override def prettyName: String = "top_k_str"
+
+  override def createAggregationBuffer(): TopKStrState =
+    new TopKStrState(new Array[UTF8String](cap), new Array[Double](cap), 0)
+
+  override def update(b: TopKStrState, input: InternalRow): TopKStrState = {
+    val idV = idExpr.eval(input)
+    val dV = distExpr.eval(input)
+    if (idV != null && dV != null) {
+      if (b.n >= b.ids.length) b.compactTo(k)
+      // clone: the UTF8String points into a buffer the scan will reuse
+      b.ids(b.n) = idV.asInstanceOf[UTF8String].clone()
+      b.dists(b.n) = dV.asInstanceOf[Double]
+      b.n += 1
+    }
+    b
+  }
+
+  override def merge(b: TopKStrState, o: TopKStrState): TopKStrState = {
+    var i = 0
+    while (i < o.n) {
+      if (b.n >= b.ids.length) b.compactTo(k)
+      b.ids(b.n) = o.ids(i); b.dists(b.n) = o.dists(i); b.n += 1
+      i += 1
+    }
+    b
+  }
+
+  override def eval(b: TopKStrState): Any = {
+    b.compactTo(k)
+    val idx = Array.range(0, b.n).sortWith { (x, y) =>
+      val c = java.lang.Double.compare(b.dists(x), b.dists(y))
+      if (c != 0) c < 0 else b.ids(x).compareTo(b.ids(y)) < 0
+    }
+    val rows = new Array[Any](b.n)
+    var i = 0
+    while (i < b.n) {
+      rows(i) = InternalRow(b.ids(idx(i)), b.dists(idx(i))); i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(b: TopKStrState): Array[Byte] = {
+    b.compactTo(k)
+    var bytes = 4
+    var i = 0
+    while (i < b.n) { bytes += 12 + b.ids(i).numBytes(); i += 1 }
+    val buf = ByteBuffer.allocate(bytes)
+    buf.putInt(b.n)
+    i = 0
+    while (i < b.n) {
+      val idb = b.ids(i).getBytes
+      buf.putInt(idb.length); buf.put(idb); buf.putDouble(b.dists(i)); i += 1
+    }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKStrState = {
+    val buf = ByteBuffer.wrap(bytes)
+    val n = buf.getInt()
+    val s = new TopKStrState(new Array[UTF8String](math.max(cap, n)),
+      new Array[Double](math.max(cap, n)), n)
+    var i = 0
+    while (i < n) {
+      val len = buf.getInt(); val idb = new Array[Byte](len); buf.get(idb)
+      s.ids(i) = UTF8String.fromBytes(idb); s.dists(i) = buf.getDouble(); i += 1
+    }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKStrAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKStrAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): TopKStrAgg =
+    copy(idExpr = cs(0), distExpr = cs(1))
+}
+
 object TopKImperative {
   /** Column form: topK(id, dist) -> ARRAY<STRUCT<id,dist>>, k best. */
   def topK(k: Int)(id: Column, dist: Column): Column =
     ColumnBridge.column(
       TopKAgg(ColumnBridge.expression(id), ColumnBridge.expression(dist), k)
+        .toAggregateExpression())
+
+  /** String-id form: topKStr(id, dist) -> ARRAY<STRUCT<id STRING, dist>>. */
+  def topKStr(k: Int)(id: Column, dist: Column): Column =
+    ColumnBridge.column(
+      TopKStrAgg(ColumnBridge.expression(id), ColumnBridge.expression(dist), k)
         .toAggregateExpression())
 }

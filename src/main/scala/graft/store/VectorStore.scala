@@ -1,8 +1,9 @@
 package graft.store
 
 import graft.functions.FilterJson
-import graft.operators.{Ivf, Knn}
-import java.nio.file.{Files, Paths}
+import graft.operators.{Ivf, Knn, TopK}
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -39,18 +40,30 @@ class VectorStore(val spark: SparkSession, val path: String,
   spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
   spark.conf.set("spark.sql.files.maxRecordsPerFile", config.chunkSize.toString)
 
+  // All sidecar/metadata IO goes through the Hadoop FileSystem of `path`,
+  // so the store works identically on local disk, file://-qualified paths,
+  // HDFS, and object stores (the reference's S5 adapter concern, S2).
+  private val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def dir(name: String) = s"$path/$name"
-  private def exists(name: String) = Files.exists(Paths.get(dir(name), "_SUCCESS"))
+  private def exists(name: String) = fs.exists(new Path(dir(name), "_SUCCESS"))
+
+  private def readText(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), UTF_8) finally in.close()
+  }
+
+  private def writeText(p: Path, text: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(UTF_8)) finally out.close()
+  }
 
   /** FS-metadata check (no Spark job): does this (flat) table dir contain
     * any non-empty parquet part? Lets the read path skip tombstone/overlay
     * joins entirely in the common no-mutation case. */
-  private def hasRows(name: String): Boolean = {
-    val p = Paths.get(dir(name))
-    exists(name) && Files.list(p).filter(f =>
-      f.getFileName.toString.endsWith(".parquet") && Files.size(f) > 0)
-      .findFirst().isPresent
-  }
+  private def hasRows(name: String): Boolean =
+    exists(name) && fs.listStatus(new Path(dir(name))).exists(st =>
+      st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
 
   // ---- manifest (version-gated like persistence.rs:499-520) ----
 
@@ -60,15 +73,15 @@ class VectorStore(val spark: SparkSession, val path: String,
     val node = mapper.createObjectNode()
     node.put("version", m.version); node.put("dim", m.dim)
     node.put("recentThresholdSeconds", config.recentThresholdSeconds)
-    Files.createDirectories(Paths.get(path))
-    Files.writeString(Paths.get(path, "manifest.json"), mapper.writeValueAsString(node))
+    fs.mkdirs(new Path(path))
+    writeText(new Path(path, "manifest.json"), mapper.writeValueAsString(node))
   }
 
   def readManifest(): Option[Manifest] = {
-    val p = Paths.get(path, "manifest.json")
-    if (!Files.exists(p)) None
+    val p = new Path(path, "manifest.json")
+    if (!fs.exists(p)) None
     else {
-      val n = mapper.readTree(Files.readString(p))
+      val n = mapper.readTree(readText(p))
       val v = n.get("version").asInt()
       if (v != FormatVersion)
         throw new IllegalStateException(s"unsupported store version $v (expected $FormatVersion)")
@@ -81,14 +94,14 @@ class VectorStore(val spark: SparkSession, val path: String,
   // ---- metadata schema (F11) ----
 
   private var schemaOpt: Option[MetadataSchema.Schema] = {
-    val p = Paths.get(path, "schema.json")
-    if (Files.exists(p)) Some(MetadataSchema.parse(Files.readString(p))) else None
+    val p = new Path(path, "schema.json")
+    if (fs.exists(p)) Some(MetadataSchema.parse(readText(p))) else None
   }
 
   def setSchema(schemaJson: String): Unit = {
     val s = MetadataSchema.parse(schemaJson)
-    Files.createDirectories(Paths.get(path))
-    Files.writeString(Paths.get(path, "schema.json"), s.json)
+    fs.mkdirs(new Path(path))
+    writeText(new Path(path, "schema.json"), s.json)
     schemaOpt = Some(s)
   }
 
@@ -233,7 +246,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     * metadata in the result (J2), and `includeVectors` to return the
     * embedding payload (session.rs:266-281). */
   def search(query: Array[Float], k: Int, metric: String = "cosine",
-      filterJson: Option[String] = None, scoreThreshold: Double = 0.0,
+      filterJson: Option[String] = None, scoreThreshold: Option[Double] = None,
       includeVectors: Boolean = false): DataFrame = {
     val hits = Knn.search(vectors, query, k, metric, idCol = "id",
       filterJson = filterJson, scoreThreshold = scoreThreshold)
@@ -254,7 +267,12 @@ class VectorStore(val spark: SparkSession, val path: String,
     * HNSW — the double-count bug at `hybrid/core.rs:579,632`), the rewrite
     * moves rows atomically-per-tier. */
   def migrate(nowOverride: Option[java.sql.Timestamp] = None): Long = {
-    val now = nowOverride.map(lit(_)).getOrElse(current_timestamp())
+    // resolve "now" ONCE on the driver: migration runs three Spark jobs
+    // (count, historical append, recent rewrite), and a per-job
+    // current_timestamp() would advance the cutoff between them — rows whose
+    // ts lands between the two cutoffs would be neither migrated nor kept
+    val now = lit(nowOverride.getOrElse(
+      new java.sql.Timestamp(System.currentTimeMillis())))
     val cutoff = now - expr(s"INTERVAL ${config.recentThresholdSeconds} SECOND")
     val rec = recent
     val old = rec.filter(col("ts") <= cutoff)
@@ -302,9 +320,8 @@ class VectorStore(val spark: SparkSession, val path: String,
   }
 
   private def swap(name: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val cur = new org.apache.hadoop.fs.Path(dir(name))
-    val tmp = new org.apache.hadoop.fs.Path(dir(name) + "_tmp")
+    val cur = new Path(dir(name))
+    val tmp = new Path(dir(name) + "_tmp")
     fs.delete(cur, true)
     fs.rename(tmp, cur)
   }
@@ -338,29 +355,24 @@ class VectorStore(val spark: SparkSession, val path: String,
   def searchBatch(queries: DataFrame, k: Int, metric: String = "cosine",
       nProbe: Int = config.nProbe, recentK: Option[Int] = None,
       historicalK: Option[Int] = None): DataFrame = {
-    val rec = dropTombstoned(recent)
-      .select(col("id").cast("string").as("sid"), col("vid"), col("embedding"))
-    val recPart = graft.operators.Knn.batch(
-      rec.withColumn("id", xxhash64(col("vid"))), queries, recentK.getOrElse(k), metric)
-      .join(rec.withColumn("id", xxhash64(col("vid"))).select("id", "sid"), Seq("id"))
-      .select(col("query_id"), col("sid").as("id"), col("distance"))
+    // the natural string id rides through the string top-k aggregate — no
+    // surrogate hash, no collision risk, no join back to recover the id
+    val rec = dropTombstoned(recent).select(col("id"), col("embedding"))
+    val recPart = Knn.batch(rec, queries, recentK.getOrElse(k), metric)
+      .select(col("query_id"), col("id"), col("distance"))
     val hist = dropTombstoned(historical)
     val histPart =
       if (!exists("centroids") || hist.isEmpty) None
-      else {
-        val h = hist.select(col("id").cast("string").as("sid"), col("vid"),
-          col("embedding"), col("cluster_id"))
-          .withColumn("id", xxhash64(col("vid")))
-        Some(graft.operators.Ivf.searchBatch(h, centroids, queries,
-            historicalK.getOrElse(k), nProbe, metric)
-          .join(h.select("id", "sid"), Seq("id"))
-          .select(col("query_id"), col("sid").as("id"), col("distance")))
-      }
+      else Some(Ivf.searchBatch(
+          hist.select(col("id"), col("embedding"), col("cluster_id")),
+          centroids, queries, historicalK.getOrElse(k), nProbe, metric)
+        .select(col("query_id"), col("id"), col("distance")))
     val union = histPart.map(recPart.unionByName(_)).getOrElse(recPart)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("distance").asc, col("id").asc)
-    union.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("query_id", "id", "distance")
+    val topk = TopK.topKStr(k)
+    union.groupBy("query_id")
+      .agg(topk(col("id"), col("distance")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("id"), col("hit.dist").as("distance"))
   }
 }
 

@@ -69,6 +69,53 @@ class HnswSpec extends SparkSpec {
     assert(saved == live)
   }
 
+  test("persisted graphs: delete -> search excludes -> insert -> vacuum compacts") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 400)
+      .select(col("vec_id").as("id"), col("embedding")).repartition(4)
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_maint_").toString + "/g"
+    val cfg = HnswConfig(efSearch = 100)
+    Hnsw.buildAndSave(corpus, path, cfg = cfg)
+
+    // self-query for a node we are about to delete: present before, gone after
+    val q3 = emb.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    def hitIds() = Hnsw.searchSaved(spark, path, q3, k = 10, efSearch = 100)
+      .collect().map(_.getLong(1)).toSet
+    assert(hitIds().contains(3L))
+    assert(Hnsw.deleteFromSaved(spark, path, Seq(3L, 5L)) == 2L)
+    assert(Hnsw.deleteFromSaved(spark, path, Seq(99999L)) == 0L)
+    val afterDelete = hitIds()
+    assert(!afterDelete.contains(3L) && !afterDelete.contains(5L))
+    assert(afterDelete.size == 10) // beam traverses tombstones, results backfill
+
+    // incremental insert: new rows become searchable without a rebuild
+    val extra = emb.filter(col("vec_id").between(400, 449))
+      .select(col("vec_id").as("id"), col("embedding")).repartition(2)
+    Hnsw.insertIntoSaved(extra, path, cfg = cfg)
+    val q400 = emb.filter(col("vec_id") === 400)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val hits400 = Hnsw.searchSaved(spark, path, q400, k = 1, efSearch = 100).collect()
+    assert(hits400.head.getLong(1) == 400L && hits400.head.getDouble(2) < 1e-6)
+
+    // vacuum physically removes tombstoned nodes and scrubs their edges
+    assert(Hnsw.vacuumSaved(spark, path) == 2L)
+    import spark.implicits._
+    val total = spark.read.parquet(path).select(col("graph")).as[Array[Byte]]
+      .collect().map { b =>
+        val g = Hnsw.FrozenGraph.fromBytes(b)
+        assert(g.deleted.isEmpty)
+        val (_, _, _, _) = g.stats
+        // no adjacency slot may reference an out-of-range node after the scrub
+        assert(g.adj.forall(n => n >= 0 && n < g.n))
+        assert(!g.ids.contains(3L) && !g.ids.contains(5L))
+        g.n.toLong
+      }.sum
+    assert(total == 448L) // 400 - 2 deleted + 50 inserted
+    val afterVacuum = hitIds()
+    assert(!afterVacuum.contains(3L) && afterVacuum.size == 10)
+  }
+
   test("distributed searchBatch: recall >= 0.9 vs exact oracle on real embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding")).repartition(4)

@@ -48,8 +48,30 @@ class StoreSearchSpec extends SparkSpec {
     assert(withVec.columns.contains("result_embedding"))
     assert(withVec.collect().head.getSeq[Float](4).length == 8)
     // threshold 1.0 keeps only score >= 1 (exact self-match, distance 0)
-    val thr = st.search(vec(2), k = 10, metric = "l2", scoreThreshold = 0.99)
+    val thr = st.search(vec(2), k = 10, metric = "l2", scoreThreshold = Some(0.99))
     assert(thr.collect().map(_.getString(0)).sameElements(Array("v2")))
+    // no threshold given => nothing filtered, even for similarity metrics
+    // whose distance is negative (dot: distance = -dot)
+    val dot = st.search(vec(2), k = 3, metric = "dot")
+    assert(dot.collect().length == 3)
+    assert(dot.collect().forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1))
+  }
+
+  test("store works end-to-end through a file:///-qualified Hadoop path") {
+    val st = new VectorStore(spark,
+      "file://" + Files.createTempDirectory("graft_uri_").toString,
+      Config(nClusters = 2))
+    st.insert((0 until 12).map(i => VectorRecord(s"u$i", vec(i), Some(s"""{"i": $i}"""))))
+    assert(st.stats().recentCount == 12)
+    // exists/hasRows must see the qualified path (a java.nio check would
+    // silently treat the populated store as empty)
+    assert(st.search(vec(4), k = 1).collect().head.getString(0) == "u4")
+    val del = st.deleteByMetadata("""{"i": {"$gte": 9}}""")
+    assert(del.deletedCount == 3)
+    assert(st.stats().recentCount == 9)
+    val vac = st.vacuum()
+    assert(vac.recentRemoved == 3)
+    assert(st.readManifest().exists(_.dim == 8))
   }
 
   test("ageStats buckets live rows") {

@@ -157,6 +157,8 @@ class VectorStoreSpec extends SparkSpec {
   test("manifest version gate rejects unknown versions") {
     val st = freshStore()
     st.insert(Seq(VectorRecord("a", vec(1))))
+    // drop the Hadoop checksum sidecar so the out-of-band tamper is read
+    Files.deleteIfExists(java.nio.file.Paths.get(st.path, ".manifest.json.crc"))
     Files.writeString(java.nio.file.Paths.get(st.path, "manifest.json"),
       """{"version": 99, "dim": 8}""")
     intercept[IllegalStateException] { new VectorStore(spark, st.path).dimension }
