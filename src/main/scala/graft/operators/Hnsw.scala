@@ -123,11 +123,42 @@ object Hnsw {
 
     private def dist(a: Array[Float], b: Array[Float]): Double = distArr(mc, a, b)
 
-    /** Deterministic geometric level from the id hash. */
+    /** Deterministic geometric level from the id hash (splitmix64
+      * finalizer — byteswap64 left small id^seed values unmixed, handing
+      * one id a 13-level tower). */
     private def levelFor(id: Long): Int = {
-      val h = scala.util.hashing.byteswap64(id ^ cfg.seed)
-      val u = ((h >>> 11).toDouble + 1.0) / (1L << 53).toDouble // (0,1]
+      var z = (id ^ cfg.seed) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      val u = ((z >>> 11).toDouble + 1.0) / (1L << 53).toDouble // (0,1]
       math.min((-math.log(u) * mL).toInt, 32)
+    }
+
+    /** Neighbor-diversity selection (Malkov & Yashunin alg. 4): walk the
+      * candidates ascending by distance to the base, keep c only if it is
+      * closer to the base than to every already-kept neighbor, then backfill
+      * with the nearest rejected. Plain keep-closest pruning saturates every
+      * node with one dense cluster's edges and fragments the graph (measured
+      * ~8% self-retrieval misses at 3K nodes; this brings it to ~0). */
+    private def selectDiverse(cand: collection.Seq[(Int, Double)], cap: Int): mutable.ArrayBuffer[Int] = {
+      val kept = new mutable.ArrayBuffer[Int](cap)
+      val rejected = new mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i < cand.length && kept.length < cap) {
+        val c = cand(i)._1; val dBase = cand(i)._2
+        var diverse = true
+        var j = 0
+        while (diverse && j < kept.length) {
+          if (dist(vecs(c), vecs(kept(j))) < dBase) diverse = false
+          j += 1
+        }
+        if (diverse) kept += c else rejected += c
+        i += 1
+      }
+      var r = 0
+      while (kept.length < cap && r < rejected.length) { kept += rejected(r); r += 1 }
+      kept
     }
 
     /** Beam search on one layer from one entry point. Returns up to ef
@@ -178,8 +209,8 @@ object Hnsw {
       val ns = nbrs(node)(level)
       if (ns.length > cap) {
         val v = vecs(node)
-        val kept = ns.map(n => (n, dist(v, vecs(n)))).sortInPlaceBy(_._2).take(cap).map(_._1)
-        nbrs(node)(level) = mutable.ArrayBuffer.from(kept)
+        val cand = ns.map(n => (n, dist(v, vecs(n)))).sortInPlaceBy(_._2)
+        nbrs(node)(level) = selectDiverse(cand, cap)
       }
     }
 
@@ -207,12 +238,13 @@ object Hnsw {
         }
         l -= 1
       }
-      // beam search + connect at each level from min(lvl, maxLevel) down
+      // beam search + diverse-connect at each level from min(lvl, maxLevel)
       l = math.min(lvl, maxLevel)
       while (l >= 0) {
         val found = searchLayer(v, curr, cfg.efConstruction, l)
         val cap = if (l == 0) cfg.m0 else cfg.m
-        found.take(cap).foreach { case (n, _) => connect(node, n, l) }
+        selectDiverse(found.map { case (n, d) => (n, d) }, cap)
+          .foreach(n => connect(node, n, l))
         curr = found.head._1
         l -= 1
       }

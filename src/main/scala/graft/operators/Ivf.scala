@@ -44,17 +44,21 @@ object Ivf {
       embCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val n = corpus.count()
-    val sampled =
-      if (n <= config.trainSize) corpus
-      else corpus.sample(withReplacement = false, config.trainSize.toDouble / n, config.seed)
+    // uniform trainSize-row sample in ONE pass over a pushed-down
+    // single-column projection (TakeOrderedAndProject by rand: each
+    // partition keeps its top trainSize, driver merges) — never a count()
+    // of the corpus first, so training cost is O(sample), not O(N)+O(sample)
+    val sampled = corpus.select(col(embCol))
+      .orderBy(rand(config.seed)).limit(config.trainSize)
     if (config.initMode == "driver") {
-      val data = sampled.select(embCol).collect().map(_.getSeq[Float](0).toArray)
+      val data = sampled.collect().map(_.getSeq[Float](0).toArray)
       Lloyd.kmeans(data, config.nClusters, config.maxIterations, config.seed)
         .zipWithIndex.map { case (c, i) => (i, c) }
         .toSeq.toDF("cluster_id", "centroid")
     } else {
-      val feats = sampled.select(array_to_vector(col(embCol)).as("features"))
+      // re-spread the single-partition limit result before the iterative fit
+      val feats = sampled.repartition(spark.sparkContext.defaultParallelism)
+        .select(array_to_vector(col(embCol)).as("features"))
       val model = new KMeans()
         .setK(config.nClusters)
         .setMaxIter(config.maxIterations)

@@ -22,15 +22,15 @@ object Pq {
       seed: Long = 42L): PqModel = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
-    val n = corpus.count()
     // PQ codebooks train on a BOUNDED sample by design (reference
-    // train_size, `vector_ops.rs:405-523`), so the distributed part is only
-    // the sample collection; the m tiny Lloyd fits (k x subDim each) run
-    // in-driver — one Spark job total instead of 8 MLlib fits whose
-    // scheduling overhead dwarfs ~2.5M flops of actual math.
-    val sample: Array[Array[Float]] = (if (n <= trainSize) corpus
-      else corpus.sample(withReplacement = false, trainSize.toDouble / n, seed))
-      .select(embCol).collect().map(_.getSeq[Float](0).toArray)
+    // train_size, `vector_ops.rs:405-523`). One pass, no count(): project
+    // the embedding column, per-partition top-trainSize by rand, collect.
+    // The m tiny Lloyd fits (k x subDim each) run in-driver — one Spark job
+    // total instead of 8 MLlib fits whose scheduling overhead dwarfs ~2.5M
+    // flops of actual math.
+    val sample: Array[Array[Float]] = corpus.select(embCol)
+      .orderBy(org.apache.spark.sql.functions.rand(seed)).limit(trainSize)
+      .collect().map(_.getSeq[Float](0).toArray)
     val books = Array.tabulate(m) { s =>
       val sub = sample.map(v => v.slice(s * subDim, (s + 1) * subDim))
       Lloyd.kmeans(sub, k, maxIter = 25, seed = seed + s)
