@@ -84,8 +84,9 @@ object FilterJson {
       if (keys.exists(_.startsWith("$"))) {
         operatorPredicate(field, value, keys, v)
       } else {
-        // nested-object-as-equals fallback: exact match on the raw JSON token
-        rawToken(field, v) === lit(compact(value))
+        // nested-object-as-equals fallback: structural match — canonicalize
+        // the filter side to the sorted-key form variant to_json emits
+        rawToken(field, v) === lit(compact(canonicalize(value)))
       }
     } else {
       equalsPredicate(field, value, v)
@@ -153,7 +154,7 @@ object FilterJson {
         when(raw.rlike("^-?[0-9]"), raw.cast(DoubleType)) === lit(value.asDouble())
       else if (value.isBoolean) raw === lit(value.asBoolean().toString)
       else if (value.isNull) raw === lit("null")
-      else if (value.isArray || value.isObject) raw === lit(compact(value))
+      else if (value.isArray || value.isObject) raw === lit(compact(canonicalize(value)))
       else throw new FilterParseException(s"unsupported literal for '$field'")
     val contains: Option[Column] =
       if (!arrayContainment) None
@@ -174,4 +175,21 @@ object FilterJson {
   }
 
   private def compact(n: JsonNode): String = mapper.writeValueAsString(n)
+
+  /** Recursively sort object keys: variant `to_json` renders objects in
+    * canonical (sorted-key) form, so object equality must compare the
+    * filter literal in the same form — the reference compares
+    * serde_json::Value structurally (metadata_filter.rs equality), where
+    * key order never matters. */
+  private def canonicalize(n: JsonNode): JsonNode =
+    if (n.isObject) {
+      val sorted = mapper.createObjectNode()
+      n.properties().asScala.toSeq.sortBy(_.getKey)
+        .foreach(e => sorted.set[JsonNode](e.getKey, canonicalize(e.getValue)))
+      sorted
+    } else if (n.isArray) {
+      val arr = mapper.createArrayNode()
+      n.elements().asScala.foreach(e => arr.add(canonicalize(e)))
+      arr
+    } else n
 }

@@ -94,6 +94,21 @@ class FilterJsonSpec extends SparkSpec {
     assert(matches("""{"user.profile": {"email": "test@example.com"}}""") == Set(15))
   }
 
+  test("nested-object equality is structural (key order never matters)") {
+    import spark.implicits._
+    val df = Seq((1, """{"obj": {"b": 1, "a": "x"}}"""))
+      .toDF("id", "metadata")
+    def hit(f: String) =
+      df.filter(FilterJson.predicate(f, col("metadata"))).count() == 1
+    assert(hit("""{"obj": {"a": "x", "b": 1}}"""))
+    assert(hit("""{"obj": {"b": 1, "a": "x"}}"""))
+    assert(!hit("""{"obj": {"a": "x", "b": 2}}"""))
+    // and inside arrays of objects
+    val arr = Seq((1, """{"list": [{"y": 2, "x": 1}]}""")).toDF("id", "metadata")
+    assert(arr.filter(FilterJson.predicate(
+      """{"list": [{"x": 1, "y": 2}]}""", col("metadata"))).count() == 1)
+  }
+
   test("null metadata rows never match field filters but match the empty filter") {
     import spark.implicits._
     val df = Seq((1, Some("""{"a": 1}""")), (2, Option.empty[String]))

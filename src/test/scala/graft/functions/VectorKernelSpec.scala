@@ -108,6 +108,57 @@ class VectorKernelSpec extends SparkSpec {
     assert(n == 100)
   }
 
+  test("M6 innerProductToCosine recovers cosine from dot and norms") {
+    import spark.implicits._
+    val pairs = emb.limit(20).select(col("embedding").as("a"))
+      .crossJoin(emb.filter(col("vec_id") === 1).select(col("embedding").as("b")))
+    pairs.select(
+      vecCosine(col("a"), col("b")).as("cos"),
+      VectorFunctions.innerProductToCosine(
+        vecDot(col("a"), col("b")), vecNorm(col("a")), vecNorm(col("b"))).as("rec"))
+      .collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+    // zero-norm operand => 0, matching the cosine kernel's convention
+    val z = Seq((Array(0f, 0f), Array(3f, 4f))).toDF("a", "b")
+    val zr = z.select(
+      VectorFunctions.innerProductToCosine(
+        vecDot(col("a"), col("b")), vecNorm(col("a")), vecNorm(col("b")))).head()
+    assert(zr.getDouble(0) == 0.0)
+  }
+
+  test("normalize, angular distance, and scoring helpers match closed forms") {
+    import spark.implicits._
+    val df = Seq((Array(3f, 4f), Array(4f, -3f))).toDF("a", "b")
+    // normalize -> unit norm; zero vector passes through
+    val n = df.select(VectorFunctions.norm(VectorFunctions.normalize(col("a")))).head()
+    assert(math.abs(n.getDouble(0) - 1.0) < 1e-6)
+    val z = Seq(Tuple1(Array(0f, 0f))).toDF("a")
+      .select(VectorFunctions.normalize(col("a"))).head().getSeq[Float](0)
+    assert(z == Seq(0f, 0f))
+    // orthogonal vectors: angular distance pi/2 via both implementations
+    val ang = df.select(
+      VectorFunctions.angularDistance(col("a"), col("b")).as("hof"),
+      graft.operators.Knn.distance("angular", col("a"), col("b")).as("op")).head()
+    assert(math.abs(ang.getDouble(0) - math.Pi / 2) < 1e-9)
+    assert(math.abs(ang.getDouble(1) - math.Pi / 2) < 1e-9)
+    // scoring closed forms (M7-M10)
+    val s = spark.range(1).select(
+      VectorFunctions.distanceToScore(lit(3.0)).as("d2s"),
+      VectorFunctions.oneMinusDistance(lit(0.25)).as("omd"),
+      VectorFunctions.timeDecay(
+        to_timestamp(lit("2026-01-01 00:00:00")),
+        to_timestamp(lit("2026-01-02 00:00:00")), halfLifeSeconds = 43200).as("decay"),
+      VectorFunctions.popularityBoost(lit(0)).as("pop0"),
+      VectorFunctions.popularityBoost(lit(math.E * math.E - 1)).as("pop"),
+      VectorFunctions.combinedScore(lit(0.5), lit(0.25), lit(1.0), 0.6, 0.2, 0.2).as("comb")
+    ).head()
+    assert(math.abs(s.getDouble(0) - 0.25) < 1e-12)
+    assert(math.abs(s.getDouble(1) - 0.75) < 1e-12)
+    assert(math.abs(s.getDouble(2) - 0.25) < 1e-12) // two half-lives
+    assert(math.abs(s.getDouble(3) - 1.0) < 1e-12)
+    assert(math.abs(s.getDouble(4) - 1.2) < 1e-12)  // 1 + ln(e^2)/10
+    assert(math.abs(s.getDouble(5) - (0.3 + 0.05 + 0.2)) < 1e-12)
+  }
+
   test("quantization round-trip within 1/255 of range") {
     import spark.implicits._
     val df = emb.select(col("embedding"),
