@@ -1,0 +1,293 @@
+package graft.serve
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.store.VectorStore
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** Thin REST serving surface over [[VectorStore]] — the reference's primary
+  * user API re-served from the Spark driver
+  * (`/root/reference/src/api/rest.rs:325-677`), completing capability
+  * parity for a user who talks to the store over HTTP.
+  *
+  * Deliberately thin: one JDK HttpServer (no extra dependency), JSON via
+  * the same Jackson the store already uses, and every operation delegates
+  * to the one VectorStore instance — the Spark session is shared across
+  * requests (no Spark-per-request), exactly the "driver app in front of
+  * the engine" shape SURVEY.md assigns to S11.
+  *
+  * Routes (reference rest.rs:327-342; SSE/WS update streams are covered by
+  * the engine's Structured Streaming ingest instead):
+  *
+  *   GET    /api/v1/health
+  *   POST   /api/v1/vectors            {id, vector, metadata?}
+  *   POST   /api/v1/vectors/batch      {vectors: [{id, vector, metadata?}]}
+  *   GET    /api/v1/vectors/{id}
+  *   DELETE /api/v1/vectors/{id}
+  *   POST   /api/v1/search             {vector, k?, filter?, options?:
+  *                                      {include_metadata?, score_threshold?,
+  *                                       metric?}}
+  *   GET    /api/v1/admin/statistics
+  *   POST   /api/v1/admin/migrate
+  *   POST   /api/v1/admin/vacuum
+  *   GET    /api/v1/updates?since=N
+  *
+  * Serving-loop extras from the reference:
+  *  - repeated-query memo (`hybrid/search_integration.rs:554-623`): LRU on
+  *    the canonical search request, invalidated by any mutation — the
+  *    reference's query-result cache, which belongs at this layer (the
+  *    engine's own results must always reflect the live store)
+  *  - update feed (`client/rust.rs:71-98`): every mutation appends a
+  *    sequenced change event; clients poll `/updates?since=<seq>`
+  */
+class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128) {
+
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  private val queryCache =
+    new java.util.LinkedHashMap[String, ObjectNode](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ObjectNode]): Boolean = size() > cacheSize
+    }
+  private var cacheHits = 0L
+  private var cacheMisses = 0L
+
+  private val events = new java.util.ArrayList[ObjectNode]()
+
+  /** Mutations invalidate the memo and append a change event. */
+  private def mutated(tpe: String, ids: Seq[String]): Unit = {
+    queryCache.clear()
+    ids.foreach { id =>
+      val e = obj()
+      e.put("seq", events.size().toLong + 1)
+      e.put("type", tpe)
+      e.put("id", id)
+      e.put("timestamp", java.time.Instant.now().toString)
+      events.add(e)
+    }
+  }
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): RestServer = {
+    server.createContext("/api/v1/health", ex => handle(ex) {
+      case ("GET", _) =>
+        val st = store.stats()
+        val n = obj()
+        n.put("status", "healthy")
+        n.put("recent_count", st.recentCount)
+        n.put("historical_count", st.historicalCount)
+        (200, n)
+    })
+    server.createContext("/api/v1/vectors", ex => handle(ex) {
+      case ("POST", "/api/v1/vectors") =>
+        val req = body(ex)
+        val rec = record(req)
+        val res = store.insert(Seq(rec))
+        if (res.inserted == 0) (409, err(s"duplicate id: ${rec.id}"))
+        else {
+          mutated("insert", Seq(rec.id))
+          val n = obj()
+          n.put("id", rec.id)
+          n.put("index", "recent") // inserts land in the recent tier (X11)
+          n.put("timestamp", java.time.Instant.now().toString)
+          (201, n)
+        }
+      case ("POST", "/api/v1/vectors/batch") =>
+        val arr = body(ex).get("vectors")
+        if (arr == null || !arr.isArray) (400, err("'vectors' array required"))
+        else {
+          val recs = arr.elements().asScala.map(record).toSeq
+          val res = store.insert(recs)
+          mutated("insert", recs.map(_.id))
+          val n = obj()
+          n.put("inserted", res.inserted)
+          n.put("duplicates", res.duplicates)
+          (200, n)
+        }
+      case ("GET", IdPath(id)) =>
+        store.vectors.filter(col("id") === id)
+          .select("id", "embedding", "metadata").collect().headOption match {
+          case None => (404, err(s"vector not found: $id"))
+          case Some(r) =>
+            val n = obj()
+            n.put("id", r.getString(0))
+            val v = n.putArray("vector")
+            r.getSeq[Float](1).foreach(v.add)
+            n.set[JsonNode]("metadata",
+              if (r.isNullAt(2)) mapper.createObjectNode()
+              else mapper.readTree(r.getString(2)))
+            (200, n)
+        }
+      case ("DELETE", IdPath(id)) =>
+        val res = store.delete(Seq(id))
+        if (res.deletedCount == 0) (404, err(s"vector not found: $id"))
+        else {
+          mutated("delete", Seq(id))
+          val n = obj(); n.put("id", id); n.put("deleted", true); (200, n)
+        }
+      case _ => (405, err("method not allowed"))
+    })
+    server.createContext("/api/v1/search", ex => handle(ex) {
+      case ("POST", _) =>
+        val req = body(ex)
+        val qv = floats(req.get("vector"))
+        val cacheKey = mapper.writeValueAsString(req)
+        val memo = queryCache.get(cacheKey)
+        if (qv.isEmpty) (400, err("Vector cannot be empty")) // rest.rs:741-746
+        else if (memo != null) {
+          cacheHits += 1
+          val n = memo.deepCopy()
+          n.put("cached", true)
+          (200, n)
+        } else {
+          cacheMisses += 1
+          val t0 = System.nanoTime()
+          val k = if (req.hasNonNull("k")) req.get("k").asInt() else 10
+          val opts = Option(req.get("options"))
+          def opt(name: String) = opts.flatMap(o => Option(o.get(name)))
+          val hits = store.search(
+            qv, k,
+            metric = opt("metric").map(_.asText()).getOrElse("cosine"),
+            filterJson = Option(req.get("filter")).map(mapper.writeValueAsString),
+            scoreThreshold = opt("score_threshold").map(_.asDouble())
+          ).collect()
+          val includeMeta = opt("include_metadata").exists(_.asBoolean())
+          val n = obj()
+          val results = n.putArray("results")
+          hits.foreach { r =>
+            val h = results.addObject()
+            h.put("id", r.getString(0))
+            h.put("distance", r.getDouble(1))
+            h.put("score", r.getDouble(2))
+            if (includeMeta)
+              h.set[JsonNode]("metadata",
+                if (r.isNullAt(3)) mapper.createObjectNode()
+                else mapper.readTree(r.getString(3)))
+          }
+          n.put("total_count", hits.length)
+          n.put("query_time_ms", (System.nanoTime() - t0) / 1e6)
+          queryCache.put(cacheKey, n.deepCopy())
+          (200, n)
+        }
+      case _ => (405, err("method not allowed"))
+    })
+    server.createContext("/api/v1/updates", ex => handle(ex) {
+      case ("GET", _) =>
+        val since = Option(ex.getRequestURI.getQuery)
+          .flatMap(_.split("&").collectFirst {
+            case s if s.startsWith("since=") => s.drop(6).toLong })
+          .getOrElse(0L)
+        val n = obj()
+        val out = n.putArray("events")
+        var i = since.toInt
+        while (i < events.size()) { out.add(events.get(i)); i += 1 }
+        n.put("latest_seq", events.size().toLong)
+        (200, n)
+    })
+    server.createContext("/api/v1/admin", ex => handle(ex) {
+      case ("GET", "/api/v1/admin/statistics") =>
+        val st = store.stats()
+        val n = obj()
+        n.put("recent_count", st.recentCount)
+        n.put("historical_count", st.historicalCount)
+        n.put("tombstone_count", st.tombstoneCount)
+        n.put("dimension", store.dimension.getOrElse(0))
+        n.put("cache_hits", cacheHits)
+        n.put("cache_misses", cacheMisses)
+        (200, n)
+      case ("POST", "/api/v1/admin/migrate") =>
+        val migrated = store.migrate()
+        if (migrated > 0) mutated("migrate", Seq(migrated.toString))
+        val n = obj(); n.put("migrated", migrated); (200, n)
+      case ("POST", "/api/v1/admin/vacuum") =>
+        val res = store.vacuum()
+        mutated("vacuum", Seq((res.recentRemoved + res.historicalRemoved).toString))
+        val n = obj()
+        n.put("recent_removed", res.recentRemoved)
+        n.put("historical_removed", res.historicalRemoved)
+        (200, n)
+      case _ => (404, err("unknown admin route"))
+    })
+    server.setExecutor(null) // serial: one Spark driver, one request at a time
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  private object IdPath {
+    def unapply(path: String): Option[String] = {
+      val prefix = "/api/v1/vectors/"
+      if (path.startsWith(prefix) && path.length > prefix.length)
+        Some(java.net.URLDecoder.decode(path.drop(prefix.length), UTF_8))
+      else None
+    }
+  }
+
+  private def obj(): ObjectNode = mapper.createObjectNode()
+
+  private def err(msg: String): ObjectNode = {
+    val n = obj(); n.put("error", msg); n
+  }
+
+  private def body(ex: HttpExchange): JsonNode =
+    mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+
+  private def floats(n: JsonNode): Array[Float] =
+    if (n == null || !n.isArray) Array.empty
+    else n.elements().asScala.map(_.floatValue()).toArray
+
+  private def record(n: JsonNode): VectorStore.VectorRecord = {
+    val id = Option(n.get("id")).map(_.asText())
+      .getOrElse(throw new IllegalArgumentException("'id' required"))
+    val vec = floats(n.get("vector"))
+    if (vec.isEmpty) throw new IllegalArgumentException("Vector cannot be empty")
+    VectorStore.VectorRecord(id, vec,
+      Option(n.get("metadata")).filter(!_.isNull).map(mapper.writeValueAsString))
+  }
+
+  /** Route + JSON-error envelope: IllegalArgument -> 400 (the reference's
+    * bad_request), anything else -> 500 {"error": ...}. */
+  private def handle(ex: HttpExchange)(
+      route: PartialFunction[(String, String), (Int, ObjectNode)]): Unit = {
+    val key = (ex.getRequestMethod, ex.getRequestURI.getPath)
+    val (status, node) =
+      try route.applyOrElse(key,
+        (_: (String, String)) => (404, err(s"no route: $key")))
+      catch {
+        case e: IllegalArgumentException => (400, err(e.getMessage))
+        case NonFatal(e) => (500, err(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    val bytes = mapper.writeValueAsBytes(node)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+}
+
+/** `runMain graft.serve.ServeMain <storePath> [port]` — standalone server. */
+object ServeMain {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("/tmp/graft_store")
+    val port = args.lift(1).map(_.toInt).getOrElse(8080)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .appName("graft-serve")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val srv = new RestServer(new VectorStore(spark, path), port).start()
+    println(s"graft serving on :${srv.boundPort} (store: $path)")
+    Thread.currentThread().join()
+  }
+}

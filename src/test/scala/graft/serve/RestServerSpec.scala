@@ -1,0 +1,142 @@
+package graft.serve
+
+import graft.SparkSpec
+import graft.store.VectorStore
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+
+/** End-to-end HTTP conformance for the thin serving surface: the request/
+  * response shapes of `/root/reference/src/api/rest.rs` driven through a
+  * real socket against a live store. */
+class RestServerSpec extends SparkSpec {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def vecJson(seed: Int): String =
+    (0 until 8).map(j => math.sin(seed * (j + 1)).toFloat).mkString("[", ",", "]")
+
+  private def call(srv: RestServer, method: String, path: String,
+      body: String = null): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.boundPort}$path"))
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m,
+        if (body == null) BodyPublishers.noBody() else BodyPublishers.ofString(body))
+    }).build()
+    val res = client.send(req, BodyHandlers.ofString())
+    (res.statusCode(), mapper.readTree(res.body()))
+  }
+
+  test("insert, get, search, delete, stats over HTTP") {
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_rest_").toString)
+    val srv = new RestServer(store).start()
+    try {
+      // health before any data
+      val (hs, health) = call(srv, "GET", "/api/v1/health")
+      assert(hs == 200 && health.get("status").asText() == "healthy")
+
+      // single insert -> 201 with recent-tier placement
+      val (is, ins) = call(srv, "POST", "/api/v1/vectors",
+        s"""{"id": "a", "vector": ${vecJson(1)}, "metadata": {"tag": "x"}}""")
+      assert(is == 201 && ins.get("index").asText() == "recent")
+
+      // duplicate -> 409
+      val (ds, _) = call(srv, "POST", "/api/v1/vectors",
+        s"""{"id": "a", "vector": ${vecJson(1)}}""")
+      assert(ds == 409)
+
+      // empty vector -> 400 (rest.rs validate_vector)
+      val (bs, bad) = call(srv, "POST", "/api/v1/vectors",
+        """{"id": "z", "vector": []}""")
+      assert(bs == 400 && bad.get("error").asText().contains("empty"))
+
+      // batch insert
+      val batch = (2 until 10).map(i =>
+        s"""{"id": "v$i", "vector": ${vecJson(i)}, "metadata": {"i": $i}}""")
+        .mkString("""{"vectors": [""", ",", "]}")
+      val (bs2, bres) = call(srv, "POST", "/api/v1/vectors/batch", batch)
+      assert(bs2 == 200 && bres.get("inserted").asLong() == 8)
+
+      // get by id
+      val (gs, got) = call(srv, "GET", "/api/v1/vectors/v3")
+      assert(gs == 200 && got.get("vector").size() == 8
+        && got.get("metadata").get("i").asInt() == 3)
+      assert(call(srv, "GET", "/api/v1/vectors/nope")._1 == 404)
+
+      // search: nearest to v5's vector is v5 itself; metadata included
+      val (ss, sr) = call(srv, "POST", "/api/v1/search",
+        s"""{"vector": ${vecJson(5)}, "k": 3,
+            "options": {"metric": "l2", "include_metadata": true}}""")
+      assert(ss == 200)
+      val top = sr.get("results").get(0)
+      assert(top.get("id").asText() == "v5")
+      assert(top.get("distance").asDouble() < 1e-6)
+      assert(top.get("score").asDouble() > 0.999)
+      assert(top.get("metadata").get("i").asInt() == 5)
+      assert(sr.get("total_count").asInt() == 3)
+
+      // filtered search restricts the candidate set (F1 through HTTP)
+      val (fs, fr) = call(srv, "POST", "/api/v1/search",
+        s"""{"vector": ${vecJson(5)}, "k": 3, "filter": {"i": {"$$lte": 3}},
+            "options": {"metric": "l2"}}""")
+      assert(fs == 200)
+      assert(fr.get("results").elements().hasNext)
+      fr.get("results").forEach(h => assert(h.get("id").asText() != "v5"))
+
+      // delete + 404 on re-delete
+      assert(call(srv, "DELETE", "/api/v1/vectors/v3")._1 == 200)
+      assert(call(srv, "DELETE", "/api/v1/vectors/v3")._1 == 404)
+
+      // statistics reflect the lifecycle
+      val (ts, st) = call(srv, "GET", "/api/v1/admin/statistics")
+      assert(ts == 200)
+      assert(st.get("recent_count").asLong() == 8) // 9 inserted - 1 deleted
+      assert(st.get("dimension").asInt() == 8)
+
+      // vacuum compacts the tombstone away
+      val (vs, vac) = call(srv, "POST", "/api/v1/admin/vacuum")
+      assert(vs == 200 && vac.get("recent_removed").asLong() == 1)
+    } finally srv.stop()
+  }
+
+  test("query cache memoizes repeats and mutations invalidate it") {
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_qc_").toString)
+    val srv = new RestServer(store).start()
+    try {
+      (0 until 6).foreach { i =>
+        assert(call(srv, "POST", "/api/v1/vectors",
+          s"""{"id": "c$i", "vector": ${vecJson(i)}}""")._1 == 201)
+      }
+      val q = s"""{"vector": ${vecJson(2)}, "k": 2, "options": {"metric": "l2"}}"""
+      val (_, first) = call(srv, "POST", "/api/v1/search", q)
+      assert(!first.has("cached"))
+      val (_, second) = call(srv, "POST", "/api/v1/search", q)
+      assert(second.get("cached").asBoolean())
+      assert(second.get("results").get(0).get("id").asText() == "c2")
+      // deleting the top hit invalidates: fresh search no longer returns it
+      assert(call(srv, "DELETE", "/api/v1/vectors/c2")._1 == 200)
+      val (_, third) = call(srv, "POST", "/api/v1/search", q)
+      assert(!third.has("cached"))
+      assert(third.get("results").get(0).get("id").asText() != "c2")
+      val (_, st) = call(srv, "GET", "/api/v1/admin/statistics")
+      assert(st.get("cache_hits").asLong() == 1 && st.get("cache_misses").asLong() == 2)
+
+      // change feed: sequenced insert/delete events, resumable via ?since=
+      val (us, upd) = call(srv, "GET", "/api/v1/updates")
+      assert(us == 200 && upd.get("latest_seq").asLong() == 7) // 6 inserts + 1 delete
+      val types = (0 until upd.get("events").size())
+        .map(i => upd.get("events").get(i).get("type").asText())
+      assert(types.count(_ == "insert") == 6 && types.count(_ == "delete") == 1)
+      val (_, tail) = call(srv, "GET", "/api/v1/updates?since=6")
+      assert(tail.get("events").size() == 1
+        && tail.get("events").get(0).get("type").asText() == "delete"
+        && tail.get("events").get(0).get("id").asText() == "c2")
+    } finally srv.stop()
+  }
+}
