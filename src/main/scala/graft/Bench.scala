@@ -33,8 +33,10 @@ object Bench {
       .agg(count(lit(1))).collect()
     // index build is a once-per-corpus-version cost (the reference also
     // excludes index construction from its warm search numbers): build the
-    // persisted HNSW graphs here so ann_hnsw_scale measures searchSaved
+    // persisted HNSW graphs + IVF inverted file here so the *_scale ANN
+    // queries measure steady-state serving
     graft.queries.AnnQueries.ensureHnswScaleIndex(spark, sfDir)
+    graft.queries.AnnQueries.ensureIvfScaleIndex(spark, sfDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

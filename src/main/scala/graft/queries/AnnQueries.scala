@@ -52,6 +52,28 @@ object AnnQueries {
     path
   }
 
+  /** Build-once persisted IVF index over the scale corpus: k-means
+    * centroids sidecar + the corpus written as an inverted file (one
+    * parquet partition per cluster_id), keyed by sf dir. Training and
+    * assignment are a once-per-corpus-version cost, exactly like the
+    * reference's trained historical tier; searches then probe-prune
+    * partitions of the persisted table. */
+  def ensureIvfScaleIndex(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"/tmp/graft_ivf_idx/${tag}_k32_v1"
+    val p = new org.apache.hadoop.fs.Path(s"$base/data/_SUCCESS")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val corpus = scaleCorpus(Tables.load(s, dir, "embeddings"))
+      val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = 32,
+        maxIterations = 10, trainSize = 10000, initMode = "driver"))
+      val assigned = Ivf.assign(corpus, cents)
+      Ivf.writePartitioned(assigned, s"$base/data")
+      Ivf.exportCentroids(cents, s"$base/centroids")
+    }
+    base
+  }
+
   private def labelCentroids(emb: DataFrame): DataFrame =
     emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos").agg(avg("v").as("m"))
@@ -156,20 +178,21 @@ object AnnQueries {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       rank1(Ivf.searchBatch(assigned, cents, queries, k = 10, nProbe = 4))
     }),
-    // ANN at the 100K scale: KMeans-IVF over the same derived corpus as
-    // knn_scale, probe 4/32 clusters — the plan whose scan cost stays
-    // ~n_probe/n_clusters of exact search at any corpus size. Self-retrieval
-    // is guaranteed for IVF: the query's nearest centroid IS the cluster its
-    // identical corpus row was assigned to, so nProbe >= 1 always probes it.
+    // ANN at the 100K scale: KMeans-IVF served from the persisted inverted
+    // file (ensureIvfScaleIndex trains + writes once per corpus version;
+    // probing n of 32 clusters is parquet partition pruning on the saved
+    // table) — the plan whose scan cost stays ~n_probe/n_clusters of exact
+    // search at any corpus size. Self-retrieval is guaranteed for IVF: the
+    // query's nearest centroid IS the cluster its identical corpus row was
+    // assigned to, so nProbe >= 1 always probes it.
     "ann_ivf_scale" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      val corpus = scaleCorpus(e)
-      val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = 32,
-        maxIterations = 10, trainSize = 10000, initMode = "driver"))
-      val assigned = Ivf.assign(corpus, cents)
+      val base = ensureIvfScaleIndex(s, dir)
+      val corpus = s.read.parquet(s"$base/data")
+      val cents = s.read.parquet(s"$base/centroids")
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      rank1(Ivf.searchBatch(assigned, cents, queries, k = 10, nProbe = 4))
+      rank1(Ivf.searchBatch(corpus, cents, queries, k = 10, nProbe = 4))
     }),
     // HNSW at the 100K scale: persisted per-partition graphs (built once per
     // corpus version via ensureHnswScaleIndex), served by searchSaved — the

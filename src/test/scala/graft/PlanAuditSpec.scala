@@ -51,6 +51,35 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, plan)
   }
 
+  test("store searchBatch carries string ids natively (no surrogate remap joins)") {
+    import graft.store.VectorStore, VectorStore._
+    import spark.implicits._
+    val st = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_audit_").toString)
+    st.insert((0 until 20).map(i => VectorRecord(s"s$i",
+      Array.tabulate(8)(j => math.sin(i * (j + 1)).toFloat))))
+    val queries = Seq((1L, Array.tabulate(8)(j => math.sin(3 * (j + 1)).toFloat)))
+      .toDF("query_id", "q_embedding")
+    val df = st.searchBatch(queries, k = 5, metric = "l2")
+    assert(df.collect().head.getString(1) == "s3") // natural id, not a hash
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("xxhash64"), plan) // no surrogate remap
+    assert(plan.contains("top_k_str"), plan) // string top-k aggregate in-plan
+  }
+
+  test("IVF/PQ training samples in one pass (no count scan before sampling)") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+    // the sampling subplan is TakeOrderedAndProject by rand over a pruned
+    // single-column scan — per-partition top-n, merged once on the driver
+    val sampled = corpus.select(col("embedding"))
+      .orderBy(rand(42L)).limit(100)
+    val plan = executedPlan(sampled)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("ReadSchema: struct<embedding:array<float>>"), plan)
+    assert(!plan.contains("count("), plan)
+  }
+
   test("knn scan stays in whole-stage codegen through the distance kernel") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
