@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * operators (`mapPartitions` — the Scala analog of `mapInPandas`: one JVM
   * batch per partition, vectorizable inside, no per-row UDF dispatch).
   *
-  * The actual media DECODE step is a clearly-marked STUB — the container
-  * has no image/audio codecs — implemented as a deterministic fake decoder
-  * over a self-describing header we also generate. Everything around it is
-  * real and tested: the binary schema, the batch iterator shape, the 1->N
-  * frame-sample generator, partition sizing, and feature post-processing.
-  * A real decoder (javacv, TwelveMonkeys, ffmpeg pipe) drops into
-  * [[decodeHeader]] without touching any plumbing.
+  * The pixel-DECODE step is a clearly-marked STUB — the container has no
+  * image/audio codecs — implemented as a deterministic fake decoder over a
+  * self-describing header we also generate. Everything around it is real
+  * and tested: the binary schema, the batch iterator shape, the 1->N
+  * frame-sample generator, partition sizing, feature post-processing, and
+  * a REAL container-header prober ([[probeImage]]: PNG/GIF/BMP/JPEG
+  * dimensions from raw bytes, no codec needed). A real pixel decoder
+  * (javacv, TwelveMonkeys, ffmpeg pipe) drops into [[decodeHeader]]
+  * without touching any plumbing.
   */
 object Multimodal {
 
@@ -95,6 +97,67 @@ object Multimodal {
       }(Encoders.frame)
   }
 
+  case class ImageMeta(media_id: Long, format: String, width: Int, height: Int)
+
+  /** REAL container-header prober — no codec required: image dimensions
+    * live in the first bytes of every mainstream format, so a training
+    * pipeline can dimension/aspect-filter 100 TB of blobs reading only
+    * parquet-page prefixes. Parses PNG (IHDR), GIF (logical screen
+    * descriptor), BMP (BITMAPINFOHEADER), and JPEG (SOF marker walk).
+    * Returns (format, width, height); None when unrecognized. */
+  def probeImage(data: Array[Byte]): Option[(String, Int, Int)] = {
+    if (data == null || data.length < 12) return None
+    def u8(i: Int) = data(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    // PNG: 8-byte signature, then IHDR chunk: len(4) "IHDR" width(4) height(4)
+    if (data.length >= 24 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a)
+      Some(("png", be32(16), be32(20)))
+    // GIF87a / GIF89a: logical screen w/h little-endian at 6/8
+    else if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8')
+      Some(("gif", le16(6), le16(8)))
+    // BMP: "BM", BITMAPINFOHEADER at offset 14 (height may be negative =
+    // top-down rows)
+    else if (data.length >= 26 && u8(0) == 'B' && u8(1) == 'M' && le32(14) >= 40)
+      Some(("bmp", le32(18), math.abs(le32(22))))
+    // JPEG: FF D8, then marker segments; dimensions sit in the first SOFn
+    else if (u8(0) == 0xff && u8(1) == 0xd8) {
+      var p = 2
+      while (p + 9 < data.length && u8(p) == 0xff) {
+        val marker = u8(p + 1)
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) p += 2 // standalone
+        else {
+          val len = be16(p + 2)
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) return Some(("jpeg", be16(p + 7), be16(p + 5)))
+          if (marker == 0xda || len < 2) return None // entropy data: give up
+          p += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Dimension metadata over a binary image column via the real prober —
+    * unrecognized blobs surface as format "unknown" (0x0), never a crash
+    * mid-pipeline. */
+  def imageMetadata(media: DataFrame): Dataset[ImageMeta] = {
+    val spark = media.sparkSession
+    media.select(col("media_id"), col("data"))
+      .as[(Long, Array[Byte])](Encoders.idBytes)
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          probeImage(bytes) match {
+            case Some((fmt, w, h)) => ImageMeta(id, fmt, w, h)
+            case None => ImageMeta(id, "unknown", 0, 0)
+          }
+        }
+      }(Encoders.imageMeta)
+  }
+
   /** Typed-metadata projection + partition sizing for a media table: the
     * scan-side shape (select only header metadata, never the blob) that
     * keeps 100 TB of blobs out of shuffles. */
@@ -111,5 +174,6 @@ object Multimodal {
     val idBytes: Encoder[(Long, Array[Byte])] = E.tuple(E.scalaLong, E.BINARY)
     val imageFeatures: Encoder[ImageFeatures] = E.product[ImageFeatures]
     val frame: Encoder[Frame] = E.product[Frame]
+    val imageMeta: Encoder[ImageMeta] = E.product[ImageMeta]
   }
 }

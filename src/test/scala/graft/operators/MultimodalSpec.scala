@@ -45,6 +45,52 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("total_bytes") == 50L * 80)
   }
 
+  test("probeImage parses PNG/GIF/BMP/JPEG headers from raw bytes") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // PNG: signature + IHDR(len, type, w=640, h=480)
+    val png = ByteBuffer.allocate(26)
+      .putInt(0x89504e47).putInt(0x0d0a1a0a)
+      .putInt(13).put("IHDR".getBytes).putInt(640).putInt(480)
+      .array()
+    assert(Multimodal.probeImage(png).contains(("png", 640, 480)))
+    // GIF89a: w=320, h=200 little-endian
+    val gif = ByteBuffer.allocate(13).order(ByteOrder.LITTLE_ENDIAN)
+      .put("GIF89a".getBytes).putShort(320.toShort).putShort(200.toShort)
+      .array()
+    assert(Multimodal.probeImage(gif).contains(("gif", 320, 200)))
+    // BMP: "BM" + 12 filler, BITMAPINFOHEADER(40) w=123 h=-77 (top-down)
+    val bmp = ByteBuffer.allocate(30).order(ByteOrder.LITTLE_ENDIAN)
+      .put('B'.toByte).put('M'.toByte).put(new Array[Byte](12))
+      .putInt(40).putInt(123).putInt(-77)
+      .array()
+    assert(Multimodal.probeImage(bmp).contains(("bmp", 123, 77)))
+    // JPEG: SOI, APP0 (skipped), SOF0 with height=600 width=800
+    val jpg = ByteBuffer.allocate(2 + 18 + 12)
+      .putShort(0xffd8.toShort)
+      .putShort(0xffe0.toShort).putShort(16).put(new Array[Byte](14))
+      .putShort(0xffc0.toShort).putShort(17).put(8.toByte)
+      .putShort(600.toShort).putShort(800.toShort)
+      .array()
+    assert(Multimodal.probeImage(jpg).contains(("jpeg", 800, 600)))
+    // junk bytes -> None, never a crash
+    assert(Multimodal.probeImage(Array.fill[Byte](40)(7)).isEmpty)
+    assert(Multimodal.probeImage(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.probeImage(null).isEmpty)
+  }
+
+  test("imageMetadata maps the prober over a binary column (unknowns survive)") {
+    import spark.implicits._
+    val png = java.nio.ByteBuffer.allocate(26)
+      .putInt(0x89504e47).putInt(0x0d0a1a0a)
+      .putInt(13).put("IHDR".getBytes).putInt(64).putInt(32).array()
+    val df = Seq((1L, png), (2L, Array.fill[Byte](20)(3)))
+      .toDF("media_id", "data")
+    val metas = Multimodal.imageMetadata(df).collect()
+      .map(m => m.media_id -> ((m.format, m.width, m.height))).toMap
+    assert(metas(1L) == (("png", 64, 32)))
+    assert(metas(2L) == (("unknown", 0, 0)))
+  }
+
   test("merge strategies: TakeBest / Average / Weighted") {
     import spark.implicits._
     val results = Seq(
