@@ -45,7 +45,8 @@ import scala.util.control.NonFatal
   *  - update feed (`client/rust.rs:71-98`): every mutation appends a
   *    sequenced change event; clients poll `/updates?since=<seq>`
   */
-class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128) {
+class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
+    maxEvents: Int = 10000) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -58,18 +59,23 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128) {
   private var cacheHits = 0L
   private var cacheMisses = 0L
 
-  private val events = new java.util.ArrayList[ObjectNode]()
+  // bounded ring: seq numbers keep advancing, but only the newest maxEvents
+  // are retained (a lagging consumer sees first_seq > since and re-syncs)
+  private val events = new java.util.ArrayDeque[ObjectNode]()
+  private var nextSeq = 1L
 
   /** Mutations invalidate the memo and append a change event. */
   private def mutated(tpe: String, ids: Seq[String]): Unit = {
     queryCache.clear()
     ids.foreach { id =>
       val e = obj()
-      e.put("seq", events.size().toLong + 1)
+      e.put("seq", nextSeq)
       e.put("type", tpe)
       e.put("id", id)
       e.put("timestamp", java.time.Instant.now().toString)
-      events.add(e)
+      events.addLast(e)
+      nextSeq += 1
+      if (events.size() > maxEvents) events.removeFirst()
     }
   }
 
@@ -186,9 +192,12 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128) {
           .getOrElse(0L)
         val n = obj()
         val out = n.putArray("events")
-        var i = since.toInt
-        while (i < events.size()) { out.add(events.get(i)); i += 1 }
-        n.put("latest_seq", events.size().toLong)
+        events.iterator().asScala
+          .filter(_.get("seq").asLong() > since)
+          .foreach(out.add(_: JsonNode))
+        n.put("latest_seq", nextSeq - 1)
+        n.put("first_seq",
+          if (events.isEmpty) nextSeq else events.peekFirst().get("seq").asLong())
         (200, n)
     })
     server.createContext("/api/v1/admin", ex => handle(ex) {

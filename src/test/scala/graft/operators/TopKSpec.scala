@@ -40,6 +40,29 @@ class TopKSpec extends SparkSpec {
     assert(got == gt)
   }
 
+  test("string-id top-k matches window ground truth (serde across the shuffle)") {
+    // same 50K rows, string ids with zero-padding so lexicographic ties
+    // match the long ordering exactly; 8 groups * many partitions forces
+    // partial-buffer serialize/deserialize/merge through the exchange
+    val sScored = scored.select(col("g"), format_string("id%07d", col("id")).as("id"), col("dist"))
+    val gt = groundTruth(10).map { case ((g, id), d) => (g, f"id$id%07d") -> d }
+    val got = sScored.groupBy("g").agg(TopK.topKStr(10)(col("id"), col("dist")).as("hits"))
+      .select(col("g"), explode(col("hits")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getStruct(1).getString(0)) -> r.getStruct(1).getDouble(1)).toMap
+    assert(got == gt)
+  }
+
+  test("string-id top-k: ties break lexicographically, nulls skipped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "b", 0.5), (1L, "a", 0.5), (1L, null, 0.1), (1L, "c", 0.2)
+    ).toDF("g", "id", "dist")
+    val hits = df.groupBy("g").agg(TopK.topKStr(2)(col("id"), col("dist")).as("hits"))
+      .select(explode(col("hits")).as("h")).collect()
+      .map(r => (r.getStruct(0).getString(0), r.getStruct(0).getDouble(1)))
+    assert(hits.toSeq == Seq(("c", 0.2), ("a", 0.5)))
+  }
+
   test("k larger than group size returns whole group sorted") {
     import spark.implicits._
     val small = Seq((1L, 10L, 0.3), (1L, 11L, 0.1), (1L, 12L, 0.2)).toDF("g", "id", "dist")
