@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.Tables
 import graft.functions.VectorExpressions._
 import graft.functions.VectorFunctions
-import graft.operators.{Hnsw, Ivf, Knn, Pq}
+import graft.operators.{Hnsw, Ivf, Knn, LshAnn, Pq}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -205,6 +205,19 @@ object AnnQueries {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       rank1(Hnsw.searchSaved(s, path, queries, k = 10, efSearch = 120))
     }),
+    // LSH-bucketed ANN: self-retrieval holds by construction (an identical
+    // query hashes into every one of its corpus row's buckets, and the
+    // exact-verify distance is 0 <= any maxDistance). Params are tuned to
+    // the corpus geometry (neighbor distances ~1.1, median pair ~1.4) so
+    // the bucket join actually prunes instead of degenerating to all-pairs.
+    "ann_lsh" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      rank1(LshAnn.searchBatch(corpus, queries, k = 10,
+        maxDistance = 1.3, bucketLength = 0.5))
+    }),
     // PQ two-stage search (the 100 TB pattern: ADC scans 8 bytes/vector for
     // a shortlist, exact rerank touches only shortlist-many full vectors),
     // gated as recall@10 vs exact over 8 corpus-vector queries — the one
@@ -318,6 +331,9 @@ object AnnQueries {
       """SELECT vec_id AS query_id, vec_id * 50 AS id, 0.0 AS distance
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
     "ann_ivf_kmeans" ->
+      """SELECT vec_id AS query_id, vec_id AS id, 0.0 AS distance
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "ann_lsh" ->
       """SELECT vec_id AS query_id, vec_id AS id, 0.0 AS distance
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
     "ann_pq_adc" ->
