@@ -140,17 +140,21 @@ object Hnsw {
       * closer to the base than to every already-kept neighbor, then backfill
       * with the nearest rejected. Plain keep-closest pruning saturates every
       * node with one dense cluster's edges and fragments the graph (measured
-      * ~8% self-retrieval misses at 3K nodes; this brings it to ~0). */
-    private def selectDiverse(cand: collection.Seq[(Int, Double)], cap: Int): mutable.ArrayBuffer[Int] = {
+      * ~8% self-retrieval misses at 3K nodes; this brings it to ~0).
+      * Primitive arrays in/out — this runs on every insert level and every
+      * overflow prune, so no boxed tuples. */
+    private def selectDiverse(candN: Array[Int], candD: Array[Double], n: Int,
+        cap: Int): mutable.ArrayBuffer[Int] = {
       val kept = new mutable.ArrayBuffer[Int](cap)
       val rejected = new mutable.ArrayBuffer[Int]()
       var i = 0
-      while (i < cand.length && kept.length < cap) {
-        val c = cand(i)._1; val dBase = cand(i)._2
+      while (i < n && kept.length < cap) {
+        val c = candN(i); val dBase = candD(i)
+        val cv = vecs(c)
         var diverse = true
         var j = 0
         while (diverse && j < kept.length) {
-          if (dist(vecs(c), vecs(kept(j))) < dBase) diverse = false
+          if (dist(cv, vecs(kept(j))) < dBase) diverse = false
           j += 1
         }
         if (diverse) kept += c else rejected += c
@@ -161,9 +165,11 @@ object Hnsw {
       kept
     }
 
-    /** Beam search on one layer from one entry point. Returns up to ef
-      * (node, dist) pairs, closest first. */
-    private def searchLayer(q: Array[Float], ep: Int, ef: Int, level: Int): mutable.ArrayBuffer[(Int, Double)] = {
+    /** Beam search on one layer from one entry point. Fills candN/candD
+      * (closest first) and returns the count — primitive arrays, no boxed
+      * pairs on the build hot path. */
+    private def searchLayer(q: Array[Float], ep: Int, ef: Int, level: Int,
+        candN: Array[Int], candD: Array[Double]): Int = {
       val visited = new java.util.BitSet(ids.length)
       visited.set(ep)
       val cand = new DIHeap(ef + 1) // min-heap by dist
@@ -191,11 +197,13 @@ object Hnsw {
           }
         }
       }
-      val out = new mutable.ArrayBuffer[(Int, Double)](res.size)
-      while (res.nonEmpty) { out += ((res.topNode, -res.topDist)); res.pop() }
-      // popped worst-first; reverse to closest-first
-      val rev = out.reverse
-      rev
+      // drain worst-first into the tail so the output reads closest-first
+      val n = res.size
+      var i = n - 1
+      while (res.nonEmpty) {
+        candN(i) = res.topNode; candD(i) = -res.topDist; res.pop(); i -= 1
+      }
+      n
     }
 
     private def connect(a: Int, b: Int, level: Int): Unit = {
@@ -209,8 +217,20 @@ object Hnsw {
       val ns = nbrs(node)(level)
       if (ns.length > cap) {
         val v = vecs(node)
-        val cand = ns.map(n => (n, dist(v, vecs(n)))).sortInPlaceBy(_._2)
-        nbrs(node)(level) = selectDiverse(cand, cap)
+        val n = ns.length
+        val cn = new Array[Int](n); val cd = new Array[Double](n)
+        var i = 0
+        while (i < n) { cn(i) = ns(i); cd(i) = dist(v, vecs(ns(i))); i += 1 }
+        // insertion sort ascending by dist (n = cap + 1, tiny)
+        i = 1
+        while (i < n) {
+          val dk = cd(i); val nk = cn(i)
+          var j = i - 1
+          while (j >= 0 && cd(j) > dk) { cd(j + 1) = cd(j); cn(j + 1) = cn(j); j -= 1 }
+          cd(j + 1) = dk; cn(j + 1) = nk
+          i += 1
+        }
+        nbrs(node)(level) = selectDiverse(cn, cd, n, cap)
       }
     }
 
@@ -239,13 +259,14 @@ object Hnsw {
         l -= 1
       }
       // beam search + diverse-connect at each level from min(lvl, maxLevel)
+      val candN = new Array[Int](cfg.efConstruction + 1)
+      val candD = new Array[Double](cfg.efConstruction + 1)
       l = math.min(lvl, maxLevel)
       while (l >= 0) {
-        val found = searchLayer(v, curr, cfg.efConstruction, l)
+        val cnt = searchLayer(v, curr, cfg.efConstruction, l, candN, candD)
         val cap = if (l == 0) cfg.m0 else cfg.m
-        selectDiverse(found.map { case (n, d) => (n, d) }, cap)
-          .foreach(n => connect(node, n, l))
-        curr = found.head._1
+        selectDiverse(candN, candD, cnt, cap).foreach(n => connect(node, n, l))
+        curr = candN(0)
         l -= 1
       }
       if (lvl > maxLevel) { entry = node; maxLevel = lvl }
@@ -269,16 +290,21 @@ object Hnsw {
     /** k-NN search; deleted nodes traversed but filtered from results. */
     def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
       if (entry < 0) return Nil
+      val beam = math.max(ef, k)
+      val candN = new Array[Int](beam + 1)
+      val candD = new Array[Double](beam + 1)
       var curr = entry
       var l = maxLevel
       while (l > 0) {
-        curr = searchLayer(q, curr, 1, l).head._1
+        searchLayer(q, curr, 1, l, candN, candD)
+        curr = candN(0)
         l -= 1
       }
-      searchLayer(q, curr, math.max(ef, k), 0)
-        .filterNot { case (n, _) => deleted.contains(n) }
-        .sortBy { case (n, d) => (d, ids(n)) }
-        .take(k).map { case (n, d) => (ids(n), d) }.toSeq
+      val cnt = searchLayer(q, curr, beam, 0, candN, candD)
+      (0 until cnt).filterNot(i => deleted.contains(candN(i)))
+        .map(i => (ids(candN(i)), candD(i)))
+        .sortBy { case (id, d) => (d, id) }
+        .take(k)
     }
 
     /** Flatten into the immutable primitive-array form used for search and
