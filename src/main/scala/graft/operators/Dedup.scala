@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread a narrow input across the executors before CPU-heavy map work
+    * (shingle md5 hashing): a small corpus arriving as one parquet file is
+    * one partition, which would serialize the whole hash stage on a single
+    * core. At scale the input is already many splits and this is a no-op —
+    * the guard only fires when partitions < parallelism. */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact duplicate groups: (fingerprint, cnt, keep_id) for groups of
     * size >= minGroup; keep_id is the smallest id (the canonical survivor). */
   def exactGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
@@ -51,7 +61,7 @@ object Dedup {
     // cached: referenced three times (band explode + two verify joins);
     // without it the shingle-hash scan re-runs per reference. At cluster
     // scale this materialization is the signature table you'd persist.
-    val hashed = docs
+    val hashed = spread(docs)
       .select(col(idCol).as("id"),
         array_distinct(shingleHashes(col(textCol), shingleN)).as("hs"))
       .withColumn("sig", minhashFromHashes(col("hs"), numHashes))

@@ -59,7 +59,7 @@ object TextQueries {
     // minhash signatures, exploded for oracle compare; shingle hashes
     // materialized once, signature derived from the long array
     "minhash_sigs" -> ((s, dir) => {
-      Tables.load(s, dir, "documents")
+      graft.operators.Dedup.spread(Tables.load(s, dir, "documents"))
         .withColumn("hs", shingleHashes(col("text"), 2))
         .select(col("doc_id"),
           posexplode(minhashFromHashes(col("hs"), 8)).as(Seq("hash_id", "minhash")))
