@@ -107,19 +107,11 @@ class VectorStore(val spark: SparkSession, val path: String,
 
   // ---- init ----
 
+  /** Init = manifest only. Table dirs materialize on first append — readOr/
+    * hasRows treat a missing dir as empty, so a fresh store costs one
+    * sidecar write, not four empty-parquet Spark jobs. */
   def initIfNeeded(dim: Int): Unit = {
-    if (readManifest().isEmpty) {
-      writeManifest(Manifest(FormatVersion, dim))
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], vectorSchema)
-      empty.write.mode(SaveMode.Overwrite).parquet(dir("recent"))
-      empty.withColumn("cluster_id", lit(0))
-        .write.mode(SaveMode.Overwrite).parquet(dir("historical"))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tombSchema)
-        .write.mode(SaveMode.Overwrite).parquet(dir("tombstones"))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], metaUpdateSchema)
-        .write.mode(SaveMode.Overwrite).parquet(dir("meta_updates"))
-    }
+    if (readManifest().isEmpty) writeManifest(Manifest(FormatVersion, dim))
   }
 
   // ---- reads ----
@@ -312,10 +304,10 @@ class VectorStore(val spark: SparkSession, val path: String,
     newHist.write.mode(SaveMode.Overwrite).partitionBy("cluster_id").parquet(dir("historical") + "_tmp")
     swap("recent"); swap("historical")
     newRec.unpersist(); newHist.unpersist()
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tombSchema)
-      .write.mode(SaveMode.Overwrite).parquet(dir("tombstones"))
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], metaUpdateSchema)
-      .write.mode(SaveMode.Overwrite).parquet(dir("meta_updates"))
+    // compacted => the mutation sidecars are spent; drop the dirs (absence
+    // means empty to readOr/hasRows) instead of writing empty tables
+    fs.delete(new Path(dir("tombstones")), true)
+    fs.delete(new Path(dir("meta_updates")), true)
     VacuumResult(recRemoved, histRemoved)
   }
 
@@ -328,10 +320,18 @@ class VectorStore(val spark: SparkSession, val path: String,
 
   // ---- A6/C7 stats ----
 
-  def stats(): Stats = Stats(
-    recentCount = dropTombstoned(recent).count(),
-    historicalCount = dropTombstoned(historical).count(),
-    tombstoneCount = tombstones.count())
+  def stats(): Stats = {
+    // one job for all three counts, not three
+    val counts = dropTombstoned(recent).select(lit("r").as("t"))
+      .unionByName(dropTombstoned(historical).select(lit("h").as("t")))
+      .unionByName(tombstones.select(lit("t").as("t")))
+      .groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Stats(
+      recentCount = counts.getOrElse("r", 0L),
+      historicalCount = counts.getOrElse("h", 0L),
+      tombstoneCount = counts.getOrElse("t", 0L))
+  }
 
   /** A6/A7 (`hybrid/core.rs:694-820`): average vector age and the
     * <1h/<1d/<1w/>=1w age histogram over live rows, anchored at `now`. */

@@ -68,15 +68,17 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("IVF/PQ training samples in one pass (no count scan before sampling)") {
-    val emb = Tables.load(spark, sfDir, "embeddings")
-    val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+    // lineitem/l_shipdate: no other suite caches this projection, so the
+    // audit always sees the real file scan (a cached embeddings relation
+    // would satisfy the query and hide the ReadSchema)
+    val corpus = Tables.load(spark, sfDir, "lineitem")
     // the sampling subplan is TakeOrderedAndProject by rand over a pruned
     // single-column scan — per-partition top-n, merged once on the driver
-    val sampled = corpus.select(col("embedding"))
+    val sampled = corpus.select(col("l_shipdate"))
       .orderBy(rand(42L)).limit(100)
     val plan = executedPlan(sampled)
     assert(plan.contains("TakeOrderedAndProject"), plan)
-    assert(plan.contains("ReadSchema: struct<embedding:array<float>>"), plan)
+    assert(plan.contains("ReadSchema: struct<l_shipdate:"), plan)
     assert(!plan.contains("count("), plan)
   }
 
