@@ -116,6 +116,22 @@ class HnswSpec extends SparkSpec {
     assert(!afterVacuum.contains(3L) && afterVacuum.size == 10)
   }
 
+  test("saved graphs: 100% self-retrieval at rank 1 (the ann_hnsw_scale oracle contract)") {
+    // mirrors the driver-checked oracle locally so a graph-quality
+    // regression fails here before it fails the correctness gate
+    val path = graft.queries.AnnQueries.ensureHnswScaleIndex(spark, sfDir)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val top1 = Hnsw.searchSaved(spark, path, queries, k = 10, efSearch = 120)
+      .filter(col("rank") === 1).collect()
+    assert(top1.length == 50)
+    top1.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) * 50, s"query ${r.getLong(0)} top-1 ${r.getLong(1)}")
+      assert(r.getDouble(2) == 0.0)
+    }
+  }
+
   test("distributed searchBatch: recall >= 0.9 vs exact oracle on real embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding")).repartition(4)
