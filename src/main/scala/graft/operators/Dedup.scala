@@ -34,7 +34,7 @@ object Dedup {
     * size >= minGroup; keep_id is the smallest id (the canonical survivor). */
   def exactGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       minGroup: Long = 1L): DataFrame =
-    docs.groupBy(contentFingerprint(col(textCol)).as("fingerprint"))
+    spread(docs).groupBy(contentFingerprint(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
       .filter(col("cnt") >= minGroup)
 
@@ -42,7 +42,7 @@ object Dedup {
     * one shuffle, resolved with min_by not a self-join. */
   def dropExactDuplicates(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val keep = docs.groupBy(contentFingerprint(col(textCol)).as("fp"))
+    val keep = spread(docs).groupBy(contentFingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
     docs.join(keep, Seq(idCol), "left_semi")
@@ -112,7 +112,7 @@ object Dedup {
   /** Map-only SimHash fingerprints: (id, simhash). */
   def simhashFingerprints(docs: DataFrame, bits: Int = 16,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol).as("id"), simhash(col(textCol), bits).as("simhash"))
+    spread(docs).select(col(idCol).as("id"), simhash(col(textCol), bits).as("simhash"))
 
   /** Embedding near-duplicates blocked by a cluster column: pairs in the
     * same block with cosine >= threshold. At scale the block is the IVF

@@ -35,6 +35,8 @@ import scala.util.control.NonFatal
   *   GET    /api/v1/admin/statistics
   *   POST   /api/v1/admin/migrate
   *   POST   /api/v1/admin/vacuum
+  *   POST   /api/v1/admin/rebalance   {max_cluster_size?}
+  *   POST   /api/v1/admin/backup      {target}
   *   GET    /api/v1/updates?since=N
   *
   * Serving-loop extras from the reference:
@@ -222,6 +224,26 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         n.put("recent_removed", res.recentRemoved)
         n.put("historical_removed", res.historicalRemoved)
         (200, n)
+      case ("POST", "/api/v1/admin/rebalance") =>
+        val req = body(ex)
+        val maxSize =
+          if (req != null && req.hasNonNull("max_cluster_size"))
+            req.get("max_cluster_size").asInt()
+          else 10000
+        val moved = store.rebalance(maxSize)
+        if (moved > 0) mutated("rebalance", Seq(moved.toString))
+        val n = obj(); n.put("moved", moved); (200, n)
+      case ("POST", "/api/v1/admin/backup") =>
+        val req = body(ex)
+        if (req == null || !req.hasNonNull("target"))
+          (400, err("'target' path required"))
+        else {
+          val target = req.get("target").asText()
+          val n = obj()
+          n.put("target", target)
+          n.put("bytes", store.backup(target))
+          (200, n)
+        }
       case _ => (404, err("unknown admin route"))
     })
     server.setExecutor(null) // serial: one Spark driver, one request at a time

@@ -289,6 +289,42 @@ class VectorStore(val spark: SparkSession, val path: String,
     nOld
   }
 
+  // ---- X9 rebalance on the historical tier ----
+
+  /** Cap every historical cluster at `maxSize` rows (cluster-closest rows
+    * stay; overflow moves to its second-nearest centroid, `Ivf.balance` /
+    * `ivf/operations.rs:422-492`), then rewrite the tier tmp+swap.
+    * Returns how many rows changed cluster. */
+  def rebalance(maxSize: Int): Long = {
+    // hasRows is flat-dir only; the historical tier nests cluster_id=*/
+    if (!exists("centroids") || !exists("historical")) return 0L
+    val hist = historical
+    val balanced = Ivf.balance(hist, centroids, maxSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val moved = balanced.select(col("vid"), col("cluster_id"))
+      .join(hist.select(col("vid"), col("cluster_id").as("old_cid")), Seq("vid"))
+      .filter(col("cluster_id") =!= col("old_cid")).count()
+    balanced.write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(dir("historical") + "_tmp")
+    balanced.unpersist()
+    swap("historical")
+    moved
+  }
+
+  // ---- backup (admin route parity, rest.rs:715) ----
+
+  /** Recursive FS copy of the whole store (tables + sidecars) to `target`;
+    * returns bytes copied. Works across filesystems (the copy goes through
+    * the Hadoop API on both ends). */
+  def backup(target: String): Long = {
+    val src = new Path(path)
+    val dst = new Path(target)
+    val dstFs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, dstFs, dst,
+      false, true, spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(src).getLength
+  }
+
   // ---- C6 vacuum: physical removal of soft-deleted + overlay compaction ----
 
   def vacuum(): VacuumResult = {

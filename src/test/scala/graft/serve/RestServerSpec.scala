@@ -101,6 +101,15 @@ class RestServerSpec extends SparkSpec {
       // vacuum compacts the tombstone away
       val (vs, vac) = call(srv, "POST", "/api/v1/admin/vacuum")
       assert(vs == 200 && vac.get("recent_removed").asLong() == 1)
+
+      // rebalance: no centroids yet -> moved 0; backup clones the store
+      val (rs, rb) = call(srv, "POST", "/api/v1/admin/rebalance", "{}")
+      assert(rs == 200 && rb.get("moved").asLong() == 0)
+      assert(call(srv, "POST", "/api/v1/admin/backup", "{}")._1 == 400)
+      val target = java.nio.file.Files.createTempDirectory("graft_rest_bk_").toString + "/c"
+      val (ks, bk) = call(srv, "POST", "/api/v1/admin/backup",
+        s"""{"target": "$target"}""")
+      assert(ks == 200 && bk.get("bytes").asLong() > 0)
     } finally srv.stop()
   }
 

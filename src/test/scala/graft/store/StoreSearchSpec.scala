@@ -74,6 +74,35 @@ class StoreSearchSpec extends SparkSpec {
     assert(st.readManifest().exists(_.dim == 8))
   }
 
+  test("rebalance caps oversized historical clusters; backup clones the store") {
+    import spark.implicits._
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_rb_").toString,
+      Config(recentThresholdSeconds = 3600, nClusters = 3))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert((0 until 60).map(i => VectorRecord(s"r$i", vec(i), tsString = Some(oldTs))))
+    assert(st.migrate() == 60)
+    val sizesBefore = st.historical.groupBy("cluster_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxSize = 12
+    val oversized = sizesBefore.filter(_._2 > maxSize).keySet
+    assert(oversized.nonEmpty) // 60 rows over 3 clusters must overflow somewhere
+    val moved = st.rebalance(maxSize)
+    assert(moved > 0)
+    val sizesAfter = st.historical.groupBy("cluster_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // every originally-oversized cluster got capped; no row lost
+    oversized.foreach(c => assert(sizesAfter(c) <= maxSize, s"cluster $c: ${sizesAfter(c)}"))
+    assert(sizesAfter.values.sum == 60)
+
+    // backup: byte-identical clone opens as a working store
+    val target = Files.createTempDirectory("graft_bk_").toString + "/clone"
+    assert(st.backup(target) > 0)
+    val clone = new VectorStore(spark, target)
+    assert(clone.stats().historicalCount == 60)
+    assert(clone.search(vec(7), k = 1, metric = "l2").collect().head.getString(0) == "r7")
+  }
+
   test("ageStats buckets live rows") {
     val st = new VectorStore(spark,
       Files.createTempDirectory("graft_age_").toString)
