@@ -62,6 +62,78 @@ object Streaming {
       .start()
   }
 
+  /** Streaming near-duplicate document ingest — the continuous form of the
+    * training-data dedup pipeline: each arriving micro-batch of documents
+    * is (1) near-dup-deduplicated within itself (greedy keep-smallest-id,
+    * like `Dedup.dropNearDuplicates`), then (2) checked against everything
+    * already accepted via MinHash band buckets, and only survivors append
+    * to the accepted corpus.
+    *
+    * The accepted state is two parquet tables under `acceptedDir`:
+    * `docs/` (doc_id, text, hs — the shingle-hash set for Jaccard verify)
+    * and `buckets/` (band, bucket, doc_id — the LSH index). An arriving doc
+    * joins `buckets/` on its own band keys (at scale: a bucketed table →
+    * shuffle-free), fetches only colliding candidates' hash sets, and is
+    * rejected iff a verified Jaccard >= threshold. Per batch the scan cost
+    * is |batch| x collisions, never |corpus|.
+    */
+  def dedupIngest(spark: org.apache.spark.sql.SparkSession, sourceDir: String,
+      acceptedDir: String, checkpointDir: String, shingleN: Int = 2,
+      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.5): StreamingQuery = {
+    import graft.functions.TextFunctions._
+    val docsPath = s"$acceptedDir/docs"
+    val bucketsPath = s"$acceptedDir/buckets"
+    val srcSchema = new StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    val numHashes = bands * rowsPerBand
+    def withBands(hashed: DataFrame): DataFrame = hashed
+      .withColumn("sig", minhashFromHashes(col("hs"), numHashes))
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as(Seq("band", "bucket")))
+    spark.readStream.schema(srcSchema).parquet(sourceDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hashed = batch
+          .select(col("doc_id"), col("text"),
+            array_distinct(shingleHashes(col("text"), shingleN)).as("hs"))
+          .persist()
+        // (1) in-batch near-dup: keep the smallest id of every colliding pair
+        val inPairs = graft.operators.Dedup.minhashLshPairs(
+          hashed.select(col("doc_id"), col("text")), shingleN, bands, rowsPerBand, threshold)
+        val inKept = hashed.join(
+          inPairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        // (2) against the accepted corpus: band-bucket collision -> verify
+        val fs = new org.apache.hadoop.fs.Path(docsPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val survivors =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(docsPath, "_SUCCESS"))) inKept
+          else {
+            val accBuckets = spark.read.parquet(bucketsPath)
+            val accDocs = spark.read.parquet(docsPath)
+              .select(col("doc_id").as("acc_id"), col("hs").as("acc_hs"))
+            val dupIds = withBands(inKept)
+              .join(accBuckets.withColumnRenamed("doc_id", "acc_id"), Seq("band", "bucket"))
+              .select("doc_id", "acc_id").distinct()
+              .join(inKept.select("doc_id", "hs"), Seq("doc_id"))
+              .join(accDocs, Seq("acc_id"))
+              .filter(jaccard(col("hs"), col("acc_hs")) >= threshold)
+              .select("doc_id").distinct()
+            inKept.join(dupIds, Seq("doc_id"), "left_anti")
+          }
+        val out = survivors.persist()
+        out.select("doc_id", "text", "hs")
+          .write.mode(SaveMode.Append).parquet(docsPath)
+        withBands(out).write.mode(SaveMode.Append).parquet(bucketsPath)
+        out.unpersist(); hashed.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Event-time windowed aggregation over an event stream: tumbling window
     * counts+sums per event_type with late-data tolerance. Returns the
     * streaming DataFrame to be bound to any sink. */

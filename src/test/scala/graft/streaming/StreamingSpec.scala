@@ -42,6 +42,41 @@ class StreamingSpec extends SparkSpec {
     assert(store.vectors.count() == 26)
   }
 
+  test("streaming near-dup ingest: in-batch dedup, then reject dups of accepted corpus") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_nd_src_").toString
+    val ckpt = Files.createTempDirectory("graft_nd_ckpt_").toString
+    val acc = Files.createTempDirectory("graft_nd_acc_").toString + "/state"
+
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // batch 1: two distinct docs + an in-batch near-dup of doc 1
+    Seq(
+      (1L, base),
+      (2L, base + " with an extra tail phrase"), // near-dup of 1 (in-batch, dropped)
+      (3L, "completely different content about spark query engines at scale")
+    ).toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(src)
+    val q1 = Streaming.dedupIngest(spark, src, acc, ckpt, threshold = 0.5)
+    q1.awaitTermination(60000)
+    val accepted1 = spark.read.parquet(s"$acc/docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(accepted1 == Set(1L, 3L), s"got $accepted1")
+
+    // batch 2: a near-dup of accepted doc 1 (rejected) + a fresh doc (kept)
+    Seq(
+      (4L, base + " slightly changed"),
+      (5L, "another unrelated document mentioning vectors and embeddings")
+    ).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    val q2 = Streaming.dedupIngest(spark, src, acc, ckpt, threshold = 0.5)
+    q2.awaitTermination(60000)
+    val accepted2 = spark.read.parquet(s"$acc/docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(accepted2 == Set(1L, 3L, 5L), s"got $accepted2")
+    // the LSH index table tracks exactly the accepted docs
+    val bucketIds = spark.read.parquet(s"$acc/buckets").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(bucketIds == Set(1L, 3L, 5L))
+  }
+
   test("windowed event-time aggregation with watermark over events stream") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
