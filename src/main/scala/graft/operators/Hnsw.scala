@@ -718,6 +718,55 @@ object Hnsw {
       (g.compact(), removed)
     }
 
+  /** Defragment a persisted index: every [[insertIntoSaved]] batch adds its
+    * own small partition graphs, and [[searchSaved]] probes EVERY blob per
+    * query — after many increments the per-query cost is O(#blobs), not
+    * O(#partitions). Blobs below `minNodes` live nodes are exploded back to
+    * (id, vector) rows and rebuilt as ~`targetNodes`-sized graphs; larger
+    * blobs pass through untouched. tmp+swap like the other maintenance ops.
+    * `metric`/`cfg` must match the original build. Returns the number of
+    * small blobs that were merged away. */
+  def compactSaved(spark: SparkSession, path: String, minNodes: Int = 1024,
+      targetNodes: Int = 4096, metric: String = "l2",
+      cfg: HnswConfig = HnswConfig()): Long = {
+    import spark.implicits._
+    val blobs = spark.read.parquet(path)
+      .select(col("part_id"), col("graph")).as[(Long, Array[Byte])]
+      .map { case (pid, bytes) =>
+        (pid, bytes, FrozenGraph.fromBytes(bytes).liveCount)
+      }
+      .toDF("part_id", "graph", "live")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSmall = blobs.filter(col("live") < minNodes).count()
+    if (nSmall <= 1) { blobs.unpersist(); return 0L }
+    val totalSmall = blobs.filter(col("live") < minNodes)
+      .agg(sum("live")).head().getLong(0)
+    // explode small blobs to live rows, rebuild into ~targetNodes graphs
+    val rows = blobs.filter(col("live") < minNodes)
+      .select(col("graph")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val g = FrozenGraph.fromBytes(bytes)
+        (0 until g.n).iterator.filterNot(g.deleted.get).map { i =>
+          (g.ids(i), java.util.Arrays.copyOfRange(g.vecs, i * g.dim, (i + 1) * g.dim))
+        }
+      }
+    val nParts = math.max(1, (totalSmall / targetNodes).toInt)
+    val rebuilt = rows.repartition(nParts)
+      .mapPartitions { it =>
+        val g = new Graph(metric, cfg)
+        it.foreach { case (id, v) => g.insert(id, v) }
+        if (g.size == 0) Iterator.empty else Iterator(g.freeze().toBytes)
+      }
+      .toDF("graph")
+      .withColumn("part_id", monotonically_increasing_id() + 1000000L)
+    blobs.filter(col("live") >= minNodes).select("part_id", "graph")
+      .unionByName(rebuilt.select("part_id", "graph"))
+      .write.mode("overwrite").parquet(path + "_tmp")
+    blobs.unpersist()
+    swapDir(spark, path)
+    nSmall
+  }
+
   /** Batch ANN search with a throwaway per-partition graph build — for
     * one-shot corpora; persistent corpora should [[buildAndSave]] once and
     * [[searchSaved]] per batch. Returns (query_id, id, distance, rank). */

@@ -116,6 +116,34 @@ class HnswSpec extends SparkSpec {
     assert(!afterVacuum.contains(3L) && afterVacuum.size == 10)
   }
 
+  test("persisted graphs: compactSaved merges fragmented insert batches") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_frag_").toString + "/g"
+    val cfg = HnswConfig(efSearch = 100)
+    Hnsw.buildAndSave(emb.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("id"), col("embedding")).repartition(2), path, cfg = cfg)
+    // 5 incremental batches of 20 rows -> 5+ tiny blobs
+    (0 until 5).foreach { b =>
+      Hnsw.insertIntoSaved(emb.filter(col("vec_id").between(200 + b * 20, 219 + b * 20))
+        .select(col("vec_id").as("id"), col("embedding")).repartition(1), path, cfg = cfg)
+    }
+    val blobsBefore = spark.read.parquet(path).count()
+    assert(blobsBefore >= 7)
+    val merged = Hnsw.compactSaved(spark, path, minNodes = 150, targetNodes = 300, cfg = cfg)
+    assert(merged >= 5, s"merged $merged")
+    val blobsAfter = spark.read.parquet(path).count()
+    assert(blobsAfter < blobsBefore, s"$blobsAfter vs $blobsBefore")
+    // nothing lost: every id still searchable, self-retrieval intact
+    import spark.implicits._
+    val total = spark.read.parquet(path).select(col("graph")).as[Array[Byte]]
+      .collect().map(b => Hnsw.FrozenGraph.fromBytes(b).liveCount.toLong).sum
+    assert(total == 300L)
+    val q = emb.filter(col("vec_id") === 250)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val top = Hnsw.searchSaved(spark, path, q, k = 1, efSearch = 100).collect().head
+    assert(top.getLong(1) == 250L && top.getDouble(2) < 1e-9)
+  }
+
   test("saved graphs: 100% self-retrieval at rank 1 (the ann_hnsw_scale oracle contract)") {
     // mirrors the driver-checked oracle locally so a graph-quality
     // regression fails here before it fails the correctness gate
