@@ -63,6 +63,14 @@ object TextFunctions {
   def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
     minhashFromHashes(shingleHashes(text, n), numHashes)
 
+  /** LSH band keys from a (materialized) signature column: the band's slice
+    * of the signature IS the bucket key. One definition shared by the batch
+    * and streaming dedup paths — the key format must never diverge between
+    * the index writer and the lookup side. */
+  def sigBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))
+
   /** Jaccard similarity of two precomputed distinct-shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -53,23 +53,29 @@ object Dedup {
     * become candidates; candidates are verified on true shingle-set Jaccard.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold. */
   def minhashLshPairs(docs: DataFrame, shingleN: Int, bands: Int, rowsPerBand: Int,
-      threshold: Double, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val numHashes = bands * rowsPerBand
+      threshold: Double, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     // md5 each shingle exactly once; everything downstream (signature,
     // Jaccard verify) works on compact long arrays — at scale, only the
     // 8-long signature and the hash set ever cross a shuffle, never text.
+    minhashLshPairsFromHashes(
+      spread(docs).select(col(idCol).as("id"),
+        array_distinct(shingleHashes(col(textCol), shingleN)).as("hs")),
+      bands, rowsPerBand, threshold)
+
+  /** As [[minhashLshPairs]] over an already-hashed relation (id, hs) —
+    * callers that materialized the shingle hashes (streaming ingest) skip
+    * the second md5 pass. */
+  def minhashLshPairsFromHashes(hashedIn: DataFrame, bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val numHashes = bands * rowsPerBand
     // cached: referenced three times (band explode + two verify joins);
     // without it the shingle-hash scan re-runs per reference. At cluster
     // scale this materialization is the signature table you'd persist.
-    val hashed = spread(docs)
-      .select(col(idCol).as("id"),
-        array_distinct(shingleHashes(col(textCol), shingleN)).as("hs"))
+    val hashed = hashedIn
       .withColumn("sig", minhashFromHashes(col("hs"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band key: (band index, the band's slice of the signature)
     val banded = hashed.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as(Seq("band", "bucket")))
+      posexplode(sigBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
     val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))

@@ -119,6 +119,12 @@ object Hnsw {
     private var maxLevel: Int = -1
     private val mL = 1.0 / math.log(cfg.m)
 
+    // generation-stamped visited marks, reused across every searchLayer
+    // call: a fresh n-bit set per call would memset O(n) on each of the
+    // O(n log n) build searches
+    private var visitMark = new Array[Int](1024)
+    private var visitStamp = 0
+
     def size: Int = ids.length
 
     private def dist(a: Array[Float], b: Array[Float]): Double = distArr(mc, a, b)
@@ -170,8 +176,11 @@ object Hnsw {
       * pairs on the build hot path. */
     private def searchLayer(q: Array[Float], ep: Int, ef: Int, level: Int,
         candN: Array[Int], candD: Array[Double]): Int = {
-      val visited = new java.util.BitSet(ids.length)
-      visited.set(ep)
+      if (visitMark.length < ids.length)
+        visitMark = new Array[Int](math.max(ids.length * 2, 1024))
+      visitStamp += 1
+      val stamp = visitStamp
+      visitMark(ep) = stamp
       val cand = new DIHeap(ef + 1) // min-heap by dist
       val res = new DIHeap(ef + 1)  // max-heap by dist (negated)
       val d0 = dist(q, vecs(ep))
@@ -185,8 +194,8 @@ object Hnsw {
           var i = 0
           while (i < ns.length) {
             val n = ns(i)
-            if (!visited.get(n)) {
-              visited.set(n)
+            if (visitMark(n) != stamp) {
+              visitMark(n) = stamp
               val dn = dist(q, vecs(n))
               if (res.size < ef || dn < -res.topDist) {
                 cand.push(dn, n); res.push(-dn, n)
@@ -564,6 +573,29 @@ object Hnsw {
     val Magic = 0x47484e57 // "GHNW"
     val Version = 2
 
+    /** Header-only peek: (metricCode, liveCount) without materializing the
+      * vector/adjacency arrays — maintenance classification over an index
+      * must cost O(header), not O(index bytes). Layout: magic(0) version(4)
+      * mc(8) dim(12) n(16) entry(20) maxLevel(24) adjLen(28) wordsLen(32);
+      * the tombstone words are the final wordsLen longs of the blob. */
+    def peek(bytes: Array[Byte]): (Int, Int) = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      require(buf.getInt(0) == Magic, "not a graft HNSW graph blob")
+      val mc = buf.getInt(8)
+      val n = buf.getInt(16)
+      val wordsLen = buf.getInt(32)
+      var del = 0
+      var i = 0
+      while (i < wordsLen) {
+        del += java.lang.Long.bitCount(buf.getLong(bytes.length - (wordsLen - i) * 8))
+        i += 1
+      }
+      (mc, n - del)
+    }
+
+    private[operators] def metricName(mc: Int): String =
+      if (mc == 0) "l2" else "cosine"
+
     def fromBytes(bytes: Array[Byte]): FrozenGraph = {
       val buf = java.nio.ByteBuffer.wrap(bytes)
       require(buf.getInt() == Magic, "not a graft HNSW graph blob")
@@ -649,11 +681,18 @@ object Hnsw {
         col("hit.dist").as("distance"), (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Swap `path_tmp` into `path` without a window where neither exists: the
+    * live dir is renamed aside first, so a crash mid-swap leaves either the
+    * old index (at `path` or `path_old`) or the new one readable. */
   private def swapDir(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(path + "_tmp"), p)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    fs.delete(old, true)
+    if (fs.exists(p)) require(fs.rename(p, old), s"rename $p -> $old failed")
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+    fs.delete(old, true)
   }
 
   /** Rewrite every saved graph blob through `f`, dropping empty graphs;
@@ -670,7 +709,7 @@ object Hnsw {
       }
       .toDF("part_id", "graph", "measure")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = mapped.agg(sum("measure")).head().getLong(0)
+    val total = mapped.agg(coalesce(sum("measure"), lit(0L))).head().getLong(0)
     mapped.filter(col("graph").isNotNull).select("part_id", "graph")
       .write.mode("overwrite").parquet(path + "_tmp")
     mapped.unpersist()
@@ -690,23 +729,47 @@ object Hnsw {
     * saved-index analog of the reference's incremental insert
     * (`hnsw/operations.rs:49-77`): new rows build their own graphs; search
     * merges across all blobs, so results are identical to a monolithic
-    * insert up to per-partition topology. */
+    * insert up to per-partition topology. The batch's metric is validated
+    * against the saved blobs (a mixed-metric index would silently merge
+    * incomparable distances), and ids already live in the index are
+    * dropped — the dup-reject the store applies at C1, here so one logical
+    * id can never occupy two top-k slots. Soft-deleted ids MAY re-insert
+    * (delete-then-reinsert resurrects, matching the store). Returns the
+    * number of rows actually inserted. */
   def insertIntoSaved(rows: DataFrame, path: String, metric: String = "l2",
       cfg: HnswConfig = HnswConfig(), idCol: String = "id",
-      embCol: String = "embedding"): Unit = {
+      embCol: String = "embedding"): Long = {
     val spark = rows.sparkSession
     import spark.implicits._
-    rows.select(col(idCol).cast("long"), col(embCol))
+    val saved = spark.read.parquet(path).select(col("graph")).as[Array[Byte]]
+    saved.head(1).headOption.foreach { b =>
+      val mc = FrozenGraph.peek(b)._1
+      require(mc == metricCode(metric),
+        s"index is ${FrozenGraph.metricName(mc)}, insert called with $metric")
+    }
+    val existing = saved.flatMap { bytes =>
+      val g = FrozenGraph.fromBytes(bytes)
+      (0 until g.n).iterator.filterNot(g.deleted.get).map(g.ids(_))
+    }.toDF(idCol)
+    val fresh = rows.select(col(idCol).cast("long"), col(embCol))
+      .join(existing, Seq(idCol), "left_anti")
       .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val g = new Graph(metric, cfg)
-        it.foreach { case (id, v) => g.insert(id, v) }
-        if (g.size == 0) Iterator.empty
-        else Iterator(g.freeze().toBytes)
-      }
-      .toDF("graph")
-      .withColumn("part_id", monotonically_increasing_id())
-      .write.mode("append").parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = fresh.count()
+    if (n > 0) {
+      fresh
+        .mapPartitions { it =>
+          val g = new Graph(metric, cfg)
+          it.foreach { case (id, v) => g.insert(id, v) }
+          if (g.size == 0) Iterator.empty
+          else Iterator(g.freeze().toBytes)
+        }
+        .toDF("graph")
+        .withColumn("part_id", monotonically_increasing_id())
+        .write.mode("append").parquet(path)
+    }
+    fresh.unpersist()
+    n
   }
 
   /** Physically compact a persisted index: scrub soft-deleted nodes and
@@ -724,19 +787,24 @@ object Hnsw {
     * O(#partitions). Blobs below `minNodes` live nodes are exploded back to
     * (id, vector) rows and rebuilt as ~`targetNodes`-sized graphs; larger
     * blobs pass through untouched. tmp+swap like the other maintenance ops.
-    * `metric`/`cfg` must match the original build. Returns the number of
-    * small blobs that were merged away. */
+    * The metric is derived from the blobs themselves (header peek — no
+    * full deserialization of pass-through blobs); `cfg` must match the
+    * original build. Returns the number of small blobs merged away. */
   def compactSaved(spark: SparkSession, path: String, minNodes: Int = 1024,
-      targetNodes: Int = 4096, metric: String = "l2",
-      cfg: HnswConfig = HnswConfig()): Long = {
+      targetNodes: Int = 4096, cfg: HnswConfig = HnswConfig()): Long = {
     import spark.implicits._
     val blobs = spark.read.parquet(path)
       .select(col("part_id"), col("graph")).as[(Long, Array[Byte])]
       .map { case (pid, bytes) =>
-        (pid, bytes, FrozenGraph.fromBytes(bytes).liveCount)
+        val (mc, live) = FrozenGraph.peek(bytes)
+        (pid, bytes, mc, live)
       }
-      .toDF("part_id", "graph", "live")
+      .toDF("part_id", "graph", "mc", "live")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mcs = blobs.select("mc").distinct().as[Int].collect()
+    if (mcs.isEmpty) { blobs.unpersist(); return 0L }
+    require(mcs.length == 1, s"mixed metric codes in saved index: ${mcs.mkString(",")}")
+    val metric = FrozenGraph.metricName(mcs.head)
     val nSmall = blobs.filter(col("live") < minNodes).count()
     if (nSmall <= 1) { blobs.unpersist(); return 0L }
     val totalSmall = blobs.filter(col("live") < minNodes)

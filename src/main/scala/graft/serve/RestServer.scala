@@ -113,7 +113,9 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         else {
           val recs = arr.elements().asScala.map(record).toSeq
           val res = store.insert(recs)
-          mutated("insert", recs.map(_.id))
+          // only rows that actually landed produce change events —
+          // duplicate-rejected ids never entered the store
+          mutated("insert", res.insertedIds)
           val n = obj()
           n.put("inserted", res.inserted)
           n.put("duplicates", res.duplicates)
@@ -190,7 +192,8 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
       case ("GET", _) =>
         val since = Option(ex.getRequestURI.getQuery)
           .flatMap(_.split("&").collectFirst {
-            case s if s.startsWith("since=") => s.drop(6).toLong })
+            case s if s.startsWith("since=") => s.drop(6) })
+          .flatMap(_.toLongOption) // non-numeric -> full feed, not a 500
           .getOrElse(0L)
         val n = obj()
         val out = n.putArray("events")

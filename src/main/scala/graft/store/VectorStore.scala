@@ -185,10 +185,11 @@ class VectorStore(val spark: SparkSession, val path: String,
       .select("id", "vid", "embedding", "metadata", "ts")
     val existing = vectors.select("vid")
     val fresh = df.join(existing, Seq("vid"), "left_anti").cache()
-    val nFresh = fresh.count()
+    val freshIds = fresh.select("id").as[String].collect().toSeq
     fresh.write.mode(SaveMode.Append).parquet(dir("recent"))
     fresh.unpersist()
-    InsertResult(inserted = nFresh, duplicates = batch.size - nFresh)
+    InsertResult(inserted = freshIds.length, duplicates = batch.size - freshIds.length,
+      insertedIds = freshIds)
   }
 
   // ---- C2/C3/C5 soft delete ----
@@ -427,7 +428,8 @@ object VectorStore {
   case class VectorRecord(id: String, embedding: Array[Float],
       metadata: Option[String] = None, tsString: Option[String] = None)
 
-  case class InsertResult(inserted: Long, duplicates: Long)
+  case class InsertResult(inserted: Long, duplicates: Long,
+      insertedIds: Seq[String] = Nil)
   case class DeleteResult(deletedCount: Long, deletedIds: Seq[String])
   case class VacuumResult(recentRemoved: Long, historicalRemoved: Long)
   case class Stats(recentCount: Long, historicalCount: Long, tombstoneCount: Long)

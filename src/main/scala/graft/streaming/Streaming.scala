@@ -87,10 +87,12 @@ object Streaming {
       .add("doc_id", org.apache.spark.sql.types.LongType)
       .add("text", org.apache.spark.sql.types.StringType)
     val numHashes = bands * rowsPerBand
+    // the same band-key definition as the batch dedup — writer and lookup
+    // sides of the bucket index must never diverge
     def withBands(hashed: DataFrame): DataFrame = hashed
       .withColumn("sig", minhashFromHashes(col("hs"), numHashes))
-      .select(col("doc_id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as(Seq("band", "bucket")))
+      .select(col("doc_id"),
+        posexplode(sigBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
     spark.readStream.schema(srcSchema).parquet(sourceDir)
       .writeStream
       .outputMode("append")
@@ -101,9 +103,10 @@ object Streaming {
           .select(col("doc_id"), col("text"),
             array_distinct(shingleHashes(col("text"), shingleN)).as("hs"))
           .persist()
-        // (1) in-batch near-dup: keep the smallest id of every colliding pair
-        val inPairs = graft.operators.Dedup.minhashLshPairs(
-          hashed.select(col("doc_id"), col("text")), shingleN, bands, rowsPerBand, threshold)
+        // (1) in-batch near-dup: keep the smallest id of every colliding
+        // pair (hashes already materialized — no second md5 pass)
+        val inPairs = graft.operators.Dedup.minhashLshPairsFromHashes(
+          hashed.select(col("doc_id").as("id"), col("hs")), bands, rowsPerBand, threshold)
         val inKept = hashed.join(
           inPairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
         // (2) against the accepted corpus: band-bucket collision -> verify
@@ -124,10 +127,15 @@ object Streaming {
               .select("doc_id").distinct()
             inKept.join(dupIds, Seq("doc_id"), "left_anti")
           }
+        // buckets BEFORE docs: docs/_SUCCESS gates the dedup lookup, so a
+        // crash between the writes must leave bucket rows without doc rows
+        // (harmless — the verify join drops candidates with no hash set),
+        // never accepted docs without bucket rows (which a replayed batch
+        // could not reject, double-accepting them)
         val out = survivors.persist()
+        withBands(out).write.mode(SaveMode.Append).parquet(bucketsPath)
         out.select("doc_id", "text", "hs")
           .write.mode(SaveMode.Append).parquet(docsPath)
-        withBands(out).write.mode(SaveMode.Append).parquet(bucketsPath)
         out.unpersist(); hashed.unpersist()
         ()
       }

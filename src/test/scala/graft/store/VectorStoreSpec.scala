@@ -23,7 +23,7 @@ class VectorStoreSpec extends SparkSpec {
     val st = freshStore()
     val r = st.insert((0 until 50).map(i =>
       VectorRecord(s"doc$i", vec(i), Some(s"""{"category": "c${i % 3}", "rank": $i}"""))))
-    assert(r == InsertResult(50, 0))
+    assert((r.inserted, r.duplicates) == (50L, 0L) && r.insertedIds.sorted.length == 50)
     val hits = st.search(vec(7), k = 5).collect()
     assert(hits.length == 5)
     assert(hits.head.getString(0) == "doc7") // self-retrieval
@@ -34,9 +34,10 @@ class VectorStoreSpec extends SparkSpec {
 
   test("duplicate insert rejected, dimension mismatch errors") {
     val st = freshStore()
-    assert(st.insert(Seq(VectorRecord("a", vec(1)))) == InsertResult(1, 0))
-    assert(st.insert(Seq(VectorRecord("a", vec(2)), VectorRecord("b", vec(3)))) ==
-      InsertResult(1, 1))
+    locally { val r1 = st.insert(Seq(VectorRecord("a", vec(1))))
+      assert((r1.inserted, r1.duplicates, r1.insertedIds) == (1L, 0L, Seq("a"))) }
+    locally { val r2 = st.insert(Seq(VectorRecord("a", vec(2)), VectorRecord("b", vec(3))))
+      assert((r2.inserted, r2.duplicates, r2.insertedIds) == (1L, 1L, Seq("b"))) }
     intercept[IllegalArgumentException] {
       st.insert(Seq(VectorRecord("c", vec(1, dim = 4))))
     }
@@ -62,7 +63,7 @@ class VectorStoreSpec extends SparkSpec {
     assert(st.vectors.count() == 8)
     assert(!st.search(vec(3), k = 10).collect().map(_.getString(0)).contains("d3"))
     Thread.sleep(1100) // tombstone cut is timestamp-based at second granularity
-    assert(st.insert(Seq(VectorRecord("d3", vec(3)))) == InsertResult(1, 0))
+    assert(st.insert(Seq(VectorRecord("d3", vec(3)))).insertedIds == Seq("d3"))
     assert(st.vectors.count() == 9)
   }
 
