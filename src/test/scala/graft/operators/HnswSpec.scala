@@ -116,6 +116,39 @@ class HnswSpec extends SparkSpec {
     assert(!afterVacuum.contains(3L) && afterVacuum.size == 10)
   }
 
+  test("FrozenGraph.peek reads metric and live count from the header only") {
+    val g = new Graph("cosine", HnswConfig())
+    (0 until 40).foreach(i => g.insert(i.toLong, sinVec(i)))
+    assert(g.markDeleted(3L) && g.markDeleted(17L))
+    val bytes = g.freeze().toBytes
+    assert(Hnsw.FrozenGraph.peek(bytes) == ((1, 38))) // cosine mc=1, 40-2 live
+    val l2 = new Graph("l2", HnswConfig())
+    (0 until 5).foreach(i => l2.insert(i.toLong, sinVec(i)))
+    assert(Hnsw.FrozenGraph.peek(l2.freeze().toBytes) == ((0, 5)))
+    intercept[IllegalArgumentException] {
+      Hnsw.FrozenGraph.peek(Array.fill[Byte](64)(9))
+    }
+  }
+
+  test("insertIntoSaved rejects metric mismatch and drops already-live ids") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("id"), col("embedding")).repartition(2)
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_dupins_").toString + "/g"
+    Hnsw.buildAndSave(corpus, path)
+    intercept[IllegalArgumentException] {
+      Hnsw.insertIntoSaved(corpus, path, metric = "cosine")
+    }
+    // overlapping batch: only genuinely new ids build graphs
+    val overlap = emb.filter(col("vec_id").between(50, 149))
+      .select(col("vec_id").as("id"), col("embedding")).repartition(2)
+    assert(Hnsw.insertIntoSaved(overlap, path) == 50L)
+    import spark.implicits._
+    val total = spark.read.parquet(path).select(col("graph")).as[Array[Byte]]
+      .collect().map(b => Hnsw.FrozenGraph.peek(b)._2.toLong).sum
+    assert(total == 150L)
+  }
+
   test("persisted graphs: compactSaved merges fragmented insert batches") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val path = java.nio.file.Files.createTempDirectory("graft_hnsw_frag_").toString + "/g"
