@@ -3,7 +3,7 @@ package graft.functions
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, StringType}
+import org.apache.spark.sql.types.DoubleType
 import scala.jdk.CollectionConverters._
 
 /** MongoDB-style metadata filter language -> Catalyst predicate (SURVEY.md
@@ -63,17 +63,26 @@ object FilterJson {
     val preds = fields.map {
       case ("$and", value) =>
         if (!value.isArray) throw new FilterParseException("$and expects an array")
-        val subs = value.elements().asScala.toSeq.map(translate(_, v))
+        val subs = value.elements().asScala.toSeq.map(clause("$and", _)).map(translate(_, v))
         if (subs.isEmpty) lit(true) else subs.reduce(_ && _)
       case ("$or", value) =>
         if (!value.isArray) throw new FilterParseException("$or expects an array")
-        val subs = value.elements().asScala.toSeq.map(translate(_, v))
+        val subs = value.elements().asScala.toSeq.map(clause("$or", _)).map(translate(_, v))
         if (subs.isEmpty) lit(false) else subs.reduce(_ || _)
       case (op, _) if op.startsWith("$") =>
         throw new FilterParseException(s"unsupported operator: $op")
       case (field, value) => fieldPredicate(field, value, v)
     }
     preds.reduce(_ && _)
+  }
+
+  /** Each $and/$or element must itself be a filter object — a stray scalar
+    * would otherwise translate like an empty filter (match-everything),
+    * which turns a malformed delete filter into delete-everything. */
+  private def clause(op: String, n: JsonNode): JsonNode = {
+    if (!n.isObject)
+      throw new FilterParseException(s"$op elements must be objects, got: ${compact(n)}")
+    n
   }
 
   private def fieldPredicate(field: String, value: JsonNode, v: Column): Column = {
@@ -147,7 +156,6 @@ object FilterJson {
   private def equalsPredicate(field: String, value: JsonNode, v: Column,
       arrayContainment: Boolean = true): Column = {
     val raw = rawToken(field, v)
-    val isArr = raw.startsWith("[")
     val scalar: Column =
       if (value.isTextual) raw === lit(compact(value))
       else if (value.isNumber)
@@ -156,17 +164,24 @@ object FilterJson {
       else if (value.isNull) raw === lit("null")
       else if (value.isArray || value.isObject) raw === lit(compact(canonicalize(value)))
       else throw new FilterParseException(s"unsupported literal for '$field'")
+    // containment compares element RAW TOKENS (try_variant_get to
+    // array<variant>, null for non-arrays), keeping the module's
+    // type-exactness: "5" never matches stored [5], and a stray string
+    // element can't poison numeric containment the way a typed from_json
+    // parse (null whole-array on mixed types) would
+    def elemTok(x: Column) = to_json(x)
+    val elems = try_variant_get(v, jsonPath(field), "array<variant>")
     val contains: Option[Column] =
       if (!arrayContainment) None
       else if (value.isTextual)
-        Some(isArr && array_contains(
-          from_json(raw, ArrayType(StringType)), value.asText()))
+        Some(coalesce(exists(elems, x => elemTok(x) === lit(compact(value))), lit(false)))
       else if (value.isNumber)
-        Some(isArr && array_contains(
-          from_json(raw, ArrayType(DoubleType)), value.asDouble()))
+        Some(coalesce(exists(elems, x =>
+          when(elemTok(x).rlike("^-?[0-9]"), elemTok(x).cast(DoubleType))
+            === lit(value.asDouble())), lit(false)))
       else if (value.isBoolean)
-        Some(isArr && array_contains(
-          from_json(raw, ArrayType(BooleanType)), value.asBoolean()))
+        Some(coalesce(exists(elems, x =>
+          elemTok(x) === lit(value.asBoolean().toString)), lit(false)))
       else None
     contains match {
       case Some(c) => scalar || c

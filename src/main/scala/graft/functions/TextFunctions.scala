@@ -49,7 +49,7 @@ object TextFunctions {
     * column before deriving signatures: md5 per shingle is the expensive
     * part and must not be re-evaluated per hash function. */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+    transform(shingles(text, n), s => stableHash32(s))
 
   /** MinHash signature from a (materialized) shingle-hash array column.
     * The hash-family params live in a literal array, so the per-row work is
@@ -82,7 +82,7 @@ object TextFunctions {
     * iff the sum over tokens of (2*bit_j(h(token))-1) is positive. */
   def simhash(text: Column, bits: Int): Column = {
     val toks = tokens(text)
-    val th = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val th = transform(toks, t => stableHash32(t))
     val bitCols = (0 until bits).map { j =>
       val votes = aggregate(th, lit(0L),
         (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
@@ -128,7 +128,7 @@ object TextFunctions {
 
   /** Winnowing-style fingerprint: min stable hash over 3-token shingles. */
   def minShingleFingerprint(text: Column, n: Int = 3): Column = {
-    val hs = transform(shingles(text, n), s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+    val hs = transform(shingles(text, n), s => stableHash32(s))
     when(size(hs) === 0, stableHash32(text)).otherwise(array_min(hs))
   }
 }

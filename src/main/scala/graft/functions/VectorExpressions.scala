@@ -18,6 +18,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * fuse dot+norms for cosine. Zero-norm cosine returns 0.0, matching
   * `src/core/vector_ops.rs:44-48`. Null inputs propagate null (standard SQL
   * semantics); null ARRAY ELEMENTS are not supported (vectors are dense).
+  * Mismatched dimensions throw (the reference rejects them too) — a
+  * silently truncated distance would report spuriously close neighbors.
   */
 object kernels {
 
@@ -33,9 +35,10 @@ object kernels {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData].toFloatArray()
       val y = b.asInstanceOf[ArrayData].toFloatArray()
+      if (x.length != y.length) throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${x.length} vs ${y.length}")
       var s = 0.0; var i = 0
-      val n = math.min(x.length, y.length)
-      while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
       s
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -45,7 +48,11 @@ object kernels {
         // millions of pairs per task
         val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "vector dimension mismatch: " + $n + " vs " + $b.numElements());
+           |}
            |double $s = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  $s += (double)$a.getFloat($i) * (double)$b.getFloat($i);
@@ -62,9 +69,10 @@ object kernels {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData].toFloatArray()
       val y = b.asInstanceOf[ArrayData].toFloatArray()
+      if (x.length != y.length) throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${x.length} vs ${y.length}")
       var s = 0.0; var i = 0
-      val n = math.min(x.length, y.length)
-      while (i < n) { val d = x(i).toDouble - y(i).toDouble; s += d * d; i += 1 }
+      while (i < x.length) { val d = x(i).toDouble - y(i).toDouble; s += d * d; i += 1 }
       math.sqrt(s)
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -72,7 +80,11 @@ object kernels {
         val i = ctx.freshName("i"); val n = ctx.freshName("n")
         val s = ctx.freshName("s"); val d = ctx.freshName("d")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "vector dimension mismatch: " + $n + " vs " + $b.numElements());
+           |}
            |double $s = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  double $d = (double)$a.getFloat($i) - (double)$b.getFloat($i); $s += $d * $d;
@@ -89,8 +101,10 @@ object kernels {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData].toFloatArray()
       val y = b.asInstanceOf[ArrayData].toFloatArray()
+      if (x.length != y.length) throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${x.length} vs ${y.length}")
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(x.length, y.length)
+      val n = x.length
       while (i < n) {
         val xv = x(i).toDouble; val yv = y(i).toDouble
         dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
@@ -105,7 +119,11 @@ object kernels {
         val nb = ctx.freshName("nb"); val den = ctx.freshName("den")
         val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "vector dimension mismatch: " + $n + " vs " + $b.numElements());
+           |}
            |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  double $xv = (double)$a.getFloat($i); double $yv = (double)$b.getFloat($i);

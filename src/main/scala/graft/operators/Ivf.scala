@@ -97,8 +97,12 @@ object Ivf {
     * centroids per query (X7 shortlist, `ivf/core.rs:645-656`). */
   def probes(centroids: DataFrame, queries: DataFrame, nProbe: Int,
       metric: String = "l2", queryIdCol: String = "query_id",
-      queryEmbCol: String = "q_embedding"): DataFrame = {
-    val d = distance(metric, col(queryEmbCol), col("centroid"))
+      queryEmbCol: String = "q_embedding", roundDecimals: Int = -1): DataFrame = {
+    // roundDecimals must match the caller's result rounding: an oracle that
+    // ranks round(cdist, 6) with id tie-break can pick a different probe
+    // set than raw-double ranking when two centroids round equal
+    val dRaw = distance(metric, col(queryEmbCol), col("centroid"))
+    val d = if (roundDecimals >= 0) round(dRaw, roundDecimals) else dRaw
     val topk = TopK.topK(nProbe)
     queries.crossJoin(broadcast(centroids))
       .select(col(queryIdCol), col(queryEmbCol), col("cluster_id").cast("long").as("cid"), d.as("cdist"))
@@ -115,7 +119,8 @@ object Ivf {
       k: Int, nProbe: Int, metric: String = "l2", idCol: String = "id",
       embCol: String = "embedding", queryIdCol: String = "query_id",
       queryEmbCol: String = "q_embedding", roundDecimals: Int = -1): DataFrame = {
-    val p = probes(centroids, queries, nProbe, metric, queryIdCol, queryEmbCol)
+    val p = probes(centroids, queries, nProbe, metric, queryIdCol, queryEmbCol,
+        roundDecimals)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // collect the probed cluster set (<= nProbe x |queries| tiny ids) into a
     // STATIC isin filter: unconditional parquet partition pruning on

@@ -14,16 +14,7 @@ import org.apache.spark.sql.functions._
 object AnnQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** The 50x deterministically-perturbed corpus shared by the *_scale
-    * queries (100K rows at sf0.1); repartition converts the transform-built
-    * boxed arrays to UnsafeArrayData for the kernels. */
-  private def scaleCorpus(e: DataFrame): DataFrame = e
-    .select(col("vec_id"), col("embedding"), explode(sequence(lit(0), lit(49))).as("i"))
-    .select((col("vec_id") * 50 + col("i")).as("id"),
-      transform(col("embedding"),
-        x => (x.cast("double") + col("i").cast("double") * 0.001).cast("float"))
-        .as("embedding"))
-    .repartition(col("id"))
+  private def scaleCorpus(e: DataFrame): DataFrame = QueryShapes.scaleCorpus(e)
 
   /** Rank-1 rows of an ANN result where every query is a corpus vector:
     * the top hit must be the query itself at distance 0 — the reference's
@@ -75,11 +66,7 @@ object AnnQueries {
   }
 
   private def labelCentroids(emb: DataFrame): DataFrame =
-    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg("v").as("m"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        x => x("m").cast("float")).as("centroid"))
+    QueryShapes.labelCentroids(emb)
 
   val queries: Map[String, Q] = Map(
     // X12/T5 hybrid search: "recent" tier (vec_id >= 400, scanned fully,

@@ -18,14 +18,8 @@ object IvfQueries {
 
   private val DIM = 64
 
-  /** Per-label mean centroid as (label, float[]) — pos-exploded avg,
-    * reassembled in dimension order. */
   private def labelCentroids(emb: DataFrame): DataFrame =
-    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg("v").as("m"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        x => x("m").cast("float")).as("centroid"))
+    QueryShapes.labelCentroids(emb)
 
   val queries: Map[String, Q] = Map(
     // A3: element-wise centroid means, one row per (label, dim)

@@ -66,13 +66,7 @@ object VectorQueries {
       // repartition forces the transform-built (boxed) arrays through an
       // UnsafeRow exchange, so the distance kernel reads primitive floats —
       // 2-3x on the 10M-pair join (see VectorExpressions codegen note)
-      val corpus = e
-        .select(col("vec_id"), col("embedding"), explode(sequence(lit(0), lit(49))).as("i"))
-        .select((col("vec_id") * 50 + col("i")).as("id"),
-          transform(col("embedding"),
-            x => (x.cast("double") + col("i").cast("double") * 0.001).cast("float"))
-            .as("embedding"))
-        .repartition(col("id"))
+      val corpus = QueryShapes.scaleCorpus(e)
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Knn.batch(corpus, queries, k = 10, metric = "l2", roundDecimals = 6)

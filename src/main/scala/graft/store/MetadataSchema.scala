@@ -37,9 +37,13 @@ object MetadataSchema {
           catch { case e: Exception => return Some(s"invalid JSON: ${e.getMessage}") }
       }
       if (!doc.isObject) return Some("metadata must be a JSON object")
-      required.find(f => !doc.has(f) || doc.get(f).isNull) match {
-        case Some(f) if !doc.has(f) => return Some(s"missing required field: $f")
-        case _ =>
+      // required = the key must be PRESENT; an explicit null value is fine
+      // (null-is-always-valid, schema.rs:68-71). Checking absence alone also
+      // keeps a null-valued early field from shadowing a genuinely missing
+      // later one.
+      required.find(f => !doc.has(f)) match {
+        case Some(f) => return Some(s"missing required field: $f")
+        case None =>
       }
       fields.iterator.flatMap { case (name, spec) =>
         Option(doc.get(name)).filterNot(_.isNull).flatMap(v => check(name, v, spec))

@@ -36,9 +36,12 @@ class VectorStore(val spark: SparkSession, val path: String,
 
   // S7 analog: zstd-compressed storage, 10K-row chunking via
   // maxRecordsPerFile (the reference's CBOR chunks + zstd,
-  // `ivf/persistence.rs:101-117`, `chunk.rs:36-97`)
-  spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
-  spark.conf.set("spark.sql.files.maxRecordsPerFile", config.chunkSize.toString)
+  // `ivf/persistence.rs:101-117`, `chunk.rs:36-97`) — applied per store
+  // write below, never by mutating the shared session conf (which would
+  // silently change every other job's output format).
+  private def storeWrite(df: DataFrame) =
+    df.write.option("compression", "zstd")
+      .option("maxRecordsPerFile", config.chunkSize.toString)
 
   // All sidecar/metadata IO goes through the Hadoop FileSystem of `path`,
   // so the store works identically on local disk, file://-qualified paths,
@@ -171,6 +174,18 @@ class VectorStore(val spark: SparkSession, val path: String,
       case Some(d) => require(d == dim, s"dimension mismatch: store=$d batch=$dim")
       case None => initIfNeeded(dim)
     }
+    // metadata must parse as JSON even without a schema: every filtered
+    // read path runs parse_json over the column, so one unparseable row
+    // would poison all later searches/deletes instead of failing here
+    batch.foreach { r =>
+      r.metadata.foreach { m =>
+        try mapper.readTree(m)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"id=${r.id}: metadata is not valid JSON: ${e.getMessage}")
+        }
+      }
+    }
     schemaOpt.foreach { sch =>
       batch.foreach { r =>
         sch.validate(r.metadata).foreach(err =>
@@ -186,7 +201,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     val existing = vectors.select("vid")
     val fresh = df.join(existing, Seq("vid"), "left_anti").cache()
     val freshIds = fresh.select("id").as[String].collect().toSeq
-    fresh.write.mode(SaveMode.Append).parquet(dir("recent"))
+    storeWrite(fresh).mode(SaveMode.Append).parquet(dir("recent"))
     fresh.unpersist()
     InsertResult(inserted = freshIds.length, duplicates = batch.size - freshIds.length,
       insertedIds = freshIds)
@@ -200,8 +215,8 @@ class VectorStore(val spark: SparkSession, val path: String,
     val found = vectors.select("id", "vid")
       .join(broadcast(target.select("vid")), Seq("vid"), "left_semi")
     val foundIds = found.select("id").as[String].collect().sorted
-    found.select(col("vid"), current_timestamp().as("deleted_at"))
-      .write.mode(SaveMode.Append).parquet(dir("tombstones"))
+    storeWrite(found.select(col("vid"), current_timestamp().as("deleted_at")))
+      .mode(SaveMode.Append).parquet(dir("tombstones"))
     DeleteResult(foundIds.length, foundIds)
   }
 
@@ -212,8 +227,8 @@ class VectorStore(val spark: SparkSession, val path: String,
     val matched = vectors.filter(FilterJson.predicate(filterJson, col("metadata")))
       .select("id", "vid").cache()
     val ids = matched.select("id").as[String].collect().sorted
-    matched.select(col("vid"), current_timestamp().as("deleted_at"))
-      .write.mode(SaveMode.Append).parquet(dir("tombstones"))
+    storeWrite(matched.select(col("vid"), current_timestamp().as("deleted_at")))
+      .mode(SaveMode.Append).parquet(dir("tombstones"))
     matched.unpersist()
     DeleteResult(ids.length, ids)
   }
@@ -221,15 +236,20 @@ class VectorStore(val spark: SparkSession, val path: String,
   // ---- C4 metadata update (full replace, schema-validated) ----
 
   def updateMetadata(id: String, metadataJson: String): Unit = {
+    try mapper.readTree(metadataJson)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"id=$id: metadata is not valid JSON: ${e.getMessage}")
+    }
     schemaOpt.foreach(_.validate(Some(metadataJson)).foreach(err =>
       throw new MetadataSchema.SchemaViolation(s"id=$id: $err")))
     import spark.implicits._
     val t = Seq(id).toDF("id").withColumn("vid", vidExpr(col("id")))
     val known = vectors.join(broadcast(t.select("vid")), Seq("vid"), "left_semi").count()
     if (known == 0) throw new NoSuchElementException(s"unknown id: $id")
-    t.select(col("vid"), lit(metadataJson).as("metadata"),
-        current_timestamp().as("updated_at"))
-      .write.mode(SaveMode.Append).parquet(dir("meta_updates"))
+    storeWrite(t.select(col("vid"), lit(metadataJson).as("metadata"),
+        current_timestamp().as("updated_at")))
+      .mode(SaveMode.Append).parquet(dir("meta_updates"))
   }
 
   // ---- search (X12 hybrid union is implicit: one view, two tiers) ----
@@ -276,15 +296,15 @@ class VectorStore(val spark: SparkSession, val path: String,
         else {
           val trained = Ivf.train(old,
             Ivf.IvfConfig(nClusters = math.min(config.nClusters, math.max(1, nOld.toInt / 2))))
-          trained.write.mode(SaveMode.Overwrite).parquet(dir("centroids"))
+          storeWrite(trained).mode(SaveMode.Overwrite).parquet(dir("centroids"))
           trained
         }
       val assigned = Ivf.assign(old, cents)
-      assigned.write.mode(SaveMode.Append).partitionBy("cluster_id").parquet(dir("historical"))
+      storeWrite(assigned).mode(SaveMode.Append).partitionBy("cluster_id").parquet(dir("historical"))
       // rewrite the recent tier via tmp+swap (same as vacuum): never
       // overwrite a directory that the plan being written still reads
-      rec.filter(col("ts") > cutoff)
-        .write.mode(SaveMode.Overwrite).parquet(dir("recent") + "_tmp")
+      storeWrite(rec.filter(col("ts") > cutoff))
+        .mode(SaveMode.Overwrite).parquet(dir("recent") + "_tmp")
       swap("recent")
     }
     nOld
@@ -305,7 +325,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     val moved = balanced.select(col("vid"), col("cluster_id"))
       .join(hist.select(col("vid"), col("cluster_id").as("old_cid")), Seq("vid"))
       .filter(col("cluster_id") =!= col("old_cid")).count()
-    balanced.write.mode(SaveMode.Overwrite)
+    storeWrite(balanced).mode(SaveMode.Overwrite)
       .partitionBy("cluster_id").parquet(dir("historical") + "_tmp")
     balanced.unpersist()
     swap("historical")
@@ -336,9 +356,9 @@ class VectorStore(val spark: SparkSession, val path: String,
     val newHist = compact(hist).cache()
     val recRemoved = rec.count() - newRec.count()
     val histRemoved = hist.count() - newHist.count()
-    newRec.select(vectorSchema.fieldNames.map(col).toSeq: _*)
-      .write.mode(SaveMode.Overwrite).parquet(dir("recent") + "_tmp")
-    newHist.write.mode(SaveMode.Overwrite).partitionBy("cluster_id").parquet(dir("historical") + "_tmp")
+    storeWrite(newRec.select(vectorSchema.fieldNames.map(col).toSeq: _*))
+      .mode(SaveMode.Overwrite).parquet(dir("recent") + "_tmp")
+    storeWrite(newHist).mode(SaveMode.Overwrite).partitionBy("cluster_id").parquet(dir("historical") + "_tmp")
     swap("recent"); swap("historical")
     newRec.unpersist(); newHist.unpersist()
     // compacted => the mutation sidecars are spent; drop the dirs (absence
@@ -434,11 +454,18 @@ object VectorStore {
   case class VacuumResult(recentRemoved: Long, historicalRemoved: Long)
   case class Stats(recentCount: Long, historicalCount: Long, tombstoneCount: Long)
 
-  /** VectorId analog (M14, `types.rs:12-34`): "vec_" + first 8 hex chars of
-    * a content hash (sha2 here; blake3 byte-compat is irrelevant to
-    * capability parity). */
+  /** VectorId analog (M14, `types.rs:12-34`): "vec_" + the full 256-bit
+    * content hash (sha2 here; blake3 byte-compat is irrelevant to
+    * capability parity). The reference's identity is the full 32-byte
+    * hash too — its 8-hex `to_string()` is a display form only; using a
+    * truncated hash as the dedup/delete identity key would collide with
+    * ~50% probability at just ~77K distinct ids. */
   def vidExpr(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    concat(lit("vec_"), substring(sha2(id.cast("string"), 256), 1, 8))
+    concat(lit("vec_"), sha2(id.cast("string"), 256))
+
+  /** The reference's short display form (`types.rs: to_string`). */
+  def vidDisplay(vid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(substring(vid, 1, 12)) // "vec_" + 8 hex chars
 
   val vectorSchema: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),

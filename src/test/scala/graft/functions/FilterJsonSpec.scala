@@ -109,6 +109,31 @@ class FilterJsonSpec extends SparkSpec {
       """{"list": [{"x": 1, "y": 2}]}""", col("metadata"))).count() == 1)
   }
 
+  test("$and/$or reject non-object elements (never match-everything)") {
+    intercept[FilterJson.FilterParseException] {
+      matches("""{"$or": ["oops"]}""")
+    }
+    intercept[FilterJson.FilterParseException] {
+      matches("""{"$and": [{"age": 25}, 7]}""")
+    }
+  }
+
+  test("array containment is type-exact and tolerates mixed-type arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (1, """{"tags": [5, "x"]}"""),
+      (2, """{"tags": ["5"]}"""),
+      (3, """{"tags": [true]}""")
+    ).toDF("id", "metadata")
+    def hit(f: String) = df.filter(FilterJson.predicate(f, col("metadata")))
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(hit("""{"tags": 5}""") == Set(1))   // number matches number only,
+                                               // even next to a string element
+    assert(hit("""{"tags": "5"}""") == Set(2)) // string matches string only
+    assert(hit("""{"tags": "x"}""") == Set(1))
+    assert(hit("""{"tags": true}""") == Set(3))
+  }
+
   test("null metadata rows never match field filters but match the empty filter") {
     import spark.implicits._
     val df = Seq((1, Some("""{"a": 1}""")), (2, Option.empty[String]))

@@ -82,6 +82,17 @@ class VectorKernelSpec extends SparkSpec {
     }
   }
 
+  test("dimension mismatch is an error, not a truncated distance") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(vecL2(col("a"), col("b"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("dimension mismatch")), e.toString)
+  }
+
   test("null input propagates null") {
     import spark.implicits._
     val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]])).toDF("a", "b")

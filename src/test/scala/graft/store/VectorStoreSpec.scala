@@ -114,6 +114,22 @@ class VectorStoreSpec extends SparkSpec {
     // null always valid (schema.rs:68-71)
     st.insert(Seq(VectorRecord("ok2", vec(5),
       Some("""{"title": "t", "views": 2, "tags": null}"""))))
+    // a null-valued required field earlier in the set must not shadow a
+    // genuinely missing one later
+    intercept[MetadataSchema.SchemaViolation] {
+      st.insert(Seq(VectorRecord("bad4", vec(6), Some("""{"title": null}"""))))
+    }
+  }
+
+  test("unparseable metadata is rejected at insert, not at first filtered read") {
+    val st = freshStore()
+    intercept[IllegalArgumentException] {
+      st.insert(Seq(VectorRecord("bad", vec(1), Some("not json at all"))))
+    }
+    st.insert(Seq(VectorRecord("ok", vec(1), Some("""{"k": 1}"""))))
+    intercept[IllegalArgumentException] { st.updateMetadata("ok", "{{nope") }
+    // the store stays fully filterable
+    assert(st.search(vec(1), k = 1, filterJson = Some("""{"k": 1}""")).count() == 1)
   }
 
   test("migration moves old rows to the cluster-partitioned historical tier") {
