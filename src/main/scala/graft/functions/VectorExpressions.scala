@@ -144,12 +144,16 @@ object kernels {
   case class NearestCentroid(child: Expression, centroids: Array[Array[Float]],
       metric: String) extends UnaryExpression with ExpectsInputTypes {
     require(metric == "l2" || metric == "cosine", s"unsupported metric $metric")
+    require(centroids.nonEmpty && centroids.forall(_.length == centroids(0).length),
+      "centroid matrix must be non-empty and rectangular")
     override def prettyName: String = "nearest_centroid"
     override def inputTypes = Seq(ArrayType(FloatType))
     override def dataType: DataType = IntegerType
 
     private def distTo(c: Array[Float], a: ArrayData): Double = {
-      val n = math.min(c.length, a.numElements())
+      if (c.length != a.numElements()) throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${a.numElements()} vs centroid ${c.length}")
+      val n = c.length
       if (metric == "l2") {
         var s = 0.0; var i = 0
         while (i < n) { val d = a.getFloat(i).toDouble - c(i).toDouble; s += d * d; i += 1 }
@@ -205,10 +209,14 @@ object kernels {
              |""".stripMargin
         }
         s"""
+           |if ($a.numElements() != $cents[0].length) {
+           |  throw new IllegalArgumentException("vector dimension mismatch: "
+           |    + $a.numElements() + " vs centroid " + $cents[0].length);
+           |}
            |int $best = 0; double $bestD = Double.MAX_VALUE;
            |for (int $c = 0; $c < $cents.length; $c++) {
            |  float[] $cur = $cents[$c];
-           |  int $n = java.lang.Math.min($cur.length, $a.numElements());
+           |  int $n = $cur.length;
            |  $body
            |  if ($d < $bestD) { $bestD = $d; $best = $c; }
            |}
