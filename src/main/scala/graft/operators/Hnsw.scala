@@ -581,6 +581,8 @@ object Hnsw {
     def peek(bytes: Array[Byte]): (Int, Int) = {
       val buf = java.nio.ByteBuffer.wrap(bytes)
       require(buf.getInt(0) == Magic, "not a graft HNSW graph blob")
+      val v = buf.getInt(4)
+      require(v == Version, s"unsupported graph format version $v")
       val mc = buf.getInt(8)
       val n = buf.getInt(16)
       val wordsLen = buf.getInt(32)
@@ -751,7 +753,11 @@ object Hnsw {
       val g = FrozenGraph.fromBytes(bytes)
       (0 until g.n).iterator.filterNot(g.deleted.get).map(g.ids(_))
     }.toDF(idCol)
+    // Dedup within the batch too — the anti-join only guards against ids
+    // already saved; a doubled id inside one batch would land in two
+    // partition graphs and take two top-k slots for one logical row.
     val fresh = rows.select(col(idCol).cast("long"), col(embCol))
+      .dropDuplicates(idCol)
       .join(existing, Seq(idCol), "left_anti")
       .as[(Long, Array[Float])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

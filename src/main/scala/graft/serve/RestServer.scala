@@ -46,9 +46,17 @@ import scala.util.control.NonFatal
   *    engine's own results must always reflect the live store)
   *  - update feed (`client/rust.rs:71-98`): every mutation appends a
   *    sequenced change event; clients poll `/updates?since=<seq>`
+  *
+  * Security note: like the reference's default server config, routes carry
+  * NO authentication — the server is meant to sit behind a trusted proxy
+  * or on a private interface. Because of that, `admin/backup` (which
+  * writes store contents to a filesystem path) only accepts targets under
+  * the operator-configured `backupBase`; with no base configured the route
+  * is disabled rather than letting any client write anywhere the driver
+  * process can.
   */
 class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
-    maxEvents: Int = 10000) {
+    maxEvents: Int = 10000, backupBase: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -240,12 +248,22 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         val req = body(ex)
         if (req == null || !req.hasNonNull("target"))
           (400, err("'target' path required"))
-        else {
-          val target = req.get("target").asText()
-          val n = obj()
-          n.put("target", target)
-          n.put("bytes", store.backup(target))
-          (200, n)
+        else backupBase match {
+          case None =>
+            (403, err("backup disabled: no backupBase configured on this server"))
+          case Some(base) =>
+            val target = req.get("target").asText()
+            val baseNorm = java.nio.file.Paths.get(base).toAbsolutePath.normalize
+            val targetNorm =
+              baseNorm.resolve(target.stripPrefix("/")).normalize
+            if (!targetNorm.startsWith(baseNorm))
+              (403, err("backup target escapes the configured backup base"))
+            else {
+              val n = obj()
+              n.put("target", targetNorm.toString)
+              n.put("bytes", store.backup(targetNorm.toString))
+              (200, n)
+            }
         }
       case _ => (404, err("unknown admin route"))
     })

@@ -434,7 +434,10 @@ class VectorStore(val spark: SparkSession, val path: String,
 }
 
 object VectorStore {
-  val FormatVersion = 3 // matches the reference manifest version (chunk.rs:30)
+  /** Bumped to 4 when vid became the full 64-hex sha256 (was 8-hex
+    * truncated): a v3 store's stored vids never match freshly computed
+    * ones, so mutations would silently miss — fail loudly at open instead. */
+  val FormatVersion = 4 // reference manifest version analog (chunk.rs:30)
 
   case class Config(
       recentThresholdSeconds: Long = 7L * 24 * 3600, // hybrid/core.rs:76-84

@@ -147,6 +147,14 @@ class HnswSpec extends SparkSpec {
     val total = spark.read.parquet(path).select(col("graph")).as[Array[Byte]]
       .collect().map(b => Hnsw.FrozenGraph.peek(b)._2.toLong).sum
     assert(total == 150L)
+    // a batch that repeats an id (union with itself, 2 partitions) must
+    // insert each logical id once, not once per copy
+    val doubled = emb.filter(col("vec_id").between(150, 159))
+      .select(col("vec_id").as("id"), col("embedding"))
+    assert(Hnsw.insertIntoSaved(doubled.union(doubled).repartition(2), path) == 10L)
+    val total2 = spark.read.parquet(path).select(col("graph")).as[Array[Byte]]
+      .collect().map(b => Hnsw.FrozenGraph.peek(b)._2.toLong).sum
+    assert(total2 == 160L)
   }
 
   test("persisted graphs: compactSaved merges fragmented insert batches") {

@@ -34,7 +34,8 @@ class RestServerSpec extends SparkSpec {
   test("insert, get, search, delete, stats over HTTP") {
     val store = new VectorStore(spark,
       java.nio.file.Files.createTempDirectory("graft_rest_").toString)
-    val srv = new RestServer(store).start()
+    val bkBase = java.nio.file.Files.createTempDirectory("graft_rest_bk_").toString
+    val srv = new RestServer(store, backupBase = Some(bkBase)).start()
     try {
       // health before any data
       val (hs, health) = call(srv, "GET", "/api/v1/health")
@@ -106,10 +107,13 @@ class RestServerSpec extends SparkSpec {
       val (rs, rb) = call(srv, "POST", "/api/v1/admin/rebalance", "{}")
       assert(rs == 200 && rb.get("moved").asLong() == 0)
       assert(call(srv, "POST", "/api/v1/admin/backup", "{}")._1 == 400)
-      val target = java.nio.file.Files.createTempDirectory("graft_rest_bk_").toString + "/c"
+      // targets resolve under backupBase; escapes are rejected
+      assert(call(srv, "POST", "/api/v1/admin/backup",
+        """{"target": "../evil"}""")._1 == 403)
       val (ks, bk) = call(srv, "POST", "/api/v1/admin/backup",
-        s"""{"target": "$target"}""")
+        """{"target": "c"}""")
       assert(ks == 200 && bk.get("bytes").asLong() > 0)
+      assert(bk.get("target").asText().startsWith(bkBase))
     } finally srv.stop()
   }
 
@@ -122,6 +126,9 @@ class RestServerSpec extends SparkSpec {
         assert(call(srv, "POST", "/api/v1/vectors",
           s"""{"id": "c$i", "vector": ${vecJson(i)}}""")._1 == 201)
       }
+      // no backupBase configured on this server -> backup route is disabled
+      assert(call(srv, "POST", "/api/v1/admin/backup",
+        """{"target": "x"}""")._1 == 403)
       val q = s"""{"vector": ${vecJson(2)}, "k": 2, "options": {"metric": "l2"}}"""
       val (_, first) = call(srv, "POST", "/api/v1/search", q)
       assert(!first.has("cached"))
