@@ -140,10 +140,19 @@ object kernels {
     * matrix, fused into one codegen loop over a referenced float[][] —
     * no per-centroid HOF lambda, no allocation. Ties resolve to the lowest
     * index. `metric`: "l2" (squared L2 — same argmin) or "cosine"
-    * (1 - cosine). */
+    * (1 - cosine).
+    *
+    * `roundTo` (default -1 = off) exists for oracle parity: when >= 0 the
+    * per-centroid distance becomes `round(sqrt(l2), roundTo)` using the
+    * same BigDecimal HALF_UP rule as Spark's `round()`, so the argmin +
+    * lowest-index tie-break reproduces a SQL
+    * `row_number() OVER (ORDER BY round(dist, n), label)` ranking exactly
+    * — rounding collapses near-ties that raw squared distance would order
+    * differently. Only meaningful for l2. */
   case class NearestCentroid(child: Expression, centroids: Array[Array[Float]],
-      metric: String) extends UnaryExpression with ExpectsInputTypes {
+      metric: String, roundTo: Int = -1) extends UnaryExpression with ExpectsInputTypes {
     require(metric == "l2" || metric == "cosine", s"unsupported metric $metric")
+    require(roundTo < 0 || metric == "l2", "roundTo is only supported for l2")
     require(centroids.nonEmpty && centroids.forall(_.length == centroids(0).length),
       "centroid matrix must be non-empty and rectangular")
     override def prettyName: String = "nearest_centroid"
@@ -157,7 +166,10 @@ object kernels {
       if (metric == "l2") {
         var s = 0.0; var i = 0
         while (i < n) { val d = a.getFloat(i).toDouble - c(i).toDouble; s += d * d; i += 1 }
-        s
+        if (roundTo >= 0)
+          java.math.BigDecimal.valueOf(math.sqrt(s))
+            .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+        else s
       } else {
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
         while (i < n) {
@@ -188,11 +200,17 @@ object kernels {
         val d = ctx.freshName("d"); val cur = ctx.freshName("cur")
         val body = if (metric == "l2") {
           val t = ctx.freshName("t")
+          val rnd = if (roundTo >= 0)
+            s"""$d = java.math.BigDecimal.valueOf(java.lang.Math.sqrt($d))
+               |  .setScale($roundTo, java.math.RoundingMode.HALF_UP).doubleValue();
+               |""".stripMargin
+          else ""
           s"""
              |double $d = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
              |  double $t = (double)$a.getFloat($i) - (double)$cur[$i]; $d += $t * $t;
              |}
+             |$rnd
              |""".stripMargin
         } else {
           val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
@@ -266,8 +284,8 @@ object VectorExpressions {
   def vecNorm(a: Column): Column =
     ColumnBridge.column(VectorNorm(ColumnBridge.expression(a)))
   def nearestCentroid(a: Column, centroids: Array[Array[Float]],
-      metric: String = "l2"): Column =
-    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(a), centroids, metric))
+      metric: String = "l2", roundTo: Int = -1): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(a), centroids, metric, roundTo))
 
   /** Register as SQL functions (vec_dot, vec_l2, vec_cosine, vec_norm). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

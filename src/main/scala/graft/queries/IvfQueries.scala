@@ -30,17 +30,18 @@ object IvfQueries {
         .select(col("label").cast("long").as("label"), col("pos").cast("long").as("pos"), col("centroid_val"))
         .orderBy("label", "pos")
     }),
-    // J3/X6: nearest-centroid assignment, map-only against a centroid literal
+    // J3/X6: nearest-centroid assignment, map-only against a centroid
+    // matrix fused into one codegen loop (no interpreted per-centroid HOF);
+    // roundTo=6 + lowest-index ties reproduce the oracle's
+    // row_number() OVER (ORDER BY round(dist, 6), label) exactly
     "ivf_assign" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val cents = labelCentroids(emb).collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-      val centLit = typedLit(cents.map(_._2))
       val labLit = typedLit(cents.map(_._1.toLong))
-      val dists = transform(centLit, c => round(vecL2(col("embedding"), c), 6))
-      val idx = array_position(dists, array_min(dists))
+      val idx = nearestCentroid(col("embedding"), cents.map(_._2), "l2", roundTo = 6)
       emb.select(col("vec_id"),
-        element_at(labLit, idx.cast("int")).as("assigned_cluster"))
+        element_at(labLit, idx + 1).as("assigned_cluster"))
         .orderBy("vec_id")
     }),
     // X7: n_probe=3 pruned search for query vec 0 over label-clusters
