@@ -58,6 +58,10 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
+      // drop cached blocks a query left behind (e.g. the minhash signature
+      // table) so later queries aren't timed under its memory pressure —
+      // run-order sensitivity is exactly what skewed the round-2 numbers
+      spark.sharedState.cacheManager.clearCache()
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

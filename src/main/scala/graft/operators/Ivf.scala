@@ -119,14 +119,20 @@ object Ivf {
       k: Int, nProbe: Int, metric: String = "l2", idCol: String = "id",
       embCol: String = "embedding", queryIdCol: String = "query_id",
       queryEmbCol: String = "q_embedding", roundDecimals: Int = -1): DataFrame = {
-    val p = probes(centroids, queries, nProbe, metric, queryIdCol, queryEmbCol,
-        roundDecimals)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // collect the probed cluster set (<= nProbe x |queries| tiny ids) into a
-    // STATIC isin filter: unconditional parquet partition pruning on
-    // cluster_id, not dependent on dynamic-partition-pruning kicking in —
-    // the exact analog of "only load the probed inverted lists"
-    val probedIds = p.select("cluster_id").distinct().collect().map(_.getLong(0))
+    // The probe relation is tiny (<= nProbe x |queries| rows) and read
+    // twice (static pruning set + broadcast join), so materialize it to the
+    // driver ONCE and re-wrap as a local relation — a persist() here would
+    // outlive the returned plan and leak cached blocks across calls.
+    val pd = probes(centroids, queries, nProbe, metric, queryIdCol, queryEmbCol,
+      roundDecimals)
+    val pRows = pd.collect()
+    val p = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(pRows: _*), pd.schema)
+    // the probed cluster set as a STATIC isin filter: unconditional parquet
+    // partition pruning on cluster_id, not dependent on dynamic-partition-
+    // pruning kicking in — the exact analog of "only load the probed
+    // inverted lists"
+    val probedIds = pRows.map(_.getAs[Long]("cluster_id")).distinct
     val dRaw = distance(metric, col(embCol), col(queryEmbCol))
     val d = if (roundDecimals >= 0) round(dRaw, roundDecimals) else dRaw
     val scored = corpus
