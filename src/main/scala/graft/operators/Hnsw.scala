@@ -657,26 +657,42 @@ object Hnsw {
 
   /** Search previously persisted partition graphs: one task per graph blob
     * (blobs are tiny relative to the corpus, so the repartition that spreads
-    * them across executors is a negligible shuffle), global top-k merge. */
+    * them across executors is a negligible shuffle), global top-k merge.
+    *
+    * `allowed` (X13 on the graph path): optional relation of permitted ids
+    * (single LONG `id` column, e.g. the output of a metadata filter over
+    * the store). The graph topology knows nothing about metadata, so the
+    * reference's filtered-search semantics apply: each blob is probed for
+    * `k * oversample` candidates (`hybrid/core.rs:513-549` uses k*3), the
+    * candidate stream is semi-joined against `allowed`, and the survivors
+    * merge through the usual top-k. Selectivity beyond 1/oversample can
+    * under-fill k — that is the documented reference behavior, not a bug;
+    * use the exact or IVF path for highly selective filters. */
   def searchSaved(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, efSearch: Int = 50,
-      queryIdCol: String = "query_id", queryEmbCol: String = "q_embedding"): DataFrame = {
+      queryIdCol: String = "query_id", queryEmbCol: String = "q_embedding",
+      allowed: Option[DataFrame] = None, oversample: Int = 3): DataFrame = {
     import spark.implicits._
     val qRows = queries.select(col(queryIdCol), col(queryEmbCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qB = spark.sparkContext.broadcast(qRows)
+    val kProbe = if (allowed.isDefined) k * math.max(1, oversample) else k
     val partial = spark.read.parquet(path)
       .select(col("graph")).as[Array[Byte]]
       .repartition(spark.sparkContext.defaultParallelism)
       .flatMap { bytes =>
         val g = FrozenGraph.fromBytes(bytes)
         qB.value.iterator.flatMap { case (qid, qv) =>
-          g.search(qv, k, efSearch).iterator.map { case (id, d) => (qid, id, d) }
+          // ef must cover the widened candidate set or the widening is moot
+          g.search(qv, kProbe, math.max(efSearch, kProbe)).iterator
+            .map { case (id, d) => (qid, id, d) }
         }
       }
       .toDF(queryIdCol, "id", "distance")
+    val surviving = allowed.fold(partial)(a =>
+      partial.join(a.select(col("id")), Seq("id"), "left_semi"))
     val topk = TopK.topK(k)
-    partial.groupBy(queryIdCol)
+    surviving.groupBy(queryIdCol)
       .agg(topk(col("id"), col("distance")).as("hits"))
       .select(col(queryIdCol), posexplode(col("hits")).as(Seq("pos", "hit")))
       .select(col(queryIdCol), col("hit.id").as("id"),

@@ -114,11 +114,20 @@ object Ivf {
 
   /** Batch n_probe search: join the corpus to the probe set on cluster_id
     * (partition-pruned when the corpus is cluster-partitioned), exact
-    * distance within probed lists, grouped top-k. */
+    * distance within probed lists, grouped top-k.
+    *
+    * `filter` (X13): optional row predicate (e.g. a
+    * [[graft.functions.FilterJson]] metadata predicate) applied INSIDE the
+    * probed lists, before scoring — a pushed pre-filter with exact-k
+    * semantics, strictly better than the reference's k*3 post-filter
+    * oversampling (`hybrid/core.rs:513-549`), and it composes with the
+    * partition pruning: the scan reads only probed clusters AND only rows
+    * passing the predicate. */
   def searchBatch(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nProbe: Int, metric: String = "l2", idCol: String = "id",
       embCol: String = "embedding", queryIdCol: String = "query_id",
-      queryEmbCol: String = "q_embedding", roundDecimals: Int = -1): DataFrame = {
+      queryEmbCol: String = "q_embedding", roundDecimals: Int = -1,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     // The probe relation is tiny (<= nProbe x |queries| rows) and read
     // twice (static pruning set + broadcast join), so materialize it to the
     // driver ONCE and re-wrap as a local relation — a persist() here would
@@ -135,9 +144,10 @@ object Ivf {
     val probedIds = pRows.map(_.getAs[Long]("cluster_id")).distinct
     val dRaw = distance(metric, col(embCol), col(queryEmbCol))
     val d = if (roundDecimals >= 0) round(dRaw, roundDecimals) else dRaw
-    val scored = corpus
-      .filter(col("cluster_id").isin(probedIds: _*))
-      .join(broadcast(p), corpus("cluster_id") === p("cluster_id"))
+    val pruned = corpus.filter(col("cluster_id").isin(probedIds: _*))
+    val candidates = filter.fold(pruned)(pruned.filter)
+    val scored = candidates
+      .join(broadcast(p), candidates("cluster_id") === p("cluster_id"))
       .select(col(queryIdCol), col(idCol).as("id"), d.as("distance"))
     val topk =
       if (corpus.schema(idCol).dataType == org.apache.spark.sql.types.StringType)

@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.core.Tables
+import graft.functions.FilterJson
 import graft.functions.VectorExpressions._
-import graft.operators.TopK
+import graft.operators.{Ivf, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -58,6 +59,23 @@ object IvfQueries {
         .select(col("vec_id"), round(vecL2(col("embedding"), col("q_emb")), 6).as("distance"))
         .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
     }),
+    // X13: filtered n_probe search through the full Ivf.searchBatch path —
+    // a Mongo-style metadata filter composed INSIDE the probed lists
+    // (pushed pre-filter, exact-k), 8 queries, k=10, n_probe=3
+    "ann_ivf_filtered" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = labelCentroids(emb)
+        .select(col("label").cast("long").as("cluster_id"), col("centroid"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding"),
+        col("label").cast("long").as("cluster_id"),
+        to_json(struct((col("vec_id") % 2).as("parity"))).as("metadata"))
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Ivf.searchBatch(corpus, cents, qs, k = 10, nProbe = 3, metric = "l2",
+        roundDecimals = 6,
+        filter = Some(FilterJson.predicate("""{"parity": 0}""", col("metadata"))))
+        .orderBy("query_id", "rank")
+    }),
     // A4: cluster size stats over the label clustering
     "cluster_stats" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
@@ -104,6 +122,27 @@ object IvfQueries {
          |  round(list_distance(e.embedding::DOUBLE[], q.qe), 6) AS distance
          |FROM embeddings e JOIN probed p ON e.label = p.label, q
          |ORDER BY distance ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+    "ann_ivf_filtered" ->
+      s"""WITH $centSql,
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+         |      FROM embeddings WHERE vec_id < 8),
+         |pr AS (
+         |  SELECT q.query_id, c.label,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY round(list_distance(c.centroid, q.qe), 6), c.label) AS rn
+         |  FROM centl c CROSS JOIN q),
+         |d AS (
+         |  SELECT p.query_id, e.vec_id,
+         |    round(list_distance(e.embedding::DOUBLE[], q.qe), 6) AS distance
+         |  FROM pr p JOIN embeddings e ON e.label = p.label
+         |    JOIN q ON q.query_id = p.query_id
+         |  WHERE p.rn <= 3 AND e.vec_id % 2 = 0),
+         |r AS (
+         |  SELECT query_id, vec_id, distance,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+         |  FROM d)
+         |SELECT query_id, vec_id AS id, distance, rank::BIGINT AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "cluster_stats" ->
       """SELECT label::BIGINT AS cluster_id, count(*) AS size,
         |  round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm

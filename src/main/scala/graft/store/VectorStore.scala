@@ -408,21 +408,40 @@ class VectorStore(val spark: SparkSession, val path: String,
   /** Batch hybrid search (X12/X14 at scale): the recent tier is scanned
     * fully (small by construction); the historical tier is probe-pruned on
     * its cluster_id partitions when centroids exist. Results merge through
-    * the grouped top-k. */
+    * the grouped top-k.
+    *
+    * `filterJson` (X13 at scale): the same Mongo-style metadata filter as
+    * [[search]], composed into BOTH tiers as a pushed pre-filter — the
+    * recent scan and the probed inverted lists each drop non-matching rows
+    * before any distance is computed, so filtered search keeps exact-k
+    * semantics (no oversampling) and the partition pruning of the
+    * historical tier. Metadata overlays (C4) are applied before filtering
+    * so a filter sees updated values. */
   def searchBatch(queries: DataFrame, k: Int, metric: String = "cosine",
       nProbe: Int = config.nProbe, recentK: Option[Int] = None,
-      historicalK: Option[Int] = None): DataFrame = {
+      historicalK: Option[Int] = None,
+      filterJson: Option[String] = None): DataFrame = {
     // the natural string id rides through the string top-k aggregate — no
     // surrogate hash, no collision risk, no join back to recover the id
-    val rec = dropTombstoned(recent).select(col("id"), col("embedding"))
-    val recPart = Knn.batch(rec, queries, recentK.getOrElse(k), metric)
+    val rec = filterJson match {
+      case None => dropTombstoned(recent).select(col("id"), col("embedding"))
+      case Some(_) => applyMetaOverlay(dropTombstoned(recent))
+        .select(col("id"), col("embedding"), col("metadata"))
+    }
+    val recPart = Knn.batch(rec, queries, recentK.getOrElse(k), metric,
+        filterJson = filterJson)
       .select(col("query_id"), col("id"), col("distance"))
-    val hist = dropTombstoned(historical)
+    val hist = filterJson match {
+      case None => dropTombstoned(historical)
+      case Some(_) => applyMetaOverlay(dropTombstoned(historical))
+    }
     val histPart =
       if (!exists("centroids") || hist.isEmpty) None
       else Some(Ivf.searchBatch(
-          hist.select(col("id"), col("embedding"), col("cluster_id")),
-          centroids, queries, historicalK.getOrElse(k), nProbe, metric)
+          hist.select(Seq("id", "embedding", "cluster_id").map(col) ++
+            filterJson.map(_ => col("metadata")).toSeq: _*),
+          centroids, queries, historicalK.getOrElse(k), nProbe, metric,
+          filter = filterJson.map(FilterJson.predicate(_, col("metadata"))))
         .select(col("query_id"), col("id"), col("distance")))
     val union = histPart.map(recPart.unionByName(_)).getOrElse(recPart)
     val topk = TopK.topKStr(k)

@@ -201,6 +201,24 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("searchSaved with allowed-id filter: only allowed ids, recall holds via oversampling") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding")).repartition(4)
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_filt_").toString + "/g"
+    Hnsw.buildAndSave(corpus, path, cfg = HnswConfig(efConstruction = 100))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val allowed = corpus.filter(col("id") % 2 === 0).select("id")
+    val hits = Hnsw.searchSaved(spark, path, queries, k = 10, efSearch = 120,
+      allowed = Some(allowed), oversample = 3)
+    assert(hits.filter(col("id") % 2 =!= 0).isEmpty, "filter leaked a disallowed id")
+    // recall vs the exact filtered oracle: k*3 oversampling at ~50%
+    // selectivity must keep most of the true filtered top-k
+    val exact = Knn.batch(corpus.filter(col("id") % 2 === 0), queries, k = 10, metric = "l2")
+    val recall = Ivf.evaluateRecall(hits, exact).head().getDouble(0)
+    assert(recall >= 0.8, s"filtered hnsw recall $recall")
+  }
+
   test("distributed searchBatch: recall >= 0.9 vs exact oracle on real embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding")).repartition(4)

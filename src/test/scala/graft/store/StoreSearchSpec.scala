@@ -35,6 +35,37 @@ class StoreSearchSpec extends SparkSpec {
     assert(h3.sameElements(single))
   }
 
+  test("filtered batch search composes the metadata filter into both tiers") {
+    import spark.implicits._
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_fbs_").toString,
+      Config(recentThresholdSeconds = 3600, nClusters = 4))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert((0 until 40).map(i => VectorRecord(s"old$i", vec(i),
+      metadata = Some(s"""{"grp": ${i % 2}}"""), tsString = Some(oldTs))))
+    assert(st.migrate() == 40)
+    st.insert((40 until 50).map(i => VectorRecord(s"new$i", vec(i),
+      metadata = Some(s"""{"grp": ${i % 2}}"""))))
+    val queries = Seq((3L, vec(3)), (45L, vec(45)))
+      .toDF("query_id", "q_embedding")
+    val hits = st.searchBatch(queries, k = 5, metric = "l2", nProbe = 4,
+      filterJson = Some("""{"grp": 1}"""))
+      .collect().groupBy(_.getLong(0))
+    // every hit is an odd-i row (grp 1), drawn from BOTH tiers
+    hits.values.flatten.foreach { r =>
+      val i = r.getString(1).replaceAll("[^0-9]", "").toInt
+      assert(i % 2 == 1, s"row ${r.getString(1)} escaped the grp filter")
+    }
+    assert(hits(3L).map(_.getString(1)).exists(_.startsWith("old")))
+    assert(hits(45L).map(_.getString(1)).exists(_.startsWith("new")))
+    assert(hits(3L).length == 5 && hits(45L).length == 5)
+    // exact-k parity with the single-query filtered exact path
+    val single = st.search(vec(3), k = 5, metric = "l2",
+      filterJson = Some("""{"grp": 1}""")).collect().map(_.getString(0))
+    val h3 = hits(3L).sortBy(r => (r.getDouble(2), r.getString(1))).map(_.getString(1))
+    assert(h3.sameElements(single))
+  }
+
   test("search returns metadata, respects includeVectors and score threshold") {
     val st = new VectorStore(spark,
       Files.createTempDirectory("graft_iv_").toString)
