@@ -207,6 +207,80 @@ class VectorStore(val spark: SparkSession, val path: String,
       insertedIds = freshIds)
   }
 
+  /** C1 at DataFrame scale — the "ingest this 10 TB DataFrame" front door
+    * the Seq API can't be: same dup/dim/JSON/schema checks as [[insert]],
+    * but every check and the dedup run distributed; nothing batch-sized
+    * ever lands on the driver.
+    *
+    * Expected columns: `id STRING`, `embedding ARRAY<FLOAT>`; optional
+    * `metadata STRING` (JSON) and `ts TIMESTAMP` (defaults now). Exactly
+    * two passes over the input: one validation aggregate (row count +
+    * first offender, all checks fused into one projection), then the
+    * dedup anti-join + append. Within-batch duplicate ids keep one
+    * arbitrary row (a DataFrame has no order to define "first").
+    * `insertedIds` is left empty by design — collecting 10^9 ids to the
+    * driver is the OOM this API exists to avoid. */
+  def insertDF(df: DataFrame): InsertResult = {
+    val cols = df.columns.toSet
+    require(cols.contains("id") && cols.contains("embedding"),
+      "insertDF requires id and embedding columns")
+    val base = df
+      .withColumn("metadata",
+        if (cols.contains("metadata")) col("metadata") else lit(null).cast(StringType))
+      .withColumn("ts",
+        if (cols.contains("ts")) coalesce(col("ts"), current_timestamp())
+        else current_timestamp())
+    val dim = dimension.getOrElse {
+      val h = base.select(size(col("embedding"))).head(1)
+      require(h.nonEmpty, "empty batch")
+      h(0).getInt(0)
+    }
+    initIfNeeded(dim)
+    // all per-row checks fused into one error expression: dim mismatch,
+    // unparseable metadata (try_parse_json -> null = would poison every
+    // later filtered read), schema violation (executor-side validator)
+    val jsonErr = when(col("metadata").isNotNull &&
+        try_parse_json(col("metadata")).isNull, lit("metadata is not valid JSON"))
+    val err = schemaOpt match {
+      case None =>
+        when(col("embedding").isNull, lit("null embedding"))
+          .when(size(col("embedding")) =!= dim,
+            concat(lit("dimension mismatch: store="), lit(dim),
+              lit(" row="), size(col("embedding"))))
+          .otherwise(jsonErr)
+      case Some(sch) =>
+        val vErr = VectorStore.schemaErrUdf(sch.json)(col("metadata"))
+        when(col("embedding").isNull, lit("null embedding"))
+          .when(size(col("embedding")) =!= dim,
+            concat(lit("dimension mismatch: store="), lit(dim),
+              lit(" row="), size(col("embedding"))))
+          .otherwise(coalesce(jsonErr, vErr))
+    }
+    val audit = base.select(col("id"), err.as("err"))
+      .agg(count(lit(1)).as("total"),
+        count(col("err")).as("bad"),
+        first(col("err"), ignoreNulls = true).as("sample_err"),
+        first(when(col("err").isNotNull, col("id")), ignoreNulls = true).as("sample_id"))
+      .head()
+    val total = audit.getLong(0)
+    require(total > 0, "empty batch")
+    if (audit.getLong(1) > 0)
+      throw new IllegalArgumentException(
+        s"id=${audit.getString(3)}: ${audit.getString(2)} " +
+          s"(${audit.getLong(1)} of $total rows rejected)")
+    val prepared = base
+      .withColumn("vid", vidExpr(col("id")))
+      .select("id", "vid", "embedding", "metadata", "ts")
+      .dropDuplicates("vid")
+    val fresh = prepared.join(vectors.select("vid"), Seq("vid"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inserted = fresh.count()
+    if (inserted > 0)
+      storeWrite(fresh).mode(SaveMode.Append).parquet(dir("recent"))
+    fresh.unpersist()
+    InsertResult(inserted = inserted, duplicates = total - inserted)
+  }
+
   // ---- C2/C3/C5 soft delete ----
 
   def delete(ids: Seq[String]): DeleteResult = {
@@ -214,23 +288,32 @@ class VectorStore(val spark: SparkSession, val path: String,
     val target = ids.toDF("id").withColumn("vid", vidExpr(col("id")))
     val found = vectors.select("id", "vid")
       .join(broadcast(target.select("vid")), Seq("vid"), "left_semi")
-    val foundIds = found.select("id").as[String].collect().sorted
+      .cache()
+    val n = found.count()
+    // exact count, capped id echo (config.maxReturnedIds) — a delete
+    // matching the whole store must not round-trip every id to the driver
+    val foundIds = found.select("id").orderBy("id")
+      .limit(config.maxReturnedIds).as[String].collect()
     storeWrite(found.select(col("vid"), current_timestamp().as("deleted_at")))
       .mode(SaveMode.Append).parquet(dir("tombstones"))
-    DeleteResult(foundIds.length, foundIds)
+    found.unpersist()
+    DeleteResult(n, foundIds)
   }
 
   /** C3: delete everything matching a Mongo-style metadata filter; empty
-    * filter deletes everything (session.rs:838-841). */
+    * filter deletes everything (session.rs:838-841). `deletedIds` is
+    * capped at config.maxReturnedIds (count stays exact). */
   def deleteByMetadata(filterJson: String): DeleteResult = {
     import spark.implicits._
     val matched = vectors.filter(FilterJson.predicate(filterJson, col("metadata")))
       .select("id", "vid").cache()
-    val ids = matched.select("id").as[String].collect().sorted
+    val n = matched.count()
+    val ids = matched.select("id").orderBy("id")
+      .limit(config.maxReturnedIds).as[String].collect()
     storeWrite(matched.select(col("vid"), current_timestamp().as("deleted_at")))
       .mode(SaveMode.Append).parquet(dir("tombstones"))
     matched.unpersist()
-    DeleteResult(ids.length, ids)
+    DeleteResult(n, ids)
   }
 
   // ---- C4 metadata update (full replace, schema-validated) ----
@@ -462,7 +545,22 @@ object VectorStore {
       recentThresholdSeconds: Long = 7L * 24 * 3600, // hybrid/core.rs:76-84
       nClusters: Int = 256,
       nProbe: Int = 16,
-      chunkSize: Int = 10000) // rows per parquet file (chunk.rs 10K analog)
+      chunkSize: Int = 10000, // rows per parquet file (chunk.rs 10K analog)
+      // cap on id lists returned by delete/deleteByMetadata: the count is
+      // always exact, but a filter matching 10^9 rows must not OOM the
+      // driver for the sake of echoing every id back
+      maxReturnedIds: Int = 10000)
+
+  /** Executor-side schema validator for [[VectorStore.insertDF]]: the
+    * schema travels as its JSON string (JsonNode serializability is a
+    * Jackson implementation detail) and parses once per JVM. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, MetadataSchema.Schema]()
+  private[store] def schemaErrUdf(schemaJson: String) =
+    udf { (m: String) =>
+      schemaCache.computeIfAbsent(schemaJson, j => MetadataSchema.parse(j))
+        .validate(Option(m)).orNull
+    }
 
   case class Manifest(version: Int, dim: Int)
 

@@ -32,6 +32,42 @@ class VectorStoreSpec extends SparkSpec {
     assert(hits.map(_.getDouble(1)).sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("insertDF: distributed bulk ingest with the same checks as insert") {
+    import spark.implicits._
+    val st = freshStore()
+    st.setSchema("""{"fields": {"rank": {"type": "number"}}, "required": ["rank"]}""")
+    // 5K rows, multi-partition, within-batch dup (id repeats once)
+    val big = spark.range(5000)
+      .select(concat(lit("bulk"), (col("id") % 4999)).as("id"))
+      .withColumn("seed", expr("CAST(substring(id, 5) AS INT)"))
+      .withColumn("embedding",
+        expr("transform(sequence(1, 8), j -> CAST(sin(seed * j) AS FLOAT))"))
+      .withColumn("metadata", concat(lit("""{"rank": """), col("seed"), lit("}")))
+      .drop("seed")
+    val r = st.insertDF(big)
+    assert((r.inserted, r.duplicates) == (4999L, 1L))
+    assert(r.insertedIds.isEmpty) // by design: nothing batch-sized on the driver
+    // overlap with live rows counts as duplicates, like insert()
+    val r2 = st.insertDF(big.limit(10))
+    assert((r2.inserted, r2.duplicates) == (0L, 10L))
+    // searchable end-to-end
+    val hit = st.search(vec(123), k = 1, metric = "l2").head()
+    assert(hit.getString(0) == "bulk123" && hit.getDouble(1) < 1e-6)
+    // dim mismatch, bad JSON, and schema violations all fail the batch
+    intercept[IllegalArgumentException] {
+      st.insertDF(Seq(("wide", Array.fill(9)(0.1f))).toDF("id", "embedding"))
+    }
+    intercept[IllegalArgumentException] {
+      st.insertDF(Seq(("bad", vec(1), "{nope")).toDF("id", "embedding", "metadata"))
+    }
+    intercept[IllegalArgumentException] {
+      st.insertDF(Seq(("noschema", vec(1), """{"other": 1}"""))
+        .toDF("id", "embedding", "metadata"))
+    }
+    // failed batches wrote nothing
+    assert(st.stats().recentCount == 4999L)
+  }
+
   test("duplicate insert rejected, dimension mismatch errors") {
     val st = freshStore()
     locally { val r1 = st.insert(Seq(VectorRecord("a", vec(1))))
