@@ -244,6 +244,51 @@ object kernels {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** A2/M12 ADC kernel for batch PQ search: squared-L2 asymmetric distance
+    * read from per-query lookup tables (`tables(qIdx)(sub)(code)` =
+    * ||query_sub - centroid||^2, precomputed driver-side for a bounded
+    * query batch — the classic PQ framing, `vector_ops.rs:525-577`).
+    * Per row the cost is m table reads + adds, independent of dim, and it
+    * stays inside whole-stage codegen. left = codes ARRAY<INT>,
+    * right = query index INT. */
+  case class PqAdcTableDist(left: Expression, right: Expression,
+      tables: Array[Array[Array[Double]]]) extends BinaryExpression with ExpectsInputTypes {
+    require(tables.nonEmpty, "empty ADC table set")
+    override def prettyName: String = "pq_adc_dist"
+    override def inputTypes = Seq(ArrayType(IntegerType), IntegerType)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+
+    override def nullSafeEval(codesAny: Any, qAny: Any): Any = {
+      val codes = codesAny.asInstanceOf[ArrayData]
+      val t = tables(qAny.asInstanceOf[Int])
+      if (codes.numElements() != t.length) throw new IllegalArgumentException(
+        s"code count ${codes.numElements()} != subspace count ${t.length}")
+      var s = 0.0; var i = 0
+      while (i < t.length) { s += t(i)(codes.getInt(i)); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (codes, qi) => {
+        val tabs = ctx.addReferenceObj("adcTables", tables, "double[][][]")
+        val t = ctx.freshName("t"); val i = ctx.freshName("i"); val s = ctx.freshName("s")
+        s"""
+           |double[][] $t = $tabs[$qi];
+           |if ($codes.numElements() != $t.length) {
+           |  throw new IllegalArgumentException("code count " + $codes.numElements()
+           |    + " != subspace count " + $t.length);
+           |}
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $t.length; $i++) {
+           |  $s += $t[$i][$codes.getInt($i)];
+           |}
+           |${ev.value} = $s;
+           |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
   /** M4: L2 norm. */
   case class VectorNorm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
     override def prettyName: String = "vec_norm"
@@ -286,6 +331,10 @@ object VectorExpressions {
   def nearestCentroid(a: Column, centroids: Array[Array[Float]],
       metric: String = "l2", roundTo: Int = -1): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(a), centroids, metric, roundTo))
+  def pqAdcTableDist(codes: Column, qIdx: Column,
+      tables: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqAdcTableDist(
+      ColumnBridge.expression(codes), ColumnBridge.expression(qIdx), tables))
 
   /** Register as SQL functions (vec_dot, vec_l2, vec_cosine, vec_norm). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

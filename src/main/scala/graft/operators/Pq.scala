@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Product quantization (SURVEY.md §2.4 A2 + §2.8 M12,
@@ -78,4 +78,119 @@ object Pq {
     encoded.select(col(idCol).as("id"),
         sqrt(adcDistSq(model, query, col(codesCol))).as("distance"))
       .orderBy(col("distance").asc, col("id").asc).limit(k)
+
+  // ---- model persistence (the X10 analog for quantization state: the
+  // reference persists codebooks with the index, `ivf/persistence.rs`) ----
+
+  /** Save codebooks as plain parquet rows (sub, code, centroid) — the shape
+    * is self-describing, so [[load]] needs no sidecar. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: PqModel,
+      path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- model.codebooks.indices
+      c <- model.codebooks(s).indices
+    } yield (s, c, model.codebooks(s)(c))
+    rows.toDF("sub", "code", "centroid").repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(path)
+      .select(col("sub"), col("code"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    require(rows.nonEmpty, s"no PQ codebooks at $path")
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val byCell = rows.map(r => (r._1, r._2) -> r._3).toMap
+    require(byCell.size == m * k, s"codebook grid incomplete: ${byCell.size} != $m x $k")
+    val books = Array.tabulate(m, k)((s, c) => byCell((s, c)))
+    PqModel(m, k, books(0)(0).length, books)
+  }
+
+  // ---- IVF-PQ composition (X7 + A2: ADC within probed inverted lists) ----
+
+  /** Batch IVF-PQ search: n_probe coarse pruning exactly like
+    * [[Ivf.searchBatch]] (static cluster_id pruning + broadcast probes),
+    * but candidate scoring is PQ asymmetric distance — per-query lookup
+    * tables over the codebooks, O(m) per row in whole-stage codegen — and
+    * an optional exact rerank of the per-query `shortlist` against the raw
+    * vectors. This is the 100 TB pattern: the scan touches only probed
+    * partitions of the 8-byte-per-vector code table; raw embeddings are
+    * read only for shortlist×queries rows.
+    *
+    * @param encoded (idCol LONG, cluster_id LONG, codes ARRAY<INT>)
+    * @param rerank  optional (idCol LONG, embedding ARRAY<FLOAT>) raw
+    *                vectors; when given, results carry exact distances of
+    *                the ADC shortlist re-ranked, top-k
+    */
+  def searchBatchIvfPq(encoded: DataFrame, centroids: DataFrame,
+      model: PqModel, queries: DataFrame, k: Int, nProbe: Int,
+      shortlist: Int = 100, rerank: Option[DataFrame] = None,
+      idCol: String = "id", queryIdCol: String = "query_id",
+      queryEmbCol: String = "q_embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val pRows = Ivf.probes(centroids, queries, nProbe, "l2",
+      queryIdCol, queryEmbCol).collect()
+    // one ADC table per distinct query, driver-built (query batches are
+    // bounded; |tables| = nq x m x k doubles)
+    val qVecs = pRows.map(r =>
+        r.getAs[Long](queryIdCol) -> r.getAs[scala.collection.Seq[Float]](queryEmbCol))
+      .distinct
+    val qIdx = qVecs.map(_._1).zipWithIndex.toMap
+    val tables: Array[Array[Array[Double]]] = qVecs.map { case (_, emb) =>
+      val q = emb.toArray
+      Array.tabulate(model.m) { s =>
+        val qs = q.slice(s * model.subDim, (s + 1) * model.subDim)
+        model.codebooks(s).map { c =>
+          var acc = 0.0; var i = 0
+          while (i < qs.length) { val d = qs(i).toDouble - c(i).toDouble; acc += d * d; i += 1 }
+          acc
+        }
+      }
+    }
+    import spark.implicits._
+    val p = pRows.map(r =>
+        (r.getAs[Long](queryIdCol), qIdx(r.getAs[Long](queryIdCol)),
+          r.getAs[Long]("cluster_id")))
+      .toSeq.toDF(queryIdCol, "q_idx", "cluster_id")
+    val probedIds = pRows.map(_.getAs[Long]("cluster_id")).distinct
+    val adc = graft.functions.VectorExpressions.pqAdcTableDist(
+      col("codes"), col("q_idx"), tables)
+    val pruned = encoded.filter(col("cluster_id").isin(probedIds: _*))
+    val scored = pruned
+      .join(broadcast(p), pruned("cluster_id") === p("cluster_id"))
+      .select(col(queryIdCol), col(idCol).as("id"), adc.as("adc_sq"))
+    val topShort = TopK.topK(shortlist)
+    val short = scored.groupBy(queryIdCol)
+      .agg(topShort(col("id"), col("adc_sq")).as("hits"))
+      .select(col(queryIdCol), explode(col("hits")).as("hit"))
+      .select(col(queryIdCol), col("hit.id").as("id"),
+        sqrt(col("hit.dist")).as("distance"))
+    val ranked = rerank match {
+      case None => short
+      case Some(raw) =>
+        val qRel = spark.createDataFrame(
+          java.util.Arrays.asList(qVecs.map(v => Row(v._1, v._2)): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(queryIdCol,
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(queryEmbCol,
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType)))))
+        short.select(col(queryIdCol), col("id"))
+          .join(raw.select(col(idCol).as("id"), col("embedding")), Seq("id"))
+          .join(broadcast(qRel), Seq(queryIdCol))
+          .select(col(queryIdCol), col("id"),
+            graft.functions.VectorExpressions.vecL2(
+              col("embedding"), col(queryEmbCol)).as("distance"))
+    }
+    val topk = TopK.topK(k)
+    ranked.groupBy(queryIdCol)
+      .agg(topk(col("id"), col("distance")).as("hits"))
+      .select(col(queryIdCol), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col(queryIdCol), col("hit.id").as("id"),
+        col("hit.dist").as("distance"), (col("pos") + 1).cast("long").as("rank"))
+  }
 }

@@ -231,6 +231,33 @@ object AnnQueries {
       val exact = Knn.batch(corpus, queries, k = 10, metric = "l2")
       Ivf.evaluateRecall(adc, exact)
         .select(col("n_queries"), (col("avg_recall") >= 0.5).as("recall_ok"))
+    }),
+    // IVF-PQ composition (X7 + A2): coarse n_probe pruning over the label
+    // clustering, ADC scoring of the 8-byte codes WITHIN probed lists via
+    // per-query lookup tables, exact rerank of the shortlist — save/load
+    // round-trips the codebooks through parquet on the way, gated like
+    // ann_pq_adc as recall@10 vs exact over the full corpus
+    "ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+      val trained = Pq.train(corpus, dim = 64, m = 8, k = 64, trainSize = 1000)
+      val pqPath = java.nio.file.Files.createTempDirectory("graft_pq_").toString + "/books"
+      Pq.save(s, trained, pqPath)
+      val model = Pq.load(s, pqPath)
+      // geometric coarse quantizer (KMeans) — label clusters are semantic,
+      // not spatial, so probing them loses true neighbors at larger SF
+      val cents = Ivf.train(corpus,
+        Ivf.IvfConfig(nClusters = 16, maxIterations = 10, initMode = "driver"))
+      val enc = Ivf.assign(corpus, cents)
+        .select(col("id"), col("cluster_id").cast("long").as("cluster_id"),
+          Pq.encode(model, col("embedding")).as("codes"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val approx = Pq.searchBatchIvfPq(enc, cents, model, queries,
+        k = 10, nProbe = 5, shortlist = 100, rerank = Some(corpus))
+      val exact = Knn.batch(corpus, queries, k = 10, metric = "l2")
+      Ivf.evaluateRecall(approx, exact)
+        .select(col("n_queries"), (col("avg_recall") >= 0.5).as("recall_ok"))
     }))
 
   private val centSql400 =
@@ -324,6 +351,8 @@ object AnnQueries {
       """SELECT vec_id AS query_id, vec_id AS id, 0.0 AS distance
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
     "ann_pq_adc" ->
+      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+    "ann_ivfpq" ->
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
     "quantize_u8" ->
       """WITH q AS (

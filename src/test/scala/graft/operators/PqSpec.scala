@@ -41,6 +41,35 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.3, s"ADC recall $recall") // PQ8x16 on 64-dim is coarse
   }
 
+  test("save/load round-trips the codebooks exactly") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_rt_").toString + "/books"
+    Pq.save(spark, model, path)
+    val back = Pq.load(spark, path)
+    assert((back.m, back.k, back.subDim) == ((model.m, model.k, model.subDim)))
+    for (s <- 0 until model.m; c <- 0 until model.k)
+      assert(back.codebooks(s)(c).sameElements(model.codebooks(s)(c)), s"cell ($s,$c)")
+  }
+
+  test("IVF-PQ: ADC within probed lists + exact rerank beats plain ADC recall") {
+    val cents = graft.queries.QueryShapes.labelCentroids(emb)
+      .select(col("label").cast("long").as("cluster_id"), col("centroid"))
+    val enc = emb.select(col("vec_id").as("id"),
+      col("label").cast("long").as("cluster_id"),
+      Pq.encode(model, col("embedding")).as("codes"))
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val approx = Pq.searchBatchIvfPq(enc, cents, model, queries,
+      k = 10, nProbe = 5, shortlist = 100, rerank = Some(corpus))
+    assert(approx.filter(col("rank") === 1).count() == 8)
+    val exact = Knn.batch(corpus, queries, k = 10, metric = "l2")
+    val recall = Ivf.evaluateRecall(approx, exact).head().getDouble(0)
+    assert(recall >= 0.5, s"IVF-PQ recall $recall")
+    // without rerank the results are ADC-ordered but still well-formed
+    val noRerank = Pq.searchBatchIvfPq(enc, cents, model, queries,
+      k = 10, nProbe = 5, shortlist = 100)
+    assert(noRerank.groupBy("query_id").count().collect().forall(_.getLong(1) == 10))
+  }
+
   test("query expansion: n variants, variant 0 intact, magnitude preserved") {
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
