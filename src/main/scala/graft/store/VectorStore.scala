@@ -361,8 +361,14 @@ class VectorStore(val spark: SparkSession, val path: String,
     * historical tier; (re)trains centroids when absent. Returns the number
     * migrated. Unlike the reference (which never removes migrated rows from
     * HNSW — the double-count bug at `hybrid/core.rs:579,632`), the rewrite
-    * moves rows atomically-per-tier. */
-  def migrate(nowOverride: Option[java.sql.Timestamp] = None): Long = {
+    * moves rows atomically-per-tier.
+    *
+    * `maxVectors` (X16 policy, `hybrid/maintenance.rs:40-44`): cap one
+    * run at the N oldest eligible rows — a bounded maintenance slice
+    * instead of a potentially store-sized rewrite; the remainder migrates
+    * on later runs. */
+  def migrate(nowOverride: Option[java.sql.Timestamp] = None,
+      maxVectors: Int = Int.MaxValue): Long = {
     // resolve "now" ONCE on the driver: migration runs three Spark jobs
     // (count, historical append, recent rewrite), and a per-job
     // current_timestamp() would advance the cutoff between them — rows whose
@@ -371,22 +377,36 @@ class VectorStore(val spark: SparkSession, val path: String,
       new java.sql.Timestamp(System.currentTimeMillis())))
     val cutoff = now - expr(s"INTERVAL ${config.recentThresholdSeconds} SECOND")
     val rec = recent
-    val old = rec.filter(col("ts") <= cutoff)
-    val nOld = old.count()
+    val eligible = rec.filter(col("ts") <= cutoff)
+    val nEligible = eligible.count()
+    val capped = nEligible > maxVectors
+    val old =
+      if (!capped) eligible
+      // oldest-first slice, ts then vid so the cut is deterministic
+      else eligible.orderBy(col("ts").asc, col("vid").asc).limit(maxVectors)
+    val nOld = math.min(nEligible, maxVectors.toLong)
     if (nOld > 0) {
       val cents =
         if (exists("centroids")) centroids
         else {
-          val trained = Ivf.train(old,
-            Ivf.IvfConfig(nClusters = math.min(config.nClusters, math.max(1, nOld.toInt / 2))))
+          val kClusters = math.min(config.nClusters, math.max(1, nOld.toInt / 2))
+          // MLlib KMeans rejects k < 2; tiny first migrations (and any
+          // bounded sample, really) train faster in-driver anyway
+          val trained = Ivf.train(old, Ivf.IvfConfig(nClusters = kClusters,
+            initMode = if (kClusters < 2 || nOld < 1000) "driver" else "k-means||"))
           storeWrite(trained).mode(SaveMode.Overwrite).parquet(dir("centroids"))
           trained
         }
       val assigned = Ivf.assign(old, cents)
       storeWrite(assigned).mode(SaveMode.Append).partitionBy("cluster_id").parquet(dir("historical"))
       // rewrite the recent tier via tmp+swap (same as vacuum): never
-      // overwrite a directory that the plan being written still reads
-      storeWrite(rec.filter(col("ts") > cutoff))
+      // overwrite a directory that the plan being written still reads.
+      // Under a cap the survivors are "not in the migrated slice", which
+      // only an anti-join expresses (a ts cutoff can't split a tie).
+      val keep =
+        if (!capped) rec.filter(col("ts") > cutoff)
+        else rec.join(old.select("vid"), Seq("vid"), "left_anti")
+      storeWrite(keep.select(rec.columns.map(col).toSeq: _*))
         .mode(SaveMode.Overwrite).parquet(dir("recent") + "_tmp")
       swap("recent")
     }

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.store.VectorStore
+
+/** X16 migration scheduling policy
+  * (`/root/reference/src/hybrid/maintenance.rs:40-44,286-475`): a bounded,
+  * calendar-aware maintenance slice instead of "migrate everything now".
+  *
+  *  - `maxVectorsPerRun`: cap per run (oldest rows first; remainder waits)
+  *  - `batchSize`: accounting granularity — `batchesProcessed` in the run
+  *    result is ceil(migrated / batchSize); the actual write chunking is
+  *    the store's `chunkSize` (parquet maxRecordsPerFile), which is the
+  *    Spark-native meaning of "process in batches"
+  *  - `quietHours`: (startHour, endHour) ranges, END-EXCLUSIVE, during
+  *    which runs are skipped entirely; (22, 2) wraps midnight. Hours are
+  *    read from the run's `now` in UTC (the engine's session timezone)
+  *  - `checkIntervalBatches`: the reference's `check_interval` translated
+  *    to Structured Streaming cadence — run every N micro-batches (the
+  *    trigger loop owns wall-clock timing)
+  */
+case class MigrationPolicy(
+    maxVectorsPerRun: Int = 1000,
+    batchSize: Int = 100,
+    quietHours: Seq[(Int, Int)] = Nil,
+    checkIntervalBatches: Int = 1) {
+  require(maxVectorsPerRun > 0, "maxVectorsPerRun must be positive")
+  require(batchSize > 0, "batchSize must be positive")
+  require(checkIntervalBatches > 0, "checkIntervalBatches must be positive")
+  require(quietHours.forall { case (s, e) =>
+    s >= 0 && s < 24 && e >= 0 && e < 24 }, "quiet hours must be 0-23")
+}
+
+case class MigrationRunResult(vectorsMigrated: Long, batchesProcessed: Long,
+    skippedQuietHours: Boolean)
+
+case class MigrationStatistics(totalVectorsMigrated: Long, totalRuns: Long,
+    avgVectorsPerRun: Double, lastRunEpochMs: Option[Long])
+
+/** Driver-side scheduler state around [[VectorStore.migrate]] — the
+  * reference's `MigrationScheduler` with the tokio loop replaced by
+  * whatever cadence the caller owns (a streaming `foreachBatch`, a cron,
+  * a REST admin route). Thread-safe; a skipped (quiet-hours) run does not
+  * count toward statistics, matching "migration is paused". */
+class MigrationScheduler(store: VectorStore,
+    @volatile var policy: MigrationPolicy = MigrationPolicy()) {
+
+  private var stats = MigrationStatistics(0L, 0L, 0.0, None)
+
+  def statistics: MigrationStatistics = synchronized(stats)
+
+  /** Is `hour` inside any quiet range? End-exclusive; wrapping ranges
+    * ((22, 2)) cover [start, 24) ∪ [0, end). An empty range list means
+    * never quiet; (h, h) denotes a degenerate empty range. */
+  def inQuietHours(hour: Int): Boolean = policy.quietHours.exists {
+    case (s, e) if s == e => false
+    case (s, e) if s < e => hour >= s && hour < e
+    case (s, e) => hour >= s || hour < e
+  }
+
+  def runMigration(
+      nowOverride: Option[java.sql.Timestamp] = None): MigrationRunResult = {
+    val now = nowOverride.getOrElse(
+      new java.sql.Timestamp(System.currentTimeMillis()))
+    val hour = now.toInstant.atZone(java.time.ZoneOffset.UTC).getHour
+    if (inQuietHours(hour)) MigrationRunResult(0L, 0L, skippedQuietHours = true)
+    else {
+      val p = policy
+      val n = store.migrate(Some(now), maxVectors = p.maxVectorsPerRun)
+      val batches = (n + p.batchSize - 1) / p.batchSize
+      synchronized {
+        val runs = stats.totalRuns + 1
+        stats = MigrationStatistics(
+          totalVectorsMigrated = stats.totalVectorsMigrated + n,
+          totalRuns = runs,
+          avgVectorsPerRun = (stats.totalVectorsMigrated + n).toDouble / runs,
+          lastRunEpochMs = Some(System.currentTimeMillis()))
+      }
+      MigrationRunResult(n, batches, skippedQuietHours = false)
+    }
+  }
+}

@@ -29,10 +29,17 @@ object Streaming {
 
   /** Continuous ingest into a VectorStore. Each micro-batch: dedup within
     * the stream (watermarked), anti-join against already-stored vids, append
-    * to the recent tier; every `migrateEvery` batches run tier migration. */
+    * to the recent tier; every `migrateEvery` batches run tier migration
+    * under `migrationPolicy` (X16: per-run vector cap, batch accounting,
+    * quiet hours — [[MigrationScheduler]]). `migrationPolicy
+    * .checkIntervalBatches` multiplies `migrateEvery` when both are set;
+    * the usual usage is migrateEvery = 1 and the cadence in the policy. */
   def ingest(store: VectorStore, sourceDir: String, checkpointDir: String,
-      watermark: String = "10 minutes", migrateEvery: Int = 0): StreamingQuery = {
+      watermark: String = "10 minutes", migrateEvery: Int = 0,
+      migrationPolicy: MigrationPolicy = MigrationPolicy()): StreamingQuery = {
     val spark = store.spark
+    val scheduler = new MigrationScheduler(store, migrationPolicy)
+    val cadence = migrateEvery.toLong * migrationPolicy.checkIntervalBatches
     val src = spark.readStream.schema(arrivalSchema).parquet(sourceDir)
     val deduped = src
       .withColumn("vid", VectorStore.vidExpr(col("id")))
@@ -54,8 +61,8 @@ object Streaming {
             .select("id", "vid", "embedding", "metadata", "ts")
             .join(store.vectors.select("vid"), Seq("vid"), "left_anti")
           fresh.write.mode(SaveMode.Append).parquet(s"${store.path}/recent")
-          if (migrateEvery > 0 && batchId > 0 && batchId % migrateEvery == 0)
-            store.migrate()
+          if (cadence > 0 && batchId > 0 && batchId % cadence == 0)
+            scheduler.runMigration()
         }
         ()
       }

@@ -42,6 +42,65 @@ class StreamingSpec extends SparkSpec {
     assert(store.vectors.count() == 26)
   }
 
+  test("migration policy: per-run cap migrates oldest-first until drained") {
+    val store = new VectorStore(spark,
+      Files.createTempDirectory("graft_mig_cap_").toString,
+      VectorStore.Config(recentThresholdSeconds = 3600, nClusters = 2))
+    val base = java.time.Instant.now().minusSeconds(7200)
+    // 40 old rows with strictly increasing ts
+    store.insert((0 until 40).map(i => VectorStore.VectorRecord(
+      s"o$i", vec(i), tsString = Some(base.plusSeconds(i).toString))))
+    store.insert(Seq(VectorStore.VectorRecord("fresh", vec(99))))
+    val sched = new MigrationScheduler(store,
+      MigrationPolicy(maxVectorsPerRun = 15, batchSize = 4))
+    val r1 = sched.runMigration()
+    assert((r1.vectorsMigrated, r1.batchesProcessed, r1.skippedQuietHours)
+      == ((15L, 4L, false)))
+    // oldest 15 (o0..o14) moved first
+    assert(store.historical.filter(col("id") === "o0").count() == 1)
+    assert(store.recent.filter(col("id") === "o14").count() == 0)
+    assert(store.recent.filter(col("id") === "o15").count() == 1)
+    val r2 = sched.runMigration()
+    val r3 = sched.runMigration()
+    assert(r2.vectorsMigrated == 15L && r3.vectorsMigrated == 10L)
+    assert(r3.batchesProcessed == 3L) // ceil(10/4)
+    assert(sched.runMigration().vectorsMigrated == 0L) // drained
+    assert(store.recent.filter(col("id") =!= "fresh").count() == 0)
+    assert(store.historical.count() == 40)
+    val st = sched.statistics
+    assert(st.totalVectorsMigrated == 40L && st.totalRuns == 4L)
+    assert(math.abs(st.avgVectorsPerRun - 10.0) < 1e-9)
+  }
+
+  test("migration policy: quiet hours pause runs, including wrapping ranges") {
+    val store = new VectorStore(spark,
+      Files.createTempDirectory("graft_mig_qh_").toString,
+      VectorStore.Config(recentThresholdSeconds = 3600))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    store.insert(Seq(VectorStore.VectorRecord("x", vec(1), tsString = Some(oldTs))))
+    val sched = new MigrationScheduler(store,
+      MigrationPolicy(quietHours = Seq((22, 2), (9, 11))))
+    // end-exclusive + wrap-around semantics
+    assert(sched.inQuietHours(22) && sched.inQuietHours(23)
+      && sched.inQuietHours(0) && sched.inQuietHours(1))
+    assert(!sched.inQuietHours(2) && !sched.inQuietHours(21))
+    assert(sched.inQuietHours(9) && sched.inQuietHours(10) && !sched.inQuietHours(11))
+    // a run at 10:30 UTC is skipped and does not count as a run
+    val quietNow = java.sql.Timestamp.from(
+      java.time.LocalDateTime.of(2026, 8, 12, 10, 30)
+        .toInstant(java.time.ZoneOffset.UTC))
+    val r = sched.runMigration(Some(quietNow))
+    assert(r.skippedQuietHours && r.vectorsMigrated == 0L)
+    assert(store.recent.count() == 1 && sched.statistics.totalRuns == 0L)
+    // outside quiet hours the same row migrates
+    val busyNow = java.sql.Timestamp.from(
+      java.time.LocalDateTime.of(2026, 8, 12, 14, 0)
+        .toInstant(java.time.ZoneOffset.UTC))
+    val r2 = sched.runMigration(Some(busyNow))
+    assert(!r2.skippedQuietHours && r2.vectorsMigrated == 1L)
+    assert(sched.statistics.totalRuns == 1L)
+  }
+
   test("streaming near-dup ingest: in-batch dedup, then reject dups of accepted corpus") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_nd_src_").toString
