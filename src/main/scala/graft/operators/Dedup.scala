@@ -27,7 +27,11 @@ object Dedup {
     * the guard only fires when partitions < parallelism. */
   private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // file count approximates scan parallelism without df.rdd (which
+    // converts the whole plan to RDDs just to ask); non-file-backed plans
+    // report no inputFiles and get spread, which is the safe direction
+    val nFiles = df.inputFiles.length
+    if (nFiles < target) df.repartition(target) else df
   }
 
   /** Exact duplicate groups: (fingerprint, cnt, keep_id) for groups of

@@ -378,6 +378,24 @@ object Hnsw {
     def n: Int = ids.length
     def liveCount: Int = n - deleted.cardinality()
 
+    /** Mean of live vectors — the blob's routing centroid (stored beside
+      * the blob so [[Hnsw.searchSaved]] can route queries to the nearest
+      * blobs instead of probing all of them). Zero vector when empty. */
+    def liveCentroid: Array[Float] = {
+      val sum = new Array[Double](dim)
+      var cnt = 0; var i = 0
+      while (i < n) {
+        if (!deleted.get(i)) {
+          val off = i * dim; var j = 0
+          while (j < dim) { sum(j) += vecs(off + j); j += 1 }
+          cnt += 1
+        }
+        i += 1
+      }
+      if (cnt == 0) new Array[Float](dim)
+      else Array.tabulate(dim)(j => (sum(j) / cnt).toFloat)
+    }
+
     private def dist(q: Array[Float], node: Int): Double = {
       val off = node * dim
       if (mc == 0) {
@@ -648,9 +666,12 @@ object Hnsw {
         val g = new Graph(metric, cfg)
         it.foreach { case (id, v) => g.insert(id, v) }
         if (g.size == 0) Iterator.empty
-        else Iterator(g.freeze().toBytes)
+        else {
+          val fg = g.freeze()
+          Iterator((fg.toBytes, fg.liveCentroid))
+        }
       }
-      .toDF("graph")
+      .toDF("graph", "centroid")
       .withColumn("part_id", monotonically_increasing_id())
       .write.mode("overwrite").parquet(path)
   }
@@ -667,25 +688,75 @@ object Hnsw {
     * candidate stream is semi-joined against `allowed`, and the survivors
     * merge through the usual top-k. Selectivity beyond 1/oversample can
     * under-fill k — that is the documented reference behavior, not a bug;
-    * use the exact or IVF path for highly selective filters. */
+    * use the exact or IVF path for highly selective filters.
+    *
+    * `probeBlobs` (> 0): route each query to its nearest blobs by the
+    * stored routing centroids instead of probing every blob — the cure for
+    * the O(#blobs)-per-query cost of a heavily-incremented index, PROVIDED
+    * the build co-located similar vectors (e.g. corpus repartitioned by
+    * cluster before [[buildAndSave]]). `maxQueryBatch` bounds the driver
+    * collect + broadcast of the query set; chunk bigger batches upstream. */
   def searchSaved(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, efSearch: Int = 50,
       queryIdCol: String = "query_id", queryEmbCol: String = "q_embedding",
-      allowed: Option[DataFrame] = None, oversample: Int = 3): DataFrame = {
+      allowed: Option[DataFrame] = None, oversample: Int = 3,
+      probeBlobs: Int = 0, maxQueryBatch: Int = 100000): DataFrame = {
     import spark.implicits._
     val qRows = queries.select(col(queryIdCol), col(queryEmbCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // the query set is broadcast to every probed blob — an unbounded batch
+    // would be an unbounded driver collect AND an O(|queries| x |blobs|)
+    // probe matrix; chunk the batch upstream or raise this deliberately
+    require(qRows.length <= maxQueryBatch,
+      s"query batch ${qRows.length} exceeds maxQueryBatch=$maxQueryBatch")
     val qB = spark.sparkContext.broadcast(qRows)
     val kProbe = if (allowed.isDefined) k * math.max(1, oversample) else k
-    val partial = spark.read.parquet(path)
-      .select(col("graph")).as[Array[Byte]]
+    val saved = spark.read.parquet(path)
+    // blob routing: with stored routing centroids, each query probes only
+    // its probeBlobs nearest blobs — O(probeBlobs) instead of O(#blobs)
+    // per query. Only effective when the build co-located similar vectors
+    // (corpus partitioned by cluster); on randomly-partitioned corpora all
+    // blob centroids sit near the global mean and routing loses recall.
+    // The centroid read is a pruned scan of the tiny (part_id, centroid)
+    // columns, never the blob bytes.
+    val routedB: Option[org.apache.spark.broadcast.Broadcast[Map[Long, Array[Int]]]] =
+      if (probeBlobs <= 0 || !saved.columns.contains("centroid")) None
+      else {
+        val cents = saved.select(col("part_id"), col("centroid"))
+          .filter(col("centroid").isNotNull).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        if (cents.length <= probeBlobs) None
+        else {
+          val perQuery = qRows.map { case (_, qv) =>
+            cents.map { case (pid, c) =>
+              var s = 0.0; var i = 0
+              while (i < qv.length) {
+                val d = qv(i).toDouble - c(i).toDouble; s += d * d; i += 1
+              }
+              (pid, s)
+            }.sortBy(_._2).take(probeBlobs).map(_._1)
+          }
+          val byBlob = perQuery.zipWithIndex
+            .flatMap { case (pids, qi) => pids.map(_ -> qi) }
+            .groupBy(_._1).map { case (pid, xs) => pid -> xs.map(_._2) }
+          Some(spark.sparkContext.broadcast(byBlob))
+        }
+      }
+    val partial = saved
+      .select(col("part_id"), col("graph")).as[(Long, Array[Byte])]
       .repartition(spark.sparkContext.defaultParallelism)
-      .flatMap { bytes =>
-        val g = FrozenGraph.fromBytes(bytes)
-        qB.value.iterator.flatMap { case (qid, qv) =>
-          // ef must cover the widened candidate set or the widening is moot
-          g.search(qv, kProbe, math.max(efSearch, kProbe)).iterator
-            .map { case (id, d) => (qid, id, d) }
+      .flatMap { case (pid, bytes) =>
+        val sel = routedB.map(_.value.getOrElse(pid, Array.empty[Int]))
+        if (sel.exists(_.isEmpty)) Iterator.empty
+        else {
+          val g = FrozenGraph.fromBytes(bytes)
+          val qIdx = sel.map(_.iterator).getOrElse(qB.value.indices.iterator)
+          qIdx.flatMap { qi =>
+            val (qid, qv) = qB.value(qi)
+            // ef must cover the widened candidate set or the widening is moot
+            g.search(qv, kProbe, math.max(efSearch, kProbe)).iterator
+              .map { case (id, d) => (qid, id, d) }
+          }
         }
       }
       .toDF(queryIdCol, "id", "distance")
@@ -723,12 +794,15 @@ object Hnsw {
       .select(col("part_id"), col("graph")).as[(Long, Array[Byte])]
       .map { case (pid, bytes) =>
         val (g, m) = f(FrozenGraph.fromBytes(bytes))
-        (pid, if (g.n == 0) null else g.toBytes, m)
+        // the rewrite already deserialized — refresh the routing centroid
+        // so delete/vacuum keep it honest
+        (pid, if (g.n == 0) null else g.toBytes,
+          if (g.n == 0) null else g.liveCentroid, m)
       }
-      .toDF("part_id", "graph", "measure")
+      .toDF("part_id", "graph", "centroid", "measure")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = mapped.agg(coalesce(sum("measure"), lit(0L))).head().getLong(0)
-    mapped.filter(col("graph").isNotNull).select("part_id", "graph")
+    mapped.filter(col("graph").isNotNull).select("part_id", "graph", "centroid")
       .write.mode("overwrite").parquet(path + "_tmp")
     mapped.unpersist()
     swapDir(spark, path)
@@ -784,9 +858,12 @@ object Hnsw {
           val g = new Graph(metric, cfg)
           it.foreach { case (id, v) => g.insert(id, v) }
           if (g.size == 0) Iterator.empty
-          else Iterator(g.freeze().toBytes)
+          else {
+            val fg = g.freeze()
+            Iterator((fg.toBytes, fg.liveCentroid))
+          }
         }
-        .toDF("graph")
+        .toDF("graph", "centroid")
         .withColumn("part_id", monotonically_increasing_id())
         .write.mode("append").parquet(path)
     }
@@ -815,13 +892,22 @@ object Hnsw {
   def compactSaved(spark: SparkSession, path: String, minNodes: Int = 1024,
       targetNodes: Int = 4096, cfg: HnswConfig = HnswConfig()): Long = {
     import spark.implicits._
-    val blobs = spark.read.parquet(path)
-      .select(col("part_id"), col("graph")).as[(Long, Array[Byte])]
-      .map { case (pid, bytes) =>
+    val savedDf = spark.read.parquet(path)
+    val hasCentroid = savedDf.columns.contains("centroid")
+    val blobs = savedDf
+      .select(col("part_id"), col("graph"),
+        (if (hasCentroid) col("centroid")
+         else lit(null).cast("array<float>")).as("centroid"))
+      .as[(Long, Array[Byte], Array[Float])]
+      .map { case (pid, bytes, cent) =>
         val (mc, live) = FrozenGraph.peek(bytes)
-        (pid, bytes, mc, live)
+        // pre-centroid-format blobs get one on the way through (O(blob)
+        // once, during a maintenance op that holds the bytes anyway)
+        val c = if (cent != null) cent
+          else FrozenGraph.fromBytes(bytes).liveCentroid
+        (pid, bytes, c, mc, live)
       }
-      .toDF("part_id", "graph", "mc", "live")
+      .toDF("part_id", "graph", "centroid", "mc", "live")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mcs = blobs.select("mc").distinct().as[Int].collect()
     if (mcs.isEmpty) { blobs.unpersist(); return 0L }
@@ -845,12 +931,16 @@ object Hnsw {
       .mapPartitions { it =>
         val g = new Graph(metric, cfg)
         it.foreach { case (id, v) => g.insert(id, v) }
-        if (g.size == 0) Iterator.empty else Iterator(g.freeze().toBytes)
+        if (g.size == 0) Iterator.empty
+        else {
+          val fg = g.freeze()
+          Iterator((fg.toBytes, fg.liveCentroid))
+        }
       }
-      .toDF("graph")
+      .toDF("graph", "centroid")
       .withColumn("part_id", monotonically_increasing_id() + 1000000L)
-    blobs.filter(col("live") >= minNodes).select("part_id", "graph")
-      .unionByName(rebuilt.select("part_id", "graph"))
+    blobs.filter(col("live") >= minNodes).select("part_id", "graph", "centroid")
+      .unionByName(rebuilt.select("part_id", "graph", "centroid"))
       .write.mode("overwrite").parquet(path + "_tmp")
     blobs.unpersist()
     swapDir(spark, path)

@@ -32,7 +32,7 @@ object AnnQueries {
     // bump the version suffix whenever graph construction changes — the
     // cached index must never outlive the code that built it
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"/tmp/graft_hnsw_idx/${tag}_efc100_v2"
+    val path = s"/tmp/graft_hnsw_idx/${tag}_efc100_v3" // v3: +routing centroids
     val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {

@@ -219,6 +219,34 @@ class HnswSpec extends SparkSpec {
     assert(recall >= 0.8, s"filtered hnsw recall $recall")
   }
 
+  test("searchSaved blob routing: cluster-partitioned build keeps recall at probeBlobs << #blobs") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // co-locate GEOMETRICALLY similar vectors (KMeans clusters — labels are
+    // semantic and scatter true neighbors): blob routing centroids then
+    // genuinely differ, which is routing's precondition
+    val base = emb.select(col("vec_id").as("id"), col("embedding"))
+    val cents = Ivf.train(base,
+      Ivf.IvfConfig(nClusters = 10, maxIterations = 10, initMode = "driver"))
+    val corpus = Ivf.assign(base, cents)
+      .repartition(10, col("cluster_id")).drop("cluster_id")
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_route_").toString + "/g"
+    Hnsw.buildAndSave(corpus, path, cfg = HnswConfig(efConstruction = 100))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val routed = Hnsw.searchSaved(spark, path, queries, k = 10, efSearch = 120,
+      probeBlobs = 3)
+    val exact = Knn.batch(corpus, queries, k = 10, metric = "l2")
+    val recall = Ivf.evaluateRecall(routed, exact).head().getDouble(0)
+    assert(recall >= 0.7, s"routed recall $recall")
+    // self-retrieval survives routing: the query's own blob is its nearest
+    val top1 = routed.filter(col("rank") === 1).collect()
+    top1.foreach(r => assert(r.getLong(1) == r.getLong(0), s"query ${r.getLong(0)}"))
+    // the query-batch bound is enforced
+    intercept[IllegalArgumentException] {
+      Hnsw.searchSaved(spark, path, queries, k = 10, maxQueryBatch = 5)
+    }
+  }
+
   test("distributed searchBatch: recall >= 0.9 vs exact oracle on real embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding")).repartition(4)
