@@ -63,7 +63,9 @@ object NftTypes {
     def req(name: String): String = optText(n, name).getOrElse(
       throw new IllegalArgumentException(s"missing required field: $name"))
     val attrs = Option(n.get("attributes")).map(_.elements().asScala.map { a =>
-      NftAttribute(a.get("key").asText(), mapper.writeValueAsString(a.get("value")))
+      val key = Option(a.get("key")).filterNot(_.isNull).map(_.asText())
+        .getOrElse(throw new IllegalArgumentException("attribute missing key"))
+      NftAttribute(key, mapper.writeValueAsString(a.get("value")))
     }.toSeq).getOrElse(Nil)
     val genre = Option(n.get("genre"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
@@ -76,7 +78,10 @@ object NftTypes {
       genre = genre,
       id = req("id"),
       image = req("image"),
-      mintDateTime = java.sql.Timestamp.from(java.time.Instant.parse(mint)),
+      // OffsetDateTime, not Instant: the reference's chrono deserializer
+      // accepts numeric UTC offsets ("+02:00") and normalizes to UTC
+      mintDateTime = java.sql.Timestamp.from(
+        java.time.OffsetDateTime.parse(mint).toInstant),
       name = req("name"),
       posterImage = optText(n, "poster_image", "posterImage"),
       summary = optText(n, "summary"),

@@ -27,11 +27,14 @@ object Dedup {
     * the guard only fires when partitions < parallelism. */
   private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // file count approximates scan parallelism without df.rdd (which
-    // converts the whole plan to RDDs just to ask); non-file-backed plans
-    // report no inputFiles and get spread, which is the safe direction
-    val nFiles = df.inputFiles.length
-    if (nFiles < target) df.repartition(target) else df
+    // queryExecution.toRdd asks the planned scan for its true partition
+    // count (planning only, no job) — a file count would overestimate
+    // parallelism whenever Spark bin-packs many small files into few
+    // partitions, which is exactly the chunked-store shape this guard
+    // protects against
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   /** Exact duplicate groups: (fingerprint, cnt, keep_id) for groups of

@@ -702,13 +702,16 @@ object Hnsw {
       allowed: Option[DataFrame] = None, oversample: Int = 3,
       probeBlobs: Int = 0, maxQueryBatch: Int = 100000): DataFrame = {
     import spark.implicits._
-    val qRows = queries.select(col(queryIdCol), col(queryEmbCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     // the query set is broadcast to every probed blob — an unbounded batch
     // would be an unbounded driver collect AND an O(|queries| x |blobs|)
-    // probe matrix; chunk the batch upstream or raise this deliberately
+    // probe matrix; chunk the batch upstream or raise this deliberately.
+    // The limit bounds the collect itself: the guard must fire before the
+    // driver materializes the batch, not after.
+    val qRows = queries.select(col(queryIdCol), col(queryEmbCol))
+      .limit(maxQueryBatch + 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(qRows.length <= maxQueryBatch,
-      s"query batch ${qRows.length} exceeds maxQueryBatch=$maxQueryBatch")
+      s"query batch exceeds maxQueryBatch=$maxQueryBatch")
     val qB = spark.sparkContext.broadcast(qRows)
     val kProbe = if (allowed.isDefined) k * math.max(1, oversample) else k
     val saved = spark.read.parquet(path)
@@ -719,7 +722,10 @@ object Hnsw {
     // blob centroids sit near the global mean and routing loses recall.
     // The centroid read is a pruned scan of the tiny (part_id, centroid)
     // columns, never the blob bytes.
-    val routedB: Option[org.apache.spark.broadcast.Broadcast[Map[Long, Array[Int]]]] =
+    // routing table: pid -> query indices, PLUS the set of pids that have a
+    // centroid at all — a blob without one (pre-centroid-format file in a
+    // mixed index) must be probed by every query, never silently skipped
+    val routedB: Option[org.apache.spark.broadcast.Broadcast[(Map[Long, Array[Int]], Set[Long])]] =
       if (probeBlobs <= 0 || !saved.columns.contains("centroid")) None
       else {
         val cents = saved.select(col("part_id"), col("centroid"))
@@ -739,14 +745,18 @@ object Hnsw {
           val byBlob = perQuery.zipWithIndex
             .flatMap { case (pids, qi) => pids.map(_ -> qi) }
             .groupBy(_._1).map { case (pid, xs) => pid -> xs.map(_._2) }
-          Some(spark.sparkContext.broadcast(byBlob))
+          Some(spark.sparkContext.broadcast((byBlob, cents.map(_._1).toSet)))
         }
       }
     val partial = saved
       .select(col("part_id"), col("graph")).as[(Long, Array[Byte])]
       .repartition(spark.sparkContext.defaultParallelism)
       .flatMap { case (pid, bytes) =>
-        val sel = routedB.map(_.value.getOrElse(pid, Array.empty[Int]))
+        val sel: Option[Array[Int]] = routedB.map { b =>
+          val (byBlob, centroided) = b.value
+          if (!centroided.contains(pid)) null // no centroid -> probe all
+          else byBlob.getOrElse(pid, Array.empty[Int])
+        }.filter(_ != null)
         if (sel.exists(_.isEmpty)) Iterator.empty
         else {
           val g = FrozenGraph.fromBytes(bytes)
@@ -853,6 +863,12 @@ object Hnsw {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = fresh.count()
     if (n > 0) {
+      // monotonically_increasing_id alone would reuse the original build's
+      // part_id sequence (every blob row is its partition's sole output, so
+      // the value is always partitionId << 33) — offset past the existing
+      // max so routing tables keyed by part_id never see duplicates
+      val maxPid = spark.read.parquet(path)
+        .agg(coalesce(max("part_id"), lit(0L))).head().getLong(0)
       fresh
         .mapPartitions { it =>
           val g = new Graph(metric, cfg)
@@ -864,7 +880,7 @@ object Hnsw {
           }
         }
         .toDF("graph", "centroid")
-        .withColumn("part_id", monotonically_increasing_id())
+        .withColumn("part_id", monotonically_increasing_id() + lit(maxPid + 1))
         .write.mode("append").parquet(path)
     }
     fresh.unpersist()
@@ -938,7 +954,11 @@ object Hnsw {
         }
       }
       .toDF("graph", "centroid")
-      .withColumn("part_id", monotonically_increasing_id() + 1000000L)
+      // offset past the surviving blobs' max pid, not a fixed constant —
+      // partitionId << 33 values from earlier appends can exceed any
+      // constant and collide
+      .withColumn("part_id", monotonically_increasing_id()
+        + lit(blobs.agg(coalesce(max("part_id"), lit(0L))).head().getLong(0) + 1))
     blobs.filter(col("live") >= minNodes).select("part_id", "graph", "centroid")
       .unionByName(rebuilt.select("part_id", "graph", "centroid"))
       .write.mode("overwrite").parquet(path + "_tmp")

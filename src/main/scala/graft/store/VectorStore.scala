@@ -230,12 +230,16 @@ class VectorStore(val spark: SparkSession, val path: String,
       .withColumn("ts",
         if (cols.contains("ts")) coalesce(col("ts"), current_timestamp())
         else current_timestamp())
-    val dim = dimension.getOrElse {
-      val h = base.select(size(col("embedding"))).head(1)
-      require(h.nonEmpty, "empty batch")
+    // infer the dimension for a fresh store from a non-null row but do NOT
+    // persist it yet: writing the manifest before validation would let a
+    // malformed sampled row poison the store's dimension forever
+    val manifestDim = dimension
+    val dim = manifestDim.getOrElse {
+      val h = base.filter(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head(1)
+      require(h.nonEmpty, "empty batch or all embeddings null")
       h(0).getInt(0)
     }
-    initIfNeeded(dim)
     // all per-row checks fused into one error expression: dim mismatch,
     // unparseable metadata (try_parse_json -> null = would poison every
     // later filtered read), schema violation (executor-side validator)
@@ -268,6 +272,7 @@ class VectorStore(val spark: SparkSession, val path: String,
       throw new IllegalArgumentException(
         s"id=${audit.getString(3)}: ${audit.getString(2)} " +
           s"(${audit.getLong(1)} of $total rows rejected)")
+    if (manifestDim.isEmpty) initIfNeeded(dim) // batch validated — safe now
     val prepared = base
       .withColumn("vid", vidExpr(col("id")))
       .select("id", "vid", "embedding", "metadata", "ts")
@@ -403,9 +408,12 @@ class VectorStore(val spark: SparkSession, val path: String,
       // overwrite a directory that the plan being written still reads.
       // Under a cap the survivors are "not in the migrated slice", which
       // only an anti-join expresses (a ts cutoff can't split a tie).
+      // The join key is (vid, ts), not vid alone: delete-then-reinsert
+      // legitimately leaves two recent rows with one vid (tombstoned old +
+      // live new), and a vid-only anti-join would drop the live one.
       val keep =
         if (!capped) rec.filter(col("ts") > cutoff)
-        else rec.join(old.select("vid"), Seq("vid"), "left_anti")
+        else rec.join(old.select("vid", "ts"), Seq("vid", "ts"), "left_anti")
       storeWrite(keep.select(rec.columns.map(col).toSeq: _*))
         .mode(SaveMode.Overwrite).parquet(dir("recent") + "_tmp")
       swap("recent")

@@ -37,6 +37,15 @@ class NftTypesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       parseVideoNft("""{"id": "x", "name": "n"}""")
     }
+    // numeric UTC offsets parse (chrono parity) and normalize to UTC
+    val offset = parseVideoNft(
+      canonical.replace("2026-01-02T03:04:05Z", "2026-01-02T05:04:05+02:00"))
+    assert(offset.mintDateTime == m.mintDateTime)
+    // malformed attribute (no key) raises the IAE contract, not an NPE
+    intercept[IllegalArgumentException] {
+      parseVideoNft(canonical.replace("""{"key": "rarity", "value": 3}""",
+        """{"value": 3}"""))
+    }
   }
 
   test("bulk column parser resolves aliases in Catalyst, no UDF") {

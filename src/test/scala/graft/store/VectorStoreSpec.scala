@@ -66,6 +66,19 @@ class VectorStoreSpec extends SparkSpec {
     }
     // failed batches wrote nothing
     assert(st.stats().recentCount == 4999L)
+    // a failed FIRST batch must not poison a fresh store's manifest
+    val st2 = freshStore()
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val mixedSchema = StructType(Seq(StructField("id", StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    val mixed = spark.createDataFrame(
+      java.util.Arrays.asList(Row("good", vec(1).toSeq), Row("wide", Array.fill(9)(0.1f).toSeq)),
+      mixedSchema)
+    intercept[IllegalArgumentException] { st2.insertDF(mixed) }
+    assert(st2.dimension.isEmpty) // no manifest written by the failed batch
+    assert(st2.insertDF(Seq(("ok", vec(2))).toDF("id", "embedding")).inserted == 1L)
+    assert(st2.dimension.contains(8))
   }
 
   test("duplicate insert rejected, dimension mismatch errors") {

@@ -72,12 +72,33 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(st.avgVectorsPerRun - 10.0) < 1e-9)
   }
 
+  test("capped migrate keeps a live reinserted row that shares a vid with a tombstoned old row") {
+    val store = new VectorStore(spark,
+      Files.createTempDirectory("graft_mig_vid_").toString,
+      VectorStore.Config(recentThresholdSeconds = 3600, nClusters = 2))
+    val oldTs = java.time.Instant.now().minusSeconds(7200)
+    store.insert(Seq(
+      VectorStore.VectorRecord("a", vec(1), tsString = Some(oldTs.toString)),
+      VectorStore.VectorRecord("b", vec(2), tsString = Some(oldTs.plusSeconds(1).toString))))
+    assert(store.delete(Seq("a")).deletedCount == 1)
+    // resurrect: recent now holds TWO rows with vid(a) — tombstoned old + live new
+    store.insert(Seq(VectorStore.VectorRecord("a", vec(3))))
+    // capped run migrates the 2 oldest rows (dead a + b); the live a must stay
+    val sched = new MigrationScheduler(store, MigrationPolicy(maxVectorsPerRun = 2))
+    assert(sched.runMigration().vectorsMigrated == 2L)
+    val live = store.vectors.select("id").collect().map(_.getString(0)).sorted
+    assert(live.sameElements(Array("a", "b")), s"live=${live.mkString(",")}")
+    val hit = store.search(vec(3), k = 1, metric = "l2").head()
+    assert(hit.getString(0) == "a" && hit.getDouble(1) < 1e-6)
+  }
+
   test("migration policy: quiet hours pause runs, including wrapping ranges") {
     val store = new VectorStore(spark,
       Files.createTempDirectory("graft_mig_qh_").toString,
       VectorStore.Config(recentThresholdSeconds = 3600))
-    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
-    store.insert(Seq(VectorStore.VectorRecord("x", vec(1), tsString = Some(oldTs))))
+    // fixed row ts + fixed nowOverrides => fully deterministic eligibility
+    store.insert(Seq(VectorStore.VectorRecord("x", vec(1),
+      tsString = Some("2026-08-12T11:30:00Z"))))
     val sched = new MigrationScheduler(store,
       MigrationPolicy(quietHours = Seq((22, 2), (9, 11))))
     // end-exclusive + wrap-around semantics
