@@ -120,8 +120,8 @@ object Pq {
     * partitions of the 8-byte-per-vector code table; raw embeddings are
     * read only for shortlist×queries rows.
     *
-    * @param encoded (idCol LONG, cluster_id LONG, codes ARRAY<INT>)
-    * @param rerank  optional (idCol LONG, embedding ARRAY<FLOAT>) raw
+    * @param encoded (idCol LONG or STRING, cluster_id LONG, codes ARRAY<INT>)
+    * @param rerank  optional (idCol, embedding ARRAY<FLOAT>) raw
     *                vectors; when given, results carry exact distances of
     *                the ADC shortlist re-ranked, top-k
     */
@@ -162,7 +162,11 @@ object Pq {
     val scored = pruned
       .join(broadcast(p), pruned("cluster_id") === p("cluster_id"))
       .select(col(queryIdCol), col(idCol).as("id"), adc.as("adc_sq"))
-    val topShort = TopK.topK(shortlist)
+    // string ids (the store's natural keys) ride through the aggregates
+    // natively, same as Knn.batch / Ivf.searchBatch
+    val idIsString =
+      encoded.schema(idCol).dataType == org.apache.spark.sql.types.StringType
+    val topShort = if (idIsString) TopK.topKStr(shortlist) else TopK.topK(shortlist)
     val short = scored.groupBy(queryIdCol)
       .agg(topShort(col("id"), col("adc_sq")).as("hits"))
       .select(col(queryIdCol), explode(col("hits")).as("hit"))
@@ -186,7 +190,7 @@ object Pq {
             graft.functions.VectorExpressions.vecL2(
               col("embedding"), col(queryEmbCol)).as("distance"))
     }
-    val topk = TopK.topK(k)
+    val topk = if (idIsString) TopK.topKStr(k) else TopK.topK(k)
     ranked.groupBy(queryIdCol)
       .agg(topk(col("id"), col("distance")).as("hits"))
       .select(col(queryIdCol), posexplode(col("hits")).as(Seq("pos", "hit")))

@@ -78,7 +78,8 @@ object AnnQueries {
       val recent = emb.filter(col("vec_id") >= 400).crossJoin(broadcast(q))
         .select(col("vec_id"), round(vecL2(col("embedding"), col("q_emb")), 6).as("distance"),
           lit("recent").as("tier"))
-      val cents = labelCentroids(emb.filter(col("vec_id") < 400))
+      val cents = QueryShapes.labelCentroidsDF(s, s"$dir#lt400",
+        labelCentroids(emb.filter(col("vec_id") < 400)))
       val probed = cents.crossJoin(broadcast(q))
         .select(col("label"), round(vecL2(col("centroid"), col("q_emb")), 6).as("cdist"))
         .orderBy(col("cdist").asc, col("label").asc).limit(3).select("label")
@@ -95,7 +96,7 @@ object AnnQueries {
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      val cents = labelCentroids(emb)
+      val cents = QueryShapes.labelCentroidsDF(s, s"$dir#full", labelCentroids(emb))
         .select(col("label").cast("int").as("cluster_id"), col("centroid"))
       val corpus = emb.select(col("vec_id").as("id"), col("embedding"),
         col("label").cast("int").as("cluster_id"))

@@ -37,8 +37,7 @@ object IvfQueries {
     // row_number() OVER (ORDER BY round(dist, 6), label) exactly
     "ivf_assign" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val cents = labelCentroids(emb).collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val cents = QueryShapes.cachedLabelCentroids(s"$dir#full", labelCentroids(emb))
       val labLit = typedLit(cents.map(_._1.toLong))
       val idx = nearestCentroid(col("embedding"), cents.map(_._2), "l2", roundTo = 6)
       emb.select(col("vec_id"),
@@ -48,7 +47,7 @@ object IvfQueries {
     // X7: n_probe=3 pruned search for query vec 0 over label-clusters
     "ivf_search" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val cents = labelCentroids(emb)
+      val cents = QueryShapes.labelCentroidsDF(s, s"$dir#full", labelCentroids(emb))
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
       val probed = cents.crossJoin(broadcast(q))
         .select(col("label"), round(vecL2(col("centroid"), col("q_emb")), 6).as("cdist"))
@@ -64,7 +63,7 @@ object IvfQueries {
     // (pushed pre-filter, exact-k), 8 queries, k=10, n_probe=3
     "ann_ivf_filtered" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val cents = labelCentroids(emb)
+      val cents = QueryShapes.labelCentroidsDF(s, s"$dir#full", labelCentroids(emb))
         .select(col("label").cast("long").as("cluster_id"), col("centroid"))
       val corpus = emb.select(col("vec_id").as("id"), col("embedding"),
         col("label").cast("long").as("cluster_id"),

@@ -1,7 +1,7 @@
 package graft.store
 
 import graft.functions.FilterJson
-import graft.operators.{Ivf, Knn, TopK}
+import graft.operators.{Ivf, Knn, Pq, TopK}
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
@@ -67,6 +67,19 @@ class VectorStore(val spark: SparkSession, val path: String,
   private def hasRows(name: String): Boolean =
     exists(name) && fs.listStatus(new Path(dir(name))).exists(st =>
       st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+
+  /** [[hasRows]] for nested layouts (the cluster-partitioned historical
+    * tier): walks the file tree via FS metadata only — still no Spark job,
+    * short-circuits on the first non-empty part file. */
+  private def hasRowsRecursive(name: String): Boolean = {
+    if (!exists(name)) return false
+    val it = fs.listFiles(new Path(dir(name)), true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet") && st.getLen > 0) return true
+    }
+    false
+  }
 
   // ---- manifest (version-gated like persistence.rs:499-520) ----
 
@@ -417,6 +430,10 @@ class VectorStore(val spark: SparkSession, val path: String,
       storeWrite(keep.select(rec.columns.map(col).toSeq: _*))
         .mode(SaveMode.Overwrite).parquet(dir("recent") + "_tmp")
       swap("recent")
+      // the recent tier was rewritten: a saved recent index would keep
+      // serving (and double-count, against the historical copies) the
+      // migrated rows — invalidate; rebuild is explicit
+      fs.delete(new Path(dir("recent_index")), true)
     }
     nOld
   }
@@ -440,6 +457,10 @@ class VectorStore(val spark: SparkSession, val path: String,
       .partitionBy("cluster_id").parquet(dir("historical") + "_tmp")
     balanced.unpersist()
     swap("historical")
+    // cluster assignments moved: the PQ code table's cluster partitioning
+    // is stale — probed search would miss moved rows. Re-encode with
+    // enablePq(retrain = false).
+    fs.delete(new Path(dir("pq_codes")), true)
     moved
   }
 
@@ -465,8 +486,16 @@ class VectorStore(val spark: SparkSession, val path: String,
       applyMetaOverlay(dropTombstoned(df))
     val newRec = compact(rec).cache()
     val newHist = compact(hist).cache()
-    val recRemoved = rec.count() - newRec.count()
-    val histRemoved = hist.count() - newHist.count()
+    // all four tier counts in ONE tagged-union job (it also populates the
+    // two caches the rewrites below reuse), not four scheduler round-trips
+    val counts = rec.select(lit("r").as("t"))
+      .unionByName(hist.select(lit("h").as("t")))
+      .unionByName(newRec.select(lit("nr").as("t")))
+      .unionByName(newHist.select(lit("nh").as("t")))
+      .groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val recRemoved = counts.getOrElse("r", 0L) - counts.getOrElse("nr", 0L)
+    val histRemoved = counts.getOrElse("h", 0L) - counts.getOrElse("nh", 0L)
     storeWrite(newRec.select(vectorSchema.fieldNames.map(col).toSeq: _*))
       .mode(SaveMode.Overwrite).parquet(dir("recent") + "_tmp")
     storeWrite(newHist).mode(SaveMode.Overwrite).partitionBy("cluster_id").parquet(dir("historical") + "_tmp")
@@ -476,6 +505,12 @@ class VectorStore(val spark: SparkSession, val path: String,
     // means empty to readOr/hasRows) instead of writing empty tables
     fs.delete(new Path(dir("tombstones")), true)
     fs.delete(new Path(dir("meta_updates")), true)
+    // serving artifacts still contain the physically-removed rows, and with
+    // the tombstones gone nothing would mask them — invalidate. The PQ
+    // model stays (codebooks are still valid); re-encode cheaply with
+    // enablePq(retrain = false).
+    fs.delete(new Path(dir("recent_index")), true)
+    fs.delete(new Path(dir("pq_codes")), true)
     VacuumResult(recRemoved, histRemoved)
   }
 
@@ -531,23 +566,32 @@ class VectorStore(val spark: SparkSession, val path: String,
   def searchBatch(queries: DataFrame, k: Int, metric: String = "cosine",
       nProbe: Int = config.nProbe, recentK: Option[Int] = None,
       historicalK: Option[Int] = None,
-      filterJson: Option[String] = None): DataFrame = {
+      filterJson: Option[String] = None,
+      useRecentIndex: Boolean = false,
+      recentEfSearch: Int = 100): DataFrame = {
     // the natural string id rides through the string top-k aggregate — no
     // surrogate hash, no collision risk, no join back to recover the id
-    val rec = filterJson match {
-      case None => dropTombstoned(recent).select(col("id"), col("embedding"))
-      case Some(_) => applyMetaOverlay(dropTombstoned(recent))
-        .select(col("id"), col("embedding"), col("metadata"))
-    }
-    val recPart = Knn.batch(rec, queries, recentK.getOrElse(k), metric,
-        filterJson = filterJson)
-      .select(col("query_id"), col("id"), col("distance"))
+    val recPart =
+      if (useRecentIndex) indexedRecentPart(queries, recentK.getOrElse(k),
+        metric, filterJson, recentEfSearch)
+      else {
+        val rec = filterJson match {
+          case None => dropTombstoned(recent).select(col("id"), col("embedding"))
+          case Some(_) => applyMetaOverlay(dropTombstoned(recent))
+            .select(col("id"), col("embedding"), col("metadata"))
+        }
+        Knn.batch(rec, queries, recentK.getOrElse(k), metric,
+            filterJson = filterJson)
+          .select(col("query_id"), col("id"), col("distance"))
+      }
     val hist = filterJson match {
       case None => dropTombstoned(historical)
       case Some(_) => applyMetaOverlay(dropTombstoned(historical))
     }
+    // tier presence is an FS-metadata question (recursive: the tier nests
+    // cluster_id=*/), never a Spark job ahead of the search plan
     val histPart =
-      if (!exists("centroids") || hist.isEmpty) None
+      if (!exists("centroids") || !hasRowsRecursive("historical")) None
       else Some(Ivf.searchBatch(
           hist.select(Seq("id", "embedding", "cluster_id").map(col) ++
             filterJson.map(_ => col("metadata")).toSeq: _*),
@@ -557,6 +601,158 @@ class VectorStore(val spark: SparkSession, val path: String,
     val union = histPart.map(recPart.unionByName(_)).getOrElse(recPart)
     val topk = TopK.topKStr(k)
     union.groupBy("query_id")
+      .agg(topk(col("id"), col("distance")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("id"), col("hit.dist").as("distance"))
+  }
+
+  // ---- recent-tier saved-HNSW serving (X12: the reference serves its
+  // recent tier from HNSW inside every hybrid search, hybrid/core.rs:441-486;
+  // here it is an OPT-IN index so the default store stays zero-maintenance) --
+
+  /** Build (or rebuild) a persisted HNSW index over the current recent
+    * tier. The graph kernel keys nodes by LONG, so rows get a dense
+    * surrogate (`lid`) recorded — together with the natural id, vid, ts,
+    * metadata — in `recent_index/data`; blobs and surrogate map are written
+    * from the SAME materialized table, so they can never disagree.
+    *
+    * The index serves the rows present at build time. Later mutations stay
+    * correct without a rebuild: inserts are caught by the delta scan in
+    * [[searchBatch]] (anti-join on (vid, ts)), deletes by the tombstone
+    * allow-list, metadata updates by the overlay applied to the allow-list.
+    * `migrate`/`vacuum` rewrite the tier itself, so they invalidate the
+    * index (delete it) — rebuild after maintenance. */
+  def buildRecentIndex(efConstruction: Int = 100, m: Int = 16,
+      metric: String = "l2", numBlobs: Int = 0): Unit = {
+    require(metric == "l2" || metric == "cosine",
+      s"recent index supports l2|cosine, got $metric")
+    val parts =
+      if (numBlobs > 0) numBlobs else spark.sparkContext.defaultParallelism
+    val data = recent
+      .select(col("id"), col("vid"), col("ts"), col("metadata"), col("embedding"))
+      .repartition(parts)
+      .withColumn("lid", monotonically_increasing_id())
+    storeWrite(data).mode(SaveMode.Overwrite).parquet(dir("recent_index/data"))
+    val written = spark.read.parquet(dir("recent_index/data"))
+    graft.operators.Hnsw.buildAndSave(
+      written.select(col("lid").as("id"), col("embedding")),
+      dir("recent_index/blobs"), metric,
+      graft.operators.Hnsw.HnswConfig(efConstruction = efConstruction, m = m))
+    val node = mapper.createObjectNode()
+    node.put("metric", metric)
+    writeText(new Path(dir("recent_index"), "meta.json"),
+      mapper.writeValueAsString(node))
+  }
+
+  def hasRecentIndex: Boolean = exists("recent_index/blobs")
+
+  private def recentIndexMetric: String =
+    mapper.readTree(readText(new Path(dir("recent_index"), "meta.json")))
+      .get("metric").asText()
+
+  /** The recent-tier contribution of an indexed search: HNSW candidates
+    * (k×oversample when a tombstone/filter allow-list applies — the
+    * reference's filtered-search semantics, hybrid/core.rs:513-549) mapped
+    * back to natural ids, unioned with an exact scan of the post-build
+    * delta so fresh inserts are never invisible. */
+  private def indexedRecentPart(queries: DataFrame, k: Int, metric: String,
+      filterJson: Option[String], efSearch: Int): DataFrame = {
+    require(hasRecentIndex, "recent index not built; call buildRecentIndex()")
+    require(recentIndexMetric == metric,
+      s"recent index was built for metric '$recentIndexMetric', search asked '$metric'")
+    val idx = spark.read.parquet(dir("recent_index/data"))
+    val needAllow = hasRows("tombstones") || filterJson.isDefined
+    val allowed =
+      if (!needAllow) None
+      else {
+        val live = applyMetaOverlay(dropTombstoned(idx))
+        val kept = filterJson.fold(live)(f =>
+          live.filter(FilterJson.predicate(f, col("metadata"))))
+        Some(kept.select(col("lid").as("id")))
+      }
+    val hits = graft.operators.Hnsw.searchSaved(spark, dir("recent_index/blobs"),
+        queries, k, efSearch, allowed = allowed)
+      .select(col("query_id"), col("id").as("lid"), col("distance"))
+      .join(idx.select(col("lid"), col("id")), Seq("lid"))
+      .select(col("query_id"), col("id"), col("distance"))
+    // delta = rows inserted after the build: (vid, ts) anti-join, because a
+    // delete-then-reinsert reuses the vid with a fresh ts and must count as
+    // delta, not as indexed
+    val deltaRaw = recent.join(idx.select("vid", "ts"), Seq("vid", "ts"), "left_anti")
+    val delta = filterJson match {
+      case None => dropTombstoned(deltaRaw).select(col("id"), col("embedding"))
+      case Some(_) => applyMetaOverlay(dropTombstoned(deltaRaw))
+        .select(col("id"), col("embedding"), col("metadata"))
+    }
+    hits.unionByName(
+      Knn.batch(delta, queries, k, metric, filterJson = filterJson)
+        .select(col("query_id"), col("id"), col("distance")))
+  }
+
+  // ---- PQ as a store artifact (M11/M12 at the storage tier: the reference
+  // persists quantization state with the index, ivf/persistence.rs:170-250) --
+
+  /** Encode the historical tier as PQ codes: codebooks at `pq_model`
+    * (trained here unless `retrain = false` reuses a saved model — the
+    * cheap re-encode path after vacuum), 8-byte-per-vector codes at
+    * `pq_codes`, cluster-partitioned like the tier itself so probed search
+    * stays partition-pruned. Codes carry (vid, ts) so tombstones and the
+    * post-`migrate` delta compose at search time. */
+  def enablePq(m: Int = 8, kCodes: Int = 64, trainSize: Int = 10000,
+      retrain: Boolean = true): Unit = {
+    require(hasRowsRecursive("historical"),
+      "PQ tier requires a populated historical tier (run migrate first)")
+    val hist = historical
+    val dim = dimension.getOrElse(
+      throw new IllegalStateException("store has no manifest dimension"))
+    val model =
+      if (!retrain && exists("pq_model")) Pq.load(spark, dir("pq_model"))
+      else {
+        val t = Pq.train(hist, dim, m, kCodes, trainSize = trainSize)
+        Pq.save(spark, t, dir("pq_model"))
+        t
+      }
+    val codes = hist.select(col("id"), col("vid"), col("ts"),
+      col("cluster_id").cast("long").as("cluster_id"),
+      Pq.encode(model, col("embedding")).as("codes"))
+    storeWrite(codes).mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(dir("pq_codes"))
+  }
+
+  def hasPq: Boolean = exists("pq_model") && hasRowsRecursive("pq_codes")
+
+  /** Batch hybrid search serving the historical tier from its PQ codes:
+    * coarse n_probe pruning on the code table (8 bytes/vector scanned in
+    * probed partitions only), ADC shortlist, exact rerank against raw
+    * vectors — [[Pq.searchBatchIvfPq]] composed with the store's
+    * tombstones and post-encode delta. L2 only (ADC is an L2 kernel); the
+    * recent tier is scanned exactly as in [[searchBatch]]. Metadata
+    * filters are not pushed into the code scan — use [[searchBatch]] for
+    * filtered search. */
+  def searchBatchPq(queries: DataFrame, k: Int,
+      nProbe: Int = config.nProbe, shortlist: Int = 100,
+      recentK: Option[Int] = None, historicalK: Option[Int] = None): DataFrame = {
+    require(hasPq, "PQ tier not built; call enablePq()")
+    val rec = dropTombstoned(recent).select(col("id"), col("embedding"))
+    val recPart = Knn.batch(rec, queries, recentK.getOrElse(k), "l2")
+      .select(col("query_id"), col("id"), col("distance"))
+    val model = Pq.load(spark, dir("pq_model"))
+    val codesRaw = spark.read.parquet(dir("pq_codes"))
+    val codes = dropTombstoned(codesRaw)
+    val hist = dropTombstoned(historical)
+    val pqPart = Pq.searchBatchIvfPq(
+        codes.select(col("id"), col("cluster_id"), col("codes")),
+        centroids, model, queries, historicalK.getOrElse(k), nProbe, shortlist,
+        rerank = Some(hist.select(col("id"), col("embedding"))))
+      .select(col("query_id"), col("id"), col("distance"))
+    // delta = historical rows appended (by migrate) after the encode
+    val delta = hist.join(codesRaw.select("vid", "ts"), Seq("vid", "ts"), "left_anti")
+    val deltaPart = Knn.batch(delta.select(col("id"), col("embedding")),
+        queries, historicalK.getOrElse(k), "l2")
+      .select(col("query_id"), col("id"), col("distance"))
+    val topk = TopK.topKStr(k)
+    recPart.unionByName(pqPart).unionByName(deltaPart)
+      .groupBy("query_id")
       .agg(topk(col("id"), col("distance")).as("hits"))
       .select(col("query_id"), explode(col("hits")).as("hit"))
       .select(col("query_id"), col("hit.id").as("id"), col("hit.dist").as("distance"))

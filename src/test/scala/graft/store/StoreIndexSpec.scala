@@ -1,0 +1,128 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.store.VectorStore._
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Serving-index store artifacts: the saved-HNSW recent tier
+  * (buildRecentIndex / searchBatch(useRecentIndex)) and the PQ code tier
+  * (enablePq / searchBatchPq), including mutation composition (delta scan,
+  * tombstones, overlay-aware filters) and maintenance invalidation. */
+class StoreIndexSpec extends SparkSpec {
+
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(8)(j => math.sin(seed * (j + 1)).toFloat)
+
+  private def mkQueries(ids: Long*) = {
+    import spark.implicits._
+    ids.map(i => (i, vec(i.toInt))).toDF("query_id", "q_embedding")
+  }
+
+  private def hitSet(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(String, Double)]] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, math.rint(x._3 * 1e9) / 1e9)).sortBy(identity).toSeq)
+      .toMap
+
+  test("indexed recent-tier search is oracle-equal to the exact path") {
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_ri_").toString, Config(nClusters = 4))
+    st.insert((0 until 60).map(i =>
+      VectorRecord(s"r$i", vec(i), Some(s"""{"grp": ${i % 2}}"""))))
+    st.buildRecentIndex()
+    assert(st.hasRecentIndex)
+    val q = mkQueries(3L, 17L)
+
+    // plain: indexed == exact, ids and distances
+    val exact = hitSet(st.searchBatch(q, k = 5, metric = "l2"))
+    val idx = hitSet(st.searchBatch(q, k = 5, metric = "l2", useRecentIndex = true))
+    assert(idx == exact)
+
+    // post-build inserts surface via the delta scan
+    st.insert(Seq(VectorRecord("fresh3", vec(3)))) // exact dup of query 3's vector
+    val idx2 = hitSet(st.searchBatch(q, k = 2, metric = "l2", useRecentIndex = true))
+    assert(idx2(3L).map(_._1).toSet == Set("r3", "fresh3"))
+
+    // post-build deletes are masked by the tombstone allow-list
+    st.delete(Seq("r3", "fresh3"))
+    val idx3 = hitSet(st.searchBatch(q, k = 3, metric = "l2", useRecentIndex = true))
+    val exact3 = hitSet(st.searchBatch(q, k = 3, metric = "l2"))
+    assert(!idx3(3L).exists(h => h._1 == "r3" || h._1 == "fresh3"))
+    assert(idx3 == exact3)
+
+    // filtered search applies the (overlay-aware) metadata filter
+    st.updateMetadata("r17", """{"grp": 0}""") // flip 17 out of grp 1
+    val f = Some("""{"grp": 1}""")
+    val idxF = hitSet(st.searchBatch(q, k = 4, metric = "l2",
+      useRecentIndex = true, filterJson = f))
+    val exactF = hitSet(st.searchBatch(q, k = 4, metric = "l2", filterJson = f))
+    assert(idxF == exactF)
+    assert(!idxF(17L).exists(_._1 == "r17"))
+
+    // metric mismatch fails loudly instead of merging incomparable distances
+    val err = intercept[IllegalArgumentException] {
+      st.searchBatch(q, k = 2, metric = "cosine", useRecentIndex = true).collect()
+    }
+    assert(err.getMessage.contains("metric"))
+  }
+
+  test("maintenance invalidates the recent index (migrate and vacuum)") {
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_rinv_").toString,
+      Config(recentThresholdSeconds = 3600, nClusters = 2))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert((0 until 20).map(i => VectorRecord(s"m$i", vec(i), tsString = Some(oldTs))))
+    st.insert((20 until 30).map(i => VectorRecord(s"m$i", vec(i))))
+    st.buildRecentIndex()
+    assert(st.migrate() == 20)
+    assert(!st.hasRecentIndex, "migrate must drop the stale recent index")
+    st.buildRecentIndex()
+    assert(st.hasRecentIndex)
+    st.delete(Seq("m25"))
+    st.vacuum()
+    assert(!st.hasRecentIndex, "vacuum must drop the stale recent index")
+    // and the un-indexed path still serves correctly after maintenance
+    val hits = hitSet(st.searchBatch(mkQueries(22L), k = 3, metric = "l2"))
+    assert(hits(22L).minBy(_._2)._1 == "m22")
+  }
+
+  test("PQ tier round-trips and serves oracle-equal top-k with full probe") {
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_pqt_").toString,
+      Config(recentThresholdSeconds = 3600, nClusters = 4))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert((0 until 50).map(i => VectorRecord(s"p$i", vec(i), tsString = Some(oldTs))))
+    assert(st.migrate() == 50)
+    st.insert((50 until 56).map(i => VectorRecord(s"p$i", vec(i))))
+    st.enablePq(m = 4, kCodes = 8, trainSize = 50)
+    assert(st.hasPq)
+    val q = mkQueries(7L, 52L)
+    // full probe + shortlist >= corpus => ADC shortlist covers everything,
+    // exact rerank makes the result identical to the exact hybrid path
+    val pq = hitSet(st.searchBatchPq(q, k = 5, nProbe = 4, shortlist = 100))
+    val exact = hitSet(st.searchBatch(q, k = 5, metric = "l2", nProbe = 4))
+    assert(pq == exact)
+
+    // tombstones mask encoded rows
+    st.delete(Seq("p7"))
+    val pq2 = hitSet(st.searchBatchPq(q, k = 5, nProbe = 4, shortlist = 100))
+    assert(!pq2(7L).exists(_._1 == "p7"))
+
+    // post-encode migration surfaces via the historical delta scan
+    val moreOld = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert(Seq(VectorRecord("pLate", vec(7), tsString = Some(moreOld))))
+    assert(st.migrate() == 1)
+    val pq3 = hitSet(st.searchBatchPq(q, k = 3, nProbe = 4, shortlist = 100))
+    assert(pq3(7L).exists(_._1 == "pLate"), "delta row must be searchable pre-re-encode")
+
+    // rebalance / vacuum invalidate codes; retrain=false re-encodes cheaply
+    st.vacuum()
+    assert(!st.hasPq, "vacuum must drop the stale code table")
+    st.enablePq(retrain = false)
+    assert(st.hasPq)
+    val pq4 = hitSet(st.searchBatchPq(q, k = 3, nProbe = 4, shortlist = 100))
+    val exact4 = hitSet(st.searchBatch(q, k = 3, metric = "l2", nProbe = 4))
+    assert(pq4 == exact4)
+  }
+}
