@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // long bench sweep (old-gen fill from 40+ queries' broadcast/cache churn
   // showed up as 2-3x drift on late queries); the box has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 43 bench queries x 2 iters of whole-stage-codegen classes overflow the
+  // JVM's default 240 MB code cache; once full the JIT stops compiling and
+  // late-alphabet queries run interpreted — the 3-6x "random" per-query
+  // drift seen across full sweeps. Size it so compilation never stops.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -19,6 +19,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // the persisted index/corpus tables are a few MB per file: with the
+      // 128 MB default a whole 25 MB corpus scan bin-packs into 1-2 input
+      // partitions and the distance kernels run on 2 of 32 cores. Split
+      // small-file scans finer — at real scale files are row-group sized
+      // and these settings are irrelevant.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -42,6 +49,7 @@ object Bench {
     // queries measure steady-state serving
     graft.queries.AnnQueries.ensureHnswScaleIndex(spark, sfDir)
     graft.queries.AnnQueries.ensureIvfScaleIndex(spark, sfDir)
+    graft.queries.StoreQueries.ensureServingStore(spark, sfDir)
 
     // best-of-N per query (default 2): the warm steady-state number, the
     // same framing as the reference's warm-cache figures (BASELINE.md), and

@@ -18,7 +18,8 @@ object SparkEntry {
       (IvfQueries.queries, IvfQueries.oracles),
       (AggQueries.queries, AggQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
-      (AnnQueries.queries, AnnQueries.oracles))
+      (AnnQueries.queries, AnnQueries.oracles),
+      (StoreQueries.queries, StoreQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -141,6 +141,8 @@ object AnnQueries {
       val del = store.deleteByMetadata("""{"label": {"$gte": 7}}""")
       val vac = store.vacuum()
       val st = store.stats()
+      // all store jobs have run; the returned frame is driver-local scalars
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
       import s.implicits._
       Seq((ins.inserted, del.deletedCount, vac.recentRemoved,
         st.recentCount + st.historicalCount))
@@ -192,6 +194,22 @@ object AnnQueries {
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       rank1(Hnsw.searchSaved(s, path, queries, k = 10, efSearch = 120))
+    }),
+    // X13 on the graph path: filtered search through the persisted HNSW
+    // index end-to-end — searchSaved's k×oversample candidates semi-joined
+    // against an `allowed` id relation (ids divisible by 4). Queries are
+    // even corpus vectors, whose self id (vec_id*50, divisible by 100) is
+    // always allowed, so rank-1 self-retrieval still holds under the filter.
+    "ann_hnsw_filtered" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val path = ensureHnswScaleIndex(s, dir)
+      val ivfBase = ensureIvfScaleIndex(s, dir)
+      val queries = e.filter(col("vec_id") < 16 && col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val allowed = s.read.parquet(s"$ivfBase/data")
+        .filter(col("id") % 4 === 0).select(col("id"))
+      rank1(Hnsw.searchSaved(s, path, queries, k = 10, efSearch = 120,
+        allowed = Some(allowed)))
     }),
     // LSH-bucketed ANN: self-retrieval holds by construction (an identical
     // query hashes into every one of its corpus row's buckets, and the
@@ -348,6 +366,9 @@ object AnnQueries {
     "ann_ivf_kmeans" ->
       """SELECT vec_id AS query_id, vec_id AS id, 0.0 AS distance
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "ann_hnsw_filtered" ->
+      """SELECT vec_id AS query_id, vec_id * 50 AS id, 0.0 AS distance
+        |FROM embeddings WHERE vec_id < 16 AND vec_id % 2 = 0""".stripMargin,
     "ann_lsh" ->
       """SELECT vec_id AS query_id, vec_id AS id, 0.0 AS distance
         |FROM embeddings WHERE vec_id < 8""".stripMargin,

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.store.VectorStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Store-serving-path queries: the VectorStore searched through its
+  * persisted serving artifacts — the saved-HNSW recent tier
+  * (`buildRecentIndex` / `searchBatch(useRecentIndex = true)`, X12's
+  * reference shape `hybrid/core.rs:441-486`) and the PQ code tier
+  * (`enablePq` / `searchBatchPq`, `ivf/persistence.rs:170-250`) — plus the
+  * streaming near-dup ingest throughput probe (§2.11).
+  */
+object StoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val storeConfig = VectorStore.Config(
+    recentThresholdSeconds = 3600, nClusters = 8, nProbe = 8)
+
+  /** Build-once serving store per corpus version: embeddings split across
+    * both tiers (even vec_ids aged into the clustered historical tier,
+    * odd ones recent), recent tier indexed with saved HNSW, historical
+    * tier PQ-encoded. Bump the version suffix when construction changes —
+    * a stale /tmp store must never outlive the code that built it. */
+  def ensureServingStore(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"/tmp/graft_store_idx/${tag}_v1"
+    val done = new org.apache.hadoop.fs.Path(base, "_DONE")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val st = new VectorStore(s, s"$base/store", storeConfig)
+      val e = Tables.load(s, dir, "embeddings")
+      val oldTs = java.sql.Timestamp.from(
+        java.time.Instant.now().minusSeconds(7200))
+      st.insertDF(e.select(
+        col("vec_id").cast("string").as("id"),
+        col("embedding"),
+        to_json(struct(col("label"),
+          (col("vec_id") % 2).as("parity"))).as("metadata"),
+        when(col("vec_id") % 2 === 0, lit(oldTs))
+          .otherwise(current_timestamp()).as("ts")))
+      st.migrate()          // evens -> clustered historical (trains centroids)
+      st.buildRecentIndex() // odds served from the saved HNSW graph
+      st.enablePq(m = 8, kCodes = 64, trainSize = 2000)
+      val out = fs.create(done, true); out.close()
+    }
+    base
+  }
+
+  private def queries8(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+
+  val queries: Map[String, Q] = Map(
+    // X12 through the store front door with BOTH serving indexes live:
+    // recent tier from saved HNSW, historical from probed IVF. Every query
+    // is a corpus vector, so rank-1 must be the row itself at distance 0
+    // regardless of which tier holds it.
+    "store_hnsw_search" -> ((s, dir) => {
+      val base = ensureServingStore(s, dir)
+      val st = new VectorStore(s, s"$base/store", storeConfig)
+      val e = Tables.load(s, dir, "embeddings")
+      st.searchBatch(queries8(e), k = 10, metric = "l2", nProbe = 8,
+          useRecentIndex = true)
+        .groupBy("query_id")
+        .agg(min_by(col("id"), col("distance")).as("id"),
+          round(min(col("distance")), 6).as("distance"))
+        .orderBy("query_id")
+    }),
+    // Store-path IVF-PQ: the historical tier served from its 8-byte codes
+    // (ADC shortlist + exact rerank), gated as recall@10 against the
+    // store's exact hybrid path over the same live view.
+    "store_ivfpq_search" -> ((s, dir) => {
+      val base = ensureServingStore(s, dir)
+      val st = new VectorStore(s, s"$base/store", storeConfig)
+      val qs = queries8(Tables.load(s, dir, "embeddings"))
+      val approx = st.searchBatchPq(qs, k = 10, nProbe = 8, shortlist = 200)
+      val exact = st.searchBatch(qs, k = 10, metric = "l2", nProbe = 8)
+      graft.operators.Ivf.evaluateRecall(approx, exact)
+        .select(col("n_queries"), (col("avg_recall") >= 0.8).as("recall_ok"))
+    }),
+    // §2.11 streaming near-dup ingest throughput: the documents table
+    // staged as an arrival directory, streamed through dedupIngest
+    // (MinHash-bucketed, per-batch cost = batch x collisions). Registered
+    // rows-only (throughput is not SQL-expressible); the dedup semantics
+    // themselves are oracle-gated by the batch minhash queries and
+    // StreamingSpec.
+    "streaming_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q_").toString
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.write.parquet(s"$tmp/src")
+      val nSource = docs.count()
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Streaming.dedupIngest(
+        s, s"$tmp/src", s"$tmp/acc", s"$tmp/chk")
+      q.processAllAvailable(); q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val accepted = s.read.parquet(s"$tmp/acc/docs").count()
+      // everything above already executed — the returned frame is local,
+      // so the scratch dirs can go now instead of accreting across runs
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      Seq((nSource, accepted, math.rint(nSource / secs).toLong))
+        .toDF("n_source", "n_accepted", "docs_per_sec")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "store_hnsw_search" ->
+      """SELECT vec_id AS query_id, CAST(vec_id AS VARCHAR) AS id,
+        |  0.0 AS distance
+        |FROM embeddings WHERE vec_id < 8 ORDER BY vec_id""".stripMargin,
+    "store_ivfpq_search" ->
+      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok")
+}

@@ -92,4 +92,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan) // heap top-k, not full sort
     assert("(?s).*\\*\\(\\d+\\) Project \\[vec_l2.*".r.findFirstIn(plan).isDefined, plan)
   }
+
+  test("store searchBatch plans without running a Spark job") {
+    // tier presence / sidecar elision decisions are FS-metadata checks:
+    // CONSTRUCTING the search plan (no historical tier here, so no probe
+    // collect either) must launch zero jobs
+    import graft.store.VectorStore, VectorStore._
+    import spark.implicits._
+    val st = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_nojob_").toString)
+    st.insert((0 until 10).map(i => VectorRecord(s"n$i",
+      Array.tabulate(8)(j => math.sin(i * (j + 1)).toFloat))))
+    st.delete(Seq("n9")) // tombstones present => the elision check itself runs
+    val queries = Seq((1L, Array.tabulate(8)(j => math.sin(3 * (j + 1)).toFloat)))
+      .toDF("query_id", "q_embedding")
+    @volatile var jobs = 0
+    val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs += 1
+        names.add(js.stageInfos.map(_.name).mkString("|"))
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = st.searchBatch(queries, k = 3, metric = "l2")
+      // the listener bus is async but ordered: run one sentinel job and
+      // wait for it — anything searchBatch launched would be counted first.
+      // RDD count = exactly one job (an SQL count under AQE runs two).
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (jobs == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(jobs == 1,
+        s"plan construction launched ${jobs - 1} extra job(s): " +
+          String.join(" ;; ", names))
+      assert(df.collect().nonEmpty) // and the plan itself is sound
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
