@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Whole-stage-codegen distance kernels over `ARRAY<FLOAT>` columns — the
   * Spark-native replacement for the reference's hand-written AVX2 SIMD loops
@@ -289,6 +289,111 @@ object kernels {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /** M11 at the storage tier: per-vector affine u8 encode to a BINARY
+    * column — dim bytes per vector instead of 4·dim, the scalar-quantized
+    * analog of the PQ code table (`src/core/vector_ops.rs:349-387`).
+    * code_i = round((x_i - vmin) / range * 255); range 0 encodes as all
+    * zeros (the same `range == 0 -> 1` guard as quantizeU8/dequantizeU8,
+    * so decode returns the constant vmin exactly). */
+  case class SqEncodeBytes(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression with ExpectsInputTypes {
+    override def prettyName: String = "sq_encode"
+    override def inputTypes = Seq(ArrayType(FloatType), FloatType, FloatType)
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean =
+      first.nullable || second.nullable || third.nullable
+
+    override def nullSafeEval(embAny: Any, mnAny: Any, mxAny: Any): Any = {
+      val a = embAny.asInstanceOf[ArrayData]
+      val mn = mnAny.asInstanceOf[Float].toDouble
+      val mx = mxAny.asInstanceOf[Float].toDouble
+      val range = if (mx - mn == 0.0) 1.0 else mx - mn
+      val n = a.numElements()
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        out(i) = math.rint((a.getFloat(i).toDouble - mn) / range * 255.0).toInt.toByte
+        i += 1
+      }
+      out
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, mn, mx) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val range = ctx.freshName("range"); val out = ctx.freshName("out")
+        s"""
+           |int $n = $a.numElements();
+           |double $range = ((double)$mx - (double)$mn == 0.0) ? 1.0 : (double)$mx - (double)$mn;
+           |byte[] $out = new byte[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = (byte)(int) java.lang.Math.rint(
+           |    ((double)$a.getFloat($i) - (double)$mn) / $range * 255.0);
+           |}
+           |${ev.value} = $out;
+           |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+        t: Expression): Expression = copy(f, s, t)
+  }
+
+  /** Approximate L2 between a raw float query and a [[SqEncodeBytes]]-coded
+    * row, dequantizing on the fly (asymmetric distance — per-row affine
+    * params rule out a PQ-style lookup table). One fused codegen loop over
+    * the byte payload; per row it reads dim bytes instead of 4·dim —
+    * the scan-bandwidth win that makes the u8 tier worth storing. */
+  case class SqDequantL2(first: Expression, second: Expression,
+      third: Expression, fourth: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+      with ExpectsInputTypes {
+    override def prettyName: String = "sq_l2"
+    override def inputTypes = Seq(ArrayType(FloatType), BinaryType, FloatType, FloatType)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean =
+      first.nullable || second.nullable || third.nullable || fourth.nullable
+
+    override def nullSafeEval(qAny: Any, cAny: Any, mnAny: Any, mxAny: Any): Any = {
+      val a = qAny.asInstanceOf[ArrayData]
+      val c = cAny.asInstanceOf[Array[Byte]]
+      if (a.numElements() != c.length) throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${a.numElements()} vs codes ${c.length}")
+      val mn = mnAny.asInstanceOf[Float].toDouble
+      val mx = mxAny.asInstanceOf[Float].toDouble
+      val range = if (mx - mn == 0.0) 1.0 else mx - mn
+      var s = 0.0; var i = 0
+      while (i < c.length) {
+        val x = (c(i) & 0xFF) / 255.0 * range + mn
+        val d = a.getFloat(i).toDouble - x
+        s += d * d; i += 1
+      }
+      math.sqrt(s)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, c, mn, mx) => {
+        val i = ctx.freshName("i"); val s = ctx.freshName("s")
+        val range = ctx.freshName("range"); val x = ctx.freshName("x")
+        val d = ctx.freshName("d")
+        s"""
+           |if ($a.numElements() != $c.length) {
+           |  throw new IllegalArgumentException("vector dimension mismatch: "
+           |    + $a.numElements() + " vs codes " + $c.length);
+           |}
+           |double $range = ((double)$mx - (double)$mn == 0.0)
+           |  ? 1.0 : (double)$mx - (double)$mn;
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $c.length; $i++) {
+           |  double $x = (($c[$i]) & 0xFF) / 255.0 * $range + (double)$mn;
+           |  double $d = (double)$a.getFloat($i) - $x;
+           |  $s += $d * $d;
+           |}
+           |${ev.value} = java.lang.Math.sqrt($s);
+           |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+        t: Expression, q: Expression): Expression = copy(f, s, t, q)
+  }
+
   /** M4: L2 norm. */
   case class VectorNorm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
     override def prettyName: String = "vec_norm"
@@ -335,6 +440,13 @@ object VectorExpressions {
       tables: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqAdcTableDist(
       ColumnBridge.expression(codes), ColumnBridge.expression(qIdx), tables))
+  def sqEncodeBytes(emb: Column, vmin: Column, vmax: Column): Column =
+    ColumnBridge.column(SqEncodeBytes(ColumnBridge.expression(emb),
+      ColumnBridge.expression(vmin), ColumnBridge.expression(vmax)))
+  def sqDequantL2(q: Column, codes: Column, vmin: Column, vmax: Column): Column =
+    ColumnBridge.column(SqDequantL2(ColumnBridge.expression(q),
+      ColumnBridge.expression(codes), ColumnBridge.expression(vmin),
+      ColumnBridge.expression(vmax)))
 
   /** Register as SQL functions (vec_dot, vec_l2, vec_cosine, vec_norm). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -25,7 +25,7 @@ object StoreQueries {
     * a stale /tmp store must never outlive the code that built it. */
   def ensureServingStore(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val base = s"/tmp/graft_store_idx/${tag}_v1"
+    val base = s"/tmp/graft_store_idx/${tag}_v2"
     val done = new org.apache.hadoop.fs.Path(base, "_DONE")
     val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(done)) {
@@ -44,6 +44,7 @@ object StoreQueries {
       st.migrate()          // evens -> clustered historical (trains centroids)
       st.buildRecentIndex() // odds served from the saved HNSW graph
       st.enablePq(m = 8, kCodes = 64, trainSize = 2000)
+      st.enableSq()         // u8 code tier over the same historical rows
       val out = fs.create(done, true); out.close()
     }
     base
@@ -81,6 +82,21 @@ object StoreQueries {
       graft.operators.Ivf.evaluateRecall(approx, exact)
         .select(col("n_queries"), (col("avg_recall") >= 0.8).as("recall_ok"))
     }),
+    // Store-path IVF-SQ: the historical tier served from its u8 codes
+    // (dequantize-on-the-fly shortlist + exact rerank). Every query is a
+    // corpus vector and the shortlist comfortably covers the true
+    // neighbor, so rank-1 is the row itself at exactly distance 0 — the
+    // same self-retrieval oracle as store_hnsw_search.
+    "store_sq_search" -> ((s, dir) => {
+      val base = ensureServingStore(s, dir)
+      val st = new VectorStore(s, s"$base/store", storeConfig)
+      val e = Tables.load(s, dir, "embeddings")
+      st.searchBatchSq(queries8(e), k = 10, nProbe = 8, shortlist = 200)
+        .groupBy("query_id")
+        .agg(min_by(col("id"), col("distance")).as("id"),
+          round(min(col("distance")), 6).as("distance"))
+        .orderBy("query_id")
+    }),
     // §2.11 streaming near-dup ingest throughput: the documents table
     // staged as an arrival directory, streamed through dedupIngest
     // (MinHash-bucketed, per-batch cost = batch x collisions). Registered
@@ -112,5 +128,9 @@ object StoreQueries {
         |  0.0 AS distance
         |FROM embeddings WHERE vec_id < 8 ORDER BY vec_id""".stripMargin,
     "store_ivfpq_search" ->
-      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok")
+      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+    "store_sq_search" ->
+      """SELECT vec_id AS query_id, CAST(vec_id AS VARCHAR) AS id,
+        |  0.0 AS distance
+        |FROM embeddings WHERE vec_id < 8 ORDER BY vec_id""".stripMargin)
 }

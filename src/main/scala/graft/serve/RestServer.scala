@@ -31,11 +31,15 @@ import scala.util.control.NonFatal
   *   DELETE /api/v1/vectors/{id}
   *   POST   /api/v1/search             {vector, k?, filter?, options?:
   *                                      {include_metadata?, score_threshold?,
-  *                                       metric?}}
+  *                                       metric?, mode?}}  — mode: exact |
+  *                                      recent_index | pq | sq (serving path)
   *   GET    /api/v1/admin/statistics
   *   POST   /api/v1/admin/migrate
   *   POST   /api/v1/admin/vacuum
   *   POST   /api/v1/admin/rebalance   {max_cluster_size?}
+  *   POST   /api/v1/admin/index/recent {ef_construction?, m?, metric?}
+  *   POST   /api/v1/admin/index/pq     {m?, k_codes?, train_size?, retrain?}
+  *   POST   /api/v1/admin/index/sq     {}
   *   POST   /api/v1/admin/backup      {target}
   *   GET    /api/v1/updates?since=N
   *
@@ -170,8 +174,9 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           val k = if (req.hasNonNull("k")) req.get("k").asInt() else 10
           val opts = Option(req.get("options"))
           def opt(name: String) = opts.flatMap(o => Option(o.get(name)))
-          val hits = store.search(
+          val hits = store.searchMode(
             qv, k,
+            mode = opt("mode").map(_.asText()).getOrElse("exact"),
             metric = opt("metric").map(_.asText()).getOrElse("cosine"),
             filterJson = Option(req.get("filter")).map(mapper.writeValueAsString),
             scoreThreshold = opt("score_threshold").map(_.asDouble())
@@ -244,6 +249,30 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         val moved = store.rebalance(maxSize)
         if (moved > 0) mutated("rebalance", Seq(moved.toString))
         val n = obj(); n.put("moved", moved); (200, n)
+      // serving-index lifecycle (the reference builds its indexes inside
+      // the engine on insert; here index builds are explicit admin actions
+      // so the store stays zero-maintenance by default)
+      case ("POST", "/api/v1/admin/index/recent") =>
+        val req = body(ex)
+        def i(name: String, dflt: Int) =
+          if (req != null && req.hasNonNull(name)) req.get(name).asInt() else dflt
+        store.buildRecentIndex(
+          efConstruction = i("ef_construction", 100), m = i("m", 16),
+          metric = if (req != null && req.hasNonNull("metric"))
+            req.get("metric").asText() else "l2")
+        val n = obj(); n.put("built", true); (200, n)
+      case ("POST", "/api/v1/admin/index/pq") =>
+        val req = body(ex)
+        def i(name: String, dflt: Int) =
+          if (req != null && req.hasNonNull(name)) req.get(name).asInt() else dflt
+        store.enablePq(m = i("m", 8), kCodes = i("k_codes", 64),
+          trainSize = i("train_size", 10000),
+          retrain = req == null || !req.hasNonNull("retrain") ||
+            req.get("retrain").asBoolean())
+        val n = obj(); n.put("enabled", true); (200, n)
+      case ("POST", "/api/v1/admin/index/sq") =>
+        store.enableSq()
+        val n = obj(); n.put("enabled", true); (200, n)
       case ("POST", "/api/v1/admin/backup") =>
         val req = body(ex)
         if (req == null || !req.hasNonNull("target"))

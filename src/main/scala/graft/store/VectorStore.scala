@@ -1,6 +1,6 @@
 package graft.store
 
-import graft.functions.FilterJson
+import graft.functions.{FilterJson, VectorFunctions}
 import graft.operators.{Ivf, Knn, Pq, TopK}
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.hadoop.fs.Path
@@ -373,6 +373,38 @@ class VectorStore(val spark: SparkSession, val path: String,
     base.orderBy(col("distance").asc, col("id").asc)
   }
 
+  /** Single-query search dispatched through a chosen serving path — the
+    * REST layer's bridge to the serving artifacts. Modes: "exact" (the
+    * [[search]] scan), "recent_index" (saved-HNSW recent tier),
+    * "pq" / "sq" (historical tier from its code table; L2, no filter —
+    * the code scan has no metadata column). Results carry the same
+    * (id, distance, score, metadata) shape as [[search]]. */
+  def searchMode(query: Array[Float], k: Int, mode: String = "exact",
+      metric: String = "cosine", filterJson: Option[String] = None,
+      scoreThreshold: Option[Double] = None): DataFrame = {
+    if (mode == "exact")
+      return search(query, k, metric, filterJson, scoreThreshold)
+    import spark.implicits._
+    val q = Seq((0L, query)).toDF("query_id", "q_embedding")
+    val hits = mode match {
+      case "recent_index" =>
+        searchBatch(q, k, metric, useRecentIndex = true, filterJson = filterJson)
+      case "pq" | "sq" =>
+        require(filterJson.isEmpty,
+          s"mode '$mode' serves the code tier, which carries no metadata — use exact/recent_index for filtered search")
+        if (mode == "pq") searchBatchPq(q, k) else searchBatchSq(q, k)
+      case other => throw new IllegalArgumentException(
+        s"unknown search mode '$other' (exact|recent_index|pq|sq)")
+    }
+    val scored = hits
+      .join(vectors.select(col("id"), col("metadata")), Seq("id"), "left")
+      .select(col("id"), col("distance"),
+        VectorFunctions.distanceToScore(col("distance")).as("score"),
+        col("metadata"))
+    scoreThreshold.fold(scored)(t => scored.filter(col("score") >= t))
+      .orderBy(col("distance").asc, col("id").asc)
+  }
+
   // ---- X15 migration: recent -> historical ----
 
   /** Move rows older than the threshold into the cluster-partitioned
@@ -457,10 +489,11 @@ class VectorStore(val spark: SparkSession, val path: String,
       .partitionBy("cluster_id").parquet(dir("historical") + "_tmp")
     balanced.unpersist()
     swap("historical")
-    // cluster assignments moved: the PQ code table's cluster partitioning
-    // is stale — probed search would miss moved rows. Re-encode with
-    // enablePq(retrain = false).
+    // cluster assignments moved: the PQ/SQ code tables' cluster
+    // partitioning is stale — probed search would miss moved rows.
+    // Re-encode with enablePq(retrain = false) / enableSq().
     fs.delete(new Path(dir("pq_codes")), true)
+    fs.delete(new Path(dir("sq_codes")), true)
     moved
   }
 
@@ -508,9 +541,10 @@ class VectorStore(val spark: SparkSession, val path: String,
     // serving artifacts still contain the physically-removed rows, and with
     // the tombstones gone nothing would mask them — invalidate. The PQ
     // model stays (codebooks are still valid); re-encode cheaply with
-    // enablePq(retrain = false).
+    // enablePq(retrain = false) / enableSq().
     fs.delete(new Path(dir("recent_index")), true)
     fs.delete(new Path(dir("pq_codes")), true)
+    fs.delete(new Path(dir("sq_codes")), true)
     VacuumResult(recRemoved, histRemoved)
   }
 
@@ -750,12 +784,75 @@ class VectorStore(val spark: SparkSession, val path: String,
     val deltaPart = Knn.batch(delta.select(col("id"), col("embedding")),
         queries, historicalK.getOrElse(k), "l2")
       .select(col("query_id"), col("id"), col("distance"))
+    mergeTiers(k, recPart, pqPart, deltaPart)
+  }
+
+  /** Merge per-tier candidate streams into the final per-query top-k —
+    * the shared tail of every approximate serving path. */
+  private def mergeTiers(k: Int, parts: DataFrame*): DataFrame = {
     val topk = TopK.topKStr(k)
-    recPart.unionByName(pqPart).unionByName(deltaPart)
+    parts.reduce(_ unionByName _)
       .groupBy("query_id")
       .agg(topk(col("id"), col("distance")).as("hits"))
       .select(col("query_id"), explode(col("hits")).as("hit"))
       .select(col("query_id"), col("hit.id").as("id"), col("hit.dist").as("distance"))
+  }
+
+  // ---- u8 scalar quantization as a store artifact (M11 at the storage
+  // tier; the reference keeps SQ utility-only, core/vector_ops.rs:349-387 —
+  // here it parallels the PQ tier with 4x-smaller codes and NO training
+  // state: the affine params ride with each row) ----
+
+  /** Encode the historical tier as per-vector-affine u8 codes at
+    * `sq_codes` (codes BINARY = dim bytes, vmin/vmax FLOAT),
+    * cluster-partitioned like the tier itself so probed search stays
+    * partition-pruned. Codes carry (vid, ts) so tombstones and the
+    * post-`migrate` delta compose at search time. Model-free: re-enabling
+    * after vacuum/rebalance is one map-only pass, no training. */
+  def enableSq(): Unit = {
+    require(hasRowsRecursive("historical"),
+      "SQ tier requires a populated historical tier (run migrate first)")
+    val codes = historical
+      .select(col("id"), col("vid"), col("ts"),
+        col("cluster_id").cast("long").as("cluster_id"),
+        graft.operators.Sq.encode(col("embedding")).as("sq"))
+      .select(col("id"), col("vid"), col("ts"), col("cluster_id"),
+        col("sq.codes").as("codes"), col("sq.vmin").as("vmin"),
+        col("sq.vmax").as("vmax"))
+    storeWrite(codes).mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(dir("sq_codes"))
+  }
+
+  def hasSq: Boolean = hasRowsRecursive("sq_codes")
+
+  /** Batch hybrid search serving the historical tier from its u8 codes:
+    * coarse n_probe pruning on the code table (dim bytes/vector scanned in
+    * probed partitions only), dequantize-on-the-fly shortlist, exact rerank
+    * against raw vectors — [[graft.operators.Sq.searchBatchIvfSq]] composed
+    * with the store's tombstones and post-encode delta. L2 only; the recent
+    * tier is scanned exactly as in [[searchBatch]]. */
+  def searchBatchSq(queries: DataFrame, k: Int,
+      nProbe: Int = config.nProbe, shortlist: Int = 100,
+      recentK: Option[Int] = None, historicalK: Option[Int] = None): DataFrame = {
+    require(hasSq, "SQ tier not built; call enableSq()")
+    val rec = dropTombstoned(recent).select(col("id"), col("embedding"))
+    val recPart = Knn.batch(rec, queries, recentK.getOrElse(k), "l2")
+      .select(col("query_id"), col("id"), col("distance"))
+    val codesRaw = spark.read.parquet(dir("sq_codes"))
+    val codes = dropTombstoned(codesRaw)
+    val hist = dropTombstoned(historical)
+    val sqPart = graft.operators.Sq.searchBatchIvfSq(
+        codes.select(col("id"), col("cluster_id"), col("codes"),
+          col("vmin"), col("vmax")),
+        centroids, queries, historicalK.getOrElse(k), nProbe, shortlist,
+        rerank = Some(hist.select(col("id"), col("embedding"))))
+      .select(col("query_id"), col("id"), col("distance"))
+    // delta = historical rows appended (by migrate) after the encode
+    val delta = hist.join(codesRaw.select("vid", "ts"), Seq("vid", "ts"), "left_anti")
+    val deltaPart = Knn.batch(delta.select(col("id"), col("embedding")),
+        queries, historicalK.getOrElse(k), "l2")
+      .select(col("query_id"), col("id"), col("distance"))
+    mergeTiers(k, recPart, sqPart, deltaPart)
   }
 }
 

@@ -117,6 +117,56 @@ class RestServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("serving-index admin routes and mode search") {
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ridx_").toString,
+      VectorStore.Config(recentThresholdSeconds = 3600, nClusters = 2))
+    val srv = new RestServer(store).start()
+    try {
+      // old rows (will migrate to historical), plus fresh recent rows
+      val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+      store.insert((0 until 30).map(i =>
+        VectorStore.VectorRecord(s"h$i",
+          (0 until 8).map(j => math.sin(i * (j + 1)).toFloat).toArray,
+          tsString = Some(oldTs))))
+      store.insert((30 until 40).map(i =>
+        VectorStore.VectorRecord(s"h$i",
+          (0 until 8).map(j => math.sin(i * (j + 1)).toFloat).toArray)))
+      assert(call(srv, "POST", "/api/v1/admin/migrate")._1 == 200)
+
+      // build all three serving artifacts over HTTP
+      assert(call(srv, "POST", "/api/v1/admin/index/recent", "{}")._1 == 200)
+      val (ps, pq) = call(srv, "POST", "/api/v1/admin/index/pq",
+        """{"m": 4, "k_codes": 8, "train_size": 30}""")
+      assert(ps == 200 && pq.get("enabled").asBoolean())
+      assert(call(srv, "POST", "/api/v1/admin/index/sq", "{}")._1 == 200)
+
+      // every serving mode finds the exact row as its top hit
+      for (mode <- Seq("exact", "recent_index", "pq", "sq")) {
+        val (ss, sr) = call(srv, "POST", "/api/v1/search",
+          s"""{"vector": ${vecJson(33)}, "k": 3,
+              "options": {"metric": "l2", "mode": "$mode"}}""")
+        assert(ss == 200, s"mode $mode failed: $sr")
+        assert(sr.get("results").get(0).get("id").asText() == "h33",
+          s"mode $mode top hit: ${sr.get("results")}")
+        assert(sr.get("results").get(0).get("distance").asDouble() < 1e-6)
+      }
+      // historical row reachable through the code tiers too
+      for (mode <- Seq("pq", "sq")) {
+        val (_, sr) = call(srv, "POST", "/api/v1/search",
+          s"""{"vector": ${vecJson(7)}, "k": 3, "options": {"mode": "$mode"}}""")
+        assert(sr.get("results").get(0).get("id").asText() == "h7",
+          s"mode $mode historical top hit: ${sr.get("results")}")
+      }
+      // unknown mode -> 400; filter on a code tier -> 400
+      assert(call(srv, "POST", "/api/v1/search",
+        s"""{"vector": ${vecJson(1)}, "options": {"mode": "warp"}}""")._1 == 400)
+      assert(call(srv, "POST", "/api/v1/search",
+        s"""{"vector": ${vecJson(1)}, "filter": {"x": 1},
+            "options": {"mode": "pq"}}""")._1 == 400)
+    } finally srv.stop()
+  }
+
   test("query cache memoizes repeats and mutations invalidate it") {
     val store = new VectorStore(spark,
       java.nio.file.Files.createTempDirectory("graft_qc_").toString)

@@ -125,4 +125,73 @@ class StoreIndexSpec extends SparkSpec {
     val exact4 = hitSet(st.searchBatch(q, k = 3, metric = "l2", nProbe = 4))
     assert(pq4 == exact4)
   }
+
+  test("SQ tier round-trips and serves oracle-equal top-k with full probe") {
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_sqt_").toString,
+      Config(recentThresholdSeconds = 3600, nClusters = 4))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert((0 until 50).map(i => VectorRecord(s"s$i", vec(i), tsString = Some(oldTs))))
+    assert(st.migrate() == 50)
+    st.insert((50 until 56).map(i => VectorRecord(s"s$i", vec(i))))
+    st.enableSq()
+    assert(st.hasSq)
+    val q = mkQueries(7L, 52L)
+    // full probe + shortlist >= corpus => the dequantized shortlist covers
+    // everything, exact rerank makes the result identical to the exact path
+    val sq = hitSet(st.searchBatchSq(q, k = 5, nProbe = 4, shortlist = 100))
+    val exact = hitSet(st.searchBatch(q, k = 5, metric = "l2", nProbe = 4))
+    assert(sq == exact)
+
+    // tombstones mask encoded rows
+    st.delete(Seq("s7"))
+    val sq2 = hitSet(st.searchBatchSq(q, k = 5, nProbe = 4, shortlist = 100))
+    assert(!sq2(7L).exists(_._1 == "s7"))
+
+    // post-encode migration surfaces via the historical delta scan
+    val moreOld = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert(Seq(VectorRecord("sLate", vec(7), tsString = Some(moreOld))))
+    assert(st.migrate() == 1)
+    val sq3 = hitSet(st.searchBatchSq(q, k = 3, nProbe = 4, shortlist = 100))
+    assert(sq3(7L).exists(_._1 == "sLate"), "delta row must be searchable pre-re-encode")
+
+    // vacuum invalidates codes; model-free re-enable is one map-only pass
+    st.vacuum()
+    assert(!st.hasSq, "vacuum must drop the stale code table")
+    st.enableSq()
+    assert(st.hasSq)
+    val sq4 = hitSet(st.searchBatchSq(q, k = 3, nProbe = 4, shortlist = 100))
+    val exact4 = hitSet(st.searchBatch(q, k = 3, metric = "l2", nProbe = 4))
+    assert(sq4 == exact4)
+  }
+
+  test("SQ encode/decode round-trip stays within quantization error") {
+    import spark.implicits._
+    val df = (0 until 20).map(i => (i.toLong, vec(i))).toDF("id", "embedding")
+    val enc = df.select(col("id"), col("embedding"),
+      graft.operators.Sq.encode(col("embedding")).as("sq"))
+    val dec = enc.select(col("id"), col("embedding"),
+      graft.operators.Sq.decode(col("sq.codes"), col("sq.vmin"), col("sq.vmax")).as("back"))
+    val rows = dec.collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](1); val back = r.getSeq[Float](2)
+      assert(orig.length == back.length)
+      // max error = half a quantization step = (vmax-vmin)/255/2 (range ~2)
+      orig.zip(back).foreach { case (o, b) =>
+        assert(math.abs(o - b) <= 2.0 / 255.0 / 2.0 + 1e-6,
+          s"quantization error too large at id ${r.getLong(0)}: $o vs $b")
+      }
+    }
+    // approximate distance agrees with exact distance within step-bound
+    val q = vec(3)
+    val withD = enc.select(col("id"),
+      graft.functions.VectorExpressions.sqDequantL2(
+        typedLit(q), col("sq.codes"), col("sq.vmin"), col("sq.vmax")).as("approx"),
+      graft.functions.VectorExpressions.vecL2(
+        typedLit(q), col("embedding")).as("exact"))
+    withD.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 0.05,
+        s"approx ${r.getDouble(1)} vs exact ${r.getDouble(2)}")
+    }
+  }
 }
