@@ -160,6 +160,42 @@ object Ivf {
         col("hit.dist").as("distance"), (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Shared tail of the code-tier searches (IVF-PQ / IVF-SQ): per-query
+    * `shortlist` by approximate distance, optional exact-L2 rerank of the
+    * shortlist against raw vectors, final top-k with rank. Keeping it in
+    * one place keeps the two quantized paths' rerank/tie-break semantics
+    * from diverging.
+    *
+    * @param scored (queryIdCol, id, distance) approximate candidates
+    * @param qRel   bounded (queryIdCol, queryEmbCol) relation, broadcast
+    *               into the rerank join
+    */
+  private[operators] def shortlistRerankTopK(scored: DataFrame, qRel: DataFrame,
+      k: Int, shortlist: Int, idIsString: Boolean, rerank: Option[DataFrame],
+      idCol: String, queryIdCol: String, queryEmbCol: String): DataFrame = {
+    val topShort = if (idIsString) TopK.topKStr(shortlist) else TopK.topK(shortlist)
+    val short = scored.groupBy(queryIdCol)
+      .agg(topShort(col("id"), col("distance")).as("hits"))
+      .select(col(queryIdCol), explode(col("hits")).as("hit"))
+      .select(col(queryIdCol), col("hit.id").as("id"), col("hit.dist").as("distance"))
+    val ranked = rerank match {
+      case None => short
+      case Some(raw) =>
+        short.select(col(queryIdCol), col("id"))
+          .join(raw.select(col(idCol).as("id"), col("embedding")), Seq("id"))
+          .join(broadcast(qRel), Seq(queryIdCol))
+          .select(col(queryIdCol), col("id"),
+            graft.functions.VectorExpressions.vecL2(
+              col("embedding"), col(queryEmbCol)).as("distance"))
+    }
+    val topk = if (idIsString) TopK.topKStr(k) else TopK.topK(k)
+    ranked.groupBy(queryIdCol)
+      .agg(topk(col("id"), col("distance")).as("hits"))
+      .select(col(queryIdCol), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col(queryIdCol), col("hit.id").as("id"),
+        col("hit.dist").as("distance"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** A5 (`ivf/operations.rs:329-391`): recall of approximate search against
     * exact ground truth, averaged over queries. Returns a 1-row DataFrame
     * (avg_recall DOUBLE, n_queries LONG). */

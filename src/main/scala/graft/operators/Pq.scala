@@ -159,42 +159,24 @@ object Pq {
     val adc = graft.functions.VectorExpressions.pqAdcTableDist(
       col("codes"), col("q_idx"), tables)
     val pruned = encoded.filter(col("cluster_id").isin(probedIds: _*))
+    // sqrt here (not after the shortlist) so the shared tail sees a true
+    // distance — monotonic, so the shortlist ranking is unchanged
     val scored = pruned
       .join(broadcast(p), pruned("cluster_id") === p("cluster_id"))
-      .select(col(queryIdCol), col(idCol).as("id"), adc.as("adc_sq"))
+      .select(col(queryIdCol), col(idCol).as("id"), sqrt(adc).as("distance"))
     // string ids (the store's natural keys) ride through the aggregates
     // natively, same as Knn.batch / Ivf.searchBatch
     val idIsString =
       encoded.schema(idCol).dataType == org.apache.spark.sql.types.StringType
-    val topShort = if (idIsString) TopK.topKStr(shortlist) else TopK.topK(shortlist)
-    val short = scored.groupBy(queryIdCol)
-      .agg(topShort(col("id"), col("adc_sq")).as("hits"))
-      .select(col(queryIdCol), explode(col("hits")).as("hit"))
-      .select(col(queryIdCol), col("hit.id").as("id"),
-        sqrt(col("hit.dist")).as("distance"))
-    val ranked = rerank match {
-      case None => short
-      case Some(raw) =>
-        val qRel = spark.createDataFrame(
-          java.util.Arrays.asList(qVecs.map(v => Row(v._1, v._2)): _*),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField(queryIdCol,
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField(queryEmbCol,
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.FloatType)))))
-        short.select(col(queryIdCol), col("id"))
-          .join(raw.select(col(idCol).as("id"), col("embedding")), Seq("id"))
-          .join(broadcast(qRel), Seq(queryIdCol))
-          .select(col(queryIdCol), col("id"),
-            graft.functions.VectorExpressions.vecL2(
-              col("embedding"), col(queryEmbCol)).as("distance"))
-    }
-    val topk = if (idIsString) TopK.topKStr(k) else TopK.topK(k)
-    ranked.groupBy(queryIdCol)
-      .agg(topk(col("id"), col("distance")).as("hits"))
-      .select(col(queryIdCol), posexplode(col("hits")).as(Seq("pos", "hit")))
-      .select(col(queryIdCol), col("hit.id").as("id"),
-        col("hit.dist").as("distance"), (col("pos") + 1).cast("long").as("rank"))
+    val qRel = spark.createDataFrame(
+      java.util.Arrays.asList(qVecs.map(v => Row(v._1, v._2)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(queryIdCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(queryEmbCol,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    Ivf.shortlistRerankTopK(scored, qRel, k, shortlist, idIsString, rerank,
+      idCol, queryIdCol, queryEmbCol)
   }
 }

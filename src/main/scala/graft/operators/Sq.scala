@@ -67,28 +67,10 @@ object Sq {
           col("vmin"), col("vmax")).as("distance"))
     val idIsString =
       encoded.schema(idCol).dataType == org.apache.spark.sql.types.StringType
-    val topShort = if (idIsString) TopK.topKStr(shortlist) else TopK.topK(shortlist)
-    val short = scored.groupBy(queryIdCol)
-      .agg(topShort(col("id"), col("distance")).as("hits"))
-      .select(col(queryIdCol), explode(col("hits")).as("hit"))
-      .select(col(queryIdCol), col("hit.id").as("id"), col("hit.dist").as("distance"))
-    val ranked = rerank match {
-      case None => short
-      case Some(raw) =>
-        // queries is a bounded batch (probes already collected it); rejoin
-        // the raw embeddings only for shortlist×queries rows
-        val qRel = queries.select(col(queryIdCol), col(queryEmbCol))
-        short.select(col(queryIdCol), col("id"))
-          .join(raw.select(col(idCol).as("id"), col("embedding")), Seq("id"))
-          .join(broadcast(qRel), Seq(queryIdCol))
-          .select(col(queryIdCol), col("id"),
-            VectorExpressions.vecL2(col("embedding"), col(queryEmbCol)).as("distance"))
-    }
-    val topk = if (idIsString) TopK.topKStr(k) else TopK.topK(k)
-    ranked.groupBy(queryIdCol)
-      .agg(topk(col("id"), col("distance")).as("hits"))
-      .select(col(queryIdCol), posexplode(col("hits")).as(Seq("pos", "hit")))
-      .select(col(queryIdCol), col("hit.id").as("id"),
-        col("hit.dist").as("distance"), (col("pos") + 1).cast("long").as("rank"))
+    // queries is a bounded batch (probes already collected it); the shared
+    // tail broadcasts it into the rerank join
+    Ivf.shortlistRerankTopK(scored,
+      queries.select(col(queryIdCol), col(queryEmbCol)),
+      k, shortlist, idIsString, rerank, idCol, queryIdCol, queryEmbCol)
   }
 }

@@ -22,17 +22,20 @@ object QueryShapes {
         .as("embedding"))
     .repartition(col("id"))
 
-  private val Dim = 64 // embeddings table dimension (TESTDATA.md)
-
   /** Per-label element-wise mean centroid (A3) as (label, float[]) —
     * DuckDB recomputes it exactly, which is what makes the label-IVF
-    * queries oracle-checkable. One hash aggregate with 64 column-avg
+    * queries oracle-checkable. One hash aggregate with dim column-avg
     * slots instead of posexplode + two shuffles + collect_list sort:
-    * same arithmetic (per-element double avg, cast float), one pass. */
-  def labelCentroids(emb: DataFrame): DataFrame =
+    * same arithmetic (per-element double avg, cast float), one pass.
+    * The slot count comes from the first row's embedding (vectors are
+    * dense and uniform — the kernels throw on mismatch anyway), so the
+    * aggregate stays dimension-generic. */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     emb.groupBy("label").agg(
-      array((0 until Dim).map(i =>
+      array((0 until dim).map(i =>
         avg(col("embedding").getItem(i)).cast("float")): _*).as("centroid"))
+  }
 
   // Centroid training is index state: computed once per (corpus, subset)
   // and then served, exactly like the persisted scale indexes amortize

@@ -241,37 +241,36 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         n.put("historical_removed", res.historicalRemoved)
         (200, n)
       case ("POST", "/api/v1/admin/rebalance") =>
-        val req = body(ex)
-        val maxSize =
-          if (req != null && req.hasNonNull("max_cluster_size"))
-            req.get("max_cluster_size").asInt()
-          else 10000
-        val moved = store.rebalance(maxSize)
+        val moved = store.rebalance(optInt(body(ex), "max_cluster_size", 10000))
         if (moved > 0) mutated("rebalance", Seq(moved.toString))
         val n = obj(); n.put("moved", moved); (200, n)
       // serving-index lifecycle (the reference builds its indexes inside
       // the engine on insert; here index builds are explicit admin actions
-      // so the store stays zero-maintenance by default)
+      // so the store stays zero-maintenance by default). A rebuilt artifact
+      // changes what the affected modes would return (and even which
+      // requests they accept — e.g. the recent index's metric), so the
+      // query memo must not outlive it.
       case ("POST", "/api/v1/admin/index/recent") =>
         val req = body(ex)
-        def i(name: String, dflt: Int) =
-          if (req != null && req.hasNonNull(name)) req.get(name).asInt() else dflt
         store.buildRecentIndex(
-          efConstruction = i("ef_construction", 100), m = i("m", 16),
+          efConstruction = optInt(req, "ef_construction", 100),
+          m = optInt(req, "m", 16),
           metric = if (req != null && req.hasNonNull("metric"))
             req.get("metric").asText() else "l2")
+        queryCache.clear()
         val n = obj(); n.put("built", true); (200, n)
       case ("POST", "/api/v1/admin/index/pq") =>
         val req = body(ex)
-        def i(name: String, dflt: Int) =
-          if (req != null && req.hasNonNull(name)) req.get(name).asInt() else dflt
-        store.enablePq(m = i("m", 8), kCodes = i("k_codes", 64),
-          trainSize = i("train_size", 10000),
+        store.enablePq(m = optInt(req, "m", 8),
+          kCodes = optInt(req, "k_codes", 64),
+          trainSize = optInt(req, "train_size", 10000),
           retrain = req == null || !req.hasNonNull("retrain") ||
             req.get("retrain").asBoolean())
+        queryCache.clear()
         val n = obj(); n.put("enabled", true); (200, n)
       case ("POST", "/api/v1/admin/index/sq") =>
         store.enableSq()
+        queryCache.clear()
         val n = obj(); n.put("enabled", true); (200, n)
       case ("POST", "/api/v1/admin/backup") =>
         val req = body(ex)
@@ -320,6 +319,9 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
 
   private def body(ex: HttpExchange): JsonNode =
     mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+
+  private def optInt(req: JsonNode, name: String, dflt: Int): Int =
+    if (req != null && req.hasNonNull(name)) req.get(name).asInt() else dflt
 
   private def floats(n: JsonNode): Array[Float] =
     if (n == null || !n.isArray) Array.empty

@@ -392,6 +392,8 @@ class VectorStore(val spark: SparkSession, val path: String,
       case "pq" | "sq" =>
         require(filterJson.isEmpty,
           s"mode '$mode' serves the code tier, which carries no metadata — use exact/recent_index for filtered search")
+        require(metric == "l2",
+          s"mode '$mode' is an L2 code tier; got metric '$metric' — a silently L2-ranked result would misorder the requested metric")
         if (mode == "pq") searchBatchPq(q, k) else searchBatchSq(q, k)
       case other => throw new IllegalArgumentException(
         s"unknown search mode '$other' (exact|recent_index|pq|sq)")
@@ -767,24 +769,39 @@ class VectorStore(val spark: SparkSession, val path: String,
       nProbe: Int = config.nProbe, shortlist: Int = 100,
       recentK: Option[Int] = None, historicalK: Option[Int] = None): DataFrame = {
     require(hasPq, "PQ tier not built; call enablePq()")
+    val model = Pq.load(spark, dir("pq_model"))
+    codeTierSearch(queries, k, "pq_codes", recentK, historicalK) {
+      (codes, hist, histK) =>
+        Pq.searchBatchIvfPq(
+          codes.select(col("id"), col("cluster_id"), col("codes")),
+          centroids, model, queries, histK, nProbe, shortlist,
+          rerank = Some(hist.select(col("id"), col("embedding"))))
+    }
+  }
+
+  /** Shared composition of every code-tier serving path (PQ / SQ): exact
+    * scan of the live recent tier, `search` over the (tombstone-masked)
+    * code table, exact scan of the post-encode historical delta — rows
+    * `migrate` appended after the encode, found by (vid, ts) anti-join —
+    * merged into one per-query top-k. Keeping it in one place keeps the
+    * tombstone/delta semantics of the two quantized tiers identical. */
+  private def codeTierSearch(queries: DataFrame, k: Int, codesDir: String,
+      recentK: Option[Int], historicalK: Option[Int])(
+      search: (DataFrame, DataFrame, Int) => DataFrame): DataFrame = {
     val rec = dropTombstoned(recent).select(col("id"), col("embedding"))
     val recPart = Knn.batch(rec, queries, recentK.getOrElse(k), "l2")
       .select(col("query_id"), col("id"), col("distance"))
-    val model = Pq.load(spark, dir("pq_model"))
-    val codesRaw = spark.read.parquet(dir("pq_codes"))
+    val codesRaw = spark.read.parquet(dir(codesDir))
     val codes = dropTombstoned(codesRaw)
     val hist = dropTombstoned(historical)
-    val pqPart = Pq.searchBatchIvfPq(
-        codes.select(col("id"), col("cluster_id"), col("codes")),
-        centroids, model, queries, historicalK.getOrElse(k), nProbe, shortlist,
-        rerank = Some(hist.select(col("id"), col("embedding"))))
+    val histK = historicalK.getOrElse(k)
+    val codePart = search(codes, hist, histK)
       .select(col("query_id"), col("id"), col("distance"))
-    // delta = historical rows appended (by migrate) after the encode
     val delta = hist.join(codesRaw.select("vid", "ts"), Seq("vid", "ts"), "left_anti")
     val deltaPart = Knn.batch(delta.select(col("id"), col("embedding")),
-        queries, historicalK.getOrElse(k), "l2")
+        queries, histK, "l2")
       .select(col("query_id"), col("id"), col("distance"))
-    mergeTiers(k, recPart, pqPart, deltaPart)
+    mergeTiers(k, recPart, codePart, deltaPart)
   }
 
   /** Merge per-tier candidate streams into the final per-query top-k —
@@ -835,24 +852,14 @@ class VectorStore(val spark: SparkSession, val path: String,
       nProbe: Int = config.nProbe, shortlist: Int = 100,
       recentK: Option[Int] = None, historicalK: Option[Int] = None): DataFrame = {
     require(hasSq, "SQ tier not built; call enableSq()")
-    val rec = dropTombstoned(recent).select(col("id"), col("embedding"))
-    val recPart = Knn.batch(rec, queries, recentK.getOrElse(k), "l2")
-      .select(col("query_id"), col("id"), col("distance"))
-    val codesRaw = spark.read.parquet(dir("sq_codes"))
-    val codes = dropTombstoned(codesRaw)
-    val hist = dropTombstoned(historical)
-    val sqPart = graft.operators.Sq.searchBatchIvfSq(
-        codes.select(col("id"), col("cluster_id"), col("codes"),
-          col("vmin"), col("vmax")),
-        centroids, queries, historicalK.getOrElse(k), nProbe, shortlist,
-        rerank = Some(hist.select(col("id"), col("embedding"))))
-      .select(col("query_id"), col("id"), col("distance"))
-    // delta = historical rows appended (by migrate) after the encode
-    val delta = hist.join(codesRaw.select("vid", "ts"), Seq("vid", "ts"), "left_anti")
-    val deltaPart = Knn.batch(delta.select(col("id"), col("embedding")),
-        queries, historicalK.getOrElse(k), "l2")
-      .select(col("query_id"), col("id"), col("distance"))
-    mergeTiers(k, recPart, sqPart, deltaPart)
+    codeTierSearch(queries, k, "sq_codes", recentK, historicalK) {
+      (codes, hist, histK) =>
+        graft.operators.Sq.searchBatchIvfSq(
+          codes.select(col("id"), col("cluster_id"), col("codes"),
+            col("vmin"), col("vmax")),
+          centroids, queries, histK, nProbe, shortlist,
+          rerank = Some(hist.select(col("id"), col("embedding"))))
+    }
   }
 }
 

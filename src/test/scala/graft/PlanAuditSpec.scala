@@ -119,11 +119,18 @@ class PlanAuditSpec extends SparkSpec {
     try {
       val df = st.searchBatch(queries, k = 3, metric = "l2")
       // the listener bus is async but ordered: run one sentinel job and
-      // wait for it — anything searchBatch launched would be counted first.
-      // RDD count = exactly one job (an SQL count under AQE runs two).
+      // wait for ITS event specifically (by stage name) — waiting for just
+      // any event could exit on a job searchBatch itself launched, before
+      // the sentinel's event arrives, and falsely pass. Anything searchBatch
+      // launched is ordered before the sentinel, so once the sentinel is
+      // visible the count is complete. RDD count = exactly one job (an SQL
+      // count under AQE runs two).
       spark.sparkContext.parallelize(Seq(1), 1).count()
       val deadline = System.nanoTime() + 10e9.toLong
-      while (jobs == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      def sentinelSeen = names.toArray(Array.empty[String])
+        .exists(_.contains("PlanAuditSpec"))
+      while (!sentinelSeen && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(sentinelSeen, "sentinel job event never arrived")
       assert(jobs == 1,
         s"plan construction launched ${jobs - 1} extra job(s): " +
           String.join(" ;; ", names))

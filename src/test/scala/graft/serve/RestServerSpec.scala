@@ -154,16 +154,21 @@ class RestServerSpec extends SparkSpec {
       // historical row reachable through the code tiers too
       for (mode <- Seq("pq", "sq")) {
         val (_, sr) = call(srv, "POST", "/api/v1/search",
-          s"""{"vector": ${vecJson(7)}, "k": 3, "options": {"mode": "$mode"}}""")
+          s"""{"vector": ${vecJson(7)}, "k": 3,
+              "options": {"metric": "l2", "mode": "$mode"}}""")
         assert(sr.get("results").get(0).get("id").asText() == "h7",
           s"mode $mode historical top hit: ${sr.get("results")}")
       }
-      // unknown mode -> 400; filter on a code tier -> 400
+      // unknown mode -> 400; filter on a code tier -> 400; and the L2-only
+      // code tiers reject a cosine request instead of silently L2-ranking
+      // (the default metric IS cosine, so mode=pq|sq needs explicit l2)
       assert(call(srv, "POST", "/api/v1/search",
         s"""{"vector": ${vecJson(1)}, "options": {"mode": "warp"}}""")._1 == 400)
       assert(call(srv, "POST", "/api/v1/search",
         s"""{"vector": ${vecJson(1)}, "filter": {"x": 1},
-            "options": {"mode": "pq"}}""")._1 == 400)
+            "options": {"metric": "l2", "mode": "pq"}}""")._1 == 400)
+      assert(call(srv, "POST", "/api/v1/search",
+        s"""{"vector": ${vecJson(1)}, "options": {"mode": "sq"}}""")._1 == 400)
     } finally srv.stop()
   }
 
