@@ -93,6 +93,35 @@ class PlanAuditSpec extends SparkSpec {
     assert("(?s).*\\*\\(\\d+\\) Project \\[vec_l2.*".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("SQ code-table search prunes partitions and keeps the kernel in codegen") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqplan_").toString
+    val enc = (0 until 200).map { i =>
+      (i.toLong, (i % 4).toLong,
+        Array.tabulate(8)(j => math.sin(i * (j + 1)).toFloat))
+    }.toDF("id", "cluster_id", "embedding")
+      .select(col("id"), col("cluster_id"),
+        graft.operators.Sq.encode(col("embedding")).as("sq"))
+      .select(col("id"), col("cluster_id"), col("sq.codes").as("codes"),
+        col("sq.vmin").as("vmin"), col("sq.vmax").as("vmax"))
+    enc.write.partitionBy("cluster_id").parquet(s"$tmp/codes")
+    val cents = (0 until 4).map(c =>
+      (c.toLong, Array.tabulate(8)(j => math.sin(c * 37 * (j + 1)).toFloat)))
+      .toDF("cluster_id", "centroid")
+    val queries = Seq((7L, Array.tabulate(8)(j => math.sin(7 * (j + 1)).toFloat)))
+      .toDF("query_id", "q_embedding")
+    val df = graft.operators.Sq.searchBatchIvfSq(
+      spark.read.parquet(s"$tmp/codes"), cents, queries,
+      k = 5, nProbe = 1, shortlist = 50)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // static cluster_id IN (...) reaches the scan as a partition filter:
+    // only probed cluster directories are read (nProbe=1 of 4)
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"), plan)
+    // the dequantize-L2 kernel runs inside whole-stage codegen
+    assert("(?s).*\\*\\(\\d+\\)[^\\n]*sq_l2.*".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("store searchBatch plans without running a Spark job") {
     // tier presence / sidecar elision decisions are FS-metadata checks:
     // CONSTRUCTING the search plan (no historical tier here, so no probe
