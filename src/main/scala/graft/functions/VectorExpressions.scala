@@ -394,6 +394,68 @@ object kernels {
         t: Expression, q: Expression): Expression = copy(f, s, t, q)
   }
 
+  /** Approximate cosine DISTANCE (1 - cos) between a raw float query and a
+    * [[SqEncodeBytes]]-coded row: dot(q, dequant) and |dequant| accumulate in
+    * the same fused byte loop as [[SqDequantL2]], so the cosine tier scans
+    * the identical dim-bytes-per-row payload — no extra norm sidecar, the
+    * dequantized vector's own norm is the |v| estimate (exact rerank
+    * replaces it with the true value). Zero-norm on either side returns
+    * distance 1.0 (similarity 0, `src/core/vector_ops.rs:44-48`). */
+  case class SqDequantCosine(first: Expression, second: Expression,
+      third: Expression, fourth: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+      with ExpectsInputTypes {
+    override def prettyName: String = "sq_cosine"
+    override def inputTypes = Seq(ArrayType(FloatType), BinaryType, FloatType, FloatType)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean =
+      first.nullable || second.nullable || third.nullable || fourth.nullable
+
+    override def nullSafeEval(qAny: Any, cAny: Any, mnAny: Any, mxAny: Any): Any = {
+      val a = qAny.asInstanceOf[ArrayData]
+      val c = cAny.asInstanceOf[Array[Byte]]
+      if (a.numElements() != c.length) throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${a.numElements()} vs codes ${c.length}")
+      val mn = mnAny.asInstanceOf[Float].toDouble
+      val mx = mxAny.asInstanceOf[Float].toDouble
+      val range = if (mx - mn == 0.0) 1.0 else mx - mn
+      var dot = 0.0; var nq = 0.0; var nv = 0.0; var i = 0
+      while (i < c.length) {
+        val x = (c(i) & 0xFF) / 255.0 * range + mn
+        val q = a.getFloat(i).toDouble
+        dot += q * x; nq += q * q; nv += x * x; i += 1
+      }
+      val den = math.sqrt(nq) * math.sqrt(nv)
+      if (den == 0.0) 1.0 else 1.0 - dot / den
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, c, mn, mx) => {
+        val i = ctx.freshName("i"); val range = ctx.freshName("range")
+        val x = ctx.freshName("x"); val q = ctx.freshName("q")
+        val dot = ctx.freshName("dot"); val nq = ctx.freshName("nq")
+        val nv = ctx.freshName("nv"); val den = ctx.freshName("den")
+        s"""
+           |if ($a.numElements() != $c.length) {
+           |  throw new IllegalArgumentException("vector dimension mismatch: "
+           |    + $a.numElements() + " vs codes " + $c.length);
+           |}
+           |double $range = ((double)$mx - (double)$mn == 0.0)
+           |  ? 1.0 : (double)$mx - (double)$mn;
+           |double $dot = 0.0; double $nq = 0.0; double $nv = 0.0;
+           |for (int $i = 0; $i < $c.length; $i++) {
+           |  double $x = (($c[$i]) & 0xFF) / 255.0 * $range + (double)$mn;
+           |  double $q = (double)$a.getFloat($i);
+           |  $dot += $q * $x; $nq += $q * $q; $nv += $x * $x;
+           |}
+           |double $den = java.lang.Math.sqrt($nq) * java.lang.Math.sqrt($nv);
+           |${ev.value} = ($den == 0.0) ? 1.0 : 1.0 - $dot / $den;
+           |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+        t: Expression, q: Expression): Expression = copy(f, s, t, q)
+  }
+
   /** M4: L2 norm. */
   case class VectorNorm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
     override def prettyName: String = "vec_norm"
@@ -445,6 +507,10 @@ object VectorExpressions {
       ColumnBridge.expression(vmin), ColumnBridge.expression(vmax)))
   def sqDequantL2(q: Column, codes: Column, vmin: Column, vmax: Column): Column =
     ColumnBridge.column(SqDequantL2(ColumnBridge.expression(q),
+      ColumnBridge.expression(codes), ColumnBridge.expression(vmin),
+      ColumnBridge.expression(vmax)))
+  def sqDequantCosine(q: Column, codes: Column, vmin: Column, vmax: Column): Column =
+    ColumnBridge.column(SqDequantCosine(ColumnBridge.expression(q),
       ColumnBridge.expression(codes), ColumnBridge.expression(vmin),
       ColumnBridge.expression(vmax)))
 

@@ -161,10 +161,10 @@ object Ivf {
   }
 
   /** Shared tail of the code-tier searches (IVF-PQ / IVF-SQ): per-query
-    * `shortlist` by approximate distance, optional exact-L2 rerank of the
-    * shortlist against raw vectors, final top-k with rank. Keeping it in
-    * one place keeps the two quantized paths' rerank/tie-break semantics
-    * from diverging.
+    * `shortlist` by approximate distance, optional exact rerank of the
+    * shortlist against raw vectors (in `metric` — the same one that ranked
+    * the shortlist), final top-k with rank. Keeping it in one place keeps
+    * the two quantized paths' rerank/tie-break semantics from diverging.
     *
     * @param scored (queryIdCol, id, distance) approximate candidates
     * @param qRel   bounded (queryIdCol, queryEmbCol) relation, broadcast
@@ -172,7 +172,8 @@ object Ivf {
     */
   private[operators] def shortlistRerankTopK(scored: DataFrame, qRel: DataFrame,
       k: Int, shortlist: Int, idIsString: Boolean, rerank: Option[DataFrame],
-      idCol: String, queryIdCol: String, queryEmbCol: String): DataFrame = {
+      idCol: String, queryIdCol: String, queryEmbCol: String,
+      metric: String = "l2"): DataFrame = {
     val topShort = if (idIsString) TopK.topKStr(shortlist) else TopK.topK(shortlist)
     val short = scored.groupBy(queryIdCol)
       .agg(topShort(col("id"), col("distance")).as("hits"))
@@ -185,8 +186,7 @@ object Ivf {
           .join(raw.select(col(idCol).as("id"), col("embedding")), Seq("id"))
           .join(broadcast(qRel), Seq(queryIdCol))
           .select(col(queryIdCol), col("id"),
-            graft.functions.VectorExpressions.vecL2(
-              col("embedding"), col(queryEmbCol)).as("distance"))
+            distance(metric, col("embedding"), col(queryEmbCol)).as("distance"))
     }
     val topk = if (idIsString) TopK.topKStr(k) else TopK.topK(k)
     ranked.groupBy(queryIdCol)

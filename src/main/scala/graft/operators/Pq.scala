@@ -129,12 +129,18 @@ object Pq {
       model: PqModel, queries: DataFrame, k: Int, nProbe: Int,
       shortlist: Int = 100, rerank: Option[DataFrame] = None,
       idCol: String = "id", queryIdCol: String = "query_id",
-      queryEmbCol: String = "q_embedding"): DataFrame = {
+      queryEmbCol: String = "q_embedding", metric: String = "l2"): DataFrame = {
+    require(metric == "l2" || metric == "cosine",
+      s"PQ code tier supports l2|cosine, got '$metric'")
     val spark = queries.sparkSession
-    val pRows = Ivf.probes(centroids, queries, nProbe, "l2",
+    val pRows = Ivf.probes(centroids, queries, nProbe, metric,
       queryIdCol, queryEmbCol).collect()
     // one ADC table per distinct query, driver-built (query batches are
-    // bounded; |tables| = nq x m x k doubles)
+    // bounded; |tables| = nq x m x k doubles). For l2 the cell is
+    // ||query_sub - centroid||^2 (summed -> squared L2); for cosine it is
+    // dot(query_sub, centroid) (summed -> dot(q, v̂)), combined below with
+    // |q| and the reconstruction norm |v̂| from a query-independent
+    // per-cell |centroid|^2 table — same kernel, different table contents.
     val qVecs = pRows.map(r =>
         r.getAs[Long](queryIdCol) -> r.getAs[scala.collection.Seq[Float]](queryEmbCol))
       .distinct
@@ -145,25 +151,51 @@ object Pq {
         val qs = q.slice(s * model.subDim, (s + 1) * model.subDim)
         model.codebooks(s).map { c =>
           var acc = 0.0; var i = 0
-          while (i < qs.length) { val d = qs(i).toDouble - c(i).toDouble; acc += d * d; i += 1 }
+          if (metric == "l2") {
+            while (i < qs.length) { val d = qs(i).toDouble - c(i).toDouble; acc += d * d; i += 1 }
+          } else {
+            while (i < qs.length) { acc += qs(i).toDouble * c(i).toDouble; i += 1 }
+          }
           acc
         }
       }
     }
     import spark.implicits._
-    val p = pRows.map(r =>
-        (r.getAs[Long](queryIdCol), qIdx(r.getAs[Long](queryIdCol)),
-          r.getAs[Long]("cluster_id")))
-      .toSeq.toDF(queryIdCol, "q_idx", "cluster_id")
+    val qNorm = qVecs.map { case (_, emb) =>
+      var acc = 0.0; var i = 0
+      while (i < emb.length) { acc += emb(i).toDouble * emb(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    }
+    val p = pRows.map { r =>
+        val qid = r.getAs[Long](queryIdCol)
+        (qid, qIdx(qid), qNorm(qIdx(qid)), r.getAs[Long]("cluster_id"))
+      }
+      .toSeq.toDF(queryIdCol, "q_idx", "q_norm", "cluster_id")
     val probedIds = pRows.map(_.getAs[Long]("cluster_id")).distinct
     val adc = graft.functions.VectorExpressions.pqAdcTableDist(
       col("codes"), col("q_idx"), tables)
     val pruned = encoded.filter(col("cluster_id").isin(probedIds: _*))
-    // sqrt here (not after the shortlist) so the shared tail sees a true
-    // distance — monotonic, so the shortlist ranking is unchanged
+    // l2: sqrt here (not after the shortlist) so the shared tail sees a
+    // true distance — monotonic, so the shortlist ranking is unchanged.
+    // cosine: 1 - dot/(|q|·|v̂|) with |v̂|^2 summed from the shared
+    // per-cell norm table (q_idx 0 — it is query-independent).
+    val approx = if (metric == "l2") sqrt(adc) else {
+      val normTab: Array[Array[Array[Double]]] = Array(
+        Array.tabulate(model.m) { s =>
+          model.codebooks(s).map { c =>
+            var acc = 0.0; var i = 0
+            while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
+            acc
+          }
+        })
+      val vNorm = sqrt(graft.functions.VectorExpressions.pqAdcTableDist(
+        col("codes"), lit(0), normTab))
+      val den = col("q_norm") * vNorm
+      when(den === 0.0, lit(1.0)).otherwise(lit(1.0) - adc / den)
+    }
     val scored = pruned
       .join(broadcast(p), pruned("cluster_id") === p("cluster_id"))
-      .select(col(queryIdCol), col(idCol).as("id"), sqrt(adc).as("distance"))
+      .select(col(queryIdCol), col(idCol).as("id"), approx.as("distance"))
     // string ids (the store's natural keys) ride through the aggregates
     // natively, same as Knn.batch / Ivf.searchBatch
     val idIsString =
@@ -177,6 +209,6 @@ object Pq {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.FloatType)))))
     Ivf.shortlistRerankTopK(scored, qRel, k, shortlist, idIsString, rerank,
-      idCol, queryIdCol, queryEmbCol)
+      idCol, queryIdCol, queryEmbCol, metric)
   }
 }

@@ -40,11 +40,16 @@ object Sq {
   /** Batch IVF-SQ search: n_probe coarse pruning exactly like
     * [[Ivf.searchBatch]] (static cluster_id pruning + broadcast probes), but
     * candidate scoring reads the u8 code table — dim bytes per row through
-    * the fused [[graft.functions.kernels.SqDequantL2]] codegen kernel — and
+    * the fused [[graft.functions.kernels.SqDequantL2]] /
+    * [[graft.functions.kernels.SqDequantCosine]] codegen kernel — and
     * the per-query `shortlist` is exact-reranked against raw vectors when
     * `rerank` is given. Same 100 TB shape as IVF-PQ: the scan touches only
     * probed partitions of a 4×-smaller table; raw embeddings are read only
     * for shortlist×queries rows.
+    *
+    * `metric`: "l2" or "cosine" — used for probe selection, code-table
+    * scoring, and the exact rerank alike, so the approximate ranking and
+    * the final distances agree on what "near" means.
     *
     * @param encoded (idCol, cluster_id LONG, codes BINARY, vmin, vmax)
     * @param rerank  optional (idCol, embedding ARRAY<FLOAT>) raw vectors
@@ -52,25 +57,33 @@ object Sq {
   def searchBatchIvfSq(encoded: DataFrame, centroids: DataFrame,
       queries: DataFrame, k: Int, nProbe: Int, shortlist: Int = 100,
       rerank: Option[DataFrame] = None, idCol: String = "id",
-      queryIdCol: String = "query_id", queryEmbCol: String = "q_embedding"): DataFrame = {
+      queryIdCol: String = "query_id", queryEmbCol: String = "q_embedding",
+      metric: String = "l2"): DataFrame = {
+    require(metric == "l2" || metric == "cosine",
+      s"SQ code tier supports l2|cosine, got '$metric'")
     val spark = queries.sparkSession
     // tiny probe relation: materialize once, re-wrap local (no persist leak)
-    val pd = Ivf.probes(centroids, queries, nProbe, "l2", queryIdCol, queryEmbCol)
+    val pd = Ivf.probes(centroids, queries, nProbe, metric, queryIdCol, queryEmbCol)
     val pRows = pd.collect()
     val p = spark.createDataFrame(java.util.Arrays.asList(pRows: _*), pd.schema)
     val probedIds = pRows.map(_.getAs[Long]("cluster_id")).distinct
     val pruned = encoded.filter(col("cluster_id").isin(probedIds: _*))
+    val approx =
+      if (metric == "cosine")
+        VectorExpressions.sqDequantCosine(col(queryEmbCol), col("codes"),
+          col("vmin"), col("vmax"))
+      else
+        VectorExpressions.sqDequantL2(col(queryEmbCol), col("codes"),
+          col("vmin"), col("vmax"))
     val scored = pruned
       .join(broadcast(p), pruned("cluster_id") === p("cluster_id"))
-      .select(col(queryIdCol), col(idCol).as("id"),
-        VectorExpressions.sqDequantL2(col(queryEmbCol), col("codes"),
-          col("vmin"), col("vmax")).as("distance"))
+      .select(col(queryIdCol), col(idCol).as("id"), approx.as("distance"))
     val idIsString =
       encoded.schema(idCol).dataType == org.apache.spark.sql.types.StringType
     // queries is a bounded batch (probes already collected it); the shared
     // tail broadcasts it into the rerank join
     Ivf.shortlistRerankTopK(scored,
       queries.select(col(queryIdCol), col(queryEmbCol)),
-      k, shortlist, idIsString, rerank, idCol, queryIdCol, queryEmbCol)
+      k, shortlist, idIsString, rerank, idCol, queryIdCol, queryEmbCol, metric)
   }
 }

@@ -97,6 +97,22 @@ object StoreQueries {
           round(min(col("distance")), 6).as("distance"))
         .orderBy("query_id")
     }),
+    // Store-path cosine over the u8 code tier: the reference's DEFAULT
+    // metric served from the quantized artifact (dequantized-cosine
+    // shortlist + exact cosine rerank), across both store tiers. Same
+    // self-retrieval contract: rank-1 is the query row at cosine
+    // distance 0 regardless of tier.
+    "store_cosine_search" -> ((s, dir) => {
+      val base = ensureServingStore(s, dir)
+      val st = new VectorStore(s, s"$base/store", storeConfig)
+      val e = Tables.load(s, dir, "embeddings")
+      st.searchBatchSq(queries8(e), k = 10, nProbe = 8, shortlist = 200,
+          metric = "cosine")
+        .groupBy("query_id")
+        .agg(min_by(col("id"), col("distance")).as("id"),
+          round(min(col("distance")), 6).as("distance"))
+        .orderBy("query_id")
+    }),
     // §2.11 streaming near-dup ingest throughput: the documents table
     // staged as an arrival directory, streamed through dedupIngest
     // (MinHash-bucketed, per-batch cost = batch x collisions). Registered
@@ -130,6 +146,10 @@ object StoreQueries {
     "store_ivfpq_search" ->
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
     "store_sq_search" ->
+      """SELECT vec_id AS query_id, CAST(vec_id AS VARCHAR) AS id,
+        |  0.0 AS distance
+        |FROM embeddings WHERE vec_id < 8 ORDER BY vec_id""".stripMargin,
+    "store_cosine_search" ->
       """SELECT vec_id AS query_id, CAST(vec_id AS VARCHAR) AS id,
         |  0.0 AS distance
         |FROM embeddings WHERE vec_id < 8 ORDER BY vec_id""".stripMargin)

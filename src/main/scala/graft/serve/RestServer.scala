@@ -38,8 +38,9 @@ import scala.util.control.NonFatal
   *   POST   /api/v1/admin/vacuum
   *   POST   /api/v1/admin/rebalance   {max_cluster_size?}
   *   POST   /api/v1/admin/index/recent {ef_construction?, m?, metric?}
-  *   POST   /api/v1/admin/index/pq     {m?, k_codes?, train_size?, retrain?}
-  *   POST   /api/v1/admin/index/sq     {}
+  *   POST   /api/v1/admin/index/pq     {m?, k_codes?, train_size?, retrain?,
+  *                                      refresh?} — refresh: delta-encode only
+  *   POST   /api/v1/admin/index/sq     {refresh?}
   *   POST   /api/v1/admin/backup      {target}
   *   GET    /api/v1/updates?since=N
   *
@@ -261,17 +262,30 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         val n = obj(); n.put("built", true); (200, n)
       case ("POST", "/api/v1/admin/index/pq") =>
         val req = body(ex)
-        store.enablePq(m = optInt(req, "m", 8),
-          kCodes = optInt(req, "k_codes", 64),
-          trainSize = optInt(req, "train_size", 10000),
-          retrain = req == null || !req.hasNonNull("retrain") ||
-            req.get("retrain").asBoolean())
-        queryCache.clear()
-        val n = obj(); n.put("enabled", true); (200, n)
+        if (req != null && req.hasNonNull("refresh") && req.get("refresh").asBoolean()) {
+          val encoded = store.refreshPq()
+          queryCache.clear()
+          val n = obj(); n.put("refreshed", true); n.put("encoded", encoded); (200, n)
+        } else {
+          store.enablePq(m = optInt(req, "m", 8),
+            kCodes = optInt(req, "k_codes", 64),
+            trainSize = optInt(req, "train_size", 10000),
+            retrain = req == null || !req.hasNonNull("retrain") ||
+              req.get("retrain").asBoolean())
+          queryCache.clear()
+          val n = obj(); n.put("enabled", true); (200, n)
+        }
       case ("POST", "/api/v1/admin/index/sq") =>
-        store.enableSq()
-        queryCache.clear()
-        val n = obj(); n.put("enabled", true); (200, n)
+        val req = body(ex)
+        if (req != null && req.hasNonNull("refresh") && req.get("refresh").asBoolean()) {
+          val encoded = store.refreshSq()
+          queryCache.clear()
+          val n = obj(); n.put("refreshed", true); n.put("encoded", encoded); (200, n)
+        } else {
+          store.enableSq()
+          queryCache.clear()
+          val n = obj(); n.put("enabled", true); (200, n)
+        }
       case ("POST", "/api/v1/admin/backup") =>
         val req = body(ex)
         if (req == null || !req.hasNonNull("target"))

@@ -376,9 +376,9 @@ class VectorStore(val spark: SparkSession, val path: String,
   /** Single-query search dispatched through a chosen serving path — the
     * REST layer's bridge to the serving artifacts. Modes: "exact" (the
     * [[search]] scan), "recent_index" (saved-HNSW recent tier),
-    * "pq" / "sq" (historical tier from its code table; L2, no filter —
-    * the code scan has no metadata column). Results carry the same
-    * (id, distance, score, metadata) shape as [[search]]. */
+    * "pq" / "sq" (historical tier from its code table; l2 or cosine, no
+    * filter — the code scan has no metadata column). Results carry the
+    * same (id, distance, score, metadata) shape as [[search]]. */
   def searchMode(query: Array[Float], k: Int, mode: String = "exact",
       metric: String = "cosine", filterJson: Option[String] = None,
       scoreThreshold: Option[Double] = None): DataFrame = {
@@ -392,9 +392,10 @@ class VectorStore(val spark: SparkSession, val path: String,
       case "pq" | "sq" =>
         require(filterJson.isEmpty,
           s"mode '$mode' serves the code tier, which carries no metadata — use exact/recent_index for filtered search")
-        require(metric == "l2",
-          s"mode '$mode' is an L2 code tier; got metric '$metric' — a silently L2-ranked result would misorder the requested metric")
-        if (mode == "pq") searchBatchPq(q, k) else searchBatchSq(q, k)
+        require(metric == "l2" || metric == "cosine",
+          s"mode '$mode' is a code tier serving l2|cosine; got metric '$metric'")
+        if (mode == "pq") searchBatchPq(q, k, metric = metric)
+        else searchBatchSq(q, k, metric = metric)
       case other => throw new IllegalArgumentException(
         s"unknown search mode '$other' (exact|recent_index|pq|sq)")
     }
@@ -757,25 +758,79 @@ class VectorStore(val spark: SparkSession, val path: String,
 
   def hasPq: Boolean = exists("pq_model") && hasRowsRecursive("pq_codes")
 
+  /** Incrementally encode the post-enable historical delta — rows
+    * `migrate` appended after the last encode, found by the same (vid, ts)
+    * anti-join the search-time delta scan uses — and append them to the
+    * code table. One map-only pass over the delta reusing the saved
+    * codebooks (no training), so post-migrate maintenance cost tracks the
+    * migration batch, not the tier size — the 100 TB maintenance shape
+    * (a full `enablePq` re-encode is only needed when `rebalance` moves
+    * cluster assignments or `vacuum` spends the tombstones). Returns the
+    * number of rows encoded. */
+  def refreshPq(): Long = {
+    require(hasPq, "PQ tier not built; call enablePq()")
+    val model = Pq.load(spark, dir("pq_model"))
+    appendCodeDelta("pq_codes") { delta =>
+      delta.select(col("id"), col("vid"), col("ts"),
+        col("cluster_id").cast("long").as("cluster_id"),
+        Pq.encode(model, col("embedding")).as("codes"))
+    }
+  }
+
+  /** [[refreshPq]] for the u8 tier (model-free: the per-row affine params
+    * make the delta encode a pure projection). */
+  def refreshSq(): Long = {
+    require(hasSq, "SQ tier not built; call enableSq()")
+    appendCodeDelta("sq_codes") { delta =>
+      delta.select(col("id"), col("vid"), col("ts"),
+        col("cluster_id").cast("long").as("cluster_id"),
+        graft.operators.Sq.encode(col("embedding")).as("sq"))
+        .select(col("id"), col("vid"), col("ts"), col("cluster_id"),
+          col("sq.codes").as("codes"), col("sq.vmin").as("vmin"),
+          col("sq.vmax").as("vmax"))
+    }
+  }
+
+  /** Shared delta-append of both refreshes: anti-join the historical tier
+    * against the code table on (vid, ts), encode only the missing rows,
+    * append into the same cluster_id partition layout. Tombstoned rows
+    * encode too (like `enablePq`/`enableSq`) — masking stays a search-time
+    * concern, so refresh and full re-encode agree row-for-row. */
+  private def appendCodeDelta(codesDir: String)(
+      enc: DataFrame => DataFrame): Long = {
+    val existing = spark.read.parquet(dir(codesDir)).select("vid", "ts")
+    val delta = historical.join(existing, Seq("vid", "ts"), "left_anti")
+    val d = enc(delta).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = d.count()
+      if (n > 0) storeWrite(d).mode(SaveMode.Append)
+        .partitionBy("cluster_id").parquet(dir(codesDir))
+      n
+    } finally d.unpersist()
+  }
+
   /** Batch hybrid search serving the historical tier from its PQ codes:
     * coarse n_probe pruning on the code table (8 bytes/vector scanned in
     * probed partitions only), ADC shortlist, exact rerank against raw
     * vectors — [[Pq.searchBatchIvfPq]] composed with the store's
-    * tombstones and post-encode delta. L2 only (ADC is an L2 kernel); the
+    * tombstones and post-encode delta. `metric` l2 or cosine (the ADC
+    * tables switch between squared-L2 and inner-product cells); the
     * recent tier is scanned exactly as in [[searchBatch]]. Metadata
     * filters are not pushed into the code scan — use [[searchBatch]] for
     * filtered search. */
   def searchBatchPq(queries: DataFrame, k: Int,
       nProbe: Int = config.nProbe, shortlist: Int = 100,
-      recentK: Option[Int] = None, historicalK: Option[Int] = None): DataFrame = {
+      recentK: Option[Int] = None, historicalK: Option[Int] = None,
+      metric: String = "l2"): DataFrame = {
     require(hasPq, "PQ tier not built; call enablePq()")
     val model = Pq.load(spark, dir("pq_model"))
-    codeTierSearch(queries, k, "pq_codes", recentK, historicalK) {
+    codeTierSearch(queries, k, "pq_codes", recentK, historicalK, metric) {
       (codes, hist, histK) =>
         Pq.searchBatchIvfPq(
           codes.select(col("id"), col("cluster_id"), col("codes")),
           centroids, model, queries, histK, nProbe, shortlist,
-          rerank = Some(hist.select(col("id"), col("embedding"))))
+          rerank = Some(hist.select(col("id"), col("embedding"))),
+          metric = metric)
     }
   }
 
@@ -786,10 +841,11 @@ class VectorStore(val spark: SparkSession, val path: String,
     * merged into one per-query top-k. Keeping it in one place keeps the
     * tombstone/delta semantics of the two quantized tiers identical. */
   private def codeTierSearch(queries: DataFrame, k: Int, codesDir: String,
-      recentK: Option[Int], historicalK: Option[Int])(
+      recentK: Option[Int], historicalK: Option[Int],
+      metric: String = "l2")(
       search: (DataFrame, DataFrame, Int) => DataFrame): DataFrame = {
     val rec = dropTombstoned(recent).select(col("id"), col("embedding"))
-    val recPart = Knn.batch(rec, queries, recentK.getOrElse(k), "l2")
+    val recPart = Knn.batch(rec, queries, recentK.getOrElse(k), metric)
       .select(col("query_id"), col("id"), col("distance"))
     val codesRaw = spark.read.parquet(dir(codesDir))
     val codes = dropTombstoned(codesRaw)
@@ -799,7 +855,7 @@ class VectorStore(val spark: SparkSession, val path: String,
       .select(col("query_id"), col("id"), col("distance"))
     val delta = hist.join(codesRaw.select("vid", "ts"), Seq("vid", "ts"), "left_anti")
     val deltaPart = Knn.batch(delta.select(col("id"), col("embedding")),
-        queries, histK, "l2")
+        queries, histK, metric)
       .select(col("query_id"), col("id"), col("distance"))
     mergeTiers(k, recPart, codePart, deltaPart)
   }
@@ -846,19 +902,23 @@ class VectorStore(val spark: SparkSession, val path: String,
     * coarse n_probe pruning on the code table (dim bytes/vector scanned in
     * probed partitions only), dequantize-on-the-fly shortlist, exact rerank
     * against raw vectors — [[graft.operators.Sq.searchBatchIvfSq]] composed
-    * with the store's tombstones and post-encode delta. L2 only; the recent
-    * tier is scanned exactly as in [[searchBatch]]. */
+    * with the store's tombstones and post-encode delta. `metric` l2 or
+    * cosine (the fused kernel switches between asymmetric L2 and
+    * dequantized cosine); the recent tier is scanned exactly as in
+    * [[searchBatch]]. */
   def searchBatchSq(queries: DataFrame, k: Int,
       nProbe: Int = config.nProbe, shortlist: Int = 100,
-      recentK: Option[Int] = None, historicalK: Option[Int] = None): DataFrame = {
+      recentK: Option[Int] = None, historicalK: Option[Int] = None,
+      metric: String = "l2"): DataFrame = {
     require(hasSq, "SQ tier not built; call enableSq()")
-    codeTierSearch(queries, k, "sq_codes", recentK, historicalK) {
+    codeTierSearch(queries, k, "sq_codes", recentK, historicalK, metric) {
       (codes, hist, histK) =>
         graft.operators.Sq.searchBatchIvfSq(
           codes.select(col("id"), col("cluster_id"), col("codes"),
             col("vmin"), col("vmax")),
           centroids, queries, histK, nProbe, shortlist,
-          rerank = Some(hist.select(col("id"), col("embedding"))))
+          rerank = Some(hist.select(col("id"), col("embedding"))),
+          metric = metric)
     }
   }
 }

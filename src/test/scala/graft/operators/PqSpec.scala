@@ -70,6 +70,35 @@ class PqSpec extends SparkSpec {
     assert(noRerank.groupBy("query_id").count().collect().forall(_.getLong(1) == 10))
   }
 
+  test("IVF-PQ cosine: inner-product ADC shortlist + exact cosine rerank") {
+    val cents = graft.queries.QueryShapes.labelCentroids(emb)
+      .select(col("label").cast("long").as("cluster_id"), col("centroid"))
+    val enc = emb.select(col("vec_id").as("id"),
+      col("label").cast("long").as("cluster_id"),
+      Pq.encode(model, col("embedding")).as("codes"))
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val nClusters = cents.count().toInt
+    val approx = Pq.searchBatchIvfPq(enc, cents, model, queries,
+      k = 10, nProbe = nClusters, shortlist = 100, rerank = Some(corpus),
+      metric = "cosine")
+    // every query is a corpus row: rank-1 must be itself at cosine
+    // distance 0 (the rerank is exact even though the shortlist is PQ)
+    val self = approx.filter(col("rank") === 1 && col("query_id") === col("id"))
+    assert(self.count() == 8)
+    assert(self.select(max(abs(col("distance")))).head().getDouble(0) < 1e-6)
+    val exact = Knn.batch(corpus, queries, k = 10, metric = "cosine")
+    val recall = Ivf.evaluateRecall(approx, exact).head().getDouble(0)
+    // full probe + PQ8x16 inner-product shortlist at this corpus size:
+    // the exact rerank recovers most of the true cosine top-k
+    assert(recall >= 0.8, s"IVF-PQ cosine recall $recall")
+    // approximate-only path (no rerank): well-formed, distances in [0, 2]
+    val noRerank = Pq.searchBatchIvfPq(enc, cents, model, queries,
+      k = 10, nProbe = nClusters, shortlist = 100, metric = "cosine")
+    val rng = noRerank.agg(min("distance"), max("distance")).head()
+    assert(rng.getDouble(0) >= -1e-9 && rng.getDouble(1) <= 2.0 + 1e-9, s"$rng")
+  }
+
   test("query expansion: n variants, variant 0 intact, magnitude preserved") {
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))

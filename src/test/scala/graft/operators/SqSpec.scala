@@ -61,4 +61,39 @@ class SqSpec extends SparkSpec {
     val fullRecall = Ivf.evaluateRecall(full, exact).head().getDouble(0)
     assert(fullRecall >= 0.99, s"full-probe IVF-SQ recall $fullRecall")
   }
+
+  test("u8 approximate cosine tracks exact cosine on real embeddings") {
+    val q = emb.filter(col("vec_id") === 5)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val maxErr = enc.join(corpus, Seq("id"))
+      .select(abs(
+        graft.functions.VectorExpressions.sqDequantCosine(
+          typedLit(q), col("codes"), col("vmin"), col("vmax")) -
+        (lit(1.0) - graft.functions.VectorExpressions.vecCosine(
+          typedLit(q), col("embedding")))).as("err"))
+      .agg(max("err")).head().getDouble(0)
+    // cosine distance lives in [0, 2]; u8 dequantization moves it by well
+    // under the gap between distinct neighbors at this geometry
+    assert(maxErr < 0.01, s"max cosine err $maxErr")
+  }
+
+  test("IVF-SQ cosine: self-retrieval at distance 0, full-probe recall vs exact cosine") {
+    val cents = graft.queries.QueryShapes.labelCentroids(emb)
+      .select(col("label").cast("long").as("cluster_id"), col("centroid"))
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val nClusters = cents.count().toInt
+    val approx = Sq.searchBatchIvfSq(enc, cents, queries,
+      k = 10, nProbe = nClusters, shortlist = 100, rerank = Some(corpus),
+      metric = "cosine")
+    val self = approx.filter(col("rank") === 1 && col("query_id") === col("id"))
+      .select(max(abs(col("distance")))).head()
+    assert(!self.isNullAt(0) && self.getDouble(0) < 1e-6,
+      s"rank-1 cosine self-distance $self")
+    assert(approx.filter(col("rank") === 1 && col("query_id") === col("id"))
+      .count() == 8)
+    val exact = Knn.batch(corpus, queries, k = 10, metric = "cosine")
+    val recall = Ivf.evaluateRecall(approx, exact).head().getDouble(0)
+    assert(recall >= 0.99, s"full-probe IVF-SQ cosine recall $recall")
+  }
 }

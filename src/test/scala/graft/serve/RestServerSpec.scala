@@ -159,16 +159,21 @@ class RestServerSpec extends SparkSpec {
         assert(sr.get("results").get(0).get("id").asText() == "h7",
           s"mode $mode historical top hit: ${sr.get("results")}")
       }
-      // unknown mode -> 400; filter on a code tier -> 400; and the L2-only
-      // code tiers reject a cosine request instead of silently L2-ranking
-      // (the default metric IS cosine, so mode=pq|sq needs explicit l2)
+      // the code tiers also serve the default metric (cosine) — the
+      // common request shape needs no explicit metric override
+      val (cosStatus, cosBody) = call(srv, "POST", "/api/v1/search",
+        s"""{"vector": ${vecJson(7)}, "k": 3, "options": {"mode": "sq"}}""")
+      assert(cosStatus == 200)
+      assert(cosBody.get("results").get(0).get("id").asText() == "h7")
+      // unknown mode -> 400; filter on a code tier -> 400; and a metric
+      // the code tier cannot rank (dot) -> 400 instead of silent misorder
       assert(call(srv, "POST", "/api/v1/search",
         s"""{"vector": ${vecJson(1)}, "options": {"mode": "warp"}}""")._1 == 400)
       assert(call(srv, "POST", "/api/v1/search",
         s"""{"vector": ${vecJson(1)}, "filter": {"x": 1},
             "options": {"metric": "l2", "mode": "pq"}}""")._1 == 400)
       assert(call(srv, "POST", "/api/v1/search",
-        s"""{"vector": ${vecJson(1)}, "options": {"mode": "sq"}}""")._1 == 400)
+        s"""{"vector": ${vecJson(1)}, "options": {"metric": "dot", "mode": "sq"}}""")._1 == 400)
     } finally srv.stop()
   }
 

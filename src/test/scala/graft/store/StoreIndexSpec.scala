@@ -165,6 +165,68 @@ class StoreIndexSpec extends SparkSpec {
     assert(sq4 == exact4)
   }
 
+  test("refreshPq/refreshSq delta-encode only the post-enable migration batch") {
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_rfr_").toString,
+      Config(recentThresholdSeconds = 3600, nClusters = 4))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert((0 until 40).map(i => VectorRecord(s"f$i", vec(i), tsString = Some(oldTs))))
+    assert(st.migrate() == 40)
+    st.enablePq(m = 4, kCodes = 8, trainSize = 40)
+    st.enableSq()
+    // nothing to refresh right after a full encode
+    assert(st.refreshPq() == 0)
+    assert(st.refreshSq() == 0)
+    // a later migration batch appears as a code-table delta...
+    st.insert((40 until 48).map(i => VectorRecord(s"f$i", vec(i), tsString = Some(oldTs))))
+    assert(st.migrate() == 8)
+    val q = mkQueries(43L)
+    val preRefresh = hitSet(st.searchBatchSq(q, k = 3, nProbe = 4, shortlist = 100))
+    // ...which refresh encodes WITHOUT retraining or rewriting the tier
+    assert(st.refreshPq() == 8)
+    assert(st.refreshSq() == 8)
+    assert(st.refreshSq() == 0, "second refresh must find nothing")
+    // results are identical before and after (delta scan vs encoded codes
+    // — full probe + exact rerank make both oracle-equal to exact)
+    val postRefresh = hitSet(st.searchBatchSq(q, k = 3, nProbe = 4, shortlist = 100))
+    val exact = hitSet(st.searchBatch(q, k = 3, metric = "l2", nProbe = 4))
+    assert(preRefresh == exact)
+    assert(postRefresh == exact)
+    val pq = hitSet(st.searchBatchPq(q, k = 3, nProbe = 4, shortlist = 100))
+    assert(pq == exact)
+  }
+
+  test("code tiers serve cosine: oracle-equal to the exact cosine path") {
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_cos_").toString,
+      Config(recentThresholdSeconds = 3600, nClusters = 4))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert((0 until 50).map(i => VectorRecord(s"c$i", vec(i), tsString = Some(oldTs))))
+    assert(st.migrate() == 50)
+    st.insert((50 until 56).map(i => VectorRecord(s"c$i", vec(i))))
+    st.enableSq()
+    st.enablePq(m = 4, kCodes = 8, trainSize = 50)
+    val q = mkQueries(7L, 52L)
+    // full probe + shortlist >= corpus: the exact rerank makes both code
+    // tiers identical to the exact cosine scan, across BOTH store tiers
+    val exact = hitSet(st.searchBatch(q, k = 5, metric = "cosine", nProbe = 4))
+    val sq = hitSet(st.searchBatchSq(q, k = 5, nProbe = 4, shortlist = 100,
+      metric = "cosine"))
+    assert(sq == exact)
+    val pq = hitSet(st.searchBatchPq(q, k = 5, nProbe = 4, shortlist = 100,
+      metric = "cosine"))
+    assert(pq == exact)
+    // the single-query dispatcher accepts cosine on code tiers now...
+    val one = st.searchMode(vec(7), k = 3, mode = "sq", metric = "cosine")
+    assert(one.count() == 3)
+    assert(one.orderBy(col("distance")).head().getString(0) == "c7")
+    // ...but still rejects metrics the tier cannot rank
+    val err = intercept[IllegalArgumentException] {
+      st.searchMode(vec(7), k = 3, mode = "pq", metric = "dot")
+    }
+    assert(err.getMessage.contains("l2|cosine"))
+  }
+
   test("SQ encode/decode round-trip stays within quantization error") {
     import spark.implicits._
     val df = (0 until 20).map(i => (i.toLong, vec(i))).toDF("id", "embedding")
