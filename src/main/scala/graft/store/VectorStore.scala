@@ -376,9 +376,10 @@ class VectorStore(val spark: SparkSession, val path: String,
   /** Single-query search dispatched through a chosen serving path — the
     * REST layer's bridge to the serving artifacts. Modes: "exact" (the
     * [[search]] scan), "recent_index" (saved-HNSW recent tier),
-    * "pq" / "sq" (historical tier from its code table; l2 or cosine, no
-    * filter — the code scan has no metadata column). Results carry the
-    * same (id, distance, score, metadata) shape as [[search]]. */
+    * "pq" / "sq" (historical tier from its code table; l2 or cosine;
+    * filters use k*3 oversample + post-filter on the quantized part).
+    * Results carry the same (id, distance, score, metadata) shape as
+    * [[search]]. */
   def searchMode(query: Array[Float], k: Int, mode: String = "exact",
       metric: String = "cosine", filterJson: Option[String] = None,
       scoreThreshold: Option[Double] = None): DataFrame = {
@@ -390,12 +391,10 @@ class VectorStore(val spark: SparkSession, val path: String,
       case "recent_index" =>
         searchBatch(q, k, metric, useRecentIndex = true, filterJson = filterJson)
       case "pq" | "sq" =>
-        require(filterJson.isEmpty,
-          s"mode '$mode' serves the code tier, which carries no metadata — use exact/recent_index for filtered search")
         require(metric == "l2" || metric == "cosine",
           s"mode '$mode' is a code tier serving l2|cosine; got metric '$metric'")
-        if (mode == "pq") searchBatchPq(q, k, metric = metric)
-        else searchBatchSq(q, k, metric = metric)
+        if (mode == "pq") searchBatchPq(q, k, metric = metric, filterJson = filterJson)
+        else searchBatchSq(q, k, metric = metric, filterJson = filterJson)
       case other => throw new IllegalArgumentException(
         s"unknown search mode '$other' (exact|recent_index|pq|sq)")
     }
@@ -815,16 +814,19 @@ class VectorStore(val spark: SparkSession, val path: String,
     * vectors — [[Pq.searchBatchIvfPq]] composed with the store's
     * tombstones and post-encode delta. `metric` l2 or cosine (the ADC
     * tables switch between squared-L2 and inner-product cells); the
-    * recent tier is scanned exactly as in [[searchBatch]]. Metadata
-    * filters are not pushed into the code scan — use [[searchBatch]] for
-    * filtered search. */
+    * recent tier is scanned exactly as in [[searchBatch]]. `filterJson`
+    * (X13): exact pre-filter on the raw-vector parts, k*3 oversample +
+    * post-filter on the quantized part (the code scan has no metadata
+    * column — reference semantics, `hybrid/core.rs:513-549`). */
   def searchBatchPq(queries: DataFrame, k: Int,
       nProbe: Int = config.nProbe, shortlist: Int = 100,
       recentK: Option[Int] = None, historicalK: Option[Int] = None,
-      metric: String = "l2"): DataFrame = {
+      metric: String = "l2", filterJson: Option[String] = None,
+      oversample: Int = 3): DataFrame = {
     require(hasPq, "PQ tier not built; call enablePq()")
     val model = Pq.load(spark, dir("pq_model"))
-    codeTierSearch(queries, k, "pq_codes", recentK, historicalK, metric) {
+    codeTierSearch(queries, k, "pq_codes", recentK, historicalK, metric,
+        filterJson, oversample) {
       (codes, hist, histK) =>
         Pq.searchBatchIvfPq(
           codes.select(col("id"), col("cluster_id"), col("codes")),
@@ -842,20 +844,52 @@ class VectorStore(val spark: SparkSession, val path: String,
     * tombstone/delta semantics of the two quantized tiers identical. */
   private def codeTierSearch(queries: DataFrame, k: Int, codesDir: String,
       recentK: Option[Int], historicalK: Option[Int],
-      metric: String = "l2")(
+      metric: String = "l2", filterJson: Option[String] = None,
+      oversample: Int = 3)(
       search: (DataFrame, DataFrame, Int) => DataFrame): DataFrame = {
-    val rec = dropTombstoned(recent).select(col("id"), col("embedding"))
-    val recPart = Knn.batch(rec, queries, recentK.getOrElse(k), metric)
+    // raw-vector parts (recent tier, post-encode delta) carry metadata, so
+    // a filter pre-filters them exactly like the un-quantized searchBatch
+    val rec = filterJson match {
+      case None => dropTombstoned(recent).select(col("id"), col("embedding"))
+      case Some(_) => applyMetaOverlay(dropTombstoned(recent))
+        .select(col("id"), col("embedding"), col("metadata"))
+    }
+    val recPart = Knn.batch(rec, queries, recentK.getOrElse(k), metric,
+        filterJson = filterJson)
       .select(col("query_id"), col("id"), col("distance"))
     val codesRaw = spark.read.parquet(dir(codesDir))
     val codes = dropTombstoned(codesRaw)
     val hist = dropTombstoned(historical)
     val histK = historicalK.getOrElse(k)
-    val codePart = search(codes, hist, histK)
+    // the code table carries no metadata: filtered search uses the
+    // reference's k*3 oversample + post-filter (hybrid/core.rs:513-549) —
+    // rank k*oversample candidates through the quantized scan + exact
+    // rerank, then drop non-matching ones against the overlay-aware
+    // metadata. A highly selective filter can return fewer than k
+    // code-tier hits — raise `oversample` toward 1/selectivity (the
+    // reference's filtered-search guidance, PERFORMANCE_TUNING.md:243-249)
+    // or use searchBatch's pushed pre-filter path for exact-k semantics.
+    val codeK = if (filterJson.isDefined) histK * oversample else histK
+    val codeRaw = search(codes, hist, codeK)
       .select(col("query_id"), col("id"), col("distance"))
-    val delta = hist.join(codesRaw.select("vid", "ts"), Seq("vid", "ts"), "left_anti")
-    val deltaPart = Knn.batch(delta.select(col("id"), col("embedding")),
-        queries, histK, metric)
+    val codePart = filterJson match {
+      case None => codeRaw
+      case Some(f) =>
+        // candidates are bounded (|queries| x k*3): broadcast them into the
+        // metadata lookup instead of shuffling the tier
+        applyMetaOverlay(hist).select(col("id"), col("metadata"))
+          .join(broadcast(codeRaw), Seq("id"))
+          .filter(FilterJson.predicate(f, col("metadata")))
+          .select(col("query_id"), col("id"), col("distance"))
+    }
+    val deltaBase = hist.join(codesRaw.select("vid", "ts"), Seq("vid", "ts"), "left_anti")
+    val delta = filterJson match {
+      case None => deltaBase.select(col("id"), col("embedding"))
+      case Some(_) => applyMetaOverlay(deltaBase)
+        .select(col("id"), col("embedding"), col("metadata"))
+    }
+    val deltaPart = Knn.batch(delta, queries, histK, metric,
+        filterJson = filterJson)
       .select(col("query_id"), col("id"), col("distance"))
     mergeTiers(k, recPart, codePart, deltaPart)
   }
@@ -905,13 +939,16 @@ class VectorStore(val spark: SparkSession, val path: String,
     * with the store's tombstones and post-encode delta. `metric` l2 or
     * cosine (the fused kernel switches between asymmetric L2 and
     * dequantized cosine); the recent tier is scanned exactly as in
-    * [[searchBatch]]. */
+    * [[searchBatch]]. `filterJson` as in [[searchBatchPq]]: exact
+    * pre-filter on raw parts, k*3 oversample + post-filter on the codes. */
   def searchBatchSq(queries: DataFrame, k: Int,
       nProbe: Int = config.nProbe, shortlist: Int = 100,
       recentK: Option[Int] = None, historicalK: Option[Int] = None,
-      metric: String = "l2"): DataFrame = {
+      metric: String = "l2", filterJson: Option[String] = None,
+      oversample: Int = 3): DataFrame = {
     require(hasSq, "SQ tier not built; call enableSq()")
-    codeTierSearch(queries, k, "sq_codes", recentK, historicalK, metric) {
+    codeTierSearch(queries, k, "sq_codes", recentK, historicalK, metric,
+        filterJson, oversample) {
       (codes, hist, histK) =>
         graft.operators.Sq.searchBatchIvfSq(
           codes.select(col("id"), col("cluster_id"), col("codes"),

@@ -165,13 +165,16 @@ class RestServerSpec extends SparkSpec {
         s"""{"vector": ${vecJson(7)}, "k": 3, "options": {"mode": "sq"}}""")
       assert(cosStatus == 200)
       assert(cosBody.get("results").get(0).get("id").asText() == "h7")
-      // unknown mode -> 400; filter on a code tier -> 400; and a metric
-      // the code tier cannot rank (dot) -> 400 instead of silent misorder
+      // filters compose into the code tiers (k*3 oversample + post-filter);
+      // no row here carries metadata, so a metadata filter matches nothing
+      val (fs2, fr2) = call(srv, "POST", "/api/v1/search",
+        s"""{"vector": ${vecJson(1)}, "filter": {"x": 1},
+            "options": {"metric": "l2", "mode": "pq"}}""")
+      assert(fs2 == 200 && fr2.get("results").size() == 0)
+      // unknown mode -> 400; and a metric the code tier cannot rank
+      // (dot) -> 400 instead of a silent misorder
       assert(call(srv, "POST", "/api/v1/search",
         s"""{"vector": ${vecJson(1)}, "options": {"mode": "warp"}}""")._1 == 400)
-      assert(call(srv, "POST", "/api/v1/search",
-        s"""{"vector": ${vecJson(1)}, "filter": {"x": 1},
-            "options": {"metric": "l2", "mode": "pq"}}""")._1 == 400)
       assert(call(srv, "POST", "/api/v1/search",
         s"""{"vector": ${vecJson(1)}, "options": {"metric": "dot", "mode": "sq"}}""")._1 == 400)
     } finally srv.stop()

@@ -227,6 +227,50 @@ class StoreIndexSpec extends SparkSpec {
     assert(err.getMessage.contains("l2|cosine"))
   }
 
+  test("filtered code-tier search: oversampled post-filter matches the exact pre-filter path") {
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_fct_").toString,
+      Config(recentThresholdSeconds = 3600, nClusters = 4))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert((0 until 50).map(i =>
+      VectorRecord(s"g$i", vec(i), Some(s"""{"grp": ${i % 2}}"""), Some(oldTs))))
+    assert(st.migrate() == 50)
+    st.insert((50 until 56).map(i =>
+      VectorRecord(s"g$i", vec(i), Some(s"""{"grp": ${i % 2}}"""))))
+    st.enableSq()
+    st.enablePq(m = 4, kCodes = 8, trainSize = 50)
+    val q = mkQueries(7L, 52L)
+    val f = Some("""{"grp": 1}""")
+    // with oversample sized past 1/selectivity the k*oversample candidate
+    // set covers every matching row, so the post-filter agrees with
+    // searchBatch's exact pre-filter (full probe + shortlist >= corpus +
+    // exact rerank remove the other approximation sources)
+    val exact = hitSet(st.searchBatch(q, k = 3, metric = "l2", nProbe = 4,
+      filterJson = f))
+    val sq = hitSet(st.searchBatchSq(q, k = 3, nProbe = 4, shortlist = 100,
+      filterJson = f, oversample = 20))
+    assert(sq == exact)
+    val pq = hitSet(st.searchBatchPq(q, k = 3, nProbe = 4, shortlist = 100,
+      filterJson = f, oversample = 20))
+    assert(pq == exact)
+    // the default k*3 oversample keeps reference semantics: every hit
+    // matches the filter, rank-1 self-retrieval survives, but deep filtered
+    // ranks MAY fall back to other tiers (documented recall trade-off)
+    val sq3 = st.searchBatchSq(q, k = 3, nProbe = 4, shortlist = 100,
+      filterJson = f)
+    val ids = sq3.select("id").collect().map(_.getString(0))
+    assert(ids.forall(id => id.stripPrefix("g").toInt % 2 == 1),
+      s"non-matching hit in ${ids.mkString(",")}")
+    assert(hitSet(sq3)(7L).exists(h => h._1 == "g7" && h._2 == 0.0))
+    // a metadata overlay is visible to the post-filter: flip g7 out of grp 1
+    st.updateMetadata("g7", """{"grp": 0}""")
+    val sq2 = hitSet(st.searchBatchSq(q, k = 3, nProbe = 4, shortlist = 100,
+      filterJson = f, oversample = 20))
+    assert(!sq2.values.flatten.exists(_._1 == "g7"))
+    assert(sq2 == hitSet(st.searchBatch(q, k = 3, metric = "l2", nProbe = 4,
+      filterJson = f)))
+  }
+
   test("SQ encode/decode round-trip stays within quantization error") {
     import spark.implicits._
     val df = (0 until 20).map(i => (i.toLong, vec(i))).toDF("id", "embedding")
