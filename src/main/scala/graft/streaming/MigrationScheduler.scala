@@ -17,12 +17,18 @@ import graft.store.VectorStore
   *  - `checkIntervalBatches`: the reference's `check_interval` translated
   *    to Structured Streaming cadence — run every N micro-batches (the
   *    trigger loop owns wall-clock timing)
+  *  - `refreshCodeTiers`: after a run that migrated rows, delta-encode the
+  *    new historical rows into any enabled PQ/SQ code table
+  *    (`refreshPq`/`refreshSq`) so continuous ingest keeps the serving
+  *    artifacts fresh — one bounded pass per run (the delta is at most
+  *    `maxVectorsPerRun` rows), never a tier re-encode
   */
 case class MigrationPolicy(
     maxVectorsPerRun: Int = 1000,
     batchSize: Int = 100,
     quietHours: Seq[(Int, Int)] = Nil,
-    checkIntervalBatches: Int = 1) {
+    checkIntervalBatches: Int = 1,
+    refreshCodeTiers: Boolean = true) {
   require(maxVectorsPerRun > 0, "maxVectorsPerRun must be positive")
   require(batchSize > 0, "batchSize must be positive")
   require(checkIntervalBatches > 0, "checkIntervalBatches must be positive")
@@ -66,6 +72,10 @@ class MigrationScheduler(store: VectorStore,
     else {
       val p = policy
       val n = store.migrate(Some(now), maxVectors = p.maxVectorsPerRun)
+      if (n > 0 && p.refreshCodeTiers) {
+        if (store.hasPq) store.refreshPq()
+        if (store.hasSq) store.refreshSq()
+      }
       val batches = (n + p.batchSize - 1) / p.batchSize
       synchronized {
         val runs = stats.totalRuns + 1

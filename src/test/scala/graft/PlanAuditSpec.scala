@@ -120,6 +120,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"), plan)
     // the dequantize-L2 kernel runs inside whole-stage codegen
     assert("(?s).*\\*\\(\\d+\\)[^\\n]*sq_l2.*".r.findFirstIn(plan).isDefined, plan)
+    // the cosine variant keeps both plan properties — same scan shape,
+    // different fused kernel
+    val dfCos = graft.operators.Sq.searchBatchIvfSq(
+      spark.read.parquet(s"$tmp/codes"), cents, queries,
+      k = 5, nProbe = 1, shortlist = 50, metric = "cosine")
+    dfCos.collect()
+    val planCos = dfCos.queryExecution.executedPlan.toString
+    assert(planCos.contains("PartitionFilters") && planCos.contains("cluster_id"), planCos)
+    assert("(?s).*\\*\\(\\d+\\)[^\\n]*sq_cosine.*".r.findFirstIn(planCos).isDefined, planCos)
   }
 
   test("store searchBatch plans without running a Spark job") {

@@ -92,6 +92,31 @@ class StreamingSpec extends SparkSpec {
     assert(hit.getString(0) == "a" && hit.getDouble(1) < 1e-6)
   }
 
+  test("scheduled migration refreshes enabled code tiers with the migrated delta") {
+    val store = new VectorStore(spark,
+      Files.createTempDirectory("graft_mig_rfr_").toString,
+      VectorStore.Config(recentThresholdSeconds = 3600, nClusters = 2))
+    val base = java.time.Instant.now().minusSeconds(7200)
+    store.insert((0 until 20).map(i => VectorStore.VectorRecord(
+      s"o$i", vec(i), tsString = Some(base.plusSeconds(i).toString))))
+    val sched = new MigrationScheduler(store,
+      MigrationPolicy(maxVectorsPerRun = 100))
+    assert(sched.runMigration().vectorsMigrated == 20L)
+    store.enableSq()
+    // a second wave ages in and migrates; the scheduler delta-encodes it
+    store.insert((20 until 28).map(i => VectorStore.VectorRecord(
+      s"o$i", vec(i), tsString = Some(base.plusSeconds(i).toString))))
+    assert(sched.runMigration().vectorsMigrated == 8L)
+    assert(store.refreshSq() == 0L,
+      "scheduler already refreshed the code table — nothing left to encode")
+    // and with refresh disabled the delta stays un-encoded
+    sched.policy = MigrationPolicy(maxVectorsPerRun = 100, refreshCodeTiers = false)
+    store.insert((28 until 31).map(i => VectorStore.VectorRecord(
+      s"o$i", vec(i), tsString = Some(base.plusSeconds(i).toString))))
+    assert(sched.runMigration().vectorsMigrated == 3L)
+    assert(store.refreshSq() == 3L)
+  }
+
   test("migration policy: quiet hours pause runs, including wrapping ranges") {
     val store = new VectorStore(spark,
       Files.createTempDirectory("graft_mig_qh_").toString,
