@@ -31,9 +31,14 @@ object Sq {
     * hex: code_i = unsigned byte i of the payload. */
   def decode(codes: Column, vmin: Column, vmax: Column): Column = {
     val hexStr = hex(codes)
-    val ints = transform(
-      sequence(lit(0), octet_length(codes) - 1),
-      i => conv(substring(hexStr, i * 2 + 1, lit(2)), 16, 10).cast("int"))
+    // sequence(0, -1) would yield [0, -1] (step inference), not [] — guard
+    // the empty payload so decode stays empty-in/empty-out like encode
+    val ints = when(octet_length(codes) === 0,
+        array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)))
+      .otherwise(transform(
+        sequence(lit(0), octet_length(codes) - 1),
+        i => conv(substring(hexStr, i * 2 + 1, lit(2)), 16, 10).cast("int")))
     graft.functions.VectorFunctions.dequantizeU8(ints, vmin, vmax)
   }
 

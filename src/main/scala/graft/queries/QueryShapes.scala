@@ -31,7 +31,10 @@ object QueryShapes {
     * dense and uniform — the kernels throw on mismatch anyway), so the
     * aggregate stays dimension-generic. */
   def labelCentroids(emb: DataFrame): DataFrame = {
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val first = emb.select(size(col("embedding"))).head(1)
+    // no rows -> no centroids (empty frame with the right shape), matching
+    // what a groupBy over an empty input would have produced
+    val dim = if (first.isEmpty) 0 else first.head.getInt(0)
     emb.groupBy("label").agg(
       array((0 until dim).map(i =>
         avg(col("embedding").getItem(i)).cast("float")): _*).as("centroid"))

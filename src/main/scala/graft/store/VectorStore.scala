@@ -674,13 +674,35 @@ class VectorStore(val spark: SparkSession, val path: String,
       written.select(col("lid").as("id"), col("embedding")),
       dir("recent_index/blobs"), metric,
       graft.operators.Hnsw.HnswConfig(efConstruction = efConstruction, m = m))
+    // build params ride in meta.json so maintenance (the migration
+    // scheduler) can rebuild the index exactly as the operator configured it
     val node = mapper.createObjectNode()
     node.put("metric", metric)
+    node.put("efConstruction", efConstruction)
+    node.put("m", m)
+    node.put("numBlobs", numBlobs)
     writeText(new Path(dir("recent_index"), "meta.json"),
       mapper.writeValueAsString(node))
   }
 
-  def hasRecentIndex: Boolean = exists("recent_index/blobs")
+  /** Built = blobs AND meta.json: meta is written last, so a build that
+    * died between the two reads as not-built (designed error) instead of
+    * failing mid-search on the missing sidecar. */
+  def hasRecentIndex: Boolean = exists("recent_index/blobs") &&
+    fs.exists(new Path(dir("recent_index"), "meta.json"))
+
+  /** The params the current index was built with, for a like-for-like
+    * rebuild: (efConstruction, m, metric, numBlobs). */
+  def recentIndexBuildParams: Option[(Int, Int, String, Int)] =
+    if (!hasRecentIndex) None
+    else {
+      val n = mapper.readTree(readText(new Path(dir("recent_index"), "meta.json")))
+      Some((
+        if (n.hasNonNull("efConstruction")) n.get("efConstruction").asInt() else 100,
+        if (n.hasNonNull("m")) n.get("m").asInt() else 16,
+        n.get("metric").asText(),
+        if (n.hasNonNull("numBlobs")) n.get("numBlobs").asInt() else 0))
+    }
 
   private def recentIndexMetric: String =
     mapper.readTree(readText(new Path(dir("recent_index"), "meta.json")))
@@ -828,9 +850,12 @@ class VectorStore(val spark: SparkSession, val path: String,
     codeTierSearch(queries, k, "pq_codes", recentK, historicalK, metric,
         filterJson, oversample) {
       (codes, hist, histK) =>
+        // the oversampled filtered ask (histK = k*oversample) must not be
+        // re-truncated by a smaller approximate shortlist upstream of it
         Pq.searchBatchIvfPq(
           codes.select(col("id"), col("cluster_id"), col("codes")),
-          centroids, model, queries, histK, nProbe, shortlist,
+          centroids, model, queries, histK, nProbe,
+          math.max(shortlist, histK),
           rerank = Some(hist.select(col("id"), col("embedding"))),
           metric = metric)
     }
@@ -950,10 +975,12 @@ class VectorStore(val spark: SparkSession, val path: String,
     codeTierSearch(queries, k, "sq_codes", recentK, historicalK, metric,
         filterJson, oversample) {
       (codes, hist, histK) =>
+        // same shortlist floor as searchBatchPq: the oversampled ask wins
         graft.operators.Sq.searchBatchIvfSq(
           codes.select(col("id"), col("cluster_id"), col("codes"),
             col("vmin"), col("vmax")),
-          centroids, queries, histK, nProbe, shortlist,
+          centroids, queries, histK, nProbe,
+          math.max(shortlist, histK),
           rerank = Some(hist.select(col("id"), col("embedding"))),
           metric = metric)
     }

@@ -22,13 +22,21 @@ import graft.store.VectorStore
   *    (`refreshPq`/`refreshSq`) so continuous ingest keeps the serving
   *    artifacts fresh — one bounded pass per run (the delta is at most
   *    `maxVectorsPerRun` rows), never a tier re-encode
+  *  - `rebuildRecentIndex`: `migrate` invalidates the saved recent-tier
+  *    HNSW (it rewrote the tier); with this flag the scheduler rebuilds
+  *    it with the params it was originally built with (persisted in the
+  *    index's meta.json), so a background migration never leaves
+  *    mode=recent_index serving hard-failing until manual repair. The
+  *    rebuild covers the post-migration recent tier, which the run just
+  *    drained — the cheap end of the build cost
   */
 case class MigrationPolicy(
     maxVectorsPerRun: Int = 1000,
     batchSize: Int = 100,
     quietHours: Seq[(Int, Int)] = Nil,
     checkIntervalBatches: Int = 1,
-    refreshCodeTiers: Boolean = true) {
+    refreshCodeTiers: Boolean = true,
+    rebuildRecentIndex: Boolean = true) {
   require(maxVectorsPerRun > 0, "maxVectorsPerRun must be positive")
   require(batchSize > 0, "batchSize must be positive")
   require(checkIntervalBatches > 0, "checkIntervalBatches must be positive")
@@ -71,10 +79,16 @@ class MigrationScheduler(store: VectorStore,
     if (inQuietHours(hour)) MigrationRunResult(0L, 0L, skippedQuietHours = true)
     else {
       val p = policy
+      val indexParams =
+        if (p.rebuildRecentIndex) store.recentIndexBuildParams else None
       val n = store.migrate(Some(now), maxVectors = p.maxVectorsPerRun)
       if (n > 0 && p.refreshCodeTiers) {
         if (store.hasPq) store.refreshPq()
         if (store.hasSq) store.refreshSq()
+      }
+      // migrate dropped the recent index it invalidated — restore serving
+      if (n > 0) indexParams.foreach { case (ef, m, metric, blobs) =>
+        store.buildRecentIndex(ef, m, metric, blobs)
       }
       val batches = (n + p.batchSize - 1) / p.batchSize
       synchronized {

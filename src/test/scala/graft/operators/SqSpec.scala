@@ -62,6 +62,21 @@ class SqSpec extends SparkSpec {
     assert(fullRecall >= 0.99, s"full-probe IVF-SQ recall $fullRecall")
   }
 
+  test("labelCentroids of an empty frame is empty (no head-on-nothing crash)") {
+    val none = graft.queries.QueryShapes.labelCentroids(
+      emb.filter(col("vec_id") < 0))
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("label", "centroid"))
+  }
+
+  test("Sq.decode of an empty codes payload is an empty vector") {
+    import spark.implicits._
+    val row = Seq((Array.empty[Byte], 0f, 0f)).toDF("codes", "vmin", "vmax")
+      .select(Sq.decode(col("codes"), col("vmin"), col("vmax")).as("v"))
+      .head()
+    assert(row.getSeq[Float](0).isEmpty)
+  }
+
   test("u8 approximate cosine tracks exact cosine on real embeddings") {
     val q = emb.filter(col("vec_id") === 5)
       .select("embedding").head().getSeq[Float](0).toArray

@@ -245,12 +245,14 @@ class StoreIndexSpec extends SparkSpec {
     // set covers every matching row, so the post-filter agrees with
     // searchBatch's exact pre-filter (full probe + shortlist >= corpus +
     // exact rerank remove the other approximation sources)
+    // shortlist deliberately SMALLER than k*oversample: the oversampled ask
+    // must widen the shortlist floor, not be silently truncated by it
     val exact = hitSet(st.searchBatch(q, k = 3, metric = "l2", nProbe = 4,
       filterJson = f))
-    val sq = hitSet(st.searchBatchSq(q, k = 3, nProbe = 4, shortlist = 100,
+    val sq = hitSet(st.searchBatchSq(q, k = 3, nProbe = 4, shortlist = 10,
       filterJson = f, oversample = 20))
     assert(sq == exact)
-    val pq = hitSet(st.searchBatchPq(q, k = 3, nProbe = 4, shortlist = 100,
+    val pq = hitSet(st.searchBatchPq(q, k = 3, nProbe = 4, shortlist = 10,
       filterJson = f, oversample = 20))
     assert(pq == exact)
     // the default k*3 oversample keeps reference semantics: every hit

@@ -103,12 +103,18 @@ class StreamingSpec extends SparkSpec {
       MigrationPolicy(maxVectorsPerRun = 100))
     assert(sched.runMigration().vectorsMigrated == 20L)
     store.enableSq()
+    store.buildRecentIndex(efConstruction = 60, m = 8)
     // a second wave ages in and migrates; the scheduler delta-encodes it
     store.insert((20 until 28).map(i => VectorStore.VectorRecord(
       s"o$i", vec(i), tsString = Some(base.plusSeconds(i).toString))))
     assert(sched.runMigration().vectorsMigrated == 8L)
     assert(store.refreshSq() == 0L,
       "scheduler already refreshed the code table — nothing left to encode")
+    // migrate invalidated the recent index; the scheduler rebuilt it with
+    // the persisted build params, so indexed serving never went dark
+    assert(store.hasRecentIndex,
+      "scheduler must rebuild the recent index it invalidated")
+    assert(store.recentIndexBuildParams.contains((60, 8, "l2", 0)))
     // and with refresh disabled the delta stays un-encoded
     sched.policy = MigrationPolicy(maxVectorsPerRun = 100, refreshCodeTiers = false)
     store.insert((28 until 31).map(i => VectorStore.VectorRecord(
