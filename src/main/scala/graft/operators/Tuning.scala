@@ -32,4 +32,16 @@ object Tuning {
   def tiersToSearch(recentCount: Long, historicalCount: Long): Seq[String] =
     (if (recentCount > 0) Seq("recent") else Nil) ++
       (if (historicalCount > 0) Seq("historical") else Nil)
+
+  /** Oversample factor for post-filtered (code-tier / saved-HNSW) search:
+    * ~1/selectivity so the k×oversample candidate pool is expected to hold
+    * ≥ k matching rows, floored at the reference's fixed ×3
+    * (`hybrid/core.rs:513-549`) and capped to keep the rerank bounded.
+    * `selectivity` = fraction of rows the filter keeps (estimate from a
+    * sample or sidecar stats). */
+  def suggestOversample(selectivity: Double, cap: Int = 100): Int = {
+    require(cap >= 3, s"cap $cap below the minimum oversample of 3")
+    if (selectivity <= 0.0) cap
+    else math.min(cap, math.max(3, math.ceil(1.5 / selectivity).toInt))
+  }
 }

@@ -18,6 +18,16 @@ class TuningSpec extends AnyFunSuite {
     assert(Tuning.suggestNClusters(1000000) == 1000)
     assert(Tuning.suggestNClusters(1) == 4)
   }
+  test("oversample ~ 1/selectivity, floored at the reference x3, capped") {
+    assert(Tuning.suggestOversample(1.0) == 3)     // unselective: reference default
+    assert(Tuning.suggestOversample(0.5) == 3)
+    assert(Tuning.suggestOversample(0.1) == 15)    // 10% keep -> 1.5/0.1
+    assert(Tuning.suggestOversample(0.01) == 100)  // capped
+    assert(Tuning.suggestOversample(0.0) == 100)   // unknown/zero: worst case
+    assert(Tuning.suggestOversample(0.001, cap = 500) == 500)
+    intercept[IllegalArgumentException](Tuning.suggestOversample(0.5, cap = 2))
+  }
+
   test("empty tiers are skipped") {
     assert(Tuning.tiersToSearch(0, 10) == Seq("historical"))
     assert(Tuning.tiersToSearch(5, 0) == Seq("recent"))
