@@ -79,6 +79,95 @@ object Pq {
         sqrt(adcDistSq(model, query, col(codesCol))).as("distance"))
       .orderBy(col("distance").asc, col("id").asc).limit(k)
 
+  /** Per-query ADC lookup tables, driver-built for a bounded query batch:
+    * l2 cells are ||query_sub - centroid||^2 (summed -> squared L2), cosine
+    * cells are dot(query_sub, centroid) (summed -> dot(q, v̂)). Shared by
+    * [[adcSearchBatch]] and [[searchBatchIvfPq]]. */
+  private def adcTables(model: PqModel, qVecs: Array[Array[Float]],
+      metric: String): Array[Array[Array[Double]]] =
+    qVecs.map { q =>
+      Array.tabulate(model.m) { s =>
+        val qs = q.slice(s * model.subDim, (s + 1) * model.subDim)
+        model.codebooks(s).map { c =>
+          var acc = 0.0; var i = 0
+          if (metric == "l2") {
+            while (i < qs.length) { val d = qs(i).toDouble - c(i).toDouble; acc += d * d; i += 1 }
+          } else {
+            while (i < qs.length) { acc += qs(i).toDouble * c(i).toDouble; i += 1 }
+          }
+          acc
+        }
+      }
+    }
+
+  /** The query-independent per-cell ||centroid||^2 table (one "query" slot),
+    * combined with the dot tables into approximate cosine. */
+  private def normSqTable(model: PqModel): Array[Array[Array[Double]]] =
+    Array(Array.tabulate(model.m) { s =>
+      model.codebooks(s).map { c =>
+        var acc = 0.0; var i = 0
+        while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
+        acc
+      }
+    })
+
+  /** Approximate-distance column over (codes, q_idx, q_norm) given the
+    * prebuilt tables: sqrt of the L2 table sum, or 1 - dot/(|q|·|v̂|). */
+  private def adcDistance(model: PqModel, metric: String,
+      tables: Array[Array[Array[Double]]]): Column = {
+    val adc = graft.functions.VectorExpressions.pqAdcTableDist(
+      col("codes"), col("q_idx"), tables)
+    if (metric == "l2") sqrt(adc) else {
+      val vNorm = sqrt(graft.functions.VectorExpressions.pqAdcTableDist(
+        col("codes"), lit(0), normSqTable(model)))
+      val den = col("q_norm") * vNorm
+      when(den === 0.0, lit(1.0)).otherwise(lit(1.0) - adc / den)
+    }
+  }
+
+  /** Batch ADC search over a FLAT encoded corpus (no inverted file): one
+    * scan of the code table scores every (row, query) pair through the
+    * codegen table kernel — the batch form of [[adcSearch]], replacing a
+    * per-query driver loop with a single plan — then the shared
+    * shortlist/rerank/top-k tail. For corpus-scale serving prefer
+    * [[searchBatchIvfPq]], whose coarse pruning skips unprobed partitions.
+    *
+    * @param encoded (idCol, codes ARRAY<INT>)
+    * @param rerank  optional (idCol, embedding) raw vectors for exact rerank
+    */
+  def adcSearchBatch(encoded: DataFrame, model: PqModel, queries: DataFrame,
+      k: Int, shortlist: Int = 100, rerank: Option[DataFrame] = None,
+      idCol: String = "id", queryIdCol: String = "query_id",
+      queryEmbCol: String = "q_embedding", metric: String = "l2"): DataFrame = {
+    require(metric == "l2" || metric == "cosine",
+      s"PQ ADC supports l2|cosine, got '$metric'")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(queryIdCol), col(queryEmbCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val tables = adcTables(model, qRows.map(_._2), metric)
+    val p = qRows.zipWithIndex.map { case ((qid, q), i) =>
+      var acc = 0.0; var j = 0
+      while (j < q.length) { acc += q(j).toDouble * q(j).toDouble; j += 1 }
+      (qid, i, math.sqrt(acc))
+    }.toSeq.toDF(queryIdCol, "q_idx", "q_norm")
+    val scored = encoded.crossJoin(broadcast(p))
+      .select(col(queryIdCol), col(idCol).as("id"),
+        adcDistance(model, metric, tables).as("distance"))
+    val idIsString =
+      encoded.schema(idCol).dataType == org.apache.spark.sql.types.StringType
+    val qRel = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.map(v => Row(v._1, v._2)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(queryIdCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(queryEmbCol,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    Ivf.shortlistRerankTopK(scored, qRel, k, shortlist, idIsString, rerank,
+      idCol, queryIdCol, queryEmbCol, metric)
+  }
+
   // ---- model persistence (the X10 analog for quantization state: the
   // reference persists codebooks with the index, `ivf/persistence.rs`) ----
 
@@ -136,30 +225,13 @@ object Pq {
     val pRows = Ivf.probes(centroids, queries, nProbe, metric,
       queryIdCol, queryEmbCol).collect()
     // one ADC table per distinct query, driver-built (query batches are
-    // bounded; |tables| = nq x m x k doubles). For l2 the cell is
-    // ||query_sub - centroid||^2 (summed -> squared L2); for cosine it is
-    // dot(query_sub, centroid) (summed -> dot(q, v̂)), combined below with
-    // |q| and the reconstruction norm |v̂| from a query-independent
-    // per-cell |centroid|^2 table — same kernel, different table contents.
+    // bounded; |tables| = nq x m x k doubles) — see [[adcTables]] for the
+    // l2/cosine cell contents, [[adcDistance]] for the combination.
     val qVecs = pRows.map(r =>
         r.getAs[Long](queryIdCol) -> r.getAs[scala.collection.Seq[Float]](queryEmbCol))
       .distinct
     val qIdx = qVecs.map(_._1).zipWithIndex.toMap
-    val tables: Array[Array[Array[Double]]] = qVecs.map { case (_, emb) =>
-      val q = emb.toArray
-      Array.tabulate(model.m) { s =>
-        val qs = q.slice(s * model.subDim, (s + 1) * model.subDim)
-        model.codebooks(s).map { c =>
-          var acc = 0.0; var i = 0
-          if (metric == "l2") {
-            while (i < qs.length) { val d = qs(i).toDouble - c(i).toDouble; acc += d * d; i += 1 }
-          } else {
-            while (i < qs.length) { acc += qs(i).toDouble * c(i).toDouble; i += 1 }
-          }
-          acc
-        }
-      }
-    }
+    val tables = adcTables(model, qVecs.map(_._2.toArray), metric)
     import spark.implicits._
     val qNorm = qVecs.map { case (_, emb) =>
       var acc = 0.0; var i = 0
@@ -172,30 +244,14 @@ object Pq {
       }
       .toSeq.toDF(queryIdCol, "q_idx", "q_norm", "cluster_id")
     val probedIds = pRows.map(_.getAs[Long]("cluster_id")).distinct
-    val adc = graft.functions.VectorExpressions.pqAdcTableDist(
-      col("codes"), col("q_idx"), tables)
     val pruned = encoded.filter(col("cluster_id").isin(probedIds: _*))
-    // l2: sqrt here (not after the shortlist) so the shared tail sees a
-    // true distance — monotonic, so the shortlist ranking is unchanged.
-    // cosine: 1 - dot/(|q|·|v̂|) with |v̂|^2 summed from the shared
-    // per-cell norm table (q_idx 0 — it is query-independent).
-    val approx = if (metric == "l2") sqrt(adc) else {
-      val normTab: Array[Array[Array[Double]]] = Array(
-        Array.tabulate(model.m) { s =>
-          model.codebooks(s).map { c =>
-            var acc = 0.0; var i = 0
-            while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
-            acc
-          }
-        })
-      val vNorm = sqrt(graft.functions.VectorExpressions.pqAdcTableDist(
-        col("codes"), lit(0), normTab))
-      val den = col("q_norm") * vNorm
-      when(den === 0.0, lit(1.0)).otherwise(lit(1.0) - adc / den)
-    }
+    // l2: sqrt inside adcDistance (not after the shortlist) so the shared
+    // tail sees a true distance — monotonic, so the shortlist ranking is
+    // unchanged. cosine: 1 - dot/(|q|·|v̂|) against the shared norm table.
     val scored = pruned
       .join(broadcast(p), pruned("cluster_id") === p("cluster_id"))
-      .select(col(queryIdCol), col(idCol).as("id"), approx.as("distance"))
+      .select(col(queryIdCol), col(idCol).as("id"),
+        adcDistance(model, metric, tables).as("distance"))
     // string ids (the store's natural keys) ride through the aggregates
     // natively, same as Knn.batch / Ivf.searchBatch
     val idIsString =

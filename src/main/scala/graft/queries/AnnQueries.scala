@@ -234,19 +234,13 @@ object AnnQueries {
       val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
       val model = Pq.train(corpus, dim = 64, m = 8, k = 64, trainSize = 1000)
       val enc = corpus.withColumn("codes", Pq.encode(model, col("embedding")))
-      val qs = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      val adc = qs.map { case (qid, qv) =>
-        Pq.adcSearch(enc, model, qv, k = 100) // ADC shortlist
-          .join(corpus, "id")                 // rerank: exact on 100 rows
-          .select(lit(qid).as("query_id"), col("id"),
-            vecL2(col("embedding"), typedLit(qv)).as("ed"))
-          .orderBy(col("ed").asc, col("id").asc).limit(10)
-          .select("query_id", "id")
-      }.reduce(_ unionByName _)
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      // one plan for the whole batch: ADC table kernel scores every
+      // (row, query) pair, per-query shortlist of 100, exact rerank of
+      // shortlist rows only, top-10
+      val adc = Pq.adcSearchBatch(enc.select(col("id"), col("codes")),
+        model, queries, k = 10, shortlist = 100, rerank = Some(corpus))
       val exact = Knn.batch(corpus, queries, k = 10, metric = "l2")
       Ivf.evaluateRecall(adc, exact)
         .select(col("n_queries"), (col("avg_recall") >= 0.5).as("recall_ok"))

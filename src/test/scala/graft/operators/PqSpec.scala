@@ -41,6 +41,24 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.3, s"ADC recall $recall") // PQ8x16 on 64-dim is coarse
   }
 
+  test("adcSearchBatch (one plan) agrees with per-query adcSearch") {
+    val enc = corpus.withColumn("codes", Pq.encode(model, col("embedding")))
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val batch = Pq.adcSearchBatch(enc.select(col("id"), col("codes")),
+        model, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(h => (h._2, h._3)).toSet).toMap
+    val single = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .map { case (qid, qv) =>
+        qid -> Pq.adcSearch(enc, model, qv, k = 5)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      }.toMap
+    assert(batch == single)
+  }
+
   test("save/load round-trips the codebooks exactly") {
     val path = java.nio.file.Files.createTempDirectory("graft_pq_rt_").toString + "/books"
     Pq.save(spark, model, path)
