@@ -140,4 +140,70 @@ object Dedup {
       .select(col("id_a"), col("id_b"), vecCosine(col("e_a"), col("e_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Training-data prep funnel — the composition a pretraining-data job
+    * runs over a raw document corpus, as ONE DataFrame plan:
+    *
+    *   exact dedup (keep smallest id per content fingerprint)
+    *   → quality floor (`TextFunctions.qualityScore`, rounded to 6 so the
+    *     cut is engine-stable)
+    *   → language filter (`TextFunctions.langId`)
+    *   → MinHash-LSH near-dup drop (greedy keep-smallest-id over verified
+    *     pairs, computed only among the docs that survived the cheap
+    *     stages — the expensive stage sees the smallest corpus)
+    *
+    * Returns the kept documents plus per-doc `quality`/`n_tokens`. The
+    * scale shape: one fingerprint shuffle (window on a short md5 key),
+    * map-only scoring fused into the same scan, and the LSH stages of
+    * [[minhashLshPairs]] (signature/bucket shuffles on compact keys only).
+    * Text crosses a shuffle only in the final semi-join of survivors.
+    */
+  def prepPipeline(docs: DataFrame, minQuality: Double, lang: String,
+      shingleN: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val flagged = spread(docs).select(col(idCol), col(textCol),
+        contentFingerprint(col(textCol)).as("fp"),
+        round(qualityScore(col(textCol)), 6).as("quality"),
+        langId(col(textCol)).as("lang_guess"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("keep_exact", col(idCol) === min(col(idCol)).over(w))
+    val survivors = flagged.filter(col("keep_exact") &&
+      col("quality") >= minQuality && col("lang_guess") === lang)
+    val ndRemoved = minhashLshPairs(survivors, shingleN, bands, rowsPerBand,
+        threshold, textCol, idCol)
+      .select(col("id_b").as(idCol)).distinct()
+    survivors.join(ndRemoved, Seq(idCol), "left_anti")
+      .select(col(idCol), col("quality"), col("n_tokens"))
+  }
+
+  /** One-row funnel summary of [[prepPipeline]]: how many documents (and,
+    * for the final set, tokens) survive each stage. The counts come from
+    * one aggregate over the flagged corpus left-anti'd only for the final
+    * stage — the report a data-curation run ships with its output. */
+  def prepPipelineStats(docs: DataFrame, minQuality: Double, lang: String,
+      shingleN: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val flagged = spread(docs).select(col(idCol), col(textCol),
+        contentFingerprint(col(textCol)).as("fp"),
+        round(qualityScore(col(textCol)), 6).as("quality"),
+        langId(col(textCol)).as("lang_guess"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("keep_exact", col(idCol) === min(col(idCol)).over(w))
+    val s3 = col("keep_exact") && col("quality") >= minQuality &&
+      col("lang_guess") === lang
+    val ndRemoved = minhashLshPairs(flagged.filter(s3), shingleN, bands,
+        rowsPerBand, threshold, textCol, idCol)
+      .select(col("id_b").as(idCol)).distinct().withColumn("nd", lit(true))
+    flagged.join(ndRemoved, Seq(idCol), "left").agg(
+      count(lit(1)).as("n_total"),
+      count(when(col("keep_exact"), 1)).as("n_after_exact"),
+      count(when(col("keep_exact") && col("quality") >= minQuality, 1))
+        .as("n_after_quality"),
+      count(when(s3, 1)).as("n_after_lang"),
+      count(when(s3 && col("nd").isNull, 1)).as("n_final"),
+      coalesce(sum(when(s3 && col("nd").isNull, col("n_tokens"))), lit(0L))
+        .as("tokens_final"))
+  }
 }

@@ -87,6 +87,15 @@ object TextQueries {
           threshold = 0.4, blockCol = "label", idCol = "vec_id")
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
+    }),
+    // the full training-data prep funnel as one plan: exact dedup ->
+    // quality floor -> language filter -> MinHash-LSH near-dup drop,
+    // reported as the one-row per-stage survivor/token accounting a
+    // curation run ships with its output
+    "pipeline_prep" -> ((s, dir) => {
+      Dedup.prepPipelineStats(Tables.load(s, dir, "documents"),
+        minQuality = 0.7, lang = "en",
+        shingleN = 2, bands = 4, rowsPerBand = 2, threshold = 0.3)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -171,5 +180,46 @@ object TextQueries {
         |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "pipeline_prep" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id, toks,
+         |  md5(array_to_string(toks, ' ')) AS fp,
+         |  round(least(len(toks) / 100.0, 1.0) * 0.4
+         |    + (CASE WHEN length(text) = 0 THEN 0
+         |        ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text) END) * 0.4
+         |    + (CASE WHEN (length(text) - (len(toks) - 1.0)) / len(toks) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+         |  CASE WHEN len(toks) > 0
+         |    AND len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE / len(toks) >= 0.05
+         |  THEN 'en' ELSE 'unk' END AS lang_guess,
+         |  len(toks)::BIGINT AS n_tokens
+         |  FROM t),
+         |fe AS (SELECT *, (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS keep_exact FROM f),
+         |s3 AS (SELECT * FROM fe WHERE keep_exact AND quality >= 0.7 AND lang_guess = 'en'),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  list_transform(range(1, len(toks)),
+         |    i -> ${hash32("toks[i] || ' ' || toks[i+1]")}::BIGINT)) AS hs
+         |  FROM s3),
+         |sig AS (SELECT doc_id, hs,
+         |  [list_min(list_transform(hs, h -> (h * (2 * i + 1) + 7919 * i) % 4294967311))::BIGINT
+         |   FOR i IN range(1, 9)] AS sig
+         |  FROM sh),
+         |banded AS (SELECT doc_id, b AS band, sig[b*2+1:b*2+2] AS bucket
+         |  FROM sig, range(0, 4) r(b)),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |pairs AS (SELECT id_a, id_b, a.hs AS hs_a, b.hs AS hs_b
+         |  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b),
+         |removed AS (SELECT DISTINCT id_b AS doc_id FROM pairs
+         |  WHERE len(list_intersect(hs_a, hs_b))::DOUBLE / len(list_distinct(hs_a || hs_b)) >= 0.3)
+         |SELECT count(*) AS n_total,
+         |  count(*) FILTER (WHERE keep_exact) AS n_after_exact,
+         |  count(*) FILTER (WHERE keep_exact AND quality >= 0.7) AS n_after_quality,
+         |  count(*) FILTER (WHERE keep_exact AND quality >= 0.7 AND lang_guess = 'en') AS n_after_lang,
+         |  count(*) FILTER (WHERE keep_exact AND quality >= 0.7 AND lang_guess = 'en'
+         |    AND r.doc_id IS NULL) AS n_final,
+         |  coalesce(sum(n_tokens) FILTER (WHERE keep_exact AND quality >= 0.7
+         |    AND lang_guess = 'en' AND r.doc_id IS NULL), 0)::BIGINT AS tokens_final
+         |FROM fe LEFT JOIN removed r ON fe.doc_id = r.doc_id""".stripMargin)
 }
