@@ -158,6 +158,94 @@ object Multimodal {
       }(Encoders.imageMeta)
   }
 
+  case class AudioMeta(media_id: Long, format: String, channels: Int,
+      sample_rate: Int, bits_per_sample: Int, duration_ms: Long)
+
+  /** REAL audio container-header prober — no codec required, the audio
+    * sibling of [[probeImage]]: stream parameters live in the first bytes
+    * of every mainstream format. Parses WAV (RIFF fmt/data chunk walk),
+    * FLAC (STREAMINFO block), and MP3 (first frame header after an
+    * optional ID3v2 tag; duration estimated from the byte length at the
+    * frame's bitrate, exact for CBR). Returns
+    * (format, channels, sampleRate, bitsPerSample, durationMs) —
+    * bitsPerSample 0 where the format doesn't carry it (mp3). */
+  def probeAudio(data: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+    if (data == null || data.length < 12) return None
+    def u8(i: Int) = data(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def ascii(i: Int, s: String) = s.indices.forall(j => u8(i + j) == s(j))
+    // WAV: "RIFF" size "WAVE", then (id, size) chunks; fmt_ carries the
+    // stream params, data's size with fmt's byteRate gives the duration
+    if (ascii(0, "RIFF") && ascii(8, "WAVE")) {
+      var p = 12
+      var ch = 0; var rate = 0; var bits = 0; var byteRate = 0L; var dataLen = -1L
+      while (p + 8 <= data.length && (ch == 0 || dataLen < 0)) {
+        val size = le32(p + 4)
+        if (ascii(p, "fmt ") && p + 24 <= data.length) {
+          ch = le16(p + 10); rate = le32(p + 12).toInt
+          byteRate = le32(p + 16); bits = le16(p + 22)
+        } else if (ascii(p, "data")) dataLen = size
+        p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      if (ch == 0 || rate == 0) None
+      else Some(("wav", ch, rate, bits,
+        if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L))
+    }
+    // FLAC: "fLaC" then metadata blocks; STREAMINFO (type 0, first) packs
+    // rate(20b) channels-1(3b) bits-1(5b) totalSamples(36b) at offset 18
+    else if (ascii(0, "fLaC") && data.length >= 42 && (u8(4) & 0x7f) == 0) {
+      val rate = (u8(18) << 12) | (u8(19) << 4) | (u8(20) >> 4)
+      val ch = ((u8(20) >> 1) & 0x07) + 1
+      val bits = (((u8(20) & 0x01) << 4) | (u8(21) >> 4)) + 1
+      val samples = ((u8(21) & 0x0f).toLong << 32) | (u8(22).toLong << 24) |
+        (u8(23).toLong << 16) | (u8(24).toLong << 8) | u8(25).toLong
+      if (rate == 0) None
+      else Some(("flac", ch, rate, bits, samples * 1000L / rate))
+    }
+    // MP3: optional ID3v2 tag (syncsafe 28-bit size), then an MPEG-1
+    // Layer III frame header: sync(11) ver(2) layer(2) [prot(1)]
+    // bitrateIdx(4) rateIdx(2) ... channelMode(2)
+    else {
+      var p = 0
+      if (ascii(0, "ID3") && data.length >= 10)
+        p = 10 + ((u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9))
+      if (p + 4 > data.length || u8(p) != 0xff || (u8(p + 1) & 0xe0) != 0xe0) None
+      else {
+        val ver = (u8(p + 1) >> 3) & 0x03   // 3 = MPEG-1
+        val layer = (u8(p + 1) >> 1) & 0x03 // 1 = Layer III
+        val bIdx = (u8(p + 2) >> 4) & 0x0f
+        val rIdx = (u8(p + 2) >> 2) & 0x03
+        if (ver != 3 || layer != 1 || bIdx == 0 || bIdx == 15 || rIdx == 3) None
+        else {
+          val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+            160, 192, 224, 256, 320)(bIdx)
+          val rate = Array(44100, 48000, 32000)(rIdx)
+          val ch = if (((u8(p + 3) >> 6) & 0x03) == 3) 1 else 2
+          Some(("mp3", ch, rate, 0, (data.length - p).toLong * 8 / kbps))
+        }
+      }
+    }
+  }
+
+  /** Stream metadata over a binary audio column via the real prober —
+    * unrecognized blobs surface as format "unknown", never a crash. */
+  def audioMetadata(media: DataFrame): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    media.select(col("media_id"), col("data"))
+      .as[(Long, Array[Byte])](Encoders.idBytes)
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          probeAudio(bytes) match {
+            case Some((fmt, ch, rate, bits, dur)) =>
+              AudioMeta(id, fmt, ch, rate, bits, dur)
+            case None => AudioMeta(id, "unknown", 0, 0, 0, 0L)
+          }
+        }
+      }(Encoders.audioMeta)
+  }
+
   /** Typed-metadata projection + partition sizing for a media table: the
     * scan-side shape (select only header metadata, never the blob) that
     * keeps 100 TB of blobs out of shuffles. */
@@ -175,5 +263,6 @@ object Multimodal {
     val imageFeatures: Encoder[ImageFeatures] = E.product[ImageFeatures]
     val frame: Encoder[Frame] = E.product[Frame]
     val imageMeta: Encoder[ImageMeta] = E.product[ImageMeta]
+    val audioMeta: Encoder[AudioMeta] = E.product[AudioMeta]
   }
 }

@@ -91,6 +91,61 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(2L) == (("unknown", 0, 0)))
   }
 
+  test("probeAudio parses WAV/FLAC/MP3 headers from raw bytes") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // WAV: RIFF/WAVE, fmt_ (stereo 44.1kHz 16-bit), data chunk of exactly
+    // one second at the declared byte rate
+    val wav = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(36 + 176400).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(176400)
+      .putShort(4).putShort(16)
+      .put("data".getBytes).putInt(176400)
+      .array()
+    assert(Multimodal.probeAudio(wav).contains(("wav", 2, 44100, 16, 1000L)))
+    // FLAC: STREAMINFO with rate=48000, stereo, 16-bit, 480000 samples (10s)
+    val flac = ByteBuffer.allocate(42)
+      .put("fLaC".getBytes)
+      .put(0.toByte).put(0.toByte).put(0.toByte).put(34.toByte) // block hdr
+      .put(new Array[Byte](10))                                 // block/frame sizes
+      .put(0x0b.toByte).put(0xb8.toByte).put(0x02.toByte)       // rate|ch|bits
+      .put(0xf0.toByte)                                         // bits|samples hi
+      .putInt(480000)                                           // samples lo 32
+      .array()
+    assert(Multimodal.probeAudio(flac).contains(("flac", 2, 48000, 16, 10000L)))
+    // MP3: empty ID3v2 tag, then an MPEG-1 Layer III frame header at
+    // 128 kbps / 44.1 kHz stereo; 1600 payload bytes -> 100 ms estimate
+    val mp3 = ByteBuffer.allocate(1610)
+      .put("ID3".getBytes).put(new Array[Byte](7)) // ver+flags+syncsafe size 0
+      .put(0xff.toByte).put(0xfb.toByte).put(0x90.toByte).put(0x00.toByte)
+      .array()
+    assert(Multimodal.probeAudio(mp3).contains(("mp3", 2, 44100, 0, 100L)))
+    // junk / truncated -> None, never a crash
+    assert(Multimodal.probeAudio(Array.fill[Byte](40)(7)).isEmpty)
+    assert(Multimodal.probeAudio("RIFFxxxxWAVE".getBytes).isEmpty) // no fmt_
+    assert(Multimodal.probeAudio(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.probeAudio(null).isEmpty)
+  }
+
+  test("audioMetadata maps the prober over a binary column (unknowns survive)") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    val wav = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(16000).putInt(32000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes).putInt(64000)
+      .array()
+    val df = Seq((1L, wav), (2L, Array.fill[Byte](20)(3)))
+      .toDF("media_id", "data")
+    val metas = Multimodal.audioMetadata(df).collect()
+      .map(m => m.media_id ->
+        ((m.format, m.channels, m.sample_rate, m.bits_per_sample, m.duration_ms))).toMap
+    assert(metas(1L) == (("wav", 1, 16000, 16, 2000L)))
+    assert(metas(2L) == (("unknown", 0, 0, 0, 0L)))
+  }
+
   test("merge strategies: TakeBest / Average / Weighted") {
     import spark.implicits._
     val results = Seq(
