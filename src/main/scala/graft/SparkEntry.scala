@@ -19,7 +19,8 @@ object SparkEntry {
       (AggQueries.queries, AggQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (AnnQueries.queries, AnnQueries.oracles),
-      (StoreQueries.queries, StoreQueries.oracles))
+      (StoreQueries.queries, StoreQueries.oracles),
+      (CurationQueries.queries, CurationQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.Curation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation queries over the documents table — deterministic
+  * splits, mixture sampling, eval decontamination, sequence packing —
+  * each oracle-checked against DuckDB via the shared md5 hash primitive.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val toksSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  private def hash32(s: String) = s"(('0x' || substr(md5($s), 1, 8))::UBIGINT)"
+  // the Curation.bucket primitive in DuckDB terms (salt "42")
+  private val bucketSql = s"${hash32("doc_id::VARCHAR || ':42'")} % 10000"
+
+  val queries: Map[String, Q] = Map(
+    // deterministic train/val/test assignment; the funnel is reported as
+    // per-split doc/token counts
+    "hash_split" -> ((s, dir) => {
+      Curation.hashSplit(Tables.load(s, dir, "documents"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"))
+        .orderBy("split")
+    }),
+    // hash-deterministic mixture sampling toward a target source mix
+    "mixture_sample" -> ((s, dir) => {
+      Curation.mixtureSample(Tables.load(s, dir, "documents"),
+          rates = Map("src0" -> 1.0, "src1" -> 0.25), default = 0.5)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    }),
+    // eval-set decontamination: flag train docs sharing >= 20% of their
+    // bigrams with any eval doc (eval set = every 97th doc)
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Curation.contaminationPairs(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0)
+            .select(col("doc_id").as("eval_id"), col("text")),
+          shingleN = 2, threshold = 0.2)
+        .orderBy("doc_id", "eval_id")
+    }),
+    // first-fit sequence packing into 256-token bins within each source
+    // shard; reported as per-bin doc/token counts
+    "pack_sequences" -> ((s, dir) => {
+      Curation.packSequences(Tables.load(s, dir, "documents"), seqLen = 256)
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("source", "bin")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "hash_split" ->
+      s"""WITH f AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
+         |  $bucketSql AS b FROM documents)
+         |SELECT CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mixture_sample" ->
+      s"""WITH f AS (SELECT source, $bucketSql AS b FROM documents)
+         |SELECT source, count(*) AS n_kept FROM f
+         |WHERE b < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
+         |  ELSE 0.5 END) * 10000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  list_transform(range(1, len(toks)),
+         |    i -> ${hash32("toks[i] || ' ' || toks[i+1]")}::BIGINT)) AS hs
+         |  FROM t),
+         |tr AS (SELECT doc_id, hs FROM sh WHERE doc_id % 97 != 0),
+         |e AS (SELECT doc_id AS eval_id, hs AS ehs FROM sh WHERE doc_id % 97 = 0)
+         |SELECT doc_id, eval_id,
+         |  round(len(list_intersect(hs, ehs))::DOUBLE / len(hs), 6) AS overlap
+         |FROM tr, e
+         |WHERE round(len(list_intersect(hs, ehs))::DOUBLE / len(hs), 6) >= 0.2
+         |ORDER BY doc_id, eval_id""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH f AS (SELECT source, doc_id, len($toksSql)::BIGINT AS n
+         |  FROM documents),
+         |c AS (SELECT source, n, sum(n) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM f)
+         |SELECT source, floor((cum - n) / 256.0)::BIGINT AS bin,
+         |  count(*) AS n_docs, sum(n)::BIGINT AS n_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

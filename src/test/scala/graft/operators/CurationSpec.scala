@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Curation operators: hash-split determinism, mixture-sampling rates,
+  * planted decontamination, and first-fit packing arithmetic. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("hashSplit is deterministic, salt-sensitive, and partition-invariant") {
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val a = Curation.hashSplit(docs, splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Curation.hashSplit(docs.repartition(7), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b) // partitioning cannot change the deal
+    val c = Curation.hashSplit(docs, splits, salt = "other")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a != c) // the salt can
+    // every doc gets exactly one label; the big split dominates
+    assert(a.size == docs.count())
+    val byLabel = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel("train") > byLabel.getOrElse("val", 0)
+      && byLabel("train") > byLabel.getOrElse("test", 0))
+    intercept[IllegalArgumentException](
+      Curation.hashSplit(docs, Seq("a" -> 0.5, "b" -> 0.2)))
+  }
+
+  test("mixtureSample keeps everything at 1.0, nothing at 0.0, rates by source") {
+    val n = docs.count()
+    assert(Curation.mixtureSample(docs, Map.empty, default = 1.0).count() == n)
+    assert(Curation.mixtureSample(docs, Map.empty, default = 0.0).count() == 0)
+    val mixed = Curation.mixtureSample(docs,
+      Map("src0" -> 1.0, "src1" -> 0.0), default = 0.5)
+    val bySrc = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src0") == docs.filter(col("source") === "src0").count())
+    assert(!bySrc.contains("src1"))
+  }
+
+  test("decontaminate drops a planted eval copy and keeps clean docs") {
+    val evalDocs = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("eval_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // verbatim copy
+      (2L, "completely unrelated words about spark and parquet files"),
+      (3L, "the quick brown fox appears here but the rest differs a lot " +
+        "with many extra unrelated trailing tokens beyond the overlap")
+    ).toDF("doc_id", "text")
+    val pairs = Curation.contaminationPairs(train, evalDocs,
+      shingleN = 2, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pairs == Set(1L))
+    val kept = Curation.decontaminate(train, evalDocs, shingleN = 2,
+      threshold = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("packSequences assigns first-fit bins from the per-source prefix sum") {
+    val df = Seq(
+      ("s", 1L, "a b c"),         // 3 tokens, prefix 0  -> bin 0
+      ("s", 2L, "d e f g h"),     // 5 tokens, prefix 3  -> bin 0
+      ("s", 3L, "i j"),           // 2 tokens, prefix 8  -> bin 1
+      ("t", 9L, "x y z")          // other shard restarts at prefix 0
+    ).toDF("source", "doc_id", "text")
+    val bins = Curation.packSequences(df, seqLen = 8)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 9L -> 0L))
+    intercept[IllegalArgumentException](Curation.packSequences(df, 0))
+  }
+}
