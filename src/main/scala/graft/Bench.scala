@@ -58,20 +58,27 @@ object Bench {
     // optional comma-separated subset for local iteration (full run when unset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (0 until iters).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
+    // iterations run as FULL PASSES over the query list (pass 1 of every
+    // query, then pass 2) rather than back-to-back per query: the min is
+    // then taken over temporally separated samples, so a transient
+    // slow window (GC cycle, background load, page-cache eviction) can't
+    // poison both measurements of the same query — observed as a
+    // contiguous alphabetical band of 5-10x outliers in full sweeps whose
+    // members were all normal when re-run in isolation
+    val times = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 0 until iters; (name, fn) <- selected) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      val t = (System.nanoTime() - t0) / 1e9
+      times(name) = math.min(times.getOrElse(name, Double.MaxValue), t)
       // drop cached blocks a query left behind (e.g. the minhash signature
       // table) so later queries aren't timed under its memory pressure —
       // run-order sensitivity is exactly what skewed the round-2 numbers
       spark.sharedState.cacheManager.clearCache()
-      name -> times.min
     }
+    val results = selected.map { case (name, _) => name -> times(name) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -70,7 +70,9 @@ object Curation {
   def contaminationPairs(docs: DataFrame, evalDocs: DataFrame, shingleN: Int,
       threshold: Double, textCol: String = "text", idCol: String = "doc_id",
       evalIdCol: String = "eval_id"): DataFrame = {
-    val train = docs.select(col(idCol),
+    // spread before the md5-heavy shingle hashing: a small-file corpus
+    // arrives as 1-2 partitions and would serialize the hash stage
+    val train = Dedup.spread(docs).select(col(idCol),
       array_distinct(shingleHashes(col(textCol), shingleN)).as("hs"))
     val trainH = train.select(col(idCol), size(col("hs")).as("n_sh"),
       explode(col("hs")).as("h"))
