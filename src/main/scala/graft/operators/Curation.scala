@@ -47,17 +47,25 @@ object Curation {
     docs.withColumn("split", label)
   }
 
-  /** Mixture sampling toward a target data mix: keep each doc with its
+  /** Mixture sampling toward a target data mix: each doc is kept with its
     * source's rate (default for unlisted sources), decided by id hash —
-    * deterministic, map-only, no shuffle. rate >= 1.0 keeps everything
-    * (upsampling beyond 1.0 is a repeat-explode the caller applies after). */
+    * deterministic, map-only, no shuffle. Rates above 1.0 UPSAMPLE: a doc
+    * at rate 2.5 appears 2 or 3 times (floor(rate) copies plus one more
+    * for the hash-chosen fraction), distinguished by a `copy_id` column —
+    * the repeat index a downstream shuffler/packer can fold into its key
+    * so copies don't co-locate. */
   def mixtureSample(docs: DataFrame, rates: Map[String, Double],
       default: Double = 1.0, salt: String = "42",
       sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     val rate = rates.foldLeft(lit(default): Column) { case (rest, (src, r)) =>
       when(col(sourceCol) === src, r).otherwise(rest)
     }
-    docs.filter(bucket(idCol, salt) < rate * 10000)
+    val copies = (floor(rate) +
+      when(bucket(idCol, salt) < (rate - floor(rate)) * 10000, 1).otherwise(0))
+      .cast("long")
+    // explode generates zero rows for a null array, so rate-0 docs drop out
+    docs.withColumn("copy_id",
+      explode(when(copies > 0, sequence(lit(0L), copies - 1))))
   }
 
   /** Training docs whose n-gram overlap with ANY eval doc reaches the

@@ -40,6 +40,23 @@ class CurationSpec extends SparkSpec {
     assert(!bySrc.contains("src1"))
   }
 
+  test("mixtureSample upsamples deterministically above rate 1.0") {
+    val n = docs.count()
+    // integer rate: exactly 2 copies of every doc, copy_id 0 and 1
+    val doubled = Curation.mixtureSample(docs, Map.empty, default = 2.0)
+    assert(doubled.count() == 2 * n)
+    assert(doubled.groupBy("doc_id").count().filter(col("count") =!= 2).count() == 0)
+    assert(doubled.select("copy_id").distinct().as[Long].collect().toSet == Set(0L, 1L))
+    // fractional rate: every doc 1 or 2 copies, total strictly between
+    val mixed = Curation.mixtureSample(docs, Map.empty, default = 1.5)
+    val c = mixed.groupBy("doc_id").count()
+    assert(c.filter(col("count") < 1 || col("count") > 2).count() == 0)
+    assert(mixed.count() > n && mixed.count() < 2 * n)
+    // and the choice is the same hash decision every run
+    assert(mixed.count() ==
+      Curation.mixtureSample(docs, Map.empty, default = 1.5).count())
+  }
+
   test("decontaminate drops a planted eval copy and keeps clean docs") {
     val evalDocs = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
       .toDF("eval_id", "text")
