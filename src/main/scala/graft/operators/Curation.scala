@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Hash bucket in [0, 10000) for a doc id + salt — the sampling
-    * primitive shared by [[hashSplit]] and [[mixtureSample]]. */
+    * primitive shared by [[hashSplit]] and [[mixtureSample]]. The two
+    * operators DEFAULT to different salts on purpose: with a shared salt
+    * their decisions would be fully correlated (e.g. sampling at rate
+    * <= 0.9 would empty a 0.9/0.05/0.05 split's val and test sets,
+    * because both read the same bucket). */
   private def bucket(idCol: String, salt: String): Column =
     stableHash32(concat(col(idCol).cast("string"), lit(":" + salt))) % 10000
 
@@ -36,10 +40,12 @@ object Curation {
     * sum to 1). Changing `salt` re-deals the assignment; nothing else
     * (row order, partitioning, cluster size) can. */
   def hashSplit(docs: DataFrame, splits: Seq[(String, Double)],
-      salt: String = "42", idCol: String = "doc_id"): DataFrame = {
+      salt: String = "split", idCol: String = "doc_id"): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got $splits")
-    val cum = splits.scanLeft(0.0)(_ + _._2).tail.map(w => (w * 10000).toInt)
+    // round, not truncate: 0.7 * 10000 is 6999.999... in IEEE doubles and
+    // toInt would shift the boundary one bucket below the oracle's 7000
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail.map(w => math.round(w * 10000).toInt)
     val b = bucket(idCol, salt)
     val label = splits.init.zip(cum).foldRight(lit(splits.last._1): Column) {
       case (((name, _), hi), rest) => when(b < hi, name).otherwise(rest)
@@ -55,7 +61,7 @@ object Curation {
     * the repeat index a downstream shuffler/packer can fold into its key
     * so copies don't co-locate. */
   def mixtureSample(docs: DataFrame, rates: Map[String, Double],
-      default: Double = 1.0, salt: String = "42",
+      default: Double = 1.0, salt: String = "mix",
       sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     val rate = rates.foldLeft(lit(default): Column) { case (rest, (src, r)) =>
       when(col(sourceCol) === src, r).otherwise(rest)
@@ -70,27 +76,30 @@ object Curation {
 
   /** Training docs whose n-gram overlap with ANY eval doc reaches the
     * threshold: (doc_id, eval_id, overlap) with overlap = |shingles(doc) ∩
-    * shingles(eval)| / |shingles(doc)|, rounded to 6 for engine-stable
-    * comparison. The eval side is exploded to (hash, eval_id) and
-    * broadcast — eval sets are tiny next to the corpus — so the scan of
-    * the training text stays map-side; one aggregate on (doc_id, eval_id)
-    * produces the overlap counts. */
+    * shingles(eval)| / |shingles(EVAL)|, rounded to 6 for engine-stable
+    * comparison. Normalizing by the EVAL doc's n-gram count measures the
+    * fraction of the benchmark item that leaked — a 10-shingle eval answer
+    * embedded verbatim in a 1000-shingle training doc scores 1.0, not a
+    * vanishing 0.01 as train-side normalization would report. The eval
+    * side is exploded to (hash, eval_id, count) and broadcast — eval sets
+    * are tiny next to the corpus — so the scan of the training text stays
+    * map-side; one aggregate on (doc_id, eval_id) produces the overlaps. */
   def contaminationPairs(docs: DataFrame, evalDocs: DataFrame, shingleN: Int,
       threshold: Double, textCol: String = "text", idCol: String = "doc_id",
       evalIdCol: String = "eval_id"): DataFrame = {
     // spread before the md5-heavy shingle hashing: a small-file corpus
     // arrives as 1-2 partitions and would serialize the hash stage
-    val train = Dedup.spread(docs).select(col(idCol),
-      array_distinct(shingleHashes(col(textCol), shingleN)).as("hs"))
-    val trainH = train.select(col(idCol), size(col("hs")).as("n_sh"),
-      explode(col("hs")).as("h"))
-    val evalH = evalDocs.select(col(evalIdCol),
+    val trainH = Dedup.spread(docs).select(col(idCol),
         explode(array_distinct(shingleHashes(col(textCol), shingleN))).as("h"))
+    val evalSets = evalDocs.select(col(evalIdCol),
+      array_distinct(shingleHashes(col(textCol), shingleN)).as("ehs"))
+    val evalH = evalSets.select(col(evalIdCol), size(col("ehs")).as("n_esh"),
+      explode(col("ehs")).as("h"))
     trainH.join(broadcast(evalH), Seq("h"))
-      .groupBy(col(idCol), col(evalIdCol), col("n_sh"))
+      .groupBy(col(idCol), col(evalIdCol), col("n_esh"))
       .agg(count(lit(1)).as("overlap_cnt"))
       .select(col(idCol), col(evalIdCol),
-        round(col("overlap_cnt").cast("double") / col("n_sh"), 6).as("overlap"))
+        round(col("overlap_cnt").cast("double") / col("n_esh"), 6).as("overlap"))
       .filter(col("overlap") >= threshold)
   }
 
@@ -104,13 +113,15 @@ object Curation {
     docs.join(flagged, Seq(idCol), "left_anti")
   }
 
-  /** Sequence packing: assign each doc a `bin` so every bin holds ~seqLen
-    * tokens, packed first-fit in id order WITHIN its shard (`sourceCol`) —
-    * the per-shard window keeps the sort local to a partition key instead
-    * of a global order, which is how packing parallelizes at corpus scale
-    * (one shard = one window partition; no global sort). A doc larger than
-    * seqLen still lands in exactly one bin (real packers then truncate or
-    * wrap — that's a tokenizer-side decision). */
+  /** Sequence packing: assign each doc a `bin` by the prefix sum of token
+    * counts in id order WITHIN its shard (`sourceCol`) — the per-shard
+    * window keeps the sort local to a partition key instead of a global
+    * order, which is how packing parallelizes at corpus scale (one shard
+    * = one window partition; no global sort). Bins TARGET seqLen tokens:
+    * a doc straddling a boundary is assigned whole to the earlier bin, so
+    * a bin can exceed seqLen by up to that straddler's length (and a doc
+    * larger than seqLen overflows its bin outright) — the downstream
+    * assembler truncates or wraps, a tokenizer-side decision. */
   def packSequences(docs: DataFrame, seqLen: Int,
       sourceCol: String = "source", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

@@ -141,6 +141,27 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** One map-only scoring pass over the corpus — fingerprint, quality,
+    * language, token count, shingle-hash set — then the exact-dup window.
+    * Text is projected AWAY before the window, so the fingerprint shuffle
+    * carries the compact hash array, never the document body. Persisted:
+    * both consumers ([[prepPipeline]]'s survivor filter feeding LSH and
+    * the final anti-join / funnel aggregate) reference it, and Spark does
+    * not dedupe common subplans — without the persist the scoring scan
+    * and the window shuffle would run twice per action. */
+  private def flaggedCorpus(docs: DataFrame, shingleN: Int,
+      textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    spread(docs).select(col(idCol),
+        contentFingerprint(col(textCol)).as("fp"),
+        round(qualityScore(col(textCol)), 6).as("quality"),
+        langId(col(textCol)).as("lang_guess"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        array_distinct(shingleHashes(col(textCol), shingleN)).as("hs"))
+      .withColumn("keep_exact", col(idCol) === min(col(idCol)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Training-data prep funnel — the composition a pretraining-data job
     * runs over a raw document corpus, as ONE DataFrame plan:
     *
@@ -153,25 +174,21 @@ object Dedup {
     *     stages — the expensive stage sees the smallest corpus)
     *
     * Returns the kept documents plus per-doc `quality`/`n_tokens`. The
-    * scale shape: one fingerprint shuffle (window on a short md5 key),
-    * map-only scoring fused into the same scan, and the LSH stages of
-    * [[minhashLshPairs]] (signature/bucket shuffles on compact keys only).
-    * Text crosses a shuffle only in the final semi-join of survivors.
+    * scale shape: one scoring scan ([[flaggedCorpus]], text dropped before
+    * any exchange), one fingerprint-window shuffle of hash arrays, and the
+    * LSH stages of [[minhashLshPairsFromHashes]] over the already-computed
+    * shingle hashes (signature/bucket shuffles on compact keys only).
+    * Raw text never crosses a shuffle.
     */
   def prepPipeline(docs: DataFrame, minQuality: Double, lang: String,
       shingleN: Int, bands: Int, rowsPerBand: Int, threshold: Double,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val flagged = spread(docs).select(col(idCol), col(textCol),
-        contentFingerprint(col(textCol)).as("fp"),
-        round(qualityScore(col(textCol)), 6).as("quality"),
-        langId(col(textCol)).as("lang_guess"),
-        tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .withColumn("keep_exact", col(idCol) === min(col(idCol)).over(w))
+    val flagged = flaggedCorpus(docs, shingleN, textCol, idCol)
     val survivors = flagged.filter(col("keep_exact") &&
       col("quality") >= minQuality && col("lang_guess") === lang)
-    val ndRemoved = minhashLshPairs(survivors, shingleN, bands, rowsPerBand,
-        threshold, textCol, idCol)
+    val ndRemoved = minhashLshPairsFromHashes(
+        survivors.select(col(idCol).as("id"), col("hs")),
+        bands, rowsPerBand, threshold)
       .select(col("id_b").as(idCol)).distinct()
     survivors.join(ndRemoved, Seq(idCol), "left_anti")
       .select(col(idCol), col("quality"), col("n_tokens"))
@@ -184,17 +201,12 @@ object Dedup {
   def prepPipelineStats(docs: DataFrame, minQuality: Double, lang: String,
       shingleN: Int, bands: Int, rowsPerBand: Int, threshold: Double,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val flagged = spread(docs).select(col(idCol), col(textCol),
-        contentFingerprint(col(textCol)).as("fp"),
-        round(qualityScore(col(textCol)), 6).as("quality"),
-        langId(col(textCol)).as("lang_guess"),
-        tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .withColumn("keep_exact", col(idCol) === min(col(idCol)).over(w))
+    val flagged = flaggedCorpus(docs, shingleN, textCol, idCol)
     val s3 = col("keep_exact") && col("quality") >= minQuality &&
       col("lang_guess") === lang
-    val ndRemoved = minhashLshPairs(flagged.filter(s3), shingleN, bands,
-        rowsPerBand, threshold, textCol, idCol)
+    val ndRemoved = minhashLshPairsFromHashes(
+        flagged.filter(s3).select(col(idCol).as("id"), col("hs")),
+        bands, rowsPerBand, threshold)
       .select(col("id_b").as(idCol)).distinct().withColumn("nd", lit(true))
     flagged.join(ndRemoved, Seq(idCol), "left").agg(
       count(lit(1)).as("n_total"),

@@ -181,13 +181,16 @@ object Multimodal {
     if (ascii(0, "RIFF") && ascii(8, "WAVE")) {
       var p = 12
       var ch = 0; var rate = 0; var bits = 0; var byteRate = 0L; var dataLen = -1L
-      while (p + 8 <= data.length && (ch == 0 || dataLen < 0)) {
-        val size = le32(p + 4)
+      var ok = true
+      while (ok && p + 8 <= data.length && (ch == 0 || dataLen < 0)) {
+        val size = le32(p + 4) // unsigned via Long: a corrupt 0xFFFFFFF8
+        // must not become a negative step that spins or walks backwards
         if (ascii(p, "fmt ") && p + 24 <= data.length) {
           ch = le16(p + 10); rate = le32(p + 12).toInt
           byteRate = le32(p + 16); bits = le16(p + 22)
         } else if (ascii(p, "data")) dataLen = size
-        p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        val next = p.toLong + 8L + size + (size & 1L) // chunks word-aligned
+        if (next > Int.MaxValue) ok = false else p = next.toInt
       }
       if (ch == 0 || rate == 0) None
       else Some(("wav", ch, rate, bits,

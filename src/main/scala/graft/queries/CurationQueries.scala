@@ -14,8 +14,10 @@ object CurationQueries {
 
   private val toksSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
   private def hash32(s: String) = s"(('0x' || substr(md5($s), 1, 8))::UBIGINT)"
-  // the Curation.bucket primitive in DuckDB terms (salt "42")
-  private val bucketSql = s"${hash32("doc_id::VARCHAR || ':42'")} % 10000"
+  // the Curation.bucket primitive in DuckDB terms; the operators default
+  // to distinct salts so split and sampling decisions decorrelate
+  private def bucketSql(salt: String) =
+    s"${hash32(s"doc_id::VARCHAR || ':$salt'")} % 10000"
 
   val queries: Map[String, Q] = Map(
     // deterministic train/val/test assignment; the funnel is reported as
@@ -36,8 +38,8 @@ object CurationQueries {
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
         .orderBy("source")
     }),
-    // eval-set decontamination: flag train docs sharing >= 20% of their
-    // bigrams with any eval doc (eval set = every 97th doc)
+    // eval-set decontamination: flag train docs containing >= 20% of any
+    // eval doc's bigrams (eval set = every 97th doc)
     "decontaminate" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Curation.contaminationPairs(
@@ -59,13 +61,13 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "hash_split" ->
       s"""WITH f AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
-         |  $bucketSql AS b FROM documents)
+         |  ${bucketSql("split")} AS b FROM documents)
          |SELECT CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
          |    ELSE 'test' END AS split,
          |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "mixture_sample" ->
-      s"""WITH f AS (SELECT source, $bucketSql AS b FROM documents)
+      s"""WITH f AS (SELECT source, ${bucketSql("mix")} AS b FROM documents)
          |SELECT source, count(*) AS n_kept FROM f
          |WHERE b < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
          |  ELSE 0.5 END) * 10000
@@ -79,9 +81,9 @@ object CurationQueries {
          |tr AS (SELECT doc_id, hs FROM sh WHERE doc_id % 97 != 0),
          |e AS (SELECT doc_id AS eval_id, hs AS ehs FROM sh WHERE doc_id % 97 = 0)
          |SELECT doc_id, eval_id,
-         |  round(len(list_intersect(hs, ehs))::DOUBLE / len(hs), 6) AS overlap
+         |  round(len(list_intersect(hs, ehs))::DOUBLE / len(ehs), 6) AS overlap
          |FROM tr, e
-         |WHERE round(len(list_intersect(hs, ehs))::DOUBLE / len(hs), 6) >= 0.2
+         |WHERE round(len(list_intersect(hs, ehs))::DOUBLE / len(ehs), 6) >= 0.2
          |ORDER BY doc_id, eval_id""".stripMargin,
     "pack_sequences" ->
       s"""WITH f AS (SELECT source, doc_id, len($toksSql)::BIGINT AS n

@@ -57,19 +57,24 @@ class CurationSpec extends SparkSpec {
       Curation.mixtureSample(docs, Map.empty, default = 1.5).count())
   }
 
-  test("decontaminate drops a planted eval copy and keeps clean docs") {
-    val evalDocs = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
-      .toDF("eval_id", "text")
+  test("decontaminate drops planted leaks (verbatim AND embedded) by eval fraction") {
+    val evalText = "the quick brown fox jumps over the lazy dog today"
+    val evalDocs = Seq((100L, evalText)).toDF("eval_id", "text")
     val train = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog today"), // verbatim copy
+      (1L, evalText), // verbatim copy: overlap 1.0
       (2L, "completely unrelated words about spark and parquet files"),
       (3L, "the quick brown fox appears here but the rest differs a lot " +
-        "with many extra unrelated trailing tokens beyond the overlap")
+        "with many extra unrelated trailing tokens beyond the overlap"),
+      // the whole eval answer embedded inside a much longer doc — the
+      // case train-side normalization would score ~0 and miss
+      (4L, "some long introduction with many additional words " + evalText +
+        " followed by plenty of trailing filler text that pads the length " +
+        "of this training document far beyond the quoted answer")
     ).toDF("doc_id", "text")
     val pairs = Curation.contaminationPairs(train, evalDocs,
       shingleN = 2, threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
-    assert(pairs == Set(1L))
+    assert(pairs == Set(1L, 4L))
     val kept = Curation.decontaminate(train, evalDocs, shingleN = 2,
       threshold = 0.5).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L))

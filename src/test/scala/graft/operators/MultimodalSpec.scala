@@ -125,6 +125,12 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.probeAudio("RIFFxxxxWAVE".getBytes).isEmpty) // no fmt_
     assert(Multimodal.probeAudio(Array.empty[Byte]).isEmpty)
     assert(Multimodal.probeAudio(null).isEmpty)
+    // corrupt chunk size 0xFFFFFFF8: must neither spin nor walk backwards
+    val badWav = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(16).put("WAVE".getBytes)
+      .put("junk".getBytes).putInt(0xfffffff8)
+      .array()
+    assert(Multimodal.probeAudio(badWav).isEmpty)
   }
 
   test("audioMetadata maps the prober over a binary column (unknowns survive)") {
