@@ -126,6 +126,26 @@ object TextFunctions {
     lengthScore * 0.4 + alphaRatio * 0.4 + wordLenScore * 0.2
   }
 
+  /** BPE-style pre-tokenization pattern (the GPT-2 shape, lookaheads
+    * dropped so the same pattern runs on Java regex and RE2): common
+    * contraction suffixes, space-glued letter runs, digit runs, and
+    * punctuation runs, with residual whitespace as its own match. */
+  val BpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish pre-tokens of the raw text (case/space-preserving — unlike
+    * [[tokens]] this is the LLM tokenizer's view, where ' world' and
+    * 'world' differ). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Token count under BPE-ish pre-tokenization: matches containing any
+    * non-whitespace (pure-whitespace runs separate tokens but are not
+    * counted). The budget estimator for packing/pricing when the real
+    * vocab merge table isn't in the loop. */
+  def bpeTokenCount(text: Column): Column =
+    size(filter(bpeTokens(text), t => t.rlike("\\S")))
+
   /** Exact-dup fingerprint: md5 of whitespace-normalized lowercase text. */
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))

@@ -29,6 +29,15 @@ object TextQueries {
           round(qualityScore(col("text")), 6).as("quality"))
         .orderBy("doc_id")
     }),
+    // BPE-ish pre-tokenization counts next to whitespace counts: the
+    // token-budget estimate a packer/pricer uses vs the naive one
+    "bpe_stats" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+          tokenCount(col("text")).cast("long").as("n_ws_tokens"))
+        .orderBy("doc_id")
+    }),
     // n-gram-profile language ID heuristic
     "lang_id" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -109,6 +118,13 @@ object TextQueries {
          |        ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text) END) * 0.4
          |    + (CASE WHEN (length(text) - (len(toks) - 1.0)) / len(toks) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
+    "bpe_stats" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(regexp_extract_all(text,
+         |    '''s|''t|''re|''ve|''m|''ll|''d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+'),
+         |    x -> regexp_matches(x, '\\S')))::BIGINT AS n_bpe_tokens,
+         |  len($toksSql)::BIGINT AS n_ws_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id, CASE WHEN len(toks) > 0

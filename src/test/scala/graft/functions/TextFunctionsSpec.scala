@@ -75,4 +75,17 @@ class TextFunctionsSpec extends SparkSpec {
     val r = df.select(langId(col("text"))).collect().map(_.getString(0))
     assert(r(0) == "en" && r(1) == "unk")
   }
+
+  test("BPE-ish pre-tokens split contractions, glue spaces, count non-ws") {
+    val df = Seq("Hello, world! It's 42 degrees (hot).").toDF("text")
+    val toks = df.select(bpeTokens(col("text"))).collect()(0)
+      .getSeq[String](0)
+    assert(toks == Seq("Hello", ",", " world", "!", " It", "'s", " 42",
+      " degrees", " (", "hot", ")."))
+    assert(df.select(bpeTokenCount(col("text"))).collect()(0).getInt(0) == 11)
+    // whitespace runs separate but don't count; empty text counts zero
+    val ws = Seq("a  \n  b", "").toDF("text")
+      .select(bpeTokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(ws(0) == 2 && ws(1) == 0)
+  }
 }
