@@ -175,4 +175,39 @@ class PlanAuditSpec extends SparkSpec {
       assert(df.collect().nonEmpty) // and the plan itself is sound
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("prep funnel's fingerprint window never shuffles the document text") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val df = graft.operators.Dedup.prepPipeline(docs, minQuality = 0.3,
+      lang = "en", shingleN = 2, bands = 4, rowsPerBand = 2, threshold = 0.3)
+    // the flagged corpus is persisted, so the window lives inside the
+    // InMemoryRelation's cached physical plan — behind an
+    // AdaptiveSparkPlanExec, which is a LEAF node (collect won't descend)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        (r.cachedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.inputPlan
+          case p => p
+        }).collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+    }.flatten
+    assert(windows.nonEmpty, "expected the exact-dedup window in the plan")
+    windows.foreach { w =>
+      assert(!w.child.output.exists(_.name == "text"),
+        s"text column crosses the window shuffle: ${w.child.output.map(_.name)}")
+    }
+  }
+
+  test("decontamination joins broadcast the eval side, never sort-merge") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = executedPlan(graft.operators.Curation.contaminationPairs(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("eval_id"), col("text")),
+      shingleN = 2, threshold = 0.2))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

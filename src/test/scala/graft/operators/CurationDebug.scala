@@ -58,3 +58,17 @@ object CurationDebug {
     spark.stop()
   }
 }
+
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = Dedup.prepPipeline(docs, 0.3, "en", 2, 4, 2, 0.3)
+    println("=== optimized ===")
+    println(df.queryExecution.optimizedPlan.treeString.take(3000))
+    spark.stop()
+  }
+}
