@@ -86,7 +86,9 @@ object Streaming {
     */
   def dedupIngest(spark: org.apache.spark.sql.SparkSession, sourceDir: String,
       acceptedDir: String, checkpointDir: String, shingleN: Int = 2,
-      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.5): StreamingQuery = {
+      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.5,
+      minQuality: Option[Double] = None,
+      lang: Option[String] = None): StreamingQuery = {
     import graft.functions.TextFunctions._
     val docsPath = s"$acceptedDir/docs"
     val bucketsPath = s"$acceptedDir/buckets"
@@ -106,7 +108,13 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val hashed = batch
+        // the streaming face of the batch prep funnel: cheap map-side
+        // quality/language gates run BEFORE any hashing, so rejected docs
+        // never cost an md5 pass or a bucket lookup
+        val gates = minQuality.map(m => round(qualityScore(col("text")), 6) >= m) ++
+          lang.map(lg => langId(col("text")) === lg)
+        val gated = gates.reduceOption(_ && _).map(batch.filter).getOrElse(batch)
+        val hashed = gated
           .select(col("doc_id"), col("text"),
             array_distinct(shingleHashes(col("text"), shingleN)).as("hs"))
           .persist()

@@ -188,6 +188,24 @@ class StreamingSpec extends SparkSpec {
     assert(bucketIds == Set(1L, 3L, 5L))
   }
 
+  test("streaming ingest quality/lang gates reject before hashing") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_gate_src_").toString
+    val ckpt = Files.createTempDirectory("graft_gate_ckpt_").toString
+    val acc = Files.createTempDirectory("graft_gate_acc_").toString + "/state"
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "1 2 3 4 5 6"), // zero alpha ratio -> fails the quality gate
+      (3L, "zzz qqq www eee rrr ttt yyy uuu")  // no stopwords -> fails lang
+    ).toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(src)
+    val q = Streaming.dedupIngest(spark, src, acc, ckpt, threshold = 0.5,
+      minQuality = Some(0.3), lang = Some("en"))
+    q.awaitTermination(60000)
+    val accepted = spark.read.parquet(s"$acc/docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(accepted == Set(1L), s"got $accepted")
+  }
+
   test("windowed event-time aggregation with watermark over events stream") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
