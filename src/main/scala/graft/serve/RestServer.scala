@@ -175,12 +175,21 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           val k = if (req.hasNonNull("k")) req.get("k").asInt() else 10
           val opts = Option(req.get("options"))
           def opt(name: String) = opts.flatMap(o => Option(o.get(name)))
+          // filtered code-tier searches post-filter a k*oversample pool:
+          // callers either pin `oversample` directly or send the filter's
+          // estimated `selectivity` (kept-row fraction) and get the
+          // principled 1.5/selectivity sizing
+          val oversample = opt("oversample").map(_.asInt())
+            .orElse(opt("selectivity").map(s =>
+              graft.operators.Tuning.suggestOversample(s.asDouble())))
+            .getOrElse(3)
           val hits = store.searchMode(
             qv, k,
             mode = opt("mode").map(_.asText()).getOrElse("exact"),
             metric = opt("metric").map(_.asText()).getOrElse("cosine"),
             filterJson = Option(req.get("filter")).map(mapper.writeValueAsString),
-            scoreThreshold = opt("score_threshold").map(_.asDouble())
+            scoreThreshold = opt("score_threshold").map(_.asDouble()),
+            oversample = oversample
           ).collect()
           val includeMeta = opt("include_metadata").exists(_.asBoolean())
           val n = obj()

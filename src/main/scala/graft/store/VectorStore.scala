@@ -382,7 +382,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     * [[search]]. */
   def searchMode(query: Array[Float], k: Int, mode: String = "exact",
       metric: String = "cosine", filterJson: Option[String] = None,
-      scoreThreshold: Option[Double] = None): DataFrame = {
+      scoreThreshold: Option[Double] = None, oversample: Int = 3): DataFrame = {
     if (mode == "exact")
       return search(query, k, metric, filterJson, scoreThreshold)
     import spark.implicits._
@@ -393,8 +393,10 @@ class VectorStore(val spark: SparkSession, val path: String,
       case "pq" | "sq" =>
         require(metric == "l2" || metric == "cosine",
           s"mode '$mode' is a code tier serving l2|cosine; got metric '$metric'")
-        if (mode == "pq") searchBatchPq(q, k, metric = metric, filterJson = filterJson)
-        else searchBatchSq(q, k, metric = metric, filterJson = filterJson)
+        if (mode == "pq") searchBatchPq(q, k, metric = metric,
+          filterJson = filterJson, oversample = oversample)
+        else searchBatchSq(q, k, metric = metric,
+          filterJson = filterJson, oversample = oversample)
       case other => throw new IllegalArgumentException(
         s"unknown search mode '$other' (exact|recent_index|pq|sq)")
     }

@@ -171,6 +171,15 @@ class RestServerSpec extends SparkSpec {
         s"""{"vector": ${vecJson(1)}, "filter": {"x": 1},
             "options": {"metric": "l2", "mode": "pq"}}""")
       assert(fs2 == 200 && fr2.get("results").size() == 0)
+      // the oversample knob rides through: explicitly, or sized from a
+      // selectivity estimate via Tuning.suggestOversample (1.5/selectivity)
+      for (o <- Seq(""""oversample": 10""", """"selectivity": 0.15""")) {
+        val (os, or) = call(srv, "POST", "/api/v1/search",
+          s"""{"vector": ${vecJson(7)}, "k": 3,
+              "options": {"metric": "l2", "mode": "sq", $o}}""")
+        assert(os == 200, s"option $o failed: $or")
+        assert(or.get("results").get(0).get("id").asText() == "h7")
+      }
       // unknown mode -> 400; and a metric the code tier cannot rank
       // (dot) -> 400 instead of a silent misorder
       assert(call(srv, "POST", "/api/v1/search",
