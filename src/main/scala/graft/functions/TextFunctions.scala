@@ -126,12 +126,23 @@ object TextFunctions {
     lengthScore * 0.4 + alphaRatio * 0.4 + wordLenScore * 0.2
   }
 
+  /** Explicit whitespace class for the BPE pattern: Java's \s includes
+    * vertical tab (\x0B) while RE2's does not, so a bare \s in the pattern
+    * would make the two engines tokenize VT differently — spelled out, both
+    * agree. */
+  private val BpeWs = "\\t\\n\\x0B\\f\\r "
+
+  /** A char the BPE whitespace class excludes — the "counts as a token"
+    * test, shared verbatim with the DuckDB oracle. */
+  val BpeNonWs: String = s"[^$BpeWs]"
+
   /** BPE-style pre-tokenization pattern (the GPT-2 shape, lookaheads
     * dropped so the same pattern runs on Java regex and RE2): common
     * contraction suffixes, space-glued letter runs, digit runs, and
     * punctuation runs, with residual whitespace as its own match. */
   val BpePattern: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+" +
+      s"| ?[^$BpeWs\\p{L}\\p{N}]+|[$BpeWs]+"
 
   /** BPE-ish pre-tokens of the raw text (case/space-preserving — unlike
     * [[tokens]] this is the LLM tokenizer's view, where ' world' and
@@ -144,7 +155,7 @@ object TextFunctions {
     * counted). The budget estimator for packing/pricing when the real
     * vocab merge table isn't in the loop. */
   def bpeTokenCount(text: Column): Column =
-    size(filter(bpeTokens(text), t => t.rlike("\\S")))
+    size(filter(bpeTokens(text), t => t.rlike(BpeNonWs)))
 
   /** Exact-dup fingerprint: md5 of whitespace-normalized lowercase text. */
   def contentFingerprint(text: Column): Column =

@@ -121,8 +121,8 @@ object TextQueries {
     "bpe_stats" ->
       s"""SELECT doc_id,
          |  len(list_filter(regexp_extract_all(text,
-         |    '''s|''t|''re|''ve|''m|''ll|''d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+'),
-         |    x -> regexp_matches(x, '\\S')))::BIGINT AS n_bpe_tokens,
+         |    '${graft.functions.TextFunctions.BpePattern.replace("'", "''")}'),
+         |    x -> regexp_matches(x, '${graft.functions.TextFunctions.BpeNonWs}')))::BIGINT AS n_bpe_tokens,
          |  len($toksSql)::BIGINT AS n_ws_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
     "lang_id" ->

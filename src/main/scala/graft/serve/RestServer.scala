@@ -178,9 +178,18 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           // filtered code-tier searches post-filter a k*oversample pool:
           // callers either pin `oversample` directly or send the filter's
           // estimated `selectivity` (kept-row fraction) and get the
-          // principled 1.5/selectivity sizing
-          val oversample = opt("oversample").map(_.asInt())
-            .orElse(opt("selectivity").map(s =>
+          // principled 1.5/selectivity sizing. Validated like metric/mode:
+          // a zero/negative/non-integer oversample would silently empty
+          // the quantized tier, so it's a 400, not a quiet no-result
+          val osNode = opt("oversample")
+          val selNode = opt("selectivity")
+          if (osNode.exists(n => !n.isIntegralNumber || n.asInt() < 1))
+            (400, err("oversample must be a positive integer"))
+          else if (selNode.exists(n => !n.isNumber))
+            (400, err("selectivity must be a number"))
+          else {
+          val oversample = osNode.map(_.asInt())
+            .orElse(selNode.map(s =>
               graft.operators.Tuning.suggestOversample(s.asDouble())))
             .getOrElse(3)
           val hits = store.searchMode(
@@ -208,6 +217,7 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           n.put("query_time_ms", (System.nanoTime() - t0) / 1e6)
           queryCache.put(cacheKey, n.deepCopy())
           (200, n)
+          }
         }
       case _ => (405, err("method not allowed"))
     })

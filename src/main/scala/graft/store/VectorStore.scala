@@ -377,12 +377,14 @@ class VectorStore(val spark: SparkSession, val path: String,
     * REST layer's bridge to the serving artifacts. Modes: "exact" (the
     * [[search]] scan), "recent_index" (saved-HNSW recent tier),
     * "pq" / "sq" (historical tier from its code table; l2 or cosine;
-    * filters use k*3 oversample + post-filter on the quantized part).
-    * Results carry the same (id, distance, score, metadata) shape as
-    * [[search]]. */
+    * filters post-filter a k*`oversample` pool on the quantized part —
+    * x3 default per the reference, sized via `Tuning.suggestOversample`
+    * when the caller knows the filter's selectivity). Results carry the
+    * same (id, distance, score, metadata) shape as [[search]]. */
   def searchMode(query: Array[Float], k: Int, mode: String = "exact",
       metric: String = "cosine", filterJson: Option[String] = None,
       scoreThreshold: Option[Double] = None, oversample: Int = 3): DataFrame = {
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
     if (mode == "exact")
       return search(query, k, metric, filterJson, scoreThreshold)
     import spark.implicits._
@@ -847,6 +849,7 @@ class VectorStore(val spark: SparkSession, val path: String,
       recentK: Option[Int] = None, historicalK: Option[Int] = None,
       metric: String = "l2", filterJson: Option[String] = None,
       oversample: Int = 3): DataFrame = {
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
     require(hasPq, "PQ tier not built; call enablePq()")
     val model = Pq.load(spark, dir("pq_model"))
     codeTierSearch(queries, k, "pq_codes", recentK, historicalK, metric,
@@ -973,6 +976,7 @@ class VectorStore(val spark: SparkSession, val path: String,
       recentK: Option[Int] = None, historicalK: Option[Int] = None,
       metric: String = "l2", filterJson: Option[String] = None,
       oversample: Int = 3): DataFrame = {
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
     require(hasSq, "SQ tier not built; call enableSq()")
     codeTierSearch(queries, k, "sq_codes", recentK, historicalK, metric,
         filterJson, oversample) {

@@ -172,13 +172,23 @@ class RestServerSpec extends SparkSpec {
             "options": {"metric": "l2", "mode": "pq"}}""")
       assert(fs2 == 200 && fr2.get("results").size() == 0)
       // the oversample knob rides through: explicitly, or sized from a
-      // selectivity estimate via Tuning.suggestOversample (1.5/selectivity)
+      // selectivity estimate via Tuning.suggestOversample (1.5/selectivity).
+      // The filter (empty $and = match-all, F4) makes filterJson defined so
+      // the code tier actually takes the k*oversample post-filter path
       for (o <- Seq(""""oversample": 10""", """"selectivity": 0.15""")) {
         val (os, or) = call(srv, "POST", "/api/v1/search",
-          s"""{"vector": ${vecJson(7)}, "k": 3,
+          s"""{"vector": ${vecJson(7)}, "k": 3, "filter": {"$$and": []},
               "options": {"metric": "l2", "mode": "sq", $o}}""")
         assert(os == 200, s"option $o failed: $or")
         assert(or.get("results").get(0).get("id").asText() == "h7")
+      }
+      // a zero/negative/non-integer oversample would silently empty the
+      // quantized tier -> 400, matching the route's bad-option convention
+      for (bad <- Seq(""""oversample": 0""", """"oversample": -2""",
+          """"oversample": "ten"""", """"selectivity": "low"""")) {
+        assert(call(srv, "POST", "/api/v1/search",
+          s"""{"vector": ${vecJson(1)}, "options": {"mode": "sq", $bad}}""")._1 == 400,
+          s"expected 400 for $bad")
       }
       // unknown mode -> 400; and a metric the code tier cannot rank
       // (dot) -> 400 instead of a silent misorder
