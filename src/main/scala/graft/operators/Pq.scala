@@ -168,6 +168,119 @@ object Pq {
       idCol, queryIdCol, queryEmbCol, metric)
   }
 
+  // ---- residual IVF-PQ (the FAISS formulation: PQ on r = v - centroid) ----
+
+  /** Let-bind a column through a one-element transform so `f`'s multiple
+    * references evaluate it once per row (see TextFunctions.shingles for
+    * the same idiom — CollapseProject would otherwise inline the full
+    * expression at every reference site). */
+  private def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
+  /** (cluster_id -> centroid) collected from the tiny centroid relation. */
+  private def collectCentroids(centroids: DataFrame): Map[Long, Array[Float]] =
+    centroids.select(col("cluster_id").cast("long"), col("centroid")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  /** Train PQ codebooks on RESIDUALS (v - its cluster centroid): residuals
+    * concentrate around zero with far less variance than raw vectors, so
+    * the same m x k code budget quantizes them with lower error — the
+    * classic IVF-PQ refinement. `assigned` must carry (embCol, cluster_id)
+    * (the output of [[Ivf.assign]]). */
+  def trainResidual(assigned: DataFrame, centroids: DataFrame, dim: Int,
+      m: Int = 8, k: Int = 16, embCol: String = "embedding",
+      trainSize: Int = 10000, seed: Long = 42L): PqModel = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val cents = collectCentroids(centroids)
+    val sample: Array[Array[Float]] = assigned
+      .select(col(embCol), col("cluster_id").cast("long"))
+      .orderBy(org.apache.spark.sql.functions.rand(seed)).limit(trainSize)
+      .collect().map { r =>
+        val v = r.getSeq[Float](0).toArray
+        val c = cents(r.getLong(1))
+        Array.tabulate(v.length)(i => v(i) - c(i))
+      }
+    val books = Array.tabulate(m) { s =>
+      val sub = sample.map(v => v.slice(s * subDim, (s + 1) * subDim))
+      Lloyd.kmeans(sub, k, maxIter = 25, seed = seed + s)
+    }
+    PqModel(m, k, subDim, books)
+  }
+
+  /** Residual-encode: [[encode]] of (embedding - centroid(cluster_id)),
+    * map-only via a broadcast centroid literal — the residual is let-bound
+    * so the subtraction runs once per row, not once per subspace. */
+  def encodeResidual(model: PqModel, centroids: DataFrame,
+      embCol: Column, clusterCol: Column): Column = {
+    val cents = collectCentroids(centroids)
+    val n = cents.keys.max.toInt + 1
+    require(cents.size == n, s"centroid ids not contiguous 0..${n - 1}")
+    val centLit = typedLit(Array.tabulate(n)(i => cents(i.toLong)))
+    val residual = zip_with(embCol,
+      element_at(centLit, clusterCol.cast("int") + 1), (a, b) => a - b)
+    bindOnce(residual)(r => encode(model, r))
+  }
+
+  /** Batch residual IVF-PQ search (l2): approximate distance is
+    * ||(q - centroid_c) - decode(codes)||, so the ADC lookup table depends
+    * on the (query, probed cluster) PAIR — built per probe pair on the
+    * driver (|tables| = nq x nProbe x m x k doubles, bounded) and served
+    * by the same codegen table kernel through the pair index. Coarse
+    * pruning, shortlist and exact rerank are identical to
+    * [[searchBatchIvfPq]]. */
+  def searchBatchIvfPqResidual(encoded: DataFrame, centroids: DataFrame,
+      model: PqModel, queries: DataFrame, k: Int, nProbe: Int,
+      shortlist: Int = 100, rerank: Option[DataFrame] = None,
+      idCol: String = "id", queryIdCol: String = "query_id",
+      queryEmbCol: String = "q_embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val pRows = Ivf.probes(centroids, queries, nProbe, "l2",
+      queryIdCol, queryEmbCol).collect()
+    val cents = collectCentroids(centroids)
+    val pairs = pRows.map { r =>
+      (r.getAs[Long](queryIdCol),
+        r.getAs[scala.collection.Seq[Float]](queryEmbCol).toArray,
+        r.getAs[Long]("cluster_id"))
+    }
+    val tables: Array[Array[Array[Double]]] = pairs.map { case (_, q, c) =>
+      val cent = cents(c)
+      val res = Array.tabulate(q.length)(i => q(i) - cent(i))
+      Array.tabulate(model.m) { s =>
+        val rs = res.slice(s * model.subDim, (s + 1) * model.subDim)
+        model.codebooks(s).map { cell =>
+          var acc = 0.0; var i = 0
+          while (i < rs.length) { val d = rs(i).toDouble - cell(i).toDouble; acc += d * d; i += 1 }
+          acc
+        }
+      }
+    }
+    val p = pairs.zipWithIndex
+      .map { case ((qid, _, c), i) => (qid, i, c) }
+      .toSeq.toDF(queryIdCol, "q_idx", "cluster_id")
+    val probedIds = pairs.map(_._3).distinct
+    val pruned = encoded.filter(col("cluster_id").isin(probedIds: _*))
+    val scored = pruned
+      .join(broadcast(p), pruned("cluster_id") === p("cluster_id"))
+      .select(col(queryIdCol), col(idCol).as("id"),
+        sqrt(graft.functions.VectorExpressions.pqAdcTableDist(
+          col("codes"), col("q_idx"), tables)).as("distance"))
+    val idIsString =
+      encoded.schema(idCol).dataType == org.apache.spark.sql.types.StringType
+    val qVecs = pairs.map(pr => (pr._1, pr._2)).distinctBy(_._1)
+    val qRel = spark.createDataFrame(
+      java.util.Arrays.asList(qVecs.map(v => Row(v._1, v._2)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(queryIdCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(queryEmbCol,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    Ivf.shortlistRerankTopK(scored, qRel, k, shortlist, idIsString, rerank,
+      idCol, queryIdCol, queryEmbCol, "l2")
+  }
+
   // ---- model persistence (the X10 analog for quantization state: the
   // reference persists codebooks with the index, `ivf/persistence.rs`) ----
 

@@ -271,6 +271,30 @@ object AnnQueries {
       val exact = Knn.batch(corpus, queries, k = 10, metric = "l2")
       Ivf.evaluateRecall(approx, exact)
         .select(col("n_queries"), (col("avg_recall") >= 0.5).as("recall_ok"))
+    }),
+    // residual IVF-PQ (the FAISS formulation): codebooks trained on
+    // v - centroid(cluster), per-(query, probed-cluster) ADC tables through
+    // the same codegen kernel, exact rerank — same recall gate as ann_ivfpq
+    "ann_ivfpq_residual" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+      val cents = Ivf.train(corpus,
+        Ivf.IvfConfig(nClusters = 16, maxIterations = 10, initMode = "driver"))
+      val assigned = Ivf.assign(corpus, cents)
+        .select(col("id"), col("cluster_id").cast("long").as("cluster_id"),
+          col("embedding"))
+      val model = Pq.trainResidual(assigned, cents, dim = 64, m = 8, k = 64,
+        trainSize = 1000)
+      val enc = assigned.select(col("id"), col("cluster_id"),
+        Pq.encodeResidual(model, cents, col("embedding"), col("cluster_id"))
+          .as("codes"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val approx = Pq.searchBatchIvfPqResidual(enc, cents, model, queries,
+        k = 10, nProbe = 5, shortlist = 100, rerank = Some(corpus))
+      val exact = Knn.batch(corpus, queries, k = 10, metric = "l2")
+      Ivf.evaluateRecall(approx, exact)
+        .select(col("n_queries"), (col("avg_recall") >= 0.5).as("recall_ok"))
     }))
 
   private val centSql400 =
@@ -369,6 +393,8 @@ object AnnQueries {
     "ann_pq_adc" ->
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
     "ann_ivfpq" ->
+      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+    "ann_ivfpq_residual" ->
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
     "quantize_u8" ->
       """WITH q AS (

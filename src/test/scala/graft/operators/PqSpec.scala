@@ -88,6 +88,47 @@ class PqSpec extends SparkSpec {
     assert(noRerank.groupBy("query_id").count().collect().forall(_.getLong(1) == 10))
   }
 
+  test("residual IVF-PQ: lower reconstruction error, recall at least plain IVF-PQ") {
+    val cents = graft.queries.QueryShapes.labelCentroids(emb)
+      .select(col("label").cast("long").as("cluster_id"), col("centroid"))
+    val assigned = emb.select(col("vec_id").as("id"), col("embedding"),
+      col("label").cast("long").as("cluster_id"))
+    val rModel = Pq.trainResidual(assigned, cents, dim = 64, m = 8, k = 16)
+    // reconstruction: centroid + decode(residual codes) vs plain decode —
+    // residuals have less variance, so the same m x k budget fits tighter
+    val centsMap = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val centLit = typedLit(Array.tabulate(centsMap.size)(i => centsMap(i.toLong)))
+    def mse(df: org.apache.spark.sql.DataFrame, recon: org.apache.spark.sql.Column) =
+      df.select(avg(aggregate(
+        zip_with(col("embedding"), recon, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (a, v) => a + v))).head().getDouble(0)
+    val rEnc = assigned.withColumn("codes",
+      Pq.encodeResidual(rModel, cents, col("embedding"), col("cluster_id")))
+    val rErr = mse(rEnc, zip_with(
+      element_at(centLit, col("cluster_id").cast("int") + 1),
+      Pq.decode(rModel, col("codes")), (a, b) => a + b))
+    val pErr = mse(assigned.withColumn("codes", Pq.encode(model, col("embedding"))),
+      Pq.decode(model, col("codes")))
+    assert(rErr < pErr, s"residual mse $rErr !< plain mse $pErr")
+    // search: same coarse pruning, per-(query, cluster) ADC tables
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val exact = Knn.batch(corpus, queries, k = 10, metric = "l2")
+    val rApprox = Pq.searchBatchIvfPqResidual(
+      rEnc.select(col("id"), col("cluster_id"), col("codes")), cents, rModel,
+      queries, k = 10, nProbe = 5, shortlist = 100, rerank = Some(corpus))
+    val rRecall = Ivf.evaluateRecall(rApprox, exact).head().getDouble(0)
+    val pApprox = Pq.searchBatchIvfPq(
+      emb.select(col("vec_id").as("id"), col("label").cast("long").as("cluster_id"),
+        Pq.encode(model, col("embedding")).as("codes")),
+      cents, model, queries, k = 10, nProbe = 5, shortlist = 100,
+      rerank = Some(corpus))
+    val pRecall = Ivf.evaluateRecall(pApprox, exact).head().getDouble(0)
+    assert(rRecall >= pRecall - 1e-9, s"residual recall $rRecall < plain $pRecall")
+    assert(rApprox.groupBy("query_id").count().collect().forall(_.getLong(1) == 10))
+  }
+
   test("IVF-PQ cosine: inner-product ADC shortlist + exact cosine rerank") {
     val cents = graft.queries.QueryShapes.labelCentroids(emb)
       .select(col("label").cast("long").as("cluster_id"), col("centroid"))
