@@ -759,27 +759,55 @@ class VectorStore(val spark: SparkSession, val path: String,
     * cheap re-encode path after vacuum), 8-byte-per-vector codes at
     * `pq_codes`, cluster-partitioned like the tier itself so probed search
     * stays partition-pruned. Codes carry (vid, ts) so tombstones and the
-    * post-`migrate` delta compose at search time. */
+    * post-`migrate` delta compose at search time.
+    *
+    * `residual = true` trains and encodes against each row's coarse
+    * centroid (the FAISS IVF-PQ formulation — tighter codes from the same
+    * m x k budget); the flag persists with the model so search and
+    * refresh dispatch the matching path. The residual tier serves l2
+    * only. */
   def enablePq(m: Int = 8, kCodes: Int = 64, trainSize: Int = 10000,
-      retrain: Boolean = true): Unit = {
+      retrain: Boolean = true, residual: Boolean = false): Unit = {
     require(hasRowsRecursive("historical"),
       "PQ tier requires a populated historical tier (run migrate first)")
     val hist = historical
     val dim = dimension.getOrElse(
       throw new IllegalStateException("store has no manifest dimension"))
+    if (!retrain && exists("pq_model"))
+      require(residual == pqIsResidual,
+        s"saved pq_model residual=$pqIsResidual, requested residual=$residual" +
+          " — retrain to switch formulations")
     val model =
       if (!retrain && exists("pq_model")) Pq.load(spark, dir("pq_model"))
       else {
-        val t = Pq.train(hist, dim, m, kCodes, trainSize = trainSize)
+        val t =
+          if (residual) Pq.trainResidual(
+            hist.select(col("embedding"), col("cluster_id")), centroids,
+            dim, m, kCodes, trainSize = trainSize)
+          else Pq.train(hist, dim, m, kCodes, trainSize = trainSize)
         Pq.save(spark, t, dir("pq_model"))
+        import spark.implicits._
+        Seq(residual).toDF("residual").repartition(1)
+          .write.mode(SaveMode.Overwrite).parquet(dir("pq_flags"))
         t
       }
     val codes = hist.select(col("id"), col("vid"), col("ts"),
       col("cluster_id").cast("long").as("cluster_id"),
-      Pq.encode(model, col("embedding")).as("codes"))
+      pqEncodeCol(model, residual).as("codes"))
     storeWrite(codes).mode(SaveMode.Overwrite)
       .partitionBy("cluster_id").parquet(dir("pq_codes"))
   }
+
+  /** The persisted formulation flag of the saved PQ model (plain stores
+    * written before the flag existed read as plain). */
+  private def pqIsResidual: Boolean =
+    exists("pq_flags") &&
+      spark.read.parquet(dir("pq_flags")).head().getBoolean(0)
+
+  private def pqEncodeCol(model: Pq.PqModel, residual: Boolean) =
+    if (residual)
+      Pq.encodeResidual(model, centroids, col("embedding"), col("cluster_id"))
+    else Pq.encode(model, col("embedding"))
 
   def hasPq: Boolean = exists("pq_model") && hasRowsRecursive("pq_codes")
 
@@ -795,10 +823,11 @@ class VectorStore(val spark: SparkSession, val path: String,
   def refreshPq(): Long = {
     require(hasPq, "PQ tier not built; call enablePq()")
     val model = Pq.load(spark, dir("pq_model"))
+    val residual = pqIsResidual
     appendCodeDelta("pq_codes") { delta =>
       delta.select(col("id"), col("vid"), col("ts"),
         col("cluster_id").cast("long").as("cluster_id"),
-        Pq.encode(model, col("embedding")).as("codes"))
+        pqEncodeCol(model, residual).as("codes"))
     }
   }
 
@@ -852,12 +881,21 @@ class VectorStore(val spark: SparkSession, val path: String,
     require(oversample >= 1, s"oversample must be >= 1, got $oversample")
     require(hasPq, "PQ tier not built; call enablePq()")
     val model = Pq.load(spark, dir("pq_model"))
+    val residual = pqIsResidual
+    require(!residual || metric == "l2",
+      s"residual PQ tier serves l2 only, got '$metric'")
     codeTierSearch(queries, k, "pq_codes", recentK, historicalK, metric,
         filterJson, oversample) {
       (codes, hist, histK) =>
         // the oversampled filtered ask (histK = k*oversample) must not be
         // re-truncated by a smaller approximate shortlist upstream of it
-        Pq.searchBatchIvfPq(
+        if (residual)
+          Pq.searchBatchIvfPqResidual(
+            codes.select(col("id"), col("cluster_id"), col("codes")),
+            centroids, model, queries, histK, nProbe,
+            math.max(shortlist, histK),
+            rerank = Some(hist.select(col("id"), col("embedding"))))
+        else Pq.searchBatchIvfPq(
           codes.select(col("id"), col("cluster_id"), col("codes")),
           centroids, model, queries, histK, nProbe,
           math.max(shortlist, histK),

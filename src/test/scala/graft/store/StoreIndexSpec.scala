@@ -126,6 +126,34 @@ class StoreIndexSpec extends SparkSpec {
     assert(pq4 == exact4)
   }
 
+  test("residual PQ tier: flag persists, serves oracle-equal l2, rejects cosine") {
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_pqr_").toString,
+      Config(recentThresholdSeconds = 3600, nClusters = 4))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert((0 until 50).map(i => VectorRecord(s"r$i", vec(i), tsString = Some(oldTs))))
+    assert(st.migrate() == 50)
+    st.enablePq(m = 4, kCodes = 8, trainSize = 50, residual = true)
+    assert(st.hasPq)
+    val q = mkQueries(7L, 52L)
+    // full probe + shortlist >= corpus + exact rerank => identical to exact
+    val pq = hitSet(st.searchBatchPq(q, k = 5, nProbe = 4, shortlist = 100))
+    val exact = hitSet(st.searchBatch(q, k = 5, metric = "l2", nProbe = 4))
+    assert(pq == exact)
+    // the residual tier serves l2 only
+    intercept[IllegalArgumentException](
+      st.searchBatchPq(q, k = 5, metric = "cosine"))
+    // refresh dispatches the residual encode for the delta
+    val moreOld = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert(Seq(VectorRecord("rLate", vec(7), tsString = Some(moreOld))))
+    assert(st.migrate() == 1)
+    assert(st.refreshPq() == 1)
+    val pq2 = hitSet(st.searchBatchPq(q, k = 3, nProbe = 4, shortlist = 100))
+    assert(pq2(7L).exists(_._1 == "rLate"))
+    // retrain=false with the other formulation is refused loudly
+    intercept[IllegalArgumentException](st.enablePq(retrain = false, residual = false))
+  }
+
   test("SQ tier round-trips and serves oracle-equal top-k with full probe") {
     val st = new VectorStore(spark,
       Files.createTempDirectory("graft_sqt_").toString,
