@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Deterministic fuzz coverage (seeded RNG, reproducible): the invariants
+  * that must hold for ARBITRARY input, not just the fixtures — the BPE
+  * pattern partitions its input exactly, scores stay in range, and the
+  * binary probers never throw on junk bytes. */
+class FuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260813L)
+  // mix ASCII, punctuation, digits, unicode letters, and every whitespace
+  // flavor (incl. the \x0B vertical tab that Java and RE2 disagree on)
+  private val alphabet =
+    "abcXYZ 019,.!?'()\t\n\f\ré世界б "
+  private def randText(maxLen: Int): String =
+    (0 until rnd.nextInt(maxLen)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+
+  private val corpus = (0 until 200).map(i => (i.toLong, randText(80)))
+
+  test("BPE pre-tokens partition the input: concatenation reconstructs it") {
+    val df = corpus.toDF("id", "text")
+    val bad = df.select(col("id"),
+        concat_ws("", bpeTokens(col("text"))).as("rebuilt"), col("text"))
+      .filter(col("rebuilt") =!= col("text"))
+    assert(bad.count() == 0, bad.collect().take(3).mkString("; "))
+  }
+
+  test("quality / stopword-ratio / jaccard stay in range on arbitrary text") {
+    val df = corpus.toDF("id", "text")
+    val scored = df.select(
+      qualityScore(col("text")).as("q"),
+      stopwordRatio(col("text")).as("s"),
+      jaccard(shingleSet(col("text"), 2), shingleSet(reverse(col("text")), 2)).as("j"))
+    val out = scored.agg(
+      min("q"), max("q"), min("s"), max("s"), min("j"), max("j")).head()
+    for (i <- 0 until 6) {
+      val v = out.getDouble(i)
+      assert(v >= 0.0 && v <= 1.0, s"column $i out of range: $v")
+    }
+  }
+
+  test("simhash fits its bit width; minhash signature length is exact") {
+    val df = corpus.toDF("id", "text")
+    val sim = df.select(simhash(col("text"), 16).as("h"))
+      .filter(col("h") < 0 || col("h") >= (1L << 16))
+    assert(sim.count() == 0)
+    val sigLens = df.select(size(minhashSignature(col("text"), 2, 8)).as("n"))
+      .distinct().as[Int].collect().toSet
+    assert(sigLens == Set(8))
+  }
+
+  test("binary probers never throw on random bytes") {
+    for (_ <- 0 until 500) {
+      val bytes = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(bytes)
+      Multimodal.probeImage(bytes) // Option result; must not throw
+      Multimodal.probeAudio(bytes)
+    }
+    // random bytes behind valid magic prefixes must not throw either
+    for (magic <- Seq("RIFF", "fLaC", "ID3", "GIF8", "BM")) {
+      for (_ <- 0 until 100) {
+        val tail = new Array[Byte](rnd.nextInt(48))
+        rnd.nextBytes(tail)
+        val bytes = magic.getBytes ++ tail
+        Multimodal.probeImage(bytes)
+        Multimodal.probeAudio(bytes)
+      }
+    }
+  }
+
+  test("FilterJson rejects junk with IllegalArgumentException, never other throwables") {
+    val junk = Seq("{", "[]", "7", "\"x\"", """{"a": {"$gt": {}}}""",
+      """{"$nope": 1}""", """{"a": {"$gte": 1, "$in": [2]}}""", "")
+    junk.foreach { j =>
+      try {
+        graft.functions.FilterJson.predicate(j, col("metadata"))
+        ()
+      } catch {
+        case _: IllegalArgumentException => ()
+        case other: Throwable => fail(s"filter '$j' threw ${other.getClass}")
+      }
+    }
+  }
+}
