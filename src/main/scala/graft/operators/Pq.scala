@@ -156,14 +156,7 @@ object Pq {
         adcDistance(model, metric, tables).as("distance"))
     val idIsString =
       encoded.schema(idCol).dataType == org.apache.spark.sql.types.StringType
-    val qRel = spark.createDataFrame(
-      java.util.Arrays.asList(qRows.map(v => Row(v._1, v._2)): _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(queryIdCol,
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField(queryEmbCol,
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)))))
+    val qRel = queryRelation(spark, qRows, queryIdCol, queryEmbCol)
     Ivf.shortlistRerankTopK(scored, qRel, k, shortlist, idIsString, rerank,
       idCol, queryIdCol, queryEmbCol, metric)
   }
@@ -177,10 +170,27 @@ object Pq {
   private def bindOnce(c: Column)(f: Column => Column): Column =
     element_at(transform(array(c), f), 1)
 
-  /** (cluster_id -> centroid) collected from the tiny centroid relation. */
-  private def collectCentroids(centroids: DataFrame): Map[Long, Array[Float]] =
+  /** (cluster_id -> centroid) collected from the tiny centroid relation.
+    * Callers composing several residual steps (train + encode) should
+    * collect once and use the Map overloads. */
+  def collectCentroids(centroids: DataFrame): Map[Long, Array[Float]] =
     centroids.select(col("cluster_id").cast("long"), col("centroid")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  /** The (query_id LONG, q_embedding ARRAY<FLOAT>) relation every batch
+    * search tail joins for rerank — one definition for all three ADC
+    * entry points. */
+  private def queryRelation(spark: org.apache.spark.sql.SparkSession,
+      qVecs: Array[(Long, Array[Float])], queryIdCol: String,
+      queryEmbCol: String): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(qVecs.map(v => Row(v._1, v._2)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(queryIdCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(queryEmbCol,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
 
   /** Train PQ codebooks on RESIDUALS (v - its cluster centroid): residuals
     * concentrate around zero with far less variance than raw vectors, so
@@ -189,10 +199,16 @@ object Pq {
     * (the output of [[Ivf.assign]]). */
   def trainResidual(assigned: DataFrame, centroids: DataFrame, dim: Int,
       m: Int = 8, k: Int = 16, embCol: String = "embedding",
-      trainSize: Int = 10000, seed: Long = 42L): PqModel = {
+      trainSize: Int = 10000, seed: Long = 42L): PqModel =
+    trainResidual(assigned, collectCentroids(centroids), dim, m, k,
+      embCol, trainSize, seed)
+
+  /** [[trainResidual]] over an already-collected centroid map. */
+  def trainResidual(assigned: DataFrame, cents: Map[Long, Array[Float]],
+      dim: Int, m: Int, k: Int, embCol: String,
+      trainSize: Int, seed: Long): PqModel = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
-    val cents = collectCentroids(centroids)
     val sample: Array[Array[Float]] = assigned
       .select(col(embCol), col("cluster_id").cast("long"))
       .orderBy(org.apache.spark.sql.functions.rand(seed)).limit(trainSize)
@@ -212,8 +228,12 @@ object Pq {
     * map-only via a broadcast centroid literal — the residual is let-bound
     * so the subtraction runs once per row, not once per subspace. */
   def encodeResidual(model: PqModel, centroids: DataFrame,
+      embCol: Column, clusterCol: Column): Column =
+    encodeResidual(model, collectCentroids(centroids), embCol, clusterCol)
+
+  /** [[encodeResidual]] over an already-collected centroid map. */
+  def encodeResidual(model: PqModel, cents: Map[Long, Array[Float]],
       embCol: Column, clusterCol: Column): Column = {
-    val cents = collectCentroids(centroids)
     val n = cents.keys.max.toInt + 1
     require(cents.size == n, s"centroid ids not contiguous 0..${n - 1}")
     val centLit = typedLit(Array.tabulate(n)(i => cents(i.toLong)))
@@ -268,15 +288,8 @@ object Pq {
           col("codes"), col("q_idx"), tables)).as("distance"))
     val idIsString =
       encoded.schema(idCol).dataType == org.apache.spark.sql.types.StringType
-    val qVecs = pairs.map(pr => (pr._1, pr._2)).distinctBy(_._1)
-    val qRel = spark.createDataFrame(
-      java.util.Arrays.asList(qVecs.map(v => Row(v._1, v._2)): _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(queryIdCol,
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField(queryEmbCol,
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)))))
+    val qRel = queryRelation(spark,
+      pairs.map(pr => (pr._1, pr._2)).distinctBy(_._1), queryIdCol, queryEmbCol)
     Ivf.shortlistRerankTopK(scored, qRel, k, shortlist, idIsString, rerank,
       idCol, queryIdCol, queryEmbCol, "l2")
   }
@@ -369,14 +382,8 @@ object Pq {
     // natively, same as Knn.batch / Ivf.searchBatch
     val idIsString =
       encoded.schema(idCol).dataType == org.apache.spark.sql.types.StringType
-    val qRel = spark.createDataFrame(
-      java.util.Arrays.asList(qVecs.map(v => Row(v._1, v._2)): _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(queryIdCol,
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField(queryEmbCol,
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)))))
+    val qRel = queryRelation(spark, qVecs.map(v => (v._1, v._2.toArray)),
+      queryIdCol, queryEmbCol)
     Ivf.shortlistRerankTopK(scored, qRel, k, shortlist, idIsString, rerank,
       idCol, queryIdCol, queryEmbCol, metric)
   }

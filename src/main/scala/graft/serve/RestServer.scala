@@ -39,7 +39,9 @@ import scala.util.control.NonFatal
   *   POST   /api/v1/admin/rebalance   {max_cluster_size?}
   *   POST   /api/v1/admin/index/recent {ef_construction?, m?, metric?}
   *   POST   /api/v1/admin/index/pq     {m?, k_codes?, train_size?, retrain?,
-  *                                      refresh?} — refresh: delta-encode only
+  *                                      residual?, refresh?} — refresh:
+  *                                      delta-encode only; residual: FAISS
+  *                                      formulation, l2-only tier
   *   POST   /api/v1/admin/index/sq     {refresh?}
   *   POST   /api/v1/admin/backup      {target}
   *   GET    /api/v1/updates?since=N
@@ -286,13 +288,19 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           queryCache.clear()
           val n = obj(); n.put("refreshed", true); n.put("encoded", encoded); (200, n)
         } else {
+          // residual: the FAISS formulation (codebooks on v - centroid);
+          // such a tier serves l2 only — cosine searches return 400
+          val residual = req != null && req.hasNonNull("residual") &&
+            req.get("residual").asBoolean()
           store.enablePq(m = optInt(req, "m", 8),
             kCodes = optInt(req, "k_codes", 64),
             trainSize = optInt(req, "train_size", 10000),
             retrain = req == null || !req.hasNonNull("retrain") ||
-              req.get("retrain").asBoolean())
+              req.get("retrain").asBoolean(),
+            residual = residual)
           queryCache.clear()
-          val n = obj(); n.put("enabled", true); (200, n)
+          val n = obj(); n.put("enabled", true)
+          n.put("residual", residual); (200, n)
         }
       case ("POST", "/api/v1/admin/index/sq") =>
         val req = body(ex)

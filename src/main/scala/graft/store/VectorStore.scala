@@ -777,32 +777,43 @@ class VectorStore(val spark: SparkSession, val path: String,
       require(residual == pqIsResidual,
         s"saved pq_model residual=$pqIsResidual, requested residual=$residual" +
           " — retrain to switch formulations")
+    // the residual steps (train + encode) share one centroid collect
+    val cents = if (residual) Some(Pq.collectCentroids(centroids)) else None
     val model =
       if (!retrain && exists("pq_model")) Pq.load(spark, dir("pq_model"))
       else {
-        val t =
-          if (residual) Pq.trainResidual(
-            hist.select(col("embedding"), col("cluster_id")), centroids,
-            dim, m, kCodes, trainSize = trainSize)
-          else Pq.train(hist, dim, m, kCodes, trainSize = trainSize)
+        val t = cents match {
+          case Some(c) => Pq.trainResidual(
+            hist.select(col("embedding"), col("cluster_id")), c,
+            dim, m, kCodes, "embedding", trainSize, 42L)
+          case None => Pq.train(hist, dim, m, kCodes, trainSize = trainSize)
+        }
         Pq.save(spark, t, dir("pq_model"))
-        import spark.implicits._
-        Seq(residual).toDF("residual").repartition(1)
-          .write.mode(SaveMode.Overwrite).parquet(dir("pq_flags"))
+        // formulation flag as a JSON sidecar (manifest pattern): searches
+        // read it per call, so it must be an FS read, never a Spark job
+        writeText(new Path(path, "pq_flags.json"),
+          mapper.writeValueAsString(
+            mapper.createObjectNode().put("residual", residual)))
         t
       }
+    val encCol = cents match {
+      case Some(c) =>
+        Pq.encodeResidual(model, c, col("embedding"), col("cluster_id"))
+      case None => Pq.encode(model, col("embedding"))
+    }
     val codes = hist.select(col("id"), col("vid"), col("ts"),
-      col("cluster_id").cast("long").as("cluster_id"),
-      pqEncodeCol(model, residual).as("codes"))
+      col("cluster_id").cast("long").as("cluster_id"), encCol.as("codes"))
     storeWrite(codes).mode(SaveMode.Overwrite)
       .partitionBy("cluster_id").parquet(dir("pq_codes"))
   }
 
   /** The persisted formulation flag of the saved PQ model (plain stores
-    * written before the flag existed read as plain). */
-  private def pqIsResidual: Boolean =
-    exists("pq_flags") &&
-      spark.read.parquet(dir("pq_flags")).head().getBoolean(0)
+    * written before the flag existed read as plain). An FS-sidecar read —
+    * this sits on the search hot path, so it must never cost a Spark job. */
+  private def pqIsResidual: Boolean = {
+    val p = new Path(path, "pq_flags.json")
+    fs.exists(p) && mapper.readTree(readText(p)).get("residual").asBoolean()
+  }
 
   private def pqEncodeCol(model: Pq.PqModel, residual: Boolean) =
     if (residual)

@@ -15,7 +15,7 @@ class FuzzSpec extends SparkSpec {
   // mix ASCII, punctuation, digits, unicode letters, and every whitespace
   // flavor (incl. the \x0B vertical tab that Java and RE2 disagree on)
   private val alphabet =
-    "abcXYZ 019,.!?'()\t\n\f\ré世界б "
+    "abcXYZ 019,.!?'()\t\n\u000B\f\ré世界б "
   private def randText(maxLen: Int): String =
     (0 until rnd.nextInt(maxLen)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
 
