@@ -27,6 +27,14 @@ class CurationSpec extends SparkSpec {
       && byLabel("train") > byLabel.getOrElse("test", 0))
     intercept[IllegalArgumentException](
       Curation.hashSplit(docs, Seq("a" -> 0.5, "b" -> 0.2)))
+    // 0.7 * 10000 is 6999.999... in IEEE doubles: the boundary must round
+    // to 7000 (truncation would shift one bucket below any SQL oracle)
+    val counts = Curation.hashSplit(docs, Seq("big" -> 0.7, "small" -> 0.3))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val exact = docs.selectExpr(
+        "conv(substring(md5(concat(cast(doc_id as string), ':split')), 1, 8), 16, 10) % 10000 as b")
+      .filter(col("b") < 7000).count()
+    assert(counts("big") == exact)
   }
 
   test("mixtureSample keeps everything at 1.0, nothing at 0.0, rates by source") {
