@@ -27,17 +27,16 @@ object TextFunctions {
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Token n-gram shingles: ["a b c", "b c d", ...]; empty when the doc has
-    * fewer than n tokens. The token array is let-bound through a
-    * one-element transform so the regex split runs once per ROW — inlining
-    * `tokens(text)` at every reference site would re-split the text per
-    * shingle (and again per projection after CollapseProject). */
+    * fewer than n tokens. The token array is let-bound
+    * ([[ColumnOps.bindOnce]]) so the regex split runs once per ROW —
+    * inlining `tokens(text)` at every reference site would re-split the
+    * text per shingle (and again per projection after CollapseProject). */
   def shingles(text: Column, n: Int): Column =
-    element_at(
-      transform(array(tokens(text)), toks =>
-        when(size(toks) < n, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-            i => concat_ws(" ", slice(toks, i, lit(n)))))),
-      1)
+    ColumnOps.bindOnce(tokens(text)) { toks =>
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+    }
 
   /** Distinct shingle set (for Jaccard). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))

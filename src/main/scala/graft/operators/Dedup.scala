@@ -148,11 +148,18 @@ object Dedup {
     * both consumers ([[prepPipeline]]'s survivor filter feeding LSH and
     * the final anti-join / funnel aggregate) reference it, and Spark does
     * not dedupe common subplans — without the persist the scoring scan
-    * and the window shuffle would run twice per action. */
+    * and the window shuffle would run twice per action.
+    *
+    * The pin is BOUNDED: each call releases the previous call's cached
+    * copy (at most one flagged corpus stays resident however many times a
+    * long-lived session runs the funnel). A still-unexecuted DataFrame
+    * returned by an earlier call stays correct — it just recomputes. */
+  private var lastFlagged: Option[DataFrame] = None
   private def flaggedCorpus(docs: DataFrame, shingleN: Int,
-      textCol: String, idCol: String): DataFrame = {
+      textCol: String, idCol: String): DataFrame = synchronized {
+    lastFlagged.foreach(_.unpersist(blocking = false))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    spread(docs).select(col(idCol),
+    val df = spread(docs).select(col(idCol),
         contentFingerprint(col(textCol)).as("fp"),
         round(qualityScore(col(textCol)), 6).as("quality"),
         langId(col(textCol)).as("lang_guess"),
@@ -160,6 +167,8 @@ object Dedup {
         array_distinct(shingleHashes(col(textCol), shingleN)).as("hs"))
       .withColumn("keep_exact", col(idCol) === min(col(idCol)).over(w))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastFlagged = Some(df)
+    df
   }
 
   /** Training-data prep funnel — the composition a pretraining-data job

@@ -186,13 +186,17 @@ object Multimodal {
         val size = le32(p + 4) // unsigned via Long: a corrupt 0xFFFFFFF8
         // must not become a negative step that spins or walks backwards
         if (ascii(p, "fmt ") && p + 24 <= data.length) {
-          ch = le16(p + 10); rate = le32(p + 12).toInt
+          ch = le16(p + 10)
+          val r = le32(p + 12) // unsigned; > Int.MaxValue is corrupt
+          rate = if (r > Int.MaxValue) -1 else r.toInt
           byteRate = le32(p + 16); bits = le16(p + 22)
         } else if (ascii(p, "data")) dataLen = size
         val next = p.toLong + 8L + size + (size & 1L) // chunks word-aligned
         if (next > Int.MaxValue) ok = false else p = next.toInt
       }
-      if (ch == 0 || rate == 0) None
+      // rate read as unsigned 32-bit: a corrupt 0xFFFFFFFF must read as
+      // unparseable, not wrap to a negative Int
+      if (ch == 0 || rate <= 0) None
       else Some(("wav", ch, rate, bits,
         if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L))
     }
@@ -212,8 +216,10 @@ object Multimodal {
     // bitrateIdx(4) rateIdx(2) ... channelMode(2)
     else {
       var p = 0
-      if (ascii(0, "ID3") && data.length >= 10)
+      if (ascii(0, "ID3") && data.length >= 10) {
         p = 10 + ((u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9))
+        if ((u8(5) & 0x10) != 0) p += 10 // ID3v2.4 footer ("3DI") present
+      }
       if (p + 4 > data.length || u8(p) != 0xff || (u8(p + 1) & 0xe0) != 0xe0) None
       else {
         val ver = (u8(p + 1) >> 3) & 0x03   // 3 = MPEG-1

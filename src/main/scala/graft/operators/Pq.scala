@@ -163,13 +163,6 @@ object Pq {
 
   // ---- residual IVF-PQ (the FAISS formulation: PQ on r = v - centroid) ----
 
-  /** Let-bind a column through a one-element transform so `f`'s multiple
-    * references evaluate it once per row (see TextFunctions.shingles for
-    * the same idiom — CollapseProject would otherwise inline the full
-    * expression at every reference site). */
-  private def bindOnce(c: Column)(f: Column => Column): Column =
-    element_at(transform(array(c), f), 1)
-
   /** (cluster_id -> centroid) collected from the tiny centroid relation.
     * Callers composing several residual steps (train + encode) should
     * collect once and use the Map overloads. */
@@ -239,7 +232,7 @@ object Pq {
     val centLit = typedLit(Array.tabulate(n)(i => cents(i.toLong)))
     val residual = zip_with(embCol,
       element_at(centLit, clusterCol.cast("int") + 1), (a, b) => a - b)
-    bindOnce(residual)(r => encode(model, r))
+    graft.functions.ColumnOps.bindOnce(residual)(r => encode(model, r))
   }
 
   /** Batch residual IVF-PQ search (l2): approximate distance is

@@ -765,7 +765,11 @@ class VectorStore(val spark: SparkSession, val path: String,
     * centroid (the FAISS IVF-PQ formulation — tighter codes from the same
     * m x k budget); the flag persists with the model so search and
     * refresh dispatch the matching path. The residual tier serves l2
-    * only. */
+    * only. With `retrain = false` the SAVED formulation wins — the
+    * documented post-vacuum recipe `enablePq(retrain = false)` re-encodes
+    * a residual store as residual without restating the flag; only an
+    * explicit `residual = true` against a saved PLAIN model errors
+    * (switching formulations needs a retrain). */
   def enablePq(m: Int = 8, kCodes: Int = 64, trainSize: Int = 10000,
       retrain: Boolean = true, residual: Boolean = false): Unit = {
     require(hasRowsRecursive("historical"),
@@ -773,12 +777,14 @@ class VectorStore(val spark: SparkSession, val path: String,
     val hist = historical
     val dim = dimension.getOrElse(
       throw new IllegalStateException("store has no manifest dimension"))
-    if (!retrain && exists("pq_model"))
-      require(residual == pqIsResidual,
-        s"saved pq_model residual=$pqIsResidual, requested residual=$residual" +
-          " — retrain to switch formulations")
+    val reuse = !retrain && exists("pq_model")
+    if (reuse)
+      require(!residual || pqIsResidual,
+        "saved pq_model is plain; retrain to switch to the residual formulation")
+    val effResidual = if (reuse) pqIsResidual else residual
     // the residual steps (train + encode) share one centroid collect
-    val cents = if (residual) Some(Pq.collectCentroids(centroids)) else None
+    val cents =
+      if (effResidual) Some(Pq.collectCentroids(centroids)) else None
     val model =
       if (!retrain && exists("pq_model")) Pq.load(spark, dir("pq_model"))
       else {
@@ -793,7 +799,7 @@ class VectorStore(val spark: SparkSession, val path: String,
         // read it per call, so it must be an FS read, never a Spark job
         writeText(new Path(path, "pq_flags.json"),
           mapper.writeValueAsString(
-            mapper.createObjectNode().put("residual", residual)))
+            mapper.createObjectNode().put("residual", effResidual)))
         t
       }
     val encCol = cents match {

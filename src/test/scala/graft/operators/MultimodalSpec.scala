@@ -131,6 +131,26 @@ class MultimodalSpec extends SparkSpec {
       .put("junk".getBytes).putInt(0xfffffff8)
       .array()
     assert(Multimodal.probeAudio(badWav).isEmpty)
+    // corrupt fmt sample rate 0xFFFFFFFF: unparseable, not a negative rate
+    val badRate = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(2).putInt(0xffffffff).putInt(176400)
+      .putShort(4).putShort(16)
+      .put("data".getBytes).putInt(0)
+      .array()
+    assert(Multimodal.probeAudio(badRate).isEmpty)
+    // ID3v2.4 footer flag (0x10): the 10-byte trailing footer is part of
+    // the tag size and must be skipped before the frame header
+    val footered = ByteBuffer.allocate(10 + 10 + 4 + 1586)
+      .put("ID3".getBytes).put(4.toByte).put(0.toByte).put(0x10.toByte)
+      .put(new Array[Byte](3)).put(10.toByte) // syncsafe size 10 = footer
+      .put(new Array[Byte](10 + 10))          // tag body + footer
+      .array()
+    // place the frame header right after tag(10) + body(10) + footer(10)
+    footered(30) = 0xff.toByte; footered(31) = 0xfb.toByte
+    footered(32) = 0x90.toByte; footered(33) = 0x00.toByte
+    assert(Multimodal.probeAudio(footered).exists(_._1 == "mp3"))
   }
 
   test("audioMetadata maps the prober over a binary column (unknowns survive)") {

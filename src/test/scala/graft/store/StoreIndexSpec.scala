@@ -150,8 +150,26 @@ class StoreIndexSpec extends SparkSpec {
     assert(st.refreshPq() == 1)
     val pq2 = hitSet(st.searchBatchPq(q, k = 3, nProbe = 4, shortlist = 100))
     assert(pq2(7L).exists(_._1 == "rLate"))
-    // retrain=false with the other formulation is refused loudly
-    intercept[IllegalArgumentException](st.enablePq(retrain = false, residual = false))
+    // the documented post-vacuum recipe reuses the SAVED formulation:
+    // enablePq(retrain = false) on a residual store stays residual
+    st.enablePq(retrain = false)
+    val pq3 = hitSet(st.searchBatchPq(q, k = 3, nProbe = 4, shortlist = 100))
+    val exact3 = hitSet(st.searchBatch(q, k = 3, metric = "l2", nProbe = 4))
+    assert(pq3 == exact3)
+    intercept[IllegalArgumentException](
+      st.searchBatchPq(q, k = 3, metric = "cosine")) // still residual
+  }
+
+  test("retrain=false cannot silently switch a plain PQ store to residual") {
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_pqp_").toString,
+      Config(recentThresholdSeconds = 3600, nClusters = 4))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert((0 until 30).map(i => VectorRecord(s"q$i", vec(i), tsString = Some(oldTs))))
+    assert(st.migrate() == 30)
+    st.enablePq(m = 4, kCodes = 8, trainSize = 30) // plain
+    intercept[IllegalArgumentException](
+      st.enablePq(retrain = false, residual = true))
   }
 
   test("SQ tier round-trips and serves oracle-equal top-k with full probe") {
