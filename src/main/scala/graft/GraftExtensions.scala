@@ -29,5 +29,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_norm"),
       info("vec_norm", "L2 norm of a float array"),
       (es: Seq[Expression]) => VectorNorm(es.head)))
+    // text-analysis surface (composite Column functions through the
+    // Column<->Expression bridge; same builders as TextFunctions.register)
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.graft.ColumnBridge
+    def textFn(name: String, usage: String)(
+        f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+      e.injectFunction((FunctionIdentifier(name), info(name, usage),
+        (es: Seq[Expression]) =>
+          ColumnBridge.eagerExpression(f(ColumnBridge.column(es.head)))))
+    textFn("quality_score", "pretraining quality score in [0,1]")(
+      TextFunctions.qualityScore)
+    textFn("lang_id", "heuristic language id: 'en' or 'unk'")(
+      TextFunctions.langId(_))
+    textFn("token_count", "whitespace token count")(TextFunctions.tokenCount)
+    textFn("bpe_token_count", "BPE-ish pre-tokenization token count")(
+      TextFunctions.bpeTokenCount)
+    textFn("content_fingerprint", "md5 of whitespace-normalized text")(
+      TextFunctions.contentFingerprint)
   }
 }

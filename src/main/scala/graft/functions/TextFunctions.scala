@@ -165,4 +165,30 @@ object TextFunctions {
     val hs = transform(shingles(text, n), s => stableHash32(s))
     when(size(hs) === 0, stableHash32(text)).otherwise(array_min(hs))
   }
+
+  /** Register the text-analysis surface as SQL functions (quality_score,
+    * lang_id, token_count, bpe_token_count, content_fingerprint, simhash)
+    * so `spark.sql` users get the same operators as the Column API —
+    * the per-session analog of [[graft.GraftExtensions]]. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    val reg = spark.sessionState.functionRegistry
+    def wrap(f: Column => Column): Seq[Expression] => Expression =
+      es => ColumnBridge.eagerExpression(f(ColumnBridge.column(es.head)))
+    reg.createOrReplaceTempFunction("quality_score", wrap(qualityScore), "built-in")
+    reg.createOrReplaceTempFunction("lang_id", wrap(langId(_)), "built-in")
+    reg.createOrReplaceTempFunction("token_count", wrap(tokenCount), "built-in")
+    reg.createOrReplaceTempFunction("bpe_token_count", wrap(bpeTokenCount), "built-in")
+    reg.createOrReplaceTempFunction("content_fingerprint",
+      wrap(contentFingerprint), "built-in")
+    reg.createOrReplaceTempFunction("simhash", es => {
+      val bits = es(1) match {
+        case Literal(v, _) => v.toString.toInt
+        case _ => throw new IllegalArgumentException(
+          "simhash(text, bits): bits must be a literal integer")
+      }
+      ColumnBridge.eagerExpression(simhash(ColumnBridge.column(es.head), bits))
+    }, "built-in")
+  }
 }

@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode -> Expression conversion: [[expression]] wraps the
+    * node lazily (ColumnNodeExpression), which FunctionRegistry builders
+    * must not return — the analyzer leaves the wrapper unresolved inside
+    * an injected function and execution dies at codegen. This converts
+    * the whole tree to plain catalyst nodes up front. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

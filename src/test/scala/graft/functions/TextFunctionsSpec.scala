@@ -76,6 +76,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(0) == "en" && r(1) == "unk")
   }
 
+  test("SQL registration serves the text surface to spark.sql users") {
+    TextFunctions.register(spark)
+    Seq((1L, "the cat sat on the mat"), (2L, "lorem ipsum"))
+      .toDF("id", "text").createOrReplaceTempView("tf_sql_t")
+    val r = spark.sql(
+      """SELECT id, quality_score(text) q, lang_id(text) l, token_count(text) n,
+        |  bpe_token_count(text) b, content_fingerprint(text) fp,
+        |  simhash(text, 16) s
+        |FROM tf_sql_t ORDER BY id""".stripMargin).collect()
+    assert(r(0).getString(2) == "en" && r(1).getString(2) == "unk")
+    assert(r(0).getInt(3) == 6 && r(0).getInt(4) == 6)
+    assert(r(0).getDouble(1) > 0 && r(0).getDouble(1) <= 1)
+    assert(r(0).getString(5).length == 32)
+    val s = r(0).getLong(6)
+    assert(s >= 0 && s < (1L << 16))
+    // non-literal simhash bits is a loud error, not a silent misparse
+    intercept[Exception](spark.sql(
+      "SELECT simhash(text, id) FROM tf_sql_t").collect())
+  }
+
   test("BPE-ish pre-tokens split contractions, glue spaces, count non-ws") {
     val df = Seq("Hello, world! It's 42 degrees (hot).").toDF("text")
     val toks = df.select(bpeTokens(col("text"))).collect()(0)
