@@ -113,6 +113,30 @@ object Curation {
     docs.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** The one-call curation path from raw documents to training-ready
+    * rows: [[Dedup.prepPipeline]]'s funnel (exact dedup → quality floor →
+    * language filter → LSH near-dup drop), then [[decontaminate]] against
+    * the eval set, then [[hashSplit]] — returning (id, quality, n_tokens,
+    * split) for every surviving doc. Each stage is the documented
+    * operator; this just pins the composition order a pipeline wants
+    * (cheap map-side gates first, the eval join over survivors only,
+    * the split deal last so ratios apply to the FINAL corpus). */
+  def curate(docs: DataFrame, evalDocs: DataFrame, minQuality: Double,
+      lang: String, shingleN: Int, bands: Int, rowsPerBand: Int,
+      nearDupThreshold: Double, contaminationThreshold: Double,
+      splits: Seq[(String, Double)], salt: String = "split",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val kept = Dedup.prepPipeline(docs, minQuality, lang, shingleN, bands,
+      rowsPerBand, nearDupThreshold, textCol, idCol)
+    // re-attach text for the contamination check (prepPipeline's output is
+    // text-free by design), restricted to survivors via the semi-join
+    val surviving = docs.join(kept.select(idCol), Seq(idCol), "left_semi")
+    val clean = decontaminate(surviving, evalDocs, shingleN,
+      contaminationThreshold, textCol, idCol)
+    hashSplit(kept.join(clean.select(idCol), Seq(idCol), "left_semi"),
+      splits, salt, idCol)
+  }
+
   /** Sequence packing: assign each doc a `bin` by the prefix sum of token
     * counts in id order WITHIN its shard (`sourceCol`) — the per-shard
     * window keeps the sort local to a partition key instead of a global

@@ -88,6 +88,27 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("curate composes funnel, decontamination, and split end-to-end") {
+    val evalDocs = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("eval_id", "text")
+    val curated = Curation.curate(docs, evalDocs,
+      minQuality = 0.3, lang = "en", shingleN = 2, bands = 4, rowsPerBand = 2,
+      nearDupThreshold = 0.3, contaminationThreshold = 0.2,
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    assert(curated.columns.toSet ==
+      Set("doc_id", "quality", "n_tokens", "split"))
+    // the composition equals running the stages by hand
+    val kept = Dedup.prepPipeline(docs, 0.3, "en", 2, 4, 2, 0.3)
+    val clean = Curation.decontaminate(
+      docs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"),
+      evalDocs, 2, 0.2)
+    assert(curated.count() == clean.count())
+    assert(curated.select("doc_id").as[Long].collect().toSet ==
+      clean.select("doc_id").as[Long].collect().toSet)
+    // every surviving doc carries a split and clears the quality floor
+    assert(curated.filter(col("split").isNull || col("quality") < 0.3).count() == 0)
+  }
+
   test("packSequences assigns first-fit bins from the per-source prefix sum") {
     val df = Seq(
       ("s", 1L, "a b c"),         // 3 tokens, prefix 0  -> bin 0
