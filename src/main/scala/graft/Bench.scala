@@ -50,6 +50,7 @@ object Bench {
     graft.queries.AnnQueries.ensureHnswScaleIndex(spark, sfDir)
     graft.queries.AnnQueries.ensureIvfScaleIndex(spark, sfDir)
     graft.queries.StoreQueries.ensureServingStore(spark, sfDir)
+    graft.queries.StoreQueries.ensureScaleServingStore(spark, sfDir)
 
     // best-of-N per query (default 2): the warm steady-state number, the
     // same framing as the reference's warm-cache figures (BASELINE.md), and
@@ -68,21 +69,38 @@ object Bench {
     // contiguous alphabetical band of 5-10x outliers in full sweeps whose
     // members were all normal when re-run in isolation
     val times = scala.collection.mutable.Map.empty[String, Double]
+    // a query that throws must NOT masquerade as a fast number: failures
+    // are excluded from the timing min and reported in an "errors" object
+    val errs = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 0 until iters; (name, fn) <- selected) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            errs(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+            false
+        }
       val t = (System.nanoTime() - t0) / 1e9
-      times(name) = math.min(times.getOrElse(name, Double.MaxValue), t)
+      if (ok) times(name) = math.min(times.getOrElse(name, Double.MaxValue), t)
       // drop cached blocks a query left behind (e.g. the minhash signature
       // table) so later queries aren't timed under its memory pressure —
       // run-order sensitivity is exactly what skewed the round-2 numbers
       spark.sharedState.cacheManager.clearCache()
     }
-    val results = selected.map { case (name, _) => name -> times(name) }
+    // a name that succeeded at least once reports its best time; one that
+    // failed every pass reports ONLY under "errors" (never a number)
+    val results = selected.flatMap { case (name, _) =>
+      times.get(name).map(name -> _) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = selected.collect {
+      case (name, _) if !times.contains(name) => name -> errs(name) }
+    val errJson = failed.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n\r\t]", " ") + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters}""")
     spark.stop()
   }
 }

@@ -651,6 +651,20 @@ object Hnsw {
     }
   }
 
+  /** Layout written by [[buildAndSave]]; hot read paths pass it explicitly
+    * so searches never pay a schema-inference job. Pre-centroid indexes
+    * read `centroid` as null (parquet schema evolution), which the routing
+    * guard already treats as "probe every blob". */
+  val savedBlobSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("graph",
+        org.apache.spark.sql.types.BinaryType, nullable = true),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = true),
+      org.apache.spark.sql.types.StructField("part_id",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+
   /** S3/S4 analog for the graph tier: build one graph per partition and
     * persist each as a binary blob row (part_id, graph BINARY). Unlike the
     * reference's CBOR nodes, the blobs load straight back into primitive
@@ -714,7 +728,9 @@ object Hnsw {
       s"query batch exceeds maxQueryBatch=$maxQueryBatch")
     val qB = spark.sparkContext.broadcast(qRows)
     val kProbe = if (allowed.isDefined) k * math.max(1, oversample) else k
-    val saved = spark.read.parquet(path)
+    // explicit schema: skips the footer-inference job this hot path would
+    // otherwise pay per search call
+    val saved = spark.read.schema(savedBlobSchema).parquet(path)
     // blob routing: with stored routing centroids, each query probes only
     // its probeBlobs nearest blobs — O(probeBlobs) instead of O(#blobs)
     // per query. Only effective when the build co-located similar vectors

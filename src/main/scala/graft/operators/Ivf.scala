@@ -89,9 +89,15 @@ object Ivf {
     corpus.withColumn("cluster_id", element_at(cidLit, idx + 1))
   }
 
-  /** Persist as an inverted file: one parquet partition per cluster. */
+  /** Persist as an inverted file: one parquet partition per cluster.
+    * The repartition co-locates each cluster into one task so every list
+    * is ONE file, not (shuffle partitions) fragments — probed scans then
+    * open n_probe files instead of n_probe x parallelism (a 32x task-setup
+    * and footer-read tax at any scale). Very large clusters still split
+    * via the writer's maxRecordsPerFile chunking. */
   def writePartitioned(assigned: DataFrame, path: String): Unit =
-    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    assigned.repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
   /** (query_id, cluster_id, q_embedding) probe set: the n_probe nearest
     * centroids per query (X7 shortlist, `ivf/core.rs:645-656`). */

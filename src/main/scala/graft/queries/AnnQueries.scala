@@ -51,7 +51,7 @@ object AnnQueries {
     * partitions of the persisted table. */
   def ensureIvfScaleIndex(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val base = s"/tmp/graft_ivf_idx/${tag}_k32_v1"
+    val base = s"/tmp/graft_ivf_idx/${tag}_k32_v2"
     val p = new org.apache.hadoop.fs.Path(s"$base/data/_SUCCESS")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {

@@ -25,7 +25,7 @@ object StoreQueries {
     * a stale /tmp store must never outlive the code that built it. */
   def ensureServingStore(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val base = s"/tmp/graft_store_idx/${tag}_v2"
+    val base = s"/tmp/graft_store_idx/${tag}_v4"
     val done = new org.apache.hadoop.fs.Path(base, "_DONE")
     val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(done)) {
@@ -53,6 +53,52 @@ object StoreQueries {
   private def queries8(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+
+  private val scaleStoreConfig = VectorStore.Config(
+    recentThresholdSeconds = 3600, nClusters = 32, nProbe = 4)
+
+  /** The scale twin of [[ensureServingStore]]: the 100K-row
+    * [[QueryShapes.scaleCorpus]] ingested through `insertDF` (the bulk
+    * front door), parity-split across tiers by row id — evens aged into
+    * the clustered historical tier (32 clusters, PQ'd and SQ'd), odds
+    * recent behind the saved HNSW graph. This is the store whose AMORTIZED
+    * serving throughput the store_*_scale bench rows measure; 8-query rows
+    * measure fixed plan overhead instead. */
+  def ensureScaleServingStore(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"/tmp/graft_store_idx/${tag}_scale_v3"
+    val done = new org.apache.hadoop.fs.Path(base, "_DONE")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val st = new VectorStore(s, s"$base/store", scaleStoreConfig)
+      val corpus = QueryShapes.scaleCorpus(Tables.load(s, dir, "embeddings"))
+      val oldTs = java.sql.Timestamp.from(
+        java.time.Instant.now().minusSeconds(7200))
+      st.insertDF(corpus.select(
+        col("id").cast("string").as("id"),
+        col("embedding"),
+        when(col("id") % 2 === 0, lit(oldTs))
+          .otherwise(current_timestamp()).as("ts")))
+      st.migrate()          // evens -> clustered historical (trains centroids)
+      st.buildRecentIndex(metric = "l2") // odds served from saved HNSW
+      st.enableSq()
+      val out = fs.create(done, true); out.close()
+    }
+    base
+  }
+
+  /** 100 corpus-vector queries against the scale store, aimed at one tier
+    * by parity: `offset = 1` hits the odd (recent/HNSW) rows, `offset = 0`
+    * the even (historical/code-tier) rows. The embedding arithmetic is
+    * scaleCorpus's i-th perturbation exactly, so rank-1 self-retrieval at
+    * distance 0 is the oracle contract. */
+  private def scaleQueries(e: DataFrame, offset: Int): DataFrame =
+    e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") + lit(offset).cast("double") * 0.001)
+            .cast("float")).as("q_embedding"))
 
   val queries: Map[String, Q] = Map(
     // X12 through the store front door with BOTH serving indexes live:
@@ -113,6 +159,40 @@ object StoreQueries {
           round(min(col("distance")), 6).as("distance"))
         .orderBy("query_id")
     }),
+    // X12 at the 100-query scale: the full store serving composition
+    // (saved-HNSW recent tier + probed historical tier + tombstone/delta
+    // plumbing) amortized over 100 queries — the number a real user gets
+    // from the store front door, vs ann_hnsw_scale's bare operator path.
+    // Odd-parity queries live in the recent tier, so the saved graph is
+    // the tier that must produce each self-hit.
+    "store_hnsw_scale" -> ((s, dir) => {
+      val base = ensureScaleServingStore(s, dir)
+      val st = new VectorStore(s, s"$base/store", scaleStoreConfig)
+      val e = Tables.load(s, dir, "embeddings")
+      st.searchBatch(scaleQueries(e, 1), k = 10, metric = "l2", nProbe = 4,
+          useRecentIndex = true, recentEfSearch = 120)
+        .groupBy("query_id")
+        .agg(min_by(col("id"), col("distance")).as("id"),
+          round(min(col("distance")), 6).as("distance"))
+        .orderBy("query_id")
+    }),
+    // The u8 code tier at the 100-query scale: even-parity queries live in
+    // the historical tier, so every self-hit comes through the quantized
+    // scan (probed dim-byte codes -> dequantized shortlist -> exact
+    // rerank) composed with the store's tombstone/delta plumbing; the
+    // recent tier is served from its saved graph (the steady-state shape —
+    // both tiers from artifacts, no full scan anywhere).
+    "store_sq_scale" -> ((s, dir) => {
+      val base = ensureScaleServingStore(s, dir)
+      val st = new VectorStore(s, s"$base/store", scaleStoreConfig)
+      val e = Tables.load(s, dir, "embeddings")
+      st.searchBatchSq(scaleQueries(e, 0), k = 10, nProbe = 4, shortlist = 200,
+          useRecentIndex = true)
+        .groupBy("query_id")
+        .agg(min_by(col("id"), col("distance")).as("id"),
+          round(min(col("distance")), 6).as("distance"))
+        .orderBy("query_id")
+    }),
     // §2.11 streaming near-dup ingest throughput: the documents table
     // staged as an arrival directory, streamed through dedupIngest
     // (MinHash-bucketed, per-batch cost = batch x collisions). Registered
@@ -152,5 +232,13 @@ object StoreQueries {
     "store_cosine_search" ->
       """SELECT vec_id AS query_id, CAST(vec_id AS VARCHAR) AS id,
         |  0.0 AS distance
-        |FROM embeddings WHERE vec_id < 8 ORDER BY vec_id""".stripMargin)
+        |FROM embeddings WHERE vec_id < 8 ORDER BY vec_id""".stripMargin,
+    "store_hnsw_scale" ->
+      """SELECT vec_id AS query_id, CAST(vec_id * 50 + 1 AS VARCHAR) AS id,
+        |  0.0 AS distance
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+    "store_sq_scale" ->
+      """SELECT vec_id AS query_id, CAST(vec_id * 50 AS VARCHAR) AS id,
+        |  0.0 AS distance
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin)
 }

@@ -68,17 +68,83 @@ class VectorStore(val spark: SparkSession, val path: String,
     exists(name) && fs.listStatus(new Path(dir(name))).exists(st =>
       st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
 
+  /** Recursive walk via listStatus, NOT listFiles: listFiles materializes
+    * LocatedFileStatus, whose permission fields RawLocalFileSystem loads
+    * by FORKING a shell per file — hundreds of part files would cost
+    * seconds of driver time per search. listStatus keeps permissions lazy
+    * (never read here), so the walk stays pure metadata on every FS. */
+  private def walkStatuses(p: Path)(f: org.apache.hadoop.fs.FileStatus => Boolean): Boolean = {
+    val stack = scala.collection.mutable.Stack(p)
+    while (stack.nonEmpty) {
+      for (st <- fs.listStatus(stack.pop())) {
+        if (st.isDirectory) stack.push(st.getPath)
+        else if (f(st)) return true
+      }
+    }
+    false
+  }
+
   /** [[hasRows]] for nested layouts (the cluster-partitioned historical
     * tier): walks the file tree via FS metadata only — still no Spark job,
     * short-circuits on the first non-empty part file. */
-  private def hasRowsRecursive(name: String): Boolean = {
-    if (!exists(name)) return false
-    val it = fs.listFiles(new Path(dir(name)), true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.getPath.getName.endsWith(".parquet") && st.getLen > 0) return true
+  private def hasRowsRecursive(name: String): Boolean =
+    exists(name) && walkStatuses(new Path(dir(name)))(st =>
+      st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+
+  /** All non-empty parquet parts under a table dir, as paths RELATIVE to
+    * the store root (relative so a [[backup]]ed store's recorded lists
+    * stay valid at the new location). FS metadata only — no Spark job.
+    *
+    * This is the store's delta primitive: parquet mutation here is append-
+    * only (appends create new part files; existing parts are immutable;
+    * rewrites go through tmp+swap and invalidate dependent artifacts), so
+    * "rows added since artifact X was built" is EXACTLY "parts not in X's
+    * recorded list" — an FS file-diff, never a row-level anti-join. At a
+    * billion-row historical tier the anti-join shuffles the tier; the
+    * file-diff reads nothing when nothing changed. */
+  private def listDataParts(name: String): Seq[String] = {
+    if (!exists(name)) return Nil
+    val prefix = fs.makeQualified(new Path(path)).toUri.getPath.stripSuffix("/") + "/"
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    walkStatuses(new Path(dir(name))) { st =>
+      val p = st.getPath.toUri.getPath
+      if (p.endsWith(".parquet") && st.getLen > 0)
+        out += p.stripPrefix(prefix)
+      false // never short-circuit: collect every part
     }
-    false
+    out.sorted.toSeq
+  }
+
+  /** Write a recorded part list as a JSON sidecar (artifact build/refresh
+    * time) / read it back (search time — an FS read, never a Spark job). */
+  private def writePartList(sidecar: String, parts: Seq[String]): Unit = {
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("files")
+    parts.foreach(arr.add)
+    writeText(new Path(path, sidecar), mapper.writeValueAsString(node))
+  }
+
+  private def readPartList(sidecar: String): Option[Seq[String]] = {
+    val p = new Path(path, sidecar)
+    if (!fs.exists(p)) None
+    else {
+      val n = mapper.readTree(readText(p)).get("files")
+      val b = Seq.newBuilder[String]
+      n.forEach(e => b += e.asText())
+      Some(b.result())
+    }
+  }
+
+  /** The rows of `name` added after `recorded` was captured, as a DataFrame
+    * over just the new part files — None (decided from FS metadata alone,
+    * no Spark job, no scan) when nothing was appended. Partition columns
+    * (cluster_id) are recovered from the directory layout via basePath. */
+  private def newPartsDF(name: String, recorded: Seq[String],
+      schema: StructType): Option[DataFrame] = {
+    val newParts = (listDataParts(name).toSet -- recorded).toSeq.sorted
+    if (newParts.isEmpty) None
+    else Some(spark.read.option("basePath", dir(name)).schema(schema)
+      .parquet(newParts.map(p => s"$path/$p"): _*))
   }
 
   // ---- manifest (version-gated like persistence.rs:499-520) ----
@@ -142,7 +208,8 @@ class VectorStore(val spark: SparkSession, val path: String,
   def tombstones: DataFrame = readOr("tombstones", tombSchema)
   def metaUpdates: DataFrame = readOr("meta_updates", metaUpdateSchema)
   def centroids: DataFrame =
-    if (exists("centroids")) spark.read.parquet(dir("centroids"))
+    if (exists("centroids"))
+      spark.read.schema(centroidSchema).parquet(dir("centroids"))
     else spark.emptyDataFrame
 
   /** Tombstones only kill rows inserted before the delete, so
@@ -395,10 +462,15 @@ class VectorStore(val spark: SparkSession, val path: String,
       case "pq" | "sq" =>
         require(metric == "l2" || metric == "cosine",
           s"mode '$mode' is a code tier serving l2|cosine; got metric '$metric'")
+        // serve the recent tier from its saved graph whenever one exists
+        // for this metric — the indexed path is strictly cheaper
+        val recIdx = hasRecentIndex && recentIndexMetric == metric
         if (mode == "pq") searchBatchPq(q, k, metric = metric,
-          filterJson = filterJson, oversample = oversample)
+          filterJson = filterJson, oversample = oversample,
+          useRecentIndex = recIdx)
         else searchBatchSq(q, k, metric = metric,
-          filterJson = filterJson, oversample = oversample)
+          filterJson = filterJson, oversample = oversample,
+          useRecentIndex = recIdx)
       case other => throw new IllegalArgumentException(
         s"unknown search mode '$other' (exact|recent_index|pq|sq)")
     }
@@ -454,7 +526,11 @@ class VectorStore(val spark: SparkSession, val path: String,
           trained
         }
       val assigned = Ivf.assign(old, cents)
-      storeWrite(assigned).mode(SaveMode.Append).partitionBy("cluster_id").parquet(dir("historical"))
+      // one task (= one file) per cluster dir, not one per shuffle
+      // partition x cluster: probed reads open n_probe files, and the
+      // tier's file count stays O(clusters), not O(appends x parallelism)
+      storeWrite(assigned.repartition(col("cluster_id")))
+        .mode(SaveMode.Append).partitionBy("cluster_id").parquet(dir("historical"))
       // rewrite the recent tier via tmp+swap (same as vacuum): never
       // overwrite a directory that the plan being written still reads.
       // Under a cap the survivors are "not in the migrated slice", which
@@ -491,7 +567,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     val moved = balanced.select(col("vid"), col("cluster_id"))
       .join(hist.select(col("vid"), col("cluster_id").as("old_cid")), Seq("vid"))
       .filter(col("cluster_id") =!= col("old_cid")).count()
-    storeWrite(balanced).mode(SaveMode.Overwrite)
+    storeWrite(balanced.repartition(col("cluster_id"))).mode(SaveMode.Overwrite)
       .partitionBy("cluster_id").parquet(dir("historical") + "_tmp")
     balanced.unpersist()
     swap("historical")
@@ -500,6 +576,8 @@ class VectorStore(val spark: SparkSession, val path: String,
     // Re-encode with enablePq(retrain = false) / enableSq().
     fs.delete(new Path(dir("pq_codes")), true)
     fs.delete(new Path(dir("sq_codes")), true)
+    fs.delete(new Path(path, "pq_codes_files.json"), false)
+    fs.delete(new Path(path, "sq_codes_files.json"), false)
     moved
   }
 
@@ -537,7 +615,8 @@ class VectorStore(val spark: SparkSession, val path: String,
     val histRemoved = counts.getOrElse("h", 0L) - counts.getOrElse("nh", 0L)
     storeWrite(newRec.select(vectorSchema.fieldNames.map(col).toSeq: _*))
       .mode(SaveMode.Overwrite).parquet(dir("recent") + "_tmp")
-    storeWrite(newHist).mode(SaveMode.Overwrite).partitionBy("cluster_id").parquet(dir("historical") + "_tmp")
+    storeWrite(newHist.repartition(col("cluster_id")))
+      .mode(SaveMode.Overwrite).partitionBy("cluster_id").parquet(dir("historical") + "_tmp")
     swap("recent"); swap("historical")
     newRec.unpersist(); newHist.unpersist()
     // compacted => the mutation sidecars are spent; drop the dirs (absence
@@ -551,6 +630,8 @@ class VectorStore(val spark: SparkSession, val path: String,
     fs.delete(new Path(dir("recent_index")), true)
     fs.delete(new Path(dir("pq_codes")), true)
     fs.delete(new Path(dir("sq_codes")), true)
+    fs.delete(new Path(path, "pq_codes_files.json"), false)
+    fs.delete(new Path(path, "sq_codes_files.json"), false)
     VacuumResult(recRemoved, histRemoved)
   }
 
@@ -679,12 +760,16 @@ class VectorStore(val spark: SparkSession, val path: String,
       dir("recent_index/blobs"), metric,
       graft.operators.Hnsw.HnswConfig(efConstruction = efConstruction, m = m))
     // build params ride in meta.json so maintenance (the migration
-    // scheduler) can rebuild the index exactly as the operator configured it
+    // scheduler) can rebuild the index exactly as the operator configured
+    // it; the recorded part list makes the search-time delta an FS
+    // file-diff (see listDataParts) instead of a row-level anti-join
     val node = mapper.createObjectNode()
     node.put("metric", metric)
     node.put("efConstruction", efConstruction)
     node.put("m", m)
     node.put("numBlobs", numBlobs)
+    val arr = node.putArray("files")
+    listDataParts("recent").foreach(arr.add)
     writeText(new Path(dir("recent_index"), "meta.json"),
       mapper.writeValueAsString(node))
   }
@@ -722,7 +807,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     require(hasRecentIndex, "recent index not built; call buildRecentIndex()")
     require(recentIndexMetric == metric,
       s"recent index was built for metric '$recentIndexMetric', search asked '$metric'")
-    val idx = spark.read.parquet(dir("recent_index/data"))
+    val idx = spark.read.schema(recentIndexSchema).parquet(dir("recent_index/data"))
     val needAllow = hasRows("tombstones") || filterJson.isDefined
     val allowed =
       if (!needAllow) None
@@ -737,18 +822,31 @@ class VectorStore(val spark: SparkSession, val path: String,
       .select(col("query_id"), col("id").as("lid"), col("distance"))
       .join(idx.select(col("lid"), col("id")), Seq("lid"))
       .select(col("query_id"), col("id"), col("distance"))
-    // delta = rows inserted after the build: (vid, ts) anti-join, because a
-    // delete-then-reinsert reuses the vid with a fresh ts and must count as
-    // delta, not as indexed
-    val deltaRaw = recent.join(idx.select("vid", "ts"), Seq("vid", "ts"), "left_anti")
-    val delta = filterJson match {
-      case None => dropTombstoned(deltaRaw).select(col("id"), col("embedding"))
-      case Some(_) => applyMetaOverlay(dropTombstoned(deltaRaw))
-        .select(col("id"), col("embedding"), col("metadata"))
+    // delta = rows inserted after the build. Inserts only ever APPEND part
+    // files and the index build recorded the parts it covered, so the
+    // delta is the file-diff — decided from FS metadata, no scan and no
+    // extra plan at all in the no-insert case. A delete-then-reinsert
+    // lands in a new part like any insert. Indexes built before the list
+    // existed fall back to the (vid, ts) anti-join.
+    val meta = mapper.readTree(readText(new Path(dir("recent_index"), "meta.json")))
+    val deltaRawOpt =
+      if (meta.has("files")) {
+        val recorded = Seq.newBuilder[String]
+        meta.get("files").forEach(e => recorded += e.asText())
+        newPartsDF("recent", recorded.result(), vectorSchema)
+      } else Some(recent.join(idx.select("vid", "ts"), Seq("vid", "ts"), "left_anti"))
+    deltaRawOpt match {
+      case None => hits
+      case Some(deltaRaw) =>
+        val delta = filterJson match {
+          case None => dropTombstoned(deltaRaw).select(col("id"), col("embedding"))
+          case Some(_) => applyMetaOverlay(dropTombstoned(deltaRaw))
+            .select(col("id"), col("embedding"), col("metadata"))
+        }
+        hits.unionByName(
+          Knn.batch(delta, queries, k, metric, filterJson = filterJson)
+            .select(col("query_id"), col("id"), col("distance")))
     }
-    hits.unionByName(
-      Knn.batch(delta, queries, k, metric, filterJson = filterJson)
-        .select(col("query_id"), col("id"), col("distance")))
   }
 
   // ---- PQ as a store artifact (M11/M12 at the storage tier: the reference
@@ -807,10 +905,15 @@ class VectorStore(val spark: SparkSession, val path: String,
         Pq.encodeResidual(model, c, col("embedding"), col("cluster_id"))
       case None => Pq.encode(model, col("embedding"))
     }
+    // capture the tier's part list BEFORE the encode reads it: the codes
+    // then cover exactly these parts, and the search-time delta is the
+    // file-diff against this record (see listDataParts)
+    val histParts = listDataParts("historical")
     val codes = hist.select(col("id"), col("vid"), col("ts"),
       col("cluster_id").cast("long").as("cluster_id"), encCol.as("codes"))
-    storeWrite(codes).mode(SaveMode.Overwrite)
+    storeWrite(codes.repartition(col("cluster_id"))).mode(SaveMode.Overwrite)
       .partitionBy("cluster_id").parquet(dir("pq_codes"))
+    writePartList("pq_codes_files.json", histParts)
   }
 
   /** The persisted formulation flag of the saved PQ model (plain stores
@@ -862,20 +965,37 @@ class VectorStore(val spark: SparkSession, val path: String,
     }
   }
 
-  /** Shared delta-append of both refreshes: anti-join the historical tier
-    * against the code table on (vid, ts), encode only the missing rows,
-    * append into the same cluster_id partition layout. Tombstoned rows
-    * encode too (like `enablePq`/`enableSq`) — masking stays a search-time
-    * concern, so refresh and full re-encode agree row-for-row. */
+  /** Shared delta-append of both refreshes: encode exactly the historical
+    * part files appended since the last encode (the recorded-list
+    * file-diff — `migrate` only ever appends parts to the tier) and append
+    * their codes into the same cluster_id partition layout. No-delta runs
+    * cost zero Spark jobs. Code tables written before the list existed
+    * fall back to the (vid, ts) anti-join once, then record the list.
+    * Tombstoned rows encode too (like `enablePq`/`enableSq`) — masking
+    * stays a search-time concern, so refresh and full re-encode agree
+    * row-for-row. */
   private def appendCodeDelta(codesDir: String)(
       enc: DataFrame => DataFrame): Long = {
-    val existing = spark.read.parquet(dir(codesDir)).select("vid", "ts")
-    val delta = historical.join(existing, Seq("vid", "ts"), "left_anti")
+    val sidecar = s"${codesDir}_files.json"
+    val histSchema = vectorSchema.add(StructField("cluster_id", IntegerType))
+    val current = listDataParts("historical")
+    val delta = readPartList(sidecar) match {
+      case Some(recorded) =>
+        newPartsDF("historical", recorded, histSchema) match {
+          case None => writePartList(sidecar, current); return 0L
+          case Some(df) => df
+        }
+      case None =>
+        val existing = spark.read.parquet(dir(codesDir)).select("vid", "ts")
+        historical.join(existing, Seq("vid", "ts"), "left_anti")
+    }
     val d = enc(delta).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = d.count()
-      if (n > 0) storeWrite(d).mode(SaveMode.Append)
+      if (n > 0) storeWrite(d.repartition(col("cluster_id"))).mode(SaveMode.Append)
         .partitionBy("cluster_id").parquet(dir(codesDir))
+      // the codes now cover every part that existed when we listed
+      writePartList(sidecar, current)
       n
     } finally d.unpersist()
   }
@@ -894,7 +1014,8 @@ class VectorStore(val spark: SparkSession, val path: String,
       nProbe: Int = config.nProbe, shortlist: Int = 100,
       recentK: Option[Int] = None, historicalK: Option[Int] = None,
       metric: String = "l2", filterJson: Option[String] = None,
-      oversample: Int = 3): DataFrame = {
+      oversample: Int = 3, useRecentIndex: Boolean = false,
+      recentEfSearch: Int = 100): DataFrame = {
     require(oversample >= 1, s"oversample must be >= 1, got $oversample")
     require(hasPq, "PQ tier not built; call enablePq()")
     val model = Pq.load(spark, dir("pq_model"))
@@ -902,7 +1023,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     require(!residual || metric == "l2",
       s"residual PQ tier serves l2 only, got '$metric'")
     codeTierSearch(queries, k, "pq_codes", recentK, historicalK, metric,
-        filterJson, oversample) {
+        filterJson, oversample, useRecentIndex, recentEfSearch) {
       (codes, hist, histK) =>
         // the oversampled filtered ask (histK = k*oversample) must not be
         // re-truncated by a smaller approximate shortlist upstream of it
@@ -930,19 +1051,27 @@ class VectorStore(val spark: SparkSession, val path: String,
   private def codeTierSearch(queries: DataFrame, k: Int, codesDir: String,
       recentK: Option[Int], historicalK: Option[Int],
       metric: String = "l2", filterJson: Option[String] = None,
-      oversample: Int = 3)(
+      oversample: Int = 3, useRecentIndex: Boolean = false,
+      recentEfSearch: Int = 100)(
       search: (DataFrame, DataFrame, Int) => DataFrame): DataFrame = {
-    // raw-vector parts (recent tier, post-encode delta) carry metadata, so
-    // a filter pre-filters them exactly like the un-quantized searchBatch
-    val rec = filterJson match {
-      case None => dropTombstoned(recent).select(col("id"), col("embedding"))
-      case Some(_) => applyMetaOverlay(dropTombstoned(recent))
-        .select(col("id"), col("embedding"), col("metadata"))
-    }
-    val recPart = Knn.batch(rec, queries, recentK.getOrElse(k), metric,
-        filterJson = filterJson)
-      .select(col("query_id"), col("id"), col("distance"))
-    val codesRaw = spark.read.parquet(dir(codesDir))
+    // recent tier: saved-HNSW when requested (the steady-state serving
+    // shape — code tier AND graph tier both from artifacts), else an exact
+    // scan. Raw-vector parts carry metadata, so a filter pre-filters them
+    // exactly like the un-quantized searchBatch.
+    val recPart =
+      if (useRecentIndex) indexedRecentPart(queries, recentK.getOrElse(k),
+        metric, filterJson, recentEfSearch)
+      else {
+        val rec = filterJson match {
+          case None => dropTombstoned(recent).select(col("id"), col("embedding"))
+          case Some(_) => applyMetaOverlay(dropTombstoned(recent))
+            .select(col("id"), col("embedding"), col("metadata"))
+        }
+        Knn.batch(rec, queries, recentK.getOrElse(k), metric,
+            filterJson = filterJson)
+          .select(col("query_id"), col("id"), col("distance"))
+      }
+    val codesRaw = spark.read.schema(codesSchema(codesDir)).parquet(dir(codesDir))
     val codes = dropTombstoned(codesRaw)
     val hist = dropTombstoned(historical)
     val histK = historicalK.getOrElse(k)
@@ -967,16 +1096,30 @@ class VectorStore(val spark: SparkSession, val path: String,
           .filter(FilterJson.predicate(f, col("metadata")))
           .select(col("query_id"), col("id"), col("distance"))
     }
-    val deltaBase = hist.join(codesRaw.select("vid", "ts"), Seq("vid", "ts"), "left_anti")
-    val delta = filterJson match {
-      case None => deltaBase.select(col("id"), col("embedding"))
-      case Some(_) => applyMetaOverlay(deltaBase)
-        .select(col("id"), col("embedding"), col("metadata"))
+    // post-encode delta: the file-diff against the encode-time record —
+    // no plan at all when migrate hasn't appended since (the common case);
+    // pre-record code tables fall back to the (vid, ts) anti-join
+    val histSchema = vectorSchema.add(StructField("cluster_id", IntegerType))
+    val deltaBaseOpt = readPartList(s"${codesDir}_files.json") match {
+      case Some(recorded) =>
+        newPartsDF("historical", recorded, histSchema)
+          .map(df => dropTombstoned(df))
+      case None =>
+        Some(hist.join(codesRaw.select("vid", "ts"), Seq("vid", "ts"), "left_anti"))
     }
-    val deltaPart = Knn.batch(delta, queries, histK, metric,
-        filterJson = filterJson)
-      .select(col("query_id"), col("id"), col("distance"))
-    mergeTiers(k, recPart, codePart, deltaPart)
+    val parts = deltaBaseOpt match {
+      case None => Seq(recPart, codePart)
+      case Some(deltaBase) =>
+        val delta = filterJson match {
+          case None => deltaBase.select(col("id"), col("embedding"))
+          case Some(_) => applyMetaOverlay(deltaBase)
+            .select(col("id"), col("embedding"), col("metadata"))
+        }
+        Seq(recPart, codePart,
+          Knn.batch(delta, queries, histK, metric, filterJson = filterJson)
+            .select(col("query_id"), col("id"), col("distance")))
+    }
+    mergeTiers(k, parts: _*)
   }
 
   /** Merge per-tier candidate streams into the final per-query top-k —
@@ -1004,6 +1147,7 @@ class VectorStore(val spark: SparkSession, val path: String,
   def enableSq(): Unit = {
     require(hasRowsRecursive("historical"),
       "SQ tier requires a populated historical tier (run migrate first)")
+    val histParts = listDataParts("historical") // see enablePq
     val codes = historical
       .select(col("id"), col("vid"), col("ts"),
         col("cluster_id").cast("long").as("cluster_id"),
@@ -1011,8 +1155,9 @@ class VectorStore(val spark: SparkSession, val path: String,
       .select(col("id"), col("vid"), col("ts"), col("cluster_id"),
         col("sq.codes").as("codes"), col("sq.vmin").as("vmin"),
         col("sq.vmax").as("vmax"))
-    storeWrite(codes).mode(SaveMode.Overwrite)
+    storeWrite(codes.repartition(col("cluster_id"))).mode(SaveMode.Overwrite)
       .partitionBy("cluster_id").parquet(dir("sq_codes"))
+    writePartList("sq_codes_files.json", histParts)
   }
 
   def hasSq: Boolean = hasRowsRecursive("sq_codes")
@@ -1030,11 +1175,12 @@ class VectorStore(val spark: SparkSession, val path: String,
       nProbe: Int = config.nProbe, shortlist: Int = 100,
       recentK: Option[Int] = None, historicalK: Option[Int] = None,
       metric: String = "l2", filterJson: Option[String] = None,
-      oversample: Int = 3): DataFrame = {
+      oversample: Int = 3, useRecentIndex: Boolean = false,
+      recentEfSearch: Int = 100): DataFrame = {
     require(oversample >= 1, s"oversample must be >= 1, got $oversample")
     require(hasSq, "SQ tier not built; call enableSq()")
     codeTierSearch(queries, k, "sq_codes", recentK, historicalK, metric,
-        filterJson, oversample) {
+        filterJson, oversample, useRecentIndex, recentEfSearch) {
       (codes, hist, histK) =>
         // same shortlist floor as searchBatchPq: the oversampled ask wins
         graft.operators.Sq.searchBatchIvfSq(
@@ -1115,4 +1261,30 @@ object VectorStore {
     StructField("vid", StringType, nullable = false),
     StructField("metadata", StringType, nullable = true),
     StructField("updated_at", TimestampType, nullable = false)))
+
+  val centroidSchema: StructType = StructType(Seq(
+    StructField("cluster_id", IntegerType, nullable = false),
+    StructField("centroid", ArrayType(FloatType), nullable = true)))
+
+  /** recent_index/data layout (buildRecentIndex): the tier row plus the
+    * dense LONG surrogate the graph kernel keys on. */
+  val recentIndexSchema: StructType =
+    vectorSchema.add(StructField("lid", LongType, nullable = false))
+
+  /** Code-table layouts: shared (id, vid, ts, cluster_id) plus the
+    * tier-specific payload. cluster_id is the partition directory column. */
+  def codesSchema(codesDir: String): StructType = {
+    val base = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("vid", StringType, nullable = false),
+      StructField("ts", TimestampType, nullable = false)))
+    val payload =
+      if (codesDir.startsWith("sq")) Seq(
+        StructField("codes", BinaryType, nullable = true),
+        StructField("vmin", FloatType, nullable = true),
+        StructField("vmax", FloatType, nullable = true))
+      else // PQ: one int sub-code per subspace
+        Seq(StructField("codes", ArrayType(IntegerType), nullable = true))
+    StructType(base ++ payload :+ StructField("cluster_id", LongType, nullable = true))
+  }
 }
