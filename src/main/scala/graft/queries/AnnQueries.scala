@@ -127,24 +127,34 @@ object AnnQueries {
     }),
     // C1-C7 lifecycle as an oracle-checked query: build a store from the
     // embeddings table, soft-delete by metadata filter, vacuum, count — the
-    // end state is pure arithmetic over the source table for DuckDB
+    // end state is pure arithmetic over the source table for DuckDB.
+    // Ingest goes through BOTH C1 front doors the way a real client would:
+    // a bounded record-API slice (the Seq API exists for request-sized
+    // batches; collecting a bench-corpus-sized table to the driver is the
+    // exact anti-pattern insertDF exists to avoid) and the DataFrame bulk
+    // path for the rest.
     "crud_lifecycle" -> ((s, dir) => {
       import graft.store.VectorStore
       val path = java.nio.file.Files.createTempDirectory("graft_crud_q_").toString
       val store = new VectorStore(s, path)
-      val recs = Tables.load(s, dir, "embeddings").collect().map { r =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val recs = emb.filter(col("vec_id") < 400).collect().map { r =>
         VectorStore.VectorRecord(s"v${r.getLong(0)}",
           r.getSeq[Float](1).toArray,
           Some(s"""{"label": ${r.getInt(2)}}"""))
       }.toSeq
       val ins = store.insert(recs)
+      val insBulk = store.insertDF(emb.filter(col("vec_id") >= 400).select(
+        concat(lit("v"), col("vec_id")).as("id"),
+        col("embedding"),
+        to_json(struct(col("label"))).as("metadata")))
       val del = store.deleteByMetadata("""{"label": {"$gte": 7}}""")
       val vac = store.vacuum()
       val st = store.stats()
       // all store jobs have run; the returned frame is driver-local scalars
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
       import s.implicits._
-      Seq((ins.inserted, del.deletedCount, vac.recentRemoved,
+      Seq((ins.inserted + insBulk.inserted, del.deletedCount, vac.recentRemoved,
         st.recentCount + st.historicalCount))
         .toDF("inserted", "deleted", "vacuumed", "remaining")
     }),

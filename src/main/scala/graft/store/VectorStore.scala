@@ -147,6 +147,14 @@ class VectorStore(val spark: SparkSession, val path: String,
       .parquet(newParts.map(p => s"$path/$p"): _*))
   }
 
+  /** Blocking read of a single observed count metric. */
+  private def obsLong(o: org.apache.spark.sql.Observation): Long =
+    o.get("n") match {
+      case l: Long => l
+      case x: Number => x.longValue()
+      case other => throw new IllegalStateException(s"unexpected metric: $other")
+    }
+
   // ---- manifest (version-gated like persistence.rs:499-520) ----
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -280,11 +288,18 @@ class VectorStore(val spark: SparkSession, val path: String,
       .select("id", "vid", "embedding", "metadata", "ts")
     val existing = vectors.select("vid")
     val fresh = df.join(existing, Seq("vid"), "left_anti").cache()
-    val freshIds = fresh.select("id").as[String].collect().toSeq
-    storeWrite(fresh).mode(SaveMode.Append).parquet(dir("recent"))
+    // capped id echo (config.maxReturnedIds, like delete): the count stays
+    // exact via a metric observed ON the append pass itself — no separate
+    // count job, no full-column collect however large the batch
+    val freshIds = fresh.select("id").limit(config.maxReturnedIds + 1)
+      .as[String].collect().toSeq
+    val obs = org.apache.spark.sql.Observation()
+    storeWrite(fresh.observe(obs, count(lit(1)).as("n")))
+      .mode(SaveMode.Append).parquet(dir("recent"))
     fresh.unpersist()
-    InsertResult(inserted = freshIds.length, duplicates = batch.size - freshIds.length,
-      insertedIds = freshIds)
+    val inserted = obsLong(obs)
+    InsertResult(inserted = inserted, duplicates = batch.size - inserted,
+      insertedIds = freshIds.take(config.maxReturnedIds))
   }
 
   /** C1 at DataFrame scale — the "ingest this 10 TB DataFrame" front door
@@ -358,11 +373,13 @@ class VectorStore(val spark: SparkSession, val path: String,
       .select("id", "vid", "embedding", "metadata", "ts")
       .dropDuplicates("vid")
     val fresh = prepared.join(vectors.select("vid"), Seq("vid"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inserted = fresh.count()
-    if (inserted > 0)
-      storeWrite(fresh).mode(SaveMode.Append).parquet(dir("recent"))
-    fresh.unpersist()
+    // the inserted count is a metric observed on the append pass — the
+    // batch streams through exactly once (no persist, no pre-count); at
+    // 10 TB that's one less full materialization of the input
+    val obs = org.apache.spark.sql.Observation()
+    storeWrite(fresh.observe(obs, count(lit(1)).as("n")))
+      .mode(SaveMode.Append).parquet(dir("recent"))
+    val inserted = obsLong(obs)
     InsertResult(inserted = inserted, duplicates = total - inserted)
   }
 
@@ -373,32 +390,33 @@ class VectorStore(val spark: SparkSession, val path: String,
     val target = ids.toDF("id").withColumn("vid", vidExpr(col("id")))
     val found = vectors.select("id", "vid")
       .join(broadcast(target.select("vid")), Seq("vid"), "left_semi")
-      .cache()
-    val n = found.count()
-    // exact count, capped id echo (config.maxReturnedIds) — a delete
-    // matching the whole store must not round-trip every id to the driver
-    val foundIds = found.select("id").orderBy("id")
-      .limit(config.maxReturnedIds).as[String].collect()
-    storeWrite(found.select(col("vid"), current_timestamp().as("deleted_at")))
-      .mode(SaveMode.Append).parquet(dir("tombstones"))
-    found.unpersist()
-    DeleteResult(n, foundIds)
+    tombstone(found)
   }
 
   /** C3: delete everything matching a Mongo-style metadata filter; empty
     * filter deletes everything (session.rs:838-841). `deletedIds` is
     * capped at config.maxReturnedIds (count stays exact). */
   def deleteByMetadata(filterJson: String): DeleteResult = {
-    import spark.implicits._
     val matched = vectors.filter(FilterJson.predicate(filterJson, col("metadata")))
-      .select("id", "vid").cache()
-    val n = matched.count()
+      .select("id", "vid")
+    tombstone(matched)
+  }
+
+  /** Shared tail of both deletes: capped id echo (one job on the cached
+    * match set), then the tombstone append with the exact count observed
+    * on the append pass itself — two jobs total, driver memory bounded by
+    * maxReturnedIds however many rows the delete matches. */
+  private def tombstone(matchedRaw: DataFrame): DeleteResult = {
+    import spark.implicits._
+    val matched = matchedRaw.cache()
     val ids = matched.select("id").orderBy("id")
       .limit(config.maxReturnedIds).as[String].collect()
-    storeWrite(matched.select(col("vid"), current_timestamp().as("deleted_at")))
+    val obs = org.apache.spark.sql.Observation()
+    storeWrite(matched.observe(obs, count(lit(1)).as("n"))
+        .select(col("vid"), current_timestamp().as("deleted_at")))
       .mode(SaveMode.Append).parquet(dir("tombstones"))
     matched.unpersist()
-    DeleteResult(n, ids)
+    DeleteResult(obsLong(obs), ids)
   }
 
   // ---- C4 metadata update (full replace, schema-validated) ----
@@ -598,27 +616,39 @@ class VectorStore(val spark: SparkSession, val path: String,
   // ---- C6 vacuum: physical removal of soft-deleted + overlay compaction ----
 
   def vacuum(): VacuumResult = {
-    val rec = recent; val hist = historical
+    // nothing to compact -> zero Spark jobs, and the serving artifacts
+    // (recent index, code tables) stay valid — vacuum on a clean store is
+    // free instead of a full double-tier rewrite + index invalidation
+    if (!hasRows("tombstones") && !hasRows("meta_updates"))
+      return VacuumResult(0, 0)
     def compact(df: DataFrame): DataFrame =
       applyMetaOverlay(dropTombstoned(df))
-    val newRec = compact(rec).cache()
-    val newHist = compact(hist).cache()
-    // all four tier counts in ONE tagged-union job (it also populates the
-    // two caches the rewrites below reuse), not four scheduler round-trips
-    val counts = rec.select(lit("r").as("t"))
-      .unionByName(hist.select(lit("h").as("t")))
-      .unionByName(newRec.select(lit("nr").as("t")))
-      .unionByName(newHist.select(lit("nh").as("t")))
-      .groupBy("t").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val recRemoved = counts.getOrElse("r", 0L) - counts.getOrElse("nr", 0L)
-    val histRemoved = counts.getOrElse("h", 0L) - counts.getOrElse("nh", 0L)
-    storeWrite(newRec.select(vectorSchema.fieldNames.map(col).toSeq: _*))
-      .mode(SaveMode.Overwrite).parquet(dir("recent") + "_tmp")
-    storeWrite(newHist.repartition(col("cluster_id")))
-      .mode(SaveMode.Overwrite).partitionBy("cluster_id").parquet(dir("historical") + "_tmp")
-    swap("recent"); swap("historical")
-    newRec.unpersist(); newHist.unpersist()
+    // each tier compacts in ONE pass: before/after counts ride as metrics
+    // observed on the rewrite job itself — no counting pass, no caches
+    def rewrite(tier: DataFrame)(write: DataFrame => Unit): Long = {
+      val before = org.apache.spark.sql.Observation()
+      val after = org.apache.spark.sql.Observation()
+      write(compact(tier.observe(before, count(lit(1)).as("n")))
+        .observe(after, count(lit(1)).as("n")))
+      obsLong(before) - obsLong(after)
+    }
+    val recRemoved = rewrite(recent) { df =>
+      storeWrite(df.select(vectorSchema.fieldNames.map(col).toSeq: _*))
+        .mode(SaveMode.Overwrite).parquet(dir("recent") + "_tmp")
+    }
+    swap("recent")
+    // an empty historical tier needs no rewrite (absence = empty)
+    val histRemoved =
+      if (!hasRowsRecursive("historical")) 0L
+      else {
+        val r = rewrite(historical) { df =>
+          storeWrite(df.repartition(col("cluster_id")))
+            .mode(SaveMode.Overwrite).partitionBy("cluster_id")
+            .parquet(dir("historical") + "_tmp")
+        }
+        swap("historical")
+        r
+      }
     // compacted => the mutation sidecars are spent; drop the dirs (absence
     // means empty to readOr/hasRows) instead of writing empty tables
     fs.delete(new Path(dir("tombstones")), true)
