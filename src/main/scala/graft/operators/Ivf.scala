@@ -99,6 +99,78 @@ object Ivf {
     assigned.repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
+  /** One probe distance, replicating the codegen kernels' exact double
+    * arithmetic (accumulate in f64, ascending index — see
+    * [[graft.functions.kernels]]) so driver-selected probe sets are
+    * bit-identical to plan-selected ones. */
+  private def driverDistance(metric: String, q: Array[Float], c: Array[Float]): Double = {
+    require(q.length == c.length,
+      s"vector dimension mismatch: ${q.length} vs ${c.length}")
+    metric match {
+      case "l2" =>
+        var s = 0.0; var i = 0
+        while (i < q.length) { val d = q(i).toDouble - c(i).toDouble; s += d * d; i += 1 }
+        math.sqrt(s)
+      case "dot" =>
+        var s = 0.0; var i = 0
+        while (i < q.length) { s += q(i).toDouble * c(i).toDouble; i += 1 }
+        -s
+      case "cosine" | "angular" =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < q.length) {
+          val x = q(i).toDouble; val y = c(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        val cos = if (den == 0.0) 0.0 else dot / den
+        if (metric == "cosine") 1.0 - cos
+        else math.acos(math.max(-1.0, math.min(1.0, cos)))
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+  }
+
+  /** Spark `round(d, n)` replicated exactly (HALF_UP over the decimal
+    * string form) for [[probeRows]]' oracle-parity mode. */
+  private def roundHalfUp(d: Double, scale: Int): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(d))
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The probe set of [[probes]], computed ON THE DRIVER: two tiny collects
+    * (the bounded query batch — which every consumer collects anyway — and
+    * the <=nClusters-row centroid table) plus an nq x nClusters loop,
+    * instead of a crossJoin + shuffle + top-k Spark job. Same contract:
+    * distances use the kernels' arithmetic, rank by (dist, cluster_id),
+    * duplicate (id, embedding) query rows collapse like the groupBy did.
+    * Returns rows shaped (queryIdCol, queryEmbCol, cluster_id LONG) plus
+    * that schema, ready for a local relation. */
+  private[graft] def probeRows(centroids: DataFrame, queries: DataFrame,
+      nProbe: Int, metric: String = "l2", queryIdCol: String = "query_id",
+      queryEmbCol: String = "q_embedding", roundDecimals: Int = -1)
+      : (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
+    val qDf = queries.select(col(queryIdCol), col(queryEmbCol))
+    val qRows = qDf.collect().distinct
+    val cRows = centroids.select(col("cluster_id").cast("long"), col("centroid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      qDf.schema.fields(0), qDf.schema.fields(1),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = qRows.flatMap { qr =>
+      val qv = qr.getSeq[Float](1).toArray
+      cRows.map { case (cid, c) =>
+          val d = driverDistance(metric, qv, c)
+          (cid, if (roundDecimals >= 0) roundHalfUp(d, roundDecimals) else d)
+        }
+        .sortBy { case (cid, d) => (d, cid) }.take(nProbe)
+        .map { case (cid, _) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array[Any](qr.get(0), qr.get(1), cid), schema)
+            : org.apache.spark.sql.Row
+        }
+    }
+    (rows, schema)
+  }
+
   /** (query_id, cluster_id, q_embedding) probe set: the n_probe nearest
     * centroids per query (X7 shortlist, `ivf/core.rs:645-656`). */
   def probes(centroids: DataFrame, queries: DataFrame, nProbe: Int,
@@ -135,14 +207,14 @@ object Ivf {
       queryEmbCol: String = "q_embedding", roundDecimals: Int = -1,
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     // The probe relation is tiny (<= nProbe x |queries| rows) and read
-    // twice (static pruning set + broadcast join), so materialize it to the
-    // driver ONCE and re-wrap as a local relation — a persist() here would
-    // outlive the returned plan and leak cached blocks across calls.
-    val pd = probes(centroids, queries, nProbe, metric, queryIdCol, queryEmbCol,
-      roundDecimals)
-    val pRows = pd.collect()
+    // twice (static pruning set + broadcast join), so it is computed on the
+    // driver (probeRows — no crossJoin/shuffle job) and wrapped as a local
+    // relation — a persist() here would outlive the returned plan and leak
+    // cached blocks across calls.
+    val (pRows, pSchema) = probeRows(centroids, queries, nProbe, metric,
+      queryIdCol, queryEmbCol, roundDecimals)
     val p = queries.sparkSession.createDataFrame(
-      java.util.Arrays.asList(pRows: _*), pd.schema)
+      java.util.Arrays.asList(pRows: _*), pSchema)
     // the probed cluster set as a STATIC isin filter: unconditional parquet
     // partition pruning on cluster_id, not dependent on dynamic-partition-
     // pruning kicking in — the exact analog of "only load the probed

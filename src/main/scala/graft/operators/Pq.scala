@@ -249,8 +249,8 @@ object Pq {
       queryEmbCol: String = "q_embedding"): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val pRows = Ivf.probes(centroids, queries, nProbe, "l2",
-      queryIdCol, queryEmbCol).collect()
+    val pRows = Ivf.probeRows(centroids, queries, nProbe, "l2",
+      queryIdCol, queryEmbCol)._1
     val cents = collectCentroids(centroids)
     val pairs = pRows.map { r =>
       (r.getAs[Long](queryIdCol),
@@ -341,8 +341,8 @@ object Pq {
     require(metric == "l2" || metric == "cosine",
       s"PQ code tier supports l2|cosine, got '$metric'")
     val spark = queries.sparkSession
-    val pRows = Ivf.probes(centroids, queries, nProbe, metric,
-      queryIdCol, queryEmbCol).collect()
+    val pRows = Ivf.probeRows(centroids, queries, nProbe, metric,
+      queryIdCol, queryEmbCol)._1
     // one ADC table per distinct query, driver-built (query batches are
     // bounded; |tables| = nq x m x k doubles) — see [[adcTables]] for the
     // l2/cosine cell contents, [[adcDistance]] for the combination.

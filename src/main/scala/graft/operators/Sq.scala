@@ -67,10 +67,11 @@ object Sq {
     require(metric == "l2" || metric == "cosine",
       s"SQ code tier supports l2|cosine, got '$metric'")
     val spark = queries.sparkSession
-    // tiny probe relation: materialize once, re-wrap local (no persist leak)
-    val pd = Ivf.probes(centroids, queries, nProbe, metric, queryIdCol, queryEmbCol)
-    val pRows = pd.collect()
-    val p = spark.createDataFrame(java.util.Arrays.asList(pRows: _*), pd.schema)
+    // tiny probe relation: driver-computed (no crossJoin/shuffle job),
+    // wrapped as a local relation (no persist leak)
+    val (pRows, pSchema) = Ivf.probeRows(centroids, queries, nProbe, metric,
+      queryIdCol, queryEmbCol)
+    val p = spark.createDataFrame(java.util.Arrays.asList(pRows: _*), pSchema)
     val probedIds = pRows.map(_.getAs[Long]("cluster_id")).distinct
     val pruned = encoded.filter(col("cluster_id").isin(probedIds: _*))
     val approx =

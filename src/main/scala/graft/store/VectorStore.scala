@@ -714,12 +714,28 @@ class VectorStore(val spark: SparkSession, val path: String,
     * semantics (no oversampling) and the partition pruning of the
     * historical tier. Metadata overlays (C4) are applied before filtering
     * so a filter sees updated values. */
-  def searchBatch(queries: DataFrame, k: Int, metric: String = "cosine",
+  /** Materialize the (bounded) query batch once as a local relation: every
+    * serving path ends up collecting or broadcasting the batch anyway (HNSW
+    * query broadcast, driver probe selection, rerank broadcast), so one
+    * up-front collect replaces 2-3 per-tier scan jobs of the same frame —
+    * measurable fixed cost when the composition fans out to several tiers.
+    * The guard bounds the collect BEFORE materializing, like
+    * Hnsw.searchSaved's maxQueryBatch. */
+  private def localizeQueries(queries: DataFrame,
+      maxQueryBatch: Int = 100000): DataFrame = {
+    val rows = queries.limit(maxQueryBatch + 1).collect()
+    require(rows.length <= maxQueryBatch,
+      s"query batch exceeds maxQueryBatch=$maxQueryBatch; chunk upstream")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), queries.schema)
+  }
+
+  def searchBatch(queriesRaw: DataFrame, k: Int, metric: String = "cosine",
       nProbe: Int = config.nProbe, recentK: Option[Int] = None,
       historicalK: Option[Int] = None,
       filterJson: Option[String] = None,
       useRecentIndex: Boolean = false,
       recentEfSearch: Int = 100): DataFrame = {
+    val queries = localizeQueries(queriesRaw)
     // the natural string id rides through the string top-k aggregate — no
     // surrogate hash, no collision risk, no join back to recover the id
     val recPart =
@@ -1040,7 +1056,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     * (X13): exact pre-filter on the raw-vector parts, k*3 oversample +
     * post-filter on the quantized part (the code scan has no metadata
     * column — reference semantics, `hybrid/core.rs:513-549`). */
-  def searchBatchPq(queries: DataFrame, k: Int,
+  def searchBatchPq(queriesRaw: DataFrame, k: Int,
       nProbe: Int = config.nProbe, shortlist: Int = 100,
       recentK: Option[Int] = None, historicalK: Option[Int] = None,
       metric: String = "l2", filterJson: Option[String] = None,
@@ -1048,6 +1064,10 @@ class VectorStore(val spark: SparkSession, val path: String,
       recentEfSearch: Int = 100): DataFrame = {
     require(oversample >= 1, s"oversample must be >= 1, got $oversample")
     require(hasPq, "PQ tier not built; call enablePq()")
+    // localized ONCE here (not in codeTierSearch): the search lambda below
+    // closes over `queries`, so the lambda and the shared composition must
+    // see the same local relation
+    val queries = localizeQueries(queriesRaw)
     val model = Pq.load(spark, dir("pq_model"))
     val residual = pqIsResidual
     require(!residual || metric == "l2",
@@ -1201,7 +1221,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     * dequantized cosine); the recent tier is scanned exactly as in
     * [[searchBatch]]. `filterJson` as in [[searchBatchPq]]: exact
     * pre-filter on raw parts, k*3 oversample + post-filter on the codes. */
-  def searchBatchSq(queries: DataFrame, k: Int,
+  def searchBatchSq(queriesRaw: DataFrame, k: Int,
       nProbe: Int = config.nProbe, shortlist: Int = 100,
       recentK: Option[Int] = None, historicalK: Option[Int] = None,
       metric: String = "l2", filterJson: Option[String] = None,
@@ -1209,6 +1229,8 @@ class VectorStore(val spark: SparkSession, val path: String,
       recentEfSearch: Int = 100): DataFrame = {
     require(oversample >= 1, s"oversample must be >= 1, got $oversample")
     require(hasSq, "SQ tier not built; call enableSq()")
+    // see searchBatchPq: one local relation shared by lambda + composition
+    val queries = localizeQueries(queriesRaw)
     codeTierSearch(queries, k, "sq_codes", recentK, historicalK, metric,
         filterJson, oversample, useRecentIndex, recentEfSearch) {
       (codes, hist, histK) =>
