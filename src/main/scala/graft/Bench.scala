@@ -26,6 +26,15 @@ object Bench {
       // and these settings are irrelevant.
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "512k")
+      // 58 queries x ~5-10 whole-stage-codegen units each overflows the
+      // default 100-entry generated-class cache, so pass 2 of an
+      // interleaved sweep regenerates + re-JITs every hot kernel — the
+      // 10M-row knn_scale loop pays ~1.5 s of C2 warm-up per MEASURED
+      // pass while the same query warm-runs in ~0.9 s standalone. Size
+      // the cache to hold the whole sweep (same fix class as the r4
+      // ReservedCodeCacheSize=1g: the bench is many-query, the defaults
+      // assume few).
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
