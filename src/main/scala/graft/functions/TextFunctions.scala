@@ -183,10 +183,18 @@ object TextFunctions {
     reg.createOrReplaceTempFunction("content_fingerprint",
       wrap(contentFingerprint), "built-in")
     reg.createOrReplaceTempFunction("simhash", es => {
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"simhash(text, bits) takes 2 arguments, got ${es.length}")
+      // any foldable integral expression works (8+8, CAST(16 AS INT), ...),
+      // not just a bare literal — the bit width just has to be plan-time
       val bits = es(1) match {
-        case Literal(v, _) => v.toString.toInt
+        case e if e.foldable => e.eval() match {
+          case n: java.lang.Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"simhash(text, bits): bits must be integral, got $other")
+        }
         case _ => throw new IllegalArgumentException(
-          "simhash(text, bits): bits must be a literal integer")
+          "simhash(text, bits): bits must be a constant integer")
       }
       ColumnBridge.eagerExpression(simhash(ColumnBridge.column(es.head), bits))
     }, "built-in")

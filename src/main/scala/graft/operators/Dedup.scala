@@ -150,25 +150,35 @@ object Dedup {
     * not dedupe common subplans — without the persist the scoring scan
     * and the window shuffle would run twice per action.
     *
-    * The pin is BOUNDED: each call releases the previous call's cached
-    * copy (at most one flagged corpus stays resident however many times a
-    * long-lived session runs the funnel). A still-unexecuted DataFrame
-    * returned by an earlier call stays correct — it just recomputes. */
-  private var lastFlagged: Option[DataFrame] = None
+    * The pin is BOUNDED and KEYED: entries are cached by (semantic plan
+    * hash, params) so prepPipeline followed by prepPipelineStats — or two
+    * funnels over different corpora — reuse (or at least don't evict) each
+    * other's still-live results instead of silently re-running the
+    * md5-heavy scoring scan; at most [[flaggedCacheMax]] corpora stay
+    * resident, oldest released first. A DataFrame whose cache entry was
+    * evicted stays correct — it just recomputes. */
+  private val flaggedCacheMax = 4
+  private val flaggedCache =
+    scala.collection.mutable.LinkedHashMap.empty[(Int, Int, String, String), DataFrame]
   private def flaggedCorpus(docs: DataFrame, shingleN: Int,
       textCol: String, idCol: String): DataFrame = synchronized {
-    lastFlagged.foreach(_.unpersist(blocking = false))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val df = spread(docs).select(col(idCol),
-        contentFingerprint(col(textCol)).as("fp"),
-        round(qualityScore(col(textCol)), 6).as("quality"),
-        langId(col(textCol)).as("lang_guess"),
-        tokenCount(col(textCol)).cast("long").as("n_tokens"),
-        array_distinct(shingleHashes(col(textCol), shingleN)).as("hs"))
-      .withColumn("keep_exact", col(idCol) === min(col(idCol)).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lastFlagged = Some(df)
-    df
+    val key = (docs.queryExecution.analyzed.semanticHash(), shingleN, textCol, idCol)
+    flaggedCache.getOrElseUpdate(key, {
+      while (flaggedCache.size >= flaggedCacheMax) {
+        val (k0, df0) = flaggedCache.head
+        df0.unpersist(blocking = false)
+        flaggedCache.remove(k0)
+      }
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      spread(docs).select(col(idCol),
+          contentFingerprint(col(textCol)).as("fp"),
+          round(qualityScore(col(textCol)), 6).as("quality"),
+          langId(col(textCol)).as("lang_guess"),
+          tokenCount(col(textCol)).cast("long").as("n_tokens"),
+          array_distinct(shingleHashes(col(textCol), shingleN)).as("hs"))
+        .withColumn("keep_exact", col(idCol) === min(col(idCol)).over(w))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
   }
 
   /** Training-data prep funnel — the composition a pretraining-data job

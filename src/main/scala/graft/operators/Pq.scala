@@ -242,13 +242,17 @@ object Pq {
     * by the same codegen table kernel through the pair index. Coarse
     * pruning, shortlist and exact rerank are identical to
     * [[searchBatchIvfPq]]. */
+  /** Per-plan budget for driver-built ADC lookup tables (doubles). The
+    * residual path embeds nq x nProbe x m x k doubles as a plan literal;
+    * unbounded, a 10k-query, nProbe=16 batch would ship a ~650 MB task
+    * binary. 4M doubles = 32 MB/plan. */
+  private val maxAdcTableDoubles = 4 << 20
+
   def searchBatchIvfPqResidual(encoded: DataFrame, centroids: DataFrame,
       model: PqModel, queries: DataFrame, k: Int, nProbe: Int,
       shortlist: Int = 100, rerank: Option[DataFrame] = None,
       idCol: String = "id", queryIdCol: String = "query_id",
       queryEmbCol: String = "q_embedding"): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
     val pRows = Ivf.probeRows(centroids, queries, nProbe, "l2",
       queryIdCol, queryEmbCol)._1
     val cents = collectCentroids(centroids)
@@ -257,6 +261,36 @@ object Pq {
         r.getAs[scala.collection.Seq[Float]](queryEmbCol).toArray,
         r.getAs[Long]("cluster_id"))
     }
+    // per-query top-k is independent across queries, so a large batch
+    // splits into chunks whose ADC tables fit the per-plan budget; the
+    // probed scan runs once per chunk — bounded memory traded for
+    // re-reads, the right side of that trade for a code-tier scan
+    val perQueryDoubles = math.max(1, nProbe * model.m * model.k)
+    val chunkQ = math.max(1, maxAdcTableDoubles / perQueryDoubles)
+    val qids = pairs.map(_._1).distinct
+    if (qids.isEmpty)
+      residualChunk(encoded, model, cents, pairs, k, shortlist, rerank,
+        idCol, queryIdCol, queryEmbCol)  // empty batch: schema-correct empty
+    else qids.grouped(chunkQ)
+      .map { qs =>
+        val qSet = qs.toSet
+        residualChunk(encoded, model, cents,
+          pairs.filter(p => qSet.contains(p._1)), k, shortlist, rerank,
+          idCol, queryIdCol, queryEmbCol)
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** One bounded chunk of [[searchBatchIvfPqResidual]]: builds the
+    * (query, probed cluster) pair tables and runs prune → ADC → shortlist
+    * → rerank → top-k for just these pairs. */
+  private def residualChunk(encoded: DataFrame, model: PqModel,
+      cents: Map[Long, Array[Float]],
+      pairs: Array[(Long, Array[Float], Long)], k: Int, shortlist: Int,
+      rerank: Option[DataFrame], idCol: String, queryIdCol: String,
+      queryEmbCol: String): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
     val tables: Array[Array[Array[Double]]] = pairs.map { case (_, q, c) =>
       val cent = cents(c)
       val res = Array.tabulate(q.length)(i => q(i) - cent(i))

@@ -187,8 +187,13 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           val selNode = opt("selectivity")
           if (osNode.exists(n => !n.isIntegralNumber || n.asInt() < 1))
             (400, err("oversample must be a positive integer"))
-          else if (selNode.exists(n => !n.isNumber))
-            (400, err("selectivity must be a number"))
+          // a kept-row FRACTION: zero/negative (a plausible client bug —
+          // e.g. sending a row count of 0) would silently map to the
+          // oversample cap, a 33x more expensive search; reject like the
+          // oversample check above instead
+          else if (selNode.exists(n => !n.isNumber || n.asDouble() <= 0.0 ||
+              n.asDouble() > 1.0))
+            (400, err("selectivity must be a number in (0, 1]"))
           else {
           val oversample = osNode.map(_.asInt())
             .orElse(selNode.map(s =>

@@ -94,6 +94,14 @@ class TextFunctionsSpec extends SparkSpec {
     // non-literal simhash bits is a loud error, not a silent misparse
     intercept[Exception](spark.sql(
       "SELECT simhash(text, id) FROM tf_sql_t").collect())
+    // wrong arity is a clean argument error, not an IndexOutOfBounds
+    val arity = intercept[Exception](spark.sql(
+      "SELECT simhash(text) FROM tf_sql_t").collect())
+    assert(arity.getMessage.contains("2 arguments"))
+    // foldable-but-not-literal bits (8+8) work like a literal 16
+    val folded = spark.sql(
+      "SELECT simhash(text, 8+8) s FROM tf_sql_t WHERE id = 1").collect()
+    assert(folded(0).getLong(0) == s)
   }
 
   test("BPE-ish pre-tokens split contractions, glue spaces, count non-ws") {

@@ -185,7 +185,12 @@ class RestServerSpec extends SparkSpec {
       // a zero/negative/non-integer oversample would silently empty the
       // quantized tier -> 400, matching the route's bad-option convention
       for (bad <- Seq(""""oversample": 0""", """"oversample": -2""",
-          """"oversample": "ten"""", """"selectivity": "low"""")) {
+          """"oversample": "ten"""", """"selectivity": "low"""",
+          // selectivity is a kept-row FRACTION: 0/negative would silently
+          // map to the oversample cap (a 33x more expensive search), >1 is
+          // meaningless — all 400 like the oversample convention
+          """"selectivity": 0""", """"selectivity": -0.5""",
+          """"selectivity": 1.5""")) {
         assert(call(srv, "POST", "/api/v1/search",
           s"""{"vector": ${vecJson(1)}, "options": {"mode": "sq", $bad}}""")._1 == 400,
           s"expected 400 for $bad")
