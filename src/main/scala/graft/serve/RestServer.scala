@@ -255,6 +255,11 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         n.put("dimension", store.dimension.getOrElse(0))
         n.put("cache_hits", cacheHits)
         n.put("cache_misses", cacheMisses)
+        // maintenance counters (RebalanceStatistics analog): persisted
+        // with the store, so they cover scheduler + route + direct calls
+        val ms = store.maintenanceStats
+        n.put("total_rebalances", ms.totalRebalances)
+        n.put("total_vectors_moved", ms.totalVectorsMoved)
         (200, n)
       case ("POST", "/api/v1/admin/migrate") =>
         val migrated = store.migrate()

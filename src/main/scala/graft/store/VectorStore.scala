@@ -596,7 +596,44 @@ class VectorStore(val spark: SparkSession, val path: String,
     fs.delete(new Path(dir("sq_codes")), true)
     fs.delete(new Path(path, "pq_codes_files.json"), false)
     fs.delete(new Path(path, "sq_codes_files.json"), false)
+    // maintenance accounting (RebalanceStatistics analog,
+    // hybrid/maintenance.rs:115-119): persisted with the store so the
+    // counters survive restarts and cover every caller (REST route,
+    // scheduler, direct API)
+    val prev = maintenanceStats
+    writeText(new Path(path, "maintenance.json"), mapper.writeValueAsString(
+      mapper.createObjectNode()
+        .put("total_rebalances", prev.totalRebalances + 1)
+        .put("total_vectors_moved", prev.totalVectorsMoved + moved)))
     moved
+  }
+
+  /** Persisted rebalance counters (`maintenance.json`); zeros when no
+    * rebalance has run. */
+  def maintenanceStats: MaintenanceStats = {
+    val p = new Path(path, "maintenance.json")
+    if (!fs.exists(p)) MaintenanceStats(0L, 0L)
+    else {
+      val n = mapper.readTree(readText(p))
+      MaintenanceStats(
+        n.path("total_rebalances").asLong(0L),
+        n.path("total_vectors_moved").asLong(0L))
+    }
+  }
+
+  /** The auto-rebalance trigger probe: (totalVectors, avgClusterSize,
+    * maxClusterSize) of the historical tier in one small aggregate, or
+    * None when the tier or centroids are absent — the scheduler's analog
+    * of the reference's imbalance check
+    * (`hybrid/maintenance.rs:100-113`, `AutoRebalanceConfig`). */
+  def clusterImbalance(): Option[(Long, Double, Long)] = {
+    if (!exists("centroids") || !hasRowsRecursive("historical")) None
+    else {
+      val r = historical.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .agg(sum("sz").as("total"), avg("sz").as("avg_sz"), max("sz").as("max_sz"))
+        .head()
+      Some((r.getLong(0), r.getDouble(1), r.getLong(2)))
+    }
   }
 
   // ---- backup (admin route parity, rest.rs:715) ----
@@ -1284,6 +1321,9 @@ object VectorStore {
   case class DeleteResult(deletedCount: Long, deletedIds: Seq[String])
   case class VacuumResult(recentRemoved: Long, historicalRemoved: Long)
   case class Stats(recentCount: Long, historicalCount: Long, tombstoneCount: Long)
+  /** Persisted rebalance counters (RebalanceStatistics analog,
+    * `hybrid/maintenance.rs:115-119`). */
+  case class MaintenanceStats(totalRebalances: Long, totalVectorsMoved: Long)
 
   /** VectorId analog (M14, `types.rs:12-34`): "vec_" + the full 256-bit
     * content hash (sha2 here; blake3 byte-compat is irrelevant to

@@ -29,6 +29,17 @@ import graft.store.VectorStore
   *    mode=recent_index serving hard-failing until manual repair. The
   *    rebuild covers the post-migration recent tier, which the run just
   *    drained — the cheap end of the build cost
+  *  - `autoRebalance` (the reference's `AutoRebalanceConfig.rebalance_ivf`,
+  *    `hybrid/maintenance.rs:100-113,509-529`): after the migration slice,
+  *    probe the historical tier's cluster sizes (one small aggregate); if
+  *    at least `minVectorsForRebalance` rows live there AND the largest
+  *    cluster exceeds `imbalanceThreshold` x the average, run
+  *    `store.rebalance` capped at ceil(avg x rebalanceTargetFactor) — so a
+  *    store under skewed ingest recovers probe selectivity on policy
+  *    instead of waiting for an operator to remember the admin route.
+  *    Rebalance invalidates the PQ/SQ code tables (rows changed cluster);
+  *    the scheduler re-encodes whichever tiers were enabled
+  *    (`enablePq(retrain = false)` / `enableSq`), keeping serving whole.
   */
 case class MigrationPolicy(
     maxVectorsPerRun: Int = 1000,
@@ -36,16 +47,23 @@ case class MigrationPolicy(
     quietHours: Seq[(Int, Int)] = Nil,
     checkIntervalBatches: Int = 1,
     refreshCodeTiers: Boolean = true,
-    rebuildRecentIndex: Boolean = true) {
+    rebuildRecentIndex: Boolean = true,
+    autoRebalance: Boolean = false,
+    imbalanceThreshold: Double = 2.0,
+    minVectorsForRebalance: Long = 1000L,
+    rebalanceTargetFactor: Double = 1.0) {
   require(maxVectorsPerRun > 0, "maxVectorsPerRun must be positive")
   require(batchSize > 0, "batchSize must be positive")
   require(checkIntervalBatches > 0, "checkIntervalBatches must be positive")
   require(quietHours.forall { case (s, e) =>
     s >= 0 && s < 24 && e >= 0 && e < 24 }, "quiet hours must be 0-23")
+  require(imbalanceThreshold > 1.0, "imbalanceThreshold must exceed 1.0")
+  require(minVectorsForRebalance >= 0, "minVectorsForRebalance must be >= 0")
+  require(rebalanceTargetFactor >= 1.0, "rebalanceTargetFactor must be >= 1.0")
 }
 
 case class MigrationRunResult(vectorsMigrated: Long, batchesProcessed: Long,
-    skippedQuietHours: Boolean)
+    skippedQuietHours: Boolean, vectorsRebalanced: Long = 0L)
 
 case class MigrationStatistics(totalVectorsMigrated: Long, totalRuns: Long,
     avgVectorsPerRun: Double, lastRunEpochMs: Option[Long])
@@ -90,6 +108,7 @@ class MigrationScheduler(store: VectorStore,
       if (n > 0) indexParams.foreach { case (ef, m, metric, blobs) =>
         store.buildRecentIndex(ef, m, metric, blobs)
       }
+      val moved = if (!p.autoRebalance) 0L else maybeRebalance(p)
       val batches = (n + p.batchSize - 1) / p.batchSize
       synchronized {
         val runs = stats.totalRuns + 1
@@ -99,7 +118,32 @@ class MigrationScheduler(store: VectorStore,
           avgVectorsPerRun = (stats.totalVectorsMigrated + n).toDouble / runs,
           lastRunEpochMs = Some(System.currentTimeMillis()))
       }
-      MigrationRunResult(n, batches, skippedQuietHours = false)
+      MigrationRunResult(n, batches, skippedQuietHours = false,
+        vectorsRebalanced = moved)
+    }
+  }
+
+  /** The auto-rebalance leg of a run: probe imbalance, rebalance when the
+    * policy triggers, then re-encode whichever code tiers the rebalance
+    * invalidated so the serving artifacts never go dark. Returns rows
+    * moved (0 = policy did not trigger). */
+  private def maybeRebalance(p: MigrationPolicy): Long = {
+    store.clusterImbalance() match {
+      case Some((total, avg, maxSz))
+          if total >= p.minVectorsForRebalance &&
+            maxSz > p.imbalanceThreshold * avg =>
+        val hadPq = store.hasPq
+        val hadSq = store.hasSq
+        val cap = math.max(1L, math.ceil(avg * p.rebalanceTargetFactor).toLong)
+        val moved = store.rebalance(cap.min(Int.MaxValue).toInt)
+        if (moved > 0) {
+          // rebalance deleted the stale cluster-partitioned code tables;
+          // re-encode from the saved model (PQ) / row-local params (SQ)
+          if (hadPq) store.enablePq(retrain = false)
+          if (hadSq) store.enableSq()
+        }
+        moved
+      case _ => 0L
     }
   }
 }

@@ -123,6 +123,66 @@ class StreamingSpec extends SparkSpec {
     assert(store.refreshSq() == 3L)
   }
 
+  test("auto-rebalance: skewed historical tier recovers on a scheduler tick") {
+    val store = new VectorStore(spark,
+      Files.createTempDirectory("graft_mig_rb_").toString,
+      VectorStore.Config(recentThresholdSeconds = 3600, nClusters = 3))
+    val oldTs = java.time.Instant.now().minusSeconds(7200)
+    // three well-separated blobs with deliberately skewed sizes 50/5/5:
+    // k-means (k=3, fixed seed) recovers the blobs, so the big cluster is
+    // 50 rows against a 20-row average — far over the 1.2x trigger
+    def bvec(blob: Int, i: Int): Array[Float] =
+      Array.tabulate(8)(j =>
+        (if (j == blob) 10f else 0f) + (if (j == 3 + blob) i * 0.01f else 0f))
+    val rows =
+      (0 until 50).map(i => (s"r$i", bvec(0, i))) ++
+      (50 until 55).map(i => (s"r$i", bvec(1, i))) ++
+      (55 until 60).map(i => (s"r$i", bvec(2, i)))
+    store.insert(rows.map { case (id, v) =>
+      VectorStore.VectorRecord(id, v, tsString = Some(oldTs.toString)) })
+    val sched = new MigrationScheduler(store, MigrationPolicy(
+      maxVectorsPerRun = 100,
+      autoRebalance = true, imbalanceThreshold = 1.2,
+      minVectorsForRebalance = 10L))
+    val r1 = sched.runMigration()
+    assert(r1.vectorsMigrated == 60L)
+    // the tick must have detected the 50-row cluster and moved its
+    // overflow (cap = ceil(avg) = 20), recording it persistently
+    assert(r1.vectorsRebalanced > 0, "skewed store but nothing rebalanced")
+    assert(store.maintenanceStats.totalRebalances == 1L)
+    assert(store.maintenanceStats.totalVectorsMoved == r1.vectorsRebalanced)
+    val Some((total, avg, maxAfter)) = store.clusterImbalance()
+    assert(total == 60L)
+    assert(maxAfter < 50L, s"big cluster uncapped: max=$maxAfter avg=$avg")
+    // the composition stayed whole: every row still findable through the
+    // probed path (probe recall restored — moved rows live under their
+    // second-nearest centroid, which full-probe search covers)
+    val hit = store.search(bvec(0, 17), k = 1, metric = "l2").head()
+    assert(hit.getString(0) == "r17" && hit.getDouble(1) < 1e-6)
+    // and with a code tier enabled, a re-triggering tick re-encodes it
+    // (rebalance DELETES the stale cluster-partitioned code table; a
+    // scheduler that forgot the re-encode would leave hasSq false and the
+    // searchBatchSq below would hard-fail)
+    store.enableSq()
+    store.insert((100 until 140).map(i => VectorStore.VectorRecord(
+      s"x$i", bvec(0, i), tsString = Some(oldTs.toString)))) // re-skew blob 0
+    val r2 = sched.runMigration()
+    assert(r2.vectorsMigrated == 40L)
+    assert(r2.vectorsRebalanced > 0, "re-skewed store must re-trigger")
+    assert(store.hasSq, "rebalance must not leave the SQ tier dark")
+    val hit2 = store.searchBatchSq(
+      spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(0L, bvec(0, 17).toSeq)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("q_embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType))))),
+      k = 1).head()
+    assert(hit2.getString(1) == "r17")
+  }
+
   test("migration policy: quiet hours pause runs, including wrapping ranges") {
     val store = new VectorStore(spark,
       Files.createTempDirectory("graft_mig_qh_").toString,
