@@ -252,8 +252,10 @@ object Pq {
       model: PqModel, queries: DataFrame, k: Int, nProbe: Int,
       shortlist: Int = 100, rerank: Option[DataFrame] = None,
       idCol: String = "id", queryIdCol: String = "query_id",
-      queryEmbCol: String = "q_embedding"): DataFrame = {
-    val pRows = Ivf.probeRows(centroids, queries, nProbe, "l2",
+      queryEmbCol: String = "q_embedding", metric: String = "l2"): DataFrame = {
+    require(metric == "l2" || metric == "cosine",
+      s"residual PQ supports l2|cosine, got '$metric'")
+    val pRows = Ivf.probeRows(centroids, queries, nProbe, metric,
       queryIdCol, queryEmbCol)._1
     val cents = collectCentroids(centroids)
     val pairs = pRows.map { r =>
@@ -264,19 +266,25 @@ object Pq {
     // per-query top-k is independent across queries, so a large batch
     // splits into chunks whose ADC tables fit the per-plan budget; the
     // probed scan runs once per chunk — bounded memory traded for
-    // re-reads, the right side of that trade for a code-tier scan
-    val perQueryDoubles = math.max(1, nProbe * model.m * model.k)
+    // re-reads, the right side of that trade for a code-tier scan.
+    // (cosine builds per-QUERY + per-CLUSTER tables, not per-pair, so its
+    // per-query footprint has no nProbe factor)
+    val perQueryDoubles = math.max(1,
+      (if (metric == "l2") nProbe else 1) * model.m * model.k)
     val chunkQ = math.max(1, maxAdcTableDoubles / perQueryDoubles)
+    def chunk(ps: Array[(Long, Array[Float], Long)]): DataFrame =
+      if (metric == "l2")
+        residualChunk(encoded, model, cents, ps, k, shortlist, rerank,
+          idCol, queryIdCol, queryEmbCol)
+      else
+        residualCosineChunk(encoded, model, cents, ps, k, shortlist, rerank,
+          idCol, queryIdCol, queryEmbCol)
     val qids = pairs.map(_._1).distinct
-    if (qids.isEmpty)
-      residualChunk(encoded, model, cents, pairs, k, shortlist, rerank,
-        idCol, queryIdCol, queryEmbCol)  // empty batch: schema-correct empty
+    if (qids.isEmpty) chunk(pairs) // empty batch: schema-correct empty
     else qids.grouped(chunkQ)
       .map { qs =>
         val qSet = qs.toSet
-        residualChunk(encoded, model, cents,
-          pairs.filter(p => qSet.contains(p._1)), k, shortlist, rerank,
-          idCol, queryIdCol, queryEmbCol)
+        chunk(pairs.filter(p => qSet.contains(p._1)))
       }
       .reduce(_ unionByName _)
   }
@@ -319,6 +327,86 @@ object Pq {
       pairs.map(pr => (pr._1, pr._2)).distinctBy(_._1), queryIdCol, queryEmbCol)
     Ivf.shortlistRerankTopK(scored, qRel, k, shortlist, idIsString, rerank,
       idCol, queryIdCol, queryEmbCol, "l2")
+  }
+
+  /** One bounded chunk of [[searchBatchIvfPqResidual]] under COSINE.
+    * With v̂ = centroid_c + decode(codes), the approximate cosine distance
+    * decomposes into table lookups the existing codegen kernel serves:
+    *
+    *   dot(q, v̂)  = dot(q, c)            (per-pair constant)
+    *              + Σ_s dot(q_s, cell_s)  (per-QUERY table — cluster-free,
+    *                                       residual codebooks are global)
+    *   |v̂|²       = |c|²                 (per-pair constant)
+    *              + Σ_s (2·dot(c_s, cell_s) + |cell_s|²)  (per-CLUSTER table)
+    *
+    * so the plan embeds nq + nProbedClusters tables instead of the l2
+    * path's nq x nProbe pair tables — strictly smaller. Shortlist is
+    * ranked by 1 - dot/(|q|·|v̂|); the exact rerank (same metric) fixes
+    * the final distances like every code-tier path. */
+  private def residualCosineChunk(encoded: DataFrame, model: PqModel,
+      cents: Map[Long, Array[Float]],
+      pairs: Array[(Long, Array[Float], Long)], k: Int, shortlist: Int,
+      rerank: Option[DataFrame], idCol: String, queryIdCol: String,
+      queryEmbCol: String): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val qVecs = pairs.map(p => (p._1, p._2)).distinctBy(_._1)
+    val qIdx = qVecs.map(_._1).zipWithIndex.toMap
+    val qTables = adcTables(model, qVecs.map(_._2), "cosine") // dot cells
+    val qNorm = qVecs.map { case (_, v) =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    }
+    val probed = pairs.map(_._3).distinct
+    val cIdx = probed.zipWithIndex.toMap
+    val cTables: Array[Array[Array[Double]]] = probed.map { cid =>
+      val c = cents(cid)
+      Array.tabulate(model.m) { s =>
+        val cs = c.slice(s * model.subDim, (s + 1) * model.subDim)
+        model.codebooks(s).map { cell =>
+          var dot = 0.0; var nsq = 0.0; var i = 0
+          while (i < cs.length) {
+            dot += cs(i).toDouble * cell(i).toDouble
+            nsq += cell(i).toDouble * cell(i).toDouble
+            i += 1
+          }
+          2.0 * dot + nsq
+        }
+      }
+    }
+    val p = pairs.map { case (qid, qv, cid) =>
+        val c = cents(cid)
+        var dqc = 0.0; var cn = 0.0; var i = 0
+        while (i < qv.length) {
+          dqc += qv(i).toDouble * c(i).toDouble
+          cn += c(i).toDouble * c(i).toDouble
+          i += 1
+        }
+        (qid, qIdx(qid), cIdx(cid), dqc, cn, qNorm(qIdx(qid)), cid)
+      }
+      .toSeq.toDF(queryIdCol, "q_idx", "c_idx", "dot_qc", "c_normsq",
+        "q_norm", "cluster_id")
+    val pruned = encoded.filter(col("cluster_id").isin(probed: _*))
+    val tq = graft.functions.VectorExpressions.pqAdcTableDist(
+      col("codes"), col("q_idx"), qTables)
+    val tc = graft.functions.VectorExpressions.pqAdcTableDist(
+      col("codes"), col("c_idx"), cTables)
+    val num = col("dot_qc") + tq
+    // greatest(0): |v̂|² is mathematically >= 0 but the three-term float
+    // sum can round a hair negative — sqrt(NaN) must not eat a candidate
+    val den = col("q_norm") * sqrt(greatest(lit(0.0), col("c_normsq") + tc))
+    val scored = pruned
+      .join(broadcast(p), pruned("cluster_id") === p("cluster_id"))
+      .select(col(queryIdCol), col(idCol).as("id"),
+        when(den === 0.0, lit(1.0)).otherwise(lit(1.0) - num / den)
+          .as("distance"))
+    val idIsString =
+      encoded.schema(idCol).dataType == org.apache.spark.sql.types.StringType
+    val qRel = queryRelation(spark,
+      pairs.map(pr => (pr._1, pr._2)).distinctBy(_._1), queryIdCol, queryEmbCol)
+    Ivf.shortlistRerankTopK(scored, qRel, k, shortlist, idIsString, rerank,
+      idCol, queryIdCol, queryEmbCol, "cosine")
   }
 
   // ---- model persistence (the X10 analog for quantization state: the

@@ -305,6 +305,47 @@ object AnnQueries {
       val exact = Knn.batch(corpus, queries, k = 10, metric = "l2")
       Ivf.evaluateRecall(approx, exact)
         .select(col("n_queries"), (col("avg_recall") >= 0.5).as("recall_ok"))
+    }),
+    // residual IVF-PQ under COSINE (the reference's default metric,
+    // hybrid/core.rs:184-197): the same residual tier served through the
+    // per-query dot + per-cluster norm table decomposition. Gated two
+    // ways: recall@10 vs exact cosine, AND >= the PLAIN-PQ cosine path on
+    // the identical (nProbe, shortlist, m, k) budget — the residual
+    // formulation must not cost recall for its better compression.
+    "ann_ivfpq_residual_cos" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+      val cents = Ivf.train(corpus,
+        Ivf.IvfConfig(nClusters = 16, maxIterations = 10, initMode = "driver"))
+      val assigned = Ivf.assign(corpus, cents)
+        .select(col("id"), col("cluster_id").cast("long").as("cluster_id"),
+          col("embedding"))
+      val model = Pq.trainResidual(assigned, cents, dim = 64, m = 8, k = 64,
+        trainSize = 1000)
+      val enc = assigned.select(col("id"), col("cluster_id"),
+        Pq.encodeResidual(model, cents, col("embedding"), col("cluster_id"))
+          .as("codes"))
+      val plainModel = Pq.train(corpus, dim = 64, m = 8, k = 64,
+        trainSize = 1000)
+      val plainEnc = assigned.select(col("id"), col("cluster_id"),
+        Pq.encode(plainModel, col("embedding")).as("codes"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val residualCos = Pq.searchBatchIvfPqResidual(enc, cents, model, queries,
+        k = 10, nProbe = 5, shortlist = 100, rerank = Some(corpus),
+        metric = "cosine")
+      val plainCos = Pq.searchBatchIvfPq(plainEnc, cents, plainModel, queries,
+        k = 10, nProbe = 5, shortlist = 100, rerank = Some(corpus),
+        metric = "cosine")
+      val exact = Knn.batch(corpus, queries, k = 10, metric = "cosine")
+      val rRes = Ivf.evaluateRecall(residualCos, exact)
+        .select(lit(1).as("j"), col("n_queries"), col("avg_recall").as("res_recall"))
+      val rPlain = Ivf.evaluateRecall(plainCos, exact)
+        .select(lit(1).as("j"), col("avg_recall").as("plain_recall"))
+      rRes.join(rPlain, "j")
+        .select(col("n_queries"),
+          (col("res_recall") >= 0.5).as("recall_ok"),
+          (col("res_recall") >= col("plain_recall")).as("ge_plain"))
     }))
 
   private val centSql400 =
@@ -406,6 +447,9 @@ object AnnQueries {
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
     "ann_ivfpq_residual" ->
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+    "ann_ivfpq_residual_cos" ->
+      """SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok,
+        |  true AS ge_plain""".stripMargin,
     "quantize_u8" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,

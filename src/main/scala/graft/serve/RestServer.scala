@@ -299,7 +299,7 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           val n = obj(); n.put("refreshed", true); n.put("encoded", encoded); (200, n)
         } else {
           // residual: the FAISS formulation (codebooks on v - centroid);
-          // such a tier serves l2 only — cosine searches return 400
+          // serves l2 and cosine like the plain tier
           val residual = req != null && req.hasNonNull("residual") &&
             req.get("residual").asBoolean()
           store.enablePq(m = optInt(req, "m", 8),

@@ -945,8 +945,10 @@ class VectorStore(val spark: SparkSession, val path: String,
     * `residual = true` trains and encodes against each row's coarse
     * centroid (the FAISS IVF-PQ formulation — tighter codes from the same
     * m x k budget); the flag persists with the model so search and
-    * refresh dispatch the matching path. The residual tier serves l2
-    * only. With `retrain = false` the SAVED formulation wins — the
+    * refresh dispatch the matching path. The residual tier serves l2 and
+    * cosine, like the plain tier (see `Pq.residualCosineChunk` for the
+    * cosine table decomposition). With `retrain = false` the SAVED
+    * formulation wins — the
     * documented post-vacuum recipe `enablePq(retrain = false)` re-encodes
     * a residual store as residual without restating the flag; only an
     * explicit `residual = true` against a saved PLAIN model errors
@@ -1107,19 +1109,21 @@ class VectorStore(val spark: SparkSession, val path: String,
     val queries = localizeQueries(queriesRaw)
     val model = Pq.load(spark, dir("pq_model"))
     val residual = pqIsResidual
-    require(!residual || metric == "l2",
-      s"residual PQ tier serves l2 only, got '$metric'")
     codeTierSearch(queries, k, "pq_codes", recentK, historicalK, metric,
         filterJson, oversample, useRecentIndex, recentEfSearch) {
       (codes, hist, histK) =>
         // the oversampled filtered ask (histK = k*oversample) must not be
         // re-truncated by a smaller approximate shortlist upstream of it
         if (residual)
+          // l2 AND cosine (the reference's default metric) both serve from
+          // the residual tier — cosine via the per-query dot + per-cluster
+          // norm table decomposition in Pq.residualCosineChunk
           Pq.searchBatchIvfPqResidual(
             codes.select(col("id"), col("cluster_id"), col("codes")),
             centroids, model, queries, histK, nProbe,
             math.max(shortlist, histK),
-            rerank = Some(hist.select(col("id"), col("embedding"))))
+            rerank = Some(hist.select(col("id"), col("embedding"))),
+            metric = metric)
         else Pq.searchBatchIvfPq(
           codes.select(col("id"), col("cluster_id"), col("codes")),
           centroids, model, queries, histK, nProbe,

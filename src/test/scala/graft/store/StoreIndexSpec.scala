@@ -126,7 +126,7 @@ class StoreIndexSpec extends SparkSpec {
     assert(pq4 == exact4)
   }
 
-  test("residual PQ tier: flag persists, serves oracle-equal l2, rejects cosine") {
+  test("residual PQ tier: flag persists, serves oracle-equal l2 and cosine") {
     val st = new VectorStore(spark,
       Files.createTempDirectory("graft_pqr_").toString,
       Config(recentThresholdSeconds = 3600, nClusters = 4))
@@ -140,9 +140,13 @@ class StoreIndexSpec extends SparkSpec {
     val pq = hitSet(st.searchBatchPq(q, k = 5, nProbe = 4, shortlist = 100))
     val exact = hitSet(st.searchBatch(q, k = 5, metric = "l2", nProbe = 4))
     assert(pq == exact)
-    // the residual tier serves l2 only
-    intercept[IllegalArgumentException](
-      st.searchBatchPq(q, k = 5, metric = "cosine"))
+    // the residual tier serves cosine too (per-query dot + per-cluster
+    // norm tables): full probe + shortlist >= corpus + exact rerank must
+    // again be identical to the exact path under the same metric
+    val pqCos = hitSet(st.searchBatchPq(q, k = 5, nProbe = 4,
+      shortlist = 100, metric = "cosine"))
+    val exactCos = hitSet(st.searchBatch(q, k = 5, metric = "cosine", nProbe = 4))
+    assert(pqCos == exactCos)
     // refresh dispatches the residual encode for the delta
     val moreOld = java.time.Instant.now().minusSeconds(7200).toString
     st.insert(Seq(VectorRecord("rLate", vec(7), tsString = Some(moreOld))))
@@ -156,8 +160,11 @@ class StoreIndexSpec extends SparkSpec {
     val pq3 = hitSet(st.searchBatchPq(q, k = 3, nProbe = 4, shortlist = 100))
     val exact3 = hitSet(st.searchBatch(q, k = 3, metric = "l2", nProbe = 4))
     assert(pq3 == exact3)
-    intercept[IllegalArgumentException](
-      st.searchBatchPq(q, k = 3, metric = "cosine")) // still residual
+    // still residual after the re-encode: cosine keeps serving oracle-equal
+    val pq3c = hitSet(st.searchBatchPq(q, k = 3, nProbe = 4, shortlist = 100,
+      metric = "cosine"))
+    val exact3c = hitSet(st.searchBatch(q, k = 3, metric = "cosine", nProbe = 4))
+    assert(pq3c == exact3c)
   }
 
   test("retrain=false cannot silently switch a plain PQ store to residual") {
