@@ -66,7 +66,7 @@ object StoreQueries {
     * measure fixed plan overhead instead. */
   def ensureScaleServingStore(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val base = s"/tmp/graft_store_idx/${tag}_scale_v3"
+    val base = s"/tmp/graft_store_idx/${tag}_scale_v4" // v4: routed recent index
     val done = new org.apache.hadoop.fs.Path(base, "_DONE")
     val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(done)) {
@@ -81,7 +81,10 @@ object StoreQueries {
         when(col("id") % 2 === 0, lit(oldTs))
           .otherwise(current_timestamp()).as("ts")))
       st.migrate()          // evens -> clustered historical (trains centroids)
-      st.buildRecentIndex(metric = "l2") // odds served from saved HNSW
+      // routed: blobs co-located by the store's coarse clusters, so scale
+      // searches probe each query's nearest blobs instead of all 32 — the
+      // O(probeBlobs)-per-query shape a heavily-sharded index needs
+      st.buildRecentIndex(metric = "l2", routed = true)
       st.enableSq()
       val out = fs.create(done, true); out.close()
     }
@@ -170,7 +173,7 @@ object StoreQueries {
       val st = new VectorStore(s, s"$base/store", scaleStoreConfig)
       val e = Tables.load(s, dir, "embeddings")
       st.searchBatch(scaleQueries(e, 1), k = 10, metric = "l2", nProbe = 4,
-          useRecentIndex = true, recentEfSearch = 120)
+          useRecentIndex = true, recentEfSearch = 120, recentProbeBlobs = 6)
         .groupBy("query_id")
         .agg(min_by(col("id"), col("distance")).as("id"),
           round(min(col("distance")), 6).as("distance"))
@@ -187,7 +190,7 @@ object StoreQueries {
       val st = new VectorStore(s, s"$base/store", scaleStoreConfig)
       val e = Tables.load(s, dir, "embeddings")
       st.searchBatchSq(scaleQueries(e, 0), k = 10, nProbe = 4, shortlist = 200,
-          useRecentIndex = true)
+          useRecentIndex = true, recentProbeBlobs = 6)
         .groupBy("query_id")
         .agg(min_by(col("id"), col("distance")).as("id"),
           round(min(col("distance")), 6).as("distance"))

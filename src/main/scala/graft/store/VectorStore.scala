@@ -771,13 +771,14 @@ class VectorStore(val spark: SparkSession, val path: String,
       historicalK: Option[Int] = None,
       filterJson: Option[String] = None,
       useRecentIndex: Boolean = false,
-      recentEfSearch: Int = 100): DataFrame = {
+      recentEfSearch: Int = 100,
+      recentProbeBlobs: Int = 0): DataFrame = {
     val queries = localizeQueries(queriesRaw)
     // the natural string id rides through the string top-k aggregate — no
     // surrogate hash, no collision risk, no join back to recover the id
     val recPart =
       if (useRecentIndex) indexedRecentPart(queries, recentK.getOrElse(k),
-        metric, filterJson, recentEfSearch)
+        metric, filterJson, recentEfSearch, recentProbeBlobs)
       else {
         val rec = filterJson match {
           case None => dropTombstoned(recent).select(col("id"), col("embedding"))
@@ -827,14 +828,30 @@ class VectorStore(val spark: SparkSession, val path: String,
     * `migrate`/`vacuum` rewrite the tier itself, so they invalidate the
     * index (delete it) — rebuild after maintenance. */
   def buildRecentIndex(efConstruction: Int = 100, m: Int = 16,
-      metric: String = "l2", numBlobs: Int = 0): Unit = {
+      metric: String = "l2", numBlobs: Int = 0,
+      routed: Boolean = false): Unit = {
     require(metric == "l2" || metric == "cosine",
       s"recent index supports l2|cosine, got $metric")
     val parts =
       if (numBlobs > 0) numBlobs else spark.sparkContext.defaultParallelism
-    val data = recent
+    val base = recent
       .select(col("id"), col("vid"), col("ts"), col("metadata"), col("embedding"))
-      .repartition(parts)
+    // routed: co-locate similar vectors per blob (repartition by k-means
+    // cluster) so searches can probe only each query's nearest blobs
+    // (searchBatch recentProbeBlobs) — O(probeBlobs) per query instead of
+    // O(#blobs), the shape that survives a heavily-sharded index. The
+    // store's coarse centroids are reused when present; otherwise a quick
+    // driver k-means over the recent tier trains `parts` routing clusters.
+    val data = (if (!routed) base.repartition(parts)
+      else {
+        val cents =
+          if (exists("centroids")) centroids
+          else Ivf.train(base,
+            Ivf.IvfConfig(nClusters = parts, maxIterations = 10,
+              trainSize = 10000, initMode = "driver"))
+        Ivf.assign(base, cents).repartition(parts, col("cluster_id"))
+          .drop("cluster_id")
+      })
       .withColumn("lid", monotonically_increasing_id())
     storeWrite(data).mode(SaveMode.Overwrite).parquet(dir("recent_index/data"))
     val written = spark.read.parquet(dir("recent_index/data"))
@@ -851,6 +868,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     node.put("efConstruction", efConstruction)
     node.put("m", m)
     node.put("numBlobs", numBlobs)
+    node.put("routed", routed)
     val arr = node.putArray("files")
     listDataParts("recent").foreach(arr.add)
     writeText(new Path(dir("recent_index"), "meta.json"),
@@ -864,8 +882,8 @@ class VectorStore(val spark: SparkSession, val path: String,
     fs.exists(new Path(dir("recent_index"), "meta.json"))
 
   /** The params the current index was built with, for a like-for-like
-    * rebuild: (efConstruction, m, metric, numBlobs). */
-  def recentIndexBuildParams: Option[(Int, Int, String, Int)] =
+    * rebuild: (efConstruction, m, metric, numBlobs, routed). */
+  def recentIndexBuildParams: Option[(Int, Int, String, Int, Boolean)] =
     if (!hasRecentIndex) None
     else {
       val n = mapper.readTree(readText(new Path(dir("recent_index"), "meta.json")))
@@ -873,7 +891,8 @@ class VectorStore(val spark: SparkSession, val path: String,
         if (n.hasNonNull("efConstruction")) n.get("efConstruction").asInt() else 100,
         if (n.hasNonNull("m")) n.get("m").asInt() else 16,
         n.get("metric").asText(),
-        if (n.hasNonNull("numBlobs")) n.get("numBlobs").asInt() else 0))
+        if (n.hasNonNull("numBlobs")) n.get("numBlobs").asInt() else 0,
+        n.hasNonNull("routed") && n.get("routed").asBoolean()))
     }
 
   private def recentIndexMetric: String =
@@ -886,7 +905,8 @@ class VectorStore(val spark: SparkSession, val path: String,
     * back to natural ids, unioned with an exact scan of the post-build
     * delta so fresh inserts are never invisible. */
   private def indexedRecentPart(queries: DataFrame, k: Int, metric: String,
-      filterJson: Option[String], efSearch: Int): DataFrame = {
+      filterJson: Option[String], efSearch: Int,
+      probeBlobs: Int = 0): DataFrame = {
     require(hasRecentIndex, "recent index not built; call buildRecentIndex()")
     require(recentIndexMetric == metric,
       s"recent index was built for metric '$recentIndexMetric', search asked '$metric'")
@@ -900,8 +920,15 @@ class VectorStore(val spark: SparkSession, val path: String,
           live.filter(FilterJson.predicate(f, col("metadata"))))
         Some(kept.select(col("lid").as("id")))
       }
+    // probeBlobs only makes sense against a routed build (blobs co-located
+    // by cluster — otherwise every blob centroid sits near the global mean
+    // and routing silently loses recall), so an un-routed index ignores it
+    val effProbe =
+      if (probeBlobs > 0 &&
+        recentIndexBuildParams.exists(_._5)) probeBlobs
+      else 0
     val hits = graft.operators.Hnsw.searchSaved(spark, dir("recent_index/blobs"),
-        queries, k, efSearch, allowed = allowed)
+        queries, k, efSearch, allowed = allowed, probeBlobs = effProbe)
       .select(col("query_id"), col("id").as("lid"), col("distance"))
       .join(idx.select(col("lid"), col("id")), Seq("lid"))
       .select(col("query_id"), col("id"), col("distance"))
@@ -1100,7 +1127,7 @@ class VectorStore(val spark: SparkSession, val path: String,
       recentK: Option[Int] = None, historicalK: Option[Int] = None,
       metric: String = "l2", filterJson: Option[String] = None,
       oversample: Int = 3, useRecentIndex: Boolean = false,
-      recentEfSearch: Int = 100): DataFrame = {
+      recentEfSearch: Int = 100, recentProbeBlobs: Int = 0): DataFrame = {
     require(oversample >= 1, s"oversample must be >= 1, got $oversample")
     require(hasPq, "PQ tier not built; call enablePq()")
     // localized ONCE here (not in codeTierSearch): the search lambda below
@@ -1110,7 +1137,8 @@ class VectorStore(val spark: SparkSession, val path: String,
     val model = Pq.load(spark, dir("pq_model"))
     val residual = pqIsResidual
     codeTierSearch(queries, k, "pq_codes", recentK, historicalK, metric,
-        filterJson, oversample, useRecentIndex, recentEfSearch) {
+        filterJson, oversample, useRecentIndex, recentEfSearch,
+        recentProbeBlobs) {
       (codes, hist, histK) =>
         // the oversampled filtered ask (histK = k*oversample) must not be
         // re-truncated by a smaller approximate shortlist upstream of it
@@ -1143,7 +1171,7 @@ class VectorStore(val spark: SparkSession, val path: String,
       recentK: Option[Int], historicalK: Option[Int],
       metric: String = "l2", filterJson: Option[String] = None,
       oversample: Int = 3, useRecentIndex: Boolean = false,
-      recentEfSearch: Int = 100)(
+      recentEfSearch: Int = 100, recentProbeBlobs: Int = 0)(
       search: (DataFrame, DataFrame, Int) => DataFrame): DataFrame = {
     // recent tier: saved-HNSW when requested (the steady-state serving
     // shape — code tier AND graph tier both from artifacts), else an exact
@@ -1151,7 +1179,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     // exactly like the un-quantized searchBatch.
     val recPart =
       if (useRecentIndex) indexedRecentPart(queries, recentK.getOrElse(k),
-        metric, filterJson, recentEfSearch)
+        metric, filterJson, recentEfSearch, recentProbeBlobs)
       else {
         val rec = filterJson match {
           case None => dropTombstoned(recent).select(col("id"), col("embedding"))
@@ -1267,13 +1295,14 @@ class VectorStore(val spark: SparkSession, val path: String,
       recentK: Option[Int] = None, historicalK: Option[Int] = None,
       metric: String = "l2", filterJson: Option[String] = None,
       oversample: Int = 3, useRecentIndex: Boolean = false,
-      recentEfSearch: Int = 100): DataFrame = {
+      recentEfSearch: Int = 100, recentProbeBlobs: Int = 0): DataFrame = {
     require(oversample >= 1, s"oversample must be >= 1, got $oversample")
     require(hasSq, "SQ tier not built; call enableSq()")
     // see searchBatchPq: one local relation shared by lambda + composition
     val queries = localizeQueries(queriesRaw)
     codeTierSearch(queries, k, "sq_codes", recentK, historicalK, metric,
-        filterJson, oversample, useRecentIndex, recentEfSearch) {
+        filterJson, oversample, useRecentIndex, recentEfSearch,
+        recentProbeBlobs) {
       (codes, hist, histK) =>
         // same shortlist floor as searchBatchPq: the oversampled ask wins
         graft.operators.Sq.searchBatchIvfSq(

@@ -105,8 +105,8 @@ class MigrationScheduler(store: VectorStore,
         if (store.hasSq) store.refreshSq()
       }
       // migrate dropped the recent index it invalidated — restore serving
-      if (n > 0) indexParams.foreach { case (ef, m, metric, blobs) =>
-        store.buildRecentIndex(ef, m, metric, blobs)
+      if (n > 0) indexParams.foreach { case (ef, m, metric, blobs, routed) =>
+        store.buildRecentIndex(ef, m, metric, blobs, routed)
       }
       val moved = if (!p.autoRebalance) 0L else maybeRebalance(p)
       val batches = (n + p.batchSize - 1) / p.batchSize

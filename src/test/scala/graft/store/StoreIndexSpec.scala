@@ -67,6 +67,39 @@ class StoreIndexSpec extends SparkSpec {
     assert(err.getMessage.contains("metric"))
   }
 
+  test("routed recent index: probeBlobs self-retrieval; un-routed ignores it") {
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_rrt_").toString, Config(nClusters = 4))
+    st.insert((0 until 80).map(i => VectorRecord(s"v$i", vec(i))))
+    // routed build with no store centroids yet: trains its own routing
+    // clusters over the recent tier (numBlobs of them)
+    st.buildRecentIndex(numBlobs = 8, routed = true)
+    assert(st.recentIndexBuildParams.exists(_._5), "routed flag must persist")
+    val q = mkQueries(3L, 17L, 42L)
+    // corpus-vector queries: the query's own blob is its nearest routing
+    // centroid, so rank-1 self-retrieval survives probeBlobs << #blobs
+    val routed = st.searchBatch(q, k = 3, metric = "l2",
+      useRecentIndex = true, recentProbeBlobs = 3)
+    val top1 = routed.groupBy("query_id")
+      .agg(min_by(col("id"), col("distance")).as("id")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top1 == Map(3L -> "v3", 17L -> "v17", 42L -> "v42"))
+    // probeBlobs covering every blob == exact (routing only prunes)
+    val full = hitSet(st.searchBatch(q, k = 3, metric = "l2",
+      useRecentIndex = true, recentProbeBlobs = 100))
+    val exact = hitSet(st.searchBatch(q, k = 3, metric = "l2"))
+    assert(full == exact)
+    // an UN-routed index silently ignores probeBlobs (its blob centroids
+    // all sit near the global mean — routing there would lose recall)
+    st.buildRecentIndex(numBlobs = 8)
+    val unrouted = hitSet(st.searchBatch(q, k = 3, metric = "l2",
+      useRecentIndex = true, recentProbeBlobs = 2))
+    assert(unrouted == exact)
+    // the scheduler's like-for-like rebuild preserves the routed build
+    st.buildRecentIndex(numBlobs = 8, routed = true)
+    assert(st.recentIndexBuildParams.contains((100, 16, "l2", 8, true)))
+  }
+
   test("maintenance invalidates the recent index (migrate and vacuum)") {
     val st = new VectorStore(spark,
       Files.createTempDirectory("graft_rinv_").toString,

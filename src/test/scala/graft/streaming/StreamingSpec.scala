@@ -114,7 +114,7 @@ class StreamingSpec extends SparkSpec {
     // the persisted build params, so indexed serving never went dark
     assert(store.hasRecentIndex,
       "scheduler must rebuild the recent index it invalidated")
-    assert(store.recentIndexBuildParams.contains((60, 8, "l2", 0)))
+    assert(store.recentIndexBuildParams.contains((60, 8, "l2", 0, false)))
     // and with refresh disabled the delta stays un-encoded
     sched.policy = MigrationPolicy(maxVectorsPerRun = 100, refreshCodeTiers = false)
     store.insert((28 until 31).map(i => VectorStore.VectorRecord(
