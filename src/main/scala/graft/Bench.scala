@@ -61,10 +61,13 @@ object Bench {
     graft.queries.StoreQueries.ensureServingStore(spark, sfDir)
     graft.queries.StoreQueries.ensureScaleServingStore(spark, sfDir)
 
-    // best-of-N per query (default 2): the warm steady-state number, the
-    // same framing as the reference's warm-cache figures (BASELINE.md), and
-    // robust to single-run JVM noise (GC/JIT recompile swings of 30%+)
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // best-of-N per query (default 3): the warm steady-state number, the
+    // same framing as the reference's warm-cache figures (BASELINE.md).
+    // Three temporally-separated samples (r5, was 2): host-contention
+    // windows of tens of seconds were observed poisoning BOTH samples of
+    // the big compute rows (knn_scale swung 2.1 -> 3.0 s between two
+    // same-code sweeps); a third pass costs ~25% more wall and caps that.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // optional comma-separated subset for local iteration (full run when unset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
