@@ -72,6 +72,33 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("driver-side probe selection is bit-identical to the Spark-plan path") {
+    // probeRows replicates the codegen kernels' arithmetic by hand; this
+    // pins the equivalence on arbitrary vectors for every metric and for
+    // the HALF_UP oracle-rounding mode (where near-ties are likeliest to
+    // diverge if the arithmetic drifts by one ulp)
+    def randVec(dim: Int): Array[Float] =
+      Array.fill(dim)((rnd.nextFloat() - 0.5f) * (1 + rnd.nextInt(4)))
+    val dim = 16
+    val cents = (0 until 12).map(i => (i, randVec(dim))) :+
+      (12, Array.fill(dim)(0f)) // zero-norm centroid: cosine edge case
+    val qs = (0L until 30L).map(i => (i, randVec(dim)))
+    val centsDf = cents.toDF("cluster_id", "centroid")
+    val qsDf = qs.toDF("query_id", "q_embedding")
+    for (metric <- Seq("l2", "cosine", "dot", "angular");
+         rd <- Seq(-1, 6, 2)) {
+      val viaPlan = graft.operators.Ivf.probes(centsDf, qsDf, nProbe = 3,
+          metric, roundDecimals = rd)
+        .select("query_id", "cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val viaDriver = graft.operators.Ivf.probeRows(centsDf, qsDf, nProbe = 3,
+          metric, roundDecimals = rd)._1
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cluster_id")))
+        .sorted.toSeq
+      assert(viaDriver == viaPlan, s"probe sets diverge: $metric rd=$rd")
+    }
+  }
+
   test("FilterJson rejects junk with IllegalArgumentException, never other throwables") {
     val junk = Seq("{", "[]", "7", "\"x\"", """{"a": {"$gt": {}}}""",
       """{"$nope": 1}""", """{"a": {"$gte": 1, "$in": [2]}}""", "")
