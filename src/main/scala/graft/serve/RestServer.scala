@@ -31,8 +31,11 @@ import scala.util.control.NonFatal
   *   DELETE /api/v1/vectors/{id}
   *   POST   /api/v1/search             {vector, k?, filter?, options?:
   *                                      {include_metadata?, score_threshold?,
-  *                                       metric?, mode?}}  — mode: exact |
-  *                                      recent_index | pq | sq (serving path)
+  *                                       metric?, mode?, oversample?,
+  *                                       selectivity?, probe_blobs?}} — mode:
+  *                                      exact | recent_index | pq | sq
+  *                                      (serving path); probe_blobs routes a
+  *                                      ROUTED saved recent index
   *   GET    /api/v1/admin/statistics
   *   POST   /api/v1/admin/migrate
   *   POST   /api/v1/admin/vacuum
@@ -41,7 +44,7 @@ import scala.util.control.NonFatal
   *   POST   /api/v1/admin/index/pq     {m?, k_codes?, train_size?, retrain?,
   *                                      residual?, refresh?} — refresh:
   *                                      delta-encode only; residual: FAISS
-  *                                      formulation, l2-only tier
+  *                                      formulation (serves l2 + cosine)
   *   POST   /api/v1/admin/index/sq     {refresh?}
   *   POST   /api/v1/admin/backup      {target}
   *   GET    /api/v1/updates?since=N
@@ -194,6 +197,11 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           else if (selNode.exists(n => !n.isNumber || n.asDouble() <= 0.0 ||
               n.asDouble() > 1.0))
             (400, err("selectivity must be a number in (0, 1]"))
+          // probe_blobs: blob routing on the saved recent index (>= 1
+          // nearest blobs per query; ignored unless the index was built
+          // routed). Same validation convention as oversample.
+          else if (opt("probe_blobs").exists(n => !n.isIntegralNumber || n.asInt() < 1))
+            (400, err("probe_blobs must be a positive integer"))
           else {
           val oversample = osNode.map(_.asInt())
             .orElse(selNode.map(s =>
@@ -205,7 +213,8 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             metric = opt("metric").map(_.asText()).getOrElse("cosine"),
             filterJson = Option(req.get("filter")).map(mapper.writeValueAsString),
             scoreThreshold = opt("score_threshold").map(_.asDouble()),
-            oversample = oversample
+            oversample = oversample,
+            probeBlobs = opt("probe_blobs").map(_.asInt()).getOrElse(0)
           ).collect()
           val includeMeta = opt("include_metadata").exists(_.asBoolean())
           val n = obj()

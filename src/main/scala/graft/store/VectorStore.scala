@@ -468,7 +468,8 @@ class VectorStore(val spark: SparkSession, val path: String,
     * same (id, distance, score, metadata) shape as [[search]]. */
   def searchMode(query: Array[Float], k: Int, mode: String = "exact",
       metric: String = "cosine", filterJson: Option[String] = None,
-      scoreThreshold: Option[Double] = None, oversample: Int = 3): DataFrame = {
+      scoreThreshold: Option[Double] = None, oversample: Int = 3,
+      probeBlobs: Int = 0): DataFrame = {
     require(oversample >= 1, s"oversample must be >= 1, got $oversample")
     if (mode == "exact")
       return search(query, k, metric, filterJson, scoreThreshold)
@@ -476,7 +477,8 @@ class VectorStore(val spark: SparkSession, val path: String,
     val q = Seq((0L, query)).toDF("query_id", "q_embedding")
     val hits = mode match {
       case "recent_index" =>
-        searchBatch(q, k, metric, useRecentIndex = true, filterJson = filterJson)
+        searchBatch(q, k, metric, useRecentIndex = true, filterJson = filterJson,
+          recentProbeBlobs = probeBlobs)
       case "pq" | "sq" =>
         require(metric == "l2" || metric == "cosine",
           s"mode '$mode' is a code tier serving l2|cosine; got metric '$metric'")
@@ -485,10 +487,10 @@ class VectorStore(val spark: SparkSession, val path: String,
         val recIdx = hasRecentIndex && recentIndexMetric == metric
         if (mode == "pq") searchBatchPq(q, k, metric = metric,
           filterJson = filterJson, oversample = oversample,
-          useRecentIndex = recIdx)
+          useRecentIndex = recIdx, recentProbeBlobs = probeBlobs)
         else searchBatchSq(q, k, metric = metric,
           filterJson = filterJson, oversample = oversample,
-          useRecentIndex = recIdx)
+          useRecentIndex = recIdx, recentProbeBlobs = probeBlobs)
       case other => throw new IllegalArgumentException(
         s"unknown search mode '$other' (exact|recent_index|pq|sq)")
     }

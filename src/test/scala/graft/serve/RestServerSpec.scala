@@ -190,7 +190,10 @@ class RestServerSpec extends SparkSpec {
           // map to the oversample cap (a 33x more expensive search), >1 is
           // meaningless — all 400 like the oversample convention
           """"selectivity": 0""", """"selectivity": -0.5""",
-          """"selectivity": 1.5""")) {
+          """"selectivity": 1.5""",
+          // probe_blobs follows the oversample convention
+          """"probe_blobs": 0""", """"probe_blobs": -3""",
+          """"probe_blobs": "two"""")) {
         assert(call(srv, "POST", "/api/v1/search",
           s"""{"vector": ${vecJson(1)}, "options": {"mode": "sq", $bad}}""")._1 == 400,
           s"expected 400 for $bad")

@@ -100,6 +100,20 @@ class StoreIndexSpec extends SparkSpec {
     assert(st.recentIndexBuildParams.contains((100, 16, "l2", 8, true)))
   }
 
+  test("query batches beyond the localize bound fail loudly, not with an OOM") {
+    import spark.implicits._
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_qb_").toString, Config(nClusters = 2))
+    st.insert((0 until 4).map(i => VectorRecord(s"b$i", vec(i))))
+    // a query relation larger than maxQueryBatch must be rejected BEFORE
+    // the driver materializes it (the serving paths collect the batch once)
+    val big = spark.range(0, 100001L)
+      .select(col("id").as("query_id"), typedlit(vec(1).toSeq).as("q_embedding"))
+    val e = intercept[IllegalArgumentException](
+      st.searchBatch(big, k = 1, metric = "l2").collect())
+    assert(e.getMessage.contains("maxQueryBatch"))
+  }
+
   test("maintenance invalidates the recent index (migrate and vacuum)") {
     val st = new VectorStore(spark,
       Files.createTempDirectory("graft_rinv_").toString,
