@@ -764,7 +764,20 @@ object Hnsw {
           Some(spark.sparkContext.broadcast((byBlob, cents.map(_._1).toSet)))
         }
       }
-    val partial = saved
+    // with routing resolved driver-side, the un-probed blobs are known
+    // before the scan: keep only blobs some query routed to, plus any
+    // blob without a centroid (which every query must probe). The filter
+    // prunes at the parquet scan (one blob row per file -> row-group
+    // stats skip whole files) AND keeps un-probed blob bytes out of the
+    // spreading shuffle — the difference between "read 4 of 1000 shards"
+    // and "shuffle all 1000 to search 4" on a heavily-sharded index.
+    val probed = routedB match {
+      case None => saved
+      case Some(b) =>
+        val keys = b.value._1.keys.toSeq
+        saved.filter(col("part_id").isin(keys: _*) || col("centroid").isNull)
+    }
+    val partial = probed
       .select(col("part_id"), col("graph")).as[(Long, Array[Byte])]
       .repartition(spark.sparkContext.defaultParallelism)
       .flatMap { case (pid, bytes) =>
