@@ -21,35 +21,54 @@ object Sessionize {
   case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int, total_value: Double)
 
-  /** Streaming sessionization with processing-time timeout. Emits a session
-    * when the gap is exceeded by a newer event or the state times out. */
-  def sessions(events: Dataset[Ev], gapSeconds: Long): Dataset[Session] = {
+  /** Streaming sessionization with EVENT-TIME timeout: a session closes
+    * when a newer event exceeds the gap, or when the watermark passes the
+    * session's gap horizon (last event + gap). Event-time timers are the
+    * load-bearing choice: a processing-time timeout under AvailableNow (or
+    * any backfill) makes the engine self-schedule empty micro-batches
+    * back-to-back until wall-clock timers fire — minutes of checkpoint
+    * churn per run at test scale, unbounded on a 100 TB replay — whereas
+    * event-time timers advance with the data and the bounded run
+    * terminates deterministically after one final timer batch.
+    *
+    * @param watermarkDelaySeconds max expected event lateness; 0 = ordered
+    */
+  def sessions(events: Dataset[Ev], gapSeconds: Long,
+      watermarkDelaySeconds: Long = 0): Dataset[Session] = {
     events
+      .withWatermark("ts", s"$watermarkDelaySeconds seconds")
       .groupByKey(_.user_id)(Encoders.scalaLong)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
           val out = scala.collection.mutable.ArrayBuffer[Session]()
-          var cur = state.getOption
-          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.last > gapSeconds * 1000 =>
-                out += Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case Some(s) =>
-                cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
-            }
-          }
-          cur match {
-            case Some(s) if state.hasTimedOut =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: no in-gap event can arrive anymore
+            state.getOption.foreach { s =>
               out += Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
-              state.remove()
-            case Some(s) =>
+            }
+            state.remove()
+          } else {
+            var cur = state.getOption
+            evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > gapSeconds * 1000 =>
+                  out += Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(s"${gapSeconds * 2} seconds")
-            case None => if (state.hasTimedOut) state.remove()
+              // timer at the gap horizon; a timer must sit strictly past
+              // the current watermark (late-heavy groups could otherwise
+              // request an already-expired timestamp, which Spark rejects)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapSeconds * 1000, state.getCurrentWatermarkMs() + 1))
+            }
           }
           out.iterator
         })(Encoders.product[SessionState], Encoders.product[Session])

@@ -131,6 +131,33 @@ class PlanAuditSpec extends SparkSpec {
     assert("(?s).*\\*\\(\\d+\\)[^\\n]*sq_cosine.*".r.findFirstIn(planCos).isDefined, planCos)
   }
 
+  test("BQ code-table search prunes partitions and reads only the words column") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bqplan_").toString
+    val enc = (0 until 200).map { i =>
+      (i.toLong, (i % 4).toLong,
+        Array.tabulate(8)(j => math.sin(i * (j + 1)).toFloat))
+    }.toDF("id", "cluster_id", "embedding")
+      .select(col("id"), col("cluster_id"),
+        graft.operators.Bq.encode(col("embedding"), 8).as("words"))
+    enc.write.partitionBy("cluster_id").parquet(s"$tmp/codes")
+    val cents = (0 until 4).map(c =>
+      (c.toLong, Array.tabulate(8)(j => math.sin(c * 37 * (j + 1)).toFloat)))
+      .toDF("cluster_id", "centroid")
+    val queries = Seq((7L, Array.tabulate(8)(j => math.sin(7 * (j + 1)).toFloat)))
+      .toDF("query_id", "q_embedding")
+    val df = graft.operators.Bq.searchBatchIvfBq(
+      spark.read.parquet(s"$tmp/codes"), cents, queries,
+      dim = 8, k = 5, nProbe = 1, shortlist = 50)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // static cluster_id IN (...) reaches the scan as a partition filter
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"), plan)
+    // the 32x-compression claim is real only if the scan reads the packed
+    // words and nothing else — the whole point of the code tier
+    assert(plan.contains("ReadSchema: struct<id:bigint,words:array<bigint>>"), plan)
+  }
+
   test("store searchBatch plans without running a Spark job") {
     // tier presence / sidecar elision decisions are FS-metadata checks:
     // CONSTRUCTING the search plan (no historical tier here, so no probe
@@ -144,6 +171,10 @@ class PlanAuditSpec extends SparkSpec {
     st.delete(Seq("n9")) // tombstones present => the elision check itself runs
     val queries = Seq((1L, Array.tabulate(8)(j => math.sin(3 * (j + 1)).toFloat)))
       .toDF("query_id", "q_embedding")
+    // defense vs suite-ordering flakes: a streaming query leaked by an
+    // earlier suite would land ITS micro-batch jobs inside the counting
+    // window below — quiesce the shared session first
+    spark.streams.active.foreach(_.stop())
     @volatile var jobs = 0
     val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val l = new org.apache.spark.scheduler.SparkListener {

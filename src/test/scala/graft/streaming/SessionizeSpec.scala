@@ -27,13 +27,17 @@ class SessionizeSpec extends SparkSpec {
     val q = Sessionize.sessions(stream, gapSeconds = 600)
       .writeStream.outputMode("append").format("memory").queryName("sess")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    // event-time timers: AvailableNow drains the file, runs one final
+    // timer batch at the advanced watermark, and terminates — a hang or
+    // churn regression fails here instead of leaking a live query
+    assert(q.awaitTermination(120000), "sessionize query did not terminate")
     val emitted = spark.table("sess").collect()
-    // user 1's first session closed (gap exceeded by the 900s event)
-    assert(emitted.length == 1)
-    val s = emitted.head
-    assert(s.getLong(0) == 1L)
-    assert(s.getInt(3) == 3 && s.getDouble(4) == 6.0)
+      .map(r => (r.getLong(0), r.getInt(3), r.getDouble(4))).sorted
+    // closed in the bounded run: user 1's first session (gap exceeded by
+    // the 900s event) AND user 2's only session (watermark = max event ts
+    // 950s passed its 50+600s gap horizon). User 1's second session stays
+    // open: its horizon 950+600 is past the final watermark.
+    assert(emitted.toSeq == Seq((1L, 3, 6.0), (2L, 2, 15.0)), emitted.toSeq)
 
     // batch ground truth finds all three sessions
     val batch = Sessionize.sessionsBatch(evs.toDF("user_id", "ts", "value"), 600)
@@ -41,7 +45,8 @@ class SessionizeSpec extends SparkSpec {
     assert(batch.length == 3)
     assert(batch.map(r => (r.getLong(0), r.getInt(3))).toSeq ==
       Seq((1L, 3), (1L, 2), (2L, 2)))
-    // the emitted closed session agrees with batch
-    assert(batch.head.getDouble(4) == s.getDouble(4))
+    // every streaming-closed session agrees with a batch session
+    val batchSet = batch.map(r => (r.getLong(0), r.getInt(3), r.getDouble(4))).toSet
+    assert(emitted.forall(batchSet.contains), s"streaming emitted $emitted not in $batchSet")
   }
 }

@@ -27,7 +27,7 @@ class StreamingSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(src)
 
     val q = Streaming.ingest(store, src, ckpt)
-    q.awaitTermination(60000) // AvailableNow terminates when drained
+    q.processAllAvailable(); q.stop() // drain fully, never leak past the test
     assert(!q.isActive)
 
     assert(store.vectors.count() == 21) // pre0 + s0..s19, dups dropped
@@ -38,7 +38,7 @@ class StreamingSpec extends SparkSpec {
       .toDF("id", "embedding", "metadata", "ts")
       .coalesce(1).write.mode("append").parquet(src)
     val q2 = Streaming.ingest(store, src, ckpt)
-    q2.awaitTermination(60000)
+    q2.processAllAvailable(); q2.stop()
     assert(store.vectors.count() == 26)
   }
 
@@ -227,7 +227,7 @@ class StreamingSpec extends SparkSpec {
       (3L, "completely different content about spark query engines at scale")
     ).toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(src)
     val q1 = Streaming.dedupIngest(spark, src, acc, ckpt, threshold = 0.5)
-    q1.awaitTermination(60000)
+    q1.processAllAvailable(); q1.stop()
     val accepted1 = spark.read.parquet(s"$acc/docs").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(accepted1 == Set(1L, 3L), s"got $accepted1")
@@ -238,7 +238,7 @@ class StreamingSpec extends SparkSpec {
       (5L, "another unrelated document mentioning vectors and embeddings")
     ).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
     val q2 = Streaming.dedupIngest(spark, src, acc, ckpt, threshold = 0.5)
-    q2.awaitTermination(60000)
+    q2.processAllAvailable(); q2.stop()
     val accepted2 = spark.read.parquet(s"$acc/docs").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(accepted2 == Set(1L, 3L, 5L), s"got $accepted2")
@@ -260,7 +260,7 @@ class StreamingSpec extends SparkSpec {
     ).toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(src)
     val q = Streaming.dedupIngest(spark, src, acc, ckpt, threshold = 0.5,
       minQuality = Some(0.3), lang = Some("en"))
-    q.awaitTermination(60000)
+    q.processAllAvailable(); q.stop()
     val accepted = spark.read.parquet(s"$acc/docs").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(accepted == Set(1L), s"got $accepted")
@@ -281,7 +281,7 @@ class StreamingSpec extends SparkSpec {
     val q = agg.writeStream.outputMode("append")
       .format("memory").queryName("ev_win")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    q.processAllAvailable(); q.stop()
     // append mode emits only watermark-closed windows; verify against batch
     val got = spark.table("ev_win")
     val expected = graft.core.Tables.load(spark, sfDir, "events")
