@@ -58,6 +58,7 @@ object Bench {
     // queries measure steady-state serving
     graft.queries.AnnQueries.ensureHnswScaleIndex(spark, sfDir)
     graft.queries.AnnQueries.ensureIvfScaleIndex(spark, sfDir)
+    graft.queries.AnnQueries.ensureBqScaleIndex(spark, sfDir)
     graft.queries.StoreQueries.ensureServingStore(spark, sfDir)
     graft.queries.StoreQueries.ensureScaleServingStore(spark, sfDir)
 

@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.Tables
 import graft.functions.VectorExpressions._
 import graft.functions.VectorFunctions
-import graft.operators.{Hnsw, Ivf, Knn, LshAnn, Pq}
+import graft.operators.{Bq, Hnsw, Ivf, Knn, LshAnn, Pq}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -63,6 +63,24 @@ object AnnQueries {
       Ivf.exportCentroids(cents, s"$base/centroids")
     }
     base
+  }
+
+  /** Build-once persisted sign-bit code table over the 100K scale corpus
+    * (id, words ARRAY<LONG>) — dim/8 bytes per row; the raw inverted file
+    * from [[ensureIvfScaleIndex]] supplies the rerank vectors, so the BQ
+    * tier rides the same corpus version. */
+  def ensureBqScaleIndex(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = ensureIvfScaleIndex(s, dir)
+    val path = s"/tmp/graft_bq_idx/${tag}_d64_v1"
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      s.read.parquet(s"$base/data")
+        .select(col("id"), Bq.encode(col("embedding"), 64).as("words"))
+        .coalesce(4).write.mode("overwrite").parquet(path)
+    }
+    path
   }
 
   private def labelCentroids(emb: DataFrame): DataFrame =
@@ -233,6 +251,36 @@ object AnnQueries {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       rank1(LshAnn.searchBatch(corpus, queries, k = 10,
         maxDistance = 1.3, bucketLength = 0.5))
+    }),
+    // Binary (sign-bit) quantization: Hamming shortlist over the packed
+    // 8-byte-per-vector code table, exact L2 rerank — unlike PQ, the whole
+    // pipeline is integer-deterministic, so the oracle replays it at FULL
+    // fidelity (hamming + rounded rerank), not just as a recall gate
+    "ann_bq_hamming" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+      val enc = corpus.select(col("id"), Bq.encode(col("embedding"), 64).as("words"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Bq.searchBatch(enc, queries, dim = 64, k = 10, shortlist = 50,
+        rerank = Some(corpus), roundDecimals = 6)
+        .orderBy("query_id", "rank")
+    }),
+    // BQ at the 100K scale: persisted code table (32× smaller than the raw
+    // corpus), 100 queries through the xor+popcount scan + exact rerank of
+    // shortlist rows only — rank-1 self-retrieval like the other *_scale
+    // rows. Shortlist 200: replicas of the query's own base vector can tie
+    // at hamming 0, and the self hit must survive the integer-tie cut.
+    "ann_bq_scale" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val base = ensureIvfScaleIndex(s, dir)
+      val bqPath = ensureBqScaleIndex(s, dir)
+      val enc = s.read.parquet(bqPath)
+      val corpus = s.read.parquet(s"$base/data").select(col("id"), col("embedding"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      rank1(Bq.searchBatch(enc, queries, dim = 64, k = 10, shortlist = 200,
+        rerank = Some(corpus)))
     }),
     // PQ two-stage search (the 100 TB pattern: ADC scans 8 bytes/vector for
     // a shortlist, exact rerank touches only shortlist-many full vectors),
@@ -441,6 +489,34 @@ object AnnQueries {
     "ann_lsh" ->
       """SELECT vec_id AS query_id, vec_id AS id, 0.0 AS distance
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // full-fidelity replay: integer hamming shortlist (ties (ham, id) =
+    // the TopK aggregator's ordering), rounded-L2 rerank, round-then-rank
+    "ann_bq_hamming" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN (e.embedding[i] >= 0) <> (q.embedding[i] >= 0)
+        |        THEN 1 ELSE 0 END)) AS ham
+        |  FROM embeddings e CROSS JOIN q),
+        |short AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ham, id) AS rn
+        |    FROM scored) WHERE rn <= 50),
+        |rer AS (
+        |  SELECT s.query_id, s.id,
+        |    round(list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS distance
+        |  FROM short s JOIN embeddings e ON e.vec_id = s.id
+        |    JOIN q ON q.query_id = s.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, id) AS rank
+        |  FROM rer)
+        |SELECT query_id, id, distance, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "ann_bq_scale" ->
+      """SELECT vec_id AS query_id, vec_id * 50 AS id, 0.0 AS distance
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
     "ann_pq_adc" ->
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
     "ann_ivfpq" ->

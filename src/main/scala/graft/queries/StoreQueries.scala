@@ -25,7 +25,7 @@ object StoreQueries {
     * a stale /tmp store must never outlive the code that built it. */
   def ensureServingStore(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val base = s"/tmp/graft_store_idx/${tag}_v4"
+    val base = s"/tmp/graft_store_idx/${tag}_v5" // v5: +BQ code tier
     val done = new org.apache.hadoop.fs.Path(base, "_DONE")
     val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(done)) {
@@ -45,6 +45,7 @@ object StoreQueries {
       st.buildRecentIndex() // odds served from the saved HNSW graph
       st.enablePq(m = 8, kCodes = 64, trainSize = 2000)
       st.enableSq()         // u8 code tier over the same historical rows
+      st.enableBq()         // sign-bit code tier (coarsest rung, 32x smaller)
       val out = fs.create(done, true); out.close()
     }
     base
@@ -162,6 +163,21 @@ object StoreQueries {
           round(min(col("distance")), 6).as("distance"))
         .orderBy("query_id")
     }),
+    // Store-path IVF-BQ: the historical tier served from its packed
+    // sign-bit words (xor+popcount shortlist + exact rerank). The
+    // shortlist covers most of the tier at this SF, so the rerank
+    // recovers the self-hit exactly: same self-retrieval oracle as the
+    // SQ row, through the coarsest (32x-compressed) code tier.
+    "store_bq_search" -> ((s, dir) => {
+      val base = ensureServingStore(s, dir)
+      val st = new VectorStore(s, s"$base/store", storeConfig)
+      val e = Tables.load(s, dir, "embeddings")
+      st.searchBatchBq(queries8(e), k = 10, nProbe = 8, shortlist = 200)
+        .groupBy("query_id")
+        .agg(min_by(col("id"), col("distance")).as("id"),
+          round(min(col("distance")), 6).as("distance"))
+        .orderBy("query_id")
+    }),
     // X12 at the 100-query scale: the full store serving composition
     // (saved-HNSW recent tier + probed historical tier + tombstone/delta
     // plumbing) amortized over 100 queries — the number a real user gets
@@ -229,6 +245,10 @@ object StoreQueries {
     "store_ivfpq_search" ->
       "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
     "store_sq_search" ->
+      """SELECT vec_id AS query_id, CAST(vec_id AS VARCHAR) AS id,
+        |  0.0 AS distance
+        |FROM embeddings WHERE vec_id < 8 ORDER BY vec_id""".stripMargin,
+    "store_bq_search" ->
       """SELECT vec_id AS query_id, CAST(vec_id AS VARCHAR) AS id,
         |  0.0 AS distance
         |FROM embeddings WHERE vec_id < 8 ORDER BY vec_id""".stripMargin,

@@ -33,7 +33,7 @@ import scala.util.control.NonFatal
   *                                      {include_metadata?, score_threshold?,
   *                                       metric?, mode?, oversample?,
   *                                       selectivity?, probe_blobs?}} — mode:
-  *                                      exact | recent_index | pq | sq
+  *                                      exact | recent_index | pq | sq | bq
   *                                      (serving path); probe_blobs routes a
   *                                      ROUTED saved recent index
   *   GET    /api/v1/admin/statistics
@@ -46,6 +46,7 @@ import scala.util.control.NonFatal
   *                                      delta-encode only; residual: FAISS
   *                                      formulation (serves l2 + cosine)
   *   POST   /api/v1/admin/index/sq     {refresh?}
+  *   POST   /api/v1/admin/index/bq     {refresh?}
   *   POST   /api/v1/admin/backup      {target}
   *   GET    /api/v1/updates?since=N
   *
@@ -329,6 +330,17 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           val n = obj(); n.put("refreshed", true); n.put("encoded", encoded); (200, n)
         } else {
           store.enableSq()
+          queryCache.clear()
+          val n = obj(); n.put("enabled", true); (200, n)
+        }
+      case ("POST", "/api/v1/admin/index/bq") =>
+        val req = body(ex)
+        if (req != null && req.hasNonNull("refresh") && req.get("refresh").asBoolean()) {
+          val encoded = store.refreshBq()
+          queryCache.clear()
+          val n = obj(); n.put("refreshed", true); n.put("encoded", encoded); (200, n)
+        } else {
+          store.enableBq()
           queryCache.clear()
           val n = obj(); n.put("enabled", true); (200, n)
         }

@@ -461,7 +461,7 @@ class VectorStore(val spark: SparkSession, val path: String,
   /** Single-query search dispatched through a chosen serving path — the
     * REST layer's bridge to the serving artifacts. Modes: "exact" (the
     * [[search]] scan), "recent_index" (saved-HNSW recent tier),
-    * "pq" / "sq" (historical tier from its code table; l2 or cosine;
+    * "pq" / "sq" / "bq" (historical tier from its code table; l2 or cosine;
     * filters post-filter a k*`oversample` pool on the quantized part —
     * x3 default per the reference, sized via `Tuning.suggestOversample`
     * when the caller knows the filter's selectivity). Results carry the
@@ -479,7 +479,7 @@ class VectorStore(val spark: SparkSession, val path: String,
       case "recent_index" =>
         searchBatch(q, k, metric, useRecentIndex = true, filterJson = filterJson,
           recentProbeBlobs = probeBlobs)
-      case "pq" | "sq" =>
+      case "pq" | "sq" | "bq" =>
         require(metric == "l2" || metric == "cosine",
           s"mode '$mode' is a code tier serving l2|cosine; got metric '$metric'")
         // serve the recent tier from its saved graph whenever one exists
@@ -488,11 +488,14 @@ class VectorStore(val spark: SparkSession, val path: String,
         if (mode == "pq") searchBatchPq(q, k, metric = metric,
           filterJson = filterJson, oversample = oversample,
           useRecentIndex = recIdx, recentProbeBlobs = probeBlobs)
-        else searchBatchSq(q, k, metric = metric,
+        else if (mode == "sq") searchBatchSq(q, k, metric = metric,
+          filterJson = filterJson, oversample = oversample,
+          useRecentIndex = recIdx, recentProbeBlobs = probeBlobs)
+        else searchBatchBq(q, k, metric = metric,
           filterJson = filterJson, oversample = oversample,
           useRecentIndex = recIdx, recentProbeBlobs = probeBlobs)
       case other => throw new IllegalArgumentException(
-        s"unknown search mode '$other' (exact|recent_index|pq|sq)")
+        s"unknown search mode '$other' (exact|recent_index|pq|sq|bq)")
     }
     val scored = hits
       .join(vectors.select(col("id"), col("metadata")), Seq("id"), "left")
@@ -596,8 +599,10 @@ class VectorStore(val spark: SparkSession, val path: String,
     // Re-encode with enablePq(retrain = false) / enableSq().
     fs.delete(new Path(dir("pq_codes")), true)
     fs.delete(new Path(dir("sq_codes")), true)
+    fs.delete(new Path(dir("bq_codes")), true)
     fs.delete(new Path(path, "pq_codes_files.json"), false)
     fs.delete(new Path(path, "sq_codes_files.json"), false)
+    fs.delete(new Path(path, "bq_codes_files.json"), false)
     // maintenance accounting (RebalanceStatistics analog,
     // hybrid/maintenance.rs:115-119): persisted with the store so the
     // counters survive restarts and cover every caller (REST route,
@@ -699,8 +704,10 @@ class VectorStore(val spark: SparkSession, val path: String,
     fs.delete(new Path(dir("recent_index")), true)
     fs.delete(new Path(dir("pq_codes")), true)
     fs.delete(new Path(dir("sq_codes")), true)
+    fs.delete(new Path(dir("bq_codes")), true)
     fs.delete(new Path(path, "pq_codes_files.json"), false)
     fs.delete(new Path(path, "sq_codes_files.json"), false)
+    fs.delete(new Path(path, "bq_codes_files.json"), false)
     VacuumResult(recRemoved, histRemoved)
   }
 
@@ -1316,6 +1323,73 @@ class VectorStore(val spark: SparkSession, val path: String,
           metric = metric)
     }
   }
+
+  // ---- binary (sign-bit) quantization as a store artifact: the coarsest
+  // rung of the PQ/SQ/BQ code ladder — dim/8 bytes per row, integer-only
+  // Hamming scan, model-free like SQ (re-enable after maintenance is one
+  // map-only pass) ----
+
+  /** Encode the historical tier as packed sign-bit words at `bq_codes`
+    * (words ARRAY<LONG>, 32 bits used per word), cluster-partitioned like
+    * the tier so probed search stays partition-pruned. Codes carry
+    * (vid, ts) so tombstones and the post-`migrate` delta compose at
+    * search time, same as the PQ/SQ tables. */
+  def enableBq(): Unit = {
+    require(hasRowsRecursive("historical"),
+      "BQ tier requires a populated historical tier (run migrate first)")
+    val d = dimension.getOrElse(throw new IllegalStateException(
+      "store has no recorded dimension; insert before enableBq"))
+    val histParts = listDataParts("historical")
+    val codes = historical
+      .select(col("id"), col("vid"), col("ts"),
+        col("cluster_id").cast("long").as("cluster_id"),
+        graft.operators.Bq.encode(col("embedding"), d).as("words"))
+    storeWrite(codes.repartition(col("cluster_id"))).mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(dir("bq_codes"))
+    writePartList("bq_codes_files.json", histParts)
+  }
+
+  def hasBq: Boolean = hasRowsRecursive("bq_codes")
+
+  /** [[refreshPq]] for the sign-bit tier (model-free delta encode). */
+  def refreshBq(): Long = {
+    require(hasBq, "BQ tier not built; call enableBq()")
+    val d = dimension.getOrElse(throw new IllegalStateException(
+      "store has no recorded dimension"))
+    appendCodeDelta("bq_codes") { delta =>
+      delta.select(col("id"), col("vid"), col("ts"),
+        col("cluster_id").cast("long").as("cluster_id"),
+        graft.operators.Bq.encode(col("embedding"), d).as("words"))
+    }
+  }
+
+  /** Batch hybrid search serving the historical tier from its sign-bit
+    * codes: probed xor+popcount scan ([[graft.operators.Bq.searchBatchIvfBq]])
+    * + exact rerank, composed with the store's tombstones and post-encode
+    * delta exactly like [[searchBatchSq]]. */
+  def searchBatchBq(queriesRaw: DataFrame, k: Int,
+      nProbe: Int = config.nProbe, shortlist: Int = 100,
+      recentK: Option[Int] = None, historicalK: Option[Int] = None,
+      metric: String = "l2", filterJson: Option[String] = None,
+      oversample: Int = 3, useRecentIndex: Boolean = false,
+      recentEfSearch: Int = 100, recentProbeBlobs: Int = 0): DataFrame = {
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
+    require(hasBq, "BQ tier not built; call enableBq()")
+    val d = dimension.getOrElse(throw new IllegalStateException(
+      "store has no recorded dimension"))
+    val queries = localizeQueries(queriesRaw)
+    codeTierSearch(queries, k, "bq_codes", recentK, historicalK, metric,
+        filterJson, oversample, useRecentIndex, recentEfSearch,
+        recentProbeBlobs) {
+      (codes, hist, histK) =>
+        graft.operators.Bq.searchBatchIvfBq(
+          codes.select(col("id"), col("cluster_id"), col("words")),
+          centroids, queries, d, histK, nProbe,
+          math.max(shortlist, histK),
+          rerank = Some(hist.select(col("id"), col("embedding"))),
+          metric = metric)
+    }
+  }
 }
 
 object VectorStore {
@@ -1410,6 +1484,8 @@ object VectorStore {
         StructField("codes", BinaryType, nullable = true),
         StructField("vmin", FloatType, nullable = true),
         StructField("vmax", FloatType, nullable = true))
+      else if (codesDir.startsWith("bq")) // packed sign bits, 32/word
+        Seq(StructField("words", ArrayType(LongType), nullable = true))
       else // PQ: one int sub-code per subspace
         Seq(StructField("codes", ArrayType(IntegerType), nullable = true))
     StructType(base ++ payload :+ StructField("cluster_id", LongType, nullable = true))

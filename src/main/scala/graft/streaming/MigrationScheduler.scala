@@ -19,7 +19,7 @@ import graft.store.VectorStore
   *    trigger loop owns wall-clock timing)
   *  - `refreshCodeTiers`: after a run that migrated rows, delta-encode the
   *    new historical rows into any enabled PQ/SQ code table
-  *    (`refreshPq`/`refreshSq`) so continuous ingest keeps the serving
+  *    (`refreshPq`/`refreshSq`/`refreshBq`) so continuous ingest keeps the serving
   *    artifacts fresh — one bounded pass per run (the delta is at most
   *    `maxVectorsPerRun` rows), never a tier re-encode
   *  - `rebuildRecentIndex`: `migrate` invalidates the saved recent-tier
@@ -103,6 +103,7 @@ class MigrationScheduler(store: VectorStore,
       if (n > 0 && p.refreshCodeTiers) {
         if (store.hasPq) store.refreshPq()
         if (store.hasSq) store.refreshSq()
+        if (store.hasBq) store.refreshBq()
       }
       // migrate dropped the recent index it invalidated — restore serving
       if (n > 0) indexParams.foreach { case (ef, m, metric, blobs, routed) =>
@@ -134,6 +135,7 @@ class MigrationScheduler(store: VectorStore,
             maxSz > p.imbalanceThreshold * avg =>
         val hadPq = store.hasPq
         val hadSq = store.hasSq
+        val hadBq = store.hasBq
         val cap = math.max(1L, math.ceil(avg * p.rebalanceTargetFactor).toLong)
         val moved = store.rebalance(cap.min(Int.MaxValue).toInt)
         if (moved > 0) {
@@ -141,6 +143,7 @@ class MigrationScheduler(store: VectorStore,
           // re-encode from the saved model (PQ) / row-local params (SQ)
           if (hadPq) store.enablePq(retrain = false)
           if (hadSq) store.enableSq()
+          if (hadBq) store.enableBq()
         }
         moved
       case _ => 0L

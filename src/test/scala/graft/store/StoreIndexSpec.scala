@@ -327,6 +327,54 @@ class StoreIndexSpec extends SparkSpec {
     assert(err.getMessage.contains("l2|cosine"))
   }
 
+  test("BQ tier lifecycle: full-probe equality, tombstones, delta, refresh, vacuum") {
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_bqt_").toString,
+      Config(recentThresholdSeconds = 3600, nClusters = 4))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert((0 until 50).map(i => VectorRecord(s"b$i", vec(i), tsString = Some(oldTs))))
+    assert(st.migrate() == 50)
+    st.insert((50 until 56).map(i => VectorRecord(s"b$i", vec(i))))
+    st.enableBq()
+    assert(st.hasBq)
+    val q = mkQueries(7L, 52L)
+    // full probe + shortlist >= corpus: every candidate is exact-reranked,
+    // so the sign-bit tier returns exactly the exact path's top-k — for l2
+    // AND cosine (the rerank carries the metric; hamming only shortlists)
+    val exact = hitSet(st.searchBatch(q, k = 5, metric = "l2", nProbe = 4))
+    assert(hitSet(st.searchBatchBq(q, k = 5, nProbe = 4, shortlist = 100)) == exact)
+    val exactCos = hitSet(st.searchBatch(q, k = 5, metric = "cosine", nProbe = 4))
+    assert(hitSet(st.searchBatchBq(q, k = 5, nProbe = 4, shortlist = 100,
+      metric = "cosine")) == exactCos)
+
+    // tombstones mask encoded rows
+    st.delete(Seq("b7"))
+    assert(!hitSet(st.searchBatchBq(q, k = 5, nProbe = 4, shortlist = 100))(7L)
+      .exists(_._1 == "b7"))
+
+    // post-encode migration surfaces via the historical delta scan, then
+    // refreshBq appends exactly the delta (model-free) and nothing twice
+    st.insert(Seq(VectorRecord("bLate", vec(7), tsString = Some(oldTs))))
+    assert(st.migrate() == 1)
+    assert(hitSet(st.searchBatchBq(q, k = 3, nProbe = 4, shortlist = 100))(7L)
+      .exists(_._1 == "bLate"), "delta row must be searchable pre-refresh")
+    assert(st.refreshBq() == 1)
+    assert(st.refreshBq() == 0, "second refresh must find nothing")
+    assert(hitSet(st.searchBatchBq(q, k = 3, nProbe = 4, shortlist = 100))(7L)
+      .exists(_._1 == "bLate"), "refreshed row must stay searchable")
+
+    // the single-query dispatcher routes mode=bq
+    val one = st.searchMode(vec(8), k = 3, mode = "bq", metric = "l2")
+    assert(one.orderBy(col("distance")).head().getString(0) == "b8")
+
+    // vacuum invalidates the stale code table; re-enable is map-only
+    st.vacuum()
+    assert(!st.hasBq, "vacuum must drop the stale code table")
+    st.enableBq()
+    assert(hitSet(st.searchBatchBq(q, k = 3, nProbe = 4, shortlist = 100)) ==
+      hitSet(st.searchBatch(q, k = 3, metric = "l2", nProbe = 4)))
+  }
+
   test("filtered code-tier search: oversampled post-filter matches the exact pre-filter path") {
     val st = new VectorStore(spark,
       Files.createTempDirectory("graft_fct_").toString,
