@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text normalization + PII scrubbing + repetition signals — the
+  * pre-tokenization cleanup stages of a training-data pipeline, sitting in
+  * front of the dedup/quality funnel in [[graft.operators.Dedup]]. The
+  * reference has no text pipeline at all (it stores embeddings, not
+  * documents); these are the operations its users run BEFORE embedding, so
+  * they belong to the engine's curation surface.
+  *
+  * Everything is map-only: a Catalyst codegen expression for Unicode
+  * normalization (the JDK normalizer called once per row inside
+  * whole-stage codegen — no UDF dispatch) and built-in regex/array
+  * expressions for the rest. All regexes are RE2-compatible (no
+  * lookaround, no backreferences) so the DuckDB oracle runs the identical
+  * patterns.
+  */
+object TextPrep {
+
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) as a codegen'd unary
+    * expression — Spark has no built-in for this; a Scala UDF would break
+    * whole-stage codegen on the hottest map stage of a 100 TB text scan. */
+  case class UnicodeNormalize(child: Expression, form: String)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+      s"unicode_normalize: unknown form '$form'")
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "unicode_normalize"
+    private lazy val normForm = java.text.Normalizer.Form.valueOf(form)
+
+    override def nullSafeEval(s: Any): Any =
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        s.asInstanceOf[UTF8String].toString, normForm))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |  java.text.Normalizer.normalize($c.toString(),
+           |    java.text.Normalizer.Form.$form));""".stripMargin)
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(c), form))
+
+  /** Accent stripping: NFD-decompose, then drop combining marks — 'é' →
+    * 'e'. Matches DuckDB's `strip_accents` on Latin text, which is the
+    * oracle for it. */
+  def stripAccents(c: Column): Column =
+    regexp_replace(unicodeNormalize(c, "NFD"), "\\p{M}", "")
+
+  /** Canonical text for fingerprinting across encoding variants: NFC,
+    * lowercased, whitespace collapsed and trimmed. */
+  def canonicalize(c: Column): Column =
+    trim(regexp_replace(lower(unicodeNormalize(c, "NFC")), "\\s+", " "))
+
+  // ---- PII scrubbing ---------------------------------------------------
+  // RE2-safe patterns (shared verbatim with the DuckDB oracle). Word
+  // boundaries \b work in both Java regex and RE2.
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  /** International-ish phone shape: +CC and two separator-delimited digit
+    * groups — mandatory single separators keep the match backtracking-free
+    * (Java) and identical under RE2's leftmost-longest scan, and the
+    * trailing \b stops partial eats of longer digit runs. */
+  val PhonePattern = "\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}\\b"
+
+  def countMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
+  /** Redact emails, IPv4s and phone numbers with typed placeholder tokens
+    * (the Dolma/CCNet convention — keeps token positions stable for
+    * downstream length/quality features). Order matters: emails first so
+    * their digit runs can't be half-eaten by the phone pass; IPs before
+    * phones so dotted quads never parse as phone digits. */
+  def scrubPii(c: Column): Column = {
+    val noEmail = regexp_replace(c, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, PhonePattern, "<PHONE>")
+  }
+
+  // ---- Repetition signals (Gopher-style quality filters) ---------------
+
+  /** Fraction of word n-gram occurrences that are repeats of an n-gram
+    * already seen in the document: 1 - distinct/total. 0 for docs shorter
+    * than n words. The Gopher "duplicate n-gram fraction" filter shape. */
+  def dupNgramFraction(text: Column, n: Int): Column =
+    ColumnOps.bindOnce(TextFunctions.shingles(text, n)) { sh =>
+      when(size(sh) === 0, 0.0).otherwise(
+        lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+    }
+
+  /** Per-document repetition stats, relationally: explode n-grams once,
+    * count (doc, gram) pairs, fold to duplicate-fraction and
+    * top-gram-share per doc — one shuffle on (doc, gram), partial
+    * aggregation map-side, never a per-row nested loop (a column-level
+    * "most frequent n-gram" would be O(len·distinct) per document, which a
+    * long doc turns quadratic). Short docs (< n words) report 0.0 for both.
+    *
+    * Output: (idCol, n_ngrams LONG, dup_ngram_fraction, top_ngram_share).
+    */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"):
+      org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col(idCol),
+        explode(TextFunctions.shingles(col(textCol), n)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(
+        sum("cnt").as("total"), count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_cnt"))
+    docs.select(col(idCol)).join(grams, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("total"), lit(0L)).as("n_ngrams"),
+        coalesce(lit(1.0) - col("n_distinct").cast("double")
+          / col("total").cast("double"), lit(0.0)).as("dup_ngram_fraction"),
+        coalesce(col("top_cnt").cast("double")
+          / col("total").cast("double"), lit(0.0)).as("top_ngram_share"))
+  }
+}

@@ -19,6 +19,12 @@ object TextQueries {
   private val toksSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
   private def hash32(s: String) = s"(('0x' || substr(md5($s), 1, 8))::UBIGINT)"
 
+  /** Mixed-form unicode prefix for text_normalize: decomposed e+combining
+    * acute next to precomposed U-umlaut / i-diaeresis — spelled in escapes
+    * so the codepoints survive any source-encoding round trip; the oracle
+    * interpolates the same Scala constant into its SQL literal. */
+  val NormPrefix = "Cafe\u0301 \u00dcn\u00efcode "
+
   val queries: Map[String, Q] = Map(
     // token counting + quality scoring (map-only, codegen'd)
     "text_stats" -> ((s, dir) => {
@@ -97,6 +103,52 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    // Unicode normalization + accent stripping + canonical fingerprints.
+    // The corpus is ASCII, so a decomposed/precomposed mixed prefix is
+    // injected to force real normalization work; both engines concat the
+    // identical codepoints and must agree on NFC length and the stripped/
+    // canonical md5s.
+    "text_normalize" -> ((s, dir) => {
+      val pfx = NormPrefix
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), concat(lit(pfx), col("text")).as("t2"))
+        .select(col("doc_id"),
+          length(col("t2")).cast("long").as("n_raw"),
+          length(graft.functions.TextPrep.unicodeNormalize(col("t2"), "NFC"))
+            .cast("long").as("n_nfc"),
+          md5(graft.functions.TextPrep.stripAccents(col("t2"))).as("ascii_fp"),
+          md5(graft.functions.TextPrep.canonicalize(col("t2"))).as("canon_fp"))
+        .orderBy("doc_id")
+    }),
+    // PII scrubbing: deterministic synthetic PII (email/IP/phone derived
+    // from doc_id) appended to each doc, then matched+redacted with the
+    // RE2-safe shared patterns; output pins both the counts and the md5 of
+    // the fully scrubbed text
+    "pii_scrub" -> ((s, dir) => {
+      import graft.functions.TextPrep._
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +91 555 0"),
+        (col("doc_id") % 900 + 100).cast("string"),
+        lit(" at host 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 end"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), injected.as("t2"))
+        .select(col("doc_id"),
+          countMatches(col("t2"), EmailPattern).as("n_emails"),
+          countMatches(col("t2"), Ipv4Pattern).as("n_ips"),
+          countMatches(col("t2"), PhonePattern).as("n_phones"),
+          md5(scrubPii(col("t2"))).as("scrubbed_fp"))
+        .orderBy("doc_id")
+    }),
+    // Gopher-style repetition quality signals, relationally (one shuffle
+    // on (doc, gram) — never a per-row most-frequent-gram loop)
+    "repetition_stats" -> ((s, dir) => {
+      graft.functions.TextPrep.repetitionStats(
+          Tables.load(s, dir, "documents"), n = 2)
+        .select(col("doc_id"), col("n_ngrams"),
+          round(col("dup_ngram_fraction"), 6).as("dup_ngram_fraction"),
+          round(col("top_ngram_share"), 6).as("top_ngram_share"))
+        .orderBy("doc_id")
+    }),
     // the full training-data prep funnel as one plan: exact dedup ->
     // quality floor -> language filter -> MinHash-LSH near-dup drop,
     // reported as the one-row per-stage survivor/token accounting a
@@ -108,6 +160,44 @@ object TextQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "text_normalize" ->
+      s"""WITH t AS (SELECT doc_id, '$NormPrefix' || text AS t2 FROM documents)
+         |SELECT doc_id, length(t2)::BIGINT AS n_raw,
+         |  length(nfc_normalize(t2))::BIGINT AS n_nfc,
+         |  md5(strip_accents(t2)) AS ascii_fp,
+         |  md5(trim(regexp_replace(lower(nfc_normalize(t2)), '\\s+', ' ', 'g'))) AS canon_fp
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "pii_scrub" -> {
+      import graft.functions.TextPrep.{EmailPattern, Ipv4Pattern, PhonePattern}
+      s"""WITH t AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@example.com or +91 555 0'
+         |    || (doc_id % 900 + 100) || ' at host 10.0.' || (doc_id % 256)
+         |    || '.7 end' AS t2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t2, '$EmailPattern'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(t2, '$Ipv4Pattern'))::BIGINT AS n_ips,
+         |  len(regexp_extract_all(t2, '$PhonePattern'))::BIGINT AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+         |    '$EmailPattern', '<EMAIL>', 'g'),
+         |    '$Ipv4Pattern', '<IP>', 'g'),
+         |    '$PhonePattern', '<PHONE>', 'g')) AS scrubbed_fp
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+    "repetition_stats" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS shingles
+         |  FROM t),
+         |g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+         |a AS (SELECT doc_id, sum(cnt) AS total, count(*) AS n_distinct,
+         |  max(cnt) AS top_cnt FROM c GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.total, 0)::BIGINT AS n_ngrams,
+         |  round(coalesce(1.0 - a.n_distinct / a.total::DOUBLE, 0.0), 6) AS dup_ngram_fraction,
+         |  round(coalesce(a.top_cnt / a.total::DOUBLE, 0.0), 6) AS top_ngram_share
+         |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
          |SELECT doc_id, len(toks)::BIGINT AS n_tokens,

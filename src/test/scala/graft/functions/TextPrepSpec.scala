@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the text-prep surface: the UnicodeNormalize codegen
+  * expression, accent stripping, canonical fingerprints, PII scrubbing,
+  * and the relational repetition stats. Unicode is spelled in escapes so
+  * the intended codepoints survive any source-encoding round trip. */
+class TextPrepSpec extends SparkSpec {
+  import TextPrep._
+
+  private val Decomposed = "Cafe\u0301" // e + combining acute
+  private val Composed = "Caf\u00e9" // precomposed e-acute
+
+  test("unicode normalize: NFC composes, NFD decomposes, null passes through") {
+    import spark.implicits._
+    val df = Seq((1L, Decomposed), (2L, Composed), (3L, null))
+      .toDF("id", "s")
+      .select(col("id"),
+        unicodeNormalize(col("s"), "NFC").as("nfc"),
+        unicodeNormalize(col("s"), "NFD").as("nfd"))
+      .orderBy("id").collect()
+    assert(df(0).getString(1) == Composed && df(0).getString(2) == Decomposed)
+    assert(df(1).getString(1) == Composed && df(1).getString(2) == Decomposed)
+    assert(df(2).isNullAt(1) && df(2).isNullAt(2))
+  }
+
+  test("unicode normalize rejects unknown forms at construction") {
+    intercept[IllegalArgumentException] {
+      unicodeNormalize(lit("x"), "NFX")
+    }
+  }
+
+  test("strip accents and canonicalize") {
+    import spark.implicits._
+    // mixed forms: precomposed E-acute, decomposed u/e + combining marks
+    val raw = "  CR\u00c9ME  bru\u0302le\u0301e\t\tx  "
+    val r = Seq(Tuple1(raw)).toDF("s")
+      .select(stripAccents(col("s")).as("a"), canonicalize(col("s")).as("c"))
+      .head()
+    assert(r.getString(0) == "  CREME  brulee\t\tx  ", r.getString(0))
+    // canonical: NFC (composes the marks), lowercased, ws collapsed+trimmed
+    assert(r.getString(1) == "cr\u00e9me br\u00fbl\u00e9e x", r.getString(1))
+  }
+
+  test("pii scrub: all three kinds; non-matching lookalikes survive") {
+    import spark.implicits._
+    val s = "mail a.b+c@x-corp.io, ip 192.168.0.1, call +44 123 4567, " +
+      "not-a-phone 44 123 4567"
+    val r = Seq(Tuple1(s)).toDF("t")
+      .select(scrubPii(col("t")).as("x"),
+        countMatches(col("t"), EmailPattern).as("e"),
+        countMatches(col("t"), Ipv4Pattern).as("i"),
+        countMatches(col("t"), PhonePattern).as("p"))
+      .head()
+    assert(r.getString(0) ==
+      "mail <EMAIL>, ip <IP>, call <PHONE>, not-a-phone 44 123 4567",
+      r.getString(0))
+    assert(r.getLong(1) == 1 && r.getLong(2) == 1 && r.getLong(3) == 1)
+  }
+
+  test("repetition stats: dup fraction and top share, short docs report 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"), // bigrams: 5 total, 2 distinct, top "a b" x3
+      (2L, "u v w x"), // 3 bigrams, all distinct
+      (3L, "solo") // < 2 tokens -> no bigrams
+    ).toDF("doc_id", "text")
+    val r = TextPrep.repetitionStats(docs, 2).orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 5 &&
+      math.abs(r(0).getDouble(2) - (1.0 - 2.0 / 5.0)) < 1e-9 &&
+      math.abs(r(0).getDouble(3) - 3.0 / 5.0) < 1e-9)
+    assert(r(1).getLong(1) == 3 && r(1).getDouble(2) == 0.0 &&
+      math.abs(r(1).getDouble(3) - 1.0 / 3.0) < 1e-9)
+    assert(r(2).getLong(1) == 0 && r(2).getDouble(2) == 0.0 && r(2).getDouble(3) == 0.0)
+  }
+}
