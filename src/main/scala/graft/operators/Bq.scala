@@ -48,11 +48,11 @@ object Bq {
           element_at(pow2, j + 1)).otherwise(0L)))
   }
 
-  /** Hamming distance between two packed sign-bit word arrays. */
+  /** Hamming distance between two packed sign-bit word arrays — the
+    * codegen [[graft.functions.kernels.HammingWords]] kernel (zip_with/
+    * aggregate would run interpreted per element and dominate the scan). */
   def hamming(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.hammingWords(a, b)
 
   /** Driver-side sign-bit packing — bit-identical to [[encode]] (BqSpec
     * pins the identity); used to pre-encode bounded query batches into

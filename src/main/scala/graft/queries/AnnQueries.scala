@@ -252,6 +252,24 @@ object AnnQueries {
       rank1(LshAnn.searchBatch(corpus, queries, k = 10,
         maxDistance = 1.3, bucketLength = 0.5))
     }),
+    // PCA dimensionality reduction (64 -> 16): components trained once on
+    // the corpus, projection is 16 codegen'd dots per row (map-only), and
+    // search runs in the reduced space. Projection is deterministic, so
+    // exact self-retrieval at distance 0 survives the reduction — the
+    // oracle contract; PcaSpec gates the quality story (variance order,
+    // neighborhood recall vs full-dim exact).
+    "pca_reduce" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+      val model = graft.operators.Pca.train(corpus, k = 16, trainSize = 1000)
+      val proj = corpus.select(col("id"),
+        graft.operators.Pca.project(model, col("embedding")).as("embedding"))
+      val queries = proj.filter(col("id") < 8)
+        .select(col("id").as("query_id"), col("embedding").as("q_embedding"))
+      Knn.batch(proj, queries, k = 1, metric = "l2")
+        .select(col("query_id"), col("id"), round(col("distance"), 6).as("distance"))
+        .orderBy("query_id")
+    }),
     // Binary (sign-bit) quantization: Hamming shortlist over the packed
     // 8-byte-per-vector code table, exact L2 rerank — unlike PQ, the whole
     // pipeline is integer-deterministic, so the oracle replays it at FULL
@@ -487,6 +505,9 @@ object AnnQueries {
       """SELECT vec_id AS query_id, vec_id * 50 AS id, 0.0 AS distance
         |FROM embeddings WHERE vec_id < 16 AND vec_id % 2 = 0""".stripMargin,
     "ann_lsh" ->
+      """SELECT vec_id AS query_id, vec_id AS id, 0.0 AS distance
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "pca_reduce" ->
       """SELECT vec_id AS query_id, vec_id AS id, 0.0 AS distance
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
     // full-fidelity replay: integer hamming shortlist (ties (ham, id) =

@@ -156,6 +156,9 @@ class PlanAuditSpec extends SparkSpec {
     // the 32x-compression claim is real only if the scan reads the packed
     // words and nothing else — the whole point of the code tier
     assert(plan.contains("ReadSchema: struct<id:bigint,words:array<bigint>>"), plan)
+    // and the xor+popcount kernel must run inside whole-stage codegen —
+    // an interpreted higher-order lambda would cost more than the work
+    assert("(?s).*\\*\\(\\d+\\)[^\\n]*bq_hamming.*".r.findFirstIn(plan).isDefined, plan)
   }
 
   test("store searchBatch plans without running a Spark job") {
