@@ -67,7 +67,7 @@ object StoreQueries {
     * measure fixed plan overhead instead. */
   def ensureScaleServingStore(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val base = s"/tmp/graft_store_idx/${tag}_scale_v4" // v4: routed recent index
+    val base = s"/tmp/graft_store_idx/${tag}_scale_v5" // v5: +BQ code tier
     val done = new org.apache.hadoop.fs.Path(base, "_DONE")
     val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(done)) {
@@ -87,6 +87,7 @@ object StoreQueries {
       // O(probeBlobs)-per-query shape a heavily-sharded index needs
       st.buildRecentIndex(metric = "l2", routed = true)
       st.enableSq()
+      st.enableBq()
       val out = fs.create(done, true); out.close()
     }
     base
@@ -212,6 +213,21 @@ object StoreQueries {
           round(min(col("distance")), 6).as("distance"))
         .orderBy("query_id")
     }),
+    // The sign-bit tier at the 100-query scale: same framing as
+    // store_sq_scale but the historical candidates come from the
+    // xor+popcount scan of the packed words — the cheapest code tier's
+    // amortized serving number through the full store composition.
+    "store_bq_scale" -> ((s, dir) => {
+      val base = ensureScaleServingStore(s, dir)
+      val st = new VectorStore(s, s"$base/store", scaleStoreConfig)
+      val e = Tables.load(s, dir, "embeddings")
+      st.searchBatchBq(scaleQueries(e, 0), k = 10, nProbe = 4, shortlist = 200,
+          useRecentIndex = true, recentProbeBlobs = 6)
+        .groupBy("query_id")
+        .agg(min_by(col("id"), col("distance")).as("id"),
+          round(min(col("distance")), 6).as("distance"))
+        .orderBy("query_id")
+    }),
     // §2.11 streaming near-dup ingest throughput: the documents table
     // staged as an arrival directory, streamed through dedupIngest
     // (MinHash-bucketed, per-batch cost = batch x collisions). Registered
@@ -261,6 +277,10 @@ object StoreQueries {
         |  0.0 AS distance
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
     "store_sq_scale" ->
+      """SELECT vec_id AS query_id, CAST(vec_id * 50 AS VARCHAR) AS id,
+        |  0.0 AS distance
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+    "store_bq_scale" ->
       """SELECT vec_id AS query_id, CAST(vec_id * 50 AS VARCHAR) AS id,
         |  0.0 AS distance
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin)
