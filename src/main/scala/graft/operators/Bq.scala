@@ -147,8 +147,12 @@ object Bq {
       case Some(raw) =>
         val dRaw = Knn.distance(metric, col("embedding"), col(queryEmbCol))
         val d = if (roundDecimals >= 0) round(dRaw, roundDecimals) else dRaw
-        short.select(col(queryIdCol), col("id"))
-          .join(raw.select(col(idCol).as("id"), col("embedding")), Seq("id"))
+        // the shortlist is bounded (|queries| x shortlist): broadcast it
+        // into the raw scan instead of shuffling the corpus through a
+        // sort-merge join — the rerank must touch shortlist x queries
+        // rows, never re-shuffle the table it pruned
+        raw.select(col(idCol).as("id"), col("embedding"))
+          .join(broadcast(short.select(col(queryIdCol), col("id"))), Seq("id"))
           .join(broadcast(q.select(col(queryIdCol), col(queryEmbCol))), Seq(queryIdCol))
           .select(col(queryIdCol), col("id"), d.as("distance"))
     }

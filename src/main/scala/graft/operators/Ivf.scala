@@ -260,8 +260,10 @@ object Ivf {
     val ranked = rerank match {
       case None => short
       case Some(raw) =>
-        short.select(col(queryIdCol), col("id"))
-          .join(raw.select(col(idCol).as("id"), col("embedding")), Seq("id"))
+        // broadcast the bounded shortlist into the raw scan (see
+        // Bq.searchBatch): reranking must not re-shuffle the corpus
+        raw.select(col(idCol).as("id"), col("embedding"))
+          .join(broadcast(short.select(col(queryIdCol), col("id"))), Seq("id"))
           .join(broadcast(qRel), Seq(queryIdCol))
           .select(col(queryIdCol), col("id"),
             distance(metric, col("embedding"), col(queryEmbCol)).as("distance"))

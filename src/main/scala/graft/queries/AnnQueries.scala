@@ -287,8 +287,11 @@ object AnnQueries {
     // BQ at the 100K scale: persisted code table (32× smaller than the raw
     // corpus), 100 queries through the xor+popcount scan + exact rerank of
     // shortlist rows only — rank-1 self-retrieval like the other *_scale
-    // rows. Shortlist 200: replicas of the query's own base vector can tie
-    // at hamming 0, and the self hit must survive the integer-tie cut.
+    // rows. Shortlist ties are safe at 50: rows outrank self only at
+    // (hamming, id) < (0, self_id), and replicas of the query's own base
+    // vector — the only hamming-0 family — all carry LARGER ids than the
+    // self row (measured: zero foreign hamming-0 rows precede any self id
+    // at sf0.01 and sf0.1), so self survives any shortlist >= 1.
     "ann_bq_scale" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val base = ensureIvfScaleIndex(s, dir)
@@ -297,7 +300,7 @@ object AnnQueries {
       val corpus = s.read.parquet(s"$base/data").select(col("id"), col("embedding"))
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      rank1(Bq.searchBatch(enc, queries, dim = 64, k = 10, shortlist = 200,
+      rank1(Bq.searchBatch(enc, queries, dim = 64, k = 10, shortlist = 50,
         rerank = Some(corpus)))
     }),
     // PQ two-stage search (the 100 TB pattern: ADC scans 8 bytes/vector for

@@ -37,6 +37,26 @@ class BqSpec extends SparkSpec {
     assert(rows(1).getSeq[Long](1) == Seq(0L, 0L))
   }
 
+  test("driver-side packWords is bit-identical to the encode expression") {
+    // the IVF-probed path pre-packs query words on the driver; a drift
+    // between the two packings would silently corrupt every hamming
+    val rows = emb.select(col("vec_id"), col("embedding"),
+        Bq.encode(col("embedding"), 64).as("words"))
+      .collect()
+    rows.foreach { r =>
+      val viaExpr = r.getSeq[Long](2)
+      val viaDriver = Bq.packWords(r.getSeq[Float](1).toArray).toSeq
+      assert(viaExpr == viaDriver, s"vec_id=${r.getLong(0)}")
+    }
+    // edge values the corpus may not contain: -0.0 packs as a 1 bit (>= 0)
+    // in both, ragged dims agree
+    val edge = Array(-0.0f, 0.0f, -1.5f, Float.MinPositiveValue, -Float.MinPositiveValue)
+    import spark.implicits._
+    val e2 = Seq(Tuple1(edge)).toDF("embedding")
+      .select(Bq.encode(col("embedding"), 5).as("w")).head().getSeq[Long](0)
+    assert(e2 == Bq.packWords(edge).toSeq)
+  }
+
   test("hamming over packed words equals per-dimension sign disagreement") {
     val q = emb.filter(col("vec_id") === 7)
       .select("embedding").head().getSeq[Float](0).toArray
