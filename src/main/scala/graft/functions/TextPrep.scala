@@ -90,6 +90,36 @@ object TextPrep {
     regexp_replace(noIp, PhonePattern, "<PHONE>")
   }
 
+  // ---- Multi-language ID ------------------------------------------------
+
+  /** Marker-token profiles per language (n-gram-profile stand-ins like
+    * [[TextFunctions.EnMarkers]], one set per language). Insertion order
+    * is alphabetical — the tie-break order shared with the oracle. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por"),
+    "fr" -> Seq("le", "les", "des", "une", "est", "dans", "pour", "sur"))
+
+  /** Multi-language ID: per-language marker-token ratio, argmax with
+    * alphabetical tie-break, 'unk' below `threshold`. One tokenization per
+    * row (let-bound), then |languages| filtered counts — map-only. */
+  def langIdMulti(text: Column, threshold: Double = 0.03): Column =
+    ColumnOps.bindOnce(TextFunctions.tokens(text)) { toks =>
+      val n = size(toks).cast("double")
+      val ratios = LangMarkers.map { case (lang, ms) =>
+        lang -> when(n === 0.0, 0.0)
+          .otherwise(size(filter(toks, t => t.isInCollection(ms))).cast("double") / n)
+      }
+      val best = greatest(ratios.map(_._2): _*)
+      // alphabetical CASE chain = deterministic tie-break, replicated
+      // verbatim by the DuckDB oracle
+      val chain = ratios.foldLeft(when(best < threshold, "unk")) {
+        case (acc, (lang, r)) => acc.when(r === best, lang)
+      }
+      chain
+    }
+
   // ---- Repetition signals (Gopher-style quality filters) ---------------
 
   /** Fraction of word n-gram occurrences that are repeats of an n-gram

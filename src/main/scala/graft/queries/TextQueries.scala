@@ -139,6 +139,25 @@ object TextQueries {
           md5(scrubPii(col("t2"))).as("scrubbed_fp"))
         .orderBy("doc_id")
     }),
+    // Multi-language ID: marker-profile argmax over de/en/es/fr with
+    // alphabetical tie-break and an 'unk' floor. The corpus is English-ish,
+    // so deterministic marker runs are appended per doc_id band to exercise
+    // every branch; both engines classify the identical injected text.
+    "lang_id_multi" -> ((s, dir) => {
+      val inj = when(col("doc_id") % 4 === 1,
+          lit(" el la de que los las una por el la de que"))
+        .when(col("doc_id") % 4 === 2,
+          lit(" le les des une est dans pour sur le les des une"))
+        .when(col("doc_id") % 4 === 3,
+          lit(" der die das und ist nicht ein mit der die das und"))
+        .otherwise(lit(""))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"), inj).as("t2"))
+        .select(col("doc_id"),
+          graft.functions.TextPrep.langIdMulti(col("t2")).as("lang_guess"))
+        .groupBy("lang_guess").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang_guess")
+    }),
     // Gopher-style repetition quality signals, relationally (one shuffle
     // on (doc, gram) — never a per-row most-frequent-gram loop)
     "repetition_stats" -> ((s, dir) => {
@@ -183,6 +202,28 @@ object TextQueries {
          |    '$Ipv4Pattern', '<IP>', 'g'),
          |    '$PhonePattern', '<PHONE>', 'g')) AS scrubbed_fp
          |FROM t ORDER BY doc_id""".stripMargin
+    },
+    "lang_id_multi" -> {
+      def ratioSql(ms: Seq[String]) =
+        s"CASE WHEN len(toks) = 0 THEN 0 ELSE len(list_filter(toks, x -> x IN (${ms.map("'" + _ + "'").mkString(",")})))::DOUBLE / len(toks) END"
+      val m = graft.functions.TextPrep.LangMarkers.toMap
+      s"""WITH t AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 4 = 1 THEN ' el la de que los las una por el la de que'
+         |       WHEN doc_id % 4 = 2 THEN ' le les des une est dans pour sur le les des une'
+         |       WHEN doc_id % 4 = 3 THEN ' der die das und ist nicht ein mit der die das und'
+         |       ELSE '' END AS t2 FROM documents),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(t2)), '\\s+') AS toks FROM t),
+         |r AS (SELECT doc_id,
+         |  ${ratioSql(m("de"))} AS r_de, ${ratioSql(m("en"))} AS r_en,
+         |  ${ratioSql(m("es"))} AS r_es, ${ratioSql(m("fr"))} AS r_fr
+         |  FROM tok),
+         |g AS (SELECT doc_id, CASE
+         |    WHEN greatest(r_de, r_en, r_es, r_fr) < 0.03 THEN 'unk'
+         |    WHEN r_de = greatest(r_de, r_en, r_es, r_fr) THEN 'de'
+         |    WHEN r_en = greatest(r_de, r_en, r_es, r_fr) THEN 'en'
+         |    WHEN r_es = greatest(r_de, r_en, r_es, r_fr) THEN 'es'
+         |    ELSE 'fr' END AS lang_guess FROM r)
+         |SELECT lang_guess, count(*) AS cnt FROM g GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "repetition_stats" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

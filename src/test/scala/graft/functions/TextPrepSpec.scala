@@ -60,6 +60,21 @@ class TextPrepSpec extends SparkSpec {
     assert(r.getLong(1) == 1 && r.getLong(2) == 1 && r.getLong(3) == 1)
   }
 
+  test("multi-language ID: per-language wins, unk floor, alphabetical ties") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the cat sat of the mat and it is"), // en markers dominate
+      (2L, "el perro de la casa que los gatos"), // es
+      (3L, "le chat est dans une maison pour les amis"), // fr
+      (4L, "der hund und die katze ist nicht ein vogel mit"), // de
+      (5L, "zzz qqq www rrr ttt"), // nothing -> unk
+      (6L, "the el") // en 1/2 vs es 1/2 tie -> 'en' beats 'es' alphabetically
+    ).toDF("id", "text")
+      .select(col("id"), TextPrep.langIdMulti(col("text")).as("lang"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(rows == Seq("en", "es", "fr", "de", "unk", "en"), rows)
+  }
+
   test("repetition stats: dup fraction and top share, short docs report 0") {
     import spark.implicits._
     val docs = Seq(

@@ -140,9 +140,10 @@ class RestServerSpec extends SparkSpec {
         """{"m": 4, "k_codes": 8, "train_size": 30}""")
       assert(ps == 200 && pq.get("enabled").asBoolean())
       assert(call(srv, "POST", "/api/v1/admin/index/sq", "{}")._1 == 200)
+      assert(call(srv, "POST", "/api/v1/admin/index/bq", "{}")._1 == 200)
 
       // every serving mode finds the exact row as its top hit
-      for (mode <- Seq("exact", "recent_index", "pq", "sq")) {
+      for (mode <- Seq("exact", "recent_index", "pq", "sq", "bq")) {
         val (ss, sr) = call(srv, "POST", "/api/v1/search",
           s"""{"vector": ${vecJson(33)}, "k": 3,
               "options": {"metric": "l2", "mode": "$mode"}}""")
@@ -152,7 +153,7 @@ class RestServerSpec extends SparkSpec {
         assert(sr.get("results").get(0).get("distance").asDouble() < 1e-6)
       }
       // historical row reachable through the code tiers too
-      for (mode <- Seq("pq", "sq")) {
+      for (mode <- Seq("pq", "sq", "bq")) {
         val (_, sr) = call(srv, "POST", "/api/v1/search",
           s"""{"vector": ${vecJson(7)}, "k": 3,
               "options": {"metric": "l2", "mode": "$mode"}}""")

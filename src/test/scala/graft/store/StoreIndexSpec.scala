@@ -403,6 +403,10 @@ class StoreIndexSpec extends SparkSpec {
     val pq = hitSet(st.searchBatchPq(q, k = 3, nProbe = 4, shortlist = 10,
       filterJson = f, oversample = 20))
     assert(pq == exact)
+    st.enableBq()
+    val bq = hitSet(st.searchBatchBq(q, k = 3, nProbe = 4, shortlist = 10,
+      filterJson = f, oversample = 20))
+    assert(bq == exact)
     // the default k*3 oversample keeps reference semantics: every hit
     // matches the filter, rank-1 self-retrieval survives, but deep filtered
     // ranks MAY fall back to other tiers (documented recall trade-off)
