@@ -122,6 +122,74 @@ object Dedup {
     docs.join(toRemove, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over a near-duplicate pair list: every id that
+    * appears in `pairs` is labeled with the MINIMUM id reachable through any
+    * chain of pairs — the true transitive duplicate cluster.
+    * [[dropNearDuplicates]]'s greedy per-pair rule only guarantees each
+    * removed doc SOME smaller near-identical neighbor (which may itself be
+    * removed); component labels give one canonical survivor per cluster and
+    * the cluster-size statistics a curation report needs.
+    *
+    * Algorithm: min-label propagation. `label(v)` starts at `v`; each round
+    * every vertex takes the min of its own label and its neighbors' labels;
+    * converges in O(cluster diameter) rounds. Near-dup graphs are stars and
+    * short chains, so 2–4 rounds in practice; each round is one shuffle on
+    * the id key, and the driver sees only a per-round changed-count
+    * aggregate, never row data. Lineage is truncated per round
+    * (localCheckpoint) so plan depth stays constant; on a real cluster use
+    * a checkpoint dir — the loop itself is scale-safe because rounds are
+    * bounded by the deepest chain, not by corpus size.
+    *
+    * Returns (id, component) for every id that appears in a pair. Docs with
+    * no near-dup pair are their own singleton component and are omitted.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+      idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val fwd = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+    val edges = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("comp").as("nbr_comp"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          (col("nbr_comp") < col("comp")).as("changed"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("changed")).count() == 0
+      labels = updated.drop("changed")
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Transitive near-dup removal: one canonical survivor (the minimum id)
+    * per connected duplicate CLUSTER. Where [[dropNearDuplicates]] can
+    * remove a doc whose only smaller neighbor was itself removed (chain
+    * a~b~c keeps only a under both rules, but b's survivor claim pointed at
+    * a removed doc), this keeps exactly `component == id` — every removed
+    * doc has a KEPT near-identical (possibly via chain) representative. */
+  def dropNearDuplicatesTransitive(docs: DataFrame, shingleN: Int,
+      bands: Int, rowsPerBand: Int, threshold: Double,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxIter: Int = 20): DataFrame = {
+    val pairs = minhashLshPairs(docs, shingleN, bands, rowsPerBand, threshold,
+      textCol, idCol)
+    val remove = duplicateClusters(pairs, maxIter)
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").as(idCol))
+    docs.join(remove, Seq(idCol), "left_anti")
+  }
+
   /** Map-only SimHash fingerprints: (id, simhash). */
   def simhashFingerprints(docs: DataFrame, bits: Int = 16,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-source result merging (SURVEY.md §2.4 A10, `ResultMerger::merge`,
@@ -17,6 +18,13 @@ object ResultMerger {
   case object Average extends Strategy
   /** Weighted mean by per-source weight. */
   case class Weighted(weights: Map[String, Double]) extends Strategy
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09): fused score =
+    * sum over sources of 1/(k + rank), rank from (distance asc, id asc)
+    * within each source. Rank-based, so heterogeneous scores — BM25 vs a
+    * vector distance — fuse with no calibration; the standard combiner for
+    * hybrid keyword+vector search. Pass keyword results with
+    * `distance = -score` so ascending distance means descending relevance. */
+  case class Rrf(k: Int = 60) extends Strategy
 
   /** `results`: (id, source, score, distance). Returns (id, score,
     * distance) merged per strategy. */
@@ -36,5 +44,15 @@ object ResultMerger {
         .groupBy("id").agg(
           (sum(col("score") * col("w")) / sum("w")).as("score"),
           (sum(col("distance") * col("w")) / sum("w")).as("distance"))
+    case Rrf(k) =>
+      // result sets are top-N slices (tiny vs the corpus), so the per-source
+      // ranking window is one narrow shuffle on the source key; the fused
+      // aggregate partial-aggregates map-side like the other strategies
+      val ranked = results.withColumn("rrf_rank",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("distance").asc, col("id").asc)))
+      ranked.groupBy("id").agg(
+        sum(lit(1.0) / (lit(k.toDouble) + col("rrf_rank"))).as("score"),
+        min("distance").as("distance"))
   }
 }

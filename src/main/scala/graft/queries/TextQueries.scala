@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.functions.VectorExpressions.vecCosine
+import graft.operators.{Bm25, Dedup, ResultMerger}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -88,6 +89,19 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    // transitive duplicate clusters: LSH pairs -> connected components
+    // (min-label propagation); every doc in a pair gets the min id
+    // reachable through any chain, plus its cluster size
+    "dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+        shingleN = 2, bands = 4, rowsPerBand = 2, threshold = 0.3)
+      Dedup.duplicateClusters(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("component"))).cast("long"))
+        .orderBy("doc_id")
+    }),
     // SimHash 16-bit fingerprints
     "simhash" -> ((s, dir) => {
       Dedup.simhashFingerprints(Tables.load(s, dir, "documents"), bits = 16)
@@ -102,6 +116,35 @@ object TextQueries {
           threshold = 0.4, blockCol = "label", idCol = "vec_id")
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
+    }),
+    // Okapi BM25 keyword search: one corpus scan, tokens filtered to the
+    // query-term set BEFORE the explode (shuffle carries matched postings
+    // only), df/N/avgdl as broadcast side relations, heap top-k
+    "bm25_search" -> ((s, dir) => {
+      Bm25.search(Tables.load(s, dir, "documents"),
+          query = "spark vector query join", k = 15)
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+    // Hybrid keyword+vector search via reciprocal-rank fusion: BM25 top-20
+    // over documents + cosine top-20 over embeddings (same id space),
+    // fused rank-wise — no score calibration across the two modalities
+    "rrf_fusion" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val vec = emb.crossJoin(broadcast(q))
+        .select(col("vec_id").as("id"), lit("vector").as("source"),
+          round(lit(1.0) - vecCosine(col("embedding"), col("q_emb")), 6).as("distance"))
+        .withColumn("score", round(lit(1.0) / (lit(1.0) + col("distance")), 6))
+        .orderBy(col("distance").asc, col("id").asc).limit(20)
+      val kw = Bm25.score(Tables.load(s, dir, "documents"), "spark vector query join")
+        .select(col("id"), lit("keyword").as("source"),
+          round(col("score"), 6).as("score"))
+        .withColumn("distance", -col("score"))
+        .orderBy(col("distance").asc, col("id").asc).limit(20)
+      ResultMerger.merge(vec.unionByName(kw), ResultMerger.Rrf(60))
+        .select(col("id"), round(col("score"), 6).as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("id").asc).limit(10)
     }),
     // Unicode normalization + accent stripping + canonical fingerprints.
     // The corpus is ASCII, so a decomposed/precomposed mixed prefix is
@@ -178,7 +221,42 @@ object TextQueries {
         shingleN = 2, bands = 4, rowsPerBand = 2, threshold = 0.3)
     }))
 
+  // shared BM25 CTE chain (terms 'spark vector query join', k1=1.2, b=0.75):
+  // tokenize -> matched postings -> per-term df -> corpus scalars -> score
+  private val bm25Sql =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(toks)) AS avgdl FROM t),
+       |posts AS (SELECT doc_id, term, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+       |  FROM (SELECT doc_id, len(toks) AS dl,
+       |    unnest(list_filter(toks, x -> x IN ('spark','vector','query','join'))) AS term
+       |    FROM t)
+       |  GROUP BY 1, 2),
+       |dfs AS (SELECT term, count(*)::DOUBLE AS df FROM posts GROUP BY 1),
+       |kws AS (SELECT doc_id, sum(
+       |    ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+       |    * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+       |  FROM posts JOIN dfs USING (term), st GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "bm25_search" ->
+      s"""WITH $bm25Sql
+         |SELECT doc_id, round(score, 6) AS score FROM kws
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 15""".stripMargin,
+    "rrf_fusion" ->
+      s"""WITH $bm25Sql,
+         |kw AS (SELECT doc_id AS id, -round(score, 6) AS distance FROM kws
+         |  ORDER BY distance ASC, id ASC LIMIT 20),
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |vec AS (SELECT vec_id AS id,
+         |    round(1.0 - list_cosine_similarity(embedding::DOUBLE[], q.qe), 6) AS distance
+         |  FROM embeddings, q ORDER BY distance ASC, id ASC LIMIT 20),
+         |ranked AS (
+         |  SELECT id, row_number() OVER (ORDER BY distance ASC, id ASC) AS r FROM kw
+         |  UNION ALL
+         |  SELECT id, row_number() OVER (ORDER BY distance ASC, id ASC) AS r FROM vec)
+         |SELECT id, round(sum(1.0 / (60 + r)), 6) AS rrf_score
+         |FROM ranked GROUP BY id
+         |ORDER BY rrf_score DESC, id ASC LIMIT 10""".stripMargin,
     "text_normalize" ->
       s"""WITH t AS (SELECT doc_id, '$NormPrefix' || text AS t2 FROM documents)
          |SELECT doc_id, length(t2)::BIGINT AS n_raw,
@@ -312,6 +390,34 @@ object TextQueries {
          |FROM pairs
          |WHERE len(list_intersect(hs_a, hs_b))::DOUBLE / len(list_distinct(hs_a || hs_b)) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+    "dup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  list_transform(range(1, len(toks)),
+         |    i -> ${hash32("toks[i] || ' ' || toks[i+1]")}::BIGINT)) AS hs
+         |  FROM t),
+         |sig AS (SELECT doc_id, hs,
+         |  [list_min(list_transform(hs, h -> (h * (2 * i + 1) + 7919 * i) % 4294967311))::BIGINT
+         |   FOR i IN range(1, 9)] AS sig
+         |  FROM sh),
+         |banded AS (SELECT doc_id, b AS band, sig[b*2+1:b*2+2] AS bucket
+         |  FROM sig, range(0, 4) r(b)),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |p AS (SELECT id_a, id_b
+         |  FROM (SELECT id_a, id_b, a.hs AS hs_a, b.hs AS hs_b
+         |    FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+         |  WHERE len(list_intersect(hs_a, hs_b))::DOUBLE / len(list_distinct(hs_a || hs_b)) >= 0.3),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM p
+         |  UNION ALL SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (SELECT a, b FROM sym
+         |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         |  FROM reach GROUP BY a)
+         |SELECT doc_id, component,
+         |  count(*) OVER (PARTITION BY component)::BIGINT AS cluster_size
+         |FROM comp ORDER BY doc_id""".stripMargin,
     "simhash" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |h AS (SELECT doc_id, ${hash32("tok")}::BIGINT AS th FROM t),

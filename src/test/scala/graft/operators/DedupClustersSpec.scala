@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Connected-components duplicate clustering ([[Dedup.duplicateClusters]] /
+  * [[Dedup.dropNearDuplicatesTransitive]]): transitive chains collapse to
+  * one component labeled by the minimum id, disjoint clusters stay
+  * disjoint, and the transitive drop keeps exactly one canonical doc per
+  * cluster.
+  */
+class DedupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains collapse to the min id; disjoint clusters stay disjoint") {
+    // two chains (1-2, 2-3, 3-4) and (10-11), plus a star (20-21, 20-22):
+    // pairwise input never links 1 to 4 directly — only the closure does
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (20L, 22L)
+    ).toDF("id_a", "id_b")
+    val comps = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("label order in the pair list does not matter") {
+    // the same chain with reversed/unsorted endpoints: min still wins
+    val pairs = Seq((4L, 3L), (2L, 1L), (3L, 2L)).toDF("id_a", "id_b")
+    val comps = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(comps.values.toSet == Set(1L))
+    assert(comps.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("deep chain converges within the iteration budget") {
+    val n = 33L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.duplicateClusters(pairs, maxIter = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.size == n)
+    assert(comps.values.forall(_ == 1L))
+  }
+
+  test("transitive drop keeps one canonical doc per near-dup cluster") {
+    // b is a near-dup of a; c is a near-dup of b but NOT of a (two edits
+    // away) — greedy pair-removal would remove both b and c, leaving c's
+    // only claimed survivor (b) itself removed; the transitive rule keeps
+    // exactly the cluster minimum and documents that the removed docs'
+    // canonical representative IS kept
+    val base = "the quick brown fox jumps over the lazy dog near the old barn door today"
+    val b = base + " x1"
+    val c = b + " x2 y2"
+    val docs = Seq(
+      (1L, base), (2L, b), (3L, c),
+      (7L, "completely different text about spark catalyst optimizer plans and shuffles here")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicatesTransitive(docs,
+      shingleN = 2, bands = 4, rowsPerBand = 2, threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(7L))
+    assert(!kept.contains(2L))
+    // every removed doc's component representative is kept
+    val pairs = Dedup.minhashLshPairs(docs, 2, 4, 2, 0.3)
+    val comps = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    comps.foreach { case (id, comp) =>
+      if (!kept.contains(id)) assert(kept.contains(comp) || comps(comp) != comp)
+    }
+  }
+
+  test("empty pair list yields an empty labeling") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(pairs).count() == 0)
+  }
+}

@@ -189,4 +189,22 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(math.abs(w(1L) - (0.9 * 3 + 0.7) / 4) < 1e-9)
   }
+
+  test("merge strategy Rrf: rank-based fusion, calibration-free") {
+    import spark.implicits._
+    // source A ranks 1,2,3 (by distance asc); source B ranks 3,2 —
+    // heterogeneous distance scales on purpose (B's are 100x larger):
+    // RRF must ignore magnitudes entirely
+    val results = Seq(
+      (1L, "a", 0.0, 0.1), (2L, "a", 0.0, 0.2), (3L, "a", 0.0, 0.3),
+      (3L, "b", 0.0, 10.0), (2L, "b", 0.0, 20.0)
+    ).toDF("id", "source", "score", "distance")
+    val fused = ResultMerger.merge(results, ResultMerger.Rrf(60))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(fused(1L) - 1.0 / 61) < 1e-12)
+    assert(math.abs(fused(2L) - (1.0 / 62 + 1.0 / 62)) < 1e-12)
+    assert(math.abs(fused(3L) - (1.0 / 63 + 1.0 / 61)) < 1e-12)
+    // doc 3: rank 3 in a + rank 1 in b beats doc 1's single rank-1
+    assert(fused(3L) > fused(1L) && fused(2L) > fused(1L))
+  }
 }
