@@ -156,4 +156,32 @@ object Curation {
       .withColumn("bin",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / seqLen))
   }
+
+  /** Cap each group (domain, source, dup-cluster, ...) at EXACTLY n kept
+    * documents — the over-represented-domain cap that complements
+    * [[mixtureSample]]'s rate-based sampling when the mix calls for a hard
+    * ceiling. Which n survive is decided by a deterministic per-doc hash
+    * rank (salted, no `rand()` — same resumability contract as
+    * [[hashSplit]]), so the kept set is stable across runs, partitionings
+    * and engines.
+    *
+    * NOT a window sort: a `row_number` over the group key sends every row
+    * of the hottest domain through one partition — the exact skew this
+    * operator exists to fight. Instead the per-group selection runs
+    * through [[graft.operators.TopKImperative]]'s bounded-heap aggregate:
+    * map-side partials keep at most ~4n candidates per partition per
+    * group, so the exchange carries capped heaps, never the full hot
+    * group; the final semi-join rides the id key. */
+  def capPerGroup(docs: DataFrame, groupCol: String, n: Int,
+      idCol: String = "doc_id", salt: String = "cap"): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val rank = stableHash32(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val kept = docs
+      .select(col(groupCol).as("g"), col(idCol).as("_id"), rank.cast("double").as("_rk"))
+      .groupBy("g")
+      .agg(graft.operators.TopKImperative.topK(n)(col("_id"), col("_rk")).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.id").as(idCol))
+    docs.join(kept, Seq(idCol), "left_semi")
+  }
 }

@@ -190,6 +190,84 @@ object Dedup {
     docs.join(remove, Seq(idCol), "left_anti")
   }
 
+  /** Per-document duplicated-SPAN statistics — the window-level view of
+    * duplication that document-level MinHash misses (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499: much of the duplication in web corpora is
+    * substring-level, e.g. boilerplate repeated inside otherwise-distinct
+    * pages). Every length-n token window of every document is hashed
+    * ([[graft.functions.TextFunctions.shingleHashes]]); a window is a
+    * duplicated span when the same window occurs in at least `minDocs`
+    * DISTINCT documents.
+    *
+    * Returns one row per input document:
+    * (id, n_windows, n_dup_windows, dup_span_fraction), where fraction is
+    * n_dup/n_windows (0 for window-less short docs).
+    *
+    * Scale shape: text is hashed map-side and never crosses a shuffle.
+    * Three exchanges, each on compact keys: (id, h) with map-side combine
+    * collapsing within-doc repeats, then h for the distinct-doc counts,
+    * then id for the per-doc rollup. Nothing is all-pairs and no suffix
+    * array is materialized — this is the bounded-memory approximation of
+    * substring dedup that a 100 TB corpus scan can actually run. */
+  def dupSpanStats(docs: DataFrame, n: Int, minDocs: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val wins = spread(docs).select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), n)).as("h"))
+    val perDocWin = wins.groupBy("id", "h").agg(count(lit(1)).as("cnt"))
+    // one row per (id, h) already, so count(*) IS the distinct-doc count
+    val dupWins = perDocWin.groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"), lit(true).as("dup"))
+    val agg = perDocWin.join(dupWins, Seq("h"), "left")
+      .groupBy("id").agg(
+        sum("cnt").as("n_windows"),
+        coalesce(sum(when(col("dup"), col("cnt"))), lit(0L)).as("n_dup_windows"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_dup_windows").cast("double") / col("n_windows"))
+          .as("dup_span_fraction"))
+  }
+
+  /** Segment-level (paragraph/line) deduplication, CCNet-style (Wenzek et
+    * al. 2020 dedupe lines across shards before any document-level pass):
+    * split each document on `sep`, drop empty segments, and keep only the
+    * FIRST occurrence of each distinct segment corpus-wide — first in
+    * (id, position) order, so the rule is deterministic and
+    * partition-invariant. Returns one row per document that produced at
+    * least one non-empty segment:
+    * (id, n_segs, n_kept, kept_fp = md5 of the kept segments re-joined in
+    * position order with `sep`) — the fingerprint stands in for the
+    * deduplicated text so the row stays narrow.
+    *
+    * Scale shape: ONE exchange, on the segment-content hash (the
+    * first-occurrence window), carrying (hash, id, position, segment) —
+    * the same per-line shuffle CCNet's dedupe runs; the per-doc rollup
+    * rides the id key. The segment body must cross the shuffle once (its
+    * first occurrence is what the output keeps), but documents are never
+    * joined pairwise. */
+  def dedupSegments(docs: DataFrame, sep: String = "\n\n",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val segs = spread(docs)
+      .select(col(idCol).as("id"),
+        posexplode(filter(split(col(textCol), java.util.regex.Pattern.quote(sep)),
+          s => length(trim(s)) > 0)).as(Seq("seg_idx", "segment")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("segment"))).orderBy(col("id"), col("seg_idx"))
+    segs.withColumn("keep", row_number().over(w) === 1)
+      .groupBy("id").agg(
+        count(lit(1)).as("n_segs"),
+        coalesce(sum(when(col("keep"), 1L)), lit(0L)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(when(col("keep"),
+            struct(col("seg_idx"), col("segment"))))),
+            x => x.getField("segment")),
+          sep)).as("kept_fp"))
+  }
+
   /** Map-only SimHash fingerprints: (id, simhash). */
   def simhashFingerprints(docs: DataFrame, bits: Int = 16,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =

@@ -56,6 +56,15 @@ object CurationQueries {
         .groupBy("source", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
         .orderBy("source", "bin")
+    }),
+    // hard per-domain ceiling: keep exactly 10 hash-chosen docs per source
+    // (bounded-heap selection, no window sort); the id checksum pins WHICH
+    // docs survived, not just how many
+    "domain_cap" -> ((s, dir) => {
+      Curation.capPerGroup(Tables.load(s, dir, "documents"), "source", n = 10)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+        .orderBy("source")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -92,5 +101,12 @@ object CurationQueries {
          |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM f)
          |SELECT source, floor((cum - n) / 256.0)::BIGINT AS bin,
          |  count(*) AS n_docs, sum(n)::BIGINT AS n_tokens
-         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "domain_cap" ->
+      s"""WITH r AS (SELECT source, doc_id, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY ${hash32("doc_id::VARCHAR || ':cap'")}, doc_id) AS rn
+         |  FROM documents)
+         |SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum
+         |FROM r WHERE rn <= 10 GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -201,6 +201,31 @@ object TextQueries {
         .groupBy("lang_guess").agg(count(lit(1)).as("cnt"))
         .orderBy("lang_guess")
     }),
+    // Duplicated-SPAN statistics (Lee et al. 2021 flavor): fraction of each
+    // doc's token 3-gram windows that also occur in at least one OTHER doc
+    // — the substring-level duplication document-level MinHash misses
+    "dup_spans" -> ((s, dir) => {
+      Dedup.dupSpanStats(Tables.load(s, dir, "documents"), n = 3)
+        .select(col("id").as("doc_id"), col("n_windows"), col("n_dup_windows"),
+          round(col("dup_span_fraction"), 6).as("dup_span_fraction"))
+        .orderBy("doc_id")
+    }),
+    // CCNet-style segment (paragraph) dedup: the corpus has no natural
+    // paragraph breaks, so a deterministic 3-segment structure is injected
+    // (own text | shared passage keyed by doc_id%7 | own text again) and
+    // both engines keep only each segment's first (doc_id, position)
+    // occurrence corpus-wide — exercising cross-doc dup (exact-dup docs +
+    // the 7 shared passages) and within-doc dup (the repeated own text)
+    "segment_dedup" -> ((s, dir) => {
+      val sep = "\n\n"
+      val injected = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(sep), lit("shared passage "),
+            (col("doc_id") % 7).cast("string"), lit(sep), col("text")).as("text"))
+      Dedup.dedupSegments(injected, sep)
+        .select(col("id").as("doc_id"), col("n_segs"), col("n_kept"), col("kept_fp"))
+        .orderBy("doc_id")
+    }),
     // Gopher-style repetition quality signals, relationally (one shuffle
     // on (doc, gram) — never a per-row most-frequent-gram loop)
     "repetition_stats" -> ((s, dir) => {
@@ -303,6 +328,37 @@ object TextQueries {
          |    ELSE 'fr' END AS lang_guess FROM r)
          |SELECT lang_guess, count(*) AS cnt FROM g GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+         |    i -> ${hash32("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}::BIGINT)) AS h
+         |  FROM t),
+         |pd AS (SELECT doc_id, h, count(*) AS cnt FROM w GROUP BY 1, 2),
+         |dw AS (SELECT h FROM pd GROUP BY h HAVING count(*) >= 2),
+         |a AS (SELECT pd.doc_id, sum(pd.cnt)::BIGINT AS n_windows,
+         |    coalesce(sum(pd.cnt) FILTER (WHERE dw.h IS NOT NULL), 0)::BIGINT AS n_dup
+         |  FROM pd LEFT JOIN dw ON pd.h = dw.h GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_windows, 0)::BIGINT AS n_windows,
+         |  coalesce(a.n_dup, 0)::BIGINT AS n_dup_windows,
+         |  round(CASE WHEN coalesce(a.n_windows, 0) = 0 THEN 0.0
+         |    ELSE a.n_dup / a.n_windows::DOUBLE END, 6) AS dup_span_fraction
+         |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "segment_dedup" ->
+      s"""WITH t AS (SELECT doc_id, text || chr(10) || chr(10) || 'shared passage '
+         |    || (doc_id % 7) || chr(10) || chr(10) || text AS t2 FROM documents),
+         |sp AS (SELECT doc_id, list_filter(string_split(t2, chr(10) || chr(10)),
+         |    x -> trim(x) != '') AS s FROM t),
+         |segs AS (SELECT doc_id, unnest(range(0, len(s))) AS seg_idx,
+         |    unnest(s) AS segment FROM sp),
+         |k AS (SELECT doc_id, seg_idx, segment,
+         |    row_number() OVER (PARTITION BY md5(segment)
+         |      ORDER BY doc_id, seg_idx) = 1 AS keep FROM segs)
+         |SELECT doc_id, count(*) AS n_segs,
+         |  count(*) FILTER (WHERE keep) AS n_kept,
+         |  md5(coalesce(string_agg(segment, chr(10) || chr(10) ORDER BY seg_idx)
+         |    FILTER (WHERE keep), '')) AS kept_fp
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "repetition_stats" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh AS (SELECT doc_id,

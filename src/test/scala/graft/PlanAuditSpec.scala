@@ -234,6 +234,30 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("capPerGroup selects via bounded heaps, never a window sort") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val df = graft.operators.Curation.capPerGroup(docs, "source", n = 5)
+    val plan = executedPlan(df)
+    // the skew-safety claim: per-group selection is the two-phase top_k
+    // aggregate (map-side capped partials), not row_number over the group
+    assert(plan.contains("partial_top_k"), plan)
+    val windows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "capPerGroup must not plan a window sort")
+  }
+
+  test("dupSpanStats hashes windows at the scan; no text in any exchange") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val df = graft.operators.Dedup.dupSpanStats(docs, n = 3)
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.child.output.exists(_.name == "text"),
+        s"text crosses a shuffle: ${e.child.output.map(_.name)}")
+    }
+  }
+
   test("decontamination joins broadcast the eval side, never sort-merge") {
     val docs = Tables.load(spark, sfDir, "documents")
     val plan = executedPlan(graft.operators.Curation.contaminationPairs(

@@ -60,6 +60,18 @@ object PlanDump {
         |because the index's recorded part list matches the tier (FS
         |file-diff, no plan). The localized query batch is a LocalTableScan
         |— both tiers consume it without re-scanning parquet.""".stripMargin),
+      "dup_spans" -> ("""Substring-level dup stats without a suffix array: windows are
+        |hashed in the scan-side project (text never crosses a shuffle);
+        |within-doc repeats collapse in the partial (id, h) aggregate; the
+        |cross-doc count and the per-doc rollup exchange only compact
+        |(long, long) keys; the dup-window join's build side is pre-filtered
+        |to count >= minDocs.""".stripMargin),
+      "domain_cap" -> ("""Per-domain hard cap WITHOUT a window sort: the per-group
+        |selection is the same two-phase top_k ObjectHashAggregate as
+        |knn_scale (map-side capped heaps, so a hot domain never funnels
+        |through one partition), followed by a semi-join on the kept ids.
+        |No rangepartitioning / no row_number over the group key
+        |anywhere.""".stripMargin),
       "bm25_search" -> ("""Keyword relevance at corpus scale: tokens are filtered to the
         |query-term set INSIDE the scan-side project (before the explode),
         |so the only wide exchange carries query-matched postings — shuffle
