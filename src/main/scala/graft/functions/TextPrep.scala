@@ -157,4 +157,55 @@ object TextPrep {
         coalesce(col("top_cnt").cast("double")
           / col("total").cast("double"), lit(0.0)).as("top_ngram_share"))
   }
+
+  /** Corpus-self bigram language-model score — the "perplexity filter"
+    * slot of a CCNet-style pipeline (Wenzek et al. 2020 score documents
+    * under a reference LM; here the reference is the corpus itself, which
+    * needs no external model and still separates fluent text from
+    * gibberish/boilerplate): per document, the mean natural-log
+    * probability of its token bigrams under an add-one-smoothed bigram
+    * model of the WHOLE corpus,
+    * `p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V)`.
+    *
+    * Returns (id, n_bigrams, avg_logprob); documents with fewer than two
+    * tokens score 0 over 0 bigrams. Higher (less negative) = more typical
+    * of the corpus.
+    *
+    * Scale shape: words are hashed in the scan-side project
+    * ([[TextFunctions.stableHash32]] of the bigram / its context word), so
+    * every exchange — the two count aggregates, the count-lookup joins,
+    * the per-doc rollup — carries longs, never text. The model "tables"
+    * ARE DataFrames (c12 keyed by bigram hash, c1 by context hash), so the
+    * lookup is a shuffle join that scales with corpus token count; V rides
+    * in as a broadcast scalar. Nothing collects; training and scoring are
+    * one plan. */
+  def lmScore(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import TextFunctions._
+    val toksDf = graft.operators.Dedup.spread(docs)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val bi = toksDf.select(col("id"), explode(
+        when(size(col("toks")) < 2,
+          array().cast("array<struct<h1:bigint,h12:bigint>>"))
+        .otherwise(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(
+            stableHash32(element_at(col("toks"), i)).as("h1"),
+            stableHash32(concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1))).as("h12"))))).as("b"))
+      .select(col("id"), col("b.h1").as("h1"), col("b.h12").as("h12"))
+    val biCnt = bi.groupBy("h12").agg(count(lit(1)).as("c12"))
+    val ctxCnt = bi.groupBy("h1").agg(count(lit(1)).as("c1"))
+    val vocab = toksDf.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(stableHash32(col("w"))).as("v"))
+    val scored = bi.join(biCnt, Seq("h12")).join(ctxCnt, Seq("h1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_bigrams"),
+        avg(log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
+          .as("avg_logprob"))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
+  }
 }

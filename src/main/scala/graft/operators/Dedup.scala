@@ -146,7 +146,12 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
       idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // pin the pair list BEFORE symmetrizing: the union's two branches are
+    // otherwise two full evaluations of the upstream plan (Spark does not
+    // dedupe common subplans), which for LSH-produced pairs means running
+    // the whole signature/band/verify pipeline twice
     val fwd = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -169,6 +174,7 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    fwd.unpersist()
     labels
   }
 

@@ -201,6 +201,15 @@ object TextQueries {
         .groupBy("lang_guess").agg(count(lit(1)).as("cnt"))
         .orderBy("lang_guess")
     }),
+    // CCNet-style perplexity-filter slot: per-doc mean log-prob of its
+    // bigrams under an add-one-smoothed bigram model of the corpus itself
+    // (no external LM; still separates fluent text from gibberish)
+    "lm_score" -> ((s, dir) => {
+      graft.functions.TextPrep.lmScore(Tables.load(s, dir, "documents"))
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("avg_logprob"), 6).as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
     // Duplicated-SPAN statistics (Lee et al. 2021 flavor): fraction of each
     // doc's token 3-gram windows that also occur in at least one OTHER doc
     // — the substring-level duplication document-level MinHash misses
@@ -328,6 +337,25 @@ object TextQueries {
          |    ELSE 'fr' END AS lang_guess FROM r)
          |SELECT lang_guess, count(*) AS cnt FROM g GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bi AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks)),
+         |      i -> ${hash32("toks[i]")}::BIGINT)) AS h1,
+         |    unnest(list_transform(range(1, len(toks)),
+         |      i -> ${hash32("toks[i] || ' ' || toks[i+1]")}::BIGINT)) AS h12
+         |  FROM t),
+         |bc AS (SELECT h12, count(*) AS c12 FROM bi GROUP BY 1),
+         |cc AS (SELECT h1, count(*) AS c1 FROM bi GROUP BY 1),
+         |v AS (SELECT count(DISTINCT ${hash32("w")}) AS v
+         |  FROM (SELECT unnest(toks) AS w FROM t)),
+         |s AS (SELECT doc_id, count(*) AS n_bigrams,
+         |    avg(ln((c12 + 1)::DOUBLE / (c1 + v.v))) AS lp
+         |  FROM bi JOIN bc USING (h12) JOIN cc USING (h1), v GROUP BY 1)
+         |SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  round(coalesce(s.lp, 0.0), 6) AS avg_logprob
+         |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dup_spans" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |w AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),

@@ -90,4 +90,20 @@ class TextPrepSpec extends SparkSpec {
       math.abs(r(1).getDouble(3) - 1.0 / 3.0) < 1e-9)
     assert(r(2).getLong(1) == 0 && r(2).getDouble(2) == 0.0 && r(2).getDouble(3) == 0.0)
   }
+
+  test("lmScore: add-one bigram model, hand-computed probabilities") {
+    import spark.implicits._
+    // corpus: bigram (a b) x2, (a c) x1; context a x3; vocab {a,b,c,z} V=4
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z")
+    ).toDF("doc_id", "text")
+    val r = TextPrep.lmScore(docs).orderBy("id").collect()
+    assert(r(0).getLong(1) == 1 &&
+      math.abs(r(0).getDouble(2) - math.log(3.0 / 7)) < 1e-9) // (2+1)/(3+4)
+    assert(math.abs(r(1).getDouble(2) - math.log(3.0 / 7)) < 1e-9)
+    assert(math.abs(r(2).getDouble(2) - math.log(2.0 / 7)) < 1e-9) // (1+1)/(3+4)
+    assert(r(3).getLong(1) == 0 && r(3).getDouble(2) == 0.0) // <2 tokens
+    // the common phrase outscores the rarer one
+    assert(r(0).getDouble(2) > r(2).getDouble(2))
+  }
 }
