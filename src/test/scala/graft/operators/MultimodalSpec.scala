@@ -172,6 +172,52 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(2L) == (("unknown", 0, 0, 0, 0L)))
   }
 
+  test("probeVideo parses MP4 box trees and Matroska EBML headers") {
+    import java.nio.ByteBuffer
+    // minimal-but-consistent MP4: ftyp(isom) + moov[ mvhd(v0, timescale
+    // 1000, duration 5000) + trak[ tkhd(v0, 640x360 in 16.16) ] ]
+    val mp4 = {
+      val b = ByteBuffer.allocate(152) // big-endian by default
+      b.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      b.putInt(136).put("moov".getBytes)
+      b.putInt(28).put("mvhd".getBytes)
+        .putInt(0).putInt(0).putInt(0).putInt(1000).putInt(5000)
+      b.putInt(100).put("trak".getBytes)
+      b.putInt(92).put("tkhd".getBytes).put(new Array[Byte](76))
+        .putInt(640 << 16).putInt(360 << 16)
+      b.array()
+    }
+    assert(Multimodal.probeVideo(mp4).contains(("mp4/isom", 640, 360, 5000L)))
+    // moov-less MP4 still identifies by brand; dims/duration stay 0
+    val bare = ByteBuffer.allocate(16)
+      .putInt(16).put("ftyp".getBytes).put("mp42".getBytes).putInt(0).array()
+    assert(Multimodal.probeVideo(bare).contains(("mp4/mp42", 0, 0, 0L)))
+    // EBML header with DocType "webm"
+    val webm = Array[Int](0x1a, 0x45, 0xdf, 0xa3, 0x87,
+      0x42, 0x82, 0x84, 'w', 'e', 'b', 'm').map(_.toByte)
+    assert(Multimodal.probeVideo(webm).contains(("webm", 0, 0, 0L)))
+    // DocType-less EBML falls back to the spec default
+    val mkv = Array[Int](0x1a, 0x45, 0xdf, 0xa3, 0x84,
+      0x42, 0x86, 0x81, 0x01, 0, 0, 0).map(_.toByte) // padded past min length
+    assert(Multimodal.probeVideo(mkv).contains(("matroska", 0, 0, 0L)))
+    // junk / truncated -> None, never a crash
+    assert(Multimodal.probeVideo(Array.fill[Byte](40)(7)).isEmpty)
+    assert(Multimodal.probeVideo(Array[Byte](0, 1)).isEmpty)
+  }
+
+  test("videoMetadata maps the prober over a binary column (unknowns survive)") {
+    import spark.implicits._
+    import java.nio.ByteBuffer
+    val bare = ByteBuffer.allocate(16)
+      .putInt(16).put("ftyp".getBytes).put("avc1".getBytes).putInt(0).array()
+    val df = Seq((1L, bare), (2L, Array.fill[Byte](20)(3)))
+      .toDF("media_id", "data")
+    val metas = Multimodal.videoMetadata(df).collect()
+      .map(m => m.media_id -> ((m.format, m.width, m.height, m.duration_ms))).toMap
+    assert(metas(1L) == (("mp4/avc1", 0, 0, 0L)))
+    assert(metas(2L) == (("unknown", 0, 0, 0L)))
+  }
+
   test("merge strategies: TakeBest / Average / Weighted") {
     import spark.implicits._
     val results = Seq(
