@@ -44,4 +44,31 @@ object Tuning {
     if (selectivity <= 0.0) cap
     else math.min(cap, math.max(3, math.ceil(1.5 / selectivity).toInt))
   }
+
+  /** LSH banding plan for a target Jaccard threshold under a signature
+    * budget: choose (bands, rowsPerBand) with bands*rows <= numHashes
+    * whose S-curve threshold (1/b)^(1/r) — the similarity at which the
+    * collision probability 1-(1-s^r)^b crosses ~50% — sits closest to the
+    * requested cut. Breaks ties toward MORE bands (higher recall at the
+    * threshold, the usual dedup preference: missed dups are permanent,
+    * false candidates just cost a verify). */
+  def suggestLshBands(threshold: Double, numHashes: Int): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1), got $threshold")
+    require(numHashes >= 2, s"need at least 2 hashes, got $numHashes")
+    val options = for {
+      r <- 1 to numHashes
+      b = numHashes / r
+      if b >= 1
+    } yield (b, r)
+    options.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), -b)
+    }
+  }
+
+  /** Expected LSH candidate-collision probability at similarity s for a
+    * (bands, rowsPerBand) plan: 1 - (1 - s^r)^b — the S-curve itself, for
+    * callers that want to audit a plan before paying for a corpus pass. */
+  def lshCollisionProb(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
 }

@@ -67,7 +67,7 @@ object StoreQueries {
     * measure fixed plan overhead instead. */
   def ensureScaleServingStore(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val base = s"/tmp/graft_store_idx/${tag}_scale_v5" // v5: +BQ code tier
+    val base = s"/tmp/graft_store_idx/${tag}_scale_v6" // v6: +PQ code tier
     val done = new org.apache.hadoop.fs.Path(base, "_DONE")
     val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(done)) {
@@ -86,6 +86,7 @@ object StoreQueries {
       // searches probe each query's nearest blobs instead of all 32 — the
       // O(probeBlobs)-per-query shape a heavily-sharded index needs
       st.buildRecentIndex(metric = "l2", routed = true)
+      st.enablePq(m = 8, kCodes = 64, trainSize = 2000)
       st.enableSq()
       st.enableBq()
       val out = fs.create(done, true); out.close()
@@ -228,6 +229,24 @@ object StoreQueries {
           round(min(col("distance")), 6).as("distance"))
         .orderBy("query_id")
     }),
+    // The 8-byte PQ code tier at the 100-query scale, completing the
+    // hnsw/pq/sq/bq serving matrix. Perturbation families sit ~0.008 apart
+    // while PQ reconstruction error is larger, so exact self-retrieval is
+    // not the honest contract here (unlike SQ/BQ whose rerank recovers
+    // it); the gate is recall@10 against the store's exact probed path
+    // over the same live view — the same contract as store_ivfpq_search,
+    // at amortizing scale. Deterministic: PQ training is seeded.
+    "store_pq_scale" -> ((s, dir) => {
+      val base = ensureScaleServingStore(s, dir)
+      val st = new VectorStore(s, s"$base/store", scaleStoreConfig)
+      val qs = scaleQueries(Tables.load(s, dir, "embeddings"), 0)
+      val approx = st.searchBatchPq(qs, k = 10, nProbe = 4, shortlist = 200,
+        useRecentIndex = true, recentProbeBlobs = 6)
+      val exact = st.searchBatch(qs, k = 10, metric = "l2", nProbe = 4,
+        useRecentIndex = true, recentProbeBlobs = 6)
+      graft.operators.Ivf.evaluateRecall(approx, exact)
+        .select(col("n_queries"), (col("avg_recall") >= 0.7).as("recall_ok"))
+    }),
     // §2.11 streaming near-dup ingest throughput: the documents table
     // staged as an arrival directory, streamed through dedupIngest
     // (MinHash-bucketed, per-batch cost = batch x collisions). Registered
@@ -283,5 +302,7 @@ object StoreQueries {
     "store_bq_scale" ->
       """SELECT vec_id AS query_id, CAST(vec_id * 50 AS VARCHAR) AS id,
         |  0.0 AS distance
-        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin)
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+    "store_pq_scale" ->
+      "SELECT CAST(100 AS BIGINT) AS n_queries, true AS recall_ok")
 }

@@ -33,4 +33,24 @@ class TuningSpec extends AnyFunSuite {
     assert(Tuning.tiersToSearch(5, 0) == Seq("recent"))
     assert(Tuning.tiersToSearch(0, 0).isEmpty)
   }
+
+  test("LSH band planner hits the S-curve threshold under the hash budget") {
+    // the repo's own dedup defaults: 8 hashes at ~0.3 -> 4 bands x 2 rows
+    // ((1/4)^(1/2) = 0.5 is the closest achievable cut from 8 hashes
+    // among b*r <= 8 shapes biased toward recall)
+    val (b, r) = Tuning.suggestLshBands(0.5, 8)
+    assert(b * r <= 8 && math.abs(math.pow(1.0 / b, 1.0 / r) - 0.5) < 0.01)
+    // a high threshold wants long bands (few, selective)
+    val (bHi, rHi) = Tuning.suggestLshBands(0.9, 128)
+    assert(math.pow(1.0 / bHi, 1.0 / rHi) > 0.75 && bHi * rHi <= 128)
+    // a low threshold wants many short bands (recall-heavy)
+    val (bLo, rLo) = Tuning.suggestLshBands(0.2, 128)
+    assert(math.pow(1.0 / bLo, 1.0 / rLo) < 0.4 && bLo >= bHi)
+    // the curve audit: more similar pairs always collide more often
+    val p1 = Tuning.lshCollisionProb(0.3, bHi, rHi)
+    val p2 = Tuning.lshCollisionProb(0.95, bHi, rHi)
+    assert(p2 > p1 && p2 > 0.5)
+    intercept[IllegalArgumentException](Tuning.suggestLshBands(1.0, 8))
+    intercept[IllegalArgumentException](Tuning.suggestLshBands(0.5, 1))
+  }
 }
