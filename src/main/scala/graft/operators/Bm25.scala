@@ -95,22 +95,34 @@ object Bm25 {
       idCol: String = "doc_id", numFiles: Int = 0): Unit = {
     val toks = docs.select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("toks"))
+    // pin the aggregated postings: three artifacts derive from them (the
+    // postings file, df, and — via per-doc dl rows — meta), and without
+    // the pin each write re-runs the full-corpus tokenize + (id, token)
+    // aggregation, tripling the cost of the very step 'index once, serve
+    // many' exists to amortize
     val posts = toks
       .select(col("id"), size(col("toks")).as("dl"), explode(col("toks")).as("token"))
       .groupBy("id", "token")
       .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
-    val spark = docs.sparkSession
-    val files = if (numFiles > 0) numFiles
-      else spark.sparkContext.defaultParallelism
-    posts
-      .repartitionByRange(files, col("token"))
-      .sortWithinPartitions("token")
-      .write.mode("overwrite").parquet(s"$path/postings")
-    posts.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
-      .write.mode("overwrite").parquet(s"$path/df")
-    toks.select(size(col("toks")).as("dl"))
-      .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val spark = docs.sparkSession
+      val files = if (numFiles > 0) numFiles
+        else spark.sparkContext.defaultParallelism
+      posts
+        .repartitionByRange(files, col("token"))
+        .sortWithinPartitions("token")
+        .write.mode("overwrite").parquet(s"$path/postings")
+      posts.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+        .write.mode("overwrite").parquet(s"$path/df")
+      // corpus scalars from the pinned postings (one row per (id, token):
+      // dl is constant per id, so per-doc dl = first(dl) grouped by id).
+      // Token-less docs are absent here and were absent from the postings
+      // too — n_docs counts docs that can ever score, consistent with df.
+      posts.groupBy("id").agg(first("dl").as("dl"))
+        .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+        .write.mode("overwrite").parquet(s"$path/meta")
+    } finally posts.unpersist(blocking = false)
   }
 
   /** Top-k search against a [[buildIndex]] artifact: the postings scan

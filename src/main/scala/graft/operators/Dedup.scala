@@ -175,6 +175,13 @@ object Dedup {
     }
     edges.unpersist()
     fwd.unpersist()
+    // partial labels are silently WRONG labels: a doc whose comp still
+    // points at a removed non-root breaks the one-kept-representative
+    // guarantee the callers advertise. A chain deeper than maxIter must
+    // surface, not degrade.
+    if (!converged) throw new IllegalStateException(
+      s"duplicate-cluster labeling did not converge in $maxIter rounds — " +
+        "the dup graph has a chain deeper than maxIter; raise it")
     labels
   }
 
@@ -312,9 +319,34 @@ object Dedup {
   private val flaggedCacheMax = 4
   private val flaggedCache =
     scala.collection.mutable.LinkedHashMap.empty[(Int, Int, String, String), DataFrame]
+
+  /** Drop every pinned funnel snapshot. The cache keys on the (semantic
+    * plan, params), which pins a SNAPSHOT of the source as of the first
+    * call — right for the funnel's own two consumers within a run, wrong
+    * across an external mutation of the same path: a caller that appended
+    * to the corpus it re-reads must invalidate first or the old snapshot
+    * answers. */
+  def invalidateFunnelCache(): Unit = synchronized {
+    flaggedCache.valuesIterator.foreach(_.unpersist(blocking = false))
+    flaggedCache.clear()
+  }
+
   private def flaggedCorpus(docs: DataFrame, shingleN: Int,
       textCol: String, idCol: String): DataFrame = synchronized {
     val key = (docs.queryExecution.analyzed.semanticHash(), shingleN, textCol, idCol)
+    // a hit must still be LIVE: same session (a stopped session's frame is
+    // unusable) and still pinned (an external clearCache() silently strips
+    // the persist the funnel counts on — rebuild and re-pin instead of
+    // handing back a twice-computed plan)
+    flaggedCache.get(key) match {
+      case Some(df) if (df.sparkSession eq docs.sparkSession) &&
+          df.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        return df
+      case Some(df) =>
+        df.unpersist(blocking = false)
+        flaggedCache.remove(key)
+      case None =>
+    }
     flaggedCache.getOrElseUpdate(key, {
       while (flaggedCache.size >= flaggedCacheMax) {
         val (k0, df0) = flaggedCache.head

@@ -269,6 +269,14 @@ object Multimodal {
     * touch. None when unrecognized. */
   def probeVideo(data: Array[Byte]): Option[(String, Int, Int, Long)] = {
     if (data == null || data.length < 12) return None
+    // untrusted bytes: every read below is bounds-guarded, and the outer
+    // catch keeps the documented never-crash contract even against a
+    // malformed case the guards miss — a probe returns None, full stop
+    try probeVideoUnsafe(data)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def probeVideoUnsafe(data: Array[Byte]): Option[(String, Int, Int, Long)] = {
     def u8(i: Int) = data(i) & 0xff
     def be32(i: Int) = (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def be64(i: Int) = (be32(i) << 32) | be32(i + 4)
@@ -296,8 +304,11 @@ object Multimodal {
       boxes(0, data.length).foreach {
         case ("moov", ms, me) => boxes(ms, me).foreach {
           case ("mvhd", s, e) if e - s >= 20 =>
-            if (u8(s) == 1 && e - s >= 28) { // version 1: 64-bit times
-              timescale = be32(s + 20); duration = be64(s + 24)
+            // v1 layout needs 32 payload bytes (be64 at s+24 reads
+            // s+24..s+31); a truncated 20-31-byte v1 box parses nothing
+            // rather than reading the next box's bytes as duration
+            if (u8(s) == 1) {
+              if (e - s >= 32) { timescale = be32(s + 20); duration = be64(s + 24) }
             } else { timescale = be32(s + 12); duration = be32(s + 16) }
           case ("trak", ts, te) => boxes(ts, te).foreach {
             case ("tkhd", s, e) if w == 0 =>
@@ -326,17 +337,30 @@ object Multimodal {
         (v, n)
       }
       val (hdrSize, hdrLen) = readSize(4)
-      var p = 4 + hdrLen
+      val p = 4 + hdrLen
       val end = math.min(data.length.toLong, p + hdrSize).toInt
       var doctype = "matroska" // spec default when DocType is absent
-      while (p + 2 < end) {
-        val idLen = vintLen(u8(p))
-        val id = (0 until idLen).foldLeft(0L)((a, i) => (a << 8) | u8(p + i))
-        val (sz, szLen) = readSize(p + idLen)
-        val vs = p + idLen + szLen
-        if (id == 0x4282 && vs + sz <= end)
-          doctype = new String(data, vs, sz.toInt, "ISO-8859-1")
-        p = vs + math.max(sz, 0L).toInt
+      var p2 = p
+      var walking = true
+      while (walking && p2 + 2 < end) {
+        val idLen = vintLen(u8(p2))
+        // id (<= 8 bytes) plus at least a size byte must fit inside the
+        // header element; an id running past the end is malformed — stop
+        if (p2 + idLen + 1 > end) walking = false
+        else {
+          val id = (0 until idLen).foldLeft(0L)((a, i) => (a << 8) | u8(p2 + i))
+          val (sz, szLen) = readSize(p2 + idLen)
+          val vs = p2 + idLen + szLen
+          // element sizes are up-to-2^56 varints: advance in Long space and
+          // treat anything that escapes the header element as malformed
+          // (an Int truncation here could wrap p negative and spin)
+          val nextP = vs.toLong + math.max(sz, 0L)
+          if (sz < 0 || nextP > end || nextP <= p2) walking = false
+          else {
+            if (id == 0x4282) doctype = new String(data, vs, sz.toInt, "ISO-8859-1")
+            p2 = nextP.toInt
+          }
+        }
       }
       Some((doctype, 0, 0, 0L))
     } else None

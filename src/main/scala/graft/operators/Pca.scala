@@ -36,21 +36,28 @@ object Pca {
       trainSize: Int = 10000): PcaModel = {
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.feature.PCA
+    // materialize the sample ONCE: an unordered limit() evaluated by two
+    // separate jobs (the PCA fit, then the mean aggregate) may pick
+    // DIFFERENT rows per job, leaving the stored centering mean mismatched
+    // against the fitted components — silent reduction-quality loss
     val sample = corpus.select(col(embCol)).limit(trainSize)
       .select(array_to_vector(col(embCol)).as("features"))
-    val model = new PCA().setK(k).setInputCol("features").setOutputCol("pca")
-      .fit(sample)
-    // column j of the dim×k principalComponents matrix is component j
-    val pc = model.pc
-    val dim = pc.numRows
-    val comps = Array.tabulate(k)(j => Array.tabulate(dim)(i => pc(i, j).toFloat))
-    // MLlib PCA does NOT center; compute the mean ourselves so projection
-    // can center (standard PCA) — fold into one aggregate pass
-    val mean = sample
-      .select(org.apache.spark.ml.functions.vector_to_array(col("features")).as("a"))
-      .select((0 until dim).map(i => avg(element_at(col("a"), i + 1)).as(s"m$i")): _*)
-      .head().toSeq.map(_.asInstanceOf[Double].toFloat).toArray
-    PcaModel(comps, mean, model.explainedVariance.toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = new PCA().setK(k).setInputCol("features").setOutputCol("pca")
+        .fit(sample)
+      // column j of the dim×k principalComponents matrix is component j
+      val pc = model.pc
+      val dim = pc.numRows
+      val comps = Array.tabulate(k)(j => Array.tabulate(dim)(i => pc(i, j).toFloat))
+      // MLlib PCA does NOT center; compute the mean ourselves so projection
+      // can center (standard PCA) — fold into one aggregate pass
+      val mean = sample
+        .select(org.apache.spark.ml.functions.vector_to_array(col("features")).as("a"))
+        .select((0 until dim).map(i => avg(element_at(col("a"), i + 1)).as(s"m$i")): _*)
+        .head().toSeq.map(_.asInstanceOf[Double].toFloat).toArray
+      PcaModel(comps, mean, model.explainedVariance.toArray)
+    } finally sample.unpersist(blocking = false)
   }
 
   /** Project an embedding column to k coordinates: one codegen'd dot per

@@ -138,10 +138,15 @@ class VectorStore(val spark: SparkSession, val path: String,
   /** The rows of `name` added after `recorded` was captured, as a DataFrame
     * over just the new part files — None (decided from FS metadata alone,
     * no Spark job, no scan) when nothing was appended. Partition columns
-    * (cluster_id) are recovered from the directory layout via basePath. */
+    * (cluster_id) are recovered from the directory layout via basePath.
+    * A caller that will RECORD a listing afterwards must pass that exact
+    * listing as `current` — re-listing here could see parts appended in
+    * between, encoding rows the caller's record then doesn't cover (they'd
+    * be re-encoded as duplicates on the next refresh). */
   private def newPartsDF(name: String, recorded: Seq[String],
-      schema: StructType): Option[DataFrame] = {
-    val newParts = (listDataParts(name).toSet -- recorded).toSeq.sorted
+      schema: StructType, current: Option[Seq[String]] = None): Option[DataFrame] = {
+    val newParts = (current.getOrElse(listDataParts(name)).toSet -- recorded)
+      .toSeq.sorted
     if (newParts.isEmpty) None
     else Some(spark.read.option("basePath", dir(name)).schema(schema)
       .parquet(newParts.map(p => s"$path/$p"): _*))
@@ -767,6 +772,14 @@ class VectorStore(val spark: SparkSession, val path: String,
     * measurable fixed cost when the composition fans out to several tiers.
     * The guard bounds the collect BEFORE materializing, like
     * Hnsw.searchSaved's maxQueryBatch. */
+  /** Serving-path contract: a store search is an INTERACTIVE batch — the
+    * driver needs the query vectors anyway (IVF probe selection, HNSW blob
+    * routing, ADC table literals), so the batch is localized once and
+    * reused by every tier, bounded by `maxQueryBatch`. An ANALYTICAL
+    * million-query join belongs on the operator path (`Knn.batch`,
+    * `Ivf.searchBatch`, `Pq.searchBatchIvfPq` over the exported tier
+    * tables), which stays fully distributed and unbounded — this cap is a
+    * route sign, not a scale ceiling. */
   private def localizeQueries(queries: DataFrame,
       maxQueryBatch: Int = 100000): DataFrame = {
     val rows = queries.limit(maxQueryBatch + 1).collect()
@@ -917,8 +930,14 @@ class VectorStore(val spark: SparkSession, val path: String,
       filterJson: Option[String], efSearch: Int,
       probeBlobs: Int = 0): DataFrame = {
     require(hasRecentIndex, "recent index not built; call buildRecentIndex()")
-    require(recentIndexMetric == metric,
-      s"recent index was built for metric '$recentIndexMetric', search asked '$metric'")
+    // ONE sidecar read per search: metric gate, routed flag, and the
+    // recorded part list all come off this node — three separate FS
+    // reads + JSON parses of the same file would sit on the hot path
+    // (three metadata round-trips per query on a remote FS)
+    val meta = mapper.readTree(readText(new Path(dir("recent_index"), "meta.json")))
+    val builtMetric = meta.get("metric").asText()
+    require(builtMetric == metric,
+      s"recent index was built for metric '$builtMetric', search asked '$metric'")
     val idx = spark.read.schema(recentIndexSchema).parquet(dir("recent_index/data"))
     val needAllow = hasRows("tombstones") || filterJson.isDefined
     val allowed =
@@ -934,7 +953,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     // and routing silently loses recall), so an un-routed index ignores it
     val effProbe =
       if (probeBlobs > 0 &&
-        recentIndexBuildParams.exists(_._5)) probeBlobs
+        meta.hasNonNull("routed") && meta.get("routed").asBoolean()) probeBlobs
       else 0
     val hits = graft.operators.Hnsw.searchSaved(spark, dir("recent_index/blobs"),
         queries, k, efSearch, allowed = allowed, probeBlobs = effProbe)
@@ -947,7 +966,6 @@ class VectorStore(val spark: SparkSession, val path: String,
     // extra plan at all in the no-insert case. A delete-then-reinsert
     // lands in a new part like any insert. Indexes built before the list
     // existed fall back to the (vid, ts) anti-join.
-    val meta = mapper.readTree(readText(new Path(dir("recent_index"), "meta.json")))
     val deltaRawOpt =
       if (meta.has("files")) {
         val recorded = Seq.newBuilder[String]
@@ -1102,7 +1120,10 @@ class VectorStore(val spark: SparkSession, val path: String,
     val current = listDataParts("historical")
     val delta = readPartList(sidecar) match {
       case Some(recorded) =>
-        newPartsDF("historical", recorded, histSchema) match {
+        // diff against the SAME listing recorded below: a part appended
+        // between two listings would be encoded but not recorded, then
+        // re-encoded (duplicate code rows) on the next refresh
+        newPartsDF("historical", recorded, histSchema, Some(current)) match {
           case None => writePartList(sidecar, current); return 0L
           case Some(df) => df
         }

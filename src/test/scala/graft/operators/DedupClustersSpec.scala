@@ -73,4 +73,12 @@ class DedupClustersSpec extends SparkSpec {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.duplicateClusters(pairs).count() == 0)
   }
+
+  test("an undersized iteration budget fails loudly, never partial labels") {
+    // a 10-deep chain cannot converge in 2 rounds; silent partial labels
+    // would break the kept-representative guarantee downstream
+    val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException](
+      Dedup.duplicateClusters(pairs, maxIter = 2))
+  }
 }

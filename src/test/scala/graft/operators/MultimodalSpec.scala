@@ -205,6 +205,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.probeVideo(Array[Byte](0, 1)).isEmpty)
   }
 
+  test("probeVideo survives adversarial bytes (fuzz + truncated-box edges)") {
+    import java.nio.ByteBuffer
+    // truncated mvhd v1 at the exact end of the buffer: 24-byte payload
+    // advertises version 1 (which needs 32) — must parse nothing, not read
+    // past the array
+    val truncV1 = {
+      val b = ByteBuffer.allocate(56)
+      b.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      b.putInt(40).put("moov".getBytes)
+      b.putInt(32).put("mvhd".getBytes)
+        .put(1.toByte).put(new Array[Byte](23)) // v1, then too-short payload
+      b.array()
+    }
+    assert(Multimodal.probeVideo(truncV1).contains(("mp4/isom", 0, 0, 0L)))
+    // EBML element whose declared size escapes the buffer / wraps an Int
+    val hugeEbml = Array[Int](0x1a, 0x45, 0xdf, 0xa3, 0x8a,
+      0x42, 0x82, 0x01, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff).map(_.toByte)
+    assert(Multimodal.probeVideo(hugeEbml).isDefined) // default doctype, no spin
+    // randomized fuzz over both magic paths: never throws, whatever comes back
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 300) {
+      val a = Array.fill[Byte](12 + rnd.nextInt(52))(rnd.nextInt(256).toByte)
+      Multimodal.probeVideo(a)
+      val mp4 = a.clone(); "ftyp".getBytes.copyToArray(mp4, 4)
+      Multimodal.probeVideo(mp4)
+      val ebml = a.clone()
+      Array[Int](0x1a, 0x45, 0xdf, 0xa3).map(_.toByte).copyToArray(ebml, 0)
+      Multimodal.probeVideo(ebml)
+    }
+  }
+
   test("videoMetadata maps the prober over a binary column (unknowns survive)") {
     import spark.implicits._
     import java.nio.ByteBuffer
