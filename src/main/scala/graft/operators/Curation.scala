@@ -125,12 +125,20 @@ object Curation {
       lang: String, shingleN: Int, bands: Int, rowsPerBand: Int,
       nearDupThreshold: Double, contaminationThreshold: Double,
       splits: Seq[(String, Double)], salt: String = "split",
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val kept = Dedup.prepPipeline(docs, minQuality, lang, shingleN, bands,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxPerGroup: Option[(String, Int)] = None): DataFrame = {
+    // optional hard domain ceiling FIRST (cheap, hash-decided) so every
+    // downstream stage — including the expensive LSH machinery — sees the
+    // capped corpus; (groupCol, n) e.g. ("source", 100000)
+    val bounded = maxPerGroup match {
+      case Some((g, n)) => capPerGroup(docs, g, n, idCol)
+      case None => docs
+    }
+    val kept = Dedup.prepPipeline(bounded, minQuality, lang, shingleN, bands,
       rowsPerBand, nearDupThreshold, textCol, idCol)
     // re-attach text for the contamination check (prepPipeline's output is
     // text-free by design), restricted to survivors via the semi-join
-    val surviving = docs.join(kept.select(idCol), Seq(idCol), "left_semi")
+    val surviving = bounded.join(kept.select(idCol), Seq(idCol), "left_semi")
     val clean = decontaminate(surviving, evalDocs, shingleN,
       contaminationThreshold, textCol, idCol)
     hashSplit(kept.join(clean.select(idCol), Seq(idCol), "left_semi"),

@@ -59,6 +59,7 @@ class FuzzSpec extends SparkSpec {
       rnd.nextBytes(bytes)
       Multimodal.probeImage(bytes) // Option result; must not throw
       Multimodal.probeAudio(bytes)
+      Multimodal.probeVideo(bytes)
     }
     // random bytes behind valid magic prefixes must not throw either
     for (magic <- Seq("RIFF", "fLaC", "ID3", "GIF8", "BM")) {
@@ -68,8 +69,30 @@ class FuzzSpec extends SparkSpec {
         val bytes = magic.getBytes ++ tail
         Multimodal.probeImage(bytes)
         Multimodal.probeAudio(bytes)
+        Multimodal.probeVideo(bytes)
       }
     }
+  }
+
+  test("span/segment/LM/cap operators are partition-invariant on fuzz text") {
+    import graft.operators.{Curation, Dedup}
+    val df = corpus.toDF("doc_id", "text")
+    def canon(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.collect().map(_.toString).toSet
+    // the same relation through 1 and 13 partitions must answer identically
+    // — none of these operators may depend on row order or partitioning
+    val variants = Seq(df.coalesce(1), df.repartition(13))
+    val spans = variants.map(v => canon(Dedup.dupSpanStats(v, n = 3)))
+    assert(spans(0) == spans(1))
+    val segs = variants.map(v => canon(Dedup.dedupSegments(v, sep = ",")))
+    assert(segs(0) == segs(1))
+    val lm = variants.map(v => canon(graft.functions.TextPrep.lmScore(v)
+      .select(col("id"), col("n_bigrams"), round(col("avg_logprob"), 6))))
+    assert(lm(0) == lm(1))
+    val caps = variants.map(v => canon(
+      Curation.capPerGroup(v.withColumn("src", col("doc_id") % 5), "src", n = 3)
+        .select("doc_id")))
+    assert(caps(0) == caps(1))
   }
 
   test("driver-side probe selection is bit-identical to the Spark-plan path") {

@@ -109,6 +109,24 @@ class CurationSpec extends SparkSpec {
     assert(curated.filter(col("split").isNull || col("quality") < 0.3).count() == 0)
   }
 
+  test("curate with maxPerGroup caps each source before the funnel") {
+    val evalDocs = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("eval_id", "text")
+    val capped = Curation.curate(docs, evalDocs,
+      minQuality = 0.0, lang = "en", shingleN = 2, bands = 4, rowsPerBand = 2,
+      nearDupThreshold = 0.99, contaminationThreshold = 0.99,
+      splits = Seq("train" -> 1.0), maxPerGroup = Some(("source", 3)))
+    // with every other stage effectively off, survivors = the capped sets
+    // (minus any exact dups inside them); no source exceeds its ceiling
+    val bySource = capped.join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source").count().as[(String, Long)].collect()
+    assert(bySource.nonEmpty && bySource.forall(_._2 <= 3))
+    // and the kept ids are exactly capPerGroup's choice, filtered by the funnel
+    val capIds = Curation.capPerGroup(docs, "source", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped.select("doc_id").as[Long].collect().toSet.subsetOf(capIds))
+  }
+
   test("packSequences assigns first-fit bins from the per-source prefix sum") {
     val df = Seq(
       ("s", 1L, "a b c"),         // 3 tokens, prefix 0  -> bin 0
