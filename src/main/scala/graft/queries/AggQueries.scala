@@ -118,6 +118,22 @@ object AggQueries {
         .select(col("event_id"), col("user_id"), round(col("pval"), 4).as("pval"))
         .orderBy("event_id")
     }),
+    // Bucketized range join: every event landing inside each user's
+    // first-hour window — interval containment as an equi-join on 15-min
+    // buckets + exact re-check (Spark's native plan for a BETWEEN join is
+    // a nested loop), reported as per-window match counts
+    "range_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts").cast("long").as("t"))
+      val windows = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("long").as("wt"))
+        .groupBy("user_id").agg(min("wt").as("lo"))
+        .select(col("user_id").as("wu"), col("lo"), (col("lo") + 3600).as("hi"))
+      graft.operators.RangeJoin.intervalJoin(ev, windows,
+          "t", "lo", "hi", bucketWidth = 900)
+        .groupBy(col("wu").as("user_id")).agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
     // §2.7 set operations: overlap between two queries' top-20 neighbor
     // sets — intersect/except counts (the recall-eval membership shape)
     "set_ops" -> ((s, dir) => {
@@ -189,6 +205,14 @@ object AggQueries {
         |FROM v ASOF LEFT JOIN p
         |  ON v.user_id = p.user_id AND v.tss >= p.tss
         |ORDER BY v.event_id""".stripMargin,
+    "range_join" ->
+      """WITH e AS (SELECT event_id, floor(epoch(ts))::BIGINT AS t FROM events),
+        |u AS (SELECT user_id, floor(epoch(ts))::BIGINT AS wt FROM events),
+        |w AS (SELECT user_id, min(wt) AS lo, min(wt) + 3600 AS hi
+        |  FROM u GROUP BY 1)
+        |SELECT w.user_id, count(*) AS n_events
+        |FROM w JOIN e ON e.t >= w.lo AND e.t <= w.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "set_ops" ->
       """WITH qa AS (
         |  SELECT e.vec_id FROM embeddings e,
