@@ -180,6 +180,29 @@ object Curation {
     * map-side partials keep at most ~4n candidates per partition per
     * group, so the exchange carries capped heaps, never the full hot
     * group; the final semi-join rides the id key. */
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis-Spirakis 2006: keep the n largest u^(1/w), u uniform per
+    * row — inclusion probability proportional to weight): sample toward
+    * high-quality/high-value documents instead of uniformly, with the
+    * same no-`rand()` contract as every sampler here — u derives from the
+    * salted id hash, so re-runs, retries and re-partitionings select the
+    * SAME n rows. Weights are clamped to a tiny positive floor (a
+    * zero/negative weight means "never prefer", not "crash the job").
+    *
+    * Scale shape: the key is map-only arithmetic; the top-n is a
+    * TakeOrdered heap (per-partition heaps, no global sort of the
+    * corpus). */
+  def weightedSample(docs: DataFrame, weight: Column, n: Int,
+      salt: String = "wsample", idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    // u in (0, 1]: hash32 gives [0, 2^32); +1 over 2^32 avoids pow(0, .)
+    val u = (stableHash32(concat(col(idCol).cast("string"), lit(":" + salt)))
+      + 1).cast("double") / 4294967296.0
+    docs.withColumn("_wkey", pow(u, lit(1.0) / greatest(weight, lit(1e-9))))
+      .orderBy(col("_wkey").desc, col(idCol).asc).limit(n)
+      .drop("_wkey")
+  }
+
   def capPerGroup(docs: DataFrame, groupCol: String, n: Int,
       idCol: String = "doc_id", salt: String = "cap"): DataFrame = {
     require(n > 0, s"cap must be positive, got $n")

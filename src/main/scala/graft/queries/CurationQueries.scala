@@ -57,6 +57,16 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
         .orderBy("source", "bin")
     }),
+    // quality-weighted sampling without replacement (Efraimidis-Spirakis
+    // keys off the salted id hash — deterministic, no rand()): the 50 docs
+    // kept lean toward high quality but low-quality docs stay possible
+    "weighted_sample" -> ((s, dir) => {
+      val q = round(graft.functions.TextFunctions.qualityScore(col("text")), 6)
+      Curation.weightedSample(
+          Tables.load(s, dir, "documents").withColumn("q", q), col("q"), n = 50)
+        .select(col("doc_id"), col("q").as("quality"))
+        .orderBy("doc_id")
+    }),
     // hard per-domain ceiling: keep exactly 10 hash-chosen docs per source
     // (bounded-heap selection, no window sort); the id checksum pins WHICH
     // docs survived, not just how many
@@ -102,6 +112,21 @@ object CurationQueries {
          |SELECT source, floor((cum - n) / 256.0)::BIGINT AS bin,
          |  count(*) AS n_docs, sum(n)::BIGINT AS n_tokens
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |  round(least(len(toks) / 100.0, 1.0) * 0.4
+         |    + (CASE WHEN length(text) = 0 THEN 0
+         |        ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text) END) * 0.4
+         |    + (CASE WHEN (length(text) - (len(toks) - 1.0)) / len(toks) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+         |  FROM t),
+         |k AS (SELECT doc_id, quality,
+         |  pow((${hash32("doc_id::VARCHAR || ':wsample'")} + 1) / 4294967296.0,
+         |    1.0 / greatest(quality, 1e-9)) AS wkey
+         |  FROM q)
+         |SELECT doc_id, quality FROM
+         |  (SELECT * FROM k ORDER BY wkey DESC, doc_id ASC LIMIT 50)
+         |ORDER BY doc_id""".stripMargin,
     "domain_cap" ->
       s"""WITH r AS (SELECT source, doc_id, row_number() OVER (
          |    PARTITION BY source

@@ -58,6 +58,29 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(2)._4 == md5(""))
   }
 
+  test("weightedSample leans toward heavy rows, stays deterministic") {
+    val docs = spark.range(2000)
+      .select(col("id").as("doc_id"),
+        // weights: 10x heavier for the first quarter of ids
+        when(col("id") < 500, lit(10.0)).otherwise(lit(1.0)).as("w"))
+    val kept = Curation.weightedSample(docs, col("w"), n = 200)
+    assert(kept.count() == 200)
+    val heavy = kept.filter(col("doc_id") < 500).count()
+    // heavy rows are 25% of the corpus but 10x weighted: expected share far
+    // above uniform's 50 — a loose band that fails only if weighting broke
+    assert(heavy > 100, s"heavy rows under-represented: $heavy/200")
+    // deterministic and partition-invariant
+    val a = kept.select("doc_id").as[Long].collect().toSet
+    val b = Curation.weightedSample(docs.repartition(11), col("w"), n = 200)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    val c = Curation.weightedSample(docs, col("w"), n = 200, salt = "other")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a != c)
+    intercept[IllegalArgumentException](
+      Curation.weightedSample(docs, col("w"), 0))
+  }
+
   test("capPerGroup keeps exactly n per group, deterministically") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val kept = Curation.capPerGroup(docs, "source", n = 7)
