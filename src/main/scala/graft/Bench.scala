@@ -114,6 +114,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters}""")
+    // The driver captures only the TAIL of sbt output; at 78 queries the
+    // single full line above can exceed that window and lose its leading
+    // fields (BENCH_r05/r06 lost "total" and the alphabetically-first
+    // per-query timings). Emit a compact self-contained summary line AFTER
+    // the full line so the authoritative total + worst offenders always
+    // survive tail capture, whatever the window size.
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"summary","total":$total,"unit":"sec","n":${results.size},"errors_n":${failed.size},"slowest":$slowest,"sf":"$sfDir","iters":$iters}""")
     spark.stop()
   }
 }

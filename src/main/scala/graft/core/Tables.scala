@@ -15,12 +15,22 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses by
-      // default; read the raw int64 nanos and convert (integer division —
-      // epoch-nanos overflow double precision).
+      // events.ts has shipped as TIMESTAMP(NANOS) parquet (which Spark
+      // refuses by default — read the raw int64 nanos and convert; integer
+      // division because epoch-nanos overflow double precision) and, since
+      // the 2026-08-13 regeneration, as TIMESTAMP(MICROS) (which Spark
+      // reads natively as TIMESTAMP_NTZ). Handle both by inspecting the
+      // loaded type; the NTZ cast is wall-clock-identical under the
+      // session's UTC timezone, matching what DuckDB reads for the oracle.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

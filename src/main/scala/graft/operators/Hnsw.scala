@@ -1002,11 +1002,19 @@ object Hnsw {
   def searchBatch(corpus: DataFrame, queries: DataFrame, k: Int,
       metric: String = "l2", cfg: HnswConfig = HnswConfig(),
       idCol: String = "id", embCol: String = "embedding",
-      queryIdCol: String = "query_id", queryEmbCol: String = "q_embedding"): DataFrame = {
+      queryIdCol: String = "query_id", queryEmbCol: String = "q_embedding",
+      maxQueryBatch: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qRows = queries.select(col(queryIdCol), col(queryEmbCol)).collect()
+    // same guard discipline as searchSaved: the query set is collected and
+    // broadcast to every corpus partition, so an unbounded batch is an
+    // unbounded driver collect — the limit bounds the collect itself so the
+    // guard fires before the driver materializes the batch, not after OOM
+    val qRows = queries.select(col(queryIdCol), col(queryEmbCol))
+      .limit(maxQueryBatch + 1).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qRows.length <= maxQueryBatch,
+      s"query batch exceeds maxQueryBatch=$maxQueryBatch; chunk the batch upstream")
     val qB = spark.sparkContext.broadcast(qRows)
     val partial = corpus.select(col(idCol).cast("long"), col(embCol))
       .as[(Long, Array[Float])]

@@ -66,19 +66,24 @@ object AnnQueries {
   }
 
   /** Build-once persisted sign-bit code table over the 100K scale corpus
-    * (id, words ARRAY<LONG>) — dim/8 bytes per row; the raw inverted file
-    * from [[ensureIvfScaleIndex]] supplies the rerank vectors, so the BQ
-    * tier rides the same corpus version. */
+    * (id, words ARRAY<LONG>, cluster_id) — dim/8 bytes per row, written as
+    * an inverted file partitioned by the SAME coarse clustering as
+    * [[ensureIvfScaleIndex]] (whose raw inverted file supplies the rerank
+    * vectors), so BQ searches probe-prune code partitions instead of
+    * full-scanning the table — the store path's shape, now on the bare
+    * operator path too. */
   def ensureBqScaleIndex(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = ensureIvfScaleIndex(s, dir)
-    val path = s"/tmp/graft_bq_idx/${tag}_d64_v1"
+    val path = s"/tmp/graft_bq_idx/${tag}_d64_v2" // v2: +cluster_id partitioning
     val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
-      s.read.parquet(s"$base/data")
-        .select(col("id"), Bq.encode(col("embedding"), 64).as("words"))
-        .coalesce(4).write.mode("overwrite").parquet(path)
+      graft.operators.Ivf.writePartitioned(
+        s.read.parquet(s"$base/data")
+          .select(col("id"), Bq.encode(col("embedding"), 64).as("words"),
+            col("cluster_id")),
+        path)
     }
     path
   }
@@ -285,23 +290,29 @@ object AnnQueries {
         .orderBy("query_id", "rank")
     }),
     // BQ at the 100K scale: persisted code table (32× smaller than the raw
-    // corpus), 100 queries through the xor+popcount scan + exact rerank of
-    // shortlist rows only — rank-1 self-retrieval like the other *_scale
-    // rows. Shortlist ties are safe at 50: rows outrank self only at
-    // (hamming, id) < (0, self_id), and replicas of the query's own base
-    // vector — the only hamming-0 family — all carry LARGER ids than the
-    // self row (measured: zero foreign hamming-0 rows precede any self id
-    // at sf0.01 and sf0.1), so self survives any shortlist >= 1.
+    // corpus) written as an inverted file on the SAME coarse clustering as
+    // the IVF index, so the Hamming scan probes nProbe code partitions
+    // instead of full-scanning — the store tier's probed shape on the bare
+    // operator path (the r5 ann_bq_scale/store_bq_scale inversion: the
+    // operator row full-scanned what the store row probed). Exact rerank
+    // touches shortlist rows only; rank-1 self-retrieval like the other
+    // *_scale rows. Shortlist ties are safe at 50: rows outrank self only
+    // at (hamming, id) < (0, self_id), and replicas of the query's own
+    // base vector — the only hamming-0 family, co-clustered with it — all
+    // carry LARGER ids than the self row (measured: zero foreign hamming-0
+    // rows precede any self id at sf0.01 and sf0.1), so self survives any
+    // shortlist >= 1.
     "ann_bq_scale" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val base = ensureIvfScaleIndex(s, dir)
       val bqPath = ensureBqScaleIndex(s, dir)
       val enc = s.read.parquet(bqPath)
+      val cents = s.read.parquet(s"$base/centroids")
       val corpus = s.read.parquet(s"$base/data").select(col("id"), col("embedding"))
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      rank1(Bq.searchBatch(enc, queries, dim = 64, k = 10, shortlist = 50,
-        rerank = Some(corpus)))
+      rank1(Bq.searchBatchIvfBq(enc, cents, queries, dim = 64, k = 10,
+        nProbe = 4, shortlist = 50, rerank = Some(corpus)))
     }),
     // PQ two-stage search (the 100 TB pattern: ADC scans 8 bytes/vector for
     // a shortlist, exact rerank touches only shortlist-many full vectors),

@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  // DuckDB fragments reused across oracles
-  private val toksSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
-  private def hash32(s: String) = s"(('0x' || substr(md5($s), 1, 8))::UBIGINT)"
+  // DuckDB fragments reused across oracles (shared with StoreQueries'
+  // streaming_ingest replay — one definition, writer and oracle sides
+  // must never diverge)
+  private[queries] val toksSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  private[queries] def hash32(s: String) = s"(('0x' || substr(md5($s), 1, 8))::UBIGINT)"
 
   /** Mixed-form unicode prefix for text_normalize: decomposed e+combining
     * acute next to precomposed U-umlaut / i-diaeresis — spelled in escapes

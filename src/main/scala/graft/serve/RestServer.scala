@@ -85,7 +85,31 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
   private val events = new java.util.ArrayDeque[ObjectNode]()
   private var nextSeq = 1L
 
-  /** Mutations invalidate the memo and append a change event. */
+  // SSE subscribers (`/updates/stream`): exchanges held open past handler
+  // return — the JDK server keeps an exchange alive until close(). Only
+  // ever touched from the dispatcher thread (serial executor: handlers AND
+  // mutated() both run there), so no synchronization; a blocking long-poll
+  // would instead deadlock the serial server against the very mutation
+  // that produces its event. Capped: each held connection pins a socket.
+  private val sseSubs = new java.util.ArrayList[HttpExchange]()
+  private val maxSseClients = 64
+
+  /** One SSE frame to one held connection; a dead client (write fails) is
+    * closed and reported so the caller can drop it. */
+  private def sseWrite(ex: HttpExchange, e: ObjectNode): Boolean =
+    try {
+      ex.getResponseBody.write(
+        s"id: ${e.get("seq").asLong()}\ndata: ${mapper.writeValueAsString(e)}\n\n"
+          .getBytes(UTF_8))
+      ex.getResponseBody.flush()
+      true
+    } catch { case NonFatal(_) =>
+      try ex.close() catch { case NonFatal(_) => }
+      false
+    }
+
+  /** Mutations invalidate the memo, append a change event, and push it to
+    * every held `/updates/stream` connection. */
   private def mutated(tpe: String, ids: Seq[String]): Unit = {
     queryCache.clear()
     ids.foreach { id =>
@@ -97,8 +121,17 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
       events.addLast(e)
       nextSeq += 1
       if (events.size() > maxEvents) events.removeFirst()
+      sseSubs.removeIf(sub => !sseWrite(sub, e))
     }
   }
+
+  /** `since=<seq>` query param; non-numeric/absent -> 0 (full feed). */
+  private def sinceParam(ex: HttpExchange): Long =
+    Option(ex.getRequestURI.getQuery)
+      .flatMap(_.split("&").collectFirst {
+        case s if s.startsWith("since=") => s.drop(6) })
+      .flatMap(_.toLongOption)
+      .getOrElse(0L)
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -238,13 +271,52 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         }
       case _ => (405, err("method not allowed"))
     })
+    // SSE variant of the update feed (the reference's declared-but-vestigial
+    // stream surface, `src/api/rest.rs:727-738` / `client/rust.rs:71-98`):
+    // replay the ring from `since`, then hold the connection and push each
+    // subsequent mutation as an `id:`/`data:` frame. Registered as its own
+    // context (longest-prefix routing beats /updates) because it must NOT
+    // go through handle(): the exchange stays open after this returns.
+    server.createContext("/api/v1/updates/stream", ex => {
+      if (ex.getRequestMethod != "GET") {
+        val bytes = mapper.writeValueAsBytes(err("method not allowed"))
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(405, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      } else if (sseSubs.size() >= maxSseClients) {
+        val bytes = mapper.writeValueAsBytes(err("too many stream clients"))
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(503, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      } else {
+        val since = sinceParam(ex)
+        ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+        ex.getResponseHeaders.set("Cache-Control", "no-cache")
+        ex.sendResponseHeaders(200, 0) // chunked: the stream has no length
+        // leading comment frame: confirms the subscription to clients that
+        // wait for first bytes, and probes the socket before we retain it
+        val hello =
+          try {
+            ex.getResponseBody.write(s": stream since=$since\n\n".getBytes(UTF_8))
+            ex.getResponseBody.flush()
+            true
+          } catch { case NonFatal(_) =>
+            try ex.close() catch { case NonFatal(_) => }
+            false
+          }
+        // backlog replay stops at the first dead write; only a connection
+        // that survived the full replay is held for live pushes
+        if (hello && events.iterator().asScala
+            .filter(_.get("seq").asLong() > since)
+            .forall(e => sseWrite(ex, e)))
+          sseSubs.add(ex)
+      }
+    })
     server.createContext("/api/v1/updates", ex => handle(ex) {
       case ("GET", _) =>
-        val since = Option(ex.getRequestURI.getQuery)
-          .flatMap(_.split("&").collectFirst {
-            case s if s.startsWith("since=") => s.drop(6) })
-          .flatMap(_.toLongOption) // non-numeric -> full feed, not a 500
-          .getOrElse(0L)
+        val since = sinceParam(ex)
         val n = obj()
         val out = n.putArray("events")
         events.iterator().asScala
@@ -372,7 +444,11 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     this
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    sseSubs.forEach(sub => try sub.close() catch { case NonFatal(_) => })
+    sseSubs.clear()
+    server.stop(0)
+  }
 
   private object IdPath {
     def unapply(path: String): Option[String] = {

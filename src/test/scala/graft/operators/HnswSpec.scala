@@ -258,4 +258,15 @@ class HnswSpec extends SparkSpec {
     val recall = Ivf.evaluateRecall(approx, exact).head().getDouble(0)
     assert(recall >= 0.9, s"hnsw recall $recall")
   }
+
+  test("searchBatch rejects an oversized query batch before collecting it") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+    val queries = emb
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.searchBatch(corpus, queries, k = 5, maxQueryBatch = 3)
+    }
+    assert(e.getMessage.contains("chunk the batch upstream"), e.getMessage)
+  }
 }

@@ -246,4 +246,54 @@ class RestServerSpec extends SparkSpec {
         && tail.get("events").get(0).get("id").asText() == "c2")
     } finally srv.stop()
   }
+
+  test("SSE update stream: backlog replay then live events over a held connection") {
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_sse_").toString)
+    val srv = new RestServer(store).start()
+    try {
+      // one event already in the ring before the stream opens
+      assert(call(srv, "POST", "/api/v1/vectors",
+        s"""{"id": "s1", "vector": ${vecJson(1)}}""")._1 == 201)
+      val req = HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${srv.boundPort}/api/v1/updates/stream?since=0")).GET().build()
+      val res = client.send(req, BodyHandlers.ofInputStream())
+      assert(res.statusCode() == 200)
+      assert(res.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/event-stream"))
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(res.body(), java.nio.charset.StandardCharsets.UTF_8))
+      def nextEvent(): com.fasterxml.jackson.databind.JsonNode = {
+        var line = reader.readLine()
+        while (line != null && !line.startsWith("data: ")) line = reader.readLine()
+        assert(line != null, "stream closed before an event arrived")
+        mapper.readTree(line.drop(6))
+      }
+      // backlog: the pre-subscription insert replays first
+      val e1 = nextEvent()
+      assert(e1.get("type").asText() == "insert" && e1.get("id").asText() == "s1")
+      // two live mutations arrive over the SAME held connection, in order
+      assert(call(srv, "POST", "/api/v1/vectors",
+        s"""{"id": "s2", "vector": ${vecJson(2)}}""")._1 == 201)
+      assert(call(srv, "DELETE", "/api/v1/vectors/s1")._1 == 200)
+      val e2 = nextEvent()
+      assert(e2.get("type").asText() == "insert" && e2.get("id").asText() == "s2")
+      val e3 = nextEvent()
+      assert(e3.get("type").asText() == "delete" && e3.get("id").asText() == "s1")
+      assert(e3.get("seq").asLong() == e2.get("seq").asLong() + 1)
+      reader.close()
+      // a since= resume skips the acknowledged prefix
+      val res2 = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${srv.boundPort}/api/v1/updates/stream?since=${e2.get("seq").asLong()}"))
+        .GET().build(), BodyHandlers.ofInputStream())
+      val r2 = new java.io.BufferedReader(
+        new java.io.InputStreamReader(res2.body(), java.nio.charset.StandardCharsets.UTF_8))
+      var line2 = r2.readLine()
+      while (line2 != null && !line2.startsWith("data: ")) line2 = r2.readLine()
+      val first2 = mapper.readTree(line2.drop(6))
+      assert(first2.get("seq").asLong() == e3.get("seq").asLong()
+        && first2.get("type").asText() == "delete")
+      r2.close()
+    } finally srv.stop()
+  }
 }
