@@ -75,22 +75,50 @@ object Dedup {
   def minhashLshPairsFromHashes(hashedIn: DataFrame, bands: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
+    minhashLshPairsFromBandKeys(hashedIn
+      .withColumn("bks", sigBandKeys(
+        minhashFromHashes(col("hs"), numHashes), bands, rowsPerBand)),
+      threshold)
+  }
+
+  /** As [[minhashLshPairsFromHashes]] over a relation that ALSO carries the
+    * per-doc band keys (id, hs, bks) — callers that computed the banded
+    * signature once for several uses (streaming ingest bands, pairs, and
+    * persists the same column as its LSH state) skip the minhash pass too.
+    *
+    * `smallInput = true` broadcast-hints the band self-join and the pair
+    * list: correct ONLY when the input is bounded (a streaming micro-batch),
+    * where it removes three shuffles of task-overhead-dominated tiny
+    * relations — AQE cannot do this re-plan under streaming. NEVER set it
+    * for a whole-corpus pair scan: broadcasting an unbounded banded
+    * relation is the textbook driver OOM. */
+  def minhashLshPairsFromBandKeys(hashedIn: DataFrame,
+      threshold: Double, smallInput: Boolean = false,
+      inputPersisted: Boolean = false): DataFrame = {
+    def bc(df: DataFrame): DataFrame = if (smallInput) broadcast(df) else df
     // cached: referenced three times (band explode + two verify joins);
     // without it the shingle-hash scan re-runs per reference. At cluster
     // scale this materialization is the signature table you'd persist.
-    val hashed = hashedIn
-      .withColumn("sig", minhashFromHashes(col("hs"), numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // inputPersisted skips the cache when the CALLER already persisted the
+    // exact relation (streaming ingest) — a second materialization of the
+    // same columns would only cost a pass and double the cached footprint.
+    val hashed =
+      if (inputPersisted) hashedIn
+      else hashedIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = hashed.select(col("id"),
-      posexplode(sigBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+      posexplode(col("bks")).as(Seq("band", "bucket")))
     val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+      .join(bc(banded.select(col("band"), col("bucket"), col("id").as("id_b"))),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verify on true (hash-set) Jaccard, re-joining sets after pair dedup
-    cand
+    // verify on true (hash-set) Jaccard, re-joining sets after pair dedup.
+    // Under smallInput the pair list (and then pairs+hs_a) rides the
+    // broadcast side of BOTH verify joins, so the cached hashed relation is
+    // streamed in place twice and never crosses an exchange.
+    val withA = bc(cand)
       .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+    bc(withA)
       .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -76,13 +76,17 @@ object Streaming {
     * already accepted via MinHash band buckets, and only survivors append
     * to the accepted corpus.
     *
-    * The accepted state is two parquet tables under `acceptedDir`:
-    * `docs/` (doc_id, text, hs — the shingle-hash set for Jaccard verify)
-    * and `buckets/` (band, bucket, doc_id — the LSH index). An arriving doc
-    * joins `buckets/` on its own band keys (at scale: a bucketed table →
-    * shuffle-free), fetches only colliding candidates' hash sets, and is
-    * rejected iff a verified Jaccard >= threshold. Per batch the scan cost
-    * is |batch| x collisions, never |corpus|.
+    * The accepted state is ONE parquet table under `acceptedDir`: `docs/`
+    * (doc_id, text, hs — the shingle-hash set for Jaccard verify — and
+    * bks — the per-band LSH bucket keys, band = array index). An arriving
+    * doc joins the exploded `bks` of the accepted state on its own band
+    * keys (parquet column pruning keeps that read to (doc_id, bks); at
+    * scale: a table bucketed by the band key → shuffle-free), fetches only
+    * colliding candidates' hash sets, and is rejected iff a verified
+    * Jaccard >= threshold. Per batch the scan cost is |batch| x
+    * collisions, never |corpus|; per batch the state I/O is ONE append and
+    * one pruned read (folding the former separate buckets/ table halved
+    * the fixed floor's write count, the dominant term — see SCALING.md).
     */
   def dedupIngest(spark: org.apache.spark.sql.SparkSession, sourceDir: String,
       acceptedDir: String, checkpointDir: String, shingleN: Int = 2,
@@ -92,17 +96,10 @@ object Streaming {
       maxFilesPerTrigger: Int = 0): StreamingQuery = {
     import graft.functions.TextFunctions._
     val docsPath = s"$acceptedDir/docs"
-    val bucketsPath = s"$acceptedDir/buckets"
     val srcSchema = new StructType()
       .add("doc_id", org.apache.spark.sql.types.LongType)
       .add("text", org.apache.spark.sql.types.StringType)
     val numHashes = bands * rowsPerBand
-    // the same band-key definition as the batch dedup — writer and lookup
-    // sides of the bucket index must never diverge
-    def withBands(hashed: DataFrame): DataFrame = hashed
-      .withColumn("sig", minhashFromHashes(col("hs"), numHashes))
-      .select(col("doc_id"),
-        posexplode(sigBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
     // maxFilesPerTrigger > 0 bounds each micro-batch (latency / memory
     // knob); 0 = drain everything available in one batch, which maximizes
     // docs/s — per-batch cost has a fixed floor (checkpoint commit + the
@@ -129,44 +126,69 @@ object Streaming {
         val gates = minQuality.map(m => round(qualityScore(col("text")), 6) >= m) ++
           lang.map(lg => langId(col("text")) === lg)
         val gated = gates.reduceOption(_ && _).map(batch.filter).getOrElse(batch)
+        // hash set + band keys computed ONCE per doc and carried through
+        // everything downstream: in-batch pair generation, the
+        // accepted-state collide join, AND the state append all read these
+        // two columns (previously the minhash/banding ran twice and the
+        // state kept a second buckets/ table)
         val hashed = gated
           .select(col("doc_id"), col("text"),
             array_distinct(shingleHashes(col("text"), shingleN)).as("hs"))
+          .withColumn("bks", sigBandKeys(
+            minhashFromHashes(col("hs"), numHashes), bands, rowsPerBand))
           .persist()
         // (1) in-batch near-dup: keep the smallest id of every colliding
-        // pair (hashes already materialized — no second md5 pass)
-        val inPairs = graft.operators.Dedup.minhashLshPairsFromHashes(
-          hashed.select(col("doc_id").as("id"), col("hs")), bands, rowsPerBand, threshold)
+        // pair (hashes AND band keys already materialized — no second
+        // md5/minhash pass). smallInput: a micro-batch is bounded, so the
+        // band/verify joins broadcast the tiny side instead of paying
+        // 3 shuffles of task overhead (AQE can't re-plan under streaming)
+        val inPairs = graft.operators.Dedup.minhashLshPairsFromBandKeys(
+          hashed.select(col("doc_id").as("id"), col("hs"), col("bks")), threshold,
+          smallInput = true, inputPersisted = true)
         val inKept = hashed.join(
-          inPairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-        // (2) against the accepted corpus: band-bucket collision -> verify
+          broadcast(inPairs.select(col("id_b").as("doc_id")).distinct()),
+          Seq("doc_id"), "left_anti")
+        // (2) against the accepted corpus: band-bucket collision -> verify.
+        // One pruned read of the single state table serves both the LSH
+        // index (doc_id, bks) and the verify hash sets (doc_id, hs).
         val fs = new org.apache.hadoop.fs.Path(docsPath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val survivors =
           if (!fs.exists(new org.apache.hadoop.fs.Path(docsPath, "_SUCCESS"))) inKept
           else {
-            val accBuckets = spark.read.parquet(bucketsPath)
-            val accDocs = spark.read.parquet(docsPath)
+            val accState = spark.read.parquet(docsPath)
+            val accBuckets = accState.select(col("doc_id").as("acc_id"),
+              posexplode(col("bks")).as(Seq("band", "bucket")))
+            val accDocs = accState
               .select(col("doc_id").as("acc_id"), col("hs").as("acc_hs"))
-            val dupIds = withBands(inKept)
-              .join(accBuckets.withColumnRenamed("doc_id", "acc_id"), Seq("band", "bucket"))
+            // the batch side is ALWAYS the small side against accepted
+            // state (that's the design: per-batch cost = batch x
+            // collisions, never |corpus|), so it rides the broadcast side
+            // of every state join and the state is streamed in place —
+            // exactly the shuffle-free lookup a (band,bucket)-bucketed
+            // state table would give a cluster
+            val collide = broadcast(inKept
+              .select(col("doc_id"), posexplode(col("bks")).as(Seq("band", "bucket"))))
+              .join(accBuckets, Seq("band", "bucket"))
               .select("doc_id", "acc_id").distinct()
-              .join(inKept.select("doc_id", "hs"), Seq("doc_id"))
+            val dupIds = broadcast(collide
+              .join(broadcast(inKept.select("doc_id", "hs")), Seq("doc_id")))
               .join(accDocs, Seq("acc_id"))
               .filter(jaccard(col("hs"), col("acc_hs")) >= threshold)
               .select("doc_id").distinct()
-            inKept.join(dupIds, Seq("doc_id"), "left_anti")
+            inKept.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
           }
-        // buckets BEFORE docs: docs/_SUCCESS gates the dedup lookup, so a
-        // crash between the writes must leave bucket rows without doc rows
-        // (harmless — the verify join drops candidates with no hash set),
-        // never accepted docs without bucket rows (which a replayed batch
-        // could not reject, double-accepting them)
-        val out = survivors.persist()
-        withBands(out).write.mode(SaveMode.Append).parquet(bucketsPath)
-        out.select("doc_id", "text", "hs")
+        // ONE state append: a doc row always lands WITH its band keys, so
+        // partially-written batches can never leave accepted docs invisible
+        // to the dedup lookup (the failure the old two-table write ordering
+        // had to rule out). Coalesced: a micro-batch's survivors are a few
+        // MB across the session's 32 shuffle partitions, and per-file
+        // parquet/zstd writer setup — not bytes — dominated the append (AQE
+        // is off under streaming, so nothing else merges these partitions).
+        survivors.select("doc_id", "text", "hs", "bks")
+          .coalesce(math.max(2, spark.sparkContext.defaultParallelism / 8))
           .write.mode(SaveMode.Append).parquet(docsPath)
-        out.unpersist(); hashed.unpersist()
+        hashed.unpersist()
         ()
       }
       .start()

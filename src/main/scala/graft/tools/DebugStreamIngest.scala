@@ -34,24 +34,23 @@ object DebugStreamIngest {
 
     for (pass <- 1 to 2) {
       println(s"[ingest] === batch-stage pass $pass ===")
+      // mirrors the dedupIngest micro-batch body: hash set + band keys in
+      // one pass, pairs from the precomputed keys, ONE coalesced state write
       val hashed = docs
         .select(col("doc_id"), col("text"),
           array_distinct(shingleHashes(col("text"), 2)).as("hs"))
+        .withColumn("bks", sigBandKeys(minhashFromHashes(col("hs"), 8), 4, 2))
         .persist()
       t("hash+persist")(hashed.count())
-      val inPairs = graft.operators.Dedup.minhashLshPairsFromHashes(
-        hashed.select(col("doc_id").as("id"), col("hs")), 4, 2, 0.5)
+      val inPairs = graft.operators.Dedup.minhashLshPairsFromBandKeys(
+        hashed.select(col("doc_id").as("id"), col("hs"), col("bks")), 0.5)
       t("lsh_pairs")(inPairs.count())
       val inKept = hashed.join(
         inPairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       val out = java.nio.file.Files.createTempDirectory("graft_ingest_dbg_").toString
-      t("write_docs")(inKept.select("doc_id", "text", "hs")
+      t("write_state")(inKept.select("doc_id", "text", "hs", "bks")
+        .coalesce(math.max(2, spark.sparkContext.defaultParallelism / 8))
         .write.mode("overwrite").parquet(s"$out/docs"))
-      val sig = inKept
-        .withColumn("sig", minhashFromHashes(col("hs"), 8))
-        .select(col("doc_id"),
-          posexplode(sigBandKeys(col("sig"), 4, 2)).as(Seq("band", "bucket")))
-      t("write_buckets")(sig.write.mode("overwrite").parquet(s"$out/buckets"))
       hashed.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     }

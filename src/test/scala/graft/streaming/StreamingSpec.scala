@@ -242,10 +242,12 @@ class StreamingSpec extends SparkSpec {
     val accepted2 = spark.read.parquet(s"$acc/docs").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(accepted2 == Set(1L, 3L, 5L), s"got $accepted2")
-    // the LSH index table tracks exactly the accepted docs
-    val bucketIds = spark.read.parquet(s"$acc/buckets").select("doc_id")
-      .distinct().collect().map(_.getLong(0)).toSet
-    assert(bucketIds == Set(1L, 3L, 5L))
+    // every accepted doc carries its LSH band keys in the folded state
+    // table (one key per band — the lookup index IS the state row)
+    val bks = spark.read.parquet(s"$acc/docs").select("doc_id", "bks")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(bks.map(_._1).toSet == Set(1L, 3L, 5L))
+    assert(bks.forall(_._2.length == 4), "4 bands -> 4 keys per doc")
   }
 
   test("streaming ingest quality/lang gates reject before hashing") {
