@@ -1,0 +1,131 @@
+package graft.tools
+
+import graft.operators.{Hnsw, Ivf, Knn}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-exponent probe for the three flagship search shapes: exact scan
+  * (`knn_scale`), probed IVF (`ann_ivf_scale`), routed saved-HNSW
+  * (`store_hnsw_scale`'s recent tier) — each run at 1x (100K x 64, the
+  * bench corpus size) and 10x (1M x 64), from a deterministic perturbation
+  * corpus staged under /tmp (testdata itself is read-only and tops out at
+  * 100K). Prints a time-vs-size table for SCALING.md.
+  *
+  * Index construction follows each shape's steady-state sizing rule:
+  * clusters scale with sqrt(N) (the standard IVF prescription), so probed
+  * work per query grows ~sqrt(scale); HNSW blob SIZE stays fixed (more
+  * blobs at 10x) with the same probeBlobs, so routed probe work per query
+  * is ~flat and only the routing table grows. The exact scan has no index
+  * and must grow ~linearly — that contrast is the measurement.
+  */
+object ScalingCurve {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "512k")
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).agg(sum("id")).collect()
+
+    val e = graft.core.Tables.load(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      .persist()
+    queries.count()
+
+    def corpusAt(reps: Int): String = {
+      val path = s"/tmp/graft_scaling/corpus_r$reps"
+      val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(done)) {
+        e.select(col("vec_id"), col("embedding"),
+            explode(sequence(lit(0), lit(reps - 1))).as("i"))
+          .select((col("vec_id") * reps + col("i")).as("id"),
+            transform(col("embedding"),
+              x => (x.cast("double") + col("i").cast("double") * 0.001).cast("float"))
+              .as("embedding"))
+          .repartition(col("id"))
+          .write.mode("overwrite").parquet(path)
+      }
+      path
+    }
+
+    def best(name: String, iters: Int = 3)(f: => Long): Double = {
+      var b = Double.MaxValue
+      (1 to iters).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = f
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[scaling] $name%-28s pass$i $t%7.2fs ($n rows)")
+        b = math.min(b, t)
+        spark.sharedState.cacheManager.clearCache()
+      }
+      b
+    }
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Double)]
+    for (reps <- Seq(50, 500)) {
+      val n = 2000L * reps // sf0.1 has 2000 base vectors
+      println(s"[scaling] === corpus ${n / 1000}K (reps=$reps) ===")
+      val cPath = corpusAt(reps)
+      val corpus = spark.read.parquet(cPath)
+
+      // exact scan: no index, cost must track corpus size ~linearly
+      results += (("exact_scan", reps, n,
+        best("exact knn.batch")(
+          Knn.batch(corpus, queries, k = 10, metric = "l2").count())))
+
+      // probed IVF: clusters ~ sqrt(N) (32 at 100K, 100 at 1M), nProbe 4
+      val nClusters = if (reps == 50) 32 else 100
+      val ivfBase = s"/tmp/graft_scaling/ivf_r${reps}_k$nClusters"
+      val ivfDone = new org.apache.hadoop.fs.Path(s"$ivfBase/data/_SUCCESS")
+      val fs = ivfDone.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(ivfDone)) {
+        val t0 = System.nanoTime()
+        val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = nClusters,
+          maxIterations = 10, trainSize = 10000, initMode = "driver"))
+        Ivf.writePartitioned(Ivf.assign(corpus, cents), s"$ivfBase/data")
+        Ivf.exportCentroids(cents, s"$ivfBase/centroids")
+        println(f"[scaling] ivf build (k=$nClusters) ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      val ivfData = spark.read.parquet(s"$ivfBase/data")
+      val ivfCents = spark.read.parquet(s"$ivfBase/centroids")
+      results += (("ivf_probed", reps, n,
+        best(s"ivf n_probe=4 k=$nClusters")(
+          Ivf.searchBatch(ivfData, ivfCents, queries, k = 10, nProbe = 4).count())))
+
+      // routed saved-HNSW: fixed blob size (corpus partitioned into
+      // N/5000-row cluster blobs), fixed probeBlobs — per-query cost should
+      // be ~flat; only routing-table size grows with the blob count
+      val hnswPath = s"/tmp/graft_scaling/hnsw_r$reps/g"
+      val hDone = new org.apache.hadoop.fs.Path(hnswPath, "_SUCCESS")
+      if (!fs.exists(hDone)) {
+        val t0 = System.nanoTime()
+        // co-locate by the IVF clustering so routing has real structure
+        val clustered = Ivf.assign(corpus, ivfCents)
+          .repartition(nClusters, col("cluster_id")).drop("cluster_id")
+        Hnsw.buildAndSave(clustered, hnswPath,
+          cfg = Hnsw.HnswConfig(efConstruction = 100, efSearch = 80))
+        println(f"[scaling] hnsw build ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      results += (("hnsw_routed", reps, n,
+        best("hnsw routed probeBlobs=6")(
+          Hnsw.searchSaved(spark, hnswPath, queries, k = 10, efSearch = 120,
+            probeBlobs = 6).count())))
+    }
+
+    println("[scaling] shape | corpus | best-of-3 sec | sec per 100K rows")
+    results.foreach { case (shape, _, n, t) =>
+      println(f"[scaling] $shape%-12s ${n / 1000}%6dK $t%8.2f ${t / (n / 100000.0)}%8.3f")
+    }
+    spark.stop()
+  }
+}

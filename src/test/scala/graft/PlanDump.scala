@@ -43,13 +43,15 @@ object PlanDump {
         |map-only over the spread input; the tiny exploded eval relation is
         |broadcast (BroadcastHashJoin, never a shuffle of the corpus); one
         |bounded aggregate on (doc_id, eval_id) computes overlaps.""".stripMargin),
-      "ann_bq_scale" -> ("""Binary-quantized search over the persisted sign-bit table:
-        |the scan reads ONLY (id, words) — dim/8 bytes per row, the 32x
-        |claim made physical — and the bq_hamming xor+popcount kernel runs
-        |inside WholeStageCodegen against the broadcast query words; the
-        |shortlist rides the same two-phase top_k shape as knn_scale, and
-        |only shortlist x queries raw rows are touched by the exact
-        |rerank join.""".stripMargin),
+      "ann_bq_scale" -> ("""Binary-quantized search over the persisted sign-bit inverted
+        |file (r7: partitioned by the IVF coarse clustering): the probe set
+        |becomes a static `cluster_id IN (...)` PartitionFilter, so only
+        |nProbe code directories are read — and of those, ONLY (id, words),
+        |dim/8 bytes per row, the 32x claim made physical. The bq_hamming
+        |xor+popcount kernel runs inside WholeStageCodegen against the
+        |broadcast probe relation; the shortlist rides the same two-phase
+        |top_k shape as knn_scale, and only shortlist x queries raw rows
+        |are touched by the exact rerank join.""".stripMargin),
       "store_hnsw_scale" -> ("""The store's full serving composition at 100-query scale:
         |ROUTED saved-HNSW blob probe of the recent tier (each query visits
         |its nearest blobs only; the blob scan is a tiny binary-column read,
