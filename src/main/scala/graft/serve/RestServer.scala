@@ -49,6 +49,7 @@ import scala.util.control.NonFatal
   *   POST   /api/v1/admin/index/bq     {refresh?}
   *   POST   /api/v1/admin/backup      {target}
   *   GET    /api/v1/updates?since=N
+  *   GET    /api/v1/updates/stream?since=N   (SSE: backlog replay + live push)
   *
   * Serving-loop extras from the reference:
   *  - repeated-query memo (`hybrid/search_integration.rs:554-623`): LRU on
@@ -56,7 +57,10 @@ import scala.util.control.NonFatal
   *    reference's query-result cache, which belongs at this layer (the
   *    engine's own results must always reflect the live store)
   *  - update feed (`client/rust.rs:71-98`): every mutation appends a
-  *    sequenced change event; clients poll `/updates?since=<seq>`
+  *    sequenced change event; clients poll `/updates?since=<seq>` or hold
+  *    `/updates/stream` (SSE) for backlog replay + live push — the working
+  *    form of the reference's declared-but-vestigial stream surface
+  *    (`src/api/rest.rs:727-738`)
   *
   * Security note: like the reference's default server config, routes carry
   * NO authentication — the server is meant to sit behind a trusted proxy
