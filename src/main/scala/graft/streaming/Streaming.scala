@@ -93,7 +93,8 @@ object Streaming {
       bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.5,
       minQuality: Option[Double] = None,
       lang: Option[String] = None,
-      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+      maxFilesPerTrigger: Int = 0,
+      broadcastDocLimit: Long = 100000L): StreamingQuery = {
     import graft.functions.TextFunctions._
     val docsPath = s"$acceptedDir/docs"
     val srcSchema = new StructType()
@@ -137,16 +138,26 @@ object Streaming {
           .withColumn("bks", sigBandKeys(
             minhashFromHashes(col("hs"), numHashes), bands, rowsPerBand))
           .persist()
+        // materializes the cache (the first action would anyway) and sizes
+        // the batch: only a BOUNDED batch may ride the broadcast side of
+        // the LSH/state joins below. A typical micro-batch always is; an
+        // unbounded AvailableNow drain of a deep backlog is not, and
+        // broadcasting its hash sets would be the driver OOM the rest of
+        // this file is designed to avoid — those batches fall back to the
+        // shuffle plans (which is exactly when shuffles are worth paying).
+        val smallBatch = hashed.count() <= broadcastDocLimit
+        def bcIfSmall(df: DataFrame): DataFrame =
+          if (smallBatch) broadcast(df) else df
         // (1) in-batch near-dup: keep the smallest id of every colliding
         // pair (hashes AND band keys already materialized — no second
-        // md5/minhash pass). smallInput: a micro-batch is bounded, so the
-        // band/verify joins broadcast the tiny side instead of paying
-        // 3 shuffles of task overhead (AQE can't re-plan under streaming)
+        // md5/minhash pass). smallInput: a bounded micro-batch broadcasts
+        // the tiny side instead of paying 3 shuffles of task overhead
+        // (AQE can't re-plan under streaming)
         val inPairs = graft.operators.Dedup.minhashLshPairsFromBandKeys(
           hashed.select(col("doc_id").as("id"), col("hs"), col("bks")), threshold,
-          smallInput = true, inputPersisted = true)
+          smallInput = smallBatch, inputPersisted = true)
         val inKept = hashed.join(
-          broadcast(inPairs.select(col("id_b").as("doc_id")).distinct()),
+          bcIfSmall(inPairs.select(col("id_b").as("doc_id")).distinct()),
           Seq("doc_id"), "left_anti")
         // (2) against the accepted corpus: band-bucket collision -> verify.
         // One pruned read of the single state table serves both the LSH
@@ -161,32 +172,35 @@ object Streaming {
               posexplode(col("bks")).as(Seq("band", "bucket")))
             val accDocs = accState
               .select(col("doc_id").as("acc_id"), col("hs").as("acc_hs"))
-            // the batch side is ALWAYS the small side against accepted
-            // state (that's the design: per-batch cost = batch x
-            // collisions, never |corpus|), so it rides the broadcast side
-            // of every state join and the state is streamed in place —
-            // exactly the shuffle-free lookup a (band,bucket)-bucketed
-            // state table would give a cluster
-            val collide = broadcast(inKept
+            // a bounded batch is the small side against accepted state
+            // (that's the design: per-batch cost = batch x collisions,
+            // never |corpus|), so it rides the broadcast side of every
+            // state join and the state is streamed in place — exactly the
+            // shuffle-free lookup a (band,bucket)-bucketed state table
+            // would give a cluster. Oversized drains take shuffle joins.
+            val collide = bcIfSmall(inKept
               .select(col("doc_id"), posexplode(col("bks")).as(Seq("band", "bucket"))))
               .join(accBuckets, Seq("band", "bucket"))
               .select("doc_id", "acc_id").distinct()
-            val dupIds = broadcast(collide
-              .join(broadcast(inKept.select("doc_id", "hs")), Seq("doc_id")))
+            val dupIds = bcIfSmall(collide
+              .join(bcIfSmall(inKept.select("doc_id", "hs")), Seq("doc_id")))
               .join(accDocs, Seq("acc_id"))
               .filter(jaccard(col("hs"), col("acc_hs")) >= threshold)
               .select("doc_id").distinct()
-            inKept.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+            inKept.join(bcIfSmall(dupIds), Seq("doc_id"), "left_anti")
           }
         // ONE state append: a doc row always lands WITH its band keys, so
         // partially-written batches can never leave accepted docs invisible
         // to the dedup lookup (the failure the old two-table write ordering
-        // had to rule out). Coalesced: a micro-batch's survivors are a few
-        // MB across the session's 32 shuffle partitions, and per-file
-        // parquet/zstd writer setup — not bytes — dominated the append (AQE
-        // is off under streaming, so nothing else merges these partitions).
-        survivors.select("doc_id", "text", "hs", "bks")
-          .coalesce(math.max(2, spark.sparkContext.defaultParallelism / 8))
+        // had to rule out). Bounded batches coalesce: their survivors are a
+        // few MB across the session's shuffle partitions, and per-file
+        // parquet writer setup — not bytes — dominated the append (AQE is
+        // off under streaming, so nothing else merges these partitions);
+        // oversized drains keep full write parallelism.
+        val outCols = survivors.select("doc_id", "text", "hs", "bks")
+        (if (smallBatch)
+          outCols.coalesce(math.max(2, spark.sparkContext.defaultParallelism / 8))
+        else outCols)
           .write.mode(SaveMode.Append).parquet(docsPath)
         hashed.unpersist()
         ()

@@ -250,6 +250,37 @@ class StreamingSpec extends SparkSpec {
     assert(bks.forall(_._2.length == 4), "4 bands -> 4 keys per doc")
   }
 
+  test("oversized-drain fallback (no broadcasts) accepts the same set") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_big_src_").toString
+    val ckpt = Files.createTempDirectory("graft_big_ckpt_").toString
+    val acc = Files.createTempDirectory("graft_big_acc_").toString + "/state"
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq(
+      (1L, base),
+      (2L, base + " with an extra tail phrase"), // near-dup of 1
+      (3L, "completely different content about spark query engines at scale")
+    ).toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(src)
+    // broadcastDocLimit = 0 forces every batch down the shuffle-join path
+    // (the plan an unbounded backlog drain takes); accepted set must be
+    // IDENTICAL to the broadcast path's
+    val q1 = Streaming.dedupIngest(spark, src, acc, ckpt, threshold = 0.5,
+      broadcastDocLimit = 0L)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$acc/docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // second batch exercises the accepted-state joins on the shuffle path
+    Seq(
+      (4L, base + " slightly changed"), // near-dup of accepted 1 -> rejected
+      (5L, "another unrelated document mentioning vectors and embeddings")
+    ).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    val q2 = Streaming.dedupIngest(spark, src, acc, ckpt, threshold = 0.5,
+      broadcastDocLimit = 0L)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$acc/docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+  }
+
   test("streaming ingest quality/lang gates reject before hashing") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_gate_src_").toString
