@@ -89,14 +89,33 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
   private val events = new java.util.ArrayDeque[ObjectNode]()
   private var nextSeq = 1L
 
-  // SSE subscribers (`/updates/stream`): exchanges held open past handler
-  // return — the JDK server keeps an exchange alive until close(). Only
-  // ever touched from the dispatcher thread (serial executor: handlers AND
-  // mutated() both run there), so no synchronization; a blocking long-poll
-  // would instead deadlock the serial server against the very mutation
-  // that produces its event. Capped: each held connection pins a socket.
-  private val sseSubs = new java.util.ArrayList[HttpExchange]()
+  // SSE (`/updates/stream`): exchanges held open past handler return — the
+  // JDK server keeps an exchange alive until close(). All socket writes
+  // happen on ONE dedicated pusher thread fed by a command queue, never on
+  // the dispatcher: a stalled client with a full TCP buffer would
+  // otherwise block the serial server (and every API request) inside
+  // mutated(). Subscriptions flow through the SAME queue as events, and
+  // the backlog snapshot is taken on the dispatcher (where the ring
+  // mutates), so delivery is exactly-once and ordered: an event enqueued
+  // before a subscribe is in its snapshot, one enqueued after follows it.
+  // The queue is bounded — when a stalled client backs it up, events are
+  // dropped from the STREAM only (the ring keeps them; a consumer that
+  // sees a seq gap re-syncs via `since=`, same contract as ring eviction).
+  private sealed trait SseCmd
+  private case class SseEvent(e: ObjectNode) extends SseCmd
+  private case class SseSubscribe(ex: HttpExchange, backlog: Seq[ObjectNode]) extends SseCmd
+  private val sseQueue = new java.util.concurrent.LinkedBlockingQueue[SseCmd](10000)
+  // pusher-thread-only once started; the cap is read from the dispatcher
+  private val sseSubs = new java.util.concurrent.CopyOnWriteArrayList[HttpExchange]()
   private val maxSseClients = 64
+  private val ssePusher = new Thread(() => {
+    try while (true) sseQueue.take() match {
+      case SseEvent(e) => sseSubs.removeIf(sub => !sseWrite(sub, e))
+      case SseSubscribe(ex, backlog) =>
+        if (backlog.forall(e => sseWrite(ex, e))) sseSubs.add(ex)
+    } catch { case _: InterruptedException => }
+  }, "graft-sse-push")
+  ssePusher.setDaemon(true)
 
   /** One SSE frame to one held connection; a dead client (write fails) is
     * closed and reported so the caller can drop it. */
@@ -112,8 +131,8 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
       false
     }
 
-  /** Mutations invalidate the memo, append a change event, and push it to
-    * every held `/updates/stream` connection. */
+  /** Mutations invalidate the memo, append a change event, and hand it to
+    * the pusher for every held `/updates/stream` connection. */
   private def mutated(tpe: String, ids: Seq[String]): Unit = {
     queryCache.clear()
     ids.foreach { id =>
@@ -125,7 +144,8 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
       events.addLast(e)
       nextSeq += 1
       if (events.size() > maxEvents) events.removeFirst()
-      sseSubs.removeIf(sub => !sseWrite(sub, e))
+      // offer, not put: a backed-up stream queue must never block the API
+      sseQueue.offer(SseEvent(e))
     }
   }
 
@@ -310,12 +330,15 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             try ex.close() catch { case NonFatal(_) => }
             false
           }
-        // backlog replay stops at the first dead write; only a connection
-        // that survived the full replay is held for live pushes
-        if (hello && events.iterator().asScala
-            .filter(_.get("seq").asLong() > since)
-            .forall(e => sseWrite(ex, e)))
-          sseSubs.add(ex)
+        // backlog snapshot HERE (dispatcher thread — where the ring
+        // mutates), enqueued behind any already-pending events: the pusher
+        // replays it and only then holds the connection for live pushes
+        if (hello) {
+          val backlog = events.iterator().asScala
+            .filter(_.get("seq").asLong() > since).toSeq
+          if (!sseQueue.offer(SseSubscribe(ex, backlog)))
+            try ex.close() catch { case NonFatal(_) => }
+        }
       }
     })
     server.createContext("/api/v1/updates", ex => handle(ex) {
@@ -444,11 +467,13 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
       case _ => (404, err("unknown admin route"))
     })
     server.setExecutor(null) // serial: one Spark driver, one request at a time
+    ssePusher.start()
     server.start()
     this
   }
 
   def stop(): Unit = {
+    ssePusher.interrupt()
     sseSubs.forEach(sub => try sub.close() catch { case NonFatal(_) => })
     sseSubs.clear()
     server.stop(0)
