@@ -125,6 +125,67 @@ object TextFunctions {
     lengthScore * 0.4 + alphaRatio * 0.4 + wordLenScore * 0.2
   }
 
+  // ---- Gopher-style quality rules (Rae et al. 2021 §A1.1, public) ------
+  // The canonical repetition-free document filters: word-count bounds,
+  // mean-word-length bounds, symbol-to-word ratio, alphabetic-word
+  // fraction, bullet-line fraction, stopword floor. One tokenization per
+  // row (let-bound) + one line split — map-only, stays inside
+  // whole-stage codegen, every formula replayed verbatim by the DuckDB
+  // oracle (integer counts divided as doubles: bit-identical both sides).
+
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinMeanWordLen = 3.0
+  val GopherMaxMeanWordLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinAlphaWordFrac = 0.8
+  val GopherMaxBulletLineFrac = 0.9
+  val GopherMinStopwords = 2
+
+  /** Tokens that are pure symbol runs (hash marks or ellipses) — the
+    * Gopher symbol-to-word numerator. Anchored full-token match, RE2-safe. */
+  val SymbolTokenPattern = "#+|\\.{3,}"
+
+  /** All Gopher rule signals + the combined keep verdict as one struct:
+    * (n_words, mean_word_len, alpha_word_frac, symbol_ratio,
+    * bullet_line_frac, n_stopwords, keep). Ratios are reported rounded to
+    * 6 places; `keep` is decided on the UNROUNDED values (both engines
+    * compute the identical integer-count divisions, so the boundary cases
+    * agree exactly). */
+  def gopherStats(text: Column): Column =
+    ColumnOps.bindOnce(tokens(text)) { toks =>
+      val n = size(toks)
+      val nD = n.cast("double")
+      val meanLen = when(n === 0, 0.0).otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+          .cast("double") / nD)
+      val alphaFrac = when(n === 0, 0.0).otherwise(
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nD)
+      val symRatio = when(n === 0, 0.0).otherwise(
+        size(filter(toks, t => t.rlike(s"^($SymbolTokenPattern)$$")))
+          .cast("double") / nD)
+      val nStop = size(filter(toks, t => t.isInCollection(EnMarkers)))
+      val lines = split(text, "\n")
+      val bulletFrac = when(size(lines) === 0, 0.0).otherwise(
+        size(filter(lines, l =>
+          startswith(ltrim(l), lit("- ")) || startswith(ltrim(l), lit("• "))))
+          .cast("double") / size(lines).cast("double"))
+      val keep = n.between(GopherMinWords, GopherMaxWords) &&
+        meanLen.between(GopherMinMeanWordLen, GopherMaxMeanWordLen) &&
+        symRatio <= GopherMaxSymbolRatio &&
+        alphaFrac >= GopherMinAlphaWordFrac &&
+        bulletFrac <= GopherMaxBulletLineFrac &&
+        nStop >= GopherMinStopwords
+      struct(
+        n.cast("long").as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(alphaFrac, 6).as("alpha_word_frac"),
+        round(symRatio, 6).as("symbol_ratio"),
+        round(bulletFrac, 6).as("bullet_line_frac"),
+        nStop.cast("long").as("n_stopwords"),
+        keep.as("keep"))
+    }
+
   /** Explicit whitespace class for the BPE pattern: Java's \s includes
     * vertical tab (\x0B) while RE2's does not, so a bare \s in the pattern
     * would make the two engines tokenize VT differently — spelled out, both

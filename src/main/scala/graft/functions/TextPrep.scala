@@ -90,6 +90,56 @@ object TextPrep {
     regexp_replace(noIp, PhonePattern, "<PHONE>")
   }
 
+  // ---- HTML text extraction --------------------------------------------
+  // The boilerplate-strip step of a web-crawl ingest (the jusText/
+  // trafilatura slot, regex-grade): drop script/style subtrees wholesale
+  // (their CONTENT is code, not text), drop comments, drop remaining tags,
+  // unescape the named entities that survive into running text, collapse
+  // whitespace. Pure regexp_replace/replace chains — map-only, codegen'd,
+  // and every pattern is RE2-safe (inline (?is) flags, non-greedy
+  // quantifiers, no lookaround/backrefs) so the DuckDB oracle replays the
+  // identical patterns.
+
+  /** Whole-subtree drops: the close tag is matched literally per element
+    * name because RE2 has no backreferences. */
+  val ScriptPattern = "(?is)<script[^>]*>.*?</script>"
+  val StylePattern = "(?is)<style[^>]*>.*?</style>"
+  val CommentPattern = "(?s)<!--.*?-->"
+
+  /** Any remaining tag, open or close. `[^>]` (not `.*?`) so an unclosed
+    * `<` can't swallow the rest of the document. */
+  val TagPattern = "<[^>]*>"
+
+  /** Explicit whitespace class (Java's \s includes VT, RE2's does not —
+    * same divergence [[TextFunctions.BpePattern]] documents). */
+  private val HtmlWs = "[\\t\\n\\x0B\\f\\r ]+"
+
+  /** Named entities unescaped after tag removal, in fixed order with
+    * `&amp;` LAST — single-pass semantics: `&amp;lt;` becomes the literal
+    * text `&lt;`, not `<`. The oracle nests its `replace` calls in the
+    * same order. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Count of tags in the raw markup (script/style/comment bodies
+    * included — it measures markup density, a quality signal on crawls). */
+  def htmlTagCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(TagPattern), lit(0)))
+
+  /** Extracted running text of an HTML document. */
+  def stripHtml(c: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(regexp_replace(c, ScriptPattern, " "),
+        StylePattern, " "),
+      CommentPattern, " ")
+    val noTags = regexp_replace(noBlocks, TagPattern, " ")
+    val unescaped = HtmlEntities.foldLeft(noTags) {
+      case (acc, (ent, ch)) => replace(acc, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(unescaped, HtmlWs, " "))
+  }
+
   // ---- Multi-language ID ------------------------------------------------
 
   /** Marker-token profiles per language (n-gram-profile stand-ins like

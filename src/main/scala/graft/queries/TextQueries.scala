@@ -165,6 +165,53 @@ object TextQueries {
           md5(graft.functions.TextPrep.canonicalize(col("t2"))).as("canon_fp"))
         .orderBy("doc_id")
     }),
+    // HTML text extraction: each doc wrapped in a deterministic markup
+    // scaffold (title/style/script/comment/entities keyed off doc_id, the
+    // script body deliberately containing bare < and > operators), then
+    // boilerplate-stripped; output pins the tag count on the raw markup
+    // and the length + md5 of the extracted running text. The trailing
+    // "&amp;nbsp;" pins single-pass entity semantics: it must surface as
+    // the literal text "&nbsp;", not collapse to a space.
+    "html_extract" -> ((s, dir) => {
+      import graft.functions.TextPrep.{htmlTagCount, stripHtml}
+      val raw = concat(
+        lit("<html><head><title>Doc "), col("doc_id"), lit("</title>"),
+        lit("<style type=\"text/css\">body { color: #fff; }</style>"),
+        lit("<script>var x = 1 < 2 && 3 > 2; // doc</script></head>"),
+        lit("<body><!-- id "), col("doc_id"), lit(" --><h1>T&amp;C &lt;"),
+        col("doc_id"), lit("&gt; &amp;nbsp;</h1><p>"), col("text"),
+        lit("</p><ul><li>alpha</li><li>beta</li></ul></body></html>"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          htmlTagCount(col("raw")).cast("long").as("n_tags"),
+          length(col("raw")).cast("long").as("n_raw"),
+          length(stripHtml(col("raw"))).cast("long").as("n_text"),
+          md5(stripHtml(col("raw"))).as("text_fp"))
+        .orderBy("doc_id")
+    }),
+    // Gopher quality rules: deterministic per-band injections (bullet
+    // lines, filler words, symbol runs) exercise every rule branch on the
+    // otherwise-uniform corpus; both engines compute the identical
+    // integer-count divisions, so `keep` (decided unrounded) agrees
+    // exactly.
+    "quality_rules" -> ((s, dir) => {
+      val bullets = when(col("doc_id") % 3 === 1,
+        lit("- alpha\n- beta\n- gamma\n")).otherwise(lit(""))
+      val filler = when(col("doc_id") % 5 === 0,
+        repeat(lit(" filler word pad"), 12)).otherwise(lit(""))
+      val symbols = when(col("doc_id") % 7 === 0,
+        lit(" ### ... #")).otherwise(lit(""))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(bullets, col("text"), filler, symbols).as("t2"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.gopherStats(col("t2")).as("g"))
+        .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+          col("g.alpha_word_frac"), col("g.symbol_ratio"),
+          col("g.bullet_line_frac"), col("g.n_stopwords"), col("g.keep"))
+        .orderBy("doc_id")
+    }),
     // PII scrubbing: deterministic synthetic PII (email/IP/phone derived
     // from doc_id) appended to each doc, then matched+redacted with the
     // RE2-safe shared patterns; output pins both the counts and the md5 of
@@ -293,6 +340,74 @@ object TextQueries {
          |SELECT id, round(sum(1.0 / (60 + r)), 6) AS rrf_score
          |FROM ranked GROUP BY id
          |ORDER BY rrf_score DESC, id ASC LIMIT 10""".stripMargin,
+    "html_extract" -> {
+      import graft.functions.TextPrep.{ScriptPattern, StylePattern, CommentPattern, TagPattern}
+      s"""WITH t AS (SELECT doc_id,
+         |  '<html><head><title>Doc ' || doc_id || '</title>'
+         |  || '<style type="text/css">body { color: #fff; }</style>'
+         |  || '<script>var x = 1 < 2 && 3 > 2; // doc</script></head>'
+         |  || '<body><!-- id ' || doc_id || ' --><h1>T&amp;C &lt;' || doc_id
+         |  || '&gt; &amp;nbsp;</h1><p>' || text
+         |  || '</p><ul><li>alpha</li><li>beta</li></ul></body></html>' AS raw
+         |  FROM documents),
+         |s AS (SELECT doc_id, raw,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+         |        '$ScriptPattern', ' ', 'g'),
+         |        '$StylePattern', ' ', 'g'),
+         |        '$CommentPattern', ' ', 'g'),
+         |        '$TagPattern', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+         |    '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS txt
+         |  FROM t)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(raw, '$TagPattern'))::BIGINT AS n_tags,
+         |  length(raw)::BIGINT AS n_raw, length(txt)::BIGINT AS n_text,
+         |  md5(txt) AS text_fp
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "quality_rules" -> {
+      import graft.functions.TextFunctions._
+      val stopList = EnMarkers.map("'" + _ + "'").mkString(",")
+      s"""WITH t AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 3 = 1
+         |     THEN '- alpha' || chr(10) || '- beta' || chr(10) || '- gamma' || chr(10)
+         |     ELSE '' END)
+         |  || text
+         |  || (CASE WHEN doc_id % 5 = 0 THEN repeat(' filler word pad', 12) ELSE '' END)
+         |  || (CASE WHEN doc_id % 7 = 0 THEN ' ### ... #' ELSE '' END) AS t2
+         |  FROM documents),
+         |tok AS (SELECT doc_id, t2,
+         |  regexp_split_to_array(trim(lower(t2)), '\\s+') AS toks,
+         |  string_split(t2, chr(10)) AS ls FROM t),
+         |f AS (SELECT doc_id, len(toks) AS n,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) END AS mean_len,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(toks) END AS alpha_frac,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    len(list_filter(toks, x -> regexp_full_match(x, '$SymbolTokenPattern')))::DOUBLE / len(toks) END AS sym_ratio,
+         |  len(list_filter(toks, x -> x IN ($stopList))) AS n_stop,
+         |  CASE WHEN len(ls) = 0 THEN 0.0 ELSE
+         |    len(list_filter(ls, l -> starts_with(ltrim(l), '- ')
+         |      OR starts_with(ltrim(l), '• ')))::DOUBLE / len(ls) END AS bullet_frac
+         |  FROM tok)
+         |SELECT doc_id, n::BIGINT AS n_words,
+         |  round(mean_len, 6) AS mean_word_len,
+         |  round(alpha_frac, 6) AS alpha_word_frac,
+         |  round(sym_ratio, 6) AS symbol_ratio,
+         |  round(bullet_frac, 6) AS bullet_line_frac,
+         |  n_stop::BIGINT AS n_stopwords,
+         |  (n BETWEEN $GopherMinWords AND $GopherMaxWords
+         |    AND mean_len BETWEEN $GopherMinMeanWordLen AND $GopherMaxMeanWordLen
+         |    AND sym_ratio <= $GopherMaxSymbolRatio
+         |    AND alpha_frac >= $GopherMinAlphaWordFrac
+         |    AND bullet_frac <= $GopherMaxBulletLineFrac
+         |    AND n_stop >= $GopherMinStopwords) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
     "text_normalize" ->
       s"""WITH t AS (SELECT doc_id, '$NormPrefix' || text AS t2 FROM documents)
          |SELECT doc_id, length(t2)::BIGINT AS n_raw,

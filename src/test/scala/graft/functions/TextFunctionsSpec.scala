@@ -116,4 +116,27 @@ class TextFunctionsSpec extends SparkSpec {
       .select(bpeTokenCount(col("text"))).collect().map(_.getInt(0))
     assert(ws(0) == 2 && ws(1) == 0)
   }
+
+  test("gopherStats: each rule trips independently; keep needs all") {
+    def stats(t: String) = Seq(t).toDF("text")
+      .select(gopherStats(col("text")).as("g")).select("g.*").head()
+    val good = ("the and of it " + Seq.fill(50)("sturdy words flow here").mkString(" ")).trim
+    val g = stats(good)
+    assert(g.getAs[Boolean]("keep"))
+    assert(g.getAs[Long]("n_words") == 204 && g.getAs[Long]("n_stopwords") == 4)
+    // too short
+    assert(!stats("the and of it few words").getAs[Boolean]("keep"))
+    // symbol runs: '###' and '...' count, '#tag' and '..' don't
+    val sym = stats("### ... #tag .. " + good)
+    assert(sym.getAs[Double]("symbol_ratio") > 0 &&
+      math.abs(sym.getAs[Double]("symbol_ratio") - 2.0 / 208) < 1e-6)
+    // mean word length out of [3,10]
+    assert(!stats(Seq.fill(60)("a b the of").mkString(" ")).getAs[Boolean]("keep"))
+    // bullet-dominated doc fails on the bullet rule alone
+    val bullets = (1 to 20).map(i => s"- item $i").mkString("\n")
+    val b = stats(bullets + "\nthe and of it closing line " + good)
+    assert(b.getAs[Double]("bullet_line_frac") > 0.9 && !b.getAs[Boolean]("keep"))
+    // no stopwords fails
+    assert(!stats(Seq.fill(60)("sturdy words flow here").mkString(" ")).getAs[Boolean]("keep"))
+  }
 }

@@ -106,4 +106,31 @@ class TextPrepSpec extends SparkSpec {
     // the common phrase outscores the rarer one
     assert(r(0).getDouble(2) > r(2).getDouble(2))
   }
+
+  test("stripHtml: blocks dropped whole, tags dropped, entities single-pass") {
+    import spark.implicits._
+    val html = "<html><head><style>p { color: red }</style>" +
+      "<script>if (1 < 2 && 3 > 2) { x(); }</script></head>" +
+      "<body><!-- hidden note --><h1>A &amp; B</h1>" +
+      "<p class=\"x\">one\t two\n three</p>&lt;tag&gt; &amp;lt;literal&amp;gt;</body></html>"
+    val r = Seq(Tuple1(html)).toDF("s")
+      .select(stripHtml(col("s")).as("t"), htmlTagCount(col("s")).as("n"))
+      .head()
+    // script/style CONTENT gone (not just the tags), comment gone,
+    // whitespace collapsed, entities unescaped exactly once:
+    // "&amp;lt;" -> literal "&lt;", never "<"
+    assert(r.getString(0) == "A & B one two three <tag> &lt;literal&gt;")
+    assert(!r.getString(0).contains("color") && !r.getString(0).contains("x()"))
+    assert(r.getInt(1) > 0)
+  }
+
+  test("stripHtml: unclosed tag cannot swallow the document; null passes") {
+    import spark.implicits._
+    val r = Seq((1L, "before <unclosed after"), (2L, null))
+      .toDF("id", "s").select(col("id"), stripHtml(col("s")).as("t"))
+      .orderBy("id").collect()
+    // TagPattern is <[^>]*>, not <.*?>: the bare '<' survives as text
+    assert(r(0).getString(1) == "before <unclosed after")
+    assert(r(1).isNullAt(1))
+  }
 }
