@@ -1,15 +1,16 @@
 package graft.tools
 
-import graft.operators.{Hnsw, Ivf, Knn}
+import graft.operators.{Dedup, Hnsw, Ivf, Knn}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scaling-exponent probe for the three flagship search shapes: exact scan
+/** Scaling-exponent probe for the flagship shapes: exact scan
   * (`knn_scale`), probed IVF (`ann_ivf_scale`), routed saved-HNSW
   * (`store_hnsw_scale`'s recent tier) — each run at 1x (100K x 64, the
-  * bench corpus size) and 10x (1M x 64), from a deterministic perturbation
-  * corpus staged under /tmp (testdata itself is read-only and tops out at
-  * 100K). Prints a time-vs-size table for SCALING.md.
+  * bench corpus size) and 10x (1M x 64) — plus the MinHash-LSH near-dup
+  * pair scan (`minhash_lsh_pairs`) at 1x/10x of the documents table, all
+  * from deterministic perturbation corpora staged under /tmp (testdata
+  * itself is read-only). Prints a time-vs-size table for SCALING.md.
   *
   * Index construction follows each shape's steady-state sizing rule:
   * clusters scale with sqrt(N) (the standard IVF prescription), so probed
@@ -120,6 +121,42 @@ object ScalingCurve {
         best("hnsw routed probeBlobs=6")(
           Hnsw.searchSaved(spark, hnswPath, queries, k = 10, efSearch = 120,
             probeBlobs = 6).count())))
+    }
+
+    // MinHash-LSH near-dup pair scan — the flagship curation cost. The
+    // corpus is the documents table replicated with a replica tag token
+    // spliced in every 3 words: replicas of the same doc land WELL below
+    // the 0.5 Jaccard bar (~0.2 — most 2-shingles touch a tag), so the
+    // duplicate RATE stays that of the base corpus instead of every
+    // replica group becoming a quadratic near-dup clique. Cost should
+    // then track corpus size ~linearly (hashing + banded join on
+    // bounded buckets), which is the claim SCALING.md makes for 100x.
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    for (reps <- Seq(1, 10)) {
+      val nDocs = docs.count() * reps
+      println(s"[scaling] === documents ${nDocs / 1000}K (reps=$reps) ===")
+      val path = s"/tmp/graft_scaling/docs_r$reps"
+      val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs2 = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs2.exists(done)) {
+        val toks = split(col("text"), "\\s+")
+        val tagged = transform(
+          sequence(lit(0), floor((size(toks) - 1) / 3.0).cast("int")),
+          g => concat(concat_ws(" ", slice(toks, g * 3 + 1, lit(3))),
+            lit(" zz"), col("i")))
+        docs.select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), lit(reps - 1))).as("i"))
+          .select((col("doc_id") * reps + col("i")).as("doc_id"),
+            concat_ws(" ", tagged).as("text"))
+          .repartition(col("doc_id"))
+          .write.mode("overwrite").parquet(path)
+      }
+      val corpus = spark.read.parquet(path)
+      results += (("lsh_pairs", reps, nDocs,
+        best("minhash lsh pairs")(
+          Dedup.minhashLshPairs(corpus, shingleN = 2, bands = 4,
+            rowsPerBand = 2, threshold = 0.5).count())))
     }
 
     println("[scaling] shape | corpus | best-of-3 sec | sec per 100K rows")
