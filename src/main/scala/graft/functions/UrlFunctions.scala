@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL parsing + canonicalization — the crawl-dedup slot of a web-scale
+  * training-data pipeline: dedup keys on the CANONICAL URL (case-folded
+  * scheme/host, default ports stripped, fragments dropped, tracking
+  * params removed, surviving params sorted, trailing slash normalized),
+  * and domain/TLD extraction feeds the per-domain caps and domain-mixture
+  * sampling in [[graft.operators.Curation]].
+  *
+  * Everything is regexp_extract/array expression chains — map-only,
+  * codegen'd, no UDFs — and every pattern is RE2-safe (no lookaround, no
+  * backreferences) so the DuckDB oracle replays the identical patterns.
+  * Parsing is regex-grade by design (the RFC 3986 reference parser lives
+  * in a library; a curation funnel needs the five components and a stable
+  * canonical form, not full generality).
+  */
+object UrlFunctions {
+
+  /** Component patterns, shared verbatim with the oracle. */
+  val SchemePattern = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  val AuthorityPattern = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  val PathPattern = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  val QueryPattern = "\\?([^#]*)"
+  val HostPattern = "^([^:]*)"
+  val PortPattern = ":([0-9]+)$"
+  val TldPattern = "\\.([A-Za-z0-9-]+)$"
+
+  /** Params dropped from the canonical form: the common client-side
+    * tracking families (they vary per visit, never per resource). */
+  val TrackingParamPattern = "^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=.*)?$"
+
+  def urlScheme(u: Column): Column = lower(regexp_extract(u, SchemePattern, 1))
+
+  /** Lowercased host without the port. */
+  def urlHost(u: Column): Column =
+    lower(regexp_extract(regexp_extract(u, AuthorityPattern, 1), HostPattern, 1))
+
+  /** Explicit port as a string, '' when absent. */
+  def urlPort(u: Column): Column =
+    regexp_extract(regexp_extract(u, AuthorityPattern, 1), PortPattern, 1)
+
+  def urlPath(u: Column): Column = regexp_extract(u, PathPattern, 1)
+
+  def urlQuery(u: Column): Column = regexp_extract(u, QueryPattern, 1)
+
+  /** Last dotted label of the host ('' for dotless hosts). */
+  def urlTld(u: Column): Column = regexp_extract(urlHost(u), TldPattern, 1)
+
+  /** Canonical URL string (see object doc for the rule list). Empty or
+    * scheme-less input canonicalizes to '' — callers treat that as
+    * "not a URL" and keep the row out of URL-keyed dedup. */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme = urlScheme(u)
+    val host = urlHost(u)
+    val port = urlPort(u)
+    val keptPort = when(port === "", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val strippedPath = regexp_replace(urlPath(u), "/+$", "")
+    val path = when(strippedPath === "", lit("/")).otherwise(strippedPath)
+    val params = filter(split(urlQuery(u), "&"),
+      p => p =!= "" && !p.rlike(TrackingParamPattern))
+    val q = array_join(array_sort(params), "&")
+    when(scheme === "", lit("")).otherwise(concat(
+      scheme, lit("://"), host, keptPort, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
+}

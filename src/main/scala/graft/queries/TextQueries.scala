@@ -212,6 +212,38 @@ object TextQueries {
           col("g.bullet_line_frac"), col("g.n_stopwords"), col("g.keep"))
         .orderBy("doc_id")
     }),
+    // URL canonicalization: deterministic synthetic URLs keyed off doc_id
+    // exercise every rule — uppercase scheme/host folding, default-port
+    // strip vs explicit-port keep, trailing-slash normalization, fragment
+    // drop, tracking-param removal, surviving-param sort. Slash/case/port
+    // variants of the same resource collapse to the same canon_url, which
+    // is the crawl-dedup key.
+    "url_canonical" -> ((s, dir) => {
+      import graft.functions.UrlFunctions._
+      val scheme = when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("HTTP"))
+      val hostCase = when(col("doc_id") % 3 === 0, lit("WWW.Ex")).otherwise(lit("www.ex"))
+      val tld = when(col("doc_id") % 4 === 0, lit(".COM"))
+        .when(col("doc_id") % 4 === 1, lit(".org"))
+        .when(col("doc_id") % 4 === 2, lit(".io")).otherwise(lit(".net"))
+      val port = when(col("doc_id") % 5 === 0,
+          when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")))
+        .when(col("doc_id") % 5 === 1, lit(":8080")).otherwise(lit(""))
+      val slash = when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit(""))
+      val qs = when(col("doc_id") % 3 === 1, lit("?b=2&utm_source=news&a=1"))
+        .when(col("doc_id") % 3 === 2, lit("?gclid=g&z=9&utm_campaign=x"))
+        .otherwise(lit(""))
+      val url = concat(scheme, lit("://"), hostCase,
+        (col("doc_id") % 7).cast("string"), tld, port,
+        lit("/Dir/p"), (col("doc_id") % 13).cast("string"), slash, qs, lit("#frag"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), url.as("u"))
+        .select(col("doc_id"),
+          urlScheme(col("u")).as("scheme"),
+          urlHost(col("u")).as("host"),
+          urlTld(col("u")).as("tld"),
+          canonicalizeUrl(col("u")).as("canon_url"))
+        .orderBy("doc_id")
+    }),
     // PII scrubbing: deterministic synthetic PII (email/IP/phone derived
     // from doc_id) appended to each doc, then matched+redacted with the
     // RE2-safe shared patterns; output pins both the counts and the md5 of
@@ -415,6 +447,46 @@ object TextQueries {
          |  md5(strip_accents(t2)) AS ascii_fp,
          |  md5(trim(regexp_replace(lower(nfc_normalize(t2)), '\\s+', ' ', 'g'))) AS canon_fp
          |FROM t ORDER BY doc_id""".stripMargin,
+    "url_canonical" -> {
+      import graft.functions.UrlFunctions._
+      s"""WITH t AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://'
+         |  || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Ex' ELSE 'www.ex' END) || (doc_id % 7)
+         |  || (CASE doc_id % 4 WHEN 0 THEN '.COM' WHEN 1 THEN '.org'
+         |      WHEN 2 THEN '.io' ELSE '.net' END)
+         |  || (CASE WHEN doc_id % 5 = 0
+         |        THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+         |      WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+         |  || '/Dir/p' || (doc_id % 13)
+         |  || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+         |  || (CASE WHEN doc_id % 3 = 1 THEN '?b=2&utm_source=news&a=1'
+         |      WHEN doc_id % 3 = 2 THEN '?gclid=g&z=9&utm_campaign=x' ELSE '' END)
+         |  || '#frag' AS u FROM documents),
+         |p AS (SELECT doc_id,
+         |  lower(regexp_extract(u, '$SchemePattern', 1)) AS scheme,
+         |  lower(regexp_extract(regexp_extract(u, '$AuthorityPattern', 1),
+         |    '$HostPattern', 1)) AS host,
+         |  coalesce(regexp_extract(regexp_extract(u, '$AuthorityPattern', 1),
+         |    '$PortPattern', 1), '') AS port,
+         |  regexp_extract(u, '$PathPattern', 1) AS path,
+         |  coalesce(regexp_extract(u, '$QueryPattern', 1), '') AS q FROM t),
+         |c AS (SELECT doc_id, scheme, host,
+         |  coalesce(regexp_extract(host, '$TldPattern', 1), '') AS tld,
+         |  CASE WHEN port = '' THEN ''
+         |       WHEN scheme = 'http' AND port = '80' THEN ''
+         |       WHEN scheme = 'https' AND port = '443' THEN ''
+         |       ELSE ':' || port END AS kp,
+         |  CASE WHEN regexp_replace(path, '/+$$', '') = '' THEN '/'
+         |       ELSE regexp_replace(path, '/+$$', '') END AS cpath,
+         |  coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+         |    x -> x != '' AND NOT regexp_matches(x, '$TrackingParamPattern'))),
+         |    '&'), '') AS cq
+         |  FROM p)
+         |SELECT doc_id, scheme, host, tld,
+         |  scheme || '://' || host || kp || cpath
+         |    || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canon_url
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     "pii_scrub" -> {
       import graft.functions.TextPrep.{EmailPattern, Ipv4Pattern, PhonePattern}
       s"""WITH t AS (SELECT doc_id,

@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.UrlFunctions._
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for URL parsing + canonicalization: component extraction,
+  * case folding, default-port stripping, tracking-param removal, param
+  * sorting, trailing-slash and fragment normalization, and the non-URL
+  * escape hatch. */
+class UrlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(u: String): String =
+    Seq(u).toDF("u").select(canonicalizeUrl(col("u"))).head().getString(0)
+
+  test("components: scheme/host/port/path/query/tld") {
+    val r = Seq("HTTPS://WWW.Example.COM:8443/A/b?x=1&y=2#frag").toDF("u")
+      .select(urlScheme(col("u")).as("s"), urlHost(col("u")).as("h"),
+        urlPort(col("u")).as("p"), urlPath(col("u")).as("pa"),
+        urlQuery(col("u")).as("q"), urlTld(col("u")).as("t"))
+      .head()
+    assert(r.getString(0) == "https" && r.getString(1) == "www.example.com")
+    assert(r.getString(2) == "8443" && r.getString(3) == "/A/b")
+    assert(r.getString(4) == "x=1&y=2" && r.getString(5) == "com")
+  }
+
+  test("canonical form collapses case/port/slash/fragment/tracking variants") {
+    val a = canon("https://Site.com:443/dir/?utm_source=x&b=2&a=1#top")
+    val b = canon("HTTPS://site.COM/dir?a=1&b=2&gclid=zz")
+    assert(a == "https://site.com/dir?a=1&b=2" && a == b)
+    // non-default port survives; path case survives; root path is '/'
+    assert(canon("http://h.io:8080/Dir") == "http://h.io:8080/Dir")
+    assert(canon("http://h.io:80") == "http://h.io/")
+    // all params tracking -> no query at all
+    assert(canon("http://h.io/p?utm_a=1&fbclid=f") == "http://h.io/p")
+  }
+
+  test("non-URLs canonicalize to empty; null passes through") {
+    val r = Seq((1L, "not a url"), (2L, null)).toDF("id", "u")
+      .select(col("id"), canonicalizeUrl(col("u")).as("c")).orderBy("id").collect()
+    assert(r(0).getString(1) == "")
+    assert(r(1).isNullAt(1))
+  }
+}
