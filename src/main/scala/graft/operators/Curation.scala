@@ -113,6 +113,41 @@ object Curation {
     docs.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Embedding-space contamination report: (idCol, max_cosine) for every
+    * corpus row whose embedding lands within `threshold` cosine of ANY
+    * eval embedding — the vector-space complement of the n-gram
+    * [[contaminationPairs]] (paraphrased or reformatted eval leakage that
+    * shares no shingles still lands next to the eval item in embedding
+    * space). The eval side is broadcast (eval sets are small by
+    * definition), so the corpus scan stays map-side with a per-row loop
+    * over the broadcast table — no shuffle of corpus embeddings; at an
+    * eval size where brute-force per-row cost bites, block the eval side
+    * through the IVF machinery first, exactly like
+    * [[Dedup.embeddingNearDupPairs]] blocks the corpus. */
+  def embeddingContamination(docs: DataFrame, evalDocs: DataFrame,
+      threshold: Double, embCol: String = "embedding",
+      idCol: String = "doc_id"): DataFrame = {
+    val ev = broadcast(evalDocs.select(col(embCol).as("eval_emb")))
+    docs.select(col(idCol), col(embCol))
+      .crossJoin(ev)
+      .select(col(idCol),
+        graft.functions.VectorExpressions.vecCosine(col(embCol), col("eval_emb"))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(max(col("cos")).as("max_cosine"))
+  }
+
+  /** [[embeddingContamination]] as a filter: the corpus minus every doc
+    * within `threshold` cosine of the eval set. */
+  def decontaminateByEmbedding(docs: DataFrame, evalDocs: DataFrame,
+      threshold: Double, embCol: String = "embedding",
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      embeddingContamination(docs, evalDocs, threshold, embCol, idCol)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** The one-call curation path from raw documents to training-ready
     * rows: [[Dedup.prepPipeline]]'s funnel (exact dedup → quality floor →
     * language filter → LSH near-dup drop), then [[decontaminate]] against

@@ -49,6 +49,23 @@ object CurationQueries {
           shingleN = 2, threshold = 0.2)
         .orderBy("doc_id", "eval_id")
     }),
+    // embedding-space decontamination: the eval set is a PERTURBED copy
+    // of the vec_id % 97 slice (x -> x*1.01 + 0.001, then f32-rounded in
+    // both engines) — the paraphrased-leakage scenario this operator
+    // exists for, where the eval item shares no n-grams with the leaked
+    // doc but lands ~0.999 cosine from it. Threshold 0.9 separates the
+    // leaked sources (~0.999) from everything else (<0.5 on this corpus)
+    // with a margin that holds at every SF.
+    "embedding_decontaminate" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val evalSet = emb.filter(col("vec_id") % 97 === 0)
+        .select(transform(col("embedding"),
+          x => (x.cast("double") * 1.01 + 0.001).cast("float")).as("embedding"))
+      Curation.embeddingContamination(emb, evalSet,
+          threshold = 0.9, idCol = "vec_id")
+        .select(col("vec_id"), round(col("max_cosine"), 6).as("max_cosine"))
+        .orderBy("vec_id")
+    }),
     // first-fit sequence packing into 256-token bins within each source
     // shard; reported as per-bin doc/token counts
     "pack_sequences" -> ((s, dir) => {
@@ -91,6 +108,16 @@ object CurationQueries {
          |WHERE b < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
          |  ELSE 0.5 END) * 10000
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "embedding_decontaminate" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |ev AS (SELECT list_transform(emb,
+        |    x -> ((x * 1.01 + 0.001)::FLOAT)::DOUBLE) AS emb
+        |  FROM e WHERE vec_id % 97 = 0)
+        |SELECT a.vec_id, round(max(list_cosine_similarity(a.emb, v.emb)), 6) AS max_cosine
+        |FROM e a, ev v
+        |WHERE list_cosine_similarity(a.emb, v.emb) >= 0.9
+        |GROUP BY a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
     "decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh AS (SELECT doc_id, list_distinct(

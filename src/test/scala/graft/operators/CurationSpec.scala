@@ -139,4 +139,22 @@ class CurationSpec extends SparkSpec {
     assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 9L -> 0L))
     intercept[IllegalArgumentException](Curation.packSequences(df, 0))
   }
+
+  test("embedding decontamination drops vector-space leaks n-grams miss") {
+    // doc 1 is a scaled+shifted copy of the eval vector (a paraphrase
+    // shares no shingles but lands ~1.0 cosine); docs 2/3 are far away
+    val evalDocs = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("embedding")
+    val train = Seq(
+      (1L, Array(1.01f, 2.02f, 3.03f, 4.04f)),
+      (2L, Array(-4.0f, 3.0f, -2.0f, 1.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("doc_id", "embedding")
+    val flagged = Curation.embeddingContamination(train, evalDocs, 0.9)
+    val r = flagged.as[(Long, Double)].collect().toMap
+    assert(r.keySet == Set(1L) && r(1L) > 0.999)
+    val kept = Curation.decontaminateByEmbedding(train, evalDocs, 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
 }
