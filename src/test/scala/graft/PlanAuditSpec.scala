@@ -268,4 +268,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("embedding decontamination broadcasts eval; corpus never shuffles pre-agg") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val flagged = graft.operators.Curation.embeddingContamination(
+      emb, emb.filter(col("vec_id") % 97 === 0), threshold = 0.9,
+      idCol = "vec_id")
+    flagged.collect()
+    val plan = flagged.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastNestedLoopJoin"), plan.toString)
+    // the only exchange is the tiny post-filter (id, cos) aggregate —
+    // corpus embeddings never cross a shuffle
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.forall(!_.child.schema.fieldNames.contains("embedding")),
+      plan.toString)
+  }
+
+  test("text prep queries (html/quality/url) are pure map until the final sort") {
+    for (name <- Seq("html_extract", "quality_rules", "url_canonical")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // one rangepartitioning exchange for the ORDER BY, nothing else
+      assert(shuffles.size <= 1, s"$name: ${df.queryExecution.executedPlan}")
+      assert(shuffles.forall(_.outputPartitioning.toString.contains("range")),
+        s"$name: ${df.queryExecution.executedPlan}")
+    }
+  }
 }
