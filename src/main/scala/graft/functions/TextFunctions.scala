@@ -228,7 +228,8 @@ object TextFunctions {
   }
 
   /** Register the text-analysis surface as SQL functions (quality_score,
-    * lang_id, token_count, bpe_token_count, content_fingerprint, simhash)
+    * lang_id, token_count, bpe_token_count, content_fingerprint, simhash,
+    * gopher_stats, strip_html, html_tag_count, canonicalize_url, url_host)
     * so `spark.sql` users get the same operators as the Column API —
     * the per-session analog of [[graft.GraftExtensions]]. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -259,5 +260,14 @@ object TextFunctions {
       }
       ColumnBridge.eagerExpression(simhash(ColumnBridge.column(es.head), bits))
     }, "built-in")
+    reg.createOrReplaceTempFunction("gopher_stats", wrap(gopherStats), "built-in")
+    reg.createOrReplaceTempFunction("strip_html",
+      wrap(TextPrep.stripHtml), "built-in")
+    reg.createOrReplaceTempFunction("html_tag_count",
+      wrap(TextPrep.htmlTagCount), "built-in")
+    reg.createOrReplaceTempFunction("canonicalize_url",
+      wrap(UrlFunctions.canonicalizeUrl), "built-in")
+    reg.createOrReplaceTempFunction("url_host",
+      wrap(UrlFunctions.urlHost), "built-in")
   }
 }

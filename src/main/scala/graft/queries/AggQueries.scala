@@ -15,6 +15,25 @@ object AggQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // HLL++ sketch distinct counts per source: at 100 TB the exact
+    // count(DISTINCT fingerprint) per domain shuffles every fingerprint;
+    // the sketch is fixed-size, mergeable, one map pass. The row computes
+    // BOTH and gates the estimate against the exact count at the
+    // documented 5% bound (HLL++ at rsd 0.02 is sparse-mode exact at
+    // these cardinalities, so the verdict is deterministic); the oracle
+    // pins the exact counts and the verdict.
+    "sketch_distinct" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("source"),
+          graft.functions.TextFunctions.contentFingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(countDistinct(col("fp")).as("n_exact"),
+          approx_count_distinct(col("fp"), 0.02).as("n_approx"))
+        .select(col("source"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double")
+            / col("n_exact") <= 0.05).as("approx_ok"))
+        .orderBy("source")
+    }),
     // A7 age-distribution histogram (hybrid/core.rs:758-820): buckets
     // relative to the newest event
     "age_histogram" -> ((s, dir) => {
@@ -169,6 +188,12 @@ object AggQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "sketch_distinct" ->
+      """SELECT source,
+        |  count(DISTINCT md5(array_to_string(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), ' '))) AS n_exact,
+        |  true AS approx_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "age_histogram" ->
       """WITH ev AS (SELECT date_trunc('second', ts) AS tss FROM events),
         |mx AS (SELECT max(tss) AS mx FROM ev)

@@ -91,6 +91,14 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(0).getString(5).length == 32)
     val s = r(0).getLong(6)
     assert(s >= 0 && s < (1L << 16))
+    // the curation additions are served through the same registry
+    val r2 = spark.sql(
+      """SELECT gopher_stats('the and of it words').keep k,
+        |  strip_html('<p>a &amp; b</p>') h, html_tag_count('<p>x</p>') n,
+        |  canonicalize_url('HTTP://Ex.COM:80/p/?utm_a=1&z=2#f') cu,
+        |  url_host('https://A.io/x') uh""".stripMargin).head()
+    assert(!r2.getBoolean(0) && r2.getString(1) == "a & b" && r2.getInt(2) == 2)
+    assert(r2.getString(3) == "http://ex.com/p?z=2" && r2.getString(4) == "a.io")
     // non-literal simhash bits is a loud error, not a silent misparse
     intercept[Exception](spark.sql(
       "SELECT simhash(text, id) FROM tf_sql_t").collect())
