@@ -34,6 +34,37 @@ object AggQueries {
             / col("n_exact") <= 0.05).as("approx_ok"))
         .orderBy("source")
     }),
+    // GK-sketch quantiles gated against the exact percentile: the
+    // mergeable sketch is how a 100 TB events table reports latency
+    // quantiles without a global sort; at accuracy 10000 over this table
+    // the rank error is ~1, so the 5%-band verdict is deterministic. Only
+    // exact values and the verdict are emitted (the raw estimate is
+    // engine-specific).
+    "sketch_quantiles" -> ((s, dir) => {
+      def ok(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+        abs(a - e) <= greatest(abs(e) * 0.05, lit(0.05))
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          percentile(col("value"), lit(0.5)).as("p50e"),
+          percentile(col("value"), lit(0.99)).as("p99e"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
+          percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99a"))
+        .select(col("event_type"),
+          round(col("p50e"), 4).as("p50_exact"),
+          round(col("p99e"), 4).as("p99_exact"),
+          (ok(col("p50a"), col("p50e")) && ok(col("p99a"), col("p99e")))
+            .as("approx_ok"))
+        .orderBy("event_type")
+    }),
+    // column-level profile of the documents table — the per-shard data
+    // quality report (nulls / exact distincts / min-max per column) in
+    // one aggregate over one scan
+    "table_profile" -> ((s, dir) => {
+      graft.operators.Profile.profile(Tables.load(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("col_name")
+    }),
     // A7 age-distribution histogram (hybrid/core.rs:758-820): buckets
     // relative to the newest event
     "age_histogram" -> ((s, dir) => {
@@ -188,6 +219,34 @@ object AggQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "sketch_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(value, 0.99), 4) AS p99_exact,
+        |  true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "table_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name, count(*) AS n,
+        |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |    count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min, CAST(max(doc_id) AS VARCHAR) AS max
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*),
+        |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT lang), min(lang), max(lang) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*),
+        |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT source), min(source), max(source) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*),
+        |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT n_chars),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |  FROM documents
+        |) ORDER BY col_name""".stripMargin,
     "sketch_distinct" ->
       """SELECT source,
         |  count(DISTINCT md5(array_to_string(
