@@ -122,6 +122,42 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("html strip / gopher stats / url canon are total on arbitrary text") {
+    // adversarial markup-ish content: unclosed tags, stray ampersands,
+    // half-entities, angle brackets inside 'attributes', random unicode
+    val markupAlphabet = alphabet + "<>&;=\"/#?:"
+    def randMarkup(maxLen: Int): String =
+      (0 until rnd.nextInt(maxLen)).map(_ =>
+        markupAlphabet(rnd.nextInt(markupAlphabet.length))).mkString
+    val df = (0 until 300).map(i => (i.toLong, randMarkup(120))).toDF("id", "text")
+    // stripHtml: never null on non-null input, never throws, output has no
+    // collapsible whitespace runs left
+    val stripped = df.select(col("id"),
+      graft.functions.TextPrep.stripHtml(col("text")).as("t"))
+    assert(stripped.filter(col("t").isNull).count() == 0)
+    assert(stripped.filter(col("t").rlike("[\\t\\n\\x0B\\f\\r ]{2}")).count() == 0)
+    // gopherStats: every ratio in [0,1], counts non-negative, keep defined
+    val g = df.select(gopherStats(col("text")).as("g")).select("g.*")
+    val r = g.agg(min("mean_word_len"), min("alpha_word_frac"),
+      max("alpha_word_frac"), min("symbol_ratio"), max("symbol_ratio"),
+      min("bullet_line_frac"), max("bullet_line_frac"), min("n_words"),
+      min("n_stopwords")).head()
+    assert(r.getDouble(0) >= 0.0)
+    for (i <- 1 to 6) assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0,
+      s"ratio col $i out of range: ${r.getDouble(i)}")
+    assert(r.getLong(7) >= 0 && r.getLong(8) >= 0)
+    assert(g.filter(col("keep").isNull).count() == 0)
+    // canonicalizeUrl: total; '' (never null) for junk without a scheme;
+    // idempotent where it does parse
+    val canon = df.select(col("id"),
+      graft.functions.UrlFunctions.canonicalizeUrl(col("text")).as("c"))
+    assert(canon.filter(col("c").isNull).count() == 0)
+    val twice = canon.select(col("c"),
+      graft.functions.UrlFunctions.canonicalizeUrl(col("c")).as("c2"))
+      .filter(col("c") =!= "" && col("c") =!= col("c2"))
+    assert(twice.count() == 0, twice.collect().take(3).mkString("; "))
+  }
+
   test("FilterJson rejects junk with IllegalArgumentException, never other throwables") {
     val junk = Seq("{", "[]", "7", "\"x\"", """{"a": {"$gt": {}}}""",
       """{"$nope": 1}""", """{"a": {"$gte": 1, "$in": [2]}}""", "")
