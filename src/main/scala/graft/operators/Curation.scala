@@ -74,6 +74,33 @@ object Curation {
       explode(when(copies > 0, sequence(lit(0L), copies - 1))))
   }
 
+  /** Temperature-scaled source mixing (the multilingual-pretraining
+    * reweighting; alpha-sampling with alpha = 1/T): target share per
+    * source q_s ∝ p_s^alpha where p_s is the source's natural corpus
+    * share, so the per-doc keep rate is ∝ p_s^(alpha-1). Rates are
+    * normalized so the SMALLEST source keeps rate 1.0 — a pure
+    * head-downsampling policy, never upsampling the tail — and rounded
+    * to 6 decimals so the oracle's independently-computed pow agrees
+    * bit-stably at the bucket boundary. alpha = 1 keeps natural
+    * proportions; alpha = 0 is uniform-over-sources. The per-source
+    * count aggregate collects one row per source (bounded like a
+    * centroid table); the sampling itself is [[mixtureSample]] —
+    * hash-deterministic, map-only. */
+  def temperatureMix(docs: DataFrame, alpha: Double, salt: String = "mix",
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"temperatureMix: alpha=$alpha outside [0,1]")
+    val counts = docs.groupBy(sourceCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    require(counts.nonEmpty, "temperatureMix: empty corpus")
+    val total = counts.values.sum
+    val weights = counts.map { case (s, c) =>
+      s -> math.pow(c / total, alpha - 1.0) }
+    val maxW = weights.values.max
+    val rates = weights.map { case (s, w) =>
+      s -> BigDecimal(w / maxW).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    mixtureSample(docs, rates, default = 0.0, salt, sourceCol, idCol)
+  }
+
   /** Training docs whose n-gram overlap with ANY eval doc reaches the
     * threshold: (doc_id, eval_id, overlap) with overlap = |shingles(doc) ∩
     * shingles(eval)| / |shingles(EVAL)|, rounded to 6 for engine-stable

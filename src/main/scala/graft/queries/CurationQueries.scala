@@ -38,6 +38,17 @@ object CurationQueries {
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
         .orderBy("source")
     }),
+    // temperature-scaled mixing over the skewed lang column (alpha = 0.5):
+    // the head language is downsampled toward uniform, the smallest keeps
+    // rate 1.0; rates derive from the corpus's own counts, so the oracle
+    // recomputes them from scratch and must land on the same 6-decimal
+    // values
+    "temperature_mix" -> ((s, dir) => {
+      Curation.temperatureMix(Tables.load(s, dir, "documents"),
+          alpha = 0.5, sourceCol = "lang")
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    }),
     // eval-set decontamination: flag train docs containing >= 20% of any
     // eval doc's bigrams (eval set = every 97th doc)
     "decontaminate" -> ((s, dir) => {
@@ -107,6 +118,16 @@ object CurationQueries {
          |SELECT source, count(*) AS n_kept FROM f
          |WHERE b < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
          |  ELSE 0.5 END) * 10000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*)::DOUBLE AS cnt FROM documents GROUP BY lang),
+         |n AS (SELECT sum(cnt) AS total FROM c),
+         |w AS (SELECT lang, pow(cnt / total, -0.5) AS wt FROM c, n),
+         |r AS (SELECT lang, round(wt / (SELECT max(wt) FROM w), 6) AS rate FROM w),
+         |f AS (SELECT d.lang, ${bucketSql("mix")} AS b, r.rate
+         |  FROM documents d JOIN r USING (lang))
+         |SELECT lang, count(*) AS n_kept FROM f
+         |WHERE b < rate * 10000
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "embedding_decontaminate" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -140,6 +140,22 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](Curation.packSequences(df, 0))
   }
 
+  test("temperature mix: alpha=1 is identity, alpha<1 downsamples the head only") {
+    val skewed = ((1L to 800L).map(i => (i, "big")) ++
+      (801L to 900L).map(i => (i, "small"))).toDF("doc_id", "source")
+    // alpha = 1: natural proportions, every doc keeps rate 1.0
+    assert(Curation.temperatureMix(skewed, alpha = 1.0).count() == 900)
+    val mixed = Curation.temperatureMix(skewed, alpha = 0.5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // smallest source keeps rate 1.0; head rate = (p_small/p_big)^0.5 ≈ 0.354
+    assert(mixed("small") == 100)
+    assert(mixed("big") < 800 && math.abs(mixed("big") - 800 * 0.3536) < 40)
+    // deterministic: the same hash decisions every run
+    assert(Curation.temperatureMix(skewed, alpha = 0.5).count() ==
+      mixed.values.sum)
+    intercept[IllegalArgumentException](Curation.temperatureMix(skewed, 1.5))
+  }
+
   test("embedding decontamination drops vector-space leaks n-grams miss") {
     // doc 1 is a scaled+shifted copy of the eval vector (a paraphrase
     // shares no shingles but lands ~1.0 cosine); docs 2/3 are far away
