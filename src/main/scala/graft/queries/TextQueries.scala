@@ -212,6 +212,25 @@ object TextQueries {
           col("g.bullet_line_frac"), col("g.n_stopwords"), col("g.keep"))
         .orderBy("doc_id")
     }),
+    // JSONL ingest roundtrip: the documents table staged as JSONL (the
+    // corpus interchange format) under /tmp, read back through the
+    // schema'd PERMISSIVE reader, quarantine split applied; the gate
+    // pins count, id/char sums, and a text hash-sum against the parquet
+    // truth — lossless ingest, zero quarantined rows.
+    "jsonl_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_q_").toString
+      Tables.load(s, dir, "documents").write.mode("overwrite").json(s"$tmp/docs")
+      val (clean, bad) = graft.sources.DocumentSource.quarantine(
+        graft.sources.DocumentSource.jsonl(s, s"$tmp/docs"))
+      val r = clean.agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"),
+        sum("n_chars").as("chars_sum"),
+        sum(stableHash32(col("text"))).as("text_hash_sum")).head()
+      val nBad = bad.count()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), nBad))
+        .toDF("n", "id_sum", "chars_sum", "text_hash_sum", "n_quarantined")
+    }),
     // URL canonicalization: deterministic synthetic URLs keyed off doc_id
     // exercise every rule — uppercase scheme/host folding, default-port
     // strip vs explicit-port keep, trailing-slash normalization, fragment
@@ -447,6 +466,12 @@ object TextQueries {
          |  md5(strip_accents(t2)) AS ascii_fp,
          |  md5(trim(regexp_replace(lower(nfc_normalize(t2)), '\\s+', ' ', 'g'))) AS canon_fp
          |FROM t ORDER BY doc_id""".stripMargin,
+    "jsonl_ingest" ->
+      s"""SELECT count(*) AS n, sum(doc_id)::BIGINT AS id_sum,
+         |  sum(n_chars)::BIGINT AS chars_sum,
+         |  sum(${hash32("text")})::BIGINT AS text_hash_sum,
+         |  0::BIGINT AS n_quarantined
+         |FROM documents""".stripMargin,
     "url_canonical" -> {
       import graft.functions.UrlFunctions._
       s"""WITH t AS (SELECT doc_id,
