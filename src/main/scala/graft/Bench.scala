@@ -26,15 +26,20 @@ object Bench {
       // and these settings are irrelevant.
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "512k")
-      // 58 queries x ~5-10 whole-stage-codegen units each overflows the
+      // Many queries x ~5-10 whole-stage-codegen units each overflows the
       // default 100-entry generated-class cache, so pass 2 of an
       // interleaved sweep regenerates + re-JITs every hot kernel — the
       // 10M-row knn_scale loop pays ~1.5 s of C2 warm-up per MEASURED
-      // pass while the same query warm-runs in ~0.9 s standalone. Size
-      // the cache to hold the whole sweep (same fix class as the r4
-      // ReservedCodeCacheSize=1g: the bench is many-query, the defaults
-      // assume few).
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // pass while the same query warm-runs in ~0.9 s standalone (the r5
+      // post-mortem; same fix class as the r4 ReservedCodeCacheSize=1g:
+      // the bench is many-query, the defaults assume few). The size is
+      // DERIVED from the registry size, not a constant: a constant was
+      // re-invalidated every round the sweep grew (r4: 43 queries, r5:
+      // 58, r7: 87) — 60 entries/query covers the observed ~5-10 codegen
+      // units per query plus index-build/warm-up plans with >5x headroom,
+      // and the 4000 floor keeps the r5-measured sizing as a minimum.
+      .config("spark.sql.codegen.cache.maxEntries",
+        math.max(4000, SparkEntry.queries.size * 60).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -113,13 +118,20 @@ object Bench {
       "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n\r\t]", " ") + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // The driver captures only the TAIL of sbt output; at 87+ queries the
+    // single full line can exceed that window and lose its leading fields
+    // (BENCH_r05/r06 lost "total" and the alphabetically-first timings;
+    // the r7 capture lost 31 per-query rows). Emit lines LARGEST FIRST so
+    // whatever the window size, truncation eats from the redundant big
+    // line and the tail always holds, in order: (1) the full line
+    // (everything, may lose its head), (2) a compact per-query line with
+    // rounded times (all rows, ~25 bytes each — survives any plausible
+    // window), (3) the smallest self-contained summary line last.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters}""")
-    // The driver captures only the TAIL of sbt output; at 78 queries the
-    // single full line above can exceed that window and lose its leading
-    // fields (BENCH_r05/r06 lost "total" and the alphabetically-first
-    // per-query timings). Emit a compact self-contained summary line AFTER
-    // the full line so the authoritative total + worst offenders always
-    // survive tail capture, whatever the window size.
+    val qsCompact = results
+      .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 10000) / 10000 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"queries","queries":$qsCompact,"n":${results.size}}""")
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"summary","total":$total,"unit":"sec","n":${results.size},"errors_n":${failed.size},"slowest":$slowest,"sf":"$sfDir","iters":$iters}""")

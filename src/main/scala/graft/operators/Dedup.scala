@@ -60,25 +60,26 @@ object Dedup {
     * become candidates; candidates are verified on true shingle-set Jaccard.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold. */
   def minhashLshPairs(docs: DataFrame, shingleN: Int, bands: Int, rowsPerBand: Int,
-      threshold: Double, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+      threshold: Double, textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Int = 0): DataFrame =
     // md5 each shingle exactly once; everything downstream (signature,
     // Jaccard verify) works on compact long arrays — at scale, only the
     // 8-long signature and the hash set ever cross a shuffle, never text.
     minhashLshPairsFromHashes(
       spread(docs).select(col(idCol).as("id"),
         array_distinct(shingleHashes(col(textCol), shingleN)).as("hs")),
-      bands, rowsPerBand, threshold)
+      bands, rowsPerBand, threshold, maxBucket = maxBucket)
 
   /** As [[minhashLshPairs]] over an already-hashed relation (id, hs) —
     * callers that materialized the shingle hashes (streaming ingest) skip
     * the second md5 pass. */
   def minhashLshPairsFromHashes(hashedIn: DataFrame, bands: Int, rowsPerBand: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBucket: Int = 0): DataFrame = {
     val numHashes = bands * rowsPerBand
     minhashLshPairsFromBandKeys(hashedIn
       .withColumn("bks", sigBandKeys(
         minhashFromHashes(col("hs"), numHashes), bands, rowsPerBand)),
-      threshold)
+      threshold, maxBucket = maxBucket)
   }
 
   /** As [[minhashLshPairsFromHashes]] over a relation that ALSO carries the
@@ -91,10 +92,20 @@ object Dedup {
     * where it removes three shuffles of task-overhead-dominated tiny
     * relations — AQE cannot do this re-plan under streaming. NEVER set it
     * for a whole-corpus pair scan: broadcasting an unbounded banded
-    * relation is the textbook driver OOM. */
+    * relation is the textbook driver OOM.
+    *
+    * `maxBucket > 0` bounds the candidate fan-out: a (band, bucket) group
+    * with more than `maxBucket` members contributes NO candidate pairs
+    * (the group's self-join is quadratic in its size — at extreme
+    * duplicate rates the candidate list IS the output, and one degenerate
+    * bucket of N near-identical docs would emit N^2/2 rows). This is an
+    * explicit truncation, never silent: size it with [[lshBucketStats]]
+    * (and [[prepPipelineStats]] surfaces the spilled-bucket count next to
+    * the funnel numbers). Docs in a spilled bucket can still pair through
+    * their OTHER bands' buckets. */
   def minhashLshPairsFromBandKeys(hashedIn: DataFrame,
       threshold: Double, smallInput: Boolean = false,
-      inputPersisted: Boolean = false): DataFrame = {
+      inputPersisted: Boolean = false, maxBucket: Int = 0): DataFrame = {
     def bc(df: DataFrame): DataFrame = if (smallInput) broadcast(df) else df
     // cached: referenced three times (band explode + two verify joins);
     // without it the shingle-hash scan re-runs per reference. At cluster
@@ -105,8 +116,21 @@ object Dedup {
     val hashed =
       if (inputPersisted) hashedIn
       else hashedIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = hashed.select(col("id"),
+    val bandedAll = hashed.select(col("id"),
       posexplode(col("bks")).as(Seq("band", "bucket")))
+    val banded =
+      if (maxBucket <= 0) bandedAll
+      else {
+        // one count aggregate on the (band, bucket) key, then a semi-join
+        // keep-list — the aggregate rides the same exchange the self-join
+        // below needs, so the cap costs one small keep-list join, and the
+        // quadratic explode of a degenerate bucket never happens
+        val keep = bandedAll.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= maxBucket)
+          .select("band", "bucket")
+        bandedAll.join(bc(keep), Seq("band", "bucket"), "left_semi")
+      }
     val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(bc(banded.select(col("band"), col("bucket"), col("id").as("id_b"))),
         Seq("band", "bucket"))
@@ -123,6 +147,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Bucket-population report for a banded relation (id, bks) under a
+    * candidate cap: ONE row — (n_buckets, n_spilled_buckets,
+    * max_bucket_size) — where a bucket "spills" when its membership
+    * exceeds `maxBucket` and [[minhashLshPairsFromBandKeys]] would drop
+    * its candidate pairs. The no-silent-caps companion of the cap: a
+    * curation run publishes this next to its funnel counts. */
+  def lshBucketStats(bandedInput: DataFrame, maxBucket: Int): DataFrame =
+    bandedInput.select(col("id"), posexplode(col("bks")).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(sum(when(col("bsz") > maxBucket, 1L)), lit(0L))
+          .as("n_spilled_buckets"),
+        coalesce(max("bsz"), lit(0L)).as("max_bucket_size"))
 
   /** All-pairs n-gram Jaccard within small blocks (blockCol bounded): the
     * exact verify used when a blocking key already exists. */
@@ -431,15 +469,16 @@ object Dedup {
     * stage — the report a data-curation run ships with its output. */
   def prepPipelineStats(docs: DataFrame, minQuality: Double, lang: String,
       shingleN: Int, bands: Int, rowsPerBand: Int, threshold: Double,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Int = 0): DataFrame = {
     val flagged = flaggedCorpus(docs, shingleN, textCol, idCol)
     val s3 = col("keep_exact") && col("quality") >= minQuality &&
       col("lang_guess") === lang
     val ndRemoved = minhashLshPairsFromHashes(
         flagged.filter(s3).select(col(idCol).as("id"), col("hs")),
-        bands, rowsPerBand, threshold)
+        bands, rowsPerBand, threshold, maxBucket = maxBucket)
       .select(col("id_b").as(idCol)).distinct().withColumn("nd", lit(true))
-    flagged.join(ndRemoved, Seq(idCol), "left").agg(
+    val base = flagged.join(ndRemoved, Seq(idCol), "left").agg(
       count(lit(1)).as("n_total"),
       count(when(col("keep_exact"), 1)).as("n_after_exact"),
       count(when(col("keep_exact") && col("quality") >= minQuality, 1))
@@ -448,5 +487,19 @@ object Dedup {
       count(when(s3 && col("nd").isNull, 1)).as("n_final"),
       coalesce(sum(when(s3 && col("nd").isNull, col("n_tokens"))), lit(0L))
         .as("tokens_final"))
+    if (maxBucket <= 0) base
+    else {
+      // the cap is never silent: the funnel row carries how many buckets
+      // were dropped from candidate generation (and how hot the hottest
+      // was), so a spilled run is visibly a truncated run
+      val numHashes = bands * rowsPerBand
+      val banded = flagged.filter(s3)
+        .select(col(idCol).as("id"),
+          graft.functions.TextFunctions.sigBandKeys(
+            graft.functions.TextFunctions.minhashFromHashes(col("hs"), numHashes),
+            bands, rowsPerBand).as("bks"))
+      base.crossJoin(broadcast(lshBucketStats(banded, maxBucket)
+        .select("n_spilled_buckets", "max_bucket_size")))
+    }
   }
 }

@@ -25,19 +25,24 @@ object Profile {
     require(targets.nonEmpty, "profile: no columns to profile")
     require(targets.forall(df.columns.contains),
       s"profile: unknown columns ${targets.filterNot(df.columns.contains).mkString(",")}")
+    // every name -> Column round-trip goes through backticks: a profiled
+    // column named "a.b" (or carrying any parser-special char) must
+    // resolve as the top-level column the validation above accepted, not
+    // parse as a nested-field path and fail the select
+    def qcol(name: String): Column = col("`" + name.replace("`", "``") + "`")
     val aggs: Seq[Column] = targets.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
+        sum(when(qcol(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(qcol(c)).as(s"${c}__distinct"),
+        min(qcol(c)).cast("string").as(s"${c}__min"),
+        max(qcol(c)).cast("string").as(s"${c}__max"))
     }
     val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val stacked = targets.map { c =>
       struct(lit(c).as("col_name"), col("__n").as("n"),
-        col(s"${c}__nulls").as("n_null"),
-        col(s"${c}__distinct").as("n_distinct"),
-        col(s"${c}__min").as("min"), col(s"${c}__max").as("max"))
+        qcol(s"${c}__nulls").as("n_null"),
+        qcol(s"${c}__distinct").as("n_distinct"),
+        qcol(s"${c}__min").as("min"), qcol(s"${c}__max").as("max"))
     }
     wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.VectorExpressions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Aggregation / scoring / merge operators over the events + embeddings
@@ -44,22 +44,42 @@ object AggQueries {
     // estimate can only ever be one of. Only exact values and the verdict
     // are emitted (the raw estimate is engine-specific).
     "sketch_quantiles" -> ((s, dir) => {
-      Tables.load(s, dir, "events")
-        .groupBy("event_type")
+      // The gate is on RANK error directly: the approx estimate is an
+      // actual data element, so its rank interval in the group —
+      // [#(v < est) + 1, #(v <= est)] — must intersect the target rank
+      // window of p +/- 1% widened by ONE order statistic either side.
+      // The former value-bracket form (estimate between interpolated
+      // p49/p51) silently required >= ~100 rows per group: below that,
+      // one rank-percent spans less than one inter-element gap and a
+      // rank-correct estimate could land outside the bracket. Counting
+      // ranks is group-size-free. Two aggregates: the sketch pass, then
+      // the rank count against the (tiny, broadcast) per-group estimates.
+      val ev = Tables.load(s, dir, "events").select("event_type", "value")
+      val est = ev.groupBy("event_type")
         .agg(
+          count(lit(1)).as("n"),
           percentile(col("value"), lit(0.5)).as("p50e"),
           percentile(col("value"), lit(0.99)).as("p99e"),
-          percentile(col("value"), lit(0.49)).as("p50lo"),
-          percentile(col("value"), lit(0.51)).as("p50hi"),
-          percentile(col("value"), lit(0.98)).as("p99lo"),
-          max(col("value")).as("vmax"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
           percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99a"))
-        .select(col("event_type"),
-          round(col("p50e"), 4).as("p50_exact"),
-          round(col("p99e"), 4).as("p99_exact"),
-          (col("p50a").between(col("p50lo"), col("p50hi")) &&
-            col("p99a").between(col("p99lo"), col("vmax"))).as("approx_ok"))
+      def rankOk(est: Column, p: Double): Column = {
+        val below = sum(when(col("value") < est, 1L).otherwise(0L))
+        val atOrBelow = sum(when(col("value") <= est, 1L).otherwise(0L))
+        // n is constant per group (joined in) — first() re-exposes it
+        // inside the aggregate. Target: 1-based interpolated rank of
+        // quantile p, +/- 1% rank error, widened one element each side
+        // so the gate stays meaningful below ~100 rows per group.
+        val n = first(col("n")).cast("double")
+        val target = lit(1.0) + (n - 1.0) * p
+        (below + 1 <= target + n * 0.01 + 1.0) &&
+          (atOrBelow >= target - n * 0.01 - 1.0)
+      }
+      ev.join(broadcast(est), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          round(first(col("p50e")), 4).as("p50_exact"),
+          round(first(col("p99e")), 4).as("p99_exact"),
+          (rankOk(col("p50a"), 0.5) && rankOk(col("p99a"), 0.99)).as("approx_ok"))
         .orderBy("event_type")
     }),
     // column-level profile of the documents table — the per-shard data

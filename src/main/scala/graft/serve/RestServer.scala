@@ -30,12 +30,20 @@ import scala.util.control.NonFatal
   *   GET    /api/v1/vectors/{id}
   *   DELETE /api/v1/vectors/{id}
   *   POST   /api/v1/search             {vector, k?, filter?, options?:
-  *                                      {include_metadata?, score_threshold?,
-  *                                       metric?, mode?, oversample?,
-  *                                       selectivity?, probe_blobs?}} — mode:
+  *                                      {include_metadata?, include_vectors?,
+  *                                       score_threshold?, metric?, mode?,
+  *                                       oversample?, selectivity?,
+  *                                       probe_blobs?}} — mode:
   *                                      exact | recent_index | pq | sq | bq
   *                                      (serving path); probe_blobs routes a
-  *                                      ROUTED saved recent index
+  *                                      ROUTED saved recent index.
+  *                                      Response: {results: [{id, distance,
+  *                                      score, metadata?, vector?}],
+  *                                      total_count, query_time_ms,
+  *                                      cached?} — metadata present iff
+  *                                      include_metadata, vector (the stored
+  *                                      embedding payload, session.rs:
+  *                                      266-281) iff include_vectors
   *   GET    /api/v1/admin/statistics
   *   POST   /api/v1/admin/migrate
   *   POST   /api/v1/admin/vacuum
@@ -71,7 +79,8 @@ import scala.util.control.NonFatal
   * process can.
   */
 class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
-    maxEvents: Int = 10000, backupBase: Option[String] = None) {
+    maxEvents: Int = 10000, backupBase: Option[String] = None,
+    sseWriteDeadlineMs: Long = 5000L) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -101,6 +110,9 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
   // The queue is bounded — when a stalled client backs it up, events are
   // dropped from the STREAM only (the ring keeps them; a consumer that
   // sees a seq gap re-syncs via `since=`, same contract as ring eviction).
+  // A stall can't persist: every write runs under the sseWatchdog deadline
+  // below, so a stalled-but-alive client is evicted within
+  // sseWriteDeadlineMs rather than head-of-line-blocking the stream.
   private sealed trait SseCmd
   private case class SseEvent(e: ObjectNode) extends SseCmd
   private case class SseSubscribe(ex: HttpExchange, backlog: Seq[ObjectNode]) extends SseCmd
@@ -117,19 +129,43 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
   }, "graft-sse-push")
   ssePusher.setDaemon(true)
 
-  /** One SSE frame to one held connection; a dead client (write fails) is
-    * closed and reported so the caller can drop it. */
-  private def sseWrite(ex: HttpExchange, e: ObjectNode): Boolean =
-    try {
-      ex.getResponseBody.write(
-        s"id: ${e.get("seq").asLong()}\ndata: ${mapper.writeValueAsString(e)}\n\n"
-          .getBytes(UTF_8))
-      ex.getResponseBody.flush()
-      true
-    } catch { case NonFatal(_) =>
+  // Watchdog bounding per-client write latency: a stalled-but-ALIVE client
+  // (full TCP send buffer, never reading, never closing) would block the
+  // single pusher thread's socket write indefinitely — head-of-line-
+  // blocking every other SSE client and backing up the command queue. The
+  // JDK exchange exposes no write timeout, so the watchdog closes the
+  // exchange from outside after `sseWriteDeadlineMs`; the blocked write
+  // then fails and the client is evicted exactly like a dead one.
+  private val sseWatchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-sse-watchdog"); t.setDaemon(true); t
+    })
+
+  /** One SSE frame to one held connection, under the write deadline; a dead
+    * or stalled-past-deadline client is closed and reported so the caller
+    * drops it. */
+  private def sseWrite(ex: HttpExchange, e: ObjectNode): Boolean = {
+    val kill = sseWatchdog.schedule(new Runnable {
+      def run(): Unit = try ex.close() catch { case NonFatal(_) => }
+    }, sseWriteDeadlineMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    val wrote =
+      try {
+        ex.getResponseBody.write(
+          s"id: ${e.get("seq").asLong()}\ndata: ${mapper.writeValueAsString(e)}\n\n"
+            .getBytes(UTF_8))
+        ex.getResponseBody.flush()
+        true
+      } catch { case NonFatal(_) => false }
+    // cancel() == false means the deadline already fired (the exchange is
+    // closed or closing): treat the write as failed even if it returned —
+    // the connection is no longer safe to retain
+    val inTime = kill.cancel(false)
+    if (wrote && inTime) true
+    else {
       try ex.close() catch { case NonFatal(_) => }
       false
     }
+  }
 
   /** Mutations invalidate the memo, append a change event, and hand it to
     * the pusher for every held `/updates/stream` connection. */
@@ -265,6 +301,8 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             .orElse(selNode.map(s =>
               graft.operators.Tuning.suggestOversample(s.asDouble())))
             .getOrElse(3)
+          val includeMeta = opt("include_metadata").exists(_.asBoolean())
+          val includeVecs = opt("include_vectors").exists(_.asBoolean())
           val hits = store.searchMode(
             qv, k,
             mode = opt("mode").map(_.asText()).getOrElse("exact"),
@@ -272,9 +310,9 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             filterJson = Option(req.get("filter")).map(mapper.writeValueAsString),
             scoreThreshold = opt("score_threshold").map(_.asDouble()),
             oversample = oversample,
-            probeBlobs = opt("probe_blobs").map(_.asInt()).getOrElse(0)
+            probeBlobs = opt("probe_blobs").map(_.asInt()).getOrElse(0),
+            includeVectors = includeVecs
           ).collect()
-          val includeMeta = opt("include_metadata").exists(_.asBoolean())
           val n = obj()
           val results = n.putArray("results")
           hits.foreach { r =>
@@ -286,6 +324,10 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
               h.set[JsonNode]("metadata",
                 if (r.isNullAt(3)) mapper.createObjectNode()
                 else mapper.readTree(r.getString(3)))
+            if (includeVecs) {
+              val v = h.putArray("vector")
+              if (!r.isNullAt(4)) r.getSeq[Float](4).foreach(v.add)
+            }
           }
           n.put("total_count", hits.length)
           n.put("query_time_ms", (System.nanoTime() - t0) / 1e6)
@@ -474,6 +516,7 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
 
   def stop(): Unit = {
     ssePusher.interrupt()
+    sseWatchdog.shutdownNow()
     sseSubs.forEach(sub => try sub.close() catch { case NonFatal(_) => })
     sseSubs.clear()
     server.stop(0)

@@ -470,14 +470,17 @@ class VectorStore(val spark: SparkSession, val path: String,
     * filters post-filter a k*`oversample` pool on the quantized part —
     * x3 default per the reference, sized via `Tuning.suggestOversample`
     * when the caller knows the filter's selectivity). Results carry the
-    * same (id, distance, score, metadata) shape as [[search]]. */
+    * same (id, distance, score, metadata) shape as [[search]], plus
+    * `result_embedding` when `includeVectors` (session.rs:266-281) —
+    * uniform across every mode, so the REST layer serves the vector
+    * payload off the code tiers too. */
   def searchMode(query: Array[Float], k: Int, mode: String = "exact",
       metric: String = "cosine", filterJson: Option[String] = None,
       scoreThreshold: Option[Double] = None, oversample: Int = 3,
-      probeBlobs: Int = 0): DataFrame = {
+      probeBlobs: Int = 0, includeVectors: Boolean = false): DataFrame = {
     require(oversample >= 1, s"oversample must be >= 1, got $oversample")
     if (mode == "exact")
-      return search(query, k, metric, filterJson, scoreThreshold)
+      return search(query, k, metric, filterJson, scoreThreshold, includeVectors)
     import spark.implicits._
     val q = Seq((0L, query)).toDF("query_id", "q_embedding")
     val hits = mode match {
@@ -502,11 +505,14 @@ class VectorStore(val spark: SparkSession, val path: String,
       case other => throw new IllegalArgumentException(
         s"unknown search mode '$other' (exact|recent_index|pq|sq|bq)")
     }
+    val enrichCols = Seq(col("id"), col("metadata")) ++
+      (if (includeVectors) Seq(col("embedding").as("result_embedding")) else Nil)
     val scored = hits
-      .join(vectors.select(col("id"), col("metadata")), Seq("id"), "left")
-      .select(col("id"), col("distance"),
+      .join(vectors.select(enrichCols: _*), Seq("id"), "left")
+      .select(Seq(col("id"), col("distance"),
         VectorFunctions.distanceToScore(col("distance")).as("score"),
-        col("metadata"))
+        col("metadata")) ++
+        (if (includeVectors) Seq(col("result_embedding")) else Nil): _*)
     scoreThreshold.fold(scored)(t => scored.filter(col("score") >= t))
       .orderBy(col("distance").asc, col("id").asc)
   }

@@ -94,7 +94,8 @@ object Streaming {
       minQuality: Option[Double] = None,
       lang: Option[String] = None,
       maxFilesPerTrigger: Int = 0,
-      broadcastDocLimit: Long = 100000L): StreamingQuery = {
+      broadcastDocLimit: Long = 100000L,
+      broadcastByteLimit: Long = 64L << 20): StreamingQuery = {
     import graft.functions.TextFunctions._
     val docsPath = s"$acceptedDir/docs"
     val srcSchema = new StructType()
@@ -145,7 +146,17 @@ object Streaming {
         // broadcasting its hash sets would be the driver OOM the rest of
         // this file is designed to avoid — those batches fall back to the
         // shuffle plans (which is exactly when shuffles are worth paying).
-        val smallBatch = hashed.count() <= broadcastDocLimit
+        // The gate is on BYTES, not just rows: the broadcast relations
+        // carry each doc's full shingle-hash array `hs`, so 100k LONG
+        // documents can be hundreds of MB at a row-only limit — estimate
+        // the dominant term (8 bytes per hash + ~64 bytes/row of band
+        // keys and struct overhead) from the already-persisted batch and
+        // require both bounds.
+        val batchStats = hashed.agg(
+          count(lit(1)), coalesce(sum(size(col("hs"))), lit(0L))).head()
+        val nDocs = batchStats.getLong(0)
+        val estBytes = batchStats.getLong(1) * 8L + nDocs * 64L
+        val smallBatch = nDocs <= broadcastDocLimit && estBytes <= broadcastByteLimit
         def bcIfSmall(df: DataFrame): DataFrame =
           if (smallBatch) broadcast(df) else df
         // (1) in-batch near-dup: keep the smallest id of every colliding

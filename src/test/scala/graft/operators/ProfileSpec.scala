@@ -28,4 +28,16 @@ class ProfileSpec extends SparkSpec {
     assert(one.length == 1 && one(0).getString(0) == "id")
     intercept[IllegalArgumentException](Profile.profile(df, Seq("nope")))
   }
+
+  test("profile handles parser-special column names (dots, backticks)") {
+    // a dotted name must resolve as the top-level column the validation
+    // accepted — not parse as a nested-field path and fail the select
+    val weird = Seq((1L, "a"), (2L, null), (3L, "c"))
+      .toDF("user.id", "na`me")
+    val p = Profile.profile(weird).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("user.id", "na`me"))
+    assert(p("user.id").getLong(1) == 3 && p("user.id").getLong(3) == 3)
+    assert(p("na`me").getLong(2) == 1 && p("na`me").getLong(3) == 2)
+  }
 }

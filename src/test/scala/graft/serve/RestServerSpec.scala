@@ -81,6 +81,20 @@ class RestServerSpec extends SparkSpec {
       assert(top.get("metadata").get("i").asInt() == 5)
       assert(sr.get("total_count").asInt() == 3)
 
+      // include_vectors: the stored embedding payload round-trips
+      // (session.rs:266-281); absent by default
+      assert(top.get("vector") == null)
+      val (vs2, vr) = call(srv, "POST", "/api/v1/search",
+        s"""{"vector": ${vecJson(5)}, "k": 3,
+            "options": {"metric": "l2", "include_vectors": true}}""")
+      assert(vs2 == 200)
+      val vtop = vr.get("results").get(0)
+      assert(vtop.get("id").asText() == "v5")
+      val expected = (0 until 8).map(j => math.sin(5 * (j + 1)).toFloat)
+      val gotVec = (0 until 8).map(j => vtop.get("vector").get(j).floatValue())
+      assert(vtop.get("vector").size() == 8 && gotVec == expected,
+        s"vector payload mismatch: $gotVec vs $expected")
+
       // filtered search restricts the candidate set (F1 through HTTP)
       val (fs, fr) = call(srv, "POST", "/api/v1/search",
         s"""{"vector": ${vecJson(5)}, "k": 3, "filter": {"i": {"$$lte": 3}},
@@ -142,15 +156,24 @@ class RestServerSpec extends SparkSpec {
       assert(call(srv, "POST", "/api/v1/admin/index/sq", "{}")._1 == 200)
       assert(call(srv, "POST", "/api/v1/admin/index/bq", "{}")._1 == 200)
 
-      // every serving mode finds the exact row as its top hit
+      // every serving mode finds the exact row as its top hit, and serves
+      // the STORED embedding payload on request (include_vectors is
+      // uniform across modes — the code tiers return the exact vector
+      // from the store, not a dequantized reconstruction)
       for (mode <- Seq("exact", "recent_index", "pq", "sq", "bq")) {
         val (ss, sr) = call(srv, "POST", "/api/v1/search",
           s"""{"vector": ${vecJson(33)}, "k": 3,
-              "options": {"metric": "l2", "mode": "$mode"}}""")
+              "options": {"metric": "l2", "mode": "$mode",
+                          "include_vectors": true}}""")
         assert(ss == 200, s"mode $mode failed: $sr")
         assert(sr.get("results").get(0).get("id").asText() == "h33",
           s"mode $mode top hit: ${sr.get("results")}")
         assert(sr.get("results").get(0).get("distance").asDouble() < 1e-6)
+        val v33 = sr.get("results").get(0).get("vector")
+        assert(v33 != null && v33.size() == 8, s"mode $mode vector payload")
+        (0 until 8).foreach(j => assert(
+          v33.get(j).floatValue() == math.sin(33 * (j + 1)).toFloat,
+          s"mode $mode vector[$j]"))
       }
       // historical row reachable through the code tiers too
       for (mode <- Seq("pq", "sq", "bq")) {

@@ -281,6 +281,28 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
   }
 
+  test("broadcast gate trips on estimated BYTES, not just rows") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_byte_src_").toString
+    val ckpt = Files.createTempDirectory("graft_byte_ckpt_").toString
+    val acc = Files.createTempDirectory("graft_byte_acc_").toString + "/state"
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq(
+      (1L, base),
+      (2L, base + " with an extra tail phrase"), // near-dup of 1
+      (3L, "completely different content about spark query engines at scale")
+    ).toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(src)
+    // few rows (well under the doc limit) but a zero BYTE budget: the gate
+    // must still take the shuffle path — the hashed relations carry each
+    // doc's full shingle-hash array, so a row-only limit under-counts the
+    // broadcast footprint — and the accepted set must be identical
+    val q = Streaming.dedupIngest(spark, src, acc, ckpt, threshold = 0.5,
+      broadcastByteLimit = 0L)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$acc/docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("streaming ingest quality/lang gates reject before hashing") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_gate_src_").toString
