@@ -20,7 +20,8 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (AnnQueries.queries, AnnQueries.oracles),
       (StoreQueries.queries, StoreQueries.oracles),
-      (CurationQueries.queries, CurationQueries.oracles))
+      (CurationQueries.queries, CurationQueries.oracles),
+      (MultimodalQueries.queries, MultimodalQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -9,17 +9,25 @@ import org.apache.spark.sql.functions._
   * operators (`mapPartitions` — the Scala analog of `mapInPandas`: one JVM
   * batch per partition, vectorizable inside, no per-row UDF dispatch).
   *
-  * The pixel-DECODE step is a clearly-marked STUB — the container has no
-  * image/audio codecs — implemented as a deterministic fake decoder over a
-  * self-describing header we also generate. Everything around it is real
-  * and tested: the binary schema, the batch iterator shape, the 1->N
-  * frame-sample generator, partition sizing, feature post-processing, and
-  * a REAL container-header prober ([[probeImage]]: PNG/GIF/BMP/JPEG
-  * dimensions from raw bytes, no codec needed). A real pixel decoder
-  * (javacv, TwelveMonkeys, ffmpeg pipe) drops into [[decodeHeader]]
-  * without touching any plumbing.
+  * Pixel decode is REAL for the formats the JDK's bundled ImageIO codecs
+  * cover (PNG, BMP, GIF, JPEG — [[imageioDecode]], no external native
+  * dependency): [[decodeImageFeatures]] and [[decodePixelStats]] read
+  * actual pixels and emit real width/height/channel/intensity statistics,
+  * oracle-checked end-to-end (the `image_decode` query decodes
+  * deterministic formula-pixel PNG/BMP blobs and DuckDB replays the same
+  * formula). The synthetic GRFT-header path remains only as a fallback for
+  * the self-describing test blobs [[syntheticMedia]] generates; audio and
+  * video stay at REAL container-header probing ([[probeAudio]],
+  * [[probeVideo]] — those codecs aren't in the JDK). A heavier codec
+  * (javacv, ffmpeg pipe) would drop into [[imageioDecode]] without
+  * touching any plumbing.
   */
 object Multimodal {
+
+  // keep ImageIO's stream cache in memory: the default writes temp files
+  // per decoded blob — the wrong shape for a batch decode loop running in
+  // executor threads
+  javax.imageio.ImageIO.setUseCache(false)
 
   case class Media(media_id: Long, kind: String, data: Array[Byte],
       width: Int, height: Int, duration_ms: Int)
@@ -47,32 +55,152 @@ object Multimodal {
     }(Encoders.media)
   }
 
-  /** STUB decoder: parses the synthetic header + derives a deterministic
-    * "feature" from payload bytes. Replace with a real codec here. */
-  private def decodeHeader(data: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+  /** REAL pixel decode through the JDK's bundled ImageIO plugins (PNG,
+    * BMP, GIF, JPEG): (formatName, image), or None when no reader claims
+    * the bytes (then the caller may fall back to the GRFT synthetic
+    * header, or report unknown). Decode is per-blob CPU work inside a
+    * partition batch — map-only, nothing crosses a shuffle. */
+  private[operators] def imageioDecode(
+      data: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] = {
+    if (data == null || data.length < 4) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(data))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val img = r.read(0)
+          Some((r.getFormatName.toLowerCase, img))
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
+  }
+
+  /** Fallback decoder for the self-describing GRFT synthetic blobs
+    * ([[syntheticMedia]]): parses the 16-byte header + derives a
+    * deterministic feature from payload bytes. */
+  private def decodeHeader(data: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    if (data == null || data.length < 16) return None
     val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
-    val magic = buf.getInt()
-    require(magic == 0x47524654, s"bad media magic: $magic")
+    if (buf.getInt() != 0x47524654) return None
     val w = buf.getInt(); val h = buf.getInt(); buf.getInt()
     val feat = new Array[Float](8)
     var i = 16
     while (i < data.length) { feat((i - 16) % 8) += (data(i) & 0xff) / 255.0f; i += 1 }
-    (w, h, 3, feat)
+    Some((w, h, 3, feat))
   }
 
   /** Batch feature extraction: one partition = one batch, decode loop in
-    * plain JVM code (the mapInPandas seam). */
+    * plain JVM code (the mapInPandas seam). ImageIO-decodable blobs get
+    * REAL pixel features — mean R/G/B plus a 4-bin luminance histogram
+    * (fractions), an 8-float vector in [0,1] — with width/height/channels
+    * from the decoded raster. GRFT synthetic blobs take the header
+    * fallback; anything else reports 0x0 with a zero feature (never a
+    * crash mid-pipeline). */
   def decodeImageFeatures(media: DataFrame): Dataset[ImageFeatures] = {
     val spark = media.sparkSession
-    import spark.implicits._
     media.select(col("media_id"), col("data"))
       .as[(Long, Array[Byte])](Encoders.idBytes)
       .mapPartitions { batch =>
         batch.map { case (id, data) =>
-          val (w, h, c, feat) = decodeHeader(data)
-          ImageFeatures(id, w, h, c, feat)
+          imageioDecode(data) match {
+            case Some((_, img)) =>
+              val w = img.getWidth; val h = img.getHeight
+              val c = img.getRaster.getNumBands
+              val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              val hist = new Array[Long](4)
+              var i = 0
+              while (i < rgb.length) {
+                val r = (rgb(i) >> 16) & 0xff
+                val g = (rgb(i) >> 8) & 0xff
+                val b = rgb(i) & 0xff
+                sr += r; sg += g; sb += b
+                // integer ITU-R 601 luma, binned into quartiles
+                hist(((r * 299 + g * 587 + b * 114) / 1000) >> 6) += 1
+                i += 1
+              }
+              val n = (w * h).toFloat
+              ImageFeatures(id, w, h, c, Array(
+                sr / n / 255f, sg / n / 255f, sb / n / 255f, 0f,
+                hist(0) / n, hist(1) / n, hist(2) / n, hist(3) / n))
+            case None => decodeHeader(data) match {
+              case Some((w, h, c, feat)) => ImageFeatures(id, w, h, c, feat)
+              case None => ImageFeatures(id, 0, 0, 0, new Array[Float](8))
+            }
+          }
         }
       }(Encoders.imageFeatures)
+  }
+
+  case class PixelStats(media_id: Long, format: String, width: Int,
+      height: Int, channels: Int, n_pixels: Long, sum_r: Long, sum_g: Long,
+      sum_b: Long)
+
+  /** Exact per-image pixel statistics from the REAL decode — the
+    * oracle-checkable surface (sums are integers, so the DuckDB replay of
+    * the generator formula matches bit-for-bit on lossless formats):
+    * (media_id, format, width, height, channels, n_pixels, sum_r, sum_g,
+    * sum_b); undecodable blobs report format "unknown" and zeros. */
+  def decodePixelStats(media: DataFrame): Dataset[PixelStats] = {
+    media.select(col("media_id"), col("data"))
+      .as[(Long, Array[Byte])](Encoders.idBytes)
+      .mapPartitions { batch =>
+        batch.map { case (id, data) =>
+          imageioDecode(data) match {
+            case Some((fmt, img)) =>
+              val w = img.getWidth; val h = img.getHeight
+              val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var i = 0
+              while (i < rgb.length) {
+                sr += (rgb(i) >> 16) & 0xff
+                sg += (rgb(i) >> 8) & 0xff
+                sb += rgb(i) & 0xff
+                i += 1
+              }
+              PixelStats(id, fmt, w, h, img.getRaster.getNumBands,
+                w.toLong * h, sr, sg, sb)
+            case None => PixelStats(id, "unknown", 0, 0, 0, 0L, 0L, 0L, 0L)
+          }
+        }
+      }(Encoders.pixelStats)
+  }
+
+  /** Deterministic formula-pixel image blobs, REALLY ENCODED (PNG, with
+    * every 4th image BMP — both lossless JDK codecs): pixel (x, y) of
+    * image i is r = (7i+3x+5y) mod 256, g = (11i+x+2y) mod 256,
+    * b = (13i+3x+y) mod 256, w = 8+(i mod 5)*4, h = 8+(i mod 3)*4. The
+    * closed form is what lets a SQL oracle replay [[decodePixelStats]]
+    * without a codec: decode(encode(px)) == px on lossless formats, so
+    * the decoded sums equal the formula sums. */
+  def syntheticPixelMedia(spark: SparkSession, n: Int): Dataset[Media] = {
+    spark.range(n).map { i =>
+      val w = 8 + (i % 5).toInt * 4
+      val h = 8 + (i % 3).toInt * 4
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((i * 7 + x * 3 + y * 5) % 256).toInt
+          val g = ((i * 11 + x + y * 2) % 256).toInt
+          val b = ((i * 13 + x * 3 + y) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val fmt = if (i % 4 == 3) "bmp" else "png"
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      Media(i, "image", bos.toByteArray, w, h, 0)
+    }(Encoders.media)
   }
 
   /** 1->N frame sampling for video blobs: a generator (flatMap) emitting
@@ -399,6 +527,7 @@ object Multimodal {
     val imageFeatures: Encoder[ImageFeatures] = E.product[ImageFeatures]
     val frame: Encoder[Frame] = E.product[Frame]
     val imageMeta: Encoder[ImageMeta] = E.product[ImageMeta]
+    val pixelStats: Encoder[PixelStats] = E.product[PixelStats]
     val audioMeta: Encoder[AudioMeta] = E.product[AudioMeta]
     val videoMeta: Encoder[VideoMeta] = E.product[VideoMeta]
   }

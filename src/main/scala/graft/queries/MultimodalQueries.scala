@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries. The binary media columns themselves aren't
+  * DuckDB-replayable, so the oracle surface is built from DETERMINISTIC
+  * formula-pixel images ([[Multimodal.syntheticPixelMedia]]): the blobs are
+  * really encoded (JDK PNG/BMP writers) and really decoded
+  * ([[Multimodal.decodePixelStats]] reads actual pixels through ImageIO),
+  * and because both codecs are lossless the decoded integer pixel sums
+  * equal the generator's closed form — which IS SQL-expressible, so DuckDB
+  * replays the whole pipeline without any codec. A decoder that returned
+  * stub dimensions, swapped channels, dropped rows, or mis-walked stride
+  * would hash-mismatch.
+  */
+object MultimodalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // real encode -> real decode -> exact per-image stats; 24 images
+    // cover every (w, h) combination of the generator and both formats
+    "image_decode" -> ((s, _) => {
+      Multimodal.decodePixelStats(
+          Multimodal.syntheticPixelMedia(s, 24).toDF())
+        .toDF()
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("channels"), col("n_pixels"), col("sum_r"), col("sum_g"),
+          col("sum_b"))
+        .orderBy("media_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    // the generator formula, replayed: pixel (x, y) of image i has
+    // r = (7i+3x+5y) % 256, g = (11i+x+2y) % 256, b = (13i+3x+y) % 256
+    // over w = 8+(i%5)*4, h = 8+(i%3)*4; range bounds are the max dims
+    "image_decode" ->
+      """WITH m AS (SELECT i AS media_id, (8 + (i % 5) * 4) AS w,
+        |    (8 + (i % 3) * 4) AS h FROM range(0, 24) t(i)),
+        |px AS (SELECT media_id, w, h, x, y
+        |  FROM m, range(0, 24) xs(x), range(0, 16) ys(y)
+        |  WHERE x < w AND y < h)
+        |SELECT media_id,
+        |  CASE WHEN media_id % 4 = 3 THEN 'bmp' ELSE 'png' END AS format,
+        |  w::INT AS width, h::INT AS height, 3 AS channels,
+        |  (w * h)::BIGINT AS n_pixels,
+        |  sum((media_id * 7 + x * 3 + y * 5) % 256)::BIGINT AS sum_r,
+        |  sum((media_id * 11 + x + y * 2) % 256)::BIGINT AS sum_g,
+        |  sum((media_id * 13 + x * 3 + y) % 256)::BIGINT AS sum_b
+        |FROM px GROUP BY media_id, w, h ORDER BY media_id""".stripMargin)
+}

@@ -23,6 +23,59 @@ class MultimodalSpec extends SparkSpec {
       .forall { case (a, b) => a.feature.sameElements(b.feature) })
   }
 
+  test("real ImageIO decode reads a hand-built PNG's actual pixels") {
+    // 2x3 image with hand-picked pixels, encoded by the JDK PNG writer:
+    // the decode path must recover EXACT per-channel sums and dimensions
+    val px = Array(
+      (255, 0, 0), (0, 255, 0),
+      (0, 0, 255), (10, 20, 30),
+      (200, 100, 50), (1, 2, 3))
+    val img = new java.awt.image.BufferedImage(
+      2, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    px.zipWithIndex.foreach { case ((r, g, b), i) =>
+      img.setRGB(i % 2, i / 2, (r << 16) | (g << 8) | b) }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    import spark.implicits._
+    val media = Seq((7L, bos.toByteArray)).toDF("media_id", "data")
+    val st = Multimodal.decodePixelStats(media).collect().head
+    assert(st.format == "png" && st.width == 2 && st.height == 3)
+    assert(st.channels == 3 && st.n_pixels == 6)
+    assert(st.sum_r == px.map(_._1).sum)
+    assert(st.sum_g == px.map(_._2).sum)
+    assert(st.sum_b == px.map(_._3).sum)
+    // the feature path decodes the same pixels: mean channels match
+    val f = Multimodal.decodeImageFeatures(media).collect().head
+    assert(f.width == 2 && f.height == 3 && f.channels == 3)
+    assert(math.abs(f.feature(0) - px.map(_._1).sum / 6f / 255f) < 1e-6)
+    assert(math.abs(f.feature(1) - px.map(_._2).sum / 6f / 255f) < 1e-6)
+    assert(math.abs(f.feature(2) - px.map(_._3).sum / 6f / 255f) < 1e-6)
+    // luma histogram bins are fractions summing to 1
+    assert(math.abs(f.feature.drop(4).sum - 1f) < 1e-6)
+    // undecodable bytes survive as unknown, never a crash
+    val bad = Seq((8L, Array[Byte](1, 2, 3, 4, 5))).toDF("media_id", "data")
+    assert(Multimodal.decodePixelStats(bad).collect().head.format == "unknown")
+  }
+
+  test("formula-pixel media round-trips: encode (png+bmp) -> decode -> sums") {
+    val stats = Multimodal.decodePixelStats(
+      Multimodal.syntheticPixelMedia(spark, 24).toDF()).collect()
+    assert(stats.length == 24)
+    stats.foreach { st =>
+      val i = st.media_id
+      val w = 8 + (i % 5).toInt * 4; val h = 8 + (i % 3).toInt * 4
+      assert(st.format == (if (i % 4 == 3) "bmp" else "png"), s"img $i")
+      assert(st.width == w && st.height == h && st.channels == 3, s"img $i")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (i * 7 + x * 3 + y * 5) % 256
+        sg += (i * 11 + x + y * 2) % 256
+        sb += (i * 13 + x * 3 + y) % 256
+      }
+      assert(st.sum_r == sr && st.sum_g == sg && st.sum_b == sb, s"img $i")
+    }
+  }
+
   test("video frame sampling emits 1->N rows at the requested fps") {
     val media = Multimodal.syntheticMedia(spark, 20, kind = "video").toDF()
     val frames = Multimodal.sampleFrames(media, fps = 2.0).cache()
