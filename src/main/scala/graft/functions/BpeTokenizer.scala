@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-TRAINED byte-pair-encoding token counting — the canonical
+  * "tokens per document" a training-data pipeline reports, upgraded from
+  * the pre-tokenization-only [[TextFunctions.bpeTokenCount]].
+  *
+  * Training is the batched-merge variant of the public BPE algorithm
+  * (Sennrich et al. 2016, arXiv:1508.07909; batching as in fastBPE-style
+  * implementations): instead of recounting after every single merge, each
+  * ROUND counts all adjacent symbol pairs corpus-wide in ONE DataFrame
+  * aggregation and adopts the top-K by (count desc, pair asc — the
+  * deterministic tie-break), then rewrites the corpus and runs the next
+  * round. Later rounds see the placeholder symbols earlier rounds
+  * introduced, so merges compose into genuinely multi-character tokens
+  * (round 2 can merge a round-1 pair with a neighbor — the hierarchical
+  * structure that makes BPE BPE).
+  *
+  * Scale shape: each round is one explode/count shuffle on 2-char pair
+  * keys plus one bounded top-K collect (K merges, never row data);
+  * application is a scan-side chain of codegen `StringReplace`s — no UDF,
+  * no extra shuffle, 100 TB-safe. Placeholders live in the Unicode private
+  * use area (0xE000 + round*256 + rank), one char per merged token, so
+  * `length(rewritten)` IS the token count.
+  *
+  * Every step is deliberately engine-replayable (the `bpe_tokenize`
+  * oracle re-trains AND re-applies the same merges in DuckDB SQL:
+  * identical pair extraction by position, identical tie-break, identical
+  * left-to-right non-overlapping `replace`), so the trained tokenizer is
+  * hash-checked end-to-end, not just spec-asserted.
+  */
+object BpeTokenizer {
+
+  /** One learned merge: `pair` (2 symbols, possibly placeholders) ->
+    * `repl` (1 private-use char). Rank is global application order. */
+  case class Merge(pair: String, repl: String, rank: Int)
+
+  /** Adjacent symbol pairs of `c` by position: ["ab","bc",...] for "abc";
+    * empty below 2 chars (guarded: Spark's sequence(1, 0) would DESCEND). */
+  private def charPairs(c: Column): Column =
+    when(length(c) >= 2,
+      transform(sequence(lit(1), length(c) - 1), i => substr(c, i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Apply merges scan-side in rank order — a chain of codegen
+    * non-overlapping left-to-right literal replaces. */
+  def applyMerges(c: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(c)((acc, m) =>
+      replace(acc, lit(m.pair), lit(m.repl)))
+
+  /** Train `rounds` rounds of `mergesPerRound` batched merges from the
+    * corpus. Each round: one pair-count aggregation over the
+    * so-far-rewritten text (an expression chain — the corpus is scanned,
+    * never materialized), one bounded driver collect of K pairs. */
+  def train(docs: DataFrame, textCol: String = "text",
+      mergesPerRound: Int = 16, rounds: Int = 2): Seq[Merge] = {
+    require(mergesPerRound >= 1 && mergesPerRound <= 255,
+      s"mergesPerRound must be in [1, 255], got $mergesPerRound")
+    require(rounds >= 1 && rounds <= 3, s"rounds must be in [1, 3], got $rounds")
+    var merges = Vector.empty[Merge]
+    for (r <- 0 until rounds) {
+      val current = applyMerges(coalesce(col(textCol), lit("")), merges)
+      val top = docs.select(explode(charPairs(current)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(mergesPerRound)
+        .select("pair").collect().map(_.getString(0))
+      merges = merges ++ top.zipWithIndex.map { case (p, i) =>
+        // rank is 1-based within the round; placeholder blocks are 256
+        // apart per round so rounds never collide (K <= 255)
+        Merge(p, (0xE000 + r * 256 + i + 1).toChar.toString,
+          merges.size + i + 1)
+      }
+    }
+    merges
+  }
+
+  /** Tokenized length of `c` under the trained merges: each placeholder
+    * char is one token, every untouched char is one token. */
+  def tokenCount(c: Column, merges: Seq[Merge]): Column =
+    length(applyMerges(coalesce(c, lit("")), merges))
+}

@@ -345,6 +345,21 @@ object TextQueries {
           round(col("top_ngram_share"), 6).as("top_ngram_share"))
         .orderBy("doc_id")
     }),
+    // corpus-TRAINED BPE token counting (batched-merge BPE, 2 rounds x 16
+    // merges learned from the corpus by DataFrame aggregation, applied
+    // scan-side as codegen replaces): per-doc char + token counts. The
+    // oracle re-trains AND re-applies the same merges in DuckDB — the
+    // tokenizer is hash-checked end-to-end, not just its plumbing.
+    "bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val merges = graft.functions.BpeTokenizer.train(docs,
+        mergesPerRound = 16, rounds = 2)
+      docs.select(col("doc_id"),
+          length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
+          graft.functions.BpeTokenizer.tokenCount(col("text"), merges)
+            .cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
     // the full training-data prep funnel as one plan: exact dedup ->
     // quality floor -> language filter -> MinHash-LSH near-dup drop,
     // reported as the one-row per-stage survivor/token accounting a
@@ -372,6 +387,40 @@ object TextQueries {
        |  FROM posts JOIN dfs USING (term), st GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full replay of the trained tokenizer: DuckDB re-trains the same 2x16
+    // batched merges (identical by-position pair extraction, identical
+    // (count desc, pair asc) tie-break) and re-applies them in rank order
+    // via the same left-to-right non-overlapping replace; placeholder
+    // chars are chr(0xE000 + round*256 + rank) on both engines
+    "bpe_tokenize" ->
+      """WITH RECURSIVE
+        |d0 AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+        |p1 AS (SELECT pair, count(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(range(1, length(s)),
+        |    i -> substr(s, i, 2))) AS pair FROM d0) GROUP BY pair),
+        |m1 AS (SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS mrank
+        |  FROM (SELECT * FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 16)),
+        |a1 AS (
+        |  SELECT doc_id, s, 0 AS r FROM d0
+        |  UNION ALL
+        |  SELECT a.doc_id, replace(a.s, m.pair, chr(57344 + m.mrank::INT)) AS s, a.r + 1
+        |  FROM a1 a JOIN m1 m ON m.mrank = a.r + 1),
+        |d1 AS (SELECT doc_id, s FROM a1 WHERE r = (SELECT count(*) FROM m1)),
+        |p2 AS (SELECT pair, count(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(range(1, length(s)),
+        |    i -> substr(s, i, 2))) AS pair FROM d1) GROUP BY pair),
+        |m2 AS (SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS mrank
+        |  FROM (SELECT * FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 16)),
+        |a2 AS (
+        |  SELECT doc_id, s, 0 AS r FROM d1
+        |  UNION ALL
+        |  SELECT a.doc_id, replace(a.s, m.pair, chr(57600 + m.mrank::INT)) AS s, a.r + 1
+        |  FROM a2 a JOIN m2 m ON m.mrank = a.r + 1)
+        |SELECT a2.doc_id, length(d0.s)::BIGINT AS n_chars,
+        |  length(a2.s)::BIGINT AS n_tokens
+        |FROM a2 JOIN d0 ON a2.doc_id = d0.doc_id
+        |WHERE a2.r = (SELECT count(*) FROM m2)
+        |ORDER BY a2.doc_id""".stripMargin,
     "bm25_search" ->
       s"""WITH $bm25Sql
          |SELECT doc_id, round(score, 6) AS score FROM kws

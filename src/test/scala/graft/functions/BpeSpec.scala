@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Trained batched-merge BPE: deterministic training (tie-break by
+  * (count desc, pair asc)), hierarchical round-2 merges over round-1
+  * placeholders, and token counts on a hand-traceable corpus. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-traceable training: pair counts, tie-break, application") {
+    // "aaab": pairs aa,aa,ab; "aaba": aa,ab,ba -> counts aa:3, ab:2, ba:1
+    val docs = Seq((1L, "aaab"), (2L, "aaba")).toDF("doc_id", "text")
+    val merges = BpeTokenizer.train(docs, mergesPerRound = 2, rounds = 1)
+    assert(merges.map(_.pair) == Seq("aa", "ab"))
+    assert(merges.map(_.rank) == Seq(1, 2))
+    assert(merges.map(_.repl) == Seq("", ""))
+    // apply in rank order: "aaab" -> (aa->α) "αab" -> (ab->β) "αβ" = 2
+    //                      "aaba" -> "αba" (no "ab" left)          = 3
+    val counts = docs.select(col("doc_id"),
+        BpeTokenizer.tokenCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts == Map(1L -> 2, 2L -> 3))
+  }
+
+  test("round 2 merges placeholders with neighbors (hierarchical tokens)") {
+    // round 1 on "abab..." learns ab (and ba); round 2 must merge the
+    // resulting placeholder RUNS — pairs of round-1 symbols — proving
+    // later rounds build multi-char tokens on earlier rounds' output
+    val docs = Seq((1L, "ab" * 12)).toDF("doc_id", "text")
+    val merges = BpeTokenizer.train(docs, mergesPerRound = 1, rounds = 2)
+    assert(merges.length == 2)
+    assert(merges(0).pair == "ab")
+    assert(merges(1).pair == "") // (ab)(ab) -> one token
+    // "abababab..."(24 chars) -> 12 x α -> 6 x round-2 token
+    val n = docs.select(BpeTokenizer.tokenCount(col("text"), merges))
+      .head.getInt(0)
+    assert(n == 6)
+  }
+
+  test("training is deterministic and counts never exceed char length") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val m1 = BpeTokenizer.train(docs)
+    val m2 = BpeTokenizer.train(docs)
+    assert(m1 == m2)
+    assert(m1.size == 32) // 2 rounds x 16 on a real corpus
+    val bad = docs.select(
+        length(col("text")).as("nc"),
+        BpeTokenizer.tokenCount(col("text"), m1).as("nt"))
+      .filter(col("nt") > col("nc") || col("nt") <= 0)
+    assert(bad.count() == 0)
+  }
+}
