@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 /** Scaling-exponent probe for the flagship shapes: exact scan
   * (`knn_scale`), probed IVF (`ann_ivf_scale`), routed saved-HNSW
   * (`store_hnsw_scale`'s recent tier) — each run at 1x (100K x 64, the
-  * bench corpus size) and 10x (1M x 64) — plus the MinHash-LSH near-dup
-  * pair scan (`minhash_lsh_pairs`) at 1x/10x of the documents table, all
-  * from deterministic perturbation corpora staged under /tmp (testdata
-  * itself is read-only). Prints a time-vs-size table for SCALING.md.
+  * bench corpus size), 10x (1M x 64) and 100x (10M x 64 — a measured
+  * three-point curve, not a two-point extrapolation) — plus the
+  * MinHash-LSH near-dup pair scan (`minhash_lsh_pairs`) at 1x/10x/100x of
+  * the documents table, all from deterministic perturbation corpora
+  * staged under /tmp (testdata itself is read-only). Prints a
+  * time-vs-size table for SCALING.md.
   *
   * Index construction follows each shape's steady-state sizing rule:
   * clusters scale with sqrt(N) (the standard IVF prescription), so probed
@@ -73,7 +75,7 @@ object ScalingCurve {
     }
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Double)]
-    for (reps <- Seq(50, 500)) {
+    for (reps <- Seq(50, 500, 5000)) {
       val n = 2000L * reps // sf0.1 has 2000 base vectors
       println(s"[scaling] === corpus ${n / 1000}K (reps=$reps) ===")
       val cPath = corpusAt(reps)
@@ -84,8 +86,10 @@ object ScalingCurve {
         best("exact knn.batch")(
           Knn.batch(corpus, queries, k = 10, metric = "l2").count())))
 
-      // probed IVF: clusters ~ sqrt(N) (32 at 100K, 100 at 1M), nProbe 4
-      val nClusters = if (reps == 50) 32 else 100
+      // probed IVF: clusters ~ sqrt(N) (32 at 100K, 100 at 1M, 316 at
+      // 10M), nProbe 4 — probed rows per query ~ 4·sqrt(N)
+      val nClusters = reps match {
+        case 50 => 32; case 500 => 100; case _ => 316 }
       val ivfBase = s"/tmp/graft_scaling/ivf_r${reps}_k$nClusters"
       val ivfDone = new org.apache.hadoop.fs.Path(s"$ivfBase/data/_SUCCESS")
       val fs = ivfDone.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -133,7 +137,7 @@ object ScalingCurve {
     // bounded buckets), which is the claim SCALING.md makes for 100x.
     val docs = graft.core.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    for (reps <- Seq(1, 10)) {
+    for (reps <- Seq(1, 10, 100)) {
       val nDocs = docs.count() * reps
       println(s"[scaling] === documents ${nDocs / 1000}K (reps=$reps) ===")
       val path = s"/tmp/graft_scaling/docs_r$reps"
