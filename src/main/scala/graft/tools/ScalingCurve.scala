@@ -74,8 +74,16 @@ object ScalingCurve {
       b
     }
 
+    // SPARK_GRAFT_SCALING_ONLY=search|lsh (comma list) re-runs one family
+    // against the cached /tmp corpora; SPARK_GRAFT_SCALING_BANDS (e.g.
+    // "4x2,4x4") picks LSH bandings — r=4 is the S-curve fix for the
+    // candidate fan-out the 4x2 100x point measures (see SCALING.md)
+    val only = sys.env.get("SPARK_GRAFT_SCALING_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def enabled(family: String) = only.forall(_.contains(family))
+
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Double)]
-    for (reps <- Seq(50, 500, 5000)) {
+    for (reps <- Seq(50, 500, 5000) if enabled("search")) {
       val n = 2000L * reps // sf0.1 has 2000 base vectors
       println(s"[scaling] === corpus ${n / 1000}K (reps=$reps) ===")
       val cPath = corpusAt(reps)
@@ -137,7 +145,10 @@ object ScalingCurve {
     // bounded buckets), which is the claim SCALING.md makes for 100x.
     val docs = graft.core.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    for (reps <- Seq(1, 10, 100)) {
+    val bandings = sys.env.getOrElse("SPARK_GRAFT_SCALING_BANDS", "4x2")
+      .split(",").map { s =>
+        val Array(b, r) = s.trim.split("x"); (b.toInt, r.toInt) }
+    for (reps <- Seq(1, 10, 100) if enabled("lsh")) {
       val nDocs = docs.count() * reps
       println(s"[scaling] === documents ${nDocs / 1000}K (reps=$reps) ===")
       val path = s"/tmp/graft_scaling/docs_r$reps"
@@ -157,10 +168,11 @@ object ScalingCurve {
           .write.mode("overwrite").parquet(path)
       }
       val corpus = spark.read.parquet(path)
-      results += (("lsh_pairs", reps, nDocs,
-        best("minhash lsh pairs")(
-          Dedup.minhashLshPairs(corpus, shingleN = 2, bands = 4,
-            rowsPerBand = 2, threshold = 0.5).count())))
+      for ((bands, rpb) <- bandings)
+        results += ((s"lsh_${bands}x$rpb", reps, nDocs,
+          best(s"minhash lsh pairs ${bands}x$rpb")(
+            Dedup.minhashLshPairs(corpus, shingleN = 2, bands = bands,
+              rowsPerBand = rpb, threshold = 0.5).count())))
     }
 
     println("[scaling] shape | corpus | best-of-3 sec | sec per 100K rows")
