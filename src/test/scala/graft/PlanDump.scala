@@ -79,7 +79,19 @@ object PlanDump {
         |so the only wide exchange carries query-matched postings — shuffle
         |volume is O(matched postings), never O(corpus tokens); df and the
         |(N, avgdl) scalars join back as broadcasts; the final ranking is a
-        |TakeOrdered heap, not a sort.""".stripMargin))
+        |TakeOrdered heap, not a sort.""".stripMargin),
+      "bpe_tokenize" -> ("""Trained-BPE token counting, application side (training already
+        |ran — merges are literals here): the 32-merge chain is nested
+        |codegen StringReplace expressions inside the scan-side project —
+        |map-only, no UDF, no shuffle; the only exchange is the output
+        |ordering. At 100 TB this is a pure scan whose cost is the replace
+        |chain per row.""".stripMargin),
+      "image_decode" -> ("""Multimodal pixel decode: generate -> encode -> ImageIO decode all
+        |inside ONE mapPartitions pipeline (DeserializeToObject /
+        |MapPartitions / SerializeFromObject back-to-back, no exchange
+        |between them) — the blob bytes never cross a shuffle; only the
+        |9-column stats row leaves the partition. The mapInPandas-shaped
+        |seam a 100 TB binary-column scan needs.""".stripMargin))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the flagship queries\n\n")
     sb.append("Generated by `sbt \"Test/runMain graft.PlanDump\"` at sf0.01 ")
