@@ -451,13 +451,14 @@ object Dedup {
     */
   def prepPipeline(docs: DataFrame, minQuality: Double, lang: String,
       shingleN: Int, bands: Int, rowsPerBand: Int, threshold: Double,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Int = 0): DataFrame = {
     val flagged = flaggedCorpus(docs, shingleN, textCol, idCol)
     val survivors = flagged.filter(col("keep_exact") &&
       col("quality") >= minQuality && col("lang_guess") === lang)
     val ndRemoved = minhashLshPairsFromHashes(
         survivors.select(col(idCol).as("id"), col("hs")),
-        bands, rowsPerBand, threshold)
+        bands, rowsPerBand, threshold, maxBucket = maxBucket)
       .select(col("id_b").as(idCol)).distinct()
     survivors.join(ndRemoved, Seq(idCol), "left_anti")
       .select(col(idCol), col("quality"), col("n_tokens"))

@@ -143,8 +143,10 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
 
   /** One SSE frame to one held connection, under the write deadline; a dead
     * or stalled-past-deadline client is closed and reported so the caller
-    * drops it. */
-  private def sseWrite(ex: HttpExchange, e: ObjectNode): Boolean = {
+    * drops it. (private[serve] so the spec can drive the stall path with a
+    * stub exchange — a real full-TCP-buffer stall is not reproducible
+    * deterministically in a test.) */
+  private[serve] def sseWrite(ex: HttpExchange, e: ObjectNode): Boolean = {
     val kill = sseWatchdog.schedule(new Runnable {
       def run(): Unit = try ex.close() catch { case NonFatal(_) => }
     }, sseWriteDeadlineMs, java.util.concurrent.TimeUnit.MILLISECONDS)

@@ -319,4 +319,64 @@ class RestServerSpec extends SparkSpec {
       r2.close()
     } finally srv.stop()
   }
+
+  test("SSE write deadline evicts a stalled-but-alive client") {
+    // A client with a full TCP send buffer blocks the pusher's socket
+    // write INDEFINITELY (it is alive, so the write never fails on its
+    // own) — the watchdog must close the exchange at the deadline so the
+    // write aborts and the client is dropped like a dead one. Driven with
+    // a stub exchange whose output stream blocks until close(), the only
+    // deterministic way to reproduce a kernel-buffer stall.
+    import com.sun.net.httpserver.{Headers, HttpContext, HttpPrincipal}
+    import java.io.{InputStream, OutputStream}
+    class StubExchange(blockWrites: Boolean) extends
+        com.sun.net.httpserver.HttpExchange {
+      val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private val gate = new java.util.concurrent.CountDownLatch(1)
+      private val out = new OutputStream {
+        override def write(b: Int): Unit = write(Array(b.toByte), 0, 1)
+        override def write(b: Array[Byte], off: Int, len: Int): Unit =
+          if (blockWrites) {
+            // block like a full socket buffer; closing the exchange is
+            // what aborts the write
+            gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+            throw new java.io.IOException("stream closed")
+          }
+      }
+      override def close(): Unit = { closed.set(true); gate.countDown() }
+      override def getResponseBody: OutputStream = out
+      override def getRequestHeaders: Headers = new Headers
+      override def getResponseHeaders: Headers = new Headers
+      override def getRequestURI: java.net.URI = java.net.URI.create("/")
+      override def getRequestMethod: String = "GET"
+      override def getHttpContext: HttpContext = null
+      override def getRequestBody: InputStream = InputStream.nullInputStream()
+      override def sendResponseHeaders(rCode: Int, len: Long): Unit = ()
+      override def getRemoteAddress: java.net.InetSocketAddress = null
+      override def getResponseCode: Int = 200
+      override def getLocalAddress: java.net.InetSocketAddress = null
+      override def getProtocol: String = "HTTP/1.1"
+      override def getAttribute(name: String): AnyRef = null
+      override def setAttribute(name: String, value: Any): Unit = ()
+      override def setStreams(i: InputStream, o: OutputStream): Unit = ()
+      override def getPrincipal: HttpPrincipal = null
+    }
+    val srv = new RestServer(null, sseWriteDeadlineMs = 150L)
+    try {
+      val ev = mapper.createObjectNode()
+      ev.put("seq", 1L); ev.put("type", "insert"); ev.put("id", "x")
+      // healthy client: write returns, retained
+      val ok = new StubExchange(blockWrites = false)
+      assert(srv.sseWrite(ok, ev))
+      assert(!ok.closed.get)
+      // stalled client: the write blocks; the watchdog must close it at
+      // ~the deadline and sseWrite must report eviction, not hang
+      val stalled = new StubExchange(blockWrites = true)
+      val t0 = System.nanoTime()
+      assert(!srv.sseWrite(stalled, ev))
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(stalled.closed.get, "watchdog should have closed the exchange")
+      assert(elapsedMs < 10000, s"write should abort near the 150ms deadline, took $elapsedMs ms")
+    } finally srv.stop()
+  }
 }
