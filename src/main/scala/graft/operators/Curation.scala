@@ -265,6 +265,60 @@ object Curation {
       .drop("_wkey")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public method): score
+    * every raw document by how much its hashed n-gram feature distribution
+    * looks like a TARGET subset (e.g. high-quality English) vs the raw
+    * pool. weight(doc) = Σ over the doc's bigram occurrences of
+    * log(p_target(bucket) / p_raw(bucket)), with add-one smoothing over
+    * `buckets` hashed feature buckets. Resampling the corpus by these
+    * weights (e.g. [[weightedSample]] on exp(weight)) tilts the data mix
+    * toward the target domain without a trained classifier.
+    *
+    * Scale shape — the reason feature HASHING is the right 100 TB form:
+    * the model state is two count vectors of length `buckets` (one
+    * aggregate over one corpus scan, ≤ `buckets` rows to the driver), and
+    * scoring is a map-only pass (the log-ratio table rides along as a
+    * literal array; `aggregate` over the doc's bucket array, no join, no
+    * shuffle, no per-doc state). Raw pool = ALL docs (target included),
+    * per the paper's importance-sampling formulation.
+    *
+    * Returns (doc_id…idCol, n_feats, weight): every input doc, zero-feature
+    * docs (< 2 tokens) carrying weight 0.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 256,
+      textCol: String = "text", idCol: String = "doc_id",
+      roundDecimals: Int = 6): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"buckets must be in (0, 2^20], got $buckets")
+    val bkts = transform(shingles(col(textCol), 2),
+      s => pmod(stableHash32(s), lit(buckets)))
+    val feats = docs.withColumn("_bkts", bkts)
+    // one scan, one bounded aggregate: raw + target counts per bucket
+    val counts = feats
+      .select(explode(col("_bkts")).as("b"), isTarget.as("_t"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("r"),
+        coalesce(sum(when(col("_t"), 1L)), lit(0L)).as("t"))
+      .collect()
+    val rawN = counts.map(_.getLong(1)).sum.toDouble
+    val tgtN = counts.map(_.getLong(2)).sum.toDouble
+    // unseen buckets score the smoothing floor (t = r = 0)
+    val floor = math.log(1.0 / (tgtN + buckets)) - math.log(1.0 / (rawN + buckets))
+    val lam = Array.fill(buckets)(floor)
+    counts.foreach { row =>
+      val b = row.getLong(0).toInt
+      lam(b) = math.log((row.getLong(2) + 1.0) / (tgtN + buckets)) -
+        math.log((row.getLong(1) + 1.0) / (rawN + buckets))
+    }
+    val lamLit = typedLit(lam.toSeq)
+    feats.select(col(idCol),
+      size(col("_bkts")).cast("long").as("n_feats"),
+      round(aggregate(col("_bkts"), lit(0.0),
+        (acc, b) => acc + element_at(lamLit, (b + 1).cast("int"))),
+        roundDecimals).as("weight"))
+  }
+
   def capPerGroup(docs: DataFrame, groupCol: String, n: Int,
       idCol: String = "doc_id", salt: String = "cap"): DataFrame = {
     require(n > 0, s"cap must be positive, got $n")

@@ -269,6 +269,36 @@ object Dedup {
     docs.join(remove, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-representative selection by QUALITY: where
+    * [[dropNearDuplicatesTransitive]] keeps each cluster's minimum id (the
+    * reference-style canonical-survivor rule), a curation pipeline keeps
+    * the BEST member — near-dup web pages differ in boilerplate residue
+    * and truncation, and dropping the clean copy because a mangled one has
+    * a smaller id throws away quality the dedup step was supposed to
+    * protect. Returns one row per duplicate cluster:
+    * (component, keep_id, keep_quality, cluster_size), keep = the member
+    * maximizing `qualityCol` (ties broken by minimum id, so the choice is
+    * deterministic and partition-invariant).
+    *
+    * Scale shape: the label propagation of [[duplicateClusters]] plus ONE
+    * join of the (bounded) labeled-duplicate set against the quality
+    * column and one aggregate on the component key — a lexicographic
+    * struct-min, not a window sort. */
+  def clusterRepresentatives(pairs: DataFrame, docs: DataFrame,
+      qualityCol: String, idCol: String = "doc_id",
+      maxIter: Int = 20): DataFrame = {
+    val q = docs.select(col(idCol).as("id"),
+      col(qualityCol).cast("double").as("q"))
+    duplicateClusters(pairs, maxIter)
+      .join(q, Seq("id"))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("cluster_size"),
+        // struct min is lexicographic: (-q, id) min == max quality, then min id
+        min(struct((-col("q")).as("nq"), col("id").as("i"))).as("best"))
+      .select(col("comp").as("component"), col("best.i").as("keep_id"),
+        (-col("best.nq")).as("keep_quality"), col("cluster_size"))
+  }
+
   /** Per-document duplicated-SPAN statistics — the window-level view of
     * duplication that document-level MinHash misses (Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better",

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-NN self-join — k-nearest-neighbor GRAPH construction over an embedding
+  * table: for every vector, its k most-similar OTHER vectors by cosine.
+  *
+  * This is the primitive under semantic dedup (SemDeDup-style: cluster,
+  * then drop near-neighbors), embedding-space diversity analysis, and
+  * graph-based index builds (an HNSW/NSW base layer IS a k-NN graph). The
+  * reference exposes pairwise search only query-at-a-time
+  * (`/root/reference/src/core/vector_ops.rs:269-346`); the corpus×corpus
+  * form is what a curation pipeline runs, so it gets first-class operators:
+  *
+  *  - [[exact]]  — all-pairs baseline. Quadratic by definition; guarded by
+  *    `maxRows` so it can't silently run N² on a 100 TB corpus. This is the
+  *    ground-truth/recall-eval shape, not the production path.
+  *  - [[blocked]] — the scale path: candidate pairs only WITHIN a block
+  *    (label today; an IVF `cluster_id` from [[Ivf.assign]] at scale, where
+  *    multi-probe assignment trades recall for fan-out). One shuffle on the
+  *    block key, per-block pair expansion bounded by the largest block, then
+  *    the same two-phase top-k aggregate — the corpus never forms N² pairs.
+  *
+  * Both emit (id, neighbor_id, rank, cosine) with rank 1..k ordered by
+  * (cosine desc, neighbor_id asc) on values rounded to `roundDecimals` —
+  * the deterministic tie-break contract the DuckDB oracle replays.
+  */
+object KnnJoin {
+
+  private def topkFromPairs(pairs: DataFrame, k: Int,
+      roundDecimals: Int): DataFrame = {
+    // distance = 1 - cosine so the (dist, id)-ascending TopK aggregate
+    // yields cosine-descending neighbors; round FIRST so ranking ties are
+    // broken identically in Spark and the double-math oracle
+    val d = round(lit(1.0) - col("cos"), roundDecimals)
+    pairs
+      .select(col("id"), col("nid"), d.as("distance"))
+      .groupBy("id")
+      .agg(TopK.topK(k)(col("nid"), col("distance")).as("hits"))
+      .select(col("id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("id"), col("hit.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(lit(1.0) - col("hit.dist"), roundDecimals).as("cosine"))
+  }
+
+  /** All-pairs exact k-NN graph. One side is broadcast, so this is
+    * strictly a BOUNDED-corpus operator (ground truth for recall eval,
+    * small curated sets): the `maxRows` require is the loud guard against
+    * pointing it at an unbounded table — at scale use [[blocked]].
+    */
+  def exact(vectors: DataFrame, k: Int, idCol: String = "id",
+      embCol: String = "embedding", maxRows: Long = 1000000L,
+      roundDecimals: Int = 6): DataFrame = {
+    val n = vectors.count()
+    require(n <= maxRows,
+      s"KnnJoin.exact is all-pairs (O(N^2)) and broadcasts one side: $n rows " +
+        s"> maxRows=$maxRows. Use KnnJoin.blocked with an IVF cluster_id block.")
+    val slim = vectors.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val right = broadcast(slim.select(col("id").as("nid"), col("emb").as("nemb")))
+    val pairs = slim.join(right, col("id") =!= col("nid"))
+      .select(col("id"), col("nid"),
+        graft.functions.VectorExpressions.vecCosine(col("emb"), col("nemb")).as("cos"))
+    topkFromPairs(pairs, k, roundDecimals)
+  }
+
+  /** Cluster-blocked approximate k-NN graph: neighbors are searched only
+    * within the same `blockCol` value. At 100 TB the block is an IVF
+    * cluster assignment (bounded cluster sizes via
+    * [[Ivf.rebalance]]), so the join shuffles both sides once on the block
+    * key and the pair expansion is Σ(block²), not N². Recall is bounded by
+    * the blocking (a true neighbor in another block is unreachable) —
+    * multi-probe assignment (each vector entering its p nearest clusters)
+    * is the standard recall/cost dial.
+    */
+  def blocked(vectors: DataFrame, k: Int, blockCol: String,
+      idCol: String = "id", embCol: String = "embedding",
+      roundDecimals: Int = 6): DataFrame = {
+    val slim = vectors.select(col(blockCol).as("blk"),
+      col(idCol).as("id"), col(embCol).as("emb"))
+    val right = slim.select(col("blk"), col("id").as("nid"), col("emb").as("nemb"))
+    val pairs = slim.join(right, Seq("blk"))
+      .filter(col("id") =!= col("nid"))
+      .select(col("id"), col("nid"),
+        graft.functions.VectorExpressions.vecCosine(col("emb"), col("nemb")).as("cos"))
+    topkFromPairs(pairs, k, roundDecimals)
+  }
+}

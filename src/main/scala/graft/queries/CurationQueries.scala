@@ -95,6 +95,14 @@ object CurationQueries {
         .select(col("doc_id"), col("q").as("quality"))
         .orderBy("doc_id")
     }),
+    // DSIR importance weights (hashed-bigram log-likelihood ratio, target
+    // = English docs): the data-selection score a quality-targeted mix
+    // resamples by; model state is 256 hashed buckets, scoring map-only
+    "dsir_weights" -> ((s, dir) => {
+      Curation.dsirWeights(Tables.load(s, dir, "documents"),
+          isTarget = col("lang") === "en", buckets = 256)
+        .orderBy("doc_id")
+    }),
     // hard per-domain ceiling: keep exactly 10 hash-chosen docs per source
     // (bounded-heap selection, no window sort); the id checksum pins WHICH
     // docs survived, not just how many
@@ -174,6 +182,24 @@ object CurationQueries {
          |  FROM q)
          |SELECT doc_id, quality FROM
          |  (SELECT * FROM k ORDER BY wkey DESC, doc_id ASC LIMIT 50)
+         |ORDER BY doc_id""".stripMargin,
+    "dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id, lang,
+         |  unnest(list_transform(range(1, len(toks)),
+         |    i -> ${hash32("toks[i] || ' ' || toks[i+1]")} % 256)) AS b
+         |  FROM t),
+         |cnt AS (SELECT b, count(*)::DOUBLE AS r,
+         |    coalesce(count(*) FILTER (WHERE lang = 'en'), 0)::DOUBLE AS tg
+         |  FROM f GROUP BY b),
+         |tot AS (SELECT sum(r) AS rn, sum(tg) AS tn FROM cnt),
+         |lam AS (SELECT b, ln((tg + 1.0) / (tn + 256)) - ln((r + 1.0) / (rn + 256)) AS l
+         |  FROM cnt, tot),
+         |w AS (SELECT f.doc_id, count(*)::BIGINT AS n_feats, sum(l) AS wt
+         |  FROM f JOIN lam USING (b) GROUP BY f.doc_id)
+         |SELECT d.doc_id, coalesce(w.n_feats, 0)::BIGINT AS n_feats,
+         |  round(coalesce(w.wt, 0.0), 6) AS weight
+         |FROM documents d LEFT JOIN w USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "domain_cap" ->
       s"""WITH r AS (SELECT source, doc_id, row_number() OVER (

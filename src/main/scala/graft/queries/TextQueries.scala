@@ -109,6 +109,19 @@ object TextQueries {
             .partitionBy(col("component"))).cast("long"))
         .orderBy("doc_id")
     }),
+    // cluster-representative selection: per duplicate cluster keep the
+    // HIGHEST-quality member (n_chars here; a Gopher/LM score in a real
+    // pipeline), ties to the smaller id — the curation-grade alternative
+    // to keep-minimum-id
+    "dup_keep_best" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs,
+        shingleN = 2, bands = 4, rowsPerBand = 2, threshold = 0.3)
+      Dedup.clusterRepresentatives(pairs, docs, qualityCol = "n_chars")
+        .select(col("component"), col("keep_id"),
+          col("keep_quality").cast("long").as("keep_chars"), col("cluster_size"))
+        .orderBy("component")
+    }),
     // SimHash 16-bit fingerprints
     "simhash" -> ((s, dir) => {
       Dedup.simhashFingerprints(Tables.load(s, dir, "documents"), bits = 16)
@@ -775,6 +788,38 @@ object TextQueries {
          |SELECT doc_id, component,
          |  count(*) OVER (PARTITION BY component)::BIGINT AS cluster_size
          |FROM comp ORDER BY doc_id""".stripMargin,
+    "dup_keep_best" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  list_transform(range(1, len(toks)),
+         |    i -> ${hash32("toks[i] || ' ' || toks[i+1]")}::BIGINT)) AS hs
+         |  FROM t),
+         |sig AS (SELECT doc_id, hs,
+         |  [list_min(list_transform(hs, h -> (h * (2 * i + 1) + 7919 * i) % 4294967311))::BIGINT
+         |   FOR i IN range(1, 9)] AS sig
+         |  FROM sh),
+         |banded AS (SELECT doc_id, b AS band, sig[b*2+1:b*2+2] AS bucket
+         |  FROM sig, range(0, 4) r(b)),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |p AS (SELECT id_a, id_b
+         |  FROM (SELECT id_a, id_b, a.hs AS hs_a, b.hs AS hs_b
+         |    FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+         |  WHERE len(list_intersect(hs_a, hs_b))::DOUBLE / len(list_distinct(hs_a || hs_b)) >= 0.3),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM p
+         |  UNION ALL SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (SELECT a, b FROM sym
+         |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         |  FROM reach GROUP BY a),
+         |m AS (SELECT c.component, c.doc_id, d.n_chars,
+         |    count(*) OVER (PARTITION BY c.component)::BIGINT AS cluster_size,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+         |  FROM comp c JOIN documents d USING (doc_id))
+         |SELECT component, doc_id AS keep_id, n_chars AS keep_chars, cluster_size
+         |FROM m WHERE rn = 1 ORDER BY component""".stripMargin,
     "simhash" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |h AS (SELECT doc_id, ${hash32("tok")}::BIGINT AS th FROM t),

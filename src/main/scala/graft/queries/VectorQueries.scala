@@ -88,6 +88,20 @@ object VectorQueries {
         roundDecimals = 6)
         .withColumn("score", round(col("score"), 6))
         .orderBy("distance", "id")
+    }),
+    // k-NN GRAPH construction (the SemDeDup/semantic-dedup primitive):
+    // every vector's top-3 neighbors. Exact all-pairs = the bounded ground
+    // truth; blocked = the IVF-cluster-at-scale shape, replayed exactly by
+    // the oracle because the block key (label) is deterministic.
+    "knn_join" -> ((s, dir) => {
+      graft.operators.KnnJoin.exact(Tables.load(s, dir, "embeddings"),
+          k = 3, idCol = "vec_id")
+        .orderBy("id", "rank")
+    }),
+    "knn_join_blocked" -> ((s, dir) => {
+      graft.operators.KnnJoin.blocked(Tables.load(s, dir, "embeddings"),
+          k = 3, blockCol = "label", idCol = "vec_id")
+        .orderBy("id", "rank")
     }))
 
   private val qSub =
@@ -145,5 +159,22 @@ object VectorQueries {
          |  round(1.0 / (1.0 + round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb), 6)), 6) AS score
          |FROM embeddings e, $qSub
          |WHERE e.label BETWEEN 3 AND 7 AND e.vec_id % 2 = 0
-         |ORDER BY distance, id LIMIT 10""".stripMargin)
+         |ORDER BY distance, id LIMIT 10""".stripMargin,
+    "knn_join" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nid,
+        |    round(1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS d
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, nid) AS rank FROM p)
+        |SELECT id, nid AS neighbor_id, rank, round(1.0 - d, 6) AS cosine
+        |FROM r WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
+    "knn_join_blocked" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nid,
+        |    round(1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS d
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, nid) AS rank FROM p)
+        |SELECT id, nid AS neighbor_id, rank, round(1.0 - d, 6) AS cosine
+        |FROM r WHERE rank <= 3 ORDER BY id, rank""".stripMargin)
 }

@@ -156,6 +156,29 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](Curation.temperatureMix(skewed, 1.5))
   }
 
+  test("DSIR weights rank target-like docs above off-target docs") {
+    // two disjoint vocabularies: "english-ish" docs (target) and
+    // "other" docs; a mixed doc lands in between
+    val en = (0L until 20L).map(i => (i, "the quick brown fox jumps over the lazy dog", "en"))
+    val de = (20L until 40L).map(i => (i, "der schnelle braune fuchs springt über den hund", "de"))
+    val mixed = Seq((40L, "the quick braune fuchs", "xx"), (41L, "", "xx"))
+    val docs = (en ++ de ++ mixed).toDF("doc_id", "text", "lang")
+    val w = Curation.dsirWeights(docs, isTarget = col("lang") === "en")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // every target doc outscores every off-target doc; the mixed doc sits
+    // strictly between the two blocks
+    assert(w(0L)._3 > w(40L)._3 && w(40L)._3 > w(20L)._3)
+    // target docs' weights are positive (their features are target-dense),
+    // off-target negative
+    assert(w(5L)._3 > 0 && w(25L)._3 < 0)
+    // a doc with < 2 tokens has zero features and weight exactly 0
+    assert(w(41L)._2 == 0L && w(41L)._3 == 0.0)
+    // deterministic across runs
+    val again = Curation.dsirWeights(docs, col("lang") === "en")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(w.forall { case (id, (_, _, wt)) => again(id) == wt })
+  }
+
   test("embedding decontamination drops vector-space leaks n-grams miss") {
     // doc 1 is a scaled+shifted copy of the eval vector (a paraphrase
     // shares no shingles but lands ~1.0 cosine); docs 2/3 are far away

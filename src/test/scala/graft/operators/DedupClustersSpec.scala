@@ -74,6 +74,18 @@ class DedupClustersSpec extends SparkSpec {
     assert(Dedup.duplicateClusters(pairs).count() == 0)
   }
 
+  test("clusterRepresentatives keeps the best-quality member, ties to min id") {
+    // clusters {1,2,3} (chain) and {10,11}; quality: 2 is best in the
+    // first, 10 and 11 tie in the second (tie -> min id 10)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq(
+      (1L, 50L), (2L, 90L), (3L, 70L), (10L, 40L), (11L, 40L)
+    ).toDF("doc_id", "n_chars")
+    val reps = Dedup.clusterRepresentatives(pairs, docs, "n_chars")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    assert(reps.toSeq == Seq((1L, 2L, 90.0, 3L), (10L, 10L, 40.0, 2L)))
+  }
+
   test("an undersized iteration budget fails loudly, never partial labels") {
     // a 10-deep chain cannot converge in 2 rounds; silent partial labels
     // would break the kept-representative guarantee downstream

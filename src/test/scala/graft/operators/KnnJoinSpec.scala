@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** k-NN graph construction: exact all-pairs ground truth on a hand-checked
+  * fixture, blocked == exact within blocks, and the quadratic guard. */
+class KnnJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // four 2-d points on a line: 0 @ x=0, 1 @ x=1, 2 @ x=3, 3 @ x=10, plus a
+  // block column splitting {0,1} / {2,3}. Cosine of same-direction 2-d
+  // vectors with a fixed second coordinate orders by angle — use distinct
+  // directions instead for unambiguous cosine ranking.
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f), 0),
+    (2L, Array(0.0f, 1.0f), 1),
+    (3L, Array(0.1f, 0.9f), 1)
+  ).toDF("id", "embedding", "blk")
+
+  test("exact: nearest neighbor is the closest direction, ranks deterministic") {
+    val g = KnnJoin.exact(vecs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet // (id, rank, neighbor)
+    // id 0 (1,0): nearest 1 (0.9,0.1), then 3 is (0.1,0.9) vs 2 (0,1):
+    // cos(0,3) = .1/sqrt(.82) ≈ .110, cos(0,2) = 0 → rank2 = 3
+    assert(g.contains((0L, 1L, 1L)))
+    assert(g.contains((0L, 2L, 3L)))
+    // id 2 (0,1): nearest 3 (0.1,0.9), then 1 (0.9,0.1) beats 0 (1,0)
+    assert(g.contains((2L, 1L, 3L)))
+    assert(g.contains((2L, 2L, 1L)))
+  }
+
+  test("exact emits exactly k rows per id, rank 1..k, cosine non-increasing") {
+    val g = KnnJoin.exact(vecs, k = 3)
+    val perId = g.groupBy("id").agg(count(lit(1)).as("n"),
+      min("rank").as("lo"), max("rank").as("hi")).collect()
+    assert(perId.length == 4)
+    perId.foreach { r =>
+      assert(r.getLong(1) == 3 && r.getLong(2) == 1L && r.getLong(3) == 3L)
+    }
+    // within each id, cosine must be non-increasing in rank
+    val bad = g.as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).values.flatMap { rows =>
+        val sorted = rows.sortBy(_._3)
+        sorted.zip(sorted.tail).filter { case (a, b) => a._4 < b._4 }
+      }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("blocked equals exact restricted to the block") {
+    val blocked = KnnJoin.blocked(vecs, k = 1, blockCol = "blk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // within block {0,1} each is the other's only neighbor; same for {2,3}
+    assert(blocked == Map(0L -> 1L, 1L -> 0L, 2L -> 3L, 3L -> 2L))
+  }
+
+  test("exact refuses an over-limit corpus loudly") {
+    val e = intercept[IllegalArgumentException] {
+      KnnJoin.exact(vecs, k = 2, maxRows = 3)
+    }
+    assert(e.getMessage.contains("blocked"))
+  }
+}
