@@ -58,6 +58,13 @@ import scala.util.control.NonFatal
   *   POST   /api/v1/admin/backup      {target}
   *   GET    /api/v1/updates?since=N
   *   GET    /api/v1/updates/stream?since=N   (SSE: backlog replay + live push)
+  *   GET    /api/v1/updates/ws?since=N       (WebSocket, on the companion
+  *                                      `wsPort` listener / `boundWsPort`:
+  *                                      RFC 6455 handshake, backlog replay,
+  *                                      live push as text frames, ping→pong,
+  *                                      close echo — the working form of the
+  *                                      reference's vestigial WS route,
+  *                                      rest.rs:342,727-738)
   *
   * Serving-loop extras from the reference:
   *  - repeated-query memo (`hybrid/search_integration.rs:554-623`): LRU on
@@ -80,7 +87,7 @@ import scala.util.control.NonFatal
   */
 class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     maxEvents: Int = 10000, backupBase: Option[String] = None,
-    sseWriteDeadlineMs: Long = 5000L) {
+    sseWriteDeadlineMs: Long = 5000L, wsPort: Int = 0) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -116,15 +123,26 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
   private sealed trait SseCmd
   private case class SseEvent(e: ObjectNode) extends SseCmd
   private case class SseSubscribe(ex: HttpExchange, backlog: Seq[ObjectNode]) extends SseCmd
+  private case class WsSubscribe(c: WsClient, backlog: Seq[ObjectNode]) extends SseCmd
   private val sseQueue = new java.util.concurrent.LinkedBlockingQueue[SseCmd](10000)
   // pusher-thread-only once started; the cap is read from the dispatcher
   private val sseSubs = new java.util.concurrent.CopyOnWriteArrayList[HttpExchange]()
+  private val wsSubs = new java.util.concurrent.CopyOnWriteArrayList[WsClient]()
   private val maxSseClients = 64
+  // guards the event ring + the append→enqueue window: the HTTP routes all
+  // run on the one serial dispatcher, but the WS accept thread must
+  // snapshot the ring too, and its snapshot+subscribe must not interleave
+  // with an append+enqueue (that's what makes backlog-vs-live exactly-once)
+  private val ringLock = new Object
   private val ssePusher = new Thread(() => {
     try while (true) sseQueue.take() match {
-      case SseEvent(e) => sseSubs.removeIf(sub => !sseWrite(sub, e))
+      case SseEvent(e) =>
+        sseSubs.removeIf(sub => !sseWrite(sub, e))
+        wsSubs.removeIf(c => !c.send(e))
       case SseSubscribe(ex, backlog) =>
         if (backlog.forall(e => sseWrite(ex, e))) sseSubs.add(ex)
+      case WsSubscribe(c, backlog) =>
+        if (backlog.forall(e => c.send(e))) wsSubs.add(c)
     } catch { case _: InterruptedException => }
   }, "graft-sse-push")
   ssePusher.setDaemon(true)
@@ -169,8 +187,187 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     }
   }
 
+  // ---- WebSocket update stream (`GET /updates/ws` on the companion
+  // listener): the reference declares a WS route whose handler never sends
+  // an update (`/root/reference/src/api/rest.rs:342,727-738`); this is the
+  // working form — RFC 6455 server handshake, backlog replay from
+  // `since=`, then live push of every mutation event as a text frame,
+  // with ping→pong and close-echo. The JDK HttpServer cannot release a
+  // connection for protocol upgrade, so the WS endpoint listens on its own
+  // ServerSocket (`wsPort`, ephemeral by default, `boundWsPort` to read) —
+  // same process, same event ring, same single-pusher delivery contract
+  // and write deadline as SSE.
+
+  /** One held WebSocket connection. All frame writes (pusher events, the
+    * reader's pongs/close-echo) serialize on the client's own lock, and
+    * every write runs under the shared watchdog deadline — a
+    * stalled-but-alive client is closed and evicted, never head-of-line
+    * blocking the pusher. */
+  private final class WsClient(sock: java.net.Socket) {
+    private val out = sock.getOutputStream
+    private val lock = new Object
+
+    def sendFrame(opcode: Int, payload: Array[Byte]): Boolean = lock.synchronized {
+      val kill = sseWatchdog.schedule(new Runnable {
+        def run(): Unit = close()
+      }, sseWriteDeadlineMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      val wrote =
+        try {
+          val n = payload.length
+          val head =
+            if (n <= 125) Array((0x80 | opcode).toByte, n.toByte)
+            else if (n <= 0xffff)
+              Array((0x80 | opcode).toByte, 126.toByte, (n >> 8).toByte, n.toByte)
+            else Array((0x80 | opcode).toByte, 127.toByte,
+              0.toByte, 0.toByte, 0.toByte, 0.toByte,
+              (n >> 24).toByte, (n >> 16).toByte, (n >> 8).toByte, n.toByte)
+          out.write(head); out.write(payload); out.flush()
+          true
+        } catch { case NonFatal(_) => false }
+      val inTime = kill.cancel(false)
+      if (wrote && inTime) true else { close(); false }
+    }
+
+    def send(e: ObjectNode): Boolean =
+      sendFrame(0x1, mapper.writeValueAsBytes(e))
+
+    def close(): Unit = try sock.close() catch { case NonFatal(_) => }
+  }
+
+  /** Per-client reader: unmasks client frames, answers ping with pong and
+    * close with a close echo, ignores data frames (the feed is one-way).
+    * Any protocol violation or oversized frame drops the client. */
+  private def wsReadLoop(c: WsClient, in: java.io.InputStream): Unit = {
+    def readFully(buf: Array[Byte]): Boolean = {
+      var off = 0
+      while (off < buf.length) {
+        val n = in.read(buf, off, buf.length - off)
+        if (n < 0) return false
+        off += n
+      }
+      true
+    }
+    try {
+      var open = true
+      while (open) {
+        val b0 = in.read(); val b1 = if (b0 < 0) -1 else in.read()
+        if (b1 < 0) open = false
+        else {
+          val op = b0 & 0x0f
+          var len: Long = b1 & 0x7f
+          if (len == 126) {
+            val ext = new Array[Byte](2)
+            if (!readFully(ext)) return
+            len = ((ext(0) & 0xffL) << 8) | (ext(1) & 0xffL)
+          } else if (len == 127) {
+            val ext = new Array[Byte](8)
+            if (!readFully(ext)) return
+            len = ext.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+          }
+          // a client of a one-way feed has no business sending big frames
+          if (len > (1 << 16)) open = false
+          else {
+            val mask = if ((b1 & 0x80) != 0) new Array[Byte](4) else null
+            if (mask != null && !readFully(mask)) return
+            val payload = new Array[Byte](len.toInt)
+            if (!readFully(payload)) return
+            if (mask != null) {
+              var i = 0
+              while (i < payload.length) {
+                payload(i) = (payload(i) ^ mask(i & 3)).toByte; i += 1
+              }
+            }
+            op match {
+              case 0x8 => c.sendFrame(0x8, payload.take(2)); open = false
+              case 0x9 => c.sendFrame(0xA, payload)
+              case _ => // text/binary/pong/continuation: ignored
+            }
+          }
+        }
+      }
+    } catch { case NonFatal(_) => }
+    finally { c.close(); wsSubs.remove(c) }
+  }
+
+  /** Blocking HTTP-upgrade handshake on a freshly accepted socket; on
+    * success the client enters the pusher's subscription queue with its
+    * ring backlog (snapshot + enqueue under ringLock — the same atomicity
+    * the SSE path gets for free from the serial dispatcher). */
+  private def wsHandshake(sock: java.net.Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    sock.setSoTimeout(10000) // a half-open handshake can't pin the acceptor
+    val in = new java.io.BufferedInputStream(sock.getInputStream)
+    val head = new java.io.ByteArrayOutputStream()
+    var prev4 = 0
+    var b = in.read()
+    while (b >= 0 && prev4 != 0x0d0a0d0a && head.size < 8192) {
+      head.write(b)
+      prev4 = (prev4 << 8) | b
+      b = if (prev4 == 0x0d0a0d0a) -1 else in.read()
+    }
+    val lines = head.toString(UTF_8).split("\r\n")
+    val req = lines.headOption.getOrElse("").split(" ")
+    val headers = lines.tail.flatMap(_.split(":", 2) match {
+      case Array(k, v) => Some(k.trim.toLowerCase -> v.trim)
+      case _ => None
+    }).toMap
+    def reject(code: Int, msg: String): Unit = {
+      try {
+        sock.getOutputStream.write(
+          (s"HTTP/1.1 $code $msg\r\nConnection: close\r\n\r\n").getBytes(UTF_8))
+        sock.getOutputStream.flush()
+      } catch { case NonFatal(_) => }
+      try sock.close() catch { case NonFatal(_) => }
+    }
+    val pathOk = req.length >= 2 && req(0) == "GET" &&
+      (req(1) == "/api/v1/updates/ws" || req(1).startsWith("/api/v1/updates/ws?"))
+    val key = headers.get("sec-websocket-key")
+    if (!pathOk) reject(404, "Not Found")
+    else if (!headers.get("upgrade").exists(_.equalsIgnoreCase("websocket")) ||
+      key.isEmpty) reject(400, "Bad Request")
+    else if (wsSubs.size() >= maxSseClients) reject(503, "Service Unavailable")
+    else {
+      val accept = java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("SHA-1").digest(
+          (key.get + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes(UTF_8)))
+      sock.getOutputStream.write(
+        ("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+          s"Connection: Upgrade\r\nSec-WebSocket-Accept: $accept\r\n\r\n").getBytes(UTF_8))
+      sock.getOutputStream.flush()
+      sock.setSoTimeout(0) // held connection: reads block until the client talks
+      val since = req(1).split("\\?", 2).lift(1)
+        .flatMap(_.split("&").collectFirst {
+          case s if s.startsWith("since=") => s.drop(6) })
+        .flatMap(_.toLongOption).getOrElse(0L)
+      val client = new WsClient(sock)
+      val subscribed = ringLock.synchronized {
+        val backlog = events.iterator().asScala
+          .filter(_.get("seq").asLong() > since).toSeq
+        sseQueue.offer(WsSubscribe(client, backlog))
+      }
+      if (!subscribed) client.close()
+      else {
+        val t = new Thread(() => wsReadLoop(client, in), "graft-ws-read")
+        t.setDaemon(true)
+        t.start()
+      }
+    }
+  }
+
+  private val wsServer = new java.net.ServerSocket(wsPort)
+  private val wsAcceptor = new Thread(() => {
+    try while (true) {
+      val sock = wsServer.accept()
+      try wsHandshake(sock)
+      catch { case NonFatal(_) => try sock.close() catch { case NonFatal(_) => } }
+    } catch { case NonFatal(_) => /* listener closed: stop() */ }
+  }, "graft-ws-accept")
+  wsAcceptor.setDaemon(true)
+
+  def boundWsPort: Int = wsServer.getLocalPort
+
   /** Mutations invalidate the memo, append a change event, and hand it to
-    * the pusher for every held `/updates/stream` connection. */
+    * the pusher for every held `/updates/stream` + WebSocket connection. */
   private def mutated(tpe: String, ids: Seq[String]): Unit = {
     queryCache.clear()
     ids.foreach { id =>
@@ -179,11 +376,13 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
       e.put("type", tpe)
       e.put("id", id)
       e.put("timestamp", java.time.Instant.now().toString)
-      events.addLast(e)
-      nextSeq += 1
-      if (events.size() > maxEvents) events.removeFirst()
-      // offer, not put: a backed-up stream queue must never block the API
-      sseQueue.offer(SseEvent(e))
+      ringLock.synchronized {
+        events.addLast(e)
+        nextSeq += 1
+        if (events.size() > maxEvents) events.removeFirst()
+        // offer, not put: a backed-up stream queue must never block the API
+        sseQueue.offer(SseEvent(e))
+      }
     }
   }
 
@@ -512,6 +711,7 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     })
     server.setExecutor(null) // serial: one Spark driver, one request at a time
     ssePusher.start()
+    wsAcceptor.start()
     server.start()
     this
   }
@@ -519,6 +719,9 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
   def stop(): Unit = {
     ssePusher.interrupt()
     sseWatchdog.shutdownNow()
+    try wsServer.close() catch { case NonFatal(_) => }
+    wsSubs.forEach(c => c.close())
+    wsSubs.clear()
     sseSubs.forEach(sub => try sub.close() catch { case NonFatal(_) => })
     sseSubs.clear()
     server.stop(0)

@@ -133,6 +133,32 @@ object ScalingCurve {
         best("hnsw routed probeBlobs=6")(
           Hnsw.searchSaved(spark, hnswPath, queries, k = 10, efSearch = 120,
             probeBlobs = 6).count())))
+
+      // blocked k-NN GRAPH build (KnnJoin.blocked): the scale claim is
+      // different from probed search — here the cluster count scales with
+      // N (fixed ~1000-row blocks, the SemDeDup posture), so total pair
+      // work is N x blockSize, i.e. LINEAR in N, vs the N^1.5 a
+      // sqrt(N)-clusters blocking would cost. 1x/10x only: the 100x point
+      // is 100x the 1x cost by this linearity (and the 1x->10x ratio is
+      // the evidence).
+      if (enabled("graph") && reps <= 500) {
+        val gk = math.max(32, (n / 1000L).toInt) // ~1000-row blocks
+        val gBase = s"/tmp/graft_scaling/graphblk_r${reps}_k$gk"
+        val gDone = new org.apache.hadoop.fs.Path(s"$gBase/_SUCCESS")
+        if (!fs.exists(gDone)) {
+          val t0 = System.nanoTime()
+          val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = gk,
+            maxIterations = 10, trainSize = 20000, initMode = "driver"))
+          Ivf.assign(corpus, cents).repartition(col("cluster_id"))
+            .write.mode("overwrite").parquet(gBase)
+          println(f"[scaling] graph blocks (k=$gk) ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        val blocks = spark.read.parquet(gBase)
+        results += (("knn_graph_blk", reps, n,
+          best(s"knn graph blocked k=$gk")(
+            graft.operators.KnnJoin.blocked(blocks, k = 10,
+              blockCol = "cluster_id").count())))
+      }
     }
 
     // MinHash-LSH near-dup pair scan — the flagship curation cost. The

@@ -379,4 +379,98 @@ class RestServerSpec extends SparkSpec {
       assert(elapsedMs < 10000, s"write should abort near the 150ms deadline, took $elapsedMs ms")
     } finally srv.stop()
   }
+
+  test("WebSocket update stream: handshake, backlog, live push, ping, close") {
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ws_").toString)
+    val srv = new RestServer(store).start()
+    try {
+      // one pre-subscription mutation -> becomes the backlog
+      assert(call(srv, "POST", "/api/v1/vectors",
+        s"""{"id": "w1", "vector": ${vecJson(1)}}""")._1 == 201)
+
+      val sock = new java.net.Socket("127.0.0.1", srv.boundWsPort)
+      sock.setSoTimeout(10000)
+      val out = sock.getOutputStream
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+
+      // RFC 6455 client handshake with a fixed key; verify the accept hash
+      val key = java.util.Base64.getEncoder.encodeToString(
+        "0123456789abcdef".getBytes("UTF-8"))
+      out.write(("GET /api/v1/updates/ws?since=0 HTTP/1.1\r\n" +
+        s"Host: 127.0.0.1\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n" +
+        s"Sec-WebSocket-Key: $key\r\nSec-WebSocket-Version: 13\r\n\r\n").getBytes("UTF-8"))
+      out.flush()
+      def readLine(): String = {
+        val sb = new StringBuilder
+        var c = in.read()
+        while (c >= 0 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+        sb.toString
+      }
+      assert(readLine() == "HTTP/1.1 101 Switching Protocols")
+      var hdr = readLine(); var accept = ""
+      while (hdr.nonEmpty) {
+        if (hdr.toLowerCase.startsWith("sec-websocket-accept:"))
+          accept = hdr.split(":", 2)(1).trim
+        hdr = readLine()
+      }
+      val expect = java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("SHA-1").digest(
+          (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes("UTF-8")))
+      assert(accept == expect, s"bad Sec-WebSocket-Accept: $accept")
+
+      // server frame reader (server->client frames are unmasked)
+      def readFrame(): (Int, Array[Byte]) = {
+        val b0 = in.readUnsignedByte(); val b1 = in.readUnsignedByte()
+        var len: Long = b1 & 0x7f
+        if (len == 126) len = in.readUnsignedShort()
+        else if (len == 127) len = in.readLong()
+        val payload = new Array[Byte](len.toInt)
+        in.readFully(payload)
+        (b0 & 0x0f, payload)
+      }
+      // masked client frame writer
+      def sendFrame(op: Int, payload: Array[Byte]): Unit = {
+        val mask = Array[Byte](1, 2, 3, 4)
+        out.write(0x80 | op); out.write(0x80 | payload.length)
+        out.write(mask)
+        out.write(payload.zipWithIndex.map { case (b, i) => (b ^ mask(i & 3)).toByte })
+        out.flush()
+      }
+
+      // backlog: the pre-subscription insert replays as the first frame
+      val (op1, p1) = readFrame()
+      val e1 = mapper.readTree(new String(p1, "UTF-8"))
+      assert(op1 == 0x1 && e1.get("type").asText() == "insert"
+        && e1.get("id").asText() == "w1")
+      // live: a mutation after subscribe arrives on the held connection
+      assert(call(srv, "POST", "/api/v1/vectors",
+        s"""{"id": "w2", "vector": ${vecJson(2)}}""")._1 == 201)
+      val (op2, p2) = readFrame()
+      val e2 = mapper.readTree(new String(p2, "UTF-8"))
+      assert(op2 == 0x1 && e2.get("id").asText() == "w2"
+        && e2.get("seq").asLong() == e1.get("seq").asLong() + 1)
+      // ping -> pong with the same payload
+      sendFrame(0x9, "hi".getBytes("UTF-8"))
+      val (opPong, pPong) = readFrame()
+      assert(opPong == 0xA && new String(pPong, "UTF-8") == "hi")
+      // close -> close echo, connection drains
+      sendFrame(0x8, Array[Byte](0x03, 0xe8.toByte))
+      val (opClose, _) = readFrame()
+      assert(opClose == 0x8)
+      sock.close()
+
+      // a plain-HTTP request to the WS port on a wrong path is rejected
+      val sock2 = new java.net.Socket("127.0.0.1", srv.boundWsPort)
+      sock2.setSoTimeout(5000)
+      sock2.getOutputStream.write(
+        "GET /nope HTTP/1.1\r\nHost: x\r\n\r\n".getBytes("UTF-8"))
+      sock2.getOutputStream.flush()
+      val r2 = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock2.getInputStream, "UTF-8"))
+      assert(r2.readLine().contains("404"))
+      sock2.close()
+    } finally srv.stop()
+  }
 }
