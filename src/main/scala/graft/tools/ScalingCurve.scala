@@ -74,7 +74,8 @@ object ScalingCurve {
       b
     }
 
-    // SPARK_GRAFT_SCALING_ONLY=search|lsh (comma list) re-runs one family
+    // SPARK_GRAFT_SCALING_ONLY=search|graph|lsh (comma list) re-runs one
+    // family
     // against the cached /tmp corpora; SPARK_GRAFT_SCALING_BANDS (e.g.
     // "4x2,4x4") picks LSH bandings — r=4 is the S-curve fix for the
     // candidate fan-out the 4x2 100x point measures (see SCALING.md)
@@ -83,16 +84,18 @@ object ScalingCurve {
     def enabled(family: String) = only.forall(_.contains(family))
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Double)]
-    for (reps <- Seq(50, 500, 5000) if enabled("search")) {
+    for (reps <- Seq(50, 500, 5000)
+         if enabled("search") || (enabled("graph") && reps <= 500)) {
       val n = 2000L * reps // sf0.1 has 2000 base vectors
       println(s"[scaling] === corpus ${n / 1000}K (reps=$reps) ===")
       val cPath = corpusAt(reps)
       val corpus = spark.read.parquet(cPath)
 
       // exact scan: no index, cost must track corpus size ~linearly
-      results += (("exact_scan", reps, n,
-        best("exact knn.batch")(
-          Knn.batch(corpus, queries, k = 10, metric = "l2").count())))
+      if (enabled("search"))
+        results += (("exact_scan", reps, n,
+          best("exact knn.batch")(
+            Knn.batch(corpus, queries, k = 10, metric = "l2").count())))
 
       // probed IVF: clusters ~ sqrt(N) (32 at 100K, 100 at 1M, 316 at
       // 10M), nProbe 4 — probed rows per query ~ 4·sqrt(N)
@@ -101,38 +104,40 @@ object ScalingCurve {
       val ivfBase = s"/tmp/graft_scaling/ivf_r${reps}_k$nClusters"
       val ivfDone = new org.apache.hadoop.fs.Path(s"$ivfBase/data/_SUCCESS")
       val fs = ivfDone.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(ivfDone)) {
-        val t0 = System.nanoTime()
-        val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = nClusters,
-          maxIterations = 10, trainSize = 10000, initMode = "driver"))
-        Ivf.writePartitioned(Ivf.assign(corpus, cents), s"$ivfBase/data")
-        Ivf.exportCentroids(cents, s"$ivfBase/centroids")
-        println(f"[scaling] ivf build (k=$nClusters) ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      }
-      val ivfData = spark.read.parquet(s"$ivfBase/data")
-      val ivfCents = spark.read.parquet(s"$ivfBase/centroids")
-      results += (("ivf_probed", reps, n,
-        best(s"ivf n_probe=4 k=$nClusters")(
-          Ivf.searchBatch(ivfData, ivfCents, queries, k = 10, nProbe = 4).count())))
+      if (enabled("search")) {
+        if (!fs.exists(ivfDone)) {
+          val t0 = System.nanoTime()
+          val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = nClusters,
+            maxIterations = 10, trainSize = 10000, initMode = "driver"))
+          Ivf.writePartitioned(Ivf.assign(corpus, cents), s"$ivfBase/data")
+          Ivf.exportCentroids(cents, s"$ivfBase/centroids")
+          println(f"[scaling] ivf build (k=$nClusters) ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        val ivfData = spark.read.parquet(s"$ivfBase/data")
+        val ivfCents = spark.read.parquet(s"$ivfBase/centroids")
+        results += (("ivf_probed", reps, n,
+          best(s"ivf n_probe=4 k=$nClusters")(
+            Ivf.searchBatch(ivfData, ivfCents, queries, k = 10, nProbe = 4).count())))
 
-      // routed saved-HNSW: fixed blob size (corpus partitioned into
-      // N/5000-row cluster blobs), fixed probeBlobs — per-query cost should
-      // be ~flat; only routing-table size grows with the blob count
-      val hnswPath = s"/tmp/graft_scaling/hnsw_r$reps/g"
-      val hDone = new org.apache.hadoop.fs.Path(hnswPath, "_SUCCESS")
-      if (!fs.exists(hDone)) {
-        val t0 = System.nanoTime()
-        // co-locate by the IVF clustering so routing has real structure
-        val clustered = Ivf.assign(corpus, ivfCents)
-          .repartition(nClusters, col("cluster_id")).drop("cluster_id")
-        Hnsw.buildAndSave(clustered, hnswPath,
-          cfg = Hnsw.HnswConfig(efConstruction = 100, efSearch = 80))
-        println(f"[scaling] hnsw build ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        // routed saved-HNSW: fixed blob size (corpus partitioned into
+        // N/5000-row cluster blobs), fixed probeBlobs — per-query cost should
+        // be ~flat; only routing-table size grows with the blob count
+        val hnswPath = s"/tmp/graft_scaling/hnsw_r$reps/g"
+        val hDone = new org.apache.hadoop.fs.Path(hnswPath, "_SUCCESS")
+        if (!fs.exists(hDone)) {
+          val t0 = System.nanoTime()
+          // co-locate by the IVF clustering so routing has real structure
+          val clustered = Ivf.assign(corpus, ivfCents)
+            .repartition(nClusters, col("cluster_id")).drop("cluster_id")
+          Hnsw.buildAndSave(clustered, hnswPath,
+            cfg = Hnsw.HnswConfig(efConstruction = 100, efSearch = 80))
+          println(f"[scaling] hnsw build ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        results += (("hnsw_routed", reps, n,
+          best("hnsw routed probeBlobs=6")(
+            Hnsw.searchSaved(spark, hnswPath, queries, k = 10, efSearch = 120,
+              probeBlobs = 6).count())))
       }
-      results += (("hnsw_routed", reps, n,
-        best("hnsw routed probeBlobs=6")(
-          Hnsw.searchSaved(spark, hnswPath, queries, k = 10, efSearch = 120,
-            probeBlobs = 6).count())))
 
       // blocked k-NN GRAPH build (KnnJoin.blocked): the scale claim is
       // different from probed search — here the cluster count scales with

@@ -286,6 +286,29 @@ class PlanAuditSpec extends SparkSpec {
       plan.toString)
   }
 
+  test("blocked kNN-graph joins on the block key, never a nested loop") {
+    val df = SparkEntry.queries("knn_join_blocked")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    // the pair expansion rides an equi-join on blk (hash or sort-merge —
+    // either shuffles on the low-cardinality block key, not N^2)
+    assert(plan.contains("blk"), plan)
+  }
+
+  test("DSIR scoring is map-only: a scan-side fold, no join, no shuffle") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val df = graft.operators.Curation.dsirWeights(docs, col("lang") === "en")
+    df.collect()
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, df.queryExecution.executedPlan)
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+      df.queryExecution.executedPlan)
+  }
+
   test("text prep queries (html/quality/url) are pure map until the final sort") {
     for (name <- Seq("html_extract", "quality_rules", "url_canonical")) {
       val df = SparkEntry.queries(name)(spark, sfDir)

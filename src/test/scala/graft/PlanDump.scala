@@ -91,7 +91,21 @@ object PlanDump {
         |MapPartitions / SerializeFromObject back-to-back, no exchange
         |between them) — the blob bytes never cross a shuffle; only the
         |9-column stats row leaves the partition. The mapInPandas-shaped
-        |seam a 100 TB binary-column scan needs.""".stripMargin))
+        |seam a 100 TB binary-column scan needs.""".stripMargin),
+      "knn_join_blocked" -> ("""k-NN graph construction, the scale path: the pair expansion is
+        |an EQUI-join on the block key (shuffle both sides once on blk,
+        |never a BroadcastNestedLoopJoin/CartesianProduct), the codegen
+        |cosine kernel scores pairs inside the join's output project, and
+        |the per-vertex neighbor list is the same two-phase top_k
+        |aggregate as knn_scale. With clusters ∝ N (fixed block size)
+        |total pair work is linear in corpus size — measured in
+        |SCALING.md.""".stripMargin),
+      "dsir_weights" -> ("""DSIR importance scoring, application side (the 256-bucket
+        |count aggregate already ran — the log-ratio table is a literal
+        |array here): bucket hashing and the weight fold are all inside
+        |the scan-side project — map-only, no join, no shuffle except the
+        |output ordering. The model state never appears in the plan at
+        |all; at 100 TB this is a pure scan.""".stripMargin))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the flagship queries\n\n")
     sb.append("Generated by `sbt \"Test/runMain graft.PlanDump\"` at sf0.01 ")
