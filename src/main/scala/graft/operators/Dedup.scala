@@ -396,6 +396,25 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540 —
+    * public method): within each embedding cluster, drop every vector that
+    * has a near-duplicate (cosine >= threshold) with a SMALLER id — the
+    * same greedy keep-smallest rule as [[dropNearDuplicates]], applied in
+    * embedding space, so paraphrase-level duplicates that share no
+    * n-grams still collapse to one survivor.
+    *
+    * Scale shape: [[embeddingNearDupPairs]]' blocked join (one shuffle on
+    * the low-cardinality block key, pair work Σ block² — bounded by the
+    * cluster cap, never N²) followed by one left-anti on the removal set.
+    */
+  def dropEmbeddingNearDuplicates(vectors: DataFrame, threshold: Double,
+      blockCol: String, idCol: String = "id",
+      embCol: String = "embedding"): DataFrame = {
+    val toRemove = embeddingNearDupPairs(vectors, threshold, blockCol, idCol, embCol)
+      .select(col("id_b").as(idCol)).distinct()
+    vectors.join(toRemove, Seq(idCol), "left_anti")
+  }
+
   /** One map-only scoring pass over the corpus — fingerprint, quality,
     * language, token count, shingle-hash set — then the exact-dup window.
     * Text is projected AWAY before the window, so the fingerprint shuffle

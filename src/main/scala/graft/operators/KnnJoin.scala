@@ -64,6 +64,56 @@ object KnnJoin {
     topkFromPairs(pairs, k, roundDecimals)
   }
 
+  /** Multi-probe blocked k-NN graph: each vector enters the blocks of its
+    * `p` nearest centroids (the IVF codebook, passed as collected arrays —
+    * bounded driver state, same contract as [[Ivf.assign]]), so a true
+    * neighbor that a single-probe blocking strands across a cluster
+    * boundary is reachable as long as the two vectors SHARE any probe.
+    * This is the recall/cost dial: pair work multiplies by <= p² in the
+    * worst case (typically ~p — most pairs share only their home block),
+    * not by block size.
+    *
+    * Plan shape: centroid distances are a codegen literal-matrix pass
+    * (array of struct(dist, cid), array_sort, slice — all scan-side), the
+    * probe explode multiplies rows by p, the self-join shuffles once on
+    * the probe key, and pairs colliding via several shared probes dedup in
+    * the same exchange that feeds the per-vertex top-k.
+    */
+  def blockedMultiProbe(vectors: DataFrame, k: Int,
+      centroids: Array[Array[Float]], p: Int, idCol: String = "id",
+      embCol: String = "embedding", roundDecimals: Int = 6): DataFrame = {
+    require(p >= 1 && p <= centroids.length,
+      s"p must be in [1, ${centroids.length}], got $p")
+    val probeStructs = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.VectorExpressions.vecL2(col("emb"), typedLit(c)).as("d"),
+        lit(i).as("cid")) }: _*)
+    val slim = vectors.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("probes",
+        transform(slice(array_sort(probeStructs), 1, p), s => s.getField("cid")))
+    val exploded = slim.select(col("id"), col("emb"), explode(col("probes")).as("blk"))
+    val right = exploded.select(col("blk"), col("id").as("nid"), col("emb").as("nemb"))
+    val pairs = exploded.join(right, Seq("blk"))
+      .filter(col("id") =!= col("nid"))
+      .select(col("id"), col("nid"),
+        graft.functions.VectorExpressions.vecCosine(col("emb"), col("nemb")).as("cos"))
+      .groupBy("id", "nid").agg(first("cos").as("cos"))
+    topkFromPairs(pairs, k, roundDecimals)
+  }
+
+  /** Per-vertex recall of an approximate k-NN graph against the exact one:
+    * (id, recall) where recall = fraction of the exact neighbor edges the
+    * approximate graph recovered. The eval loop that sizes blocking /
+    * multi-probe: run on a bounded sample (exact is all-pairs), read the
+    * recall distribution, then dial the block source. One aggregate on the
+    * id key; the edge join rides (id, neighbor_id). */
+  def graphRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = exact.select(col("id"), col("neighbor_id"))
+      .join(approx.select(col("id"), col("neighbor_id"), lit(1L).as("hit")),
+        Seq("id", "neighbor_id"), "left")
+    hits.groupBy("id")
+      .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1))).as("recall"))
+  }
+
   /** Cluster-blocked approximate k-NN graph: neighbors are searched only
     * within the same `blockCol` value. At 100 TB the block is an IVF
     * cluster assignment (bounded cluster sizes via

@@ -137,6 +137,16 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    // SemDeDup-style semantic dedup: greedy keep-smallest-id over the
+    // cluster-blocked embedding near-dup pairs — the funnel row reports
+    // what survives per block (id_sum pins WHICH vectors survived)
+    "semantic_dedup" -> ((s, dir) => {
+      Dedup.dropEmbeddingNearDuplicates(Tables.load(s, dir, "embeddings"),
+          threshold = 0.4, blockCol = "label", idCol = "vec_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("id_sum"))
+        .orderBy("label")
+    }),
     // Okapi BM25 keyword search: one corpus scan, tokens filtered to the
     // query-term set BEFORE the explode (shuffle carries matched postings
     // only), df/N/avgdl as broadcast side relations, heap top-k
@@ -836,6 +846,14 @@ object TextQueries {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |rem AS (SELECT DISTINCT b.vec_id
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4)
+        |SELECT label, count(*) AS n_kept, sum(vec_id)::BIGINT AS id_sum
+        |FROM e WHERE vec_id NOT IN (SELECT vec_id FROM rem)
+        |GROUP BY label ORDER BY label""".stripMargin,
     "pipeline_prep" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |f AS (SELECT doc_id, toks,

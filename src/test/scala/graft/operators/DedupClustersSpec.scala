@@ -74,6 +74,19 @@ class DedupClustersSpec extends SparkSpec {
     assert(Dedup.duplicateClusters(pairs).count() == 0)
   }
 
+  test("semantic dedup keeps the smallest id per embedding near-dup group") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),  // dup group {1, 2}
+      (2L, Array(0.999f, 0.01f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),  // far from the group: kept
+      (4L, Array(1.0f, 0.0f, 0.0f), 1)   // same direction as 1 but other
+    ).toDF("vec_id", "embedding", "blk")  // block: blocking spares it
+    val kept = Dedup.dropEmbeddingNearDuplicates(vecs, threshold = 0.9,
+        blockCol = "blk", idCol = "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
   test("clusterRepresentatives keeps the best-quality member, ties to min id") {
     // clusters {1,2,3} (chain) and {10,11}; quality: 2 is best in the
     // first, 10 and 11 tie in the second (tie -> min id 10)

@@ -55,6 +55,50 @@ class KnnJoinSpec extends SparkSpec {
     assert(blocked == Map(0L -> 1L, 1L -> 0L, 2L -> 3L, 3L -> 2L))
   }
 
+  test("graphRecall: 1.0 under a coherent blocking, degraded under a bad one") {
+    // two tight direction bundles; blk groups them coherently, badblk
+    // splits each bundle across blocks
+    val bundles = Seq(
+      (0L, Array(1.0f, 0.00f), 0, 0), (1L, Array(1.0f, 0.01f), 0, 1),
+      (2L, Array(1.0f, 0.02f), 0, 0), (3L, Array(0.0f, 1.00f), 1, 1),
+      (4L, Array(0.01f, 1.0f), 1, 0), (5L, Array(0.02f, 1.0f), 1, 1)
+    ).toDF("id", "embedding", "blk", "badblk")
+    val exact = KnnJoin.exact(bundles, k = 2)
+    val good = KnnJoin.graphRecall(exact, KnnJoin.blocked(bundles, k = 2, blockCol = "blk"))
+      .agg(avg("recall")).head().getDouble(0)
+    assert(good == 1.0, s"coherent blocking should recover the full graph, got $good")
+    val bad = KnnJoin.graphRecall(exact, KnnJoin.blocked(bundles, k = 2, blockCol = "badblk"))
+      .agg(avg("recall")).head().getDouble(0)
+    assert(bad < 0.7, s"incoherent blocking must show degraded recall, got $bad")
+  }
+
+  test("multi-probe rescues a neighbor pair stranded across a block boundary") {
+    // b and c are each other's true nearest but fall on opposite sides of
+    // the c0/c1 boundary; a and d anchor the two clusters
+    val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // a -> c0
+      (1L, Array(0.72f, 0.70f)), // b -> c0 (barely)
+      (2L, Array(0.70f, 0.72f)), // c -> c1 (barely)
+      (3L, Array(0.0f, 1.0f))    // d -> c1
+    ).toDF("id", "embedding")
+    def top1(p: Int): Map[Long, Long] =
+      KnnJoin.blockedMultiProbe(vecs, k = 1, centroids = cents, p = p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val single = top1(1)
+    // p=1: c's block only holds d, so its best neighbor is wrong
+    assert(single(2L) == 3L && single(1L) == 0L)
+    val multi = top1(2)
+    // p=2: b and c share a probe; the true pair surfaces for both
+    assert(multi(2L) == 1L && multi(1L) == 2L)
+    // and multi-probe recall over the exact graph strictly improves
+    val exact = KnnJoin.exact(vecs, k = 1)
+    def rec(m: org.apache.spark.sql.DataFrame): Double =
+      KnnJoin.graphRecall(exact, m).agg(avg("recall")).head().getDouble(0)
+    assert(rec(KnnJoin.blockedMultiProbe(vecs, 1, cents, 2)) >
+      rec(KnnJoin.blockedMultiProbe(vecs, 1, cents, 1)))
+  }
+
   test("exact refuses an over-limit corpus loudly") {
     val e = intercept[IllegalArgumentException] {
       KnnJoin.exact(vecs, k = 2, maxRows = 3)
