@@ -38,6 +38,14 @@ object Bench {
       // 58, r7: 87) — 60 entries/query covers the observed ~5-10 codegen
       // units per query plus index-build/warm-up plans with >5x headroom,
       // and the 4000 floor keeps the r5-measured sizing as a minimum.
+      // the grouped top-k TypedImperativeAggregate keeps a BOUNDED buffer
+      // per group (<= max(4k, 64) candidates, ~1 KB at k<=16), so the
+      // object-hash aggregate's 128-groups-per-partition fallback budget
+      // is far too conservative for it: a partition holding a few hundred
+      // vertex groups would silently degrade to sort-based aggregation
+      // over the full pair expansion (measured 10x on the k-NN graph
+      // shapes). 4096 groups x ~1 KB is single-digit MB per task.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.codegen.cache.maxEntries",
         math.max(4000, SparkEntry.queries.size * 60).toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -287,8 +287,12 @@ object Dedup {
   def clusterRepresentatives(pairs: DataFrame, docs: DataFrame,
       qualityCol: String, idCol: String = "doc_id",
       maxIter: Int = 20): DataFrame = {
+    // a null quality must mean "never prefer", not a null-poisoned struct
+    // min (nulls sort FIRST in Spark's struct ordering, so an unguarded
+    // null would WIN the -q comparison and elect the unscored member)
     val q = docs.select(col(idCol).as("id"),
-      col(qualityCol).cast("double").as("q"))
+      coalesce(col(qualityCol).cast("double"),
+        lit(Double.NegativeInfinity)).as("q"))
     duplicateClusters(pairs, maxIter)
       .join(q, Seq("id"))
       .groupBy("comp")

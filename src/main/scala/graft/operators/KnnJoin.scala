@@ -56,7 +56,16 @@ object KnnJoin {
     require(n <= maxRows,
       s"KnnJoin.exact is all-pairs (O(N^2)) and broadcasts one side: $n rows " +
         s"> maxRows=$maxRows. Use KnnJoin.blocked with an IVF cluster_id block.")
+    // spread the streamed side: a bounded ground-truth corpus typically
+    // fits ONE input split, which would put all N² pair work on one core
+    // AND overflow the per-partition group budget of the object-hash
+    // aggregate (sort-based fallback over N² intermediate rows — measured
+    // 10x). The explicit partition count matters: a keyed repartition
+    // without one is an AQE coalescing target (the pre-join side is tiny
+    // by BYTES), which would silently undo both fixes.
+    val parts = vectors.sparkSession.sparkContext.defaultParallelism
     val slim = vectors.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .repartition(parts, col("id"))
     val right = broadcast(slim.select(col("id").as("nid"), col("emb").as("nemb")))
     val pairs = slim.join(right, col("id") =!= col("nid"))
       .select(col("id"), col("nid"),

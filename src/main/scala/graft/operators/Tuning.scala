@@ -71,4 +71,23 @@ object Tuning {
     * callers that want to audit a plan before paying for a corpus pass. */
   def lshCollisionProb(s: Double, bands: Int, rowsPerBand: Int): Double =
     1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
+  /** Block plan for a k-NN GRAPH build ([[KnnJoin.blocked]]): cluster
+    * count + estimated pair work. The sizing rule is the opposite of
+    * probed search's sqrt(N) clusters: the graph build must keep BLOCK
+    * SIZE fixed (clusters ∝ N), which makes total pair work
+    * N x targetBlock x probes — linear in N (SCALING.md measures it).
+    * `skewFactor` is E[block²]/E[block]² of the clustering (1.0 =
+    * perfectly balanced; IVF-trained blocks typically land 1.5-3 — cap
+    * the largest clusters via rebalance when it drifts higher, since the
+    * biggest block dominates both total work and the worst task). */
+  def suggestGraphBlocks(corpusSize: Long, targetBlock: Int = 1000,
+      probes: Int = 1, skewFactor: Double = 2.0): (Int, Double) = {
+    require(corpusSize > 0 && targetBlock > 0 && probes >= 1 && skewFactor >= 1.0,
+      s"bad graph-block plan args: n=$corpusSize block=$targetBlock " +
+        s"p=$probes skew=$skewFactor")
+    val nClusters = math.max(1, (corpusSize / targetBlock).toInt)
+    val estPairs = corpusSize.toDouble * targetBlock * skewFactor * probes
+    (nClusters, estPairs)
+  }
 }

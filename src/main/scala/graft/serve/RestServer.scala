@@ -21,8 +21,8 @@ import scala.util.control.NonFatal
   * requests (no Spark-per-request), exactly the "driver app in front of
   * the engine" shape SURVEY.md assigns to S11.
   *
-  * Routes (reference rest.rs:327-342; SSE/WS update streams are covered by
-  * the engine's Structured Streaming ingest instead):
+  * Routes (reference rest.rs:327-342 — including working SSE and WebSocket
+  * forms of its declared-but-vestigial update stream):
   *
   *   GET    /api/v1/health
   *   POST   /api/v1/vectors            {id, vector, metadata?}
@@ -781,11 +781,14 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
   }
 }
 
-/** `runMain graft.serve.ServeMain <storePath> [port]` — standalone server. */
+/** `runMain graft.serve.ServeMain <storePath> [port] [wsPort]` — standalone
+  * server (wsPort: the RFC 6455 `/api/v1/updates/ws` companion listener;
+  * 0/omitted = ephemeral). */
 object ServeMain {
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/graft_store")
     val port = args.lift(1).map(_.toInt).getOrElse(8080)
+    val wsPort = args.lift(2).map(_.toInt).getOrElse(0)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .appName("graft-serve")
@@ -794,8 +797,10 @@ object ServeMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val srv = new RestServer(new VectorStore(spark, path), port).start()
-    println(s"graft serving on :${srv.boundPort} (store: $path)")
+    val srv = new RestServer(new VectorStore(spark, path), port,
+      wsPort = wsPort).start()
+    println(s"graft serving on :${srv.boundPort} " +
+      s"(ws :${srv.boundWsPort}, store: $path)")
     Thread.currentThread().join()
   }
 }

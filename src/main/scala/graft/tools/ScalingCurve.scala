@@ -31,6 +31,14 @@ object ScalingCurve {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "512k")
+      // the grouped top-k TypedImperativeAggregate keeps a BOUNDED buffer
+      // per group (<= max(4k, 64) candidates, ~1 KB at k<=16), so the
+      // object-hash aggregate's 128-groups-per-partition fallback budget
+      // is far too conservative for it: a partition holding a few hundred
+      // vertex groups would silently degrade to sort-based aggregation
+      // over the full pair expansion (measured 10x on the k-NN graph
+      // shapes). 4096 groups x ~1 KB is single-digit MB per task.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -147,7 +155,8 @@ object ScalingCurve {
       // is 100x the 1x cost by this linearity (and the 1x->10x ratio is
       // the evidence).
       if (enabled("graph") && reps <= 500) {
-        val gk = math.max(32, (n / 1000L).toInt) // ~1000-row blocks
+        // the graph-build sizing rule (clusters ∝ N at fixed block)
+        val gk = math.max(32, graft.operators.Tuning.suggestGraphBlocks(n)._1)
         val gBase = s"/tmp/graft_scaling/graphblk_r${reps}_k$gk"
         val gDone = new org.apache.hadoop.fs.Path(s"$gBase/_SUCCESS")
         if (!fs.exists(gDone)) {

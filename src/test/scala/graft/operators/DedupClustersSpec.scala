@@ -99,6 +99,15 @@ class DedupClustersSpec extends SparkSpec {
     assert(reps.toSeq == Seq((1L, 2L, 90.0, 3L), (10L, 10L, 40.0, 2L)))
   }
 
+  test("a null-quality member never wins representative selection") {
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    // doc 1 is unscored (null quality); doc 2 must win despite the larger id
+    val docs = Seq((1L, None: Option[Long]), (2L, Some(10L)))
+      .toDF("doc_id", "n_chars")
+    val rep = Dedup.clusterRepresentatives(pairs, docs, "n_chars").head()
+    assert(rep.getLong(1) == 2L && rep.getDouble(2) == 10.0)
+  }
+
   test("an undersized iteration budget fails loudly, never partial labels") {
     // a 10-deep chain cannot converge in 2 rounds; silent partial labels
     // would break the kept-representative guarantee downstream

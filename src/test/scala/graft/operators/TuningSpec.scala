@@ -53,4 +53,17 @@ class TuningSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Tuning.suggestLshBands(1.0, 8))
     intercept[IllegalArgumentException](Tuning.suggestLshBands(0.5, 1))
   }
+
+  test("graph block planner: clusters scale with N, pair work linear in N") {
+    val (k1, w1) = Tuning.suggestGraphBlocks(100000L)
+    val (k10, w10) = Tuning.suggestGraphBlocks(1000000L)
+    assert(k1 == 100 && k10 == 1000)          // clusters ∝ N at fixed block
+    assert(math.abs(w10 / w1 - 10.0) < 1e-9)  // pair work linear in N
+    // multi-probe multiplies estimated work by p, not by block size
+    val (_, wp) = Tuning.suggestGraphBlocks(100000L, probes = 3)
+    assert(math.abs(wp / w1 - 3.0) < 1e-9)
+    intercept[IllegalArgumentException](Tuning.suggestGraphBlocks(0L))
+    intercept[IllegalArgumentException](
+      Tuning.suggestGraphBlocks(1000L, skewFactor = 0.5))
+  }
 }
