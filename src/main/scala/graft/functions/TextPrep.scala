@@ -258,4 +258,41 @@ object TextPrep {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
   }
+
+  /** Overlapping token-window chunking — the document→window primitive an
+    * embedding/RAG ingest runs before vectorizing (every chunk keeps
+    * `overlap` tokens of left context so boundary-spanning passages stay
+    * retrievable). Chunk i covers tokens [i·stride, i·stride+chunkTokens)
+    * with stride = chunkTokens − overlap; the last chunk may be short;
+    * ceil((n−overlap)/stride) chunks cover every token. Returns
+    * (id, chunk_idx, n_tokens, chunk_text).
+    *
+    * Scale shape: pure map — tokenize once, window via slice() inside the
+    * same projection, posexplode multiplies rows by the chunk count. No
+    * shuffle, no state; at 100 TB this fuses into the ingest scan and its
+    * output feeds the embedding batch directly. */
+  def chunkDocuments(docs: org.apache.spark.sql.DataFrame, chunkTokens: Int,
+      overlap: Int, textCol: String = "text",
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunk=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = ceil(greatest(n - overlap, lit(1)).cast("double") / stride)
+      .cast("int")
+    docs
+      .select(col(idCol).as("id"), toks.as("_toks"), n.as("_n"),
+        nChunks.as("_nc"))
+      .filter(col("_n") > 0)
+      .select(col("id"), col("_n"),
+        posexplode(transform(sequence(lit(0), col("_nc") - 1),
+          i => array_join(
+            slice(col("_toks"), i * stride + 1, lit(chunkTokens)), " ")))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(chunkTokens), col("_n") - col("chunk_idx") * stride)
+          .cast("long").as("n_tokens"),
+        col("chunk_text"))
+  }
 }

@@ -293,7 +293,13 @@ object Curation {
       s"buckets must be in (0, 2^20], got $buckets")
     val bkts = transform(shingles(col(textCol), 2),
       s => pmod(stableHash32(s), lit(buckets)))
+    // persisted: BOTH passes (the bounded count aggregate and the scoring
+    // projection) read the hashed features, and the md5-per-shingle
+    // hashing is the expensive term — without the pin it runs twice per
+    // corpus (same contract as the LSH signature persist). MEMORY_AND_DISK:
+    // spills, never recomputes.
     val feats = docs.withColumn("_bkts", bkts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one scan, one bounded aggregate: raw + target counts per bucket
     val counts = feats
       .select(explode(col("_bkts")).as("b"), isTarget.as("_t"))

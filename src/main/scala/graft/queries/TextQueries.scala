@@ -137,6 +137,16 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    // overlapping token-window chunking (the embedding/RAG ingest
+    // primitive): 16-token windows, 4 tokens of overlap; the md5 pins the
+    // exact window content, not just counts
+    "chunk_documents" -> ((s, dir) => {
+      graft.functions.TextPrep.chunkDocuments(
+          Tables.load(s, dir, "documents"), chunkTokens = 16, overlap = 4)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // SemDeDup-style semantic dedup: greedy keep-smallest-id over the
     // cluster-blocked embedding near-dup pairs — the funnel row reports
     // what survives per block (id_sum pins WHICH vectors survived)
@@ -846,6 +856,17 @@ object TextQueries {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "chunk_documents" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |t2 AS (SELECT doc_id, toks, len(toks) AS n,
+         |  cast(ceil(greatest(len(toks) - 4, 1)::DOUBLE / 12) AS INT) AS nc
+         |  FROM t WHERE len(toks) > 0),
+         |u AS (SELECT doc_id, toks, n,
+         |  unnest(list_transform(range(0, nc), i -> i)) AS i FROM t2)
+         |SELECT doc_id, i::BIGINT AS chunk_idx,
+         |  least(16, n - i * 12)::BIGINT AS n_tokens,
+         |  md5(array_to_string(toks[i*12+1 : i*12+16], ' ')) AS chunk_md5
+         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
     "semantic_dedup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
         |rem AS (SELECT DISTINCT b.vec_id

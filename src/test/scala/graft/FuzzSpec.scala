@@ -95,6 +95,23 @@ class FuzzSpec extends SparkSpec {
     assert(caps(0) == caps(1))
   }
 
+  test("chunkDocuments covers every token exactly once plus overlaps, on fuzz text") {
+    val df = corpus.toDF("id", "text")
+    val base = df.select(col("id"),
+      size(tokens(col("text"))).cast("long").as("n"))
+    val chunked = graft.functions.TextPrep
+      .chunkDocuments(df, chunkTokens = 5, overlap = 2, idCol = "id")
+      .groupBy("id").agg(sum("n_tokens").as("tok_sum"),
+        count(lit(1)).as("n_chunks"))
+    // token-count conservation: chunks hold every token once, plus one
+    // `overlap` of shared context per chunk boundary
+    val bad = base.join(chunked, Seq("id"))
+      .filter(col("tok_sum") =!= col("n") + (col("n_chunks") - 1) * 2)
+    assert(bad.count() == 0, bad.collect().take(3).mkString("; "))
+    // totality: every doc with tokens produced at least one chunk
+    assert(chunked.count() == base.filter(col("n") > 0).count())
+  }
+
   test("driver-side probe selection is bit-identical to the Spark-plan path") {
     // probeRows replicates the codegen kernels' arithmetic by hand; this
     // pins the equivalence on arbitrary vectors for every metric and for

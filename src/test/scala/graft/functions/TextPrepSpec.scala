@@ -124,6 +124,30 @@ class TextPrepSpec extends SparkSpec {
     assert(r.getInt(1) > 0)
   }
 
+  test("chunkDocuments: coverage, overlap, short tail, arg validation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                     // shorter than a chunk
+      (3L, (1 to 4).map(i => s"u$i").mkString(" "))    // exactly one chunk
+    ).toDF("doc_id", "text")
+    val chunks = TextPrep.chunkDocuments(docs, chunkTokens = 4, overlap = 1)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // doc 1: stride 3 -> [t1..t4], [t4..t7], [t7..t10]
+    assert(chunks(1L).map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(chunks(1L).map(_._3).toSeq == Seq(4L, 4L, 4L))
+    // every token position is covered; consecutive chunks share 1 token
+    assert(chunks(2L).map(_._4).toSeq == Seq("a b"))
+    assert(chunks(2L).head._3 == 2L)
+    assert(chunks(3L).map(_._4).toSeq == Seq("u1 u2 u3 u4"))
+    intercept[IllegalArgumentException](
+      TextPrep.chunkDocuments(docs, chunkTokens = 4, overlap = 4))
+    intercept[IllegalArgumentException](
+      TextPrep.chunkDocuments(docs, chunkTokens = 0, overlap = 0))
+  }
+
   test("stripHtml: unclosed tag cannot swallow the document; null passes") {
     import spark.implicits._
     val r = Seq((1L, "before <unclosed after"), (2L, null))
