@@ -286,20 +286,54 @@ object Curation {
     * Returns (doc_id…idCol, n_feats, weight): every input doc, zero-feature
     * docs (< 2 tokens) carrying weight 0.
     */
+  // Hashed-feature pin for [[dsirWeights]]: BOTH its passes (the bounded
+  // bucket-count aggregate and the map-only scoring projection) read the
+  // feature column, and the md5-per-shingle hashing is the expensive term —
+  // unpinned it runs twice per corpus. Same bounded KEYED contract as
+  // Dedup's funnel cache: at most [[dsirCacheMax]] corpora stay resident
+  // (oldest released first, a dead/evicted entry rebuilds), so repeated
+  // calls over different corpora cannot accumulate pinned storage for the
+  // session's lifetime. The key pins a SNAPSHOT of the source as of first
+  // call — invalidate after mutating a re-read path.
+  private val dsirCacheMax = 4
+  private val dsirCache =
+    scala.collection.mutable.LinkedHashMap.empty[(Int, Int, String), DataFrame]
+
+  def invalidateDsirCache(): Unit = synchronized {
+    dsirCache.valuesIterator.foreach(_.unpersist(blocking = false))
+    dsirCache.clear()
+  }
+
+  private def dsirFeats(docs: DataFrame, buckets: Int,
+      textCol: String): DataFrame = synchronized {
+    val key = (docs.queryExecution.analyzed.semanticHash(), buckets, textCol)
+    dsirCache.get(key) match {
+      case Some(df) if (df.sparkSession eq docs.sparkSession) &&
+          df.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        return df
+      case Some(df) =>
+        df.unpersist(blocking = false)
+        dsirCache.remove(key)
+      case None =>
+    }
+    dsirCache.getOrElseUpdate(key, {
+      while (dsirCache.size >= dsirCacheMax) {
+        val (k0, df0) = dsirCache.head
+        df0.unpersist(blocking = false)
+        dsirCache.remove(k0)
+      }
+      docs.withColumn("_bkts", transform(shingles(col(textCol), 2),
+          s => pmod(stableHash32(s), lit(buckets))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
   def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 256,
       textCol: String = "text", idCol: String = "doc_id",
       roundDecimals: Int = 6): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 20),
       s"buckets must be in (0, 2^20], got $buckets")
-    val bkts = transform(shingles(col(textCol), 2),
-      s => pmod(stableHash32(s), lit(buckets)))
-    // persisted: BOTH passes (the bounded count aggregate and the scoring
-    // projection) read the hashed features, and the md5-per-shingle
-    // hashing is the expensive term — without the pin it runs twice per
-    // corpus (same contract as the LSH signature persist). MEMORY_AND_DISK:
-    // spills, never recomputes.
-    val feats = docs.withColumn("_bkts", bkts)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feats = dsirFeats(docs, buckets, textCol)
     // one scan, one bounded aggregate: raw + target counts per bucket
     val counts = feats
       .select(explode(col("_bkts")).as("b"), isTarget.as("_t"))

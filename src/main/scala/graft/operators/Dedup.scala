@@ -290,11 +290,19 @@ object Dedup {
     // a null quality must mean "never prefer", not a null-poisoned struct
     // min (nulls sort FIRST in Spark's struct ordering, so an unguarded
     // null would WIN the -q comparison and elect the unscored member)
+    // LEFT join: a labeled member missing from `docs` (caller passed a
+    // filtered view, or the pair list outlived a delete) must still count
+    // toward cluster_size and must lose the election (its quality
+    // coalesces to the same "never prefer" floor as an explicit null) —
+    // an inner join would silently shrink the cluster and could flip the
+    // elected representative. `docs` must carry each id at most once
+    // (duplicates would double-count members).
     val q = docs.select(col(idCol).as("id"),
       coalesce(col(qualityCol).cast("double"),
         lit(Double.NegativeInfinity)).as("q"))
     duplicateClusters(pairs, maxIter)
-      .join(q, Seq("id"))
+      .join(q, Seq("id"), "left")
+      .withColumn("q", coalesce(col("q"), lit(Double.NegativeInfinity)))
       .groupBy("comp")
       .agg(count(lit(1)).as("cluster_size"),
         // struct min is lexicographic: (-q, id) min == max quality, then min id
@@ -528,9 +536,18 @@ object Dedup {
     val flagged = flaggedCorpus(docs, shingleN, textCol, idCol)
     val s3 = col("keep_exact") && col("quality") >= minQuality &&
       col("lang_guess") === lang
-    val ndRemoved = minhashLshPairsFromHashes(
-        flagged.filter(s3).select(col(idCol).as("id"), col("hs")),
-        bands, rowsPerBand, threshold, maxBucket = maxBucket)
+    // band the survivors ONCE: the pair scan and (under a cap) the bucket
+    // report both read this relation — pairsFromBandKeys pins it, and the
+    // stats select below cache-hits the same plan, so the minhash pass
+    // over the survivor set runs once, not once per consumer
+    val numHashes = bands * rowsPerBand
+    val banded = flagged.filter(s3)
+      .select(col(idCol).as("id"), col("hs"))
+      .withColumn("bks", graft.functions.TextFunctions.sigBandKeys(
+        graft.functions.TextFunctions.minhashFromHashes(col("hs"), numHashes),
+        bands, rowsPerBand))
+    val ndRemoved = minhashLshPairsFromBandKeys(banded, threshold,
+        maxBucket = maxBucket)
       .select(col("id_b").as(idCol)).distinct().withColumn("nd", lit(true))
     val base = flagged.join(ndRemoved, Seq(idCol), "left").agg(
       count(lit(1)).as("n_total"),
@@ -546,14 +563,9 @@ object Dedup {
       // the cap is never silent: the funnel row carries how many buckets
       // were dropped from candidate generation (and how hot the hottest
       // was), so a spilled run is visibly a truncated run
-      val numHashes = bands * rowsPerBand
-      val banded = flagged.filter(s3)
-        .select(col(idCol).as("id"),
-          graft.functions.TextFunctions.sigBandKeys(
-            graft.functions.TextFunctions.minhashFromHashes(col("hs"), numHashes),
-            bands, rowsPerBand).as("bks"))
-      base.crossJoin(broadcast(lshBucketStats(banded, maxBucket)
-        .select("n_spilled_buckets", "max_bucket_size")))
+      base.crossJoin(broadcast(
+        lshBucketStats(banded.select(col("id"), col("bks")), maxBucket)
+          .select("n_spilled_buckets", "max_bucket_size")))
     }
   }
 }

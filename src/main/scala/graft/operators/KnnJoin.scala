@@ -64,9 +64,12 @@ object KnnJoin {
     // without one is an AQE coalescing target (the pre-join side is tiny
     // by BYTES), which would silently undo both fixes.
     val parts = vectors.sparkSession.sparkContext.defaultParallelism
-    val slim = vectors.select(col(idCol).as("id"), col(embCol).as("emb"))
-      .repartition(parts, col("id"))
-    val right = broadcast(slim.select(col("id").as("nid"), col("emb").as("nemb")))
+    val proj = vectors.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val slim = proj.repartition(parts, col("id"))
+    // broadcast side built from the PRE-repartition projection: the
+    // collected relation is identical, and hanging it off `slim` would
+    // run the full corpus shuffle a second time just to feed the collect
+    val right = broadcast(proj.select(col("id").as("nid"), col("emb").as("nemb")))
     val pairs = slim.join(right, col("id") =!= col("nid"))
       .select(col("id"), col("nid"),
         graft.functions.VectorExpressions.vecCosine(col("emb"), col("nemb")).as("cos"))

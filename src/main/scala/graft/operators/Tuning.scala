@@ -86,7 +86,11 @@ object Tuning {
     require(corpusSize > 0 && targetBlock > 0 && probes >= 1 && skewFactor >= 1.0,
       s"bad graph-block plan args: n=$corpusSize block=$targetBlock " +
         s"p=$probes skew=$skewFactor")
-    val nClusters = math.max(1, (corpusSize / targetBlock).toInt)
+    // Long math first, clamp last: corpusSize/targetBlock exceeds Int range
+    // exactly at the corpus sizes this planner exists for, and a silent
+    // wrap would recommend ONE block (full N² work) with no signal
+    val nClusters = math.min(math.max(1L, corpusSize / targetBlock),
+      Int.MaxValue.toLong).toInt
     val estPairs = corpusSize.toDouble * targetBlock * skewFactor * probes
     (nClusters, estPairs)
   }

@@ -74,7 +74,11 @@ object AggQueries {
         (below + 1 <= target + n * 0.01 + 1.0) &&
           (atOrBelow >= target - n * 0.01 - 1.0)
       }
-      ev.join(broadcast(est), Seq("event_type"))
+      // null-safe join key: a NULL event_type group must keep its row
+      // (GROUP BY keeps NULL in both engines; a plain equi-join would
+      // silently drop it from the Spark side only)
+      ev.join(broadcast(est.withColumnRenamed("event_type", "et")),
+          col("event_type") <=> col("et"))
         .groupBy("event_type")
         .agg(
           round(first(col("p50e")), 4).as("p50_exact"),

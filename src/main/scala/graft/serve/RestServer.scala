@@ -358,8 +358,18 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
   private val wsAcceptor = new Thread(() => {
     try while (true) {
       val sock = wsServer.accept()
-      try wsHandshake(sock)
-      catch { case NonFatal(_) => try sock.close() catch { case NonFatal(_) => } }
+      // handshake OFF the acceptor thread: a client that connects and
+      // then dribbles (or sends nothing) would otherwise pin the single
+      // accept loop for its whole 10 s read timeout, serializing every
+      // other subscription behind it (slow-loris). Each handshake thread
+      // lives <= the SoTimeout and then either becomes the client's read
+      // loop or dies with the socket.
+      val t = new Thread(() => {
+        try wsHandshake(sock)
+        catch { case NonFatal(_) => try sock.close() catch { case NonFatal(_) => } }
+      }, "graft-ws-handshake")
+      t.setDaemon(true)
+      t.start()
     } catch { case NonFatal(_) => /* listener closed: stop() */ }
   }, "graft-ws-accept")
   wsAcceptor.setDaemon(true)

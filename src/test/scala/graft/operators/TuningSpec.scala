@@ -62,6 +62,10 @@ class TuningSpec extends AnyFunSuite {
     // multi-probe multiplies estimated work by p, not by block size
     val (_, wp) = Tuning.suggestGraphBlocks(100000L, probes = 3)
     assert(math.abs(wp / w1 - 3.0) < 1e-9)
+    // the 100 TB posture: a multi-trillion-row corpus must clamp, never
+    // Int-wrap into a 1-cluster (full N^2) recommendation
+    val (kHuge, _) = Tuning.suggestGraphBlocks(2_200_000_000_000L)
+    assert(kHuge == Int.MaxValue)
     intercept[IllegalArgumentException](Tuning.suggestGraphBlocks(0L))
     intercept[IllegalArgumentException](
       Tuning.suggestGraphBlocks(1000L, skewFactor = 0.5))
