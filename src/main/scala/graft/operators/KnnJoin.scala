@@ -32,12 +32,18 @@ object KnnJoin {
       roundDecimals: Int): DataFrame = {
     // distance = 1 - cosine so the (dist, id)-ascending TopK aggregate
     // yields cosine-descending neighbors; round FIRST so ranking ties are
-    // broken identically in Spark and the double-math oracle
+    // broken identically in Spark and the double-math oracle. String ids
+    // (the store's id type) ride the aggregate natively — no surrogate
+    // remap joins, same contract as Knn.batch.
+    val topk =
+      if (pairs.schema("nid").dataType == org.apache.spark.sql.types.StringType)
+        TopK.topKStr(k)
+      else TopK.topK(k)
     val d = round(lit(1.0) - col("cos"), roundDecimals)
     pairs
       .select(col("id"), col("nid"), d.as("distance"))
       .groupBy("id")
-      .agg(TopK.topK(k)(col("nid"), col("distance")).as("hits"))
+      .agg(topk(col("nid"), col("distance")).as("hits"))
       .select(col("id"), posexplode(col("hits")).as(Seq("pos", "hit")))
       .select(col("id"), col("hit.id").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"),

@@ -592,6 +592,51 @@ class VectorStore(val spark: SparkSession, val path: String,
     * stay; overflow moves to its second-nearest centroid, `Ivf.balance` /
     * `ivf/operations.rs:422-492`), then rewrite the tier tmp+swap.
     * Returns how many rows changed cluster. */
+  /** k-NN GRAPH over the live store (the SemDeDup/semantic-dedup and
+    * graph-index primitive, built on [[graft.operators.KnnJoin]]): every
+    * live vector's k most-cosine-similar neighbors.
+    *
+    * The point of putting this ON the store: the historical tier's
+    * parquet layout IS the graph blocking — rows already carry their
+    * `cluster_id` and sit co-located in its partitions, so the blocked
+    * self-join shuffles once on a key the data is already organized by,
+    * with no assignment pass. Recent rows join the same blocking via a
+    * map-only centroid assignment when centroids are trained; with no
+    * centroids yet (a young, recent-only store — migration is what trains
+    * them) the store is bounded and the exact all-pairs baseline runs
+    * instead, behind its own loud guard.
+    *
+    * `multiProbe > 1` trades cost for recall by routing EVERY vector
+    * through its p nearest centroids ([[graft.operators.KnnJoin.blockedMultiProbe]]);
+    * cross-boundary true neighbors become reachable at ~p× pair cost.
+    * Returns (id, neighbor_id, rank, cosine). */
+  def knnGraph(k: Int, multiProbe: Int = 1): DataFrame = {
+    require(k > 0 && multiProbe >= 1,
+      s"need k > 0 and multiProbe >= 1, got k=$k p=$multiProbe")
+    val liveRecent = dropTombstoned(recent)
+      .select(col("id"), col("embedding"))
+    if (!exists("centroids")) {
+      // no trained blocking yet: the store is recent-only and bounded
+      return graft.operators.KnnJoin.exact(liveRecent, k)
+    }
+    val cents = centroids
+    val liveHist = dropTombstoned(historical)
+      .select(col("id"), col("embedding"), col("cluster_id"))
+    if (multiProbe > 1) {
+      // multi-probe re-derives assignments for both tiers (map-only):
+      // the historical single-assignment can't express "enter p blocks"
+      val all = liveRecent.unionByName(liveHist.drop("cluster_id"))
+      val centArr = cents.orderBy("cluster_id").collect()
+        .map(_.getSeq[Float](1).toArray)
+      graft.operators.KnnJoin.blockedMultiProbe(all, k, centArr, multiProbe)
+    } else {
+      val assignedRecent = Ivf.assign(liveRecent, cents)
+        .select(col("id"), col("embedding"), col("cluster_id"))
+      graft.operators.KnnJoin.blocked(
+        liveHist.unionByName(assignedRecent), k, blockCol = "cluster_id")
+    }
+  }
+
   def rebalance(maxSize: Int): Long = {
     // hasRows is flat-dir only; the historical tier nests cluster_id=*/
     if (!exists("centroids") || !exists("historical")) return 0L

