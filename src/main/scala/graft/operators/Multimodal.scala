@@ -203,6 +203,105 @@ object Multimodal {
     }(Encoders.media)
   }
 
+  case class PcmStats(media_id: Long, format: String, channels: Int,
+      sample_rate: Int, n_samples: Long, sum_ch0: Long, sum_ch1: Long,
+      sum_abs: Long)
+
+  /** Deterministic formula-sample WAV blobs, REALLY ENCODED (RIFF/WAVE
+    * PCM16-LE, interleaved): sample t of channel c in audio i is
+    * v = ((7i + 3t + 11c) mod 2003) − 1001, n = 64 + (i mod 5)·32 samples
+    * at 8 kHz, 1 + (i mod 2) channels. PCM is lossless by definition, so
+    * the decoded integer sums equal the formula sums — the same
+    * closed-form trick as [[syntheticPixelMedia]], which is what lets a
+    * SQL oracle replay the REAL byte-level decode without an audio
+    * library. */
+  def syntheticPcmMedia(spark: SparkSession, n: Int): Dataset[Media] = {
+    spark.range(n).map { i =>
+      val ns = 64 + (i % 5).toInt * 32
+      val ch = 1 + (i % 2).toInt
+      val rate = 8000
+      val dataLen = ns * ch * 2
+      val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(ch.toShort).putInt(rate)
+        .putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var t = 0
+      while (t < ns) {
+        var c = 0
+        while (c < ch) {
+          buf.putShort((((i * 7 + t * 3 + c * 11) % 2003) - 1001).toShort)
+          c += 1
+        }
+        t += 1
+      }
+      Media(i, "audio", buf.array(), 0, 0, ns * 1000 / rate)
+    }(Encoders.media)
+  }
+
+  /** Exact per-clip PCM statistics from the REAL byte-level decode —
+    * chunk walk, signed little-endian 16-bit samples, channel
+    * de-interleave: (media_id, format, channels, sample_rate, n_samples,
+    * sum_ch0, sum_ch1, sum_abs); sum_ch1 is 0 for mono, undecodable or
+    * non-PCM16 blobs report "unknown" and zeros. A decoder that mixed
+    * channels, dropped samples, or mis-signed the LE16 read would
+    * hash-mismatch the formula oracle. */
+  def decodePcmStats(media: DataFrame): Dataset[PcmStats] = {
+    media.select(col("media_id"), col("data"))
+      .as[(Long, Array[Byte])](Encoders.idBytes)
+      .mapPartitions { batch =>
+        batch.map { case (id, data) =>
+          decodeWavPcm16(id, data)
+        }
+      }(Encoders.pcmStats)
+  }
+
+  private def decodeWavPcm16(id: Long, data: Array[Byte]): PcmStats = {
+    val bad = PcmStats(id, "unknown", 0, 0, 0L, 0L, 0L, 0L)
+    if (data == null || data.length < 44) return bad
+    def u8(i: Int) = data(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def ascii(i: Int, s: String) = s.indices.forall(j => u8(i + j) == s(j))
+    if (!ascii(0, "RIFF") || !ascii(8, "WAVE")) return bad
+    var p = 12
+    var ch = 0; var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0L
+    while (p + 8 <= data.length && (ch == 0 || dataOff < 0)) {
+      val size = le32(p + 4)
+      if (ascii(p, "fmt ") && p + 24 <= data.length) {
+        if (le16(p + 8) != 1) return bad // not integer PCM
+        ch = le16(p + 10)
+        val r = le32(p + 12)
+        rate = if (r > Int.MaxValue) return bad else r.toInt
+        bits = le16(p + 22)
+      } else if (ascii(p, "data")) { dataOff = p + 8; dataLen = size }
+      val next = p.toLong + 8L + size + (size & 1L)
+      if (next > Int.MaxValue) return bad
+      p = next.toInt
+    }
+    if (ch <= 0 || bits != 16 || dataOff < 0) return bad
+    val avail = math.min(dataLen, (data.length - dataOff).toLong)
+    val nFrames = avail / (ch * 2)
+    var s0 = 0L; var s1 = 0L; var sa = 0L
+    var f = 0L
+    while (f < nFrames) {
+      var c = 0
+      while (c < ch) {
+        val off = dataOff + (f * ch + c).toInt * 2
+        val v = le16(off).toShort.toInt // sign via Short
+        if (c == 0) s0 += v else if (c == 1) s1 += v
+        sa += math.abs(v)
+        c += 1
+      }
+      f += 1
+    }
+    PcmStats(id, "wav", ch, rate, nFrames, s0, s1, sa)
+  }
+
   /** 1->N frame sampling for video blobs: a generator (flatMap) emitting
     * one row per sampled frame at the given fps over the stub duration. */
   def sampleFrames(media: DataFrame, fps: Double): Dataset[Frame] = {
@@ -528,6 +627,7 @@ object Multimodal {
     val frame: Encoder[Frame] = E.product[Frame]
     val imageMeta: Encoder[ImageMeta] = E.product[ImageMeta]
     val pixelStats: Encoder[PixelStats] = E.product[PixelStats]
+    val pcmStats: Encoder[PcmStats] = E.product[PcmStats]
     val audioMeta: Encoder[AudioMeta] = E.product[AudioMeta]
     val videoMeta: Encoder[VideoMeta] = E.product[VideoMeta]
   }

@@ -29,6 +29,17 @@ object MultimodalQueries {
           col("channels"), col("n_pixels"), col("sum_r"), col("sum_g"),
           col("sum_b"))
         .orderBy("media_id")
+    }),
+    // real WAV encode -> real byte-level PCM16 decode -> exact per-clip
+    // sums; 20 clips cover every (n_samples, channels) combination
+    "audio_decode" -> ((s, _) => {
+      Multimodal.decodePcmStats(
+          Multimodal.syntheticPcmMedia(s, 20).toDF())
+        .toDF()
+        .select(col("media_id"), col("format"), col("channels"),
+          col("sample_rate"), col("n_samples"), col("sum_ch0"),
+          col("sum_ch1"), col("sum_abs"))
+        .orderBy("media_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -48,5 +59,21 @@ object MultimodalQueries {
         |  sum((media_id * 7 + x * 3 + y * 5) % 256)::BIGINT AS sum_r,
         |  sum((media_id * 11 + x + y * 2) % 256)::BIGINT AS sum_g,
         |  sum((media_id * 13 + x * 3 + y) % 256)::BIGINT AS sum_b
-        |FROM px GROUP BY media_id, w, h ORDER BY media_id""".stripMargin)
+        |FROM px GROUP BY media_id, w, h ORDER BY media_id""".stripMargin,
+    // the generator formula, replayed: sample t of channel c in audio i is
+    // v = ((7i + 3t + 11c) % 2003) - 1001 over n = 64 + (i%5)*32 samples,
+    // 1 + (i%2) channels; range bounds are the max dims
+    "audio_decode" ->
+      """WITH m AS (SELECT i AS media_id, (64 + (i % 5) * 32) AS ns,
+        |    (1 + (i % 2)) AS ch FROM range(0, 20) t(i)),
+        |sm AS (SELECT media_id, ns, ch, t, c,
+        |    ((media_id * 7 + t * 3 + c * 11) % 2003) - 1001 AS v
+        |  FROM m, range(0, 192) ts(t), range(0, 2) cs(c)
+        |  WHERE t < ns AND c < ch)
+        |SELECT media_id, 'wav' AS format, ch::INT AS channels,
+        |  8000 AS sample_rate, ns::BIGINT AS n_samples,
+        |  sum(CASE WHEN c = 0 THEN v ELSE 0 END)::BIGINT AS sum_ch0,
+        |  sum(CASE WHEN c = 1 THEN v ELSE 0 END)::BIGINT AS sum_ch1,
+        |  sum(abs(v))::BIGINT AS sum_abs
+        |FROM sm GROUP BY media_id, ns, ch ORDER BY media_id""".stripMargin)
 }

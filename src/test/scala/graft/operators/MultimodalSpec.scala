@@ -320,6 +320,33 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(w(1L) - (0.9 * 3 + 0.7) / 4) < 1e-9)
   }
 
+  test("real PCM16 decode: hand-built stereo WAV, channel de-interleave, junk survives") {
+    import spark.implicits._
+    // 3 stereo frames with hand-picked samples incl. negatives: ch0 =
+    // [1000, -2000, 3000], ch1 = [-1, 2, -3]
+    val ch0 = Array[Short](1000, -2000, 3000)
+    val ch1 = Array[Short](-1, 2, -3)
+    val dataLen = 3 * 2 * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(44100 * 4)
+      .putShort(4).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until 3).foreach { f => buf.putShort(ch0(f)); buf.putShort(ch1(f)) }
+    val junk = Array.tabulate[Byte](60)(i => (i * 37).toByte)
+    val media = Seq((0L, buf.array()), (1L, junk)).toDF("media_id", "data")
+    val out = Multimodal.decodePcmStats(media).collect()
+      .map(s => s.media_id -> s).toMap
+    val ok = out(0L)
+    assert(ok.format == "wav" && ok.channels == 2 && ok.sample_rate == 44100)
+    assert(ok.n_samples == 3 && ok.sum_ch0 == 2000L && ok.sum_ch1 == -2L)
+    assert(ok.sum_abs == 6000L + 6L)
+    assert(out(1L).format == "unknown" && out(1L).n_samples == 0L)
+  }
+
   test("merge strategy Rrf: rank-based fusion, calibration-free") {
     import spark.implicits._
     // source A ranks 1,2,3 (by distance asc); source B ranks 3,2 —
