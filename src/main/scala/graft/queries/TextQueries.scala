@@ -157,6 +157,21 @@ object TextQueries {
         .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("id_sum"))
         .orderBy("label")
     }),
+    // transitive SEMANTIC clusters: the embedding-space analog of
+    // dup_clusters — blocked cosine pairs chained through min-label
+    // propagation, so a paraphrase chain a~b~c collapses to one component
+    // even when a and c are not pairwise-similar
+    "semantic_clusters" -> ((s, dir) => {
+      val pairs = Dedup.embeddingNearDupPairs(
+        Tables.load(s, dir, "embeddings"),
+        threshold = 0.4, blockCol = "label", idCol = "vec_id")
+      Dedup.duplicateClusters(pairs)
+        .select(col("id").as("vec_id"), col("comp").as("component"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("component"))).cast("long"))
+        .orderBy("vec_id")
+    }),
     // Okapi BM25 keyword search: one corpus scan, tokens filtered to the
     // query-term set BEFORE the explode (shuffle carries matched postings
     // only), df/N/avgdl as broadcast side relations, heap top-k
@@ -867,6 +882,20 @@ object TextQueries {
          |  least(16, n - i * 12)::BIGINT AS n_tokens,
          |  md5(array_to_string(toks[i*12+1 : i*12+16], ' ')) AS chunk_md5
          |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+    "semantic_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4),
+        |sym AS (SELECT id_a AS a, id_b AS b FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (SELECT a, b FROM sym
+        |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        |comp AS (SELECT a AS vec_id, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a)
+        |SELECT vec_id, component,
+        |  count(*) OVER (PARTITION BY component)::BIGINT AS cluster_size
+        |FROM comp ORDER BY vec_id""".stripMargin,
     "semantic_dedup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
         |rem AS (SELECT DISTINCT b.vec_id
