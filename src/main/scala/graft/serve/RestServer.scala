@@ -129,6 +129,14 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
   private val sseSubs = new java.util.concurrent.CopyOnWriteArrayList[HttpExchange]()
   private val wsSubs = new java.util.concurrent.CopyOnWriteArrayList[WsClient]()
   private val maxSseClients = 64
+  // admission counters: subscriptions are queued and only land in
+  // sseSubs/wsSubs when the pusher drains them, so a cap checked against
+  // the subscriber lists alone is porous exactly under load (a busy pusher
+  // + a connect burst admits unboundedly many). pending + subscribed is
+  // the number the cap actually bounds; the pusher decrements pending as
+  // it processes each subscribe.
+  private val ssePending = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val wsPending = new java.util.concurrent.atomic.AtomicInteger(0)
   // guards the event ring + the append→enqueue window: the HTTP routes all
   // run on the one serial dispatcher, but the WS accept thread must
   // snapshot the ring too, and its snapshot+subscribe must not interleave
@@ -141,8 +149,10 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         wsSubs.removeIf(c => !c.send(e))
       case SseSubscribe(ex, backlog) =>
         if (backlog.forall(e => sseWrite(ex, e))) sseSubs.add(ex)
+        ssePending.decrementAndGet()
       case WsSubscribe(c, backlog) =>
         if (backlog.forall(e => c.send(e))) wsSubs.add(c)
+        wsPending.decrementAndGet()
     } catch { case _: InterruptedException => }
   }, "graft-sse-push")
   ssePusher.setDaemon(true)
@@ -325,7 +335,8 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     if (!pathOk) reject(404, "Not Found")
     else if (!headers.get("upgrade").exists(_.equalsIgnoreCase("websocket")) ||
       key.isEmpty) reject(400, "Bad Request")
-    else if (wsSubs.size() >= maxSseClients) reject(503, "Service Unavailable")
+    else if (wsSubs.size() + wsPending.get() >= maxSseClients)
+      reject(503, "Service Unavailable")
     else {
       val accept = java.util.Base64.getEncoder.encodeToString(
         java.security.MessageDigest.getInstance("SHA-1").digest(
@@ -340,12 +351,13 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           case s if s.startsWith("since=") => s.drop(6) })
         .flatMap(_.toLongOption).getOrElse(0L)
       val client = new WsClient(sock)
+      wsPending.incrementAndGet()
       val subscribed = ringLock.synchronized {
         val backlog = events.iterator().asScala
           .filter(_.get("seq").asLong() > since).toSeq
         sseQueue.offer(WsSubscribe(client, backlog))
       }
-      if (!subscribed) client.close()
+      if (!subscribed) { wsPending.decrementAndGet(); client.close() }
       else {
         val t = new Thread(() => wsReadLoop(client, in), "graft-ws-read")
         t.setDaemon(true)
@@ -356,21 +368,34 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
 
   private val wsServer = new java.net.ServerSocket(wsPort)
   private val wsAcceptor = new Thread(() => {
-    try while (true) {
-      val sock = wsServer.accept()
-      // handshake OFF the acceptor thread: a client that connects and
-      // then dribbles (or sends nothing) would otherwise pin the single
-      // accept loop for its whole 10 s read timeout, serializing every
-      // other subscription behind it (slow-loris). Each handshake thread
-      // lives <= the SoTimeout and then either becomes the client's read
-      // loop or dies with the socket.
-      val t = new Thread(() => {
-        try wsHandshake(sock)
-        catch { case NonFatal(_) => try sock.close() catch { case NonFatal(_) => } }
-      }, "graft-ws-handshake")
-      t.setDaemon(true)
-      t.start()
-    } catch { case NonFatal(_) => /* listener closed: stop() */ }
+    // per-iteration catch: a transient accept() failure (EMFILE under FD
+    // pressure, a reset mid-accept) must not kill the WS endpoint for the
+    // server's lifetime — only a closed listener (stop()) ends the loop
+    while (!wsServer.isClosed) {
+      try {
+        val sock = wsServer.accept()
+        // handshake OFF the acceptor thread: a client that connects and
+        // then dribbles (or sends nothing) would otherwise pin the single
+        // accept loop for its whole 10 s read timeout, serializing every
+        // other subscription behind it (slow-loris). Each handshake thread
+        // lives <= the SoTimeout and then either becomes the client's read
+        // loop or dies with the socket.
+        val t = new Thread(() => {
+          try wsHandshake(sock)
+          catch { case NonFatal(_) => try sock.close() catch { case NonFatal(_) => } }
+        }, "graft-ws-handshake")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case NonFatal(_) =>
+          // transient accept error (or close racing the isClosed check):
+          // back off briefly so a persistent EMFILE can't spin the loop hot
+          try Thread.sleep(100)
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt() // loop exits once closed
+          }
+      }
+    }
   }, "graft-ws-accept")
   wsAcceptor.setDaemon(true)
 
@@ -561,7 +586,7 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         ex.sendResponseHeaders(405, bytes.length)
         ex.getResponseBody.write(bytes)
         ex.close()
-      } else if (sseSubs.size() >= maxSseClients) {
+      } else if (sseSubs.size() + ssePending.get() >= maxSseClients) {
         val bytes = mapper.writeValueAsBytes(err("too many stream clients"))
         ex.getResponseHeaders.set("Content-Type", "application/json")
         ex.sendResponseHeaders(503, bytes.length)
@@ -587,10 +612,13 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         // mutates), enqueued behind any already-pending events: the pusher
         // replays it and only then holds the connection for live pushes
         if (hello) {
+          ssePending.incrementAndGet()
           val backlog = events.iterator().asScala
             .filter(_.get("seq").asLong() > since).toSeq
-          if (!sseQueue.offer(SseSubscribe(ex, backlog)))
+          if (!sseQueue.offer(SseSubscribe(ex, backlog))) {
+            ssePending.decrementAndGet()
             try ex.close() catch { case NonFatal(_) => }
+          }
         }
       }
     })

@@ -293,18 +293,22 @@ class VectorStore(val spark: SparkSession, val path: String,
       .select("id", "vid", "embedding", "metadata", "ts")
     val existing = vectors.select("vid")
     val fresh = df.join(existing, Seq("vid"), "left_anti").cache()
-    // capped id echo (config.maxReturnedIds, like delete): the count stays
-    // exact via a metric observed ON the append pass itself — no separate
-    // count job, no full-column collect however large the batch
-    val freshIds = fresh.select("id").limit(config.maxReturnedIds + 1)
-      .as[String].collect().toSeq
+    // FULL id echo: the record API's batch is a caller-held Seq, so the
+    // collected id list is bounded by memory the caller already committed
+    // — no cap needed (insertDF is the unbounded front door and returns
+    // none). The completeness is load-bearing for the REST update feed:
+    // every inserted id must produce a change event, and a silently capped
+    // echo would lose feed events WITHOUT a seq gap for consumers to
+    // detect. The count stays exact via a metric observed ON the append
+    // pass itself — no separate count job.
+    val freshIds = fresh.select("id").as[String].collect().toSeq
     val obs = org.apache.spark.sql.Observation()
     storeWrite(fresh.observe(obs, count(lit(1)).as("n")))
       .mode(SaveMode.Append).parquet(dir("recent"))
     fresh.unpersist()
     val inserted = obsLong(obs)
     InsertResult(inserted = inserted, duplicates = batch.size - inserted,
-      insertedIds = freshIds.take(config.maxReturnedIds))
+      insertedIds = freshIds)
   }
 
   /** C1 at DataFrame scale — the "ingest this 10 TB DataFrame" front door

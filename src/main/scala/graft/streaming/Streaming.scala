@@ -57,10 +57,34 @@ object Streaming {
           case Some(_) =>
         }
         if (store.dimension.nonEmpty) {
-          val fresh = batch
-            .select("id", "vid", "embedding", "metadata", "ts")
-            .join(store.vectors.select("vid"), Seq("vid"), "left_anti")
-          fresh.write.mode(SaveMode.Append).parquet(s"${store.path}/recent")
+          // the same structural gate as the batch front doors (insert /
+          // insertDF): a row with a wrong-dimension embedding corrupts
+          // every later distance, and unparseable metadata JSON poisons
+          // every later filtered read (FilterJson runs parse_json). The
+          // batch APIs THROW; a stream must not die on one bad producer
+          // row, so bad rows quarantine with their reason instead —
+          // visible, never silent, never in the store.
+          val dim = store.dimension.get
+          val rowErr = when(col("embedding").isNull, lit("null embedding"))
+            .when(size(col("embedding")) =!= dim,
+              concat(lit(s"dimension mismatch: store=$dim row="),
+                size(col("embedding"))))
+            .when(col("metadata").isNotNull &&
+              try_parse_json(col("metadata")).isNull,
+              lit("metadata is not valid JSON"))
+          val checked = batch
+            .select(col("id"), col("vid"), col("embedding"), col("metadata"),
+              col("ts"), rowErr.as("err"))
+            .persist()
+          try {
+            val bad = checked.filter(col("err").isNotNull)
+            if (bad.limit(1).count() > 0)
+              bad.write.mode(SaveMode.Append)
+                .parquet(s"${store.path}/quarantine")
+            val fresh = checked.filter(col("err").isNull).drop("err")
+              .join(store.vectors.select("vid"), Seq("vid"), "left_anti")
+            fresh.write.mode(SaveMode.Append).parquet(s"${store.path}/recent")
+          } finally checked.unpersist()
           if (cadence > 0 && batchId > 0 && batchId % cadence == 0)
             scheduler.runMigration()
         }
@@ -95,7 +119,8 @@ object Streaming {
       lang: Option[String] = None,
       maxFilesPerTrigger: Int = 0,
       broadcastDocLimit: Long = 100000L,
-      broadcastByteLimit: Long = 64L << 20): StreamingQuery = {
+      broadcastByteLimit: Long = 64L << 20,
+      maxBucket: Int = 0): StreamingQuery = {
     import graft.functions.TextFunctions._
     val docsPath = s"$acceptedDir/docs"
     val srcSchema = new StructType()
@@ -152,6 +177,7 @@ object Streaming {
         // the dominant term (8 bytes per hash + ~64 bytes/row of band
         // keys and struct overhead) from the already-persisted batch and
         // require both bounds.
+        try {
         val batchStats = hashed.agg(
           count(lit(1)), coalesce(sum(size(col("hs"))), lit(0L))).head()
         val nDocs = batchStats.getLong(0)
@@ -164,9 +190,14 @@ object Streaming {
         // md5/minhash pass). smallInput: a bounded micro-batch broadcasts
         // the tiny side instead of paying 3 shuffles of task overhead
         // (AQE can't re-plan under streaming)
+        // maxBucket bounds the in-batch candidate fan-out exactly like the
+        // batch pipeline: one producer file of thousands of near-identical
+        // docs lands in one (band, bucket) and would otherwise self-join
+        // N^2/2 candidates before verify (explicit truncation, same
+        // no-silent-caps contract — size it with Dedup.lshBucketStats)
         val inPairs = graft.operators.Dedup.minhashLshPairsFromBandKeys(
           hashed.select(col("doc_id").as("id"), col("hs"), col("bks")), threshold,
-          smallInput = smallBatch, inputPersisted = true)
+          smallInput = smallBatch, inputPersisted = true, maxBucket = maxBucket)
         val inKept = hashed.join(
           bcIfSmall(inPairs.select(col("id_b").as("doc_id")).distinct()),
           Seq("doc_id"), "left_anti")
@@ -213,7 +244,10 @@ object Streaming {
           outCols.coalesce(math.max(2, spark.sparkContext.defaultParallelism / 8))
         else outCols)
           .write.mode(SaveMode.Append).parquet(docsPath)
-        hashed.unpersist()
+        // finally: a transient state-append failure under a supervised
+        // restart loop must not strand a persisted copy of every failed
+        // batch in executor storage
+        } finally hashed.unpersist()
         ()
       }
       .start()

@@ -42,6 +42,37 @@ class StreamingSpec extends SparkSpec {
     assert(store.vectors.count() == 26)
   }
 
+  test("streaming ingest quarantines malformed rows instead of dying or storing poison") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_stream_q_src_").toString
+    val ckpt = Files.createTempDirectory("graft_stream_q_ckpt_").toString
+    val storePath = Files.createTempDirectory("graft_stream_q_store_").toString
+    val store = new VectorStore(spark, storePath)
+    store.insert(Seq(VectorStore.VectorRecord("pre0", vec(1))))
+
+    val now = java.sql.Timestamp.from(java.time.Instant.now())
+    val batch = Seq(
+      ("ok1", vec(2), Some("""{"k": 1}"""), now),
+      ("badjson", vec(3), Some("{not json"), now), // would poison filtered reads
+      ("baddim", Array(1.0f, 2.0f), Option.empty[String], now), // wrong dimension
+      ("ok2", vec(4), None, now))
+    batch.toDF("id", "embedding", "metadata", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val q = Streaming.ingest(store, src, ckpt)
+    q.processAllAvailable(); q.stop()
+    // good rows stored; bad rows quarantined WITH their reason, not lost
+    assert(store.vectors.filter(col("id").isin("ok1", "ok2")).count() == 2)
+    assert(store.vectors.filter(col("id").isin("badjson", "baddim")).count() == 0)
+    val quarantined = spark.read.parquet(s"$storePath/quarantine")
+      .select("id", "err").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(quarantined("badjson").contains("JSON"))
+    assert(quarantined("baddim").contains("dimension"))
+    // the store stays fully queryable with a metadata filter (the poison
+    // this gate exists to keep out)
+    assert(store.search(vec(2), k = 1,
+      filterJson = Some("""{"k": 1}""")).count() == 1)
+  }
+
   test("migration policy: per-run cap migrates oldest-first until drained") {
     val store = new VectorStore(spark,
       Files.createTempDirectory("graft_mig_cap_").toString,
