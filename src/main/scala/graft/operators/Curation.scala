@@ -165,6 +165,43 @@ object Curation {
       .agg(max(col("cos")).as("max_cosine"))
   }
 
+  /** [[embeddingContamination]]'s scale form — the IVF-blocked escape
+    * hatch for when the eval set outgrows a plain broadcast×scan: the
+    * corpus takes ONE map-only cell assignment (codegen argmin over the
+    * literal centroid matrix, same kernel as `Ivf.assign`), the eval side
+    * probes its `probes` nearest cells, and candidate (doc, eval) pairs
+    * form only where the doc's cell is among the eval item's probes — a
+    * cell-key join against the (still broadcast, now cell-exploded) eval
+    * relation instead of |docs| × |eval| kernel evaluations. A
+    * contaminated pair is missed only when the doc's cell is outside the
+    * eval item's probe set; `probes` is the recall/cost dial (the same
+    * trade as [[graft.operators.KnnJoin.blockedMultiProbe]]), and the
+    * brute-force form stays the ground truth to validate it against. */
+  def embeddingContaminationBlocked(docs: DataFrame, evalDocs: DataFrame,
+      threshold: Double, centroids: Array[Array[Float]], probes: Int = 2,
+      embCol: String = "embedding", idCol: String = "doc_id"): DataFrame = {
+    require(probes >= 1 && probes <= centroids.length,
+      s"probes must be in [1, ${centroids.length}], got $probes")
+    val cellOf = graft.functions.VectorExpressions.nearestCentroid(
+      col(embCol), centroids, "l2")
+    val assigned = docs.select(col(idCol), col(embCol))
+      .withColumn("cell", cellOf)
+    val probeStructs = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.VectorExpressions.vecL2(col("eval_emb"), typedLit(c)).as("d"),
+        lit(i).as("cid")) }: _*)
+    val ev = broadcast(evalDocs.select(col(embCol).as("eval_emb"))
+      .withColumn("cell",
+        explode(transform(slice(array_sort(probeStructs), 1, probes),
+          s => s.getField("cid")))))
+    assigned.join(ev, Seq("cell"))
+      .select(col(idCol),
+        graft.functions.VectorExpressions.vecCosine(col(embCol), col("eval_emb"))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(max(col("cos")).as("max_cosine"))
+  }
+
   /** [[embeddingContamination]] as a filter: the corpus minus every doc
     * within `threshold` cosine of the eval set. */
   def decontaminateByEmbedding(docs: DataFrame, evalDocs: DataFrame,

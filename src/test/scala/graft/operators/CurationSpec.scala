@@ -179,6 +179,35 @@ class CurationSpec extends SparkSpec {
     assert(w.forall { case (id, (_, _, wt)) => again(id) == wt })
   }
 
+  test("blocked embedding decontamination matches brute force; probes is the recall dial") {
+    val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val docs = Seq(
+      (1L, Array(1.0f, 0.05f)),  // cell 0, leaked (copy of eval 0)
+      (2L, Array(0.9f, 0.4f)),   // cell 0, near the boundary
+      (3L, Array(0.05f, 1.0f)),  // cell 1, leaked (copy of eval 1)
+      (4L, Array(-1.0f, 0.0f))   // cell 0 by l2, far from everything
+    ).toDF("doc_id", "embedding")
+    val evalDocs = Seq(
+      Tuple1(Array(1.0f, 0.05f)), Tuple1(Array(0.05f, 1.0f))
+    ).toDF("embedding")
+    val brute = Curation.embeddingContamination(docs, evalDocs, 0.95)
+      .as[(Long, Double)].collect().toMap
+    assert(brute.keySet == Set(1L, 3L))
+    // full probes: identical verdicts to brute force
+    val blocked = Curation.embeddingContaminationBlocked(
+        docs, evalDocs, 0.95, cents, probes = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(blocked == brute)
+    // probes=1 can only shrink the flagged set (cell-local candidates),
+    // and here still catches both leaks (each sits in its eval's own cell)
+    val p1 = Curation.embeddingContaminationBlocked(
+        docs, evalDocs, 0.95, cents, probes = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(p1.keySet.subsetOf(brute.keySet) && p1.keySet == Set(1L, 3L))
+    intercept[IllegalArgumentException](
+      Curation.embeddingContaminationBlocked(docs, evalDocs, 0.95, cents, probes = 3))
+  }
+
   test("embedding decontamination drops vector-space leaks n-grams miss") {
     // doc 1 is a scaled+shifted copy of the eval vector (a paraphrase
     // shares no shingles but lands ~1.0 cosine); docs 2/3 are far away
