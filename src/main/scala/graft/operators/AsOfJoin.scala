@@ -42,19 +42,33 @@ object AsOfJoin {
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
-    }.withColumn("_r_ts",
-      last(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+    // carry the nearest-prior right row as ONE struct, not per-column
+    // last(ignoreNulls) windows: per-column carries would stitch values
+    // from DIFFERENT right rows whenever the nearest row holds a null in
+    // some column (a "frankenrow" that never existed — the correct result
+    // is the nearest row's values, nulls included). The struct also pins
+    // _r_ts to the SAME row the values came from, which is what makes the
+    // staleness bound below honest.
+    val carriedStruct = unioned.withColumn("_r",
+      last(when(col("_side") === 0,
+        struct((col(tsCol).as("_rts") +: rightCols.map(col)): _*)),
+        ignoreNulls = true).over(w))
+    val carried = rightCols.foldLeft(carriedStruct) { (df, c) =>
+      df.withColumn(c, col("_r").getField(c))
+    }.withColumn("_r_ts", col("_r").getField("_rts"))
     val bounded = tolerance match {
       case Some(t) =>
+        // staleness on a numeric cast of the ts column: casting a
+        // TIMESTAMP to double yields epoch seconds and a numeric ts passes
+        // through — unlike unix_timestamp(), which null-parses numeric
+        // columns and would silently void the bound
         val stale = col("_r_ts").isNull ||
-          (unix_timestamp(col(tsCol)) - unix_timestamp(col("_r_ts"))) > t
+          (col(tsCol).cast("double") - col("_r_ts").cast("double")) > t
         rightCols.foldLeft(carried) { (df, c) =>
           df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
         }
       case None => carried
     }
-    bounded.filter(col("_side") === 1).drop("_side", "_r_ts")
+    bounded.filter(col("_side") === 1).drop("_side", "_r_ts", "_r")
   }
 }

@@ -62,7 +62,12 @@ object Bq {
     val words = new Array[Long](wordsFor(v.length))
     var i = 0
     while (i < v.length) {
-      if (v(i) >= 0f) words(i >> 5) |= 1L << (i & 31)
+      // NaN sets the bit: Spark SQL's comparison semantics order NaN as
+      // the LARGEST value, so [[encode]]'s `emb[i] >= 0f` is true for NaN
+      // — Scala's `>=` is false for NaN, and the documented bit-identity
+      // between driver-packed queries and scan-encoded codes would break
+      // on any NaN dimension (every pair's Hamming distance inflated)
+      if (v(i) >= 0f || v(i).isNaN) words(i >> 5) |= 1L << (i & 31)
       i += 1
     }
     words

@@ -400,10 +400,18 @@ object Curation {
       idCol: String = "doc_id", salt: String = "cap"): DataFrame = {
     require(n > 0, s"cap must be positive, got $n")
     val rank = stableHash32(concat(col(idCol).cast("string"), lit(":" + salt)))
+    // dispatch the heap on the id TYPE (string ids ride TopKStr natively,
+    // numeric ids take the long cast): the raw imperative aggregate casts
+    // ids to Long internally, so handing it a string/int column is a
+    // runtime ClassCastException, not a plan error
+    val topk =
+      if (docs.schema(idCol).dataType == org.apache.spark.sql.types.StringType)
+        TopK.topKStr(n)
+      else TopK.topK(n)
     val kept = docs
       .select(col(groupCol).as("g"), col(idCol).as("_id"), rank.cast("double").as("_rk"))
       .groupBy("g")
-      .agg(graft.operators.TopKImperative.topK(n)(col("_id"), col("_rk")).as("top"))
+      .agg(topk(col("_id"), col("_rk")).as("top"))
       .select(explode(col("top")).as("t"))
       .select(col("t.id").as(idCol))
     docs.join(kept, Seq(idCol), "left_semi")

@@ -115,7 +115,7 @@ object Dedup {
     // same columns would only cost a pass and double the cached footprint.
     val hashed =
       if (inputPersisted) hashedIn
-      else hashedIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pinnedBanded(hashedIn)
     val bandedAll = hashed.select(col("id"),
       posexplode(col("bks")).as(Seq("band", "bucket")))
     val banded =
@@ -456,6 +456,39 @@ object Dedup {
   def invalidateFunnelCache(): Unit = synchronized {
     flaggedCache.valuesIterator.foreach(_.unpersist(blocking = false))
     flaggedCache.clear()
+    bandedCache.valuesIterator.foreach(_.unpersist(blocking = false))
+    bandedCache.clear()
+  }
+
+  // The banded-signature pin of [[minhashLshPairsFromBandKeys]], under the
+  // same bounded KEYED contract as flaggedCache/dsirCache: an unbounded
+  // per-call persist would pin one signature-table-sized relation per
+  // corpus for the session's lifetime (the leak Ivf.searchBatch's own
+  // comment rejects persist over). At most [[bandedCacheMax]] corpora stay
+  // resident, oldest first; a dead or externally-evicted entry rebuilds.
+  private val bandedCacheMax = 4
+  private val bandedCache =
+    scala.collection.mutable.LinkedHashMap.empty[Int, DataFrame]
+
+  private def pinnedBanded(hashedIn: DataFrame): DataFrame = synchronized {
+    val key = hashedIn.queryExecution.analyzed.semanticHash()
+    bandedCache.get(key) match {
+      case Some(df) if (df.sparkSession eq hashedIn.sparkSession) &&
+          df.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        return df
+      case Some(df) =>
+        df.unpersist(blocking = false)
+        bandedCache.remove(key)
+      case None =>
+    }
+    bandedCache.getOrElseUpdate(key, {
+      while (bandedCache.size >= bandedCacheMax) {
+        val (k0, df0) = bandedCache.head
+        df0.unpersist(blocking = false)
+        bandedCache.remove(k0)
+      }
+      hashedIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
   }
 
   private def flaggedCorpus(docs: DataFrame, shingleN: Int,

@@ -714,7 +714,14 @@ object Hnsw {
       queries: DataFrame, k: Int, efSearch: Int = 50,
       queryIdCol: String = "query_id", queryEmbCol: String = "q_embedding",
       allowed: Option[DataFrame] = None, oversample: Int = 3,
-      probeBlobs: Int = 0, maxQueryBatch: Int = 100000): DataFrame = {
+      probeBlobs: Int = 0, maxQueryBatch: Int = 100000,
+      metric: String = "l2"): DataFrame = {
+    // `metric` steers BLOB ROUTING only (the per-blob graph walk always
+    // uses the metric frozen in each blob's header): ranking a cosine
+    // index's blobs by raw L2 would route queries away from the blobs
+    // holding their true cosine neighbors whenever centroid norms differ —
+    // silent recall loss, because the in-blob search still looks right.
+    val routeMc = metricCode(metric)
     import spark.implicits._
     // the query set is broadcast to every probed blob — an unbounded batch
     // would be an unbounded driver collect AND an O(|queries| x |blobs|)
@@ -750,13 +757,8 @@ object Hnsw {
         if (cents.length <= probeBlobs) None
         else {
           val perQuery = qRows.map { case (_, qv) =>
-            cents.map { case (pid, c) =>
-              var s = 0.0; var i = 0
-              while (i < qv.length) {
-                val d = qv(i).toDouble - c(i).toDouble; s += d * d; i += 1
-              }
-              (pid, s)
-            }.sortBy(_._2).take(probeBlobs).map(_._1)
+            cents.map { case (pid, c) => (pid, distArr(routeMc, qv, c)) }
+              .sortBy(_._2).take(probeBlobs).map(_._1)
           }
           val byBlob = perQuery.zipWithIndex
             .flatMap { case (pids, qi) => pids.map(_ -> qi) }

@@ -304,9 +304,15 @@ object Ivf {
     * `maxSize` keep their `maxSize` centroid-closest rows; overflow rows
     * move to their second-nearest centroid. */
   def balance(assigned: DataFrame, centroids: DataFrame, maxSize: Int,
-      embCol: String = "embedding", metric: String = "l2"): DataFrame = {
+      embCol: String = "embedding", metric: String = "l2",
+      idCol: String = "id"): DataFrame = {
     val collected = centroids.select("cluster_id", "centroid").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    // the element_at lookups below read cluster_id as a 0-based ARRAY
+    // POSITION — non-contiguous ids (a filtered/imported centroid set)
+    // would silently demote rows to the wrong clusters
+    require(collected.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      s"balance requires contiguous 0-based cluster ids, got ${collected.map(_._1).mkString(",")}")
     val cids = typedLit(collected.map(_._1))
     val cents = typedLit(collected.map(_._2))
     val dists = transform(cents, c => distance(metric, col(embCol), c))
@@ -316,8 +322,12 @@ object Ivf {
       transform(dists, (d, i) => when(i === col("cluster_id"), lit(Double.MaxValue)).otherwise(d)),
       array_min(transform(dists, (d, i) =>
         when(i === col("cluster_id"), lit(Double.MaxValue)).otherwise(d))))
+    // id tie-break: rows tied on own-centroid distance (duplicates,
+    // equidistant vectors) must rank the same way on every run and
+    // partitioning — the deterministic/replayable contract every other
+    // operator enforces with (dist, id) ordering
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster_id").orderBy(own.asc)
+      .partitionBy("cluster_id").orderBy(own.asc, col(idCol).asc)
     assigned
       .withColumn("rk", row_number().over(w))
       .withColumn("cluster_id",

@@ -59,17 +59,31 @@ object Lloyd {
           while (j < dim) { sums(c)(j) += data(i)(j); j += 1 }
           i += 1
         }
+        // centroid-shift early stop: the documented `tol` contract — a
+        // round whose largest centroid move is under tol converges even
+        // while a few points still flip between equidistant centroids
+        var maxShift = 0.0
         var c = 0
         while (c < k) {
           if (counts(c) == 0) {
             cents(c) = data(rnd.nextInt(data.length)).clone()
             changed = true
+            maxShift = Double.MaxValue // a reseed is never converged
           } else {
+            var shift = 0.0
             var j = 0
-            while (j < dim) { cents(c)(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
+            while (j < dim) {
+              val nv = (sums(c)(j) / counts(c)).toFloat
+              val d = nv.toDouble - cents(c)(j).toDouble
+              shift += d * d
+              cents(c)(j) = nv
+              j += 1
+            }
+            maxShift = math.max(maxShift, math.sqrt(shift))
           }
           c += 1
         }
+        if (maxShift <= tol) changed = false
         iter += 1
       }
     } finally pool.shutdown()

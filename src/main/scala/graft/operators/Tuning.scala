@@ -15,12 +15,17 @@ object Tuning {
   }
 
   /** n_probe: ~sqrt share of clusters, bounded [1, nClusters]; more probes
-    * for small corpora (cheap) and high-recall regimes. */
+    * for small corpora (probing is cheap when each inverted list is short —
+    * under ~1K rows per cluster the whole scan costs less than a recall
+    * miss) and for high-recall regimes. */
   def suggestNProbe(nClusters: Int, corpusSize: Long, targetRecall: Double = 0.9): Int = {
     val frac = if (targetRecall >= 0.99) 0.5 else if (targetRecall >= 0.9) 0.25 else 0.1
     val bySqrt = math.ceil(math.sqrt(nClusters.toDouble)).toInt
     val byFrac = math.ceil(nClusters * frac).toInt
-    math.min(nClusters, math.max(1, math.max(bySqrt, math.min(byFrac, nClusters))))
+    // small corpora: rows-per-cluster under ~1K makes probing nearly free,
+    // so lean on recall — double the probe budget
+    val smallBoost = if (corpusSize > 0 && corpusSize / nClusters < 1000) 2 else 1
+    math.min(nClusters, math.max(1, math.max(bySqrt, byFrac) * smallBoost))
   }
 
   /** Cluster count: ~sqrt(N), clamped to [4, 65536] (the IVF rule of

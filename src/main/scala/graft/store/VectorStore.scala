@@ -1011,7 +1011,8 @@ class VectorStore(val spark: SparkSession, val path: String,
         meta.hasNonNull("routed") && meta.get("routed").asBoolean()) probeBlobs
       else 0
     val hits = graft.operators.Hnsw.searchSaved(spark, dir("recent_index/blobs"),
-        queries, k, efSearch, allowed = allowed, probeBlobs = effProbe)
+        queries, k, efSearch, allowed = allowed, probeBlobs = effProbe,
+        metric = builtMetric)
       .select(col("query_id"), col("id").as("lid"), col("distance"))
       .join(idx.select(col("lid"), col("id")), Seq("lid"))
       .select(col("query_id"), col("id"), col("distance"))

@@ -36,4 +36,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(bounded("x") == Some(7.0))
     assert(bounded("y") == None) // 92s stale > 30s tolerance
   }
+
+  test("the nearest right row is carried WHOLE: no cross-row value stitching") {
+    import spark.implicits._
+    // nearest-prior right row (t=5) has price=null, qty=3; a per-column
+    // carry would resurrect price=5.0 from the OLDER t=1 row — a row that
+    // never existed. The whole-row contract returns (null, 3).
+    val left = Seq((1L, ts(10), "a")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts(1), Some(5.0), 2L), (1L, ts(5), Option.empty[Double], 3L)
+    ).toDF("k", "t", "price", "qty")
+    val r = AsOfJoin.nearestPrior(left, right, "k", "t").head()
+    assert(r.isNullAt(r.fieldIndex("price")), r.toString)
+    assert(r.getLong(r.fieldIndex("qty")) == 3L, r.toString)
+  }
+
+  test("tolerance works on NUMERIC (epoch) ts columns, not just timestamps") {
+    import spark.implicits._
+    val left = Seq((1L, 1000L, "x"), (1L, 2000L, "y")).toDF("k", "t", "tag")
+    val right = Seq((1L, 990L, 7.0)).toDF("k", "t", "v")
+    val bounded = AsOfJoin.nearestPrior(left, right, "k", "t", tolerance = Some(30))
+      .collect().map(x => x.getString(2) -> Option(x.get(3))).toMap
+    // 10s stale passes; 1010s stale must be nulled — unix_timestamp() on
+    // a LONG column would null-parse and silently void this bound
+    assert(bounded("x") == Some(7.0) && bounded("y") == None, bounded.toString)
+  }
 }

@@ -55,6 +55,13 @@ class BqSpec extends SparkSpec {
     val e2 = Seq(Tuple1(edge)).toDF("embedding")
       .select(Bq.encode(col("embedding"), 5).as("w")).head().getSeq[Long](0)
     assert(e2 == Bq.packWords(edge).toSeq)
+    // NaN: Spark SQL orders NaN as the LARGEST value so encode's `>= 0`
+    // sets the bit — the driver packer must agree (Scala's >= is false
+    // for NaN, the divergence that would inflate every Hamming distance)
+    val nan = Array(Float.NaN, -1.0f, Float.NaN, 2.0f)
+    val e3 = Seq(Tuple1(nan)).toDF("embedding")
+      .select(Bq.encode(col("embedding"), 4).as("w")).head().getSeq[Long](0)
+    assert(e3 == Bq.packWords(nan).toSeq, s"expr=$e3 driver=${Bq.packWords(nan).toSeq}")
   }
 
   test("hamming over packed words equals per-dimension sign disagreement") {

@@ -175,6 +175,12 @@ class PqSpec extends SparkSpec {
         graft.functions.VectorExpressions.vecNorm(col("orig")).as("n0"))
       .collect()
     norms.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-3))
+    // hash-derived noise is partition-invariant: the same queries through
+    // a different layout draw byte-identical variants (rand(seed) would
+    // not — its stream follows the partition index)
+    val again = QueryExpansion.expand(queries.repartition(7), variants = 4, noise = 0.05)
+    assert(ex.select("query_id", "variant", "q_embedding")
+      .exceptAll(again.select("query_id", "variant", "q_embedding")).count() == 0)
     ex.unpersist()
   }
 }
