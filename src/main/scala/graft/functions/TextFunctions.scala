@@ -16,8 +16,19 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace tokens of a (lowercased, trimmed) text column. */
-  def tokens(text: Column): Column =
-    split(trim(lower(text)), "\\s+")
+  def tokens(text: Column): Column = {
+    // Two deliberate edge rules, matched exactly by the oracle's toksSql:
+    // (1) REGEX trim, not trim() — trim strips only spaces, so tab/newline
+    // edges would leak an empty leading token out of split; (2) empty /
+    // whitespace-only text tokenizes to [] — NOT the [""] split returns
+    // for a zero-length input, which would make token_count report 1 on
+    // an empty doc, deaden every size(toks)===0 guard downstream, and
+    // hand chunking/minhash a phantom token. Null text stays null (the
+    // when predicate is null -> otherwise -> split(null) -> null).
+    val cleaned = regexp_replace(lower(text), "^\\s+|\\s+$", "")
+    when(length(cleaned) === 0, array().cast("array<string>"))
+      .otherwise(split(cleaned, "\\s+"))
+  }
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -354,7 +354,11 @@ object kernels {
       val out = new Array[Byte](n)
       var i = 0
       while (i < n) {
-        out(i) = math.rint((a.getFloat(i).toDouble - mn) / range * 255.0).toInt.toByte
+        // floor(x+0.5) = HALF_UP on the non-negative [0,255] scale — the
+        // SAME tie rule as Spark round() in VectorFunctions.quantizeU8
+        // (the documented cross-check reference) and a HALF_UP oracle;
+        // rint's HALF_EVEN would disagree by one code on exact half-steps
+        out(i) = math.floor((a.getFloat(i).toDouble - mn) / range * 255.0 + 0.5).toInt.toByte
         i += 1
       }
       out
@@ -369,8 +373,8 @@ object kernels {
            |double $range = ((double)$mx - (double)$mn == 0.0) ? 1.0 : (double)$mx - (double)$mn;
            |byte[] $out = new byte[$n];
            |for (int $i = 0; $i < $n; $i++) {
-           |  $out[$i] = (byte)(int) java.lang.Math.rint(
-           |    ((double)$a.getFloat($i) - (double)$mn) / $range * 255.0);
+           |  $out[$i] = (byte)(int) java.lang.Math.floor(
+           |    ((double)$a.getFloat($i) - (double)$mn) / $range * 255.0 + 0.5);
            |}
            |${ev.value} = $out;
            |""".stripMargin

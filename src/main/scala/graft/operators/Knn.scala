@@ -80,7 +80,8 @@ object Knn {
   def search(corpus: DataFrame, query: Array[Float], k: Int, metric: String = "cosine",
       idCol: String = "id", embCol: String = "embedding",
       filterJson: Option[String] = None, metadataCol: String = "metadata",
-      scoreThreshold: Option[Double] = None, roundDecimals: Int = -1): DataFrame = {
+      scoreThreshold: Option[Double] = None, roundDecimals: Int = -1,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val filtered = filterJson match {
       case Some(f) => corpus.filter(FilterJson.predicate(f, col(metadataCol)))
       case None => corpus
@@ -88,8 +89,12 @@ object Knn {
     val q = typedLit(query)
     val dRaw = distance(metric, col(embCol), q)
     val d = if (roundDecimals >= 0) round(dRaw, roundDecimals) else dRaw
+    // carryCols ride THROUGH the TakeOrdered top-k (k rows, so the wider
+    // heap rows are free) — the caller that wants hit metadata/vectors
+    // avoids a second full corpus scan + join to re-fetch them
     val scored = filtered
-      .select(col(idCol).as("id"), d.as("distance"))
+      .select((Seq(col(idCol).as("id"), d.as("distance")) ++
+        carryCols.map(col)): _*)
       .withColumn("score",
         if (metric == "dot") lit(1.0) / (lit(1.0) + exp(col("distance")))
         else lit(1.0) / (lit(1.0) + col("distance")))

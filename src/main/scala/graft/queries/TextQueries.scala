@@ -24,7 +24,7 @@ object TextQueries {
   // DuckDB fragments reused across oracles (shared with StoreQueries'
   // streaming_ingest replay — one definition, writer and oracle sides
   // must never diverge)
-  private[queries] val toksSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  private[queries] val toksSql = """(CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END)"""
   private[queries] def hash32(s: String) = s"(('0x' || substr(md5($s), 1, 8))::UBIGINT)"
 
   /** Mixed-form unicode prefix for text_normalize: decomposed e+combining

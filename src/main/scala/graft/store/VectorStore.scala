@@ -49,6 +49,8 @@ class VectorStore(val spark: SparkSession, val path: String,
   private val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def dir(name: String) = s"$path/$name"
+
+  recoverSwaps() // finish any swap a previous process died inside (see below)
   private def exists(name: String) = fs.exists(new Path(dir(name), "_SUCCESS"))
 
   private def readText(p: Path): String = {
@@ -260,6 +262,10 @@ class VectorStore(val spark: SparkSession, val path: String,
     * (`hybrid/core.rs:317-321`). Returns (inserted, duplicates). */
   def insert(batch: Seq[VectorRecord]): InsertResult = {
     require(batch.nonEmpty, "empty batch")
+    // diagnostic rejection with the offending id, not a bare NPE from the
+    // .length below — insertDF's per-row "null embedding" check, Seq form
+    batch.find(_.embedding == null).foreach(r =>
+      throw new IllegalArgumentException(s"id=${r.id}: null embedding"))
     val dims = batch.map(_.embedding.length).distinct
     require(dims.size == 1, s"mixed dimensions in batch: $dims")
     val dim = dims.head
@@ -456,14 +462,18 @@ class VectorStore(val spark: SparkSession, val path: String,
   def search(query: Array[Float], k: Int, metric: String = "cosine",
       filterJson: Option[String] = None, scoreThreshold: Option[Double] = None,
       includeVectors: Boolean = false): DataFrame = {
+    // metadata/embedding ride through the top-k (carryCols) instead of a
+    // second full live-view scan + join: the live view costs a
+    // tombstone-anti-join + overlay pass over both tiers, and paying it
+    // twice doubled the dominant cost of every single-query search
     val hits = Knn.search(vectors, query, k, metric, idCol = "id",
-      filterJson = filterJson, scoreThreshold = scoreThreshold)
-    val enriched = hits.join(
-      vectors.select(col("id"), col("metadata"),
-        col("embedding").as("result_embedding")), Seq("id"), "left")
-    val base = enriched.select(
-      (Seq("id", "distance", "score", "metadata") ++
-        (if (includeVectors) Seq("result_embedding") else Nil)).map(col): _*)
+      filterJson = filterJson, scoreThreshold = scoreThreshold,
+      carryCols = Seq("metadata", "embedding"))
+    val base = hits
+      .withColumn("result_embedding", col("embedding"))
+      .select(
+        (Seq("id", "distance", "score", "metadata") ++
+          (if (includeVectors) Seq("result_embedding") else Nil)).map(col): _*)
     base.orderBy(col("distance").asc, col("id").asc)
   }
 
@@ -647,8 +657,13 @@ class VectorStore(val spark: SparkSession, val path: String,
     val hist = historical
     val balanced = Ivf.balance(hist, centroids, maxSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val moved = balanced.select(col("vid"), col("cluster_id"))
-      .join(hist.select(col("vid"), col("cluster_id").as("old_cid")), Seq("vid"))
+    // row identity is (vid, ts), like migrate's anti-join: a tombstoned
+    // original and its reinserted copy legitimately share a vid, and a
+    // vid-only join would many-to-many them into an inflated (and
+    // permanently persisted) moved count
+    val moved = balanced.select(col("vid"), col("ts"), col("cluster_id"))
+      .join(hist.select(col("vid"), col("ts"), col("cluster_id").as("old_cid")),
+        Seq("vid", "ts"))
       .filter(col("cluster_id") =!= col("old_cid")).count()
     storeWrite(balanced.repartition(col("cluster_id"))).mode(SaveMode.Overwrite)
       .partitionBy("cluster_id").parquet(dir("historical") + "_tmp")
@@ -778,6 +793,24 @@ class VectorStore(val spark: SparkSession, val path: String,
     fs.rename(tmp, cur)
   }
 
+  /** Crash recovery for [[swap]]'s delete→rename window: a process killed
+    * between the two calls leaves the live dir ABSENT and the complete new
+    * tier stranded in `_tmp` — which readOr would silently treat as an
+    * EMPTY table, and the next insert would recreate the live dir, making
+    * the `_tmp` data unrecoverable by a later swap. Run at open: finish
+    * the interrupted swap when the live dir is missing; when both exist
+    * (crash BEFORE the delete — the swap never started destroying state)
+    * the live dir is intact and the leftover `_tmp` is dropped. */
+  private def recoverSwaps(): Unit =
+    Seq("recent", "historical", "tombstones", "meta_updates").foreach { name =>
+      val tmp = new Path(dir(name) + "_tmp")
+      if (fs.exists(tmp)) {
+        val cur = new Path(dir(name))
+        if (!fs.exists(cur)) fs.rename(tmp, cur)
+        else fs.delete(tmp, true)
+      }
+    }
+
   // ---- A6/C7 stats ----
 
   def stats(): Stats = {
@@ -880,12 +913,7 @@ class VectorStore(val spark: SparkSession, val path: String,
           centroids, queries, historicalK.getOrElse(k), nProbe, metric,
           filter = filterJson.map(FilterJson.predicate(_, col("metadata"))))
         .select(col("query_id"), col("id"), col("distance")))
-    val union = histPart.map(recPart.unionByName(_)).getOrElse(recPart)
-    val topk = TopK.topKStr(k)
-    union.groupBy("query_id")
-      .agg(topk(col("id"), col("distance")).as("hits"))
-      .select(col("query_id"), explode(col("hits")).as("hit"))
-      .select(col("query_id"), col("hit.id").as("id"), col("hit.dist").as("distance"))
+    mergeTiers(k, (recPart +: histPart.toSeq): _*)
   }
 
   // ---- recent-tier saved-HNSW serving (X12: the reference serves its
@@ -911,6 +939,14 @@ class VectorStore(val spark: SparkSession, val path: String,
       s"recent index supports l2|cosine, got $metric")
     val parts =
       if (numBlobs > 0) numBlobs else spark.sparkContext.defaultParallelism
+    // part list captured BEFORE the tier DataFrame pins its file listing
+    // (same ordering as enableSq/enableBq): a part appended by a
+    // concurrent insert between listing and recording would otherwise be
+    // recorded as covered without being indexed — rows invisible to both
+    // the HNSW hits and the file-diff delta scan until a rebuild. Listed
+    // first, a racing part is simply NOT in `files` and surfaces through
+    // the delta path.
+    val coveredParts = listDataParts("recent")
     val base = recent
       .select(col("id"), col("vid"), col("ts"), col("metadata"), col("embedding"))
     // routed: co-locate similar vectors per blob (repartition by k-means
@@ -947,7 +983,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     node.put("numBlobs", numBlobs)
     node.put("routed", routed)
     val arr = node.putArray("files")
-    listDataParts("recent").foreach(arr.add)
+    coveredParts.foreach(arr.add)
     writeText(new Path(dir("recent_index"), "meta.json"),
       mapper.writeValueAsString(node))
   }
@@ -1067,6 +1103,13 @@ class VectorStore(val spark: SparkSession, val path: String,
       retrain: Boolean = true, residual: Boolean = false): Unit = {
     require(hasRowsRecursive("historical"),
       "PQ tier requires a populated historical tier (run migrate first)")
+    // part list FIRST, then the DataFrame (which pins its file listing at
+    // creation): listed-after, a part appended during the (long) training
+    // phase would be recorded as encoded without being encoded — rows
+    // invisible to PQ search and to refreshPq's file-diff forever. Listed
+    // first, a racing part is simply absent from the record and surfaces
+    // through the delta scan. Same ordering as enableSq/enableBq.
+    val histParts = listDataParts("historical")
     val hist = historical
     val dim = dimension.getOrElse(
       throw new IllegalStateException("store has no manifest dimension"))
@@ -1100,10 +1143,6 @@ class VectorStore(val spark: SparkSession, val path: String,
         Pq.encodeResidual(model, c, col("embedding"), col("cluster_id"))
       case None => Pq.encode(model, col("embedding"))
     }
-    // capture the tier's part list BEFORE the encode reads it: the codes
-    // then cover exactly these parts, and the search-time delta is the
-    // file-diff against this record (see listDataParts)
-    val histParts = listDataParts("historical")
     val codes = hist.select(col("id"), col("vid"), col("ts"),
       col("cluster_id").cast("long").as("cluster_id"), encCol.as("codes"))
     storeWrite(codes.repartition(col("cluster_id"))).mode(SaveMode.Overwrite)

@@ -14,6 +14,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(df.select(tokens(col("text")))).getSeq[String](0) ==
       Seq("the", "quick", "brown", "fox"))
     assert(one(df.select(tokenCount(col("text")))).getInt(0) == 4)
+    // empty / whitespace-only text tokenizes to [] (count 0), not [""]
+    // (count 1) — split's zero-length-input quirk must not leak into
+    // token accounting or hand downstream operators a phantom token
+    val edge = Seq("", "   \t  ").toDF("text")
+    assert(edge.select(tokenCount(col("text"))).collect().forall(_.getInt(0) == 0))
+    assert(edge.select(tokens(col("text"))).collect()
+      .forall(_.getSeq[String](0).isEmpty))
   }
 
   test("shingles: n-grams, short-text edge cases") {

@@ -17,6 +17,23 @@ class SqSpec extends SparkSpec {
     .select(col("id"), col("cluster_id"), col("sq.codes").as("codes"),
       col("sq.vmin").as("vmin"), col("sq.vmax").as("vmax"))
 
+  test("codegen encoder agrees with quantizeU8 on exact half-step ties") {
+    import spark.implicits._
+    // scaled value of 0.5 over range [0, 255] lands exactly on a .5 tie:
+    // HALF_UP (Spark round, quantizeU8) gives code 1; rint's HALF_EVEN
+    // would give 0 — the two encoders must share one tie rule
+    val v = Array(0.0f, 0.5f, 2.5f, 255.0f)
+    val row = Seq(Tuple1(v)).toDF("embedding")
+      .select(Sq.encode(col("embedding")).as("sq"),
+        graft.functions.VectorFunctions.quantizeU8(col("embedding")).as("ref"))
+      .head()
+    val codes = row.getStruct(0).getAs[Array[Byte]]("codes")
+      .map(b => b & 0xff).toSeq
+    val ref = row.getStruct(1).getSeq[Int](0)
+    assert(codes == ref, s"codegen=$codes quantizeU8=$ref")
+    assert(codes(1) == 1 && codes(2) == 3, codes.toString) // HALF_UP ties
+  }
+
   test("u8 approximate distance tracks exact L2 on real embeddings") {
     val q = emb.filter(col("vec_id") === 5)
       .select("embedding").head().getSeq[Float](0).toArray

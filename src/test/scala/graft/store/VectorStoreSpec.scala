@@ -208,6 +208,31 @@ class VectorStoreSpec extends SparkSpec {
     assert(m == """{"u": true}""") // overlay folded into the base
   }
 
+  test("a crash inside swap() recovers at open; null embeddings reject with the id") {
+    val path = java.nio.file.Files.createTempDirectory("graft_swaprec_").toString
+    val st = new VectorStore(spark, path)
+    st.insert((0 until 5).map(i => VectorStore.VectorRecord(s"r$i", vec(i))))
+    // simulate dying between swap's delete and rename: live dir gone,
+    // complete new tier stranded in _tmp
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/recent"),
+      new org.apache.hadoop.fs.Path(s"$path/recent_tmp")))
+    // a fresh open must finish the interrupted swap, not read an empty tier
+    val reopened = new VectorStore(spark, path)
+    assert(reopened.vectors.count() == 5)
+    // and a leftover _tmp NEXT TO an intact live dir is dropped, not
+    // swapped (crash BEFORE the delete: the live tier is still the truth)
+    reopened.recent.limit(1).write.mode("overwrite").parquet(s"$path/recent_tmp")
+    val again = new VectorStore(spark, path)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/recent_tmp")))
+    assert(again.vectors.count() == 5)
+    val e = intercept[IllegalArgumentException] {
+      again.insert(Seq(VectorStore.VectorRecord("bad", null)))
+    }
+    assert(e.getMessage.contains("id=bad") && e.getMessage.contains("null embedding"))
+  }
+
   test("persistence round-trip: reopen from path preserves data and search") {
     val st = freshStore()
     st.insert((0 until 25).map(i => VectorRecord(s"p$i", vec(i), Some(s"""{"i": $i}"""))))
