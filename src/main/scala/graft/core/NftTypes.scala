@@ -65,7 +65,13 @@ object NftTypes {
     val attrs = Option(n.get("attributes")).map(_.elements().asScala.map { a =>
       val key = Option(a.get("key")).filterNot(_.isNull).map(_.asText())
         .getOrElse(throw new IllegalArgumentException("attribute missing key"))
-      NftAttribute(key, mapper.writeValueAsString(a.get("value")))
+      // a MISSING value field is a malformed attribute, not a null value:
+      // serde has no default for it, so the reference rejects the document
+      // — writeValueAsString(javaNull) would instead fabricate "null" and
+      // make missing indistinguishable from an explicit JSON null
+      val value = Option(a.get("value")).getOrElse(
+        throw new IllegalArgumentException(s"attribute '$key' missing value"))
+      NftAttribute(key, mapper.writeValueAsString(value))
     }.toSeq).getOrElse(Nil)
     val genre = Option(n.get("genre"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)

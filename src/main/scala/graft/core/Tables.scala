@@ -22,6 +22,17 @@ object Tables {
       // reads natively as TIMESTAMP_NTZ). Handle both by inspecting the
       // loaded type; the NTZ cast is wall-clock-identical under the
       // session's UTC timezone, matching what DuckDB reads for the oracle.
+      //
+      // The nanosAsLong flag is session-global and is consulted at SCAN
+      // planning, so it cannot be safely set/restored around this lazy
+      // read (a later action would re-plan under the restored value).
+      // DOCUMENTED TRADE-OFF: after the first events load, any other
+      // TIMESTAMP(NANOS) parquet read in the session also surfaces as
+      // long nanos instead of failing fast. No other repo table or store
+      // artifact writes NANOS, so within this engine the flag is inert —
+      // but it is deliberate session state, not an accident; applications
+      // embedding the library alongside their own NANOS data should set
+      // the flag themselves at session build and own the convention.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions.{col, expr}

@@ -82,9 +82,18 @@ object Bm25 {
     * a TakeOrdered (heap top-k per partition, never a full sort). */
   def search(docs: DataFrame, query: String, k: Int,
       k1: Double = DefaultK1, b: Double = DefaultB,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    score(docs, query, k1, b, textCol, idCol)
-      .orderBy(col("score").desc, col("id").asc).limit(k)
+      textCol: String = "text", idCol: String = "doc_id",
+      roundDecimals: Int = -1): DataFrame = {
+    // round-then-rank (the repo-wide convention, see Knn/Bq): cutting on
+    // the unrounded score would let a sub-1e-6 summation-order difference
+    // flip rows across the top-k boundary vs an oracle ranking rounded
+    // values — a nondeterministic hash flake waiting on a near-tie
+    val sc = score(docs, query, k1, b, textCol, idCol)
+    val ranked =
+      if (roundDecimals >= 0) sc.withColumn("score", round(col("score"), roundDecimals))
+      else sc
+    ranked.orderBy(col("score").desc, col("id").asc).limit(k)
+  }
 
   /** Persist an inverted index: `path/postings` = (token, id, tf, dl)
     * sorted by token (term lookups prune to the matching row groups via

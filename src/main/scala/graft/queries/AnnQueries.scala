@@ -52,15 +52,27 @@ object AnnQueries {
   def ensureIvfScaleIndex(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = s"/tmp/graft_ivf_idx/${tag}_k32_v2"
-    val p = new org.apache.hadoop.fs.Path(s"$base/data/_SUCCESS")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
+    // build-complete marker is an explicit _DONE written LAST (the
+    // ensureServingStore pattern): gating on data/_SUCCESS would wedge
+    // the cache forever if a crash landed between the data write and the
+    // centroids export — data present, centroids missing, build skipped
+    // on every subsequent run
+    val done = new org.apache.hadoop.fs.Path(base, "_DONE")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // drop partials
+      // DEPENDENT caches die with this one: the BQ code table carries this
+      // index's cluster assignments and reranks against its raw inverted
+      // file — a rebuild here with a stale BQ sidecar would silently serve
+      // codes routed by the OLD clustering
+      fs.delete(new org.apache.hadoop.fs.Path(s"/tmp/graft_bq_idx/${tag}_d64_v2"), true)
       val corpus = scaleCorpus(Tables.load(s, dir, "embeddings"))
       val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = 32,
         maxIterations = 10, trainSize = 10000, initMode = "driver"))
       val assigned = Ivf.assign(corpus, cents)
       Ivf.writePartitioned(assigned, s"$base/data")
       Ivf.exportCentroids(cents, s"$base/centroids")
+      fs.create(done, true).close()
     }
     base
   }

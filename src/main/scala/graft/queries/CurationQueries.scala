@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
 object CurationQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val toksSql = """(CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END)"""
-  private def hash32(s: String) = s"(('0x' || substr(md5($s), 1, 8))::UBIGINT)"
+  // ONE tokenization/hash definition, shared with TextQueries (writer and
+  // oracle sides must never diverge — a private copy here once drifted one
+  // edge-rule fix behind)
+  import TextQueries.{toksSql, hash32}
   // the Curation.bucket primitive in DuckDB terms; the operators default
   // to distinct salts so split and sampling decisions decorrelate
   private def bucketSql(salt: String) =

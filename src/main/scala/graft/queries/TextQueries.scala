@@ -24,7 +24,14 @@ object TextQueries {
   // DuckDB fragments reused across oracles (shared with StoreQueries'
   // streaming_ingest replay — one definition, writer and oracle sides
   // must never diverge)
-  private[queries] val toksSql = """(CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END)"""
+  /** The one tokenization rule, parameterized over the source expression —
+    * writer (TextFunctions.tokens) and every oracle must never diverge on
+    * the edge rules (regex trim; empty/whitespace-only -> []). */
+  private[queries] def toksSqlOf(c: String): String =
+    s"(CASE WHEN regexp_replace(lower($c), '^\\s+|\\s+$$', '', 'g') = '' " +
+      s"THEN []::VARCHAR[] ELSE regexp_split_to_array(" +
+      s"regexp_replace(lower($c), '^\\s+|\\s+$$', '', 'g'), '\\s+') END)"
+  private[queries] val toksSql = toksSqlOf("text")
   private[queries] def hash32(s: String) = s"(('0x' || substr(md5($s), 1, 8))::UBIGINT)"
 
   /** Mixed-form unicode prefix for text_normalize: decomposed e+combining
@@ -177,8 +184,8 @@ object TextQueries {
     // only), df/N/avgdl as broadcast side relations, heap top-k
     "bm25_search" -> ((s, dir) => {
       Bm25.search(Tables.load(s, dir, "documents"),
-          query = "spark vector query join", k = 15)
-        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+          query = "spark vector query join", k = 15, roundDecimals = 6)
+        .select(col("id").as("doc_id"), col("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
     // Hybrid keyword+vector search via reciprocal-rank fusion: BM25 top-20
