@@ -135,7 +135,18 @@ object Bench {
     // (everything, may lose its head), (2) a compact per-query line with
     // rounded times (all rows, ~25 bytes each — survives any plausible
     // window), (3) the smallest self-contained summary line last.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters}""")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters}"""
+    println(fullJson)
+    // The stdout lines race the driver's finite tail-capture window (three
+    // rounds of ordering tricks still lost the alphabetically-first rows),
+    // so the COMPLETE result map is ALSO written as a file artifact in the
+    // working tree — committed per round, it always carries every row.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      fullJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"bench file write failed ($outFile): $e") }
     val qsCompact = results
       .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 10000) / 10000 }
       .mkString("{", ",", "}")

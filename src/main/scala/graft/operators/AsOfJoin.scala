@@ -61,9 +61,22 @@ object AsOfJoin {
         // staleness on a numeric cast of the ts column: casting a
         // TIMESTAMP to double yields epoch seconds and a numeric ts passes
         // through — unlike unix_timestamp(), which null-parses numeric
-        // columns and would silently void the bound
-        val stale = col("_r_ts").isNull ||
-          (col(tsCol).cast("double") - col("_r_ts").cast("double")) > t
+        // columns and would silently void the bound. A STRING ts would
+        // cast to null and void the bound the same silent way, so the
+        // dtype is gated loudly up front AND the predicate fails CLOSED:
+        // a null staleness computation (null ts value in a row) drops the
+        // carried value rather than keeping a possibly-stale one.
+        val tsType = left.schema(tsCol).dataType
+        require(tsType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+            || tsType == org.apache.spark.sql.types.TimestampType
+            || tsType == org.apache.spark.sql.types.DateType,
+          s"asof tolerance needs a numeric/timestamp/date '$tsCol' column " +
+            s"(got $tsType): a string ts casts to null and would silently " +
+            "void the staleness bound")
+        val stale = coalesce(
+          col("_r_ts").isNull ||
+            (col(tsCol).cast("double") - col("_r_ts").cast("double")) > t,
+          lit(true))
         rightCols.foldLeft(carried) { (df, c) =>
           df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
         }

@@ -330,11 +330,13 @@ object Curation {
   // Dedup's funnel cache: at most [[dsirCacheMax]] corpora stay resident
   // (oldest released first, a dead/evicted entry rebuilds), so repeated
   // calls over different corpora cannot accumulate pinned storage for the
-  // session's lifetime. The key pins a SNAPSHOT of the source as of first
-  // call — invalidate after mutating a re-read path.
+  // session's lifetime. The key folds in a fingerprint of the plan's
+  // backing files ([[Dedup.planKey]]), so a corpus path REWRITTEN between
+  // calls re-keys and rebuilds instead of serving the pre-rewrite
+  // snapshot; invalidateDsirCache() remains the explicit escape hatch.
   private val dsirCacheMax = 4
   private val dsirCache =
-    scala.collection.mutable.LinkedHashMap.empty[(Int, Int, String), DataFrame]
+    scala.collection.mutable.LinkedHashMap.empty[((Int, Int), Int, String), DataFrame]
 
   def invalidateDsirCache(): Unit = synchronized {
     dsirCache.valuesIterator.foreach(_.unpersist(blocking = false))
@@ -343,7 +345,7 @@ object Curation {
 
   private def dsirFeats(docs: DataFrame, buckets: Int,
       textCol: String): DataFrame = synchronized {
-    val key = (docs.queryExecution.analyzed.semanticHash(), buckets, textCol)
+    val key = (Dedup.planKey(docs), buckets, textCol)
     dsirCache.get(key) match {
       case Some(df) if (df.sparkSession eq docs.sparkSession) &&
           df.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
@@ -365,6 +367,11 @@ object Curation {
     })
   }
 
+  /** DSIR importance weights (hashed-bigram n-gram features; Xie et al.).
+    * Snapshot contract: the hashed-feature pass is memoized per (plan,
+    * backing-files) key ([[Dedup.planKey]]) — repeated calls over an
+    * unchanged corpus reuse the pinned features, a rewritten corpus path
+    * re-keys automatically, [[invalidateDsirCache]] force-drops. */
   def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 256,
       textCol: String = "text", idCol: String = "doc_id",
       roundDecimals: Int = 6): DataFrame = {

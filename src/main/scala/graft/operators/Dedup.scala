@@ -58,7 +58,13 @@ object Dedup {
   /** MinHash-LSH candidate pairs with verified Jaccard: signatures are
     * banded (numHashes = bands * rowsPerBand); docs sharing any band bucket
     * become candidates; candidates are verified on true shingle-set Jaccard.
-    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold. */
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    *
+    * Snapshot contract: intermediate signature tables are memoized per
+    * (plan, backing-files) key — see [[planKey]] — so repeated calls over
+    * an unchanged corpus reuse the pinned signatures, a REWRITTEN corpus
+    * path re-keys automatically, and [[invalidateFunnelCache]] force-drops
+    * every pinned snapshot. */
   def minhashLshPairs(docs: DataFrame, shingleN: Int, bands: Int, rowsPerBand: Int,
       threshold: Double, textCol: String = "text", idCol: String = "doc_id",
       maxBucket: Int = 0): DataFrame =
@@ -241,6 +247,7 @@ object Dedup {
     }
     edges.unpersist()
     fwd.unpersist()
+    lastPropagationRounds = it
     // partial labels are silently WRONG labels: a doc whose comp still
     // points at a removed non-root breaks the one-kept-representative
     // guarantee the callers advertise. A chain deeper than maxIter must
@@ -250,6 +257,12 @@ object Dedup {
         "the dup graph has a chain deeper than maxIter; raise it")
     labels
   }
+
+  /** Rounds the most recent [[duplicateClusters]] call took to converge
+    * (including the final no-change confirmation round) — measurement
+    * surface for the scaling harness: the scale claim is rounds ~
+    * O(cluster diameter), flat in corpus size. */
+  @volatile var lastPropagationRounds: Int = 0
 
   /** Transitive near-dup removal: one canonical survivor (the minimum id)
     * per connected duplicate CLUSTER. Where [[dropNearDuplicates]] can
@@ -445,7 +458,7 @@ object Dedup {
     * evicted stays correct — it just recomputes. */
   private val flaggedCacheMax = 4
   private val flaggedCache =
-    scala.collection.mutable.LinkedHashMap.empty[(Int, Int, String, String), DataFrame]
+    scala.collection.mutable.LinkedHashMap.empty[((Int, Int), Int, String, String), DataFrame]
 
   /** Drop every pinned funnel snapshot. The cache keys on the (semantic
     * plan, params), which pins a SNAPSHOT of the source as of the first
@@ -468,10 +481,27 @@ object Dedup {
   // resident, oldest first; a dead or externally-evicted entry rebuilds.
   private val bandedCacheMax = 4
   private val bandedCache =
-    scala.collection.mutable.LinkedHashMap.empty[Int, DataFrame]
+    scala.collection.mutable.LinkedHashMap.empty[(Int, Int), DataFrame]
+
+  /** Cache key for the pinned-snapshot memos here and in
+    * [[Curation.dsirWeights]]: the SEMANTIC plan hash (same query shape ⇒
+    * same key) combined with a fingerprint of the plan's backing FILES.
+    * Parquet rewrites generate fresh part-file names, so a corpus path
+    * REWRITTEN between calls changes the file listing and thus the key —
+    * the memo then rebuilds instead of silently serving the pre-rewrite
+    * snapshot (the semanticHash alone cannot see a data change under an
+    * unchanged path). The listing comes from the plan's FileIndex (driver
+    * metadata already materialized at analysis; no Spark job). Appends to
+    * a directory a plan ALREADY scanned are still invisible to that
+    * existing DataFrame by Spark's own snapshot semantics — the key
+    * guards re-READS of a changed path, which is the mutation class a
+    * session actually performs. */
+  private[operators] def planKey(df: DataFrame): (Int, Int) =
+    (df.queryExecution.analyzed.semanticHash(),
+      java.util.Arrays.hashCode(df.inputFiles.sorted.asInstanceOf[Array[AnyRef]]))
 
   private def pinnedBanded(hashedIn: DataFrame): DataFrame = synchronized {
-    val key = hashedIn.queryExecution.analyzed.semanticHash()
+    val key = planKey(hashedIn)
     bandedCache.get(key) match {
       case Some(df) if (df.sparkSession eq hashedIn.sparkSession) &&
           df.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
@@ -493,7 +523,7 @@ object Dedup {
 
   private def flaggedCorpus(docs: DataFrame, shingleN: Int,
       textCol: String, idCol: String): DataFrame = synchronized {
-    val key = (docs.queryExecution.analyzed.semanticHash(), shingleN, textCol, idCol)
+    val key = (planKey(docs), shingleN, textCol, idCol)
     // a hit must still be LIVE: same session (a stopped session's frame is
     // unusable) and still pinned (an external clearCache() silently strips
     // the persist the funnel counts on — rebuild and re-pin instead of
@@ -542,6 +572,11 @@ object Dedup {
     * LSH stages of [[minhashLshPairsFromHashes]] over the already-computed
     * shingle hashes (signature/bucket shuffles on compact keys only).
     * Raw text never crosses a shuffle.
+    *
+    * Snapshot contract: the scored corpus is memoized per (plan,
+    * backing-files) key ([[planKey]]) — an unchanged corpus reuses the
+    * pinned scan across prepPipeline/prepPipelineStats, a rewritten path
+    * re-keys, [[invalidateFunnelCache]] force-drops.
     */
   def prepPipeline(docs: DataFrame, minQuality: Double, lang: String,
       shingleN: Int, bands: Int, rowsPerBand: Int, threshold: Double,

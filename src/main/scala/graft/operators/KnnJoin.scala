@@ -57,11 +57,21 @@ object KnnJoin {
     */
   def exact(vectors: DataFrame, k: Int, idCol: String = "id",
       embCol: String = "embedding", maxRows: Long = 1000000L,
-      roundDecimals: Int = 6): DataFrame = {
+      roundDecimals: Int = 6, maxBroadcastBytes: Long = 512L << 20): DataFrame = {
     val n = vectors.count()
     require(n <= maxRows,
       s"KnnJoin.exact is all-pairs (O(N^2)) and broadcasts one side: $n rows " +
         s"> maxRows=$maxRows. Use KnnJoin.blocked with an IVF cluster_id block.")
+    // the broadcast payload scales with rows x DIM, not rows alone: 1M
+    // 384-dim floats is ~1.5 GB on the broadcast path, well past what a
+    // row-count gate alone admits — size the guard on bytes, the same
+    // lesson as the streaming gate (Streaming.scala byte-sized broadcast)
+    val dim = Option(vectors.select(size(col(embCol)).as("d")).head(1))
+      .filter(_.nonEmpty).map(_.head.getInt(0)).getOrElse(0)
+    val approxBytes = n * (dim.toLong * 4L + 48L) // floats + row/id overhead
+    require(approxBytes <= maxBroadcastBytes,
+      s"KnnJoin.exact broadcasts ~$approxBytes bytes ($n rows x $dim dims) " +
+        s"> maxBroadcastBytes=$maxBroadcastBytes. Use KnnJoin.blocked.")
     // spread the streamed side: a bounded ground-truth corpus typically
     // fits ONE input split, which would put all N² pair work on one core
     // AND overflow the per-partition group budget of the object-hash

@@ -277,9 +277,9 @@ object AggQueries {
         |  FROM documents
         |) ORDER BY col_name""".stripMargin,
     "sketch_distinct" ->
-      """SELECT source,
+      s"""SELECT source,
         |  count(DISTINCT md5(array_to_string(
-        |    regexp_split_to_array(trim(lower(text)), '\s+'), ' '))) AS n_exact,
+        |    ${TextQueries.toksSqlOf("text")}, ' '))) AS n_exact,
         |  true AS approx_ok
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "age_histogram" ->

@@ -40,6 +40,53 @@ object TextQueries {
     * interpolates the same Scala constant into its SQL literal. */
   val NormPrefix = "Cafe\u0301 \u00dcn\u00efcode "
 
+  /** BPE training shape for the bpe_tokenize query/oracle pair — one value,
+    * both engines. 3 rounds x 64 merges = 192 learned tokens: each round is
+    * one pair-count shuffle (cost vs rounds measured in SCALING.md); the
+    * application chain is 192 scan-side codegen replaces. A production 50K
+    * vocab needs the same loop iterated (~200 rounds at 255/round) plus
+    * placeholder paging beyond the 6400-char PUA block — see README. */
+  val BpeMergesPerRound = 64
+  val BpeRounds = 3
+
+  /** Generated DuckDB replay of [[graft.functions.BpeTokenizer]]: for each
+    * round, re-count pairs (identical by-position extraction), re-pick the
+    * top-K by the identical (count desc, pair asc) tie-break, re-apply in
+    * rank order via a recursive CTE of left-to-right non-overlapping
+    * replaces with the identical chr(0xE000 + round*256 + rank)
+    * placeholders. Parameterized over rounds/K — the r8 hand-unrolled
+    * 2-round form is now the (2, 16) instance of this generator. */
+  private[queries] def bpeOracleSql(mergesPerRound: Int, rounds: Int): String = {
+    val sb = new StringBuilder("WITH RECURSIVE\n")
+    // MATERIALIZED is load-bearing: DuckDB INLINES non-recursive CTEs, so
+    // without it every reference to d{r} re-runs the entire upstream
+    // recursion — compounding across rounds (the unhinted 3x64 form ran
+    // >280 s at sf0.01; materialized it runs in ~0.6 s)
+    sb ++= "d0 AS MATERIALIZED (SELECT doc_id, coalesce(text, '') AS s FROM documents)"
+    for (r <- 1 to rounds) {
+      val prev = s"d${r - 1}"
+      val base = 0xE000 + (r - 1) * 256
+      sb ++= s""",
+p$r AS MATERIALIZED (SELECT pair, count(*) AS cnt FROM (
+  SELECT unnest(list_transform(range(1, length(s)),
+    i -> substr(s, i, 2))) AS pair FROM $prev) GROUP BY pair),
+m$r AS MATERIALIZED (SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS mrank
+  FROM (SELECT * FROM p$r ORDER BY cnt DESC, pair ASC LIMIT $mergesPerRound)),
+a$r AS (
+  SELECT doc_id, s, 0 AS r FROM $prev
+  UNION ALL
+  SELECT a.doc_id, replace(a.s, m.pair, chr($base + m.mrank::INT)) AS s, a.r + 1
+  FROM a$r a JOIN m$r m ON m.mrank = a.r + 1),
+d$r AS MATERIALIZED (SELECT doc_id, s FROM a$r WHERE r = (SELECT count(*) FROM m$r))"""
+    }
+    sb ++= s"""
+SELECT d$rounds.doc_id, length(d0.s)::BIGINT AS n_chars,
+  length(d$rounds.s)::BIGINT AS n_tokens
+FROM d$rounds JOIN d0 ON d$rounds.doc_id = d0.doc_id
+ORDER BY d$rounds.doc_id"""
+    sb.toString
+  }
+
   val queries: Map[String, Q] = Map(
     // token counting + quality scoring (map-only, codegen'd)
     "text_stats" -> ((s, dir) => {
@@ -405,7 +452,7 @@ object TextQueries {
           round(col("top_ngram_share"), 6).as("top_ngram_share"))
         .orderBy("doc_id")
     }),
-    // corpus-TRAINED BPE token counting (batched-merge BPE, 2 rounds x 16
+    // corpus-TRAINED BPE token counting (batched-merge BPE, 3 rounds x 64
     // merges learned from the corpus by DataFrame aggregation, applied
     // scan-side as codegen replaces): per-doc char + token counts. The
     // oracle re-trains AND re-applies the same merges in DuckDB — the
@@ -418,7 +465,7 @@ object TextQueries {
       // three re-trainings — cold runs still pay training once
       val merges = bpeMemo.getOrElseUpdate(dir,
         graft.functions.BpeTokenizer.train(docs,
-          mergesPerRound = 16, rounds = 2))
+          mergesPerRound = BpeMergesPerRound, rounds = BpeRounds))
       docs.select(col("doc_id"),
           length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
           graft.functions.BpeTokenizer.tokenCount(col("text"), merges)
@@ -452,40 +499,10 @@ object TextQueries {
        |  FROM posts JOIN dfs USING (term), st GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    // full replay of the trained tokenizer: DuckDB re-trains the same 2x16
-    // batched merges (identical by-position pair extraction, identical
-    // (count desc, pair asc) tie-break) and re-applies them in rank order
-    // via the same left-to-right non-overlapping replace; placeholder
-    // chars are chr(0xE000 + round*256 + rank) on both engines
-    "bpe_tokenize" ->
-      """WITH RECURSIVE
-        |d0 AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
-        |p1 AS (SELECT pair, count(*) AS cnt FROM (
-        |  SELECT unnest(list_transform(range(1, length(s)),
-        |    i -> substr(s, i, 2))) AS pair FROM d0) GROUP BY pair),
-        |m1 AS (SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS mrank
-        |  FROM (SELECT * FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 16)),
-        |a1 AS (
-        |  SELECT doc_id, s, 0 AS r FROM d0
-        |  UNION ALL
-        |  SELECT a.doc_id, replace(a.s, m.pair, chr(57344 + m.mrank::INT)) AS s, a.r + 1
-        |  FROM a1 a JOIN m1 m ON m.mrank = a.r + 1),
-        |d1 AS (SELECT doc_id, s FROM a1 WHERE r = (SELECT count(*) FROM m1)),
-        |p2 AS (SELECT pair, count(*) AS cnt FROM (
-        |  SELECT unnest(list_transform(range(1, length(s)),
-        |    i -> substr(s, i, 2))) AS pair FROM d1) GROUP BY pair),
-        |m2 AS (SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS mrank
-        |  FROM (SELECT * FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 16)),
-        |a2 AS (
-        |  SELECT doc_id, s, 0 AS r FROM d1
-        |  UNION ALL
-        |  SELECT a.doc_id, replace(a.s, m.pair, chr(57600 + m.mrank::INT)) AS s, a.r + 1
-        |  FROM a2 a JOIN m2 m ON m.mrank = a.r + 1)
-        |SELECT a2.doc_id, length(d0.s)::BIGINT AS n_chars,
-        |  length(a2.s)::BIGINT AS n_tokens
-        |FROM a2 JOIN d0 ON a2.doc_id = d0.doc_id
-        |WHERE a2.r = (SELECT count(*) FROM m2)
-        |ORDER BY a2.doc_id""".stripMargin,
+    // full replay of the trained tokenizer: DuckDB re-trains the same
+    // batched merges and re-applies them — generated for the SAME
+    // (rounds, merges/round) the Spark query trains with
+    "bpe_tokenize" -> bpeOracleSql(BpeMergesPerRound, BpeRounds),
     "bm25_search" ->
       s"""WITH $bm25Sql
          |SELECT doc_id, round(score, 6) AS score FROM kws
@@ -545,7 +562,7 @@ object TextQueries {
          |  || (CASE WHEN doc_id % 7 = 0 THEN ' ### ... #' ELSE '' END) AS t2
          |  FROM documents),
          |tok AS (SELECT doc_id, t2,
-         |  regexp_split_to_array(trim(lower(t2)), '\\s+') AS toks,
+         |  ${toksSqlOf("t2")} AS toks,
          |  string_split(t2, chr(10)) AS ls FROM t),
          |f AS (SELECT doc_id, len(toks) AS n,
          |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
@@ -652,7 +669,7 @@ object TextQueries {
          |       WHEN doc_id % 4 = 2 THEN ' le les des une est dans pour sur le les des une'
          |       WHEN doc_id % 4 = 3 THEN ' der die das und ist nicht ein mit der die das und'
          |       ELSE '' END AS t2 FROM documents),
-         |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(t2)), '\\s+') AS toks FROM t),
+         |tok AS (SELECT doc_id, ${toksSqlOf("t2")} AS toks FROM t),
          |r AS (SELECT doc_id,
          |  ${ratioSql(m("de"))} AS r_de, ${ratioSql(m("en"))} AS r_en,
          |  ${ratioSql(m("es"))} AS r_es, ${ratioSql(m("fr"))} AS r_fr

@@ -137,6 +137,10 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
   // it processes each subscribe.
   private val ssePending = new java.util.concurrent.atomic.AtomicInteger(0)
   private val wsPending = new java.util.concurrent.atomic.AtomicInteger(0)
+  // live handshake THREADS (pre-parse), bounding the per-connection thread
+  // spawn at accept time — distinct from wsPending, which counts parsed
+  // subscriptions awaiting the pusher's WsSubscribe drain
+  private val wsHandshakes = new java.util.concurrent.atomic.AtomicInteger(0)
   // guards the event ring + the append→enqueue window: the HTTP routes all
   // run on the one serial dispatcher, but the WS accept thread must
   // snapshot the ring too, and its snapshot+subscribe must not interleave
@@ -379,13 +383,23 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         // accept loop for its whole 10 s read timeout, serializing every
         // other subscription behind it (slow-loris). Each handshake thread
         // lives <= the SoTimeout and then either becomes the client's read
-        // loop or dies with the socket.
-        val t = new Thread(() => {
-          try wsHandshake(sock)
-          catch { case NonFatal(_) => try sock.close() catch { case NonFatal(_) => } }
-        }, "graft-ws-handshake")
-        t.setDaemon(true)
-        t.start()
+        // loop or dies with the socket. The thread count is BOUNDED before
+        // spawning: a connect flood of silent clients would otherwise hold
+        // one unbounded thread each for the full SoTimeout — pending
+        // handshakes count against the same client cap, and a saturated
+        // server sheds the connection at accept instead of queueing it.
+        if (wsHandshakes.incrementAndGet() > maxSseClients) {
+          wsHandshakes.decrementAndGet()
+          try sock.close() catch { case NonFatal(_) => }
+        } else {
+          val t = new Thread(() => {
+            try wsHandshake(sock)
+            catch { case NonFatal(_) => try sock.close() catch { case NonFatal(_) => } }
+            finally wsHandshakes.decrementAndGet()
+          }, "graft-ws-handshake")
+          t.setDaemon(true)
+          t.start()
+        }
       } catch {
         case NonFatal(_) =>
           // transient accept error (or close racing the isClosed check):

@@ -786,29 +786,57 @@ class VectorStore(val spark: SparkSession, val path: String,
     VacuumResult(recRemoved, histRemoved)
   }
 
+  private def swapMarker(name: String) = new Path(path, s"${name}_swap.inprogress")
+
+  /** Tier rewrite commit: `_tmp` (already fully written) replaces the live
+    * dir. The delete→rename window is bracketed by an IN-PROGRESS MARKER so
+    * a crash anywhere inside is recoverable at the next open
+    * ([[recoverSwaps]]) — the marker is the durable signal "this `_tmp` is
+    * COMPLETE and committed to replacing the live dir".
+    *
+    * Concurrency contract: the store assumes a SINGLE WRITER per store
+    * path (mutations from one process; any number of readers). The marker
+    * makes recovery safe against crashed writers, not against two live
+    * writers racing the same tier — the re-check below only narrows that
+    * window (a concurrent open's recovery may have finished this swap
+    * already), it does not close it. */
   private def swap(name: String): Unit = {
     val cur = new Path(dir(name))
     val tmp = new Path(dir(name) + "_tmp")
-    fs.delete(cur, true)
-    fs.rename(tmp, cur)
+    writeText(swapMarker(name), s"""{"swap": "$name"}""")
+    if (fs.exists(tmp)) { // a concurrent open's recoverSwaps may have finished it
+      fs.delete(cur, true)
+      fs.rename(tmp, cur)
+    }
+    fs.delete(swapMarker(name), false)
   }
 
-  /** Crash recovery for [[swap]]'s delete→rename window: a process killed
-    * between the two calls leaves the live dir ABSENT and the complete new
-    * tier stranded in `_tmp` — which readOr would silently treat as an
-    * EMPTY table, and the next insert would recreate the live dir, making
-    * the `_tmp` data unrecoverable by a later swap. Run at open: finish
-    * the interrupted swap when the live dir is missing; when both exist
-    * (crash BEFORE the delete — the swap never started destroying state)
-    * the live dir is intact and the leftover `_tmp` is dropped. */
+  /** Crash recovery for [[swap]], run at every open.
+    *
+    * MARKER PRESENT next to a `_tmp`: the writer committed — the `_tmp` is
+    * complete (swap is only entered after the rewrite finished), so finish
+    * the swap regardless of whether the crash hit before or after the
+    * delete. NO MARKER, live dir MISSING: a pre-marker-era crash between
+    * delete and rename — rename (the data is recoverable, and no live
+    * writer can be mid-swap here, because a live swap always holds its
+    * marker until after the rename). NO MARKER, live dir INTACT: either a
+    * crashed rewrite that never reached swap (incomplete `_tmp`) or a
+    * CONCURRENT writer mid-rewrite — deleting would destroy the in-flight
+    * work of the latter, so the `_tmp` is LEFT IN PLACE: the live dir stays
+    * the truth, readers never look at `_tmp`, and the next rewrite
+    * clobbers it (all tier rewrites write `_tmp` with SaveMode.Overwrite). */
   private def recoverSwaps(): Unit =
     Seq("recent", "historical", "tombstones", "meta_updates").foreach { name =>
       val tmp = new Path(dir(name) + "_tmp")
+      val marker = swapMarker(name)
       if (fs.exists(tmp)) {
         val cur = new Path(dir(name))
-        if (!fs.exists(cur)) fs.rename(tmp, cur)
-        else fs.delete(tmp, true)
-      }
+        if (fs.exists(marker)) {
+          fs.delete(cur, true)
+          fs.rename(tmp, cur)
+          fs.delete(marker, false)
+        } else if (!fs.exists(cur)) fs.rename(tmp, cur)
+      } else if (fs.exists(marker)) fs.delete(marker, false) // swap finished, marker orphaned
     }
 
   // ---- A6/C7 stats ----

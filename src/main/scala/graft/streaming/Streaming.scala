@@ -111,6 +111,13 @@ object Streaming {
     * collisions, never |corpus|; per batch the state I/O is ONE append and
     * one pruned read (folding the former separate buckets/ table halved
     * the fixed floor's write count, the dominant term — see SCALING.md).
+    *
+    * Append-per-batch grows the state's FILE count without bound over a
+    * long-lived stream, so every `compactEveryBatches` micro-batches the
+    * state is folded back to a bounded file set when it holds more than
+    * `compactMinFiles` parts (tmp+swap with a crash-recovery marker — the
+    * same contract as the store's tier rewrites; 0 disables). The current
+    * file count is observable via [[acceptedStateFileCount]].
     */
   def dedupIngest(spark: org.apache.spark.sql.SparkSession, sourceDir: String,
       acceptedDir: String, checkpointDir: String, shingleN: Int = 2,
@@ -120,7 +127,9 @@ object Streaming {
       maxFilesPerTrigger: Int = 0,
       broadcastDocLimit: Long = 100000L,
       broadcastByteLimit: Long = 64L << 20,
-      maxBucket: Int = 0): StreamingQuery = {
+      maxBucket: Int = 0,
+      compactEveryBatches: Int = 16,
+      compactMinFiles: Int = 64): StreamingQuery = {
     import graft.functions.TextFunctions._
     val docsPath = s"$acceptedDir/docs"
     val srcSchema = new StructType()
@@ -140,7 +149,11 @@ object Streaming {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batchRaw: DataFrame, _: Long) =>
+      .foreachBatch { (batchRaw: DataFrame, batchId: Long) =>
+        // finish any state compaction a previous process died inside (the
+        // same tmp+swap+marker recovery contract as the store's tier
+        // rewrites — see VectorStore.recoverSwaps)
+        recoverStateSwap(spark, docsPath)
         // an arrival batch is often ONE file = ONE partition (a producer
         // wrote it in one commit), which would run the md5-heavy shingle
         // hashing below on a single core — spread it first (measured 2x+
@@ -248,9 +261,78 @@ object Streaming {
         // restart loop must not strand a persisted copy of every failed
         // batch in executor storage
         } finally hashed.unpersist()
+        // the append-per-batch state grows its FILE count without bound
+        // over a long-lived stream (reads are column-pruned but every
+        // lookup still opens every footer) — periodically fold it back to
+        // a bounded file set, tmp+swap so a crash mid-compaction can never
+        // lose accepted docs
+        if (compactEveryBatches > 0 && batchId > 0 &&
+            batchId % compactEveryBatches == 0)
+          compactAcceptedState(spark, docsPath, compactMinFiles)
         ()
       }
       .start()
+  }
+
+  /** Non-empty parquet part files under the accepted-state table — the
+    * bounded-growth signal [[dedupIngest]]'s compaction maintains; exposed
+    * so operators (and the spec) can watch it next to the doc count. */
+  def acceptedStateFileCount(spark: org.apache.spark.sql.SparkSession,
+      acceptedDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$acceptedDir/docs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(st =>
+      st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+  }
+
+  private def swapMarker(docsPath: String) =
+    new org.apache.hadoop.fs.Path(docsPath + "_swap.inprogress")
+
+  /** Crash recovery for [[compactAcceptedState]]'s delete→rename window —
+    * the same marker contract as VectorStore.recoverSwaps: marker present
+    * means the `_tmp` is COMPLETE and committed (finish the swap); no
+    * marker with the live dir missing is a legacy interrupted swap
+    * (rename); no marker next to an intact live dir is left alone. */
+  private def recoverStateSwap(spark: org.apache.spark.sql.SparkSession,
+      docsPath: String): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(docsPath)
+    val tmp = new org.apache.hadoop.fs.Path(docsPath + "_tmp")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = swapMarker(docsPath)
+    if (fs.exists(tmp)) {
+      if (fs.exists(marker)) {
+        fs.delete(cur, true)
+        fs.rename(tmp, cur)
+        fs.delete(marker, false)
+      } else if (!fs.exists(cur)) fs.rename(tmp, cur)
+    } else if (fs.exists(marker)) fs.delete(marker, false)
+  }
+
+  /** Rewrite the accepted-state table down to a bounded file count when it
+    * has accreted more than `minFiles` parts. One full read + write of the
+    * state — amortized over `compactEveryBatches` micro-batches, the same
+    * trade as the store's HNSW blob compaction. The swap is bracketed by
+    * an in-progress marker so the state survives a crash at any point. */
+  private def compactAcceptedState(spark: org.apache.spark.sql.SparkSession,
+      docsPath: String, minFiles: Int): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(docsPath)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(cur, "_SUCCESS"))) return
+    val nParts = fs.listStatus(cur).count(st =>
+      st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+    if (nParts <= minFiles) return
+    val target = math.max(2, spark.sparkContext.defaultParallelism / 8)
+    spark.read.parquet(docsPath)
+      .coalesce(target)
+      .write.mode(SaveMode.Overwrite).parquet(docsPath + "_tmp")
+    val marker = swapMarker(docsPath)
+    val out = fs.create(marker, true)
+    try out.write("{}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(cur, true)
+    fs.rename(new org.apache.hadoop.fs.Path(docsPath + "_tmp"), cur)
+    fs.delete(marker, false)
   }
 
   /** Event-time windowed aggregation over an event stream: tumbling window

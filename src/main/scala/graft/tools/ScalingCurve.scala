@@ -188,7 +188,10 @@ object ScalingCurve {
     val bandings = sys.env.getOrElse("SPARK_GRAFT_SCALING_BANDS", "4x2")
       .split(",").map { s =>
         val Array(b, r) = s.trim.split("x"); (b.toInt, r.toInt) }
-    for (reps <- Seq(1, 10, 100) if enabled("lsh")) {
+    val docFamilies = Seq("lsh", "clusters", "bpe")
+    for (reps <- Seq(1, 10, 100)
+         if docFamilies.exists(enabled) &&
+           (reps < 100 || enabled("lsh"))) { // 100x staged only for lsh
       val nDocs = docs.count() * reps
       println(s"[scaling] === documents ${nDocs / 1000}K (reps=$reps) ===")
       val path = s"/tmp/graft_scaling/docs_r$reps"
@@ -208,11 +211,53 @@ object ScalingCurve {
           .write.mode("overwrite").parquet(path)
       }
       val corpus = spark.read.parquet(path)
+      if (enabled("lsh"))
       for ((bands, rpb) <- bandings)
         results += ((s"lsh_${bands}x$rpb", reps, nDocs,
           best(s"minhash lsh pairs ${bands}x$rpb")(
             Dedup.minhashLshPairs(corpus, shingleN = 2, bands = bands,
               rowsPerBand = rpb, threshold = 0.5).count())))
+
+      // label-propagation family over the SAME corpus: the scale claim is
+      // rounds ~ O(cluster diameter) — FLAT in corpus size (the replica
+      // corpus repeats the base graph's structure, so diameter is
+      // unchanged) — with per-round cost ∝ pairs. The pair list is
+      // materialized first so the propagation number times the loop, not
+      // a re-run of the LSH pipeline per round.
+      if (enabled("clusters")) {
+        val pairsPath = s"/tmp/graft_scaling/pairs_r$reps"
+        val pDone = new org.apache.hadoop.fs.Path(pairsPath, "_SUCCESS")
+        if (!fs2.exists(pDone))
+          Dedup.minhashLshPairs(corpus, shingleN = 2, bands = 4,
+            rowsPerBand = 2, threshold = 0.5)
+            .write.mode("overwrite").parquet(pairsPath)
+        val pairs = spark.read.parquet(pairsPath)
+        val nPairs = pairs.count()
+        results += ((s"dup_clusters", reps, nPairs,
+          best(s"duplicateClusters ($nPairs pairs)")(
+            Dedup.duplicateClusters(pairs).count())))
+        println(s"[scaling] propagation rounds: ${Dedup.lastPropagationRounds}")
+        // keep-best adds one struct-min aggregate on top of the labels —
+        // its delta over dup_clusters is the cost of that single exchange
+        results += ((s"dup_keep_best", reps, nPairs,
+          best(s"clusterRepresentatives")(
+            Dedup.clusterRepresentatives(pairs,
+              corpus.select(col("doc_id"),
+                graft.functions.TextFunctions.qualityScore(col("text")).as("q")),
+              qualityCol = "q").count())))
+      }
+
+      // BPE training cost vs rounds: each round is ONE pair-count shuffle
+      // over the so-far-rewritten corpus plus a bounded top-K collect, so
+      // wall time should grow ~linearly in rounds (the round-r scan
+      // carries r*K chained replaces, a slowly growing scan-side term).
+      if (enabled("bpe") && reps <= 10)
+        for (rounds <- 1 to 3)
+          results += ((s"bpe_train_r$rounds", reps, nDocs,
+            best(s"bpe train rounds=$rounds (${nDocs / 1000}K docs)", iters = 2)({
+              graft.functions.BpeTokenizer.train(corpus,
+                mergesPerRound = 64, rounds = rounds).size.toLong
+            })))
     }
 
     println("[scaling] shape | corpus | best-of-3 sec | sec per 100K rows")

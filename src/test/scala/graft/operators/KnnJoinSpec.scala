@@ -105,4 +105,18 @@ class KnnJoinSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("blocked"))
   }
+
+  test("exact's broadcast guard is byte-aware: few rows x high dim trips it") {
+    // 4 rows passes any sane row gate, but at dim=4096 the payload is
+    // rows x dim x 4 bytes — a tight byte budget must refuse it while the
+    // same corpus under a generous budget runs fine
+    val wide = (0 until 4).map(i =>
+      (s"w$i", Array.tabulate(4096)(j => (i + j % 7).toFloat)))
+      .toDF("id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      KnnJoin.exact(wide, k = 1, maxBroadcastBytes = 16L << 10)
+    }
+    assert(e.getMessage.contains("maxBroadcastBytes"))
+    assert(KnnJoin.exact(wide, k = 1).count() == 4)
+  }
 }

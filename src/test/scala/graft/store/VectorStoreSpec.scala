@@ -221,14 +221,24 @@ class VectorStoreSpec extends SparkSpec {
     // a fresh open must finish the interrupted swap, not read an empty tier
     val reopened = new VectorStore(spark, path)
     assert(reopened.vectors.count() == 5)
-    // and a leftover _tmp NEXT TO an intact live dir is dropped, not
-    // swapped (crash BEFORE the delete: the live tier is still the truth)
+    // a leftover _tmp NEXT TO an intact live dir WITHOUT a swap marker is
+    // left untouched (it may be a CONCURRENT writer's in-flight rewrite —
+    // deleting it would destroy that work); the live tier stays the truth
     reopened.recent.limit(1).write.mode("overwrite").parquet(s"$path/recent_tmp")
     val again = new VectorStore(spark, path)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/recent_tmp")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/recent_tmp")))
     assert(again.vectors.count() == 5)
+    // ... but WITH the marker the writer had committed (its _tmp was
+    // complete), so open finishes the swap: _tmp replaces live
+    again.recent.write.mode("overwrite").parquet(s"$path/recent_tmp")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "recent_swap.inprogress"), """{"swap": "recent"}""")
+    val third = new VectorStore(spark, path)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/recent_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/recent_swap.inprogress")))
+    assert(third.vectors.count() == 5)
     val e = intercept[IllegalArgumentException] {
-      again.insert(Seq(VectorStore.VectorRecord("bad", null)))
+      third.insert(Seq(VectorStore.VectorRecord("bad", null)))
     }
     assert(e.getMessage.contains("id=bad") && e.getMessage.contains("null embedding"))
   }

@@ -352,6 +352,33 @@ class StreamingSpec extends SparkSpec {
     assert(accepted == Set(1L), s"got $accepted")
   }
 
+  test("accepted-state compaction bounds the file count over many batches") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_cmp_src_").toString
+    val ckpt = Files.createTempDirectory("graft_cmp_ckpt_").toString
+    val acc = Files.createTempDirectory("graft_cmp_acc_").toString + "/state"
+    // 12 one-file arrivals, each a distinct doc -> 12 micro-batches at
+    // maxFilesPerTrigger=1, each appending its own coalesced part set
+    (0 until 12).foreach { i =>
+      Seq((i.toLong, s"unique document number $i about topic ${"abcdefghijkl"(i)} " +
+        s"with enough distinct words ${i * 17} ${i * 31} to avoid collisions"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    }
+    val q = Streaming.dedupIngest(spark, src, acc, ckpt, threshold = 0.5,
+      maxFilesPerTrigger = 1, compactEveryBatches = 4, compactMinFiles = 4)
+    q.processAllAvailable(); q.stop()
+    // all 12 docs accepted (no near-dups), and the periodic compaction
+    // kept the state's file count bounded: without it, 12 batches x
+    // >=2 coalesced files per append accrete >=24 parts
+    val docs = spark.read.parquet(s"$acc/docs")
+    assert(docs.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (0L until 12L).toSet)
+    val nFiles = Streaming.acceptedStateFileCount(spark, acc)
+    assert(nFiles > 0 && nFiles <= 16, s"state accreted $nFiles part files")
+    // the band keys survive compaction (the lookup index IS the state row)
+    assert(docs.select("bks").head().getSeq[Long](0).length == 4)
+  }
+
   test("windowed event-time aggregation with watermark over events stream") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
