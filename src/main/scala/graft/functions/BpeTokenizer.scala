@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Corpus-TRAINED byte-pair-encoding token counting — the canonical
   * "tokens per document" a training-data pipeline reports, upgraded from
@@ -37,6 +42,53 @@ object BpeTokenizer {
     * `repl` (1 private-use char). Rank is global application order. */
   case class Merge(pair: String, repl: String, rank: Int)
 
+  /** Sequential merge application as ONE codegen expression looping over a
+    * runtime merge table — not a fold of per-merge `replace` Columns. The
+    * fold builds an expression tree as deep as the vocabulary, which
+    * overflows the driver stack during Column->Expression conversion at
+    * ~700 merges (measured: StackOverflowError at 765) and bloats
+    * generated code linearly in vocab; the loop form is depth-1 at any
+    * vocabulary size, keeps generated code constant-size (the merge table
+    * rides as a reference object), and is the shape a production 50K-merge
+    * tokenizer needs. Semantics are identical to the fold: each step is
+    * UTF8String.replace — left-to-right, non-overlapping, all occurrences
+    * — applied in rank order, the exact contract the DuckDB oracle
+    * replays step by step. */
+  case class BpeApply(child: Expression, pairs: Array[UTF8String],
+      repls: Array[UTF8String]) extends UnaryExpression with ExpectsInputTypes {
+    require(pairs.length == repls.length, "pairs/repls length mismatch")
+    override def prettyName: String = "bpe_apply"
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = StringType
+
+    override def nullSafeEval(v: Any): Any = {
+      var s = v.asInstanceOf[UTF8String]
+      var i = 0
+      while (i < pairs.length) { s = s.replace(pairs(i), repls(i)); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val ps = ctx.addReferenceObj("bpePairs", pairs,
+          "org.apache.spark.unsafe.types.UTF8String[]")
+        val rs = ctx.addReferenceObj("bpeRepls", repls,
+          "org.apache.spark.unsafe.types.UTF8String[]")
+        val i = ctx.freshName("i")
+        val cur = ctx.freshName("cur")
+        s"""
+           |org.apache.spark.unsafe.types.UTF8String $cur = $s;
+           |for (int $i = 0; $i < ${pairs.length}; $i++) {
+           |  $cur = $cur.replace($ps[$i], $rs[$i]);
+           |}
+           |${ev.value} = $cur;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): BpeApply =
+      copy(child = newChild)
+  }
+
   /** Adjacent symbol pairs of `c` by position: ["ab","bc",...] for "abc";
     * empty below 2 chars (guarded: Spark's sequence(1, 0) would DESCEND). */
   private def charPairs(c: Column): Column =
@@ -44,11 +96,16 @@ object BpeTokenizer {
       transform(sequence(lit(1), length(c) - 1), i => substr(c, i, lit(2))))
       .otherwise(array().cast("array<string>"))
 
-  /** Apply merges scan-side in rank order — a chain of codegen
-    * non-overlapping left-to-right literal replaces. */
+  /** Apply merges scan-side in rank order — one codegen [[BpeApply]] loop
+    * over the merge table (see its scaladoc for why not a replace fold). */
   def applyMerges(c: Column, merges: Seq[Merge]): Column =
-    merges.sortBy(_.rank).foldLeft(c)((acc, m) =>
-      replace(acc, lit(m.pair), lit(m.repl)))
+    if (merges.isEmpty) c
+    else {
+      val sorted = merges.sortBy(_.rank)
+      ColumnBridge.column(BpeApply(ColumnBridge.expression(c),
+        sorted.map(m => UTF8String.fromString(m.pair)).toArray,
+        sorted.map(m => UTF8String.fromString(m.repl)).toArray))
+    }
 
   /** Train `rounds` rounds of `mergesPerRound` batched merges from the
     * corpus. Each round: one pair-count aggregation over the

@@ -40,6 +40,19 @@ object MultimodalQueries {
           col("sample_rate"), col("n_samples"), col("sum_ch0"),
           col("sum_ch1"), col("sum_abs"))
         .orderBy("media_id")
+    }),
+    // real uncompressed-AVI encode -> real RIFF+DIB frame decode -> exact
+    // per-video sums; 18 videos cover every (w, h, n_frames) combination
+    // (3x of each), two of the three widths exercise row padding, and
+    // sum_luma_row0 pins the bottom-up row convention
+    "video_decode" -> ((s, _) => {
+      Multimodal.decodeVideoFrameStats(
+          Multimodal.syntheticAviMedia(s, 18).toDF())
+        .toDF()
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("n_frames"), col("duration_ms"), col("sum_r"), col("sum_g"),
+          col("sum_b"), col("sum_luma_row0"))
+        .orderBy("media_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -75,5 +88,27 @@ object MultimodalQueries {
         |  sum(CASE WHEN c = 0 THEN v ELSE 0 END)::BIGINT AS sum_ch0,
         |  sum(CASE WHEN c = 1 THEN v ELSE 0 END)::BIGINT AS sum_ch1,
         |  sum(abs(v))::BIGINT AS sum_abs
-        |FROM sm GROUP BY media_id, ns, ch ORDER BY media_id""".stripMargin)
+        |FROM sm GROUP BY media_id, ns, ch ORDER BY media_id""".stripMargin,
+    // the generator formula, replayed: pixel (x, y) of frame f in video i
+    // has r = (7i+3x+5y+f) % 256, g = (11i+x+2y+3f) % 256,
+    // b = (13i+3x+y+7f) % 256 over w = 6+(i%3)*5, h = 4+(i%2)*4,
+    // nf = 2+(i%3) frames at 25 fps; integer luma matches the decoder's
+    // (r*299+g*587+b*114)/1000 on image row y=0 only
+    "video_decode" ->
+      """WITH m AS (SELECT i AS media_id, (6 + (i % 3) * 5) AS w,
+        |    (4 + (i % 2) * 4) AS h, (2 + (i % 3)) AS nf FROM range(0, 18) t(i)),
+        |px AS (SELECT media_id, w, h, nf, y,
+        |    (media_id * 7 + x * 3 + y * 5 + f) % 256 AS r,
+        |    (media_id * 11 + x + y * 2 + f * 3) % 256 AS g,
+        |    (media_id * 13 + x * 3 + y + f * 7) % 256 AS b
+        |  FROM m, range(0, 4) fs(f), range(0, 16) xs(x), range(0, 8) ys(y)
+        |  WHERE f < nf AND x < w AND y < h)
+        |SELECT media_id, 'avi/dib' AS format, w::INT AS width,
+        |  h::INT AS height, nf::BIGINT AS n_frames,
+        |  (nf * 40)::BIGINT AS duration_ms,
+        |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+        |  sum(b)::BIGINT AS sum_b,
+        |  sum(CASE WHEN y = 0 THEN (r * 299 + g * 587 + b * 114) // 1000
+        |      ELSE 0 END)::BIGINT AS sum_luma_row0
+        |FROM px GROUP BY media_id, w, h, nf ORDER BY media_id""".stripMargin)
 }

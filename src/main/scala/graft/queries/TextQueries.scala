@@ -41,12 +41,17 @@ object TextQueries {
   val NormPrefix = "Cafe\u0301 \u00dcn\u00efcode "
 
   /** BPE training shape for the bpe_tokenize query/oracle pair — one value,
-    * both engines. 3 rounds x 64 merges = 192 learned tokens: each round is
-    * one pair-count shuffle (cost vs rounds measured in SCALING.md); the
-    * application chain is 192 scan-side codegen replaces. A production 50K
-    * vocab needs the same loop iterated (~200 rounds at 255/round) plus
-    * placeholder paging beyond the 6400-char PUA block — see README. */
-  val BpeMergesPerRound = 64
+    * both engines: 3 rounds x 255 merges/round, the current placeholder
+    * cap (blocks 256 apart per round). Each round is one pair-count
+    * shuffle (cost vs rounds measured in SCALING.md); application is ONE
+    * codegen loop over the merge table ([[graft.functions.BpeTokenizer
+    * .BpeApply]] — depth-1 at any vocab size). A round that finds fewer
+    * than 255 distinct pairs adopts what exists (the synthetic corpus
+    * exhausts by round 3: 255+255+114 = 624 merges learned at sf0.01),
+    * which both engines replay identically. A production 50K vocab is the
+    * same loop iterated (~200 rounds) plus placeholder paging beyond the
+    * 6400-char PUA block — see README. */
+  val BpeMergesPerRound = 255
   val BpeRounds = 3
 
   /** Generated DuckDB replay of [[graft.functions.BpeTokenizer]]: for each

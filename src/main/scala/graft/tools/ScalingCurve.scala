@@ -247,16 +247,18 @@ object ScalingCurve {
               qualityCol = "q").count())))
       }
 
-      // BPE training cost vs rounds: each round is ONE pair-count shuffle
-      // over the so-far-rewritten corpus plus a bounded top-K collect, so
-      // wall time should grow ~linearly in rounds (the round-r scan
-      // carries r*K chained replaces, a slowly growing scan-side term).
+      // BPE training cost vs rounds at the production shape (255
+      // merges/round, the placeholder cap): each round is ONE pair-count
+      // shuffle over the so-far-rewritten corpus plus a bounded top-K
+      // collect, so wall time should grow ~linearly in rounds (the
+      // round-r scan carries one BpeApply loop over (r-1)*K merges, a
+      // slowly growing scan-side term).
       if (enabled("bpe") && reps <= 10)
         for (rounds <- 1 to 3)
           results += ((s"bpe_train_r$rounds", reps, nDocs,
             best(s"bpe train rounds=$rounds (${nDocs / 1000}K docs)", iters = 2)({
               graft.functions.BpeTokenizer.train(corpus,
-                mergesPerRound = 64, rounds = rounds).size.toLong
+                mergesPerRound = 255, rounds = rounds).size.toLong
             })))
     }
 

@@ -39,6 +39,40 @@ class BpeSpec extends SparkSpec {
     assert(n == 6)
   }
 
+  test("a 765-merge table applies as one loop expression (no fold-depth limit)") {
+    // the replace-FOLD form overflowed the driver stack at ~700 merges
+    // (Column->Expression conversion recurses per nesting level); the
+    // BpeApply loop must be depth-1 at any vocabulary size. Synthetic
+    // merges: aa->PUA_1, then chains of placeholder+placeholder — only
+    // the first merge ever matches this corpus, the rest must be inert.
+    val merges = (1 to 765).map { i =>
+      val repl = (0xE000 + i).toChar.toString
+      val pair = if (i == 1) "aa" else (0xE000 + i - 1).toChar.toString * 2
+      BpeTokenizer.Merge(pair, repl, i)
+    }
+    val docs = Seq((1L, "aaaa"), (2L, "b" * 10)).toDF("doc_id", "text")
+    val counts = docs.select(col("doc_id"),
+        BpeTokenizer.tokenCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // "aaaa" -> aa->α twice -> "αα" -> merge 2 (αα->β) -> "β" = 1 token
+    assert(counts == Map(1L -> 1, 2L -> 10))
+  }
+
+  test("BpeApply loop is step-equivalent to a per-merge replace fold") {
+    // the loop expression replaced the fold for depth reasons; its
+    // semantics must stay EXACTLY the fold's (left-to-right,
+    // non-overlapping, all occurrences, rank order) — compare both forms
+    // over real corpus text and real trained merges
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val merges = BpeTokenizer.train(docs, mergesPerRound = 24, rounds = 2)
+    val loop = BpeTokenizer.applyMerges(coalesce(col("text"), lit("")), merges)
+    val fold = merges.sortBy(_.rank).foldLeft(coalesce(col("text"), lit(""))) {
+      (acc, m) => org.apache.spark.sql.functions.replace(acc, lit(m.pair), lit(m.repl))
+    }
+    assert(docs.select(loop.as("a"), fold.as("b"))
+      .filter(col("a") =!= col("b")).count() == 0)
+  }
+
   test("training is deterministic and counts never exceed char length") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
     val m1 = BpeTokenizer.train(docs)

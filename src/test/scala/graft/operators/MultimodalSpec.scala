@@ -347,6 +347,74 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).format == "unknown" && out(1L).n_samples == 0L)
   }
 
+  test("real AVI decode: hand-checked frame sums, bottom-up rows, junk survives") {
+    import spark.implicits._
+    // video 0 from the generator: w=6, h=4, nf=2, stride 20 (2 pad bytes/row)
+    val media = Multimodal.syntheticAviMedia(spark, 3).toDF()
+    val out = Multimodal.decodeVideoFrameStats(media).collect()
+      .map(s => s.media_id -> s).toMap
+    val v0 = out(0L)
+    assert(v0.format == "avi/dib" && v0.width == 6 && v0.height == 4)
+    assert(v0.n_frames == 2 && v0.duration_ms == 80)
+    // replay the generator formula in the test (independent of the oracle)
+    var er = 0L; var eg = 0L; var eb = 0L; var el0 = 0L
+    for (f <- 0 until 2; y <- 0 until 4; x <- 0 until 6) {
+      val r = (x * 3 + y * 5 + f) % 256
+      val g = (x + y * 2 + f * 3) % 256
+      val b = (x * 3 + y + f * 7) % 256
+      er += r; eg += g; eb += b
+      if (y == 0) el0 += (r * 299 + g * 587 + b * 114) / 1000
+    }
+    assert(v0.sum_r == er && v0.sum_g == eg && v0.sum_b == eb)
+    // the row-order trap is armed: image row 0 is stored LAST bottom-up,
+    // so a top-down decoder would have summed storage row 0 = image row 3
+    var elTop = 0L
+    for (f <- 0 until 2; x <- 0 until 6) {
+      val y = 3
+      val r = (x * 3 + y * 5 + f) % 256
+      val g = (x + y * 2 + f * 3) % 256
+      val b = (x * 3 + y + f * 7) % 256
+      elTop += (r * 299 + g * 587 + b * 114) / 1000
+    }
+    assert(el0 != elTop, "fixture must distinguish row orders")
+    assert(v0.sum_luma_row0 == el0)
+    // junk and truncation survive as unknown, never a crash
+    val truncated = media.filter(col("media_id") === 1).select("data")
+      .head.getAs[Array[Byte]](0).take(40)
+    val junk = Seq((9L, Array.tabulate[Byte](32)(i => (i * 73).toByte)),
+        (10L, truncated))
+      .toDF("media_id", "data")
+    val badOut = Multimodal.decodeVideoFrameStats(junk).collect()
+      .map(s => s.media_id -> s.format).toMap
+    assert(badOut(9L) == "unknown" && badOut(10L) == "unknown")
+    // and the header prober reads the same avih the decoder gates on
+    val blob = media.filter(col("media_id") === 2).select("data")
+      .head.getAs[Array[Byte]](0)
+    assert(Multimodal.probeVideo(blob).contains(("avi", 16, 4, 160L)))
+  }
+
+  test("AVI frame sampling emits real DIB payloads at the frame clock") {
+    // video 2: w=16 (stride 48, no padding), h=4, nf=4 frames at 25 fps
+    val media = Multimodal.syntheticAviMedia(spark, 3).toDF()
+      .filter(col("media_id") === 2)
+    // fps = frame rate -> every frame, real ts from the 40 ms clock
+    val all = Multimodal.sampleFrames(media, fps = 25.0).collect()
+      .sortBy(_.frame_idx)
+    assert(all.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+    assert(all.map(_.ts_ms).toSeq == Seq(0, 40, 80, 120))
+    // each payload is the actual raw frame: stride*h bytes whose first
+    // pixel matches the generator formula (B of (x=0, stored row 0 =
+    // image row h-1=3) of frame f for video i=2)
+    all.foreach { fr =>
+      assert(fr.data.length == 48 * 4)
+      val expB = (2 * 13 + 0 + 3 + fr.frame_idx * 7) % 256
+      assert((fr.data(0) & 0xff) == expB, s"frame ${fr.frame_idx}")
+    }
+    // fps below the frame rate subsamples (every other frame at 12.5)
+    val half = Multimodal.sampleFrames(media, fps = 12.5).collect()
+    assert(half.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+  }
+
   test("merge strategy Rrf: rank-based fusion, calibration-free") {
     import spark.implicits._
     // source A ranks 1,2,3 (by distance asc); source B ranks 3,2 —
