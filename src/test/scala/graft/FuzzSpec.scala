@@ -74,6 +74,29 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("AVI frame decode survives fuzz blobs, including RIFF/AVI -prefixed junk") {
+    import spark.implicits._
+    // 200 adversarial blobs: pure noise, RIFF-prefixed noise, full
+    // RIFF+'AVI ' magic with garbage box trees, and truncated real videos
+    val real = Multimodal.syntheticAviMedia(spark, 3).toDF()
+      .select("data").collect().map(_.getAs[Array[Byte]](0))
+    val blobs = (0 until 200).map { i =>
+      val body = new Array[Byte](rnd.nextInt(96))
+      rnd.nextBytes(body)
+      val bytes = (i % 4) match {
+        case 0 => body
+        case 1 => "RIFF".getBytes ++ body
+        case 2 => "RIFF".getBytes ++ body.take(4) ++ "AVI ".getBytes ++ body
+        case _ => real(i % 3).take(rnd.nextInt(real(i % 3).length + 1))
+      }
+      (i.toLong, bytes)
+    }.toDF("media_id", "data")
+    // every row must come back (unknown or decoded), never a task crash
+    val out = Multimodal.decodeVideoFrameStats(blobs).collect()
+    assert(out.length == 200)
+    assert(out.forall(s => s.format == "unknown" || s.format == "avi/dib"))
+  }
+
   test("span/segment/LM/cap operators are partition-invariant on fuzz text") {
     import graft.operators.{Curation, Dedup}
     val df = corpus.toDF("doc_id", "text")

@@ -309,6 +309,32 @@ class PlanAuditSpec extends SparkSpec {
       df.queryExecution.executedPlan)
   }
 
+  test("BPE application is one scan-side codegen loop, constant plan size") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    // a full-cap merge table: the plan must stay ONE bpe_apply node inside
+    // whole-stage codegen (not 765 nested replaces), so plan size — and
+    // Janino compile time — is independent of the vocabulary
+    val merges = (1 to 765).map { i =>
+      graft.functions.BpeTokenizer.Merge(
+        if (i == 1) "th" else (0xE000 + i - 1).toChar.toString + "x",
+        (0xE000 + i).toChar.toString, i)
+    }
+    val df = docs.select(
+      graft.functions.BpeTokenizer.tokenCount(col("text"), merges).as("n"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the *(N) prefix marks the whole-stage-codegen span the Project
+    // (and thus the bpe_apply loop) lives in
+    assert("(?s).*\\*\\(\\d+\\) Project \\[length\\(bpe_apply.*".r
+      .findFirstIn(plan).isDefined, plan)
+    assert("bpe_apply".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("replace("), plan)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, plan) // pure map: application never shuffles
+  }
+
   test("text prep queries (html/quality/url) are pure map until the final sort") {
     for (name <- Seq("html_extract", "quality_rules", "url_canonical")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
