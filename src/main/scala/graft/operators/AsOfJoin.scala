@@ -67,12 +67,13 @@ object AsOfJoin {
         // a null staleness computation (null ts value in a row) drops the
         // carried value rather than keeping a possibly-stale one.
         val tsType = left.schema(tsCol).dataType
+        // numeric or timestamp only: DATE cannot cast to double (Spark
+        // raises DATATYPE_MISMATCH), and a STRING would cast to null and
+        // silently void the bound — both are rejected up front
         require(tsType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-            || tsType == org.apache.spark.sql.types.TimestampType
-            || tsType == org.apache.spark.sql.types.DateType,
-          s"asof tolerance needs a numeric/timestamp/date '$tsCol' column " +
-            s"(got $tsType): a string ts casts to null and would silently " +
-            "void the staleness bound")
+            || tsType == org.apache.spark.sql.types.TimestampType,
+          s"asof tolerance (seconds) needs a numeric or timestamp '$tsCol' " +
+            s"column, got $tsType")
         val stale = coalesce(
           col("_r_ts").isNull ||
             (col(tsCol).cast("double") - col("_r_ts").cast("double")) > t,

@@ -61,4 +61,20 @@ class AsOfJoinSpec extends SparkSpec {
     // a LONG column would null-parse and silently void this bound
     assert(bounded("x") == Some(7.0) && bounded("y") == None, bounded.toString)
   }
+
+  test("tolerance on a STRING ts column is rejected loudly (fail-open guard)") {
+    import spark.implicits._
+    // a string ts casts to null, which would silently VOID the staleness
+    // bound (null > t falls through to keep-the-value) — the dtype gate
+    // must throw instead; without a tolerance strings still order fine
+    val left = Seq((1L, "2026-01-02", "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, "2026-01-01", 7.0)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.nearestPrior(left, right, "k", "t", tolerance = Some(30))
+    }
+    assert(e.getMessage.contains("numeric or timestamp"))
+    val unbounded = AsOfJoin.nearestPrior(left, right, "k", "t")
+      .collect().map(x => x.getString(2) -> Option(x.get(3))).toMap
+    assert(unbounded("x") == Some(7.0))
+  }
 }
