@@ -257,6 +257,36 @@ object StoreQueries {
     // Output is the deterministic (count, id-checksum) of that set; the
     // bench row's wall-clock still measures end-to-end ingest throughput
     // (docs/s curve documented in SCALING.md).
+    // F11/S6 metadata schema validation, end-to-end: deterministic
+    // metadata variants keyed off doc_id run through the store's real
+    // validator (required = key PRESENCE with null-is-always-valid,
+    // typed fields, recursion into array items), and the oracle pins the
+    // exact verdict strings — a validator that treated an explicit null
+    // as missing, or skipped nested items, would mismatch. The schema
+    // JSON ships into the closure as a string and parses per partition
+    // (executor-side map, no driver loop).
+    "schema_validate" -> ((s, dir) => {
+      import s.implicits._
+      val schemaJson =
+        """{"fields": {"title": {"type": "string"}, "score": {"type": "number"},
+          |  "tags": {"type": "array", "items": {"type": "string"}}},
+          | "required": ["title"]}""".stripMargin
+      val meta = when(col("doc_id") % 5 === 0,
+          lit("""{"title": "t", "score": 1.5, "tags": ["a", "b"]}"""))
+        .when(col("doc_id") % 5 === 1, lit("""{"score": 2}"""))
+        .when(col("doc_id") % 5 === 2, lit("""{"title": 7}"""))
+        .when(col("doc_id") % 5 === 3, lit("""{"title": "t", "tags": ["a", 3]}"""))
+        .otherwise(lit("""{"title": null, "score": null}"""))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), meta.as("m"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val schema = graft.store.MetadataSchema.parse(schemaJson)
+          it.map { case (id, m) => (id, schema.validate(Some(m)).getOrElse("ok")) }
+        }
+        .toDF("doc_id", "verdict")
+        .orderBy("doc_id")
+    }),
     "streaming_ingest" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q_").toString
@@ -277,6 +307,17 @@ object StoreQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // the validator's verdicts, pinned literally per doc_id band: valid
+    // full doc / missing required / wrong scalar type / bad array item /
+    // explicit nulls (present + null = VALID under null-is-always-valid)
+    "schema_validate" ->
+      """SELECT doc_id, CASE doc_id % 5
+        |  WHEN 0 THEN 'ok'
+        |  WHEN 1 THEN 'missing required field: title'
+        |  WHEN 2 THEN 'title: expected string'
+        |  WHEN 3 THEN 'tags[1]: expected string'
+        |  ELSE 'ok' END AS verdict
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "store_hnsw_search" ->
       """SELECT vec_id AS query_id, CAST(vec_id AS VARCHAR) AS id,
         |  0.0 AS distance

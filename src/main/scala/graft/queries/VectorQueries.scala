@@ -120,6 +120,25 @@ object VectorQueries {
         .agg(round(avg("recall"), 6).as("avg_recall"),
           round(min("recall"), 6).as("min_recall"),
           count(lit(1)).as("n_ids"))
+    }),
+    // M13 query expansion: hash-deterministic noise draws (never rand())
+    // make the whole 1->N generator engine-replayable — DuckDB re-derives
+    // the same per-element noise from the same md5 formula, applies the
+    // same float32 perturb + renormalize chain with the same strict-order
+    // folds, and the rounded norm/sum aggregates hash-match bit-for-bit.
+    // The contract pinned: variant 0 unperturbed, every variant rescaled
+    // to the original magnitude.
+    "query_expansion" -> ((s, dir) => {
+      val qs = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.operators.QueryExpansion.expand(qs, variants = 3, noise = 0.1)
+        .select(col("query_id"), col("variant"),
+          size(col("q_embedding")).as("n_elems"),
+          round(sqrt(aggregate(col("q_embedding"), lit(0.0),
+            (a, x) => a + x.cast("double") * x.cast("double"))), 6).as("vec_norm"),
+          round(aggregate(col("q_embedding"), lit(0.0),
+            (a, x) => a + x.cast("double")), 6).as("elem_sum"))
+        .orderBy("query_id", "variant")
     }))
 
   private val qSub =
@@ -217,5 +236,42 @@ object VectorQueries {
         |  GROUP BY ex.id)
         |SELECT round(avg(recall), 6) AS avg_recall,
         |  round(min(recall), 6) AS min_recall, count(*) AS n_ids
-        |FROM perid""".stripMargin)
+        |FROM perid""".stripMargin,
+    // full replay of the expansion generator: same md5-derived noise per
+    // (query, variant, element, seed), same float32 perturb cast, same
+    // STRICT-ORDER double folds (list_reduce over list_prepend — SQL
+    // sum() is order-free and would drift in the last bits), same
+    // (x * orig / new) rescale association, applied to variant 0 too
+    "query_expansion" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS emb
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT query_id, emb, v::INT AS variant FROM q, range(0, 3) r(v)),
+        |el AS (SELECT query_id, variant, i, emb[i::INT + 1]::DOUBLE AS x
+        |  FROM v, range(0, 4096) r(i) WHERE i < len(emb)),
+        |nz AS (SELECT query_id, variant, i, x,
+        |  CASE WHEN variant = 0 THEN x::FLOAT
+        |  ELSE (x + (('0x' || substr(md5(query_id::VARCHAR || ':'
+        |      || variant::VARCHAR || ':' || i::VARCHAR || ':42'), 1, 8))::UBIGINT::DOUBLE
+        |      / 4294967296.0 * 2.0 - 1.0) * 0.1)::FLOAT END AS nx
+        |  FROM el),
+        |lists AS (SELECT query_id, variant,
+        |    list(x ORDER BY i) AS xs, list(nx::DOUBLE ORDER BY i) AS nxs
+        |  FROM nz GROUP BY 1, 2),
+        |norms AS (SELECT query_id, variant, nxs,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(xs, a -> a * a)), (a, b) -> a + b)) AS orig_norm,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(nxs, a -> a * a)), (a, b) -> a + b)) AS new_norm
+        |  FROM lists),
+        |fin AS (SELECT query_id, variant,
+        |    CASE WHEN new_norm = 0 THEN list_transform(nxs, a -> a::FLOAT)
+        |    ELSE list_transform(nxs, a -> (a * orig_norm / new_norm)::FLOAT)
+        |    END AS fv
+        |  FROM norms)
+        |SELECT query_id, variant, len(fv)::INT AS n_elems,
+        |  round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(fv, a -> a::DOUBLE * a::DOUBLE)), (a, b) -> a + b)), 6) AS vec_norm,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(fv, a -> a::DOUBLE)), (a, b) -> a + b), 6) AS elem_sum
+        |FROM fin ORDER BY query_id, variant""".stripMargin)
 }
