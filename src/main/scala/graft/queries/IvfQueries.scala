@@ -75,6 +75,29 @@ object IvfQueries {
         filter = Some(FilterJson.predicate("""{"parity": 0}""", col("metadata"))))
         .orderBy("query_id", "rank")
     }),
+    // X10: centroid export/import round-trip through the REAL persistence
+    // path — export writes the centroid table to disk, import re-reads it
+    // under the dimension gate, and the values that come back must equal a
+    // from-scratch recomputation (the ivf_centroids oracle). A lossy codec,
+    // a dropped row, or a transposed (label, pos) on either leg would
+    // mismatch. The round-trip result is bounded (labels x DIM rows), so it
+    // collects once and the temp dir is deleted before returning.
+    "ivf_export_import" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cent_q_").toString
+      Ivf.exportCentroids(labelCentroids(emb), s"$tmp/centroids")
+      val imported = Ivf.importCentroids(s, s"$tmp/centroids", expectedDim = DIM)
+      val rows = imported
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("centroid")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          round(col("v").cast("double"), 6).as("centroid_val"))
+        .orderBy("label", "pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      import s.implicits._
+      rows.toDF("label", "pos", "centroid_val")
+    }),
     // A4: cluster size stats over the label clustering
     "cluster_stats" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
@@ -96,6 +119,13 @@ object IvfQueries {
     "ivf_centroids" ->
       s"""SELECT label::BIGINT AS label, (i - 1)::BIGINT AS pos,
          |  round(avg(embedding[i]::DOUBLE), 6) AS centroid_val
+         |FROM embeddings, range(1, ${DIM + 1}) t(i)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same recomputation as ivf_centroids, through the exported table's
+    // float32 representation (labelCentroids stores REAL centroids)
+    "ivf_export_import" ->
+      s"""SELECT label::BIGINT AS label, (i - 1)::BIGINT AS pos,
+         |  round(avg(embedding[i]::DOUBLE)::REAL::DOUBLE, 6) AS centroid_val
          |FROM embeddings, range(1, ${DIM + 1}) t(i)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ivf_assign" ->

@@ -265,6 +265,37 @@ object StoreQueries {
     // as missing, or skipped nested items, would mismatch. The schema
     // JSON ships into the closure as a string and parses per partition
     // (executor-side map, no driver loop).
+    // X15/X16 tier migration, end-to-end with the no-double-count contract
+    // as the oracle: rows older than the threshold move recent->historical
+    // in two bounded maintenance slices (the first capped at 100 — X16's
+    // maxVectors policy; the cap forces the capped anti-join rewrite path,
+    // not just the ts-cutoff filter), after which recent+historical must
+    // partition the corpus exactly — a migrate that left migrated rows in
+    // the recent tier (the reference's double-count bug,
+    // hybrid/core.rs:579,632) or dropped survivors would break the counts.
+    // Timestamps are injected deterministically (vec_id % 3 == 0 rows are
+    // years older than the 7-day threshold) and "now" is pinned, so DuckDB
+    // predicts every count from the source table alone.
+    "migrate_tiers" -> ((s, dir) => {
+      import graft.store.VectorStore
+      val path = java.nio.file.Files.createTempDirectory("graft_migrate_q_").toString
+      val store = new VectorStore(s, path)
+      val emb = Tables.load(s, dir, "embeddings")
+      store.insertDF(emb.select(
+        concat(lit("v"), col("vec_id")).as("id"),
+        col("embedding"),
+        to_json(struct(col("label"))).as("metadata"),
+        when(col("vec_id") % 3 === 0, lit("2020-01-01 00:00:00"))
+          .otherwise(lit("2026-01-01 23:00:00")).cast("timestamp").as("ts")))
+      val now = Some(java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))
+      val m1 = store.migrate(now, maxVectors = 100)
+      val m2 = store.migrate(now)
+      val st = store.stats()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      import s.implicits._
+      Seq((m1, m2, st.recentCount, st.historicalCount))
+        .toDF("migrated_first", "migrated_second", "recent_count", "historical_count")
+    }),
     "schema_validate" -> ((s, dir) => {
       import s.implicits._
       val schemaJson =
@@ -307,6 +338,16 @@ object StoreQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // every count is closed-form: eligible = the old-ts band; the first
+    // slice is capped at 100; the end state must partition the corpus
+    "migrate_tiers" ->
+      """WITH c AS (SELECT count(*) AS n,
+        |    count(*) FILTER (vec_id % 3 = 0) AS elig FROM embeddings)
+        |SELECT least(elig, 100)::BIGINT AS migrated_first,
+        |  (elig - least(elig, 100))::BIGINT AS migrated_second,
+        |  (n - elig)::BIGINT AS recent_count,
+        |  elig::BIGINT AS historical_count
+        |FROM c""".stripMargin,
     // the validator's verdicts, pinned literally per doc_id band: valid
     // full doc / missing required / wrong scalar type / bad array item /
     // explicit nulls (present + null = VALID under null-is-always-valid)

@@ -139,6 +139,22 @@ object VectorQueries {
           round(aggregate(col("q_embedding"), lit(0.0),
             (a, x) => a + x.cast("double")), 6).as("elem_sum"))
         .orderBy("query_id", "variant")
+    }),
+    // M6 inner-product -> cosine correction: recover cosine from a raw dot
+    // score and the two norms (the store serves dot-scored shortlists that
+    // downstream rescoring normalizes). The oracle computes cosine from
+    // scratch — if the correction formula drifted (wrong denominator,
+    // missing zero-norm guard), the recovered values would not match.
+    "ip_to_cosine" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      e.filter(col("vec_id") < 50).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.functions.VectorFunctions.innerProductToCosine(
+            vecDot(col("embedding"), col("q_emb")),
+            vecNorm(col("embedding")), vecNorm(col("q_emb"))), 6)
+            .as("cos_from_ip"))
+        .orderBy("vec_id")
     }))
 
   private val qSub =
@@ -273,5 +289,15 @@ object VectorQueries {
         |    list_transform(fv, a -> a::DOUBLE * a::DOUBLE)), (a, b) -> a + b)), 6) AS vec_norm,
         |  round(list_reduce(list_prepend(0.0::DOUBLE,
         |    list_transform(fv, a -> a::DOUBLE)), (a, b) -> a + b), 6) AS elem_sum
-        |FROM fin ORDER BY query_id, variant""".stripMargin)
+        |FROM fin ORDER BY query_id, variant""".stripMargin,
+    // cosine recomputed from first principles as dot/(|a||b|) — the same
+    // arithmetic M6 performs on a served dot score
+    "ip_to_cosine" ->
+      s"""SELECT e.vec_id,
+         |  round(list_inner_product(e.embedding::DOUBLE[], q.q_emb) /
+         |    (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         |     * sqrt(list_inner_product(q.q_emb, q.q_emb))), 6) AS cos_from_ip
+         |FROM embeddings e,
+         |  (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.vec_id < 50 ORDER BY e.vec_id""".stripMargin)
 }
