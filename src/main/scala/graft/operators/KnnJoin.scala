@@ -58,7 +58,12 @@ object KnnJoin {
   def exact(vectors: DataFrame, k: Int, idCol: String = "id",
       embCol: String = "embedding", maxRows: Long = 1000000L,
       roundDecimals: Int = 6, maxBroadcastBytes: Long = 512L << 20): DataFrame = {
-    val n = vectors.count()
+    // one job for both guard inputs; max(size(..)) is null-safe where a
+    // first-row probe would NPE on a null embedding before either require
+    // could fire, and it upper-bounds ragged inputs instead of sampling one
+    val guardRow = vectors
+      .agg(count(lit(1)), max(size(col(embCol)))).head()
+    val n = guardRow.getLong(0)
     require(n <= maxRows,
       s"KnnJoin.exact is all-pairs (O(N^2)) and broadcasts one side: $n rows " +
         s"> maxRows=$maxRows. Use KnnJoin.blocked with an IVF cluster_id block.")
@@ -66,8 +71,7 @@ object KnnJoin {
     // 384-dim floats is ~1.5 GB on the broadcast path, well past what a
     // row-count gate alone admits — size the guard on bytes, the same
     // lesson as the streaming gate (Streaming.scala byte-sized broadcast)
-    val dim = Option(vectors.select(size(col(embCol)).as("d")).head(1))
-      .filter(_.nonEmpty).map(_.head.getInt(0)).getOrElse(0)
+    val dim = if (guardRow.isNullAt(1)) 0 else guardRow.getInt(1)
     val approxBytes = n * (dim.toLong * 4L + 48L) // floats + row/id overhead
     require(approxBytes <= maxBroadcastBytes,
       s"KnnJoin.exact broadcasts ~$approxBytes bytes ($n rows x $dim dims) " +

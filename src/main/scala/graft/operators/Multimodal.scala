@@ -339,6 +339,45 @@ object Multimodal {
       }(Encoders.frame)
   }
 
+  /** The ONE RIFF chunk walker behind the AVI prober ([[probeVideo]]),
+    * frame sampler ([[sampleFrames]]) and pixel decoder ([[decodeAviDib]])
+    * — three hand-copied walkers had already drifted (different avih size
+    * gates, different LIST handling). Yields every NON-LIST chunk as
+    * `f(fourcc, payloadOffset, size)` in file order, descending into LIST
+    * payloads with an explicit DEPTH-BOUNDED stack: the recursive form
+    * overflowed the JVM stack on a crafted blob of nested 12-byte LIST
+    * headers (StackOverflowError is not NonFatal, so the "never a crash"
+    * catch never saw it). Beyond `maxDepth` a LIST body is skipped as
+    * opaque. A corrupt size stops the ENCLOSING range only — the outer
+    * scan continues, matching the old recursive behavior. */
+  private def walkAviChunks(data: Array[Byte], from: Int, until0: Int,
+      maxDepth: Int = 64)(f: (String, Int, Int) => Unit): Unit = {
+    def u8(i: Int) = data(i) & 0xff
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def isList(i: Int) = "LIST".indices.forall(j => u8(i + j) == "LIST"(j))
+    var p = from
+    var until = until0
+    var cont = List.empty[(Int, Int)] // resume points of enclosing ranges
+    var done = false
+    while (!done) {
+      if (p + 8 <= until) {
+        val size = le32(p + 4)
+        val next = p.toLong + 8L + size + (size & 1L)
+        if (next > until || size < 0) p = until // corrupt: stop this range
+        else if (isList(p) && p + 12 <= until && cont.size < maxDepth) {
+          cont = ((next.toInt, until)) :: cont // resume after the LIST later
+          p = p + 12; until = next.toInt // descend past the 4-byte type tag
+        } else {
+          if (!isList(p)) f(new String(data, p, 4, "ISO-8859-1"), p + 8, size.toInt)
+          p = next.toInt
+        }
+      } else if (cont.nonEmpty) {
+        p = cont.head._1; until = cont.head._2; cont = cont.tail
+      } else done = true
+    }
+  }
+
   /** Real AVI frame sampling: avih gives the frame clock (usPerFrame);
     * movi '00db'/'00dc' chunk payloads are the frames. Sampling emits the
     * frame nearest each fps-spaced timestamp, each exactly once. */
@@ -347,23 +386,12 @@ object Multimodal {
     def u8(i: Int) = data(i) & 0xff
     def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
       (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
-    def ascii(i: Int, s: String) = s.indices.forall(j => u8(i + j) == s(j))
     var usPerFrame = 40000L
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
-    def walk(from: Int, until: Int): Unit = {
-      var p = from
-      while (p + 8 <= until) {
-        val size = le32(p + 4)
-        val next = p.toLong + 8L + size + (size & 1L)
-        if (next > until || size < 0) return
-        if (ascii(p, "LIST") && p + 12 <= until) walk(p + 12, next.toInt)
-        else if (ascii(p, "avih") && size >= 40) usPerFrame = le32(p + 8)
-        else if (ascii(p, "00db") || ascii(p, "00dc"))
-          frames += ((p + 8, size.toInt))
-        p = next.toInt
-      }
+    walkAviChunks(data, 12, data.length) { (fcc, off, size) =>
+      if (fcc == "avih" && size >= 4) usPerFrame = le32(off)
+      else if (fcc == "00db" || fcc == "00dc") frames += ((off, size))
     }
-    walk(12, data.length)
     if (frames.isEmpty || usPerFrame <= 0) return Nil
     val frameMs = math.max(1.0, usPerFrame / 1000.0)
     val stepMs = math.max(1.0, 1000.0 / fps)
@@ -583,23 +611,21 @@ object Multimodal {
         }
       }
     // RIFF AVI: avih carries usPerFrame/totalFrames/width/height — the
-    // probe reads the same header [[decodeAviDib]] gates on
+    // probe reads the same header [[decodeAviDib]] gates on, through the
+    // same shared walker (the old inline walk used a stricter size>=48
+    // avih gate than the decoder's; one walker, one gate)
     if (data.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ") {
       def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
         (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
-      var p = 12
-      while (p + 8 <= data.length) {
-        val size = le32(p + 4)
-        val next = p.toLong + 8L + size + (size & 1L)
-        if (next > data.length || size < 0) return Some(("avi", 0, 0, 0L))
-        if (fourcc(p) == "LIST" && p + 12 <= data.length) p += 12 // descend
-        else if (fourcc(p) == "avih" && size >= 48) {
-          val us = le32(p + 8); val nf = le32(p + 24)
-          return Some(("avi", le32(p + 40).toInt, le32(p + 44).toInt,
-            nf * us / 1000L))
-        } else p = next.toInt
+      var w = 0; var h = 0; var durMs = 0L; var found = false
+      walkAviChunks(data, 12, data.length) { (fcc, off, size) =>
+        if (!found && fcc == "avih" && size >= 40) {
+          found = true
+          w = le32(off + 32).toInt; h = le32(off + 36).toInt
+          durMs = le32(off + 16) * le32(off) / 1000L
+        }
       }
-      Some(("avi", 0, 0, 0L))
+      Some(("avi", w, h, durMs))
     } else if (data.length >= 12 && fourcc(4) == "ftyp") {
       val brand = fourcc(8)
       var timescale = 0L; var duration = 0L; var w = 0; var h = 0
@@ -792,47 +818,43 @@ object Multimodal {
     var bitCount = 0; var compression = -1L
     var sr = 0L; var sg = 0L; var sb = 0L; var sl0 = 0L
     var nFrames = 0L
-    // chunk walk: (fourcc, size, payload); LISTs recurse via their type tag
-    def walk(from: Int, until: Int): Unit = {
-      var p = from
-      while (p + 8 <= until) {
-        val size = le32(p + 4)
-        val next = p.toLong + 8L + size + (size & 1L)
-        if (next > until || size < 0) return // corrupt size: stop
-        if (ascii(p, "LIST") && p + 12 <= until) {
-          walk(p + 12, next.toInt) // list payload minus its 4-byte type
-        } else if (ascii(p, "avih") && size >= 40) {
-          usPerFrame = le32(p + 8)
-          totalFrames = le32(p + 24)
-          w = le32(p + 40).toInt; h = le32(p + 44).toInt
-        } else if (ascii(p, "strf") && size >= 40 && bitCount == 0) {
-          bitCount = le16(p + 22); compression = le32(p + 24)
-        } else if ((ascii(p, "00db") || ascii(p, "00dc")) &&
-            bitCount == 24 && compression == 0L && w > 0 && h > 0) {
-          val stride = (3 * w + 3) & ~3
-          if (size >= stride.toLong * h) {
-            val base = p + 8
-            var row = 0 // storage order; image y = h-1-row (bottom-up)
-            while (row < h) {
-              val y = h - 1 - row
-              val off = base + row * stride
-              var x = 0
-              while (x < w) {
-                val b = u8(off + 3 * x); val g = u8(off + 3 * x + 1)
-                val r = u8(off + 3 * x + 2)
-                sr += r; sg += g; sb += b
-                if (y == 0) sl0 += (r * 299 + g * 587 + b * 114) / 1000
-                x += 1
-              }
-              row += 1
+    // the strf a stream header describes belongs to the stream type of the
+    // PRECEDING strh (AVI strl lists are strh-then-strf): binding the
+    // first strf in the file misreads an audio-first AVI — the WAVEFORMAT
+    // bytes land where biBitCount lives and every video frame is rejected
+    var strhType = ""
+    walkAviChunks(data, 12, data.length) { (fcc, off, size) =>
+      if (fcc == "avih" && size >= 40) {
+        usPerFrame = le32(off)
+        totalFrames = le32(off + 16)
+        w = le32(off + 32).toInt; h = le32(off + 36).toInt
+      } else if (fcc == "strh" && size >= 4) {
+        strhType = new String(data, off, 4, "ISO-8859-1")
+      } else if (fcc == "strf" && size >= 40 && strhType == "vids" &&
+          bitCount == 0) {
+        bitCount = le16(off + 14); compression = le32(off + 16)
+      } else if ((fcc == "00db" || fcc == "00dc") &&
+          bitCount == 24 && compression == 0L && w > 0 && h > 0) {
+        val stride = (3 * w + 3) & ~3
+        if (size >= stride.toLong * h) {
+          var row = 0 // storage order; image y = h-1-row (bottom-up)
+          while (row < h) {
+            val y = h - 1 - row
+            val rowOff = off + row * stride
+            var x = 0
+            while (x < w) {
+              val b = u8(rowOff + 3 * x); val g = u8(rowOff + 3 * x + 1)
+              val r = u8(rowOff + 3 * x + 2)
+              sr += r; sg += g; sb += b
+              if (y == 0) sl0 += (r * 299 + g * 587 + b * 114) / 1000
+              x += 1
             }
-            nFrames += 1
+            row += 1
           }
+          nFrames += 1
         }
-        p = next.toInt
       }
     }
-    walk(12, data.length)
     if (w <= 0 || h <= 0 || bitCount != 24 || compression != 0L) bad
     else VideoFrameStats(id, "avi/dib", w, h, nFrames,
       totalFrames * usPerFrame / 1000L, sr, sg, sb, sl0)

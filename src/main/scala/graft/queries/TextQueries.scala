@@ -457,8 +457,9 @@ ORDER BY d$rounds.doc_id"""
           round(col("top_ngram_share"), 6).as("top_ngram_share"))
         .orderBy("doc_id")
     }),
-    // corpus-TRAINED BPE token counting (batched-merge BPE, 3 rounds x 64
-    // merges learned from the corpus by DataFrame aggregation, applied
+    // corpus-TRAINED BPE token counting (batched-merge BPE, BpeRounds
+    // rounds x BpeMergesPerRound merges — 3 x 255, the placeholder-page
+    // cap — learned from the corpus by DataFrame aggregation, applied
     // scan-side as codegen replaces): per-doc char + token counts. The
     // oracle re-trains AND re-applies the same merges in DuckDB — the
     // tokenizer is hash-checked end-to-end, not just its plumbing.

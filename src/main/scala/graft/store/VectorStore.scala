@@ -789,54 +789,21 @@ class VectorStore(val spark: SparkSession, val path: String,
   private def swapMarker(name: String) = new Path(path, s"${name}_swap.inprogress")
 
   /** Tier rewrite commit: `_tmp` (already fully written) replaces the live
-    * dir. The delete→rename window is bracketed by an IN-PROGRESS MARKER so
-    * a crash anywhere inside is recoverable at the next open
-    * ([[recoverSwaps]]) — the marker is the durable signal "this `_tmp` is
-    * COMPLETE and committed to replacing the live dir".
-    *
-    * Concurrency contract: the store assumes a SINGLE WRITER per store
-    * path (mutations from one process; any number of readers). The marker
-    * makes recovery safe against crashed writers, not against two live
-    * writers racing the same tier — the re-check below only narrows that
-    * window (a concurrent open's recovery may have finished this swap
-    * already), it does not close it. */
-  private def swap(name: String): Unit = {
-    val cur = new Path(dir(name))
-    val tmp = new Path(dir(name) + "_tmp")
-    writeText(swapMarker(name), s"""{"swap": "$name"}""")
-    if (fs.exists(tmp)) { // a concurrent open's recoverSwaps may have finished it
-      fs.delete(cur, true)
-      fs.rename(tmp, cur)
-    }
-    fs.delete(swapMarker(name), false)
-  }
+    * dir under [[graft.core.FsSwap]]'s marker-bracketed protocol — see that
+    * object's scaladoc for the crash-recovery and SINGLE-WRITER contract. */
+  private def swap(name: String): Unit =
+    graft.core.FsSwap.commit(fs, new Path(dir(name)),
+      new Path(dir(name) + "_tmp"), swapMarker(name), s"""{"swap": "$name"}""")
 
-  /** Crash recovery for [[swap]], run at every open.
-    *
-    * MARKER PRESENT next to a `_tmp`: the writer committed — the `_tmp` is
-    * complete (swap is only entered after the rewrite finished), so finish
-    * the swap regardless of whether the crash hit before or after the
-    * delete. NO MARKER, live dir MISSING: a pre-marker-era crash between
-    * delete and rename — rename (the data is recoverable, and no live
-    * writer can be mid-swap here, because a live swap always holds its
-    * marker until after the rename). NO MARKER, live dir INTACT: either a
-    * crashed rewrite that never reached swap (incomplete `_tmp`) or a
-    * CONCURRENT writer mid-rewrite — deleting would destroy the in-flight
-    * work of the latter, so the `_tmp` is LEFT IN PLACE: the live dir stays
-    * the truth, readers never look at `_tmp`, and the next rewrite
-    * clobbers it (all tier rewrites write `_tmp` with SaveMode.Overwrite). */
+  /** Crash recovery for [[swap]], run at every open — [[graft.core.FsSwap]]
+    * finishes any marker-evidenced swap, adopts a markerless `_tmp` only
+    * when the live dir is missing, and leaves a markerless `_tmp` next to
+    * an intact live dir untouched (it may be a concurrent writer's
+    * in-flight rewrite). */
   private def recoverSwaps(): Unit =
     Seq("recent", "historical", "tombstones", "meta_updates").foreach { name =>
-      val tmp = new Path(dir(name) + "_tmp")
-      val marker = swapMarker(name)
-      if (fs.exists(tmp)) {
-        val cur = new Path(dir(name))
-        if (fs.exists(marker)) {
-          fs.delete(cur, true)
-          fs.rename(tmp, cur)
-          fs.delete(marker, false)
-        } else if (!fs.exists(cur)) fs.rename(tmp, cur)
-      } else if (fs.exists(marker)) fs.delete(marker, false) // swap finished, marker orphaned
+      graft.core.FsSwap.recover(fs, new Path(dir(name)),
+        new Path(dir(name) + "_tmp"), swapMarker(name))
     }
 
   // ---- A6/C7 stats ----

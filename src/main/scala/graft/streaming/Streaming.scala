@@ -136,6 +136,10 @@ object Streaming {
       .add("doc_id", org.apache.spark.sql.types.LongType)
       .add("text", org.apache.spark.sql.types.StringType)
     val numHashes = bands * rowsPerBand
+    // repair a crashed compaction swap BEFORE the stream starts, not only
+    // per batch: an empty source (no trigger ever fires) must still leave
+    // the state readable for batch consumers
+    recoverStateSwap(spark, docsPath)
     // maxFilesPerTrigger > 0 bounds each micro-batch (latency / memory
     // knob); 0 = drain everything available in one batch, which maximizes
     // docs/s — per-batch cost has a fixed floor (checkpoint commit + the
@@ -281,6 +285,8 @@ object Streaming {
       acceptedDir: String): Int = {
     val p = new org.apache.hadoop.fs.Path(s"$acceptedDir/docs")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a reader-side probe may be the first opener after a mid-swap crash
+    recoverStateSwap(spark, s"$acceptedDir/docs")
     if (!fs.exists(p)) 0
     else fs.listStatus(p).count(st =>
       st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
@@ -290,23 +296,17 @@ object Streaming {
     new org.apache.hadoop.fs.Path(docsPath + "_swap.inprogress")
 
   /** Crash recovery for [[compactAcceptedState]]'s delete→rename window —
-    * the same marker contract as VectorStore.recoverSwaps: marker present
-    * means the `_tmp` is COMPLETE and committed (finish the swap); no
-    * marker with the live dir missing is a legacy interrupted swap
-    * (rename); no marker next to an intact live dir is left alone. */
+    * the marker contract lives in [[graft.core.FsSwap]], shared with the
+    * store's tier rewrites. Runs at stream START and before every batch
+    * (not only inside foreachBatch): a mid-swap crash must not leave the
+    * state stranded in `_tmp` for batch consumers until the next trigger
+    * happens to fire. */
   private def recoverStateSwap(spark: org.apache.spark.sql.SparkSession,
       docsPath: String): Unit = {
     val cur = new org.apache.hadoop.fs.Path(docsPath)
-    val tmp = new org.apache.hadoop.fs.Path(docsPath + "_tmp")
-    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = swapMarker(docsPath)
-    if (fs.exists(tmp)) {
-      if (fs.exists(marker)) {
-        fs.delete(cur, true)
-        fs.rename(tmp, cur)
-        fs.delete(marker, false)
-      } else if (!fs.exists(cur)) fs.rename(tmp, cur)
-    } else if (fs.exists(marker)) fs.delete(marker, false)
+    graft.core.FsSwap.recover(
+      cur.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      cur, new org.apache.hadoop.fs.Path(docsPath + "_tmp"), swapMarker(docsPath))
   }
 
   /** Rewrite the accepted-state table down to a bounded file count when it
@@ -326,13 +326,8 @@ object Streaming {
     spark.read.parquet(docsPath)
       .coalesce(target)
       .write.mode(SaveMode.Overwrite).parquet(docsPath + "_tmp")
-    val marker = swapMarker(docsPath)
-    val out = fs.create(marker, true)
-    try out.write("{}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(cur, true)
-    fs.rename(new org.apache.hadoop.fs.Path(docsPath + "_tmp"), cur)
-    fs.delete(marker, false)
+    graft.core.FsSwap.commit(fs, cur,
+      new org.apache.hadoop.fs.Path(docsPath + "_tmp"), swapMarker(docsPath))
   }
 
   /** Event-time windowed aggregation over an event stream: tumbling window

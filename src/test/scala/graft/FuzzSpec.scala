@@ -97,6 +97,30 @@ class FuzzSpec extends SparkSpec {
     assert(out.forall(s => s.format == "unknown" || s.format == "avi/dib"))
   }
 
+  test("deeply nested LIST towers do not overflow the stack (prober, sampler, decoder)") {
+    import spark.implicits._
+    // 100k LISTs each wrapping the next: the recursive walkers blew the
+    // JVM stack here (StackOverflowError is not NonFatal — the 'never a
+    // crash' catch could not see it); the shared iterative walker bounds
+    // descent depth instead
+    val k = 100000
+    val bytes = new Array[Byte](12 + 12 * k)
+    def put4(o: Int, s: String): Unit = s.indices.foreach(j => bytes(o + j) = s(j).toByte)
+    def putLe32(o: Int, v: Int): Unit = (0 until 4).foreach(j => bytes(o + j) = ((v >> (8 * j)) & 0xff).toByte)
+    put4(0, "RIFF"); putLe32(4, bytes.length - 8); put4(8, "AVI ")
+    for (j <- 0 until k) {
+      val o = 12 + 12 * j
+      put4(o, "LIST"); putLe32(o + 4, bytes.length - o - 8); put4(o + 8, "movi")
+    }
+    assert(Multimodal.probeVideo(bytes).contains(("avi", 0, 0, 0L)))
+    val stats = Multimodal.decodeVideoFrameStats(
+      Seq((1L, bytes)).toDF("media_id", "data")).collect().head
+    assert(stats.format == "unknown" && stats.n_frames == 0L)
+    val frames = Multimodal.sampleFrames(
+      Seq((1L, bytes)).toDF("media_id", "data"), fps = 25.0).collect()
+    assert(frames.isEmpty)
+  }
+
   test("span/segment/LM/cap operators are partition-invariant on fuzz text") {
     import graft.operators.{Curation, Dedup}
     val df = corpus.toDF("doc_id", "text")

@@ -393,6 +393,58 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.probeVideo(blob).contains(("avi", 16, 4, 160L)))
   }
 
+  test("audio-first AVI binds strf to the vids stream, not the first strf") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-built AVI with stream order auds, vids — the common layout the
+    // first-strf binding misread: the audio strf's WAVEFORMAT bytes landed
+    // where biBitCount lives (16 != 24) and every video frame was rejected
+    val w = 2; val h = 2; val stride = (3 * w + 3) & ~3 // 8
+    val frame = Array.tabulate[Byte](stride * h)(i => (i * 7 + 3).toByte)
+    def ch(buf: ByteBuffer, s: String) = buf.put(s.getBytes("US-ASCII"))
+    val audStrl = 4 + (8 + 56) + (8 + 40) // strh + 40-byte audio strf
+    val vidStrl = 4 + (8 + 56) + (8 + 40)
+    val hdrl = 4 + (8 + 56) + (8 + audStrl) + (8 + vidStrl)
+    val movi = 4 + (8 + frame.length)
+    val riff = 4 + (8 + hdrl) + (8 + movi)
+    val buf = ByteBuffer.allocate(8 + riff).order(ByteOrder.LITTLE_ENDIAN)
+    ch(buf, "RIFF"); buf.putInt(riff); ch(buf, "AVI ")
+    ch(buf, "LIST"); buf.putInt(hdrl); ch(buf, "hdrl")
+    ch(buf, "avih"); buf.putInt(56)
+    buf.putInt(40000).putInt(0).putInt(0).putInt(0)
+    buf.putInt(1).putInt(0).putInt(2).putInt(0) // totalFrames=1, streams=2
+    buf.putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    ch(buf, "LIST"); buf.putInt(audStrl); ch(buf, "strl") // AUDIO first
+    ch(buf, "strh"); buf.putInt(56); ch(buf, "auds")
+    buf.put(new Array[Byte](52))
+    ch(buf, "strf"); buf.putInt(40) // WAVEFORMATEX + cbSize padding
+    buf.putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2)
+    buf.putShort(16) // wBitsPerSample = 16 at payload offset 14
+    buf.put(new Array[Byte](40 - 16)) // cbSize + extra bytes up to 40
+    ch(buf, "LIST"); buf.putInt(vidStrl); ch(buf, "strl") // then VIDEO
+    ch(buf, "strh"); buf.putInt(56); ch(buf, "vids"); ch(buf, "DIB ")
+    buf.put(new Array[Byte](48))
+    ch(buf, "strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h)
+    buf.putShort(1).putShort(24).putInt(0).putInt(frame.length)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)
+    ch(buf, "LIST"); buf.putInt(movi); ch(buf, "movi")
+    ch(buf, "00db"); buf.putInt(frame.length); buf.put(frame)
+    val out = Multimodal.decodeVideoFrameStats(
+        Seq((7L, buf.array())).toDF("media_id", "data"))
+      .collect().head
+    assert(out.format == "avi/dib" && out.width == w && out.height == h)
+    assert(out.n_frames == 1, s"audio strf shadowed the video one: $out")
+    // sums from the raw frame bytes (bottom-up BGR rows, stride-padded)
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (row <- 0 until h; x <- 0 until w) {
+      eb += frame(row * stride + 3 * x) & 0xff
+      eg += frame(row * stride + 3 * x + 1) & 0xff
+      er += frame(row * stride + 3 * x + 2) & 0xff
+    }
+    assert(out.sum_r == er && out.sum_g == eg && out.sum_b == eb)
+  }
+
   test("AVI frame sampling emits real DIB payloads at the frame clock") {
     // video 2: w=16 (stride 48, no padding), h=4, nf=4 frames at 25 fps
     val media = Multimodal.syntheticAviMedia(spark, 3).toDF()

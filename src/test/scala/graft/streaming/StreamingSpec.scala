@@ -373,8 +373,14 @@ class StreamingSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$acc/docs")
     assert(docs.select("doc_id").collect().map(_.getLong(0)).toSet ==
       (0L until 12L).toSet)
+    // bound derived from the SAME sizing the code uses (per-append and
+    // compaction target = max(2, defaultParallelism/8)): last compaction
+    // fires at batch 8, then at most 3 appends follow — a literal 16 here
+    // only held on 32-core hosts
+    val t = math.max(2, spark.sparkContext.defaultParallelism / 8)
+    val bound = math.max(t, 4) + 3 * t
     val nFiles = Streaming.acceptedStateFileCount(spark, acc)
-    assert(nFiles > 0 && nFiles <= 16, s"state accreted $nFiles part files")
+    assert(nFiles > 0 && nFiles <= bound, s"state accreted $nFiles part files (bound $bound)")
     // the band keys survive compaction (the lookup index IS the state row)
     assert(docs.select("bks").head().getSeq[Long](0).length == 4)
   }
