@@ -305,7 +305,7 @@ object Ivf {
     * move to their second-nearest centroid. */
   def balance(assigned: DataFrame, centroids: DataFrame, maxSize: Int,
       embCol: String = "embedding", metric: String = "l2",
-      idCol: String = "id"): DataFrame = {
+      idCol: String = "id", roundTo: Int = -1): DataFrame = {
     val collected = centroids.select("cluster_id", "centroid").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     // the element_at lookups below read cluster_id as a 0-based ARRAY
@@ -315,7 +315,13 @@ object Ivf {
       s"balance requires contiguous 0-based cluster ids, got ${collected.map(_._1).mkString(",")}")
     val cids = typedLit(collected.map(_._1))
     val cents = typedLit(collected.map(_._2))
-    val dists = transform(cents, c => distance(metric, col(embCol), c))
+    // roundTo >= 0 ranks/argmins over ROUNDED distances — the same
+    // oracle-determinism dial as nearestCentroid(roundTo): cross-engine
+    // double drift must not flip the keep-vs-overflow rank of two
+    // near-equidistant rows when a DuckDB replay checks the result
+    val distsRaw = transform(cents, c => distance(metric, col(embCol), c))
+    val dists =
+      if (roundTo >= 0) transform(distsRaw, d => round(d, roundTo)) else distsRaw
     val own = element_at(dists, col("cluster_id") + 1) // cluster ids are 0-based positions
     // second nearest: min over all centroids except the assigned one
     val secondIdx = array_position(

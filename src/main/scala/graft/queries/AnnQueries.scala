@@ -213,6 +213,23 @@ object AnnQueries {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       rank1(Ivf.searchBatch(assigned, cents, queries, k = 10, nProbe = 4))
     }),
+    // X8 retrain end-to-end: the corpus arrives with a STALE assignment
+    // (labels shifted by one — deliberately wrong), retrain drops it,
+    // trains fresh k=16 centroids and re-derives every assignment.
+    // Self-retrieval through the retrained index proves the stale column
+    // neither leaked into training nor probing — with a leak, probing the
+    // query's nearest centroid would miss rows still filed under shifted
+    // clusters and rank-1 self-hits would vanish.
+    "ivf_retrain" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding"),
+        ((col("label") + 1) % 10).cast("long").as("cluster_id"))
+      val (cents, assigned) = Ivf.retrain(corpus,
+        Ivf.IvfConfig(nClusters = 16, maxIterations = 10, initMode = "driver"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      rank1(Ivf.searchBatch(assigned, cents, queries, k = 10, nProbe = 4))
+    }),
     // ANN at the 100K scale: KMeans-IVF served from the persisted inverted
     // file (ensureIvfScaleIndex trains + writes once per corpus version;
     // probing n of 32 clusters is parquet partition pruning on the saved
@@ -525,6 +542,12 @@ object AnnQueries {
       """SELECT vec_id AS query_id, vec_id * 50 AS id, 0.0 AS distance
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
     "ann_ivf_kmeans" ->
+      """SELECT vec_id AS query_id, vec_id AS id, 0.0 AS distance
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // identical contract post-retrain: every query is a corpus vector, so
+    // the rank-1 hit is the query itself at distance 0 — IVF guarantees it
+    // (the query's nearest centroid IS its identical row's cluster)
+    "ivf_retrain" ->
       """SELECT vec_id AS query_id, vec_id AS id, 0.0 AS distance
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
     "ann_hnsw_filtered" ->

@@ -98,6 +98,27 @@ object IvfQueries {
       import s.implicits._
       rows.toDF("label", "pos", "centroid_val")
     }),
+    // X9 cluster balance: assign to the label centroids (rounded argmin,
+    // the ivf_assign contract), then cap every cluster at maxSize=40 —
+    // each cluster keeps its 40 centroid-closest rows ((dist, id) rank)
+    // and overflow moves to its SECOND-nearest centroid. The oracle
+    // replays the whole decision: per-vector centroid ranking (rn=1 own,
+    // rn=2 second), per-cluster keep-rank, and the overflow rebinding —
+    // a wrong tie-break, an off-by-one cap, or overflow sent to the
+    // nearest-including-own centroid all mismatch.
+    "ivf_balance" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val centArr = QueryShapes.cachedLabelCentroids(s"$dir#full", labelCentroids(emb))
+      val centsDf = QueryShapes.labelCentroidsDF(s, s"$dir#full", labelCentroids(emb))
+        .select(col("label").cast("int").as("cluster_id"), col("centroid"))
+      // labels are contiguous 0-based, so the argmin INDEX is the label
+      val assigned = emb.select(col("vec_id").as("id"), col("embedding"),
+        nearestCentroid(col("embedding"), centArr.map(_._2), "l2", roundTo = 6)
+          .as("cluster_id"))
+      Ivf.balance(assigned, centsDf, maxSize = 40, roundTo = 6)
+        .select(col("id").as("vec_id"), col("cluster_id").cast("long").as("cluster_id"))
+        .orderBy("vec_id")
+    }),
     // A4: cluster size stats over the label clustering
     "cluster_stats" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
@@ -121,6 +142,30 @@ object IvfQueries {
          |  round(avg(embedding[i]::DOUBLE), 6) AS centroid_val
          |FROM embeddings, range(1, ${DIM + 1}) t(i)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // full replay of the balance decision: rounded per-vector centroid
+    // ranking (rn=1 = assignment, rn=2 = second-nearest), per-cluster
+    // (own_dist, vec_id) keep-rank, cap at 40, overflow -> second-nearest
+    "ivf_balance" ->
+      s"""WITH $centSql,
+         |d AS (
+         |  SELECT e.vec_id, c.label,
+         |    round(list_distance(e.embedding::DOUBLE[], c.centroid), 6) AS dist
+         |  FROM embeddings e CROSS JOIN centl c),
+         |r AS (
+         |  SELECT vec_id, label, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, label) AS rn
+         |  FROM d),
+         |own AS (SELECT vec_id, label AS own_label, dist AS own_dist FROM r WHERE rn = 1),
+         |sec AS (SELECT vec_id, label AS sec_label FROM r WHERE rn = 2),
+         |rk AS (
+         |  SELECT o.vec_id, o.own_label, s.sec_label,
+         |    row_number() OVER (PARTITION BY o.own_label
+         |      ORDER BY o.own_dist, o.vec_id) AS keep_rank
+         |  FROM own o JOIN sec s ON o.vec_id = s.vec_id)
+         |SELECT vec_id,
+         |  (CASE WHEN keep_rank <= 40 THEN own_label ELSE sec_label END)::BIGINT
+         |    AS cluster_id
+         |FROM rk ORDER BY vec_id""".stripMargin,
     // same recomputation as ivf_centroids, through the exported table's
     // float32 representation (labelCentroids stores REAL centroids)
     "ivf_export_import" ->
