@@ -328,18 +328,38 @@ object Ivf {
       transform(dists, (d, i) => when(i === col("cluster_id"), lit(Double.MaxValue)).otherwise(d)),
       array_min(transform(dists, (d, i) =>
         when(i === col("cluster_id"), lit(Double.MaxValue)).otherwise(d))))
-    // id tie-break: rows tied on own-centroid distance (duplicates,
-    // equidistant vectors) must rank the same way on every run and
-    // partitioning — the deterministic/replayable contract every other
-    // operator enforces with (dist, id) ordering
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster_id").orderBy(own.asc, col(idCol).asc)
+    // keep/overflow WITHOUT a per-cluster row_number window: the window
+    // form must shuffle every row and full-sort the biggest cluster on a
+    // single task — the skew shape the grouped top-k aggregate (T3)
+    // exists to avoid, and balance runs on exactly the clusters whose
+    // size got out of hand. Instead find each cluster's maxSize-th
+    // smallest (own_dist, id) pair with the bounded-heap aggregate
+    // (map-side partial; buffer <= 4*maxSize entries per group),
+    // broadcast the <= nClusters threshold rows, and compare map-only:
+    // ids are unique, so (own, id) <= threshold selects EXACTLY the rows
+    // row_number <= maxSize selected under the same (dist ASC, id ASC)
+    // order — including the id tie-break that keeps duplicate/equidistant
+    // vectors ranking identically on every run and partitioning.
+    val idIsString =
+      assigned.schema(idCol).dataType == org.apache.spark.sql.types.StringType
+    val topk = if (idIsString) TopK.topKStr(maxSize) else TopK.topK(maxSize)
+    val th = assigned
+      .select(col("cluster_id").as("_bal_cid"), col(idCol).as("_bal_id"),
+        own.as("_bal_own"))
+      .groupBy("_bal_cid")
+      .agg(topk(col("_bal_id"), col("_bal_own")).as("_bal_hits"))
+      // null when the cluster holds fewer than maxSize rows => keep all
+      // (try_: ANSI element_at throws on index past the array end)
+      .select(col("_bal_cid"),
+        try_element_at(col("_bal_hits"), lit(maxSize)).as("_bal_th"))
     assigned
-      .withColumn("rk", row_number().over(w))
+      .join(broadcast(th), col("cluster_id") === col("_bal_cid"), "left")
       .withColumn("cluster_id",
-        when(col("rk") <= maxSize, col("cluster_id"))
+        when(col("_bal_th").isNull || own < col("_bal_th.dist") ||
+            (own === col("_bal_th.dist") && col(idCol) <= col("_bal_th.id")),
+          col("cluster_id"))
           .otherwise(element_at(cids, secondIdx.cast("int"))))
-      .drop("rk")
+      .drop("_bal_cid", "_bal_th")
   }
 
   /** X10 (`ivf/operations.rs:494-549`): centroid snapshot with dimension

@@ -247,6 +247,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows.isEmpty, "capPerGroup must not plan a window sort")
   }
 
+  test("cluster balance finds keep-thresholds via bounded heaps, never a window sort") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = emb.groupBy(col("label").cast("int").as("cluster_id"))
+      .agg(org.apache.spark.sql.functions.array(
+        (0 until 64).map(i => avg(col("embedding").getItem(i)).cast("float")): _*)
+        .as("centroid"))
+    val assigned = emb.select(col("vec_id").as("id"), col("embedding"),
+      col("label").cast("int").as("cluster_id"))
+    val df = graft.operators.Ivf.balance(assigned, cents, maxSize = 40)
+    val plan = executedPlan(df)
+    // the skew-safety claim: the per-cluster keep-rank comes from the
+    // two-phase top_k aggregate over (dist, id) + a broadcast threshold
+    // join, not row_number over the cluster (which full-sorts the biggest
+    // cluster — exactly the cluster balance exists to shrink — on one task)
+    assert(plan.contains("partial_top_k"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    val windows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "balance must not plan a window sort")
+  }
+
   test("dupSpanStats hashes windows at the scan; no text in any exchange") {
     val docs = Tables.load(spark, sfDir, "documents")
     val df = graft.operators.Dedup.dupSpanStats(docs, n = 3)
