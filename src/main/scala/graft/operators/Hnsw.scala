@@ -244,6 +244,12 @@ object Hnsw {
     }
 
     def insert(id: Long, v: Array[Float]): Unit = {
+      // ragged input guard: a shorter vector would silently compare only
+      // its prefix (wrong distances, no error); a longer one would crash
+      // deep inside freeze/dist instead of at the offending row
+      require(v != null && (ids.isEmpty || v.length == vecs(0).length),
+        s"vector dim ${if (v == null) "null" else v.length} != graph dim " +
+          s"${if (ids.isEmpty) "?" else vecs(0).length} (id $id)")
       val node = ids.length
       val lvl = levelFor(id)
       ids += id; vecs += v; levels += lvl
@@ -432,16 +438,33 @@ object Hnsw {
       curr
     }
 
+    // generation-stamped visit marks, same trick as Graph's (a fresh
+    // BitSet(n) per search memsets O(n) bytes for a walk that visits
+    // ~ef*M nodes — at 100K nodes x 10K broadcast queries per blob task
+    // that is ~125 MB of pure zeroing). One graph object serves one task
+    // thread (each task deserializes its own via fromBytes), so plain
+    // mutable fields are safe; NOT safe to share one FrozenGraph across
+    // threads.
+    private var visitMark = new Array[Int](n)
+    private var visitStamp = 0
+
     /** k-NN search; deleted nodes traversed but excluded from results.
       * Returns (id, dist) ascending by (dist, id), length <= k. */
     def search(q: Array[Float], k: Int, ef: Int): Array[(Long, Double)] = {
       if (n == 0 || entry < 0) return Array.empty
+      require(q.length == dim,
+        s"query dim ${q.length} != index dim $dim")
       var curr = entry
       var l = maxLevel
       while (l > 0) { curr = greedy(q, curr, l); l -= 1 }
       val beam = math.max(ef, k)
-      val visited = new java.util.BitSet(n)
-      visited.set(curr)
+      visitStamp += 1
+      if (visitStamp == Int.MaxValue) { // wrapped: reset marks once
+        java.util.Arrays.fill(visitMark, 0); visitStamp = 1
+      }
+      val stamp = visitStamp
+      val visited = visitMark
+      visited(curr) = stamp
       val cand = new DIHeap(beam + 1)
       val res = new DIHeap(beam + 1)
       val d0 = dist(q, curr)
@@ -455,8 +478,8 @@ object Hnsw {
           val e = slotOff(slotBase(c) + 1)
           while (s < e) {
             val nb = adj(s)
-            if (!visited.get(nb)) {
-              visited.set(nb)
+            if (visited(nb) != stamp) {
+              visited(nb) = stamp
               val dn = dist(q, nb)
               if (res.size < beam || dn < -res.topDist) {
                 cand.push(dn, nb); res.push(-dn, nb)
@@ -616,6 +639,34 @@ object Hnsw {
     private[operators] def metricName(mc: Int): String =
       if (mc == 0) "l2" else "cosine"
 
+    /** Header-only dim read (offset 12, see [[peek]]'s layout map). */
+    def peekDim(bytes: Array[Byte]): Int = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      require(buf.getInt(0) == Magic, "not a graft HNSW graph blob")
+      buf.getInt(12)
+    }
+
+    /** LIVE external ids without materializing the graph: the id longs sit
+      * at bytes 36..36+8n and the tombstone words are the final wordsLen
+      * longs (same layout map as [[peek]]) — enumerating ids for the
+      * insert-path anti-join must not pay fromBytes' full adjacency +
+      * n*dim vector decode per blob on every incremental batch. */
+    def peekIds(bytes: Array[Byte]): Iterator[Long] = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      require(buf.getInt(0) == Magic, "not a graft HNSW graph blob")
+      val v = buf.getInt(4)
+      require(v == Version, s"unsupported graph format version $v")
+      val n = buf.getInt(16)
+      val wordsLen = buf.getInt(32)
+      val words = new Array[Long](wordsLen)
+      var i = 0
+      while (i < wordsLen) {
+        words(i) = buf.getLong(bytes.length - (wordsLen - i) * 8); i += 1
+      }
+      val deleted = java.util.BitSet.valueOf(words)
+      (0 until n).iterator.filterNot(deleted.get).map(i => buf.getLong(36 + 8 * i))
+    }
+
     def fromBytes(bytes: Array[Byte]): FrozenGraph = {
       val buf = java.nio.ByteBuffer.wrap(bytes)
       require(buf.getInt() == Magic, "not a graft HNSW graph blob")
@@ -674,6 +725,23 @@ object Hnsw {
       embCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a repeated id would land in MULTIPLE partition graphs and occupy
+    // several top-k slots for one logical row — the invariant
+    // insertIntoSaved enforces with its anti-join, enforced here with a
+    // loud require rather than a silent dropDuplicates: dedup would
+    // REPARTITION the corpus by id and destroy exactly the cluster
+    // co-location a routed build depends on. Ids-only aggregate, one
+    // partial-combined pass — index builds are once-per-corpus.
+    val idStats = corpus.agg(
+      count(col(idCol)), countDistinct(col(idCol))).head()
+    require(idStats.getLong(0) == idStats.getLong(1),
+      s"corpus has duplicate ids (${idStats.getLong(0)} rows, " +
+        s"${idStats.getLong(1)} distinct): an id may only live in one blob")
+    // tmp+swap like every maintenance op: mode("overwrite") straight onto
+    // the target deletes the OLD index before the job is known to finish —
+    // a mid-write crash while rebuilding an existing path would strand the
+    // caller with neither index (or worse, a partial blob set that
+    // searchSaved happily serves with missing corpus coverage)
     corpus.select(col(idCol).cast("long"), col(embCol))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -687,7 +755,8 @@ object Hnsw {
       }
       .toDF("graph", "centroid")
       .withColumn("part_id", monotonically_increasing_id())
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(path + "_tmp")
+    swapDir(spark, path)
   }
 
   /** Search previously persisted partition graphs: one task per graph blob
@@ -716,19 +785,21 @@ object Hnsw {
       allowed: Option[DataFrame] = None, oversample: Int = 3,
       probeBlobs: Int = 0, maxQueryBatch: Int = 100000,
       metric: String = "l2"): DataFrame = {
-    // `metric` steers BLOB ROUTING only (the per-blob graph walk always
-    // uses the metric frozen in each blob's header): ranking a cosine
-    // index's blobs by raw L2 would route queries away from the blobs
-    // holding their true cosine neighbors whenever centroid norms differ —
-    // silent recall loss, because the in-blob search still looks right.
-    val routeMc = metricCode(metric)
+    // `metric` is only a FALLBACK for blob routing on an empty index: the
+    // routing metric is read from the blob headers themselves (see below),
+    // because ranking a cosine index's blobs by raw L2 would route queries
+    // away from the blobs holding their true cosine neighbors whenever
+    // centroid norms differ — silent recall loss, because the in-blob walk
+    // (which always uses the frozen metric) still looks right.
     import spark.implicits._
     // the query set is broadcast to every probed blob — an unbounded batch
     // would be an unbounded driver collect AND an O(|queries| x |blobs|)
     // probe matrix; chunk the batch upstream or raise this deliberately.
     // The limit bounds the collect itself: the guard must fire before the
     // driver materializes the batch, not after.
-    val qRows = queries.select(col(queryIdCol), col(queryEmbCol))
+    // cast the id like the corpus path does — an IntegerType query id
+    // would ClassCastException at getLong otherwise
+    val qRows = queries.select(col(queryIdCol).cast("long"), col(queryEmbCol))
       .limit(maxQueryBatch + 1).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(qRows.length <= maxQueryBatch,
@@ -756,9 +827,36 @@ object Hnsw {
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         if (cents.length <= probeBlobs) None
         else {
-          val perQuery = qRows.map { case (_, qv) =>
-            cents.map { case (pid, c) => (pid, distArr(routeMc, qv, c)) }
-              .sortBy(_._2).take(probeBlobs).map(_._1)
+          // the routing metric comes from the INDEX (one header peek —
+          // the same check insertIntoSaved makes), not from the caller's
+          // possibly-defaulted `metric` argument
+          val routeMc = saved.select(col("graph")).as[Array[Byte]].head(1)
+            .headOption.map(b => FrozenGraph.peek(b)._1)
+            .getOrElse(metricCode(metric))
+          // |queries| x |blobs| distances: partial top-probeBlobs
+          // selection (insertion into a probeBlobs-length array, O(B·p)
+          // with p ~ single digits — no full O(B log B) sort per query)
+          // on a PARALLEL stream — at 100K queries x 1000 shards x high
+          // dim a single-threaded full-sort routing pass stalls the
+          // driver for minutes before any executor works. Ties keep the
+          // first-seen blob, matching the stable sort this replaces.
+          val p = probeBlobs
+          val perQuery = new Array[Array[Long]](qRows.length)
+          java.util.stream.IntStream.range(0, qRows.length).parallel().forEach { qi =>
+            val qv = qRows(qi)._2
+            val bestD = Array.fill(p)(Double.MaxValue)
+            val bestP = new Array[Long](p)
+            cents.foreach { case (pid, c) =>
+              val d = distArr(routeMc, qv, c)
+              if (d < bestD(p - 1)) {
+                var j = p - 1
+                while (j > 0 && d < bestD(j - 1)) {
+                  bestD(j) = bestD(j - 1); bestP(j) = bestP(j - 1); j -= 1
+                }
+                bestD(j) = d; bestP(j) = pid
+              }
+            }
+            perQuery(qi) = bestP
           }
           val byBlob = perQuery.zipWithIndex
             .flatMap { case (pids, qi) => pids.map(_ -> qi) }
@@ -875,15 +973,19 @@ object Hnsw {
     val spark = rows.sparkSession
     import spark.implicits._
     val saved = spark.read.parquet(path).select(col("graph")).as[Array[Byte]]
-    saved.head(1).headOption.foreach { b =>
+    // one header peek gates metric AND dim: a mixed-metric index would
+    // silently merge incomparable distances; a mixed-dim one would crash
+    // (or silently prefix-compare) only later, at search time
+    val indexDim = saved.head(1).headOption.map { b =>
       val mc = FrozenGraph.peek(b)._1
       require(mc == metricCode(metric),
         s"index is ${FrozenGraph.metricName(mc)}, insert called with $metric")
+      FrozenGraph.peekDim(b)
     }
-    val existing = saved.flatMap { bytes =>
-      val g = FrozenGraph.fromBytes(bytes)
-      (0 until g.n).iterator.filterNot(g.deleted.get).map(g.ids(_))
-    }.toDF(idCol)
+    // ids via the header-only decode: fromBytes would pay the full
+    // adjacency + n*dim vector materialization of EVERY blob just to list
+    // ids — on a large index that is the vector payload re-read per batch
+    val existing = saved.flatMap(FrozenGraph.peekIds).toDF(idCol)
     // Dedup within the batch too — the anti-join only guards against ids
     // already saved; a doubled id inside one batch would land in two
     // partition graphs and take two top-k slots for one logical row.
@@ -891,6 +993,12 @@ object Hnsw {
       .dropDuplicates(idCol)
       .join(existing, Seq(idCol), "left_anti")
       .as[(Long, Array[Float])]
+      .map { r =>
+        indexDim.foreach(d => require(r._2 != null && r._2.length == d,
+          s"batch vector dim ${Option(r._2).map(_.length).getOrElse(-1)} " +
+            s"!= index dim $d (id ${r._1})"))
+        r
+      }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = fresh.count()
     if (n > 0) {
@@ -964,17 +1072,26 @@ object Hnsw {
     if (nSmall <= 1) { blobs.unpersist(); return 0L }
     val totalSmall = blobs.filter(col("live") < minNodes)
       .agg(sum("live")).head().getLong(0)
-    // explode small blobs to live rows, rebuild into ~targetNodes graphs
+    // explode small blobs to live rows, rebuild into ~targetNodes graphs.
+    // Rows keep their SOURCE blob id and the rebuild repartitions on it —
+    // whole small blobs merge into a rebuilt blob, never a round-robin
+    // row scatter: on a routed index (store builds repartition by
+    // cluster_id) a row-level reshuffle would mix clusters until every
+    // rebuilt centroid sits near the global mean, which is exactly the
+    // shape searchSaved's routing comment warns loses recall — silently,
+    // since in-blob searches still look right.
     val rows = blobs.filter(col("live") < minNodes)
-      .select(col("graph")).as[Array[Byte]]
-      .flatMap { bytes =>
+      .select(col("part_id"), col("graph")).as[(Long, Array[Byte])]
+      .flatMap { case (pid, bytes) =>
         val g = FrozenGraph.fromBytes(bytes)
         (0 until g.n).iterator.filterNot(g.deleted.get).map { i =>
-          (g.ids(i), java.util.Arrays.copyOfRange(g.vecs, i * g.dim, (i + 1) * g.dim))
+          (pid, g.ids(i),
+            java.util.Arrays.copyOfRange(g.vecs, i * g.dim, (i + 1) * g.dim))
         }
       }
     val nParts = math.max(1, (totalSmall / targetNodes).toInt)
-    val rebuilt = rows.repartition(nParts)
+    val rebuilt = rows.repartition(nParts, col("_1"))
+      .map { case (_, id, v) => (id, v) }
       .mapPartitions { it =>
         val g = new Graph(metric, cfg)
         it.foreach { case (id, v) => g.insert(id, v) }
@@ -1012,7 +1129,7 @@ object Hnsw {
     // broadcast to every corpus partition, so an unbounded batch is an
     // unbounded driver collect — the limit bounds the collect itself so the
     // guard fires before the driver materializes the batch, not after OOM
-    val qRows = queries.select(col(queryIdCol), col(queryEmbCol))
+    val qRows = queries.select(col(queryIdCol).cast("long"), col(queryEmbCol))
       .limit(maxQueryBatch + 1).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(qRows.length <= maxQueryBatch,

@@ -157,6 +157,43 @@ class HnswSpec extends SparkSpec {
     assert(total2 == 160L)
   }
 
+  test("guards: duplicate build ids, ragged dims, int query ids, peekIds") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 60)
+      .select(col("vec_id").as("id"), col("embedding")).repartition(2)
+    // a repeated id may not land in two blobs — loud, not dropDuplicates
+    // (dedup would repartition away a routed build's co-location)
+    intercept[IllegalArgumentException] {
+      Hnsw.buildAndSave(corpus.union(corpus),
+        java.nio.file.Files.createTempDirectory("graft_hnsw_dup_").toString + "/g")
+    }
+    // ragged vectors fail at the offending row, not deep inside freeze
+    val g = new Graph("l2", HnswConfig())
+    g.insert(1L, Array(1f, 2f, 3f))
+    intercept[IllegalArgumentException] { g.insert(2L, Array(1f, 2f)) }
+    // cross-blob dim gate on the incremental path
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_dim_").toString + "/g"
+    Hnsw.buildAndSave(corpus, path)
+    import spark.implicits._
+    val wrongDim = Seq((999L, Array.fill(3)(0.5f))).toDF("id", "embedding")
+    intercept[org.apache.spark.SparkException] { // require fires in a task
+      Hnsw.insertIntoSaved(wrongDim, path)
+    }
+    // an IntegerType query id must not ClassCastException at the collect
+    val qInt = Seq((7, emb.filter(col("vec_id") === 7)
+        .head.getAs[scala.collection.immutable.ArraySeq[Float]]("embedding").toArray))
+      .toDF("query_id", "q_embedding")
+    val hit = Hnsw.searchSaved(spark, path, qInt, k = 1, efSearch = 100).collect().head
+    assert(hit.getLong(1) == 7L)
+    // header-only id enumeration matches the full decode
+    val blob = spark.read.parquet(path).select(col("graph")).as[Array[Byte]].head()
+    val full = Hnsw.FrozenGraph.fromBytes(blob)
+    val ids = (0 until full.n).filterNot(full.deleted.get).map(full.ids(_)).toSet
+    assert(Hnsw.FrozenGraph.peekIds(blob).toSet == ids)
+    // searches reject a query of the wrong dimension loudly
+    intercept[IllegalArgumentException] { full.search(Array(1f, 2f), 1, 10) }
+  }
+
   test("persisted graphs: compactSaved merges fragmented insert batches") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val path = java.nio.file.Files.createTempDirectory("graft_hnsw_frag_").toString + "/g"
