@@ -237,8 +237,22 @@ class VectorStore(val spark: SparkSession, val path: String,
       df.join(t, df("vid") === t("t_vid") && df("ts") <= t("deleted_at"), "left_anti")
     }
 
-  private def latestMetaOverlay: DataFrame = metaUpdates
-    .groupBy("vid").agg(max_by(col("metadata"), col("updated_at")).as("meta_new"))
+  /** Latest live overlay per vid. An update belongs to the row GENERATION
+    * that was live when it was made, so updates at-or-before a tombstone's
+    * deleted_at die with that generation (same guard as [[dropTombstoned]]):
+    * without it, update(a) -> delete(a) -> reinsert(a) resurrects the stale
+    * overlay onto the new row — and vacuum would bake it in permanently. */
+  private def latestMetaOverlay: DataFrame = {
+    val mu = metaUpdates
+    val live =
+      if (!hasRows("tombstones")) mu
+      else {
+        val t = tombstones.select(col("vid").as("t_vid"), col("deleted_at"))
+        mu.join(t, mu("vid") === t("t_vid") && mu("updated_at") <= t("deleted_at"),
+          "left_anti")
+      }
+    live.groupBy("vid").agg(max_by(col("metadata"), col("updated_at")).as("meta_new"))
+  }
 
   private def applyMetaOverlay(df: DataFrame): DataFrame =
     if (!hasRows("meta_updates")) df
@@ -266,6 +280,10 @@ class VectorStore(val spark: SparkSession, val path: String,
     // .length below — insertDF's per-row "null embedding" check, Seq form
     batch.find(_.embedding == null).foreach(r =>
       throw new IllegalArgumentException(s"id=${r.id}: null embedding"))
+    // a null id hashes to vid=NULL, which no join (dedup anti-join,
+    // tombstone, delete target) can ever match again — the row would be
+    // live forever and undeletable, violating the non-null schema
+    require(!batch.exists(_.id == null), "null id in batch")
     val dims = batch.map(_.embedding.length).distinct
     require(dims.size == 1, s"mixed dimensions in batch: $dims")
     val dim = dims.head
@@ -295,7 +313,15 @@ class VectorStore(val spark: SparkSession, val path: String,
     val deduped = batch.groupBy(_.id).map(_._2.head).toSeq
     val df = deduped.toDF()
       .withColumn("vid", vidExpr(col("id")))
-      .withColumn("ts", coalesce(to_timestamp(col("tsString")), current_timestamp()))
+      // an unparseable tsString must FAIL, not silently become now(): the
+      // caller intended a backdated row, and a fabricated timestamp skews
+      // migrate cutoffs / ageStats / tombstone generations undetectably —
+      // the same loudness contract as the metadata and dimension checks
+      .withColumn("ts",
+        when(col("tsString").isNull, current_timestamp())
+          .when(to_timestamp(col("tsString")).isNotNull, to_timestamp(col("tsString")))
+          .otherwise(raise_error(concat(lit("id="), col("id"),
+            lit(": unparseable tsString: "), col("tsString"))).cast("timestamp")))
       .select("id", "vid", "embedding", "metadata", "ts")
     val existing = vectors.select("vid")
     val fresh = df.join(existing, Seq("vid"), "left_anti").cache()
@@ -355,16 +381,21 @@ class VectorStore(val spark: SparkSession, val path: String,
     // later filtered read), schema violation (executor-side validator)
     val jsonErr = when(col("metadata").isNotNull &&
         try_parse_json(col("metadata")).isNull, lit("metadata is not valid JSON"))
+    // null id first: it hashes to vid=NULL, which no join (dedup
+    // anti-join, tombstone, delete target) can ever match — the row would
+    // be permanently live and undeletable
     val err = schemaOpt match {
       case None =>
-        when(col("embedding").isNull, lit("null embedding"))
+        when(col("id").isNull, lit("null id"))
+          .when(col("embedding").isNull, lit("null embedding"))
           .when(size(col("embedding")) =!= dim,
             concat(lit("dimension mismatch: store="), lit(dim),
               lit(" row="), size(col("embedding"))))
           .otherwise(jsonErr)
       case Some(sch) =>
         val vErr = VectorStore.schemaErrUdf(sch.json)(col("metadata"))
-        when(col("embedding").isNull, lit("null embedding"))
+        when(col("id").isNull, lit("null id"))
+          .when(col("embedding").isNull, lit("null embedding"))
           .when(size(col("embedding")) =!= dim,
             concat(lit("dimension mismatch: store="), lit(dim),
               lit(" row="), size(col("embedding"))))
