@@ -10,42 +10,139 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * Protocol: a writer fully materializes `tmp`, then [[commit]] writes the
   * MARKER (the durable signal "this `tmp` is complete and committed to
-  * replacing `live`"), deletes `live`, renames `tmp` into place, and drops
-  * the marker. [[recover]], run at open time, finishes a marker-evidenced
-  * swap from any crash point; with NO marker it only adopts a `tmp` whose
-  * live dir is MISSING (a pre-marker-era crash between delete and rename —
-  * no live writer can be mid-swap there, because a live swap holds its
-  * marker until after the rename), and it leaves a markerless `tmp` next
-  * to an intact live dir untouched: that may be a CONCURRENT writer's
-  * in-flight rewrite, and the next rewrite clobbers it anyway (all tier
-  * rewrites write `tmp` with SaveMode.Overwrite).
+  * replacing `live`"), moves `live` aside, renames `tmp` into place, and
+  * drops the marker. [[recover]], run at open time, finishes a
+  * marker-evidenced swap from any crash point; with NO marker it only
+  * adopts a `tmp` whose live dir is MISSING (a pre-marker-era crash — no
+  * live writer can be mid-swap there, because a live swap holds its marker
+  * until after the rename), and it leaves a markerless `tmp` next to an
+  * intact live dir untouched: that may be a CONCURRENT writer's in-flight
+  * rewrite, and the next rewrite clobbers it anyway (all tier rewrites
+  * write `tmp` with SaveMode.Overwrite).
   *
-  * Concurrency contract: a SINGLE WRITER per swapped path (any number of
-  * readers). The marker makes recovery safe against crashed writers, not
-  * against two live writers racing the same path — commit's `exists(tmp)`
-  * re-check only narrows that window (a concurrent open's recovery may
-  * have finished the swap already), it does not close it. */
+  * Safety under concurrent callers: the live dir is never deleted — it is
+  * renamed aside (`<live>_old`) and discarded only after the new live dir
+  * is in place — and the aside/rename/cleanup sequence runs under a SWAP
+  * LOCK (a sibling `<live>_swap.lock` file taken by exclusive create,
+  * plus a per-path JVM monitor), so two recoveries of the same
+  * marker-evidenced swap serialize instead of interleaving destructively.
+  * Unchecked-interleaving recovery was a real race: `recover` used to
+  * delete(live) then rename(tmp, live) with the rename result ignored, so
+  * racer A's installed result could be deleted by racer B, silently
+  * leaving the tier missing. Hadoop's local rename is not even atomic
+  * under contention (it falls back to copy+delete and throws), which is
+  * why this serializes rather than attempting lock-free convergence. A
+  * lock older than [[LockStaleMs]] is presumed a crashed recoverer's and
+  * is broken; a caller that cannot obtain the lock within
+  * [[LockMaxWaitMs]] fails loudly rather than proceeding unserialized.
+  *
+  * The single-writer contract still governs PRODUCING `tmp` (two live
+  * writers racing rewrites of one path remain exclusive by
+  * `VectorStore`'s writer lease); crash recovery itself is safe from any
+  * number of concurrent openers. */
 object FsSwap {
+
+  /** A swap lock file untouched for this long belongs to a crashed
+    * recoverer (the critical section is a handful of renames). */
+  val LockStaleMs: Long = 60000L
+  /** Give up (loudly) if the lock cannot be obtained within this. */
+  val LockMaxWaitMs: Long = 60000L
+
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   def commit(fs: FileSystem, live: Path, tmp: Path, marker: Path,
       markerContent: String = "{}"): Unit = {
     val out = fs.create(marker, true)
     try out.write(markerContent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(tmp)) { // a concurrent open's recover may have finished it
-      fs.delete(live, true)
-      fs.rename(tmp, live)
+    withSwapLock(fs, live) {
+      if (fs.exists(marker)) finishSwap(fs, live, tmp, marker)
     }
-    fs.delete(marker, false)
   }
 
   def recover(fs: FileSystem, live: Path, tmp: Path, marker: Path): Unit = {
-    if (fs.exists(tmp)) {
-      if (fs.exists(marker)) {
-        fs.delete(live, true)
-        fs.rename(tmp, live)
-        fs.delete(marker, false)
-      } else if (!fs.exists(live)) fs.rename(tmp, live)
-    } else if (fs.exists(marker)) fs.delete(marker, false) // swap finished, marker orphaned
+    // lock-free fast path: the common nothing-to-recover open costs two
+    // exists probes and never creates a lock file
+    if (!fs.exists(marker) && !fs.exists(tmp)) return
+    withSwapLock(fs, live) {
+      // re-check under the lock: a concurrent recoverer may have finished
+      if (fs.exists(marker)) finishSwap(fs, live, tmp, marker)
+      else if (fs.exists(tmp) && !fs.exists(live)) {
+        // pre-marker-era crash between delete and rename: adopt the tmp
+        tryRename(fs, tmp, live); ()
+      }
+    }
   }
+
+  /** Drive a marker-evidenced swap to completion from any crash state.
+    * Caller holds the swap lock. Every rename is checked; the marker is
+    * dropped only once the new live dir is observed in place, so a
+    * failure at any step leaves the marker as evidence for the next
+    * recovery instead of a silently-missing tier. */
+  private def finishSwap(fs: FileSystem, live: Path, tmp: Path,
+      marker: Path): Unit = {
+    val aside = new Path(live.getParent, live.getName + "_old")
+    if (fs.exists(tmp)) {
+      if (fs.exists(live)) {
+        // a crashed recovery's aside dir holds pre-swap data that `tmp`
+        // supersedes — clear it so the aside rename cannot collide
+        fs.delete(aside, true)
+        if (!tryRename(fs, live, aside)) return // marker stays; retry next open
+      }
+      if (tryRename(fs, tmp, live)) {
+        fs.delete(aside, true)
+        fs.delete(marker, false)
+      }
+    } else if (fs.exists(live)) {
+      // crash after the install rename: only cleanup remains
+      fs.delete(aside, true)
+      fs.delete(marker, false)
+    } else if (fs.exists(aside)) {
+      // crash between rename(live->aside) and rename(tmp->live) consumed
+      // neither tmp nor marker — unreachable with tmp missing unless the
+      // tmp write itself never completed; restore the aside so the path
+      // is not left empty (marker stays: the swap never finished)
+      tryRename(fs, aside, live); ()
+    }
+  }
+
+  /** Checked rename: Hadoop FileSystem.rename both returns false AND
+    * throws (local FS copy-fallback) depending on how a race lands;
+    * normalize to a boolean so callers can keep the marker on failure. */
+  private def tryRename(fs: FileSystem, src: Path, dst: Path): Boolean =
+    try fs.rename(src, dst)
+    catch { case _: java.io.IOException => false }
+
+  /** Serialize swap-finishing per live path: per-path JVM monitor for
+    * same-process callers (VectorStore opens share one JVM in local mode)
+    * plus an exclusive-create lock file for cross-process callers. */
+  private def withSwapLock[T](fs: FileSystem, live: Path)(body: => T): T = {
+    val mon = jvmLocks.computeIfAbsent(
+      fs.makeQualified(live).toString, _ => new Object)
+    mon.synchronized {
+      val lock = new Path(live.getParent, live.getName + "_swap.lock")
+      val deadline = System.currentTimeMillis() + LockMaxWaitMs
+      var acquired = tryCreate(fs, lock)
+      while (!acquired) {
+        val age =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime
+          catch { case _: java.io.IOException => Long.MaxValue } // vanished
+        if (age > LockStaleMs) fs.delete(lock, false) // crashed recoverer
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"could not obtain swap lock $lock within $LockMaxWaitMs ms; " +
+              "another recovery appears wedged — remove the lock file if " +
+              "no recovering process is alive")
+        else Thread.sleep(100)
+        acquired = tryCreate(fs, lock)
+      }
+      try body finally fs.delete(lock, false)
+    }
+  }
+
+  private def tryCreate(fs: FileSystem, p: Path): Boolean =
+    try { fs.create(p, false).close(); true }
+    catch { case _: java.io.IOException => false }
 }

@@ -1,0 +1,118 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Advisory single-writer lease over a store root — the ENFORCEMENT of the
+  * contract [[FsSwap]]'s scaladoc only documents. Every mutating store
+  * entry point runs under [[withLease]]; a second live writer gets a loud
+  * `ConcurrentWriterException` instead of undefined behavior, while
+  * readers never touch the lease at all.
+  *
+  * Mechanics: acquisition is an EXCLUSIVE create of `<root>/_writer.lease`
+  * (`FileSystem.create(overwrite = false)` — the atomic primitive on
+  * local FS and HDFS; on S3-like stores without atomic create the lease
+  * degrades to best-effort advisory, same as every FS-lock scheme). The
+  * file body records owner (`pid@host`), a random token, and the acquire
+  * time. A lease older than `ttlMs` is STALE — its writer is presumed
+  * crashed (crash state itself is handled by [[FsSwap.recover]] at the
+  * next open) — and may be broken and re-acquired; the delete+recreate
+  * race between two breakers is resolved by the exclusive create (exactly
+  * one wins). Release re-reads the file and deletes it only when the
+  * token still matches, so a breaker that legitimately took over a stale
+  * lease can't have its fresh lease deleted by the stale owner's
+  * `finally`.
+  *
+  * Reentrant per handle: compound operations (migrate → auto-rebalance,
+  * insert → insertDF) nest `withLease` freely; depth counting keeps one
+  * FS create/delete pair per outermost call. The handle itself is
+  * synchronized, matching the store's one-writer-thread usage.
+  *
+  * TTL default (30 min) is sized to bound the longest mutation the store
+  * runs (full-tier vacuum/compaction at scale); there is deliberately no
+  * mid-operation renewal — a renewal heartbeat would need a background
+  * thread per store handle, and a writer that stalls past the TTL loses
+  * the lease to a breaker exactly as a crashed one does, which the
+  * marker-bracketed swap protocol already survives. */
+final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long) {
+
+  val leasePath = new Path(root, "_writer.lease")
+  private val token = java.util.UUID.randomUUID().toString
+  private var depth = 0
+
+  private def ownerString: String =
+    s"${ProcessHandle.current().pid()}@${java.net.InetAddress.getLocalHost.getHostName}"
+
+  def withLease[T](body: => T): T = synchronized {
+    if (depth > 0) { depth += 1; try body finally depth -= 1 }
+    else {
+      acquire()
+      depth = 1
+      try body finally { depth = 0; release() }
+    }
+  }
+
+  /** (owner, token, acquiredMs) of the current lease file, if readable. */
+  def readLease(): Option[(String, String, Long)] =
+    try {
+      val in = fs.open(leasePath)
+      val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
+      // fixed 3-line format written by tryCreate — no JSON parser needed
+      txt.split("\n", -1) match {
+        case Array(o, t, ts, _*) => Some((o, t, ts.trim.toLong))
+        case _ => None
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** A lease held by a process other than this handle, still inside TTL. */
+  def heldByOther(): Boolean = readLease() match {
+    case Some((_, tok, ts)) =>
+      tok != token && System.currentTimeMillis() - ts <= ttlMs
+    case None => false
+  }
+
+  private def tryCreate(): Boolean =
+    try {
+      val out = fs.create(leasePath, false) // exclusive: fails if it exists
+      try out.write(s"$ownerString\n$token\n${System.currentTimeMillis()}\n"
+        .getBytes(UTF_8))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
+  private def acquire(): Unit = {
+    if (tryCreate()) return
+    // exclusive create + body write are two steps: a racer's lease may be
+    // momentarily empty/unreadable — re-read briefly before concluding
+    // it's crash debris, so a LIVE writer's fresh lease is never broken
+    var lease = readLease()
+    var tries = 0
+    while (lease.isEmpty && tries < 3 && fs.exists(leasePath)) {
+      Thread.sleep(50); lease = readLease(); tries += 1
+    }
+    lease match {
+      case Some((owner, tok, ts))
+          if tok != token && System.currentTimeMillis() - ts <= ttlMs =>
+        throw new WriterLease.ConcurrentWriterException(
+          s"store at '$root' is locked by writer $owner " +
+            s"(lease ${leasePath}, age ${System.currentTimeMillis() - ts} ms, " +
+            s"ttl $ttlMs ms); concurrent writers are not allowed — retry " +
+            "after the other writer finishes, or delete the lease file if " +
+            "that process is known dead")
+      case _ =>
+        // stale beyond TTL, or persistently unreadable crash debris
+        fs.delete(leasePath, false)
+        if (!tryCreate()) acquire() // lost the re-create race: re-evaluate
+    }
+  }
+
+  private def release(): Unit = readLease() match {
+    case Some((_, tok, _)) if tok == token => fs.delete(leasePath, false)
+    case _ => // lease broken/taken while we ran (stalled past TTL) — not ours to delete
+  }
+}
+
+object WriterLease {
+  class ConcurrentWriterException(msg: String)
+    extends IllegalStateException(msg)
+}

@@ -340,11 +340,27 @@ object Ivf {
     // row_number <= maxSize selected under the same (dist ASC, id ASC)
     // order — including the id tie-break that keeps duplicate/equidistant
     // vectors ranking identically on every run and partitioning.
-    val idIsString =
-      assigned.schema(idCol).dataType == org.apache.spark.sql.types.StringType
+    // the aggregate's long/string tie-break and the raw-column keep
+    // predicate below must rank identically: a fractional id would
+    // truncate inside the aggregate but compare raw in the predicate, and
+    // the aggregate silently drops null-id rows the predicate would route
+    // to overflow — so require the id shape the uniqueness assumption
+    // already implies (non-null, string or integral) instead of diverging
+    import org.apache.spark.sql.types._
+    val idType = assigned.schema(idCol).dataType
+    val idIsString = idType == StringType
+    require(idIsString ||
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"balance requires a string or integral id column for the keep/" +
+        s"overflow tie-break; '$idCol' is $idType")
+    // data-level null guard: the threshold aggregation scans every row, so
+    // raising there catches a null id anywhere in `assigned`
+    val checkedId = when(col(idCol).isNull,
+      raise_error(lit(s"balance requires non-null '$idCol' ids")))
+      .otherwise(col(idCol))
     val topk = if (idIsString) TopK.topKStr(maxSize) else TopK.topK(maxSize)
     val th = assigned
-      .select(col("cluster_id").as("_bal_cid"), col(idCol).as("_bal_id"),
+      .select(col("cluster_id").as("_bal_cid"), checkedId.as("_bal_id"),
         own.as("_bal_own"))
       .groupBy("_bal_cid")
       .agg(topk(col("_bal_id"), col("_bal_own")).as("_bal_hits"))

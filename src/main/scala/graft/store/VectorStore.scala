@@ -50,7 +50,19 @@ class VectorStore(val spark: SparkSession, val path: String,
 
   private def dir(name: String) = s"$path/$name"
 
-  recoverSwaps() // finish any swap a previous process died inside (see below)
+  // Single-writer ENFORCEMENT (not just FsSwap's documented contract):
+  // every mutating entry point below runs under this lease; a second live
+  // writer fails loudly with ConcurrentWriterException. Readers stay
+  // lock-free.
+  private val lease =
+    new graft.core.WriterLease(fs, new Path(path), config.leaseTtlMs)
+
+  // Finish any swap a previous process died inside (see recoverSwaps) —
+  // but NOT while a live writer holds the lease: its swap is in flight,
+  // not crashed, and the writer finishes it itself. (Recovery itself is
+  // also convergent under racers — FsSwap never deletes a live dir — so
+  // this check is about not duplicating work, not about safety.)
+  if (!lease.heldByOther()) recoverSwaps()
   private def exists(name: String) = fs.exists(new Path(dir(name), "_SUCCESS"))
 
   private def readText(p: Path): String = {
@@ -195,7 +207,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     if (fs.exists(p)) Some(MetadataSchema.parse(readText(p))) else None
   }
 
-  def setSchema(schemaJson: String): Unit = {
+  def setSchema(schemaJson: String): Unit = lease.withLease {
     val s = MetadataSchema.parse(schemaJson)
     fs.mkdirs(new Path(path))
     writeText(new Path(path, "schema.json"), s.json)
@@ -207,7 +219,7 @@ class VectorStore(val spark: SparkSession, val path: String,
   /** Init = manifest only. Table dirs materialize on first append — readOr/
     * hasRows treat a missing dir as empty, so a fresh store costs one
     * sidecar write, not four empty-parquet Spark jobs. */
-  def initIfNeeded(dim: Int): Unit = {
+  def initIfNeeded(dim: Int): Unit = lease.withLease {
     if (readManifest().isEmpty) writeManifest(Manifest(FormatVersion, dim))
   }
 
@@ -274,7 +286,7 @@ class VectorStore(val spark: SparkSession, val path: String,
   /** Insert a batch; duplicate ids (against live data or within the batch)
     * are rejected and reported, mirroring the reference's per-id dup error
     * (`hybrid/core.rs:317-321`). Returns (inserted, duplicates). */
-  def insert(batch: Seq[VectorRecord]): InsertResult = {
+  def insert(batch: Seq[VectorRecord]): InsertResult = lease.withLease {
     require(batch.nonEmpty, "empty batch")
     // diagnostic rejection with the offending id, not a bare NPE from the
     // .length below — insertDF's per-row "null embedding" check, Seq form
@@ -356,7 +368,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     * arbitrary row (a DataFrame has no order to define "first").
     * `insertedIds` is left empty by design — collecting 10^9 ids to the
     * driver is the OOM this API exists to avoid. */
-  def insertDF(df: DataFrame): InsertResult = {
+  def insertDF(df: DataFrame): InsertResult = lease.withLease {
     val cols = df.columns.toSet
     require(cols.contains("id") && cols.contains("embedding"),
       "insertDF requires id and embedding columns")
@@ -431,7 +443,7 @@ class VectorStore(val spark: SparkSession, val path: String,
 
   // ---- C2/C3/C5 soft delete ----
 
-  def delete(ids: Seq[String]): DeleteResult = {
+  def delete(ids: Seq[String]): DeleteResult = lease.withLease {
     import spark.implicits._
     val target = ids.toDF("id").withColumn("vid", vidExpr(col("id")))
     val found = vectors.select("id", "vid")
@@ -442,7 +454,7 @@ class VectorStore(val spark: SparkSession, val path: String,
   /** C3: delete everything matching a Mongo-style metadata filter; empty
     * filter deletes everything (session.rs:838-841). `deletedIds` is
     * capped at config.maxReturnedIds (count stays exact). */
-  def deleteByMetadata(filterJson: String): DeleteResult = {
+  def deleteByMetadata(filterJson: String): DeleteResult = lease.withLease {
     val matched = vectors.filter(FilterJson.predicate(filterJson, col("metadata")))
       .select("id", "vid")
     tombstone(matched)
@@ -467,7 +479,7 @@ class VectorStore(val spark: SparkSession, val path: String,
 
   // ---- C4 metadata update (full replace, schema-validated) ----
 
-  def updateMetadata(id: String, metadataJson: String): Unit = {
+  def updateMetadata(id: String, metadataJson: String): Unit = lease.withLease {
     try mapper.readTree(metadataJson)
     catch {
       case e: Exception => throw new IllegalArgumentException(
@@ -575,7 +587,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     * instead of a potentially store-sized rewrite; the remainder migrates
     * on later runs. */
   def migrate(nowOverride: Option[java.sql.Timestamp] = None,
-      maxVectors: Int = Int.MaxValue): Long = {
+      maxVectors: Int = Int.MaxValue): Long = lease.withLease {
     // resolve "now" ONCE on the driver: migration runs three Spark jobs
     // (count, historical append, recent rewrite), and a per-job
     // current_timestamp() would advance the cutoff between them — rows whose
@@ -682,7 +694,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     }
   }
 
-  def rebalance(maxSize: Int): Long = {
+  def rebalance(maxSize: Int): Long = lease.withLease {
     // hasRows is flat-dir only; the historical tier nests cluster_id=*/
     if (!exists("centroids") || !exists("historical")) return 0L
     val hist = historical
@@ -765,7 +777,7 @@ class VectorStore(val spark: SparkSession, val path: String,
 
   // ---- C6 vacuum: physical removal of soft-deleted + overlay compaction ----
 
-  def vacuum(): VacuumResult = {
+  def vacuum(): VacuumResult = lease.withLease {
     // nothing to compact -> zero Spark jobs, and the serving artifacts
     // (recent index, code tables) stay valid — vacuum on a clean store is
     // free instead of a full double-tier rewrite + index invalidation
@@ -960,7 +972,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     * index (delete it) — rebuild after maintenance. */
   def buildRecentIndex(efConstruction: Int = 100, m: Int = 16,
       metric: String = "l2", numBlobs: Int = 0,
-      routed: Boolean = false): Unit = {
+      routed: Boolean = false): Unit = lease.withLease {
     require(metric == "l2" || metric == "cosine",
       s"recent index supports l2|cosine, got $metric")
     val parts =
@@ -1126,7 +1138,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     * explicit `residual = true` against a saved PLAIN model errors
     * (switching formulations needs a retrain). */
   def enablePq(m: Int = 8, kCodes: Int = 64, trainSize: Int = 10000,
-      retrain: Boolean = true, residual: Boolean = false): Unit = {
+      retrain: Boolean = true, residual: Boolean = false): Unit = lease.withLease {
     require(hasRowsRecursive("historical"),
       "PQ tier requires a populated historical tier (run migrate first)")
     // part list FIRST, then the DataFrame (which pins its file listing at
@@ -1200,7 +1212,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     * (a full `enablePq` re-encode is only needed when `rebalance` moves
     * cluster assignments or `vacuum` spends the tombstones). Returns the
     * number of rows encoded. */
-  def refreshPq(): Long = {
+  def refreshPq(): Long = lease.withLease {
     require(hasPq, "PQ tier not built; call enablePq()")
     val model = Pq.load(spark, dir("pq_model"))
     val residual = pqIsResidual
@@ -1213,7 +1225,7 @@ class VectorStore(val spark: SparkSession, val path: String,
 
   /** [[refreshPq]] for the u8 tier (model-free: the per-row affine params
     * make the delta encode a pure projection). */
-  def refreshSq(): Long = {
+  def refreshSq(): Long = lease.withLease {
     require(hasSq, "SQ tier not built; call enableSq()")
     appendCodeDelta("sq_codes") { delta =>
       delta.select(col("id"), col("vid"), col("ts"),
@@ -1414,7 +1426,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     * partition-pruned. Codes carry (vid, ts) so tombstones and the
     * post-`migrate` delta compose at search time. Model-free: re-enabling
     * after vacuum/rebalance is one map-only pass, no training. */
-  def enableSq(): Unit = {
+  def enableSq(): Unit = lease.withLease {
     require(hasRowsRecursive("historical"),
       "SQ tier requires a populated historical tier (run migrate first)")
     val histParts = listDataParts("historical") // see enablePq
@@ -1476,7 +1488,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     * the tier so probed search stays partition-pruned. Codes carry
     * (vid, ts) so tombstones and the post-`migrate` delta compose at
     * search time, same as the PQ/SQ tables. */
-  def enableBq(): Unit = {
+  def enableBq(): Unit = lease.withLease {
     require(hasRowsRecursive("historical"),
       "BQ tier requires a populated historical tier (run migrate first)")
     val d = dimension.getOrElse(throw new IllegalStateException(
@@ -1494,7 +1506,7 @@ class VectorStore(val spark: SparkSession, val path: String,
   def hasBq: Boolean = hasRowsRecursive("bq_codes")
 
   /** [[refreshPq]] for the sign-bit tier (model-free delta encode). */
-  def refreshBq(): Long = {
+  def refreshBq(): Long = lease.withLease {
     require(hasBq, "BQ tier not built; call enableBq()")
     val d = dimension.getOrElse(throw new IllegalStateException(
       "store has no recorded dimension"))
@@ -1548,7 +1560,11 @@ object VectorStore {
       // cap on id lists returned by delete/deleteByMetadata: the count is
       // always exact, but a filter matching 10^9 rows must not OOM the
       // driver for the sake of echoing every id back
-      maxReturnedIds: Int = 10000)
+      maxReturnedIds: Int = 10000,
+      // single-writer lease TTL: a lease older than this is presumed a
+      // crashed writer's and may be broken (see graft.core.WriterLease);
+      // sized to bound the longest store mutation (full-tier compaction)
+      leaseTtlMs: Long = 30L * 60 * 1000)
 
   /** Executor-side schema validator for [[VectorStore.insertDF]]: the
     * schema travels as its JSON string (JsonNode serializability is a

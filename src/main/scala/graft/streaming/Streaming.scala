@@ -280,13 +280,16 @@ object Streaming {
 
   /** Non-empty parquet part files under the accepted-state table — the
     * bounded-growth signal [[dedupIngest]]'s compaction maintains; exposed
-    * so operators (and the spec) can watch it next to the doc count. */
+    * so operators (and the spec) can watch it next to the doc count. A PURE
+    * reader: it never touches the swap state (recovery belongs to the
+    * writer — [[dedupIngest]] runs it at stream start and before every
+    * batch), so probing concurrently with a live stream is always safe. A
+    * crash-stranded swap simply reads as the pre-swap file count (live dir
+    * intact) until the next stream open recovers it. */
   def acceptedStateFileCount(spark: org.apache.spark.sql.SparkSession,
       acceptedDir: String): Int = {
     val p = new org.apache.hadoop.fs.Path(s"$acceptedDir/docs")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a reader-side probe may be the first opener after a mid-swap crash
-    recoverStateSwap(spark, s"$acceptedDir/docs")
     if (!fs.exists(p)) 0
     else fs.listStatus(p).count(st =>
       st.getPath.getName.endsWith(".parquet") && st.getLen > 0)

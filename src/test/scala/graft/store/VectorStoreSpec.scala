@@ -243,6 +243,41 @@ class VectorStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("id=bad") && e.getMessage.contains("null embedding"))
   }
 
+  test("a second writer fails loudly while the store's lease is held") {
+    val st = freshStore()
+    st.insert((0 until 5).map(i => VectorRecord(s"w$i", vec(i))))
+    // simulate another live process mid-mutation: its lease file present
+    // (fresh timestamp, foreign token) AND a swap marker in flight
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaseP = new org.apache.hadoop.fs.Path(st.path, "_writer.lease")
+    val out = fs.create(leaseP, true)
+    out.write(s"12345@otherhost\nforeign-token\n${System.currentTimeMillis()}\n"
+      .getBytes("UTF-8"))
+    out.close()
+    st.recent.write.mode("overwrite").parquet(s"${st.path}/recent_tmp")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(st.path, "recent_swap.inprogress"), """{"swap": "recent"}""")
+    // a second handle OPENS fine (readers are lock-free) but must not run
+    // swap recovery under the live writer's feet...
+    val second = new VectorStore(spark, st.path)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"${st.path}/recent_tmp")),
+      "open-time recovery ran despite a live writer lease")
+    // ...and every mutation fails loudly, naming the holder
+    val e = intercept[graft.core.WriterLease.ConcurrentWriterException] {
+      second.insert(Seq(VectorRecord("blocked", vec(99))))
+    }
+    assert(e.getMessage.contains("12345@otherhost"))
+    // the "writer" dies: lease removed -> reopen recovers the swap and
+    // mutations flow again (crud lifecycle unchanged)
+    fs.delete(leaseP, false)
+    val third = new VectorStore(spark, st.path)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${st.path}/recent_tmp")))
+    third.insert(Seq(VectorRecord("unblocked", vec(100))))
+    assert(third.vectors.count() == 6)
+    assert(!fs.exists(leaseP), "lease not released after mutation")
+  }
+
   test("persistence round-trip: reopen from path preserves data and search") {
     val st = freshStore()
     st.insert((0 until 25).map(i => VectorRecord(s"p$i", vec(i), Some(s"""{"i": $i}"""))))
