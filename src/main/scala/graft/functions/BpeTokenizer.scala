@@ -26,9 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scale shape: each round is one explode/count shuffle on 2-char pair
   * keys plus one bounded top-K collect (K merges, never row data);
   * application is a scan-side chain of codegen `StringReplace`s — no UDF,
-  * no extra shuffle, 100 TB-safe. Placeholders live in the Unicode private
-  * use area (0xE000 + round*256 + rank), one char per merged token, so
-  * `length(rewritten)` IS the token count.
+  * no extra shuffle, 100 TB-safe. Placeholders live in the Unicode
+  * private-use ranges (one 256-slot block per round, PAGED across BMP
+  * U+E000.. then planes 15/16 — ~137K slots, production-vocab scale), one
+  * CODEPOINT per merged token, so `length(rewritten)` IS the token count
+  * in both engines (length/substr count codepoints, not UTF-16 chars).
   *
   * Every step is deliberately engine-replayable (the `bpe_tokenize`
   * oracle re-trains AND re-applies the same merges in DuckDB SQL:
@@ -39,8 +41,52 @@ import org.apache.spark.unsafe.types.UTF8String
 object BpeTokenizer {
 
   /** One learned merge: `pair` (2 symbols, possibly placeholders) ->
-    * `repl` (1 private-use char). Rank is global application order. */
+    * `repl` (1 private-use CODEPOINT — possibly a surrogate pair in
+    * UTF-16, always one codepoint, which is the unit both engines'
+    * `length`/`substr` count). Rank is global application order. */
   case class Merge(pair: String, repl: String, rank: Int)
+
+  // ---- placeholder paging ----------------------------------------------
+  // Merged tokens are stand-ins: one private-use codepoint each, so
+  // `length(rewritten)` IS the token count. Slots are numbered globally
+  // (block*256 + rankInBlock, one 256-slot block per training round) and
+  // PAGE across the three Unicode private-use ranges:
+  //   page 0: U+E000..U+F8FF   (BMP PUA,   slots     0..6399  — 25 blocks)
+  //   page 1: U+F0000..U+FFFFD (plane 15,  slots  6400..71933 — 255+ blocks)
+  //   page 2: U+100000..U+10FFFD (plane 16, slots 71934..137467)
+  // 137k slots ≈ 536 blocks — past a production 50K vocab with room over.
+  // Pages 1-2 are supplementary codepoints (2 UTF-16 chars) but one
+  // CODEPOINT, and Spark's length/substr and DuckDB's length/substr both
+  // count codepoints, so token counting and pair extraction are unchanged.
+  private val BmpBase = 0xE000
+  private[graft] val BmpSlots = 6400
+  private val PuaABase = 0xF0000
+  private[graft] val PuaSlots = 65534
+  private val PuaBBase = 0x100000
+  /** Max usable placeholder blocks: each block owns a 256-slot window,
+    * and the last block's window must fit inside the slot space. */
+  val MaxBlocks: Int = (BmpSlots + 2 * PuaSlots) / 256 // = 536
+
+  private[graft] def placeholderCp(slot: Int): Int = {
+    require(slot >= 1 && slot < BmpSlots + 2 * PuaSlots,
+      s"placeholder slot $slot outside the three private-use pages")
+    if (slot < BmpSlots) BmpBase + slot
+    else if (slot < BmpSlots + PuaSlots) PuaABase + (slot - BmpSlots)
+    else PuaBBase + (slot - BmpSlots - PuaSlots)
+  }
+
+  private[graft] def placeholder(slot: Int): String =
+    new String(Character.toChars(placeholderCp(slot)))
+
+  /** The SAME paging as a DuckDB expression over a (1-based) slot
+    * expression — one arithmetic, two engines: the `bpe_tokenize`/
+    * `bpe_paged` oracle generators interpolate this, so the replay can
+    * never drift from [[placeholderCp]]. */
+  def placeholderSql(slotExpr: String): String =
+    s"chr((CASE WHEN ($slotExpr) < $BmpSlots THEN $BmpBase + ($slotExpr) " +
+      s"WHEN ($slotExpr) < ${BmpSlots + PuaSlots} " +
+      s"THEN $PuaABase + (($slotExpr) - $BmpSlots) " +
+      s"ELSE $PuaBBase + (($slotExpr) - ${BmpSlots + PuaSlots}) END)::INT)"
 
   /** Sequential merge application as ONE codegen expression looping over a
     * runtime merge table — not a fold of per-merge `replace` Columns. The
@@ -110,12 +156,22 @@ object BpeTokenizer {
   /** Train `rounds` rounds of `mergesPerRound` batched merges from the
     * corpus. Each round: one pair-count aggregation over the
     * so-far-rewritten text (an expression chain — the corpus is scanned,
-    * never materialized), one bounded driver collect of K pairs. */
+    * never materialized), one bounded driver collect of K pairs.
+    *
+    * `firstBlock` offsets the placeholder block numbering — the
+    * incremental-vocab hook: training that CONTINUES a tokenizer whose
+    * first N blocks are already assigned starts at block N, and it is
+    * also how the `bpe_paged` oracle row exercises the supplementary-
+    * plane pages cross-engine without training hundreds of rounds. */
   def train(docs: DataFrame, textCol: String = "text",
-      mergesPerRound: Int = 16, rounds: Int = 2): Seq[Merge] = {
+      mergesPerRound: Int = 16, rounds: Int = 2,
+      firstBlock: Int = 0): Seq[Merge] = {
     require(mergesPerRound >= 1 && mergesPerRound <= 255,
       s"mergesPerRound must be in [1, 255], got $mergesPerRound")
-    require(rounds >= 1 && rounds <= 3, s"rounds must be in [1, 3], got $rounds")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(firstBlock >= 0 && firstBlock + rounds <= MaxBlocks,
+      s"placeholder blocks [$firstBlock, ${firstBlock + rounds}) exceed " +
+        s"the $MaxBlocks private-use blocks (~${MaxBlocks * 255} merges)")
     var merges = Vector.empty[Merge]
     for (r <- 0 until rounds) {
       val current = applyMerges(coalesce(col(textCol), lit("")), merges)
@@ -131,9 +187,9 @@ object BpeTokenizer {
         .limit(mergesPerRound)
         .select("pair").collect().map(_.getString(0))
       merges = merges ++ top.zipWithIndex.map { case (p, i) =>
-        // rank is 1-based within the round; placeholder blocks are 256
-        // apart per round so rounds never collide (K <= 255)
-        Merge(p, (0xE000 + r * 256 + i + 1).toChar.toString,
+        // rank is 1-based within the round; blocks are 256 slots apart so
+        // rounds never collide (K <= 255), paged across the PUA ranges
+        Merge(p, placeholder((firstBlock + r) * 256 + i + 1),
           merges.size + i + 1)
       }
     }

@@ -449,7 +449,14 @@ object Hnsw {
     private var visitStamp = 0
 
     /** k-NN search; deleted nodes traversed but excluded from results.
-      * Returns (id, dist) ascending by (dist, id), length <= k. */
+      * Returns (id, dist) ascending by (dist, id), length <= k.
+      *
+      * NOT thread-safe: the generation-stamped visited marks above are
+      * mutable instance state, so concurrent `search` calls on one shared
+      * FrozenGraph return silently wrong neighbors. One graph object per
+      * task/thread (each Spark task deserializes its own via [[FrozenGraph.fromBytes]]);
+      * a serving layer that caches a deserialized graph must either
+      * confine it to one thread or synchronize every search call. */
     def search(q: Array[Float], k: Int, ef: Int): Array[(Long, Double)] = {
       if (n == 0 || entry < 0) return Array.empty
       require(q.length == dim,
@@ -639,6 +646,31 @@ object Hnsw {
     private[operators] def metricName(mc: Int): String =
       if (mc == 0) "l2" else "cosine"
 
+    /** Byte length of header prefix that [[peekHeader]] needs. */
+    val HeaderPrefixLen = 16
+
+    /** (metricCode, dim) from a header PREFIX (>= 16 bytes). Driver-side
+      * peeks MUST ship only `substring(graph, 1, 16)` through the scan —
+      * collecting a whole blob row to read 8 header bytes pays hundreds of
+      * MB (targetNodes x dim x 4) per call on a production shard. */
+    def peekHeader(prefix: Array[Byte]): (Int, Int) = {
+      require(prefix.length >= HeaderPrefixLen,
+        s"HNSW header prefix ${prefix.length}B < $HeaderPrefixLen")
+      val buf = java.nio.ByteBuffer.wrap(prefix)
+      require(buf.getInt(0) == Magic, "not a graft HNSW graph blob")
+      val v = buf.getInt(4)
+      require(v == Version, s"unsupported graph format version $v")
+      (buf.getInt(8), buf.getInt(12))
+    }
+
+    /** A8 per-blob stats without materializing vectors/adjacency:
+      * (nodes, live, maxLevel) from the header + tombstone words. */
+    def peekStats(bytes: Array[Byte]): (Int, Int, Int) = {
+      val live = peek(bytes)._2 // validates magic/version, counts tombstones
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      (buf.getInt(16), live, buf.getInt(24))
+    }
+
     /** Header-only dim read (offset 12, see [[peek]]'s layout map). */
     def peekDim(bytes: Array[Byte]): Int = {
       val buf = java.nio.ByteBuffer.wrap(bytes)
@@ -667,6 +699,10 @@ object Hnsw {
       (0 until n).iterator.filterNot(deleted.get).map(i => buf.getLong(36 + 8 * i))
     }
 
+    /** Deserialize one blob. The returned graph carries mutable search
+      * scratch state — see [[FrozenGraph.search]]'s single-thread
+      * contract; deserialize one graph per thread when sharing an index
+      * across a thread pool. */
     def fromBytes(bytes: Array[Byte]): FrozenGraph = {
       val buf = java.nio.ByteBuffer.wrap(bytes)
       require(buf.getInt() == Magic, "not a graft HNSW graph blob")
@@ -829,9 +865,12 @@ object Hnsw {
         else {
           // the routing metric comes from the INDEX (one header peek —
           // the same check insertIntoSaved makes), not from the caller's
-          // possibly-defaulted `metric` argument
-          val routeMc = saved.select(col("graph")).as[Array[Byte]].head(1)
-            .headOption.map(b => FrozenGraph.peek(b)._1)
+          // possibly-defaulted `metric` argument; only the 16-byte header
+          // prefix crosses to the driver, never a whole blob
+          val routeMc = saved
+            .select(substring(col("graph"), 1, FrozenGraph.HeaderPrefixLen))
+            .as[Array[Byte]].head(1)
+            .headOption.map(b => FrozenGraph.peekHeader(b)._1)
             .getOrElse(metricCode(metric))
           // |queries| x |blobs| distances: partial top-probeBlobs
           // selection (insertion into a probeBlobs-length array, O(B·p)
@@ -975,12 +1014,15 @@ object Hnsw {
     val saved = spark.read.parquet(path).select(col("graph")).as[Array[Byte]]
     // one header peek gates metric AND dim: a mixed-metric index would
     // silently merge incomparable distances; a mixed-dim one would crash
-    // (or silently prefix-compare) only later, at search time
-    val indexDim = saved.head(1).headOption.map { b =>
-      val mc = FrozenGraph.peek(b)._1
+    // (or silently prefix-compare) only later, at search time. Only the
+    // 16-byte header prefix reaches the driver, never a whole blob.
+    val indexDim = saved
+      .select(substring(col("graph"), 1, FrozenGraph.HeaderPrefixLen))
+      .as[Array[Byte]].head(1).headOption.map { b =>
+      val (mc, d) = FrozenGraph.peekHeader(b)
       require(mc == metricCode(metric),
         s"index is ${FrozenGraph.metricName(mc)}, insert called with $metric")
-      FrozenGraph.peekDim(b)
+      d
     }
     // ids via the header-only decode: fromBytes would pay the full
     // adjacency + n*dim vector materialization of EVERY blob just to list
@@ -1024,6 +1066,26 @@ object Hnsw {
     }
     fresh.unpersist()
     n
+  }
+
+  /** A8 graph statistics over a persisted index (the reference's
+    * `get_graph_stats`, `hnsw/core.rs` / `hybrid/maintenance.rs` analog),
+    * aggregated across blobs from header + tombstone peeks only — cost
+    * O(blob bytes scanned), zero graph materialization, one tiny
+    * aggregate. `max_level` is exactly replayable by an oracle: level
+    * assignment is the deterministic splitmix64 draw over (id, seed)
+    * ([[HnswBuilder.levelFor]]), so `max(level(id))` over the live corpus
+    * predicts it engine-independently. */
+  def savedStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(path).select(col("graph")).as[Array[Byte]]
+      .map { b =>
+        val (n, live, ml) = FrozenGraph.peekStats(b); (n, live, ml)
+      }
+      .toDF("n", "live", "ml")
+      .agg(sum("n").cast("long").as("n_nodes"),
+        sum("live").cast("long").as("n_live"),
+        max("ml").cast("int").as("max_level"))
   }
 
   /** Physically compact a persisted index: scrub soft-deleted nodes and

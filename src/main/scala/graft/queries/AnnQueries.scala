@@ -103,6 +103,62 @@ object AnnQueries {
   private def labelCentroids(emb: DataFrame): DataFrame =
     QueryShapes.labelCentroids(emb)
 
+  /** Build-once saved HNSW index for the A8 graph_stats row: embeddings
+    * as-is (id = vec_id, default seed 42 / m 16), every third id
+    * soft-deleted — node/live counts AND the tombstone state are then
+    * closed-form, and max_level is the deterministic splitmix64 draw the
+    * oracle replays. Idempotent via a _DONE marker written LAST. */
+  def ensureGraphStatsIndex(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"/tmp/graft_hnsw_gstats/${tag}_v1"
+    val done = new org.apache.hadoop.fs.Path(base, "_DONE")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val e = Tables.load(s, dir, "embeddings")
+      val corpus = e.select(col("vec_id").cast("long").as("id"), col("embedding"))
+      Hnsw.buildAndSave(corpus, s"$base/idx")
+      val maxId = corpus.agg(max("id")).head.getLong(0)
+      Hnsw.deleteFromSaved(s, s"$base/idx", 0L.to(maxId).by(3L))
+      fs.create(done, true).close()
+    }
+    s"$base/idx"
+  }
+
+  /** DuckDB replay of [[graft.operators.Hnsw.HnswBuilder.levelFor]] — the
+    * splitmix64 finalizer over (id ^ seed) then the geometric draw — in
+    * mod-2^64 HUGEINT arithmetic (DuckDB integers trap on overflow, so
+    * the 64x64 multiplies split into 32-bit halves; xor works on signed
+    * BIGINT, so values round-trip through the two's-complement mapping).
+    * One arithmetic, two engines: max over ids IS the index's max_level. */
+  private[queries] def levelOracleSql(seed: Long, m: Int): String = {
+    val M64 = "18446744073709551616::HUGEINT"
+    val P63 = "9223372036854775808::HUGEINT"
+    val P32 = "4294967296::HUGEINT"
+    def sgn(x: String) = s"((CASE WHEN $x >= $P63 THEN $x - $M64 ELSE $x END)::BIGINT)"
+    def uns(y: String) = s"(CASE WHEN $y < 0 THEN $y::HUGEINT + $M64 ELSE $y::HUGEINT END)"
+    def xor64(a: String, b: String) = uns(s"xor(${sgn(a)}, ${sgn(b)})")
+    def shr(a: String, k: Int) = s"($a // ${1L << k}::HUGEINT)"
+    def mulmod(a: String, c: java.math.BigInteger) = {
+      val lo = c.mod(java.math.BigInteger.valueOf(1L << 32))
+      val hi = c.shiftRight(32)
+      s"((($a % $P32) * ${lo}::HUGEINT + " +
+        s"(((($a // $P32) * ${lo}::HUGEINT + ($a % $P32) * ${hi}::HUGEINT)" +
+        s" % $P32) * $P32)) % $M64)"
+    }
+    def bi(hex: String) = new java.math.BigInteger(hex, 16)
+    val mL = 1.0 / math.log(m.toDouble)
+    s"""t0 AS (SELECT (${xor64("(vec_id::HUGEINT)", s"${seed}::HUGEINT")} +
+ 11400714819323198485::HUGEINT) % $M64 AS z0 FROM embeddings),
+tx1 AS (SELECT ${xor64("z0", shr("z0", 30))} AS x1 FROM t0),
+t1 AS (SELECT ${mulmod("x1", bi("bf58476d1ce4e5b9"))} AS z1 FROM tx1),
+tx2 AS (SELECT ${xor64("z1", shr("z1", 27))} AS x2 FROM t1),
+t2 AS (SELECT ${mulmod("x2", bi("94d049bb133111eb"))} AS z2 FROM tx2),
+t3 AS (SELECT ${xor64("z2", shr("z2", 31))} AS z3 FROM t2),
+lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
+ 9007199254740992.0) * ${mL})::INT, 32) AS level FROM t3)"""
+  }
+
   val queries: Map[String, Q] = Map(
     // X12/T5 hybrid search: "recent" tier (vec_id >= 400, scanned fully,
     // the HNSW-tier analog) + "historical" tier (vec_id < 400, probed via
@@ -256,6 +312,75 @@ object AnnQueries {
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       rank1(Hnsw.searchSaved(s, path, queries, k = 10, efSearch = 120))
+    }),
+    // A8 graph stats over a persisted index: node/live counts from the
+    // header+tombstone peeks (every third id soft-deleted at build time)
+    // and max_level — which DuckDB REPLAYS by re-running the splitmix64
+    // level draw over every id in mod-2^64 SQL arithmetic, pinning the
+    // deterministic level assignment (X1) cross-engine, not just in specs.
+    "graph_stats" -> ((s, dir) => {
+      val path = ensureGraphStatsIndex(s, dir)
+      Hnsw.savedStats(s, path)
+    }),
+    // Incremental HNSW maintenance end-to-end (X2-X5's saved-index CRUD,
+    // mirroring the reference's own maintenance tests —
+    // `/root/reference/src/hnsw/operations.rs:127-200`,
+    // `tests/hnsw/persistence.rs`): build on 80% of the corpus -> insert
+    // the held-out 20% plus a dup slice (must be id-rejected) -> soft
+    // delete every 7th id -> vacuum (physical removal) -> compact
+    // (fragment blobs merged) -> search through the maintained index.
+    // DuckDB replays the exact surviving set: every surviving queried row
+    // self-retrieves at distance 0 appearing EXACTLY once (a dup leak
+    // would make self_n=2), and a deleted query id appears NOWHERE in its
+    // own top-10 (self_n=0; its masked top hit is the -1 sentinel — the
+    // true neighbor is approximate and not oracle material). The
+    // intermediate counts are require()d in-query from closed-form
+    // arithmetic, so a miscounting maintenance op fails the row loudly.
+    "store_hnsw_crud" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"/tmp/graft_hnsw_crud/${tag}_v1"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // the lifecycle mutates the index, so each run rebuilds from scratch
+      // (the row deliberately measures the full maintenance cycle)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val corpus = e.select(col("vec_id").cast("long").as("id"), col("embedding"))
+      Hnsw.buildAndSave(corpus.filter(col("id") % 5 =!= 4), path,
+        cfg = Hnsw.HnswConfig(efConstruction = 100, efSearch = 80))
+      val nTotal = corpus.count()
+      val nHeldOut = corpus.filter(col("id") % 5 === 4).count()
+      val inserted = Hnsw.insertIntoSaved(
+        corpus.filter(col("id") % 5 === 4 || col("id") < 10).repartition(4),
+        path)
+      require(inserted == nHeldOut, // the <10 dup slice must be rejected
+        s"insertIntoSaved inserted $inserted, expected $nHeldOut (dup leak)")
+      val maxId = corpus.agg(max("id")).head.getLong(0)
+      val delIds = 0L.to(maxId).by(7L)
+      val marked = Hnsw.deleteFromSaved(s, path, delIds)
+      require(marked == delIds.size,
+        s"deleteFromSaved marked $marked of ${delIds.size}")
+      val vacuumed = Hnsw.vacuumSaved(s, path)
+      require(vacuumed == delIds.size,
+        s"vacuumSaved removed $vacuumed of ${delIds.size}")
+      val compacted = Hnsw.compactSaved(s, path, minNodes = 1 << 20,
+        targetNodes = math.max(1024, nTotal.toInt))
+      require(compacted > 0, "compactSaved merged nothing")
+      val queries = e.filter(col("vec_id") < 60)
+        .select(col("vec_id").cast("long").as("query_id"),
+          col("embedding").as("q_embedding"))
+      Hnsw.searchSaved(s, path, queries, k = 10, efSearch = 200)
+        .groupBy("query_id")
+        .agg(min_by(col("id"), col("distance")).as("top_id"),
+          round(min(col("distance")), 6).as("top_d"),
+          sum(when(col("id") === col("query_id"), 1).otherwise(0)).as("selfn"))
+        .select(col("query_id"),
+          when(col("query_id") % 7 === 0, lit(-1L))
+            .otherwise(col("top_id")).as("id"),
+          when(col("query_id") % 7 === 0, lit(-1.0))
+            .otherwise(col("top_d")).as("distance"),
+          col("selfn").cast("long").as("self_n"))
+        .orderBy("query_id")
     }),
     // X13 on the graph path: filtered search through the persisted HNSW
     // index end-to-end — searchSaved's k×oversample candidates semi-joined
@@ -553,6 +678,23 @@ object AnnQueries {
     "ann_hnsw_filtered" ->
       """SELECT vec_id AS query_id, vec_id * 50 AS id, 0.0 AS distance
         |FROM embeddings WHERE vec_id < 16 AND vec_id % 2 = 0""".stripMargin,
+    // counts closed-form; max_level by replaying the splitmix64 level
+    // draw (seed 42, m 16 — the build's defaults) over every id
+    "graph_stats" ->
+      s"""WITH ${levelOracleSql(seed = 42L, m = 16)}
+         |SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_nodes,
+         |  (SELECT count(*) FROM embeddings WHERE vec_id % 3 <> 0)::BIGINT AS n_live,
+         |  max(level)::INT AS max_level
+         |FROM lv""".stripMargin,
+    // the maintained index's surviving set, closed-form: survivors (not
+    // every-7th id) self-retrieve exactly once at 0; deleted ids appear
+    // nowhere (self_n = 0) and their top hit is the -1 mask sentinel
+    "store_hnsw_crud" ->
+      """SELECT vec_id AS query_id,
+        |  CASE WHEN vec_id % 7 = 0 THEN -1 ELSE vec_id END AS id,
+        |  CASE WHEN vec_id % 7 = 0 THEN -1.0 ELSE 0.0 END AS distance,
+        |  CASE WHEN vec_id % 7 = 0 THEN 0 ELSE 1 END AS self_n
+        |FROM embeddings WHERE vec_id < 60 ORDER BY vec_id""".stripMargin,
     "ann_lsh" ->
       """SELECT vec_id AS query_id, vec_id AS id, 0.0 AS distance
         |FROM embeddings WHERE vec_id < 8""".stripMargin,

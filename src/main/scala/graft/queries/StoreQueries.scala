@@ -318,6 +318,35 @@ object StoreQueries {
         .toDF("doc_id", "verdict")
         .orderBy("doc_id")
     }),
+    // J4 tombstone application as its own oracle row: soft-deleted ids are
+    // masked from the live read view by the store's anti-join (the
+    // reference's deleted_vectors filter, `hybrid/persistence.rs`), WITHOUT
+    // vacuum — so the surviving id set is pure tombstone semantics, which
+    // DuckDB predicts from the id arithmetic. Re-deleting an already-
+    // tombstoned id must be idempotent (second count 0) — the dup-delete
+    // edge crud_lifecycle doesn't isolate.
+    "tombstone_antijoin" -> ((s, dir) => {
+      import graft.store.VectorStore
+      val path = java.nio.file.Files.createTempDirectory("graft_tomb_q_").toString
+      val store = new VectorStore(s, path)
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
+      store.insertDF(emb.select(
+        concat(lit("t"), col("vec_id")).as("id"), col("embedding")))
+      val delIds = 0.until(200, 3).map(i => s"t$i")
+      val d1 = store.delete(delIds)
+      val d2 = store.delete(delIds) // idempotent: already tombstoned
+      require(d2.deletedCount == 0,
+        s"re-delete of tombstoned ids deleted ${d2.deletedCount} rows")
+      val out = store.vectors.select(col("id"))
+        .withColumn("n_deleted", lit(d1.deletedCount))
+        .orderBy("id")
+      out.count() // materialize before the scratch dir goes
+      val res = out.collect()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      import s.implicits._
+      res.map(r => (r.getString(0), r.getLong(1))).toSeq
+        .toDF("id", "n_deleted")
+    }),
     "streaming_ingest" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q_").toString
@@ -338,6 +367,14 @@ object StoreQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // tombstone anti-join: survivors = ids not divisible by 3; the delete
+    // count rides every row (constant column, exact)
+    "tombstone_antijoin" ->
+      """SELECT 't' || vec_id AS id,
+        |  (SELECT count(*) FROM embeddings
+        |     WHERE vec_id < 200 AND vec_id % 3 = 0)::BIGINT AS n_deleted
+        |FROM embeddings WHERE vec_id < 200 AND vec_id % 3 <> 0
+        |ORDER BY id""".stripMargin,
     // every count is closed-form: eligible = the old-ts band; the first
     // slice is capped at 100; the end state must partition the corpus
     "migrate_tiers" ->

@@ -41,27 +41,39 @@ object TextQueries {
   val NormPrefix = "Cafe\u0301 \u00dcn\u00efcode "
 
   /** BPE training shape for the bpe_tokenize query/oracle pair — one value,
-    * both engines: 3 rounds x 255 merges/round, the current placeholder
-    * cap (blocks 256 apart per round). Each round is one pair-count
-    * shuffle (cost vs rounds measured in SCALING.md); application is ONE
-    * codegen loop over the merge table ([[graft.functions.BpeTokenizer
-    * .BpeApply]] — depth-1 at any vocab size). A round that finds fewer
-    * than 255 distinct pairs adopts what exists (the synthetic corpus
-    * exhausts by round 3: 255+255+114 = 624 merges learned at sf0.01),
-    * which both engines replay identically. A production 50K vocab is the
-    * same loop iterated (~200 rounds) plus placeholder paging beyond the
-    * 6400-char PUA block — see README. */
+    * both engines: 5 rounds x 255 merges/round, one step PAST the old
+    * one-PUA-block cap (3x255=765 — rounds were capped at 3 before
+    * placeholder paging landed). Each round is one pair-count shuffle
+    * (cost vs rounds measured in SCALING.md); application is ONE codegen
+    * loop over the merge table ([[graft.functions.BpeTokenizer.BpeApply]]
+    * — depth-1 at any vocab size). A round that finds fewer than 255
+    * distinct pairs adopts what exists, which both engines replay
+    * identically. A production 50K vocab is the same loop iterated
+    * (~200 rounds); the placeholder space pages across the three
+    * private-use ranges (~137K slots — see `BpeTokenizer.placeholder`),
+    * and the supplementary-plane pages are themselves oracle-checked by
+    * `bpe_paged` below. */
   val BpeMergesPerRound = 255
-  val BpeRounds = 3
+  val BpeRounds = 5
+  /** bpe_paged trains a SHORT continuation shape whose placeholder blocks
+    * start in plane 15 (block 25 = first supplementary page) — the
+    * incremental-vocab entry point of `BpeTokenizer.train`, and the
+    * cross-engine proof that paged (surrogate-pair) placeholders agree
+    * between the engines on replace/length/substr semantics. */
+  val BpePagedMergesPerRound = 64
+  val BpePagedRounds = 2
+  val BpePagedFirstBlock = 25
 
   /** Generated DuckDB replay of [[graft.functions.BpeTokenizer]]: for each
     * round, re-count pairs (identical by-position extraction), re-pick the
     * top-K by the identical (count desc, pair asc) tie-break, re-apply in
     * rank order via a recursive CTE of left-to-right non-overlapping
-    * replaces with the identical chr(0xE000 + round*256 + rank)
-    * placeholders. Parameterized over rounds/K — the r8 hand-unrolled
-    * 2-round form is now the (2, 16) instance of this generator. */
-  private[queries] def bpeOracleSql(mergesPerRound: Int, rounds: Int): String = {
+    * replaces with identical placeholders — the slot->codepoint paging is
+    * interpolated from `BpeTokenizer.placeholderSql`, the SAME arithmetic
+    * the Spark side trains with. Parameterized over rounds/K/firstBlock —
+    * the r8 hand-unrolled 2-round form is now the (16, 2, 0) instance. */
+  private[queries] def bpeOracleSql(mergesPerRound: Int, rounds: Int,
+      firstBlock: Int = 0): String = {
     val sb = new StringBuilder("WITH RECURSIVE\n")
     // MATERIALIZED is load-bearing: DuckDB INLINES non-recursive CTEs, so
     // without it every reference to d{r} re-runs the entire upstream
@@ -70,7 +82,9 @@ object TextQueries {
     sb ++= "d0 AS MATERIALIZED (SELECT doc_id, coalesce(text, '') AS s FROM documents)"
     for (r <- 1 to rounds) {
       val prev = s"d${r - 1}"
-      val base = 0xE000 + (r - 1) * 256
+      val baseSlot = (firstBlock + r - 1) * 256
+      val repl = graft.functions.BpeTokenizer
+        .placeholderSql(s"$baseSlot + m.mrank::INT")
       sb ++= s""",
 p$r AS MATERIALIZED (SELECT pair, count(*) AS cnt FROM (
   SELECT unnest(list_transform(range(1, length(s)),
@@ -80,7 +94,7 @@ m$r AS MATERIALIZED (SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair ASC
 a$r AS (
   SELECT doc_id, s, 0 AS r FROM $prev
   UNION ALL
-  SELECT a.doc_id, replace(a.s, m.pair, chr($base + m.mrank::INT)) AS s, a.r + 1
+  SELECT a.doc_id, replace(a.s, m.pair, $repl) AS s, a.r + 1
   FROM a$r a JOIN m$r m ON m.mrank = a.r + 1),
 d$r AS MATERIALIZED (SELECT doc_id, s FROM a$r WHERE r = (SELECT count(*) FROM m$r))"""
     }
@@ -458,20 +472,38 @@ ORDER BY d$rounds.doc_id"""
         .orderBy("doc_id")
     }),
     // corpus-TRAINED BPE token counting (batched-merge BPE, BpeRounds
-    // rounds x BpeMergesPerRound merges — 3 x 255, the placeholder-page
-    // cap — learned from the corpus by DataFrame aggregation, applied
-    // scan-side as codegen replaces): per-doc char + token counts. The
-    // oracle re-trains AND re-applies the same merges in DuckDB — the
-    // tokenizer is hash-checked end-to-end, not just its plumbing.
+    // rounds x BpeMergesPerRound merges — 5 x 255, past the old one-block
+    // cap now that placeholders page — learned from the corpus by
+    // DataFrame aggregation, applied scan-side as codegen replaces):
+    // per-doc char + token counts. The oracle re-trains AND re-applies
+    // the same merges in DuckDB — the tokenizer is hash-checked
+    // end-to-end, not just its plumbing.
     "bpe_tokenize" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       // trained merges are tokenizer STATE (the reference frames index
       // construction the same way): memoized per corpus dir within the
       // process, so a repeated-measurement sweep times application, not
       // three re-trainings — cold runs still pay training once
-      val merges = bpeMemo.getOrElseUpdate(dir,
+      val merges = bpeMemo.getOrElseUpdate(s"$dir#main",
         graft.functions.BpeTokenizer.train(docs,
           mergesPerRound = BpeMergesPerRound, rounds = BpeRounds))
+      docs.select(col("doc_id"),
+          length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
+          graft.functions.BpeTokenizer.tokenCount(col("text"), merges)
+            .cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+    // supplementary-plane placeholder paging, oracle-checked: a short
+    // continuation-training shape whose blocks start at block 25 (the
+    // first plane-15 page), so every learned merge's placeholder is a
+    // surrogate-pair codepoint — proving replace/length/substr treat
+    // paged placeholders identically in Spark and DuckDB end-to-end
+    "bpe_paged" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val merges = bpeMemo.getOrElseUpdate(s"$dir#paged",
+        graft.functions.BpeTokenizer.train(docs,
+          mergesPerRound = BpePagedMergesPerRound, rounds = BpePagedRounds,
+          firstBlock = BpePagedFirstBlock))
       docs.select(col("doc_id"),
           length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
           graft.functions.BpeTokenizer.tokenCount(col("text"), merges)
@@ -509,6 +541,8 @@ ORDER BY d$rounds.doc_id"""
     // batched merges and re-applies them — generated for the SAME
     // (rounds, merges/round) the Spark query trains with
     "bpe_tokenize" -> bpeOracleSql(BpeMergesPerRound, BpeRounds),
+    "bpe_paged" ->
+      bpeOracleSql(BpePagedMergesPerRound, BpePagedRounds, BpePagedFirstBlock),
     "bm25_search" ->
       s"""WITH $bm25Sql
          |SELECT doc_id, round(score, 6) AS score FROM kws

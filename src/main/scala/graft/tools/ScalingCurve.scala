@@ -254,7 +254,7 @@ object ScalingCurve {
       // round-r scan carries one BpeApply loop over (r-1)*K merges, a
       // slowly growing scan-side term).
       if (enabled("bpe") && reps <= 10)
-        for (rounds <- 1 to 3)
+        for (rounds <- 1 to 5)
           results += ((s"bpe_train_r$rounds", reps, nDocs,
             best(s"bpe train rounds=$rounds (${nDocs / 1000}K docs)", iters = 2)({
               graft.functions.BpeTokenizer.train(corpus,

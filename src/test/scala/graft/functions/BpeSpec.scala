@@ -73,6 +73,57 @@ class BpeSpec extends SparkSpec {
       .filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("placeholder paging: page boundaries, codepoint counting, block cap") {
+    // exact page-boundary slots: BMP PUA end -> plane-15 start -> plane-15
+    // end -> plane-16 start -> last addressable slot
+    assert(BpeTokenizer.placeholderCp(1) == 0xE001)
+    assert(BpeTokenizer.placeholderCp(6399) == 0xF8FF)
+    assert(BpeTokenizer.placeholderCp(6400) == 0xF0000)
+    assert(BpeTokenizer.placeholderCp(71933) == 0xFFFFD)
+    assert(BpeTokenizer.placeholderCp(71934) == 0x100000)
+    assert(BpeTokenizer.placeholderCp(137467) == 0x10FFFD)
+    intercept[IllegalArgumentException](BpeTokenizer.placeholderCp(0))
+    intercept[IllegalArgumentException](BpeTokenizer.placeholderCp(137468))
+    // a paged placeholder is ONE codepoint (two UTF-16 chars)
+    val p = BpeTokenizer.placeholder(6400)
+    assert(p.length == 2 && p.codePointCount(0, p.length) == 1)
+    // MaxBlocks: the last block's window must fit; one past throws
+    assert(BpeTokenizer.MaxBlocks == 536)
+    val docs = Seq((1L, "abab")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      BpeTokenizer.train(docs, mergesPerRound = 1, rounds = 1,
+        firstBlock = BpeTokenizer.MaxBlocks))
+    assert(e.getMessage.contains("private-use blocks"))
+  }
+
+  test("firstBlock continuation trains supplementary-plane placeholders") {
+    // block 25 = first plane-15 page: every learned merge's placeholder is
+    // a surrogate pair in UTF-16, and token counting must still count it
+    // as ONE token (Spark length() counts codepoints)
+    val docs = Seq((1L, "abab"), (2L, "abba")).toDF("doc_id", "text")
+    val merges = BpeTokenizer.train(docs, mergesPerRound = 1, rounds = 1,
+      firstBlock = 25)
+    assert(merges.length == 1 && merges.head.pair == "ab")
+    val repl = merges.head.repl
+    assert(repl.codePointAt(0) == 0xF0000 + 1) // slot 25*256+1, paged
+    assert(repl.length == 2 && repl.codePointCount(0, 2) == 1)
+    val counts = docs.select(col("doc_id"),
+        BpeTokenizer.tokenCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // "abab" -> 2 placeholders = 2 tokens; "abba" -> (ab)ba = 3 tokens
+    assert(counts == Map(1L -> 2, 2L -> 3))
+    // round 2 of a continuation merges paged placeholders hierarchically
+    // (single-doc corpus so the only round-2 pair IS the placeholder run)
+    val docs1 = Seq((1L, "abab")).toDF("doc_id", "text")
+    val m2 = BpeTokenizer.train(docs1, mergesPerRound = 1, rounds = 2,
+      firstBlock = 25)
+    assert(m2(1).pair == m2(0).repl * 2) // placeholder pair, round 2
+    assert(m2(1).repl.codePointAt(0) == 0xF0000 + 256 + 1)
+    val n1 = docs1.select(BpeTokenizer.tokenCount(col("text"), m2))
+      .head.getInt(0)
+    assert(n1 == 1) // (ab)(ab) -> one round-2 token
+  }
+
   test("training is deterministic and counts never exceed char length") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
     val m1 = BpeTokenizer.train(docs)
