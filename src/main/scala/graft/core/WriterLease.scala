@@ -34,9 +34,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * thread per store handle, and a writer that stalls past the TTL loses
   * the lease to a breaker exactly as a crashed one does, which the
   * marker-bracketed swap protocol already survives. */
-final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long) {
+final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long,
+    leaseName: String = "_writer.lease") {
 
-  val leasePath = new Path(root, "_writer.lease")
+  // default: a `_`-prefixed file INSIDE the root dir (hidden from Spark's
+  // file index). Swapped dirs (saved HNSW indexes) pass a custom name and
+  // a parent root instead — a lease inside a dir that swap RENAMES would
+  // travel with the rename and stop guarding the path.
+  val leasePath = new Path(root, leaseName)
   private val token = java.util.UUID.randomUUID().toString
   private var depth = 0
 

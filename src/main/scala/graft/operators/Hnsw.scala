@@ -760,6 +760,7 @@ object Hnsw {
       cfg: HnswConfig = HnswConfig(), idCol: String = "id",
       embCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
+    withSavedLease(spark, path) {
     import spark.implicits._
     // a repeated id would land in MULTIPLE partition graphs and occupy
     // several top-k slots for one logical row — the invariant
@@ -793,6 +794,7 @@ object Hnsw {
       .withColumn("part_id", monotonically_increasing_id())
       .write.mode("overwrite").parquet(path + "_tmp")
     swapDir(spark, path)
+    }
   }
 
   /** Search previously persisted partition graphs: one task per graph blob
@@ -821,6 +823,7 @@ object Hnsw {
       allowed: Option[DataFrame] = None, oversample: Int = 3,
       probeBlobs: Int = 0, maxQueryBatch: Int = 100000,
       metric: String = "l2"): DataFrame = {
+    recoverSaved(spark, path) // finish any swap a crashed maintainer left
     // `metric` is only a FALLBACK for blob routing on an empty index: the
     // routing metric is read from the blob headers themselves (see below),
     // because ranking a cosine index's blobs by raw L2 would route queries
@@ -948,25 +951,60 @@ object Hnsw {
         col("hit.dist").as("distance"), (col("pos") + 1).cast("long").as("rank"))
   }
 
-  /** Swap `path_tmp` into `path` without a window where neither exists: the
-    * live dir is renamed aside first, so a crash mid-swap leaves either the
-    * old index (at `path` or `path_old`) or the new one readable. */
+  /** Swap `path_tmp` into `path` under [[graft.core.FsSwap]]'s
+    * marker-bracketed protocol (the same contract as the store's tier
+    * rewrites): the live dir is renamed aside, every rename is checked,
+    * and a crash at ANY point leaves a marker that [[recoverSaved]] —
+    * run at every saved-index entry point — finishes from. The bare
+    * rename-aside this replaces had a real gap: dying between its two
+    * renames stranded the index in `_old`/`_tmp` with nothing to put it
+    * back, so every later read of `path` failed until a human intervened. */
   private def swapDir(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
-    val old = new org.apache.hadoop.fs.Path(path + "_old")
-    fs.delete(old, true)
-    if (fs.exists(p)) require(fs.rename(p, old), s"rename $p -> $old failed")
-    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
-    fs.delete(old, true)
+    graft.core.FsSwap.commit(fs, p,
+      new org.apache.hadoop.fs.Path(path + "_tmp"),
+      swapMarkerPath(path), """{"swap": "hnsw_index"}""")
+  }
+
+  private def swapMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "_swap.inprogress")
+
+  /** Single-writer enforcement for saved-index MUTATIONS (build/insert/
+    * delete/vacuum/compact), the same contract `VectorStore`'s writer
+    * lease enforces for store tiers: two concurrent inserters would both
+    * read the same max part_id and append colliding blob ids (routing
+    * tables keyed by part_id would silently merge their entries), and two
+    * concurrent rewrites race the swap. The lease file sits NEXT TO the
+    * index dir (`<path>_writer.lease`), never inside it — swap renames
+    * the dir, and a lease inside would travel with it. Readers
+    * (searchSaved/savedStats) stay lock-free. */
+  private def withSavedLease[T](spark: SparkSession, path: String)(body: => T): T = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = Option(p.getParent)
+      .getOrElse(new org.apache.hadoop.fs.Path("/"))
+    fs.mkdirs(parent) // first build: the parent may not exist yet
+    new graft.core.WriterLease(fs, parent, ttlMs = 30L * 60 * 1000,
+      leaseName = p.getName + "_writer.lease").withLease(body)
+  }
+
+  /** Finish any index swap a previous process died inside — run by every
+    * saved-index entry point (search and maintenance). Fast path when
+    * clean: two FS exists probes, no lock file. */
+  def recoverSaved(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.FsSwap.recover(fs, p,
+      new org.apache.hadoop.fs.Path(path + "_tmp"), swapMarkerPath(path))
   }
 
   /** Rewrite every saved graph blob through `f`, dropping empty graphs;
     * returns the per-blob results of `measure` summed. tmp+swap so a failed
     * rewrite never corrupts the index. */
   private def rewriteSaved(spark: SparkSession, path: String)(
-      f: FrozenGraph => (FrozenGraph, Long)): Long = {
+      f: FrozenGraph => (FrozenGraph, Long)): Long = withSavedLease(spark, path) {
+    recoverSaved(spark, path)
     import spark.implicits._
     val mapped = spark.read.parquet(path)
       .select(col("part_id"), col("graph")).as[(Long, Array[Byte])]
@@ -1010,6 +1048,8 @@ object Hnsw {
       cfg: HnswConfig = HnswConfig(), idCol: String = "id",
       embCol: String = "embedding"): Long = {
     val spark = rows.sparkSession
+    withSavedLease(spark, path) {
+    recoverSaved(spark, path)
     import spark.implicits._
     val saved = spark.read.parquet(path).select(col("graph")).as[Array[Byte]]
     // one header peek gates metric AND dim: a mixed-metric index would
@@ -1066,6 +1106,7 @@ object Hnsw {
     }
     fresh.unpersist()
     n
+    }
   }
 
   /** A8 graph statistics over a persisted index (the reference's
@@ -1077,6 +1118,7 @@ object Hnsw {
     * ([[HnswBuilder.levelFor]]), so `max(level(id))` over the live corpus
     * predicts it engine-independently. */
   def savedStats(spark: SparkSession, path: String): DataFrame = {
+    recoverSaved(spark, path)
     import spark.implicits._
     spark.read.parquet(path).select(col("graph")).as[Array[Byte]]
       .map { b =>
@@ -1107,7 +1149,8 @@ object Hnsw {
     * full deserialization of pass-through blobs); `cfg` must match the
     * original build. Returns the number of small blobs merged away. */
   def compactSaved(spark: SparkSession, path: String, minNodes: Int = 1024,
-      targetNodes: Int = 4096, cfg: HnswConfig = HnswConfig()): Long = {
+      targetNodes: Int = 4096, cfg: HnswConfig = HnswConfig()): Long = withSavedLease(spark, path) {
+    recoverSaved(spark, path)
     import spark.implicits._
     val savedDf = spark.read.parquet(path)
     val hasCentroid = savedDf.columns.contains("centroid")

@@ -36,15 +36,18 @@ object StreamLongRun {
       val acc = s"$tmp/acc"
       // pre-write one source file per micro-batch; maxFilesPerTrigger=1
       // then replays them as 50 separate triggers in one stream run.
-      // Every batch's text is unique (batch+rep suffix), so near-dup
-      // rejection stays out of the way and the state grows for real.
+      // Text is fully SYNTHETIC and unique per (batch, rep, doc): ~45
+      // arithmetic-derived tokens, so no two docs share shingles and the
+      // accepted state genuinely grows (a suffix on real text leaves
+      // Jaccard ~1 and the dedup rejects the lot — measured 78%).
       for (i <- 1 to nBatches) {
-        docs.select(
-            (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
-            concat(col("text"), lit(s" longrun_b$i")).as("text"))
+        docs.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"))
           .withColumn("rep", explode(sequence(lit(0), lit(scale - 1))))
           .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
-            concat(col("text"), lit(" r"), col("rep")).as("text"))
+            concat_ws(" ", transform(sequence(lit(1), lit(45)),
+              j => concat(lit("w"),
+                pmod(col("doc_id") * 7919 + j * 104729 + lit(i * 31), lit(100000003L)))))
+              .as("text"))
           .coalesce(1)
           .write.mode("append").parquet(s"$tmp/src")
       }

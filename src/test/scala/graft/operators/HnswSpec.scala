@@ -222,6 +222,45 @@ class HnswSpec extends SparkSpec {
     assert(top.getLong(1) == 250L && top.getDouble(2) < 1e-9)
   }
 
+  test("saved-index swap crash recovery: every entry point finishes a stranded swap") {
+    // the pre-r10 swapDir had no marker: dying between its two renames
+    // left the index stranded at _old/_tmp with nothing to restore it.
+    // Simulate each crash state and require the next entry point to serve.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_swapcr_").toString + "/g"
+    Hnsw.buildAndSave(emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("id"), col("embedding")).repartition(2), path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    def top1(): org.apache.spark.sql.Row =
+      Hnsw.searchSaved(spark, path, q, k = 1, efSearch = 100).collect().head
+    // crash state A: marker written, live moved aside, tmp complete
+    fs.rename(p, new org.apache.hadoop.fs.Path(path + "_tmp"))
+    fs.create(new org.apache.hadoop.fs.Path(path + "_swap.inprogress"), true).close()
+    val a = top1()
+    assert(a.getLong(1) == 7L && a.getDouble(2) < 1e-9)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "_swap.inprogress")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "_tmp")))
+    // crash state B: live renamed aside, marker live, tmp consumed-into-aside
+    // (the old-data-aside shape: aside holds pre-swap data, tmp the new)
+    fs.rename(p, new org.apache.hadoop.fs.Path(path + "_old"))
+    fs.create(new org.apache.hadoop.fs.Path(path + "_swap.inprogress"), true).close()
+    // no tmp: recovery must restore the aside rather than read nothing
+    val b = top1()
+    assert(b.getLong(1) == 7L && b.getDouble(2) < 1e-9)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "_old")))
+    // maintenance entry points recover too, not only search
+    fs.rename(p, new org.apache.hadoop.fs.Path(path + "_tmp"))
+    fs.create(new org.apache.hadoop.fs.Path(path + "_swap.inprogress"), true).close()
+    val removed = Hnsw.deleteFromSaved(spark, path, Seq(7L))
+    assert(removed == 1L)
+    assert(Hnsw.searchSaved(spark, path, q, k = 1, efSearch = 100)
+      .collect().head.getLong(1) != 7L)
+  }
+
   test("saved graphs: 100% self-retrieval at rank 1 (the ann_hnsw_scale oracle contract)") {
     // mirrors the driver-checked oracle locally so a graph-quality
     // regression fails here before it fails the correctness gate
