@@ -68,8 +68,10 @@ object FsSwap {
     withSwapLock(fs, live) {
       // re-check under the lock: a concurrent recoverer may have finished
       if (fs.exists(marker)) finishSwap(fs, live, tmp, marker)
-      else if (fs.exists(tmp) && !fs.exists(live)) {
-        // pre-marker-era crash between delete and rename: adopt the tmp
+      else if (fs.exists(new Path(tmp, "_SUCCESS")) && !fs.exists(live)) {
+        // pre-marker-era crash between delete and rename: adopt the tmp —
+        // but only a COMPLETE one (_SUCCESS): a markerless tmp still being
+        // written by a live rewriter must not be yanked out from under it
         tryRename(fs, tmp, live); ()
       }
     }

@@ -78,9 +78,12 @@ class VectorStore(val spark: SparkSession, val path: String,
   /** FS-metadata check (no Spark job): does this (flat) table dir contain
     * any non-empty parquet part? Lets the read path skip tombstone/overlay
     * joins entirely in the common no-mutation case. */
-  private def hasRows(name: String): Boolean =
+  private def hasRows(name: String): Boolean = {
+    ensureTierReadable(name) // a mid-swap tombstone tier misread as empty
+    // would silently resurrect every deleted row in the read view
     exists(name) && fs.listStatus(new Path(dir(name))).exists(st =>
       st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+  }
 
   /** Recursive walk via listStatus, NOT listFiles: listFiles materializes
     * LocatedFileStatus, whose permission fields RawLocalFileSystem loads
@@ -101,9 +104,11 @@ class VectorStore(val spark: SparkSession, val path: String,
   /** [[hasRows]] for nested layouts (the cluster-partitioned historical
     * tier): walks the file tree via FS metadata only — still no Spark job,
     * short-circuits on the first non-empty part file. */
-  private def hasRowsRecursive(name: String): Boolean =
+  private def hasRowsRecursive(name: String): Boolean = {
+    ensureTierReadable(name)
     exists(name) && walkStatuses(new Path(dir(name)))(st =>
       st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+  }
 
   /** All non-empty parquet parts under a table dir, as paths RELATIVE to
     * the store root (relative so a [[backup]]ed store's recorded lists
@@ -225,9 +230,25 @@ class VectorStore(val spark: SparkSession, val path: String,
 
   // ---- reads ----
 
-  private def readOr(name: String, schema: StructType): DataFrame =
+  /** A tier dir that looks MISSING while its swap marker is live is not
+    * empty — it is mid-swap (the rename-aside window of a concurrent
+    * commit, or a crashed writer's unfinished swap). Reading it as an
+    * empty table would silently drop the whole tier from query results.
+    * FsSwap.recover serializes on the swap lock, so this call BLOCKS
+    * until a live writer's in-flight commit completes (then no-ops) or
+    * finishes a crashed writer's swap itself — either way the re-check
+    * sees the real tier. */
+  private def ensureTierReadable(name: String): Unit =
+    if (!exists(name)) // recover() fast-paths to 2 exists probes when the
+      // tier is genuinely absent (no marker, no tmp) — cheap per read
+      graft.core.FsSwap.recover(fs, new Path(dir(name)),
+        new Path(dir(name) + "_tmp"), swapMarker(name))
+
+  private def readOr(name: String, schema: StructType): DataFrame = {
+    ensureTierReadable(name)
     if (exists(name)) spark.read.schema(schema).parquet(dir(name))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
 
   def recent: DataFrame = readOr("recent", vectorSchema)
   def historical: DataFrame =

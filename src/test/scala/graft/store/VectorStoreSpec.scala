@@ -243,6 +243,35 @@ class VectorStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("id=bad") && e.getMessage.contains("null embedding"))
   }
 
+  test("a live handle's READ recovers a stranded tier swap instead of seeing it empty") {
+    // crash states used to be repaired only at OPEN; a long-lived handle
+    // reading a tier stranded mid-swap (dir missing, marker live) would
+    // silently serve an EMPTY tier — for tombstones that resurrects every
+    // deleted row. Reads now run recovery when the dir looks missing.
+    val st = freshStore()
+    st.insert((0 until 5).map(i => VectorRecord(s"lr$i", vec(i))))
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"${st.path}/recent"),
+      new org.apache.hadoop.fs.Path(s"${st.path}/recent_tmp")))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(st.path, "recent_swap.inprogress"), """{"swap": "recent"}""")
+    // SAME handle, no reopen: the read must finish the swap and serve 5 rows
+    assert(st.vectors.count() == 5)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${st.path}/recent_swap.inprogress")))
+    // markerless complete-tmp (pre-marker-era crash shape): also adopted
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"${st.path}/recent"),
+      new org.apache.hadoop.fs.Path(s"${st.path}/recent_tmp")))
+    assert(st.vectors.count() == 5)
+    // but a markerless INCOMPLETE tmp (no _SUCCESS: a live rewriter's
+    // work-in-progress) is never adopted by a reader
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"${st.path}/recent"),
+      new org.apache.hadoop.fs.Path(s"${st.path}/recent_tmp")))
+    fs.delete(new org.apache.hadoop.fs.Path(s"${st.path}/recent_tmp/_SUCCESS"), false)
+    assert(st.vectors.count() == 0) // tier legitimately unreadable mid-write
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"${st.path}/recent_tmp")))
+  }
+
   test("a second writer fails loudly while the store's lease is held") {
     val st = freshStore()
     st.insert((0 until 5).map(i => VectorRecord(s"w$i", vec(i))))
