@@ -15,18 +15,34 @@ import scala.jdk.CollectionConverters._
   * the raw JSON token (`18` vs `"18"`), so numeric filters do not match
   * stored strings (metadata_filter.rs:293-317) and equality is type-exact.
   *
-  * Reference semantics honored:
-  *  - equality on a stored ARRAY field is containment (`:274-279`)
-  *  - `$in` membership (`:285-291`)
-  *  - `$gt/$gte/$lt/$lte` numeric ranges; mixing `$gte`+`$gt` (or
-  *    `$lte`+`$lt`) is a parse error (`:172-177`); non-numeric stored value
-  *    never matches (`:293-317`)
-  *  - `$and` (empty => true), `$or` (empty => false) (`:319-333`)
+  * Reference semantics honored (r10: made reference-EXACT after a
+  * line-by-line diff, including the lenient fallbacks a strict translator
+  * would reject — a reference user's filters must behave identically):
+  *  - equality on a stored ARRAY field is containment ONLY — the filter
+  *    value (of ANY type, object/array included) is matched against the
+  *    array's ELEMENTS, never against the whole array (`:274-279`:
+  *    `arr.contains(value)` is the entire array branch)
+  *  - `$in` membership compares WHOLE values (a stored array matches only
+  *    if the $in list contains the entire array) (`:285-291`); a `$in`
+  *    key claims the operator object — sibling keys are ignored (`:162`)
+  *  - `$gt/$gte/$lt/$lte` numeric ranges; a NON-NUMERIC bound is ignored
+  *    (as_f64 = None, `:166-169`); mixing `$gte`+`$gt` (or `$lte`+`$lt`)
+  *    errors only when BOTH parse as numbers (`:172-177`); non-$ sibling
+  *    keys are ignored when a range matches (`:192-203` returns before
+  *    any key check); non-numeric stored value never matches (`:293-317`)
+  *  - an operator-shaped object with NO recognized numeric bound and no
+  *    unsupported `$op` falls back to STRUCTURAL EQUALITY on the whole
+  *    object (`:225-229`) — `{"age": {"$gte": "x"}}` is an equality
+  *    filter for the literal object, not an error
+  *  - `$and` (empty => true), `$or` (empty => false) (`:319-333`); a
+  *    top-level `$and` claims the whole filter and sibling keys are
+  *    IGNORED, then `$or` likewise (`:91-97` early-returns)
   *  - multiple top-level fields are implicit AND (`:111-116`)
   *  - dot-path nested access; missing path never matches (`:359-373`)
-  *  - unsupported `$op` / empty object value are parse errors (`:218-239`)
-  *  - top-level `{}` matches everything (delete path,
-  *    `bindings/node/src/session.rs:838-841`)
+  *  - unsupported top-level/field `$op` and empty object value are parse
+  *    errors (`:99-104`, `:205-223`)
+  *  - top-level `{}` matches everything (And([]) vacuous truth; the
+  *    delete path relies on it, `bindings/node/src/session.rs:838-841`)
   *
   * Known deviation (documented): numeric equality compares as double, so
   * `18` matches `18.0` (serde_json distinguishes i64/f64 representations).
@@ -60,15 +76,19 @@ object FilterJson {
   private def translate(obj: JsonNode, v: Column): Column = {
     val fields = obj.properties().asScala.toSeq.map(e => e.getKey -> e.getValue)
     if (fields.isEmpty) return lit(true) // empty filter matches everything
+    // reference precedence (from_json:91-97): a $and key CLAIMS the whole
+    // filter and every sibling key is ignored; then $or likewise
+    fields.find(_._1 == "$and").foreach { case (_, value) =>
+      if (!value.isArray) throw new FilterParseException("$and expects an array")
+      val subs = value.elements().asScala.toSeq.map(clause("$and", _)).map(translate(_, v))
+      return if (subs.isEmpty) lit(true) else subs.reduce(_ && _)
+    }
+    fields.find(_._1 == "$or").foreach { case (_, value) =>
+      if (!value.isArray) throw new FilterParseException("$or expects an array")
+      val subs = value.elements().asScala.toSeq.map(clause("$or", _)).map(translate(_, v))
+      return if (subs.isEmpty) lit(false) else subs.reduce(_ || _)
+    }
     val preds = fields.map {
-      case ("$and", value) =>
-        if (!value.isArray) throw new FilterParseException("$and expects an array")
-        val subs = value.elements().asScala.toSeq.map(clause("$and", _)).map(translate(_, v))
-        if (subs.isEmpty) lit(true) else subs.reduce(_ && _)
-      case ("$or", value) =>
-        if (!value.isArray) throw new FilterParseException("$or expects an array")
-        val subs = value.elements().asScala.toSeq.map(clause("$or", _)).map(translate(_, v))
-        if (subs.isEmpty) lit(false) else subs.reduce(_ || _)
       case (op, _) if op.startsWith("$") =>
         throw new FilterParseException(s"unsupported operator: $op")
       case (field, value) => fieldPredicate(field, value, v)
@@ -93,47 +113,50 @@ object FilterJson {
       if (keys.exists(_.startsWith("$"))) {
         operatorPredicate(field, value, keys, v)
       } else {
-        // nested-object-as-equals fallback: structural match — canonicalize
-        // the filter side to the sorted-key form variant to_json emits
-        rawToken(field, v) === lit(compact(canonicalize(value)))
+        // nested-object-as-equals fallback: structural match (containment
+        // against a stored array's elements, like every equality)
+        equalsPredicate(field, value, v)
       }
     } else {
       equalsPredicate(field, value, v)
     }
   }
 
+  /** Reference-exact operator-object translation — including its lenient
+    * fallbacks (parse_field_filter:160-239, see object scaladoc): `$in`
+    * claims the object; numeric range bounds win next (non-numeric bounds
+    * and non-$ siblings ignored, same-side mixing errors only when both
+    * bounds are numeric); an unrecognized `$op` errors; and an operator
+    * object with no numeric bound degrades to structural EQUALITY on the
+    * whole object. */
   private def operatorPredicate(field: String, value: JsonNode, keys: Seq[String], v: Column): Column = {
-    keys.find(k => !k.startsWith("$")).foreach { k =>
-      throw new FilterParseException(s"cannot mix operators and fields ('$k' in '$field')")
-    }
     if (keys.contains("$in")) {
-      if (keys.length > 1) throw new FilterParseException("$in cannot be combined with other operators")
       val arr = value.get("$in")
       if (!arr.isArray) throw new FilterParseException("$in expects an array")
       val elems = arr.elements().asScala.toSeq
       if (elems.isEmpty) lit(false)
       else elems.map(equalsPredicate(field, _, v, arrayContainment = false)).reduce(_ || _)
-    } else if (keys.forall(rangeOps.contains)) {
-      if (keys.contains("$gt") && keys.contains("$gte"))
+    } else {
+      def numOf(k: String): Option[Double] =
+        Option(value.get(k)).filter(_.isNumber).map(_.asDouble())
+      val gte = numOf("$gte"); val gt = numOf("$gt")
+      val lte = numOf("$lte"); val lt = numOf("$lt")
+      if (gte.isDefined && gt.isDefined)
         throw new FilterParseException(s"cannot mix $$gt and $$gte on '$field'")
-      if (keys.contains("$lt") && keys.contains("$lte"))
+      if (lte.isDefined && lt.isDefined)
         throw new FilterParseException(s"cannot mix $$lt and $$lte on '$field'")
       val num = numToken(field, v)
-      val bounds = keys.map { k =>
-        val bound = value.get(k)
-        if (!bound.isNumber) throw new FilterParseException(s"$k expects a number")
-        val b = lit(bound.asDouble())
-        k match {
-          case "$gt" => num > b
-          case "$gte" => num >= b
-          case "$lt" => num < b
-          case "$lte" => num <= b
-        }
+      val bounds =
+        gte.map(b => num >= lit(b)).toSeq ++ gt.map(b => num > lit(b)) ++
+          lte.map(b => num <= lit(b)) ++ lt.map(b => num < lit(b))
+      if (bounds.nonEmpty) bounds.reduce(_ && _)
+      else {
+        keys.find(k => k.startsWith("$") && !rangeOps.contains(k))
+          .foreach(k => throw new FilterParseException(s"unsupported operator: $k"))
+        // no numeric bound parsed and every $op recognized: the reference
+        // treats the whole object as an equality literal (:225-229)
+        equalsPredicate(field, value, v)
       }
-      bounds.reduce(_ && _)
-    } else {
-      val bad = keys.filterNot(k => rangeOps.contains(k) || k == "$in").head
-      throw new FilterParseException(s"unsupported operator: $bad")
     }
   }
 
@@ -153,39 +176,42 @@ object FilterJson {
   private def jsonPath(field: String): String =
     "$." + field // dot-paths pass through: "user.id" -> "$.user.id"
 
+  /** Reference-exact equality (matches:270-283): when the STORED field is
+    * an array, the filter value — of ANY type, arrays and objects
+    * included — is matched against the array's ELEMENTS (containment),
+    * and whole-array equality is deliberately NOT a match (`arr.contains
+    * (value)` is the reference's entire array branch); when the stored
+    * field is not an array, equality is structural. `$in` passes
+    * `arrayContainment = false`: the reference compares each $in element
+    * against the WHOLE stored value there (:285-291), so a stored array
+    * can only match an identical array listed in $in.
+    *
+    * Tokens compare raw (try_variant_get / to_json), keeping
+    * type-exactness: "5" never matches stored [5], and a stray string
+    * element can't poison numeric containment the way a typed from_json
+    * parse (null whole-array on mixed types) would. */
   private def equalsPredicate(field: String, value: JsonNode, v: Column,
       arrayContainment: Boolean = true): Column = {
     val raw = rawToken(field, v)
-    val scalar: Column =
-      if (value.isTextual) raw === lit(compact(value))
-      else if (value.isNumber)
-        when(raw.rlike("^-?[0-9]"), raw.cast(DoubleType)) === lit(value.asDouble())
-      else if (value.isBoolean) raw === lit(value.asBoolean().toString)
-      else if (value.isNull) raw === lit("null")
-      else if (value.isArray || value.isObject) raw === lit(compact(canonicalize(value)))
+    def numGuard(tok: Column): Column =
+      when(tok.rlike("^-?[0-9]"), tok.cast(DoubleType))
+    val litTok: String =
+      if (value.isTextual) compact(value)
+      else if (value.isBoolean) value.asBoolean().toString
+      else if (value.isNull) "null"
+      else if (value.isNumber || value.isArray || value.isObject)
+        compact(canonicalize(value))
       else throw new FilterParseException(s"unsupported literal for '$field'")
-    // containment compares element RAW TOKENS (try_variant_get to
-    // array<variant>, null for non-arrays), keeping the module's
-    // type-exactness: "5" never matches stored [5], and a stray string
-    // element can't poison numeric containment the way a typed from_json
-    // parse (null whole-array on mixed types) would
-    def elemTok(x: Column) = to_json(x)
-    val elems = try_variant_get(v, jsonPath(field), "array<variant>")
-    val contains: Option[Column] =
-      if (!arrayContainment) None
-      else if (value.isTextual)
-        Some(coalesce(exists(elems, x => elemTok(x) === lit(compact(value))), lit(false)))
-      else if (value.isNumber)
-        Some(coalesce(exists(elems, x =>
-          when(elemTok(x).rlike("^-?[0-9]"), elemTok(x).cast(DoubleType))
-            === lit(value.asDouble())), lit(false)))
-      else if (value.isBoolean)
-        Some(coalesce(exists(elems, x =>
-          elemTok(x) === lit(value.asBoolean().toString)), lit(false)))
-      else None
-    contains match {
-      case Some(c) => scalar || c
-      case None => scalar
+    def eqTok(tok: Column): Column =
+      if (value.isNumber) numGuard(tok) === lit(value.asDouble())
+      else tok === lit(litTok)
+    val scalar = eqTok(raw)
+    if (!arrayContainment) scalar
+    else {
+      val elems = try_variant_get(v, jsonPath(field), "array<variant>")
+      when(elems.isNotNull,
+        coalesce(exists(elems, x => eqTok(to_json(x))), lit(false)))
+        .otherwise(scalar)
     }
   }
 

@@ -343,19 +343,25 @@ lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       // the lifecycle mutates the index, so each run rebuilds from scratch
-      // (the row deliberately measures the full maintenance cycle)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      // (the row deliberately measures the full maintenance cycle) — and a
+      // crashed PREVIOUS run's sibling artifacts go too: a stale writer
+      // lease inside its TTL would otherwise block this run loudly
+      for (suffix <- Seq("", "_tmp", "_old", "_swap.inprogress",
+          "_swap.lock", "_writer.lease"))
+        fs.delete(new org.apache.hadoop.fs.Path(path + suffix), true)
       val corpus = e.select(col("vec_id").cast("long").as("id"), col("embedding"))
       Hnsw.buildAndSave(corpus.filter(col("id") % 5 =!= 4), path,
         cfg = Hnsw.HnswConfig(efConstruction = 100, efSearch = 80))
-      val nTotal = corpus.count()
-      val nHeldOut = corpus.filter(col("id") % 5 === 4).count()
+      // one job for all three driver-side scalars, not three
+      val acc = corpus.agg(count(lit(1)), max("id"),
+        count(when(col("id") % 5 === 4, 1))).head()
+      val (nTotal, maxId, nHeldOut) =
+        (acc.getLong(0), acc.getLong(1), acc.getLong(2))
       val inserted = Hnsw.insertIntoSaved(
         corpus.filter(col("id") % 5 === 4 || col("id") < 10).repartition(4),
         path)
       require(inserted == nHeldOut, // the <10 dup slice must be rejected
         s"insertIntoSaved inserted $inserted, expected $nHeldOut (dup leak)")
-      val maxId = corpus.agg(max("id")).head.getLong(0)
       val delIds = 0L.to(maxId).by(7L)
       val marked = Hnsw.deleteFromSaved(s, path, delIds)
       require(marked == delIds.size,

@@ -93,7 +93,8 @@ object ScalingCurve {
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Double)]
     for (reps <- Seq(50, 500, 5000)
-         if enabled("search") || (enabled("graph") && reps <= 500)) {
+         if enabled("search") ||
+           ((enabled("graph") || enabled("maintain")) && reps <= 500)) {
       val n = 2000L * reps // sf0.1 has 2000 base vectors
       println(s"[scaling] === corpus ${n / 1000}K (reps=$reps) ===")
       val cPath = corpusAt(reps)
@@ -112,7 +113,7 @@ object ScalingCurve {
       val ivfBase = s"/tmp/graft_scaling/ivf_r${reps}_k$nClusters"
       val ivfDone = new org.apache.hadoop.fs.Path(s"$ivfBase/data/_SUCCESS")
       val fs = ivfDone.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (enabled("search")) {
+      if (enabled("search") || (enabled("maintain") && reps <= 500)) {
         if (!fs.exists(ivfDone)) {
           val t0 = System.nanoTime()
           val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = nClusters,
@@ -123,9 +124,10 @@ object ScalingCurve {
         }
         val ivfData = spark.read.parquet(s"$ivfBase/data")
         val ivfCents = spark.read.parquet(s"$ivfBase/centroids")
-        results += (("ivf_probed", reps, n,
-          best(s"ivf n_probe=4 k=$nClusters")(
-            Ivf.searchBatch(ivfData, ivfCents, queries, k = 10, nProbe = 4).count())))
+        if (enabled("search"))
+          results += (("ivf_probed", reps, n,
+            best(s"ivf n_probe=4 k=$nClusters")(
+              Ivf.searchBatch(ivfData, ivfCents, queries, k = 10, nProbe = 4).count())))
 
         // routed saved-HNSW: fixed blob size (corpus partitioned into
         // N/5000-row cluster blobs), fixed probeBlobs — per-query cost should
@@ -141,10 +143,45 @@ object ScalingCurve {
             cfg = Hnsw.HnswConfig(efConstruction = 100, efSearch = 80))
           println(f"[scaling] hnsw build ${(System.nanoTime() - t0) / 1e9}%.2fs")
         }
-        results += (("hnsw_routed", reps, n,
-          best("hnsw routed probeBlobs=6")(
-            Hnsw.searchSaved(spark, hnswPath, queries, k = 10, efSearch = 120,
-              probeBlobs = 6).count())))
+        if (enabled("search"))
+          results += (("hnsw_routed", reps, n,
+            best("hnsw routed probeBlobs=6")(
+              Hnsw.searchSaved(spark, hnswPath, queries, k = 10, efSearch = 120,
+                probeBlobs = 6).count())))
+
+        // saved-index MAINTENANCE cost curve (r10): the ops behind
+        // store_hnsw_crud at index scale, each on a fresh mutable COPY of
+        // the routed index. Claims measured: insert ~ batch build + the
+        // O(index bytes) id-peek anti-join scan; delete/vacuum = one full
+        // blob rewrite each (cost tracks index bytes); compact touches
+        // only sub-threshold fragment blobs (~flat as the index grows).
+        if (enabled("maintain") && reps <= 500) {
+          val mRoot = s"/tmp/graft_scaling/hnsw_maint_r$reps"
+          fs.delete(new org.apache.hadoop.fs.Path(mRoot), true)
+          fs.mkdirs(new org.apache.hadoop.fs.Path(mRoot))
+          val mPath = s"$mRoot/g"
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new org.apache.hadoop.fs.Path(hnswPath), fs,
+            new org.apache.hadoop.fs.Path(mPath), false, true,
+            spark.sparkContext.hadoopConfiguration)
+          val batch = corpus.filter(col("id") % 100 === 0)
+            .select((col("id") + lit(n * 10)).as("id"), col("embedding"))
+            .repartition(4)
+          results += (("maint_insert", reps, n,
+            best("insertIntoSaved 1%", iters = 1)(
+              Hnsw.insertIntoSaved(batch, mPath))))
+          val delIds = 0L.until(n, 100L)
+          results += (("maint_delete", reps, n,
+            best("deleteFromSaved 1%", iters = 1)(
+              Hnsw.deleteFromSaved(spark, mPath, delIds))))
+          results += (("maint_vacuum", reps, n,
+            best("vacuumSaved", iters = 1)(
+              Hnsw.vacuumSaved(spark, mPath))))
+          results += (("maint_compact", reps, n,
+            best("compactSaved", iters = 1)(
+              Hnsw.compactSaved(spark, mPath, minNodes = 2048,
+                targetNodes = 4096))))
+        }
       }
 
       // blocked k-NN GRAPH build (KnnJoin.blocked): the scale claim is

@@ -43,6 +43,25 @@ class FilterJsonSpec extends SparkSpec {
   test("F2 $in membership") {
     assert(matches("""{"status": {"$in": ["active", "pending"]}}""") == Set(3, 4))
     assert(matches("""{"status": {"$in": []}}""") == Set.empty[Int])
+    // numeric membership (reference test_in_filter_numbers)
+    assert(matches("""{"priority": {"$in": [1, 2, 3]}}""") == Set(3, 5))
+  }
+
+  test("complex nested $and/$or over dot-paths (reference test_complex_nested_filter)") {
+    import spark.implicits._
+    val df = Seq(
+      (1, """{"article": {"category": "technology", "views": 1500, "featured": false}, "author": {"verified": true}}"""),
+      (2, """{"article": {"category": "technology", "views": 10, "featured": true}, "author": {"verified": true}}"""),
+      (3, """{"article": {"category": "technology", "views": 10, "featured": false}, "author": {"verified": true}}"""),
+      (4, """{"article": {"category": "sports", "views": 1500, "featured": true}, "author": {"verified": true}}"""),
+      (5, """{"article": {"category": "technology", "views": 1500, "featured": true}, "author": {"verified": false}}""")
+    ).toDF("id", "metadata")
+    val f = """{"$and": [
+      {"article.category": "technology"},
+      {"$or": [{"article.views": {"$gte": 1000}}, {"article.featured": true}]},
+      {"author.verified": true}]}"""
+    assert(df.filter(FilterJson.predicate(f, col("metadata")))
+      .select("id").collect().map(_.getInt(0)).toSet == Set(1, 2))
   }
   test("F3 inclusive range $gte/$lte") {
     assert(matches("""{"age": {"$gte": 18, "$lte": 65}}""") == Set(7, 8))
@@ -103,10 +122,42 @@ class FilterJsonSpec extends SparkSpec {
     assert(hit("""{"obj": {"a": "x", "b": 1}}"""))
     assert(hit("""{"obj": {"b": 1, "a": "x"}}"""))
     assert(!hit("""{"obj": {"a": "x", "b": 2}}"""))
-    // and inside arrays of objects
+    // equality against a stored ARRAY is containment of the value as an
+    // ELEMENT — an object filter value matches an element structurally...
     val arr = Seq((1, """{"list": [{"y": 2, "x": 1}]}""")).toDF("id", "metadata")
     assert(arr.filter(FilterJson.predicate(
-      """{"list": [{"x": 1, "y": 2}]}""", col("metadata"))).count() == 1)
+      """{"list": {"x": 1, "y": 2}}""", col("metadata"))).count() == 1)
+    // ...while WHOLE-ARRAY equality deliberately does NOT match: the
+    // reference's array branch is containment only (metadata_filter.rs
+    // :274-279 — arr.contains(value), so [..] is looked up as an element)
+    assert(arr.filter(FilterJson.predicate(
+      """{"list": [{"x": 1, "y": 2}]}""", col("metadata"))).count() == 0)
+    // $in, by contrast, compares WHOLE values (:285-291): the stored
+    // array matches an identical array listed in $in
+    assert(arr.filter(FilterJson.predicate(
+      """{"list": {"$in": [[{"x": 1, "y": 2}]]}}""", col("metadata"))).count() == 1)
+  }
+
+  test("reference-exact leniency: $and claims the filter; operator-object fallbacks") {
+    // a top-level $and claims the whole filter — sibling keys are IGNORED
+    // (from_json:91-97 early-returns before reading anything else)
+    assert(matches("""{"$and": [{"category": "technology"}], "published": false}""") == Set(1))
+    // a $in key claims the operator object — sibling ops ignored (:162)
+    assert(matches("""{"status": {"$in": ["active"], "$gte": 99}}""") == Set(3))
+    // a non-numeric bound is ignored while the numeric one applies
+    // (as_f64 = None, :166-169): only $lt 66 is live here
+    assert(matches("""{"age": {"$gte": "x", "$lt": 66}}""") == Set(6, 7, 8))
+    // an operator object with NO numeric bound degrades to structural
+    // equality on the literal object (:225-229) — no rows store it, so
+    // it matches nothing, and it must NOT be a parse error
+    assert(matches("""{"age": {"$gte": "x"}}""") == Set.empty[Int])
+    // ...but an unrecognized $op (with no live bound) still errors (:205-216)
+    intercept[FilterJson.FilterParseException] {
+      matches("""{"age": {"$bogus": 1}}""")
+    }
+    // a bogus $op NEXT TO a live numeric bound is ignored (:192-203
+    // returns the range before any key check)
+    assert(matches("""{"age": {"$gte": 18, "$bogus": 1, "also": 2}}""") == Set(7, 8, 9))
   }
 
   test("$and/$or reject non-object elements (never match-everything)") {
