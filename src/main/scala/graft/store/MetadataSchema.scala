@@ -27,11 +27,18 @@ object MetadataSchema {
 
     def json: String = mapper.writeValueAsString(raw)
 
-    /** Validate one metadata JSON document; returns the first violation. */
+    /** Validate one metadata JSON document; returns the first violation.
+      *
+      * Absent/null metadata is a violation whenever a schema is set —
+      * reference-exact: `validate` requires an object unconditionally
+      * (`schema.rs:181-188` — a napi null metadata arrives as
+      * `Value::Null` and fails `is_object()` even with zero required
+      * fields), so a reference user with a schema can never insert
+      * metadata-less rows, and neither can ours. */
     def validate(metadataJson: Option[String]): Option[String] = {
       val doc = metadataJson match {
         case None | Some(null) =>
-          return if (required.isEmpty) None else Some(s"missing required fields: ${required.mkString(",")}")
+          return Some("metadata must be a JSON object (schema is set, got null)")
         case Some(s) =>
           try mapper.readTree(s)
           catch { case e: Exception => return Some(s"invalid JSON: ${e.getMessage}") }

@@ -118,6 +118,14 @@ object Streaming {
     * `compactMinFiles` parts (tmp+swap with a crash-recovery marker — the
     * same contract as the store's tier rewrites; 0 disables). The current
     * file count is observable via [[acceptedStateFileCount]].
+    *
+    * Single-stream contract: ONE live stream per `acceptedDir`. The
+    * checkpoint dir already serializes restarts of the same stream, but
+    * nothing stops a caller starting two streams with different
+    * checkpoints against one accepted state — that is undefined behavior
+    * (both would append and compact the same table), same as any two
+    * writers on one Spark output path. Readers of the accepted table are
+    * always safe (swap recovery is lock-serialized with compaction).
     */
   def dedupIngest(spark: org.apache.spark.sql.SparkSession, sourceDir: String,
       acceptedDir: String, checkpointDir: String, shingleN: Int = 2,

@@ -168,6 +168,15 @@ class VectorStoreSpec extends SparkSpec {
     intercept[MetadataSchema.SchemaViolation] {
       st.insert(Seq(VectorRecord("bad4", vec(6), Some("""{"title": null}"""))))
     }
+    // reference-exact (r10): with a schema set, metadata-LESS rows are a
+    // violation even though no field is individually invalid — the
+    // reference's validate requires an object unconditionally
+    // (schema.rs:181-188; napi null metadata = Value::Null)
+    intercept[MetadataSchema.SchemaViolation] {
+      st.insert(Seq(VectorRecord("bad5", vec(7), None)))
+    }
+    val lax = freshStore() // no schema set: metadata-less inserts stay fine
+    lax.insert(Seq(VectorRecord("nometa", vec(8), None)))
   }
 
   test("unparseable metadata is rejected at insert, not at first filtered read") {
