@@ -81,11 +81,25 @@ object PlanDump {
         |(N, avgdl) scalars join back as broadcasts; the final ranking is a
         |TakeOrdered heap, not a sort.""".stripMargin),
       "bpe_tokenize" -> ("""Trained-BPE token counting, application side (training already
-        |ran — merges are literals here): the 32-merge chain is nested
-        |codegen StringReplace expressions inside the scan-side project —
-        |map-only, no UDF, no shuffle; the only exchange is the output
-        |ordering. At 100 TB this is a pure scan whose cost is the replace
-        |chain per row.""".stripMargin),
+        |ran — the 1,156-merge table rides as a reference object): the
+        |whole merge chain is ONE depth-1 codegen loop expression
+        |(bpe_apply) inside the scan-side project — map-only, no UDF, no
+        |shuffle, constant plan/codegen size at ANY vocabulary; the only
+        |exchange is the output ordering. At 100 TB this is a pure scan
+        |whose cost is the replace chain per row.""".stripMargin),
+      "graph_stats" -> ("""A8 stats over a persisted HNSW index: one scan of the blob
+        |table's graph column -> per-blob header/tombstone peek inside a
+        |typed map -> a single global aggregate row. No graph
+        |materialization, no join, one exchange for the final aggregate —
+        |cost is O(blob bytes read) at any index size.""".stripMargin),
+      "store_hnsw_crud" -> ("""The search plan SERVED BY a just-maintained index (build ->
+        |insert -> delete -> vacuum -> compact ran as separate jobs before
+        |this plan): blob scan of the compacted index -> partition-local
+        |graph walks in mapPartitions -> grouped top-k -> the self_n
+        |leak-audit aggregate. The maintenance ops themselves are
+        |per-blob rewrites whose cost SCALING.md's maintain family
+        |measures; nothing about this serving plan grows with the number
+        |of maintenance cycles applied.""".stripMargin),
       "image_decode" -> ("""Multimodal pixel decode: generate -> encode -> ImageIO decode all
         |inside ONE mapPartitions pipeline (DeserializeToObject /
         |MapPartitions / SerializeFromObject back-to-back, no exchange
