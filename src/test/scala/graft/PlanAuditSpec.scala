@@ -357,6 +357,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.isEmpty, plan) // pure map: application never shuffles
   }
 
+  test("savedStats reads ONLY the graph column and partial-aggregates") {
+    // A8 over a persisted index must stay O(blob bytes): the scan reads
+    // the binary column alone (never part_id/centroid), the peek runs in
+    // a typed map, and the global row partial-aggregates before the one
+    // SinglePartition exchange — no join, no second scan, no collect.
+    val path = graft.queries.AnnQueries.ensureGraphStatsIndex(spark, sfDir)
+    val plan = executedPlan(graft.operators.Hnsw.savedStats(spark, path))
+    assert(plan.contains("ReadSchema: struct<graph:binary>"), plan)
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("Join"), plan)
+    // exactly one FileScan in the FINAL plan (the AQE dump repeats the
+    // tree under "== Initial Plan =="): the stats never rescan the index
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("FileScan".r.findAllIn(finalPlan).length == 1, finalPlan)
+  }
+
   test("text prep queries (html/quality/url) are pure map until the final sort") {
     for (name <- Seq("html_extract", "quality_rules", "url_canonical")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
