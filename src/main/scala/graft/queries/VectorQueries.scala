@@ -89,6 +89,57 @@ object VectorQueries {
         .withColumn("score", round(col("score"), 6))
         .orderBy("distance", "id")
     }),
+    // F1-F7 as a hash-checked MATRIX: a battery of filter JSONs covering
+    // the whole language (type-exact equality, array containment with
+    // mixed-type elements, $in, ranges incl. the reference's lenient
+    // non-numeric-bound fallback, $and/$or, dot-paths, missing paths)
+    // runs through the REAL Catalyst translation (JSON parse -> variant
+    // raw-token predicates) over metadata synthesized from doc_id
+    // arithmetic — so DuckDB predicts every matched set in closed form
+    // without parsing JSON at all. Each filter emits (filter_id,
+    // n_matched, id_sum); a semantic drift in ANY operator flips a row.
+    "filter_matrix" -> ((s, dir) => {
+      import graft.functions.FilterJson
+      val docs = Tables.load(s, dir, "documents").select("doc_id")
+      // mixed-TYPE tags array (string, string, number) — exactly the
+      // shape a typed from_json would destroy and raw tokens preserve
+      val meta = concat(
+        lit("{\"category\":\"c"), col("doc_id") % 4, lit("\","),
+        lit("\"rank\":"), col("doc_id") % 100, lit(","),
+        lit("\"rank_s\":\""), col("doc_id") % 100, lit("\","),
+        lit("\"flag\":"),
+        when(col("doc_id") % 2 === 0, "true").otherwise("false"), lit(","),
+        lit("\"tags\":[\"t"), col("doc_id") % 5, lit("\",\"common\","),
+        col("doc_id") % 7, lit("],"),
+        lit("\"user\":{\"id\":\"u"), col("doc_id") % 10, lit("\",\"score\":"),
+        col("doc_id") % 50, lit("}}"))
+      val base = docs.select(col("doc_id"), meta.as("m"))
+      val filters = Seq(
+        "f01_eq_string" -> """{"category": "c1"}""",
+        "f02_eq_number" -> """{"rank": 7}""",
+        "f03_num_vs_stored_string" -> """{"rank_s": 7}""",
+        "f04_string_vs_stored_string" -> """{"rank_s": "7"}""",
+        "f05_eq_boolean" -> """{"flag": true}""",
+        "f06_array_contains_string" -> """{"tags": "common"}""",
+        "f07_array_contains_t2" -> """{"tags": "t2"}""",
+        "f08_array_contains_number" -> """{"tags": 3}""",
+        "f09_array_string_vs_number_elem" -> """{"tags": "3"}""",
+        "f10_range_gte_lt" -> """{"rank": {"$gte": 10, "$lt": 20}}""",
+        "f11_in_numbers" -> """{"rank": {"$in": [1, 2, 3]}}""",
+        "f12_dot_path" -> """{"user.id": "u3"}""",
+        "f13_dot_path_range" -> """{"user.score": {"$gt": 40}}""",
+        "f14_or" -> """{"$or": [{"category": "c0"}, {"rank": {"$gte": 95}}]}""",
+        "f15_and" -> """{"$and": [{"flag": true}, {"tags": "t1"}]}""",
+        "f16_missing_path" -> """{"missing.path": "x"}""",
+        "f17_lenient_bound_ignored" -> """{"rank": {"$gte": "x", "$lt": 5}}""",
+        "f18_implicit_and" -> """{"category": "c2", "flag": true}""")
+      filters.map { case (fid, f) =>
+        base.filter(FilterJson.predicate(f, col("m")))
+          .agg(lit(fid).as("filter_id"),
+            count(lit(1)).as("n_matched"),
+            coalesce(sum("doc_id"), lit(0L)).as("id_sum"))
+      }.reduce(_.unionByName(_)).orderBy("filter_id")
+    }),
     // k-NN GRAPH construction (the SemDeDup/semantic-dedup primitive):
     // every vector's top-3 neighbors. Exact all-pairs = the bounded ground
     // truth; blocked = the IVF-cluster-at-scale shape, replayed exactly by
@@ -160,7 +211,38 @@ object VectorQueries {
   private val qSub =
     "(SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0) q"
 
+  /** filter_matrix's closed-form replay: the metadata is pure doc_id
+    * arithmetic, so every filter's matched set is an arithmetic predicate
+    * — DuckDB never parses JSON, which is the point: a drift in the
+    * Catalyst filter translation cannot be mirrored by a drift here. */
+  private val filterMatrixOracle: String = {
+    val preds = Seq(
+      "f01_eq_string" -> "doc_id % 4 = 1",
+      "f02_eq_number" -> "doc_id % 100 = 7",
+      "f03_num_vs_stored_string" -> "FALSE",
+      "f04_string_vs_stored_string" -> "doc_id % 100 = 7",
+      "f05_eq_boolean" -> "doc_id % 2 = 0",
+      "f06_array_contains_string" -> "TRUE",
+      "f07_array_contains_t2" -> "doc_id % 5 = 2",
+      "f08_array_contains_number" -> "doc_id % 7 = 3",
+      "f09_array_string_vs_number_elem" -> "FALSE",
+      "f10_range_gte_lt" -> "doc_id % 100 >= 10 AND doc_id % 100 < 20",
+      "f11_in_numbers" -> "doc_id % 100 IN (1, 2, 3)",
+      "f12_dot_path" -> "doc_id % 10 = 3",
+      "f13_dot_path_range" -> "doc_id % 50 > 40",
+      "f14_or" -> "doc_id % 4 = 0 OR doc_id % 100 >= 95",
+      "f15_and" -> "doc_id % 2 = 0 AND doc_id % 5 = 1",
+      "f16_missing_path" -> "FALSE",
+      "f17_lenient_bound_ignored" -> "doc_id % 100 < 5",
+      "f18_implicit_and" -> "doc_id % 4 = 2 AND doc_id % 2 = 0")
+    preds.map { case (fid, p) =>
+      s"SELECT '$fid' AS filter_id, count(*)::BIGINT AS n_matched, " +
+        s"coalesce(sum(doc_id), 0)::BIGINT AS id_sum FROM documents WHERE $p"
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY filter_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "filter_matrix" -> filterMatrixOracle,
     "knn_cosine" ->
       s"""SELECT e.vec_id,
          |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb), 6) AS cos_sim
