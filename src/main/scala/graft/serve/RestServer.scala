@@ -453,6 +453,16 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         n.put("status", "healthy")
         n.put("recent_count", st.recentCount)
         n.put("historical_count", st.historicalCount)
+        // reference HealthResponse envelope (rest.rs:132-161): a client
+        // deserializing {status, version, storage, indices} must not break
+        n.put("version", "1.0")
+        val stor = n.putObject("storage")
+        stor.put("mode", "filesystem"); stor.put("connected", true)
+        val idx = n.putObject("indices")
+        val hn = idx.putObject("hnsw")
+        hn.put("healthy", true); hn.put("vector_count", st.recentCount)
+        val iv = idx.putObject("ivf")
+        iv.put("healthy", true); iv.put("vector_count", st.historicalCount)
         (200, n)
     })
     server.createContext("/api/v1/vectors", ex => handle(ex) {
@@ -481,6 +491,16 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           val n = obj()
           n.put("inserted", res.inserted)
           n.put("duplicates", res.duplicates)
+          // reference BatchInsertResponse field names (rest.rs:82-93):
+          // successful/failed counts plus a per-id error list
+          n.put("successful", res.inserted)
+          n.put("failed", res.duplicates)
+          val errsArr = n.putArray("errors")
+          val landed = res.insertedIds.toSet
+          recs.filterNot(r => landed.contains(r.id)).foreach { r =>
+            val e0 = errsArr.addObject()
+            e0.put("id", r.id); e0.put("error", "duplicate id")
+          }
           (200, n)
         }
       case ("GET", IdPath(id)) =>
@@ -581,6 +601,10 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           }
           n.put("total_count", hits.length)
           n.put("query_time_ms", (System.nanoTime() - t0) / 1e6)
+          // reference SearchResponse envelope names (rest.rs:116-121)
+          n.put("search_time_ms", (System.nanoTime() - t0) / 1e6)
+          n.put("indices_searched", 2) // both tiers answer every search
+          n.put("partial_results", false)
           queryCache.put(cacheKey, n.deepCopy())
           (200, n)
           }
@@ -659,6 +683,25 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         n.put("dimension", store.dimension.getOrElse(0))
         n.put("cache_hits", cacheHits)
         n.put("cache_misses", cacheMisses)
+        // reference StatisticsResponse field names (rest.rs:162-176) —
+        // and unlike the reference's in-memory estimates, the byte sizes
+        // here are the REAL on-disk footprint per tier family
+        n.put("total_vectors", st.recentCount + st.historicalCount)
+        n.put("recent_vectors", st.recentCount)
+        n.put("historical_vectors", st.historicalCount)
+        val mu = n.putObject("memory_usage")
+        def dirBytes(names: String*): Long = names.map { nm =>
+          val p0 = new org.apache.hadoop.fs.Path(store.path, nm)
+          val fsS = p0.getFileSystem(
+            store.spark.sparkContext.hadoopConfiguration)
+          if (fsS.exists(p0)) fsS.getContentSummary(p0).getLength else 0L
+        }.sum
+        val hnswB = dirBytes("recent", "recent_index")
+        val ivfB = dirBytes("historical", "centroids", "pq_codes",
+          "sq_codes", "bq_codes")
+        mu.put("hnsw_bytes", hnswB)
+        mu.put("ivf_bytes", ivfB)
+        mu.put("total_bytes", hnswB + ivfB)
         // maintenance counters (RebalanceStatistics analog): persisted
         // with the store, so they cover scheduler + route + direct calls
         val ms = store.maintenanceStats
@@ -666,9 +709,14 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         n.put("total_vectors_moved", ms.totalVectorsMoved)
         (200, n)
       case ("POST", "/api/v1/admin/migrate") =>
+        val tm0 = System.nanoTime()
         val migrated = store.migrate()
         if (migrated > 0) mutated("migrate", Seq(migrated.toString))
-        val n = obj(); n.put("migrated", migrated); (200, n)
+        val n = obj(); n.put("migrated", migrated)
+        // reference MigrationResponse field names (rest.rs:178-181)
+        n.put("vectors_migrated", migrated)
+        n.put("duration_ms", (System.nanoTime() - tm0) / 1e6)
+        (200, n)
       case ("POST", "/api/v1/admin/vacuum") =>
         val res = store.vacuum()
         mutated("vacuum", Seq((res.recentRemoved + res.historicalRemoved).toString))
@@ -679,7 +727,14 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
       case ("POST", "/api/v1/admin/rebalance") =>
         val moved = store.rebalance(optInt(body(ex), "max_cluster_size", 10000))
         if (moved > 0) mutated("rebalance", Seq(moved.toString))
-        val n = obj(); n.put("moved", moved); (200, n)
+        val n = obj(); n.put("moved", moved)
+        // reference RebalanceResponse field names (rest.rs:184-187; its
+        // own handler is a TODO stub returning zeros — ours reports the
+        // measured counts)
+        n.put("vectors_moved", moved)
+        n.put("clusters_modified",
+          if (moved > 0) store.maintenanceStats.lastClustersModified else 0L)
+        (200, n)
       // serving-index lifecycle (the reference builds its indexes inside
       // the engine on insert; here index builds are explicit admin actions
       // so the store stays zero-maintenance by default). A rebuilt artifact
@@ -755,7 +810,14 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             else {
               val n = obj()
               n.put("target", targetNorm.toString)
-              n.put("bytes", store.backup(targetNorm.toString))
+              val bytes = store.backup(targetNorm.toString)
+              n.put("bytes", bytes)
+              // reference BackupResponse field names (rest.rs:196-200; its
+              // handler is a TODO stub — ours reports the real copy)
+              val st = store.stats()
+              n.put("backup_size", bytes)
+              n.put("vectors_backed_up", st.recentCount + st.historicalCount)
+              n.put("compression_ratio", 1.0) // byte-identical clone
               (200, n)
             }
         }

@@ -725,10 +725,22 @@ class VectorStore(val spark: SparkSession, val path: String,
     // original and its reinserted copy legitimately share a vid, and a
     // vid-only join would many-to-many them into an inflated (and
     // permanently persisted) moved count
-    val moved = balanced.select(col("vid"), col("ts"), col("cluster_id"))
+    val movedRows = balanced.select(col("vid"), col("ts"), col("cluster_id"))
       .join(hist.select(col("vid"), col("ts"), col("cluster_id").as("old_cid")),
         Seq("vid", "ts"))
-      .filter(col("cluster_id") =!= col("old_cid")).count()
+      .filter(col("cluster_id") =!= col("old_cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val moved = movedRows.count()
+    // clusters touched = distinct sources ∪ destinations of moved rows —
+    // the RebalanceResponse.clusters_modified a reference REST client
+    // deserializes (the reference's own handler is a TODO stub; ours
+    // reports the real number). Bounded: runs only over the moved subset.
+    val clustersModified =
+      if (moved == 0) 0L
+      else movedRows
+        .select(explode(array(col("cluster_id"), col("old_cid"))).as("c"))
+        .agg(countDistinct("c")).head().getLong(0)
+    movedRows.unpersist()
     storeWrite(balanced.repartition(col("cluster_id"))).mode(SaveMode.Overwrite)
       .partitionBy("cluster_id").parquet(dir("historical") + "_tmp")
     balanced.unpersist()
@@ -750,7 +762,8 @@ class VectorStore(val spark: SparkSession, val path: String,
     writeText(new Path(path, "maintenance.json"), mapper.writeValueAsString(
       mapper.createObjectNode()
         .put("total_rebalances", prev.totalRebalances + 1)
-        .put("total_vectors_moved", prev.totalVectorsMoved + moved)))
+        .put("total_vectors_moved", prev.totalVectorsMoved + moved)
+        .put("last_clusters_modified", clustersModified)))
     moved
   }
 
@@ -758,12 +771,13 @@ class VectorStore(val spark: SparkSession, val path: String,
     * rebalance has run. */
   def maintenanceStats: MaintenanceStats = {
     val p = new Path(path, "maintenance.json")
-    if (!fs.exists(p)) MaintenanceStats(0L, 0L)
+    if (!fs.exists(p)) MaintenanceStats(0L, 0L, 0L)
     else {
       val n = mapper.readTree(readText(p))
       MaintenanceStats(
         n.path("total_rebalances").asLong(0L),
-        n.path("total_vectors_moved").asLong(0L))
+        n.path("total_vectors_moved").asLong(0L),
+        n.path("last_clusters_modified").asLong(0L))
     }
   }
 
@@ -1611,7 +1625,8 @@ object VectorStore {
   case class Stats(recentCount: Long, historicalCount: Long, tombstoneCount: Long)
   /** Persisted rebalance counters (RebalanceStatistics analog,
     * `hybrid/maintenance.rs:115-119`). */
-  case class MaintenanceStats(totalRebalances: Long, totalVectorsMoved: Long)
+  case class MaintenanceStats(totalRebalances: Long, totalVectorsMoved: Long,
+      lastClustersModified: Long = 0L)
 
   /** VectorId analog (M14, `types.rs:12-34`): "vec_" + the full 256-bit
     * content hash (sha2 here; blake3 byte-compat is irrelevant to

@@ -40,6 +40,11 @@ class RestServerSpec extends SparkSpec {
       // health before any data
       val (hs, health) = call(srv, "GET", "/api/v1/health")
       assert(hs == 200 && health.get("status").asText() == "healthy")
+      // reference HealthResponse envelope: version/storage/indices
+      assert(health.get("version") != null)
+      assert(health.get("storage").get("connected").asBoolean())
+      assert(health.get("indices").get("hnsw").get("healthy").asBoolean())
+      assert(health.get("indices").get("ivf").get("vector_count").asLong() == 0)
 
       // single insert -> 201 with recent-tier placement
       val (is, ins) = call(srv, "POST", "/api/v1/vectors",
@@ -62,6 +67,15 @@ class RestServerSpec extends SparkSpec {
         .mkString("""{"vectors": [""", ",", "]}")
       val (bs2, bres) = call(srv, "POST", "/api/v1/vectors/batch", batch)
       assert(bs2 == 200 && bres.get("inserted").asLong() == 8)
+      // reference BatchInsertResponse envelope: successful/failed/errors
+      assert(bres.get("successful").asLong() == 8)
+      assert(bres.get("failed").asLong() == 0)
+      assert(bres.get("errors").size() == 0)
+      // re-sending one id: failed=1 with a per-id error entry
+      val (bs3, bres2) = call(srv, "POST", "/api/v1/vectors/batch",
+        s"""{"vectors": [{"id": "v2", "vector": ${vecJson(2)}}]}""")
+      assert(bs3 == 200 && bres2.get("failed").asLong() == 1)
+      assert(bres2.get("errors").get(0).get("id").asText() == "v2")
 
       // get by id
       val (gs, got) = call(srv, "GET", "/api/v1/vectors/v3")
@@ -80,6 +94,10 @@ class RestServerSpec extends SparkSpec {
       assert(top.get("score").asDouble() > 0.999)
       assert(top.get("metadata").get("i").asInt() == 5)
       assert(sr.get("total_count").asInt() == 3)
+      // reference SearchResponse envelope names
+      assert(sr.get("search_time_ms").asDouble() > 0.0)
+      assert(sr.get("indices_searched").asInt() == 2)
+      assert(!sr.get("partial_results").asBoolean())
 
       // include_vectors: the stored embedding payload round-trips
       // (session.rs:266-281); absent by default
@@ -112,6 +130,13 @@ class RestServerSpec extends SparkSpec {
       assert(ts == 200)
       assert(st.get("recent_count").asLong() == 8) // 9 inserted - 1 deleted
       assert(st.get("dimension").asInt() == 8)
+      // reference StatisticsResponse envelope: totals + on-disk bytes
+      assert(st.get("total_vectors").asLong() == 8)
+      assert(st.get("recent_vectors").asLong() == 8)
+      assert(st.get("historical_vectors").asLong() == 0)
+      assert(st.get("memory_usage").get("hnsw_bytes").asLong() > 0)
+      assert(st.get("memory_usage").get("total_bytes").asLong() >=
+        st.get("memory_usage").get("hnsw_bytes").asLong())
 
       // vacuum compacts the tombstone away
       val (vs, vac) = call(srv, "POST", "/api/v1/admin/vacuum")
@@ -120,6 +145,9 @@ class RestServerSpec extends SparkSpec {
       // rebalance: no centroids yet -> moved 0; backup clones the store
       val (rs, rb) = call(srv, "POST", "/api/v1/admin/rebalance", "{}")
       assert(rs == 200 && rb.get("moved").asLong() == 0)
+      // reference RebalanceResponse envelope names
+      assert(rb.get("vectors_moved").asLong() == 0)
+      assert(rb.get("clusters_modified").asLong() == 0)
       assert(call(srv, "POST", "/api/v1/admin/backup", "{}")._1 == 400)
       // targets resolve under backupBase; escapes are rejected
       assert(call(srv, "POST", "/api/v1/admin/backup",
@@ -128,6 +156,11 @@ class RestServerSpec extends SparkSpec {
         """{"target": "c"}""")
       assert(ks == 200 && bk.get("bytes").asLong() > 0)
       assert(bk.get("target").asText().startsWith(bkBase))
+      // reference BackupResponse envelope names (real values, not the
+      // reference handler's TODO zeros)
+      assert(bk.get("backup_size").asLong() == bk.get("bytes").asLong())
+      assert(bk.get("vectors_backed_up").asLong() == 8)
+      assert(bk.get("compression_ratio").asDouble() == 1.0)
     } finally srv.stop()
   }
 
