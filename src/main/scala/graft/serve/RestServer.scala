@@ -33,13 +33,23 @@ import scala.util.control.NonFatal
   *                                      {include_metadata?, include_vectors?,
   *                                       score_threshold?, metric?, mode?,
   *                                       oversample?, selectivity?,
-  *                                       probe_blobs?}} — mode:
+  *                                       probe_blobs?, search_recent?,
+  *                                       search_historical?, ivf_n_probe?,
+  *                                       hnsw_ef?, timeout_ms? (ignored)}}
+  *                                      — mode:
   *                                      exact | recent_index | pq | sq | bq
   *                                      (serving path); probe_blobs routes a
-  *                                      ROUTED saved recent index.
+  *                                      ROUTED saved recent index; the
+  *                                      search_recent/search_historical/
+  *                                      ivf_n_probe/hnsw_ef names are the
+  *                                      reference's SearchOptions
+  *                                      (rest.rs:104-113) and behave the
+  *                                      same (tier selection, probe depth).
   *                                      Response: {results: [{id, distance,
   *                                      score, metadata?, vector?}],
   *                                      total_count, query_time_ms,
+  *                                      search_time_ms, indices_searched,
+  *                                      partial_results,
   *                                      cached?} — metadata present iff
   *                                      include_metadata, vector (the stored
   *                                      embedding payload, session.rs:
@@ -573,6 +583,13 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             .getOrElse(3)
           val includeMeta = opt("include_metadata").exists(_.asBoolean())
           val includeVecs = opt("include_vectors").exists(_.asBoolean())
+          // the reference SearchOptions names (rest.rs:104-113) map 1:1:
+          // search_recent/search_historical select tiers, ivf_n_probe and
+          // hnsw_ef set probe depth; timeout_ms is accepted and ignored
+          // (a Spark batch query has no per-request deadline — documented
+          // in MIGRATION.md)
+          val srchRecent = opt("search_recent").forall(_.asBoolean())
+          val srchHist = opt("search_historical").forall(_.asBoolean())
           val hits = store.searchMode(
             qv, k,
             mode = opt("mode").map(_.asText()).getOrElse("exact"),
@@ -581,7 +598,12 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             scoreThreshold = opt("score_threshold").map(_.asDouble()),
             oversample = oversample,
             probeBlobs = opt("probe_blobs").map(_.asInt()).getOrElse(0),
-            includeVectors = includeVecs
+            includeVectors = includeVecs,
+            searchRecent = srchRecent,
+            searchHistorical = srchHist,
+            nProbe = opt("ivf_n_probe").map(_.asInt())
+              .getOrElse(store.config.nProbe),
+            efSearch = opt("hnsw_ef").map(_.asInt()).getOrElse(100)
           ).collect()
           val n = obj()
           val results = n.putArray("results")
@@ -603,7 +625,8 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           n.put("query_time_ms", (System.nanoTime() - t0) / 1e6)
           // reference SearchResponse envelope names (rest.rs:116-121)
           n.put("search_time_ms", (System.nanoTime() - t0) / 1e6)
-          n.put("indices_searched", 2) // both tiers answer every search
+          n.put("indices_searched",
+            (if (srchRecent) 1 else 0) + (if (srchHist) 1 else 0))
           n.put("partial_results", false)
           queryCache.put(cacheKey, n.deepCopy())
           (200, n)

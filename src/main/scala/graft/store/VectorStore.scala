@@ -525,12 +525,22 @@ class VectorStore(val spark: SparkSession, val path: String,
     * embedding payload (session.rs:266-281). */
   def search(query: Array[Float], k: Int, metric: String = "cosine",
       filterJson: Option[String] = None, scoreThreshold: Option[Double] = None,
-      includeVectors: Boolean = false): DataFrame = {
+      includeVectors: Boolean = false,
+      searchRecent: Boolean = true, searchHistorical: Boolean = true): DataFrame = {
+    require(searchRecent || searchHistorical,
+      "at least one of searchRecent/searchHistorical must be true")
+    // tier selection (the reference's search_recent/search_historical
+    // options, rest.rs:105-113): the live view carries a tier column, so
+    // restriction is one pushed-down filter
+    val view =
+      if (searchRecent && searchHistorical) vectors
+      else vectors.filter(col("tier") ===
+        (if (searchRecent) "recent" else "historical"))
     // metadata/embedding ride through the top-k (carryCols) instead of a
     // second full live-view scan + join: the live view costs a
     // tombstone-anti-join + overlay pass over both tiers, and paying it
     // twice doubled the dominant cost of every single-query search
-    val hits = Knn.search(vectors, query, k, metric, idCol = "id",
+    val hits = Knn.search(view, query, k, metric, idCol = "id",
       filterJson = filterJson, scoreThreshold = scoreThreshold,
       carryCols = Seq("metadata", "embedding"))
     val base = hits
@@ -555,31 +565,45 @@ class VectorStore(val spark: SparkSession, val path: String,
   def searchMode(query: Array[Float], k: Int, mode: String = "exact",
       metric: String = "cosine", filterJson: Option[String] = None,
       scoreThreshold: Option[Double] = None, oversample: Int = 3,
-      probeBlobs: Int = 0, includeVectors: Boolean = false): DataFrame = {
+      probeBlobs: Int = 0, includeVectors: Boolean = false,
+      searchRecent: Boolean = true, searchHistorical: Boolean = true,
+      nProbe: Int = config.nProbe, efSearch: Int = 100): DataFrame = {
     require(oversample >= 1, s"oversample must be >= 1, got $oversample")
     if (mode == "exact")
-      return search(query, k, metric, filterJson, scoreThreshold, includeVectors)
+      return search(query, k, metric, filterJson, scoreThreshold, includeVectors,
+        searchRecent, searchHistorical)
     import spark.implicits._
     val q = Seq((0L, query)).toDF("query_id", "q_embedding")
     val hits = mode match {
       case "recent_index" =>
-        searchBatch(q, k, metric, useRecentIndex = true, filterJson = filterJson,
-          recentProbeBlobs = probeBlobs)
+        searchBatch(q, k, metric, nProbe = nProbe, useRecentIndex = true,
+          filterJson = filterJson, recentEfSearch = efSearch,
+          recentProbeBlobs = probeBlobs,
+          searchRecent = searchRecent, searchHistorical = searchHistorical)
       case "pq" | "sq" | "bq" =>
         require(metric == "l2" || metric == "cosine",
           s"mode '$mode' is a code tier serving l2|cosine; got metric '$metric'")
+        // tier selection maps to the hybrid paths (the reference's search
+        // gates its recent/historical indexes); a code tier IS the
+        // historical serving artifact, so partial-tier requests there are
+        // a loud error rather than a silently different result
+        require(searchRecent && searchHistorical,
+          s"search_recent/search_historical apply to exact|recent_index; mode '$mode' serves both tiers")
         // serve the recent tier from its saved graph whenever one exists
         // for this metric — the indexed path is strictly cheaper
         val recIdx = hasRecentIndex && recentIndexMetric == metric
-        if (mode == "pq") searchBatchPq(q, k, metric = metric,
+        if (mode == "pq") searchBatchPq(q, k, nProbe = nProbe, metric = metric,
           filterJson = filterJson, oversample = oversample,
-          useRecentIndex = recIdx, recentProbeBlobs = probeBlobs)
-        else if (mode == "sq") searchBatchSq(q, k, metric = metric,
+          useRecentIndex = recIdx, recentEfSearch = efSearch,
+          recentProbeBlobs = probeBlobs)
+        else if (mode == "sq") searchBatchSq(q, k, nProbe = nProbe, metric = metric,
           filterJson = filterJson, oversample = oversample,
-          useRecentIndex = recIdx, recentProbeBlobs = probeBlobs)
-        else searchBatchBq(q, k, metric = metric,
+          useRecentIndex = recIdx, recentEfSearch = efSearch,
+          recentProbeBlobs = probeBlobs)
+        else searchBatchBq(q, k, nProbe = nProbe, metric = metric,
           filterJson = filterJson, oversample = oversample,
-          useRecentIndex = recIdx, recentProbeBlobs = probeBlobs)
+          useRecentIndex = recIdx, recentEfSearch = efSearch,
+          recentProbeBlobs = probeBlobs)
       case other => throw new IllegalArgumentException(
         s"unknown search mode '$other' (exact|recent_index|pq|sq|bq)")
     }
@@ -955,22 +979,27 @@ class VectorStore(val spark: SparkSession, val path: String,
       filterJson: Option[String] = None,
       useRecentIndex: Boolean = false,
       recentEfSearch: Int = 100,
-      recentProbeBlobs: Int = 0): DataFrame = {
+      recentProbeBlobs: Int = 0,
+      searchRecent: Boolean = true,
+      searchHistorical: Boolean = true): DataFrame = {
+    require(searchRecent || searchHistorical,
+      "at least one of searchRecent/searchHistorical must be true")
     val queries = localizeQueries(queriesRaw)
     // the natural string id rides through the string top-k aggregate — no
     // surrogate hash, no collision risk, no join back to recover the id
     val recPart =
-      if (useRecentIndex) indexedRecentPart(queries, recentK.getOrElse(k),
-        metric, filterJson, recentEfSearch, recentProbeBlobs)
+      if (!searchRecent) None // reference search_recent=false (rest.rs:106)
+      else if (useRecentIndex) Some(indexedRecentPart(queries, recentK.getOrElse(k),
+        metric, filterJson, recentEfSearch, recentProbeBlobs))
       else {
         val rec = filterJson match {
           case None => dropTombstoned(recent).select(col("id"), col("embedding"))
           case Some(_) => applyMetaOverlay(dropTombstoned(recent))
             .select(col("id"), col("embedding"), col("metadata"))
         }
-        Knn.batch(rec, queries, recentK.getOrElse(k), metric,
+        Some(Knn.batch(rec, queries, recentK.getOrElse(k), metric,
             filterJson = filterJson)
-          .select(col("query_id"), col("id"), col("distance"))
+          .select(col("query_id"), col("id"), col("distance")))
       }
     val hist = filterJson match {
       case None => dropTombstoned(historical)
@@ -979,14 +1008,18 @@ class VectorStore(val spark: SparkSession, val path: String,
     // tier presence is an FS-metadata question (recursive: the tier nests
     // cluster_id=*/), never a Spark job ahead of the search plan
     val histPart =
-      if (!exists("centroids") || !hasRowsRecursive("historical")) None
+      if (!searchHistorical) None
+      else if (!exists("centroids") || !hasRowsRecursive("historical")) None
       else Some(Ivf.searchBatch(
           hist.select(Seq("id", "embedding", "cluster_id").map(col) ++
             filterJson.map(_ => col("metadata")).toSeq: _*),
           centroids, queries, historicalK.getOrElse(k), nProbe, metric,
           filter = filterJson.map(FilterJson.predicate(_, col("metadata"))))
         .select(col("query_id"), col("id"), col("distance")))
-    mergeTiers(k, (recPart +: histPart.toSeq): _*)
+    val parts = recPart.toSeq ++ histPart.toSeq
+    require(parts.nonEmpty,
+      "no searchable tier: recent disabled and the historical tier is absent")
+    mergeTiers(k, parts: _*)
   }
 
   // ---- recent-tier saved-HNSW serving (X12: the reference serves its

@@ -99,6 +99,22 @@ class RestServerSpec extends SparkSpec {
       assert(sr.get("indices_searched").asInt() == 2)
       assert(!sr.get("partial_results").asBoolean())
 
+      // reference SearchOptions request names (rest.rs:104-113): tier
+      // selection — everything lives in the recent tier here, so
+      // search_historical=false changes nothing and search_recent=false
+      // finds nothing; probe-depth knobs are accepted
+      val (t1s, t1) = call(srv, "POST", "/api/v1/search",
+        s"""{"vector": ${vecJson(5)}, "k": 3,
+            "options": {"metric": "l2", "search_historical": false,
+                        "hnsw_ef": 64, "ivf_n_probe": 4, "timeout_ms": 500}}""")
+      assert(t1s == 200)
+      assert(t1.get("results").get(0).get("id").asText() == "v5")
+      assert(t1.get("indices_searched").asInt() == 1)
+      val (t2s, t2) = call(srv, "POST", "/api/v1/search",
+        s"""{"vector": ${vecJson(5)}, "k": 3,
+            "options": {"metric": "l2", "search_recent": false}}""")
+      assert(t2s == 200 && t2.get("results").size() == 0)
+
       // include_vectors: the stored embedding payload round-trips
       // (session.rs:266-281); absent by default
       assert(top.get("vector") == null)
