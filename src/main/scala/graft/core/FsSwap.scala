@@ -35,6 +35,26 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * lock older than [[LockStaleMs]] is presumed a crashed recoverer's and
   * is broken; a caller that cannot obtain the lock within
   * [[LockMaxWaitMs]] fails loudly rather than proceeding unserialized.
+  * The holder RENEWS the lock (mtime touch) before every rename inside
+  * the critical section, so a slow rename — the copy-fallback an
+  * object-store "rename" degrades to, or a long GC pause — does not let
+  * a waiter stale-break a live holder's lock mid-swap. The stale-break
+  * heuristic compares the local clock against FS mtime, so it is only
+  * sound where the two are reasonably aligned (same host, HDFS, NFS with
+  * sane clocks); the renewal bounds the required alignment to
+  * [[LockStaleMs]] per rename, not per swap.
+  *
+  * [[commit]] (the live-writer path) and [[recover]] (the crash path)
+  * differ in failure handling: a recovery that cannot finish leaves the
+  * marker for the next open — silent deferral is its contract. A live
+  * writer's commit must NOT defer silently: the caller is about to report
+  * success and persist counters describing data that never got installed,
+  * while readers in this process keep serving the stale live dir
+  * indefinitely (the dir exists, so nothing re-examines the marker until
+  * the next store open). commit therefore retries the swap
+  * [[CommitRetries]] times and THROWS if it still cannot complete — the
+  * marker stays behind as recovery evidence, but the writer learns its
+  * write is not live.
   *
   * The single-writer contract still governs PRODUCING `tmp` (two live
   * writers racing rewrites of one path remain exclusive by
@@ -47,17 +67,35 @@ object FsSwap {
   val LockStaleMs: Long = 60000L
   /** Give up (loudly) if the lock cannot be obtained within this. */
   val LockMaxWaitMs: Long = 60000L
+  /** Extra attempts a live writer's [[commit]] makes before failing
+    * loudly (recovery retries at the NEXT open instead). */
+  val CommitRetries: Int = 3
 
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Live-writer commit. Throws `IllegalStateException` if the swap cannot
+    * be completed after [[CommitRetries]] retries — the marker is left in
+    * place (next-open recovery will retry), but the CALLER must not report
+    * success: its rewrite was never installed, and in-process readers are
+    * still serving the pre-swap live dir. */
   def commit(fs: FileSystem, live: Path, tmp: Path, marker: Path,
       markerContent: String = "{}"): Unit = {
     val out = fs.create(marker, true)
     try out.write(markerContent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    withSwapLock(fs, live) {
-      if (fs.exists(marker)) finishSwap(fs, live, tmp, marker)
+    withSwapLock(fs, live) { renew =>
+      var done = !fs.exists(marker) || finishSwap(fs, live, tmp, marker, renew)
+      var attempt = 0
+      while (!done && attempt < CommitRetries) {
+        attempt += 1
+        Thread.sleep(200L * attempt) // transient FS contention backs off
+        done = !fs.exists(marker) || finishSwap(fs, live, tmp, marker, renew)
+      }
+      if (!done) throw new IllegalStateException(
+        s"swap of $tmp into $live failed after ${CommitRetries + 1} attempts " +
+          s"(rename refused); marker $marker retained for next-open recovery, " +
+          "but THIS rewrite has NOT been installed — do not record it as done")
     }
   }
 
@@ -65,9 +103,10 @@ object FsSwap {
     // lock-free fast path: the common nothing-to-recover open costs two
     // exists probes and never creates a lock file
     if (!fs.exists(marker) && !fs.exists(tmp)) return
-    withSwapLock(fs, live) {
-      // re-check under the lock: a concurrent recoverer may have finished
-      if (fs.exists(marker)) finishSwap(fs, live, tmp, marker)
+    withSwapLock(fs, live) { renew =>
+      // re-check under the lock: a concurrent recoverer may have finished.
+      // An unfinishable swap defers silently (marker stays for next open).
+      if (fs.exists(marker)) { finishSwap(fs, live, tmp, marker, renew); () }
       else if (fs.exists(new Path(tmp, "_SUCCESS")) && !fs.exists(live)) {
         // pre-marker-era crash between delete and rename: adopt the tmp —
         // but only a COMPLETE one (_SUCCESS): a markerless tmp still being
@@ -78,35 +117,45 @@ object FsSwap {
   }
 
   /** Drive a marker-evidenced swap to completion from any crash state.
-    * Caller holds the swap lock. Every rename is checked; the marker is
-    * dropped only once the new live dir is observed in place, so a
-    * failure at any step leaves the marker as evidence for the next
-    * recovery instead of a silently-missing tier. */
+    * Caller holds the swap lock; `renew` touches the lock before each
+    * rename so a slow rename cannot outlive the stale-break window. Every
+    * rename is checked; the marker is dropped only once the new live dir
+    * is observed in place, so a failure at any step leaves the marker as
+    * evidence instead of a silently-missing tier. Returns true iff the
+    * swap FINISHED (new live installed or already installed, marker
+    * dropped); false means the marker remains and the swap must be
+    * retried (commit) or deferred to the next open (recover). */
   private def finishSwap(fs: FileSystem, live: Path, tmp: Path,
-      marker: Path): Unit = {
+      marker: Path, renew: () => Unit): Boolean = {
     val aside = new Path(live.getParent, live.getName + "_old")
     if (fs.exists(tmp)) {
       if (fs.exists(live)) {
         // a crashed recovery's aside dir holds pre-swap data that `tmp`
         // supersedes — clear it so the aside rename cannot collide
         fs.delete(aside, true)
-        if (!tryRename(fs, live, aside)) return // marker stays; retry next open
+        renew()
+        if (!tryRename(fs, live, aside)) return false // marker stays
       }
+      renew()
       if (tryRename(fs, tmp, live)) {
         fs.delete(aside, true)
         fs.delete(marker, false)
-      }
+        true
+      } else false
     } else if (fs.exists(live)) {
       // crash after the install rename: only cleanup remains
       fs.delete(aside, true)
       fs.delete(marker, false)
+      true
     } else if (fs.exists(aside)) {
       // crash between rename(live->aside) and rename(tmp->live) consumed
       // neither tmp nor marker — unreachable with tmp missing unless the
       // tmp write itself never completed; restore the aside so the path
       // is not left empty (marker stays: the swap never finished)
-      tryRename(fs, aside, live); ()
-    }
+      renew()
+      tryRename(fs, aside, live)
+      false
+    } else false // marker with no dirs at all: nothing here can finish it
   }
 
   /** Checked rename: Hadoop FileSystem.rename both returns false AND
@@ -118,8 +167,12 @@ object FsSwap {
 
   /** Serialize swap-finishing per live path: per-path JVM monitor for
     * same-process callers (VectorStore opens share one JVM in local mode)
-    * plus an exclusive-create lock file for cross-process callers. */
-  private def withSwapLock[T](fs: FileSystem, live: Path)(body: => T): T = {
+    * plus an exclusive-create lock file for cross-process callers. The
+    * body receives a RENEW thunk that touches the lock's mtime — called
+    * before each rename so the [[LockStaleMs]] stale-break clock restarts
+    * per step, never spanning a whole multi-rename swap. */
+  private def withSwapLock[T](fs: FileSystem, live: Path)(
+      body: (() => Unit) => T): T = {
     val mon = jvmLocks.computeIfAbsent(
       fs.makeQualified(live).toString, _ => new Object)
     mon.synchronized {
@@ -140,7 +193,12 @@ object FsSwap {
         else Thread.sleep(100)
         acquired = tryCreate(fs, lock)
       }
-      try body finally fs.delete(lock, false)
+      val renew: () => Unit = () =>
+        // mtime touch; best-effort (a missed renewal degrades to the old
+        // fixed-window behavior, it cannot corrupt anything)
+        try fs.setTimes(lock, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+      try body(renew) finally fs.delete(lock, false)
     }
   }
 

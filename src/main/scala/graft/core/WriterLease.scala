@@ -29,11 +29,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * synchronized, matching the store's one-writer-thread usage.
   *
   * TTL default (30 min) is sized to bound the longest mutation the store
-  * runs (full-tier vacuum/compaction at scale); there is deliberately no
-  * mid-operation renewal — a renewal heartbeat would need a background
-  * thread per store handle, and a writer that stalls past the TTL loses
-  * the lease to a breaker exactly as a crashed one does, which the
-  * marker-bracketed swap protocol already survives. */
+  * runs (full-tier vacuum/compaction at scale). There is deliberately no
+  * background heartbeat thread; instead every swap COMMIT point calls
+  * [[renewAndVerify]], which re-reads the lease, aborts loudly if it was
+  * broken/taken over (a writer stalled past TTL must not install its
+  * rewrite concurrently with the usurper's), and otherwise rewrites the
+  * lease with a fresh timestamp — so a long mutation's TTL clock restarts
+  * at each commit it makes, and the TTL needs only to cover the longest
+  * span BETWEEN commits, not the whole operation. */
 final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long,
     leaseName: String = "_writer.lease") {
 
@@ -68,6 +71,32 @@ final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long,
         case _ => None
       }
     } catch { case _: java.io.IOException => None }
+
+  /** Mid-mutation ownership re-assertion + heartbeat, called at each
+    * FsSwap.commit point: if this handle's token is still on the lease,
+    * rewrite it with a fresh timestamp (the TTL window restarts — a legal
+    * long mutation keeps its exclusivity as long as it keeps committing);
+    * if the lease was broken and taken over (this writer stalled past
+    * TTL), throw BEFORE the caller installs a rewrite that would race the
+    * usurper's. The rewrite is create(overwrite) — momentarily unreadable
+    * to a concurrent reader, which [[acquire]]'s bounded re-read already
+    * tolerates. */
+  def renewAndVerify(): Unit = synchronized {
+    require(depth > 0, "renewAndVerify outside withLease")
+    readLease() match {
+      case Some((_, tok, _)) if tok == token =>
+        val out = fs.create(leasePath, true)
+        try out.write(s"$ownerString\n$token\n${System.currentTimeMillis()}\n"
+          .getBytes(UTF_8))
+        finally out.close()
+      case other =>
+        throw new WriterLease.ConcurrentWriterException(
+          s"writer lease $leasePath was ${other.fold("removed")(o =>
+            s"taken over by ${o._1}")} mid-mutation (this writer stalled " +
+            "past the TTL?); aborting before installing a rewrite that " +
+            "would race the new lease holder")
+    }
+  }
 
   /** A lease held by a process other than this handle, still inside TTL. */
   def heldByOther(): Boolean = readLease() match {

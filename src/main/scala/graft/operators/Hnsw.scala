@@ -441,22 +441,29 @@ object Hnsw {
     // generation-stamped visit marks, same trick as Graph's (a fresh
     // BitSet(n) per search memsets O(n) bytes for a walk that visits
     // ~ef*M nodes — at 100K nodes x 10K broadcast queries per blob task
-    // that is ~125 MB of pure zeroing). One graph object serves one task
-    // thread (each task deserializes its own via fromBytes), so plain
-    // mutable fields are safe; NOT safe to share one FrozenGraph across
-    // threads.
-    private var visitMark = new Array[Int](n)
-    private var visitStamp = 0
+    // that is ~125 MB of pure zeroing). Held in a ThreadLocal scratch so
+    // the marks are MECHANICALLY thread-confined: a serving layer that
+    // caches one deserialized graph across request threads (the natural
+    // pattern at scale) gets correct concurrent searches instead of the
+    // silently-wrong neighbors shared mutable marks produced. On the
+    // Spark task path (one thread per deserialized graph) this costs one
+    // array allocation per thread, reused across every search — identical
+    // to the old instance-field behavior.
+    private final class VisitScratch {
+      val mark = new Array[Int](n)
+      var stamp = 0
+    }
+    private val visitScratch: ThreadLocal[VisitScratch] =
+      ThreadLocal.withInitial(() => new VisitScratch)
 
     /** k-NN search; deleted nodes traversed but excluded from results.
       * Returns (id, dist) ascending by (dist, id), length <= k.
       *
-      * NOT thread-safe: the generation-stamped visited marks above are
-      * mutable instance state, so concurrent `search` calls on one shared
-      * FrozenGraph return silently wrong neighbors. One graph object per
-      * task/thread (each Spark task deserializes its own via [[FrozenGraph.fromBytes]]);
-      * a serving layer that caches a deserialized graph must either
-      * confine it to one thread or synchronize every search call. */
+      * Thread-safe for CONCURRENT SEARCHES on one shared graph: the visit
+      * marks live in a per-thread scratch, and everything else read here
+      * is frozen at construction. MUTATIONS ([[markDeleted]], and
+      * [[compact]]'s rebuild) remain single-writer — they follow the
+      * store's writer-lease contract, never the serving path. */
     def search(q: Array[Float], k: Int, ef: Int): Array[(Long, Double)] = {
       if (n == 0 || entry < 0) return Array.empty
       require(q.length == dim,
@@ -465,12 +472,13 @@ object Hnsw {
       var l = maxLevel
       while (l > 0) { curr = greedy(q, curr, l); l -= 1 }
       val beam = math.max(ef, k)
-      visitStamp += 1
-      if (visitStamp == Int.MaxValue) { // wrapped: reset marks once
-        java.util.Arrays.fill(visitMark, 0); visitStamp = 1
+      val scratch = visitScratch.get()
+      scratch.stamp += 1
+      if (scratch.stamp == Int.MaxValue) { // wrapped: reset marks once
+        java.util.Arrays.fill(scratch.mark, 0); scratch.stamp = 1
       }
-      val stamp = visitStamp
-      val visited = visitMark
+      val stamp = scratch.stamp
+      val visited = scratch.mark
       visited(curr) = stamp
       val cand = new DIHeap(beam + 1)
       val res = new DIHeap(beam + 1)
@@ -699,10 +707,10 @@ object Hnsw {
       (0 until n).iterator.filterNot(deleted.get).map(i => buf.getLong(36 + 8 * i))
     }
 
-    /** Deserialize one blob. The returned graph carries mutable search
-      * scratch state — see [[FrozenGraph.search]]'s single-thread
-      * contract; deserialize one graph per thread when sharing an index
-      * across a thread pool. */
+    /** Deserialize one blob. The returned graph is safe to SHARE across
+      * search threads (search scratch is per-thread — see
+      * [[FrozenGraph.search]]); mutations ([[FrozenGraph.markDeleted]])
+      * remain single-writer under the index's writer lease. */
     def fromBytes(bytes: Array[Byte]): FrozenGraph = {
       val buf = java.nio.ByteBuffer.wrap(bytes)
       require(buf.getInt() == Magic, "not a graft HNSW graph blob")
@@ -760,7 +768,7 @@ object Hnsw {
       cfg: HnswConfig = HnswConfig(), idCol: String = "id",
       embCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
-    withSavedLease(spark, path) {
+    withSavedLease(spark, path) { lease =>
     import spark.implicits._
     // a repeated id would land in MULTIPLE partition graphs and occupy
     // several top-k slots for one logical row — the invariant
@@ -793,7 +801,7 @@ object Hnsw {
       .toDF("graph", "centroid")
       .withColumn("part_id", monotonically_increasing_id())
       .write.mode("overwrite").parquet(path + "_tmp")
-    swapDir(spark, path)
+    swapDir(spark, path, lease)
     }
   }
 
@@ -959,7 +967,12 @@ object Hnsw {
     * rename-aside this replaces had a real gap: dying between its two
     * renames stranded the index in `_old`/`_tmp` with nothing to put it
     * back, so every later read of `path` failed until a human intervened. */
-  private def swapDir(spark: SparkSession, path: String): Unit = {
+  private def swapDir(spark: SparkSession, path: String,
+      lease: graft.core.WriterLease): Unit = {
+    // commit-point lease re-verification + TTL renewal, same contract as
+    // VectorStore.swap: a writer that stalled past the lease TTL aborts
+    // here instead of installing a rewrite that races the usurper's
+    lease.renewAndVerify()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.core.FsSwap.commit(fs, p,
@@ -979,14 +992,16 @@ object Hnsw {
     * index dir (`<path>_writer.lease`), never inside it — swap renames
     * the dir, and a lease inside would travel with it. Readers
     * (searchSaved/savedStats) stay lock-free. */
-  private def withSavedLease[T](spark: SparkSession, path: String)(body: => T): T = {
+  private def withSavedLease[T](spark: SparkSession, path: String)(
+      body: graft.core.WriterLease => T): T = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parent = Option(p.getParent)
       .getOrElse(new org.apache.hadoop.fs.Path("/"))
     fs.mkdirs(parent) // first build: the parent may not exist yet
-    new graft.core.WriterLease(fs, parent, ttlMs = 30L * 60 * 1000,
-      leaseName = p.getName + "_writer.lease").withLease(body)
+    val lease = new graft.core.WriterLease(fs, parent, ttlMs = 30L * 60 * 1000,
+      leaseName = p.getName + "_writer.lease")
+    lease.withLease(body(lease))
   }
 
   /** Finish any index swap a previous process died inside — run by every
@@ -1003,7 +1018,7 @@ object Hnsw {
     * returns the per-blob results of `measure` summed. tmp+swap so a failed
     * rewrite never corrupts the index. */
   private def rewriteSaved(spark: SparkSession, path: String)(
-      f: FrozenGraph => (FrozenGraph, Long)): Long = withSavedLease(spark, path) {
+      f: FrozenGraph => (FrozenGraph, Long)): Long = withSavedLease(spark, path) { lease =>
     recoverSaved(spark, path)
     import spark.implicits._
     val mapped = spark.read.parquet(path)
@@ -1021,7 +1036,7 @@ object Hnsw {
     mapped.filter(col("graph").isNotNull).select("part_id", "graph", "centroid")
       .write.mode("overwrite").parquet(path + "_tmp")
     mapped.unpersist()
-    swapDir(spark, path)
+    swapDir(spark, path, lease)
     total
   }
 
@@ -1048,7 +1063,7 @@ object Hnsw {
       cfg: HnswConfig = HnswConfig(), idCol: String = "id",
       embCol: String = "embedding"): Long = {
     val spark = rows.sparkSession
-    withSavedLease(spark, path) {
+    withSavedLease(spark, path) { lease =>
     recoverSaved(spark, path)
     import spark.implicits._
     val saved = spark.read.parquet(path).select(col("graph")).as[Array[Byte]]
@@ -1149,7 +1164,7 @@ object Hnsw {
     * full deserialization of pass-through blobs); `cfg` must match the
     * original build. Returns the number of small blobs merged away. */
   def compactSaved(spark: SparkSession, path: String, minNodes: Int = 1024,
-      targetNodes: Int = 4096, cfg: HnswConfig = HnswConfig()): Long = withSavedLease(spark, path) {
+      targetNodes: Int = 4096, cfg: HnswConfig = HnswConfig()): Long = withSavedLease(spark, path) { lease =>
     recoverSaved(spark, path)
     import spark.implicits._
     val savedDf = spark.read.parquet(path)
@@ -1216,7 +1231,7 @@ object Hnsw {
       .unionByName(rebuilt.select("part_id", "graph", "centroid"))
       .write.mode("overwrite").parquet(path + "_tmp")
     blobs.unpersist()
-    swapDir(spark, path)
+    swapDir(spark, path, lease)
     nSmall
   }
 

@@ -458,21 +458,47 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
   def start(): RestServer = {
     server.createContext("/api/v1/health", ex => handle(ex) {
       case ("GET", _) =>
-        val st = store.stats()
+        // real probes, not constants: connected/healthy derive from
+        // VectorStore.health()'s FS-metadata checks (store root reachable,
+        // manifest readable, no stranded swap markers), so a monitoring
+        // client CAN observe a degraded store. stats() is guarded — an
+        // unreadable tier must degrade the report, not 500 it.
+        val h = store.health()
+        val stOpt =
+          try Some(store.stats())
+          catch { case scala.util.control.NonFatal(_) => None }
         val n = obj()
-        n.put("status", "healthy")
-        n.put("recent_count", st.recentCount)
-        n.put("historical_count", st.historicalCount)
+        n.put("status",
+          if (h.connected && h.manifestReadable && stOpt.isDefined) "healthy"
+          else "degraded")
+        n.put("recent_count", stOpt.map(_.recentCount).getOrElse(0L))
+        n.put("historical_count", stOpt.map(_.historicalCount).getOrElse(0L))
         // reference HealthResponse envelope (rest.rs:132-161): a client
         // deserializing {status, version, storage, indices} must not break
         n.put("version", "1.0")
         val stor = n.putObject("storage")
-        stor.put("mode", "filesystem"); stor.put("connected", true)
+        stor.put("mode", "filesystem")
+        stor.put("connected", h.connected && stOpt.isDefined)
         val idx = n.putObject("indices")
         val hn = idx.putObject("hnsw")
-        hn.put("healthy", true); hn.put("vector_count", st.recentCount)
+        hn.put("healthy", h.connected && stOpt.isDefined &&
+          !h.strandedSwapMarkers.contains("recent"))
+        hn.put("vector_count", stOpt.map(_.recentCount).getOrElse(0L))
         val iv = idx.putObject("ivf")
-        iv.put("healthy", true); iv.put("vector_count", st.historicalCount)
+        iv.put("healthy", h.connected && stOpt.isDefined &&
+          !h.strandedSwapMarkers.contains("historical"))
+        iv.put("vector_count", stOpt.map(_.historicalCount).getOrElse(0L))
+        // graft extension: swap/lease observability (VectorStore.health) —
+        // stranded markers, writer-lease holder, swap-lock ages, so a
+        // fleet operator can see a wedged recovery without reading code
+        val g = n.putObject("graft")
+        g.put("manifest_readable", h.manifestReadable)
+        val ms = g.putArray("stranded_swap_markers")
+        h.strandedSwapMarkers.foreach(ms.add)
+        h.leaseOwner.foreach(g.put("writer_lease_owner", _))
+        h.leaseAgeMs.foreach(g.put("writer_lease_age_ms", _))
+        val locks = g.putObject("swap_lock_ages_ms")
+        h.swapLockAgesMs.foreach { case (k, v) => locks.put(k, v) }
         (200, n)
     })
     server.createContext("/api/v1/vectors", ex => handle(ex) {
@@ -625,8 +651,9 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           n.put("query_time_ms", (System.nanoTime() - t0) / 1e6)
           // reference SearchResponse envelope names (rest.rs:116-121)
           n.put("search_time_ms", (System.nanoTime() - t0) / 1e6)
-          n.put("indices_searched",
-            (if (srchRecent) 1 else 0) + (if (srchHist) 1 else 0))
+          // tiers actually searched, not requested (rest.rs:638-669): a
+          // requested historical tier with no rows is absent from the plan
+          n.put("indices_searched", store.tiersSearched(srchRecent, srchHist))
           n.put("partial_results", false)
           queryCache.put(cacheKey, n.deepCopy())
           (200, n)

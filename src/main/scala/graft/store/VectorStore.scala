@@ -619,6 +619,17 @@ class VectorStore(val spark: SparkSession, val path: String,
       .orderBy(col("distance").asc, col("id").asc)
   }
 
+  /** How many tiers a search with these flags ACTUALLY reads — the
+    * reference's SearchResponse reports indices searched (rest.rs:638-669),
+    * not indices requested: a requested historical tier that has never
+    * received a migrated row is absent from the plan ([[searchBatch]]'s
+    * histPart is None) and must not be counted. FS-metadata probes only,
+    * the same checks the search path itself makes — no Spark job. */
+  def tiersSearched(searchRecent: Boolean = true,
+      searchHistorical: Boolean = true): Int =
+    (if (searchRecent) 1 else 0) +
+      (if (searchHistorical && hasRowsRecursive("historical")) 1 else 0)
+
   // ---- X15 migration: recent -> historical ----
 
   /** Move rows older than the threshold into the cluster-partitioned
@@ -892,10 +903,16 @@ class VectorStore(val spark: SparkSession, val path: String,
 
   /** Tier rewrite commit: `_tmp` (already fully written) replaces the live
     * dir under [[graft.core.FsSwap]]'s marker-bracketed protocol — see that
-    * object's scaladoc for the crash-recovery and SINGLE-WRITER contract. */
-  private def swap(name: String): Unit =
+    * object's scaladoc for the crash-recovery and SINGLE-WRITER contract.
+    * The lease is re-verified + renewed at this commit point: a writer that
+    * stalled past the lease TTL aborts here instead of installing a rewrite
+    * that would race the lease's new holder, and a legal long mutation's
+    * TTL clock restarts with each tier it commits. */
+  private def swap(name: String): Unit = {
+    lease.renewAndVerify()
     graft.core.FsSwap.commit(fs, new Path(dir(name)),
       new Path(dir(name) + "_tmp"), swapMarker(name), s"""{"swap": "$name"}""")
+  }
 
   /** Crash recovery for [[swap]], run at every open — [[graft.core.FsSwap]]
     * finishes any marker-evidenced swap, adopts a markerless `_tmp` only
@@ -909,6 +926,42 @@ class VectorStore(val spark: SparkSession, val path: String,
     }
 
   // ---- A6/C7 stats ----
+
+  /** Operator-facing observability snapshot — pure FS-metadata reads (no
+    * Spark job) and, critically, NO recovery side effects: at fleet scale
+    * an operator must be able to see a stranded swap marker, a wedged swap
+    * lock (FsSwap fails loudly after its 60 s wait), or who holds the
+    * writer lease, without reading code or mutating the store. Exposed
+    * over REST at `/api/v1/health`. A stranded marker is normal for the
+    * instant between a crash and the next open (recovery clears it);
+    * one that PERSISTS while `swapLockAgesMs` grows is the wedged-recovery
+    * state FsSwap's lock-timeout message describes. */
+  def health(): Health = {
+    def safeExists(p: Path) =
+      try fs.exists(p) catch { case _: java.io.IOException => false }
+    val rootOk = safeExists(new Path(path))
+    // absent manifest = uninitialized store, still healthy; present but
+    // unreadable/unsupported-version = degraded
+    val manifestOk =
+      try { readManifest(); true } catch { case _: Exception => false }
+    val tierNames = Seq("recent", "historical", "tombstones", "meta_updates")
+    val markers = tierNames.filter(n => safeExists(swapMarker(n)))
+    val now = System.currentTimeMillis()
+    val lockAges = tierNames.flatMap { n =>
+      val lock = new Path(path, s"${n}_swap.lock")
+      try {
+        if (fs.exists(lock))
+          Some(n -> (now - fs.getFileStatus(lock).getModificationTime))
+        else None
+      } catch { case _: java.io.IOException => None }
+    }.toMap
+    val leaseInfo = lease.readLease()
+    Health(connected = rootOk, manifestReadable = manifestOk,
+      strandedSwapMarkers = markers,
+      leaseOwner = leaseInfo.map(_._1),
+      leaseAgeMs = leaseInfo.map(l => now - l._3),
+      swapLockAgesMs = lockAges)
+  }
 
   def stats(): Stats = {
     // one job for all three counts, not three
@@ -1656,6 +1709,15 @@ object VectorStore {
   case class DeleteResult(deletedCount: Long, deletedIds: Seq[String])
   case class VacuumResult(recentRemoved: Long, historicalRemoved: Long)
   case class Stats(recentCount: Long, historicalCount: Long, tombstoneCount: Long)
+  /** [[VectorStore.health]] snapshot: `connected` = store root reachable,
+    * `strandedSwapMarkers` = tiers with a swap marker present (crash
+    * evidence awaiting recovery, or a live writer mid-commit),
+    * `leaseOwner`/`leaseAgeMs` = current writer-lease holder if any,
+    * `swapLockAgesMs` = age of any swap lock file per tier (a large value
+    * with a persisting marker is a wedged recovery). */
+  case class Health(connected: Boolean, manifestReadable: Boolean,
+      strandedSwapMarkers: Seq[String], leaseOwner: Option[String],
+      leaseAgeMs: Option[Long], swapLockAgesMs: Map[String, Long])
   /** Persisted rebalance counters (RebalanceStatistics analog,
     * `hybrid/maintenance.rs:115-119`). */
   case class MaintenanceStats(totalRebalances: Long, totalVectorsMoved: Long,

@@ -291,16 +291,31 @@ object Streaming {
     * so operators (and the spec) can watch it next to the doc count. A PURE
     * reader: it never touches the swap state (recovery belongs to the
     * writer — [[dedupIngest]] runs it at stream start and before every
-    * batch), so probing concurrently with a live stream is always safe. A
-    * crash-stranded swap simply reads as the pre-swap file count (live dir
-    * intact) until the next stream open recovers it. */
+    * batch), so probing concurrently with a live stream is always safe.
+    * Mid-swap windows where the live dir is ABSENT (the compaction's
+    * rename-aside window, or a crash stranded there) do not read as a
+    * false 0: with the swap marker present the probe falls back to the
+    * completed `_tmp` dir (the committed post-swap state), else to the
+    * `_old` aside (the pre-swap state) — so a monitor watching this count
+    * through a compaction sees pre-count, then (transiently) the post
+    * count via the fallback, then the installed post count, never a
+    * phantom empty state. */
   def acceptedStateFileCount(spark: org.apache.spark.sql.SparkSession,
       acceptedDir: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$acceptedDir/docs")
+    val docs = s"$acceptedDir/docs"
+    val p = new org.apache.hadoop.fs.Path(docs)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).count(st =>
-      st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+    def countIn(dir: org.apache.hadoop.fs.Path): Int =
+      if (!fs.exists(dir)) 0
+      else fs.listStatus(dir).count(st =>
+        st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+    if (fs.exists(p)) countIn(p)
+    else if (fs.exists(swapMarker(docs))) {
+      // marker ⇒ tmp is COMPLETE and committed to replacing live; report
+      // it, falling back to the aside if tmp was already consumed
+      val t = countIn(new org.apache.hadoop.fs.Path(docs + "_tmp"))
+      if (t > 0) t else countIn(new org.apache.hadoop.fs.Path(docs + "_old"))
+    } else countIn(new org.apache.hadoop.fs.Path(docs + "_old"))
   }
 
   private def swapMarker(docsPath: String) =

@@ -97,6 +97,45 @@ class FsSwapSpec extends SparkSpec {
     assert(tagOf(fs, live) == "old" && fs.exists(tmp))
   }
 
+  test("commit throws loudly when the swap cannot be completed") {
+    // the silent-deferral regression: a live writer whose swap cannot
+    // finish must NOT return success (its counters would describe a
+    // rewrite that was never installed, and in-process readers would
+    // serve the stale live dir until the next open). The unfinishable
+    // state here: tmp vanished before commit (neither tmp, live, nor
+    // aside exists), so finishSwap can never complete the swap.
+    val (fs, live, tmp, marker) = freshRoot()
+    val e = intercept[IllegalStateException](FsSwap.commit(fs, live, tmp, marker))
+    assert(e.getMessage.contains("NOT been installed"))
+    // the marker stays behind as recovery evidence
+    assert(fs.exists(marker))
+  }
+
+  test("renewAndVerify: heartbeat on own lease, loud abort on takeover") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lease_rv_").toString
+    val fs = fsFor(root)
+    val a = new WriterLease(fs, new Path(root), ttlMs = 60000)
+    // outside withLease: a programming error, not a lease race
+    intercept[IllegalArgumentException](a.renewAndVerify())
+    a.withLease {
+      val ts0 = a.readLease().get._3
+      Thread.sleep(5) // ensure a strictly-later clock reading
+      a.renewAndVerify() // own token: heartbeat succeeds
+      val ts1 = a.readLease().get._3
+      assert(ts1 > ts0, "renewAndVerify must refresh the lease timestamp")
+      // simulate a breaker taking over (this writer stalled past TTL):
+      // the next commit point must abort, not install a racing rewrite
+      fs.delete(a.leasePath, false)
+      val o = fs.create(a.leasePath, true)
+      o.write(s"usurper@host\nusurper-token\n${System.currentTimeMillis()}\n"
+        .getBytes("UTF-8"))
+      o.close()
+      val e = intercept[WriterLease.ConcurrentWriterException](a.renewAndVerify())
+      assert(e.getMessage.contains("taken over"))
+    }
+    fs.delete(a.leasePath, false)
+  }
+
   test("writer lease: exclusive, reentrant, stale-breakable, token-guarded release") {
     val root = java.nio.file.Files.createTempDirectory("graft_lease_").toString
     val fs = fsFor(root)

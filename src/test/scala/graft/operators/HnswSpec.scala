@@ -54,6 +54,30 @@ class HnswSpec extends SparkSpec {
     assert(hits.length == 10)
   }
 
+  test("FrozenGraph.search: N threads on one SHARED graph match single-thread") {
+    // the serving-cache pattern: one deserialized graph, many request
+    // threads. Visit marks live in per-thread scratch — shared-instance
+    // concurrent searches must be bit-identical to a single-thread run
+    // (the old shared marks returned silently wrong neighbors here).
+    val g = new Graph("l2", HnswConfig())
+    (0 until 2000).foreach(i => g.insert(i.toLong, sinVec(i, 12)))
+    val fg = Hnsw.FrozenGraph.fromBytes(g.freeze().toBytes)
+    val queries = (0 until 64).map(i => sinVec(i * 31 + 7, 12))
+    val expected = queries.map(q => fg.search(q, k = 10, ef = 80).toSeq)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        for (round <- 0 until 20; qi <- queries.indices) {
+          val got = fg.search(queries(qi), k = 10, ef = 80).toSeq
+          if (got != expected(qi))
+            errors.add(s"thread $t round $round query $qi diverged")
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"${errors.size} mismatches, first: ${errors.peek()}")
+  }
+
   test("persisted graphs: save/load round-trip returns same results as live build") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding")).repartition(4)

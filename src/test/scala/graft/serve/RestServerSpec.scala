@@ -94,9 +94,12 @@ class RestServerSpec extends SparkSpec {
       assert(top.get("score").asDouble() > 0.999)
       assert(top.get("metadata").get("i").asInt() == 5)
       assert(sr.get("total_count").asInt() == 3)
-      // reference SearchResponse envelope names
+      // reference SearchResponse envelope names. indices_searched counts
+      // tiers ACTUALLY searched (rest.rs:638-669), not requested: both
+      // tiers are requested by default, but everything lives in the
+      // recent tier here — the absent historical tier must not count
       assert(sr.get("search_time_ms").asDouble() > 0.0)
-      assert(sr.get("indices_searched").asInt() == 2)
+      assert(sr.get("indices_searched").asInt() == 1)
       assert(!sr.get("partial_results").asBoolean())
 
       // reference SearchOptions request names (rest.rs:104-113): tier
@@ -215,6 +218,8 @@ class RestServerSpec extends SparkSpec {
               "options": {"metric": "l2", "mode": "$mode",
                           "include_vectors": true}}""")
         assert(ss == 200, s"mode $mode failed: $sr")
+        // with rows actually migrated, both tiers are searched and counted
+        if (mode == "exact") assert(sr.get("indices_searched").asInt() == 2)
         assert(sr.get("results").get(0).get("id").asText() == "h33",
           s"mode $mode top hit: ${sr.get("results")}")
         assert(sr.get("results").get(0).get("distance").asDouble() < 1e-6)
@@ -277,6 +282,47 @@ class RestServerSpec extends SparkSpec {
         s"""{"vector": ${vecJson(1)}, "options": {"mode": "warp"}}""")._1 == 400)
       assert(call(srv, "POST", "/api/v1/search",
         s"""{"vector": ${vecJson(1)}, "options": {"metric": "dot", "mode": "sq"}}""")._1 == 400)
+    } finally srv.stop()
+  }
+
+  test("health surfaces swap/lease observability over a staged stranded marker") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_health_").toString
+    val store = new VectorStore(spark, dir)
+    store.initIfNeeded(8)
+    val srv = new RestServer(store).start()
+    try {
+      val (s0, h0) = call(srv, "GET", "/api/v1/health")
+      assert(s0 == 200 && h0.get("status").asText() == "healthy")
+      assert(h0.get("graft").get("manifest_readable").asBoolean())
+      assert(h0.get("graft").get("stranded_swap_markers").size() == 0)
+      // stage a crash-stranded swap marker (what a writer that died right
+      // after its marker write leaves behind); health must SHOW it — and
+      // must not trigger recovery (pure reader)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(dir, "recent_swap.inprogress")
+      fs.create(marker, true).close()
+      val (s1, h1) = call(srv, "GET", "/api/v1/health")
+      assert(s1 == 200)
+      val marks = h1.get("graft").get("stranded_swap_markers")
+      assert(marks.size() == 1 && marks.get(0).asText() == "recent",
+        s"expected staged recent marker, got $h1")
+      assert(!h1.get("indices").get("hnsw").get("healthy").asBoolean(),
+        "recent tier with a stranded marker must not report healthy")
+      assert(h1.get("indices").get("ivf").get("healthy").asBoolean())
+      assert(fs.exists(marker), "health probe must not touch swap state")
+      fs.delete(marker, false)
+      // writer-lease visibility: holder + age are reported for a live lease
+      val lease = new org.apache.hadoop.fs.Path(dir, "_writer.lease")
+      val out = fs.create(lease, true)
+      out.write(s"12345@otherhost\nsome-token\n${System.currentTimeMillis() - 2000}\n"
+        .getBytes("UTF-8"))
+      out.close()
+      val (s2, h2) = call(srv, "GET", "/api/v1/health")
+      assert(s2 == 200)
+      assert(h2.get("graft").get("writer_lease_owner").asText() == "12345@otherhost")
+      assert(h2.get("graft").get("writer_lease_age_ms").asLong() >= 2000)
+      fs.delete(lease, false)
     } finally srv.stop()
   }
 

@@ -385,6 +385,38 @@ class StreamingSpec extends SparkSpec {
     assert(docs.select("bks").head().getSeq[Long](0).length == 4)
   }
 
+  test("acceptedStateFileCount reads through mid-swap windows, never a false 0") {
+    // the aside-window crash state (live renamed to _old, tmp complete but
+    // not yet installed, marker present) used to read as 0 — a monitor
+    // would see the state "vanish" mid-compaction. The probe now falls
+    // back: marker present -> the committed _tmp count; no marker -> _old.
+    val base = Files.createTempDirectory("graft_cnt_").toString + "/state"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(dir: String, names: Int): Unit = (0 until names).foreach { i =>
+      val p = new org.apache.hadoop.fs.Path(s"$base/$dir/part-$i.parquet")
+      val out = fs.create(p, true)
+      try out.write(Array[Byte](1, 2, 3)) finally out.close()
+    }
+    // live dir present: counted directly
+    put("docs", 3)
+    assert(Streaming.acceptedStateFileCount(spark, base) == 3)
+    // aside-window crash: live gone, _old holds pre-swap, _tmp the
+    // committed post-swap state, marker present -> report _tmp
+    fs.rename(new org.apache.hadoop.fs.Path(s"$base/docs"),
+      new org.apache.hadoop.fs.Path(s"$base/docs_old"))
+    put("docs_tmp", 2)
+    fs.create(new org.apache.hadoop.fs.Path(s"$base/docs_swap.inprogress"), true).close()
+    assert(Streaming.acceptedStateFileCount(spark, base) == 2)
+    // markerless aside state (pre-marker-era crash): report the _old count
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/docs_swap.inprogress"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/docs_tmp"), true)
+    assert(Streaming.acceptedStateFileCount(spark, base) == 3)
+    // nothing at all -> 0
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/docs_old"), true)
+    assert(Streaming.acceptedStateFileCount(spark, base) == 0)
+  }
+
   test("windowed event-time aggregation with watermark over events stream") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
