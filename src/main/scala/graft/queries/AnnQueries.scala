@@ -524,7 +524,10 @@ lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
     // a shortlist, exact rerank touches only shortlist-many full vectors),
     // gated as recall@10 vs exact over 8 corpus-vector queries — the one
     // ANN family whose per-hit output is inherently quantization-noisy, so
-    // the oracle checks the aggregate contract instead
+    // the oracle checks the aggregate contract instead. Since r11 the
+    // EXACT side (the recall denominator) is driver-visible: DuckDB
+    // replays its id-membership checksum + distance sum (exactDigest),
+    // so a broken exact path can no longer gate silently.
     "ann_pq_adc" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
@@ -537,9 +540,11 @@ lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
       // shortlist rows only, top-10
       val adc = Pq.adcSearchBatch(enc.select(col("id"), col("codes")),
         model, queries, k = 10, shortlist = 100, rerank = Some(corpus))
-      val exact = Knn.batch(corpus, queries, k = 10, metric = "l2")
+      val exact = Knn.batch(corpus, queries, k = 10, metric = "l2",
+        roundDecimals = 6)
       Ivf.evaluateRecall(adc, exact)
         .select(col("n_queries"), (col("avg_recall") >= 0.5).as("recall_ok"))
+        .crossJoin(QueryShapes.exactDigest(exact))
     }),
     // IVF-PQ composition (X7 + A2): coarse n_probe pruning over the label
     // clustering, ADC scoring of the 8-byte codes WITHIN probed lists via
@@ -564,9 +569,11 @@ lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       val approx = Pq.searchBatchIvfPq(enc, cents, model, queries,
         k = 10, nProbe = 5, shortlist = 100, rerank = Some(corpus))
-      val exact = Knn.batch(corpus, queries, k = 10, metric = "l2")
+      val exact = Knn.batch(corpus, queries, k = 10, metric = "l2",
+        roundDecimals = 6)
       Ivf.evaluateRecall(approx, exact)
         .select(col("n_queries"), (col("avg_recall") >= 0.5).as("recall_ok"))
+        .crossJoin(QueryShapes.exactDigest(exact))
     }),
     // residual IVF-PQ (the FAISS formulation): codebooks trained on
     // v - centroid(cluster), per-(query, probed-cluster) ADC tables through
@@ -588,9 +595,11 @@ lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       val approx = Pq.searchBatchIvfPqResidual(enc, cents, model, queries,
         k = 10, nProbe = 5, shortlist = 100, rerank = Some(corpus))
-      val exact = Knn.batch(corpus, queries, k = 10, metric = "l2")
+      val exact = Knn.batch(corpus, queries, k = 10, metric = "l2",
+        roundDecimals = 6)
       Ivf.evaluateRecall(approx, exact)
         .select(col("n_queries"), (col("avg_recall") >= 0.5).as("recall_ok"))
+        .crossJoin(QueryShapes.exactDigest(exact))
     }),
     // residual IVF-PQ under COSINE (the reference's default metric,
     // hybrid/core.rs:184-197): the same residual tier served through the
@@ -623,7 +632,8 @@ lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
       val plainCos = Pq.searchBatchIvfPq(plainEnc, cents, plainModel, queries,
         k = 10, nProbe = 5, shortlist = 100, rerank = Some(corpus),
         metric = "cosine")
-      val exact = Knn.batch(corpus, queries, k = 10, metric = "cosine")
+      val exact = Knn.batch(corpus, queries, k = 10, metric = "cosine",
+        roundDecimals = 6)
       val rRes = Ivf.evaluateRecall(residualCos, exact)
         .select(lit(1).as("j"), col("n_queries"), col("avg_recall").as("res_recall"))
       val rPlain = Ivf.evaluateRecall(plainCos, exact)
@@ -632,6 +642,7 @@ lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
         .select(col("n_queries"),
           (col("res_recall") >= 0.5).as("recall_ok"),
           (col("res_recall") >= col("plain_recall")).as("ge_plain"))
+        .crossJoin(QueryShapes.exactDigest(exact))
     }))
 
   private val centSql400 =
@@ -803,15 +814,25 @@ lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
     "ann_bq_scale" ->
       """SELECT vec_id AS query_id, vec_id * 50 AS id, 0.0 AS distance
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
+    // the recall gates stay Spark-computed constants (float k-means is
+    // not SQL-replayable), but the EXACT side is fully replayed since
+    // r11: the digest columns hash-check the recall denominator
     "ann_pq_adc" ->
-      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+      s"""WITH ${QueryShapes.exactDigestSql("l2", 8)}
+         |SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok,
+         |  exact_id_checksum, exact_dist_sum FROM dg""".stripMargin,
     "ann_ivfpq" ->
-      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+      s"""WITH ${QueryShapes.exactDigestSql("l2", 8)}
+         |SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok,
+         |  exact_id_checksum, exact_dist_sum FROM dg""".stripMargin,
     "ann_ivfpq_residual" ->
-      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+      s"""WITH ${QueryShapes.exactDigestSql("l2", 8)}
+         |SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok,
+         |  exact_id_checksum, exact_dist_sum FROM dg""".stripMargin,
     "ann_ivfpq_residual_cos" ->
-      """SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok,
-        |  true AS ge_plain""".stripMargin,
+      s"""WITH ${QueryShapes.exactDigestSql("cosine", 8)}
+         |SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok,
+         |  true AS ge_plain, exact_id_checksum, exact_dist_sum FROM dg""".stripMargin,
     "quantize_u8" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,

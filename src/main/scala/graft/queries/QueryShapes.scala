@@ -7,6 +7,47 @@ import org.apache.spark.sql.functions._
   * oracles depend on their exact arithmetic. */
 object QueryShapes {
 
+  /** Exact-ground-truth digest for the PQ-family recall-gate rows: the
+    * gates themselves stay Spark-computed (a float k-means shortlist is
+    * not SQL-replayable), but the EXACT side — the recall denominator —
+    * becomes driver-visible: id membership checksum + rounded distance
+    * sum of the exact top-10 frame, which [[exactDigestSql]] replays in
+    * DuckDB from the embeddings table. One definition of the arithmetic
+    * for both engines (the oracle-generator pattern); a recall gate whose
+    * denominator drifted (wrong metric, wrong k, wrong query set, a
+    * broken exact path) now hash-mismatches the driver compare instead of
+    * silently gating against garbage. Rank-insensitive by design (the
+    * store's exact path carries no rank column): membership + distance
+    * sum pins the set, and rank is a function of (distance, id) anyway. */
+  def exactDigest(exact: DataFrame): DataFrame =
+    exact.agg(
+      sum(col("id").cast("long")).cast("long").as("exact_id_checksum"),
+      round(sum(round(col("distance"), 6)), 4).as("exact_dist_sum"))
+
+  /** DuckDB replay of [[exactDigest]] over the raw embeddings corpus:
+    * emits a `dg` CTE with (exact_id_checksum, exact_dist_sum) for the
+    * exact top-`k` per query over `vec_id < nQueries` queries under
+    * `metric` (l2|cosine), round-then-rank ties on (d, id) — the same
+    * convention as every knn_* oracle. */
+  def exactDigestSql(metric: String, nQueries: Int, k: Int = 10): String = {
+    val d = metric match {
+      case "l2" => "round(list_distance(e.embedding::DOUBLE[], q.qe), 6)"
+      case "cosine" =>
+        "round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6)"
+      case other => throw new IllegalArgumentException(s"metric $other")
+    }
+    s"""ex AS (
+       |  SELECT query_id, id, d,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rank
+       |  FROM (SELECT q.query_id, e.vec_id AS id, $d AS d
+       |    FROM embeddings e CROSS JOIN
+       |      (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+       |       FROM embeddings WHERE vec_id < $nQueries) q)),
+       |dg AS (SELECT CAST(sum(id) AS BIGINT) AS exact_id_checksum,
+       |    round(sum(d), 4) AS exact_dist_sum
+       |  FROM ex WHERE rank <= $k)""".stripMargin
+  }
+
   /** The 50x deterministically-perturbed corpus behind every *_scale query
     * and persisted scale index (100K rows at sf0.1): id = vec_id * 50 + i,
     * every coordinate shifted by i * 0.001. The ann_* self-retrieval

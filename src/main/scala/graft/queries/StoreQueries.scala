@@ -124,7 +124,11 @@ object StoreQueries {
     }),
     // Store-path IVF-PQ: the historical tier served from its 8-byte codes
     // (ADC shortlist + exact rerank), gated as recall@10 against the
-    // store's exact hybrid path over the same live view.
+    // store's exact hybrid path over the same live view. nProbe equals
+    // nClusters (8), so the store's "exact" denominator is TRUE exact
+    // over the live view — which is the whole undeleted embeddings
+    // corpus — and DuckDB replays its digest (r11), pinning the
+    // denominator cross-engine like the ann_*pq* rows.
     "store_ivfpq_search" -> ((s, dir) => {
       val base = ensureServingStore(s, dir)
       val st = new VectorStore(s, s"$base/store", storeConfig)
@@ -133,6 +137,7 @@ object StoreQueries {
       val exact = st.searchBatch(qs, k = 10, metric = "l2", nProbe = 8)
       graft.operators.Ivf.evaluateRecall(approx, exact)
         .select(col("n_queries"), (col("avg_recall") >= 0.8).as("recall_ok"))
+        .crossJoin(QueryShapes.exactDigest(exact))
     }),
     // Store-path IVF-SQ: the historical tier served from its u8 codes
     // (dequantize-on-the-fly shortlist + exact rerank). Every query is a
@@ -235,7 +240,11 @@ object StoreQueries {
     // not the honest contract here (unlike SQ/BQ whose rerank recovers
     // it); the gate is recall@10 against the store's exact probed path
     // over the same live view — the same contract as store_ivfpq_search,
-    // at amortizing scale. Deterministic: PQ training is seeded.
+    // at amortizing scale. Deterministic: PQ training is seeded. Unlike
+    // store_ivfpq_search, the denominator here is PROBED (nProbe 4 of 32
+    // k-means clusters + 6 routed blobs — not SQL-replayable), so this
+    // row keeps the constant-gate oracle; the probed paths themselves
+    // are pinned by the store_*_scale self-retrieval rows.
     "store_pq_scale" -> ((s, dir) => {
       val base = ensureScaleServingStore(s, dir)
       val st = new VectorStore(s, s"$base/store", scaleStoreConfig)
@@ -401,7 +410,9 @@ object StoreQueries {
         |  0.0 AS distance
         |FROM embeddings WHERE vec_id < 8 ORDER BY vec_id""".stripMargin,
     "store_ivfpq_search" ->
-      "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+      s"""WITH ${QueryShapes.exactDigestSql("l2", 8)}
+         |SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok,
+         |  exact_id_checksum, exact_dist_sum FROM dg""".stripMargin,
     "store_sq_search" ->
       """SELECT vec_id AS query_id, CAST(vec_id AS VARCHAR) AS id,
         |  0.0 AS distance
