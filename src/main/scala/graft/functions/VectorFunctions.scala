@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
 
 /** Dense-vector math over `ARRAY<FLOAT>` columns, computed in DOUBLE for
   * oracle parity (DuckDB computes list distance kernels in double once the
@@ -84,21 +85,43 @@ object VectorFunctions {
 
   /** Time-decay 0.5^(age_seconds / half_life_seconds)
     * (`src/hybrid/search_integration.rs:319-339`); `now` passed explicitly so
-    * results are deterministic/oracle-checkable. */
+    * results are deterministic/oracle-checkable. Age clamps at 0 exactly as
+    * the reference's `.to_std().unwrap_or(0)` does (`:328-330`): a FUTURE
+    * timestamp decays by 1.0 (no boost) — the unclamped form would raise
+    * 0.5 to a negative power and score future rows above present ones. */
   def timeDecay(ts: Column, now: Column, halfLifeSeconds: Double): Column =
     pow(lit(0.5),
-      (unix_timestamp(now) - unix_timestamp(ts)).cast("double") / halfLifeSeconds)
+      greatest(lit(0.0),
+        (unix_timestamp(now) - unix_timestamp(ts)).cast("double")) / halfLifeSeconds)
 
   /** Popularity boost 1 + ln(1 + views)/10
     * (`src/hybrid/search_integration.rs:340-354`). */
   def popularityBoost(views: Column): Column =
     lit(1.0) + log1p(d(views)) / 10.0
 
-  /** Weighted combination of similarity/recency/popularity (M10,
-    * `src/hybrid/search_integration.rs:355-371`). */
+  /** Metadata boost on a base score (the CosineSimilarity scorer's boost
+    * path, `src/hybrid/search_integration.rs:314-327`): a parseable
+    * `boost` metadata value multiplies the base score; an absent or
+    * unparseable one leaves it unchanged (the reference's parse::<f32>
+    * failure falls through to the unboosted score — try_cast's
+    * null-on-malformed + coalesce is the same leniency; a plain cast
+    * would THROW under ANSI mode instead of falling through). */
+  def boostedScore(base: Column, boostStr: Column): Column =
+    base * coalesce(boostStr.try_cast(FloatType).cast("double"), lit(1.0))
+
+  /** Weighted combination of per-method scores (M10, the Combined scorer,
+    * `src/hybrid/search_integration.rs:355-370`): reference-exact
+    * normalization by the TOTAL weight — `Σ(score_i·w_i)/Σw_i`, so weights
+    * need not sum to 1 — with the reference's zero/negative-total fallback
+    * to the plain base score (`:365-369`, its `1.0 - distance`), passed by
+    * the caller as `fallback`. Weights are plan-time constants, so the
+    * fallback branch resolves at plan build, not per row. */
   def combinedScore(sim: Column, recency: Column, popularity: Column,
-      wSim: Double, wRec: Double, wPop: Double): Column =
-    sim * wSim + recency * wRec + popularity * wPop
+      wSim: Double, wRec: Double, wPop: Double, fallback: Column): Column = {
+    val total = wSim + wRec + wPop
+    if (total > 0.0) (sim * wSim + recency * wRec + popularity * wPop) / total
+    else fallback
+  }
 
   // ---- scalar quantization (M11, `src/core/vector_ops.rs:349-387`) ----
 

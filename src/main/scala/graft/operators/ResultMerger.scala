@@ -27,8 +27,19 @@ object ResultMerger {
   case class Rrf(k: Int = 60) extends Strategy
 
   /** `results`: (id, source, score, distance). Returns (id, score,
-    * distance) merged per strategy. */
-  def merge(results: DataFrame, strategy: Strategy): DataFrame = strategy match {
+    * distance) merged per strategy; with `k` set, sorted by score
+    * descending and truncated to k rows — the reference merge's final
+    * `sort_by(score desc); truncate(k)` (`search_integration.rs:291-294`),
+    * with id-ascending tie-break where the reference's unstable float sort
+    * leaves tied ranks arbitrary. Likewise TakeBest's score ties: the
+    * reference's `max_by` keeps whichever tied occurrence its HashMap
+    * iteration saw last (insertion-order-dependent, `:243-250`); a
+    * distributed merge has no such order, so ties resolve deterministically
+    * to the SMALLER distance — a refinement of an arbitrary choice, not a
+    * semantic change. */
+  def merge(results: DataFrame, strategy: Strategy,
+      k: Option[Int] = None): DataFrame = {
+    val merged = strategy match {
     case TakeBest =>
       results.groupBy("id").agg(
         max("score").as("score"),
@@ -44,7 +55,7 @@ object ResultMerger {
         .groupBy("id").agg(
           (sum(col("score") * col("w")) / sum("w")).as("score"),
           (sum(col("distance") * col("w")) / sum("w")).as("distance"))
-    case Rrf(k) =>
+    case Rrf(kc) =>
       // result sets are top-N slices (tiny vs the corpus), so the per-source
       // ranking window is one narrow shuffle on the source key; the fused
       // aggregate partial-aggregates map-side like the other strategies
@@ -52,7 +63,12 @@ object ResultMerger {
         row_number().over(Window.partitionBy("source")
           .orderBy(col("distance").asc, col("id").asc)))
       ranked.groupBy("id").agg(
-        sum(lit(1.0) / (lit(k.toDouble) + col("rrf_rank"))).as("score"),
+        sum(lit(1.0) / (lit(kc.toDouble) + col("rrf_rank"))).as("score"),
         min("distance").as("distance"))
+    }
+    // global top-k = orderBy + limit -> TakeOrderedAndProject (heap, no
+    // full sort materialization), same as the repo's other top-k tails
+    k.fold(merged)(n =>
+      merged.orderBy(col("score").desc, col("id").asc).limit(n))
   }
 }

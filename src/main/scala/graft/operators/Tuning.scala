@@ -33,6 +33,17 @@ object Tuning {
   def suggestNClusters(corpusSize: Long): Int =
     math.min(65536, math.max(4, math.ceil(math.sqrt(corpusSize.toDouble)).toInt))
 
+  /** The reference QueryOptimizer's LITERAL (n_probe, ef) suggestions
+    * (`search_integration.rs:395-421`): a step function of total corpus
+    * size — <1000 → (5, 50), <10000 → (10, 100), else (20, 200).
+    * [[suggestEf]]/[[suggestNProbe]] are this repo's better-argued
+    * continuous curves; this is the bit-exact knob source for a migrating
+    * caller that wants the reference's numbers unchanged. */
+  def referenceSuggestions(totalVectors: Long): (Int, Int) =
+    if (totalVectors < 1000) (5, 50)
+    else if (totalVectors < 10000) (10, 100)
+    else (20, 200)
+
   /** Per-tier disable when empty (search_integration.rs: skip empty index). */
   def tiersToSearch(recentCount: Long, historicalCount: Long): Seq[String] =
     (if (recentCount > 0) Seq("recent") else Nil) ++

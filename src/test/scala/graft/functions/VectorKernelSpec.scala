@@ -160,7 +160,26 @@ class VectorKernelSpec extends SparkSpec {
         to_timestamp(lit("2026-01-02 00:00:00")), halfLifeSeconds = 43200).as("decay"),
       VectorFunctions.popularityBoost(lit(0)).as("pop0"),
       VectorFunctions.popularityBoost(lit(math.E * math.E - 1)).as("pop"),
-      VectorFunctions.combinedScore(lit(0.5), lit(0.25), lit(1.0), 0.6, 0.2, 0.2).as("comb")
+      VectorFunctions.combinedScore(lit(0.5), lit(0.25), lit(1.0),
+        0.6, 0.2, 0.2, fallback = lit(-1.0)).as("comb"),
+      // weights summing to 2.0: reference normalizes by the TOTAL
+      // (search_integration.rs:355-370), so doubling every weight must
+      // not change the score
+      VectorFunctions.combinedScore(lit(0.5), lit(0.25), lit(1.0),
+        1.2, 0.4, 0.4, fallback = lit(-1.0)).as("comb2"),
+      // zero total weight: the reference's fallback to the base score
+      VectorFunctions.combinedScore(lit(0.5), lit(0.25), lit(1.0),
+        0.0, 0.0, 0.0, fallback = lit(0.875)).as("combz"),
+      // FUTURE timestamp: age clamps at 0 (the reference's
+      // .to_std().unwrap_or(0)) -> decay exactly 1.0, never a boost
+      VectorFunctions.timeDecay(
+        to_timestamp(lit("2026-01-03 00:00:00")),
+        to_timestamp(lit("2026-01-02 00:00:00")), halfLifeSeconds = 43200).as("decayf"),
+      // metadata boost path (CosineSimilarity scorer): parseable boost
+      // multiplies; garbage/absent falls through to the base score
+      VectorFunctions.boostedScore(lit(0.5), lit("2.5")).as("boosted"),
+      VectorFunctions.boostedScore(lit(0.5), lit("not-a-number")).as("boostbad"),
+      VectorFunctions.boostedScore(lit(0.5), lit(null).cast("string")).as("boostnull")
     ).head()
     assert(math.abs(s.getDouble(0) - 0.25) < 1e-12)
     assert(math.abs(s.getDouble(1) - 0.75) < 1e-12)
@@ -168,6 +187,12 @@ class VectorKernelSpec extends SparkSpec {
     assert(math.abs(s.getDouble(3) - 1.0) < 1e-12)
     assert(math.abs(s.getDouble(4) - 1.2) < 1e-12)  // 1 + ln(e^2)/10
     assert(math.abs(s.getDouble(5) - (0.3 + 0.05 + 0.2)) < 1e-12)
+    assert(math.abs(s.getDouble(6) - (0.3 + 0.05 + 0.2)) < 1e-12) // normalized
+    assert(math.abs(s.getDouble(7) - 0.875) < 1e-12) // zero-weight fallback
+    assert(math.abs(s.getDouble(8) - 1.0) < 1e-12)   // future ts: no boost
+    assert(math.abs(s.getDouble(9) - 1.25) < 1e-12)
+    assert(math.abs(s.getDouble(10) - 0.5) < 1e-12)
+    assert(math.abs(s.getDouble(11) - 0.5) < 1e-12)
   }
 
   test("quantization round-trip within 1/255 of range") {

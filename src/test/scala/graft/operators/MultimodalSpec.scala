@@ -318,6 +318,12 @@ class MultimodalSpec extends SparkSpec {
         ResultMerger.Weighted(Map("hnsw" -> 3.0, "ivf" -> 1.0)))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(math.abs(w(1L) - (0.9 * 3 + 0.7) / 4) < 1e-9)
+    // the reference merge's final sort-desc-by-score + truncate(k)
+    // (search_integration.rs:291-294): k=1 keeps only the best-fused id
+    val top1 = ResultMerger.merge(results, ResultMerger.TakeBest, k = Some(1))
+      .collect()
+    assert(top1.length == 1 && top1.head.getLong(0) == 1L &&
+      top1.head.getDouble(1) == 0.9)
   }
 
   test("real PCM16 decode: hand-built stereo WAV, channel de-interleave, junk survives") {

@@ -28,6 +28,17 @@ class TuningSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Tuning.suggestOversample(0.5, cap = 2))
   }
 
+  test("reference QueryOptimizer step function, bit-exact") {
+    // search_integration.rs:395-421: the literal thresholds a migrating
+    // caller may want unchanged — boundaries included
+    assert(Tuning.referenceSuggestions(0L) == ((5, 50)))
+    assert(Tuning.referenceSuggestions(999L) == ((5, 50)))
+    assert(Tuning.referenceSuggestions(1000L) == ((10, 100)))
+    assert(Tuning.referenceSuggestions(9999L) == ((10, 100)))
+    assert(Tuning.referenceSuggestions(10000L) == ((20, 200)))
+    assert(Tuning.referenceSuggestions(100000000L) == ((20, 200)))
+  }
+
   test("empty tiers are skipped") {
     assert(Tuning.tiersToSearch(0, 10) == Seq("historical"))
     assert(Tuning.tiersToSearch(5, 0) == Seq("recent"))
