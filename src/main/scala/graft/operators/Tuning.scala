@@ -44,6 +44,19 @@ object Tuning {
     else if (totalVectors < 10000) (10, 100)
     else (20, 200)
 
+  /** The reference QueryOptimizer's `suggest_config` step function BY K
+    * (`search_integration.rs:418-448`): (ivf_n_probe, hnsw_ef,
+    * search_recent, search_historical) — probe depth steps on the
+    * requested k, and an empty tier is disabled outright (its
+    * `stats.recent_vectors == 0` branches), which is [[tiersToSearch]]
+    * folded into the same call. Bit-exact for migrating callers. */
+  def referenceConfigForK(k: Int, recentCount: Long,
+      historicalCount: Long): (Int, Int, Boolean, Boolean) = {
+    val (nProbe, ef) =
+      if (k < 10) (5, 50) else if (k < 50) (10, 100) else (20, 200)
+    (nProbe, ef, recentCount > 0, historicalCount > 0)
+  }
+
   /** Per-tier disable when empty (search_integration.rs: skip empty index). */
   def tiersToSearch(recentCount: Long, historicalCount: Long): Seq[String] =
     (if (recentCount > 0) Seq("recent") else Nil) ++

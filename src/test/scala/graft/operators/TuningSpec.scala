@@ -37,6 +37,13 @@ class TuningSpec extends AnyFunSuite {
     assert(Tuning.referenceSuggestions(9999L) == ((10, 100)))
     assert(Tuning.referenceSuggestions(10000L) == ((20, 200)))
     assert(Tuning.referenceSuggestions(100000000L) == ((20, 200)))
+    // suggest_config's by-k steps (search_integration.rs:418-448), with
+    // empty tiers disabled in the same call
+    assert(Tuning.referenceConfigForK(9, 1, 1) == ((5, 50, true, true)))
+    assert(Tuning.referenceConfigForK(10, 1, 1) == ((10, 100, true, true)))
+    assert(Tuning.referenceConfigForK(49, 1, 1) == ((10, 100, true, true)))
+    assert(Tuning.referenceConfigForK(50, 1, 0) == ((20, 200, true, false)))
+    assert(Tuning.referenceConfigForK(100, 0, 5) == ((20, 200, false, true)))
   }
 
   test("empty tiers are skipped") {
