@@ -54,6 +54,53 @@ class HnswSpec extends SparkSpec {
     assert(hits.length == 10)
   }
 
+  test("FrozenGraph serde/maintenance fuzz: round-trips and compaction at every shape") {
+    // adversarial graph shapes the corpus paths never build: empty,
+    // single-node, tiny dims, none/some/ALL nodes deleted — the binary
+    // layout's offsets (header, ids, vecs, adjacency, tombstone words)
+    // must survive toBytes/fromBytes and a compact() at each of them
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 30) {
+      val n = trial % 6 match {
+        case 0 => 0
+        case 1 => 1
+        case 2 => 2
+        case _ => 3 + rnd.nextInt(200)
+      }
+      val dim = Seq(1, 3, 8)(trial % 3)
+      val g = new Graph(if (trial % 2 == 0) "l2" else "cosine", HnswConfig())
+      val ids = (0 until n).map(_ => rnd.nextLong().abs).distinct
+      ids.foreach(id => g.insert(id,
+        Array.tabulate(dim)(j => (rnd.nextFloat() - 0.5f) + j)))
+      val fg = Hnsw.FrozenGraph.fromBytes(g.freeze().toBytes)
+      assert(fg.n == ids.size)
+      // round-trip: a second serde pass must preserve search exactly
+      val rt = Hnsw.FrozenGraph.fromBytes(fg.toBytes)
+      val q = Array.tabulate(dim)(j => j.toFloat)
+      assert(rt.search(q, 5, 32).toSeq == fg.search(q, 5, 32).toSeq,
+        s"trial $trial: serde changed results")
+      assert(Hnsw.FrozenGraph.peekIds(fg.toBytes).toSet == ids.toSet)
+      // delete a random subset (possibly all), round-trip the tombstones
+      val del = ids.filter(_ => rnd.nextInt(3) == 0) ++
+        (if (trial % 7 == 0) ids else Nil) // periodically: delete ALL
+      val found = fg.markDeleted(del)
+      assert(found == del.distinct.size)
+      val rtDel = Hnsw.FrozenGraph.fromBytes(fg.toBytes)
+      val live = ids.toSet -- del
+      assert(rtDel.search(q, ids.size + 1, 256).map(_._1).toSet.subsetOf(live),
+        s"trial $trial: deleted id served after serde")
+      // compact physically removes them; the compacted graph serdes too
+      val c = fg.compact()
+      assert(c.n == live.size && c.liveCount == live.size)
+      val rtC = Hnsw.FrozenGraph.fromBytes(c.toBytes)
+      val cHits = rtC.search(q, live.size + 1, 256).map(_._1).toSet
+      if (live.isEmpty) assert(cHits.isEmpty,
+        s"trial $trial: empty compacted graph served hits")
+      else assert(cHits.subsetOf(live),
+        s"trial $trial: compacted graph served a removed id")
+    }
+  }
+
   test("FrozenGraph.search: N threads on one SHARED graph match single-thread") {
     // the serving-cache pattern: one deserialized graph, many request
     // threads. Visit marks live in per-thread scratch — shared-instance
