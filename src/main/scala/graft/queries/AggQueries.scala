@@ -143,6 +143,44 @@ object AggQueries {
           round(col("base_r") * 0.5 + col("decay_r") * 0.3 + col("boost_r") * 0.2, 6).as("combined"))
         .orderBy("event_id")
     }),
+    // Reference-EXACT scoring semantics (search_integration.rs:314-370)
+    // made driver-visible: the line-by-line divergences fixed in r11 —
+    // future-timestamp clamp, metadata-boost parse fall-through,
+    // total-weight normalization, zero-weight fallback — each exercised
+    // through the PRODUCTION helpers in VectorFunctions rather than
+    // re-inlined arithmetic. The decay anchor sits at the midpoint of the
+    // event time range, so about half the rows are "future" and actually
+    // hit the age clamp; boost strings are parseable / garbage / absent
+    // by user_id residue, so try_cast's fall-through is exercised too.
+    "scoring_reference" -> ((s, dir) => {
+      import graft.functions.VectorFunctions
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("tss", date_trunc("second", col("ts")))
+      val mid = ev.agg(
+        floor((unix_timestamp(min("tss")) + unix_timestamp(max("tss"))) / 2.0)
+          .cast("long").cast("timestamp").as("mid"))
+      ev.crossJoin(broadcast(mid))
+        .withColumn("base_r", VectorFunctions.distanceToScore(col("value")))
+        .withColumn("decay_r",
+          VectorFunctions.timeDecay(col("tss"), col("mid"), 86400.0))
+        .withColumn("pop_r", VectorFunctions.popularityBoost(col("user_id")))
+        .withColumn("boost_str",
+          when(col("user_id") % 3 === 0, lit("1.5"))
+            .when(col("user_id") % 3 === 1, col("event_type")) // unparseable
+            .otherwise(lit(null).cast("string")))              // absent
+        .select(col("event_id"),
+          round(col("decay_r"), 6).as("decay"),
+          round(VectorFunctions.boostedScore(col("base_r"), col("boost_str")),
+            6).as("boosted"),
+          // weights 2/1/1 do NOT sum to 1 — the reference normalizes by
+          // the total, so the oracle divides by 4
+          round(VectorFunctions.combinedScore(col("base_r"), col("decay_r"),
+            col("pop_r"), 2.0, 1.0, 1.0, col("base_r")), 6).as("combined"),
+          // all-zero weights resolve to the fallback at plan build
+          round(VectorFunctions.combinedScore(col("base_r"), col("decay_r"),
+            col("pop_r"), 0.0, 0.0, 0.0, col("base_r")), 6).as("fallback"))
+        .orderBy("event_id")
+    }),
     // gap-based sessionization (batch form of the stateful streaming op)
     "sessionize" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
@@ -307,6 +345,27 @@ object AggQueries {
         |      + pow(0.5, epoch(mx - date_trunc('second', ts)) / 86400.0) * 0.3
         |      + (1.0 + ln(1.0 + user_id) / 10.0) * 0.2, 6) AS combined
         |FROM events, mx ORDER BY event_id""".stripMargin,
+    "scoring_reference" ->
+      """WITH ev AS (SELECT *, date_trunc('second', ts) AS tss FROM events),
+        |mid AS (SELECT to_timestamp(CAST(floor(
+        |    (epoch(min(tss)) + epoch(max(tss))) / 2.0) AS BIGINT)) AS mid
+        |  FROM ev),
+        |sc AS (
+        |  SELECT event_id,
+        |    1.0 / (1.0 + value) AS base_r,
+        |    pow(0.5, greatest(0.0, epoch(mid - tss)) / 86400.0) AS decay_r,
+        |    1.0 + ln(1.0 + user_id) / 10.0 AS pop_r,
+        |    CASE WHEN user_id % 3 = 0 THEN '1.5'
+        |         WHEN user_id % 3 = 1 THEN event_type
+        |         ELSE NULL END AS boost_str
+        |  FROM ev, mid)
+        |SELECT event_id,
+        |  round(decay_r, 6) AS decay,
+        |  round(base_r * coalesce(
+        |    CAST(TRY_CAST(boost_str AS REAL) AS DOUBLE), 1.0), 6) AS boosted,
+        |  round((base_r * 2.0 + decay_r * 1.0 + pop_r * 1.0) / 4.0, 6) AS combined,
+        |  round(base_r, 6) AS fallback
+        |FROM sc ORDER BY event_id""".stripMargin,
     "asof_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, value,

@@ -181,6 +181,35 @@ lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
       recent.unionByName(historical)
         .orderBy(col("distance").asc, col("vec_id").asc).limit(10)
     }),
+    // The reference QueryOptimizer's literal suggestion step functions
+    // (search_integration.rs:395-448), driver-visible: by-size
+    // (n_probe, ef) and by-k (k_n_probe, k_ef) plus the empty-tier
+    // disable, computed through Tuning.referenceSuggestions /
+    // referenceConfigForK over per-event-type corpus counts (a bounded
+    // collect: one row per event type). The oracle replays the same step
+    // boundaries as SQL CASEs, so a drifted threshold breaks the row.
+    // historical_n alternates by event-type name length purely to
+    // exercise BOTH branches of the empty-tier disable.
+    "tuning_suggest" -> ((s, dir) => {
+      import s.implicits._
+      val counts = Tables.load(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val rows = for {
+        (et, n) <- counts
+        k <- Seq(1, 10, 50)
+      } yield {
+        val hist = if (et.length % 2 == 0) n else 0L
+        val (np, ef) = graft.operators.Tuning.referenceSuggestions(n)
+        val (kNp, kEf, rec, hst) =
+          graft.operators.Tuning.referenceConfigForK(k, n, hist)
+        (et, k.toLong, n, np.toLong, ef.toLong, kNp.toLong, kEf.toLong,
+          rec, hst)
+      }
+      rows.toDF("event_type", "k", "n", "n_probe", "ef", "k_n_probe",
+          "k_ef", "search_recent", "search_historical")
+        .orderBy("event_type", "k")
+    }),
     // A5 recall evaluation: n_probe=3 label-IVF vs exact ground truth,
     // averaged over 5 queries — the reference's own quality metric as a query
     "recall_eval" -> ((s, dir) => {
@@ -671,6 +700,22 @@ lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
          |  WHERE e.vec_id < 400)
          |SELECT * FROM (SELECT * FROM recent UNION ALL SELECT * FROM historical)
          |ORDER BY distance ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "tuning_suggest" ->
+      """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |ks AS (SELECT CAST(unnest([1, 10, 50]) AS BIGINT) AS k)
+        |SELECT event_type, k, n,
+        |  CAST(CASE WHEN n < 1000 THEN 5 WHEN n < 10000 THEN 10
+        |       ELSE 20 END AS BIGINT) AS n_probe,
+        |  CAST(CASE WHEN n < 1000 THEN 50 WHEN n < 10000 THEN 100
+        |       ELSE 200 END AS BIGINT) AS ef,
+        |  CAST(CASE WHEN k < 10 THEN 5 WHEN k < 50 THEN 10
+        |       ELSE 20 END AS BIGINT) AS k_n_probe,
+        |  CAST(CASE WHEN k < 10 THEN 50 WHEN k < 50 THEN 100
+        |       ELSE 200 END AS BIGINT) AS k_ef,
+        |  n > 0 AS search_recent,
+        |  (CASE WHEN length(event_type) % 2 = 0 THEN n ELSE 0 END) > 0
+        |    AS search_historical
+        |FROM c, ks ORDER BY event_type, k""".stripMargin,
     "recall_eval" ->
       """WITH cent AS (
         |  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
