@@ -13,14 +13,30 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  /** codebooks(sub)(code) = centroid of that subspace cell. */
+  /** codebooks(sub)(code) = centroid of that subspace cell.
+    *
+    * Subspace s starts at `s * subDim`; its LENGTH is the trained
+    * codebook's cell width, which for the last subspace includes the
+    * remainder when dim is not divisible by m — the reference's split
+    * rule exactly (`vector_ops.rs:410-421`: `subvector_dim = dim / m`
+    * floored, last subspace's `end = vector_dim`). */
   case class PqModel(m: Int, k: Int, subDim: Int,
-      codebooks: Array[Array[Array[Float]]])
+      codebooks: Array[Array[Array[Float]]]) {
+    /** Width of subspace s (the remainder folds into the last one). */
+    def subLen(s: Int): Int =
+      if (codebooks.nonEmpty && codebooks(s).nonEmpty) codebooks(s)(0).length
+      else subDim
+  }
+
+  /** Slice boundaries for subspace s of a dim-wide vector: the floor
+    * split with the reference's last-takes-remainder rule. */
+  private def subEnd(s: Int, m: Int, subDim: Int, dim: Int): Int =
+    if (s == m - 1) dim else (s + 1) * subDim
 
   def train(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
       embCol: String = "embedding", trainSize: Int = 10000,
       seed: Long = 42L): PqModel = {
-    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    require(m >= 1 && m <= dim, s"need 1 <= m <= dim, got m=$m dim=$dim")
     val subDim = dim / m
     // PQ codebooks train on a BOUNDED sample by design (reference
     // train_size, `vector_ops.rs:405-523`). One pass, no count(): project
@@ -32,7 +48,7 @@ object Pq {
       .orderBy(org.apache.spark.sql.functions.rand(seed)).limit(trainSize)
       .collect().map(_.getSeq[Float](0).toArray)
     val books = Array.tabulate(m) { s =>
-      val sub = sample.map(v => v.slice(s * subDim, (s + 1) * subDim))
+      val sub = sample.map(v => v.slice(s * subDim, subEnd(s, m, subDim, dim)))
       Lloyd.kmeans(sub, k, maxIter = 25, seed = seed + s)
     }
     PqModel(m, k, subDim, books)
@@ -44,7 +60,7 @@ object Pq {
   def encode(model: PqModel, embCol: Column): Column =
     array((0 until model.m).map { s =>
       graft.functions.VectorExpressions.nearestCentroid(
-        slice(embCol, s * model.subDim + 1, model.subDim), model.codebooks(s), "l2")
+        slice(embCol, s * model.subDim + 1, model.subLen(s)), model.codebooks(s), "l2")
     }: _*)
 
   /** Decode: codes -> reconstructed ARRAY<FLOAT>. */
@@ -59,7 +75,7 @@ object Pq {
   def adcDistSq(model: PqModel, query: Array[Float], codesCol: Column): Column = {
     // table(sub)(code) = ||query_sub - centroid||^2, precomputed driver-side
     val table: Array[Array[Double]] = Array.tabulate(model.m) { s =>
-      val qs = query.slice(s * model.subDim, (s + 1) * model.subDim)
+      val qs = query.slice(s * model.subDim, s * model.subDim + model.subLen(s))
       model.codebooks(s).map { c =>
         var acc = 0.0; var i = 0
         while (i < qs.length) { val d = qs(i).toDouble - c(i).toDouble; acc += d * d; i += 1 }
@@ -87,7 +103,7 @@ object Pq {
       metric: String): Array[Array[Array[Double]]] =
     qVecs.map { q =>
       Array.tabulate(model.m) { s =>
-        val qs = q.slice(s * model.subDim, (s + 1) * model.subDim)
+        val qs = q.slice(s * model.subDim, s * model.subDim + model.subLen(s))
         model.codebooks(s).map { c =>
           var acc = 0.0; var i = 0
           if (metric == "l2") {
@@ -200,7 +216,7 @@ object Pq {
   def trainResidual(assigned: DataFrame, cents: Map[Long, Array[Float]],
       dim: Int, m: Int, k: Int, embCol: String,
       trainSize: Int, seed: Long): PqModel = {
-    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    require(m >= 1 && m <= dim, s"need 1 <= m <= dim, got m=$m dim=$dim")
     val subDim = dim / m
     val sample: Array[Array[Float]] = assigned
       .select(col(embCol), col("cluster_id").cast("long"))
@@ -211,7 +227,7 @@ object Pq {
         Array.tabulate(v.length)(i => v(i) - c(i))
       }
     val books = Array.tabulate(m) { s =>
-      val sub = sample.map(v => v.slice(s * subDim, (s + 1) * subDim))
+      val sub = sample.map(v => v.slice(s * subDim, subEnd(s, m, subDim, dim)))
       Lloyd.kmeans(sub, k, maxIter = 25, seed = seed + s)
     }
     PqModel(m, k, subDim, books)
@@ -303,7 +319,7 @@ object Pq {
       val cent = cents(c)
       val res = Array.tabulate(q.length)(i => q(i) - cent(i))
       Array.tabulate(model.m) { s =>
-        val rs = res.slice(s * model.subDim, (s + 1) * model.subDim)
+        val rs = res.slice(s * model.subDim, s * model.subDim + model.subLen(s))
         model.codebooks(s).map { cell =>
           var acc = 0.0; var i = 0
           while (i < rs.length) { val d = rs(i).toDouble - cell(i).toDouble; acc += d * d; i += 1 }
@@ -363,7 +379,7 @@ object Pq {
     val cTables: Array[Array[Array[Double]]] = probed.map { cid =>
       val c = cents(cid)
       Array.tabulate(model.m) { s =>
-        val cs = c.slice(s * model.subDim, (s + 1) * model.subDim)
+        val cs = c.slice(s * model.subDim, s * model.subDim + model.subLen(s))
         model.codebooks(s).map { cell =>
           var dot = 0.0; var nsq = 0.0; var i = 0
           while (i < cs.length) {

@@ -15,6 +15,40 @@ class PqSpec extends SparkSpec {
     assert(model.codebooks.forall(_.forall(_.length == 8)))
   }
 
+  test("uneven dims: last subspace takes the remainder (reference split rule)") {
+    // vector_ops.rs:410-421 — subvector_dim = dim/m floored, the LAST
+    // subspace runs to vector_dim; dim=64 with m=7 gives widths 9..9,10
+    val m7 = Pq.train(corpus, dim = 64, m = 7, k = 8)
+    assert(m7.codebooks.length == 7)
+    assert((0 until 6).forall(s => m7.subLen(s) == 9))
+    assert(m7.subLen(6) == 10)
+    val enc = corpus.withColumn("codes", Pq.encode(m7, col("embedding")))
+    // decode covers all 64 dims and codes stay in range
+    val r = enc.withColumn("deq", Pq.decode(m7, col("codes")))
+      .select(size(col("deq")).as("dlen"),
+        forall(col("codes"), c => c >= 0 && c < 8).as("ok"))
+      .agg(min("dlen"), max("dlen"), min("ok")).head()
+    assert(r.getInt(0) == 64 && r.getInt(1) == 64 && r.getBoolean(2))
+    // ADC distance over the uneven split equals the exact squared L2 to
+    // the reconstruction (the lookup tables must cover the remainder dims)
+    val q = emb.filter(col("vec_id") === 5).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val chk = enc.limit(50)
+      .withColumn("deq", Pq.decode(m7, col("codes")))
+      .select(abs(Pq.adcDistSq(m7, q, col("codes")) -
+        pow(graft.functions.VectorExpressions.vecL2(
+          typedLit(q), col("deq")), 2.0)).as("diff"))
+      .agg(max("diff")).head().getDouble(0)
+    assert(chk < 1e-3, s"ADC vs reconstruction drift $chk")
+    // residual variant trains and keeps the same widths
+    val cents = graft.queries.QueryShapes.labelCentroids(emb)
+      .select(col("label").cast("long").as("cluster_id"), col("centroid"))
+    val assigned = emb.select(col("vec_id").as("id"), col("embedding"),
+      col("label").cast("long").as("cluster_id"))
+    val rm = Pq.trainResidual(assigned, cents, dim = 64, m = 7, k = 8)
+    assert((0 until 6).forall(s => rm.subLen(s) == 9) && rm.subLen(6) == 10)
+  }
+
   test("encode emits valid codes; decode reconstructs within tolerable error") {
     val enc = corpus.withColumn("codes", Pq.encode(model, col("embedding"))).cache()
     val codes = enc.select(explode(col("codes"))).distinct().collect().map(_.getInt(0))
