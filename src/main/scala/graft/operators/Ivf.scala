@@ -276,19 +276,33 @@ object Ivf {
         col("hit.dist").as("distance"), (col("pos") + 1).cast("long").as("rank"))
   }
 
-  /** A5 (`ivf/operations.rs:329-391`): recall of approximate search against
-    * exact ground truth, averaged over queries. Returns a 1-row DataFrame
-    * (avg_recall DOUBLE, n_queries LONG). */
+  /** A5 (`ivf/operations.rs:329-391`): recall AND precision of approximate
+    * search against exact ground truth, averaged over queries — the
+    * reference's exact formulas (`:356-377`): recall = matches/|truth|
+    * (truth is the exact top-k, so the denominator is min(k, corpus) as
+    * the reference writes it), precision = matches/|returned| with an
+    * empty result scoring 0.0. Returns a 1-row DataFrame
+    * (avg_recall DOUBLE, n_queries LONG, avg_precision DOUBLE —
+    * precision appended last so positional readers of the original pair
+    * are unaffected). */
   def evaluateRecall(approx: DataFrame, exact: DataFrame,
       queryIdCol: String = "query_id"): DataFrame = {
     val hits = approx.select(col(queryIdCol), col("id"))
       .join(exact.select(col(queryIdCol), col("id")), Seq(queryIdCol, "id"))
       .groupBy(queryIdCol).agg(count(lit(1)).as("n_hit"))
+    val returned = approx.select(col(queryIdCol))
+      .groupBy(queryIdCol).agg(count(lit(1)).as("n_ret"))
     val totals = exact.groupBy(queryIdCol).agg(count(lit(1)).as("n_exact"))
     totals.join(hits, Seq(queryIdCol), "left")
+      .join(returned, Seq(queryIdCol), "left")
       .select(col(queryIdCol),
-        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact")).as("recall"))
-      .agg(avg("recall").as("avg_recall"), count(lit(1)).as("n_queries"))
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact")).as("recall"),
+        // reference `:373-377`: empty result set => precision 0.0
+        when(coalesce(col("n_ret"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_ret"))
+          .as("precision"))
+      .agg(avg("recall").as("avg_recall"), count(lit(1)).as("n_queries"),
+        avg("precision").as("avg_precision"))
   }
 
   /** X8 (`ivf/operations.rs:148-193`): retrain on the current corpus with a
@@ -392,13 +406,30 @@ object Ivf {
     c
   }
 
-  /** A4 cluster statistics (`ivf/operations.rs:264-289`). */
-  def clusterStats(assigned: DataFrame): DataFrame =
-    assigned.groupBy("cluster_id").agg(count(lit(1)).as("size"))
-      .agg(
-        count(lit(1)).as("n_clusters"),
-        sum("size").as("total_vectors"),
-        round(avg("size"), 4).as("avg_size"),
-        round(var_pop("size"), 4).as("size_variance"),
-        max("size").as("max_size"), min("size").as("min_size"))
+  /** A4 cluster statistics (`ivf/operations.rs:264-289`). With `nClusters`
+    * given, EMPTY cluster slots 0..nClusters-1 participate exactly as in
+    * the reference (`:269-280`: sizes default to 0 over the configured
+    * range, so avg = total/n_clusters, the variance includes the zeros,
+    * and `empty_clusters` counts them); the no-arg form keeps the
+    * observed-clusters-only summary for callers without a config. The
+    * `empty_clusters` column is appended last so positional readers of
+    * the original columns are unaffected. */
+  def clusterStats(assigned: DataFrame, nClusters: Int = -1): DataFrame = {
+    val observed = assigned.groupBy("cluster_id").agg(count(lit(1)).as("size"))
+    val sizes = if (nClusters <= 0) observed else {
+      val spark = assigned.sparkSession
+      val slotType = assigned.schema("cluster_id").dataType
+      spark.range(nClusters)
+        .select(col("id").cast(slotType).as("cluster_id"))
+        .join(observed, Seq("cluster_id"), "left")
+        .na.fill(0L, Seq("size"))
+    }
+    sizes.agg(
+      count(lit(1)).as("n_clusters"),
+      sum("size").as("total_vectors"),
+      round(avg("size"), 4).as("avg_size"),
+      round(var_pop("size"), 4).as("size_variance"),
+      max("size").as("max_size"), min("size").as("min_size"),
+      count(when(col("size") === 0L, 1)).as("empty_clusters"))
+  }
 }

@@ -224,7 +224,8 @@ lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
         roundDecimals = 6)
       val exact = Knn.batch(corpus, queries, k = 10, metric = "l2", roundDecimals = 6)
       Ivf.evaluateRecall(approx, exact)
-        .select(round(col("avg_recall"), 6).as("avg_recall"), col("n_queries"))
+        .select(round(col("avg_recall"), 6).as("avg_recall"), col("n_queries"),
+          round(col("avg_precision"), 6).as("avg_precision"))
     }),
     // M11 scalar u8 quantization round-trip error per vector
     "quantize_u8" -> ((s, dir) => {
@@ -745,9 +746,13 @@ lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
         |per_q AS (
         |  SELECT e.query_id,
         |    (SELECT count(*) FROM approx a WHERE a.query_id = e.query_id AND a.id IN
-        |      (SELECT id FROM exact x WHERE x.query_id = e.query_id))::DOUBLE / count(*) AS recall
+        |      (SELECT id FROM exact x WHERE x.query_id = e.query_id))::DOUBLE / count(*) AS recall,
+        |    (SELECT count(*) FROM approx a WHERE a.query_id = e.query_id AND a.id IN
+        |      (SELECT id FROM exact x WHERE x.query_id = e.query_id))::DOUBLE
+        |      / (SELECT count(*) FROM approx a WHERE a.query_id = e.query_id) AS precision
         |  FROM exact e GROUP BY e.query_id)
-        |SELECT round(avg(recall), 6) AS avg_recall, count(*) AS n_queries FROM per_q""".stripMargin,
+        |SELECT round(avg(recall), 6) AS avg_recall, count(*) AS n_queries,
+        |  round(avg(precision), 6) AS avg_precision FROM per_q""".stripMargin,
     "crud_lifecycle" ->
       """SELECT count(*) AS inserted,
         |  count(*) FILTER (label >= 7) AS deleted,

@@ -126,6 +126,17 @@ object IvfQueries {
         .agg(count(lit(1)).as("size"),
           round(avg(vecNorm(col("embedding"))), 6).as("avg_norm"))
         .orderBy("cluster_id")
+    }),
+    // A4 summary stats, reference-EXACT (ivf/operations.rs:264-289): the
+    // configured cluster range participates including EMPTY slots — sizes
+    // default to 0 over 0..n_clusters-1, so avg = total/n_clusters, the
+    // variance includes the zeros, and empty_clusters counts them. The 10
+    // label clusters are evaluated against a configured n_clusters of 12,
+    // so two empty slots actually exercise the semantics.
+    "cluster_stats_summary" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val assigned = emb.select(col("label").cast("long").as("cluster_id"))
+      graft.operators.Ivf.clusterStats(assigned, nClusters = 12)
     }))
 
   private val centSql =
@@ -220,5 +231,17 @@ object IvfQueries {
     "cluster_stats" ->
       """SELECT label::BIGINT AS cluster_id, count(*) AS size,
         |  round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
-        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cluster_stats_summary" ->
+      """WITH sz AS (
+        |  SELECT s.range AS cluster_id, coalesce(c.size, 0) AS size
+        |  FROM range(0, 12) s
+        |  LEFT JOIN (SELECT label::BIGINT AS cid, count(*) AS size
+        |             FROM embeddings GROUP BY 1) c ON c.cid = s.range)
+        |SELECT count(*)::BIGINT AS n_clusters, sum(size)::BIGINT AS total_vectors,
+        |  round(avg(size), 4) AS avg_size,
+        |  round(var_pop(size), 4) AS size_variance,
+        |  max(size)::BIGINT AS max_size, min(size)::BIGINT AS min_size,
+        |  (count(*) FILTER (size = 0))::BIGINT AS empty_clusters
+        |FROM sz""".stripMargin)
 }

@@ -89,4 +89,29 @@ class IvfSpec extends SparkSpec {
     assert(r.getLong(0) == 10)
     assert(r.getLong(1) == corpus.count())
   }
+
+  test("cluster stats with configured range count empty slots (reference rule)") {
+    // ivf/operations.rs:269-280: sizes default to 0 over 0..n_clusters-1
+    val assigned = Ivf.assign(corpus, centroids)
+    val r = Ivf.clusterStats(assigned, nClusters = 12).head()
+    assert(r.getLong(0) == 12)                      // n_clusters = configured
+    assert(r.getLong(1) == corpus.count())          // total unchanged
+    assert(r.getLong(5) == 0)                       // min_size: an empty slot
+    assert(r.getLong(6) == 2)                       // empty_clusters
+    val obs = Ivf.clusterStats(assigned).head()
+    // the zeros drag the mean down and (here) spread the variance out
+    assert(r.getDouble(2) < obs.getDouble(2))
+  }
+
+  test("evaluateRecall: reference precision formulas incl. empty-result 0.0") {
+    // ivf/operations.rs:356-377 — precision = matches/|returned|, an
+    // empty result set scores 0.0 (not NaN/skip)
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("query_id", "id")
+    val approx = Seq((1L, 10L), (1L, 99L)).toDF("query_id", "id") // q2 empty
+    val r = Ivf.evaluateRecall(approx, exact).head()
+    assert(math.abs(r.getDouble(0) - 0.25) < 1e-9)  // (1/2 + 0) / 2
+    assert(r.getLong(1) == 2)
+    assert(math.abs(r.getDouble(2) - 0.25) < 1e-9)  // (1/2 + 0.0) / 2
+  }
 }
