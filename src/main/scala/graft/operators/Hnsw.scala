@@ -292,14 +292,28 @@ object Hnsw {
       if (idx >= 0) { deleted.add(idx); true } else false
     }
 
-    /** A8 graph statistics (`hnsw/operations.rs:227-272`): node/edge
-      * counts, average layer-0 degree, max layer. */
+    /** A8 graph statistics, reference-EXACT (`hnsw/operations.rs:227-272`):
+      * computed over ACTIVE (non-deleted) nodes only — node count, edge
+      * count summed across ALL layers of live nodes (edges pointing at
+      * tombstoned neighbors still count, as in the reference) with the
+      * reference's integer halving, avg_degree = 2·edges/nodes, and
+      * max layer over live nodes (0 when none). */
     def stats: (Int, Long, Double, Int) = {
-      val nodes = ids.length
-      val edges = nbrs.iterator.map(_.iterator.map(_.length.toLong).sum).sum / 2
-      val avgDeg = if (nodes == 0) 0.0
-        else nbrs.iterator.map(n => n(0).length.toDouble).sum / nodes
-      (nodes, edges, avgDeg, maxLevel)
+      var nodes = 0; var edgeEnds = 0L; var maxLvl = 0
+      var i = 0
+      while (i < ids.length) {
+        if (!deleted.contains(i)) {
+          nodes += 1
+          if (levels(i) > maxLvl) maxLvl = levels(i)
+          val byLevel = nbrs(i)
+          var l = 0
+          while (l < byLevel.length) { edgeEnds += byLevel(l).length; l += 1 }
+        }
+        i += 1
+      }
+      val edges = edgeEnds / 2
+      val avgDeg = if (nodes == 0) 0.0 else (edges * 2).toDouble / nodes
+      (nodes, edges, avgDeg, if (nodes == 0) 0 else maxLvl)
     }
 
     /** k-NN search; deleted nodes traversed but filtered from results. */
@@ -587,17 +601,24 @@ object Hnsw {
         new java.util.BitSet(kept), nEntry, nMax)
     }
 
-    /** Graph statistics: (nodes, edges, avg layer-0 degree, max level). */
+    /** Graph statistics, reference-EXACT (`hnsw/operations.rs:227-272`):
+      * active nodes only, all-layer edge ends halved (edges into
+      * tombstones still count), avg_degree = 2·edges/nodes, max live
+      * layer. Matches [[Graph.stats]] on the same logical graph. */
     def stats: (Int, Long, Double, Int) = {
-      var edges = 0L
-      var deg0 = 0L
+      var nodes = 0; var edgeEnds = 0L; var maxLvl = 0
       var i = 0
       while (i < n) {
-        edges += slotOff(slotBase(i + 1)) - slotOff(slotBase(i))
-        deg0 += slotOff(slotBase(i) + 1) - slotOff(slotBase(i))
+        if (!deleted.get(i)) {
+          nodes += 1
+          if (levels(i) > maxLvl) maxLvl = levels(i)
+          edgeEnds += slotOff(slotBase(i + 1)) - slotOff(slotBase(i))
+        }
         i += 1
       }
-      (n, edges / 2, if (n == 0) 0.0 else deg0.toDouble / n, maxLevel)
+      val edges = edgeEnds / 2
+      val avgDeg = if (nodes == 0) 0.0 else (edges * 2).toDouble / nodes
+      (nodes, edges, avgDeg, if (nodes == 0) 0 else maxLvl)
     }
 
     def toBytes: Array[Byte] = {
