@@ -197,8 +197,17 @@ class VectorStore(val spark: SparkSession, val path: String,
     else {
       val n = mapper.readTree(readText(p))
       val v = n.get("version").asInt()
-      if (v != FormatVersion)
-        throw new IllegalStateException(s"unsupported store version $v (expected $FormatVersion)")
+      // the reference's gate direction (chunk.rs:296-301): only a FUTURE
+      // version is rejected outright — it was written by a newer engine.
+      // Older versions are accepted down to the oldest layout this code
+      // can actually read (currently = FormatVersion, so the lower gate
+      // names the real reason rather than a generic mismatch).
+      if (v > FormatVersion)
+        throw new IllegalStateException(
+          s"store version $v was written by a newer engine (this one reads <= $FormatVersion)")
+      if (v < MinFormatVersion)
+        throw new IllegalStateException(
+          s"store version $v predates the oldest readable layout $MinFormatVersion")
       Some(Manifest(v, n.get("dim").asInt()))
     }
   }
@@ -1672,6 +1681,9 @@ object VectorStore {
     * truncated): a v3 store's stored vids never match freshly computed
     * ones, so mutations would silently miss — fail loudly at open instead. */
   val FormatVersion = 4 // reference manifest version analog (chunk.rs:30)
+  /** Oldest manifest version this code still reads. Bump only when a
+    * layout change actually drops read support for the previous one. */
+  val MinFormatVersion = 4
 
   case class Config(
       recentThresholdSeconds: Long = 7L * 24 * 3600, // hybrid/core.rs:76-84

@@ -328,13 +328,27 @@ class VectorStoreSpec extends SparkSpec {
     assert(before.sameElements(after))
   }
 
-  test("manifest version gate rejects unknown versions") {
+  test("manifest version gate: future rejected, too-old rejected, each by name") {
+    // the reference's gate direction (chunk.rs:296-301): only version >
+    // MANIFEST_VERSION is 'written by a newer engine'; below the oldest
+    // readable layout is a distinct failure
+    def tamper(st: VectorStore, v: Int): Unit = {
+      Files.deleteIfExists(java.nio.file.Paths.get(st.path, ".manifest.json.crc"))
+      Files.writeString(java.nio.file.Paths.get(st.path, "manifest.json"),
+        s"""{"version": $v, "dim": 8}""")
+    }
     val st = freshStore()
     st.insert(Seq(VectorRecord("a", vec(1))))
-    // drop the Hadoop checksum sidecar so the out-of-band tamper is read
-    Files.deleteIfExists(java.nio.file.Paths.get(st.path, ".manifest.json.crc"))
-    Files.writeString(java.nio.file.Paths.get(st.path, "manifest.json"),
-      """{"version": 99, "dim": 8}""")
-    intercept[IllegalStateException] { new VectorStore(spark, st.path).dimension }
+    tamper(st, 99)
+    val eNew = intercept[IllegalStateException] {
+      new VectorStore(spark, st.path).dimension }
+    assert(eNew.getMessage.contains("newer engine"))
+    tamper(st, VectorStore.MinFormatVersion - 1)
+    val eOld = intercept[IllegalStateException] {
+      new VectorStore(spark, st.path).dimension }
+    assert(eOld.getMessage.contains("oldest readable"))
+    // the current version still opens after the tampering round-trip
+    tamper(st, VectorStore.FormatVersion)
+    assert(new VectorStore(spark, st.path).dimension.contains(8))
   }
 }
