@@ -1166,6 +1166,45 @@ object Hnsw {
         max("ml").cast("int").as("max_level"))
   }
 
+  /** [[checkSavedIntegrity]] result — the reference HNSWPersister's
+    * `RecoveryInfo` (`hnsw/persistence.rs:66-70,307-349`: expected nodes
+    * vs what the chunks actually deserialize to) over this layout:
+    * `badBlobs` are rows whose graph payload fails a FULL deserialization
+    * or whose header counts disagree with the decoded graph. */
+  case class SavedIntegrity(blobs: Long, badBlobs: Long, nodes: Long,
+      live: Long, isComplete: Boolean)
+
+  /** Structural integrity of a persisted index — the reference's
+    * `check_integrity` walks every chunk and deserializes it
+    * (`hnsw/persistence.rs:307-349`); here every blob is fully decoded
+    * (not just header-peeked) and cross-checked against its own header, in
+    * one distributed pass. READ-ONLY: unlike the maintenance ops this
+    * never runs swap recovery — a store wedged mid-swap should be
+    * REPORTED (blobs=0, incomplete), not silently repaired by the
+    * integrity probe; any open/maintenance call runs recovery. */
+  def checkSavedIntegrity(spark: SparkSession, path: String): SavedIntegrity = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      return SavedIntegrity(0L, 0L, 0L, 0L, isComplete = false)
+    val row = spark.read.parquet(path).select(col("graph")).as[Array[Byte]]
+      .map { b =>
+        try {
+          val g = FrozenGraph.fromBytes(b)
+          val (hn, hLive, _) = FrozenGraph.peekStats(b)
+          if (hn != g.n || hLive != g.liveCount) (1L, 1L, 0L, 0L)
+          else (1L, 0L, g.n.toLong, g.liveCount.toLong)
+        } catch { case scala.util.control.NonFatal(_) => (1L, 1L, 0L, 0L) }
+      }
+      .toDF("b", "bad", "n", "live")
+      .agg(coalesce(sum("b"), lit(0L)), coalesce(sum("bad"), lit(0L)),
+        coalesce(sum("n"), lit(0L)), coalesce(sum("live"), lit(0L)))
+      .head()
+    SavedIntegrity(row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), isComplete = row.getLong(0) > 0 && row.getLong(1) == 0)
+  }
+
   /** Physically compact a persisted index: scrub soft-deleted nodes and
     * every edge touching them (`hnsw/operations.rs:127-200`), drop graphs
     * that end up empty. Returns the number of nodes removed. */

@@ -186,7 +186,18 @@ class VectorStore(val spark: SparkSession, val path: String,
   private def writeManifest(m: Manifest): Unit = {
     val node = mapper.createObjectNode()
     node.put("version", m.version); node.put("dim", m.dim)
+    // the full behavior-relevant config, persisted like the reference's
+    // HybridMetadata.config (hybrid/persistence.rs:58-67) so
+    // [[VectorStore.open]] can restore the store AS CONFIGURED (its
+    // load_index analog, `:696-740`) — without this, a reopen with the
+    // default Config would silently serve a 1-hour-threshold store with
+    // 7-day tier semantics
     node.put("recentThresholdSeconds", config.recentThresholdSeconds)
+    node.put("nClusters", config.nClusters)
+    node.put("nProbe", config.nProbe)
+    node.put("chunkSize", config.chunkSize)
+    node.put("maxReturnedIds", config.maxReturnedIds)
+    node.put("leaseTtlMs", config.leaseTtlMs)
     fs.mkdirs(new Path(path))
     writeText(new Path(path, "manifest.json"), mapper.writeValueAsString(node))
   }
@@ -972,6 +983,125 @@ class VectorStore(val spark: SparkSession, val path: String,
       swapLockAgesMs = lockAges)
   }
 
+  /** Policy-level health check, the reference HealthMonitor's
+    * `check_health` (`hybrid/maintenance.rs:832-863`, `AlertConfig`
+    * defaults `:805-810`): backlog = the recent tier's live row count (the
+    * reference's own simplification — every recent row is migration
+    * backlog), a strict `backlog > threshold` trip; memory analog = bytes
+    * on disk of the two tier dirs (the reference sums in-memory index
+    * sizes; a parquet-backed store's footprint IS its disk bytes), ok iff
+    * strictly under the threshold. Issue strings mirror the reference's.
+    * Where the reference hardcodes recent/historical/latency ok = true,
+    * the tier flags here are REAL (no stranded swap marker — same pattern
+    * as the REST /health envelope); `searchLatencyOk` stays true with no
+    * latency tracker, as in the reference. One Spark job (the counts) +
+    * FS metadata. */
+  def checkHealth(migrationBacklogThreshold: Long = 1000L,
+      memoryUsageThresholdBytes: Long = 1000000000L): HealthReport = {
+    val h = health()
+    val st = stats()
+    val issues = scala.collection.mutable.ArrayBuffer.empty[String]
+    val backlog = st.recentCount
+    if (backlog > migrationBacklogThreshold)
+      issues += s"High migration backlog: $backlog"
+    def dirBytes(name: String): Long =
+      try {
+        val p = new Path(dir(name))
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      } catch { case _: java.io.IOException => 0L }
+    val memoryUsage = dirBytes("recent") + dirBytes("historical")
+    val memoryOk = memoryUsage < memoryUsageThresholdBytes
+    if (!memoryOk) issues += "Memory usage exceeds threshold"
+    val recentOk = h.connected && !h.strandedSwapMarkers.contains("recent")
+    val historicalOk =
+      h.connected && !h.strandedSwapMarkers.contains("historical")
+    if (!recentOk) issues += "Recent index degraded (stranded swap marker)"
+    if (!historicalOk)
+      issues += "Historical index degraded (stranded swap marker)"
+    HealthReport(
+      status = if (issues.isEmpty) "healthy" else "warning",
+      recentIndexOk = recentOk, historicalIndexOk = historicalOk,
+      migrationBacklog = backlog, searchLatencyOk = true,
+      memoryUsageOk = memoryOk, issues = issues.toSeq)
+  }
+
+  /** Structural integrity check — the reference `IVFPersister
+    * .check_integrity` (`ivf/persistence.rs:299-349`: persisted metadata
+    * vs what the lists actually hold) generalized to this store's
+    * invariants, as aggregates that scale with the data (no driver-side
+    * row loops):
+    *
+    *  - every live embedding has the manifest dim (a wrong-dim row would
+    *    throw mid-scan at SEARCH time — integrity finds it at admin time)
+    *  - live ids are unique (the invariant insert's dup anti-join enforces;
+    *    violated only by out-of-band writes)
+    *  - every historical row's cluster_id addresses a real centroid (the
+    *    reference's missing_clusters, inverted: rows pointing nowhere)
+    *  - each enabled code tier mirrors the live historical tier exactly —
+    *    `drift = (missing, orphaned)` counts per tier (the reference's
+    *    expected vs found_vectors; non-zero after out-of-band edits or a
+    *    crash between tier rewrite and code refresh)
+    *
+    * One shuffle over the live view + one small job per enabled code tier.
+    * Read-only (no recovery side effects) — pair with [[health]] for the
+    * swap/lease view. */
+  def checkIntegrity(): IntegrityReport = {
+    val manifest =
+      try readManifest() catch { case _: Exception => None }
+    val dim = manifest.map(_.dim)
+    val dimCheck = dim match {
+      case Some(d) => size(col("embedding")) =!= d // size(null) = -1 ≠ d
+      case None => lit(false) // no manifest: nothing to check against
+    }
+    // the raw live union, NOT [[vectors]]: the metadata-overlay join is
+    // irrelevant to id/dim invariants and would be pure added cost here
+    val live = dropTombstoned(
+      recent.withColumn("tier", lit("recent")).unionByName(
+        historical.drop("cluster_id").withColumn("tier", lit("historical"))))
+    val perId = live
+      .select(col("id"), col("tier"), dimCheck.cast("long").as("w"))
+      .groupBy("id").agg(
+        count(lit(1)).as("c"), sum(col("w")).as("w"),
+        sum(when(col("tier") === "recent", 1L).otherwise(0L)).as("r"))
+    val row = perId.agg(
+      coalesce(sum(col("r")), lit(0L)),
+      coalesce(sum(col("c") - col("r")), lit(0L)),
+      coalesce(sum(col("w")), lit(0L)),
+      coalesce(sum(when(col("c") > 1, 1L).otherwise(0L)), lit(0L))).head()
+    val (liveRecent, liveHistorical, wrongDim, dupIds) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val hasCentroids = exists("centroids")
+    val invalidCluster =
+      if (!hasCentroids || !hasRowsRecursive("historical")) 0L
+      else {
+        val n = centroids.count() // bounded: <= nClusters rows
+        dropTombstoned(historical).filter(
+          col("cluster_id").isNull || col("cluster_id") < 0 ||
+            col("cluster_id") >= n).count()
+      }
+    val histIds = dropTombstoned(historical).select("id")
+    val drift = Seq("pq_codes" -> hasPq, "sq_codes" -> hasSq,
+        "bq_codes" -> hasBq).collect { case (tier, true) =>
+      val codeIds = dropTombstoned(
+        spark.read.schema(codesSchema(tier)).parquet(dir(tier))).select("id")
+      val d = histIds.withColumn("h", lit(1))
+        .join(codeIds.withColumn("q", lit(1)), Seq("id"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("q").isNull, 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("h").isNull, 1L).otherwise(0L)), lit(0L)))
+        .head()
+      tier -> ((d.getLong(0), d.getLong(1)))
+    }.toMap
+    IntegrityReport(
+      hasManifest = manifest.isDefined, hasCentroids = hasCentroids,
+      liveRecent = liveRecent, liveHistorical = liveHistorical,
+      wrongDimCount = wrongDim, duplicateIdCount = dupIds,
+      invalidClusterCount = invalidCluster, codeTierDrift = drift,
+      isComplete = manifest.isDefined && wrongDim == 0 && dupIds == 0 &&
+        invalidCluster == 0 &&
+        drift.values.forall(p => p._1 == 0 && p._2 == 0))
+  }
+
   def stats(): Stats = {
     // one job for all three counts, not three
     val counts = dropTombstoned(recent).select(lit("r").as("t"))
@@ -1712,6 +1842,40 @@ object VectorStore {
 
   case class Manifest(version: Int, dim: Int)
 
+  /** Open an EXISTING store restoring its persisted configuration — the
+    * reference's `load_index` (`hybrid/persistence.rs:696-740`), which
+    * reconstructs the index from `metadata.config` rather than a
+    * caller-supplied one. The constructor stays the explicit-config path
+    * (its `load_index_chunked(path, config)` analog); use this when the
+    * caller should NOT have to know how the store was configured — a
+    * serving process reopening a store built by an ingest job must not
+    * reclassify tiers because it guessed a different threshold. Fields a
+    * pre-upgrade manifest lacks fall back to the defaults it was built
+    * under. Fails if no manifest exists (the reference's
+    * MissingComponent("metadata")): an empty path has no configuration to
+    * restore — initialize through the constructor instead. */
+  def open(spark: org.apache.spark.sql.SparkSession, path: String): VectorStore = {
+    val p = new Path(path, "manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"no manifest at $path: open() restores a persisted config; " +
+        "initialize a new store with the constructor")
+    val in = fs.open(p)
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val d = Config()
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    new VectorStore(spark, path, Config(
+      recentThresholdSeconds =
+        n.path("recentThresholdSeconds").asLong(d.recentThresholdSeconds),
+      nClusters = n.path("nClusters").asInt(d.nClusters),
+      nProbe = n.path("nProbe").asInt(d.nProbe),
+      chunkSize = n.path("chunkSize").asInt(d.chunkSize),
+      maxReturnedIds = n.path("maxReturnedIds").asInt(d.maxReturnedIds),
+      leaseTtlMs = n.path("leaseTtlMs").asLong(d.leaseTtlMs)))
+  }
+
   /** Insert-batch record; tsString optional ISO timestamp (defaults now). */
   case class VectorRecord(id: String, embedding: Array[Float],
       metadata: Option[String] = None, tsString: Option[String] = None)
@@ -1730,6 +1894,24 @@ object VectorStore {
   case class Health(connected: Boolean, manifestReadable: Boolean,
       strandedSwapMarkers: Seq[String], leaseOwner: Option[String],
       leaseAgeMs: Option[Long], swapLockAgesMs: Map[String, Long])
+  /** [[VectorStore.checkHealth]] report — the reference `HealthReport`
+    * field set (`hybrid/maintenance.rs:233-242`) with `status` as its
+    * lower-cased enum name ("healthy"/"warning"; the reference's
+    * Critical/Unknown variants are never produced by its own check
+    * either). */
+  case class HealthReport(status: String, recentIndexOk: Boolean,
+      historicalIndexOk: Boolean, migrationBacklog: Long,
+      searchLatencyOk: Boolean, memoryUsageOk: Boolean, issues: Seq[String])
+  /** [[VectorStore.checkIntegrity]] result — the reference
+    * `IntegrityCheckResult` (`ivf/persistence.rs:507-515`) restated over
+    * this store's invariants: `codeTierDrift(tier) = (missing, orphaned)`
+    * is its expected-vs-found comparison per code tier;
+    * `invalidClusterCount` is its `missing_clusters` seen from the row
+    * side (rows addressing no centroid). */
+  case class IntegrityReport(hasManifest: Boolean, hasCentroids: Boolean,
+      liveRecent: Long, liveHistorical: Long, wrongDimCount: Long,
+      duplicateIdCount: Long, invalidClusterCount: Long,
+      codeTierDrift: Map[String, (Long, Long)], isComplete: Boolean)
   /** Persisted rebalance counters (RebalanceStatistics analog,
     * `hybrid/maintenance.rs:115-119`). */
   case class MaintenanceStats(totalRebalances: Long, totalVectorsMoved: Long,

@@ -65,8 +65,15 @@ case class MigrationPolicy(
 case class MigrationRunResult(vectorsMigrated: Long, batchesProcessed: Long,
     skippedQuietHours: Boolean, vectorsRebalanced: Long = 0L)
 
+/** The reference `MigrationStatistics` field set
+  * (`hybrid/maintenance.rs:61-68`): running totals plus two running
+  * averages. `avgDurationMs` uses the reference's incremental update
+  * (`:405-407`) over per-run wall time with its min-1ms floor
+  * (`:394-398` — a sub-millisecond run still counts as 1 ms, so the
+  * average can never read 0 after a run has happened). */
 case class MigrationStatistics(totalVectorsMigrated: Long, totalRuns: Long,
-    avgVectorsPerRun: Double, lastRunEpochMs: Option[Long])
+    avgVectorsPerRun: Double, avgDurationMs: Double,
+    lastRunEpochMs: Option[Long])
 
 /** Driver-side scheduler state around [[VectorStore.migrate]] — the
   * reference's `MigrationScheduler` with the tokio loop replaced by
@@ -76,7 +83,7 @@ case class MigrationStatistics(totalVectorsMigrated: Long, totalRuns: Long,
 class MigrationScheduler(store: VectorStore,
     @volatile var policy: MigrationPolicy = MigrationPolicy()) {
 
-  private var stats = MigrationStatistics(0L, 0L, 0.0, None)
+  private var stats = MigrationStatistics(0L, 0L, 0.0, 0.0, None)
 
   def statistics: MigrationStatistics = synchronized(stats)
 
@@ -96,6 +103,7 @@ class MigrationScheduler(store: VectorStore,
     val hour = now.toInstant.atZone(java.time.ZoneOffset.UTC).getHour
     if (inQuietHours(hour)) MigrationRunResult(0L, 0L, skippedQuietHours = true)
     else {
+      val t0 = System.nanoTime()
       val p = policy
       val indexParams =
         if (p.rebuildRecentIndex) store.recentIndexBuildParams else None
@@ -111,12 +119,16 @@ class MigrationScheduler(store: VectorStore,
       }
       val moved = if (!p.autoRebalance) 0L else maybeRebalance(p)
       val batches = (n + p.batchSize - 1) / p.batchSize
+      // the reference's min-1ms duration floor (maintenance.rs:394-398)
+      val durMs = math.max(1.0, (System.nanoTime() - t0) / 1e6)
       synchronized {
         val runs = stats.totalRuns + 1
         stats = MigrationStatistics(
           totalVectorsMigrated = stats.totalVectorsMigrated + n,
           totalRuns = runs,
           avgVectorsPerRun = (stats.totalVectorsMigrated + n).toDouble / runs,
+          avgDurationMs =
+            (stats.avgDurationMs * (runs - 1) + durMs) / runs,
           lastRunEpochMs = Some(System.currentTimeMillis()))
       }
       MigrationRunResult(n, batches, skippedQuietHours = false,

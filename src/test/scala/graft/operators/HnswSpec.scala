@@ -446,4 +446,29 @@ class HnswSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("chunk the batch upstream"), e.getMessage)
   }
+
+  test("checkSavedIntegrity: full-decode pass, corrupt blob detected, read-only") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_integ_").toString + "/g"
+    Hnsw.buildAndSave(emb.filter(col("vec_id") < 120)
+      .select(col("vec_id").as("id"), col("embedding")).repartition(3), path)
+    Hnsw.deleteFromSaved(spark, path, Seq(5L, 17L))
+    val clean = Hnsw.checkSavedIntegrity(spark, path)
+    assert(clean.isComplete && clean.badBlobs == 0L)
+    assert(clean.nodes == 120L && clean.live == 118L)
+    // a truncated/garbage blob row appended out-of-band fails the full
+    // decode and flips isComplete — the RecoveryInfo missing_chunks analog
+    Seq((999L, Array.fill[Byte](40)(7), Array.empty[Float]))
+      .toDF("part_id", "graph", "centroid")
+      .write.mode("append").parquet(path)
+    val dirty = Hnsw.checkSavedIntegrity(spark, path)
+    assert(!dirty.isComplete && dirty.badBlobs == 1L && dirty.blobs == clean.blobs + 1)
+    assert(dirty.nodes == 120L) // good blobs still counted
+    // absent path: reported, never created (the probe is read-only)
+    val missing = java.nio.file.Files.createTempDirectory("graft_hnsw_integ2_").toString + "/none"
+    assert(Hnsw.checkSavedIntegrity(spark, missing)
+      == Hnsw.SavedIntegrity(0L, 0L, 0L, 0L, false))
+    assert(!new java.io.File(missing).exists())
+  }
 }

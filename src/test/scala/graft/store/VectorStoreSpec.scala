@@ -351,4 +351,90 @@ class VectorStoreSpec extends SparkSpec {
     tamper(st, VectorStore.FormatVersion)
     assert(new VectorStore(spark, st.path).dimension.contains(8))
   }
+
+  test("open() restores the persisted config; constructor stays explicit") {
+    val p = Files.createTempDirectory("graft_open_").toString
+    // build with decidedly non-default knobs (load_index_chunked analog:
+    // the constructor's config is the caller's)
+    val built = new VectorStore(spark, p, Config(
+      recentThresholdSeconds = 3600, nClusters = 7, nProbe = 3,
+      chunkSize = 123, maxReturnedIds = 42, leaseTtlMs = 99000L))
+    built.insert(Seq(VectorRecord("a", vec(1))))
+    // load_index analog: a reopen restores the store AS CONFIGURED —
+    // without it, the 1-hour-threshold store would silently serve 7-day
+    // tier semantics under the default Config
+    val reopened = VectorStore.open(spark, p)
+    assert(reopened.config == built.config)
+    assert(reopened.search(vec(1), k = 1).collect().head.getString(0) == "a")
+    // explicit construction still overrides (the chunked-load path)
+    assert(new VectorStore(spark, p).config.nClusters == 256)
+    // no manifest = nothing to restore (MissingComponent analog)
+    val empty = Files.createTempDirectory("graft_open_empty_").toString
+    val e = intercept[IllegalStateException] { VectorStore.open(spark, empty) }
+    assert(e.getMessage.contains("no manifest"))
+  }
+
+  test("checkIntegrity: clean store complete; tampering and drift detected") {
+    import spark.implicits._
+    val st = freshStore()
+    val oldTs = java.time.Instant.now().minusSeconds(7200)
+    st.insert((0 until 20).map(i => VectorStore.VectorRecord(
+      s"v$i", vec(i), tsString = Some(oldTs.plusSeconds(i).toString))))
+    st.insert(Seq(VectorStore.VectorRecord("fresh", vec(99))))
+    assert(st.migrate() == 20L)
+    st.enableSq()
+    val clean = st.checkIntegrity()
+    assert(clean.isComplete && clean.hasManifest && clean.hasCentroids)
+    assert(clean.liveRecent == 1L && clean.liveHistorical == 20L)
+    assert(clean.codeTierDrift == Map("sq_codes" -> ((0L, 0L))))
+    // natural drift: migrate MORE rows without refreshing the code tier
+    // (the scheduler refreshes; a raw migrate() does not) — the sq tier
+    // now misses the newly historical rows
+    st.insert(Seq(VectorStore.VectorRecord("late", vec(50),
+      tsString = Some(oldTs.toString))))
+    assert(st.migrate() == 1L)
+    val drifted = st.checkIntegrity()
+    assert(!drifted.isComplete
+      && drifted.codeTierDrift("sq_codes") == ((1L, 0L)))
+    st.refreshSq()
+    assert(st.checkIntegrity().isComplete)
+    // out-of-band tampering: a wrong-dim row under a duplicated id,
+    // appended straight into the tier dir past insert's validation
+    Seq(("fresh", "vid_oob", Array(1.0f, 2.0f), null.asInstanceOf[String],
+        new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDF("id", "vid", "embedding", "metadata", "ts")
+      .write.mode("append").parquet(st.path + "/recent")
+    val tampered = st.checkIntegrity()
+    assert(!tampered.isComplete)
+    assert(tampered.wrongDimCount == 1L && tampered.duplicateIdCount == 1L)
+    assert(tampered.invalidClusterCount == 0L)
+  }
+
+  test("checkHealth: the reference HealthMonitor's backlog/memory trips") {
+    val st = freshStore()
+    st.insert((0 until 5).map(i => VectorRecord(s"h$i", vec(i))))
+    // under both thresholds: healthy, no issues, real tier flags
+    val ok = st.checkHealth()
+    assert(ok.status == "healthy" && ok.issues.isEmpty)
+    assert(ok.migrationBacklog == 5L)
+    assert(ok.recentIndexOk && ok.historicalIndexOk
+      && ok.searchLatencyOk && ok.memoryUsageOk)
+    // the reference's strict backlog > threshold trip with its issue
+    // string (maintenance.rs:839-844): 5 > 4 warns, 5 > 5 does not
+    val warn = st.checkHealth(migrationBacklogThreshold = 4L)
+    assert(warn.status == "warning"
+      && warn.issues == Seq("High migration backlog: 5"))
+    assert(st.checkHealth(migrationBacklogThreshold = 5L).status == "healthy")
+    // memory ok iff strictly under the threshold (maintenance.rs:846-851)
+    val mem = st.checkHealth(memoryUsageThresholdBytes = 1L)
+    assert(!mem.memoryUsageOk && mem.status == "warning"
+      && mem.issues == Seq("Memory usage exceeds threshold"))
+    // a stranded swap marker degrades the tier flag (real probe, not the
+    // reference's hardcoded true)
+    Files.writeString(
+      java.nio.file.Paths.get(st.path, "recent_swap.inprogress"), "{}")
+    val degraded = st.checkHealth()
+    assert(!degraded.recentIndexOk && degraded.historicalIndexOk
+      && degraded.status == "warning")
+  }
 }

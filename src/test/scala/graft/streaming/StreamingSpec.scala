@@ -101,6 +101,9 @@ class StreamingSpec extends SparkSpec {
     val st = sched.statistics
     assert(st.totalVectorsMigrated == 40L && st.totalRuns == 4L)
     assert(math.abs(st.avgVectorsPerRun - 10.0) < 1e-9)
+    // the reference's running duration average with its min-1ms floor
+    // (maintenance.rs:394-407): positive after any run, never 0
+    assert(st.avgDurationMs >= 1.0)
   }
 
   test("capped migrate keeps a live reinserted row that shares a vid with a tombstoned old row") {
