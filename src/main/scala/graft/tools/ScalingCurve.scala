@@ -94,7 +94,8 @@ object ScalingCurve {
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Double)]
     for (reps <- Seq(50, 500, 5000)
          if enabled("search") ||
-           ((enabled("graph") || enabled("maintain")) && reps <= 500)) {
+           ((enabled("graph") || enabled("maintain") ||
+             enabled("integrity")) && reps <= 500)) {
       val n = 2000L * reps // sf0.1 has 2000 base vectors
       println(s"[scaling] === corpus ${n / 1000}K (reps=$reps) ===")
       val cPath = corpusAt(reps)
@@ -113,7 +114,8 @@ object ScalingCurve {
       val ivfBase = s"/tmp/graft_scaling/ivf_r${reps}_k$nClusters"
       val ivfDone = new org.apache.hadoop.fs.Path(s"$ivfBase/data/_SUCCESS")
       val fs = ivfDone.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (enabled("search") || (enabled("maintain") && reps <= 500)) {
+      if (enabled("search") ||
+          ((enabled("maintain") || enabled("integrity")) && reps <= 500)) {
         if (!fs.exists(ivfDone)) {
           val t0 = System.nanoTime()
           val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = nClusters,
@@ -181,6 +183,34 @@ object ScalingCurve {
             best("compactSaved", iters = 1)(
               Hnsw.compactSaved(spark, mPath, minNodes = 2048,
                 targetNodes = 4096))))
+        }
+
+        // integrity probe cost curve (r11): checkSavedIntegrity fully
+        // decodes every blob => linear in index bytes (the deliberate
+        // price of a REAL integrity check vs the header peek);
+        // store checkIntegrity = one groupBy(id) shuffle over the live
+        // union + one join per enabled code tier => linear in live rows
+        if (enabled("integrity") && reps <= 500) {
+          results += (("integ_saved", reps, n,
+            best("checkSavedIntegrity", iters = 2)(
+              Hnsw.checkSavedIntegrity(spark, hnswPath).blobs)))
+          val sRoot = s"/tmp/graft_scaling/integ_store_r$reps"
+          val sCfg = graft.store.VectorStore.Config(
+            recentThresholdSeconds = 3600, nClusters = nClusters, nProbe = 4)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(sRoot, "manifest.json"))) {
+            val t0 = System.nanoTime()
+            val st0 = new graft.store.VectorStore(spark, sRoot, sCfg)
+            st0.insertDF(corpus.select(col("id").cast("string").as("id"),
+              col("embedding"),
+              (current_timestamp() - expr("INTERVAL 7200 SECONDS")).as("ts")))
+            st0.migrate()
+            st0.enableSq()
+            println(f"[scaling] integ store build ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          }
+          val st = new graft.store.VectorStore(spark, sRoot, sCfg)
+          results += (("integ_store", reps, n,
+            best("store checkIntegrity", iters = 2)(
+              st.checkIntegrity().liveHistorical)))
         }
       }
 
