@@ -999,9 +999,14 @@ class VectorStore(val spark: SparkSession, val path: String,
   def checkHealth(migrationBacklogThreshold: Long = 1000L,
       memoryUsageThresholdBytes: Long = 1000000000L): HealthReport = {
     val h = health()
-    val st = stats()
+    // a health check must REPORT an unreadable store, not throw from it
+    // (same guard as the REST /health envelope)
+    val stOpt =
+      try Some(stats())
+      catch { case scala.util.control.NonFatal(_) => None }
     val issues = scala.collection.mutable.ArrayBuffer.empty[String]
-    val backlog = st.recentCount
+    if (stOpt.isEmpty) issues += "Store tiers unreadable (stats failed)"
+    val backlog = stOpt.map(_.recentCount).getOrElse(0L)
     if (backlog > migrationBacklogThreshold)
       issues += s"High migration backlog: $backlog"
     def dirBytes(name: String): Long =

@@ -436,5 +436,14 @@ class VectorStoreSpec extends SparkSpec {
     val degraded = st.checkHealth()
     assert(!degraded.recentIndexOk && degraded.historicalIndexOk
       && degraded.status == "warning")
+    // an unreadable tier is REPORTED, never thrown from the health check
+    Files.deleteIfExists(java.nio.file.Paths.get(st.path, "recent_swap.inprogress"))
+    import scala.jdk.CollectionConverters._
+    Files.list(java.nio.file.Paths.get(st.path, "recent")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(p => Files.writeString(p, "not parquet"))
+    val unreadable = st.checkHealth()
+    assert(unreadable.status == "warning"
+      && unreadable.issues.contains("Store tiers unreadable (stats failed)"))
   }
 }
