@@ -1,0 +1,192 @@
+package graft.operators
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Exact heavy hitters at corpus scale, two passes (corpus profiling:
+  * frequent tokens/domains/fingerprints over 100 TB without paying a full
+  * groupBy over every DISTINCT key):
+  *
+  *  1. a Misra–Gries summary (fixed k counters per partition, classic MG
+  *     decrement-all; partials merge with the standard mergeable-summaries
+  *     reduction — add pointwise, subtract the (k+1)-th largest, keep
+  *     positives — so the two-phase aggregation preserves the bound).
+  *     Guarantee: every item with true count > N/(k+1) SURVIVES as a
+  *     candidate; at most k candidates ever exist, so the driver collect
+  *     is bounded by construction.
+  *  2. an exact recount of the ≤ k candidates (one semi-filtered
+  *     aggregation — the shuffle carries only candidate keys).
+  *
+  * The result is EXACT (candidates are a guaranteed superset of the heavy
+  * hitters; the recount removes false positives and replaces MG's lossy
+  * counts), which is what makes it oracle-checkable row-for-row. Output
+  * deterministic: (cnt desc, item asc).
+  *
+  * The full-groupBy `token_frequency` query is the small-scale sibling;
+  * this is the path whose memory is O(k) per task regardless of key
+  * cardinality. MG and the merge rule are textbook algorithms
+  * (Misra–Gries 1982; mergeable summaries, Agarwal et al. 2012).
+  */
+object HeavyHitters {
+
+  /** Mutable MG state: item -> count, at most k entries. */
+  final class MgState(val counts: java.util.HashMap[UTF8String, Long])
+
+  /** Misra–Gries candidate aggregate: ARRAY<STRUCT<item STRING, cnt BIGINT>>
+    * of at most k entries, (cnt desc, item asc); `cnt` is the MG count (a
+    * LOWER bound on the true count, off by at most N/(k+1)). */
+  case class MisraGriesAgg(child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MgState] {
+    require(k > 0, "k must be positive")
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("item", StringType), StructField("cnt", LongType))))
+    override def prettyName: String = "misra_gries"
+
+    override def createAggregationBuffer(): MgState =
+      new MgState(new java.util.HashMap[UTF8String, Long](k * 2))
+
+    override def update(b: MgState, input: InternalRow): MgState = {
+      val v = child.eval(input)
+      if (v != null) {
+        val item = v.asInstanceOf[UTF8String]
+        val cur = b.counts.get(item)
+        if (cur != 0L || b.counts.containsKey(item)) {
+          b.counts.put(item, cur + 1L)
+        } else if (b.counts.size() < k) {
+          // clone: the UTF8String points into a buffer the scan reuses
+          b.counts.put(item.clone(), 1L)
+        } else {
+          // decrement-all; O(k) but amortized O(1) per input item (each
+          // decrement event consumes k+1 prior increments)
+          val it = b.counts.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      b
+    }
+
+    override def merge(b: MgState, o: MgState): MgState = {
+      val oit = o.counts.entrySet().iterator()
+      while (oit.hasNext) {
+        val e = oit.next()
+        // get on a missing key unboxes null to 0L (BoxesRunTime), which is
+        // exactly the identity wanted here
+        val cur: Long = b.counts.get(e.getKey)
+        b.counts.put(e.getKey, cur + e.getValue)
+      }
+      if (b.counts.size() > k) {
+        // mergeable-summaries reduction: subtract the (k+1)-th largest
+        // count from every counter, keep positives — still ≤ k entries,
+        // error bound still ≤ N/(k+1)
+        val vals = new Array[Long](b.counts.size())
+        var i = 0
+        val vit = b.counts.values().iterator()
+        while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
+        java.util.Arrays.sort(vals)
+        val cut = vals(vals.length - (k + 1)) // (k+1)-th largest
+        val it = b.counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue - cut <= 0L) it.remove() else e.setValue(e.getValue - cut)
+        }
+      }
+      b
+    }
+
+    override def eval(b: MgState): Any = {
+      val entries = new Array[(UTF8String, Long)](b.counts.size())
+      var i = 0
+      val it = b.counts.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+      val sorted = entries.sortWith { (a, c) =>
+        if (a._2 != c._2) a._2 > c._2 else a._1.compareTo(c._1) < 0
+      }
+      val rows = new Array[Any](sorted.length)
+      i = 0
+      while (i < sorted.length) { rows(i) = InternalRow(sorted(i)._1, sorted(i)._2); i += 1 }
+      new GenericArrayData(rows)
+    }
+
+    override def serialize(b: MgState): Array[Byte] = {
+      var bytes = 4
+      val sit = b.counts.keySet().iterator()
+      while (sit.hasNext) bytes += 12 + sit.next().numBytes()
+      val buf = ByteBuffer.allocate(bytes)
+      buf.putInt(b.counts.size())
+      val it = b.counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val kb = e.getKey.getBytes
+        buf.putInt(kb.length); buf.put(kb); buf.putLong(e.getValue)
+      }
+      buf.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): MgState = {
+      val buf = ByteBuffer.wrap(bytes)
+      val n = buf.getInt()
+      val s = new MgState(new java.util.HashMap[UTF8String, Long](math.max(k * 2, n)))
+      var i = 0
+      while (i < n) {
+        val len = buf.getInt(); val kb = new Array[Byte](len); buf.get(kb)
+        s.counts.put(UTF8String.fromBytes(kb), buf.getLong()); i += 1
+      }
+      s
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): MisraGriesAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MisraGriesAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): MisraGriesAgg =
+      copy(child = cs(0))
+  }
+
+  /** Column form: MG candidate summary of a string column. */
+  def mgCandidates(k: Int)(item: Column): Column =
+    ColumnBridge.column(
+      MisraGriesAgg(ColumnBridge.expression(item), k).toAggregateExpression())
+
+  /** Exact heavy hitters of `itemCol` (one string item per row): every item
+    * occurring at least ceil(N/denominator) times, with its EXACT count —
+    * (item, cnt), cnt desc / item asc. `sketchK` must exceed `denominator`
+    * (checked) so the MG guarantee covers the threshold: an item at the
+    * threshold has count ≥ N/denominator > N/(sketchK+1) and therefore
+    * cannot have been evicted. Pass 1 = one MG aggregation (+ total count
+    * in the same job); pass 2 = exact recount of ≤ sketchK candidates. */
+  def exact(items: DataFrame, itemCol: String, denominator: Long,
+      sketchK: Int = 0): DataFrame = {
+    require(denominator > 1, "denominator must exceed 1")
+    val k = if (sketchK > 0) sketchK else 2 * denominator.toInt
+    require(k > denominator,
+      s"sketchK=$k does not cover denominator=$denominator: the MG " +
+        "guarantee needs k+1 counters per 1/threshold of mass")
+    val pass1 = items
+      .agg(mgCandidates(k)(col(itemCol)).as("cand"),
+        count(col(itemCol)).as("n"))
+      .head() // bounded: one row, ≤ k candidates
+    val total = pass1.getLong(1)
+    val minCount = math.ceil(total.toDouble / denominator).toLong
+    val cands = pass1.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    items
+      .filter(if (cands.isEmpty) lit(false) else col(itemCol).isin(cands: _*))
+      .groupBy(itemCol).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col(itemCol).asc)
+  }
+}

@@ -139,6 +139,20 @@ ORDER BY d$rounds.doc_id"""
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token").asc).limit(20)
     }),
+    // Exact heavy hitters, two-pass (Misra-Gries candidates -> exact
+    // recount): every token holding >= 1/200 of total token mass, with its
+    // EXACT count. The 100 TB sibling of token_frequency: pass-1 memory is
+    // O(k) per task regardless of distinct-token cardinality, pass 2
+    // shuffles candidate keys only. The oracle recomputes the full answer
+    // from raw counts — a broken sketch (dropped true heavy hitter, wrong
+    // threshold arithmetic) hash-mismatches the row set, which is exactly
+    // the property MG guarantees and the recount makes checkable.
+    "heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+      graft.operators.HeavyHitters.exact(toks, "token",
+        denominator = 200L, sketchK = 512)
+    }),
     // content + winnowing fingerprints (map-only)
     "doc_fingerprint" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -813,6 +827,13 @@ ORDER BY d$rounds.doc_id"""
       s"""SELECT token, count(*) AS cnt
          |FROM (SELECT unnest($toksSql) AS token FROM documents)
          |GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
+    "heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+         |tot AS (SELECT count(*) AS n FROM tok)
+         |SELECT token, count(*) AS cnt
+         |FROM tok GROUP BY 1
+         |HAVING count(*) >= ceil((SELECT n FROM tot) / 200.0)
+         |ORDER BY cnt DESC, token ASC""".stripMargin,
     "doc_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |sh AS (SELECT doc_id, text, toks,

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Two-pass exact heavy hitters: the Misra-Gries guarantee (no true heavy
+  * hitter evicted), two-phase partial/merge correctness across shuffled
+  * partitions, and the exact recount against a plain groupBy baseline. */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact() matches the full-groupBy baseline on a skewed stream") {
+    // zipf-ish: item i appears ~ 4000/i times, i = 1..60, deterministic
+    val rows = (1 to 60).flatMap(i => Seq.fill(4000 / i)(s"item$i"))
+    val df = spark.createDataset(
+      new scala.util.Random(7).shuffle(rows)).toDF("item").repartition(13)
+    val got = HeavyHitters.exact(df, "item", denominator = 50L, sketchK = 128)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.size.toLong
+    val minCount = math.ceil(n.toDouble / 50).toLong
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= minCount).toSeq
+      .sortBy { case (item, c) => (-c, item) }
+    assert(got.toSeq == want)
+    // counts are EXACT, not MG lower bounds
+    assert(got.head == (("item1", 4000L)))
+  }
+
+  test("MG guarantee: a just-above-threshold item survives adversarial noise") {
+    // one item at exactly threshold mass among max-cardinality noise (the
+    // decrement-heavy worst case for MG), spread across many partitions
+    val heavy = Seq.fill(400)("needle")
+    val noise = (1 to 19600).map(i => s"noise$i") // all distinct
+    val df = spark.createDataset(
+      new scala.util.Random(11).shuffle(heavy ++ noise)).toDF("item")
+      .repartition(17)
+    // threshold = ceil(20000/50) = 400 = the needle's exact count
+    val got = HeavyHitters.exact(df, "item", denominator = 50L, sketchK = 128)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("needle", 400L)))
+  }
+
+  test("guarantee precondition is checked; empty input yields empty output") {
+    val df = Seq("a", "b").toDF("item")
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.exact(df, "item", denominator = 100L, sketchK = 50)
+    }
+    assert(e.getMessage.contains("does not cover"))
+    val empty = spark.createDataset(Seq.empty[String]).toDF("item")
+    assert(HeavyHitters.exact(empty, "item", denominator = 10L).count() == 0L)
+  }
+
+  test("mgCandidates is bounded by k and carries lower-bound counts") {
+    val rows = Seq.fill(500)("hot") ++ (1 to 2000).map(i => s"cold$i")
+    val df = spark.createDataset(new scala.util.Random(3).shuffle(rows))
+      .toDF("item").repartition(7)
+    val cand = df.agg(HeavyHitters.mgCandidates(16)(col("item")).as("c"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(cand.size <= 16)
+    val hot = cand.find(_.getString(0) == "hot")
+    assert(hot.isDefined, "true heavy hitter evicted from the MG summary")
+    // MG count is a LOWER bound on the true count
+    assert(hot.get.getLong(1) <= 500L && hot.get.getLong(1) > 0L)
+  }
+}
