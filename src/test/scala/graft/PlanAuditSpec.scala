@@ -51,6 +51,21 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, plan)
   }
 
+  test("heavy-hitters pass 1 partial-aggregates the MG summary map-side") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = docs.select(
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val df = toks.agg(
+      graft.operators.HeavyHitters.mgCandidates(64)(col("token")).as("c"),
+      count(col("token")).as("n"))
+    val plan = executedPlan(df)
+    // partial misra_gries below the exchange => each task ships one <= k
+    // summary, never its token stream; the single exchange is the k-sized
+    // partials meeting, not a token shuffle
+    assert(("(?s).*ObjectHashAggregate.*partial_misra_gries.*Exchange" +
+      ".*ObjectHashAggregate.*misra_gries.*").r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("store searchBatch carries string ids natively (no surrogate remap joins)") {
     import graft.store.VectorStore, VectorStore._
     import spark.implicits._
