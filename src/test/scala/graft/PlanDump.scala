@@ -119,7 +119,14 @@ object PlanDump {
         |array here): bucket hashing and the weight fold are all inside
         |the scan-side project — map-only, no join, no shuffle except the
         |output ordering. The model state never appears in the plan at
-        |all; at 100 TB this is a pure scan.""".stripMargin))
+        |all; at 100 TB this is a pure scan.""".stripMargin),
+      "heavy_hitters" -> ("""Two-pass exact heavy hitters; this is the PASS-2 recount plan
+        |(pass 1 — the Misra-Gries summary — already ran and audits in
+        |PlanAuditSpec: partial_misra_gries below its exchange, each task
+        |shipping one <= k-counter summary). Here the candidate set is a
+        |static IN filter applied scan-side, so only candidate-key rows
+        |reach the two-phase count aggregate — the exchange carries at most
+        |k distinct keys regardless of corpus token cardinality.""".stripMargin))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the flagship queries\n\n")
     sb.append("Generated by `sbt \"Test/runMain graft.PlanDump\"` at sf0.01 ")
