@@ -171,11 +171,7 @@ object HeavyHitters {
     * in the same job); pass 2 = exact recount of ≤ sketchK candidates. */
   def exact(items: DataFrame, itemCol: String, denominator: Long,
       sketchK: Int = 0): DataFrame = {
-    require(denominator > 1, "denominator must exceed 1")
-    val k = if (sketchK > 0) sketchK else 2 * denominator.toInt
-    require(k > denominator,
-      s"sketchK=$k does not cover denominator=$denominator: the MG " +
-        "guarantee needs k+1 counters per 1/threshold of mass")
+    val k = checkedK(sketchK, denominator)
     val pass1 = items
       .agg(mgCandidates(k)(col(itemCol)).as("cand"),
         count(col(itemCol)).as("n"))
@@ -188,5 +184,45 @@ object HeavyHitters {
       .groupBy(itemCol).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col(itemCol).asc)
+  }
+
+  /** Per-group exact heavy hitters: for every group (source, language,
+    * domain bucket…), the items holding ≥ 1/denominator of THAT group's
+    * mass, with exact counts — (group, item, cnt), ordered (group asc,
+    * cnt desc, item asc). Same two passes as [[exact]], grouped: pass 1
+    * is ONE aggregation producing a ≤ sketchK MG summary per group
+    * (memory O(k · groups-per-task)); pass 2 broadcasts the exploded
+    * candidate relation (≤ groups × k rows) as a semi-join on
+    * (group, item) before the recount, so the count shuffle again
+    * carries candidate keys only. Designed for MANY items per group and
+    * a bounded number of groups (profiling shape) — with millions of
+    * groups the candidate relation itself stops being broadcastable and
+    * a plain groupBy is the better plan. */
+  def exactPerGroup(items: DataFrame, groupCol: String, itemCol: String,
+      denominator: Long, sketchK: Int = 0): DataFrame = {
+    val k = checkedK(sketchK, denominator)
+    val pass1 = items
+      .groupBy(groupCol)
+      .agg(mgCandidates(k)(col(itemCol)).as("cand"),
+        count(col(itemCol)).as("n"))
+      .select(col(groupCol), explode(col("cand")).as("c"), col("n"))
+      .select(col(groupCol), col("c.item").as(itemCol),
+        ceil(col("n").cast("double") / denominator).cast("long").as("min_cnt"))
+    items
+      .join(broadcast(pass1), Seq(groupCol, itemCol), "inner")
+      .groupBy(groupCol, itemCol)
+      .agg(count(lit(1)).as("cnt"), first(col("min_cnt")).as("min_cnt"))
+      .filter(col("cnt") >= col("min_cnt"))
+      .select(col(groupCol), col(itemCol), col("cnt"))
+      .orderBy(col(groupCol).asc, col("cnt").desc, col(itemCol).asc)
+  }
+
+  private def checkedK(sketchK: Int, denominator: Long): Int = {
+    require(denominator > 1, "denominator must exceed 1")
+    val k = if (sketchK > 0) sketchK else 2 * denominator.toInt
+    require(k > denominator,
+      s"sketchK=$k does not cover denominator=$denominator: the MG " +
+        "guarantee needs k+1 counters per 1/threshold of mass")
+    k
   }
 }

@@ -153,6 +153,17 @@ ORDER BY d$rounds.doc_id"""
       graft.operators.HeavyHitters.exact(toks, "token",
         denominator = 200L, sketchK = 512)
     }),
+    // the grouped variant: per-SOURCE heavy hitters (each source's tokens
+    // holding >= 1/100 of that source's mass) — one grouped MG aggregation
+    // (a <= k summary per source), candidate relation broadcast into the
+    // recount. The per-group thresholds come from per-group totals, which
+    // the oracle recomputes from scratch.
+    "heavy_hitters_by_source" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+      graft.operators.HeavyHitters.exactPerGroup(toks, "source", "token",
+        denominator = 100L, sketchK = 256)
+    }),
     // content + winnowing fingerprints (map-only)
     "doc_fingerprint" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -834,6 +845,15 @@ ORDER BY d$rounds.doc_id"""
          |FROM tok GROUP BY 1
          |HAVING count(*) >= ceil((SELECT n FROM tot) / 200.0)
          |ORDER BY cnt DESC, token ASC""".stripMargin,
+    "heavy_hitters_by_source" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest($toksSql) AS token FROM documents),
+         |tot AS (SELECT source, count(*) AS n FROM tok GROUP BY 1)
+         |SELECT k.source, k.token, count(*) AS cnt
+         |FROM tok k JOIN tot t ON t.source = k.source
+         |GROUP BY k.source, k.token, t.n
+         |HAVING count(*) >= ceil(t.n / 100.0)
+         |ORDER BY k.source ASC, cnt DESC, token ASC""".stripMargin,
     "doc_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |sh AS (SELECT doc_id, text, toks,

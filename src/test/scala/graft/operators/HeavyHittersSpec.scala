@@ -50,6 +50,22 @@ class HeavyHittersSpec extends SparkSpec {
     assert(HeavyHitters.exact(empty, "item", denominator = 10L).count() == 0L)
   }
 
+  test("exactPerGroup: per-group thresholds, matches per-group baselines") {
+    // group A: skewed with a clear heavy hitter; group B: uniform with
+    // NO heavy hitter at the threshold; thresholds must not cross groups
+    val a = Seq.fill(300)("hot") ++ (1 to 700).map(i => s"a$i")
+    val b = (1 to 1000).flatMap(i => Seq(s"b$i"))
+    val df = (a.map(("A", _)) ++ b.map(("B", _)))
+    val shuffled = new scala.util.Random(5).shuffle(df)
+    val items = spark.createDataset(shuffled).toDF("src", "item").repartition(9)
+    val got = HeavyHitters.exactPerGroup(items, "src", "item",
+        denominator = 10L, sketchK = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // A's threshold = ceil(1000/10) = 100; only "hot" (300) clears it.
+    // B's threshold = 100; every item counts 1 — nothing clears it.
+    assert(got.toSeq == Seq(("A", "hot", 300L)))
+  }
+
   test("mgCandidates is bounded by k and carries lower-bound counts") {
     val rows = Seq.fill(500)("hot") ++ (1 to 2000).map(i => s"cold$i")
     val df = spark.createDataset(new scala.util.Random(3).shuffle(rows))
