@@ -280,5 +280,23 @@ object TextFunctions {
       wrap(UrlFunctions.canonicalizeUrl), "built-in")
     reg.createOrReplaceTempFunction("url_host",
       wrap(UrlFunctions.urlHost), "built-in")
+    // misra_gries(item, k): the heavy-hitters candidate AGGREGATE —
+    // ARRAY<STRUCT<item, cnt>> of ≤ k counters, usable under GROUP BY
+    // (one summary per group). Same foldable-k rule as simhash's bits.
+    reg.createOrReplaceTempFunction("misra_gries", es => {
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"misra_gries(item, k) takes 2 arguments, got ${es.length}")
+      val k = es(1) match {
+        case e if e.foldable => e.eval() match {
+          case n: java.lang.Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"misra_gries(item, k): k must be integral, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          "misra_gries(item, k): k must be a constant integer")
+      }
+      graft.operators.HeavyHitters.MisraGriesAgg(es.head, k)
+        .toAggregateExpression()
+    }, "built-in")
   }
 }

@@ -93,7 +93,7 @@ object ScalingCurve {
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Double)]
     for (reps <- Seq(50, 500, 5000)
-         if enabled("search") ||
+         if enabled("search") || enabled("hh") ||
            ((enabled("graph") || enabled("maintain") ||
              enabled("integrity")) && reps <= 500)) {
       val n = 2000L * reps // sf0.1 has 2000 base vectors
@@ -212,6 +212,23 @@ object ScalingCurve {
             best("store checkIntegrity", iters = 2)(
               st.checkIntegrity().liveHistorical)))
         }
+      }
+
+      // two-pass exact heavy hitters (r11): the MG pass is a token scan
+      // with O(k) state per task, the recount a candidate-only shuffle —
+      // total cost must track token count LINEARLY at any cardinality
+      if (enabled("hh")) {
+        val mult = reps / 50 // 1x / 10x / 100x the sf0.1 token stream
+        val toks = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("text"),
+            explode(org.apache.spark.sql.functions.sequence(
+              lit(0), lit(mult - 1))).as("i"))
+          .select(explode(
+            graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+        results += (("hh_exact", reps, n,
+          best("heavy hitters 2-pass")(
+            graft.operators.HeavyHitters.exact(toks, "token",
+              denominator = 200L, sketchK = 512).count())))
       }
 
       // blocked k-NN GRAPH build (KnnJoin.blocked): the scale claim is

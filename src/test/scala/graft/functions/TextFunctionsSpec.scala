@@ -117,6 +117,16 @@ class TextFunctionsSpec extends SparkSpec {
     val folded = spark.sql(
       "SELECT simhash(text, 8+8) s FROM tf_sql_t WHERE id = 1").collect()
     assert(folded(0).getLong(0) == s)
+    // misra_gries is an AGGREGATE through the same registry: grouped
+    // summaries, ≤ k entries, with the repeated item surfacing on top
+    val mg = spark.sql(
+      """SELECT misra_gries(t.tok, 4) c FROM (
+        |  SELECT explode(split('a a a b c d e a b', ' ')) AS tok) t""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(mg.size <= 4 && mg.head.getString(0) == "a")
+    val mgArity = intercept[Exception](spark.sql(
+      "SELECT misra_gries(text) FROM tf_sql_t").collect())
+    assert(mgArity.getMessage.contains("2 arguments"))
   }
 
   test("BPE-ish pre-tokens split contractions, glue spaces, count non-ws") {
