@@ -1871,7 +1871,7 @@ object VectorStore {
       finally in.close()
     val d = Config()
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
-    new VectorStore(spark, path, Config(
+    val st = new VectorStore(spark, path, Config(
       recentThresholdSeconds =
         n.path("recentThresholdSeconds").asLong(d.recentThresholdSeconds),
       nClusters = n.path("nClusters").asInt(d.nClusters),
@@ -1879,6 +1879,12 @@ object VectorStore {
       chunkSize = n.path("chunkSize").asInt(d.chunkSize),
       maxReturnedIds = n.path("maxReturnedIds").asInt(d.maxReturnedIds),
       leaseTtlMs = n.path("leaseTtlMs").asLong(d.leaseTtlMs)))
+    // the version gate is otherwise LAZY (fires on the first manifest
+    // read); the restore path has the manifest in hand, so gate NOW — a
+    // future-version store must fail at open, not serve reads until some
+    // code path happens to consult the manifest
+    st.readManifest()
+    st
   }
 
   /** Insert-batch record; tsString optional ISO timestamp (defaults now). */

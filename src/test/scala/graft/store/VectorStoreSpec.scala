@@ -372,6 +372,13 @@ class VectorStoreSpec extends SparkSpec {
     val empty = Files.createTempDirectory("graft_open_empty_").toString
     val e = intercept[IllegalStateException] { VectorStore.open(spark, empty) }
     assert(e.getMessage.contains("no manifest"))
+    // open() gates the version EAGERLY — a future-version store fails at
+    // open, not at whichever later code path first reads the manifest
+    Files.deleteIfExists(java.nio.file.Paths.get(p, ".manifest.json.crc"))
+    Files.writeString(java.nio.file.Paths.get(p, "manifest.json"),
+      """{"version": 99, "dim": 8}""")
+    val eVer = intercept[IllegalStateException] { VectorStore.open(spark, p) }
+    assert(eVer.getMessage.contains("newer engine"))
   }
 
   test("checkIntegrity: clean store complete; tampering and drift detected") {
