@@ -55,6 +55,7 @@ import scala.util.control.NonFatal
   *                                      embedding payload, session.rs:
   *                                      266-281) iff include_vectors
   *   GET    /api/v1/admin/statistics
+  *   GET    /api/v1/admin/integrity
   *   POST   /api/v1/admin/migrate
   *   POST   /api/v1/admin/vacuum
   *   POST   /api/v1/admin/rebalance   {max_cluster_size?}
@@ -757,6 +758,27 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         val ms = store.maintenanceStats
         n.put("total_rebalances", ms.totalRebalances)
         n.put("total_vectors_moved", ms.totalVectorsMoved)
+        (200, n)
+      // deep integrity scan (graft extension; the reference's persisters
+      // expose check_integrity only as a library API): structural
+      // invariants + per-tier expected-vs-found drift. Runs Spark jobs —
+      // an admin action, not a liveness probe ( /health stays FS-only).
+      case ("GET", "/api/v1/admin/integrity") =>
+        val r = store.checkIntegrity()
+        val n = obj()
+        n.put("is_complete", r.isComplete)
+        n.put("has_manifest", r.hasManifest)
+        n.put("has_centroids", r.hasCentroids)
+        n.put("live_recent", r.liveRecent)
+        n.put("live_historical", r.liveHistorical)
+        n.put("wrong_dim_count", r.wrongDimCount)
+        n.put("duplicate_id_count", r.duplicateIdCount)
+        n.put("invalid_cluster_count", r.invalidClusterCount)
+        val d = n.putObject("code_tier_drift")
+        r.codeTierDrift.foreach { case (tier, (missing, orphaned)) =>
+          val t = d.putObject(tier)
+          t.put("missing", missing); t.put("orphaned", orphaned)
+        }
         (200, n)
       case ("POST", "/api/v1/admin/migrate") =>
         val tm0 = System.nanoTime()

@@ -326,6 +326,32 @@ class RestServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("admin integrity route reports the deep scan, drift included") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_integ_rest_").toString
+    val store = new VectorStore(spark, dir,
+      VectorStore.Config(recentThresholdSeconds = 3600, nClusters = 2))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    store.insert((0 until 10).map(i => VectorStore.VectorRecord(
+      s"v$i", Array.tabulate(8)(j => math.sin(i * (j + 1)).toFloat),
+      tsString = Some(oldTs))))
+    store.migrate()
+    store.enableSq()
+    val srv = new RestServer(store).start()
+    try {
+      val (s0, r0) = call(srv, "GET", "/api/v1/admin/integrity")
+      assert(s0 == 200 && r0.get("is_complete").asBoolean(), r0.toString)
+      assert(r0.get("live_historical").asLong() == 10L)
+      assert(r0.get("code_tier_drift").get("sq_codes").get("missing").asLong() == 0L)
+      // drift: a raw migrate() does not refresh code tiers
+      store.insert(Seq(VectorStore.VectorRecord("late",
+        Array.tabulate(8)(j => math.cos(j + 1).toFloat), tsString = Some(oldTs))))
+      store.migrate()
+      val (s1, r1) = call(srv, "GET", "/api/v1/admin/integrity")
+      assert(s1 == 200 && !r1.get("is_complete").asBoolean())
+      assert(r1.get("code_tier_drift").get("sq_codes").get("missing").asLong() == 1L)
+    } finally srv.stop()
+  }
+
   test("query cache memoizes repeats and mutations invalidate it") {
     val store = new VectorStore(spark,
       java.nio.file.Files.createTempDirectory("graft_qc_").toString)
