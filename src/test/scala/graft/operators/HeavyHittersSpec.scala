@@ -66,6 +66,54 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got.toSeq == Seq(("A", "hot", 300L)))
   }
 
+  test("fuzz: MG bound holds on 20 random streams at varied k and skew") {
+    // Theoretical contract under the two-phase merge: every stored count
+    // underestimates the truth by at most N/(k+1), and any item with
+    // true count > N/(k+1) is present. 20 seeded random streams across
+    // skew shapes x k — a merge-rule bug (wrong cut rank, bad pointwise
+    // add) breaks one of these within a few streams.
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val k = Seq(4, 16, 64)(seed % 3)
+      val vocab = 1 + rnd.nextInt(400)
+      // zipf-ish skew exponent varies: near-uniform to heavily skewed
+      val stream = Seq.fill(2000 + rnd.nextInt(3000)) {
+        val r = math.pow(rnd.nextDouble(), 1.0 + (seed % 4)) // skew dial
+        s"w${(r * vocab).toInt}"
+      }
+      val n = stream.size.toLong
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val parts = 1 + rnd.nextInt(16)
+      val cand = spark.createDataset(stream).toDF("item").repartition(parts)
+        .agg(HeavyHitters.mgCandidates(k)(col("item")).as("c"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cand.size <= k, s"seed=$seed: ${cand.size} > k=$k")
+      val bound = n.toDouble / (k + 1)
+      cand.foreach { case (item, est) =>
+        val t = truth(item)
+        assert(est <= t && est >= t - bound - 1,
+          s"seed=$seed item=$item est=$est truth=$t bound=$bound")
+      }
+      truth.foreach { case (item, t) =>
+        if (t > bound)
+          assert(cand.contains(item),
+            s"seed=$seed: heavy item $item (count $t > $bound) evicted")
+      }
+    }
+  }
+
+  test("exactPerGroup recount joins the candidate relation by broadcast") {
+    val df = (1 to 2000).map(i => ("S", s"i${i % 40}")).toSeq
+    val items = spark.createDataset(df).toDF("src", "item").repartition(5)
+    val out = HeavyHitters.exactPerGroup(items, "src", "item",
+      denominator = 50L, sketchK = 128)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("mgCandidates is bounded by k and carries lower-bound counts") {
     val rows = Seq.fill(500)("hot") ++ (1 to 2000).map(i => s"cold$i")
     val df = spark.createDataset(new scala.util.Random(3).shuffle(rows))
