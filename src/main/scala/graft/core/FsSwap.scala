@@ -85,12 +85,17 @@ object FsSwap {
     try out.write(markerContent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     withSwapLock(fs, live) { renew =>
-      var done = !fs.exists(marker) || finishSwap(fs, live, tmp, marker, renew)
+      // strict = a tmp-lost state THROWS instead of returning retryable:
+      // retrying after the aside restore would misread the restored OLD
+      // data as an installed swap and report false success
+      var done = !fs.exists(marker) ||
+        finishSwap(fs, live, tmp, marker, renew, strict = true)
       var attempt = 0
       while (!done && attempt < CommitRetries) {
         attempt += 1
         Thread.sleep(200L * attempt) // transient FS contention backs off
-        done = !fs.exists(marker) || finishSwap(fs, live, tmp, marker, renew)
+        done = !fs.exists(marker) ||
+          finishSwap(fs, live, tmp, marker, renew, strict = true)
       }
       if (!done) throw new IllegalStateException(
         s"swap of $tmp into $live failed after ${CommitRetries + 1} attempts " +
@@ -126,7 +131,7 @@ object FsSwap {
     * dropped); false means the marker remains and the swap must be
     * retried (commit) or deferred to the next open (recover). */
   private def finishSwap(fs: FileSystem, live: Path, tmp: Path,
-      marker: Path, renew: () => Unit): Boolean = {
+      marker: Path, renew: () => Unit, strict: Boolean = false): Boolean = {
     val aside = new Path(live.getParent, live.getName + "_old")
     if (fs.exists(tmp)) {
       if (fs.exists(live)) {
@@ -143,19 +148,36 @@ object FsSwap {
         true
       } else false
     } else if (fs.exists(live)) {
-      // crash after the install rename: only cleanup remains
+      // tmp consumed and live in place. Recovery: crash after the install
+      // rename, only cleanup remains. Under a COMMIT's held lock the only
+      // tmp consumer is an installer (our earlier attempt, or a recoverer
+      // that raced in before we took the lock and died pre-cleanup), so
+      // the same conclusion holds: the swap IS installed.
       fs.delete(aside, true)
       fs.delete(marker, false)
       true
     } else if (fs.exists(aside)) {
-      // crash between rename(live->aside) and rename(tmp->live) consumed
-      // neither tmp nor marker — unreachable with tmp missing unless the
-      // tmp write itself never completed; restore the aside so the path
-      // is not left empty (marker stays: the swap never finished)
+      // tmp gone but NOT installed (live missing, pre-swap data in the
+      // aside). Keep the path serveable by restoring the aside — but the
+      // REWRITE IS LOST: a strict (live-writer) caller must fail here,
+      // NOT retry. Retrying used to poison the next attempt: with the
+      // aside restored, the retry would hit the live-exists branch above,
+      // mistake the restored OLD data for an installed swap, drop the
+      // marker, and report success for a rewrite that never landed.
       renew()
       tryRename(fs, aside, live)
+      if (strict) throw new IllegalStateException(
+        s"swap tmp $tmp vanished without an install (pre-swap data " +
+          s"restored from $aside); the rewrite is LOST — do not record " +
+          "it as done. Marker retained as evidence.")
       false
-    } else false // marker with no dirs at all: nothing here can finish it
+    } else {
+      // marker with no dirs at all: nothing here can finish it
+      if (strict) throw new IllegalStateException(
+        s"swap of $tmp into $live found neither tmp nor live nor aside; " +
+          "the rewrite is LOST — do not record it as done")
+      false
+    }
   }
 
   /** Checked rename: Hadoop FileSystem.rename both returns false AND

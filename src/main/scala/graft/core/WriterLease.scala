@@ -33,10 +33,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * background heartbeat thread; instead every swap COMMIT point calls
   * [[renewAndVerify]], which re-reads the lease, aborts loudly if it was
   * broken/taken over (a writer stalled past TTL must not install its
-  * rewrite concurrently with the usurper's), and otherwise rewrites the
-  * lease with a fresh timestamp — so a long mutation's TTL clock restarts
-  * at each commit it makes, and the TTL needs only to cover the longest
-  * span BETWEEN commits, not the whole operation. */
+  * rewrite concurrently with the usurper's), and otherwise stamps a
+  * token-bound HEARTBEAT sidecar — so a long mutation's TTL clock
+  * restarts at each commit it makes, and the TTL needs only to cover the
+  * longest span BETWEEN commits, not the whole operation. The lease file
+  * itself is written once per hold and never rewritten (see [[hbPath]]
+  * for why in-place renewal would be unsound). */
 final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long,
     leaseName: String = "_writer.lease") {
 
@@ -45,6 +47,16 @@ final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long,
   // a parent root instead — a lease inside a dir that swap RENAMES would
   // travel with the rename and stop guarding the path.
   val leasePath = new Path(root, leaseName)
+  /** Renewal heartbeat sidecar: `token\nts`, rewritten at each commit
+    * point. The LEASE file is immutable for the duration of a hold —
+    * rewriting it in place would open repeated truncate-then-write
+    * windows in which a concurrent [[acquire]] reads an empty lease,
+    * concludes crash debris, and breaks a LIVE writer. The sidecar's own
+    * transient emptiness endangers nothing: staleness falls back to the
+    * lease's base timestamp, and the breaker re-reads a present-but-
+    * unreadable heartbeat before acting (same bounded-re-read rule as
+    * the lease itself). */
+  private val hbPath = new Path(root, leaseName + ".hb")
   private val token = java.util.UUID.randomUUID().toString
   private var depth = 0
 
@@ -74,20 +86,18 @@ final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long,
 
   /** Mid-mutation ownership re-assertion + heartbeat, called at each
     * FsSwap.commit point: if this handle's token is still on the lease,
-    * rewrite it with a fresh timestamp (the TTL window restarts — a legal
-    * long mutation keeps its exclusivity as long as it keeps committing);
-    * if the lease was broken and taken over (this writer stalled past
-    * TTL), throw BEFORE the caller installs a rewrite that would race the
-    * usurper's. The rewrite is create(overwrite) — momentarily unreadable
-    * to a concurrent reader, which [[acquire]]'s bounded re-read already
-    * tolerates. */
+    * write a fresh timestamp to the HEARTBEAT sidecar (the TTL window
+    * restarts — a legal long mutation keeps its exclusivity as long as it
+    * keeps committing); if the lease was broken and taken over (this
+    * writer stalled past TTL), throw BEFORE the caller installs a rewrite
+    * that would race the usurper's. The lease FILE itself is never
+    * rewritten mid-hold — see [[hbPath]]. */
   def renewAndVerify(): Unit = synchronized {
     require(depth > 0, "renewAndVerify outside withLease")
     readLease() match {
       case Some((_, tok, _)) if tok == token =>
-        val out = fs.create(leasePath, true)
-        try out.write(s"$ownerString\n$token\n${System.currentTimeMillis()}\n"
-          .getBytes(UTF_8))
+        val out = fs.create(hbPath, true)
+        try out.write(s"$token\n${System.currentTimeMillis()}\n".getBytes(UTF_8))
         finally out.close()
       case other =>
         throw new WriterLease.ConcurrentWriterException(
@@ -98,10 +108,44 @@ final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long,
     }
   }
 
+  /** (token, ts) of the heartbeat sidecar, if readable. */
+  private def readHeartbeat(): Option[(String, Long)] =
+    try {
+      val in = fs.open(hbPath)
+      val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
+      txt.split("\n", -1) match {
+        case Array(t, ts, _*) if ts.trim.nonEmpty => Some((t, ts.trim.toLong))
+        case _ => None
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** The lease's effective timestamp: its base acquire time, advanced by
+    * any token-matching heartbeat. A heartbeat that is PRESENT but
+    * momentarily unreadable (a renewer mid truncate-write) gets the same
+    * bounded re-read as the lease in [[acquire]] — a live, renewing
+    * writer must never read as stale through that window. */
+  private def effectiveTs(leaseTok: String, baseTs: Long): Long = {
+    var hb = readHeartbeat()
+    var tries = 0
+    while (hb.isEmpty && tries < 3 &&
+        (try fs.exists(hbPath) catch { case _: java.io.IOException => false })) {
+      Thread.sleep(50); hb = readHeartbeat(); tries += 1
+    }
+    hb match {
+      case Some((t, ts)) if t == leaseTok => math.max(baseTs, ts)
+      case _ => baseTs // absent, unreadable, or a previous holder's
+    }
+  }
+
+  /** (owner, token, effectiveMs) — the lease as [[acquire]] judges it,
+    * with any renewal heartbeat folded in (for observability surfaces). */
+  def effectiveLease(): Option[(String, String, Long)] =
+    readLease().map { case (o, t, ts) => (o, t, effectiveTs(t, ts)) }
+
   /** A lease held by a process other than this handle, still inside TTL. */
   def heldByOther(): Boolean = readLease() match {
     case Some((_, tok, ts)) =>
-      tok != token && System.currentTimeMillis() - ts <= ttlMs
+      tok != token && System.currentTimeMillis() - effectiveTs(tok, ts) <= ttlMs
     case None => false
   }
 
@@ -126,22 +170,28 @@ final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long,
     }
     lease match {
       case Some((owner, tok, ts))
-          if tok != token && System.currentTimeMillis() - ts <= ttlMs =>
+          if tok != token &&
+            System.currentTimeMillis() - effectiveTs(tok, ts) <= ttlMs =>
         throw new WriterLease.ConcurrentWriterException(
           s"store at '$root' is locked by writer $owner " +
-            s"(lease ${leasePath}, age ${System.currentTimeMillis() - ts} ms, " +
+            s"(lease ${leasePath}, effective age ${System.currentTimeMillis() -
+              effectiveTs(tok, ts)} ms, " +
             s"ttl $ttlMs ms); concurrent writers are not allowed — retry " +
             "after the other writer finishes, or delete the lease file if " +
             "that process is known dead")
       case _ =>
-        // stale beyond TTL, or persistently unreadable crash debris
+        // stale beyond TTL (base AND heartbeat), or persistently
+        // unreadable crash debris — the debris includes the heartbeat
+        fs.delete(hbPath, false)
         fs.delete(leasePath, false)
         if (!tryCreate()) acquire() // lost the re-create race: re-evaluate
     }
   }
 
   private def release(): Unit = readLease() match {
-    case Some((_, tok, _)) if tok == token => fs.delete(leasePath, false)
+    case Some((_, tok, _)) if tok == token =>
+      fs.delete(hbPath, false)
+      fs.delete(leasePath, false)
     case _ => // lease broken/taken while we ran (stalled past TTL) — not ours to delete
   }
 }

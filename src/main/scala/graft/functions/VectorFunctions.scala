@@ -89,10 +89,13 @@ object VectorFunctions {
     * the reference's `.to_std().unwrap_or(0)` does (`:328-330`): a FUTURE
     * timestamp decays by 1.0 (no boost) — the unclamped form would raise
     * 0.5 to a negative power and score future rows above present ones. */
-  def timeDecay(ts: Column, now: Column, halfLifeSeconds: Double): Column =
-    pow(lit(0.5),
-      greatest(lit(0.0),
-        (unix_timestamp(now) - unix_timestamp(ts)).cast("double")) / halfLifeSeconds)
+  def timeDecay(ts: Column, now: Column, halfLifeSeconds: Double): Column = {
+    // clamp via when, NOT greatest: Spark's greatest SKIPS nulls, so a
+    // NULL timestamp would clamp to age 0 and score an undated row as
+    // maximally fresh — the null must propagate (pre-clamp semantics)
+    val age = (unix_timestamp(now) - unix_timestamp(ts)).cast("double")
+    pow(lit(0.5), when(age < 0.0, 0.0).otherwise(age) / halfLifeSeconds)
+  }
 
   /** Popularity boost 1 + ln(1 + views)/10
     * (`src/hybrid/search_integration.rs:340-354`). */

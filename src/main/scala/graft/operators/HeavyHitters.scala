@@ -219,7 +219,11 @@ object HeavyHitters {
 
   private def checkedK(sketchK: Int, denominator: Long): Int = {
     require(denominator > 1, "denominator must exceed 1")
-    val k = if (sketchK > 0) sketchK else 2 * denominator.toInt
+    // derive the default in Long and clamp — 2 * denominator.toInt
+    // overflows negative past Int.MaxValue/2 and truncates silently past
+    // Int.MaxValue, either way breaking the guarantee message below
+    val k = if (sketchK > 0) sketchK
+      else math.min(2L * denominator, Int.MaxValue.toLong).toInt
     require(k > denominator,
       s"sketchK=$k does not cover denominator=$denominator: the MG " +
         "guarantee needs k+1 counters per 1/threshold of mass")

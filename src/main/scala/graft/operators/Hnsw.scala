@@ -463,12 +463,19 @@ object Hnsw {
     // Spark task path (one thread per deserialized graph) this costs one
     // array allocation per thread, reused across every search — identical
     // to the old instance-field behavior.
-    private final class VisitScratch {
-      val mark = new Array[Int](n)
-      var stamp = 0
+    //
+    // The scratch deliberately does NOT nest in FrozenGraph (n arrives as
+    // a constructor arg, see the companion's VisitScratch): an inner
+    // class's $outer would make each thread's ThreadLocalMap VALUE
+    // strongly reach this graph AND (via this.visitScratch) its own
+    // ThreadLocal KEY — the weak key could then never clear, pinning
+    // every graph a pooled executor/serving thread ever searched until
+    // the thread dies. With an outer-free value, an unreachable graph's
+    // ThreadLocal is only weakly reachable and the entry expunges.
+    private val visitScratch: ThreadLocal[FrozenGraph.VisitScratch] = {
+      val nn = n // capture the int, not `this`, in the initializer
+      ThreadLocal.withInitial(() => new FrozenGraph.VisitScratch(nn))
     }
-    private val visitScratch: ThreadLocal[VisitScratch] =
-      ThreadLocal.withInitial(() => new VisitScratch)
 
     /** k-NN search; deleted nodes traversed but excluded from results.
       * Returns (id, dist) ascending by (dist, id), length <= k.
@@ -647,6 +654,15 @@ object Hnsw {
   }
 
   object FrozenGraph {
+    /** Per-thread search scratch (see the instance's `visitScratch`):
+      * lives in the companion so it carries NO outer pointer — the
+      * ThreadLocalMap value must not reach the graph or the ThreadLocal
+      * key, or per-thread entries never expunge. */
+    private[Hnsw] final class VisitScratch(n: Int) {
+      val mark = new Array[Int](n)
+      var stamp = 0
+    }
+
     val Magic = 0x47484e57 // "GHNW"
     val Version = 2
 

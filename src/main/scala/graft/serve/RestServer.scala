@@ -481,13 +481,14 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         stor.put("mode", "filesystem")
         stor.put("connected", h.connected && stOpt.isDefined)
         val idx = n.putObject("indices")
+        // tier flags come from the store's ONE degradation rule
+        // (VectorStore.tierHealthy — shared with checkHealth), plus the
+        // envelope-level readability of stats
         val hn = idx.putObject("hnsw")
-        hn.put("healthy", h.connected && stOpt.isDefined &&
-          !h.strandedSwapMarkers.contains("recent"))
+        hn.put("healthy", stOpt.isDefined && store.tierHealthy(h, "recent"))
         hn.put("vector_count", stOpt.map(_.recentCount).getOrElse(0L))
         val iv = idx.putObject("ivf")
-        iv.put("healthy", h.connected && stOpt.isDefined &&
-          !h.strandedSwapMarkers.contains("historical"))
+        iv.put("healthy", stOpt.isDefined && store.tierHealthy(h, "historical"))
         iv.put("vector_count", stOpt.map(_.historicalCount).getOrElse(0L))
         // graft extension: swap/lease observability (VectorStore.health) —
         // stranded markers, writer-lease holder, swap-lock ages, so a

@@ -648,7 +648,11 @@ class VectorStore(val spark: SparkSession, val path: String,
   def tiersSearched(searchRecent: Boolean = true,
       searchHistorical: Boolean = true): Int =
     (if (searchRecent) 1 else 0) +
-      (if (searchHistorical && hasRowsRecursive("historical")) 1 else 0)
+      // BOTH of searchBatch's preconditions (its histPart gate above):
+      // a historical tier with rows but no centroid sidecar is also
+      // skipped by the plan and must not count as searched
+      (if (searchHistorical && exists("centroids") &&
+        hasRowsRecursive("historical")) 1 else 0)
 
   // ---- X15 migration: recent -> historical ----
 
@@ -975,7 +979,9 @@ class VectorStore(val spark: SparkSession, val path: String,
         else None
       } catch { case _: java.io.IOException => None }
     }.toMap
-    val leaseInfo = lease.readLease()
+    // effectiveLease folds in renewal heartbeats, so a long mutation that
+    // keeps committing reads as fresh, not as a near-TTL lease
+    val leaseInfo = lease.effectiveLease()
     Health(connected = rootOk, manifestReadable = manifestOk,
       strandedSwapMarkers = markers,
       leaseOwner = leaseInfo.map(_._1),
@@ -1017,9 +1023,8 @@ class VectorStore(val spark: SparkSession, val path: String,
     val memoryUsage = dirBytes("recent") + dirBytes("historical")
     val memoryOk = memoryUsage < memoryUsageThresholdBytes
     if (!memoryOk) issues += "Memory usage exceeds threshold"
-    val recentOk = h.connected && !h.strandedSwapMarkers.contains("recent")
-    val historicalOk =
-      h.connected && !h.strandedSwapMarkers.contains("historical")
+    val recentOk = tierHealthy(h, "recent")
+    val historicalOk = tierHealthy(h, "historical")
     if (!recentOk) issues += "Recent index degraded (stranded swap marker)"
     if (!historicalOk)
       issues += "Historical index degraded (stranded swap marker)"
@@ -1106,6 +1111,13 @@ class VectorStore(val spark: SparkSession, val path: String,
         invalidCluster == 0 &&
         drift.values.forall(p => p._1 == 0 && p._2 == 0))
   }
+
+  /** The ONE definition of tier-level degradation shared by
+    * [[checkHealth]] and the REST `/health` envelope: reachable store and
+    * no stranded swap marker on the tier. Keeping it here means the two
+    * surfaces cannot silently diverge on what "degraded" means. */
+  def tierHealthy(h: Health, tier: String): Boolean =
+    h.connected && !h.strandedSwapMarkers.contains(tier)
 
   def stats(): Stats = {
     // one job for all three counts, not three

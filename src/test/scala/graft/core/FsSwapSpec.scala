@@ -106,9 +106,28 @@ class FsSwapSpec extends SparkSpec {
     // aside exists), so finishSwap can never complete the swap.
     val (fs, live, tmp, marker) = freshRoot()
     val e = intercept[IllegalStateException](FsSwap.commit(fs, live, tmp, marker))
-    assert(e.getMessage.contains("NOT been installed"))
+    assert(e.getMessage.contains("LOST"))
     // the marker stays behind as recovery evidence
     assert(fs.exists(marker))
+  }
+
+  test("commit on a tmp-lost state restores the aside and throws — never retries into false success") {
+    // the poisoned-retry regression: live renamed aside, tmp consumed
+    // WITHOUT an install (the degraded-rename failure mode). A retrying
+    // commit used to restore the aside, then misread the restored OLD
+    // data as an installed swap on the next attempt, drop the marker,
+    // and report success for a rewrite that never landed.
+    val (fs, live, tmp, marker) = freshRoot()
+    val aside = new Path(live.getParent, live.getName + "_old")
+    fs.mkdirs(aside)
+    val o = fs.create(new Path(aside, "old.txt"), true)
+    o.write("pre-swap".getBytes("UTF-8")); o.close()
+    // state: no live, no tmp, pre-swap data stranded in the aside
+    val e = intercept[IllegalStateException](FsSwap.commit(fs, live, tmp, marker))
+    assert(e.getMessage.contains("LOST"), e.getMessage)
+    // the path was restored for serveability and the marker retained
+    assert(fs.exists(new Path(live, "old.txt")), "aside must be restored")
+    assert(fs.exists(marker), "marker must remain as evidence")
   }
 
   test("renewAndVerify: heartbeat on own lease, loud abort on takeover") {
@@ -121,8 +140,14 @@ class FsSwapSpec extends SparkSpec {
       val ts0 = a.readLease().get._3
       Thread.sleep(5) // ensure a strictly-later clock reading
       a.renewAndVerify() // own token: heartbeat succeeds
-      val ts1 = a.readLease().get._3
-      assert(ts1 > ts0, "renewAndVerify must refresh the lease timestamp")
+      // the renewal lands in the SIDECAR — the lease file itself is never
+      // rewritten mid-hold (an in-place rewrite's truncate window would
+      // let a concurrent acquire read an empty lease and break a LIVE
+      // writer); the effective timestamp advances, the base one does not
+      assert(a.readLease().get._3 == ts0,
+        "the lease file must not be rewritten mid-hold")
+      val eff1 = a.effectiveLease().get._3
+      assert(eff1 > ts0, "renewAndVerify must advance the effective timestamp")
       // simulate a breaker taking over (this writer stalled past TTL):
       // the next commit point must abort, not install a racing rewrite
       fs.delete(a.leasePath, false)
@@ -134,6 +159,26 @@ class FsSwapSpec extends SparkSpec {
       assert(e.getMessage.contains("taken over"))
     }
     fs.delete(a.leasePath, false)
+  }
+
+  test("heartbeat keeps a long mutation's lease alive past its base TTL") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lease_hb_").toString
+    val fs = fsFor(root)
+    val a = new WriterLease(fs, new Path(root), ttlMs = 150)
+    val b = new WriterLease(fs, new Path(root), ttlMs = 150)
+    a.withLease {
+      Thread.sleep(200) // base acquire timestamp is now past TTL
+      a.renewAndVerify() // ...but the heartbeat restarts the clock
+      // a second writer must still see the lease as HELD (effective ts),
+      // and must not break it on acquire
+      assert(b.heldByOther(), "renewed lease must read as held")
+      intercept[WriterLease.ConcurrentWriterException](b.withLease(()))
+      // without further renewal the heartbeat itself goes stale and the
+      // lease becomes legitimately breakable again
+      Thread.sleep(200)
+      assert(!b.heldByOther())
+      b.withLease(()) // stale-break succeeds
+    }
   }
 
   test("writer lease: exclusive, reentrant, stale-breakable, token-guarded release") {

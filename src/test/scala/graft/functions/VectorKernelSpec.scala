@@ -193,6 +193,14 @@ class VectorKernelSpec extends SparkSpec {
     assert(math.abs(s.getDouble(9) - 1.25) < 1e-12)
     assert(math.abs(s.getDouble(10) - 0.5) < 1e-12)
     assert(math.abs(s.getDouble(11) - 0.5) < 1e-12)
+    // NULL timestamp must PROPAGATE, not clamp to age 0: Spark's greatest
+    // skips nulls, so a greatest-based clamp would score an undated row
+    // as maximally fresh (decay 1.0) above genuinely recent rows
+    val sn = spark.range(1).select(
+      VectorFunctions.timeDecay(lit(null).cast("timestamp"),
+        to_timestamp(lit("2026-01-02 00:00:00")), halfLifeSeconds = 43200)
+        .as("d")).head()
+    assert(sn.isNullAt(0), "null ts must yield null decay, not 1.0")
   }
 
   test("quantization round-trip within 1/255 of range") {

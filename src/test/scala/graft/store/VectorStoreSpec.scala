@@ -417,6 +417,29 @@ class VectorStoreSpec extends SparkSpec {
     assert(tampered.invalidClusterCount == 0L)
   }
 
+  test("tiersSearched mirrors BOTH of searchBatch's historical preconditions") {
+    import spark.implicits._
+    val st = freshStore()
+    val oldTs = java.time.Instant.now().minusSeconds(7200)
+    st.insert((0 until 6).map(i => VectorStore.VectorRecord(
+      s"t$i", vec(i), tsString = Some(oldTs.plusSeconds(i).toString))))
+    assert(st.tiersSearched() == 1) // rows exist but none are historical yet
+    st.migrate()
+    assert(st.tiersSearched() == 2)
+    // historical rows WITHOUT a readable centroid sidecar: searchBatch
+    // skips the tier (its histPart gate), so it must not count — the
+    // envelope otherwise claims an index was searched that the plan never
+    // touched
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(st.path, "centroids"), true)
+    assert(st.tiersSearched() == 1)
+    // and the search path itself still serves (recent-only) — the two
+    // stay consistent by construction
+    val q = Seq((0L, vec(1))).toDF("query_id", "q_embedding")
+    assert(st.searchBatch(q, k = 1).count() >= 0L)
+  }
+
   test("checkHealth: the reference HealthMonitor's backlog/memory trips") {
     val st = freshStore()
     st.insert((0 until 5).map(i => VectorRecord(s"h$i", vec(i))))
