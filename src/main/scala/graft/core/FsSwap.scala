@@ -165,11 +165,14 @@ object FsSwap {
       // mistake the restored OLD data for an installed swap, drop the
       // marker, and report success for a rewrite that never landed.
       renew()
-      tryRename(fs, aside, live)
+      val restored = tryRename(fs, aside, live)
       if (strict) throw new IllegalStateException(
         s"swap tmp $tmp vanished without an install (pre-swap data " +
-          s"restored from $aside); the rewrite is LOST — do not record " +
-          "it as done. Marker retained as evidence.")
+          (if (restored) s"restored from $aside" else
+            s"STILL STRANDED in $aside — the restore rename failed too; " +
+              "the live path is empty until the next open's recovery") +
+          "); the rewrite is LOST — do not record it as done. " +
+          "Marker retained as evidence.")
       false
     } else {
       // marker with no dirs at all: nothing here can finish it

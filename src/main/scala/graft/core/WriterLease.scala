@@ -77,9 +77,15 @@ final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long,
     try {
       val in = fs.open(leasePath)
       val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
-      // fixed 3-line format written by tryCreate — no JSON parser needed
+      // fixed 3-line format written by tryCreate — no JSON parser needed.
+      // The nonEmpty guard matters: a torn read of a mid-flush lease
+      // ("owner\ntoken\n") matches the 3-element pattern with ts = "" and
+      // toLong would throw NumberFormatException PAST the IOException
+      // catch; torn = transiently unreadable, the same None as any other
+      // debris
       txt.split("\n", -1) match {
-        case Array(o, t, ts, _*) => Some((o, t, ts.trim.toLong))
+        case Array(o, t, ts, _*) if ts.trim.nonEmpty &&
+            ts.trim.forall(_.isDigit) => Some((o, t, ts.trim.toLong))
         case _ => None
       }
     } catch { case _: java.io.IOException => None }
@@ -114,7 +120,8 @@ final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long,
       val in = fs.open(hbPath)
       val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
       txt.split("\n", -1) match {
-        case Array(t, ts, _*) if ts.trim.nonEmpty => Some((t, ts.trim.toLong))
+        case Array(t, ts, _*) if ts.trim.nonEmpty &&
+            ts.trim.forall(_.isDigit) => Some((t, ts.trim.toLong))
         case _ => None
       }
     } catch { case _: java.io.IOException => None }
@@ -124,10 +131,11 @@ final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long,
     * momentarily unreadable (a renewer mid truncate-write) gets the same
     * bounded re-read as the lease in [[acquire]] — a live, renewing
     * writer must never read as stale through that window. */
-  private def effectiveTs(leaseTok: String, baseTs: Long): Long = {
+  private def effectiveTs(leaseTok: String, baseTs: Long,
+      retry: Boolean = true): Long = {
     var hb = readHeartbeat()
     var tries = 0
-    while (hb.isEmpty && tries < 3 &&
+    while (retry && hb.isEmpty && tries < 3 &&
         (try fs.exists(hbPath) catch { case _: java.io.IOException => false })) {
       Thread.sleep(50); hb = readHeartbeat(); tries += 1
     }
@@ -137,10 +145,14 @@ final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long,
     }
   }
 
-  /** (owner, token, effectiveMs) — the lease as [[acquire]] judges it,
-    * with any renewal heartbeat folded in (for observability surfaces). */
+  /** (owner, token, effectiveMs) — the lease with any renewal heartbeat
+    * folded in, for observability surfaces. Single NON-retrying heartbeat
+    * read: a health probe must never sleep out a renewer's write window —
+    * only a BREAKER (acquire) needs the bounded re-read, because only a
+    * breaker acts on staleness. Worst case here is a momentarily
+    * conservative (base-ts) age reading. */
   def effectiveLease(): Option[(String, String, Long)] =
-    readLease().map { case (o, t, ts) => (o, t, effectiveTs(t, ts)) }
+    readLease().map { case (o, t, ts) => (o, t, effectiveTs(t, ts, retry = false)) }
 
   /** A lease held by a process other than this handle, still inside TTL. */
   def heldByOther(): Boolean = readLease() match {
@@ -169,16 +181,18 @@ final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long,
       Thread.sleep(50); lease = readLease(); tries += 1
     }
     lease match {
-      case Some((owner, tok, ts))
-          if tok != token &&
-            System.currentTimeMillis() - effectiveTs(tok, ts) <= ttlMs =>
-        throw new WriterLease.ConcurrentWriterException(
+      case Some((owner, tok, ts)) if tok != token => // compute eff ONCE
+        val age = System.currentTimeMillis() - effectiveTs(tok, ts)
+        if (age <= ttlMs) throw new WriterLease.ConcurrentWriterException(
           s"store at '$root' is locked by writer $owner " +
-            s"(lease ${leasePath}, effective age ${System.currentTimeMillis() -
-              effectiveTs(tok, ts)} ms, " +
+            s"(lease ${leasePath}, effective age $age ms, " +
             s"ttl $ttlMs ms); concurrent writers are not allowed — retry " +
             "after the other writer finishes, or delete the lease file if " +
             "that process is known dead")
+        // stale beyond TTL (base and heartbeat): break below
+        fs.delete(hbPath, false)
+        fs.delete(leasePath, false)
+        if (!tryCreate()) acquire()
       case _ =>
         // stale beyond TTL (base AND heartbeat), or persistently
         // unreadable crash debris — the debris includes the heartbeat

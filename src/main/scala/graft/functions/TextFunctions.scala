@@ -255,20 +255,23 @@ object TextFunctions {
     reg.createOrReplaceTempFunction("bpe_token_count", wrap(bpeTokenCount), "built-in")
     reg.createOrReplaceTempFunction("content_fingerprint",
       wrap(contentFingerprint), "built-in")
+    // any foldable integral expression works (8+8, CAST(16 AS INT), ...),
+    // not just a bare literal — the value just has to be plan-time. ONE
+    // definition for every registered function with a constant-int arg,
+    // so an edge fix (e.g. rejecting fractional truncation) lands once.
+    def foldableInt(e: Expression, fn: String, arg: String): Int = e match {
+      case f if f.foldable => f.eval() match {
+        case n: java.lang.Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$fn: $arg must be integral, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must be a constant integer")
+    }
     reg.createOrReplaceTempFunction("simhash", es => {
       if (es.length != 2) throw new IllegalArgumentException(
         s"simhash(text, bits) takes 2 arguments, got ${es.length}")
-      // any foldable integral expression works (8+8, CAST(16 AS INT), ...),
-      // not just a bare literal — the bit width just has to be plan-time
-      val bits = es(1) match {
-        case e if e.foldable => e.eval() match {
-          case n: java.lang.Number => n.intValue()
-          case other => throw new IllegalArgumentException(
-            s"simhash(text, bits): bits must be integral, got $other")
-        }
-        case _ => throw new IllegalArgumentException(
-          "simhash(text, bits): bits must be a constant integer")
-      }
+      val bits = foldableInt(es(1), "simhash(text, bits)", "bits")
       ColumnBridge.eagerExpression(simhash(ColumnBridge.column(es.head), bits))
     }, "built-in")
     reg.createOrReplaceTempFunction("gopher_stats", wrap(gopherStats), "built-in")
@@ -286,15 +289,7 @@ object TextFunctions {
     reg.createOrReplaceTempFunction("misra_gries", es => {
       if (es.length != 2) throw new IllegalArgumentException(
         s"misra_gries(item, k) takes 2 arguments, got ${es.length}")
-      val k = es(1) match {
-        case e if e.foldable => e.eval() match {
-          case n: java.lang.Number => n.intValue()
-          case other => throw new IllegalArgumentException(
-            s"misra_gries(item, k): k must be integral, got $other")
-        }
-        case _ => throw new IllegalArgumentException(
-          "misra_gries(item, k): k must be a constant integer")
-      }
+      val k = foldableInt(es(1), "misra_gries(item, k)", "k")
       graft.operators.HeavyHitters.MisraGriesAgg(es.head, k)
         .toAggregateExpression()
     }, "built-in")

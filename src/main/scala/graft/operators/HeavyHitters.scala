@@ -45,10 +45,16 @@ object HeavyHitters {
     * LOWER bound on the true count, off by at most N/(k+1)). */
   case class MisraGriesAgg(child: Expression, k: Int,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[MgState] {
+    extends TypedImperativeAggregate[MgState]
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
     require(k > 0, "k must be positive")
 
     override def children: Seq[Expression] = Seq(child)
+    // declared input type => a non-string item column fails ANALYSIS with
+    // a type error instead of a mid-task executor ClassCastException —
+    // this aggregate is a public SQL surface (misra_gries), not just an
+    // internal call site that always passes strings
+    override def inputTypes = Seq(StringType)
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("item", StringType), StructField("cnt", LongType))))

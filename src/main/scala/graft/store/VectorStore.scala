@@ -208,17 +208,7 @@ class VectorStore(val spark: SparkSession, val path: String,
     else {
       val n = mapper.readTree(readText(p))
       val v = n.get("version").asInt()
-      // the reference's gate direction (chunk.rs:296-301): only a FUTURE
-      // version is rejected outright — it was written by a newer engine.
-      // Older versions are accepted down to the oldest layout this code
-      // can actually read (currently = FormatVersion, so the lower gate
-      // names the real reason rather than a generic mismatch).
-      if (v > FormatVersion)
-        throw new IllegalStateException(
-          s"store version $v was written by a newer engine (this one reads <= $FormatVersion)")
-      if (v < MinFormatVersion)
-        throw new IllegalStateException(
-          s"store version $v predates the oldest readable layout $MinFormatVersion")
+      VectorStore.gateVersion(v)
       Some(Manifest(v, n.get("dim").asInt()))
     }
   }
@@ -1832,6 +1822,20 @@ object VectorStore {
     * layout change actually drops read support for the previous one. */
   val MinFormatVersion = 4
 
+  /** The version gate, the reference's direction (`chunk.rs:296-301`,
+    * `hybrid/persistence.rs:94-100`): only a FUTURE version is rejected
+    * outright — it was written by a newer engine; older versions read
+    * down to the oldest layout this code supports. One definition shared
+    * by readManifest and [[open]]'s pre-construction check. */
+  private[store] def gateVersion(v: Int): Unit = {
+    if (v > FormatVersion)
+      throw new IllegalStateException(
+        s"store version $v was written by a newer engine (this one reads <= $FormatVersion)")
+    if (v < MinFormatVersion)
+      throw new IllegalStateException(
+        s"store version $v predates the oldest readable layout $MinFormatVersion")
+  }
+
   case class Config(
       recentThresholdSeconds: Long = 7L * 24 * 3600, // hybrid/core.rs:76-84
       nClusters: Int = 256,
@@ -1883,6 +1887,10 @@ object VectorStore {
       finally in.close()
     val d = Config()
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    // gate BEFORE constructing: the constructor runs swap recovery, and an
+    // engine that declares itself incompatible with this store's version
+    // must not finish a newer engine's in-flight swap with its own logic
+    gateVersion(n.path("version").asInt(FormatVersion))
     val st = new VectorStore(spark, path, Config(
       recentThresholdSeconds =
         n.path("recentThresholdSeconds").asLong(d.recentThresholdSeconds),
@@ -1891,11 +1899,6 @@ object VectorStore {
       chunkSize = n.path("chunkSize").asInt(d.chunkSize),
       maxReturnedIds = n.path("maxReturnedIds").asInt(d.maxReturnedIds),
       leaseTtlMs = n.path("leaseTtlMs").asLong(d.leaseTtlMs)))
-    // the version gate is otherwise LAZY (fires on the first manifest
-    // read); the restore path has the manifest in hand, so gate NOW — a
-    // future-version store must fail at open, not serve reads until some
-    // code path happens to consult the manifest
-    st.readManifest()
     st
   }
 

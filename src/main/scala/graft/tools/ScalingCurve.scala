@@ -98,8 +98,10 @@ object ScalingCurve {
              enabled("integrity")) && reps <= 500)) {
       val n = 2000L * reps // sf0.1 has 2000 base vectors
       println(s"[scaling] === corpus ${n / 1000}K (reps=$reps) ===")
-      val cPath = corpusAt(reps)
-      val corpus = spark.read.parquet(cPath)
+      // lazy: the hh family reads documents.parquet only — an hh-only run
+      // must not pay the (minutes, GBs at reps=5000) replicated VECTOR
+      // corpus build the other families need
+      lazy val corpus = spark.read.parquet(corpusAt(reps))
 
       // exact scan: no index, cost must track corpus size ~linearly
       if (enabled("search"))

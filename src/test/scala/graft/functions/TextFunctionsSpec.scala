@@ -127,6 +127,10 @@ class TextFunctionsSpec extends SparkSpec {
     val mgArity = intercept[Exception](spark.sql(
       "SELECT misra_gries(text) FROM tf_sql_t").collect())
     assert(mgArity.getMessage.contains("2 arguments"))
+    // a non-string item column fails ANALYSIS (declared input type), not
+    // as a mid-task executor ClassCastException
+    intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      "SELECT misra_gries(id, 4) FROM tf_sql_t").collect())
   }
 
   test("BPE-ish pre-tokens split contractions, glue spaces, count non-ws") {

@@ -372,13 +372,20 @@ class VectorStoreSpec extends SparkSpec {
     val empty = Files.createTempDirectory("graft_open_empty_").toString
     val e = intercept[IllegalStateException] { VectorStore.open(spark, empty) }
     assert(e.getMessage.contains("no manifest"))
-    // open() gates the version EAGERLY — a future-version store fails at
-    // open, not at whichever later code path first reads the manifest
+    // open() gates the version EAGERLY and BEFORE construction — a
+    // future-version store fails at open WITHOUT being touched: the
+    // constructor's swap recovery must not finish a newer engine's
+    // in-flight swap with this engine's logic
     Files.deleteIfExists(java.nio.file.Paths.get(p, ".manifest.json.crc"))
     Files.writeString(java.nio.file.Paths.get(p, "manifest.json"),
       """{"version": 99, "dim": 8}""")
+    val marker = java.nio.file.Paths.get(p, "recent_swap.inprogress")
+    Files.writeString(marker, "{}") // the newer engine's in-flight swap
     val eVer = intercept[IllegalStateException] { VectorStore.open(spark, p) }
     assert(eVer.getMessage.contains("newer engine"))
+    assert(Files.exists(marker),
+      "open() must not run recovery on a future-version store")
+    Files.deleteIfExists(marker)
   }
 
   test("checkIntegrity: clean store complete; tampering and drift detected") {
