@@ -164,10 +164,13 @@ class FsSwapSpec extends SparkSpec {
   test("heartbeat keeps a long mutation's lease alive past its base TTL") {
     val root = java.nio.file.Files.createTempDirectory("graft_lease_hb_").toString
     val fs = fsFor(root)
-    val a = new WriterLease(fs, new Path(root), ttlMs = 150)
-    val b = new WriterLease(fs, new Path(root), ttlMs = 150)
+    // TTL chosen >> any plausible scheduler stall between the renewal and
+    // the assertions below — a tight TTL here would make the test itself
+    // racy under parallel-suite load
+    val a = new WriterLease(fs, new Path(root), ttlMs = 3000)
+    val b = new WriterLease(fs, new Path(root), ttlMs = 3000)
     a.withLease {
-      Thread.sleep(200) // base acquire timestamp is now past TTL
+      Thread.sleep(3200) // base acquire timestamp is now past TTL
       a.renewAndVerify() // ...but the heartbeat restarts the clock
       // a second writer must still see the lease as HELD (effective ts),
       // and must not break it on acquire
@@ -175,7 +178,7 @@ class FsSwapSpec extends SparkSpec {
       intercept[WriterLease.ConcurrentWriterException](b.withLease(()))
       // without further renewal the heartbeat itself goes stale and the
       // lease becomes legitimately breakable again
-      Thread.sleep(200)
+      Thread.sleep(3200)
       assert(!b.heldByOther())
       b.withLease(()) // stale-break succeeds
     }
