@@ -220,9 +220,13 @@ object FsSwap {
       }
       val renew: () => Unit = () =>
         // mtime touch; best-effort (a missed renewal degrades to the old
-        // fixed-window behavior, it cannot corrupt anything)
+        // fixed-window behavior, it cannot corrupt anything). NonFatal,
+        // not just IOException: some Hadoop FileSystems throw
+        // UnsupportedOperationException from setTimes, and an escaping
+        // throw here would spuriously abort a live commit mid-critical-
+        // section despite the documented best-effort intent.
         try fs.setTimes(lock, System.currentTimeMillis(), -1)
-        catch { case _: java.io.IOException => () }
+        catch { case scala.util.control.NonFatal(_) => () }
       try body(renew) finally fs.delete(lock, false)
     }
   }

@@ -192,14 +192,36 @@ final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long,
         // stale beyond TTL (base and heartbeat): break below
         fs.delete(hbPath, false)
         fs.delete(leasePath, false)
-        if (!tryCreate()) acquire()
+        if (!breakAndVerify()) acquire()
       case _ =>
         // stale beyond TTL (base AND heartbeat), or persistently
         // unreadable crash debris — the debris includes the heartbeat
         fs.delete(hbPath, false)
         fs.delete(leasePath, false)
-        if (!tryCreate()) acquire() // lost the re-create race: re-evaluate
+        if (!breakAndVerify()) acquire() // lost the race: re-evaluate
     }
+  }
+
+  /** Break-path create with read-back verification. Stale-break is
+    * delete-then-create — NOT atomic across processes: a second breaker
+    * that also judged the lease stale can delete THIS breaker's freshly
+    * created lease (it looks like the same stale path to it) and create
+    * its own, leaving two handles each believing they hold the lease
+    * until the next [[renewAndVerify]] commit point. Re-reading after the
+    * exclusive create and confirming the token is OURS (same bounded
+    * re-read as [[acquire]]'s debris check, tolerating our own write's
+    * visibility lag) narrows the double-hold window to the read-back
+    * instant; a mismatch means another breaker usurped us — report
+    * failure so the caller re-evaluates against the NEW lease. */
+  private def breakAndVerify(): Boolean = {
+    if (!tryCreate()) return false
+    var lease = readLease()
+    var tries = 0
+    while (tries < 3 && !lease.exists(_._2 == token) &&
+        (try fs.exists(leasePath) catch { case _: java.io.IOException => false })) {
+      Thread.sleep(50); lease = readLease(); tries += 1
+    }
+    lease.exists(_._2 == token)
   }
 
   private def release(): Unit = readLease() match {

@@ -293,10 +293,21 @@ object Ivf {
     val returned = approx.select(col(queryIdCol))
       .groupBy(queryIdCol).agg(count(lit(1)).as("n_ret"))
     val totals = exact.groupBy(queryIdCol).agg(count(lit(1)).as("n_exact"))
-    totals.join(hits, Seq(queryIdCol), "left")
+    // drive from the UNION of query ids, not `exact` alone: the reference
+    // (`:357-361`) iterates every query and scores recall 1.0 when its
+    // ground truth is empty — a totals-driven left join would instead
+    // silently drop queries absent from `exact` (and queries present only
+    // in `approx`) from n_queries and both averages
+    val qids = approx.select(col(queryIdCol))
+      .union(exact.select(col(queryIdCol))).distinct()
+    qids.join(totals, Seq(queryIdCol), "left")
+      .join(hits, Seq(queryIdCol), "left")
       .join(returned, Seq(queryIdCol), "left")
       .select(col(queryIdCol),
-        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact")).as("recall"),
+        // reference `:357-361`: empty ground truth => recall 1.0
+        when(coalesce(col("n_exact"), lit(0L)) === 0L, lit(1.0))
+          .otherwise(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall"),
         // reference `:373-377`: empty result set => precision 0.0
         when(coalesce(col("n_ret"), lit(0L)) === 0L, lit(0.0))
           .otherwise(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_ret"))
@@ -413,7 +424,15 @@ object Ivf {
     * and `empty_clusters` counts them); the no-arg form keeps the
     * observed-clusters-only summary for callers without a config. The
     * `empty_clusters` column is appended last so positional readers of
-    * the original columns are unaffected. */
+    * the original columns are unaffected.
+    *
+    * The slot join is FULL OUTER, not left: a left join from
+    * range(nClusters) would silently DROP rows assigned to a cluster_id
+    * outside [0, nClusters) — total_vectors/max_size would undercount
+    * exactly where the no-arg form would have surfaced the
+    * misconfiguration. With full_outer an out-of-range assignment shows
+    * up as an extra cluster row (n_clusters > the configured count), so
+    * the mismatch is loud in the summary instead of vanishing. */
   def clusterStats(assigned: DataFrame, nClusters: Int = -1): DataFrame = {
     val observed = assigned.groupBy("cluster_id").agg(count(lit(1)).as("size"))
     val sizes = if (nClusters <= 0) observed else {
@@ -421,7 +440,7 @@ object Ivf {
       val slotType = assigned.schema("cluster_id").dataType
       spark.range(nClusters)
         .select(col("id").cast(slotType).as("cluster_id"))
-        .join(observed, Seq("cluster_id"), "left")
+        .join(observed, Seq("cluster_id"), "full_outer")
         .na.fill(0L, Seq("size"))
     }
     sizes.agg(

@@ -238,23 +238,46 @@ object StoreQueries {
     // hnsw/pq/sq/bq serving matrix. Perturbation families sit ~0.008 apart
     // while PQ reconstruction error is larger, so exact self-retrieval is
     // not the honest contract here (unlike SQ/BQ whose rerank recovers
-    // it); the gate is recall@10 against the store's exact probed path
-    // over the same live view — the same contract as store_ivfpq_search,
-    // at amortizing scale. Deterministic: PQ training is seeded. Unlike
-    // store_ivfpq_search, the denominator here is PROBED (nProbe 4 of 32
-    // k-means clusters + 6 routed blobs — not SQL-replayable), so this
-    // row keeps the constant-gate oracle; the probed paths themselves
-    // are pinned by the store_*_scale self-retrieval rows.
+    // it); the gate is recall@10 against the TRUE exact top-10 over the
+    // live view (= the full scale corpus — no deletes in this store),
+    // whose rank-10 (id, distance) digest DuckDB fully REPLAYS per query
+    // with the same round-then-rank tie convention — the
+    // store_hnsw_recall contract, closing the one recall gate that used
+    // to keep a constant-true oracle over a probed denominator.
+    // recall_ok itself stays Spark-computed (the PQ+routed-blob serving
+    // walk is not SQL), gated per query with the average gated in-row.
+    // Deterministic: PQ training and k-means are seeded.
     "store_pq_scale" -> ((s, dir) => {
+      import s.implicits._
       val base = ensureScaleServingStore(s, dir)
       val st = new VectorStore(s, s"$base/store", scaleStoreConfig)
-      val qs = scaleQueries(Tables.load(s, dir, "embeddings"), 0)
+      val e = Tables.load(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       val approx = st.searchBatchPq(qs, k = 10, nProbe = 4, shortlist = 200,
-        useRecentIndex = true, recentProbeBlobs = 6)
-      val exact = st.searchBatch(qs, k = 10, metric = "l2", nProbe = 4,
-        useRecentIndex = true, recentProbeBlobs = 6)
-      graft.operators.Ivf.evaluateRecall(approx, exact)
-        .select(col("n_queries"), (col("avg_recall") >= 0.7).as("recall_ok"))
+          useRecentIndex = true, recentProbeBlobs = 6)
+        .select(col("query_id"), col("id").cast("long").as("id"))
+      val exact = graft.operators.Knn.batch(
+        QueryShapes.scaleCorpus(e), qs, k = 10, metric = "l2",
+        roundDecimals = 6)
+      val perQ = exact
+        .join(approx.withColumn("hit", lit(1)), Seq("query_id", "id"), "left")
+        .groupBy("query_id")
+        .agg(
+          (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
+            .as("recall"),
+          max(when(col("rank") === 10, col("id"))).as("exact_id10"),
+          max(when(col("rank") === 10, col("distance"))).as("exact_d10"))
+        .select(col("query_id"), col("recall"), col("exact_id10"),
+          round(col("exact_d10"), 6).as("exact_d10"))
+        .collect() // bounded: one row per query (vec_id < 100)
+      val avgRecall = perQ.map(_.getDouble(1)).sum / perQ.length
+      require(avgRecall >= 0.7,
+        f"PQ-tier avg recall@10 = $avgRecall%.4f fell below the 0.7 gate")
+      perQ.toSeq.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3),
+          r.getDouble(1) >= 0.5))
+        .toDF("query_id", "exact_id10", "exact_d10", "recall_ok")
+        .orderBy("query_id")
     }),
     // §2.11 streaming near-dup ingest: the documents table staged as an
     // arrival directory, streamed through dedupIngest (MinHash-bucketed,
@@ -437,8 +460,26 @@ object StoreQueries {
       """SELECT vec_id AS query_id, CAST(vec_id * 50 AS VARCHAR) AS id,
         |  0.0 AS distance
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+    // full replay of the exact top-10 denominator per query: rank-10
+    // (id, rounded distance) over the reconstructed scale corpus — same
+    // recipe and tie convention as store_hnsw_recall. recall_ok is the
+    // Spark-computed PQ serving-path gate (constant-true in the replay).
     "store_pq_scale" ->
-      "SELECT CAST(100 AS BIGINT) AS n_queries, true AS recall_ok",
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id < 100),
+        |c AS (
+        |  SELECT e.vec_id * 50 + i.i AS id,
+        |    list_transform(e.embedding, x -> (x::DOUBLE + i.i * 0.001)::FLOAT) AS emb
+        |  FROM embeddings e, range(0, 50) i(i)),
+        |ex AS (
+        |  SELECT query_id, id, d,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rn
+        |  FROM (SELECT q.query_id, c.id,
+        |      round(list_distance(c.emb::DOUBLE[], q.qe), 6) AS d
+        |    FROM c CROSS JOIN q))
+        |SELECT query_id, id AS exact_id10, d AS exact_d10, true AS recall_ok
+        |FROM ex WHERE rn = 10 ORDER BY query_id""".stripMargin,
     // Batch replay of the streaming near-dup ingest: one AvailableNow
     // micro-batch means accepted = documents minus every verified pair's
     // larger id (same MinHash/LSH/Jaccard pipeline as minhash_lsh_pairs,

@@ -774,6 +774,10 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         n.put("live_historical", r.liveHistorical)
         n.put("wrong_dim_count", r.wrongDimCount)
         n.put("duplicate_id_count", r.duplicateIdCount)
+        // may be transiently non-zero while a migrate() is between its
+        // two tier swaps (this scan takes no lease by design); excluded
+        // from is_complete — alert only if it persists across scans
+        n.put("cross_tier_duplicate_count", r.crossTierDuplicateCount)
         n.put("invalid_cluster_count", r.invalidClusterCount)
         val d = n.putObject("code_tier_drift")
         r.codeTierDrift.foreach { case (tier, (missing, orphaned)) =>

@@ -1063,13 +1063,26 @@ class VectorStore(val spark: SparkSession, val path: String,
       .groupBy("id").agg(
         count(lit(1)).as("c"), sum(col("w")).as("w"),
         sum(when(col("tier") === "recent", 1L).otherwise(0L)).as("r"))
+    // duplicate ids are split by KIND: within one tier (always a hard
+    // defect — only out-of-band writes produce it) vs across tiers. The
+    // cross-tier count can be TRANSIENTLY non-zero when this read-only
+    // scan races a concurrent migrate() between its two tier swaps (the
+    // id is legitimately in both tiers for that window); it is therefore
+    // reported separately and excluded from `isComplete`, so an operator
+    // polling the admin endpoint doesn't false-alarm. A cross-tier count
+    // that PERSISTS across consecutive scans with no migrate running is a
+    // real defect (e.g. out-of-band tier edits) and should be alerted on.
     val row = perId.agg(
       coalesce(sum(col("r")), lit(0L)),
       coalesce(sum(col("c") - col("r")), lit(0L)),
       coalesce(sum(col("w")), lit(0L)),
-      coalesce(sum(when(col("c") > 1, 1L).otherwise(0L)), lit(0L))).head()
-    val (liveRecent, liveHistorical, wrongDim, dupIds) =
-      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      coalesce(sum(when(col("r") > 1 || (col("c") - col("r")) > 1, 1L)
+        .otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("r") >= 1 && (col("c") - col("r")) >= 1, 1L)
+        .otherwise(0L)), lit(0L))).head()
+    val (liveRecent, liveHistorical, wrongDim, dupIds, crossDupIds) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4))
     val hasCentroids = exists("centroids")
     val invalidCluster =
       if (!hasCentroids || !hasRowsRecursive("historical")) 0L
@@ -1096,6 +1109,7 @@ class VectorStore(val spark: SparkSession, val path: String,
       hasManifest = manifest.isDefined, hasCentroids = hasCentroids,
       liveRecent = liveRecent, liveHistorical = liveHistorical,
       wrongDimCount = wrongDim, duplicateIdCount = dupIds,
+      crossTierDuplicateCount = crossDupIds,
       invalidClusterCount = invalidCluster, codeTierDrift = drift,
       isComplete = manifest.isDefined && wrongDim == 0 && dupIds == 0 &&
         invalidCluster == 0 &&
@@ -1933,10 +1947,16 @@ object VectorStore {
     * this store's invariants: `codeTierDrift(tier) = (missing, orphaned)`
     * is its expected-vs-found comparison per code tier;
     * `invalidClusterCount` is its `missing_clusters` seen from the row
-    * side (rows addressing no centroid). */
+    * side (rows addressing no centroid). `duplicateIdCount` counts ids
+    * duplicated WITHIN a tier (a hard defect, gated by `isComplete`);
+    * `crossTierDuplicateCount` counts ids live in both tiers — transient
+    * when the scan races a migrate() between its two tier swaps, so it is
+    * reported but NOT folded into `isComplete` (alert only if it persists
+    * across scans with no migration running). */
   case class IntegrityReport(hasManifest: Boolean, hasCentroids: Boolean,
       liveRecent: Long, liveHistorical: Long, wrongDimCount: Long,
-      duplicateIdCount: Long, invalidClusterCount: Long,
+      duplicateIdCount: Long, crossTierDuplicateCount: Long,
+      invalidClusterCount: Long,
       codeTierDrift: Map[String, (Long, Long)], isComplete: Boolean)
   /** Persisted rebalance counters (RebalanceStatistics analog,
     * `hybrid/maintenance.rs:115-119`). */

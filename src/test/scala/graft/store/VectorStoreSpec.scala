@@ -412,6 +412,16 @@ class VectorStoreSpec extends SparkSpec {
       && drifted.codeTierDrift("sq_codes") == ((1L, 0L)))
     st.refreshSq()
     assert(st.checkIntegrity().isComplete)
+    // a CROSS-tier duplicate (the state a scan racing migrate() between
+    // its two swaps would observe) is reported separately and does NOT
+    // flip isComplete — only within-tier duplication is a hard defect
+    Seq(("v0", "vid_cross", vec(0), null.asInstanceOf[String],
+        new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDF("id", "vid", "embedding", "metadata", "ts")
+      .write.mode("append").parquet(st.path + "/recent")
+    val crossed = st.checkIntegrity()
+    assert(crossed.isComplete && crossed.duplicateIdCount == 0L
+      && crossed.crossTierDuplicateCount == 1L)
     // out-of-band tampering: a wrong-dim row under a duplicated id,
     // appended straight into the tier dir past insert's validation
     Seq(("fresh", "vid_oob", Array(1.0f, 2.0f), null.asInstanceOf[String],
