@@ -81,6 +81,10 @@ object FsSwap {
     * still serving the pre-swap live dir. */
   def commit(fs: FileSystem, live: Path, tmp: Path, marker: Path,
       markerContent: String = "{}"): Unit = {
+    // commit is rename-into-place — refuse on object stores (unless the
+    // operator opted in) BEFORE the marker is written; recovery of
+    // pre-existing swap state stays permissive on any filesystem
+    FsCapabilities.assertAtomicRename(fs, s"swap commit of $tmp into $live")
     val out = fs.create(marker, true)
     try out.write(markerContent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

@@ -12,7 +12,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Mechanics: acquisition is an EXCLUSIVE create of `<root>/_writer.lease`
   * (`FileSystem.create(overwrite = false)` — the atomic primitive on
   * local FS and HDFS; on S3-like stores without atomic create the lease
-  * degrades to best-effort advisory, same as every FS-lock scheme). The
+  * would degrade to best-effort advisory, which [[FsCapabilities]] turns
+  * from a documented caveat into a mechanism: the outermost acquire
+  * REFUSES known non-atomic schemes unless the operator opts in). The
   * file body records owner (`pid@host`), a random token, and the acquire
   * time. A lease older than `ttlMs` is STALE — its writer is presumed
   * crashed (crash state itself is handled by [[FsSwap.recover]] at the
@@ -66,6 +68,10 @@ final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long,
   def withLease[T](body: => T): T = synchronized {
     if (depth > 0) { depth += 1; try body finally depth -= 1 }
     else {
+      // every mutation passes here exactly once (outermost acquire) —
+      // the one chokepoint where a non-atomic-rename filesystem must
+      // refuse loudly instead of degrading the lease to advisory
+      FsCapabilities.assertAtomicRename(fs, "acquiring the writer lease")
       acquire()
       depth = 1
       try body finally { depth = 0; release() }

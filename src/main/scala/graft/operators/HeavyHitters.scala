@@ -202,20 +202,32 @@ object HeavyHitters {
     * (group, item) before the recount, so the count shuffle again
     * carries candidate keys only. Designed for MANY items per group and
     * a bounded number of groups (profiling shape) — with millions of
-    * groups the candidate relation itself stops being broadcastable and
-    * a plain groupBy is the better plan. */
+    * groups the candidate relation itself (≤ groups × k rows) stops
+    * being broadcastable, so the recount plan is picked MECHANICALLY:
+    * pass 1 is materialized once (it is consumed twice either way), its
+    * row count — already bounded by groups × k — is measured, and the
+    * semi-join side is broadcast only while that count stays ≤
+    * `broadcastMaxCandidates` (default sized so the hinted side stays
+    * well under Spark's default 8 GB broadcast hard cap at ~100 B/row);
+    * past it the same join runs as a shuffle join on (group, item) —
+    * still carrying candidate keys only, never the raw item stream. */
   def exactPerGroup(items: DataFrame, groupCol: String, itemCol: String,
-      denominator: Long, sketchK: Int = 0): DataFrame = {
+      denominator: Long, sketchK: Int = 0,
+      broadcastMaxCandidates: Long = 10_000_000L): DataFrame = {
     val k = checkedK(sketchK, denominator)
-    val pass1 = items
+    val candRaw = items
       .groupBy(groupCol)
       .agg(mgCandidates(k)(col(itemCol)).as("cand"),
         count(col(itemCol)).as("n"))
       .select(col(groupCol), explode(col("cand")).as("c"), col("n"))
       .select(col(groupCol), col("c.item").as(itemCol),
         ceil(col("n").cast("double") / denominator).cast("long").as("min_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCand = candRaw.count() // bounded ≤ groups × k by the MG summary
+    val cands = if (nCand <= broadcastMaxCandidates) broadcast(candRaw)
+      else candRaw
     items
-      .join(broadcast(pass1), Seq(groupCol, itemCol), "inner")
+      .join(cands, Seq(groupCol, itemCol), "inner")
       .groupBy(groupCol, itemCol)
       .agg(count(lit(1)).as("cnt"), first(col("min_cnt")).as("min_cnt"))
       .filter(col("cnt") >= col("min_cnt"))

@@ -297,6 +297,70 @@ object StoreQueries {
     // as missing, or skipped nested items, would mismatch. The schema
     // JSON ships into the closure as a string and parses per partition
     // (executor-side map, no driver loop).
+    // The deep integrity scan (the reference's check_integrity analog,
+    // ivf/persistence.rs:299-349) made driver-visible: a store is built
+    // from the embeddings table, then four defect classes are PLANTED
+    // out-of-band (past insert's validation, the only way they can occur)
+    // with counts that are pure modulo filters over the source table —
+    // wrong-dim rows (vec_id % 17), within-tier duplicate ids (odd
+    // vec_id % 23), cross-tier duplicates (even vec_id % 29, the state a
+    // scan racing migrate() observes), and historical rows addressing a
+    // nonexistent centroid (vec_id % 31, which also drifts the SQ code
+    // tier snapshot taken before the plant). DuckDB recomputes every
+    // reported count and the is_complete verdict from the same
+    // construction arithmetic (the filter_matrix pattern: closed-form
+    // both sides) — a scan that undercounted a class, folded cross-tier
+    // dups into is_complete, or missed code-tier drift hash-mismatches.
+    "integrity_scan" -> ((s, dir) => {
+      import graft.store.VectorStore
+      import s.implicits._
+      val path = java.nio.file.Files.createTempDirectory("graft_integrity_q_").toString
+      val store = new VectorStore(s, path, VectorStore.Config(
+        recentThresholdSeconds = 7L * 24 * 3600, nClusters = 8, nProbe = 4))
+      val emb = Tables.load(s, dir, "embeddings")
+      store.insertDF(emb.select(
+        concat(lit("v"), col("vec_id")).as("id"),
+        col("embedding"),
+        when(col("vec_id") % 2 === 0, lit("2020-01-01 00:00:00"))
+          .otherwise(lit("2026-01-01 23:00:00")).cast("timestamp").as("ts")))
+      val now = Some(java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))
+      store.migrate(now) // evens -> clustered historical (8 centroids)
+      store.enableSq()   // code-tier snapshot BEFORE the historical plant
+      val ts = lit("2026-01-01 23:30:00").cast("timestamp")
+      val wrongDim = emb.filter(col("vec_id") % 17 === 0).select(
+        concat(lit("wd"), col("vec_id")).as("id"),
+        concat(lit("vidwd"), col("vec_id")).as("vid"),
+        array(lit(1.0f), lit(2.0f)).as("embedding"),
+        lit(null).cast("string").as("metadata"), ts.as("ts"))
+      val dups = emb.filter(col("vec_id") % 2 === 1 && col("vec_id") % 23 === 0)
+        .select(concat(lit("v"), col("vec_id")).as("id"),
+          concat(lit("viddup"), col("vec_id")).as("vid"),
+          col("embedding"), lit(null).cast("string").as("metadata"), ts.as("ts"))
+      val cross = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") % 29 === 0)
+        .select(concat(lit("v"), col("vec_id")).as("id"),
+          concat(lit("vidx"), col("vec_id")).as("vid"),
+          col("embedding"), lit(null).cast("string").as("metadata"), ts.as("ts"))
+      wrongDim.unionByName(dups).unionByName(cross)
+        .write.mode("append").parquet(s"$path/recent")
+      emb.filter(col("vec_id") % 31 === 0).select(
+          concat(lit("ic"), col("vec_id")).as("id"),
+          concat(lit("vidic"), col("vec_id")).as("vid"),
+          col("embedding"), lit(null).cast("string").as("metadata"),
+          ts.as("ts"), lit(9999).as("cluster_id"))
+        // the historical tier is hive-partitioned by cluster_id — the
+        // plant lands as a cluster_id=9999/ leaf the reader discovers
+        .write.mode("append").partitionBy("cluster_id")
+        .parquet(s"$path/historical")
+      val r = store.checkIntegrity()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      val (sqMissing, sqOrphaned) = r.codeTierDrift("sq_codes")
+      Seq((r.liveRecent, r.liveHistorical, r.wrongDimCount,
+          r.duplicateIdCount, r.crossTierDuplicateCount,
+          r.invalidClusterCount, sqMissing, sqOrphaned, r.isComplete))
+        .toDF("live_recent", "live_historical", "wrong_dim_count",
+          "duplicate_id_count", "cross_tier_dup_count",
+          "invalid_cluster_count", "sq_missing", "sq_orphaned", "is_complete")
+    }),
     // X15/X16 tier migration, end-to-end with the no-double-count contract
     // as the oracle: rows older than the threshold move recent->historical
     // in two bounded maintenance slices (the first capped at 100 — X16's
@@ -407,6 +471,27 @@ object StoreQueries {
         |     WHERE vec_id < 200 AND vec_id % 3 = 0)::BIGINT AS n_deleted
         |FROM embeddings WHERE vec_id < 200 AND vec_id % 3 <> 0
         |ORDER BY id""".stripMargin,
+    // every planted defect count is a modulo filter over the source
+    // table; live counts add the plants to the parity split, the SQ
+    // snapshot predates the historical plant (missing = that plant,
+    // orphaned = 0), and is_complete excludes the cross-tier class
+    "integrity_scan" ->
+      """WITH c AS (SELECT
+        |  count(*) FILTER (WHERE vec_id % 2 = 1) AS n_odd,
+        |  count(*) FILTER (WHERE vec_id % 2 = 0) AS n_even,
+        |  count(*) FILTER (WHERE vec_id % 17 = 0) AS n_wd,
+        |  count(*) FILTER (WHERE vec_id % 2 = 1 AND vec_id % 23 = 0) AS n_dup,
+        |  count(*) FILTER (WHERE vec_id % 2 = 0 AND vec_id % 29 = 0) AS n_cross,
+        |  count(*) FILTER (WHERE vec_id % 31 = 0) AS n_ic
+        |  FROM embeddings)
+        |SELECT (n_odd + n_wd + n_dup + n_cross)::BIGINT AS live_recent,
+        |  (n_even + n_ic)::BIGINT AS live_historical,
+        |  n_wd::BIGINT AS wrong_dim_count, n_dup::BIGINT AS duplicate_id_count,
+        |  n_cross::BIGINT AS cross_tier_dup_count,
+        |  n_ic::BIGINT AS invalid_cluster_count,
+        |  n_ic::BIGINT AS sq_missing, CAST(0 AS BIGINT) AS sq_orphaned,
+        |  (n_wd = 0 AND n_dup = 0 AND n_ic = 0) AS is_complete
+        |FROM c""".stripMargin,
     // every count is closed-form: eligible = the old-ts band; the first
     // slice is capped at 100; the end state must partition the corpus
     "migrate_tiers" ->

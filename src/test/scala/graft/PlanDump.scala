@@ -141,6 +141,50 @@ object PlanDump {
       sb.append(df.queryExecution.executedPlan.toString.take(6000))
       sb.append("\n```\n")
     }
+    // not a registry row: the grouped recount's MECHANICAL fallback —
+    // the candidate relation is counted after pass 1 (it is materialized
+    // once either way) and past the cap the semi-join runs as a shuffle
+    // join on (group, item) instead of a broadcast; forcing the cap to 1
+    // here shows that plan
+    locally {
+      import org.apache.spark.sql.functions._
+      val toks = graft.core.Tables.load(spark, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      // AQE and the size-based auto-broadcast off for THIS dump only: at
+      // sf0.01 the candidate relation is tiny, so both the static planner
+      // (size estimate under autoBroadcastJoinThreshold) and AQE
+      // (runtime statistics) correctly re-plan the unhinted join back
+      // into a broadcast, hiding the shape the cap buys at real scale —
+      // where the relation's size estimate alone rules broadcast out
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fb = graft.operators.HeavyHitters.exactPerGroup(toks, "source",
+        "token", denominator = 100L, sketchK = 256,
+        broadcastMaxCandidates = 1L)
+      fb.collect()
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      sb.append("\n## heavy_hitters_by_source — candidate-cap fallback\n\n")
+      sb.append(("""The grouped recount past `broadcastMaxCandidates` (forced to 1
+        |here, dumped with AQE and the size-based auto-broadcast off —
+        |at sf0.01 both would correctly re-broadcast this tiny relation,
+        |masking the at-scale shape): the measured candidate count —
+        |bounded by groups x k from the per-group MG summaries — exceeded
+        |the cap, so the recount join carries NO broadcast hint and plans
+        |as a SHUFFLE join on (group, item). Both sides exchange on the
+        |compound key; the join still carries candidate keys only (never
+        |the raw token stream past its first aggregation), so the plan
+        |stays safe when groups x k outgrows a broadcast. With AQE on, a
+        |candidate side that turns out small is still upgraded to a
+        |runtime broadcast on real statistics — the cap only stops the
+        |operator from FORCING an unbounded relation through one. The
+        |mechanical switch is pinned result-equal to the broadcast plan
+        |by HeavyHittersSpec.""".stripMargin).linesIterator.map(_.trim).mkString(" "))
+      sb.append("\n\n```\n")
+      sb.append(fb.queryExecution.executedPlan.toString.take(6000))
+      sb.append("\n```\n")
+    }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plandump] wrote /root/repo/PLANS.md")
     spark.stop()

@@ -114,6 +114,34 @@ class HeavyHittersSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("exactPerGroup falls back to a shuffle join past the candidate cap") {
+    // same data through both recount plans: the threshold is measured
+    // (candidate rows counted), not guessed, so forcing the cap to 1
+    // exercises the non-broadcast plan — results must be identical and
+    // the plan must NOT carry a broadcast of the candidate relation
+    // 3 groups x 50 items, exactly 20 occurrences per (group, item) pair;
+    // a skewed extra run of "hot" in g0 gives each group's threshold bite
+    val df = (1 to 3000).map(i => (s"g${i % 3}", s"i${i % 50}")).toSeq ++
+      Seq.fill(100)(("g0", "hot"))
+    val items = spark.createDataset(df).toDF("src", "item").repartition(7)
+    val viaBroadcast = HeavyHitters.exactPerGroup(items, "src", "item",
+      denominator = 12L, sketchK = 128)
+    val viaShuffle = HeavyHitters.exactPerGroup(items, "src", "item",
+      denominator = 12L, sketchK = 128, broadcastMaxCandidates = 1L)
+    val a = viaBroadcast.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val b = viaShuffle.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(a == b && a.nonEmpty)
+    // the switch is about the HINT (AQE may still broadcast a tiny test
+    // relation at runtime on its own statistics — that's fine): past the
+    // cap the candidate side must carry no broadcast hint, under it one
+    assert(!viaShuffle.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      viaShuffle.queryExecution.analyzed.toString)
+    assert(viaBroadcast.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      viaBroadcast.queryExecution.analyzed.toString)
+  }
+
   test("mgCandidates is bounded by k and carries lower-bound counts") {
     val rows = Seq.fill(500)("hot") ++ (1 to 2000).map(i => s"cold$i")
     val df = spark.createDataset(new scala.util.Random(3).shuffle(rows))

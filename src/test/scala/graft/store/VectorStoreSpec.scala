@@ -5,6 +5,14 @@ import graft.store.VectorStore._
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
+/** An s3a-scheme FileSystem backed by local disk: lets specs exercise the
+  * non-atomic-rename refusal path (graft.core.FsCapabilities keys off the
+  * URI scheme) without a real object store. Top-level class — Hadoop
+  * instantiates it reflectively via `fs.s3a.impl`. */
+class FakeS3AFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("s3a:///")
+}
+
 /** CRUD / lifecycle conformance (FIXTURES.md §4, mirroring the reference's
   * e2e Node tests: e2e-crud, vacuum, soft-deletion, schema/dimension
   * validation, persistence round-trip).
@@ -432,6 +440,35 @@ class VectorStoreSpec extends SparkSpec {
     assert(!tampered.isComplete)
     assert(tampered.wrongDimCount == 1L && tampered.duplicateIdCount == 1L)
     assert(tampered.invalidClusterCount == 0L)
+  }
+
+  test("mutations refuse non-atomic-rename filesystems unless opted in") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setClass("fs.s3a.impl", classOf[FakeS3AFileSystem],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    hconf.setBoolean("fs.s3a.impl.disable.cache", true)
+    try {
+      val dir = Files.createTempDirectory("graft_fakes3_").toString
+      val st = new VectorStore(spark, "s3a://" + dir)
+      // the guard fires at the outermost lease acquire, BEFORE any write
+      val e = intercept[IllegalStateException] {
+        st.insert(Seq(VectorRecord("a", vec(1))))
+      }
+      assert(e.getMessage.contains("non-atomic object store")
+        && e.getMessage.contains(graft.core.FsCapabilities.AllowNonAtomicKey))
+      // reads were never refused: the store is openable and queryable
+      assert(st.stats().recentCount == 0L)
+      // explicit opt-in (external scheduler guarantees one writer):
+      // mutations proceed — the lease itself still works on the fake FS
+      hconf.setBoolean(graft.core.FsCapabilities.AllowNonAtomicKey, true)
+      val st2 = new VectorStore(spark, "s3a://" + dir)
+      val res = st2.vacuum()
+      assert(res.recentRemoved == 0L && res.historicalRemoved == 0L)
+    } finally {
+      hconf.unset("fs.s3a.impl")
+      hconf.unset("fs.s3a.impl.disable.cache")
+      hconf.unset(graft.core.FsCapabilities.AllowNonAtomicKey)
+    }
   }
 
   test("tiersSearched mirrors BOTH of searchBatch's historical preconditions") {
