@@ -235,7 +235,7 @@ object HeavyHitters {
       .orderBy(col(groupCol).asc, col("cnt").desc, col(itemCol).asc)
   }
 
-  private def checkedK(sketchK: Int, denominator: Long): Int = {
+  private[graft] def checkedK(sketchK: Int, denominator: Long): Int = {
     require(denominator > 1, "denominator must exceed 1")
     // derive the default in Long and clamp — 2 * denominator.toInt
     // overflows negative past Int.MaxValue/2 and truncates silently past

@@ -153,6 +153,35 @@ ORDER BY d$rounds.doc_id"""
       graft.operators.HeavyHitters.exact(toks, "token",
         denominator = 200L, sketchK = 512)
     }),
+    // §2.11 streaming face of the same operator: the documents table
+    // staged as FOUR arrival files, each its own micro-batch
+    // (maxFilesPerTrigger=1), per-batch MG summaries folded through the
+    // driver-side mergeable-summaries reduction into one bounded state
+    // file, then the folded candidates recounted exactly over the corpus.
+    // The oracle is the SAME full-groupBy replay as heavy_hitters — the
+    // composed MG bound (k=512 > denominator=200) guarantees no true
+    // heavy hitter is evicted across any number of batch folds, so a
+    // wrong merge cut rank, a dropped batch, or a double-applied replay
+    // hash-mismatches the row set or the counts.
+    "streaming_heavy_hitters" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_shh_q_").toString
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(4).write.parquet(s"$tmp/src")
+      val q = graft.streaming.StreamingHeavyHitters.ingest(
+        s, s"$tmp/src", s"$tmp/state", s"$tmp/chk",
+        denominator = 200L, sketchK = 512, maxFilesPerTrigger = 1)
+      q.processAllAvailable(); q.stop()
+      val toks = s.read.parquet(s"$tmp/src")
+        .select(explode(tokens(col("text"))).as("token"))
+      val out = graft.streaming.StreamingHeavyHitters
+        .heavyHittersFromState(s, s"$tmp/state", toks, "token", 200L)
+        .collect()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      import s.implicits._
+      out.toSeq.map(r => (r.getString(0), r.getLong(1)))
+        .toDF("token", "cnt")
+        .orderBy(col("cnt").desc, col("token").asc)
+    }),
     // the grouped variant: per-SOURCE heavy hitters (each source's tokens
     // holding >= 1/100 of that source's mass) — one grouped MG aggregation
     // (a <= k summary per source), candidate relation broadcast into the
@@ -839,6 +868,15 @@ ORDER BY d$rounds.doc_id"""
          |FROM (SELECT unnest($toksSql) AS token FROM documents)
          |GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
     "heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+         |tot AS (SELECT count(*) AS n FROM tok)
+         |SELECT token, count(*) AS cnt
+         |FROM tok GROUP BY 1
+         |HAVING count(*) >= ceil((SELECT n FROM tot) / 200.0)
+         |ORDER BY cnt DESC, token ASC""".stripMargin,
+    // the streamed fold must recount to the SAME full-groupBy answer —
+    // the MG guarantee composes across micro-batch merges
+    "streaming_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
          |tot AS (SELECT count(*) AS n FROM tok)
          |SELECT token, count(*) AS cnt

@@ -231,6 +231,29 @@ object ScalingCurve {
           best("heavy hitters 2-pass")(
             graft.operators.HeavyHitters.exact(toks, "token",
               denominator = 200L, sketchK = 512).count())))
+        // grouped variant: GROUP COUNT scales with the multiplier (each
+        // replica becomes its own source), so the candidate relation —
+        // the broadcast-or-shuffle side of the recount, bounded by
+        // groups x k — itself grows 1x/10x/100x. Its measured size is
+        // logged per scale: that's the number that decides when the
+        // mechanical broadcastMaxCandidates fallback fires.
+        val gtoks = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("source"), col("text"),
+            explode(org.apache.spark.sql.functions.sequence(
+              lit(0), lit(mult - 1))).as("i"))
+          .select(concat(col("source"), lit("_"), col("i")).as("src"),
+            explode(
+              graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+        val nCand = gtoks.groupBy("src")
+          .agg(graft.operators.HeavyHitters.mgCandidates(256)(col("token"))
+            .as("cand"))
+          .select(explode(col("cand"))).count()
+        println(s"[scaling] hh_grouped candidate relation: $nCand rows " +
+          s"(groups x <=256)")
+        results += (("hh_grouped", reps, n,
+          best("heavy hitters grouped")(
+            graft.operators.HeavyHitters.exactPerGroup(gtoks, "src", "token",
+              denominator = 100L, sketchK = 256).count())))
       }
 
       // blocked k-NN GRAPH build (KnnJoin.blocked): the scale claim is

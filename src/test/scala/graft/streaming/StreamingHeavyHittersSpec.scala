@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.HeavyHitters
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Streaming Misra–Gries fold: bounded state over many micro-batches,
+  * exactly-once batch application, the driver-side merge's bound, and the
+  * headline equivalence — the stream's folded state recounts to the SAME
+  * answer as the batch HeavyHitters.exact on the same corpus. */
+class StreamingHeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic skewed batch: every doc carries the global heavy
+    * tokens plus per-(batch, doc) noise nothing else shares. */
+  private def batchDf(batchId: Int, docs: Int = 4) = {
+    val rows = (0 until docs).map { d =>
+      val noise = (1 to 12).map(j => s"n${batchId}_${d}_$j").mkString(" ")
+      (batchId * 100L + d, s"alpha beta alpha $noise")
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  test("many-batch stream: state stays <= k; recount equals batch exact()") {
+    val src = Files.createTempDirectory("graft_shh_src_").toString
+    val ckpt = Files.createTempDirectory("graft_shh_ckpt_").toString
+    val stateDir = Files.createTempDirectory("graft_shh_state_").toString
+    val denom = 20L
+    val k = 64
+    (0 until 30).foreach(i => batchDf(i).coalesce(1)
+      .write.mode("append").parquet(src))
+    val q = StreamingHeavyHitters.ingest(spark, src, stateDir, ckpt,
+      denominator = denom, sketchK = k, maxFilesPerTrigger = 1)
+    q.processAllAvailable(); q.stop()
+    val st = StreamingHeavyHitters.readState(spark, stateDir)
+    assert(st.counts.size <= k, s"state grew past k: ${st.counts.size}")
+    assert(st.lastBatchId == 29L, s"expected 30 micro-batches, got ${st.lastBatchId + 1}")
+    val corpus = spark.read.parquet(src)
+    val toks = corpus.select(
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    assert(st.n == toks.count(), "state mass tracking drifted from the corpus")
+    val fromStream = StreamingHeavyHitters
+      .heavyHittersFromState(spark, stateDir, toks, "token", denom)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fromBatch = HeavyHitters.exact(toks, "token", denom, sketchK = k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fromStream == fromBatch && fromStream.nonEmpty,
+      s"stream=$fromStream batch=$fromBatch")
+
+    // restart with NEW arrivals: the same checkpoint resumes, the state
+    // keeps folding, and the equivalence holds over the grown corpus
+    (30 until 40).foreach(i => batchDf(i).coalesce(1)
+      .write.mode("append").parquet(src))
+    val q2 = StreamingHeavyHitters.ingest(spark, src, stateDir, ckpt,
+      denominator = denom, sketchK = k, maxFilesPerTrigger = 1)
+    q2.processAllAvailable(); q2.stop()
+    val st2 = StreamingHeavyHitters.readState(spark, stateDir)
+    assert(st2.counts.size <= k && st2.lastBatchId == 39L)
+    val toks2 = spark.read.parquet(src).select(
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val fromStream2 = StreamingHeavyHitters
+      .heavyHittersFromState(spark, stateDir, toks2, "token", denom)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fromBatch2 = HeavyHitters.exact(toks2, "token", denom, sketchK = k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fromStream2 == fromBatch2 && fromStream2.nonEmpty)
+  }
+
+  test("a replayed micro-batch is skipped, not double-counted") {
+    val stateDir = Files.createTempDirectory("graft_shh_replay_").toString
+    val b = batchDf(0)
+    val s1 = StreamingHeavyHitters.applyBatch(spark, stateDir, 64, b, 0L)
+    // crash window: state installed but checkpoint not committed — the
+    // stream replays batch 0 against the already-updated state
+    val s2 = StreamingHeavyHitters.applyBatch(spark, stateDir, 64, b, 0L)
+    assert(s2 == s1, "replay mutated the state")
+    assert(StreamingHeavyHitters.readState(spark, stateDir).n == s1.n)
+    // the NEXT batch applies normally
+    val s3 = StreamingHeavyHitters.applyBatch(spark, stateDir, 64, batchDf(1), 1L)
+    assert(s3.n == 2 * s1.n && s3.lastBatchId == 1L)
+  }
+
+  test("driver-side mergeMg preserves the composed MG bound") {
+    // fold per-chunk aggregate summaries through mergeMg (exactly what the
+    // stream does) and check Agarwal et al.'s composed bound against the
+    // ground truth — a wrong cut rank or dropped positive breaks this
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val kk = Seq(8, 32, 64)(seed % 3)
+      val stream = Seq.fill(3000) {
+        val r = math.pow(rnd.nextDouble(), 1.0 + (seed % 3))
+        s"w${(r * 300).toInt}"
+      }
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = stream.size.toLong
+      var folded = Map.empty[String, Long]
+      stream.grouped(600).foreach { chunk =>
+        val summary = spark.createDataset(chunk).toDF("item")
+          .agg(HeavyHitters.mgCandidates(kk)(col("item")).as("c"))
+          .head().getSeq[org.apache.spark.sql.Row](0)
+          .map(r => (r.getString(0), r.getLong(1)))
+        folded = StreamingHeavyHitters.mergeMg(kk, folded, summary)
+      }
+      assert(folded.size <= kk)
+      val bound = n.toDouble / (kk + 1)
+      folded.foreach { case (item, est) =>
+        val t = truth(item)
+        assert(est <= t && est >= t - bound - 1,
+          s"seed=$seed item=$item est=$est truth=$t bound=$bound")
+      }
+      truth.foreach { case (item, t) =>
+        if (t > bound) assert(folded.contains(item),
+          s"seed=$seed: heavy item $item (count $t > $bound) evicted")
+      }
+    }
+  }
+}
