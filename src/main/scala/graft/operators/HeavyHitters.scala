@@ -87,30 +87,7 @@ object HeavyHitters {
     }
 
     override def merge(b: MgState, o: MgState): MgState = {
-      val oit = o.counts.entrySet().iterator()
-      while (oit.hasNext) {
-        val e = oit.next()
-        // get on a missing key unboxes null to 0L (BoxesRunTime), which is
-        // exactly the identity wanted here
-        val cur: Long = b.counts.get(e.getKey)
-        b.counts.put(e.getKey, cur + e.getValue)
-      }
-      if (b.counts.size() > k) {
-        // mergeable-summaries reduction: subtract the (k+1)-th largest
-        // count from every counter, keep positives — still ≤ k entries,
-        // error bound still ≤ N/(k+1)
-        val vals = new Array[Long](b.counts.size())
-        var i = 0
-        val vit = b.counts.values().iterator()
-        while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
-        java.util.Arrays.sort(vals)
-        val cut = vals(vals.length - (k + 1)) // (k+1)-th largest
-        val it = b.counts.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue - cut <= 0L) it.remove() else e.setValue(e.getValue - cut)
-        }
-      }
+      HeavyHitters.mgMergeInto(k, b.counts, o.counts)
       b
     }
 
@@ -163,6 +140,39 @@ object HeavyHitters {
       copy(child = cs(0))
   }
 
+  /** THE mergeable-summaries reduction (Agarwal et al.), shared by the
+    * aggregate's `merge` and the streaming driver-side fold
+    * (`StreamingHeavyHitters.mergeMg`) so the two can never drift — the
+    * composed error bound both rest on is a property of THIS arithmetic:
+    * pointwise add `from` into `into`, then if over k entries subtract
+    * the (k+1)-th largest count from every counter and keep positives
+    * (still ≤ k entries, error still ≤ N/(k+1)). Mutates `into`. */
+  private[graft] def mgMergeInto[K](k: Int,
+      into: java.util.HashMap[K, Long],
+      from: java.util.HashMap[K, Long]): Unit = {
+    val oit = from.entrySet().iterator()
+    while (oit.hasNext) {
+      val e = oit.next()
+      // get on a missing key unboxes null to 0L (BoxesRunTime), which is
+      // exactly the identity wanted here
+      val cur: Long = into.get(e.getKey)
+      into.put(e.getKey, cur + e.getValue)
+    }
+    if (into.size() > k) {
+      val vals = new Array[Long](into.size())
+      var i = 0
+      val vit = into.values().iterator()
+      while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val cut = vals(vals.length - (k + 1)) // (k+1)-th largest
+      val it = into.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue - cut <= 0L) it.remove() else e.setValue(e.getValue - cut)
+      }
+    }
+  }
+
   /** Column form: MG candidate summary of a string column. */
   def mgCandidates(k: Int)(item: Column): Column =
     ColumnBridge.column(
@@ -204,17 +214,28 @@ object HeavyHitters {
     * a bounded number of groups (profiling shape) — with millions of
     * groups the candidate relation itself (≤ groups × k rows) stops
     * being broadcastable, so the recount plan is picked MECHANICALLY:
-    * pass 1 is materialized once (it is consumed twice either way), its
-    * row count — already bounded by groups × k — is measured, and the
-    * semi-join side is broadcast only while that count stays ≤
-    * `broadcastMaxCandidates` (default sized so the hinted side stays
-    * well under Spark's default 8 GB broadcast hard cap at ~100 B/row);
-    * past it the same join runs as a shuffle join on (group, item) —
-    * still carrying candidate keys only, never the raw item stream. */
+    * the relation is collected through a `limit(cap + 1)` probe — a
+    * broadcast would collect it to the driver anyway, so under the cap
+    * this is the same data movement the hinted plan pays, just made
+    * explicit (and the collected local relation feeds the broadcast, so
+    * pass 1 runs exactly once — no lingering `persist` to leak).
+    * Past the cap the probe is discarded and the same join runs
+    * UNhinted on (group, item) — the size-estimated shuffle plan, one
+    * pass-1 recompute inside the join (the price of the rare
+    * giant-relation path, instead of pinning groups × k rows in
+    * executor storage for the session's lifetime) — still carrying
+    * candidate keys only, never the raw item stream. The cap bounds BOTH
+    * the broadcast and the probe's transient driver allocation (they are
+    * the same rows — a broadcast materializes on the driver too), so its
+    * default is a justifiable broadcast size (~1M rows ≈ low hundreds of
+    * MB), not the 8 GB hard cap: past it, the giant-relation path never
+    * touches the driver with more than cap + 1 rows. */
   def exactPerGroup(items: DataFrame, groupCol: String, itemCol: String,
       denominator: Long, sketchK: Int = 0,
-      broadcastMaxCandidates: Long = 10_000_000L): DataFrame = {
+      broadcastMaxCandidates: Int = 1_000_000): DataFrame = {
     val k = checkedK(sketchK, denominator)
+    require(broadcastMaxCandidates > 0 && broadcastMaxCandidates < Int.MaxValue,
+      s"broadcastMaxCandidates=$broadcastMaxCandidates out of (0, Int.MaxValue)")
     val candRaw = items
       .groupBy(groupCol)
       .agg(mgCandidates(k)(col(itemCol)).as("cand"),
@@ -222,9 +243,11 @@ object HeavyHitters {
       .select(col(groupCol), explode(col("cand")).as("c"), col("n"))
       .select(col(groupCol), col("c.item").as(itemCol),
         ceil(col("n").cast("double") / denominator).cast("long").as("min_cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nCand = candRaw.count() // bounded ≤ groups × k by the MG summary
-    val cands = if (nCand <= broadcastMaxCandidates) broadcast(candRaw)
+    val probe = candRaw.limit(broadcastMaxCandidates + 1).collect()
+    val cands =
+      if (probe.length <= broadcastMaxCandidates)
+        broadcast(items.sparkSession.createDataFrame(
+          java.util.Arrays.asList(probe: _*), candRaw.schema))
       else candRaw
     items
       .join(cands, Seq(groupCol, itemCol), "inner")

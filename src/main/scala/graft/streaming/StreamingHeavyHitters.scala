@@ -45,10 +45,15 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * recount is on-demand and candidate-only. */
 object StreamingHeavyHitters {
 
-  /** Folded MG state: last applied micro-batch id, total token count,
+  /** Folded MG state: the k it was folded WITH (the exactness guarantee
+    * is relative to it — see [[heavyHittersFromState]]), the checkpoint
+    * the batch-id sequence belongs to (micro-batch ids restart at 0 under
+    * a fresh checkpoint, so the replay guard is only meaningful within
+    * one), last applied micro-batch id, total token count, and
     * item -> folded MG count (≤ k entries, each a lower bound off by at
     * most n/(k+1)). */
-  case class MgSnapshot(lastBatchId: Long, n: Long, counts: Map[String, Long])
+  case class MgSnapshot(k: Int, checkpoint: String, lastBatchId: Long,
+      n: Long, counts: Map[String, Long])
 
   private def statePath(stateDir: String) = new Path(stateDir, "mg_state.json")
   private def stateTmp(stateDir: String) = new Path(stateDir, "mg_state.json_tmp")
@@ -61,29 +66,75 @@ object StreamingHeavyHitters {
     * FsSwap contract makes recovery safe from any number of concurrent
     * callers (lock-serialized), and a monitoring read that returned the
     * pre-crash state forever would be worse than one that finishes the
-    * evidenced install. */
+    * evidenced install. A monitoring read can also RACE a live writer's
+    * commit — the state file is momentarily absent between the
+    * aside/install renames — so "absent" is only believed when no swap
+    * evidence (marker/tmp) exists either; otherwise the read recovers
+    * and retries through the bounded window (the same bounded-re-read
+    * rule as the writer lease's torn-read handling). */
   def readState(spark: SparkSession, stateDir: String): MgSnapshot = {
     val p = statePath(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    FsSwap.recover(fs, p, stateTmp(stateDir), stateMarker(stateDir))
-    if (!fs.exists(p)) MgSnapshot(-1L, 0L, Map.empty)
-    else {
-      val in = fs.open(p)
-      val txt = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      val node = new ObjectMapper().readTree(txt)
-      val counts = scala.collection.mutable.Map.empty[String, Long]
-      val it = node.get("counts").fields()
-      while (it.hasNext) { val e = it.next(); counts.put(e.getKey, e.getValue.asLong()) }
-      MgSnapshot(node.get("batch_id").asLong(), node.get("n").asLong(),
-        counts.toMap)
+    var attempt = 0
+    while (attempt <= 5) {
+      FsSwap.recover(fs, p, stateTmp(stateDir), stateMarker(stateDir))
+      try {
+        if (!fs.exists(p)) {
+          // genuinely absent only with no in-flight/crashed swap evidence
+          if (!fs.exists(stateMarker(stateDir)) && !fs.exists(stateTmp(stateDir)))
+            return MgSnapshot(-1, "", -1L, 0L, Map.empty)
+          // evidence present: a live commit mid-rename, or a crashed swap
+          // recover couldn't finish — retry through the window, and FAIL
+          // below rather than misreport lost/in-flight state as an empty
+          // stream (a restarted ingest folding into a phantom-empty state
+          // would destroy the real counts on its first writeState)
+        } else {
+          val in = fs.open(p)
+          val txt = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          val node = new ObjectMapper().readTree(txt)
+          if (node.get("k") == null || node.get("checkpoint") == null)
+            throw new IllegalStateException(
+              s"MG state file $p lacks the k/checkpoint binding fields — " +
+                "it was written by a pre-binding format. No automatic " +
+                "migration (the old format cannot prove which checkpoint " +
+                "its batch ids belong to); re-fold from the source with a " +
+                "fresh state dir")
+          val counts = scala.collection.mutable.Map.empty[String, Long]
+          val it = node.get("counts").fields()
+          while (it.hasNext) {
+            val e = it.next(); counts.put(e.getKey, e.getValue.asLong())
+          }
+          return MgSnapshot(node.get("k").asInt(),
+            node.get("checkpoint").asText(),
+            node.get("batch_id").asLong(), node.get("n").asLong(),
+            counts.toMap)
+        }
+      } catch {
+        // mid-swap window: open raced the install rename
+        case _: java.io.FileNotFoundException if attempt < 5 => ()
+      }
+      attempt += 1
+      Thread.sleep(50)
     }
+    // retries exhausted WITH swap evidence present: the state exists (or
+    // existed) but cannot be read — a wedged swap or a rename outliving
+    // the retry window. Loud, like FsSwap's own writer path; returning
+    // "empty stream" here would silently discard the folded history.
+    throw new IllegalStateException(
+      s"MG state at $stateDir is unreadable after retries: swap evidence " +
+        s"(${stateMarker(stateDir).getName} / ${stateTmp(stateDir).getName}) " +
+        "is present but recovery could not produce a readable state file. " +
+        "A crashed commit may have lost its tmp — inspect the state dir; " +
+        "do NOT fold new batches until resolved")
   }
 
   private def writeState(fs: FileSystem, stateDir: String,
       snap: MgSnapshot): Unit = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
+    root.put("k", snap.k)
+    root.put("checkpoint", snap.checkpoint)
     root.put("batch_id", snap.lastBatchId)
     root.put("n", snap.n)
     val c = root.putObject("counts")
@@ -95,33 +146,63 @@ object StreamingHeavyHitters {
   }
 
   /** The aggregate's mergeable-summaries reduction, driver-side over the
-    * ≤ k persisted counters and a ≤ k batch summary: pointwise add, then
-    * if over k entries subtract the (k+1)-th largest count from every
-    * counter and keep positives. Identical arithmetic to
-    * [[HeavyHitters.MisraGriesAgg.merge]], so the composed bound holds. */
+    * ≤ k persisted counters and a ≤ k batch summary — it IS
+    * [[HeavyHitters.mgMergeInto]], the one shared implementation, so the
+    * composed bound cannot drift between the executor-side merge and this
+    * fold (only the map plumbing differs). */
   private[streaming] def mergeMg(k: Int, state: Map[String, Long],
       batch: Seq[(String, Long)]): Map[String, Long] = {
-    val m = scala.collection.mutable.HashMap.empty[String, Long] ++ state
-    batch.foreach { case (item, cnt) =>
-      m.update(item, m.getOrElse(item, 0L) + cnt) }
-    if (m.size <= k) m.toMap
-    else {
-      val vals = m.values.toArray
-      java.util.Arrays.sort(vals)
-      val cut = vals(vals.length - (k + 1))
-      m.iterator.map { case (item, v) => (item, v - cut) }
-        .filter(_._2 > 0L).toMap
-    }
+    val into = new java.util.HashMap[String, Long](state.size * 2 + 16)
+    state.foreach { case (item, c) => into.put(item, c) }
+    val from = new java.util.HashMap[String, Long](batch.size * 2 + 16)
+    batch.foreach { case (item, c) =>
+      val cur: Long = from.get(item); from.put(item, cur + c) }
+    HeavyHitters.mgMergeInto(k, into, from)
+    val b = Map.newBuilder[String, Long]
+    into.forEach((item, c) => b += item -> c)
+    b.result()
   }
 
   /** Apply ONE micro-batch of (doc_id, text) rows to the persisted state:
     * skip if already applied (replay after a crash between state install
     * and checkpoint commit), else fold the batch's MG summary in. Package-
-    * visible so the idempotence rule is directly testable. Returns the
-    * state now in effect. */
+    * visible so the idempotence and binding rules are directly testable.
+    * Returns the state now in effect.
+    *
+    * Two loud-failure guards protect the fold's correctness claims:
+    * the state is BOUND to one checkpoint (micro-batch ids restart at 0
+    * under a fresh checkpoint, so the replay guard would silently skip
+    * NEVER-SEEN data as "replays" if a state dir outlived its checkpoint
+    * — reuse requires a fresh state dir too), and to one k (folding
+    * summaries of mixed k would quietly weaken the composed bound the
+    * recount's exactness rests on). */
   private[streaming] def applyBatch(spark: SparkSession, stateDir: String,
-      k: Int, batch: DataFrame, batchId: Long): MgSnapshot = {
+      k: Int, checkpoint: String, batch: DataFrame,
+      batchId: Long): MgSnapshot = {
     val st = readState(spark, stateDir)
+    if (st.lastBatchId >= 0L && st.checkpoint != checkpoint)
+      throw new IllegalStateException(
+        s"MG state at $stateDir was folded under checkpoint " +
+          s"'${st.checkpoint}' but this stream runs under '$checkpoint' — " +
+          "batch ids restart at 0 per checkpoint, so continuing would " +
+          "skip new data as replays (or double-count on a rewound " +
+          "checkpoint). Use a fresh state dir with a fresh checkpoint")
+    if (st.lastBatchId >= 0L && st.k != k)
+      throw new IllegalStateException(
+        s"MG state at $stateDir was folded with k=${st.k} but this stream " +
+          s"uses k=$k — mixed-k folds weaken the error bound the exact " +
+          "recount rests on. Use a fresh state dir to change k")
+    // the mirror of the checkpoint guard: a FRESH state under an
+    // already-advanced checkpoint means batches 0..batchId-1 were
+    // committed in the checkpoint and will never be re-delivered — their
+    // tokens would be permanently missing from a state claimed exact
+    if (st.lastBatchId < 0L && batchId > 0L)
+      throw new IllegalStateException(
+        s"MG state at $stateDir is empty but the checkpoint resumes at " +
+          s"batch $batchId — batches 0..${batchId - 1} were already " +
+          "committed and will not be re-delivered, so folding from here " +
+          "would silently omit them. Use a fresh checkpoint with a fresh " +
+          "state dir (the source will be re-read from the start)")
     if (batchId <= st.lastBatchId) st // replayed batch: already folded
     else {
       val row = batch
@@ -133,7 +214,8 @@ object StreamingHeavyHitters {
       val bn = row.getLong(1)
       val bc = row.getSeq[org.apache.spark.sql.Row](0)
         .map(r => (r.getString(0), r.getLong(1)))
-      val next = MgSnapshot(batchId, st.n + bn, mergeMg(k, st.counts, bc))
+      val next = MgSnapshot(k, checkpoint, batchId, st.n + bn,
+        mergeMg(k, st.counts, bc))
       val fs = statePath(stateDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       writeState(fs, stateDir, next)
@@ -153,9 +235,25 @@ object StreamingHeavyHitters {
     val k = HeavyHitters.checkedK(sketchK, denominator)
     val srcSchema = new StructType()
       .add("doc_id", LongType).add("text", StringType)
+    // refuse non-atomic-rename state filesystems NOW, at the entry point
+    // (the same outermost-chokepoint rule as WriterLease.withLease) —
+    // deferring to the first micro-batch's FsSwap.commit would lay down
+    // checkpoint state and then kill the stream asynchronously
+    val stateFs = statePath(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.FsCapabilities.assertAtomicRename(stateFs,
+      "streaming heavy-hitters state commit")
     // finish any state swap a previous process died inside, BEFORE the
     // stream starts (an empty source must still leave the state readable)
     readState(spark, stateDir)
+    // FS-qualified so every spelling of one checkpoint ("/x", "file:///x",
+    // "x/" from the same cwd) binds identically — a raw-string identity
+    // would reject a legitimate resume (or accept two different relative
+    // paths that stringify alike)
+    val ckptPath = new Path(checkpointDir)
+    val ckptId = ckptPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(ckptPath).toString
     val reader = spark.readStream.schema(srcSchema)
     val src =
       if (maxFilesPerTrigger > 0)
@@ -166,7 +264,7 @@ object StreamingHeavyHitters {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, stateDir, k, batch, batchId); ()
+        applyBatch(spark, stateDir, k, ckptId, batch, batchId); ()
       }
       .start()
   }
@@ -181,6 +279,15 @@ object StreamingHeavyHitters {
   def heavyHittersFromState(spark: SparkSession, stateDir: String,
       items: DataFrame, itemCol: String, denominator: Long): DataFrame = {
     val st = readState(spark, stateDir)
+    // the exactness claim is RELATIVE to the k the state was folded with:
+    // items at this threshold may have been evicted if k ≤ denominator —
+    // validate against the k recorded in the state, loudly, instead of
+    // returning a silently incomplete "exact" answer
+    require(st.lastBatchId < 0L || st.k > denominator,
+      s"state at $stateDir was folded with k=${st.k}, which does not " +
+        s"cover denominator=$denominator (needs k > denominator): items " +
+        "at this threshold may have been evicted — re-fold with a larger " +
+        "sketchK or query a coarser threshold")
     val minCount = math.ceil(st.n.toDouble / denominator).toLong
     val cands = st.counts.keys.toSeq
     items

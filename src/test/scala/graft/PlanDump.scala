@@ -161,7 +161,7 @@ object PlanDump {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val fb = graft.operators.HeavyHitters.exactPerGroup(toks, "source",
         "token", denominator = 100L, sketchK = 256,
-        broadcastMaxCandidates = 1L)
+        broadcastMaxCandidates = 1)
       fb.collect()
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
@@ -169,18 +169,23 @@ object PlanDump {
       sb.append(("""The grouped recount past `broadcastMaxCandidates` (forced to 1
         |here, dumped with AQE and the size-based auto-broadcast off —
         |at sf0.01 both would correctly re-broadcast this tiny relation,
-        |masking the at-scale shape): the measured candidate count —
-        |bounded by groups x k from the per-group MG summaries — exceeded
-        |the cap, so the recount join carries NO broadcast hint and plans
-        |as a SHUFFLE join on (group, item). Both sides exchange on the
-        |compound key; the join still carries candidate keys only (never
-        |the raw token stream past its first aggregation), so the plan
-        |stays safe when groups x k outgrows a broadcast. With AQE on, a
-        |candidate side that turns out small is still upgraded to a
-        |runtime broadcast on real statistics — the cap only stops the
-        |operator from FORCING an unbounded relation through one. The
-        |mechanical switch is pinned result-equal to the broadcast plan
-        |by HeavyHittersSpec.""".stripMargin).linesIterator.map(_.trim).mkString(" "))
+        |masking the at-scale shape): the limit(cap+1) probe — bounded by
+        |groups x k from the per-group MG summaries — overflowed the cap,
+        |so the probe is discarded and the recount join carries NO
+        |broadcast hint, planning as a SHUFFLE join on (group, item).
+        |Both sides exchange on the compound key; the join still carries
+        |candidate keys only (never the raw token stream past its first
+        |aggregation), so the plan stays safe when groups x k outgrows a
+        |broadcast. Under the cap the probe's rows ARE the broadcast
+        |(a LocalTableScan feeds the hinted side — a broadcast collects
+        |to the driver anyway, so the probe is the same data movement
+        |made explicit, and pass 1 runs exactly once with nothing left
+        |persisted). With AQE on, a candidate side that turns out small
+        |is still upgraded to a runtime broadcast on real statistics —
+        |the cap only stops the operator from FORCING an unbounded
+        |relation through one. The mechanical switch is pinned
+        |result-equal to the broadcast plan by
+        |HeavyHittersSpec.""".stripMargin).linesIterator.map(_.trim).mkString(" "))
       sb.append("\n\n```\n")
       sb.append(fb.queryExecution.executedPlan.toString.take(6000))
       sb.append("\n```\n")

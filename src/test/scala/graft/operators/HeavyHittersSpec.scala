@@ -127,7 +127,7 @@ class HeavyHittersSpec extends SparkSpec {
     val viaBroadcast = HeavyHitters.exactPerGroup(items, "src", "item",
       denominator = 12L, sketchK = 128)
     val viaShuffle = HeavyHitters.exactPerGroup(items, "src", "item",
-      denominator = 12L, sketchK = 128, broadcastMaxCandidates = 1L)
+      denominator = 12L, sketchK = 128, broadcastMaxCandidates = 1)
     val a = viaBroadcast.collect().map(r =>
       (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     val b = viaShuffle.collect().map(r =>

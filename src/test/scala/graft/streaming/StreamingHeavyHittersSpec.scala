@@ -70,15 +70,62 @@ class StreamingHeavyHittersSpec extends SparkSpec {
   test("a replayed micro-batch is skipped, not double-counted") {
     val stateDir = Files.createTempDirectory("graft_shh_replay_").toString
     val b = batchDf(0)
-    val s1 = StreamingHeavyHitters.applyBatch(spark, stateDir, 64, b, 0L)
+    val s1 = StreamingHeavyHitters.applyBatch(spark, stateDir, 64, "ck", b, 0L)
     // crash window: state installed but checkpoint not committed — the
     // stream replays batch 0 against the already-updated state
-    val s2 = StreamingHeavyHitters.applyBatch(spark, stateDir, 64, b, 0L)
+    val s2 = StreamingHeavyHitters.applyBatch(spark, stateDir, 64, "ck", b, 0L)
     assert(s2 == s1, "replay mutated the state")
     assert(StreamingHeavyHitters.readState(spark, stateDir).n == s1.n)
     // the NEXT batch applies normally
-    val s3 = StreamingHeavyHitters.applyBatch(spark, stateDir, 64, batchDf(1), 1L)
+    val s3 = StreamingHeavyHitters.applyBatch(spark, stateDir, 64, "ck",
+      batchDf(1), 1L)
     assert(s3.n == 2 * s1.n && s3.lastBatchId == 1L)
+  }
+
+  test("state binds to its checkpoint and its k; recount validates k") {
+    val stateDir = Files.createTempDirectory("graft_shh_bind_").toString
+    StreamingHeavyHitters.applyBatch(spark, stateDir, 64, "ck1", batchDf(0), 0L)
+    // a state dir outliving its checkpoint: batch ids restart at 0 under
+    // a fresh checkpoint, so continuing would skip NEW data as replays —
+    // the fold must refuse loudly instead
+    val eCk = intercept[IllegalStateException] {
+      StreamingHeavyHitters.applyBatch(spark, stateDir, 64, "ck2", batchDf(1), 0L)
+    }
+    assert(eCk.getMessage.contains("different checkpoint")
+      || eCk.getMessage.contains("folded under checkpoint"))
+    // changing k mid-state would weaken the composed bound — refuse
+    val eK = intercept[IllegalStateException] {
+      StreamingHeavyHitters.applyBatch(spark, stateDir, 32, "ck1", batchDf(1), 1L)
+    }
+    assert(eK.getMessage.contains("k="))
+    // the recount's exactness is relative to the folded k: a finer
+    // threshold than the state covers must fail loudly, not return a
+    // silently incomplete "exact" answer
+    val toks = batchDf(0).select(
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val eDen = intercept[IllegalArgumentException] {
+      StreamingHeavyHitters.heavyHittersFromState(
+        spark, stateDir, toks, "token", denominator = 500L).collect()
+    }
+    assert(eDen.getMessage.contains("does not cover"))
+    // the mirror guard: a FRESH state under an already-advanced
+    // checkpoint means committed batches will never be re-delivered —
+    // folding from a non-zero first batch must refuse loudly
+    val fresh = Files.createTempDirectory("graft_shh_fresh_").toString
+    val eFresh = intercept[IllegalStateException] {
+      StreamingHeavyHitters.applyBatch(spark, fresh, 64, "ck1", batchDf(1), 7L)
+    }
+    assert(eFresh.getMessage.contains("will not be re-delivered"))
+    // a pre-binding-format state file is a loud format error, not an NPE
+    // or a silent empty read
+    val old = Files.createTempDirectory("graft_shh_oldfmt_").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(old, "mg_state.json"),
+      """{"batch_id": 3, "n": 100, "counts": {"a": 5}}""")
+    val eFmt = intercept[IllegalStateException] {
+      StreamingHeavyHitters.readState(spark, old)
+    }
+    assert(eFmt.getMessage.contains("pre-binding format"))
   }
 
   test("driver-side mergeMg preserves the composed MG bound") {
