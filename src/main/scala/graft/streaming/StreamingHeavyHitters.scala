@@ -80,10 +80,20 @@ object StreamingHeavyHitters {
       FsSwap.recover(fs, p, stateTmp(stateDir), stateMarker(stateDir))
       try {
         if (!fs.exists(p)) {
-          // genuinely absent only with no in-flight/crashed swap evidence
-          if (!fs.exists(stateMarker(stateDir)) && !fs.exists(stateTmp(stateDir)))
-            return MgSnapshot(-1, "", -1L, 0L, Map.empty)
-          // evidence present: a live commit mid-rename, or a crashed swap
+          // swap evidence = the MARKER alone: commit writes it before
+          // ever touching live, and drops it only after the install — a
+          // tmp WITHOUT a marker is a pre-commit writeState crash
+          // remnant, provably uncommitted, and must not wedge reads
+          if (!fs.exists(stateMarker(stateDir))) {
+            // re-probe p AFTER the marker probe: a live commit that
+            // raced the first exists(p) (absent mid-swap) has, by the
+            // time its marker is observed gone, already installed live —
+            // so a still-absent p here really is a never-written state
+            if (!fs.exists(p))
+              return MgSnapshot(-1, "", -1L, 0L, Map.empty)
+            // p reappeared: fall through and read it next iteration
+          }
+          // marker present: a live commit mid-rename, or a crashed swap
           // recover couldn't finish — retry through the window, and FAIL
           // below rather than misreport lost/in-flight state as an empty
           // stream (a restarted ingest folding into a phantom-empty state
@@ -111,22 +121,25 @@ object StreamingHeavyHitters {
             counts.toMap)
         }
       } catch {
-        // mid-swap window: open raced the install rename
-        case _: java.io.FileNotFoundException if attempt < 5 => ()
+        // mid-swap window: open raced the install rename. Unconditional
+        // (no attempt guard) so the LAST attempt's race still exits
+        // through the curated error below, never as a bare FNF
+        case _: java.io.FileNotFoundException => ()
       }
       attempt += 1
       Thread.sleep(50)
     }
-    // retries exhausted WITH swap evidence present: the state exists (or
-    // existed) but cannot be read — a wedged swap or a rename outliving
-    // the retry window. Loud, like FsSwap's own writer path; returning
-    // "empty stream" here would silently discard the folded history.
+    // retries exhausted WITH the swap marker present: the state exists
+    // (or existed) but cannot be read — a wedged swap or a rename
+    // outliving the retry window. Loud, like FsSwap's own writer path;
+    // returning "empty stream" here would silently discard the folded
+    // history.
     throw new IllegalStateException(
-      s"MG state at $stateDir is unreadable after retries: swap evidence " +
-        s"(${stateMarker(stateDir).getName} / ${stateTmp(stateDir).getName}) " +
-        "is present but recovery could not produce a readable state file. " +
-        "A crashed commit may have lost its tmp — inspect the state dir; " +
-        "do NOT fold new batches until resolved")
+      s"MG state at $stateDir is unreadable after retries: the swap " +
+        s"marker ${stateMarker(stateDir).getName} is present but recovery " +
+        "could not produce a readable state file. A crashed commit may " +
+        "have lost its tmp — inspect the state dir; do NOT fold new " +
+        "batches until resolved")
   }
 
   private def writeState(fs: FileSystem, stateDir: String,
@@ -243,9 +256,6 @@ object StreamingHeavyHitters {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.core.FsCapabilities.assertAtomicRename(stateFs,
       "streaming heavy-hitters state commit")
-    // finish any state swap a previous process died inside, BEFORE the
-    // stream starts (an empty source must still leave the state readable)
-    readState(spark, stateDir)
     // FS-qualified so every spelling of one checkpoint ("/x", "file:///x",
     // "x/" from the same cwd) binds identically — a raw-string identity
     // would reject a legitimate resume (or accept two different relative
@@ -254,6 +264,29 @@ object StreamingHeavyHitters {
     val ckptId = ckptPath
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .makeQualified(ckptPath).toString
+    // finish any state swap a previous process died inside, BEFORE the
+    // stream starts (an empty source must still leave the state readable)
+    // — and apply the checkpoint/k binding guards HERE, synchronously
+    // (same outermost-chokepoint rule as the FS assert above): deferring
+    // them to the first foreachBatch would lay down checkpoint WAL state
+    // and then kill the stream asynchronously. applyBatch re-checks per
+    // batch for direct callers; only the batchId-dependent fresh-state
+    // guard genuinely belongs there.
+    val st0 = readState(spark, stateDir)
+    if (st0.lastBatchId >= 0L) {
+      if (st0.checkpoint != ckptId)
+        throw new IllegalStateException(
+          s"MG state at $stateDir was folded under checkpoint " +
+            s"'${st0.checkpoint}' but this stream runs under '$ckptId' — " +
+            "batch ids restart at 0 per checkpoint, so continuing would " +
+            "skip new data as replays (or double-count on a rewound " +
+            "checkpoint). Use a fresh state dir with a fresh checkpoint")
+      if (st0.k != k)
+        throw new IllegalStateException(
+          s"MG state at $stateDir was folded with k=${st0.k} but this " +
+            s"stream uses k=$k — mixed-k folds weaken the error bound " +
+            "the exact recount rests on. Use a fresh state dir to change k")
+    }
     val reader = spark.readStream.schema(srcSchema)
     val src =
       if (maxFilesPerTrigger > 0)

@@ -142,10 +142,11 @@ object PlanDump {
       sb.append("\n```\n")
     }
     // not a registry row: the grouped recount's MECHANICAL fallback —
-    // the candidate relation is counted after pass 1 (it is materialized
-    // once either way) and past the cap the semi-join runs as a shuffle
-    // join on (group, item) instead of a broadcast; forcing the cap to 1
-    // here shows that plan
+    // the candidate relation is probed through limit(cap+1): under the
+    // cap the probe's rows feed the broadcast directly (pass 1 runs
+    // once); past it the probe is discarded and the semi-join runs as a
+    // shuffle join on (group, item) with pass 1 recomputed inside it.
+    // Forcing the cap to 1 here shows that fallback plan.
     locally {
       import org.apache.spark.sql.functions._
       val toks = graft.core.Tables.load(spark, dir, "documents")

@@ -126,6 +126,25 @@ class StreamingHeavyHittersSpec extends SparkSpec {
       StreamingHeavyHitters.readState(spark, old)
     }
     assert(eFmt.getMessage.contains("pre-binding format"))
+    // ingest() applies the binding guards SYNCHRONOUSLY at entry — a
+    // mismatched stream must refuse before .start(), not die async in
+    // the first micro-batch after laying down checkpoint WAL state
+    val src = Files.createTempDirectory("graft_shh_bsrc_").toString + "/files"
+    batchDf(0).coalesce(1).write.parquet(src)
+    val eEntry = intercept[IllegalStateException] {
+      StreamingHeavyHitters.ingest(spark, src, stateDir,
+        Files.createTempDirectory("graft_shh_bck_").toString,
+        denominator = 20L, sketchK = 64)
+    }
+    assert(eEntry.getMessage.contains("folded under checkpoint"))
+    // a stale pre-commit tmp with NO marker and NO state file is a
+    // provably-uncommitted writeState crash remnant: reads must treat it
+    // as the empty stream, not a wedged swap (the availability trap)
+    val lone = Files.createTempDirectory("graft_shh_lonetmp_").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(lone, "mg_state.json_tmp"), """{"half": true""")
+    val st0 = StreamingHeavyHitters.readState(spark, lone)
+    assert(st0.lastBatchId == -1L && st0.n == 0L)
   }
 
   test("driver-side mergeMg preserves the composed MG bound") {
