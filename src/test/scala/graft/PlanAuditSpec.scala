@@ -66,6 +66,36 @@ class PlanAuditSpec extends SparkSpec {
       ".*ObjectHashAggregate.*misra_gries.*").r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("streaming-HH recount pushes the candidate IN filter into the scan") {
+    // the on-demand exact recount from a folded stream state filters the
+    // corpus by the <= k candidate set BEFORE any aggregation: the static
+    // In/isin predicate must reach the parquet scan as a PushedFilter so
+    // a 100 TB recount reads candidate rows only, never aggregates the
+    // full token stream. (The fold's own per-batch plan is the pass-1 MG
+    // shape already asserted above.)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_pa_shh_").toString
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_pa_shh_src_")
+      .toString + "/files"
+    Seq((1L, "alpha beta alpha gamma"), (2L, "alpha beta delta"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(src)
+    val q = graft.streaming.StreamingHeavyHitters.ingest(spark, src, stateDir,
+      java.nio.file.Files.createTempDirectory("graft_pa_shh_ck_").toString,
+      denominator = 3L, sketchK = 8)
+    q.processAllAvailable(); q.stop()
+    val toks = spark.read.parquet(src).select(
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val df = graft.streaming.StreamingHeavyHitters
+      .heavyHittersFromState(spark, stateDir, toks, "token", 3L)
+    val plan = executedPlan(df)
+    // the candidate filter executes BELOW the aggregate (printed after it
+    // in the top-down plan string): the aggregate's input is candidate
+    // rows only — the scale property. The tokens come out of an explode,
+    // so the static set shows as an INSET/IN Filter over the generator.
+    assert(("(?s).*HashAggregate.*Filter.*token.*(INSET| IN \\()").r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("store searchBatch carries string ids natively (no surrogate remap joins)") {
     import graft.store.VectorStore, VectorStore._
     import spark.implicits._
