@@ -68,14 +68,20 @@ object StreamingHeavyHitters {
     * pre-crash state forever would be worse than one that finishes the
     * evidenced install. A monitoring read can also RACE a live writer's
     * commit — the state file is momentarily absent between the
-    * aside/install renames — so "absent" is only believed when no swap
-    * evidence (marker/tmp) exists either; otherwise the read recovers
-    * and retries through the bounded window (the same bounded-re-read
-    * rule as the writer lease's torn-read handling). */
+    * aside/install renames — so "absent" is only believed when the
+    * (state absent, marker absent, state still absent) observation is
+    * STABLE across two attempts 50 ms apart; a single observation can be
+    * an ABA (commit N finished between the probes, commit N+1 already
+    * mid-swap). The window is narrowed, not eliminated — a lock-free
+    * reader cannot distinguish a perpetually-mid-swap writer from an
+    * empty stream with certainty; a consumer needing a linearizable
+    * read should quiesce the stream first. */
   def readState(spark: SparkSession, stateDir: String): MgSnapshot = {
     val p = statePath(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
+    var emptyObservations = 0
+    var markerEverSeen = false
     while (attempt <= 5) {
       FsSwap.recover(fs, p, stateTmp(stateDir), stateMarker(stateDir))
       try {
@@ -87,12 +93,16 @@ object StreamingHeavyHitters {
           if (!fs.exists(stateMarker(stateDir))) {
             // re-probe p AFTER the marker probe: a live commit that
             // raced the first exists(p) (absent mid-swap) has, by the
-            // time its marker is observed gone, already installed live —
-            // so a still-absent p here really is a never-written state
-            if (!fs.exists(p))
-              return MgSnapshot(-1, "", -1L, 0L, Map.empty)
-            // p reappeared: fall through and read it next iteration
-          }
+            // time its marker is observed gone, already installed live.
+            // One clean observation is still not proof (the ABA above) —
+            // require it twice, 50 ms apart, before believing "empty"
+            if (!fs.exists(p)) {
+              emptyObservations += 1
+              if (emptyObservations >= 2)
+                return MgSnapshot(-1, "", -1L, 0L, Map.empty)
+            } else emptyObservations = 0
+            // p reappeared (or first clean observation): retry
+          } else { markerEverSeen = true; emptyObservations = 0 }
           // marker present: a live commit mid-rename, or a crashed swap
           // recover couldn't finish — retry through the window, and FAIL
           // below rather than misreport lost/in-flight state as an empty
@@ -129,17 +139,25 @@ object StreamingHeavyHitters {
       attempt += 1
       Thread.sleep(50)
     }
-    // retries exhausted WITH the swap marker present: the state exists
-    // (or existed) but cannot be read — a wedged swap or a rename
-    // outliving the retry window. Loud, like FsSwap's own writer path;
-    // returning "empty stream" here would silently discard the folded
-    // history.
+    // retries exhausted: loud, like FsSwap's own writer path — returning
+    // "empty stream" here would silently discard the folded history. The
+    // diagnostic distinguishes the two ways to get here so the operator
+    // isn't sent down the lost-tmp recovery path when the state file is
+    // merely contended.
     throw new IllegalStateException(
-      s"MG state at $stateDir is unreadable after retries: the swap " +
-        s"marker ${stateMarker(stateDir).getName} is present but recovery " +
-        "could not produce a readable state file. A crashed commit may " +
-        "have lost its tmp — inspect the state dir; do NOT fold new " +
-        "batches until resolved")
+      if (markerEverSeen)
+        s"MG state at $stateDir is unreadable after retries: a swap " +
+          s"marker (${stateMarker(stateDir).getName}) was observed but " +
+          "recovery could not produce a readable state file. A crashed " +
+          "commit may have lost its tmp — inspect the state dir; do NOT " +
+          "fold new batches until resolved"
+      else
+        s"MG state at $stateDir could not be read through the retry " +
+          "window: every attempt raced an in-flight commit's rename (no " +
+          "crashed-swap marker was ever observed). The state is intact — " +
+          "this is read contention against a continuously-committing " +
+          "stream; retry the read, or quiesce the stream for a " +
+          "linearizable view")
   }
 
   private def writeState(fs: FileSystem, stateDir: String,
@@ -189,22 +207,32 @@ object StreamingHeavyHitters {
     * — reuse requires a fresh state dir too), and to one k (folding
     * summaries of mixed k would quietly weaken the composed bound the
     * recount's exactness rests on). */
-  private[streaming] def applyBatch(spark: SparkSession, stateDir: String,
-      k: Int, checkpoint: String, batch: DataFrame,
-      batchId: Long): MgSnapshot = {
-    val st = readState(spark, stateDir)
-    if (st.lastBatchId >= 0L && st.checkpoint != checkpoint)
+  /** The checkpoint/k binding rules, ONE implementation enforced at both
+    * chokepoints — ingest() entry (synchronous refusal before any
+    * checkpoint WAL is written) and per-batch (for direct [[applyBatch]]
+    * callers) — so the rule and its remediation message cannot drift. */
+  private def checkBindings(st: MgSnapshot, stateDir: String,
+      checkpoint: String, k: Int): Unit = {
+    if (st.lastBatchId < 0L) return // fresh state: nothing bound yet
+    if (st.checkpoint != checkpoint)
       throw new IllegalStateException(
         s"MG state at $stateDir was folded under checkpoint " +
           s"'${st.checkpoint}' but this stream runs under '$checkpoint' — " +
           "batch ids restart at 0 per checkpoint, so continuing would " +
           "skip new data as replays (or double-count on a rewound " +
           "checkpoint). Use a fresh state dir with a fresh checkpoint")
-    if (st.lastBatchId >= 0L && st.k != k)
+    if (st.k != k)
       throw new IllegalStateException(
         s"MG state at $stateDir was folded with k=${st.k} but this stream " +
           s"uses k=$k — mixed-k folds weaken the error bound the exact " +
           "recount rests on. Use a fresh state dir to change k")
+  }
+
+  private[streaming] def applyBatch(spark: SparkSession, stateDir: String,
+      k: Int, checkpoint: String, batch: DataFrame,
+      batchId: Long): MgSnapshot = {
+    val st = readState(spark, stateDir)
+    checkBindings(st, stateDir, checkpoint, k)
     // the mirror of the checkpoint guard: a FRESH state under an
     // already-advanced checkpoint means batches 0..batchId-1 were
     // committed in the checkpoint and will never be re-delivered — their
@@ -272,21 +300,7 @@ object StreamingHeavyHitters {
     // and then kill the stream asynchronously. applyBatch re-checks per
     // batch for direct callers; only the batchId-dependent fresh-state
     // guard genuinely belongs there.
-    val st0 = readState(spark, stateDir)
-    if (st0.lastBatchId >= 0L) {
-      if (st0.checkpoint != ckptId)
-        throw new IllegalStateException(
-          s"MG state at $stateDir was folded under checkpoint " +
-            s"'${st0.checkpoint}' but this stream runs under '$ckptId' — " +
-            "batch ids restart at 0 per checkpoint, so continuing would " +
-            "skip new data as replays (or double-count on a rewound " +
-            "checkpoint). Use a fresh state dir with a fresh checkpoint")
-      if (st0.k != k)
-        throw new IllegalStateException(
-          s"MG state at $stateDir was folded with k=${st0.k} but this " +
-            s"stream uses k=$k — mixed-k folds weaken the error bound " +
-            "the exact recount rests on. Use a fresh state dir to change k")
-    }
+    checkBindings(readState(spark, stateDir), stateDir, ckptId, k)
     val reader = spark.readStream.schema(srcSchema)
     val src =
       if (maxFilesPerTrigger > 0)

@@ -66,12 +66,15 @@ class PlanAuditSpec extends SparkSpec {
       ".*ObjectHashAggregate.*misra_gries.*").r.findFirstIn(plan).isDefined, plan)
   }
 
-  test("streaming-HH recount pushes the candidate IN filter into the scan") {
+  test("streaming-HH recount filters to candidates BELOW the aggregate") {
     // the on-demand exact recount from a folded stream state filters the
-    // corpus by the <= k candidate set BEFORE any aggregation: the static
-    // In/isin predicate must reach the parquet scan as a PushedFilter so
-    // a 100 TB recount reads candidate rows only, never aggregates the
-    // full token stream. (The fold's own per-batch plan is the pass-1 MG
+    // exploded token stream by the <= k candidate set BEFORE any
+    // aggregation. The predicate targets the explode's output, so it
+    // cannot reach the parquet scan (the corpus is still read and
+    // tokenized once — that one scan is the recount's honest cost); the
+    // scale property this pins is that the AGGREGATE and the exchange
+    // above it see candidate rows only, never the full token stream's
+    // cardinality. (The fold's own per-batch plan is the pass-1 MG
     // shape already asserted above.)
     val stateDir = java.nio.file.Files.createTempDirectory("graft_pa_shh_").toString
     import spark.implicits._
