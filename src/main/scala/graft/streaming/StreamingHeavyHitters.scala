@@ -98,7 +98,11 @@ object StreamingHeavyHitters {
             // require it twice, 50 ms apart, before believing "empty"
             if (!fs.exists(p)) {
               emptyObservations += 1
-              if (emptyObservations >= 2)
+              // a marker sighting earlier in THIS read proves a commit
+              // had fully materialized its tmp — a state file must exist
+              // after recovery, so "empty" would be contradictory: route
+              // those traces to the loud exhaustion path instead
+              if (emptyObservations >= 2 && !markerEverSeen)
                 return MgSnapshot(-1, "", -1L, 0L, Map.empty)
             } else emptyObservations = 0
             // p reappeared (or first clean observation): retry
@@ -133,31 +137,37 @@ object StreamingHeavyHitters {
       } catch {
         // mid-swap window: open raced the install rename. Unconditional
         // (no attempt guard) so the LAST attempt's race still exits
-        // through the curated error below, never as a bare FNF
-        case _: java.io.FileNotFoundException => ()
+        // through the curated error below, never as a bare FNF. An FNF
+        // is POSITIVE evidence the state file existed an instant ago —
+        // reset the empty counter, or two ABA observations straddling
+        // this sighting would still return a phantom-empty snapshot
+        case _: java.io.FileNotFoundException => emptyObservations = 0
       }
       attempt += 1
       Thread.sleep(50)
     }
     // retries exhausted: loud, like FsSwap's own writer path — returning
     // "empty stream" here would silently discard the folded history. The
-    // diagnostic distinguishes the two ways to get here so the operator
-    // isn't sent down the lost-tmp recovery path when the state file is
-    // merely contended.
+    // diagnostic discriminates on marker PERSISTENCE (still present after
+    // the final attempt's recover failed to clear it = a genuinely wedged
+    // or crashed swap), NOT on marker-ever-seen — a healthy live commit
+    // holds its marker through its whole p-absent window, so ever-seen
+    // would misdirect plain read contention down the lost-tmp path.
+    val markerStillThere =
+      try fs.exists(stateMarker(stateDir))
+      catch { case _: java.io.IOException => false }
     throw new IllegalStateException(
-      if (markerEverSeen)
-        s"MG state at $stateDir is unreadable after retries: a swap " +
-          s"marker (${stateMarker(stateDir).getName}) was observed but " +
-          "recovery could not produce a readable state file. A crashed " +
-          "commit may have lost its tmp — inspect the state dir; do NOT " +
-          "fold new batches until resolved"
+      if (markerStillThere)
+        s"MG state at $stateDir is unreadable after retries: the swap " +
+          s"marker ${stateMarker(stateDir).getName} persists after " +
+          "recovery attempts. A crashed commit may have lost its tmp — " +
+          "inspect the state dir; do NOT fold new batches until resolved"
       else
         s"MG state at $stateDir could not be read through the retry " +
-          "window: every attempt raced an in-flight commit's rename (no " +
-          "crashed-swap marker was ever observed). The state is intact — " +
-          "this is read contention against a continuously-committing " +
-          "stream; retry the read, or quiesce the stream for a " +
-          "linearizable view")
+          "window: every attempt raced an in-flight commit's rename and " +
+          "no swap marker remains. The state is intact — this is read " +
+          "contention against a continuously-committing stream; retry " +
+          "the read, or quiesce the stream for a linearizable view")
   }
 
   private def writeState(fs: FileSystem, stateDir: String,
@@ -194,23 +204,16 @@ object StreamingHeavyHitters {
     b.result()
   }
 
-  /** Apply ONE micro-batch of (doc_id, text) rows to the persisted state:
-    * skip if already applied (replay after a crash between state install
-    * and checkpoint commit), else fold the batch's MG summary in. Package-
-    * visible so the idempotence and binding rules are directly testable.
-    * Returns the state now in effect.
-    *
-    * Two loud-failure guards protect the fold's correctness claims:
-    * the state is BOUND to one checkpoint (micro-batch ids restart at 0
-    * under a fresh checkpoint, so the replay guard would silently skip
-    * NEVER-SEEN data as "replays" if a state dir outlived its checkpoint
-    * — reuse requires a fresh state dir too), and to one k (folding
-    * summaries of mixed k would quietly weaken the composed bound the
-    * recount's exactness rests on). */
   /** The checkpoint/k binding rules, ONE implementation enforced at both
     * chokepoints — ingest() entry (synchronous refusal before any
     * checkpoint WAL is written) and per-batch (for direct [[applyBatch]]
-    * callers) — so the rule and its remediation message cannot drift. */
+    * callers) — so the rule and its remediation message cannot drift.
+    * Why they exist: the state is BOUND to one checkpoint (micro-batch
+    * ids restart at 0 under a fresh checkpoint, so the replay guard
+    * would silently skip NEVER-SEEN data as "replays" if a state dir
+    * outlived its checkpoint — reuse requires a fresh state dir too),
+    * and to one k (folding summaries of mixed k would quietly weaken the
+    * composed bound the recount's exactness rests on). */
   private def checkBindings(st: MgSnapshot, stateDir: String,
       checkpoint: String, k: Int): Unit = {
     if (st.lastBatchId < 0L) return // fresh state: nothing bound yet
@@ -228,6 +231,11 @@ object StreamingHeavyHitters {
           "recount rests on. Use a fresh state dir to change k")
   }
 
+  /** Apply ONE micro-batch of (doc_id, text) rows to the persisted state:
+    * skip if already applied (replay after a crash between state install
+    * and checkpoint commit), else fold the batch's MG summary in. Package-
+    * visible so the idempotence and binding rules are directly testable.
+    * Returns the state now in effect. */
   private[streaming] def applyBatch(spark: SparkSession, stateDir: String,
       k: Int, checkpoint: String, batch: DataFrame,
       batchId: Long): MgSnapshot = {
