@@ -148,14 +148,23 @@ object StreamingHeavyHitters {
     }
     // retries exhausted: loud, like FsSwap's own writer path — returning
     // "empty stream" here would silently discard the folded history. The
-    // diagnostic discriminates on marker PERSISTENCE (still present after
-    // the final attempt's recover failed to clear it = a genuinely wedged
-    // or crashed swap), NOT on marker-ever-seen — a healthy live commit
-    // holds its marker through its whole p-absent window, so ever-seen
-    // would misdirect plain read contention down the lost-tmp path.
+    // diagnostic discriminates on marker PERSISTENCE — NOT marker-ever-
+    // seen (a healthy live commit holds its marker through its whole
+    // p-absent window, so ever-seen would misdirect plain read contention
+    // down the lost-tmp path). The probe is SYNCHRONIZED with recovery:
+    // recover() serializes on the swap lock, so it returns only after any
+    // live commit's rename section finishes — a marker that survives a
+    // completed recover is one finishSwap could not clear (tmp lost with
+    // no install), i.e. genuinely wedged, not a fresh commit mid-window
+    // (a new commit starting in the instant between the recover and the
+    // probe remains possible; the message says "may"). An UNREADABLE
+    // probe defaults to the conservative branch — asserting "the state is
+    // intact, just retry" on the same flaky FS that failed the reads
+    // would invite a restarted ingest to clobber recovery evidence.
+    FsSwap.recover(fs, p, stateTmp(stateDir), stateMarker(stateDir))
     val markerStillThere =
       try fs.exists(stateMarker(stateDir))
-      catch { case _: java.io.IOException => false }
+      catch { case _: java.io.IOException => true }
     throw new IllegalStateException(
       if (markerStillThere)
         s"MG state at $stateDir is unreadable after retries: the swap " +

@@ -145,6 +145,18 @@ class StreamingHeavyHittersSpec extends SparkSpec {
       java.nio.file.Paths.get(lone, "mg_state.json_tmp"), """{"half": true""")
     val st0 = StreamingHeavyHitters.readState(spark, lone)
     assert(st0.lastBatchId == -1L && st0.n == 0L)
+    // the opposite trap: a swap marker that survives recovery (a commit
+    // crashed with its tmp lost — finishSwap can clear nothing) must be
+    // a LOUD wedged-swap error, never the empty snapshot a restarted
+    // ingest would clobber the evidence over
+    val wedged = Files.createTempDirectory("graft_shh_wedged_").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(wedged, "mg_state.swap.inprogress"), "{}")
+    val eWedge = intercept[IllegalStateException] {
+      StreamingHeavyHitters.readState(spark, wedged)
+    }
+    assert(eWedge.getMessage.contains("persists after recovery")
+      && eWedge.getMessage.contains("do NOT fold"))
   }
 
   test("driver-side mergeMg preserves the composed MG bound") {
