@@ -79,6 +79,20 @@ object StreamingHeavyHitters {
   def readState(spark: SparkSession, stateDir: String): MgSnapshot = {
     val p = statePath(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fast path: a state dir holding NO swap artifact at all — no state
+    // file, marker, tmp, or aside — is the empty stream with no ABA risk
+    // and no sleeps: mid-swap always leaves the marker (and the aside)
+    // visible, so an artifact-free listing proves no commit has ever
+    // staged anything; a first commit racing this listing linearizes
+    // AFTER the read. This keeps the double-observation cost off the
+    // common fresh-start path (one listing vs two 50 ms waits).
+    val artifacts = Set(p.getName, stateMarker(stateDir).getName,
+      stateTmp(stateDir).getName, p.getName + "_old")
+    val listed =
+      try fs.listStatus(new Path(stateDir)).map(_.getPath.getName).toSet
+      catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+    if (listed.intersect(artifacts).isEmpty)
+      return MgSnapshot(-1, "", -1L, 0L, Map.empty)
     var attempt = 0
     var emptyObservations = 0
     var markerEverSeen = false
