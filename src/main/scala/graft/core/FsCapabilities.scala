@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.hadoop.fs.FileSystem
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Loud startup/mutation guard for filesystems without atomic
   * rename/exclusive-create semantics.
@@ -27,34 +27,129 @@ import org.apache.hadoop.fs.FileSystem
   * lack atomic directory rename; notably `abfs`/`abfss` (ADLS Gen2 with a
   * hierarchical namespace) and `hdfs` DO rename atomically and are not
   * listed. Unknown schemes are presumed safe — the guard exists to catch
-  * the well-known object-store foot-gun, not to allowlist the world. */
+  * the well-known object-store foot-gun, not to allowlist the world. Two
+  * r13 escape hatches close the presumed-safe gap for operators who know
+  * better than the static list:
+  *
+  *  - [[ExtraNonAtomicKey]] EXTENDS the blocklist from conf, no rebuild
+  *    (`spark.hadoop.graft.fs.non-atomic-rename-schemes=myfs,otherfs`);
+  *  - [[ProbeKey]] opts in to a FUNCTIONAL probe at store open
+  *    ([[probeAtomicRename]]): exclusive-create + rename-visibility
+  *    exercised in a scratch dir under the store path — a filesystem
+  *    whose primitives fail the probe is refused with the same message
+  *    as a blocklisted scheme, regardless of what its scheme claims.
+  *    Off by default (a handful of FS round-trips per open, and some
+  *    perfectly-atomic filesystems sit behind flaky perimeters where a
+  *    transient error would block a legitimate open — the operator
+  *    decides).
+  */
 object FsCapabilities {
 
   /** Schemes whose rename is a non-atomic copy+delete. */
   val NonAtomicRenameSchemes: Set[String] =
     Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "swift", "oss", "cos")
 
-  /** Hadoop conf key opting in to advisory-only locking on the schemes
-    * above (reachable as `spark.hadoop.` + this key on a SparkSession). */
+  /** Hadoop conf key opting in to advisory-only locking on non-atomic
+    * schemes (reachable as `spark.hadoop.` + this key on a SparkSession). */
   val AllowNonAtomicKey = "graft.fs.allow-non-atomic-rename"
 
+  /** Hadoop conf key holding EXTRA comma-separated schemes to treat as
+    * non-atomic, extending [[NonAtomicRenameSchemes]] without a rebuild. */
+  val ExtraNonAtomicKey = "graft.fs.non-atomic-rename-schemes"
+
+  /** Hadoop conf key opting in to the functional [[probeAtomicRename]]
+    * at store open (see class doc). */
+  val ProbeKey = "graft.fs.probe-atomic-rename"
+
   /** True when `fs`'s scheme provides (or is presumed to provide) atomic
-    * rename + exclusive create. */
+    * rename + exclusive create, per the static blocklist plus any
+    * [[ExtraNonAtomicKey]] conf extension. */
   def atomicRename(fs: FileSystem): Boolean = {
     val scheme = Option(fs.getUri.getScheme)
       .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("file")
-    !NonAtomicRenameSchemes.contains(scheme)
+    val extra = Option(fs.getConf.getTrimmedStrings(ExtraNonAtomicKey))
+      .getOrElse(Array.empty[String])
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    !NonAtomicRenameSchemes.contains(scheme) && !extra.contains(scheme)
   }
 
   /** Throw unless `fs` renames atomically or the operator opted in. */
   def assertAtomicRename(fs: FileSystem, what: String): Unit =
-    if (!atomicRename(fs) && !fs.getConf.getBoolean(AllowNonAtomicKey, false))
-      throw new IllegalStateException(
-        s"$what requires atomic rename/exclusive-create, but filesystem " +
-          s"scheme '${fs.getUri.getScheme}' is a non-atomic object store — " +
-          "the writer lease and swap commit would silently degrade to " +
-          "advisory. Run against HDFS/local/an HDFS-semantics store, or " +
-          s"accept advisory-only locking by setting $AllowNonAtomicKey=true " +
-          "in the Hadoop conf (spark.hadoop. prefix on the session) when " +
-          "an external scheduler already guarantees a single writer")
+    if (!atomicRename(fs) && !allowed(fs))
+      throw refusal(fs, what,
+        s"scheme '${fs.getUri.getScheme}' is a (statically or conf-) " +
+          "listed non-atomic object store")
+
+  /** Functional capability probe: exercise the two primitives the lease
+    * and swap rest on, in `scratchDir` —
+    *
+    *  1. exclusive create: `create(p, overwrite = false)` must succeed
+    *     once and FAIL on the second call (an FS that lets both succeed
+    *     cannot host a writer lease);
+    *  2. atomic rename visibility: after `rename(a, b)` succeeds, `a`
+    *     must be gone and `b` present (a copy+delete "rename" observed
+    *     mid-flight breaks the swap's reader guarantees; this probe
+    *     catches the cruder failure of a rename that lies about its
+    *     result or leaves both paths visible).
+    *
+    * Returns true iff both hold. Best-effort cleanup; a probe that cannot
+    * even create its scratch files returns FALSE (conservative: the
+    * mutation path would fail there too). NOTE this is a point-in-time
+    * functional check, not a proof of atomicity under concurrency — it
+    * exists to catch misconfigured/unknown filesystems at open time, not
+    * to certify object stores as safe. */
+  def probeAtomicRename(fs: FileSystem, scratchDir: Path): Boolean = {
+    val a = new Path(scratchDir, "atomic_probe_a")
+    val b = new Path(scratchDir, "atomic_probe_b")
+    try {
+      fs.mkdirs(scratchDir)
+      fs.delete(a, false); fs.delete(b, false)
+      val first =
+        try { fs.create(a, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (!first) return false
+      val second =
+        try { fs.create(a, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (second) return false // exclusive create is not exclusive
+      val renamed =
+        try fs.rename(a, b)
+        catch { case _: java.io.IOException => false }
+      renamed && !fs.exists(a) && fs.exists(b)
+    } catch {
+      case _: java.io.IOException => false
+    } finally {
+      try { fs.delete(a, false); fs.delete(b, false); fs.delete(scratchDir, true) }
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Store-open guard combining both checks: the static/conf scheme list
+    * always applies; the functional probe additionally runs when the
+    * operator set [[ProbeKey]] (it writes to a scratch dir under
+    * `storePath`, so it is only called from writable-open paths). Either
+    * failure refuses with the same remediation message, unless
+    * [[AllowNonAtomicKey]] opted in. */
+  def assertAtomicRenameAtOpen(fs: FileSystem, storePath: Path,
+      what: String): Unit = {
+    assertAtomicRename(fs, what)
+    if (fs.getConf.getBoolean(ProbeKey, false) && !allowed(fs) &&
+        !probeAtomicRename(fs, new Path(storePath, ".fs_capability_probe")))
+      throw refusal(fs, what,
+        s"the functional probe ($ProbeKey) found exclusive-create or " +
+          "rename-visibility broken on this filesystem")
+  }
+
+  private def allowed(fs: FileSystem): Boolean =
+    fs.getConf.getBoolean(AllowNonAtomicKey, false)
+
+  private def refusal(fs: FileSystem, what: String,
+      why: String): IllegalStateException =
+    new IllegalStateException(
+      s"$what requires atomic rename/exclusive-create, but $why — " +
+        "the writer lease and swap commit would silently degrade to " +
+        "advisory. Run against HDFS/local/an HDFS-semantics store, or " +
+        s"accept advisory-only locking by setting $AllowNonAtomicKey=true " +
+        "in the Hadoop conf (spark.hadoop. prefix on the session) when " +
+        "an external scheduler already guarantees a single writer")
 }

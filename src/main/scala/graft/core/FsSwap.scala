@@ -85,10 +85,19 @@ object FsSwap {
     // operator opted in) BEFORE the marker is written; recovery of
     // pre-existing swap state stays permissive on any filesystem
     FsCapabilities.assertAtomicRename(fs, s"swap commit of $tmp into $live")
-    val out = fs.create(marker, true)
-    try out.write(markerContent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
     withSwapLock(fs, live) { renew =>
+      // the marker is written INSIDE the swap lock (moved in r13): written
+      // before it, a lock-holding reader's recovery could observe
+      // (marker, tmp) mid-create, finish the swap, and DELETE the marker
+      // while this writer's create() call is still setting permissions on
+      // it — a chmod-on-vanished-file error that killed a healthy commit.
+      // Under the lock, recovery participants are serialized out of the
+      // window entirely; a crash before the marker lands leaves only a
+      // markerless tmp beside an intact live dir, which recover
+      // deliberately leaves alone and the next rewrite clobbers.
+      val out = fs.create(marker, true)
+      try out.write(markerContent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
       // strict = a tmp-lost state THROWS instead of returning retryable:
       // retrying after the aside restore would misread the restored OLD
       // data as an installed swap and report false success
@@ -113,17 +122,42 @@ object FsSwap {
     // exists probes and never creates a lock file
     if (!fs.exists(marker) && !fs.exists(tmp)) return
     withSwapLock(fs, live) { renew =>
-      // re-check under the lock: a concurrent recoverer may have finished.
-      // An unfinishable swap defers silently (marker stays for next open).
-      if (fs.exists(marker)) { finishSwap(fs, live, tmp, marker, renew); () }
-      else if (fs.exists(new Path(tmp, "_SUCCESS")) && !fs.exists(live)) {
-        // pre-marker-era crash between delete and rename: adopt the tmp —
-        // but only a COMPLETE one (_SUCCESS): a markerless tmp still being
-        // written by a live rewriter must not be yanked out from under it
-        tryRename(fs, tmp, live); ()
-      }
+      recoverUnderLock(fs, live, tmp, marker, renew)
     }
   }
+
+  /** [[recover]]'s body, for callers already inside the swap lock. */
+  private def recoverUnderLock(fs: FileSystem, live: Path, tmp: Path,
+      marker: Path, renew: () => Unit): Unit = {
+    // re-check under the lock: a concurrent recoverer may have finished.
+    // An unfinishable swap defers silently (marker stays for next open).
+    if (fs.exists(marker)) { finishSwap(fs, live, tmp, marker, renew); () }
+    else if (fs.exists(new Path(tmp, "_SUCCESS")) && !fs.exists(live)) {
+      // pre-marker-era crash between delete and rename: adopt the tmp —
+      // but only a COMPLETE one (_SUCCESS): a markerless tmp still being
+      // written by a live rewriter must not be yanked out from under it
+      tryRename(fs, tmp, live); ()
+    }
+  }
+
+  /** Linearizable read section: run `body` holding the SAME swap lock
+    * [[commit]]'s rename sequence holds, after completing any evidenced
+    * recovery under it. While `body` runs no commit can be mid-rename —
+    * the live path is either fully installed or has genuinely never been
+    * committed (a writer that has staged its tmp and marker but not yet
+    * entered its lock section linearizes AFTER this read; if its marker is
+    * already visible the recovery here finishes its install first, which
+    * the commit's own `!exists(marker)` re-check tolerates by design). The
+    * price is blocking a live writer for `body`'s duration — keep `body`
+    * to a read; monitors get a consistent snapshot without quiescing the
+    * writer. Throws like [[recover]]'s lock path if the lock cannot be
+    * obtained within [[LockMaxWaitMs]]. */
+  def readLocked[T](fs: FileSystem, live: Path, tmp: Path, marker: Path)(
+      body: => T): T =
+    withSwapLock(fs, live) { renew =>
+      recoverUnderLock(fs, live, tmp, marker, renew)
+      body
+    }
 
   /** Drive a marker-evidenced swap to completion from any crash state.
     * Caller holds the swap lock; `renew` touches the lock before each

@@ -61,6 +61,9 @@ final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long,
   private val hbPath = new Path(root, leaseName + ".hb")
   private val token = java.util.UUID.randomUUID().toString
   private var depth = 0
+  // the conf-gated functional FS probe runs at most once per handle (it
+  // costs real FS round-trips); guarded by the handle's own synchronized
+  private var probed = false
 
   private def ownerString: String =
     s"${ProcessHandle.current().pid()}@${java.net.InetAddress.getLocalHost.getHostName}"
@@ -70,8 +73,17 @@ final class WriterLease(fs: FileSystem, root: Path, ttlMs: Long,
     else {
       // every mutation passes here exactly once (outermost acquire) —
       // the one chokepoint where a non-atomic-rename filesystem must
-      // refuse loudly instead of degrading the lease to advisory
-      FsCapabilities.assertAtomicRename(fs, "acquiring the writer lease")
+      // refuse loudly instead of degrading the lease to advisory. The
+      // r13 open-time form also runs the conf-gated FUNCTIONAL probe
+      // (exclusive-create + rename-visibility in a scratch dir under the
+      // root) the first time this handle acquires, so an unknown scheme
+      // that LIES about its primitives is refused too, not just the
+      // statically/conf-listed ones.
+      if (!probed) {
+        FsCapabilities.assertAtomicRenameAtOpen(fs, root,
+          "acquiring the writer lease")
+        probed = true
+      } else FsCapabilities.assertAtomicRename(fs, "acquiring the writer lease")
       acquire()
       depth = 1
       try body finally { depth = 0; release() }

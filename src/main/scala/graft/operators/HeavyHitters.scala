@@ -205,7 +205,11 @@ object HeavyHitters {
   /** Per-group exact heavy hitters: for every group (source, language,
     * domain bucket…), the items holding ≥ 1/denominator of THAT group's
     * mass, with exact counts — (group, item, cnt), ordered (group asc,
-    * cnt desc, item asc). Same two passes as [[exact]], grouped: pass 1
+    * cnt desc, item asc). NOTE: pass 1 executes EAGERLY at call time (the
+    * `limit(cap+1)` probe below collects up to that many candidate rows
+    * on the driver to pick the recount plan) — constructing the returned
+    * DataFrame is NOT free, unlike most builders in this package.
+    * Same two passes as [[exact]], grouped: pass 1
     * is ONE aggregation producing a ≤ sketchK MG summary per group
     * (memory O(k · groups-per-task)); pass 2 broadcasts the exploded
     * candidate relation (≤ groups × k rows) as a semi-join on

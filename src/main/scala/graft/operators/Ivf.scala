@@ -284,7 +284,16 @@ object Ivf {
     * empty result scoring 0.0. Returns a 1-row DataFrame
     * (avg_recall DOUBLE, n_queries LONG, avg_precision DOUBLE —
     * precision appended last so positional readers of the original pair
-    * are unaffected). */
+    * are unaffected).
+    *
+    * Residual divergence from the reference (documented, accepted): the
+    * metric is driven from the UNION of approx and exact query ids, so a
+    * query whose approx AND exact result sets are BOTH empty is dropped
+    * from n_queries, where the reference's per-query loop would score it
+    * recall 1.0 / precision 0.0. Unreachable in practice — search returns
+    * ≥ 1 row for k ≥ 1 on a non-empty corpus — and a caller who needs
+    * exact parity for such degenerate batches can pass an explicit
+    * query-id frame as `approx` rows instead. */
   def evaluateRecall(approx: DataFrame, exact: DataFrame,
       queryIdCol: String = "query_id"): DataFrame = {
     val hits = approx.select(col(queryIdCol), col("id"))

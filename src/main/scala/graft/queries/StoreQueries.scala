@@ -325,8 +325,27 @@ object StoreQueries {
           .otherwise(lit("2026-01-01 23:00:00")).cast("timestamp").as("ts")))
       val now = Some(java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))
       store.migrate(now) // evens -> clustered historical (8 centroids)
-      store.enableSq()   // code-tier snapshot BEFORE the historical plant
+      // r13: EVERY code tier enabled (the reference's check_integrity
+      // walks every persisted structure, ivf/persistence.rs:299-349) —
+      // all three snapshot the historical tier BEFORE the plants, so the
+      // historical plant drifts each tier's `missing` identically, and
+      // the bq orphan plant below drifts `orphaned` on ONE tier only
+      // (the per-tier split a single-tier replay could fake)
+      store.enableSq()
+      store.enableBq()
+      store.enablePq(m = 4, kCodes = 16, trainSize = 2048)
       val ts = lit("2026-01-01 23:30:00").cast("timestamp")
+      // orphaned-code plant: bq_codes rows whose ids exist in NO tier
+      // (the crash-between-tier-rewrite-and-code-refresh direction the
+      // missing plant can't exercise) — count = a pure modulo filter
+      emb.filter(col("vec_id") % 37 === 0).select(
+          concat(lit("orph"), col("vec_id")).as("id"),
+          concat(lit("vidorph"), col("vec_id")).as("vid"),
+          ts.as("ts"),
+          array(lit(0L)).as("words"),
+          lit(0L).as("cluster_id"))
+        .write.mode("append").partitionBy("cluster_id")
+        .parquet(s"$path/bq_codes")
       val wrongDim = emb.filter(col("vec_id") % 17 === 0).select(
         concat(lit("wd"), col("vec_id")).as("id"),
         concat(lit("vidwd"), col("vec_id")).as("vid"),
@@ -354,12 +373,17 @@ object StoreQueries {
       val r = store.checkIntegrity()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
       val (sqMissing, sqOrphaned) = r.codeTierDrift("sq_codes")
+      val (pqMissing, pqOrphaned) = r.codeTierDrift("pq_codes")
+      val (bqMissing, bqOrphaned) = r.codeTierDrift("bq_codes")
       Seq((r.liveRecent, r.liveHistorical, r.wrongDimCount,
           r.duplicateIdCount, r.crossTierDuplicateCount,
-          r.invalidClusterCount, sqMissing, sqOrphaned, r.isComplete))
+          r.invalidClusterCount, sqMissing, sqOrphaned,
+          pqMissing, pqOrphaned, bqMissing, bqOrphaned, r.isComplete))
         .toDF("live_recent", "live_historical", "wrong_dim_count",
           "duplicate_id_count", "cross_tier_dup_count",
-          "invalid_cluster_count", "sq_missing", "sq_orphaned", "is_complete")
+          "invalid_cluster_count", "sq_missing", "sq_orphaned",
+          "pq_missing", "pq_orphaned", "bq_missing", "bq_orphaned",
+          "is_complete")
     }),
     // X15/X16 tier migration, end-to-end with the no-double-count contract
     // as the oracle: rows older than the threshold move recent->historical
@@ -472,9 +496,11 @@ object StoreQueries {
         |FROM embeddings WHERE vec_id < 200 AND vec_id % 3 <> 0
         |ORDER BY id""".stripMargin,
     // every planted defect count is a modulo filter over the source
-    // table; live counts add the plants to the parity split, the SQ
-    // snapshot predates the historical plant (missing = that plant,
-    // orphaned = 0), and is_complete excludes the cross-tier class
+    // table; live counts add the plants to the parity split, every code
+    // tier's snapshot predates the historical plant (missing = that
+    // plant, identically per tier), the bq orphan plant drifts ONE
+    // tier's orphaned count, and is_complete excludes the cross-tier
+    // class while including all six drift legs
     "integrity_scan" ->
       """WITH c AS (SELECT
         |  count(*) FILTER (WHERE vec_id % 2 = 1) AS n_odd,
@@ -482,7 +508,8 @@ object StoreQueries {
         |  count(*) FILTER (WHERE vec_id % 17 = 0) AS n_wd,
         |  count(*) FILTER (WHERE vec_id % 2 = 1 AND vec_id % 23 = 0) AS n_dup,
         |  count(*) FILTER (WHERE vec_id % 2 = 0 AND vec_id % 29 = 0) AS n_cross,
-        |  count(*) FILTER (WHERE vec_id % 31 = 0) AS n_ic
+        |  count(*) FILTER (WHERE vec_id % 31 = 0) AS n_ic,
+        |  count(*) FILTER (WHERE vec_id % 37 = 0) AS n_orph
         |  FROM embeddings)
         |SELECT (n_odd + n_wd + n_dup + n_cross)::BIGINT AS live_recent,
         |  (n_even + n_ic)::BIGINT AS live_historical,
@@ -490,7 +517,9 @@ object StoreQueries {
         |  n_cross::BIGINT AS cross_tier_dup_count,
         |  n_ic::BIGINT AS invalid_cluster_count,
         |  n_ic::BIGINT AS sq_missing, CAST(0 AS BIGINT) AS sq_orphaned,
-        |  (n_wd = 0 AND n_dup = 0 AND n_ic = 0) AS is_complete
+        |  n_ic::BIGINT AS pq_missing, CAST(0 AS BIGINT) AS pq_orphaned,
+        |  n_ic::BIGINT AS bq_missing, n_orph::BIGINT AS bq_orphaned,
+        |  (n_wd = 0 AND n_dup = 0 AND n_ic = 0 AND n_orph = 0) AS is_complete
         |FROM c""".stripMargin,
     // every count is closed-form: eligible = the old-ts band; the first
     // slice is capped at 100; the end state must partition the corpus

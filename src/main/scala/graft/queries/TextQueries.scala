@@ -193,6 +193,36 @@ ORDER BY d$rounds.doc_id"""
       graft.operators.HeavyHitters.exactPerGroup(toks, "source", "token",
         denominator = 100L, sketchK = 256)
     }),
+    // §2.11 streaming face of the grouped profiler (r13): four staged
+    // micro-batches folded per batch into ONE per-source MG state file
+    // (bounded by groups x k; FsSwap-committed, exactly-once), then each
+    // source's folded candidates recounted at that source's own threshold.
+    // The oracle is the SAME full grouped-groupBy replay as
+    // heavy_hitters_by_source — the per-group composed MG bound
+    // (k=256 > denominator=100 within every group) guarantees no true
+    // per-source heavy hitter is evicted across any number of batch
+    // folds, so a wrong per-group merge, a dropped batch, a double-applied
+    // replay, or drifted per-group mass tracking hash-mismatches.
+    "streaming_hh_by_source" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gshh_q_").toString
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .repartition(4).write.parquet(s"$tmp/src")
+      val q = graft.streaming.StreamingGroupedHeavyHitters.ingest(
+        s, s"$tmp/src", s"$tmp/state", s"$tmp/chk",
+        denominator = 100L, sketchK = 256, maxFilesPerTrigger = 1)
+      q.processAllAvailable(); q.stop()
+      val toks = s.read.parquet(s"$tmp/src")
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+      val out = graft.streaming.StreamingGroupedHeavyHitters
+        .heavyHittersFromState(s, s"$tmp/state", toks, "source", "token", 100L)
+        .collect()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      import s.implicits._
+      out.toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toDF("source", "token", "cnt")
+        .orderBy(col("source").asc, col("cnt").desc, col("token").asc)
+    }),
     // content + winnowing fingerprints (map-only)
     "doc_fingerprint" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -884,6 +914,17 @@ ORDER BY d$rounds.doc_id"""
          |HAVING count(*) >= ceil((SELECT n FROM tot) / 200.0)
          |ORDER BY cnt DESC, token ASC""".stripMargin,
     "heavy_hitters_by_source" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest($toksSql) AS token FROM documents),
+         |tot AS (SELECT source, count(*) AS n FROM tok GROUP BY 1)
+         |SELECT k.source, k.token, count(*) AS cnt
+         |FROM tok k JOIN tot t ON t.source = k.source
+         |GROUP BY k.source, k.token, t.n
+         |HAVING count(*) >= ceil(t.n / 100.0)
+         |ORDER BY k.source ASC, cnt DESC, token ASC""".stripMargin,
+    // the streamed grouped fold must recount to the SAME full grouped
+    // answer — the per-group MG bound composes across micro-batch merges
+    "streaming_hh_by_source" ->
       s"""WITH tok AS (
          |  SELECT source, unnest($toksSql) AS token FROM documents),
          |tot AS (SELECT source, count(*) AS n FROM tok GROUP BY 1)

@@ -56,6 +56,7 @@ import scala.util.control.NonFatal
   *                                      266-281) iff include_vectors
   *   GET    /api/v1/admin/statistics
   *   GET    /api/v1/admin/integrity
+  *   GET    /api/v1/admin/frequent-items
   *   POST   /api/v1/admin/migrate
   *   POST   /api/v1/admin/vacuum
   *   POST   /api/v1/admin/rebalance   {max_cluster_size?}
@@ -98,7 +99,8 @@ import scala.util.control.NonFatal
   */
 class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     maxEvents: Int = 10000, backupBase: Option[String] = None,
-    sseWriteDeadlineMs: Long = 5000L, wsPort: Int = 0) {
+    sseWriteDeadlineMs: Long = 5000L, wsPort: Int = 0,
+    frequentItemsStateDir: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -785,6 +787,39 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           t.put("missing", missing); t.put("orphaned", orphaned)
         }
         (200, n)
+      // running frequent-items state of the streaming Misra–Gries fold
+      // (graft extension — the reference has no frequent-items surface):
+      // served via the LINEARIZABLE locked read, so a monitor polling a
+      // hot stream gets a consistent snapshot instead of the lock-free
+      // read's by-design contention error. Disabled (404) unless the
+      // operator wired a state dir at construction, same posture as
+      // admin/backup's backupBase.
+      case ("GET", "/api/v1/admin/frequent-items") =>
+        frequentItemsStateDir match {
+          case None => (404, err(
+            "frequent-items state not configured on this server " +
+              "(pass frequentItemsStateDir to RestServer)"))
+          case Some(sd) =>
+            val st = graft.streaming.StreamingHeavyHitters
+              .readStateLocked(store.spark, sd)
+            val n = obj()
+            n.put("k", st.k)
+            n.put("checkpoint", st.checkpoint)
+            n.put("last_batch_id", st.lastBatchId)
+            n.put("n", st.n)
+            n.put("state_entries", st.counts.size)
+            val c = n.putObject("counts")
+            // deterministic envelope order: count desc, item asc (the
+            // operator's own output order)
+            st.counts.toSeq.sortBy { case (item, cnt) => (-cnt, item) }
+              .foreach { case (item, cnt) => c.put(item, cnt) }
+            // the counts are folded MG estimates (lower bounds, off by at
+            // most n/(k+1)) — exact values need the recount (the
+            // heavyHittersFromState path), which is a Spark job, not a
+            // monitoring read
+            n.put("counts_are_mg_estimates", true)
+            (200, n)
+        }
       case ("POST", "/api/v1/admin/migrate") =>
         val tm0 = System.nanoTime()
         val migrated = store.migrate()

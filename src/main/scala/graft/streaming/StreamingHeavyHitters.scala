@@ -3,7 +3,7 @@ package graft.streaming
 import com.fasterxml.jackson.databind.ObjectMapper
 import graft.core.FsSwap
 import graft.operators.HeavyHitters
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -56,144 +56,56 @@ object StreamingHeavyHitters {
       n: Long, counts: Map[String, Long])
 
   private def statePath(stateDir: String) = new Path(stateDir, "mg_state.json")
-  private def stateTmp(stateDir: String) = new Path(stateDir, "mg_state.json_tmp")
-  private def stateMarker(stateDir: String) =
-    new Path(stateDir, "mg_state.swap.inprogress")
 
-  /** Read the persisted state; an absent file is the empty stream. A
-    * reader may COMPLETE a crashed writer's marker-evidenced swap here
-    * (unlike `acceptedStateFileCount`, which stays swap-neutral): the
-    * FsSwap contract makes recovery safe from any number of concurrent
-    * callers (lock-serialized), and a monitoring read that returned the
-    * pre-crash state forever would be worse than one that finishes the
-    * evidenced install. A monitoring read can also RACE a live writer's
-    * commit — the state file is momentarily absent between the
-    * aside/install renames — so "absent" is only believed when the
-    * (state absent, marker absent, state still absent) observation is
-    * STABLE across two attempts 50 ms apart; a single observation can be
-    * an ABA (commit N finished between the probes, commit N+1 already
-    * mid-swap). The window is narrowed, not eliminated — a lock-free
-    * reader cannot distinguish a perpetually-mid-swap writer from an
-    * empty stream with certainty; a consumer needing a linearizable
-    * read should quiesce the stream first. */
-  def readState(spark: SparkSession, stateDir: String): MgSnapshot = {
+  private def stateFile(spark: SparkSession, stateDir: String) = {
     val p = statePath(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // fast path: a state dir holding NO swap artifact at all — no state
-    // file, marker, tmp, or aside — is the empty stream with no ABA risk
-    // and no sleeps: mid-swap always leaves the marker (and the aside)
-    // visible, so an artifact-free listing proves no commit has ever
-    // staged anything; a first commit racing this listing linearizes
-    // AFTER the read. This keeps the double-observation cost off the
-    // common fresh-start path (one listing vs two 50 ms waits).
-    val artifacts = Set(p.getName, stateMarker(stateDir).getName,
-      stateTmp(stateDir).getName, p.getName + "_old")
-    val listed =
-      try fs.listStatus(new Path(stateDir)).map(_.getPath.getName).toSet
-      catch { case _: java.io.FileNotFoundException => Set.empty[String] }
-    if (listed.intersect(artifacts).isEmpty)
-      return MgSnapshot(-1, "", -1L, 0L, Map.empty)
-    var attempt = 0
-    var emptyObservations = 0
-    var markerEverSeen = false
-    while (attempt <= 5) {
-      FsSwap.recover(fs, p, stateTmp(stateDir), stateMarker(stateDir))
-      try {
-        if (!fs.exists(p)) {
-          // swap evidence = the MARKER alone: commit writes it before
-          // ever touching live, and drops it only after the install — a
-          // tmp WITHOUT a marker is a pre-commit writeState crash
-          // remnant, provably uncommitted, and must not wedge reads
-          if (!fs.exists(stateMarker(stateDir))) {
-            // re-probe p AFTER the marker probe: a live commit that
-            // raced the first exists(p) (absent mid-swap) has, by the
-            // time its marker is observed gone, already installed live.
-            // One clean observation is still not proof (the ABA above) —
-            // require it twice, 50 ms apart, before believing "empty"
-            if (!fs.exists(p)) {
-              emptyObservations += 1
-              // a marker sighting earlier in THIS read proves a commit
-              // had fully materialized its tmp — a state file must exist
-              // after recovery, so "empty" would be contradictory: route
-              // those traces to the loud exhaustion path instead
-              if (emptyObservations >= 2 && !markerEverSeen)
-                return MgSnapshot(-1, "", -1L, 0L, Map.empty)
-            } else emptyObservations = 0
-            // p reappeared (or first clean observation): retry
-          } else { markerEverSeen = true; emptyObservations = 0 }
-          // marker present: a live commit mid-rename, or a crashed swap
-          // recover couldn't finish — retry through the window, and FAIL
-          // below rather than misreport lost/in-flight state as an empty
-          // stream (a restarted ingest folding into a phantom-empty state
-          // would destroy the real counts on its first writeState)
-        } else {
-          val in = fs.open(p)
-          val txt = try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-          val node = new ObjectMapper().readTree(txt)
-          if (node.get("k") == null || node.get("checkpoint") == null)
-            throw new IllegalStateException(
-              s"MG state file $p lacks the k/checkpoint binding fields — " +
-                "it was written by a pre-binding format. No automatic " +
-                "migration (the old format cannot prove which checkpoint " +
-                "its batch ids belong to); re-fold from the source with a " +
-                "fresh state dir")
-          val counts = scala.collection.mutable.Map.empty[String, Long]
-          val it = node.get("counts").fields()
-          while (it.hasNext) {
-            val e = it.next(); counts.put(e.getKey, e.getValue.asLong())
-          }
-          return MgSnapshot(node.get("k").asInt(),
-            node.get("checkpoint").asText(),
-            node.get("batch_id").asLong(), node.get("n").asLong(),
-            counts.toMap)
-        }
-      } catch {
-        // mid-swap window: open raced the install rename. Unconditional
-        // (no attempt guard) so the LAST attempt's race still exits
-        // through the curated error below, never as a bare FNF. An FNF
-        // is POSITIVE evidence the state file existed an instant ago —
-        // reset the empty counter, or two ABA observations straddling
-        // this sighting would still return a phantom-empty snapshot
-        case _: java.io.FileNotFoundException => emptyObservations = 0
-      }
-      attempt += 1
-      Thread.sleep(50)
-    }
-    // retries exhausted: loud, like FsSwap's own writer path — returning
-    // "empty stream" here would silently discard the folded history. The
-    // diagnostic discriminates on marker PERSISTENCE — NOT marker-ever-
-    // seen (a healthy live commit holds its marker through its whole
-    // p-absent window, so ever-seen would misdirect plain read contention
-    // down the lost-tmp path). The probe is SYNCHRONIZED with recovery:
-    // recover() serializes on the swap lock, so it returns only after any
-    // live commit's rename section finishes — a marker that survives a
-    // completed recover is one finishSwap could not clear (tmp lost with
-    // no install), i.e. genuinely wedged, not a fresh commit mid-window
-    // (a new commit starting in the instant between the recover and the
-    // probe remains possible; the message says "may"). An UNREADABLE
-    // probe defaults to the conservative branch — asserting "the state is
-    // intact, just retry" on the same flaky FS that failed the reads
-    // would invite a restarted ingest to clobber recovery evidence.
-    FsSwap.recover(fs, p, stateTmp(stateDir), stateMarker(stateDir))
-    val markerStillThere =
-      try fs.exists(stateMarker(stateDir))
-      catch { case _: java.io.IOException => true }
-    throw new IllegalStateException(
-      if (markerStillThere)
-        s"MG state at $stateDir is unreadable after retries: the swap " +
-          s"marker ${stateMarker(stateDir).getName} persists after " +
-          "recovery attempts. A crashed commit may have lost its tmp — " +
-          "inspect the state dir; do NOT fold new batches until resolved"
-      else
-        s"MG state at $stateDir could not be read through the retry " +
-          "window: every attempt raced an in-flight commit's rename and " +
-          "no swap marker remains. The state is intact — this is read " +
-          "contention against a continuously-committing stream; retry " +
-          "the read, or quiesce the stream for a linearizable view")
+    new graft.core.SwapStateFile(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      stateDir, p.getName, "mg_state.swap.inprogress", "MG state")
   }
 
-  private def writeState(fs: FileSystem, stateDir: String,
+  private def emptySnapshot = MgSnapshot(-1, "", -1L, 0L, Map.empty)
+
+  private def parseSnapshot(stateDir: String)(txt: String): MgSnapshot = {
+    val node = new ObjectMapper().readTree(txt)
+    if (node.get("k") == null || node.get("checkpoint") == null)
+      throw new IllegalStateException(
+        s"MG state file ${statePath(stateDir)} lacks the k/checkpoint " +
+          "binding fields — it was written by a pre-binding format. No " +
+          "automatic migration (the old format cannot prove which " +
+          "checkpoint its batch ids belong to); re-fold from the source " +
+          "with a fresh state dir")
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val it = node.get("counts").fields()
+    while (it.hasNext) {
+      val e = it.next(); counts.put(e.getKey, e.getValue.asLong())
+    }
+    MgSnapshot(node.get("k").asInt(), node.get("checkpoint").asText(),
+      node.get("batch_id").asLong(), node.get("n").asLong(), counts.toMap)
+  }
+
+  /** Read the persisted state LOCK-FREE; an absent file is the empty
+    * stream. The read protocol ([[graft.core.SwapStateFile.read]],
+    * extracted from here in r13) may COMPLETE a crashed writer's
+    * marker-evidenced swap, believes "empty" only after a stable
+    * double observation, and exhausts LOUDLY under sustained commit
+    * contention — never a phantom-empty snapshot. A consumer needing a
+    * linearizable view without quiescing the stream should use
+    * [[readStateLocked]]. */
+  def readState(spark: SparkSession, stateDir: String): MgSnapshot =
+    stateFile(spark, stateDir).read(parseSnapshot(stateDir), emptySnapshot)
+
+  /** Linearizable read: takes the SAME swap lock the writer's commit
+    * rename section holds ([[graft.core.SwapStateFile.readLocked]]), so a
+    * monitor polling a hot stream gets a consistent snapshot instead of
+    * eventually hitting [[readState]]'s contention error by design. The
+    * writer is blocked for the read's duration (one small file); throws
+    * if the lock cannot be obtained within [[FsSwap.LockMaxWaitMs]]. */
+  def readStateLocked(spark: SparkSession, stateDir: String): MgSnapshot =
+    stateFile(spark, stateDir)
+      .readLocked(parseSnapshot(stateDir), emptySnapshot)
+
+  private def writeState(spark: SparkSession, stateDir: String,
       snap: MgSnapshot): Unit = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
@@ -203,10 +115,7 @@ object StreamingHeavyHitters {
     root.put("n", snap.n)
     val c = root.putObject("counts")
     snap.counts.foreach { case (item, cnt) => c.put(item, cnt) }
-    val tmp = stateTmp(stateDir)
-    val out = fs.create(tmp, true)
-    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
-    FsSwap.commit(fs, statePath(stateDir), tmp, stateMarker(stateDir))
+    stateFile(spark, stateDir).write(mapper.writeValueAsBytes(root))
   }
 
   /** The aggregate's mergeable-summaries reduction, driver-side over the
@@ -237,22 +146,38 @@ object StreamingHeavyHitters {
     * outlived its checkpoint — reuse requires a fresh state dir too),
     * and to one k (folding summaries of mixed k would quietly weaken the
     * composed bound the recount's exactness rests on). */
-  private def checkBindings(st: MgSnapshot, stateDir: String,
+  private[streaming] def checkStateBindings(stLastBatchId: Long,
+      stCheckpoint: String, stK: Int, stateDir: String,
       checkpoint: String, k: Int): Unit = {
-    if (st.lastBatchId < 0L) return // fresh state: nothing bound yet
-    if (st.checkpoint != checkpoint)
+    if (stLastBatchId < 0L) return // fresh state: nothing bound yet
+    if (stCheckpoint != checkpoint)
       throw new IllegalStateException(
         s"MG state at $stateDir was folded under checkpoint " +
-          s"'${st.checkpoint}' but this stream runs under '$checkpoint' — " +
+          s"'$stCheckpoint' but this stream runs under '$checkpoint' — " +
           "batch ids restart at 0 per checkpoint, so continuing would " +
           "skip new data as replays (or double-count on a rewound " +
           "checkpoint). Use a fresh state dir with a fresh checkpoint")
-    if (st.k != k)
+    if (stK != k)
       throw new IllegalStateException(
-        s"MG state at $stateDir was folded with k=${st.k} but this stream " +
+        s"MG state at $stateDir was folded with k=$stK but this stream " +
           s"uses k=$k — mixed-k folds weaken the error bound the exact " +
           "recount rests on. Use a fresh state dir to change k")
   }
+
+  /** The mirror of the checkpoint guard, shared with the grouped fold: a
+    * FRESH state under an already-advanced checkpoint means batches
+    * 0..batchId-1 were committed in the checkpoint and will never be
+    * re-delivered — their items would be permanently missing from a state
+    * claimed exact. */
+  private[streaming] def checkFreshStateVsCheckpoint(stLastBatchId: Long,
+      stateDir: String, batchId: Long): Unit =
+    if (stLastBatchId < 0L && batchId > 0L)
+      throw new IllegalStateException(
+        s"MG state at $stateDir is empty but the checkpoint resumes at " +
+          s"batch $batchId — batches 0..${batchId - 1} were already " +
+          "committed and will not be re-delivered, so folding from here " +
+          "would silently omit them. Use a fresh checkpoint with a fresh " +
+          "state dir (the source will be re-read from the start)")
 
   /** Apply ONE micro-batch of (doc_id, text) rows to the persisted state:
     * skip if already applied (replay after a crash between state install
@@ -263,18 +188,9 @@ object StreamingHeavyHitters {
       k: Int, checkpoint: String, batch: DataFrame,
       batchId: Long): MgSnapshot = {
     val st = readState(spark, stateDir)
-    checkBindings(st, stateDir, checkpoint, k)
-    // the mirror of the checkpoint guard: a FRESH state under an
-    // already-advanced checkpoint means batches 0..batchId-1 were
-    // committed in the checkpoint and will never be re-delivered — their
-    // tokens would be permanently missing from a state claimed exact
-    if (st.lastBatchId < 0L && batchId > 0L)
-      throw new IllegalStateException(
-        s"MG state at $stateDir is empty but the checkpoint resumes at " +
-          s"batch $batchId — batches 0..${batchId - 1} were already " +
-          "committed and will not be re-delivered, so folding from here " +
-          "would silently omit them. Use a fresh checkpoint with a fresh " +
-          "state dir (the source will be re-read from the start)")
+    checkStateBindings(st.lastBatchId, st.checkpoint, st.k,
+      stateDir, checkpoint, k)
+    checkFreshStateVsCheckpoint(st.lastBatchId, stateDir, batchId)
     if (batchId <= st.lastBatchId) st // replayed batch: already folded
     else {
       val row = batch
@@ -288,9 +204,7 @@ object StreamingHeavyHitters {
         .map(r => (r.getString(0), r.getLong(1)))
       val next = MgSnapshot(k, checkpoint, batchId, st.n + bn,
         mergeMg(k, st.counts, bc))
-      val fs = statePath(stateDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      writeState(fs, stateDir, next)
+      writeState(spark, stateDir, next)
       next
     }
   }
@@ -331,7 +245,9 @@ object StreamingHeavyHitters {
     // and then kill the stream asynchronously. applyBatch re-checks per
     // batch for direct callers; only the batchId-dependent fresh-state
     // guard genuinely belongs there.
-    checkBindings(readState(spark, stateDir), stateDir, ckptId, k)
+    val st0 = readState(spark, stateDir)
+    checkStateBindings(st0.lastBatchId, st0.checkpoint, st0.k,
+      stateDir, ckptId, k)
     val reader = spark.readStream.schema(srcSchema)
     val src =
       if (maxFilesPerTrigger > 0)

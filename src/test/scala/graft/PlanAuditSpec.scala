@@ -99,6 +99,45 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, plan)
   }
 
+  test("grouped streaming-HH recount broadcasts candidates; per-batch fold partial-aggregates") {
+    // (1) the per-batch grouped MG shape: partial misra_gries per group
+    // below the exchange — each task ships <= k-entry summaries per group
+    // it saw, never its token stream (the grouped sibling of the flat
+    // pass-1 assertion above)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = docs.select(col("source"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val perGroup = toks.groupBy("source").agg(
+      graft.operators.HeavyHitters.mgCandidates(64)(col("token")).as("c"),
+      count(col("token")).as("n"))
+    val plan1 = executedPlan(perGroup)
+    assert(("(?s).*ObjectHashAggregate.*partial_misra_gries.*Exchange" +
+      ".*ObjectHashAggregate.*misra_gries.*").r.findFirstIn(plan1).isDefined,
+      plan1)
+    // (2) the recount from a folded grouped state joins the token stream
+    // to the <= groups x k candidate relation by BROADCAST (the relation
+    // is already driver-local in the state), so the count's exchange sees
+    // candidate keys only — never the full (group, token) cardinality
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_pa_gshh_").toString
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_pa_gshh_src_")
+      .toString + "/files"
+    Seq((1L, "a", "alpha beta alpha"), (2L, "b", "gamma gamma delta"))
+      .toDF("doc_id", "source", "text").coalesce(1).write.parquet(src)
+    val q = graft.streaming.StreamingGroupedHeavyHitters.ingest(spark, src,
+      stateDir,
+      java.nio.file.Files.createTempDirectory("graft_pa_gshh_ck_").toString,
+      denominator = 3L, sketchK = 8)
+    q.processAllAvailable(); q.stop()
+    val toks2 = spark.read.parquet(src).select(col("source"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val df = graft.streaming.StreamingGroupedHeavyHitters
+      .heavyHittersFromState(spark, stateDir, toks2, "source", "token", 3L)
+    val plan2 = executedPlan(df)
+    assert("(?s).*HashAggregate.*BroadcastHashJoin.*".r
+      .findFirstIn(plan2).isDefined, plan2)
+  }
+
   test("store searchBatch carries string ids natively (no surrogate remap joins)") {
     import graft.store.VectorStore, VectorStore._
     import spark.implicits._

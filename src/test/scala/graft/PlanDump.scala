@@ -126,7 +126,18 @@ object PlanDump {
         |shipping one <= k-counter summary). Here the candidate set is a
         |static IN filter applied scan-side, so only candidate-key rows
         |reach the two-phase count aggregate — the exchange carries at most
-        |k distinct keys regardless of corpus token cardinality.""".stripMargin))
+        |k distinct keys regardless of corpus token cardinality.""".stripMargin),
+      "streaming_hh_by_source" -> ("""The grouped streaming fold's on-demand exact recount (the
+        |per-batch fold plan is the grouped pass-1 MG shape PlanAuditSpec
+        |asserts: partial_misra_gries per group below its exchange; the
+        |fold itself is a <= groups x k driver merge + one small
+        |FsSwap-committed file, no plan at all). The <= groups x k
+        |candidate relation is already driver-local in the state, so it
+        |enters as a LocalTableScan behind a BroadcastHashJoin on
+        |(group, item) — the count aggregate and its exchange see
+        |candidate keys only, never the corpus (group, token)
+        |cardinality, regardless of how many micro-batches were
+        |folded.""".stripMargin))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the flagship queries\n\n")
     sb.append("Generated by `sbt \"Test/runMain graft.PlanDump\"` at sf0.01 ")

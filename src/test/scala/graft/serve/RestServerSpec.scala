@@ -352,6 +352,50 @@ class RestServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("admin frequent-items route serves the folded MG state via the locked read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fi_rest_").toString
+    val store = new VectorStore(spark, dir)
+    // unconfigured server: the route is disabled (backupBase posture)
+    val srv0 = new RestServer(store).start()
+    try {
+      val (s404, r404) = call(srv0, "GET", "/api/v1/admin/frequent-items")
+      assert(s404 == 404 && r404.get("error").asText().contains("not configured"))
+    } finally srv0.stop()
+    // configured: serve the folded state, counts ordered (cnt desc, item asc)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_fi_state_").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fi_src_").toString + "/files"
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_fi_ckpt_").toString
+    import spark.implicits._
+    Seq((1L, "alpha beta alpha gamma"), (2L, "alpha beta"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(srcDir)
+    val q = graft.streaming.StreamingHeavyHitters.ingest(
+      spark, srcDir, stateDir, ckptDir, denominator = 2L, sketchK = 8)
+    q.processAllAvailable(); q.stop()
+    val srv = new RestServer(store,
+      frequentItemsStateDir = Some(stateDir)).start()
+    try {
+      val (s, r) = call(srv, "GET", "/api/v1/admin/frequent-items")
+      assert(s == 200, r.toString)
+      assert(r.get("k").asInt() == 8)
+      assert(r.get("checkpoint").asText().endsWith(ckptDir))
+      assert(r.get("last_batch_id").asLong() == 0L)
+      assert(r.get("n").asLong() == 6L)
+      assert(r.get("state_entries").asInt() == 3)
+      assert(r.get("counts_are_mg_estimates").asBoolean())
+      assert(r.get("counts").get("alpha").asLong() == 3L)
+      val names = r.get("counts").fieldNames()
+      assert(names.next() == "alpha") // cnt desc, item asc
+      // empty state dir: a well-formed empty envelope, not an error
+      val empty = java.nio.file.Files.createTempDirectory("graft_fi_empty_").toString
+      val srv2 = new RestServer(store, frequentItemsStateDir = Some(empty)).start()
+      try {
+        val (s2, r2) = call(srv2, "GET", "/api/v1/admin/frequent-items")
+        assert(s2 == 200 && r2.get("last_batch_id").asLong() == -1L
+          && r2.get("state_entries").asInt() == 0)
+      } finally srv2.stop()
+    } finally srv.stop()
+  }
+
   test("query cache memoizes repeats and mutations invalidate it") {
     val store = new VectorStore(spark,
       java.nio.file.Files.createTempDirectory("graft_qc_").toString)

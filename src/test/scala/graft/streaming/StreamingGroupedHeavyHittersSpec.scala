@@ -1,0 +1,155 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.HeavyHitters
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Per-group streaming Misra–Gries fold: state bounded by groups × k over
+  * many micro-batches, exactly-once batch application, the group-cap
+  * refusal, the binding guards shared with the flat fold, and the headline
+  * equivalence — the stream's folded state recounts to the SAME answer as
+  * the batch HeavyHitters.exactPerGroup on the same corpus. */
+class StreamingGroupedHeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic skewed batch over three sources: each source carries
+    * its own heavy tokens (disjoint across sources, so per-group
+    * thresholds genuinely differ) plus per-(batch, doc) noise. Source c
+    * has ~3x the mass of source a. */
+  private def batchDf(batchId: Int) = {
+    val rows = for {
+      (src, reps) <- Seq(("a", 1), ("b", 2), ("c", 3))
+      d <- 0 until reps
+    } yield {
+      val noise = (1 to 10).map(j => s"n${src}_${batchId}_${d}_$j").mkString(" ")
+      (batchId * 100L + d, src, s"h_$src h_$src common $noise")
+    }
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  test("many-batch stream: state bounded by groups x k; recount equals exactPerGroup") {
+    val src = Files.createTempDirectory("graft_gshh_src_").toString
+    val ckpt = Files.createTempDirectory("graft_gshh_ckpt_").toString
+    val stateDir = Files.createTempDirectory("graft_gshh_state_").toString
+    val denom = 20L
+    val k = 64
+    (0 until 25).foreach(i => batchDf(i).coalesce(1)
+      .write.mode("append").parquet(src))
+    val q = StreamingGroupedHeavyHitters.ingest(spark, src, stateDir, ckpt,
+      denominator = denom, sketchK = k, maxFilesPerTrigger = 1)
+    q.processAllAvailable(); q.stop()
+    val st = StreamingGroupedHeavyHitters.readState(spark, stateDir)
+    assert(st.groups.keySet == Set("a", "b", "c"))
+    st.groups.foreach { case (g, gs) =>
+      assert(gs.counts.size <= k, s"group $g grew past k: ${gs.counts.size}")
+    }
+    assert(st.lastBatchId == 24L)
+    val corpus = spark.read.parquet(src)
+    val toks = corpus.select(col("source"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    // per-group mass tracking must match the corpus exactly
+    val massByGroup = toks.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    st.groups.foreach { case (g, gs) =>
+      assert(gs.n == massByGroup(g), s"group $g mass drifted")
+    }
+    val fromStream = StreamingGroupedHeavyHitters
+      .heavyHittersFromState(spark, stateDir, toks, "source", "token", denom)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val fromBatch = HeavyHitters
+      .exactPerGroup(toks, "source", "token", denom, sketchK = k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(fromStream == fromBatch && fromStream.nonEmpty,
+      s"stream=$fromStream batch=$fromBatch")
+    // per-group thresholds genuinely differ: source c's heavy token must
+    // clear a ~3x higher absolute bar than source a's
+    assert(fromStream.exists(_._1 == "a") && fromStream.exists(_._1 == "c"))
+
+    // restart with NEW arrivals on the same checkpoint: the state keeps
+    // folding and the equivalence holds over the grown corpus
+    (25 until 35).foreach(i => batchDf(i).coalesce(1)
+      .write.mode("append").parquet(src))
+    val q2 = StreamingGroupedHeavyHitters.ingest(spark, src, stateDir, ckpt,
+      denominator = denom, sketchK = k, maxFilesPerTrigger = 1)
+    q2.processAllAvailable(); q2.stop()
+    val st2 = StreamingGroupedHeavyHitters.readState(spark, stateDir)
+    assert(st2.lastBatchId == 34L)
+    val toks2 = spark.read.parquet(src).select(col("source"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val s2 = StreamingGroupedHeavyHitters
+      .heavyHittersFromState(spark, stateDir, toks2, "source", "token", denom)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val b2 = HeavyHitters
+      .exactPerGroup(toks2, "source", "token", denom, sketchK = k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(s2 == b2 && s2.nonEmpty)
+  }
+
+  test("replayed micro-batch is skipped; bindings and fresh-state guard hold") {
+    val stateDir = Files.createTempDirectory("graft_gshh_replay_").toString
+    val b = batchDf(0)
+    val s1 = StreamingGroupedHeavyHitters
+      .applyBatch(spark, stateDir, 64, 100, "ck", b, 0L)
+    val s2 = StreamingGroupedHeavyHitters
+      .applyBatch(spark, stateDir, 64, 100, "ck", b, 0L)
+    assert(s2 == s1, "replay mutated the state")
+    val s3 = StreamingGroupedHeavyHitters
+      .applyBatch(spark, stateDir, 64, 100, "ck", batchDf(1), 1L)
+    assert(s3.lastBatchId == 1L)
+    assert(s3.groups("a").n == 2 * s1.groups("a").n)
+    // shared binding guards (one implementation with the flat fold)
+    val eCk = intercept[IllegalStateException] {
+      StreamingGroupedHeavyHitters
+        .applyBatch(spark, stateDir, 64, 100, "ck2", batchDf(2), 2L)
+    }
+    assert(eCk.getMessage.contains("folded under checkpoint"))
+    val eK = intercept[IllegalStateException] {
+      StreamingGroupedHeavyHitters
+        .applyBatch(spark, stateDir, 32, 100, "ck", batchDf(2), 2L)
+    }
+    assert(eK.getMessage.contains("k="))
+    val fresh = Files.createTempDirectory("graft_gshh_fresh_").toString
+    val eFresh = intercept[IllegalStateException] {
+      StreamingGroupedHeavyHitters
+        .applyBatch(spark, fresh, 64, 100, "ck", batchDf(1), 7L)
+    }
+    assert(eFresh.getMessage.contains("will not be re-delivered"))
+    // recount validates the folded k against the asked threshold
+    val toks = batchDf(0).select(col("source"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val eDen = intercept[IllegalArgumentException] {
+      StreamingGroupedHeavyHitters.heavyHittersFromState(
+        spark, stateDir, toks, "source", "token", denominator = 500L).collect()
+    }
+    assert(eDen.getMessage.contains("does not cover"))
+  }
+
+  test("group cap: a fold past maxGroups refuses loudly, batch NOT applied") {
+    val stateDir = Files.createTempDirectory("graft_gshh_cap_").toString
+    val s1 = StreamingGroupedHeavyHitters
+      .applyBatch(spark, stateDir, 64, 2, "ck",
+        Seq((1L, "a", "x y"), (2L, "b", "x z")).toDF("doc_id", "source", "text"), 0L)
+    assert(s1.groups.size == 2)
+    val e = intercept[IllegalStateException] {
+      StreamingGroupedHeavyHitters.applyBatch(spark, stateDir, 64, 2, "ck",
+        Seq((3L, "c", "x w")).toDF("doc_id", "source", "text"), 1L)
+    }
+    assert(e.getMessage.contains("maxGroups=2")
+      && e.getMessage.contains("Batch NOT applied"))
+    // the refused batch must not have touched the state
+    val st = StreamingGroupedHeavyHitters.readState(spark, stateDir)
+    assert(st.lastBatchId == 0L && st.groups.size == 2)
+  }
+
+  test("empty state recounts to an empty frame; locked read sees it") {
+    val stateDir = Files.createTempDirectory("graft_gshh_empty_").toString
+    val toks = batchDf(0).select(col("source"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    assert(StreamingGroupedHeavyHitters
+      .heavyHittersFromState(spark, stateDir, toks, "source", "token", 20L)
+      .count() == 0L)
+    val st = StreamingGroupedHeavyHitters.readStateLocked(spark, stateDir)
+    assert(st.lastBatchId == -1L && st.groups.isEmpty)
+  }
+}

@@ -159,6 +159,61 @@ class StreamingHeavyHittersSpec extends SparkSpec {
       && eWedge.getMessage.contains("do NOT fold"))
   }
 
+  test("readStateLocked: linearizable under a continuously-committing writer") {
+    val stateDir = Files.createTempDirectory("graft_shh_locked_").toString
+    val nBatches = 25
+    val b = batchDf(0).collect() // materialize once; re-wrap per batch
+    val schema = batchDf(0).schema
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try {
+        var i = 0
+        while (i < nBatches) {
+          val df = spark.createDataFrame(
+            java.util.Arrays.asList(b: _*), schema)
+          StreamingHeavyHitters.applyBatch(
+            spark, stateDir, 64, "ck", df, i.toLong)
+          i += 1
+        }
+      } catch { case t: Throwable => writerErr.set(t) }
+    })
+    writer.start()
+    // poll with the LOCKED read the whole time the writer commits: every
+    // read must SUCCEED (the lock-free read is loud-by-design under this
+    // contention — that error is exactly what this variant removes) and
+    // the sequence of snapshots must be consistent: n and lastBatchId
+    // monotonically non-decreasing, counts <= k, binding fields intact
+    var lastN = -1L
+    var lastBatch = -2L
+    var reads = 0
+    while (writer.isAlive) {
+      val st = StreamingHeavyHitters.readStateLocked(spark, stateDir)
+      if (st.lastBatchId >= 0L) {
+        assert(st.k == 64 && st.checkpoint == "ck")
+        assert(st.counts.size <= 64)
+        assert(st.n >= lastN && st.lastBatchId >= lastBatch,
+          s"snapshot went backwards: n $lastN->${st.n} batch $lastBatch->${st.lastBatchId}")
+        lastN = st.n; lastBatch = st.lastBatchId
+      }
+      reads += 1
+    }
+    writer.join()
+    assert(writerErr.get() == null,
+      s"writer failed under concurrent locked reads: ${writerErr.get()}")
+    assert(reads > 0)
+    val fin = StreamingHeavyHitters.readStateLocked(spark, stateDir)
+    assert(fin.lastBatchId == nBatches - 1L)
+    // the locked read surfaces a genuinely wedged swap (marker with no
+    // tmp/live) as the same loud error as the lock-free path, never empty
+    val wedged = Files.createTempDirectory("graft_shh_lockwedge_").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(wedged, "mg_state.swap.inprogress"), "{}")
+    val eW = intercept[IllegalStateException] {
+      StreamingHeavyHitters.readStateLocked(spark, wedged)
+    }
+    assert(eW.getMessage.contains("do NOT fold"))
+  }
+
   test("driver-side mergeMg preserves the composed MG bound") {
     // fold per-chunk aggregate summaries through mergeMg (exactly what the
     // stream does) and check Agarwal et al.'s composed bound against the
