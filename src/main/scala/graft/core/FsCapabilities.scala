@@ -99,11 +99,18 @@ object FsCapabilities {
     * exists to catch misconfigured/unknown filesystems at open time, not
     * to certify object stores as safe. */
   def probeAtomicRename(fs: FileSystem, scratchDir: Path): Boolean = {
-    val a = new Path(scratchDir, "atomic_probe_a")
-    val b = new Path(scratchDir, "atomic_probe_b")
+    // per-invocation unique names: two concurrent probers of one store
+    // (two handles' first lease acquire racing) must not touch each
+    // other's probe files — with shared names, prober B's pre-clean
+    // delete would make prober A's second create(overwrite=false)
+    // spuriously SUCCEED and falsely refuse a healthy filesystem. Each
+    // prober cleans only its own files; the scratch dir itself is only
+    // removed when empty (non-recursive), never out from under a peer.
+    val tag = java.util.UUID.randomUUID().toString
+    val a = new Path(scratchDir, s"atomic_probe_${tag}_a")
+    val b = new Path(scratchDir, s"atomic_probe_${tag}_b")
     try {
       fs.mkdirs(scratchDir)
-      fs.delete(a, false); fs.delete(b, false)
       val first =
         try { fs.create(a, false).close(); true }
         catch { case _: java.io.IOException => false }
@@ -119,7 +126,7 @@ object FsCapabilities {
     } catch {
       case _: java.io.IOException => false
     } finally {
-      try { fs.delete(a, false); fs.delete(b, false); fs.delete(scratchDir, true) }
+      try { fs.delete(a, false); fs.delete(b, false); fs.delete(scratchDir, false) }
       catch { case _: java.io.IOException => () }
     }
   }

@@ -144,10 +144,12 @@ object FsSwap {
     * [[commit]]'s rename sequence holds, after completing any evidenced
     * recovery under it. While `body` runs no commit can be mid-rename —
     * the live path is either fully installed or has genuinely never been
-    * committed (a writer that has staged its tmp and marker but not yet
-    * entered its lock section linearizes AFTER this read; if its marker is
-    * already visible the recovery here finishes its install first, which
-    * the commit's own `!exists(marker)` re-check tolerates by design). The
+    * committed (a writer that has staged its tmp but not yet entered its
+    * lock section linearizes AFTER this read — and since the marker is
+    * written INSIDE the lock, a visible marker always belongs to a
+    * lock-serialized commit or a crashed one, whose install the recovery
+    * here finishes; the commit's own `!exists(marker)` re-check tolerates
+    * a reader having finished it by design). The
     * price is blocking a live writer for `body`'s duration — keep `body`
     * to a read; monitors get a consistent snapshot without quiescing the
     * writer. Throws like [[recover]]'s lock path if the lock cannot be

@@ -159,7 +159,19 @@ final class SwapStateFile(fs: FileSystem, dir: String, name: String,
     * committed (empty); an absent file with a SURVIVING marker is a
     * genuinely wedged swap (tmp lost) — loud, same contract as [[read]]'s
     * exhaustion path. */
-  def readLocked[T](parse: String => T, empty: => T): T =
+  def readLocked[T](parse: String => T, empty: => T): T = {
+    // same artifact-free fast path as read(): a monitor polling a state
+    // dir no commit has ever staged anything into must not take the swap
+    // lock at all — locking would create the state dir and churn a lock
+    // file per poll from a READ endpoint (FsSwap.recover's own fast path
+    // exists for the same reason). A first commit racing this listing
+    // linearizes after the read, exactly as in read().
+    val artifacts = Set(live.getName, marker.getName, tmp.getName,
+      live.getName + "_old")
+    val listed =
+      try fs.listStatus(new Path(dir)).map(_.getPath.getName).toSet
+      catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+    if (listed.intersect(artifacts).isEmpty) return empty
     FsSwap.readLocked(fs, live, tmp, marker) {
       if (fs.exists(live)) parse(readText())
       else if (fs.exists(marker))
@@ -170,6 +182,7 @@ final class SwapStateFile(fs: FileSystem, dir: String, name: String,
             "batches until resolved")
       else empty
     }
+  }
 
   private def readText(): String = {
     val in = fs.open(live)

@@ -800,23 +800,58 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             "frequent-items state not configured on this server " +
               "(pass frequentItemsStateDir to RestServer)"))
           case Some(sd) =>
+            // the dir may hold the FLAT fold's state (mg_state.json) or
+            // the GROUPED fold's (mg_grouped_state.json) — serve whichever
+            // is folded, flat winning ties. Without the grouped branch, a
+            // grouped state dir would silently render as an empty stream.
             val st = graft.streaming.StreamingHeavyHitters
               .readStateLocked(store.spark, sd)
             val n = obj()
-            n.put("k", st.k)
-            n.put("checkpoint", st.checkpoint)
-            n.put("last_batch_id", st.lastBatchId)
-            n.put("n", st.n)
-            n.put("state_entries", st.counts.size)
-            val c = n.putObject("counts")
-            // deterministic envelope order: count desc, item asc (the
-            // operator's own output order)
-            st.counts.toSeq.sortBy { case (item, cnt) => (-cnt, item) }
-              .foreach { case (item, cnt) => c.put(item, cnt) }
+            if (st.lastBatchId >= 0L) {
+              n.put("grouped", false)
+              n.put("k", st.k)
+              n.put("checkpoint", st.checkpoint)
+              n.put("last_batch_id", st.lastBatchId)
+              n.put("n", st.n)
+              n.put("state_entries", st.counts.size)
+              val c = n.putObject("counts")
+              // deterministic envelope order: count desc, item asc (the
+              // operator's own output order)
+              st.counts.toSeq.sortBy { case (item, cnt) => (-cnt, item) }
+                .foreach { case (item, cnt) => c.put(item, cnt) }
+            } else {
+              val gst = graft.streaming.StreamingGroupedHeavyHitters
+                .readStateLocked(store.spark, sd)
+              if (gst.lastBatchId >= 0L) {
+                n.put("grouped", true)
+                n.put("k", gst.k)
+                n.put("checkpoint", gst.checkpoint)
+                n.put("last_batch_id", gst.lastBatchId)
+                n.put("n", gst.groups.valuesIterator.map(_.n).sum)
+                n.put("state_entries", gst.totalEntries)
+                n.put("group_count", gst.groups.size)
+                val gs = n.putObject("groups")
+                gst.groups.toSeq.sortBy(_._1).foreach { case (g, grp) =>
+                  val gn = gs.putObject(g)
+                  gn.put("n", grp.n)
+                  val c = gn.putObject("counts")
+                  grp.counts.toSeq.sortBy { case (item, cnt) => (-cnt, item) }
+                    .foreach { case (item, cnt) => c.put(item, cnt) }
+                }
+              } else { // neither fold has state: the flat empty envelope
+                n.put("grouped", false)
+                n.put("k", st.k)
+                n.put("checkpoint", st.checkpoint)
+                n.put("last_batch_id", st.lastBatchId)
+                n.put("n", st.n)
+                n.put("state_entries", 0)
+                n.putObject("counts")
+              }
+            }
             // the counts are folded MG estimates (lower bounds, off by at
-            // most n/(k+1)) — exact values need the recount (the
-            // heavyHittersFromState path), which is a Spark job, not a
-            // monitoring read
+            // most n/(k+1) of the (group's) mass) — exact values need the
+            // recount (the heavyHittersFromState path), which is a Spark
+            // job, not a monitoring read
             n.put("counts_are_mg_estimates", true)
             (200, n)
         }

@@ -126,18 +126,7 @@ object PlanDump {
         |shipping one <= k-counter summary). Here the candidate set is a
         |static IN filter applied scan-side, so only candidate-key rows
         |reach the two-phase count aggregate — the exchange carries at most
-        |k distinct keys regardless of corpus token cardinality.""".stripMargin),
-      "streaming_hh_by_source" -> ("""The grouped streaming fold's on-demand exact recount (the
-        |per-batch fold plan is the grouped pass-1 MG shape PlanAuditSpec
-        |asserts: partial_misra_gries per group below its exchange; the
-        |fold itself is a <= groups x k driver merge + one small
-        |FsSwap-committed file, no plan at all). The <= groups x k
-        |candidate relation is already driver-local in the state, so it
-        |enters as a LocalTableScan behind a BroadcastHashJoin on
-        |(group, item) — the count aggregate and its exchange see
-        |candidate keys only, never the corpus (group, token)
-        |cardinality, regardless of how many micro-batches were
-        |folded.""".stripMargin))
+        |k distinct keys regardless of corpus token cardinality.""".stripMargin))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of the flagship queries\n\n")
     sb.append("Generated by `sbt \"Test/runMain graft.PlanDump\"` at sf0.01 ")
@@ -151,6 +140,44 @@ object PlanDump {
       sb.append("```\n")
       sb.append(df.queryExecution.executedPlan.toString.take(6000))
       sb.append("\n```\n")
+    }
+    // the streaming_hh_by_source REGISTRY row collects the recount and
+    // re-wraps it locally for deterministic output, so dumping the row
+    // would show only a LocalTableScan — dump the recount plan ITSELF
+    // (heavyHittersFromState over a freshly folded state) instead
+    locally {
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pd_gshh_").toString
+      graft.core.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .repartition(2).write.parquet(s"$tmp/src")
+      val q = graft.streaming.StreamingGroupedHeavyHitters.ingest(
+        spark, s"$tmp/src", s"$tmp/state", s"$tmp/chk",
+        denominator = 100L, sketchK = 256, maxFilesPerTrigger = 1)
+      q.processAllAvailable(); q.stop()
+      val toks = spark.read.parquet(s"$tmp/src").select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      val df = graft.streaming.StreamingGroupedHeavyHitters
+        .heavyHittersFromState(spark, s"$tmp/state", toks, "source", "token", 100L)
+      df.collect()
+      sb.append("\n## streaming_hh_by_source — recount from the folded grouped state\n\n")
+      sb.append(("""The grouped streaming fold's on-demand exact recount (the
+        |per-batch fold plan is the grouped pass-1 MG shape PlanAuditSpec
+        |asserts: partial_misra_gries per group below its exchange; the
+        |fold itself is a <= groups x k driver merge + one small
+        |FsSwap-committed file, no plan at all). The <= groups x k
+        |candidate relation is already driver-local in the state, so it
+        |enters as a LocalTableScan behind a BroadcastHashJoin on
+        |(group, item) — the count aggregate and its exchange see
+        |candidate keys only, never the corpus (group, token)
+        |cardinality, regardless of how many micro-batches were folded.
+        |(The registry row wraps this result locally for deterministic
+        |output; this is the plan that does the work.)""".stripMargin)
+        .linesIterator.map(_.trim).mkString(" "))
+      sb.append("\n\n```\n")
+      sb.append(df.queryExecution.executedPlan.toString.take(6000))
+      sb.append("\n```\n")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
     // not a registry row: the grouped recount's MECHANICAL fallback —
     // the candidate relation is probed through limit(cap+1): under the

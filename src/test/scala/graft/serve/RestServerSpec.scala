@@ -376,6 +376,7 @@ class RestServerSpec extends SparkSpec {
     try {
       val (s, r) = call(srv, "GET", "/api/v1/admin/frequent-items")
       assert(s == 200, r.toString)
+      assert(!r.get("grouped").asBoolean())
       assert(r.get("k").asInt() == 8)
       assert(r.get("checkpoint").asText().endsWith(ckptDir))
       assert(r.get("last_batch_id").asLong() == 0L)
@@ -393,6 +394,29 @@ class RestServerSpec extends SparkSpec {
         assert(s2 == 200 && r2.get("last_batch_id").asLong() == -1L
           && r2.get("state_entries").asInt() == 0)
       } finally srv2.stop()
+      // a GROUPED fold's state dir serves the grouped envelope — it must
+      // never render as an empty stream just because mg_state.json is
+      // absent
+      val gsd = java.nio.file.Files.createTempDirectory("graft_fi_gstate_").toString
+      val gsrc = java.nio.file.Files.createTempDirectory("graft_fi_gsrc_").toString + "/files"
+      Seq((1L, "a", "alpha beta alpha"), (2L, "b", "gamma gamma"))
+        .toDF("doc_id", "source", "text").coalesce(1).write.parquet(gsrc)
+      val gq = graft.streaming.StreamingGroupedHeavyHitters.ingest(
+        spark, gsrc, gsd,
+        java.nio.file.Files.createTempDirectory("graft_fi_gckpt_").toString,
+        denominator = 2L, sketchK = 8)
+      gq.processAllAvailable(); gq.stop()
+      val srv3 = new RestServer(store, frequentItemsStateDir = Some(gsd)).start()
+      try {
+        val (s3, r3) = call(srv3, "GET", "/api/v1/admin/frequent-items")
+        assert(s3 == 200, r3.toString)
+        assert(r3.get("grouped").asBoolean())
+        assert(r3.get("last_batch_id").asLong() == 0L)
+        assert(r3.get("group_count").asInt() == 2)
+        assert(r3.get("n").asLong() == 5L) // 3 tokens in a + 2 in b
+        assert(r3.get("groups").get("a").get("counts").get("alpha").asLong() == 2L)
+        assert(r3.get("groups").get("b").get("n").asLong() == 2L)
+      } finally srv3.stop()
     } finally srv.stop()
   }
 
