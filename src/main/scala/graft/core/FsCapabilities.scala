@@ -115,6 +115,46 @@ object FsCapabilities {
         try { fs.create(a, false).close(); true }
         catch { case _: java.io.IOException => false }
       if (!first) return false
+      // reclaim a CRASHED prober's leftovers (unique names mean nobody
+      // else ever deletes them): a probe file more than an hour older
+      // than OUR OWN just-created file belongs to no live probe — a
+      // probe is a handful of FS calls — keeping the scratch dir from
+      // accumulating debris across kill -9'd opens. Ages are compared
+      // in the STORE's clock (our fresh file's reported mtime is "now"),
+      // so local-vs-store clock skew cannot make a peer's fresh probe
+      // look stale; and the age test requires a REAL mtime — a store
+      // that doesn't track modification time reports 0 (Hadoop's
+      // default), which would read as infinitely old and let this sweep
+      // delete a LIVE peer's fresh probe, recreating the exact race the
+      // unique names prevent — so mtime <= 0 files (and stores whose
+      // own "now" reads 0) are left alone: debris there waits for an
+      // operator; wrongly refusing a healthy FS would be worse.
+      // Best-effort, like the rest of the cleanup. Residual: a prober
+      // SUSPENDED for over an hour between its two creates (VM
+      // migration, laptop sleep) can have its file swept by a peer, in
+      // which case its own probe concludes false and the open is
+      // REFUSED with the broken-primitives message — spurious, but an
+      // hour-long stall inside a five-call probe is an operator-visible
+      // anomaly in its own right, and the refusal's remediation (re-run
+      // the open) self-corrects it.
+      try {
+        val listed = fs.listStatus(scratchDir)
+        // the store's own clock: our just-created file's reported mtime
+        // (read from the listing the sweep needs anyway — no extra
+        // round trip)
+        val storeNow = listed.collectFirst {
+          case s if s.getPath.getName == a.getName => s.getModificationTime
+        }.getOrElse(0L)
+        if (storeNow > 0L) {
+          val cutoff = storeNow - 3600_000L
+          listed.foreach { s =>
+            val nm = s.getPath.getName
+            if (nm.startsWith("atomic_probe_") && !nm.contains(tag) &&
+                s.getModificationTime > 0 && s.getModificationTime < cutoff)
+              fs.delete(s.getPath, false)
+          }
+        }
+      } catch { case _: java.io.IOException => () }
       val second =
         try { fs.create(a, false).close(); true }
         catch { case _: java.io.IOException => false }

@@ -44,6 +44,22 @@ final class SwapStateFile(fs: FileSystem, dir: String, name: String,
     FsSwap.commit(fs, live, tmp, marker)
   }
 
+  /** The artifact-free fast-path probe shared by [[read]] and
+    * [[readLocked]] (ONE copy of the load-bearing artifact set): a state
+    * dir holding NO swap artifact at all — no state file, marker, tmp,
+    * or aside — has provably never had anything staged into it, with no
+    * ABA risk and no lock/sleep cost: mid-swap always leaves the marker
+    * (and the aside) visible, so an artifact-free listing is conclusive;
+    * a first commit racing the listing linearizes AFTER the read. */
+  private def artifactFree(): Boolean = {
+    val artifacts = Set(live.getName, marker.getName, tmp.getName,
+      live.getName + "_old")
+    val listed =
+      try fs.listStatus(new Path(dir)).map(_.getPath.getName).toSet
+      catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+    listed.intersect(artifacts).isEmpty
+  }
+
   /** Lock-free read; an absent file is the empty state. A reader may
     * COMPLETE a crashed writer's marker-evidenced swap here: the FsSwap
     * contract makes recovery safe from any number of concurrent callers
@@ -59,19 +75,9 @@ final class SwapStateFile(fs: FileSystem, dir: String, name: String,
     * perpetually-mid-swap writer from an empty stream with certainty; a
     * consumer needing a linearizable view should use [[readLocked]]. */
   def read[T](parse: String => T, empty: => T): T = {
-    // fast path: a state dir holding NO swap artifact at all — no state
-    // file, marker, tmp, or aside — is the empty state with no ABA risk
-    // and no sleeps: mid-swap always leaves the marker (and the aside)
-    // visible, so an artifact-free listing proves no commit has ever
-    // staged anything; a first commit racing this listing linearizes
-    // AFTER the read. This keeps the double-observation cost off the
-    // common fresh-start path (one listing vs two 50 ms waits).
-    val artifacts = Set(live.getName, marker.getName, tmp.getName,
-      live.getName + "_old")
-    val listed =
-      try fs.listStatus(new Path(dir)).map(_.getPath.getName).toSet
-      catch { case _: java.io.FileNotFoundException => Set.empty[String] }
-    if (listed.intersect(artifacts).isEmpty) return empty
+    // fast path (see artifactFree): keeps the double-observation cost
+    // off the common fresh-start path (one listing vs two 50 ms waits)
+    if (artifactFree()) return empty
     var attempt = 0
     var emptyObservations = 0
     var markerEverSeen = false
@@ -160,18 +166,12 @@ final class SwapStateFile(fs: FileSystem, dir: String, name: String,
     * genuinely wedged swap (tmp lost) — loud, same contract as [[read]]'s
     * exhaustion path. */
   def readLocked[T](parse: String => T, empty: => T): T = {
-    // same artifact-free fast path as read(): a monitor polling a state
-    // dir no commit has ever staged anything into must not take the swap
-    // lock at all — locking would create the state dir and churn a lock
-    // file per poll from a READ endpoint (FsSwap.recover's own fast path
-    // exists for the same reason). A first commit racing this listing
-    // linearizes after the read, exactly as in read().
-    val artifacts = Set(live.getName, marker.getName, tmp.getName,
-      live.getName + "_old")
-    val listed =
-      try fs.listStatus(new Path(dir)).map(_.getPath.getName).toSet
-      catch { case _: java.io.FileNotFoundException => Set.empty[String] }
-    if (listed.intersect(artifacts).isEmpty) return empty
+    // fast path (see artifactFree): a monitor polling a state dir no
+    // commit has ever staged anything into must not take the swap lock
+    // at all — locking would create the state dir and churn a lock file
+    // per poll from a READ endpoint (FsSwap.recover's own fast path
+    // exists for the same reason).
+    if (artifactFree()) return empty
     FsSwap.readLocked(fs, live, tmp, marker) {
       if (fs.exists(live)) parse(readText())
       else if (fs.exists(marker))

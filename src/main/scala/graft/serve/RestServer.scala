@@ -806,47 +806,46 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             // grouped state dir would silently render as an empty stream.
             val st = graft.streaming.StreamingHeavyHitters
               .readStateLocked(store.spark, sd)
+            // only consult the grouped state when the flat fold is empty
+            // (flat wins ties); an empty flat snapshot serializes through
+            // the same flat branch — no hand-written empty envelope to
+            // drift from it
+            val gst =
+              if (st.lastBatchId < 0L)
+                Some(graft.streaming.StreamingGroupedHeavyHitters
+                  .readStateLocked(store.spark, sd))
+                  .filter(_.lastBatchId >= 0L)
+              else None
             val n = obj()
-            if (st.lastBatchId >= 0L) {
-              n.put("grouped", false)
-              n.put("k", st.k)
-              n.put("checkpoint", st.checkpoint)
-              n.put("last_batch_id", st.lastBatchId)
-              n.put("n", st.n)
-              n.put("state_entries", st.counts.size)
-              val c = n.putObject("counts")
-              // deterministic envelope order: count desc, item asc (the
-              // operator's own output order)
-              st.counts.toSeq.sortBy { case (item, cnt) => (-cnt, item) }
-                .foreach { case (item, cnt) => c.put(item, cnt) }
-            } else {
-              val gst = graft.streaming.StreamingGroupedHeavyHitters
-                .readStateLocked(store.spark, sd)
-              if (gst.lastBatchId >= 0L) {
+            gst match {
+              case Some(g0) =>
                 n.put("grouped", true)
-                n.put("k", gst.k)
-                n.put("checkpoint", gst.checkpoint)
-                n.put("last_batch_id", gst.lastBatchId)
-                n.put("n", gst.groups.valuesIterator.map(_.n).sum)
-                n.put("state_entries", gst.totalEntries)
-                n.put("group_count", gst.groups.size)
+                n.put("k", g0.k)
+                n.put("checkpoint", g0.checkpoint)
+                n.put("last_batch_id", g0.lastBatchId)
+                n.put("n", g0.groups.valuesIterator.map(_.n).sum)
+                n.put("state_entries", g0.totalEntries)
+                n.put("group_count", g0.groups.size)
                 val gs = n.putObject("groups")
-                gst.groups.toSeq.sortBy(_._1).foreach { case (g, grp) =>
+                g0.groups.toSeq.sortBy(_._1).foreach { case (g, grp) =>
                   val gn = gs.putObject(g)
                   gn.put("n", grp.n)
                   val c = gn.putObject("counts")
                   grp.counts.toSeq.sortBy { case (item, cnt) => (-cnt, item) }
                     .foreach { case (item, cnt) => c.put(item, cnt) }
                 }
-              } else { // neither fold has state: the flat empty envelope
+              case None =>
                 n.put("grouped", false)
                 n.put("k", st.k)
                 n.put("checkpoint", st.checkpoint)
                 n.put("last_batch_id", st.lastBatchId)
                 n.put("n", st.n)
-                n.put("state_entries", 0)
-                n.putObject("counts")
-              }
+                n.put("state_entries", st.counts.size)
+                val c = n.putObject("counts")
+                // deterministic envelope order: count desc, item asc (the
+                // operator's own output order)
+                st.counts.toSeq.sortBy { case (item, cnt) => (-cnt, item) }
+                  .foreach { case (item, cnt) => c.put(item, cnt) }
             }
             // the counts are folded MG estimates (lower bounds, off by at
             // most n/(k+1) of the (group's) mass) — exact values need the

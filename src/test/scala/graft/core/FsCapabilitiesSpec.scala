@@ -91,6 +91,33 @@ class FsCapabilitiesSpec extends SparkSpec {
     }
   }
 
+  test("probe sweep reclaims stale leftovers, retains mtime-0 and fresh peers") {
+    val scratchRoot = Files.createTempDirectory("graft_probe_sweep_").toString
+    val scratch = new Path(scratchRoot, "probe_scratch")
+    val local = new Path(scratchRoot).getFileSystem(hconf)
+    local.mkdirs(scratch)
+    // a crashed prober's leftover, backdated past the 1h window
+    val stale = java.nio.file.Paths.get(scratch.toString, "atomic_probe_dead_a")
+    java.nio.file.Files.writeString(stale, "")
+    java.nio.file.Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 3600_000L))
+    // an mtime-0 file: "infinitely old" by local arithmetic, but 0 means
+    // the store doesn't track mtime — the sweep must NOT touch it
+    val zero = java.nio.file.Paths.get(scratch.toString, "atomic_probe_zero_a")
+    java.nio.file.Files.writeString(zero, "")
+    java.nio.file.Files.setLastModifiedTime(zero,
+      java.nio.file.attribute.FileTime.fromMillis(0))
+    // a LIVE peer's fresh probe file — must survive the sweep
+    val fresh = java.nio.file.Paths.get(scratch.toString, "atomic_probe_live_a")
+    java.nio.file.Files.writeString(fresh, "")
+    assert(FsCapabilities.probeAtomicRename(local, scratch))
+    assert(!java.nio.file.Files.exists(stale), "stale leftover not reclaimed")
+    assert(java.nio.file.Files.exists(zero),
+      "mtime-0 file swept — an mtime-less store would lose live probes")
+    assert(java.nio.file.Files.exists(fresh), "live peer's fresh probe swept")
+  }
+
   test("conf-gated probe at store open refuses a lying unknown scheme") {
     hconf.setClass("fs.badfs.impl", classOf[NonExclusiveCreateFileSystem],
       classOf[org.apache.hadoop.fs.FileSystem])
