@@ -781,6 +781,10 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         // from is_complete — alert only if it persists across scans
         n.put("cross_tier_duplicate_count", r.crossTierDuplicateCount)
         n.put("invalid_cluster_count", r.invalidClusterCount)
+        // saved-HNSW part-list probe (r13): stale = delta-served, a
+        // rebuild hint; missing = out-of-band tier edit, gates is_complete
+        n.put("recent_index_stale_parts", r.recentIndexStaleParts)
+        n.put("recent_index_missing_parts", r.recentIndexMissingParts)
         val d = n.putObject("code_tier_drift")
         r.codeTierDrift.foreach { case (tier, (missing, orphaned)) =>
           val t = d.putObject(tier)

@@ -1092,6 +1092,26 @@ class VectorStore(val spark: SparkSession, val path: String,
           col("cluster_id").isNull || col("cluster_id") < 0 ||
             col("cluster_id") >= n).count()
       }
+    // saved-HNSW recent index vs its recorded part list — pure FS
+    // metadata, no scan (the r13 "blob count probe" leg): STALE parts
+    // (tier parts the index doesn't cover) are normal operation — the
+    // search-time delta scan serves them, though a large count says a
+    // rebuild would pay off; MISSING parts (recorded-covered parts that
+    // no longer exist in the tier) are a real defect — only out-of-band
+    // tier edits produce them (migrate/vacuum delete the index), and the
+    // index's data table is then serving rows the tier no longer holds.
+    val (idxStale, idxMissing) =
+      if (!hasRecentIndex) (0L, 0L)
+      else {
+        val meta = mapper.readTree(
+          readText(new Path(dir("recent_index"), "meta.json")))
+        val recorded = scala.collection.mutable.Set.empty[String]
+        if (meta.hasNonNull("files"))
+          meta.get("files").forEach(e => recorded += e.asText())
+        val current = listDataParts("recent").toSet
+        ((current -- recorded).size.toLong,
+          (recorded.toSet -- current).size.toLong)
+      }
     val histIds = dropTombstoned(historical).select("id")
     val drift = Seq("pq_codes" -> hasPq, "sq_codes" -> hasSq,
         "bq_codes" -> hasBq).collect { case (tier, true) =>
@@ -1111,8 +1131,10 @@ class VectorStore(val spark: SparkSession, val path: String,
       wrongDimCount = wrongDim, duplicateIdCount = dupIds,
       crossTierDuplicateCount = crossDupIds,
       invalidClusterCount = invalidCluster, codeTierDrift = drift,
+      recentIndexStaleParts = idxStale,
+      recentIndexMissingParts = idxMissing,
       isComplete = manifest.isDefined && wrongDim == 0 && dupIds == 0 &&
-        invalidCluster == 0 &&
+        invalidCluster == 0 && idxMissing == 0 &&
         drift.values.forall(p => p._1 == 0 && p._2 == 0))
   }
 
@@ -1952,12 +1974,21 @@ object VectorStore {
     * `crossTierDuplicateCount` counts ids live in both tiers — transient
     * when the scan races a migrate() between its two tier swaps, so it is
     * reported but NOT folded into `isComplete` (alert only if it persists
-    * across scans with no migration running). */
+    * across scans with no migration running). r13 adds the saved-HNSW
+    * part-list probe (FS metadata only): `recentIndexStaleParts` = tier
+    * parts the index's recorded list doesn't cover (normal — the delta
+    * scan serves them; a large count is a rebuild hint, NOT an
+    * `isComplete` defect), `recentIndexMissingParts` = recorded-covered
+    * parts no longer in the tier (a hard defect — only out-of-band tier
+    * edits produce it, and the index then serves rows the tier no longer
+    * holds; gated by `isComplete`). Both 0 when no index is built. */
   case class IntegrityReport(hasManifest: Boolean, hasCentroids: Boolean,
       liveRecent: Long, liveHistorical: Long, wrongDimCount: Long,
       duplicateIdCount: Long, crossTierDuplicateCount: Long,
       invalidClusterCount: Long,
-      codeTierDrift: Map[String, (Long, Long)], isComplete: Boolean)
+      codeTierDrift: Map[String, (Long, Long)],
+      recentIndexStaleParts: Long, recentIndexMissingParts: Long,
+      isComplete: Boolean)
   /** Persisted rebalance counters (RebalanceStatistics analog,
     * `hybrid/maintenance.rs:115-119`). */
   case class MaintenanceStats(totalRebalances: Long, totalVectorsMoved: Long,

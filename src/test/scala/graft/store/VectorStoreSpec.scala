@@ -442,6 +442,50 @@ class VectorStoreSpec extends SparkSpec {
     assert(tampered.invalidClusterCount == 0L)
   }
 
+  test("integrity: saved-index part-list probe splits stale from missing") {
+    import spark.implicits._
+    val st = freshStore()
+    st.insert((0 until 30).map(i => VectorRecord(s"p$i", vec(i))))
+    // no index built: both probes are 0 and gate nothing
+    val r0 = st.checkIntegrity()
+    assert(r0.recentIndexStaleParts == 0L && r0.recentIndexMissingParts == 0L
+      && r0.isComplete)
+    st.buildRecentIndex()
+    val r1 = st.checkIntegrity()
+    assert(r1.recentIndexStaleParts == 0L && r1.recentIndexMissingParts == 0L
+      && r1.isComplete)
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(st.path, "recent"), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet") && f.getLen > 0)
+          b += f.getPath.toString
+      }
+      b.result()
+    }
+    val covered = parts()
+    // out-of-band append AFTER the build: exactly one new part — STALE,
+    // which is normal operation (the search-time delta scan serves it; a
+    // big count is a rebuild hint), so is_complete still holds
+    val ts = new java.sql.Timestamp(System.currentTimeMillis())
+    Seq(("late", "vid_late", vec(99), null.asInstanceOf[String], ts))
+      .toDF("id", "vid", "embedding", "metadata", "ts")
+      .coalesce(1).write.mode("append").parquet(st.path + "/recent")
+    val r2 = st.checkIntegrity()
+    assert(r2.recentIndexStaleParts == 1L && r2.recentIndexMissingParts == 0L,
+      s"stale=${r2.recentIndexStaleParts} missing=${r2.recentIndexMissingParts}")
+    assert(r2.isComplete, "stale parts must not gate is_complete")
+    // out-of-band DELETE of a covered part: the index's data table now
+    // serves rows the tier no longer holds — a hard defect
+    fs.delete(new org.apache.hadoop.fs.Path(covered.toSeq.sorted.head), false)
+    val r3 = st.checkIntegrity()
+    assert(r3.recentIndexMissingParts == 1L && !r3.isComplete,
+      s"missing=${r3.recentIndexMissingParts} complete=${r3.isComplete}")
+  }
+
   test("mutations refuse non-atomic-rename filesystems unless opted in") {
     val hconf = spark.sparkContext.hadoopConfiguration
     hconf.setClass("fs.s3a.impl", classOf[FakeS3AFileSystem],

@@ -214,6 +214,61 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     assert(eW.getMessage.contains("do NOT fold"))
   }
 
+  test("lock-free readState under a continuously-committing writer: consistent or loud, never phantom-empty") {
+    // the staged-state specs pin each crash shape; this pins the LIVE
+    // protocol end-to-end: while a writer commits continuously, every
+    // lock-free read must either return a consistent snapshot (monotone
+    // n/batch id, never an empty snapshot once a commit has landed — the
+    // phantom-empty class) or throw the curated contention error, never
+    // a bare FNF or a silently stale/empty result
+    val stateDir = Files.createTempDirectory("graft_shh_lfread_").toString
+    val nBatches = 20
+    val b = batchDf(0).collect()
+    val schema = batchDf(0).schema
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try {
+        var i = 0
+        while (i < nBatches) {
+          val df = spark.createDataFrame(
+            java.util.Arrays.asList(b: _*), schema)
+          StreamingHeavyHitters.applyBatch(
+            spark, stateDir, 64, "ck", df, i.toLong)
+          i += 1
+        }
+      } catch { case t: Throwable => writerErr.set(t) }
+    })
+    writer.start()
+    var lastN = -1L
+    var sawNonEmpty = false
+    var contended = 0
+    var reads = 0
+    while (writer.isAlive) {
+      try {
+        val st = StreamingHeavyHitters.readState(spark, stateDir)
+        if (st.lastBatchId >= 0L) {
+          sawNonEmpty = true
+          assert(st.n >= lastN, s"snapshot went backwards: $lastN -> ${st.n}")
+          lastN = st.n
+        } else assert(!sawNonEmpty,
+          "PHANTOM-EMPTY: an empty snapshot after a committed state was read")
+      } catch {
+        case e: IllegalStateException =>
+          assert(e.getMessage.contains("read contention")
+            || e.getMessage.contains("persists after recovery"), e.getMessage)
+          contended += 1
+      }
+      reads += 1
+    }
+    writer.join()
+    assert(writerErr.get() == null,
+      s"writer failed under concurrent lock-free reads: ${writerErr.get()}")
+    assert(reads > 0)
+    val fin = StreamingHeavyHitters.readState(spark, stateDir)
+    assert(fin.lastBatchId == nBatches - 1L)
+    info(s"$reads reads, $contended loud-contention exits")
+  }
+
   test("driver-side mergeMg preserves the composed MG bound") {
     // fold per-chunk aggregate summaries through mergeMg (exactly what the
     // stream does) and check Agarwal et al.'s composed bound against the
