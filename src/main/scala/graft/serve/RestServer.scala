@@ -782,7 +782,13 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         n.put("cross_tier_duplicate_count", r.crossTierDuplicateCount)
         n.put("invalid_cluster_count", r.invalidClusterCount)
         // saved-HNSW part-list probe (r13): stale = delta-served, a
-        // rebuild hint; missing = out-of-band tier edit, gates is_complete
+        // rebuild hint; missing = the index serves rows the tier no
+        // longer holds — transient while a migrate/vacuum is between its
+        // tier swap and index invalidation (this scan takes no lease),
+        // so like cross_tier_duplicate_count it does NOT gate
+        // is_complete: alert if it persists across scans. -1 on both =
+        // coverage unknown this scan (pre-list-era/malformed list or
+        // index vanished mid-probe) — distinct from verified zero
         n.put("recent_index_stale_parts", r.recentIndexStaleParts)
         n.put("recent_index_missing_parts", r.recentIndexMissingParts)
         val d = n.putObject("code_tier_drift")

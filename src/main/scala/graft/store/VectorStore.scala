@@ -146,13 +146,27 @@ class VectorStore(val spark: SparkSession, val path: String,
   private def readPartList(sidecar: String): Option[Seq[String]] = {
     val p = new Path(path, sidecar)
     if (!fs.exists(p)) None
+    else recordedFiles(mapper.readTree(readText(p)))
+  }
+
+  /** The ONE parse of a recorded `files` part list out of a JSON node —
+    * shared by the sidecar readers, the saved-index delta scan, and the
+    * integrity probe, so "list absent" (a pre-list-era artifact: the
+    * caller must fall back, never assume empty coverage) is decided the
+    * same way everywhere. */
+  private def recordedFiles(node: com.fasterxml.jackson.databind.JsonNode)
+      : Option[Seq[String]] =
+    // a non-array `files` (hand-edited/corrupt sidecar) is UNUSABLE, not
+    // an empty list — forEach over a value node would silently yield Nil,
+    // reading as "nothing covered" (whole tier stale / whole tier
+    // re-scanned as delta); route it to the same None fallback as absent
+    if (node == null || !node.hasNonNull("files") ||
+        !node.get("files").isArray) None
     else {
-      val n = mapper.readTree(readText(p)).get("files")
       val b = Seq.newBuilder[String]
-      n.forEach(e => b += e.asText())
+      node.get("files").forEach(e => b += e.asText())
       Some(b.result())
     }
-  }
 
   /** The rows of `name` added after `recorded` was captured, as a DataFrame
     * over just the new part files — None (decided from FS metadata alone,
@@ -1097,21 +1111,55 @@ class VectorStore(val spark: SparkSession, val path: String,
     // (tier parts the index doesn't cover) are normal operation — the
     // search-time delta scan serves them, though a large count says a
     // rebuild would pay off; MISSING parts (recorded-covered parts that
-    // no longer exist in the tier) are a real defect — only out-of-band
-    // tier edits produce them (migrate/vacuum delete the index), and the
-    // index's data table is then serving rows the tier no longer holds.
+    // no longer exist in the tier) indicate the index's data table is
+    // serving rows the tier no longer holds. Like the cross-tier dup
+    // count, missing can be TRANSIENTLY non-zero when this lease-free
+    // scan races a migrate()/vacuum() between its tier swap and its
+    // index invalidation (both swap the tier FIRST), so it is reported
+    // but NOT folded into isComplete — a missing count that PERSISTS
+    // across scans with no maintenance running is the real out-of-band-
+    // edit defect and should be alerted on. UNKNOWN coverage — a
+    // pre-list-era meta.json, or the index invalidated between the
+    // hasRecentIndex probe and the meta read — reports the -1 SENTINEL
+    // on both probes, never a silent 0/0: an alert-if-persists monitor
+    // must be able to tell "verified zero" from "could not verify this
+    // scan" (a 0 would reset its persistence window over the very
+    // defect class it watches for). Unparseable or malformed sidecars
+    // fail the scan loudly instead (see below).
     val (idxStale, idxMissing) =
-      if (!hasRecentIndex) (0L, 0L)
-      else {
-        val meta = mapper.readTree(
-          readText(new Path(dir("recent_index"), "meta.json")))
-        val recorded = scala.collection.mutable.Set.empty[String]
-        if (meta.hasNonNull("files"))
-          meta.get("files").forEach(e => recorded += e.asText())
-        val current = listDataParts("recent").toSet
-        ((current -- recorded).size.toLong,
-          (recorded.toSet -- current).size.toLong)
-      }
+      try {
+        if (!hasRecentIndex) (0L, 0L)
+        else {
+          val metaNode = mapper.readTree(
+            readText(new Path(dir("recent_index"), "meta.json")))
+          // a PRESENT-but-non-array `files` is a persistent malformed
+          // sidecar, same defect class as an unparseable file — the
+          // integrity scan fails LOUDLY on both (the SEARCH path's
+          // recordedFiles deliberately degrades to the anti-join delta
+          // instead: serving must survive what an admin scan should
+          // flag). Only a meta with NO `files` at all (pre-list-era) is
+          // benign unknown coverage.
+          if (metaNode.hasNonNull("files") && !metaNode.get("files").isArray)
+            throw new IllegalStateException(
+              s"recent_index/meta.json has a malformed `files` entry " +
+                s"(${metaNode.get("files").getNodeType}, expected array) " +
+                "— the sidecar was edited or corrupted; searches are " +
+                "degrading to the full-tier delta scan. Rebuild the " +
+                "index (buildRecentIndex) or restore meta.json")
+          recordedFiles(metaNode) match {
+            case None => (-1L, -1L) // pre-list-era: coverage unknown
+            case Some(rec) =>
+              val recorded = rec.toSet
+              val current = listDataParts("recent").toSet
+              ((current -- recorded).size.toLong,
+                (recorded -- current).size.toLong)
+          }
+        }
+      // ONLY the vanished-file race (index invalidated between the
+      // hasRecentIndex probe and the meta read) maps to unknown; a
+      // meta.json that EXISTS but cannot be parsed is a persistent
+      // defect and must fail the scan loudly, not read as healthy
+      } catch { case _: java.io.FileNotFoundException => (-1L, -1L) }
     val histIds = dropTombstoned(historical).select("id")
     val drift = Seq("pq_codes" -> hasPq, "sq_codes" -> hasSq,
         "bq_codes" -> hasBq).collect { case (tier, true) =>
@@ -1134,7 +1182,7 @@ class VectorStore(val spark: SparkSession, val path: String,
       recentIndexStaleParts = idxStale,
       recentIndexMissingParts = idxMissing,
       isComplete = manifest.isDefined && wrongDim == 0 && dupIds == 0 &&
-        invalidCluster == 0 && idxMissing == 0 &&
+        invalidCluster == 0 &&
         drift.values.forall(p => p._1 == 0 && p._2 == 0))
   }
 
@@ -1399,12 +1447,11 @@ class VectorStore(val spark: SparkSession, val path: String,
     // extra plan at all in the no-insert case. A delete-then-reinsert
     // lands in a new part like any insert. Indexes built before the list
     // existed fall back to the (vid, ts) anti-join.
-    val deltaRawOpt =
-      if (meta.has("files")) {
-        val recorded = Seq.newBuilder[String]
-        meta.get("files").forEach(e => recorded += e.asText())
-        newPartsDF("recent", recorded.result(), vectorSchema)
-      } else Some(recent.join(idx.select("vid", "ts"), Seq("vid", "ts"), "left_anti"))
+    val deltaRawOpt = recordedFiles(meta) match {
+      case Some(recorded) => newPartsDF("recent", recorded, vectorSchema)
+      case None =>
+        Some(recent.join(idx.select("vid", "ts"), Seq("vid", "ts"), "left_anti"))
+    }
     deltaRawOpt match {
       case None => hits
       case Some(deltaRaw) =>
@@ -1977,11 +2024,22 @@ object VectorStore {
     * across scans with no migration running). r13 adds the saved-HNSW
     * part-list probe (FS metadata only): `recentIndexStaleParts` = tier
     * parts the index's recorded list doesn't cover (normal — the delta
-    * scan serves them; a large count is a rebuild hint, NOT an
-    * `isComplete` defect), `recentIndexMissingParts` = recorded-covered
-    * parts no longer in the tier (a hard defect — only out-of-band tier
-    * edits produce it, and the index then serves rows the tier no longer
-    * holds; gated by `isComplete`). Both 0 when no index is built. */
+    * scan serves them; a large count is a rebuild hint),
+    * `recentIndexMissingParts` = recorded-covered parts no longer in the
+    * tier (the index then serves rows the tier no longer holds). Missing
+    * shares the cross-tier dup count's alerting contract: this lease-free
+    * scan racing a migrate()/vacuum() between its tier swap and its index
+    * invalidation sees a transient non-zero, so NEITHER probe gates
+    * `isComplete` — alert on a missing count that persists across scans
+    * with no maintenance running. Both 0 when no index is built; both -1
+    * (the coverage-UNKNOWN sentinel, distinct from verified-zero so a
+    * persistence monitor never resets on an unverifiable scan) when the
+    * index predates recorded part lists or vanished mid-probe; a
+    * meta.json that exists but is unparseable OR carries a non-array
+    * `files` fails the scan loudly (persistent defect, not a race —
+    * while the search path deliberately degrades to the anti-join delta
+    * for the same states, because serving must survive what an admin
+    * scan should flag). */
   case class IntegrityReport(hasManifest: Boolean, hasCentroids: Boolean,
       liveRecent: Long, liveHistorical: Long, wrongDimCount: Long,
       duplicateIdCount: Long, crossTierDuplicateCount: Long,

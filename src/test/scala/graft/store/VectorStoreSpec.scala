@@ -479,11 +479,55 @@ class VectorStoreSpec extends SparkSpec {
       s"stale=${r2.recentIndexStaleParts} missing=${r2.recentIndexMissingParts}")
     assert(r2.isComplete, "stale parts must not gate is_complete")
     // out-of-band DELETE of a covered part: the index's data table now
-    // serves rows the tier no longer holds — a hard defect
+    // serves rows the tier no longer holds — reported as MISSING, but
+    // (like cross_tier_duplicate_count) NOT gating is_complete: a
+    // lease-free scan racing migrate()/vacuum() between tier swap and
+    // index invalidation sees the same transient signature, so the
+    // contract is alert-if-persists, not hard-fail
     fs.delete(new org.apache.hadoop.fs.Path(covered.toSeq.sorted.head), false)
     val r3 = st.checkIntegrity()
-    assert(r3.recentIndexMissingParts == 1L && !r3.isComplete,
+    assert(r3.recentIndexMissingParts == 1L && r3.isComplete,
       s"missing=${r3.recentIndexMissingParts} complete=${r3.isComplete}")
+    // a pre-list-era index (meta.json without `files`) has UNKNOWN
+    // coverage: both probes report the -1 sentinel — never 0 (a monitor
+    // must distinguish verified-zero from could-not-verify) and never
+    // "whole tier stale"
+    val metaP = new org.apache.hadoop.fs.Path(st.path, "recent_index/meta.json")
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val metaTxt = {
+      val in = fs.open(metaP)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    def writeMeta(txt: String): Unit = {
+      val out = fs.create(metaP, true)
+      try out.write(txt.getBytes("UTF-8")) finally out.close()
+    }
+    val legacy = mapper.readTree(metaTxt)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    legacy.remove("files")
+    writeMeta(legacy.toString)
+    val r4 = st.checkIntegrity()
+    assert(r4.recentIndexStaleParts == -1L && r4.recentIndexMissingParts == -1L,
+      s"legacy meta: stale=${r4.recentIndexStaleParts} missing=${r4.recentIndexMissingParts}")
+    // a PRESENT-but-non-array `files` is a persistent malformed sidecar,
+    // not benign legacy: the scan fails LOUDLY (the search path
+    // deliberately degrades instead — serving must survive what the
+    // admin scan flags)
+    legacy.put("files", "corrupt")
+    writeMeta(legacy.toString)
+    val eMalformed = intercept[IllegalStateException] { st.checkIntegrity() }
+    assert(eMalformed.getMessage.contains("malformed `files`"))
+    // a meta.json that EXISTS but cannot be parsed is the same defect
+    // class: loud, never a healthy 0/0
+    writeMeta("{truncated")
+    intercept[Exception] { st.checkIntegrity() }
+    writeMeta(metaTxt) // restore the real sidecar: the EXACT pre-damage
+    // verdict must come back (stale=1 from the late append, missing=1
+    // from the deleted covered part) — a probe that cached the unknown
+    // state or re-read a stale node would report 0s here
+    val r6 = st.checkIntegrity()
+    assert(r6.recentIndexStaleParts == 1L && r6.recentIndexMissingParts == 1L,
+      s"restored meta: stale=${r6.recentIndexStaleParts} missing=${r6.recentIndexMissingParts}")
   }
 
   test("mutations refuse non-atomic-rename filesystems unless opted in") {
