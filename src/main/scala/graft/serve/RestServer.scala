@@ -787,8 +787,9 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         // tier swap and index invalidation (this scan takes no lease),
         // so like cross_tier_duplicate_count it does NOT gate
         // is_complete: alert if it persists across scans. -1 on both =
-        // coverage unknown this scan (pre-list-era/malformed list or
-        // index vanished mid-probe) — distinct from verified zero
+        // coverage unknown this scan (pre-list-era index, or the index
+        // vanished mid-probe) — distinct from verified zero; a MALFORMED
+        // meta.json instead fails the scan loudly (this route 500s)
         n.put("recent_index_stale_parts", r.recentIndexStaleParts)
         n.put("recent_index_missing_parts", r.recentIndexMissingParts)
         val d = n.putObject("code_tier_drift")

@@ -146,26 +146,41 @@ class VectorStore(val spark: SparkSession, val path: String,
   private def readPartList(sidecar: String): Option[Seq[String]] = {
     val p = new Path(path, sidecar)
     if (!fs.exists(p)) None
-    else recordedFiles(mapper.readTree(readText(p)))
+    else recordedFiles(mapper.readTree(readText(p))) match {
+      case RecordedList.Files(parts) => Some(parts)
+      // a malformed code-tier sidecar degrades to the caller's
+      // no-recorded-list fallback, same as the search path
+      case _ => None
+    }
   }
 
-  /** The ONE parse of a recorded `files` part list out of a JSON node —
-    * shared by the sidecar readers, the saved-index delta scan, and the
-    * integrity probe, so "list absent" (a pre-list-era artifact: the
-    * caller must fall back, never assume empty coverage) is decided the
-    * same way everywhere. */
+  /** The recorded `files` part list classified out of a JSON node — the
+    * ONE three-way classification shared by the sidecar readers, the
+    * saved-index delta scan, and the integrity probe, so each consumer
+    * maps the states to ITS policy from one shared decision instead of
+    * re-deriving (and drifting on) the predicate:
+    *
+    *  - [[RecordedList.Absent]]: a well-formed object with NO `files`
+    *    entry — a genuine pre-list-era artifact; coverage unknown, the
+    *    caller must fall back, never assume empty coverage.
+    *  - [[RecordedList.Malformed]]: unusable — non-object root, explicit
+    *    `files: null`, or a non-array value (no writer ever produces
+    *    these; they mean hand-editing or corruption). A naive parse
+    *    would read them as an EMPTY list = "nothing covered" (whole tier
+    *    stale / whole tier re-scanned as delta). Search DEGRADES on this
+    *    (serving must survive what an admin scan flags); the integrity
+    *    scan fails LOUDLY on it.
+    *  - [[RecordedList.Files]]: the usable recorded list. */
   private def recordedFiles(node: com.fasterxml.jackson.databind.JsonNode)
-      : Option[Seq[String]] =
-    // a non-array `files` (hand-edited/corrupt sidecar) is UNUSABLE, not
-    // an empty list — forEach over a value node would silently yield Nil,
-    // reading as "nothing covered" (whole tier stale / whole tier
-    // re-scanned as delta); route it to the same None fallback as absent
-    if (node == null || !node.hasNonNull("files") ||
-        !node.get("files").isArray) None
+      : RecordedList =
+    if (node == null || !node.isObject) RecordedList.Malformed
+    else if (!node.has("files")) RecordedList.Absent
+    else if (node.get("files") == null || !node.get("files").isArray)
+      RecordedList.Malformed
     else {
       val b = Seq.newBuilder[String]
       node.get("files").forEach(e => b += e.asText())
-      Some(b.result())
+      RecordedList.Files(b.result())
     }
 
   /** The rows of `name` added after `recorded` was captured, as a DataFrame
@@ -1129,31 +1144,28 @@ class VectorStore(val spark: SparkSession, val path: String,
     val (idxStale, idxMissing) =
       try {
         if (!hasRecentIndex) (0L, 0L)
-        else {
-          val metaNode = mapper.readTree(
-            readText(new Path(dir("recent_index"), "meta.json")))
-          // a PRESENT-but-non-array `files` is a persistent malformed
-          // sidecar, same defect class as an unparseable file — the
-          // integrity scan fails LOUDLY on both (the SEARCH path's
-          // recordedFiles deliberately degrades to the anti-join delta
-          // instead: serving must survive what an admin scan should
-          // flag). Only a meta with NO `files` at all (pre-list-era) is
-          // benign unknown coverage.
-          if (metaNode.hasNonNull("files") && !metaNode.get("files").isArray)
+        else recordedFiles(mapper.readTree(
+            readText(new Path(dir("recent_index"), "meta.json")))) match {
+          case RecordedList.Absent => (-1L, -1L) // pre-list-era: unknown
+          // a MALFORMED sidecar (non-object root, null or non-array
+          // `files`) is a persistent defect, same class as an
+          // unparseable file — the integrity scan fails LOUDLY on both;
+          // the SEARCH path degrades to the anti-join delta for the
+          // malformed-list state instead (serving must survive what an
+          // admin scan should flag; an UNPARSEABLE meta.json fails
+          // search too — it is load-bearing for the metric)
+          case RecordedList.Malformed =>
             throw new IllegalStateException(
-              s"recent_index/meta.json has a malformed `files` entry " +
-                s"(${metaNode.get("files").getNodeType}, expected array) " +
-                "— the sidecar was edited or corrupted; searches are " +
-                "degrading to the full-tier delta scan. Rebuild the " +
-                "index (buildRecentIndex) or restore meta.json")
-          recordedFiles(metaNode) match {
-            case None => (-1L, -1L) // pre-list-era: coverage unknown
-            case Some(rec) =>
-              val recorded = rec.toSet
-              val current = listDataParts("recent").toSet
-              ((current -- recorded).size.toLong,
-                (recorded -- current).size.toLong)
-          }
+              "recent_index/meta.json is malformed (non-object root, or " +
+                "`files` null/non-array) — the sidecar was edited or " +
+                "corrupted; searches are degrading to the full-tier " +
+                "delta scan (or failing, if the JSON itself is broken). " +
+                "Rebuild the index (buildRecentIndex) or restore meta.json")
+          case RecordedList.Files(rec) =>
+            val recorded = rec.toSet
+            val current = listDataParts("recent").toSet
+            ((current -- recorded).size.toLong,
+              (recorded -- current).size.toLong)
         }
       // ONLY the vanished-file race (index invalidated between the
       // hasRecentIndex probe and the meta read) maps to unknown; a
@@ -1448,8 +1460,12 @@ class VectorStore(val spark: SparkSession, val path: String,
     // lands in a new part like any insert. Indexes built before the list
     // existed fall back to the (vid, ts) anti-join.
     val deltaRawOpt = recordedFiles(meta) match {
-      case Some(recorded) => newPartsDF("recent", recorded, vectorSchema)
-      case None =>
+      case RecordedList.Files(recorded) =>
+        newPartsDF("recent", recorded, vectorSchema)
+      // Absent (pre-list-era) and Malformed both fall back to the
+      // row-level anti-join: serving survives a damaged sidecar (the
+      // integrity scan is the surface that flags it loudly)
+      case _ =>
         Some(recent.join(idx.select("vid", "ts"), Seq("vid", "ts"), "left_anti"))
     }
     deltaRawOpt match {
@@ -1946,6 +1962,17 @@ object VectorStore {
 
   case class Manifest(version: Int, dim: Int)
 
+  /** Three-way classification of a recorded `files` part list (see
+    * `recordedFiles`): Absent = pre-list-era artifact (coverage unknown,
+    * fall back); Malformed = unusable sidecar (search degrades, the
+    * integrity scan fails loudly); Files = the usable list. */
+  private[store] sealed trait RecordedList
+  private[store] object RecordedList {
+    case object Absent extends RecordedList
+    case object Malformed extends RecordedList
+    case class Files(parts: Seq[String]) extends RecordedList
+  }
+
   /** Open an EXISTING store restoring its persisted configuration — the
     * reference's `load_index` (`hybrid/persistence.rs:696-740`), which
     * reconstructs the index from `metadata.config` rather than a
@@ -2035,11 +2062,12 @@ object VectorStore {
     * (the coverage-UNKNOWN sentinel, distinct from verified-zero so a
     * persistence monitor never resets on an unverifiable scan) when the
     * index predates recorded part lists or vanished mid-probe; a
-    * meta.json that exists but is unparseable OR carries a non-array
-    * `files` fails the scan loudly (persistent defect, not a race —
-    * while the search path deliberately degrades to the anti-join delta
-    * for the same states, because serving must survive what an admin
-    * scan should flag). */
+    * meta.json that exists but is unparseable or MALFORMED (non-object
+    * root, `files` null/non-array) fails the scan loudly — a persistent
+    * defect, not a race. The search path degrades to the anti-join delta
+    * on a malformed `files` list (serving survives what the admin scan
+    * flags); an UNPARSEABLE meta.json fails search too, since it is
+    * load-bearing for the index metric. */
   case class IntegrityReport(hasManifest: Boolean, hasCentroids: Boolean,
       liveRecent: Long, liveHistorical: Long, wrongDimCount: Long,
       duplicateIdCount: Long, crossTierDuplicateCount: Long,

@@ -509,14 +509,19 @@ class VectorStoreSpec extends SparkSpec {
     val r4 = st.checkIntegrity()
     assert(r4.recentIndexStaleParts == -1L && r4.recentIndexMissingParts == -1L,
       s"legacy meta: stale=${r4.recentIndexStaleParts} missing=${r4.recentIndexMissingParts}")
-    // a PRESENT-but-non-array `files` is a persistent malformed sidecar,
-    // not benign legacy: the scan fails LOUDLY (the search path
-    // deliberately degrades instead — serving must survive what the
-    // admin scan flags)
+    // MALFORMED sidecars — non-array `files`, explicit null, non-object
+    // root — are persistent defects, not benign legacy: the scan fails
+    // LOUDLY on each (the search path deliberately degrades instead —
+    // serving must survive what the admin scan flags)
     legacy.put("files", "corrupt")
     writeMeta(legacy.toString)
     val eMalformed = intercept[IllegalStateException] { st.checkIntegrity() }
-    assert(eMalformed.getMessage.contains("malformed `files`"))
+    assert(eMalformed.getMessage.contains("malformed"))
+    legacy.putNull("files")
+    writeMeta(legacy.toString)
+    intercept[IllegalStateException] { st.checkIntegrity() }
+    writeMeta("[]") // valid JSON, wrong shape: corrupt, not pre-list-era
+    intercept[IllegalStateException] { st.checkIntegrity() }
     // a meta.json that EXISTS but cannot be parsed is the same defect
     // class: loud, never a healthy 0/0
     writeMeta("{truncated")
