@@ -167,16 +167,26 @@ class VectorStore(val spark: SparkSession, val path: String,
     *    `files: null`, or a non-array value (no writer ever produces
     *    these; they mean hand-editing or corruption). A naive parse
     *    would read them as an EMPTY list = "nothing covered" (whole tier
-    *    stale / whole tier re-scanned as delta). Search DEGRADES on this
-    *    (serving must survive what an admin scan flags); the integrity
-    *    scan fails LOUDLY on it.
+    *    stale / whole tier re-scanned as delta). The integrity scan
+    *    fails LOUDLY on it; the search DELTA branch degrades to the
+    *    anti-join fallback — though for the non-object-root shape search
+    *    fails anyway at its own metric read, which this classification
+    *    doesn't (and shouldn't) mask: a defaulted metric would serve
+    *    wrong distances silently.
     *  - [[RecordedList.Files]]: the usable recorded list. */
   private def recordedFiles(node: com.fasterxml.jackson.databind.JsonNode)
       : RecordedList =
-    if (node == null || !node.isObject) RecordedList.Malformed
+    if (node == null || !node.isObject)
+      RecordedList.Malformed(
+        s"root is ${if (node == null) "empty" else node.getNodeType}, " +
+          "expected an object")
+    // an explicit JSON null parses to a NullNode (never Java null after
+    // has() passed), so the !isArray test below classifies it too; the
+    // reason string still names it for the operator
     else if (!node.has("files")) RecordedList.Absent
-    else if (node.get("files") == null || !node.get("files").isArray)
-      RecordedList.Malformed
+    else if (!node.get("files").isArray)
+      RecordedList.Malformed(
+        s"`files` is ${node.get("files").getNodeType}, expected an array")
     else {
       val b = Seq.newBuilder[String]
       node.get("files").forEach(e => b += e.asText())
@@ -1154,12 +1164,13 @@ class VectorStore(val spark: SparkSession, val path: String,
           // malformed-list state instead (serving must survive what an
           // admin scan should flag; an UNPARSEABLE meta.json fails
           // search too — it is load-bearing for the metric)
-          case RecordedList.Malformed =>
+          case RecordedList.Malformed(why) =>
             throw new IllegalStateException(
-              "recent_index/meta.json is malformed (non-object root, or " +
-                "`files` null/non-array) — the sidecar was edited or " +
-                "corrupted; searches are degrading to the full-tier " +
-                "delta scan (or failing, if the JSON itself is broken). " +
+              s"recent_index/meta.json is malformed: $why — the sidecar " +
+                "was edited or corrupted. Where only the `files` list is " +
+                "damaged, searches degrade to the full-tier delta scan; " +
+                "where the sidecar's metric is unreadable too (non-object " +
+                "root or broken JSON), indexed searches FAIL as well. " +
                 "Rebuild the index (buildRecentIndex) or restore meta.json")
           case RecordedList.Files(rec) =>
             val recorded = rec.toSet
@@ -1969,7 +1980,10 @@ object VectorStore {
   private[store] sealed trait RecordedList
   private[store] object RecordedList {
     case object Absent extends RecordedList
-    case object Malformed extends RecordedList
+    /** `reason` names the shape that failed (root type / null / node
+      * type), so the integrity scan's error can say WHICH defect the
+      * operator is looking at instead of enumerating possibilities. */
+    case class Malformed(reason: String) extends RecordedList
     case class Files(parts: Seq[String]) extends RecordedList
   }
 
