@@ -166,8 +166,12 @@ object FsCapabilities {
     } catch {
       case _: java.io.IOException => false
     } finally {
-      try { fs.delete(a, false); fs.delete(b, false); fs.delete(scratchDir, false) }
-      catch { case _: java.io.IOException => () }
+      // each delete individually best-effort: chained in one try, the
+      // first transient failure would skip the rest and strand files
+      // that only a future prober's age sweep (if any) reclaims
+      def quietDelete(p: Path): Unit =
+        try fs.delete(p, false) catch { case _: java.io.IOException => () }
+      quietDelete(a); quietDelete(b); quietDelete(scratchDir)
     }
   }
 

@@ -1068,10 +1068,19 @@ object ServeMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // env-wired optional surfaces (the operator-config posture: routes
+    // stay disabled-404 unless explicitly pointed at a path) — without
+    // these the standalone entrypoint could never enable the backup
+    // route or the r13 frequent-items monitor at all
+    val backupBase = sys.env.get("SPARK_GRAFT_BACKUP_BASE")
+    val fiStateDir = sys.env.get("SPARK_GRAFT_FREQUENT_ITEMS_STATE")
     val srv = new RestServer(new VectorStore(spark, path), port,
-      wsPort = wsPort).start()
+      backupBase = backupBase, wsPort = wsPort,
+      frequentItemsStateDir = fiStateDir).start()
     println(s"graft serving on :${srv.boundPort} " +
-      s"(ws :${srv.boundWsPort}, store: $path)")
+      s"(ws :${srv.boundWsPort}, store: $path" +
+      fiStateDir.map(d => s", frequent-items: $d").getOrElse("") +
+      backupBase.map(b => s", backups under: $b").getOrElse("") + ")")
     Thread.currentThread().join()
   }
 }

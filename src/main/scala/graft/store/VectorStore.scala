@@ -1186,6 +1186,28 @@ class VectorStore(val spark: SparkSession, val path: String,
     val histIds = dropTombstoned(historical).select("id")
     val drift = Seq("pq_codes" -> hasPq, "sq_codes" -> hasSq,
         "bq_codes" -> hasBq).collect { case (tier, true) =>
+      // the tier's part-list sidecar gets the same loud-malformed
+      // contract as the index meta: a corrupted `*_files.json` makes
+      // every refresh and search delta silently degrade to the
+      // full-tier anti-join forever (readPartList's safe fallback), and
+      // this scan is the one surface that flags it. An ABSENT sidecar
+      // FILE is fine (nothing recorded yet); a present sidecar without a
+      // usable `files` array was never written by any version — corrupt.
+      val sidecar = new Path(path, s"${tier}_files.json")
+      if (fs.exists(sidecar))
+        recordedFiles(mapper.readTree(readText(sidecar))) match {
+          case RecordedList.Files(_) => ()
+          case other =>
+            val why = other match {
+              case RecordedList.Malformed(r) => r
+              case _ => "no `files` entry (never written by any version)"
+            }
+            throw new IllegalStateException(
+              s"${tier}_files.json is malformed: $why — the sidecar was " +
+                "edited or corrupted; every refresh and search delta for " +
+                "this tier is degrading to the full-tier anti-join. " +
+                s"Re-enable the tier (or refresh it) to rewrite the sidecar")
+        }
       val codeIds = dropTombstoned(
         spark.read.schema(codesSchema(tier)).parquet(dir(tier))).select("id")
       val d = histIds.withColumn("h", lit(1))

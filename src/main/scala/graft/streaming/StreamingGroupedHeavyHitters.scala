@@ -157,6 +157,14 @@ object StreamingGroupedHeavyHitters {
     if (batchId <= st.lastBatchId) st // replayed batch: already folded
     else {
       val perGroup = batch
+        // a NULL group key can't be a JSON field name (the fold would
+        // NPE mid-batch and wedge the stream in a replay-crash loop) and
+        // the batch operator's recount drops null groups anyway (inner
+        // join on the group key never matches null) — so null-source
+        // rows are excluded from the fold, keeping the documented
+        // stream == exactPerGroup equivalence exact on corpora that
+        // carry them
+        .filter(col("source").isNotNull)
         .select(col("source"),
           explode(graft.functions.TextFunctions.tokens(col("text")))
             .as("token"))

@@ -535,6 +535,33 @@ class VectorStoreSpec extends SparkSpec {
       s"restored meta: stale=${r6.recentIndexStaleParts} missing=${r6.recentIndexMissingParts}")
   }
 
+  test("integrity: a corrupted code-tier part-list sidecar fails the scan loudly") {
+    // without this surface, a malformed *_files.json silently degrades
+    // every refresh/search delta to the full-tier anti-join FOREVER —
+    // readPartList's safe serving fallback, with no operator signal
+    val st = freshStore()
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert((0 until 10).map(i => VectorRecord(s"c$i", vec(i),
+      tsString = Some(oldTs))))
+    st.migrate()
+    st.enableSq()
+    assert(st.checkIntegrity().isComplete)
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sc = new org.apache.hadoop.fs.Path(st.path, "sq_codes_files.json")
+    val out = fs.create(sc, true)
+    try out.write("""{"files": "corrupt"}""".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException] { st.checkIntegrity() }
+    assert(e.getMessage.contains("sq_codes_files.json")
+      && e.getMessage.contains("malformed"))
+    // serving still works through the anti-join fallback — the scan
+    // flags what search survives
+    import spark.implicits._
+    val q = Seq((0L, vec(1))).toDF("query_id", "q_embedding")
+    assert(st.searchBatchSq(q, k = 1).count() == 1L)
+  }
+
   test("mutations refuse non-atomic-rename filesystems unless opted in") {
     val hconf = spark.sparkContext.hadoopConfiguration
     hconf.setClass("fs.s3a.impl", classOf[FakeS3AFileSystem],

@@ -125,6 +125,32 @@ class StreamingGroupedHeavyHittersSpec extends SparkSpec {
     assert(eDen.getMessage.contains("does not cover"))
   }
 
+  test("null source rows are excluded from the fold, matching the batch recount") {
+    // a null group key would NPE the state serialization mid-batch and
+    // wedge the stream in a replay-crash loop; the batch operator's
+    // recount drops null groups anyway (inner join never matches null),
+    // so exclusion keeps stream == batch exact
+    val stateDir = Files.createTempDirectory("graft_gshh_null_").toString
+    val b = Seq(
+      (1L, "a", "x x x y"),
+      (2L, null.asInstanceOf[String], "x x x z"),
+      (3L, "b", "x w")).toDF("doc_id", "source", "text")
+    val st = StreamingGroupedHeavyHitters
+      .applyBatch(spark, stateDir, 8, 100, "ck", b, 0L)
+    assert(st.groups.keySet == Set("a", "b"),
+      s"null group leaked into state: ${st.groups.keySet}")
+    assert(st.groups("a").n == 4L && st.groups("b").n == 2L)
+    val toks = b.select(col("source"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val fromStream = StreamingGroupedHeavyHitters
+      .heavyHittersFromState(spark, stateDir, toks, "source", "token", 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val fromBatch = HeavyHitters
+      .exactPerGroup(toks, "source", "token", 2L, sketchK = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(fromStream == fromBatch && fromStream.nonEmpty)
+  }
+
   test("group cap: a fold past maxGroups refuses loudly, batch NOT applied") {
     val stateDir = Files.createTempDirectory("graft_gshh_cap_").toString
     val s1 = StreamingGroupedHeavyHitters
