@@ -146,7 +146,7 @@ final class SwapStateFile(fs: FileSystem, dir: String, name: String,
       try fs.exists(marker)
       catch { case _: java.io.IOException => true }
     throw new IllegalStateException(
-      if (markerStillThere) wedgedMessage
+      if (markerStillThere) wedgedMessage(retried = true)
       else
         s"$what at $dir could not be read through the retry window: " +
           "every attempt raced an in-flight commit's rename and no swap " +
@@ -171,18 +171,22 @@ final class SwapStateFile(fs: FileSystem, dir: String, name: String,
     FsSwap.readLocked(fs, live, tmp, marker) {
       if (fs.exists(live)) parse(readText())
       else if (fs.exists(marker))
-        throw new IllegalStateException(wedgedMessage)
+        throw new IllegalStateException(wedgedMessage(retried = false))
       else empty
     }
   }
 
   /** ONE wedged-swap diagnostic for both read paths (specs match on its
-    * fragments — two hand-copied versions had already drifted). */
-  private def wedgedMessage: String =
-    s"$what at $dir is unreadable after retries: the swap marker " +
-      s"${marker.getName} persists after recovery attempts. A crashed " +
-      "commit may have lost its tmp — inspect the state dir; do NOT " +
-      "fold new batches until resolved"
+    * fragments — two hand-copied versions had already drifted); only the
+    * evidence clause differs, because the locked read makes ONE
+    * observation under the swap lock while the lock-free path exhausts
+    * a retry window first — the message must not overstate either. */
+  private def wedgedMessage(retried: Boolean): String =
+    s"$what at $dir is unreadable" +
+      (if (retried) " after retries" else " (observed under the swap lock)") +
+      s": the swap marker ${marker.getName} persists after recovery " +
+      "attempts. A crashed commit may have lost its tmp — inspect the " +
+      "state dir; do NOT fold new batches until resolved"
 
   private def readText(): String = {
     val in = fs.open(live)

@@ -75,6 +75,26 @@ class VectorStore(val spark: SparkSession, val path: String,
     try out.write(text.getBytes(UTF_8)) finally out.close()
   }
 
+  /** [[writeText]] for sidecars that LEASE-FREE readers (search deltas,
+    * `checkIntegrity`, the REST admin scan) may read concurrently with a
+    * rewrite: plain `fs.create(overwrite = true)` truncates the file
+    * BEFORE writing, so a concurrent reader could observe an empty or
+    * partial file and misreport healthy maintenance as corruption.
+    * Write-aside + delete + rename shrinks the observable window to
+    * BRIEFLY ABSENT, which every reader of these sidecars already
+    * handles as the benign no-record state (part-list absent → delta
+    * fallback; index meta absent → index treated as not built). A crash
+    * in the window leaves the file absent with a `_wtmp` aside — the
+    * same benign state plus debris the next rewrite overwrites. */
+  private def writeTextAtomic(p: Path, text: String): Unit = {
+    val tmp = new Path(p.getParent, p.getName + "_wtmp")
+    writeText(tmp, text)
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(
+        s"rename $tmp -> $p failed; the sidecar rewrite did not land")
+  }
+
   /** FS-metadata check (no Spark job): does this (flat) table dir contain
     * any non-empty parquet part? Lets the read path skip tombstone/overlay
     * joins entirely in the common no-mutation case. */
@@ -140,17 +160,27 @@ class VectorStore(val spark: SparkSession, val path: String,
     val node = mapper.createObjectNode()
     val arr = node.putArray("files")
     parts.foreach(arr.add)
-    writeText(new Path(path, sidecar), mapper.writeValueAsString(node))
+    writeTextAtomic(new Path(path, sidecar), mapper.writeValueAsString(node))
   }
 
   private def readPartList(sidecar: String): Option[Seq[String]] = {
     val p = new Path(path, sidecar)
     if (!fs.exists(p)) None
-    else recordedFiles(mapper.readTree(readText(p))) match {
-      case RecordedList.Files(parts) => Some(parts)
-      // a malformed code-tier sidecar degrades to the caller's
-      // no-recorded-list fallback, same as the search path
-      case _ => None
+    else {
+      // unparseable counts as malformed here, same degrade policy: the
+      // SERVING callers (refresh deltas, code-tier search) fall back to
+      // the anti-join instead of crashing on a damaged sidecar — the
+      // integrity scan is the surface that names it loudly
+      val node =
+        try mapper.readTree(readText(p))
+        catch {
+          case _: com.fasterxml.jackson.core.JacksonException => null
+          case _: java.io.FileNotFoundException => null // deleted mid-read
+        }
+      recordedFiles(node) match {
+        case RecordedList.Files(parts) => Some(parts)
+        case _ => None
+      }
     }
   }
 
@@ -1154,8 +1184,16 @@ class VectorStore(val spark: SparkSession, val path: String,
     val (idxStale, idxMissing) =
       try {
         if (!hasRecentIndex) (0L, 0L)
-        else recordedFiles(mapper.readTree(
-            readText(new Path(dir("recent_index"), "meta.json")))) match {
+        else (try recordedFiles(mapper.readTree(
+            readText(new Path(dir("recent_index"), "meta.json"))))
+          catch {
+            // same naming rule as the code-tier sidecars: unparseable
+            // surfaces through the loud branch with the file named,
+            // never as a raw Jackson error
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              RecordedList.Malformed(
+                s"unparseable JSON (${e.getOriginalMessage})")
+          }) match {
           case RecordedList.Absent => (-1L, -1L) // pre-list-era: unknown
           // a MALFORMED sidecar (non-object root, null or non-array
           // `files`) is a persistent defect, same class as an
@@ -1194,20 +1232,37 @@ class VectorStore(val spark: SparkSession, val path: String,
       // FILE is fine (nothing recorded yet); a present sidecar without a
       // usable `files` array was never written by any version — corrupt.
       val sidecar = new Path(path, s"${tier}_files.json")
-      if (fs.exists(sidecar))
-        recordedFiles(mapper.readTree(readText(sidecar))) match {
-          case RecordedList.Files(_) => ()
-          case other =>
-            val why = other match {
-              case RecordedList.Malformed(r) => r
-              case _ => "no `files` entry (never written by any version)"
-            }
-            throw new IllegalStateException(
-              s"${tier}_files.json is malformed: $why — the sidecar was " +
-                "edited or corrupted; every refresh and search delta for " +
-                "this tier is degrading to the full-tier anti-join. " +
-                s"Re-enable the tier (or refresh it) to rewrite the sidecar")
-        }
+      val sidecarVerdict: Option[RecordedList] =
+        try {
+          if (!fs.exists(sidecar)) None
+          else Some(
+            try recordedFiles(mapper.readTree(readText(sidecar)))
+            catch {
+              // unparseable is the same defect class as malformed — fold
+              // it into the classification so the error NAMES the file
+              // and carries remediation, never a raw Jackson 500
+              case e: com.fasterxml.jackson.core.JacksonException =>
+                RecordedList.Malformed(
+                  s"unparseable JSON (${e.getOriginalMessage})")
+            })
+        // vanished between exists and read: a concurrent (atomic)
+        // rewrite's brief absent window — benign, skip this scan's check
+        } catch { case _: java.io.FileNotFoundException => None }
+      sidecarVerdict.foreach {
+        case RecordedList.Files(_) => ()
+        case other =>
+          val why = other match {
+            case RecordedList.Malformed(r) => r
+            case _ => "no `files` entry (never written by any version)"
+          }
+          throw new IllegalStateException(
+            s"${tier}_files.json is malformed: $why — the sidecar was " +
+              "edited or corrupted (sidecar rewrites are atomic, so a " +
+              "live refresh cannot produce this); every refresh and " +
+              "search delta for this tier is degrading to the " +
+              "full-tier anti-join. Re-enable the tier (or refresh " +
+              "it) to rewrite the sidecar")
+      }
       val codeIds = dropTombstoned(
         spark.read.schema(codesSchema(tier)).parquet(dir(tier))).select("id")
       val d = histIds.withColumn("h", lit(1))
@@ -1418,7 +1473,11 @@ class VectorStore(val spark: SparkSession, val path: String,
     node.put("routed", routed)
     val arr = node.putArray("files")
     coveredParts.foreach(arr.add)
-    writeText(new Path(dir("recent_index"), "meta.json"),
+    // atomic (write-aside + rename): lease-free readers — search's meta
+    // read, checkIntegrity's probe — must never observe a truncated
+    // meta.json mid-rebuild; briefly-absent reads as not-built, which
+    // both handle (see writeTextAtomic)
+    writeTextAtomic(new Path(dir("recent_index"), "meta.json"),
       mapper.writeValueAsString(node))
   }
 
