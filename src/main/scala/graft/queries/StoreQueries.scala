@@ -469,21 +469,24 @@ object StoreQueries {
     }),
     "streaming_ingest" -> ((s, dir) => {
       import s.implicits._
+      // stream drive + cleanup under try/finally: a mid-run failure must
+      // not leak a live streaming query or scratch data into the sweep
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q_").toString
-      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-      docs.write.parquet(s"$tmp/src")
-      val nSource = docs.count()
-      val q = graft.streaming.Streaming.dedupIngest(
-        s, s"$tmp/src", s"$tmp/acc", s"$tmp/chk")
-      q.processAllAvailable(); q.stop()
-      val acc = s.read.parquet(s"$tmp/acc/docs")
-        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("idsum"))
-        .head()
-      // everything above already executed — the returned frame is local,
-      // so the scratch dirs can go now instead of accreting across runs
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      Seq((nSource, acc.getLong(0), acc.getLong(1)))
-        .toDF("n_source", "n_accepted", "accepted_id_sum")
+      try {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        docs.write.parquet(s"$tmp/src")
+        val nSource = docs.count()
+        val q = graft.streaming.Streaming.dedupIngest(
+          s, s"$tmp/src", s"$tmp/acc", s"$tmp/chk")
+        try q.processAllAvailable() finally q.stop()
+        val acc = s.read.parquet(s"$tmp/acc/docs")
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("idsum"))
+          .head()
+        // everything above already executed — the returned frame is local
+        Seq((nSource, acc.getLong(0), acc.getLong(1)))
+          .toDF("n_source", "n_accepted", "accepted_id_sum")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
     }))
 
   val oracles: Map[String, String] = Map(

@@ -164,23 +164,28 @@ ORDER BY d$rounds.doc_id"""
     // wrong merge cut rank, a dropped batch, or a double-applied replay
     // hash-mismatches the row set or the counts.
     "streaming_heavy_hitters" -> ((s, dir) => {
+      // stream drive and cleanup under try/finally: a mid-run failure
+      // must not leak a live streaming query (or temp data) into the
+      // rest of the verify/bench sweep
       val tmp = java.nio.file.Files.createTempDirectory("graft_shh_q_").toString
-      Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-        .repartition(4).write.parquet(s"$tmp/src")
-      val q = graft.streaming.StreamingHeavyHitters.ingest(
-        s, s"$tmp/src", s"$tmp/state", s"$tmp/chk",
-        denominator = 200L, sketchK = 512, maxFilesPerTrigger = 1)
-      q.processAllAvailable(); q.stop()
-      val toks = s.read.parquet(s"$tmp/src")
-        .select(explode(tokens(col("text"))).as("token"))
-      val out = graft.streaming.StreamingHeavyHitters
-        .heavyHittersFromState(s, s"$tmp/state", toks, "token", 200L)
-        .collect()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      import s.implicits._
-      out.toSeq.map(r => (r.getString(0), r.getLong(1)))
-        .toDF("token", "cnt")
-        .orderBy(col("cnt").desc, col("token").asc)
+      try {
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+          .repartition(4).write.parquet(s"$tmp/src")
+        val q = graft.streaming.StreamingHeavyHitters.ingest(
+          s, s"$tmp/src", s"$tmp/state", s"$tmp/chk",
+          denominator = 200L, sketchK = 512, maxFilesPerTrigger = 1)
+        try q.processAllAvailable() finally q.stop()
+        val toks = s.read.parquet(s"$tmp/src")
+          .select(explode(tokens(col("text"))).as("token"))
+        val out = graft.streaming.StreamingHeavyHitters
+          .heavyHittersFromState(s, s"$tmp/state", toks, "token", 200L)
+          .collect()
+        import s.implicits._
+        out.toSeq.map(r => (r.getString(0), r.getLong(1)))
+          .toDF("token", "cnt")
+          .orderBy(col("cnt").desc, col("token").asc)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
     }),
     // the grouped variant: per-SOURCE heavy hitters (each source's tokens
     // holding >= 1/100 of that source's mass) — one grouped MG aggregation
@@ -204,24 +209,27 @@ ORDER BY d$rounds.doc_id"""
     // folds, so a wrong per-group merge, a dropped batch, a double-applied
     // replay, or drifted per-group mass tracking hash-mismatches.
     "streaming_hh_by_source" -> ((s, dir) => {
+      // same try/finally discipline as the flat streaming row above
       val tmp = java.nio.file.Files.createTempDirectory("graft_gshh_q_").toString
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"))
-        .repartition(4).write.parquet(s"$tmp/src")
-      val q = graft.streaming.StreamingGroupedHeavyHitters.ingest(
-        s, s"$tmp/src", s"$tmp/state", s"$tmp/chk",
-        denominator = 100L, sketchK = 256, maxFilesPerTrigger = 1)
-      q.processAllAvailable(); q.stop()
-      val toks = s.read.parquet(s"$tmp/src")
-        .select(col("source"), explode(tokens(col("text"))).as("token"))
-      val out = graft.streaming.StreamingGroupedHeavyHitters
-        .heavyHittersFromState(s, s"$tmp/state", toks, "source", "token", 100L)
-        .collect()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      import s.implicits._
-      out.toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-        .toDF("source", "token", "cnt")
-        .orderBy(col("source").asc, col("cnt").desc, col("token").asc)
+      try {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+          .repartition(4).write.parquet(s"$tmp/src")
+        val q = graft.streaming.StreamingGroupedHeavyHitters.ingest(
+          s, s"$tmp/src", s"$tmp/state", s"$tmp/chk",
+          denominator = 100L, sketchK = 256, maxFilesPerTrigger = 1)
+        try q.processAllAvailable() finally q.stop()
+        val toks = s.read.parquet(s"$tmp/src")
+          .select(col("source"), explode(tokens(col("text"))).as("token"))
+        val out = graft.streaming.StreamingGroupedHeavyHitters
+          .heavyHittersFromState(s, s"$tmp/state", toks, "source", "token", 100L)
+          .collect()
+        import s.implicits._
+        out.toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .toDF("source", "token", "cnt")
+          .orderBy(col("source").asc, col("cnt").desc, col("token").asc)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
     }),
     // content + winnowing fingerprints (map-only)
     "doc_fingerprint" -> ((s, dir) => {

@@ -55,8 +55,17 @@ import scala.util.control.NonFatal
   *                                      embedding payload, session.rs:
   *                                      266-281) iff include_vectors
   *   GET    /api/v1/admin/statistics
-  *   GET    /api/v1/admin/integrity
+  *   GET    /api/v1/admin/integrity?confirm=true — confirm=true re-probes
+  *                                      the transient defect classes after
+  *                                      the writer lease quiesces and
+  *                                      reports the persisting ones
   *   GET    /api/v1/admin/frequent-items
+  *   POST   /api/v1/admin/frequent-items/recount {denominator} — the EXACT
+  *                                      face of the folded stream state: a
+  *                                      Spark recount of the candidates over
+  *                                      the operator-configured source
+  *                                      corpus (frequentItemsSourceDir;
+  *                                      admin-gated, no client paths)
   *   POST   /api/v1/admin/migrate
   *   POST   /api/v1/admin/vacuum
   *   POST   /api/v1/admin/rebalance   {max_cluster_size?}
@@ -100,7 +109,8 @@ import scala.util.control.NonFatal
 class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     maxEvents: Int = 10000, backupBase: Option[String] = None,
     sseWriteDeadlineMs: Long = 5000L, wsPort: Int = 0,
-    frequentItemsStateDir: Option[String] = None) {
+    frequentItemsStateDir: Option[String] = None,
+    frequentItemsSourceDir: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -767,7 +777,13 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
       // invariants + per-tier expected-vs-found drift. Runs Spark jobs —
       // an admin action, not a liveness probe ( /health stays FS-only).
       case ("GET", "/api/v1/admin/integrity") =>
-        val r = store.checkIntegrity()
+        // ?confirm=true runs the r14 confirm pass: wait for the writer
+        // lease to quiesce, re-probe ONLY the transient classes, report
+        // the defects present in both observations (the mechanism behind
+        // "alert only if it persists")
+        val confirm = Option(ex.getRequestURI.getQuery)
+          .exists(_.split("&").contains("confirm=true"))
+        val r = store.checkIntegrity(confirmTransients = confirm)
         val n = obj()
         n.put("is_complete", r.isComplete)
         n.put("has_manifest", r.hasManifest)
@@ -797,6 +813,16 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           val t = d.putObject(tier)
           t.put("missing", missing); t.put("orphaned", orphaned)
         }
+        // confirm-pass envelope: transients_confirmed = the re-probe ran
+        // after the lease quiesced; confirmed counts are −1 when not
+        // confirmed (not requested / writer stayed live / coverage
+        // unknown) — an operator alerts on confirmed > 0, never on the
+        // raw transient counts above
+        n.put("transients_confirmed", r.transientsConfirmed)
+        n.put("confirmed_cross_tier_duplicate_count",
+          r.confirmedCrossTierDuplicateCount)
+        n.put("confirmed_recent_index_missing_parts",
+          r.confirmedRecentIndexMissingParts)
         (200, n)
       // running frequent-items state of the streaming Misra–Gries fold
       // (graft extension — the reference has no frequent-items surface):
@@ -837,6 +863,11 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                 n.put("n", g0.groups.valuesIterator.map(_.n).sum)
                 n.put("state_entries", g0.totalEntries)
                 n.put("group_count", g0.groups.size)
+                // running count of null-group-key rows the fold excluded
+                // (correct per the batch recount's inner-join semantics,
+                // but a source column rotting to NULL would quietly thin
+                // the profile — this is the monitor's visibility into it)
+                n.put("excluded_null_rows", g0.excludedNullRows)
                 val gs = n.putObject("groups")
                 g0.groups.toSeq.sortBy(_._1).foreach { case (g, grp) =>
                   val gn = gs.putObject(g)
@@ -860,10 +891,90 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             }
             // the counts are folded MG estimates (lower bounds, off by at
             // most n/(k+1) of the (group's) mass) — exact values need the
-            // recount (the heavyHittersFromState path), which is a Spark
-            // job, not a monitoring read
+            // recount (POST .../recount below), which is a Spark job, not
+            // a monitoring read
             n.put("counts_are_mg_estimates", true)
             (200, n)
+        }
+      // the exact face of the operator (r14): recount the folded
+      // candidates over the stream's corpus at the requested threshold —
+      // heavyHittersFromState, served. ADMIN-gated by construction: it
+      // runs a Spark job over the operator-configured source dir (the
+      // backupBase posture — no client-supplied paths), so it completes
+      // the serving surface without letting a monitor aim the driver at
+      // arbitrary data. Disabled (404) unless BOTH the state dir and the
+      // source dir were wired at construction.
+      case ("POST", "/api/v1/admin/frequent-items/recount") =>
+        (frequentItemsStateDir, frequentItemsSourceDir) match {
+          case (Some(sd), Some(srcDir)) =>
+            val req = body(ex)
+            if (req == null || !req.hasNonNull("denominator"))
+              (400, err("'denominator' required (items at >= 1/denominator " +
+                "of the (group's) token mass are returned, with EXACT counts)"))
+            else {
+              val denom = req.get("denominator").asLong()
+              // same flat-vs-grouped rule as the GET: serve whichever
+              // state is folded, flat winning ties; the locked read gives
+              // a consistent snapshot decision under a hot writer (the
+              // recount itself re-reads state lock-free — its exactness
+              // guard validates the folded k against `denom` loudly)
+              val st = graft.streaming.StreamingHeavyHitters
+                .readStateLocked(store.spark, sd)
+              lazy val gst = graft.streaming.StreamingGroupedHeavyHitters
+                .readStateLocked(store.spark, sd)
+              if (st.lastBatchId < 0L && gst.lastBatchId < 0L)
+                // nothing folded: recounting is a category error, not an
+                // empty answer — 409 so a misconfigured monitor can't
+                // read "no state" as "no heavy hitters"
+                (409, err(s"no folded frequent-items state under $sd — " +
+                  "start the ingest (or point the server at its state dir) " +
+                  "before asking for an exact recount"))
+              else {
+                val corpus = store.spark.read.parquet(srcDir)
+                val n = obj()
+                n.put("denominator", denom)
+                if (st.lastBatchId >= 0L) {
+                  val toks = corpus.select(explode(
+                    graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+                  val rows = graft.streaming.StreamingHeavyHitters
+                    .heavyHittersFromState(store.spark, sd, toks, "token", denom)
+                    .collect() // bounded: <= denominator heavy hitters
+                  n.put("grouped", false)
+                  n.put("n", st.n)
+                  val c = n.putObject("counts")
+                  rows.foreach(r => c.put(r.getString(0), r.getLong(1)))
+                } else {
+                  val toks = corpus.select(col("source"), explode(
+                    graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+                  val rows = graft.streaming.StreamingGroupedHeavyHitters
+                    .heavyHittersFromState(store.spark, sd, toks,
+                      "source", "token", denom)
+                    .collect() // bounded: <= groups x denominator rows
+                  n.put("grouped", true)
+                  n.put("n", gst.groups.valuesIterator.map(_.n).sum)
+                  n.put("excluded_null_rows", gst.excludedNullRows)
+                  val gs = n.putObject("groups")
+                  rows.foreach { r =>
+                    val gn =
+                      if (gs.has(r.getString(0))) gs.get(r.getString(0))
+                        .asInstanceOf[ObjectNode]
+                      else gs.putObject(r.getString(0))
+                    gn.put(r.getString(1), r.getLong(2))
+                  }
+                }
+                // the point of this route vs the GET envelope's estimates
+                n.put("counts_are_exact", true)
+                (200, n)
+              }
+            }
+          case (Some(_), None) => (403, err(
+            "frequent-items recount not configured on this server: the " +
+              "recount is a Spark job over the stream's source corpus — " +
+              "pass frequentItemsSourceDir to RestServer (client-supplied " +
+              "paths are not accepted, same posture as admin/backup)"))
+          case _ => (404, err(
+            "frequent-items state not configured on this server " +
+              "(pass frequentItemsStateDir to RestServer)"))
         }
       case ("POST", "/api/v1/admin/migrate") =>
         val tm0 = System.nanoTime()

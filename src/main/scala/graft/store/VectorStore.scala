@@ -1113,8 +1113,18 @@ class VectorStore(val spark: SparkSession, val path: String,
     *
     * One shuffle over the live view + one small job per enabled code tier.
     * Read-only (no recovery side effects) — pair with [[health]] for the
-    * swap/lease view. */
-  def checkIntegrity(): IntegrityReport = {
+    * swap/lease view.
+    *
+    * `confirmTransients = true` additionally runs the confirm pass
+    * ([[confirmTransientDefects]]): wait (≤ `confirmWaitMs`) for the
+    * writer lease to be free, re-probe only the transient classes, and
+    * report the defects present in BOTH observations — turning the
+    * "alert only if it persists" guidance into a mechanism. The confirmed
+    * counts ride the report (−1 = not confirmed: confirm not requested,
+    * writer stayed live, or index coverage unknown); `isComplete` is
+    * unchanged — transient classes stay non-gating by design. */
+  def checkIntegrity(confirmTransients: Boolean = false,
+      confirmWaitMs: Long = 10000L): IntegrityReport = {
     val manifest =
       try readManifest() catch { case _: Exception => None }
     val dim = manifest.map(_.dim)
@@ -1181,46 +1191,10 @@ class VectorStore(val spark: SparkSession, val path: String,
     // scan" (a 0 would reset its persistence window over the very
     // defect class it watches for). Unparseable or malformed sidecars
     // fail the scan loudly instead (see below).
-    val (idxStale, idxMissing) =
-      try {
-        if (!hasRecentIndex) (0L, 0L)
-        else (try recordedFiles(mapper.readTree(
-            readText(new Path(dir("recent_index"), "meta.json"))))
-          catch {
-            // same naming rule as the code-tier sidecars: unparseable
-            // surfaces through the loud branch with the file named,
-            // never as a raw Jackson error
-            case e: com.fasterxml.jackson.core.JacksonException =>
-              RecordedList.Malformed(
-                s"unparseable JSON (${e.getOriginalMessage})")
-          }) match {
-          case RecordedList.Absent => (-1L, -1L) // pre-list-era: unknown
-          // a MALFORMED sidecar (non-object root, null or non-array
-          // `files`) is a persistent defect, same class as an
-          // unparseable file — the integrity scan fails LOUDLY on both;
-          // the SEARCH path degrades to the anti-join delta for the
-          // malformed-list state instead (serving must survive what an
-          // admin scan should flag; an UNPARSEABLE meta.json fails
-          // search too — it is load-bearing for the metric)
-          case RecordedList.Malformed(why) =>
-            throw new IllegalStateException(
-              s"recent_index/meta.json is malformed: $why — the sidecar " +
-                "was edited or corrupted. Where only the `files` list is " +
-                "damaged, searches degrade to the full-tier delta scan; " +
-                "where the sidecar's metric is unreadable too (non-object " +
-                "root or broken JSON), indexed searches FAIL as well. " +
-                "Rebuild the index (buildRecentIndex) or restore meta.json")
-          case RecordedList.Files(rec) =>
-            val recorded = rec.toSet
-            val current = listDataParts("recent").toSet
-            ((current -- recorded).size.toLong,
-              (recorded -- current).size.toLong)
-        }
-      // ONLY the vanished-file race (index invalidated between the
-      // hasRecentIndex probe and the meta read) maps to unknown; a
-      // meta.json that EXISTS but cannot be parsed is a persistent
-      // defect and must fail the scan loudly, not read as healthy
-      } catch { case _: java.io.FileNotFoundException => (-1L, -1L) }
+    val idxDelta = recentIndexPartsDelta()
+    val (idxStale, idxMissing) = idxDelta
+      .map { case (st, mi) => (st.size.toLong, mi.size.toLong) }
+      .getOrElse((-1L, -1L))
     val histIds = dropTombstoned(historical).select("id")
     val drift = Seq("pq_codes" -> hasPq, "sq_codes" -> hasSq,
         "bq_codes" -> hasBq).collect { case (tier, true) =>
@@ -1273,6 +1247,19 @@ class VectorStore(val spark: SparkSession, val path: String,
         .head()
       tier -> ((d.getLong(0), d.getLong(1)))
     }.toMap
+    val (confirmed, confCross, confMissing) =
+      if (!confirmTransients) (false, -1L, -1L)
+      else {
+        // pass-1 observation of the cross-tier dup ID SET, MATERIALIZED
+        // now (persist + count) so the confirm pass's join reads pass 1's
+        // snapshot, not a re-execution at pass-2 time
+        val p1 = crossTierDupIds()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          p1.count()
+          confirmTransientDefects(p1, idxDelta.map(_._2), confirmWaitMs)
+        } finally p1.unpersist()
+      }
     IntegrityReport(
       hasManifest = manifest.isDefined, hasCentroids = hasCentroids,
       liveRecent = liveRecent, liveHistorical = liveHistorical,
@@ -1283,7 +1270,108 @@ class VectorStore(val spark: SparkSession, val path: String,
       recentIndexMissingParts = idxMissing,
       isComplete = manifest.isDefined && wrongDim == 0 && dupIds == 0 &&
         invalidCluster == 0 &&
-        drift.values.forall(p => p._1 == 0 && p._2 == 0))
+        drift.values.forall(p => p._1 == 0 && p._2 == 0),
+      transientsConfirmed = confirmed,
+      confirmedCrossTierDuplicateCount = confCross,
+      confirmedRecentIndexMissingParts = confMissing)
+  }
+
+  /** One observation of the saved-recent-index part-list delta, the ONE
+    * implementation behind both [[checkIntegrity]]'s probe and the
+    * confirm pass: `Some((stale, missing))` = the actual PART-NAME sets
+    * (verified-empty when no index is built); `None` = coverage unknown
+    * this observation (pre-list-era meta.json, or the index vanished
+    * between the hasRecentIndex probe and the meta read — the −1 sentinel
+    * upstream). A meta.json that EXISTS but is unparseable or MALFORMED
+    * (non-object root, `files` null/non-array) is a persistent defect,
+    * same class as an edited sidecar — it throws LOUDLY here; the SEARCH
+    * path degrades to the anti-join delta for the malformed-list state
+    * (serving must survive what an admin scan should flag; an UNPARSEABLE
+    * meta.json fails search too — it is load-bearing for the metric). */
+  private def recentIndexPartsDelta(): Option[(Set[String], Set[String])] =
+    try {
+      if (!hasRecentIndex) Some((Set.empty, Set.empty))
+      else (try recordedFiles(mapper.readTree(
+          readText(new Path(dir("recent_index"), "meta.json"))))
+        catch {
+          // same naming rule as the code-tier sidecars: unparseable
+          // surfaces through the loud branch with the file named,
+          // never as a raw Jackson error
+          case e: com.fasterxml.jackson.core.JacksonException =>
+            RecordedList.Malformed(
+              s"unparseable JSON (${e.getOriginalMessage})")
+        }) match {
+        case RecordedList.Absent => None // pre-list-era: unknown
+        case RecordedList.Malformed(why) =>
+          throw new IllegalStateException(
+            s"recent_index/meta.json is malformed: $why — the sidecar " +
+              "was edited or corrupted. Where only the `files` list is " +
+              "damaged, searches degrade to the full-tier delta scan; " +
+              "where the sidecar's metric is unreadable too (non-object " +
+              "root or broken JSON), indexed searches FAIL as well. " +
+              "Rebuild the index (buildRecentIndex) or restore meta.json")
+        case RecordedList.Files(rec) =>
+          val recorded = rec.toSet
+          val current = listDataParts("recent").toSet
+          Some((current -- recorded, recorded -- current))
+      }
+    // ONLY the vanished-file race maps to unknown; a meta.json that
+    // exists but cannot be parsed must fail loudly, not read as healthy
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** The ids currently present in BOTH tiers (live view) — one
+    * observation of the cross-tier-duplicate defect set, shared by the
+    * confirm pass. Each invocation re-reads the tiers at job time, so
+    * two calls are two temporally distinct observations. */
+  private def crossTierDupIds(): DataFrame = {
+    val live = dropTombstoned(
+      recent.withColumn("tier", lit("recent")).unionByName(
+        historical.drop("cluster_id").withColumn("tier", lit("historical"))))
+    live.groupBy("id").agg(
+        sum(when(col("tier") === "recent", 1L).otherwise(0L)).as("r"),
+        sum(when(col("tier") =!= "recent", 1L).otherwise(0L)).as("h"))
+      .filter(col("r") >= 1 && col("h") >= 1)
+      .select("id")
+  }
+
+  /** The confirm pass behind `checkIntegrity(confirmTransients = true)`:
+    * the two TRANSIENT defect classes (cross-tier duplicates, index
+    * missing parts) are non-gating because this lease-free scan can race
+    * a migrate()/vacuum() between its two swaps — "alert if it persists"
+    * used to be guidance only; this is the mechanism. It (1) waits,
+    * bounded by `maxWaitMs`, for the writer LEASE to be free — every
+    * tier swap and index invalidation runs under the lease, so a free
+    * lease means the race windows this scan could have hit are closed —
+    * then (2) re-probes ONLY the transient classes and intersects the
+    * defect SETS with pass 1's: a defect present in both temporally
+    * separated observations, the second outside any maintenance window,
+    * is a real out-of-band defect, not a race artifact.
+    *
+    * Returns (confirmed?, confirmedCrossTierDups, confirmedIdxMissing);
+    * (false, −1, −1) when a writer stayed live past the wait (cannot
+    * separate race from defect while maintenance runs — retry later);
+    * confirmedIdxMissing is −1 when either observation's index coverage
+    * was unknown. Package-visible so the race-clears / defect-persists
+    * split is directly testable around the wait. */
+  private[store] def confirmTransientDefects(p1CrossDups: DataFrame,
+      p1IdxMissing: Option[Set[String]],
+      maxWaitMs: Long): (Boolean, Long, Long) = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var quiet = !lease.heldByOther()
+    while (!quiet && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200L)
+      quiet = !lease.heldByOther()
+    }
+    if (!quiet) (false, -1L, -1L)
+    else {
+      val confirmedCross =
+        p1CrossDups.join(crossTierDupIds(), Seq("id")).count()
+      val confirmedMissing = (p1IdxMissing, recentIndexPartsDelta()) match {
+        case (Some(m1), Some((_, m2))) => (m1 & m2).size.toLong
+        case _ => -1L // unknown on either side: cannot confirm this class
+      }
+      (true, confirmedCross, confirmedMissing)
+    }
   }
 
   /** The ONE definition of tier-level degradation shared by
@@ -2169,7 +2257,18 @@ object VectorStore {
       invalidClusterCount: Long,
       codeTierDrift: Map[String, (Long, Long)],
       recentIndexStaleParts: Long, recentIndexMissingParts: Long,
-      isComplete: Boolean)
+      isComplete: Boolean,
+      // the r14 confirm pass (checkIntegrity(confirmTransients = true)):
+      // transientsConfirmed = the re-probe RAN after the writer lease
+      // quiesced; the confirmed counts are the transient-class defects
+      // present in BOTH observations (−1 = not confirmed: not requested,
+      // writer stayed live past the wait, or index coverage unknown on
+      // either side). isComplete never folds these in — the transient
+      // classes stay non-gating; the confirmed counts are what an
+      // operator alerts on instead of eyeballing scan-over-scan
+      transientsConfirmed: Boolean = false,
+      confirmedCrossTierDuplicateCount: Long = -1L,
+      confirmedRecentIndexMissingParts: Long = -1L)
   /** Persisted rebalance counters (RebalanceStatistics analog,
     * `hybrid/maintenance.rs:115-119`). */
   case class MaintenanceStats(totalRebalances: Long, totalVectorsMoved: Long,

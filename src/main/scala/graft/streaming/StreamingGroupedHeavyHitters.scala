@@ -63,9 +63,15 @@ object StreamingGroupedHeavyHitters {
 
   /** Folded grouped state: same binding fields as the flat
     * [[StreamingHeavyHitters.MgSnapshot]] (k, checkpoint, last applied
-    * batch id) plus group -> [[GroupState]]. */
+    * batch id) plus group -> [[GroupState]], plus a running count of
+    * null-group-key rows the fold EXCLUDED (observability, not a binding
+    * field: null exclusion is correct — it matches the batch recount's
+    * inner-join semantics — but a pipeline whose source column rots to
+    * NULL would otherwise see its profile quietly thin out; the counter
+    * makes that visible on the REST envelope). */
   case class GroupedMgSnapshot(k: Int, checkpoint: String,
-      lastBatchId: Long, groups: Map[String, GroupState]) {
+      lastBatchId: Long, groups: Map[String, GroupState],
+      excludedNullRows: Long) {
     /** Total state entries across groups (the boundedness measurable). */
     def totalEntries: Int = groups.valuesIterator.map(_.counts.size).sum
   }
@@ -85,7 +91,7 @@ object StreamingGroupedHeavyHitters {
       stateDir, StateName, "mg_grouped_state.swap.inprogress",
       "grouped MG state")
 
-  private def emptySnapshot = GroupedMgSnapshot(-1, "", -1L, Map.empty)
+  private def emptySnapshot = GroupedMgSnapshot(-1, "", -1L, Map.empty, 0L)
 
   private def parseSnapshot(stateDir: String)(txt: String): GroupedMgSnapshot = {
     val node = new ObjectMapper().readTree(txt)
@@ -109,7 +115,10 @@ object StreamingGroupedHeavyHitters {
         GroupState(ge.getValue.get("n").asLong(), counts.result())
     }
     GroupedMgSnapshot(node.get("k").asInt(), node.get("checkpoint").asText(),
-      node.get("batch_id").asLong(), groups.result())
+      node.get("batch_id").asLong(), groups.result(),
+      // observability field, not a binding one: a pre-r14 state file
+      // simply hasn't counted yet — read as 0, no migration refusal
+      Option(node.get("excluded_null_rows")).map(_.asLong()).getOrElse(0L))
   }
 
   /** Lock-free read (the [[graft.core.SwapStateFile.read]] protocol: may
@@ -132,6 +141,7 @@ object StreamingGroupedHeavyHitters {
     root.put("k", snap.k)
     root.put("checkpoint", snap.checkpoint)
     root.put("batch_id", snap.lastBatchId)
+    root.put("excluded_null_rows", snap.excludedNullRows)
     val gs = root.putObject("groups")
     snap.groups.foreach { case (g, st) =>
       val gn = gs.putObject(g)
@@ -163,21 +173,29 @@ object StreamingGroupedHeavyHitters {
         // join on the group key never matches null) — so null-source
         // rows are excluded from the fold, keeping the documented
         // stream == exactPerGroup equivalence exact on corpora that
-        // carry them
-        .filter(col("source").isNotNull)
+        // carry them. Excluded rows are COUNTED, though (r14): each
+        // null-source row contributes exactly one dummy element here, so
+        // the null group's `n` below IS the batch's excluded row count —
+        // tracked in the state within the same single pass, no second
+        // scan of the batch
         .select(col("source"),
-          explode(graft.functions.TextFunctions.tokens(col("text")))
-            .as("token"))
+          explode(when(col("source").isNotNull,
+              graft.functions.TextFunctions.tokens(col("text")))
+            .otherwise(array(lit("")))).as("token"))
         .groupBy("source")
         .agg(HeavyHitters.mgCandidates(k)(col("token")).as("cand"),
           count(col("token")).as("n"))
-      // bounded collect: head(cap + 1) — a batch whose OWN group count
-      // exceeds the cap can never fold into a capped state, so the probe
-      // both bounds the driver allocation and detects the refusal case
-      val rows = perGroup.head(maxGroups + 1)
+      // bounded collect: head(cap + 2) — the null group (at most one row)
+      // must not displace a real group at the probe boundary; a batch
+      // whose OWN real-group count exceeds the cap can never fold into a
+      // capped state, so the probe both bounds the driver allocation and
+      // detects the refusal case
+      val rows = perGroup.head(maxGroups + 2)
+      val (nullRows, realRows) = rows.partition(_.isNullAt(0))
+      val excludedThisBatch = nullRows.headOption.map(_.getLong(2)).getOrElse(0L)
       val merged = scala.collection.mutable.Map.empty[String, GroupState]
       merged ++= st.groups
-      rows.foreach { r =>
+      realRows.foreach { r =>
         val g = r.getString(0)
         val bc = r.getSeq[org.apache.spark.sql.Row](1)
           .map(c => (c.getString(0), c.getLong(1)))
@@ -186,17 +204,24 @@ object StreamingGroupedHeavyHitters {
         merged.put(g, GroupState(prev.n + bn,
           StreamingHeavyHitters.mergeMg(k, prev.counts, bc)))
       }
-      if (merged.size > maxGroups)
+      if (merged.size > maxGroups) {
+        // the head probe TRUNCATES the batch's group relation, so when it
+        // came back full `merged.size` is only a LOWER BOUND on the real
+        // cardinality (a 1M-group batch would otherwise report ~cap+1
+        // groups and mislead an operator sizing a raised cap)
+        val atLeast = if (rows.length >= maxGroups + 2) "at least " else ""
         throw new IllegalStateException(
-          s"grouped MG state at $stateDir would hold ${merged.size} groups, " +
-            s"past maxGroups=$maxGroups — the state file (and the per-batch " +
-            "driver fold) is bounded by groups × k BY this cap. Raise " +
-            "maxGroups if the group key is genuinely this wide and the " +
-            "driver can hold it, or coarsen the group key; a per-document-" +
-            "cardinality key belongs on the batch exactPerGroup path, not " +
-            "a driver-side state file. Batch NOT applied; the stream " +
-            "should be stopped and re-planned")
-      val next = GroupedMgSnapshot(k, checkpoint, batchId, merged.toMap)
+          s"grouped MG state at $stateDir would hold $atLeast${merged.size} " +
+            s"groups, past maxGroups=$maxGroups — the state file (and the " +
+            "per-batch driver fold) is bounded by groups × k BY this cap. " +
+            "Raise maxGroups if the group key is genuinely this wide and " +
+            "the driver can hold it, or coarsen the group key; a per-" +
+            "document-cardinality key belongs on the batch exactPerGroup " +
+            "path, not a driver-side state file. Batch NOT applied; the " +
+            "stream should be stopped and re-planned")
+      }
+      val next = GroupedMgSnapshot(k, checkpoint, batchId, merged.toMap,
+        st.excludedNullRows + excludedThisBatch)
       writeState(spark, stateDir, next)
       next
     }
@@ -219,10 +244,13 @@ object StreamingGroupedHeavyHitters {
       .add("text", StringType)
     // same outermost-chokepoint rules as the flat ingest: refuse
     // non-atomic-rename state filesystems and mismatched bindings NOW,
-    // before any checkpoint WAL is written
+    // before any checkpoint WAL is written — including the conf-gated
+    // functional probe (r14; scratch dir under the state dir), so a
+    // broken-primitives FS fails ingest entry, never mid-stream
     val stateFs = new org.apache.hadoop.fs.Path(stateDir, StateName)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.core.FsCapabilities.assertAtomicRename(stateFs,
+    graft.core.FsCapabilities.assertAtomicRenameAtOpen(stateFs,
+      new org.apache.hadoop.fs.Path(stateDir),
       "streaming grouped heavy-hitters state commit")
     val ckptPath = new org.apache.hadoop.fs.Path(checkpointDir)
     val ckptId = ckptPath

@@ -224,11 +224,16 @@ object StreamingHeavyHitters {
     // refuse non-atomic-rename state filesystems NOW, at the entry point
     // (the same outermost-chokepoint rule as WriterLease.withLease) —
     // deferring to the first micro-batch's FsSwap.commit would lay down
-    // checkpoint state and then kill the stream asynchronously
+    // checkpoint state and then kill the stream asynchronously. The
+    // FULL open-time guard (r14): the conf-gated functional probe runs
+    // here too (scratch dir under the state dir, same unique-tag
+    // discipline as store open) — an unknown scheme with broken
+    // create/rename primitives must fail stream ENTRY, not the first
+    // state swap after the checkpoint WAL is already down
     val stateFs = statePath(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.core.FsCapabilities.assertAtomicRename(stateFs,
-      "streaming heavy-hitters state commit")
+    graft.core.FsCapabilities.assertAtomicRenameAtOpen(stateFs,
+      new Path(stateDir), "streaming heavy-hitters state commit")
     // FS-qualified so every spelling of one checkpoint ("/x", "file:///x",
     // "x/" from the same cwd) binds identically — a raw-string identity
     // would reject a legitimate resume (or accept two different relative

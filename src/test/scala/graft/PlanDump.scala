@@ -147,14 +147,17 @@ object PlanDump {
     // (heavyHittersFromState over a freshly folded state) instead
     locally {
       import org.apache.spark.sql.functions._
+      // try/finally: a mid-dump failure must not leak a live streaming
+      // query or the scratch dir into the rest of the dump run
       val tmp = java.nio.file.Files.createTempDirectory("graft_pd_gshh_").toString
+      try {
       graft.core.Tables.load(spark, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
         .repartition(2).write.parquet(s"$tmp/src")
       val q = graft.streaming.StreamingGroupedHeavyHitters.ingest(
         spark, s"$tmp/src", s"$tmp/state", s"$tmp/chk",
         denominator = 100L, sketchK = 256, maxFilesPerTrigger = 1)
-      q.processAllAvailable(); q.stop()
+      try q.processAllAvailable() finally q.stop()
       val toks = spark.read.parquet(s"$tmp/src").select(col("source"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       val df = graft.streaming.StreamingGroupedHeavyHitters
@@ -177,7 +180,8 @@ object PlanDump {
       sb.append("\n\n```\n")
       sb.append(df.queryExecution.executedPlan.toString.take(6000))
       sb.append("\n```\n")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
     }
     // not a registry row: the grouped recount's MECHANICAL fallback —
     // the candidate relation is probed through limit(cap+1): under the

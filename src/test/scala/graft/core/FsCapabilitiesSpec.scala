@@ -118,6 +118,42 @@ class FsCapabilitiesSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(fresh), "live peer's fresh probe swept")
   }
 
+  test("conf-gated probe runs at streaming ingest entry, before any checkpoint WAL") {
+    // r14: both streaming folds guard their state dir with the FULL
+    // open-time check — without this, an unknown scheme with broken
+    // primitives passed the blocklist-only entry guard even with the
+    // probe opted in, and failed only at the first batch's FsSwap.commit,
+    // AFTER the checkpoint WAL was laid down (the exact async-kill the
+    // entry-chokepoint rule exists to prevent)
+    hconf.setClass("fs.badfs.impl", classOf[NonExclusiveCreateFileSystem],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    hconf.setBoolean("fs.badfs.impl.disable.cache", true)
+    hconf.setBoolean(FsCapabilities.ProbeKey, true)
+    try {
+      val src = Files.createTempDirectory("graft_probe_ing_src_").toString
+      val stateDir = Files.createTempDirectory("graft_probe_ing_st_").toString
+      val ckpt = Files.createTempDirectory("graft_probe_ing_ck_")
+        .toString + "/chk"
+      val eFlat = intercept[IllegalStateException] {
+        graft.streaming.StreamingHeavyHitters.ingest(spark, src,
+          "badfs://" + stateDir, ckpt, denominator = 10L, sketchK = 16)
+      }
+      assert(eFlat.getMessage.contains("functional probe"), eFlat.getMessage)
+      val eGrouped = intercept[IllegalStateException] {
+        graft.streaming.StreamingGroupedHeavyHitters.ingest(spark, src,
+          "badfs://" + stateDir, ckpt, denominator = 10L, sketchK = 16)
+      }
+      assert(eGrouped.getMessage.contains("functional probe"))
+      // refusal happened at ENTRY: no stream started, no checkpoint WAL
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt)),
+        "checkpoint WAL written despite the entry refusal")
+    } finally {
+      hconf.unset("fs.badfs.impl")
+      hconf.unset("fs.badfs.impl.disable.cache")
+      hconf.unset(FsCapabilities.ProbeKey)
+    }
+  }
+
   test("conf-gated probe at store open refuses a lying unknown scheme") {
     hconf.setClass("fs.badfs.impl", classOf[NonExclusiveCreateFileSystem],
       classOf[org.apache.hadoop.fs.FileSystem])

@@ -349,6 +349,16 @@ class RestServerSpec extends SparkSpec {
       val (s1, r1) = call(srv, "GET", "/api/v1/admin/integrity")
       assert(s1 == 200 && !r1.get("is_complete").asBoolean())
       assert(r1.get("code_tier_drift").get("sq_codes").get("missing").asLong() == 1L)
+      // without ?confirm=true the envelope carries the not-checked
+      // sentinel, so a monitor can't mistake "unchecked" for "clean"
+      assert(!r1.get("transients_confirmed").asBoolean())
+      assert(r1.get("confirmed_cross_tier_duplicate_count").asLong() == -1L)
+      // ?confirm=true: the confirm pass runs (quiet store — no live
+      // writer), re-probes the transient classes, reports verified zeros
+      val (s2, r2) = call(srv, "GET", "/api/v1/admin/integrity?confirm=true")
+      assert(s2 == 200 && r2.get("transients_confirmed").asBoolean(), r2.toString)
+      assert(r2.get("confirmed_cross_tier_duplicate_count").asLong() == 0L)
+      assert(r2.get("confirmed_recent_index_missing_parts").asLong() == 0L)
     } finally srv.stop()
   }
 
@@ -399,7 +409,10 @@ class RestServerSpec extends SparkSpec {
       // absent
       val gsd = java.nio.file.Files.createTempDirectory("graft_fi_gstate_").toString
       val gsrc = java.nio.file.Files.createTempDirectory("graft_fi_gsrc_").toString + "/files"
-      Seq((1L, "a", "alpha beta alpha"), (2L, "b", "gamma gamma"))
+      // one null-source row: excluded from the fold (matches the batch
+      // recount's inner-join semantics) but COUNTED for the envelope
+      Seq((1L, "a", "alpha beta alpha"), (2L, "b", "gamma gamma"),
+          (3L, null.asInstanceOf[String], "rotted rotted"))
         .toDF("doc_id", "source", "text").coalesce(1).write.parquet(gsrc)
       val gq = graft.streaming.StreamingGroupedHeavyHitters.ingest(
         spark, gsrc, gsd,
@@ -416,8 +429,88 @@ class RestServerSpec extends SparkSpec {
         assert(r3.get("n").asLong() == 5L) // 3 tokens in a + 2 in b
         assert(r3.get("groups").get("a").get("counts").get("alpha").asLong() == 2L)
         assert(r3.get("groups").get("b").get("n").asLong() == 2L)
+        // the excluded-null observability counter rides the envelope
+        assert(r3.get("excluded_null_rows").asLong() == 1L, r3.toString)
       } finally srv3.stop()
     } finally srv.stop()
+  }
+
+  test("admin frequent-items recount serves the EXACT face of the folded state") {
+    import spark.implicits._
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_fir_").toString)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_fir_state_").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fir_src_").toString + "/files"
+    Seq((1L, "alpha beta alpha gamma"), (2L, "alpha beta"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(srcDir)
+    val q = graft.streaming.StreamingHeavyHitters.ingest(spark, srcDir,
+      stateDir, java.nio.file.Files.createTempDirectory("graft_fir_ck_").toString,
+      denominator = 2L, sketchK = 8)
+    q.processAllAvailable(); q.stop()
+    // state wired but no source corpus: the recount is a Spark job over
+    // an operator-configured path — client-supplied paths are refused by
+    // construction (the backupBase posture), so the route is disabled
+    val srvNoSrc = new RestServer(store,
+      frequentItemsStateDir = Some(stateDir)).start()
+    try {
+      val (s403, r403) = call(srvNoSrc, "POST",
+        "/api/v1/admin/frequent-items/recount", """{"denominator": 2}""")
+      assert(s403 == 403
+        && r403.get("error").asText().contains("frequentItemsSourceDir"))
+    } finally srvNoSrc.stop()
+    // fully configured, FLAT state: exact counts at the asked threshold
+    val srv = new RestServer(store, frequentItemsStateDir = Some(stateDir),
+      frequentItemsSourceDir = Some(srcDir)).start()
+    try {
+      val (s, r) = call(srv, "POST",
+        "/api/v1/admin/frequent-items/recount", """{"denominator": 2}""")
+      assert(s == 200, r.toString)
+      assert(!r.get("grouped").asBoolean())
+      assert(r.get("counts_are_exact").asBoolean())
+      assert(r.get("n").asLong() == 6L)
+      // N=6, denom=2 -> minCount 3: alpha (3) qualifies, beta (2) doesn't
+      assert(r.get("counts").size() == 1
+        && r.get("counts").get("alpha").asLong() == 3L, r.toString)
+      // no denominator -> 400; a threshold the folded k can't cover -> 400
+      // through the operator's own loud exactness guard
+      assert(call(srv, "POST",
+        "/api/v1/admin/frequent-items/recount", "{}")._1 == 400)
+      val (sCov, rCov) = call(srv, "POST",
+        "/api/v1/admin/frequent-items/recount", """{"denominator": 500}""")
+      assert(sCov == 400 && rCov.get("error").asText().contains("does not cover"))
+    } finally srv.stop()
+    // GROUPED state: per-group thresholds, exact counts, the null counter
+    val gsd = java.nio.file.Files.createTempDirectory("graft_fir_gstate_").toString
+    val gsrc = java.nio.file.Files.createTempDirectory("graft_fir_gsrc_").toString + "/files"
+    Seq((1L, "a", "alpha beta alpha"), (2L, "b", "gamma gamma"),
+        (3L, null.asInstanceOf[String], "rotted"))
+      .toDF("doc_id", "source", "text").coalesce(1).write.parquet(gsrc)
+    val gq = graft.streaming.StreamingGroupedHeavyHitters.ingest(spark, gsrc,
+      gsd, java.nio.file.Files.createTempDirectory("graft_fir_gck_").toString,
+      denominator = 2L, sketchK = 8)
+    gq.processAllAvailable(); gq.stop()
+    val gsrv = new RestServer(store, frequentItemsStateDir = Some(gsd),
+      frequentItemsSourceDir = Some(gsrc)).start()
+    try {
+      val (sg, rg) = call(gsrv, "POST",
+        "/api/v1/admin/frequent-items/recount", """{"denominator": 2}""")
+      assert(sg == 200, rg.toString)
+      assert(rg.get("grouped").asBoolean() && rg.get("counts_are_exact").asBoolean())
+      // a: n=3, min=2 -> alpha(2); b: n=2, min=1 -> gamma(2)
+      assert(rg.get("groups").get("a").get("alpha").asLong() == 2L, rg.toString)
+      assert(rg.get("groups").get("b").get("gamma").asLong() == 2L)
+      assert(rg.get("excluded_null_rows").asLong() == 1L)
+    } finally gsrv.stop()
+    // an EMPTY state dir is a category error for a recount (409), never
+    // an empty "no heavy hitters" answer
+    val empty = java.nio.file.Files.createTempDirectory("graft_fir_empty_").toString
+    val esrv = new RestServer(store, frequentItemsStateDir = Some(empty),
+      frequentItemsSourceDir = Some(srcDir)).start()
+    try {
+      val (se, re) = call(esrv, "POST",
+        "/api/v1/admin/frequent-items/recount", """{"denominator": 2}""")
+      assert(se == 409 && re.get("error").asText().contains("no folded"))
+    } finally esrv.stop()
   }
 
   test("query cache memoizes repeats and mutations invalidate it") {

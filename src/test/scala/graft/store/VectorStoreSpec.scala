@@ -442,6 +442,77 @@ class VectorStoreSpec extends SparkSpec {
     assert(tampered.invalidClusterCount == 0L)
   }
 
+  test("confirmTransients: persisting defects confirm; race artifacts clear; live writer defers") {
+    import spark.implicits._
+    val st = freshStore()
+    val oldTs = java.time.Instant.now().minusSeconds(7200)
+    st.insert((0 until 12).map(i => VectorRecord(s"w$i", vec(i),
+      tsString = Some(oldTs.plusSeconds(i).toString))))
+    assert(st.migrate() == 12L)
+    st.insert((0 until 6).map(i => VectorRecord(s"f$i", vec(50 + i))))
+    st.buildRecentIndex()
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(st.path, "recent"), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet") && f.getLen > 0)
+          b += f.getPath.toString
+      }
+      b.result()
+    }
+    val covered = parts()
+    // two PERSISTENT out-of-band defects wearing transient signatures:
+    // a cross-tier duplicate (w0 planted into recent while live in
+    // historical) and a covered recent part deleted under the index
+    val ts = new java.sql.Timestamp(System.currentTimeMillis())
+    Seq(("w0", "vid_conf_cross", vec(0), null.asInstanceOf[String], ts))
+      .toDF("id", "vid", "embedding", "metadata", "ts")
+      .coalesce(1).write.mode("append").parquet(st.path + "/recent")
+    val plantParts = parts() -- covered // the plant's own part file(s)
+    val victim = covered.toSeq.sorted.head
+    fs.delete(new org.apache.hadoop.fs.Path(victim), false)
+    // no live writer: the confirm pass runs and both defects persist
+    // through the second observation — confirmed, while isComplete stays
+    // ungated by the transient classes (unchanged contract)
+    val r = st.checkIntegrity(confirmTransients = true)
+    assert(r.crossTierDuplicateCount == 1L && r.recentIndexMissingParts == 1L)
+    assert(r.transientsConfirmed, "confirm pass did not run on a quiet store")
+    assert(r.confirmedCrossTierDuplicateCount == 1L,
+      s"planted cross-tier dup not confirmed: $r")
+    assert(r.confirmedRecentIndexMissingParts == 1L,
+      s"planted missing part not confirmed: $r")
+    assert(r.isComplete, "transient classes must stay non-gating")
+    // without confirm: the sentinel, so a monitor can tell "not checked"
+    val r0 = st.checkIntegrity()
+    assert(!r0.transientsConfirmed
+      && r0.confirmedCrossTierDuplicateCount == -1L
+      && r0.confirmedRecentIndexMissingParts == -1L)
+    // RACE CLEARS: pass 1 observed defects that a (simulated) completing
+    // migrate/vacuum resolved before pass 2 — the plant removed, and a
+    // pass-1 missing part that pass 2 no longer reports — confirm = 0 on
+    // both, exactly the false-alarm the mechanism exists to absorb
+    plantParts.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    val (ranClear, confCross, confMiss) = st.confirmTransientDefects(
+      Seq("w0").toDF("id"), Some(Set("part-race-artifact.parquet")), 1000L)
+    assert(ranClear && confCross == 0L,
+      s"cleared cross-tier dup still confirmed: $confCross")
+    assert(confMiss == 0L, s"cleared missing part still confirmed: $confMiss")
+    // LIVE WRITER: the confirm pass refuses to conclude while maintenance
+    // may be mid-window — bounded wait, then the could-not-confirm
+    // sentinel (never a false confirmation)
+    val other = new graft.core.WriterLease(fs,
+      new org.apache.hadoop.fs.Path(st.path), ttlMs = 60000L)
+    other.withLease {
+      val (ran, c1, c2) = st.confirmTransientDefects(
+        Seq("w0").toDF("id"), Some(Set("x")), maxWaitMs = 600L)
+      assert(!ran && c1 == -1L && c2 == -1L,
+        "confirm concluded under a live writer lease")
+    }
+  }
+
   test("integrity: saved-index part-list probe splits stale from missing") {
     import spark.implicits._
     val st = freshStore()

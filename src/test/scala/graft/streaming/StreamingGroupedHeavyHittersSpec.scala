@@ -140,6 +140,8 @@ class StreamingGroupedHeavyHittersSpec extends SparkSpec {
     assert(st.groups.keySet == Set("a", "b"),
       s"null group leaked into state: ${st.groups.keySet}")
     assert(st.groups("a").n == 4L && st.groups("b").n == 2L)
+    // excluded nulls are COUNTED (observability): per ROW, not per token
+    assert(st.excludedNullRows == 1L)
     val toks = b.select(col("source"),
       explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
     val fromStream = StreamingGroupedHeavyHitters
@@ -149,6 +151,38 @@ class StreamingGroupedHeavyHittersSpec extends SparkSpec {
       .exactPerGroup(toks, "source", "token", 2L, sketchK = 8)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(fromStream == fromBatch && fromStream.nonEmpty)
+    // the counter is RUNNING across batches and persisted with the state
+    val b2 = Seq(
+      (4L, null.asInstanceOf[String], "p q"),
+      (5L, null.asInstanceOf[String], "r"),
+      (6L, "a", "x")).toDF("doc_id", "source", "text")
+    val st2 = StreamingGroupedHeavyHitters
+      .applyBatch(spark, stateDir, 8, 100, "ck", b2, 1L)
+    assert(st2.excludedNullRows == 3L,
+      s"running null-row count drifted: ${st2.excludedNullRows}")
+    // a null-free batch leaves it unchanged; it round-trips the state file
+    val st3 = StreamingGroupedHeavyHitters.applyBatch(spark, stateDir, 8,
+      100, "ck", Seq((7L, "b", "w")).toDF("doc_id", "source", "text"), 2L)
+    assert(st3.excludedNullRows == 3L)
+    assert(StreamingGroupedHeavyHitters.readState(spark, stateDir)
+      .excludedNullRows == 3L)
+  }
+
+  test("pre-r14 state file (no excluded_null_rows field) reads as 0, no refusal") {
+    // observability field, not a binding one: an old state file simply
+    // hasn't counted yet — it must keep folding, never demand migration
+    val stateDir = Files.createTempDirectory("graft_gshh_oldfmt_").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(stateDir, "mg_grouped_state.json"),
+      """{"k":8,"checkpoint":"ck","batch_id":0,
+        |"groups":{"a":{"n":4,"counts":{"x":3,"y":1}}}}""".stripMargin)
+    val st = StreamingGroupedHeavyHitters.readState(spark, stateDir)
+    assert(st.excludedNullRows == 0L && st.groups("a").n == 4L)
+    // and the next fold starts counting from 0 on top of the old state
+    val st2 = StreamingGroupedHeavyHitters.applyBatch(spark, stateDir, 8,
+      100, "ck", Seq((9L, null.asInstanceOf[String], "z"), (10L, "a", "x"))
+        .toDF("doc_id", "source", "text"), 1L)
+    assert(st2.excludedNullRows == 1L && st2.groups("a").n == 5L)
   }
 
   test("group cap: a fold past maxGroups refuses loudly, batch NOT applied") {
@@ -163,9 +197,22 @@ class StreamingGroupedHeavyHittersSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxGroups=2")
       && e.getMessage.contains("Batch NOT applied"))
+    // a small overflow is reported EXACTLY (no "at least" hedge) ...
+    assert(!e.getMessage.contains("at least"), e.getMessage)
     // the refused batch must not have touched the state
     val st = StreamingGroupedHeavyHitters.readState(spark, stateDir)
     assert(st.lastBatchId == 0L && st.groups.size == 2)
+    // ... but when the bounded head probe truncated the batch's group
+    // relation, the count is phrased as a LOWER BOUND — a 1M-group batch
+    // must not report "~cap+1 groups" and mislead an operator sizing a
+    // raised cap
+    val wide = Files.createTempDirectory("graft_gshh_wide_").toString
+    val eW = intercept[IllegalStateException] {
+      StreamingGroupedHeavyHitters.applyBatch(spark, wide, 64, 2, "ck",
+        (0 until 9).map(i => (i.toLong, s"g$i", "x"))
+          .toDF("doc_id", "source", "text"), 0L)
+    }
+    assert(eW.getMessage.contains("at least 4 groups"), eW.getMessage)
   }
 
   test("empty state recounts to an empty frame; locked read sees it") {
