@@ -385,6 +385,74 @@ object StoreQueries {
           "pq_missing", "pq_orphaned", "bq_missing", "bq_orphaned",
           "is_complete")
     }),
+    // The r14 confirm pass, driver-visible on its own row (integrity_scan
+    // keeps its r13 shape and band): a store is built from a bounded
+    // slice of the embeddings table, TWO defects wearing transient
+    // signatures are planted out-of-band — cross-tier duplicates (even
+    // vec_id % 29, a pure modulo filter) and one covered recent-index
+    // part deleted under the index — and checkIntegrity(confirmTransients
+    // = true) must (a) run the confirm re-probe (no live writer lease),
+    // (b) report BOTH defects as confirmed (they persist through the
+    // second, lease-quiesced observation), and (c) leave is_complete
+    // ungated by the transient classes. DuckDB recomputes the cross-tier
+    // count (raw AND confirmed — they must agree on a persistent plant)
+    // from the same modulo arithmetic; the index legs are deterministic
+    // by construction (one coalesced plant part = stale 1, one deleted
+    // covered part = missing 1, confirmed 1).
+    "integrity_confirm" -> ((s, dir) => {
+      import graft.store.VectorStore
+      import s.implicits._
+      val path = java.nio.file.Files.createTempDirectory("graft_integconf_q_").toString
+      try {
+        val store = new VectorStore(s, path, VectorStore.Config(
+          recentThresholdSeconds = 7L * 24 * 3600, nClusters = 4, nProbe = 2))
+        val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 2000)
+        store.insertDF(emb.select(
+          concat(lit("v"), col("vec_id")).as("id"),
+          col("embedding"),
+          when(col("vec_id") % 2 === 0, lit("2020-01-01 00:00:00"))
+            .otherwise(lit("2026-01-01 23:00:00")).cast("timestamp").as("ts")))
+        val now = Some(java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))
+        store.migrate(now) // evens -> historical; odds stay recent
+        store.buildRecentIndex() // records the rewritten recent parts
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def parts(): Seq[String] = {
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(path, "recent"), true)
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet") && f.getLen > 0)
+              b += f.getPath.toString
+          }
+          b.result()
+        }
+        val covered = parts().sorted
+        // cross-tier plant: ids live in historical, planted into recent —
+        // ONE part (coalesce) so the stale count is deterministic too
+        val ts = lit("2026-01-01 23:30:00").cast("timestamp")
+        emb.filter(col("vec_id") % 2 === 0 && col("vec_id") % 29 === 0)
+          .select(concat(lit("v"), col("vec_id")).as("id"),
+            concat(lit("vidxc"), col("vec_id")).as("vid"),
+            col("embedding"), lit(null).cast("string").as("metadata"),
+            ts.as("ts"))
+          .coalesce(1).write.mode("append").parquet(s"$path/recent")
+        // out-of-band deletion of a COVERED part: the persistent form of
+        // the index-missing transient (odd-id rows only — the cross plant
+        // above is untouched, so the two defect classes stay independent)
+        fs.delete(new org.apache.hadoop.fs.Path(covered.head), false)
+        val r = store.checkIntegrity(confirmTransients = true)
+        Seq((r.crossTierDuplicateCount, r.confirmedCrossTierDuplicateCount,
+            r.recentIndexStaleParts, r.recentIndexMissingParts,
+            r.confirmedRecentIndexMissingParts, r.transientsConfirmed,
+            r.isComplete))
+          .toDF("cross_tier_dup_count", "confirmed_cross_tier_dup_count",
+            "recent_index_stale_parts", "recent_index_missing_parts",
+            "confirmed_recent_index_missing_parts", "transients_confirmed",
+            "is_complete")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(path))
+    }),
     // X15/X16 tier migration, end-to-end with the no-double-count contract
     // as the oracle: rows older than the threshold move recent->historical
     // in two bounded maintenance slices (the first capped at 100 — X16's
@@ -524,6 +592,25 @@ object StoreQueries {
         |  n_ic::BIGINT AS bq_missing, n_orph::BIGINT AS bq_orphaned,
         |  (n_wd = 0 AND n_dup = 0 AND n_ic = 0 AND n_orph = 0) AS is_complete
         |FROM c""".stripMargin,
+    // the confirm pass on persistent plants: raw == confirmed on the
+    // modulo-planted cross-tier dups (a confirm that re-read the same
+    // observation, or intersected against the wrong set, drifts one of
+    // the pair); the index legs are 1 by construction; the transient
+    // classes must not gate is_complete even when CONFIRMED (alerting is
+    // the monitor's job — the report's contract is unchanged)
+    "integrity_confirm" ->
+      """SELECT
+        |  (SELECT count(*) FROM embeddings
+        |     WHERE vec_id < 2000 AND vec_id % 2 = 0 AND vec_id % 29 = 0)::BIGINT
+        |    AS cross_tier_dup_count,
+        |  (SELECT count(*) FROM embeddings
+        |     WHERE vec_id < 2000 AND vec_id % 2 = 0 AND vec_id % 29 = 0)::BIGINT
+        |    AS confirmed_cross_tier_dup_count,
+        |  CAST(1 AS BIGINT) AS recent_index_stale_parts,
+        |  CAST(1 AS BIGINT) AS recent_index_missing_parts,
+        |  CAST(1 AS BIGINT) AS confirmed_recent_index_missing_parts,
+        |  TRUE AS transients_confirmed,
+        |  TRUE AS is_complete""".stripMargin,
     // every count is closed-form: eligible = the old-ts band; the first
     // slice is capped at 100; the end state must partition the corpus
     "migrate_tiers" ->
