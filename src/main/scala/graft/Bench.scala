@@ -147,15 +147,23 @@ object Bench {
     // rounds running, casual re-runs (including the driver's own
     // post-round sweep) clobbered the committed closing map because the
     // default pointed at the tracked path.
+    // per-PROCESS file name: a fixed shared default would let two
+    // concurrent bare runs silently clobber each other's always-complete
+    // record (and a second user's write fail on the first user's file) —
+    // the very failure class the file artifact exists to end
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", {
       val d = java.nio.file.Paths.get("/tmp/graft_bench")
       try java.nio.file.Files.createDirectories(d)
       catch { case _: Throwable => () }
-      d.resolve("BENCH_LOCAL.json").toString
+      d.resolve(s"BENCH_LOCAL.${ProcessHandle.current().pid()}.json").toString
     })
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      fullJson + "\n")
-    catch { case e: Throwable =>
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+        fullJson + "\n")
+      // stderr, not stdout: the stdout lines race the driver's finite
+      // tail-capture window and must stay exactly the three JSON lines
+      System.err.println(s"[bench] complete result map written to $outFile")
+    } catch { case e: Throwable =>
       System.err.println(s"bench file write failed ($outFile): $e") }
     val qsCompact = results
       .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 10000) / 10000 }

@@ -55,10 +55,13 @@ import scala.util.control.NonFatal
   *                                      embedding payload, session.rs:
   *                                      266-281) iff include_vectors
   *   GET    /api/v1/admin/statistics
-  *   GET    /api/v1/admin/integrity?confirm=true — confirm=true re-probes
-  *                                      the transient defect classes after
-  *                                      the writer lease quiesces and
-  *                                      reports the persisting ones
+  *   GET    /api/v1/admin/integrity?confirm=true&confirm_wait_ms=N —
+  *                                      confirm=true re-probes the transient
+  *                                      defect classes after the writer
+  *                                      lease quiesces and reports the
+  *                                      persisting ones; the quiesce wait
+  *                                      (default 2 s, clamped ≤ 10 s) runs
+  *                                      on the serial dispatcher
   *   GET    /api/v1/admin/frequent-items
   *   POST   /api/v1/admin/frequent-items/recount {denominator} — the EXACT
   *                                      face of the folded stream state: a
@@ -780,10 +783,24 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         // ?confirm=true runs the r14 confirm pass: wait for the writer
         // lease to quiesce, re-probe ONLY the transient classes, report
         // the defects present in both observations (the mechanism behind
-        // "alert only if it persists")
-        val confirm = Option(ex.getRequestURI.getQuery)
-          .exists(_.split("&").contains("confirm=true"))
-        val r = store.checkIntegrity(confirmTransients = confirm)
+        // "alert only if it persists"). The quiesce wait happens INSIDE
+        // this serial dispatcher (setExecutor(null)) — every other route
+        // incl. /health stalls behind it — so the route's wait is SHORT
+        // by default (2 s, not the Scala API's 10 s) and tunable via
+        // ?confirm_wait_ms=N clamped to [0, 10000]; a monitor that finds
+        // a writer live gets the not-confirmed sentinel fast and retries
+        // later rather than parking the whole server on the lease.
+        val qp = Option(ex.getRequestURI.getQuery)
+          .map(_.split("&").toSeq).getOrElse(Seq.empty)
+        val confirm = qp.contains("confirm=true")
+        val waitMs = qp.collectFirst {
+            case s if s.startsWith("confirm_wait_ms=") =>
+              s.drop("confirm_wait_ms=".length) }
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+          .map(v => math.max(0L, math.min(10000L, v)))
+          .getOrElse(2000L)
+        val r = store.checkIntegrity(confirmTransients = confirm,
+          confirmWaitMs = waitMs)
         val n = obj()
         n.put("is_complete", r.isComplete)
         n.put("has_manifest", r.hasManifest)
@@ -837,22 +854,7 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             "frequent-items state not configured on this server " +
               "(pass frequentItemsStateDir to RestServer)"))
           case Some(sd) =>
-            // the dir may hold the FLAT fold's state (mg_state.json) or
-            // the GROUPED fold's (mg_grouped_state.json) — serve whichever
-            // is folded, flat winning ties. Without the grouped branch, a
-            // grouped state dir would silently render as an empty stream.
-            val st = graft.streaming.StreamingHeavyHitters
-              .readStateLocked(store.spark, sd)
-            // only consult the grouped state when the flat fold is empty
-            // (flat wins ties); an empty flat snapshot serializes through
-            // the same flat branch — no hand-written empty envelope to
-            // drift from it
-            val gst =
-              if (st.lastBatchId < 0L)
-                Some(graft.streaming.StreamingGroupedHeavyHitters
-                  .readStateLocked(store.spark, sd))
-                  .filter(_.lastBatchId >= 0L)
-              else None
+            val (st, gst) = foldedFrequentItems(sd)
             val n = obj()
             gst match {
               case Some(g0) =>
@@ -913,58 +915,65 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                 "of the (group's) token mass are returned, with EXACT counts)"))
             else {
               val denom = req.get("denominator").asLong()
-              // same flat-vs-grouped rule as the GET: serve whichever
-              // state is folded, flat winning ties; the locked read gives
-              // a consistent snapshot decision under a hot writer (the
-              // recount itself re-reads state lock-free — its exactness
-              // guard validates the folded k against `denom` loudly)
-              val st = graft.streaming.StreamingHeavyHitters
-                .readStateLocked(store.spark, sd)
-              lazy val gst = graft.streaming.StreamingGroupedHeavyHitters
-                .readStateLocked(store.spark, sd)
-              if (st.lastBatchId < 0L && gst.lastBatchId < 0L)
-                // nothing folded: recounting is a category error, not an
-                // empty answer — 409 so a misconfigured monitor can't
-                // read "no state" as "no heavy hitters"
-                (409, err(s"no folded frequent-items state under $sd — " +
-                  "start the ingest (or point the server at its state dir) " +
-                  "before asking for an exact recount"))
+              // validated HERE as well as in the operators: Jackson's
+              // asLong() coerces non-numeric JSON to 0, and a zero or
+              // negative denominator inverts the threshold arithmetic —
+              // a 200 "exact" answer for a garbage request
+              if (denom <= 0)
+                (400, err(s"'denominator' must be a positive integer, " +
+                  s"got ${req.get("denominator").asText()}"))
               else {
-                val corpus = store.spark.read.parquet(srcDir)
-                val n = obj()
-                n.put("denominator", denom)
-                if (st.lastBatchId >= 0L) {
-                  val toks = corpus.select(explode(
-                    graft.functions.TextFunctions.tokens(col("text"))).as("token"))
-                  val rows = graft.streaming.StreamingHeavyHitters
-                    .heavyHittersFromState(store.spark, sd, toks, "token", denom)
-                    .collect() // bounded: <= denominator heavy hitters
-                  n.put("grouped", false)
-                  n.put("n", st.n)
-                  val c = n.putObject("counts")
-                  rows.foreach(r => c.put(r.getString(0), r.getLong(1)))
-                } else {
-                  val toks = corpus.select(col("source"), explode(
-                    graft.functions.TextFunctions.tokens(col("text"))).as("token"))
-                  val rows = graft.streaming.StreamingGroupedHeavyHitters
-                    .heavyHittersFromState(store.spark, sd, toks,
-                      "source", "token", denom)
-                    .collect() // bounded: <= groups x denominator rows
-                  n.put("grouped", true)
-                  n.put("n", gst.groups.valuesIterator.map(_.n).sum)
-                  n.put("excluded_null_rows", gst.excludedNullRows)
-                  val gs = n.putObject("groups")
-                  rows.foreach { r =>
-                    val gn =
-                      if (gs.has(r.getString(0))) gs.get(r.getString(0))
-                        .asInstanceOf[ObjectNode]
-                      else gs.putObject(r.getString(0))
-                    gn.put(r.getString(1), r.getLong(2))
+                // ONE locked snapshot drives the flat-vs-grouped decision
+                // AND the recount (heavyHittersFromSnapshot, no internal
+                // lock-free re-read): under a hot writer the route can
+                // neither hit the lock-free read's contention error nor
+                // serve totals from a different batch than the counts
+                val (st, gstOpt) = foldedFrequentItems(sd)
+                if (st.lastBatchId < 0L && gstOpt.isEmpty)
+                  // nothing folded: recounting is a category error, not an
+                  // empty answer — 409 so a misconfigured monitor can't
+                  // read "no state" as "no heavy hitters"
+                  (409, err(s"no folded frequent-items state under $sd — " +
+                    "start the ingest (or point the server at its state " +
+                    "dir) before asking for an exact recount"))
+                else {
+                  val corpus = store.spark.read.parquet(srcDir)
+                  val n = obj()
+                  n.put("denominator", denom)
+                  gstOpt match {
+                    case None =>
+                      val toks = corpus.select(explode(
+                        graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+                      val rows = graft.streaming.StreamingHeavyHitters
+                        .heavyHittersFromSnapshot(st, sd, toks, "token", denom)
+                        .collect() // bounded: <= denominator heavy hitters
+                      n.put("grouped", false)
+                      n.put("n", st.n)
+                      val c = n.putObject("counts")
+                      rows.foreach(r => c.put(r.getString(0), r.getLong(1)))
+                    case Some(gst) =>
+                      val toks = corpus.select(col("source"), explode(
+                        graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+                      val rows = graft.streaming.StreamingGroupedHeavyHitters
+                        .heavyHittersFromSnapshot(gst, sd, store.spark, toks,
+                          "source", "token", denom)
+                        .collect() // bounded: <= groups x denominator rows
+                      n.put("grouped", true)
+                      n.put("n", gst.groups.valuesIterator.map(_.n).sum)
+                      n.put("excluded_null_rows", gst.excludedNullRows)
+                      val gs = n.putObject("groups")
+                      rows.foreach { r =>
+                        val gn =
+                          if (gs.has(r.getString(0))) gs.get(r.getString(0))
+                            .asInstanceOf[ObjectNode]
+                          else gs.putObject(r.getString(0))
+                        gn.put(r.getString(1), r.getLong(2))
+                      }
                   }
+                  // the point of this route vs the GET envelope's estimates
+                  n.put("counts_are_exact", true)
+                  (200, n)
                 }
-                // the point of this route vs the GET envelope's estimates
-                n.put("counts_are_exact", true)
-                (200, n)
               }
             }
           case (Some(_), None) => (403, err(
@@ -1129,6 +1138,33 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
 
   private def optInt(req: JsonNode, name: String, dflt: Int): Int =
     if (req != null && req.hasNonNull(name)) req.get(name).asInt() else dflt
+
+  /** The ONE encoding of the frequent-items flat-vs-grouped selection
+    * rule, shared by the GET envelope and the recount route so the two
+    * surfaces cannot drift: the dir may hold the FLAT fold's state
+    * (mg_state.json) or the GROUPED fold's (mg_grouped_state.json) —
+    * serve whichever is folded, flat winning ties. Returns the flat
+    * snapshot plus the grouped one ONLY when it should be served
+    * (grouped folded, flat not); neither folded = (empty flat, None) —
+    * the GET serializes that through its flat branch (no hand-written
+    * empty envelope), the recount treats it as a 409 category error.
+    * Both reads are LINEARIZABLE (the writer's swap lock), so a hot
+    * stream yields a consistent snapshot, and every field the caller
+    * serves — totals, counts, thresholds — must come from THIS snapshot,
+    * never a second read behind it. */
+  private def foldedFrequentItems(sd: String)
+      : (graft.streaming.StreamingHeavyHitters.MgSnapshot,
+         Option[graft.streaming.StreamingGroupedHeavyHitters.GroupedMgSnapshot]) = {
+    val st = graft.streaming.StreamingHeavyHitters
+      .readStateLocked(store.spark, sd)
+    val gst =
+      if (st.lastBatchId < 0L)
+        Some(graft.streaming.StreamingGroupedHeavyHitters
+          .readStateLocked(store.spark, sd))
+          .filter(_.lastBatchId >= 0L)
+      else None
+    (st, gst)
+  }
 
   private def floats(n: JsonNode): Array[Float] =
     if (n == null || !n.isArray) Array.empty

@@ -1137,11 +1137,19 @@ class VectorStore(val spark: SparkSession, val path: String,
     val live = dropTombstoned(
       recent.withColumn("tier", lit("recent")).unionByName(
         historical.drop("cluster_id").withColumn("tier", lit("historical"))))
-    val perId = live
+    val perId0 = live
       .select(col("id"), col("tier"), dimCheck.cast("long").as("w"))
       .groupBy("id").agg(
         count(lit(1)).as("c"), sum(col("w")).as("w"),
         sum(when(col("tier") === "recent", 1L).otherwise(0L)).as("r"))
+    // under confirm, the per-id frame is CACHED so the confirm pass's
+    // pass-1 cross-tier dup ID SET is derived from the very observation
+    // the raw count below reports (one scan, one snapshot — raw and
+    // pass-1 cannot disagree within one report), instead of a third
+    // full tier scan racing in between
+    val perId =
+      if (!confirmTransients) perId0
+      else perId0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // duplicate ids are split by KIND: within one tier (always a hard
     // defect — only out-of-band writes produce it) vs across tiers. The
     // cross-tier count can be TRANSIENTLY non-zero when this read-only
@@ -1250,15 +1258,15 @@ class VectorStore(val spark: SparkSession, val path: String,
     val (confirmed, confCross, confMissing) =
       if (!confirmTransients) (false, -1L, -1L)
       else {
-        // pass-1 observation of the cross-tier dup ID SET, MATERIALIZED
-        // now (persist + count) so the confirm pass's join reads pass 1's
-        // snapshot, not a re-execution at pass-2 time
-        val p1 = crossTierDupIds()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          p1.count()
-          confirmTransientDefects(p1, idxDelta.map(_._2), confirmWaitMs)
-        } finally p1.unpersist()
+        // pass 1's cross-tier dup ID SET comes straight off the CACHED
+        // perId frame (materialized by the `row` action above): the same
+        // observation the raw count reports, with no extra tier scan —
+        // only the pass-2 re-probe inside confirmTransientDefects reads
+        // the tiers again, at a genuinely later time
+        val p1 = perId
+          .filter(col("r") >= 1 && (col("c") - col("r")) >= 1).select("id")
+        try confirmTransientDefects(p1, idxDelta.map(_._2), confirmWaitMs)
+        finally perId.unpersist()
       }
     IntegrityReport(
       hasManifest = manifest.isDefined, hasCentroids = hasCentroids,
@@ -1370,7 +1378,17 @@ class VectorStore(val spark: SparkSession, val path: String,
         case (Some(m1), Some((_, m2))) => (m1 & m2).size.toLong
         case _ => -1L // unknown on either side: cannot confirm this class
       }
-      (true, confirmedCross, confirmedMissing)
+      // check-then-act guard: the quiesce check above ran BEFORE the
+      // re-probe's Spark jobs — a writer acquiring the lease DURING them
+      // re-opens exactly the race window the wait closed, so re-verify
+      // the lease stayed free and report could-not-confirm if it didn't.
+      // Residual (documented, not mechanized): a writer that acquires
+      // AND releases entirely inside the probe window slips both checks;
+      // the monitor's defense is the same as for any single scan —
+      // confirmed counts are compared ACROSS confirm scans, and a
+      // slipped race clears on the next one while a real defect repeats.
+      if (lease.heldByOther()) (false, -1L, -1L)
+      else (true, confirmedCross, confirmedMissing)
     }
   }
 

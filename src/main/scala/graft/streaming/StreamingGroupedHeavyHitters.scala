@@ -287,10 +287,22 @@ object StreamingGroupedHeavyHitters {
     * candidate keys only. */
   def heavyHittersFromState(spark: SparkSession, stateDir: String,
       items: DataFrame, groupCol: String, itemCol: String,
-      denominator: Long): DataFrame = {
-    val st = readState(spark, stateDir)
+      denominator: Long): DataFrame =
+    heavyHittersFromSnapshot(readState(spark, stateDir), stateDir,
+      spark, items, groupCol, itemCol, denominator)
+
+  /** The grouped recount over an ALREADY-READ snapshot — same contract as
+    * [[StreamingHeavyHitters.heavyHittersFromSnapshot]] (no lock-free
+    * re-read behind a caller's consistent snapshot). */
+  def heavyHittersFromSnapshot(st: GroupedMgSnapshot, where: String,
+      spark: SparkSession, items: DataFrame, groupCol: String,
+      itemCol: String, denominator: Long): DataFrame = {
+    // see the flat recount: a non-positive denominator inverts the
+    // per-group threshold arithmetic — refuse loudly
+    require(denominator > 0,
+      s"denominator must be positive, got $denominator")
     require(st.lastBatchId < 0L || st.k > denominator,
-      s"state at $stateDir was folded with k=${st.k}, which does not " +
+      s"state at $where was folded with k=${st.k}, which does not " +
         s"cover denominator=$denominator (needs k > denominator): items " +
         "at this threshold may have been evicted — re-fold with a larger " +
         "sketchK or query a coarser threshold")

@@ -276,14 +276,30 @@ object StreamingHeavyHitters {
     * same corpus: the folded state's error ≤ N/(k+1) < N/denominator, so
     * no true heavy hitter was evicted, and the recount is exact. */
   def heavyHittersFromState(spark: SparkSession, stateDir: String,
+      items: DataFrame, itemCol: String, denominator: Long): DataFrame =
+    heavyHittersFromSnapshot(readState(spark, stateDir), stateDir,
+      items, itemCol, denominator)
+
+  /** The recount over an ALREADY-READ snapshot — for callers that took a
+    * consistent (locked) read and must not re-read lock-free behind it: a
+    * second internal read under a hot writer could hit the lock-free
+    * protocol's loud contention exhaustion, or land on a LATER batch than
+    * the envelope the caller already built from its snapshot (the REST
+    * recount route's exact-counts-vs-totals coherence). `where` only
+    * labels error messages. */
+  def heavyHittersFromSnapshot(st: MgSnapshot, where: String,
       items: DataFrame, itemCol: String, denominator: Long): DataFrame = {
-    val st = readState(spark, stateDir)
+    // a non-positive denominator silently inverts the threshold
+    // arithmetic (negative: minCount < 0 returns EVERY candidate as a
+    // "heavy hitter"; zero: Infinity-cast) — refuse loudly
+    require(denominator > 0,
+      s"denominator must be positive, got $denominator")
     // the exactness claim is RELATIVE to the k the state was folded with:
     // items at this threshold may have been evicted if k ≤ denominator —
     // validate against the k recorded in the state, loudly, instead of
     // returning a silently incomplete "exact" answer
     require(st.lastBatchId < 0L || st.k > denominator,
-      s"state at $stateDir was folded with k=${st.k}, which does not " +
+      s"state at $where was folded with k=${st.k}, which does not " +
         s"cover denominator=$denominator (needs k > denominator): items " +
         "at this threshold may have been evicted — re-fold with a larger " +
         "sketchK or query a coarser threshold")

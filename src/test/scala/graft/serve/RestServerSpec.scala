@@ -354,8 +354,10 @@ class RestServerSpec extends SparkSpec {
       assert(!r1.get("transients_confirmed").asBoolean())
       assert(r1.get("confirmed_cross_tier_duplicate_count").asLong() == -1L)
       // ?confirm=true: the confirm pass runs (quiet store — no live
-      // writer), re-probes the transient classes, reports verified zeros
-      val (s2, r2) = call(srv, "GET", "/api/v1/admin/integrity?confirm=true")
+      // writer), re-probes the transient classes, reports verified zeros;
+      // confirm_wait_ms bounds the serial dispatcher's quiesce wait
+      val (s2, r2) = call(srv, "GET",
+        "/api/v1/admin/integrity?confirm=true&confirm_wait_ms=0")
       assert(s2 == 200 && r2.get("transients_confirmed").asBoolean(), r2.toString)
       assert(r2.get("confirmed_cross_tier_duplicate_count").asLong() == 0L)
       assert(r2.get("confirmed_recent_index_missing_parts").asLong() == 0L)
@@ -478,6 +480,15 @@ class RestServerSpec extends SparkSpec {
       val (sCov, rCov) = call(srv, "POST",
         "/api/v1/admin/frequent-items/recount", """{"denominator": 500}""")
       assert(sCov == 400 && rCov.get("error").asText().contains("does not cover"))
+      // zero / negative / non-numeric denominators invert or nuke the
+      // threshold arithmetic — each must 400, never a 200 "exact" answer
+      // (Jackson coerces a string to 0, so "abc" rides the zero check)
+      for (bad <- Seq("0", "-1", "\"abc\"")) {
+        val (sb, rb) = call(srv, "POST",
+          "/api/v1/admin/frequent-items/recount", s"""{"denominator": $bad}""")
+        assert(sb == 400 && rb.get("error").asText().contains("positive"),
+          s"denominator=$bad -> $sb ${rb.toString}")
+      }
     } finally srv.stop()
     // GROUPED state: per-group thresholds, exact counts, the null counter
     val gsd = java.nio.file.Files.createTempDirectory("graft_fir_gstate_").toString

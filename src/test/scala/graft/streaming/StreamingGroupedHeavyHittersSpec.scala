@@ -123,6 +123,13 @@ class StreamingGroupedHeavyHittersSpec extends SparkSpec {
         spark, stateDir, toks, "source", "token", denominator = 500L).collect()
     }
     assert(eDen.getMessage.contains("does not cover"))
+    // a non-positive denominator inverts the threshold arithmetic
+    // (negative: every candidate "qualifies"; zero: Infinity) — loud
+    val eZero = intercept[IllegalArgumentException] {
+      StreamingGroupedHeavyHitters.heavyHittersFromState(
+        spark, stateDir, toks, "source", "token", denominator = 0L)
+    }
+    assert(eZero.getMessage.contains("positive"))
   }
 
   test("null source rows are excluded from the fold, matching the batch recount") {
