@@ -796,7 +796,13 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         val waitMs = qp.collectFirst {
             case s if s.startsWith("confirm_wait_ms=") =>
               s.drop("confirm_wait_ms=".length) }
-          .flatMap(v => scala.util.Try(v.toLong).toOption)
+          .map(v => scala.util.Try(v.toLong).toOption
+            // LOUD on a malformed value ("5s", "5000ms"): silently
+            // substituting the default would park the serial dispatcher
+            // for a wait the operator did not choose — same posture as
+            // the recount route's denominator validation
+            .getOrElse(throw new IllegalArgumentException(
+              s"confirm_wait_ms must be an integer (milliseconds), got '$v'")))
           .map(v => math.max(0L, math.min(10000L, v)))
           .getOrElse(2000L)
         val r = store.checkIntegrity(confirmTransients = confirm,

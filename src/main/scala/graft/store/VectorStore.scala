@@ -1150,6 +1150,15 @@ class VectorStore(val spark: SparkSession, val path: String,
     val perId =
       if (!confirmTransients) perId0
       else perId0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the ONE cross-tier-duplicate predicate, shared by the raw count's
+    // aggregate and the confirm pass's pass-1 ID set so the two cannot
+    // silently diverge within a report (the coherence the cached perId
+    // exists to provide)
+    val crossDupPred = col("r") >= 1 && (col("c") - col("r")) >= 1
+    // the whole remainder runs under try/finally: a loud mid-scan abort
+    // (malformed sidecar, malformed index meta) must not leak the
+    // persisted per-id frame into the session's cache
+    try {
     // duplicate ids are split by KIND: within one tier (always a hard
     // defect — only out-of-band writes produce it) vs across tiers. The
     // cross-tier count can be TRANSIENTLY non-zero when this read-only
@@ -1165,8 +1174,7 @@ class VectorStore(val spark: SparkSession, val path: String,
       coalesce(sum(col("w")), lit(0L)),
       coalesce(sum(when(col("r") > 1 || (col("c") - col("r")) > 1, 1L)
         .otherwise(0L)), lit(0L)),
-      coalesce(sum(when(col("r") >= 1 && (col("c") - col("r")) >= 1, 1L)
-        .otherwise(0L)), lit(0L))).head()
+      coalesce(sum(when(crossDupPred, 1L).otherwise(0L)), lit(0L))).head()
     val (liveRecent, liveHistorical, wrongDim, dupIds, crossDupIds) =
       (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
         row.getLong(4))
@@ -1260,13 +1268,12 @@ class VectorStore(val spark: SparkSession, val path: String,
       else {
         // pass 1's cross-tier dup ID SET comes straight off the CACHED
         // perId frame (materialized by the `row` action above): the same
-        // observation the raw count reports, with no extra tier scan —
-        // only the pass-2 re-probe inside confirmTransientDefects reads
-        // the tiers again, at a genuinely later time
-        val p1 = perId
-          .filter(col("r") >= 1 && (col("c") - col("r")) >= 1).select("id")
-        try confirmTransientDefects(p1, idxDelta.map(_._2), confirmWaitMs)
-        finally perId.unpersist()
+        // observation — and the same crossDupPred — as the raw count,
+        // with no extra tier scan; only the pass-2 re-probe inside
+        // confirmTransientDefects reads the tiers again, at a genuinely
+        // later time
+        val p1 = perId.filter(crossDupPred).select("id")
+        confirmTransientDefects(p1, idxDelta.map(_._2), confirmWaitMs)
       }
     IntegrityReport(
       hasManifest = manifest.isDefined, hasCentroids = hasCentroids,
@@ -1282,6 +1289,7 @@ class VectorStore(val spark: SparkSession, val path: String,
       transientsConfirmed = confirmed,
       confirmedCrossTierDuplicateCount = confCross,
       confirmedRecentIndexMissingParts = confMissing)
+    } finally { if (confirmTransients) perId.unpersist() }
   }
 
   /** One observation of the saved-recent-index part-list delta, the ONE

@@ -361,6 +361,11 @@ class RestServerSpec extends SparkSpec {
       assert(s2 == 200 && r2.get("transients_confirmed").asBoolean(), r2.toString)
       assert(r2.get("confirmed_cross_tier_duplicate_count").asLong() == 0L)
       assert(r2.get("confirmed_recent_index_missing_parts").asLong() == 0L)
+      // a malformed wait value must 400 loudly, never silently park the
+      // serial dispatcher on the default
+      val (sW, rW) = call(srv, "GET",
+        "/api/v1/admin/integrity?confirm=true&confirm_wait_ms=5s")
+      assert(sW == 400 && rW.get("error").asText().contains("confirm_wait_ms"))
     } finally srv.stop()
   }
 

@@ -108,6 +108,14 @@ class StreamingHeavyHittersSpec extends SparkSpec {
         spark, stateDir, toks, "token", denominator = 500L).collect()
     }
     assert(eDen.getMessage.contains("does not cover"))
+    // a non-positive denominator inverts the threshold arithmetic
+    // (negative: minCount < 0 returns every candidate; zero: Infinity
+    // would sail past the k-coverage check) — refuse before either
+    val eZero = intercept[IllegalArgumentException] {
+      StreamingHeavyHitters.heavyHittersFromState(
+        spark, stateDir, toks, "token", denominator = 0L)
+    }
+    assert(eZero.getMessage.contains("positive"))
     // the mirror guard: a FRESH state under an already-advanced
     // checkpoint means committed batches will never be re-delivered —
     // folding from a non-zero first batch must refuse loudly
