@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.Tables
 import graft.functions.VectorExpressions._
 import graft.functions.VectorFunctions
-import graft.operators.{Bq, Hnsw, Ivf, Knn, LshAnn, Pq}
+import graft.operators.{Bq, Hnsw, Ivf, Knn, LshAnn, Opq, Pq}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -673,6 +673,49 @@ lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
           (col("res_recall") >= 0.5).as("recall_ok"),
           (col("res_recall") >= col("plain_recall")).as("ge_plain"))
         .crossJoin(QueryShapes.exactDigest(exact))
+    }),
+    // OPQ (Ge et al. 2013): learned orthogonal rotation + PQ on the
+    // rotated coordinates, exercised on the anisotropically-stretched
+    // corpus (QueryShapes.stretchedCorpus — the variance-concentrated
+    // shape the rotation exists for). Save/load round-trips the model
+    // (rotation + codebooks) through parquet on the way. Gated two ways
+    // like ann_ivfpq_residual_cos: recall@10 vs exact L2 over the
+    // stretched corpus, AND >= plain PQ on the identical
+    // (m, k, shortlist, rerank) budget — the rotation must BUY recall on
+    // data shaped like this, not just not cost it. DuckDB replays the
+    // stretch + the exact digest.
+    "ann_opq" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val corpus = QueryShapes.stretchedCorpus(emb)
+      val queries = corpus.filter(col("id") < 8)
+        .select(col("id").as("query_id"), col("embedding").as("q_embedding"))
+      val exact = Knn.batch(corpus, queries, k = 10, metric = "l2",
+        roundDecimals = 6)
+      val plain = Pq.train(corpus, dim = 64, m = 8, k = 16, trainSize = 1000)
+      val plainEnc = corpus.select(col("id"),
+        Pq.encode(plain, col("embedding")).as("codes"))
+      val plainHits = Pq.adcSearchBatch(plainEnc, plain, queries, k = 10,
+        shortlist = 30, rerank = Some(corpus))
+      val trained = Opq.train(corpus, dim = 64, m = 8, k = 16,
+        trainSize = 1000, iters = 5)
+      val opqPath = java.nio.file.Files
+        .createTempDirectory("graft_opq_").toString + "/model"
+      Opq.save(s, trained, opqPath)
+      val model = Opq.load(s, opqPath)
+      val enc = corpus.select(col("id"),
+        Opq.encode(model, col("embedding")).as("codes"))
+      val hits = Opq.searchBatch(enc, model, queries, k = 10,
+        shortlist = 30, rerank = Some(corpus))
+      val rOpq = Ivf.evaluateRecall(hits, exact)
+        .select(lit(1).as("j"), col("n_queries"),
+          col("avg_recall").as("opq_recall"))
+      val rPlain = Ivf.evaluateRecall(plainHits, exact)
+        .select(lit(1).as("j"), col("avg_recall").as("plain_recall"))
+      rOpq.join(rPlain, "j")
+        .select(col("n_queries"),
+          (col("opq_recall") >= 0.5).as("recall_ok"),
+          (col("opq_recall") >= col("plain_recall")).as("ge_plain"))
+        .crossJoin(QueryShapes.exactDigest(exact))
     }))
 
   private val centSql400 =
@@ -881,6 +924,10 @@ lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
          |  exact_id_checksum, exact_dist_sum FROM dg""".stripMargin,
     "ann_ivfpq_residual_cos" ->
       s"""WITH ${QueryShapes.exactDigestSql("cosine", 8)}
+         |SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok,
+         |  true AS ge_plain, exact_id_checksum, exact_dist_sum FROM dg""".stripMargin,
+    "ann_opq" ->
+      s"""WITH ${QueryShapes.stretchedDigestSql(8)}
          |SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok,
          |  true AS ge_plain, exact_id_checksum, exact_dist_sum FROM dg""".stripMargin,
     "quantize_u8" ->

@@ -63,6 +63,40 @@ object QueryShapes {
         .as("embedding"))
     .repartition(col("id"))
 
+  /** Anisotropic corpus behind the ann_opq row (and OpqSpec): dimension i
+    * (0-based) scaled by (1 + i/8), so variance piles into the high-index
+    * subspaces — the shape plain PQ wastes code budget on and OPQ's
+    * learned rotation exists to fix. Double multiply, float cast, exactly
+    * what [[stretchedDigestSql]] replays — change them together. */
+  def stretchedCorpus(e: DataFrame): DataFrame = e.select(
+    col("vec_id").as("id"),
+    transform(col("embedding"), (x, i) =>
+      (x.cast("double") * (lit(1.0) + i.cast("double") / lit(8.0)))
+        .cast("float")).as("embedding"))
+
+  /** DuckDB replay of the exact-top-`k` digest over [[stretchedCorpus]]
+    * (L2, `vec_id < nQueries` queries): emits `st` (the stretched corpus)
+    * and `dg` (exact_id_checksum, exact_dist_sum) CTEs — the ann_opq
+    * analog of [[exactDigestSql]]. The 1-based range index maps to the
+    * 0-based Spark transform index via (i-1). */
+  def stretchedDigestSql(nQueries: Int, k: Int = 10): String =
+    s"""st AS (
+       |  SELECT vec_id,
+       |    list((embedding[i]::DOUBLE * (1.0 + (i - 1) / 8.0))::REAL::DOUBLE
+       |      ORDER BY i) AS emb
+       |  FROM embeddings, range(1, 65) t(i) GROUP BY vec_id),
+       |ex AS (
+       |  SELECT query_id, id, d,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rank
+       |  FROM (SELECT q.query_id, e.vec_id AS id,
+       |      round(list_distance(e.emb, q.qe), 6) AS d
+       |    FROM st e CROSS JOIN
+       |      (SELECT vec_id AS query_id, emb AS qe
+       |       FROM st WHERE vec_id < $nQueries) q)),
+       |dg AS (SELECT CAST(sum(id) AS BIGINT) AS exact_id_checksum,
+       |    round(sum(d), 4) AS exact_dist_sum
+       |  FROM ex WHERE rank <= $k)""".stripMargin
+
   /** Per-label element-wise mean centroid (A3) as (label, float[]) —
     * DuckDB recomputes it exactly, which is what makes the label-IVF
     * queries oracle-checkable. One hash aggregate with dim column-avg
