@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact fixed-bin histogram — the quantile face of the streaming
+  * profiling family (Misra–Gries summarizes frequencies; this summarizes
+  * the value distribution). The production latency-percentile pattern:
+  * a FIXED binning whose per-bin counts are EXACT and merge by vector
+  * addition, so the streaming fold is trivially exactly-once-checkable
+  * (any dropped or double-applied batch shifts a count) and the whole
+  * answer — counts AND interpolated quantile estimates — replays
+  * bit-exactly in the oracle. Rank accounting is exact; only the VALUE
+  * resolution is quantized (one bin width), and each estimate's bin
+  * carries its exact rank interval, so the error story is explicit
+  * rather than probabilistic.
+  *
+  * Why not a GK/percentile_approx fold: measured in this repo (r14),
+  * Spark's catalyst `QuantileSummaries` saturates merged samples' deltas
+  * at EXACTLY its compressImmut threshold (maxDelta -> 2eps*N), so a
+  * long-lived per-batch fold either grows linearly (5,195 sampled tuples
+  * after 30x400-row batches at eps=0.01 — half the stream retained) or,
+  * recompressed at a larger budget, breaks the rank invariant (observed
+  * 3eps*N query error). The sketch is fine one-shot (the batch
+  * `sketch_quantiles` row keeps using percentile_approx); it is not a
+  * foldable state.
+  *
+  * Cross-engine determinism: bin assignment and quantile interpolation
+  * use only IEEE-exact double ops (subtract, divide, multiply, floor),
+  * identical in Spark and DuckDB — no ln/log2 whose libm rounding could
+  * drift a boundary value into the next bin.
+  *
+  * 100 TB posture: one map-side-combined groupBy over <= nBins+2 keys per
+  * batch/partition, O(nBins) state, O(nBins) driver fold. */
+object HistogramSketch {
+
+  /** Equi-width binning of [lo, hi) into nBins bins, with explicit
+    * underflow (v < lo, bin -1) and overflow (v >= hi, bin nBins). */
+  case class HistogramSpec(lo: Double, hi: Double, nBins: Int) {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi),
+      s"bounds must be finite, got [$lo, $hi)")
+    val width: Double = (hi - lo) / nBins
+
+    /** Bin index of a double column: -1 underflow, nBins overflow, else
+      * floor((v - lo) / width) clamped to nBins-1 (the clamp absorbs the
+      * one-ulp case where fp division lands an in-range v on nBins). */
+    def binExpr(v: Column): Column =
+      when(v < lo, lit(-1))
+        .when(v >= hi, lit(nBins))
+        .otherwise(least(floor((v - lit(lo)) / lit(width)).cast("int"),
+          lit(nBins - 1)))
+
+    /** The same assignment as [[binExpr]] for the DuckDB oracle —
+      * generated from the one spec so the arithmetic cannot drift. */
+    def binSql(v: String): String =
+      s"CASE WHEN $v < $lo THEN -1 WHEN $v >= $hi THEN $nBins " +
+        s"ELSE least(CAST(floor(($v - $lo) / (($hi - $lo) / $nBins)) " +
+        s"AS INT), ${nBins - 1}) END"
+
+    /** Driver-side bin of one value (the spec's unit-test face). */
+    def binOf(v: Double): Int =
+      if (v < lo) -1
+      else if (v >= hi) nBins
+      else math.min(math.floor((v - lo) / width).toInt, nBins - 1)
+  }
+
+  /** Exact histogram counts: (bin, cnt) rows, bin in [-1, nBins], NULL
+    * values skipped (the percentile convention). One map-side-combined
+    * aggregation over at most nBins+2 keys. */
+  def counts(df: DataFrame, valueCol: String,
+      spec: HistogramSpec): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(spec.binExpr(col(valueCol).cast("double")).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+
+  /** Interpolated quantile estimate from exact counts — ONE definition of
+    * the arithmetic, replayed verbatim by the oracle SQL:
+    * target rank t = 1 + (n-1)*p over the FULL mass (underflow first,
+    * then in-range bins in order, then overflow); the bin b holding t
+    * yields lo + width*(b + (t - cumBefore)/cnt_b); a t inside the
+    * underflow (overflow) mass clamps to lo (hi) — the honest "outside
+    * the configured range" answer. Estimates are exact-rank: only value
+    * resolution is quantized (one bin width).
+    *
+    * @param bins (bin -> exact count), -1/nBins keys for under/overflow
+    * @return (prob, estimate) per requested prob; empty when n == 0 */
+  def quantiles(spec: HistogramSpec, bins: Map[Int, Long],
+      probs: Seq[Double]): Seq[(Double, Double)] = {
+    probs.foreach(p => require(p >= 0.0 && p <= 1.0,
+      s"quantile prob must be in [0,1], got $p"))
+    bins.foreach { case (b, c) =>
+      require(b >= -1 && b <= spec.nBins, s"bin $b outside the spec")
+      require(c >= 0L, s"negative count $c in bin $b")
+    }
+    val n = bins.valuesIterator.sum
+    if (n == 0L) Seq.empty
+    else {
+      val under = bins.getOrElse(-1, 0L)
+      val inRange = (0 until spec.nBins).map(b => bins.getOrElse(b, 0L))
+      probs.map { p =>
+        val t = 1.0 + (n - 1).toDouble * p
+        if (t <= under) p -> spec.lo
+        else {
+          var cum = under.toDouble
+          var b = 0
+          var est = spec.hi // fall-through: t lands in the overflow mass
+          var done = false
+          while (!done && b < spec.nBins) {
+            val c = inRange(b)
+            if (c > 0L && t <= cum + c) {
+              val frac = (t - cum) / c
+              est = spec.lo + spec.width * (b + frac)
+              done = true
+            }
+            cum += c
+            b += 1
+          }
+          p -> est
+        }
+      }
+    }
+  }
+}

@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
 object AggQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The streaming_histogram row's binning — ONE definition shared with
+    * its oracle generator ([[graft.operators.HistogramSketch
+    * .HistogramSpec.binSql]]) so the bin arithmetic cannot drift. */
+  private val histRowSpec =
+    graft.operators.HistogramSketch.HistogramSpec(0.0, 1000.0, 2000)
+
   val queries: Map[String, Q] = Map(
     // HLL++ sketch distinct counts per source: at 100 TB the exact
     // count(DISTINCT fingerprint) per domain shuffles every fingerprint;
@@ -85,6 +91,42 @@ object AggQueries {
           round(first(col("p99e")), 4).as("p99_exact"),
           (rankOk(col("p50a"), 0.5) && rankOk(col("p99a"), 0.99)).as("approx_ok"))
         .orderBy("event_type")
+    }),
+    // §2.11 streaming face of the quantile profile: the events values
+    // staged as FOUR arrival files, each its own micro-batch, per-batch
+    // EXACT fixed-bin histograms folded by vector addition into one
+    // bounded state file, then quantiles interpolated from the folded
+    // counts. Unlike the MG fold (whose recount makes it exact), the
+    // histogram state needs no recount — it IS the batch histogram of
+    // the corpus, so the oracle replays the ENTIRE answer (n, out-of-
+    // range counts, and the interpolation arithmetic) from raw events:
+    // a dropped batch, a double-applied replay, or a drifted bin
+    // boundary hash-mismatches. Rank accounting is exact; value
+    // resolution is one 0.5-wide bin. A GK/percentile_approx fold was
+    // measured and rejected for this seat (delta saturation — see
+    // HistogramSketch scaladoc).
+    "streaming_histogram" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_shist_q_").toString
+      try {
+        Tables.load(s, dir, "events").select(col("value"))
+          .repartition(4).write.parquet(s"$tmp/src")
+        val q = graft.streaming.StreamingHistogram.ingest(
+          s, s"$tmp/src", s"$tmp/state", s"$tmp/chk", histRowSpec,
+          maxFilesPerTrigger = 1)
+        try q.processAllAvailable() finally q.stop()
+        val st = graft.streaming.StreamingHistogram
+          .readState(s, s"$tmp/state")
+        val qs = graft.streaming.StreamingHistogram
+          .quantilesFromSnapshot(st, Seq(0.5, 0.9, 0.99)).toMap
+        import s.implicits._
+        Seq((st.n, st.underflow, st.overflow, qs(0.5), qs(0.9), qs(0.99)))
+          .toDF("n", "underflow", "overflow", "p50", "p90", "p99")
+          .select(col("n"), col("underflow"), col("overflow"),
+            round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90"),
+            round(col("p99"), 6).as("p99"))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
     }),
     // column-level profile of the documents table — the per-shard data
     // quality report (nulls / exact distincts / min-max per column) in
@@ -292,6 +334,37 @@ object AggQueries {
         |  round(quantile_cont(value, 0.99), 4) AS p99_exact,
         |  true AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "streaming_histogram" ->
+      s"""WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT ${histRowSpec.binSql("value")} AS bin FROM v),
+         |c AS (SELECT bin, count(*)::BIGINT AS cnt FROM b GROUP BY bin),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM b),
+         |uf AS (SELECT coalesce(
+         |  (SELECT cnt FROM c WHERE bin = -1), 0)::BIGINT AS u),
+         |ov AS (SELECT coalesce(
+         |  (SELECT cnt FROM c WHERE bin = ${histRowSpec.nBins}),
+         |  0)::BIGINT AS o),
+         |cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cume
+         |  FROM c WHERE bin >= 0 AND bin < ${histRowSpec.nBins}),
+         |probs(p) AS (VALUES (0.5), (0.9), (0.99)),
+         |sel AS (SELECT p, bin, cnt, cume FROM probs, tot, uf, cum
+         |  WHERE (u + cume - cnt) < (1.0 + (n - 1) * p)
+         |    AND (u + cume) >= (1.0 + (n - 1) * p)),
+         |q AS (SELECT probs.p AS p,
+         |    CASE WHEN (1.0 + (n - 1) * probs.p) <= u THEN ${histRowSpec.lo}
+         |         WHEN sel.bin IS NULL THEN ${histRowSpec.hi}
+         |         ELSE ${histRowSpec.lo}
+         |           + ((${histRowSpec.hi} - ${histRowSpec.lo})
+         |              / ${histRowSpec.nBins})
+         |           * (sel.bin + ((1.0 + (n - 1) * probs.p)
+         |              - (u + sel.cume - sel.cnt)) / sel.cnt)
+         |    END AS est
+         |  FROM probs LEFT JOIN sel ON probs.p = sel.p, tot, uf)
+         |SELECT n, u AS underflow, o AS overflow,
+         |  round((SELECT est FROM q WHERE p = 0.5), 6) AS p50,
+         |  round((SELECT est FROM q WHERE p = 0.9), 6) AS p90,
+         |  round((SELECT est FROM q WHERE p = 0.99), 6) AS p99
+         |FROM tot, uf, ov""".stripMargin,
     "table_profile" ->
       """SELECT * FROM (
         |  SELECT 'doc_id' AS col_name, count(*) AS n,

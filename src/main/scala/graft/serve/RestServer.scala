@@ -63,6 +63,11 @@ import scala.util.control.NonFatal
   *                                      (default 2 s, clamped ≤ 10 s) runs
   *                                      on the serial dispatcher
   *   GET    /api/v1/admin/frequent-items
+  *   GET    /api/v1/admin/histogram?probs=0.5,0.9&bins=true — the folded
+  *                                      streaming exact-histogram state:
+  *                                      rank-exact quantile estimates
+  *                                      (value resolution = one bin width),
+  *                                      linearizable locked read
   *   POST   /api/v1/admin/frequent-items/recount {denominator} — the EXACT
   *                                      face of the folded stream state: a
   *                                      Spark recount of the candidates over
@@ -113,7 +118,8 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     maxEvents: Int = 10000, backupBase: Option[String] = None,
     sseWriteDeadlineMs: Long = 5000L, wsPort: Int = 0,
     frequentItemsStateDir: Option[String] = None,
-    frequentItemsSourceDir: Option[String] = None) {
+    frequentItemsSourceDir: Option[String] = None,
+    histogramStateDir: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -912,6 +918,75 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
       // the serving surface without letting a monitor aim the driver at
       // arbitrary data. Disabled (404) unless BOTH the state dir and the
       // source dir were wired at construction.
+      // running value-distribution profile of the streaming exact-
+      // histogram fold (graft extension): served via the LINEARIZABLE
+      // locked read, same posture as frequent-items. Unlike the MG
+      // envelope's estimates, these counts are EXACT and the quantile
+      // estimates are rank-exact — only the VALUE is quantized, to one
+      // bin width (reported as value_resolution). ?probs=0.5,0.9
+      // overrides the default probes (malformed values 400 loudly);
+      // ?bins=true includes the full per-bin counts.
+      case ("GET", "/api/v1/admin/histogram") =>
+        histogramStateDir match {
+          case None => (404, err(
+            "histogram state not configured on this server " +
+              "(pass histogramStateDir to RestServer)"))
+          case Some(sd) =>
+            val qp = Option(ex.getRequestURI.getQuery)
+              .map(_.split("&").toSeq).getOrElse(Seq.empty)
+            val probsParsed: Either[String, Seq[Double]] =
+              qp.collectFirst {
+                case s if s.startsWith("probs=") => s.drop("probs=".length)
+              } match {
+                case None => Right(Seq(0.5, 0.9, 0.99))
+                case Some(v) =>
+                  val parts = v.split(",").toSeq.filter(_.nonEmpty)
+                  val ds = parts.map(p => scala.util.Try(p.toDouble).toOption)
+                  if (parts.isEmpty || ds.exists(_.isEmpty)
+                      || ds.flatten.exists(d => d < 0.0 || d > 1.0))
+                    Left("probs must be comma-separated numbers in " +
+                      s"[0, 1], got '$v'")
+                  else Right(ds.flatten)
+              }
+            probsParsed match {
+              case Left(msg) => (400, err(msg))
+              case Right(probs) =>
+                val st = graft.streaming.StreamingHistogram
+                  .readStateLocked(store.spark, sd)
+                val n = obj()
+                if (st.lastBatchId < 0L) {
+                  // nothing folded yet: a well-formed empty envelope (the
+                  // frequent-items convention) — the placeholder binning
+                  // is NOT echoed, it would mislead a monitor
+                  n.put("folded", false)
+                  n.put("last_batch_id", -1L)
+                  n.put("n", 0L)
+                } else {
+                  n.put("folded", true)
+                  n.put("lo", st.spec.lo)
+                  n.put("hi", st.spec.hi)
+                  n.put("n_bins", st.spec.nBins)
+                  n.put("value_resolution", st.spec.width)
+                  n.put("checkpoint", st.checkpoint)
+                  n.put("last_batch_id", st.lastBatchId)
+                  n.put("n", st.n)
+                  n.put("underflow", st.underflow)
+                  n.put("overflow", st.overflow)
+                  n.put("counts_are_exact", true)
+                  val qs = n.putObject("quantiles")
+                  graft.streaming.StreamingHistogram
+                    .quantilesFromSnapshot(st, probs)
+                    .foreach { case (p, est) => qs.put(p.toString, est) }
+                  if (qp.contains("bins=true")) {
+                    val b = n.putObject("bins")
+                    st.bins.toSeq.sortBy(_._1).foreach { case (bin, c) =>
+                      b.put(bin.toString, c)
+                    }
+                  }
+                }
+                (200, n)
+            }
+        }
       case ("POST", "/api/v1/admin/frequent-items/recount") =>
         (frequentItemsStateDir, frequentItemsSourceDir) match {
           case (Some(sd), Some(srcDir)) =>

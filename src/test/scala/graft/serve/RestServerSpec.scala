@@ -442,6 +442,70 @@ class RestServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("admin histogram route serves the folded exact-histogram state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hg_rest_").toString
+    val store = new VectorStore(spark, dir)
+    // unconfigured server: the route is disabled (backupBase posture)
+    val srv0 = new RestServer(store).start()
+    try {
+      val (s404, r404) = call(srv0, "GET", "/api/v1/admin/histogram")
+      assert(s404 == 404 && r404.get("error").asText().contains("not configured"))
+    } finally srv0.stop()
+    // configured + folded: serve binning, exact counts, rank-exact quantiles
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_hg_state_").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_hg_src_").toString + "/files"
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_hg_ckpt_").toString
+    import spark.implicits._
+    // 8 in-range values + one under, one over — exact expectations
+    (Seq(5.0, 15.0, 15.5, 25.0, 35.0, 45.0, 55.0, 95.0) ++ Seq(-1.0, 120.0))
+      .toDF("value").coalesce(1).write.parquet(srcDir)
+    val q = graft.streaming.StreamingHistogram.ingest(spark, srcDir,
+      stateDir, ckptDir,
+      graft.operators.HistogramSketch.HistogramSpec(0.0, 100.0, 10))
+    q.processAllAvailable(); q.stop()
+    val srv = new RestServer(store, histogramStateDir = Some(stateDir)).start()
+    try {
+      val (s, r) = call(srv, "GET",
+        "/api/v1/admin/histogram?probs=0.5&bins=true")
+      assert(s == 200, r.toString)
+      assert(r.get("folded").asBoolean())
+      assert(r.get("lo").asDouble() == 0.0 && r.get("hi").asDouble() == 100.0)
+      assert(r.get("n_bins").asInt() == 10)
+      assert(r.get("value_resolution").asDouble() == 10.0)
+      assert(r.get("checkpoint").asText().endsWith(ckptDir))
+      assert(r.get("n").asLong() == 10L)
+      assert(r.get("underflow").asLong() == 1L)
+      assert(r.get("overflow").asLong() == 1L)
+      assert(r.get("counts_are_exact").asBoolean())
+      assert(r.get("bins").get("1").asLong() == 2L) // 15.0, 15.5
+      assert(r.get("bins").get("-1").asLong() == 1L)
+      // p=0.5 over n=10: t=5.5; underflow(1)+bins0..2 cum: 1+1+2+1=5 <5.5;
+      // bin 3 (25.0) holds t: frac=(5.5-5)/1 -> 30+10*0.5=35... bin of
+      // 25.0 is 2 — recompute: bins: -1:1, 0:1(5.0), 1:2(15,15.5),
+      // 2:1(25), 3:1(35), 4:1(45), 5:1(55), 9:1(95), 10:1. cum at bin 2 =
+      // 1+1+2+1=5 < 5.5; bin 3 cnt 1 -> cum 6 >= 5.5; frac=0.5 -> est=35.0
+      assert(r.get("quantiles").get("0.5").asDouble() == 35.0, r.toString)
+      // default probes when none given
+      val (sD, rD) = call(srv, "GET", "/api/v1/admin/histogram")
+      assert(sD == 200 && rD.get("quantiles").has("0.9"), rD.toString)
+      assert(!rD.has("bins"), "bins must be opt-in")
+      // malformed probs must 400 loudly
+      val (sB, rB) = call(srv, "GET", "/api/v1/admin/histogram?probs=0.5,x")
+      assert(sB == 400 && rB.get("error").asText().contains("probs"))
+      val (sR, rR) = call(srv, "GET", "/api/v1/admin/histogram?probs=1.5")
+      assert(sR == 400 && rR.get("error").asText().contains("probs"))
+    } finally srv.stop()
+    // empty state dir: a well-formed empty envelope, not an error — and
+    // no placeholder binning leaks into it
+    val empty = java.nio.file.Files.createTempDirectory("graft_hg_empty_").toString
+    val srv2 = new RestServer(store, histogramStateDir = Some(empty)).start()
+    try {
+      val (s2, r2) = call(srv2, "GET", "/api/v1/admin/histogram")
+      assert(s2 == 200 && !r2.get("folded").asBoolean()
+        && r2.get("last_batch_id").asLong() == -1L && !r2.has("lo"))
+    } finally srv2.stop()
+  }
+
   test("admin frequent-items recount serves the EXACT face of the folded state") {
     import spark.implicits._
     val store = new VectorStore(spark,

@@ -1,0 +1,200 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.HistogramSketch
+import graft.operators.HistogramSketch.HistogramSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Streaming exact-histogram fold: the state after any number of
+  * micro-batches EQUALS the batch histogram of the whole corpus (exact
+  * counts, not an estimate), exactly-once batch application, binding
+  * guards, and the interpolation arithmetic hand-checked. */
+class StreamingHistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val hs = HistogramSpec(0.0, 1000.0, 100)
+
+  /** Deterministic value batch: a hash-spread over [-50, 1050) so every
+    * batch carries in-range, underflow, AND overflow mass. */
+  private def batchVals(batchId: Int, rows: Int = 400): Seq[Double] =
+    (0 until rows).map { j =>
+      val h = (batchId * rows + j) * 2654435761L % 10007L
+      math.abs(h).toDouble / 10007.0 * 1100.0 - 50.0
+    }
+
+  private def batchDf(batchId: Int, rows: Int = 400) =
+    batchVals(batchId, rows).toDF("value")
+
+  private def batchCounts(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+    HistogramSketch.counts(df, "value", hs).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  test("many-batch stream: folded state EQUALS the batch histogram; n exact") {
+    val src = Files.createTempDirectory("graft_hist_src_").toString
+    val ckpt = Files.createTempDirectory("graft_hist_ckpt_").toString
+    val stateDir = Files.createTempDirectory("graft_hist_state_").toString
+    (0 until 30).foreach(i => batchDf(i).coalesce(1)
+      .write.mode("append").parquet(src))
+    val q = StreamingHistogram.ingest(spark, src, stateDir, ckpt, hs,
+      maxFilesPerTrigger = 1)
+    q.processAllAvailable(); q.stop()
+    val st = StreamingHistogram.readState(spark, stateDir)
+    assert(st.lastBatchId == 29L,
+      s"expected 30 micro-batches, got ${st.lastBatchId + 1}")
+    val corpus = spark.read.parquet(src)
+    assert(st.n == corpus.count(),
+      s"state count ${st.n} != corpus — a batch was dropped or doubled")
+    // the headline: the folded state IS the batch histogram, exactly
+    assert(st.bins == batchCounts(corpus),
+      "folded bins diverged from the one-shot batch histogram")
+    assert(st.underflow > 0L && st.overflow > 0L,
+      "fixture must exercise both out-of-range sides")
+    // quantiles from the state = quantiles from the batch counts (same
+    // counts, same arithmetic — trivially, but pins the plumbing)
+    val probs = Seq(0.1, 0.5, 0.9, 0.99)
+    assert(StreamingHistogram.quantilesFromState(spark, stateDir, probs)
+      == HistogramSketch.quantiles(hs, batchCounts(corpus), probs))
+    // estimates are rank-exact within one bin width for in-range probs;
+    // a prob whose target rank falls in the overflow mass (~top 4.5% of
+    // this fixture) clamps to hi — the honest out-of-range answer
+    val sorted = (0 until 30).flatMap(batchVals(_)).sorted.toArray
+    StreamingHistogram.quantilesFromState(spark, stateDir,
+      Seq(0.1, 0.5, 0.9)).foreach { case (p, est) =>
+        val t = 1.0 + (sorted.length - 1) * p
+        val trueV = sorted(math.ceil(t).toInt - 1)
+        assert(math.abs(est - trueV) <= hs.width + 1e-9,
+          s"p=$p est=$est true=$trueV off by more than one bin width")
+      }
+    val clamped = StreamingHistogram
+      .quantilesFromState(spark, stateDir, Seq(0.999)).head._2
+    assert(clamped == hs.hi, s"overflow-mass quantile must clamp to hi")
+
+    // restart with NEW arrivals: same checkpoint resumes, equality holds
+    (30 until 40).foreach(i => batchDf(i).coalesce(1)
+      .write.mode("append").parquet(src))
+    val q2 = StreamingHistogram.ingest(spark, src, stateDir, ckpt, hs,
+      maxFilesPerTrigger = 1)
+    q2.processAllAvailable(); q2.stop()
+    val st2 = StreamingHistogram.readState(spark, stateDir)
+    val corpus2 = spark.read.parquet(src)
+    assert(st2.lastBatchId == 39L && st2.n == corpus2.count())
+    assert(st2.bins == batchCounts(corpus2))
+  }
+
+  test("quantile interpolation arithmetic, hand-checked") {
+    val s = HistogramSpec(0.0, 10.0, 10)
+    // 4 values in bin 2, 6 in bin 7 -> n=10
+    val bins = Map(2 -> 4L, 7 -> 6L)
+    // p=0: t=1, bin 2, frac=1/4 -> 2 + 1*0.25 = 2.25
+    // p=1: t=10, bin 7, frac=(10-4)/6=1 -> 7+1 = 8.0
+    // p=0.5: t=5.5, bin 7 (cum 4 < 5.5 <= 10), frac=1.5/6 -> 7.25
+    val got = HistogramSketch.quantiles(s, bins, Seq(0.0, 0.5, 1.0)).toMap
+    assert(math.abs(got(0.0) - 2.25) < 1e-12)
+    assert(math.abs(got(0.5) - 7.25) < 1e-12)
+    assert(math.abs(got(1.0) - 8.0) < 1e-12)
+    // t inside underflow mass clamps to lo; inside overflow mass to hi
+    val oob = HistogramSketch.quantiles(s,
+      Map(-1 -> 5L, 4 -> 2L, 10 -> 5L), Seq(0.1, 0.5, 0.95)).toMap
+    assert(oob(0.1) == 0.0, "underflow-mass quantile must clamp to lo")
+    assert(oob(0.95) == 10.0, "overflow-mass quantile must clamp to hi")
+    // t=6.5 -> bin 4, frac=1.5/2 -> 4.75
+    assert(math.abs(oob(0.5) - 4.75) < 1e-12)
+    // empty + validation
+    assert(HistogramSketch.quantiles(s, Map.empty, Seq(0.5)).isEmpty)
+    intercept[IllegalArgumentException] {
+      HistogramSketch.quantiles(s, bins, Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      HistogramSketch.quantiles(s, Map(11 -> 1L), Seq(0.5))
+    }
+    intercept[IllegalArgumentException] { HistogramSpec(0.0, 0.0, 10) }
+    intercept[IllegalArgumentException] { HistogramSpec(0.0, 1.0, 0) }
+  }
+
+  test("bin assignment: boundaries, out-of-range, NULL, driver/plan parity") {
+    val s = HistogramSpec(0.0, 100.0, 10)
+    assert(s.binOf(0.0) == 0 && s.binOf(9.999) == 0 && s.binOf(10.0) == 1)
+    assert(s.binOf(99.999) == 9)
+    assert(s.binOf(100.0) == 10 && s.binOf(250.0) == 10) // overflow
+    assert(s.binOf(-0.001) == -1) // underflow
+    val df = Seq[Option[Double]](Some(0.0), Some(10.0), Some(99.9),
+      Some(100.0), Some(-5.0), None).toDF("value")
+    val got = HistogramSketch.counts(df, "value", s).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 1L, 1 -> 1L, 9 -> 1L, 10 -> 1L, -1 -> 1L),
+      s"got $got") // NULL skipped
+    // plan-side assignment equals the driver-side kernel on a spread
+    val vals = batchVals(0, 200)
+    val planBins = vals.toDF("value")
+      .select(s.binExpr(col("value")).as("b")).collect().map(_.getInt(0))
+    assert(planBins.toSeq == vals.map(s.binOf),
+      "binExpr diverged from binOf")
+  }
+
+  test("a replayed micro-batch is skipped, not double-counted") {
+    val stateDir = Files.createTempDirectory("graft_hist_replay_").toString
+    val b = batchDf(0)
+    val s1 = StreamingHistogram.applyBatch(spark, stateDir, hs, "ck",
+      b, "value", 0L)
+    val s2 = StreamingHistogram.applyBatch(spark, stateDir, hs, "ck",
+      b, "value", 0L)
+    assert(s2.bins == s1.bins && s2.n == s1.n, "replay mutated the state")
+    assert(StreamingHistogram.readState(spark, stateDir).n == s1.n)
+    val s3 = StreamingHistogram.applyBatch(spark, stateDir, hs, "ck",
+      batchDf(1), "value", 1L)
+    assert(s3.n == 2 * s1.n && s3.lastBatchId == 1L)
+  }
+
+  test("state binds to its checkpoint and its binning; guards fire at entry") {
+    val stateDir = Files.createTempDirectory("graft_hist_bind_").toString
+    StreamingHistogram.applyBatch(spark, stateDir, hs, "ck1",
+      batchDf(0), "value", 0L)
+    val eCk = intercept[IllegalStateException] {
+      StreamingHistogram.applyBatch(spark, stateDir, hs, "ck2",
+        batchDf(1), "value", 0L)
+    }
+    assert(eCk.getMessage.contains("folded under checkpoint"))
+    val eBin = intercept[IllegalStateException] {
+      StreamingHistogram.applyBatch(spark, stateDir,
+        HistogramSpec(0.0, 1000.0, 200), "ck1", batchDf(1), "value", 1L)
+    }
+    assert(eBin.getMessage.contains("binning"))
+    val fresh = Files.createTempDirectory("graft_hist_fresh_").toString
+    val eFresh = intercept[IllegalStateException] {
+      StreamingHistogram.applyBatch(spark, fresh, hs, "ck1",
+        batchDf(1), "value", 7L)
+    }
+    assert(eFresh.getMessage.contains("will not be re-delivered"))
+    val old = Files.createTempDirectory("graft_hist_oldfmt_").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(old, "hist_state.json"),
+      """{"batch_id": 3, "n": 100, "bins": {"0": 100}}""")
+    val eFmt = intercept[IllegalStateException] {
+      StreamingHistogram.readState(spark, old)
+    }
+    assert(eFmt.getMessage.contains("binding fields"))
+    val src = Files.createTempDirectory("graft_hist_bsrc_").toString + "/files"
+    batchDf(0).coalesce(1).write.parquet(src)
+    val eEntry = intercept[IllegalStateException] {
+      StreamingHistogram.ingest(spark, src, stateDir,
+        Files.createTempDirectory("graft_hist_bck_").toString, hs)
+    }
+    assert(eEntry.getMessage.contains("folded under checkpoint"))
+    // stale pre-commit tmp with no marker and no state = empty stream
+    val lone = Files.createTempDirectory("graft_hist_lonetmp_").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(lone, "hist_state.json_tmp"), """{"half":""")
+    val st0 = StreamingHistogram.readState(spark, lone)
+    assert(st0.lastBatchId == -1L && st0.n == 0L)
+    assert(StreamingHistogram.quantilesFromState(spark, lone, Seq(0.5)).isEmpty)
+    // a marker surviving recovery is a LOUD wedged-swap error
+    val wedged = Files.createTempDirectory("graft_hist_wedged_").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(wedged, "hist_state.swap.inprogress"), "{}")
+    val eWedge = intercept[IllegalStateException] {
+      StreamingHistogram.readState(spark, wedged)
+    }
+    assert(eWedge.getMessage.contains("persists after recovery"))
+  }
+}
