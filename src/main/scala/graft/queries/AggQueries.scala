@@ -128,6 +128,42 @@ object AggQueries {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(tmp))
     }),
+    // the grouped variant: per-event-type exact histograms folded from
+    // the same four staged micro-batches — completing the quantile
+    // square (batch flat/grouped, streaming flat/grouped) exactly like
+    // the heavy-hitter family. Per batch ONE (group, bin) aggregation
+    // re-grouped to a row per group; state bounded by groups x (nBins+2)
+    // under a loud maxGroups cap. The oracle replays the whole grouped
+    // answer — per-group n, out-of-range counts, interpolated quantiles
+    // — from raw events.
+    "streaming_hist_by_type" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ghist_q_").toString
+      try {
+        Tables.load(s, dir, "events").select(col("event_type"), col("value"))
+          .repartition(4).write.parquet(s"$tmp/src")
+        val q = graft.streaming.StreamingGroupedHistogram.ingest(
+          s, s"$tmp/src", s"$tmp/state", s"$tmp/chk", histRowSpec,
+          maxFilesPerTrigger = 1)
+        try q.processAllAvailable() finally q.stop()
+        val st = graft.streaming.StreamingGroupedHistogram
+          .readState(s, s"$tmp/state")
+        val qmap = graft.streaming.StreamingGroupedHistogram
+          .quantilesFromSnapshot(st, Seq(0.5, 0.9))
+          .map { case (g, p, e) => (g, p) -> e }.toMap
+        import s.implicits._
+        st.groups.toSeq.sortBy(_._1).map { case (g, gh) =>
+          (g, gh.n, gh.bins.getOrElse(-1, 0L),
+            gh.bins.getOrElse(histRowSpec.nBins, 0L),
+            qmap((g, 0.5)), qmap((g, 0.9)))
+        }.toDF("event_type", "n", "underflow", "overflow", "p50", "p90")
+          .select(col("event_type"), col("n"), col("underflow"),
+            col("overflow"), round(col("p50"), 6).as("p50"),
+            round(col("p90"), 6).as("p90"))
+          .orderBy("event_type")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
+    }),
     // column-level profile of the documents table — the per-shard data
     // quality report (nulls / exact distincts / min-max per column) in
     // one aggregate over one scan
@@ -365,6 +401,46 @@ object AggQueries {
          |  round((SELECT est FROM q WHERE p = 0.9), 6) AS p90,
          |  round((SELECT est FROM q WHERE p = 0.99), 6) AS p99
          |FROM tot, uf, ov""".stripMargin,
+    "streaming_hist_by_type" ->
+      s"""WITH v AS (SELECT event_type AS g, value FROM events
+         |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         |b AS (SELECT g, ${histRowSpec.binSql("value")} AS bin FROM v),
+         |c AS (SELECT g, bin, count(*)::BIGINT AS cnt FROM b GROUP BY g, bin),
+         |tot AS (SELECT g, count(*)::BIGINT AS n FROM b GROUP BY g),
+         |uo AS (SELECT g,
+         |    sum(CASE WHEN bin = -1 THEN cnt ELSE 0 END)::BIGINT AS u,
+         |    sum(CASE WHEN bin = ${histRowSpec.nBins} THEN cnt
+         |        ELSE 0 END)::BIGINT AS o
+         |  FROM c GROUP BY g),
+         |cum AS (SELECT g, bin, cnt,
+         |    sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cume
+         |  FROM c WHERE bin >= 0 AND bin < ${histRowSpec.nBins}),
+         |probs(p) AS (VALUES (0.5), (0.9)),
+         |sel AS (SELECT cum.g, probs.p, cum.bin, cum.cnt, cum.cume
+         |  FROM probs, tot
+         |  JOIN uo ON uo.g = tot.g
+         |  JOIN cum ON cum.g = tot.g
+         |  WHERE (u + cume - cnt) < (1.0 + (n - 1) * p)
+         |    AND (u + cume) >= (1.0 + (n - 1) * p)),
+         |q AS (SELECT tot.g, probs.p,
+         |    CASE WHEN (1.0 + (n - 1) * probs.p) <= u THEN ${histRowSpec.lo}
+         |         WHEN sel.bin IS NULL THEN ${histRowSpec.hi}
+         |         ELSE ${histRowSpec.lo}
+         |           + ((${histRowSpec.hi} - ${histRowSpec.lo})
+         |              / ${histRowSpec.nBins})
+         |           * (sel.bin + ((1.0 + (n - 1) * probs.p)
+         |              - (u + sel.cume - sel.cnt)) / sel.cnt)
+         |    END AS est
+         |  FROM probs CROSS JOIN tot
+         |  JOIN uo ON uo.g = tot.g
+         |  LEFT JOIN sel ON sel.g = tot.g AND sel.p = probs.p)
+         |SELECT tot.g AS event_type, tot.n, uo.u AS underflow,
+         |  uo.o AS overflow,
+         |  round(q50.est, 6) AS p50, round(q90.est, 6) AS p90
+         |FROM tot JOIN uo ON uo.g = tot.g
+         |JOIN q q50 ON q50.g = tot.g AND q50.p = 0.5
+         |JOIN q q90 ON q90.g = tot.g AND q90.p = 0.9
+         |ORDER BY event_type""".stripMargin,
     "table_profile" ->
       """SELECT * FROM (
         |  SELECT 'doc_id' AS col_name, count(*) AS n,

@@ -919,13 +919,14 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
       // arbitrary data. Disabled (404) unless BOTH the state dir and the
       // source dir were wired at construction.
       // running value-distribution profile of the streaming exact-
-      // histogram fold (graft extension): served via the LINEARIZABLE
-      // locked read, same posture as frequent-items. Unlike the MG
-      // envelope's estimates, these counts are EXACT and the quantile
-      // estimates are rank-exact — only the VALUE is quantized, to one
-      // bin width (reported as value_resolution). ?probs=0.5,0.9
-      // overrides the default probes (malformed values 400 loudly);
-      // ?bins=true includes the full per-bin counts.
+      // histogram fold, flat OR grouped (graft extension): served via
+      // the LINEARIZABLE locked read, same posture and flat-vs-grouped
+      // selection rule as frequent-items. Unlike the MG envelope's
+      // estimates, these counts are EXACT and the quantile estimates are
+      // rank-exact — only the VALUE is quantized, to one bin width
+      // (reported as value_resolution). ?probs=0.5,0.9 overrides the
+      // default probes (malformed values 400 loudly); ?bins=true
+      // includes the full per-bin counts.
       case ("GET", "/api/v1/admin/histogram") =>
         histogramStateDir match {
           case None => (404, err(
@@ -951,38 +952,85 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             probsParsed match {
               case Left(msg) => (400, err(msg))
               case Right(probs) =>
+                // the frequent-items selection rule: the dir may hold the
+                // FLAT fold's state (hist_state.json) or the GROUPED
+                // fold's (hist_grouped_state.json) — serve whichever is
+                // folded, flat winning ties; both reads linearizable
                 val st = graft.streaming.StreamingHistogram
                   .readStateLocked(store.spark, sd)
+                val gst =
+                  if (st.lastBatchId < 0L)
+                    Some(graft.streaming.StreamingGroupedHistogram
+                      .readStateLocked(store.spark, sd))
+                      .filter(_.lastBatchId >= 0L)
+                  else None
                 val n = obj()
-                if (st.lastBatchId < 0L) {
-                  // nothing folded yet: a well-formed empty envelope (the
-                  // frequent-items convention) — the placeholder binning
-                  // is NOT echoed, it would mislead a monitor
-                  n.put("folded", false)
-                  n.put("last_batch_id", -1L)
-                  n.put("n", 0L)
-                } else {
-                  n.put("folded", true)
-                  n.put("lo", st.spec.lo)
-                  n.put("hi", st.spec.hi)
-                  n.put("n_bins", st.spec.nBins)
-                  n.put("value_resolution", st.spec.width)
-                  n.put("checkpoint", st.checkpoint)
-                  n.put("last_batch_id", st.lastBatchId)
-                  n.put("n", st.n)
-                  n.put("underflow", st.underflow)
-                  n.put("overflow", st.overflow)
+                def binning(spec: graft.operators.HistogramSketch
+                    .HistogramSpec): Unit = {
+                  n.put("lo", spec.lo)
+                  n.put("hi", spec.hi)
+                  n.put("n_bins", spec.nBins)
+                  n.put("value_resolution", spec.width)
                   n.put("counts_are_exact", true)
-                  val qs = n.putObject("quantiles")
-                  graft.streaming.StreamingHistogram
-                    .quantilesFromSnapshot(st, probs)
-                    .foreach { case (p, est) => qs.put(p.toString, est) }
-                  if (qp.contains("bins=true")) {
-                    val b = n.putObject("bins")
-                    st.bins.toSeq.sortBy(_._1).foreach { case (bin, c) =>
-                      b.put(bin.toString, c)
+                }
+                gst match {
+                  case Some(g0) =>
+                    n.put("folded", true)
+                    n.put("grouped", true)
+                    binning(g0.spec)
+                    n.put("checkpoint", g0.checkpoint)
+                    n.put("last_batch_id", g0.lastBatchId)
+                    n.put("n", g0.groups.valuesIterator.map(_.n).sum)
+                    n.put("group_count", g0.groups.size)
+                    // the excluded-null observability counter (the r14
+                    // grouped-fold rule) rides the envelope
+                    n.put("excluded_null_rows", g0.excludedNullRows)
+                    val gs = n.putObject("groups")
+                    g0.groups.toSeq.sortBy(_._1).foreach { case (g, gh) =>
+                      val gn = gs.putObject(g)
+                      gn.put("n", gh.n)
+                      gn.put("underflow", gh.bins.getOrElse(-1, 0L))
+                      gn.put("overflow",
+                        gh.bins.getOrElse(g0.spec.nBins, 0L))
+                      val qs = gn.putObject("quantiles")
+                      graft.operators.HistogramSketch
+                        .quantiles(g0.spec, gh.bins, probs)
+                        .foreach { case (p, est) =>
+                          qs.put(p.toString, est) }
+                      if (qp.contains("bins=true")) {
+                        val b = gn.putObject("bins")
+                        gh.bins.toSeq.sortBy(_._1).foreach { case (bin, c) =>
+                          b.put(bin.toString, c)
+                        }
+                      }
                     }
-                  }
+                  case None if st.lastBatchId < 0L =>
+                    // nothing folded in either shape: a well-formed empty
+                    // envelope (the frequent-items convention) — the
+                    // placeholder binning is NOT echoed, it would mislead
+                    // a monitor
+                    n.put("folded", false)
+                    n.put("last_batch_id", -1L)
+                    n.put("n", 0L)
+                  case None =>
+                    n.put("folded", true)
+                    n.put("grouped", false)
+                    binning(st.spec)
+                    n.put("checkpoint", st.checkpoint)
+                    n.put("last_batch_id", st.lastBatchId)
+                    n.put("n", st.n)
+                    n.put("underflow", st.underflow)
+                    n.put("overflow", st.overflow)
+                    val qs = n.putObject("quantiles")
+                    graft.streaming.StreamingHistogram
+                      .quantilesFromSnapshot(st, probs)
+                      .foreach { case (p, est) => qs.put(p.toString, est) }
+                    if (qp.contains("bins=true")) {
+                      val b = n.putObject("bins")
+                      st.bins.toSeq.sortBy(_._1).foreach { case (bin, c) =>
+                        b.put(bin.toString, c)
+                      }
+                    }
                 }
                 (200, n)
             }

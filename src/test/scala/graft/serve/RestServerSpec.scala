@@ -504,6 +504,36 @@ class RestServerSpec extends SparkSpec {
       assert(s2 == 200 && !r2.get("folded").asBoolean()
         && r2.get("last_batch_id").asLong() == -1L && !r2.has("lo"))
     } finally srv2.stop()
+    // a GROUPED fold's state dir serves the grouped envelope — per-group
+    // n/out-of-range/quantiles plus the excluded-null counter
+    val gsd = java.nio.file.Files.createTempDirectory("graft_hg_gstate_").toString
+    val gsrc = java.nio.file.Files.createTempDirectory("graft_hg_gsrc_").toString + "/files"
+    Seq(("a", Some(10.0)), ("a", Some(30.0)), ("b", Some(90.0)),
+        (null.asInstanceOf[String], Some(5.0)))
+      .toDF("event_type", "value").coalesce(1).write.parquet(gsrc)
+    val gq = graft.streaming.StreamingGroupedHistogram.ingest(spark, gsrc,
+      gsd, java.nio.file.Files.createTempDirectory("graft_hg_gckpt_").toString,
+      graft.operators.HistogramSketch.HistogramSpec(0.0, 100.0, 10))
+    gq.processAllAvailable(); gq.stop()
+    val srv3 = new RestServer(store, histogramStateDir = Some(gsd)).start()
+    try {
+      val (s3, r3) = call(srv3, "GET", "/api/v1/admin/histogram?probs=0.5")
+      assert(s3 == 200, r3.toString)
+      assert(r3.get("folded").asBoolean() && r3.get("grouped").asBoolean())
+      assert(r3.get("group_count").asInt() == 2)
+      assert(r3.get("n").asLong() == 3L)
+      assert(r3.get("excluded_null_rows").asLong() == 1L)
+      assert(r3.get("groups").get("a").get("n").asLong() == 2L)
+      // group a: values 10, 30 -> t = 1 + 1*0.5 = 1.5, bin 1 holds it
+      // only if... cum: bin1(10.0)=1 <1.5, bin3(30.0): cum 2>=1.5,
+      // frac=0.5 -> 30+10*0.5=35.0
+      assert(r3.get("groups").get("a").get("quantiles").get("0.5")
+        .asDouble() == 35.0, r3.toString)
+      // group b: one value (90.0, bin 9): t=1, frac=1/1 -> the bin's
+      // UPPER edge (the documented convention: frac=1 maps to the edge)
+      assert(r3.get("groups").get("b").get("quantiles").get("0.5")
+        .asDouble() == 100.0, r3.toString)
+    } finally srv3.stop()
   }
 
   test("admin frequent-items recount serves the EXACT face of the folded state") {
