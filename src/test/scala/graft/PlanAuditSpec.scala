@@ -51,6 +51,56 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, plan)
   }
 
+  test("histogram fold plans: map-side partials, value-column-only scan, no sort") {
+    // the streaming histogram's per-batch aggregation: bin assignment is
+    // a scan-side project (IEEE-exact arithmetic, codegen), the count is
+    // a two-phase hash aggregate over <= nBins+2 keys — each task ships
+    // its tiny partial bin vector, never its rows — and nothing sorts
+    val ev = Tables.load(spark, sfDir, "events")
+    val spec = graft.operators.HistogramSketch.HistogramSpec(0.0, 1000.0, 2000)
+    val flat = executedPlan(
+      graft.operators.HistogramSketch.counts(ev, "value", spec))
+    assert("(?s).*HashAggregate.*Exchange hashpartitioning\\(bin.*HashAggregate.*".r
+      .findFirstIn(flat).isDefined, flat)
+    assert(!flat.contains("Sort "), flat)
+    // column pruning: the scan reads ONLY the value column
+    assert("ReadSchema: struct<value:double>".r.findFirstIn(flat).isDefined, flat)
+    // grouped: same two-phase shape on the (group, bin) compound key
+    val grouped = executedPlan(
+      ev.select(col("event_type").as("g"), spec.binExpr(col("value")).as("bin"))
+        .groupBy("g", "bin").agg(count(lit(1)).as("cnt")))
+    assert("(?s).*HashAggregate.*Exchange hashpartitioning\\(g.*bin.*HashAggregate.*".r
+      .findFirstIn(grouped).isDefined, grouped)
+  }
+
+  test("OPQ rotation is a scan-side codegen project; search is the PQ two-phase top-k") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val corpus = graft.queries.QueryShapes.stretchedCorpus(emb)
+    val model = graft.operators.Opq.train(corpus, dim = 64, m = 8, k = 16,
+      trainSize = 200, iters = 1)
+    // encode (rotation dots + per-subspace argmin) is ONE map-only
+    // projection: no exchange anywhere, and it stays in whole-stage
+    // codegen — at 100 TB this is a pure scan
+    val enc = corpus.select(col("id"),
+      graft.operators.Opq.encode(model, col("embedding")).as("codes"))
+    val encPlan = executedPlan(enc)
+    assert(!encPlan.contains("Exchange"), encPlan)
+    // the *(n) prefix is the executed plan's whole-stage-codegen marker
+    assert("(?s).*\\*\\(\\d+\\) Project \\[id.*nearest_centroid.*".r
+      .findFirstIn(encPlan).isDefined, encPlan)
+    // the ADC search over the encoded corpus is plain PQ machinery: the
+    // query relation broadcasts, the shortlist is the same two-phase
+    // top_k as knn_scale (partials before the query_id exchange)
+    val queries = corpus.filter(col("id") < 4)
+      .select(col("id").as("query_id"), col("embedding").as("q_embedding"))
+    val hits = graft.operators.Opq.searchBatch(enc, model, queries,
+      k = 5, shortlist = 20)
+    val searchPlan = executedPlan(hits)
+    assert(searchPlan.contains("Broadcast"), searchPlan)
+    assert("(?s).*Exchange hashpartitioning\\(query_id.*".r
+      .findFirstIn(searchPlan).isDefined, searchPlan)
+  }
+
   test("heavy-hitters pass 1 partial-aggregates the MG summary map-side") {
     val docs = Tables.load(spark, sfDir, "documents")
     val toks = docs.select(
