@@ -59,9 +59,16 @@ object HistogramSketch {
         s"ELSE least(CAST(floor(($v - $lo) / (($hi - $lo) / $nBins)) " +
         s"AS INT), ${nBins - 1}) END"
 
-    /** Driver-side bin of one value (the spec's unit-test face). */
+    /** Driver-side bin of one value (the spec's unit-test face). NaN
+      * lands in the OVERFLOW bin explicitly: both engines' comparison
+      * semantics order NaN above every value (Spark's nan-safe compare,
+      * DuckDB's total order), so `v >= hi` routes NaN to overflow there —
+      * Java primitive comparisons would instead fall through both
+      * branches and floor(NaN) to bin 0, silently diverging from the
+      * fold by the full histogram range. */
     def binOf(v: Double): Int =
-      if (v < lo) -1
+      if (java.lang.Double.isNaN(v)) nBins
+      else if (v < lo) -1
       else if (v >= hi) nBins
       else math.min(math.floor((v - lo) / width).toInt, nBins - 1)
   }

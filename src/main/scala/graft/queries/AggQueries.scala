@@ -119,8 +119,13 @@ object AggQueries {
           .readState(s, s"$tmp/state")
         val qs = graft.streaming.StreamingHistogram
           .quantilesFromSnapshot(st, Seq(0.5, 0.9, 0.99)).toMap
+        // empty corpus: the operator's honest face is "no quantiles"
+        // (empty Seq), but the oracle's LEFT JOIN arithmetic yields
+        // est=hi for every prob at n=0 — map the empty face to the same
+        // convention so the edge compares instead of crashing
+        def est(p: Double): Double = qs.getOrElse(p, histRowSpec.hi)
         import s.implicits._
-        Seq((st.n, st.underflow, st.overflow, qs(0.5), qs(0.9), qs(0.99)))
+        Seq((st.n, st.underflow, st.overflow, est(0.5), est(0.9), est(0.99)))
           .toDF("n", "underflow", "overflow", "p50", "p90", "p99")
           .select(col("n"), col("underflow"), col("overflow"),
             round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90"),
@@ -152,10 +157,14 @@ object AggQueries {
           .quantilesFromSnapshot(st, Seq(0.5, 0.9))
           .map { case (g, p, e) => (g, p) -> e }.toMap
         import s.implicits._
+        // a folded group always has n >= 1 (null values never enter), so
+        // its quantiles exist; getOrElse mirrors the flat row's empty-
+        // corpus convention anyway (the oracle's LEFT JOIN yields hi)
         st.groups.toSeq.sortBy(_._1).map { case (g, gh) =>
           (g, gh.n, gh.bins.getOrElse(-1, 0L),
             gh.bins.getOrElse(histRowSpec.nBins, 0L),
-            qmap((g, 0.5)), qmap((g, 0.9)))
+            qmap.getOrElse((g, 0.5), histRowSpec.hi),
+            qmap.getOrElse((g, 0.9), histRowSpec.hi))
         }.toDF("event_type", "n", "underflow", "overflow", "p50", "p90")
           .select(col("event_type"), col("n"), col("underflow"),
             col("overflow"), round(col("p50"), 6).as("p50"),

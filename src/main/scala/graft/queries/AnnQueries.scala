@@ -698,24 +698,33 @@ lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
         shortlist = 30, rerank = Some(corpus))
       val trained = Opq.train(corpus, dim = 64, m = 8, k = 16,
         trainSize = 1000, iters = 5)
-      val opqPath = java.nio.file.Files
-        .createTempDirectory("graft_opq_").toString + "/model"
-      Opq.save(s, trained, opqPath)
-      val model = Opq.load(s, opqPath)
-      val enc = corpus.select(col("id"),
-        Opq.encode(model, col("embedding")).as("codes"))
-      val hits = Opq.searchBatch(enc, model, queries, k = 10,
-        shortlist = 30, rerank = Some(corpus))
-      val rOpq = Ivf.evaluateRecall(hits, exact)
-        .select(lit(1).as("j"), col("n_queries"),
-          col("avg_recall").as("opq_recall"))
-      val rPlain = Ivf.evaluateRecall(plainHits, exact)
-        .select(lit(1).as("j"), col("avg_recall").as("plain_recall"))
-      rOpq.join(rPlain, "j")
-        .select(col("n_queries"),
-          (col("opq_recall") >= 0.5).as("recall_ok"),
-          (col("opq_recall") >= col("plain_recall")).as("ge_plain"))
-        .crossJoin(QueryShapes.exactDigest(exact))
+      // temp model dir cleaned up like the streaming rows: the result
+      // frame is materialized (collect + local relation) BEFORE the
+      // finally, so nothing lazy still reads the deleted parquet
+      val opqTmp = java.nio.file.Files
+        .createTempDirectory("graft_opq_").toString
+      try {
+        val opqPath = opqTmp + "/model"
+        Opq.save(s, trained, opqPath)
+        val model = Opq.load(s, opqPath)
+        val enc = corpus.select(col("id"),
+          Opq.encode(model, col("embedding")).as("codes"))
+        val hits = Opq.searchBatch(enc, model, queries, k = 10,
+          shortlist = 30, rerank = Some(corpus))
+        val rOpq = Ivf.evaluateRecall(hits, exact)
+          .select(lit(1).as("j"), col("n_queries"),
+            col("avg_recall").as("opq_recall"))
+        val rPlain = Ivf.evaluateRecall(plainHits, exact)
+          .select(lit(1).as("j"), col("avg_recall").as("plain_recall"))
+        val out = rOpq.join(rPlain, "j")
+          .select(col("n_queries"),
+            (col("opq_recall") >= 0.5).as("recall_ok"),
+            (col("opq_recall") >= col("plain_recall")).as("ge_plain"))
+          .crossJoin(QueryShapes.exactDigest(exact))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(opqTmp))
     }))
 
   private val centSql400 =

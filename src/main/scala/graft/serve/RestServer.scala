@@ -952,18 +952,7 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             probsParsed match {
               case Left(msg) => (400, err(msg))
               case Right(probs) =>
-                // the frequent-items selection rule: the dir may hold the
-                // FLAT fold's state (hist_state.json) or the GROUPED
-                // fold's (hist_grouped_state.json) — serve whichever is
-                // folded, flat winning ties; both reads linearizable
-                val st = graft.streaming.StreamingHistogram
-                  .readStateLocked(store.spark, sd)
-                val gst =
-                  if (st.lastBatchId < 0L)
-                    Some(graft.streaming.StreamingGroupedHistogram
-                      .readStateLocked(store.spark, sd))
-                      .filter(_.lastBatchId >= 0L)
-                  else None
+                val (st, gst) = foldedHistograms(sd)
                 val n = obj()
                 def binning(spec: graft.operators.HistogramSketch
                     .HistogramSpec): Unit = {
@@ -1289,6 +1278,26 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     val gst =
       if (st.lastBatchId < 0L)
         Some(graft.streaming.StreamingGroupedHeavyHitters
+          .readStateLocked(store.spark, sd))
+          .filter(_.lastBatchId >= 0L)
+      else None
+    (st, gst)
+  }
+
+  /** The histogram instantiation of the frequent-items flat-vs-grouped
+    * selection rule (see [[foldedFrequentItems]] — same contract: one
+    * encoding per state family, both reads linearizable, flat wins
+    * ties, neither-folded serializes through the flat branch's empty
+    * envelope): the dir may hold the FLAT fold's state
+    * (hist_state.json) or the GROUPED fold's (hist_grouped_state.json). */
+  private def foldedHistograms(sd: String)
+      : (graft.streaming.StreamingHistogram.HistSnapshot,
+         Option[graft.streaming.StreamingGroupedHistogram.GroupedHistSnapshot]) = {
+    val st = graft.streaming.StreamingHistogram
+      .readStateLocked(store.spark, sd)
+    val gst =
+      if (st.lastBatchId < 0L)
+        Some(graft.streaming.StreamingGroupedHistogram
           .readStateLocked(store.spark, sd))
           .filter(_.lastBatchId >= 0L)
       else None

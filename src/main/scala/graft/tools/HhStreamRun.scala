@@ -192,7 +192,10 @@ object HhStreamRun {
         // headline equivalence at full corpus scale: stream fold == batch
         // (skipped in poll-pricing mode — proven on the baseline legs and
         // by spec; here it would double the run for no extra signal)
-        if (pollMs == 0L) {
+        // keyed on THIS leg's poll flag: in poll-pricing mode the
+        // BASELINE leg still attests fold == batch; only the polled leg
+        // skips it (priced elsewhere)
+        if (!poll) {
           val corpus = spark.read.parquet(s"$tmp/src")
           if (grouped) {
             val toks = corpus.select(col("source"),

@@ -124,8 +124,16 @@ class StreamingHistogramSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == Map(0 -> 1L, 1 -> 1L, 9 -> 1L, 10 -> 1L, -1 -> 1L),
       s"got $got") // NULL skipped
+    // NaN routes to the OVERFLOW bin in every face: Spark's nan-safe
+    // compare and DuckDB's total order both put NaN above hi, and binOf
+    // matches them explicitly (Java primitive compares would otherwise
+    // floor NaN into bin 0)
+    assert(s.binOf(Double.NaN) == 10)
+    val nanBin = Seq(Double.NaN).toDF("value")
+      .select(s.binExpr(col("value")).as("b")).head().getInt(0)
+    assert(nanBin == 10, s"plan-side NaN bin $nanBin")
     // plan-side assignment equals the driver-side kernel on a spread
-    val vals = batchVals(0, 200)
+    val vals = batchVals(0, 200) :+ Double.NaN
     val planBins = vals.toDF("value")
       .select(s.binExpr(col("value")).as("b")).collect().map(_.getInt(0))
     assert(planBins.toSeq == vals.map(s.binOf),
