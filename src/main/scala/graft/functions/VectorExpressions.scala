@@ -286,6 +286,64 @@ object kernels {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Dense matrix-vector product against a LITERAL row matrix (the OPQ
+    * rotation kernel): out[r] = sum_j rows[r][j] * v[j], double
+    * accumulate, float result. One codegen loop with the matrix shipped
+    * as a reference object — NOT d separate dot expressions over d array
+    * literals, whose combined tree blew codegen budgets and ran ~25x
+    * slower than this loop on a 64x64 rotation (measured r14, OpqRun). */
+  case class MatVec(child: Expression, rows: Array[Array[Float]])
+      extends UnaryExpression with ExpectsInputTypes {
+    require(rows.nonEmpty && rows.forall(_.length == rows(0).length),
+      "row matrix must be non-empty and rectangular")
+    override def prettyName: String = "mat_vec"
+    override def inputTypes = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() != rows(0).length) throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${a.numElements()} vs matrix ${rows(0).length}")
+      val out = new Array[Float](rows.length)
+      var r = 0
+      while (r < rows.length) {
+        val row = rows(r)
+        var acc = 0.0; var j = 0
+        while (j < row.length) { acc += row(j).toDouble * a.getFloat(j).toDouble; j += 1 }
+        out(r) = acc.toFloat
+        r += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val mat = ctx.addReferenceObj("matvecRows", rows, "float[][]")
+        val r = ctx.freshName("r"); val j = ctx.freshName("j")
+        val acc = ctx.freshName("acc"); val row = ctx.freshName("row")
+        val out = ctx.freshName("out")
+        s"""
+           |if ($a.numElements() != $mat[0].length) {
+           |  throw new IllegalArgumentException("vector dimension mismatch: "
+           |    + $a.numElements() + " vs matrix " + $mat[0].length);
+           |}
+           |float[] $out = new float[$mat.length];
+           |for (int $r = 0; $r < $mat.length; $r++) {
+           |  float[] $row = $mat[$r];
+           |  double $acc = 0.0;
+           |  for (int $j = 0; $j < $row.length; $j++) {
+           |    $acc += (double)$row[$j] * (double)$a.getFloat($j);
+           |  }
+           |  $out[$r] = (float)$acc;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions
+           |  .UnsafeArrayData.fromPrimitiveArray($out);
+           |""".stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** A2/M12 ADC kernel for batch PQ search: squared-L2 asymmetric distance
     * read from per-query lookup tables (`tables(qIdx)(sub)(code)` =
     * ||query_sub - centroid||^2, precomputed driver-side for a bounded
@@ -550,6 +608,8 @@ object VectorExpressions {
       tables: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqAdcTableDist(
       ColumnBridge.expression(codes), ColumnBridge.expression(qIdx), tables))
+  def matVec(v: Column, rows: Array[Array[Float]]): Column =
+    ColumnBridge.column(MatVec(ColumnBridge.expression(v), rows))
   def sqEncodeBytes(emb: Column, vmin: Column, vmax: Column): Column =
     ColumnBridge.column(SqEncodeBytes(ColumnBridge.expression(emb),
       ColumnBridge.expression(vmin), ColumnBridge.expression(vmax)))

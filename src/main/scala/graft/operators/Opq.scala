@@ -208,27 +208,44 @@ object Opq {
 
   // ---- serving: map-only rotation + the PQ machinery unchanged ----
 
-  /** R * emb as d codegen dots against literal rotation rows (the
-    * [[Pca.project]] pattern — whole-stage codegen, no UDF). */
+  /** R * emb as ONE codegen matrix-vector loop over the rotation shipped
+    * as a reference object ([[graft.functions.kernels.MatVec]]) — the
+    * first form, d separate vecDot expressions over d array literals,
+    * measured ~25x slower (the combined tree falls out of codegen
+    * budgets); same arithmetic, one kernel. */
   def rotate(model: OpqModel, emb: Column): Column =
-    array(model.rotation.map(row =>
-      VectorExpressions.vecDot(emb, typedLit(row)).cast("float")): _*)
+    VectorExpressions.matVec(emb, model.rotation)
 
   /** Driver-side rotation of one vector (query-side prep). */
   def rotateOne(model: OpqModel, v: Array[Float]): Array[Float] =
     matVec(model.rotation, v)
 
-  /** embedding -> ARRAY<INT> of m codes in the rotated space (map-only). */
-  def encode(model: OpqModel, emb: Column): Column =
-    Pq.encode(model.pq, rotate(model, emb))
-
-  /** Inverse rotation R' * emb (orthogonal, so transpose = inverse) as d
-    * codegen dots — map-only, one d x d literal total. */
-  def rotateBack(model: OpqModel, emb: Column): Column = {
-    val rt = Array.tabulate(model.dim, model.dim)((i, j) => model.rotation(j)(i))
-    array((0 until model.dim).map(i =>
-      VectorExpressions.vecDot(emb, typedLit(rt(i))).cast("float")): _*)
+  /** embedding -> ARRAY<INT> of m codes in the rotated space (map-only).
+    *
+    * NOT `Pq.encode(pq, rotate(emb))`: each of the m nearestCentroid
+    * calls would embed its own copy of the FULL rotation subtree
+    * (Catalyst does no CSE across them), rotating every row m times.
+    * Subspace s only needs ITS block of rotated coordinates, so each
+    * argmin gets its own subLen-row [[graft.functions.kernels.MatVec]]:
+    * d dot-rows total per row of input, the same arithmetic with none of
+    * the duplication. */
+  def encode(model: OpqModel, emb: Column): Column = {
+    val m = model.pq.m
+    val subDim = model.pq.subDim
+    array((0 until m).map { s =>
+      val end = if (s == m - 1) model.dim else (s + 1) * subDim
+      val rotBlock = model.rotation.slice(s * subDim, end)
+      VectorExpressions.nearestCentroid(
+        VectorExpressions.matVec(emb, rotBlock), model.pq.codebooks(s), "l2")
+    }: _*)
   }
+
+  /** Inverse rotation R' * emb (orthogonal, so transpose = inverse) —
+    * the same single [[graft.functions.kernels.MatVec]] loop over the
+    * transposed rows. */
+  def rotateBack(model: OpqModel, emb: Column): Column =
+    VectorExpressions.matVec(emb,
+      Array.tabulate(model.dim, model.dim)((i, j) => model.rotation(j)(i)))
 
   /** Reconstruction in the RAW space: R' * decode(codes). `codesCol`
     * MUST be a materialized column reference, not an inline encode
