@@ -153,8 +153,19 @@ object Bench {
     // the very failure class the file artifact exists to end
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", {
       val d = java.nio.file.Paths.get("/tmp/graft_bench")
-      try java.nio.file.Files.createDirectories(d)
-      catch { case _: Throwable => () }
+      try {
+        java.nio.file.Files.createDirectories(d)
+        // per-PID files accumulate forever on a long-lived host (PIDs
+        // rarely recycle) — sweep siblings older than a day at startup;
+        // recent ones stay so concurrent runs never clobber each other
+        val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+        java.nio.file.Files.list(d).forEach { p =>
+          try if (p.getFileName.toString.startsWith("BENCH_LOCAL.")
+              && java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+            java.nio.file.Files.deleteIfExists(p)
+          catch { case _: Throwable => () }
+        }
+      } catch { case _: Throwable => () }
       d.resolve(s"BENCH_LOCAL.${ProcessHandle.current().pid()}.json").toString
     })
     try {

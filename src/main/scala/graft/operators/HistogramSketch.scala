@@ -75,11 +75,20 @@ object HistogramSketch {
 
   /** Exact histogram counts: (bin, cnt) rows, bin in [-1, nBins], NULL
     * values skipped (the percentile convention). One map-side-combined
-    * aggregation over at most nBins+2 keys. */
+    * aggregation over at most nBins+2 keys.
+    *
+    * The null filter runs on the CAST value, not the raw column: under
+    * ANSI (this engine's default) a malformed string cast fails LOUDLY —
+    * the right contract for exact counts — but in a non-ANSI session it
+    * yields NULL, and a NULL reaching binExpr would slip through both
+    * range branches and then Spark's null-skipping least(), silently
+    * counting garbage in the top in-range bin. Filtering after the cast
+    * closes that door in both modes. */
   def counts(df: DataFrame, valueCol: String,
       spec: HistogramSpec): DataFrame =
-    df.filter(col(valueCol).isNotNull)
-      .select(spec.binExpr(col(valueCol).cast("double")).as("bin"))
+    df.select(col(valueCol).cast("double").as("__hist_v"))
+      .filter(col("__hist_v").isNotNull)
+      .select(spec.binExpr(col("__hist_v")).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
 
   /** Interpolated quantile estimate from exact counts — ONE definition of

@@ -233,8 +233,8 @@ object Opq {
     val m = model.pq.m
     val subDim = model.pq.subDim
     array((0 until m).map { s =>
-      val end = if (s == m - 1) model.dim else (s + 1) * subDim
-      val rotBlock = model.rotation.slice(s * subDim, end)
+      val rotBlock = model.rotation.slice(s * subDim,
+        subEnd(s, m, subDim, model.dim))
       VectorExpressions.nearestCentroid(
         VectorExpressions.matVec(emb, rotBlock), model.pq.codebooks(s), "l2")
     }: _*)

@@ -60,15 +60,16 @@ object Pca {
     } finally sample.unpersist(blocking = false)
   }
 
-  /** Project an embedding column to k coordinates: one codegen'd dot per
-    * component against the centered input. Returns ARRAY<FLOAT>. */
-  def project(model: PcaModel, emb: Column): Column = {
-    val centered = zip_with(emb, typedLit(model.mean), (x, m) => x - m)
-    val coords = model.components.map { c =>
-      VectorExpressions.vecDot(centered, typedLit(c)).cast("float")
-    }
-    array(coords: _*)
-  }
+  /** Project an embedding column to k coordinates: ONE codegen
+    * matrix-vector loop over the component rows (the MatVec kernel,
+    * r14 — the former per-component vecDot form re-evaluated the
+    * centering subtree k times, the same duplication pathology the OPQ
+    * rotation measured at 25x; same arithmetic, one kernel). Returns
+    * ARRAY<FLOAT>. */
+  def project(model: PcaModel, emb: Column): Column =
+    VectorExpressions.matVec(
+      zip_with(emb, typedLit(model.mean), (x, m) => x - m),
+      model.components)
 
   /** Save/load the model as a tiny one-row parquet sidecar. */
   def save(spark: org.apache.spark.sql.SparkSession, model: PcaModel,

@@ -124,6 +124,21 @@ class StreamingHistogramSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == Map(0 -> 1L, 1 -> 1L, 9 -> 1L, 10 -> 1L, -1 -> 1L),
       s"got $got") // NULL skipped
+    // a non-numeric string column fails LOUDLY (ANSI cast), never a
+    // silent garbage bin; numeric strings cast and bin, nulls skip. The
+    // cast-then-filter order also guards non-ANSI sessions, where the
+    // malformed cast yields NULL instead — a NULL slipping into binExpr
+    // would pass both range branches and then least()'s null-skipping
+    // into the top in-range bin
+    val eStr = intercept[Throwable] {
+      HistogramSketch.counts(Seq("12.5", "n/a").toDF("value"),
+        "value", s).collect()
+    }
+    assert(eStr.toString.contains("CAST_INVALID_INPUT"), eStr.toString)
+    val gotStr = HistogramSketch.counts(
+      Seq("12.5", null.asInstanceOf[String]).toDF("value"),
+      "value", s).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gotStr == Map(1 -> 1L), s"got $gotStr")
     // NaN routes to the OVERFLOW bin in every face: Spark's nan-safe
     // compare and DuckDB's total order both put NaN above hi, and binOf
     // matches them explicitly (Java primitive compares would otherwise
