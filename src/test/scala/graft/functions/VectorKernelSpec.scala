@@ -43,6 +43,47 @@ class VectorKernelSpec extends SparkSpec {
     }
   }
 
+  test("MatVec kernel: per-row dots reference, orthogonal-identity, mismatch is loud") {
+    import spark.implicits._
+    // property sampling: random matrices x random vectors — the codegen
+    // loop must equal the per-row vecDot reference bit-for-bit (same
+    // double-accumulate, float result)
+    val gen = for {
+      d <- Gen.choose(2, 24)
+      r <- Gen.choose(1, 16)
+      m <- Gen.listOfN(r, Gen.listOfN(d, Gen.choose(-2f, 2f)))
+      v <- Gen.listOfN(d, Gen.choose(-2f, 2f))
+    } yield (m.map(_.toArray).toArray, v.toArray)
+    samples(gen, 25).zipWithIndex.foreach { case ((m, v), i) =>
+      val df = Seq(Tuple1(v)).toDF("v")
+      val got = df.select(matVec(col("v"), m)).head().getSeq[Float](0)
+      val expect = df.select(array(m.map(row =>
+        vecDot(col("v"), typedLit(row)).cast("float")): _*))
+        .head().getSeq[Float](0)
+      assert(got == expect, s"sample $i: kernel diverged from dots")
+    }
+    // identity matrix is a no-op on real embeddings (whole column, one
+    // plan — also exercises the kernel over parquet-scan input)
+    val eye = Array.tabulate(64, 64)((a, b) => if (a == b) 1.0f else 0.0f)
+    val same = emb.select(col("embedding").as("e"))
+      .select(matVec(col("e"), eye).as("r"), col("e"))
+      .collect().forall(r => r.getSeq[Float](0) == r.getSeq[Float](1))
+    assert(same, "identity MatVec must be a no-op")
+    // dimension mismatch is a loud error, not a truncated product
+    val e = intercept[Exception] {
+      Seq(Tuple1(Array(1.0f, 2.0f))).toDF("v")
+        .select(matVec(col("v"), Array(Array(1.0f, 2.0f, 3.0f))))
+        .collect()
+    }
+    assert(e.toString.contains("dimension mismatch")
+      || Option(e.getCause).exists(_.toString.contains("dimension mismatch")),
+      e.toString)
+    // null input propagates null
+    val nul = Seq(Tuple1(null.asInstanceOf[Array[Float]])).toDF("v")
+      .select(matVec(col("v"), Array(Array(1.0f)))).head()
+    assert(nul.isNullAt(0))
+  }
+
   test("cosine properties: bounded, self-similarity 1, zero-norm -> 0") {
     import spark.implicits._
     val gen = for {
