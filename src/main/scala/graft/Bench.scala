@@ -159,12 +159,13 @@ object Bench {
         // rarely recycle) — sweep siblings older than a day at startup;
         // recent ones stay so concurrent runs never clobber each other
         val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
-        java.nio.file.Files.list(d).forEach { p =>
+        val listing = java.nio.file.Files.list(d) // directory stream: close it
+        try listing.forEach { p =>
           try if (p.getFileName.toString.startsWith("BENCH_LOCAL.")
               && java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
             java.nio.file.Files.deleteIfExists(p)
           catch { case _: Throwable => () }
-        }
+        } finally listing.close()
       } catch { case _: Throwable => () }
       d.resolve(s"BENCH_LOCAL.${ProcessHandle.current().pid()}.json").toString
     })
