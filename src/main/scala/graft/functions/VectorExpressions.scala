@@ -341,6 +341,18 @@ object kernels {
            |  .UnsafeArrayData.fromPrimitiveArray($out);
            |""".stripMargin
       })
+    // Case-class equality would compare the Array[Array[Float]] by
+    // reference, so two MatVecs built from equal-but-distinct matrices
+    // (OPQ encode instantiates m+1 per plan) would never canonicalize
+    // equal and Catalyst CSE could not dedup them — compare by content.
+    override def equals(other: Any): Boolean = other match {
+      case MatVec(c, r) => c == child &&
+        java.util.Arrays.deepEquals(
+          r.asInstanceOf[Array[AnyRef]], rows.asInstanceOf[Array[AnyRef]])
+      case _ => false
+    }
+    override def hashCode(): Int = 31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(rows.asInstanceOf[Array[AnyRef]])
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 

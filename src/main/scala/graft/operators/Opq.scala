@@ -184,12 +184,19 @@ object Opq {
       embCol: String = "embedding", trainSize: Int = 10000, iters: Int = 5,
       seed: Long = 42L): OpqModel = {
     require(m >= 1 && m <= dim, s"need 1 <= m <= dim, got m=$m dim=$dim")
+    require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val subDim = dim / m
     val sample: Array[Array[Float]] = corpus.select(embCol)
       .orderBy(rand(seed)).limit(trainSize)
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty training sample")
+    // loud contract error instead of an AIOOBE deep inside the
+    // covariance loops when the corpus width disagrees with dim
+    sample.find(_.length != dim).foreach { v =>
+      throw new IllegalArgumentException(
+        s"sampled $embCol length ${v.length} != dim=$dim")
+    }
     var rot = eigenAllocationInit(sample, m, subDim, dim)
     var books = fitBooks(sample.map(matVec(rot, _)), m, k, subDim, dim, seed)
     var it = 0
@@ -257,8 +264,11 @@ object Opq {
   def decode(model: OpqModel, codesCol: Column): Column =
     rotateBack(model, Pq.decode(model.pq, codesCol))
 
-  /** Batch ADC search over OPQ codes: queries are rotated DRIVER-side
-    * (bounded), the encoded corpus is scored by the same codegen ADC
+  /** Batch ADC search over OPQ codes: query rotation is attached as a
+    * [[graft.functions.kernels.MatVec]] column and evaluated inside the
+    * bounded query-collect job that [[Pq.adcSearchBatch]] triggers (the
+    * query table is small by contract; the cost is m x d dots per query,
+    * once), the encoded corpus is scored by the same codegen ADC
     * table kernel as plain PQ, and the optional exact rerank runs in the
     * rotated space — orthogonality makes those distances equal the raw
     * ones. `rerank` takes the RAW corpus (idCol, embedding); the rotation
@@ -274,6 +284,24 @@ object Opq {
     Pq.adcSearchBatch(encoded, model.pq, rotatedQueries, k, shortlist,
       rotatedRerank, idCol, queryIdCol, queryEmbCol, metric)
   }
+
+  /** Batch IVF-OPQ search — [[Pq.searchBatchIvfPq]] with the learned
+    * rotation applied ONLY where the code space demands it: the coarse
+    * probe runs raw query vs raw centroids (cluster ids were assigned in
+    * raw space), the ADC tables are built from the driver-rotated query
+    * (the codes quantize R*v), and the exact rerank is raw-vs-raw —
+    * orthogonality makes rotated l2/cosine equal the raw values, so
+    * neither the probe ranking nor the rerank needs the rotation, and the
+    * corpus-side scan stays the unchanged 100 TB IVF-PQ shape (probed
+    * partitions of the code table; no per-row rotation anywhere). */
+  def searchBatchIvf(encoded: DataFrame, centroids: DataFrame,
+      model: OpqModel, queries: DataFrame, k: Int, nProbe: Int,
+      shortlist: Int = 100, rerank: Option[DataFrame] = None,
+      idCol: String = "id", queryIdCol: String = "query_id",
+      queryEmbCol: String = "q_embedding", metric: String = "l2"): DataFrame =
+    Pq.searchBatchIvfPq(encoded, centroids, model.pq, queries, k, nProbe,
+      shortlist, rerank, idCol, queryIdCol, queryEmbCol, metric,
+      adcQueryTransform = rotateOne(model, _))
 
   // ---- persistence (the PQ sidecar shape + rotation rows) ----
 

@@ -470,12 +470,21 @@ object Pq {
     * @param rerank  optional (idCol, embedding ARRAY<FLOAT>) raw
     *                vectors; when given, results carry exact distances of
     *                the ADC shortlist re-ranked, top-k
+    * @param adcQueryTransform applied to each collected query vector
+    *                BEFORE the ADC tables are built — the OPQ hook
+    *                ([[Opq.searchBatchIvf]] passes the learned rotation):
+    *                the codes live in the transformed space, while the
+    *                coarse probe and the exact rerank stay in RAW space
+    *                (the store's cluster ids and embeddings are raw; an
+    *                orthogonal transform preserves l2/cosine, so the two
+    *                spaces rank identically). Identity for plain PQ.
     */
   def searchBatchIvfPq(encoded: DataFrame, centroids: DataFrame,
       model: PqModel, queries: DataFrame, k: Int, nProbe: Int,
       shortlist: Int = 100, rerank: Option[DataFrame] = None,
       idCol: String = "id", queryIdCol: String = "query_id",
-      queryEmbCol: String = "q_embedding", metric: String = "l2"): DataFrame = {
+      queryEmbCol: String = "q_embedding", metric: String = "l2",
+      adcQueryTransform: Array[Float] => Array[Float] = identity): DataFrame = {
     require(metric == "l2" || metric == "cosine",
       s"PQ code tier supports l2|cosine, got '$metric'")
     val spark = queries.sparkSession
@@ -488,9 +497,12 @@ object Pq {
         r.getAs[Long](queryIdCol) -> r.getAs[scala.collection.Seq[Float]](queryEmbCol))
       .distinct
     val qIdx = qVecs.map(_._1).zipWithIndex.toMap
-    val tables = adcTables(model, qVecs.map(_._2.toArray), metric)
+    // tables (and the cosine |q| below) come from the TRANSFORMED query —
+    // that is the space the codes quantize
+    val qAdcVecs = qVecs.map(v => adcQueryTransform(v._2.toArray))
+    val tables = adcTables(model, qAdcVecs, metric)
     import spark.implicits._
-    val qNorm = qVecs.map { case (_, emb) =>
+    val qNorm = qAdcVecs.map { emb =>
       var acc = 0.0; var i = 0
       while (i < emb.length) { acc += emb(i).toDouble * emb(i).toDouble; i += 1 }
       math.sqrt(acc)

@@ -51,6 +51,36 @@ object StoreQueries {
     base
   }
 
+  /** Build-once store behind `store_opq_search`: the ann_opq anisotropic
+    * corpus ([[QueryShapes.stretchedCorpus]]) ingested through the bulk
+    * front door with every row aged past the recent threshold, so after
+    * `migrate` the WHOLE corpus serves from the clustered historical tier
+    * — the tier the code tables encode. PQ and OPQ are both enabled on
+    * the IDENTICAL budget (m=8, 16 codes, 1000-sample training — the
+    * ann_opq budget), which is what makes the row's ge_plain gate a real
+    * tier-vs-tier comparison through the store front door. */
+  def ensureOpqServingStore(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"/tmp/graft_store_idx/${tag}_opq_v1"
+    val done = new org.apache.hadoop.fs.Path(base, "_DONE")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val st = new VectorStore(s, s"$base/store", storeConfig)
+      val corpus = QueryShapes.stretchedCorpus(Tables.load(s, dir, "embeddings"))
+      val oldTs = java.sql.Timestamp.from(
+        java.time.Instant.now().minusSeconds(7200))
+      st.insertDF(corpus.select(
+        col("id").cast("string").as("id"), col("embedding"),
+        lit(oldTs).as("ts")))
+      st.migrate() // everything -> clustered historical (trains centroids)
+      st.enablePq(m = 8, kCodes = 16, trainSize = 1000)
+      st.enableOpq(m = 8, kCodes = 16, trainSize = 1000, iters = 5)
+      val out = fs.create(done, true); out.close()
+    }
+    base
+  }
+
   private def queries8(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
@@ -278,6 +308,38 @@ object StoreQueries {
           r.getDouble(1) >= 0.5))
         .toDF("query_id", "exact_id10", "exact_d10", "recall_ok")
         .orderBy("query_id")
+    }),
+    // The OPQ code tier through the store front door, gated tier-vs-tier:
+    // on the anisotropic stretched corpus (every row historical, so every
+    // hit comes through a code-table scan + exact rerank), the OPQ tier's
+    // recall@10 must beat-or-match the plain-PQ tier built on the
+    // IDENTICAL budget — the measured ann_opq contract (learned rotation
+    // recovers the recall plain subspace slicing wastes on anisotropy),
+    // now reachable through the store API (enableOpq / searchBatchOpq /
+    // searchMode("opq")). The exact denominator's digest is fully
+    // DuckDB-replayed (stretchedDigestSql), pinning it cross-engine.
+    "store_opq_search" -> ((s, dir) => {
+      val base = ensureOpqServingStore(s, dir)
+      val st = new VectorStore(s, s"$base/store", storeConfig)
+      val corpus = QueryShapes.stretchedCorpus(Tables.load(s, dir, "embeddings"))
+      val qs = corpus.filter(col("id") < 8)
+        .select(col("id").as("query_id"), col("embedding").as("q_embedding"))
+      val exact = graft.operators.Knn.batch(corpus, qs, k = 10,
+        metric = "l2", roundDecimals = 6)
+      val opq = st.searchBatchOpq(qs, k = 10, nProbe = 8, shortlist = 30)
+        .select(col("query_id"), col("id").cast("long").as("id"))
+      val plain = st.searchBatchPq(qs, k = 10, nProbe = 8, shortlist = 30)
+        .select(col("query_id"), col("id").cast("long").as("id"))
+      val rOpq = graft.operators.Ivf.evaluateRecall(opq, exact)
+        .select(lit(1).as("j"), col("n_queries"),
+          col("avg_recall").as("opq_recall"))
+      val rPlain = graft.operators.Ivf.evaluateRecall(plain, exact)
+        .select(lit(1).as("j"), col("avg_recall").as("plain_recall"))
+      rOpq.join(rPlain, "j")
+        .select(col("n_queries"),
+          (col("opq_recall") >= 0.5).as("recall_ok"),
+          (col("opq_recall") >= col("plain_recall")).as("ge_plain"))
+        .crossJoin(QueryShapes.exactDigest(exact))
     }),
     // §2.11 streaming near-dup ingest: the documents table staged as an
     // arrival directory, streamed through dedupIngest (MinHash-bucketed,
@@ -684,6 +746,14 @@ object StoreQueries {
         |    FROM c CROSS JOIN q))
         |SELECT query_id, id AS exact_id10, d AS exact_d10, true AS recall_ok
         |FROM ex WHERE rn = 10 ORDER BY query_id""".stripMargin,
+    // store_opq_search: the recall gates are Spark-computed (the code-tier
+    // serving walk is not SQL); DuckDB fully replays the exact
+    // denominator's digest over the same stretched-corpus arithmetic —
+    // the ann_opq oracle contract, through the store front door.
+    "store_opq_search" ->
+      s"""WITH ${QueryShapes.stretchedDigestSql(8)}
+         |SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok,
+         |  true AS ge_plain, exact_id_checksum, exact_dist_sum FROM dg""".stripMargin,
     // Batch replay of the streaming near-dup ingest: one AvailableNow
     // micro-batch means accepted = documents minus every verified pair's
     // larger id (same MinHash/LSH/Jaccard pipeline as minhash_lsh_pairs,

@@ -1,7 +1,7 @@
 package graft.store
 
 import graft.functions.{FilterJson, VectorFunctions}
-import graft.operators.{Ivf, Knn, Pq, TopK}
+import graft.operators.{Ivf, Knn, Opq, Pq, TopK}
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
@@ -633,7 +633,7 @@ class VectorStore(val spark: SparkSession, val path: String,
   /** Single-query search dispatched through a chosen serving path — the
     * REST layer's bridge to the serving artifacts. Modes: "exact" (the
     * [[search]] scan), "recent_index" (saved-HNSW recent tier),
-    * "pq" / "sq" / "bq" (historical tier from its code table; l2 or cosine;
+    * "pq" / "opq" / "sq" / "bq" (historical tier from its code table; l2 or cosine;
     * filters post-filter a k*`oversample` pool on the quantized part —
     * x3 default per the reference, sized via `Tuning.suggestOversample`
     * when the caller knows the filter's selectivity). Results carry the
@@ -659,7 +659,7 @@ class VectorStore(val spark: SparkSession, val path: String,
           filterJson = filterJson, recentEfSearch = efSearch,
           recentProbeBlobs = probeBlobs,
           searchRecent = searchRecent, searchHistorical = searchHistorical)
-      case "pq" | "sq" | "bq" =>
+      case "pq" | "opq" | "sq" | "bq" =>
         require(metric == "l2" || metric == "cosine",
           s"mode '$mode' is a code tier serving l2|cosine; got metric '$metric'")
         // tier selection maps to the hybrid paths (the reference's search
@@ -675,6 +675,10 @@ class VectorStore(val spark: SparkSession, val path: String,
           filterJson = filterJson, oversample = oversample,
           useRecentIndex = recIdx, recentEfSearch = efSearch,
           recentProbeBlobs = probeBlobs)
+        else if (mode == "opq") searchBatchOpq(q, k, nProbe = nProbe, metric = metric,
+          filterJson = filterJson, oversample = oversample,
+          useRecentIndex = recIdx, recentEfSearch = efSearch,
+          recentProbeBlobs = probeBlobs)
         else if (mode == "sq") searchBatchSq(q, k, nProbe = nProbe, metric = metric,
           filterJson = filterJson, oversample = oversample,
           useRecentIndex = recIdx, recentEfSearch = efSearch,
@@ -684,7 +688,7 @@ class VectorStore(val spark: SparkSession, val path: String,
           useRecentIndex = recIdx, recentEfSearch = efSearch,
           recentProbeBlobs = probeBlobs)
       case other => throw new IllegalArgumentException(
-        s"unknown search mode '$other' (exact|recent_index|pq|sq|bq)")
+        s"unknown search mode '$other' (exact|recent_index|pq|opq|sq|bq)")
     }
     val enrichCols = Seq(col("id"), col("metadata")) ++
       (if (includeVectors) Seq(col("embedding").as("result_embedding")) else Nil)
@@ -867,9 +871,11 @@ class VectorStore(val spark: SparkSession, val path: String,
     // partitioning is stale — probed search would miss moved rows.
     // Re-encode with enablePq(retrain = false) / enableSq().
     fs.delete(new Path(dir("pq_codes")), true)
+    fs.delete(new Path(dir("opq_codes")), true)
     fs.delete(new Path(dir("sq_codes")), true)
     fs.delete(new Path(dir("bq_codes")), true)
     fs.delete(new Path(path, "pq_codes_files.json"), false)
+    fs.delete(new Path(path, "opq_codes_files.json"), false)
     fs.delete(new Path(path, "sq_codes_files.json"), false)
     fs.delete(new Path(path, "bq_codes_files.json"), false)
     // maintenance accounting (RebalanceStatistics analog,
@@ -974,9 +980,11 @@ class VectorStore(val spark: SparkSession, val path: String,
     // enablePq(retrain = false) / enableSq().
     fs.delete(new Path(dir("recent_index")), true)
     fs.delete(new Path(dir("pq_codes")), true)
+    fs.delete(new Path(dir("opq_codes")), true)
     fs.delete(new Path(dir("sq_codes")), true)
     fs.delete(new Path(dir("bq_codes")), true)
     fs.delete(new Path(path, "pq_codes_files.json"), false)
+    fs.delete(new Path(path, "opq_codes_files.json"), false)
     fs.delete(new Path(path, "sq_codes_files.json"), false)
     fs.delete(new Path(path, "bq_codes_files.json"), false)
     VacuumResult(recRemoved, histRemoved)
@@ -1212,8 +1220,8 @@ class VectorStore(val spark: SparkSession, val path: String,
       .map { case (st, mi) => (st.size.toLong, mi.size.toLong) }
       .getOrElse((-1L, -1L))
     val histIds = dropTombstoned(historical).select("id")
-    val drift = Seq("pq_codes" -> hasPq, "sq_codes" -> hasSq,
-        "bq_codes" -> hasBq).collect { case (tier, true) =>
+    val drift = Seq("pq_codes" -> hasPq, "opq_codes" -> hasOpq,
+        "sq_codes" -> hasSq, "bq_codes" -> hasBq).collect { case (tier, true) =>
       // the tier's part-list sidecar gets the same loud-malformed
       // contract as the index meta: a corrupted `*_files.json` makes
       // every refresh and search delta silently degrade to the
@@ -1888,6 +1896,98 @@ class VectorStore(val spark: SparkSession, val path: String,
             rerank = Some(hist.select(col("id"), col("embedding"))),
             metric = metric)
         else Pq.searchBatchIvfPq(
+          codes.select(col("id"), col("cluster_id"), col("codes")),
+          centroids, model, queries, histK, nProbe,
+          math.max(shortlist, histK),
+          rerank = Some(hist.select(col("id"), col("embedding"))),
+          metric = metric)
+    }
+  }
+
+  // ---- OPQ (learned-rotation PQ, Ge et al. 2013) as a store artifact:
+  // the anisotropic rung of the code ladder. Same 8-byte-code scan shape
+  // as the PQ tier, but the codebooks quantize R*v for a jointly-trained
+  // orthogonal rotation R, so a corpus whose variance concentrates in a
+  // few dimensions keeps the ADC recall the plain tier wastes (measured
+  // +19% rerank recall on the stretched corpus, SCALING.md). Maintenance
+  // mirrors PQ exactly: model persisted (rotation rows + codebooks under
+  // `opq_model`), delta refresh from the saved model, full re-encode
+  // after rebalance/vacuum via `enableOpq(retrain = false)`. ----
+
+  /** Encode the historical tier as OPQ codes at `opq_codes`,
+    * cluster-partitioned like the tier so probed search stays
+    * partition-pruned. Training (rotation + codebooks) runs on the same
+    * bounded sample discipline as [[enablePq]]; the corpus encode is one
+    * whole-stage-codegen projection (per-subspace [[graft.functions
+    * .kernels.MatVec]] blocks + argmin — no row is rotated twice). Plain
+    * formulation only: OPQ's rotation is the alternative to the residual
+    * trick, so there is no residual flag here. */
+  def enableOpq(m: Int = 8, kCodes: Int = 64, trainSize: Int = 10000,
+      retrain: Boolean = true, iters: Int = 5): Unit = lease.withLease {
+    require(hasRowsRecursive("historical"),
+      "OPQ tier requires a populated historical tier (run migrate first)")
+    val histParts = listDataParts("historical") // list-first: see enablePq
+    val hist = historical
+    val dim = dimension.getOrElse(
+      throw new IllegalStateException("store has no manifest dimension"))
+    val model =
+      if (!retrain && hasOpqModel) Opq.load(spark, dir("opq_model"))
+      else {
+        val t = Opq.train(hist, dim, m, kCodes, trainSize = trainSize,
+          iters = iters)
+        Opq.save(spark, t, dir("opq_model"))
+        t
+      }
+    val codes = hist.select(col("id"), col("vid"), col("ts"),
+      col("cluster_id").cast("long").as("cluster_id"),
+      Opq.encode(model, col("embedding")).as("codes"))
+    storeWrite(codes.repartition(col("cluster_id"))).mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(dir("opq_codes"))
+    writePartList("opq_codes_files.json", histParts)
+  }
+
+  // the OPQ model is two parquet tables under opq_model/ (codebooks +
+  // rotation), so the _SUCCESS probe goes to the subdirs, not the parent
+  private def hasOpqModel: Boolean =
+    exists("opq_model/codebooks") && exists("opq_model/rotation")
+
+  def hasOpq: Boolean = hasOpqModel && hasRowsRecursive("opq_codes")
+
+  /** [[refreshPq]] for the OPQ tier: encode the post-enable historical
+    * delta with the saved rotation + codebooks and append. */
+  def refreshOpq(): Long = lease.withLease {
+    require(hasOpq, "OPQ tier not built; call enableOpq()")
+    val model = Opq.load(spark, dir("opq_model"))
+    appendCodeDelta("opq_codes") { delta =>
+      delta.select(col("id"), col("vid"), col("ts"),
+        col("cluster_id").cast("long").as("cluster_id"),
+        Opq.encode(model, col("embedding")).as("codes"))
+    }
+  }
+
+  /** Batch hybrid search serving the historical tier from its OPQ codes:
+    * [[graft.operators.Opq.searchBatchIvf]] (raw-space coarse probe +
+    * rotated-query ADC + raw exact rerank) composed with the store's
+    * tombstones and post-encode delta, exactly like [[searchBatchPq]].
+    * `filterJson` as there: exact pre-filter on raw parts, k*`oversample`
+    * + post-filter on the codes. */
+  def searchBatchOpq(queriesRaw: DataFrame, k: Int,
+      nProbe: Int = config.nProbe, shortlist: Int = 100,
+      recentK: Option[Int] = None, historicalK: Option[Int] = None,
+      metric: String = "l2", filterJson: Option[String] = None,
+      oversample: Int = 3, useRecentIndex: Boolean = false,
+      recentEfSearch: Int = 100, recentProbeBlobs: Int = 0): DataFrame = {
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
+    require(hasOpq, "OPQ tier not built; call enableOpq()")
+    // see searchBatchPq: one local relation shared by lambda + composition
+    val queries = localizeQueries(queriesRaw)
+    val model = Opq.load(spark, dir("opq_model"))
+    codeTierSearch(queries, k, "opq_codes", recentK, historicalK, metric,
+        filterJson, oversample, useRecentIndex, recentEfSearch,
+        recentProbeBlobs) {
+      (codes, hist, histK) =>
+        // same shortlist floor as searchBatchPq: the oversampled ask wins
+        Opq.searchBatchIvf(
           codes.select(col("id"), col("cluster_id"), col("codes")),
           centroids, model, queries, histK, nProbe,
           math.max(shortlist, histK),

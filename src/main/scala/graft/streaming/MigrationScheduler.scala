@@ -18,8 +18,8 @@ import graft.store.VectorStore
   *    to Structured Streaming cadence — run every N micro-batches (the
   *    trigger loop owns wall-clock timing)
   *  - `refreshCodeTiers`: after a run that migrated rows, delta-encode the
-  *    new historical rows into any enabled PQ/SQ code table
-  *    (`refreshPq`/`refreshSq`/`refreshBq`) so continuous ingest keeps the serving
+  *    new historical rows into any enabled PQ/OPQ/SQ/BQ code table
+  *    (`refreshPq`/`refreshOpq`/`refreshSq`/`refreshBq`) so continuous ingest keeps the serving
   *    artifacts fresh — one bounded pass per run (the delta is at most
   *    `maxVectorsPerRun` rows), never a tier re-encode
   *  - `rebuildRecentIndex`: `migrate` invalidates the saved recent-tier
@@ -110,6 +110,7 @@ class MigrationScheduler(store: VectorStore,
       val n = store.migrate(Some(now), maxVectors = p.maxVectorsPerRun)
       if (n > 0 && p.refreshCodeTiers) {
         if (store.hasPq) store.refreshPq()
+        if (store.hasOpq) store.refreshOpq()
         if (store.hasSq) store.refreshSq()
         if (store.hasBq) store.refreshBq()
       }
@@ -146,6 +147,7 @@ class MigrationScheduler(store: VectorStore,
           if total >= p.minVectorsForRebalance &&
             maxSz > p.imbalanceThreshold * avg =>
         val hadPq = store.hasPq
+        val hadOpq = store.hasOpq
         val hadSq = store.hasSq
         val hadBq = store.hasBq
         val cap = math.max(1L, math.ceil(avg * p.rebalanceTargetFactor).toLong)
@@ -154,6 +156,7 @@ class MigrationScheduler(store: VectorStore,
           // rebalance deleted the stale cluster-partitioned code tables;
           // re-encode from the saved model (PQ) / row-local params (SQ)
           if (hadPq) store.enablePq(retrain = false)
+          if (hadOpq) store.enableOpq(retrain = false)
           if (hadSq) store.enableSq()
           if (hadBq) store.enableBq()
         }

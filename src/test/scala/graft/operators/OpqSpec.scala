@@ -156,5 +156,14 @@ class OpqSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Opq.train(stretched, dim = 64, m = 8, k = 4, trainSize = 10, iters = -1)
     }
+    intercept[IllegalArgumentException] {
+      Opq.train(stretched, dim = 64, m = 8, k = 0, trainSize = 10)
+    }
+    // a dim that disagrees with the corpus width is a loud contract
+    // error, not an AIOOBE deep inside the covariance loops
+    val e = intercept[IllegalArgumentException] {
+      Opq.train(stretched, dim = 32, m = 8, k = 4, trainSize = 10)
+    }
+    assert(e.getMessage.contains("dim"))
   }
 }

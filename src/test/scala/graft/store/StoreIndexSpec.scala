@@ -226,6 +226,62 @@ class StoreIndexSpec extends SparkSpec {
       st.enablePq(retrain = false, residual = true))
   }
 
+  test("OPQ tier: lifecycle, delta refresh, invalidation, searchMode('opq')") {
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_opqt_").toString,
+      Config(recentThresholdSeconds = 3600, nClusters = 4))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert((0 until 50).map(i => VectorRecord(s"o$i", vec(i), tsString = Some(oldTs))))
+    assert(st.migrate() == 50)
+    st.insert((50 until 56).map(i => VectorRecord(s"o$i", vec(i))))
+    st.enableOpq(m = 4, kCodes = 8, trainSize = 50, iters = 2)
+    assert(st.hasOpq)
+    val q = mkQueries(7L, 52L)
+    // full probe + shortlist >= corpus + exact raw-space rerank =>
+    // identical to the exact hybrid path (the rotation only reorders the
+    // ADC shortlist, which covers everything here)
+    val opq = hitSet(st.searchBatchOpq(q, k = 5, nProbe = 4, shortlist = 100))
+    val exact = hitSet(st.searchBatch(q, k = 5, metric = "l2", nProbe = 4))
+    assert(opq == exact)
+    // cosine serves too: rotated-dot ADC tables, raw exact rerank
+    val opqCos = hitSet(st.searchBatchOpq(q, k = 5, nProbe = 4,
+      shortlist = 100, metric = "cosine"))
+    val exactCos = hitSet(st.searchBatch(q, k = 5, metric = "cosine", nProbe = 4))
+    assert(opqCos == exactCos)
+
+    // tombstones mask encoded rows
+    st.delete(Seq("o7"))
+    val opq2 = hitSet(st.searchBatchOpq(q, k = 5, nProbe = 4, shortlist = 100))
+    assert(!opq2(7L).exists(_._1 == "o7"))
+
+    // post-encode migration surfaces via the historical delta scan, then
+    // refreshOpq() folds it into the code table (and no-delta runs are 0)
+    val moreOld = java.time.Instant.now().minusSeconds(7200).toString
+    st.insert(Seq(VectorRecord("oLate", vec(7), tsString = Some(moreOld))))
+    assert(st.migrate() == 1)
+    val opq3 = hitSet(st.searchBatchOpq(q, k = 3, nProbe = 4, shortlist = 100))
+    assert(opq3(7L).exists(_._1 == "oLate"), "delta row must be searchable pre-refresh")
+    assert(st.refreshOpq() == 1)
+    assert(st.refreshOpq() == 0, "no-delta refresh must encode nothing")
+    val opq4 = hitSet(st.searchBatchOpq(q, k = 3, nProbe = 4, shortlist = 100))
+    assert(opq4(7L).exists(_._1 == "oLate"))
+
+    // vacuum invalidates codes but keeps the trained model; the documented
+    // post-maintenance recipe re-encodes from it without retraining
+    st.vacuum()
+    assert(!st.hasOpq, "vacuum must drop the stale code table")
+    st.enableOpq(retrain = false)
+    assert(st.hasOpq)
+    val opq5 = hitSet(st.searchBatchOpq(q, k = 3, nProbe = 4, shortlist = 100))
+    val exact5 = hitSet(st.searchBatch(q, k = 3, metric = "l2", nProbe = 4))
+    assert(opq5 == exact5)
+
+    // the uniform single-query face dispatches the tier
+    val sm = st.searchMode(vec(22), k = 1, mode = "opq", metric = "l2",
+      oversample = 1)
+    assert(sm.select("id").head().getString(0) == "o22")
+  }
+
   test("SQ tier round-trips and serves oracle-equal top-k with full probe") {
     val st = new VectorStore(spark,
       Files.createTempDirectory("graft_sqt_").toString,
