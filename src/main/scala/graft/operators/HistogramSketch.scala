@@ -73,6 +73,52 @@ object HistogramSketch {
       else math.min(math.floor((v - lo) / width).toInt, nBins - 1)
   }
 
+  /** Sample-derived binning: bounds from the rank quantiles of a bounded
+    * random sample (the [[Pq.train]] collect discipline — `orderBy(rand)
+    * .limit`, never a full scan), sized so ~`coverage` of the
+    * distribution lands in range. The tails are split evenly: lo is the
+    * sample's (1-coverage)/2 quantile, hi the mirror — nudged up one ulp
+    * so the sample's upper-quantile value itself falls INSIDE the
+    * half-open [lo, hi). A manual range stays first-class (the oracle
+    * rows keep their explicit binning); this is the operator aid for the
+    * misconfigured-range failure mode, where a guessed [lo, hi) silently
+    * parks mass in under/overflow — pair it with the envelope's
+    * `out_of_range_mass_fraction` alert, which flags drift AFTER the
+    * bounds are chosen.
+    *
+    * NaN values are excluded from the sample (they carry no order
+    * information; at fold time they land in the overflow bin and count
+    * toward the out-of-range alert). All-equal samples get a unit span
+    * [v, v+1) rather than a degenerate zero-width refusal — the fold
+    * still counts everything, in one bin. */
+  def fromSample(df: DataFrame, valueCol: String, nBins: Int,
+      coverage: Double = 0.99, sampleSize: Int = 10000,
+      seed: Long = 42L): HistogramSpec = {
+    require(coverage > 0.0 && coverage <= 1.0,
+      s"coverage must be in (0, 1], got $coverage")
+    require(sampleSize > 0, s"sampleSize must be positive, got $sampleSize")
+    val sample = df
+      .select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+      .orderBy(rand(seed)).limit(sampleSize)
+      .collect().map(_.getDouble(0))
+    require(sample.nonEmpty,
+      s"cannot derive a binning: no non-null finite-orderable values in " +
+        s"'$valueCol'")
+    val sorted = sample.sorted
+    val tail = (1.0 - coverage) / 2.0
+    val loIdx = math.floor(tail * (sorted.length - 1)).toInt
+    val hiIdx = math.ceil((1.0 - tail) * (sorted.length - 1)).toInt
+    val lo = sorted(loIdx)
+    // one ulp past the upper-quantile value: [lo, hi) is half-open, and
+    // the chosen hi must itself be covered. Degenerate spread (upper
+    // quantile == lo — all-equal or near-constant sample) gets a unit
+    // span rather than a one-ulp sliver whose width underflows.
+    val hi =
+      if (sorted(hiIdx) > lo) math.nextUp(sorted(hiIdx)) else lo + 1.0
+    HistogramSpec(lo, hi, nBins)
+  }
+
   /** Exact histogram counts: (bin, cnt) rows, bin in [-1, nBins], NULL
     * values skipped (the percentile convention). One map-side-combined
     * aggregation over at most nBins+2 keys.
@@ -90,6 +136,24 @@ object HistogramSketch {
       .filter(col("__hist_v").isNotNull)
       .select(spec.binExpr(col("__hist_v")).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
+
+  /** [[counts]] per group: (group STRING, bin, cnt) rows — ONE
+    * map-side-combined aggregation over at most groups x (nBins+2) keys.
+    * Rows whose group key is NULL are excluded (per-group semantics have
+    * no null-group answer — the streaming fold's rule; its
+    * `excludedNullRows` counter is the observability face), as are NULL
+    * values within a group. This is the batch cross-check behind the
+    * grouped streaming fold's verify face (`GET /admin/histogram?
+    * verify=true`): recomputing the per-(group, bin) counts one-shot over
+    * the stream's source corpus and comparing cell-for-cell catches
+    * bounds drift, a corrupted state, or a source/state mismatch. */
+  def countsPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+      spec: HistogramSpec): DataFrame =
+    df.select(col(groupCol).cast("string").as("group"),
+        col(valueCol).cast("double").as("__hist_v"))
+      .filter(col("group").isNotNull && col("__hist_v").isNotNull)
+      .select(col("group"), spec.binExpr(col("__hist_v")).as("bin"))
+      .groupBy("group", "bin").agg(count(lit(1)).as("cnt"))
 
   /** Interpolated quantile estimate from exact counts — ONE definition of
     * the arithmetic, replayed verbatim by the oracle SQL:

@@ -63,11 +63,19 @@ import scala.util.control.NonFatal
   *                                      (default 2 s, clamped ≤ 10 s) runs
   *                                      on the serial dispatcher
   *   GET    /api/v1/admin/frequent-items
-  *   GET    /api/v1/admin/histogram?probs=0.5,0.9&bins=true — the folded
-  *                                      streaming exact-histogram state:
-  *                                      rank-exact quantile estimates
+  *   GET    /api/v1/admin/histogram?probs=0.5,0.9&bins=true&verify=true —
+  *                                      the folded streaming exact-histogram
+  *                                      state: rank-exact quantile estimates
   *                                      (value resolution = one bin width),
-  *                                      linearizable locked read
+  *                                      linearizable locked read, with the
+  *                                      out_of_range_mass_fraction alert
+  *                                      (binning_warning past the threshold);
+  *                                      verify=true recounts the per-(group,)
+  *                                      bin cells one-shot over the
+  *                                      operator-configured source corpus
+  *                                      (histogramSourceDir; admin-gated, no
+  *                                      client paths) and reports cell-level
+  *                                      parity against the same snapshot
   *   POST   /api/v1/admin/frequent-items/recount {denominator} — the EXACT
   *                                      face of the folded stream state: a
   *                                      Spark recount of the candidates over
@@ -82,6 +90,10 @@ import scala.util.control.NonFatal
   *                                      residual?, refresh?} — refresh:
   *                                      delta-encode only; residual: FAISS
   *                                      formulation (serves l2 + cosine)
+  *   POST   /api/v1/admin/index/opq   {m?, k_codes?, train_size?, retrain?,
+  *                                      iters?, refresh?} — learned-rotation
+  *                                      PQ (Ge et al. 2013); refresh:
+  *                                      delta-encode only
   *   POST   /api/v1/admin/index/sq     {refresh?}
   *   POST   /api/v1/admin/index/bq     {refresh?}
   *   POST   /api/v1/admin/backup      {target}
@@ -119,7 +131,9 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     sseWriteDeadlineMs: Long = 5000L, wsPort: Int = 0,
     frequentItemsStateDir: Option[String] = None,
     frequentItemsSourceDir: Option[String] = None,
-    histogramStateDir: Option[String] = None) {
+    histogramStateDir: Option[String] = None,
+    histogramSourceDir: Option[String] = None,
+    histogramOutOfRangeAlert: Double = 0.05) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -943,8 +957,11 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                 case Some(v) =>
                   val parts = v.split(",").toSeq.filter(_.nonEmpty)
                   val ds = parts.map(p => scala.util.Try(p.toDouble).toOption)
+                  // d.isNaN: "NaN".toDouble parses, and NaN fails neither
+                  // range bound — without this it slips past the 400 and
+                  // trips quantiles' require as a 500
                   if (parts.isEmpty || ds.exists(_.isEmpty)
-                      || ds.flatten.exists(d => d < 0.0 || d > 1.0))
+                      || ds.flatten.exists(d => d.isNaN || d < 0.0 || d > 1.0))
                     Left("probs must be comma-separated numbers in " +
                       s"[0, 1], got '$v'")
                   else Right(ds.flatten)
@@ -953,6 +970,20 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
               case Left(msg) => (400, err(msg))
               case Right(probs) =>
                 val (st, gst) = foldedHistograms(sd)
+                val wantVerify = qp.contains("verify=true")
+                if (wantVerify && histogramSourceDir.isEmpty)
+                  (403, err("histogram verify not configured on this " +
+                    "server: the recount is a Spark job over the stream's " +
+                    "source corpus — pass histogramSourceDir to RestServer " +
+                    "(client-supplied paths are not accepted, same posture " +
+                    "as frequent-items/recount)"))
+                else if (wantVerify && st.lastBatchId < 0L && gst.isEmpty)
+                  // nothing folded: verifying is a category error, not a
+                  // vacuous match — the frequent-items/recount 409 rule
+                  (409, err(s"no folded histogram state under $sd — start " +
+                    "the ingest (or point the server at its state dir) " +
+                    "before asking for a recount verify"))
+                else {
                 val n = obj()
                 def binning(spec: graft.operators.HistogramSketch
                     .HistogramSpec): Unit = {
@@ -961,6 +992,24 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                   n.put("n_bins", spec.nBins)
                   n.put("value_resolution", spec.width)
                   n.put("counts_are_exact", true)
+                }
+                // the out-of-range alert: a misconfigured (or drifted)
+                // [lo, hi) silently parks mass in under/overflow — the
+                // counts stay visible, but a monitor needs the FRACTION
+                // and a loud field once it crosses the configured
+                // threshold (histogramOutOfRangeAlert; NaN values land in
+                // overflow, so they count toward this too)
+                def outOfRange(total: Long, oor: Long): Unit = {
+                  val frac = if (total == 0L) 0.0 else oor.toDouble / total
+                  n.put("out_of_range_mass_fraction", frac)
+                  if (frac > histogramOutOfRangeAlert)
+                    n.put("binning_warning",
+                      f"$frac%.4f of the folded mass fell outside the " +
+                        f"configured [lo, hi) — past the " +
+                        f"$histogramOutOfRangeAlert alert threshold; the " +
+                        "quantile estimates clamp there. Re-derive the " +
+                        "binning (HistogramSketch.fromSample) and re-fold " +
+                        "with a fresh state dir")
                 }
                 gst match {
                   case Some(g0) =>
@@ -971,6 +1020,10 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                     n.put("last_batch_id", g0.lastBatchId)
                     n.put("n", g0.groups.valuesIterator.map(_.n).sum)
                     n.put("group_count", g0.groups.size)
+                    outOfRange(g0.groups.valuesIterator.map(_.n).sum,
+                      g0.groups.valuesIterator.map(gh =>
+                        gh.bins.getOrElse(-1, 0L) +
+                          gh.bins.getOrElse(g0.spec.nBins, 0L)).sum)
                     // the excluded-null observability counter (the r14
                     // grouped-fold rule) rides the envelope
                     n.put("excluded_null_rows", g0.excludedNullRows)
@@ -1010,6 +1063,7 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                     n.put("n", st.n)
                     n.put("underflow", st.underflow)
                     n.put("overflow", st.overflow)
+                    outOfRange(st.n, st.underflow + st.overflow)
                     val qs = n.putObject("quantiles")
                     graft.streaming.StreamingHistogram
                       .quantilesFromSnapshot(st, probs)
@@ -1021,7 +1075,62 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                       }
                     }
                 }
+                // ?verify=true: the grouped-HH recount analog for the
+                // quantile family — recompute the per-(group,)bin counts
+                // ONE-SHOT over the operator-configured source corpus
+                // with the state's own binning and compare cell-for-cell
+                // against the SAME locked snapshot the envelope serves.
+                // The fold is exact, so on a drained (quiesced) stream
+                // any mismatch is a real defect: bounds drift, a
+                // corrupted state file, or a source/state mismatch. A
+                // still-ingesting stream legitimately trails the source;
+                // last_batch_id is in the envelope for that call.
+                if (wantVerify) {
+                  val corpus = store.spark.read.parquet(histogramSourceDir.get)
+                  val v = n.putObject("verify")
+                  def diffCells(state: Map[Int, Long],
+                      recount: Map[Int, Long]): Int =
+                    (state.keySet ++ recount.keySet).count(b =>
+                      state.getOrElse(b, 0L) != recount.getOrElse(b, 0L))
+                  gst match {
+                    case Some(g0) =>
+                      // bounded collect: <= maxGroups x (nBins+2) cells,
+                      // the same bound as the state file itself
+                      val rows = graft.operators.HistogramSketch
+                        .countsPerGroup(corpus, "event_type", "value",
+                          g0.spec).collect()
+                      val recount = rows.groupBy(_.getString(0)).map {
+                        case (g, rs) => g -> rs.map(r =>
+                          r.getInt(1) -> r.getLong(2)).toMap
+                      }
+                      val allGroups =
+                        (g0.groups.keySet ++ recount.keySet).toSeq.sorted
+                      val bad = allGroups.filter { g =>
+                        diffCells(
+                          g0.groups.get(g).map(_.bins).getOrElse(Map.empty),
+                          recount.getOrElse(g, Map.empty)) > 0
+                      }
+                      v.put("matched", bad.isEmpty)
+                      v.put("recount_n", rows.map(_.getLong(2)).sum)
+                      v.put("state_n", g0.groups.valuesIterator.map(_.n).sum)
+                      v.put("mismatched_group_count", bad.size)
+                      val bl = v.putArray("mismatched_groups")
+                      bad.take(10).foreach(bl.add)
+                    case None =>
+                      val recount = graft.operators.HistogramSketch
+                        .counts(corpus.select(col("value")), "value", st.spec)
+                        .collect() // bounded: <= nBins+2 rows
+                        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+                      val mismatches = diffCells(st.bins, recount)
+                      v.put("matched", mismatches == 0)
+                      v.put("recount_n", recount.valuesIterator.sum)
+                      v.put("state_n", st.n)
+                      v.put("mismatched_bin_count", mismatches)
+                  }
+                  v.put("counts_are_exact", true)
+                }
                 (200, n)
+                }
             }
         }
       case ("POST", "/api/v1/admin/frequent-items/recount") =>
@@ -1165,6 +1274,22 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           queryCache.clear()
           val n = obj(); n.put("enabled", true)
           n.put("residual", residual); (200, n)
+        }
+      case ("POST", "/api/v1/admin/index/opq") =>
+        val req = body(ex)
+        if (req != null && req.hasNonNull("refresh") && req.get("refresh").asBoolean()) {
+          val encoded = store.refreshOpq()
+          queryCache.clear()
+          val n = obj(); n.put("refreshed", true); n.put("encoded", encoded); (200, n)
+        } else {
+          store.enableOpq(m = optInt(req, "m", 8),
+            kCodes = optInt(req, "k_codes", 64),
+            trainSize = optInt(req, "train_size", 10000),
+            retrain = req == null || !req.hasNonNull("retrain") ||
+              req.get("retrain").asBoolean(),
+            iters = optInt(req, "iters", 5))
+          queryCache.clear()
+          val n = obj(); n.put("enabled", true); (200, n)
         }
       case ("POST", "/api/v1/admin/index/sq") =>
         val req = body(ex)

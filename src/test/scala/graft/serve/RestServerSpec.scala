@@ -366,6 +366,23 @@ class RestServerSpec extends SparkSpec {
       val (sW, rW) = call(srv, "GET",
         "/api/v1/admin/integrity?confirm=true&confirm_wait_ms=5s")
       assert(sW == 400 && rW.get("error").asText().contains("confirm_wait_ms"))
+      // TIMEOUT path: a live writer past the wait budget — the envelope
+      // must carry could-not-confirm (false + the -1 sentinels), never a
+      // false confirmation and never an error; the raw counts still serve
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val other = new graft.core.WriterLease(fs,
+        new org.apache.hadoop.fs.Path(dir), ttlMs = 60000L)
+      other.withLease {
+        val (sT, rT) = call(srv, "GET",
+          "/api/v1/admin/integrity?confirm=true&confirm_wait_ms=0")
+        assert(sT == 200, rT.toString)
+        assert(!rT.get("transients_confirmed").asBoolean(), rT.toString)
+        assert(rT.get("confirmed_cross_tier_duplicate_count").asLong() == -1L)
+        assert(rT.get("confirmed_recent_index_missing_parts").asLong() == -1L)
+        assert(rT.get("code_tier_drift").get("sq_codes")
+          .get("missing").asLong() == 1L, "raw scan must still serve")
+      }
     } finally srv.stop()
   }
 
@@ -477,6 +494,10 @@ class RestServerSpec extends SparkSpec {
       assert(r.get("underflow").asLong() == 1L)
       assert(r.get("overflow").asLong() == 1L)
       assert(r.get("counts_are_exact").asBoolean())
+      // 2 of 10 values out of range -> fraction 0.2, past the default
+      // 0.05 alert threshold: both the fraction and the loud warning ride
+      assert(r.get("out_of_range_mass_fraction").asDouble() == 0.2, r.toString)
+      assert(r.get("binning_warning").asText().contains("0.2000"), r.toString)
       assert(r.get("bins").get("1").asLong() == 2L) // 15.0, 15.5
       assert(r.get("bins").get("-1").asLong() == 1L)
       // p=0.5 over n=10: t=5.5; underflow(1)+bins0..2 cum: 1+1+2+1=5 <5.5;
@@ -523,6 +544,9 @@ class RestServerSpec extends SparkSpec {
       assert(r3.get("group_count").asInt() == 2)
       assert(r3.get("n").asLong() == 3L)
       assert(r3.get("excluded_null_rows").asLong() == 1L)
+      // everything in range: fraction 0, no warning field
+      assert(r3.get("out_of_range_mass_fraction").asDouble() == 0.0)
+      assert(!r3.has("binning_warning"), r3.toString)
       assert(r3.get("groups").get("a").get("n").asLong() == 2L)
       // group a: values 10, 30 -> t = 1 + 1*0.5 = 1.5, bin 1 holds it
       // only if... cum: bin1(10.0)=1 <1.5, bin3(30.0): cum 2>=1.5,
@@ -534,6 +558,135 @@ class RestServerSpec extends SparkSpec {
       assert(r3.get("groups").get("b").get("quantiles").get("0.5")
         .asDouble() == 100.0, r3.toString)
     } finally srv3.stop()
+  }
+
+  test("histogram envelope: degenerate states pinned; verify face parity") {
+    import spark.implicits._
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_hgd_").toString)
+    def fold(vals: Seq[Double], spec: graft.operators.HistogramSketch.HistogramSpec)
+        : (String, String) = {
+      val sd = java.nio.file.Files.createTempDirectory("graft_hgd_state_").toString
+      val src = java.nio.file.Files.createTempDirectory("graft_hgd_src_").toString + "/files"
+      val ck = java.nio.file.Files.createTempDirectory("graft_hgd_ckpt_").toString
+      vals.toDF("value").coalesce(1).write.parquet(src)
+      val q = graft.streaming.StreamingHistogram.ingest(spark, src, sd, ck, spec)
+      q.processAllAvailable(); q.stop()
+      (sd, src)
+    }
+    val s10 = graft.operators.HistogramSketch.HistogramSpec(0.0, 100.0, 10)
+
+    // (1) all-underflow: estimates clamp to lo, fraction 1.0 + warning
+    val (sdU, _) = fold(Seq(-5.0, -3.0), s10)
+    val srvU = new RestServer(store, histogramStateDir = Some(sdU)).start()
+    try {
+      val (s, r) = call(srvU, "GET", "/api/v1/admin/histogram?probs=0.5,0.99")
+      assert(s == 200 && r.get("n").asLong() == 2L)
+      assert(r.get("underflow").asLong() == 2L && r.get("overflow").asLong() == 0L)
+      assert(r.get("out_of_range_mass_fraction").asDouble() == 1.0)
+      assert(r.has("binning_warning"), r.toString)
+      assert(r.get("quantiles").get("0.5").asDouble() == 0.0, r.toString)
+      assert(r.get("quantiles").get("0.99").asDouble() == 0.0)
+    } finally srvU.stop()
+
+    // (2) all-overflow: estimates clamp to hi, fraction 1.0 + warning
+    val (sdO, _) = fold(Seq(150.0, 220.0), s10)
+    val srvO = new RestServer(store, histogramStateDir = Some(sdO)).start()
+    try {
+      val (s, r) = call(srvO, "GET", "/api/v1/admin/histogram?probs=0.01,0.5")
+      assert(s == 200 && r.get("overflow").asLong() == 2L)
+      assert(r.get("out_of_range_mass_fraction").asDouble() == 1.0)
+      assert(r.has("binning_warning"))
+      assert(r.get("quantiles").get("0.01").asDouble() == 100.0, r.toString)
+      assert(r.get("quantiles").get("0.5").asDouble() == 100.0)
+    } finally srvO.stop()
+
+    // (3) single-bin: interpolation inside the one bin, resolution = span
+    val s1 = graft.operators.HistogramSketch.HistogramSpec(0.0, 10.0, 1)
+    val (sd1, _) = fold(Seq(2.0, 4.0, 6.0), s1)
+    val srv1 = new RestServer(store, histogramStateDir = Some(sd1)).start()
+    try {
+      val (s, r) = call(srv1, "GET", "/api/v1/admin/histogram?probs=0.5")
+      assert(s == 200 && r.get("n_bins").asInt() == 1)
+      assert(r.get("value_resolution").asDouble() == 10.0)
+      assert(r.get("out_of_range_mass_fraction").asDouble() == 0.0
+        && !r.has("binning_warning"))
+      // t = 1 + 2*0.5 = 2 in bin 0 (cnt 3): est = 0 + 10 * (2/3)
+      assert(math.abs(r.get("quantiles").get("0.5").asDouble() - 10.0 * 2 / 3)
+        < 1e-9, r.toString)
+    } finally srv1.stop()
+
+    // (4) empty state: folded=false envelope carries NO quantiles object
+    val empty = java.nio.file.Files.createTempDirectory("graft_hgd_e_").toString
+    val srvE = new RestServer(store, histogramStateDir = Some(empty)).start()
+    try {
+      val (s, r) = call(srvE, "GET", "/api/v1/admin/histogram?probs=0.5")
+      assert(s == 200 && !r.get("folded").asBoolean() && !r.has("quantiles"))
+      assert(!r.has("out_of_range_mass_fraction"), r.toString)
+    } finally srvE.stop()
+
+    // ---- the verify face (flat) ----
+    val (sdV, srcV) = fold(Seq(5.0, 15.0, 15.5, 25.0, -1.0, 120.0), s10)
+    // not configured: 403 names the posture, not a silent skip
+    val srvNoSrc = new RestServer(store, histogramStateDir = Some(sdV)).start()
+    try {
+      val (s, r) = call(srvNoSrc, "GET", "/api/v1/admin/histogram?verify=true")
+      assert(s == 403 && r.get("error").asText().contains("histogramSourceDir"))
+    } finally srvNoSrc.stop()
+    // empty state + verify: category error (the recount 409 rule)
+    val srvE2 = new RestServer(store, histogramStateDir = Some(empty),
+      histogramSourceDir = Some(srcV)).start()
+    try {
+      val (s, r) = call(srvE2, "GET", "/api/v1/admin/histogram?verify=true")
+      assert(s == 409 && r.get("error").asText().contains("no folded"), r.toString)
+    } finally srvE2.stop()
+    // quiesced stream over its own source: cell-for-cell parity
+    val srvV = new RestServer(store, histogramStateDir = Some(sdV),
+      histogramSourceDir = Some(srcV)).start()
+    try {
+      val (s, r) = call(srvV, "GET", "/api/v1/admin/histogram?verify=true")
+      assert(s == 200, r.toString)
+      val v = r.get("verify")
+      assert(v.get("matched").asBoolean(), r.toString)
+      assert(v.get("recount_n").asLong() == 6L && v.get("state_n").asLong() == 6L)
+      assert(v.get("mismatched_bin_count").asInt() == 0)
+      // drift the source AFTER the fold (rows the state never saw):
+      // the recount now disagrees and the face says so loudly
+      Seq(55.0, 55.5).toDF("value").coalesce(1)
+        .write.mode("append").parquet(srcV)
+      val (s2, r2) = call(srvV, "GET", "/api/v1/admin/histogram?verify=true")
+      assert(s2 == 200, r2.toString)
+      assert(!r2.get("verify").get("matched").asBoolean(), r2.toString)
+      assert(r2.get("verify").get("mismatched_bin_count").asInt() == 1) // bin 5
+      assert(r2.get("verify").get("recount_n").asLong() == 8L)
+    } finally srvV.stop()
+
+    // ---- the verify face (grouped) ----
+    val gsd = java.nio.file.Files.createTempDirectory("graft_hgd_gs_").toString
+    val gsrc = java.nio.file.Files.createTempDirectory("graft_hgd_gsrc_").toString + "/files"
+    Seq(("a", 10.0), ("a", 30.0), ("b", 90.0))
+      .toDF("event_type", "value").coalesce(1).write.parquet(gsrc)
+    val gq = graft.streaming.StreamingGroupedHistogram.ingest(spark, gsrc,
+      gsd, java.nio.file.Files.createTempDirectory("graft_hgd_gck_").toString, s10)
+    gq.processAllAvailable(); gq.stop()
+    val srvG = new RestServer(store, histogramStateDir = Some(gsd),
+      histogramSourceDir = Some(gsrc)).start()
+    try {
+      val (s, r) = call(srvG, "GET", "/api/v1/admin/histogram?verify=true")
+      assert(s == 200, r.toString)
+      val v = r.get("verify")
+      assert(v.get("matched").asBoolean(), r.toString)
+      assert(v.get("mismatched_group_count").asInt() == 0)
+      assert(v.get("recount_n").asLong() == 3L && v.get("state_n").asLong() == 3L)
+      // a group the fold never saw appears in the source: named loudly
+      Seq(("c", 50.0)).toDF("event_type", "value").coalesce(1)
+        .write.mode("append").parquet(gsrc)
+      val (s2, r2) = call(srvG, "GET", "/api/v1/admin/histogram?verify=true")
+      val v2 = r2.get("verify")
+      assert(s2 == 200 && !v2.get("matched").asBoolean(), r2.toString)
+      assert(v2.get("mismatched_group_count").asInt() == 1)
+      assert(v2.get("mismatched_groups").get(0).asText() == "c")
+    } finally srvG.stop()
   }
 
   test("admin frequent-items recount serves the EXACT face of the folded state") {

@@ -62,6 +62,15 @@ class StreamingGroupedHistogramSpec extends SparkSpec {
       assert(st.groups(g).bins == bins, s"group $g bins diverged")
       assert(st.groups(g).n == bins.valuesIterator.sum)
     }
+    // the operator behind the REST verify face reproduces the same cells:
+    // folded ≡ HistogramSketch.countsPerGroup over the staged corpus
+    val recount = HistogramSketch
+      .countsPerGroup(corpus, "event_type", "value", hs).collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rs) =>
+        g -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap }
+    assert(recount == st.groups.view.mapValues(_.bins).toMap,
+      "countsPerGroup must equal the folded state cell-for-cell")
     // 2 null-group rows per batch (null value on one of them still
     // counts: the GROUP rotted, that is the observability signal)
     assert(st.excludedNullRows == 24L,

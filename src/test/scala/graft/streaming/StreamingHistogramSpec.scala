@@ -112,6 +112,63 @@ class StreamingHistogramSpec extends SparkSpec {
     intercept[IllegalArgumentException] { HistogramSpec(0.0, 1.0, 0) }
   }
 
+  test("fromSample derives bounds covering >= coverage of a planted distribution") {
+    // planted: bulk uniform over [100, 200) plus far outliers both sides
+    val bulk = (0 until 2000).map { i =>
+      100.0 + (i * 2654435761L % 9973L).toDouble / 9973.0 * 100.0
+    }
+    val planted = (bulk ++ Seq(-1e6, -5e4, 1e5, 9e7)).toDF("value")
+    val spec = HistogramSketch.fromSample(planted, "value", nBins = 20,
+      coverage = 0.99, sampleSize = 5000)
+    // the derived range must cover >= 99% of the distribution (here the
+    // whole bulk: outliers are < 0.2% of mass and sit in the tails)
+    val c = HistogramSketch.counts(planted, "value", spec).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = c.valuesIterator.sum
+    val oor = c.getOrElse(-1, 0L) + c.getOrElse(spec.nBins, 0L)
+    assert(n == 2004L)
+    assert((n - oor).toDouble / n >= 0.99,
+      s"in-range ${(n - oor)} of $n under [${spec.lo}, ${spec.hi})")
+    // ...and must NOT be stretched by the outliers: a naive min/max
+    // binning would spread [−1e6, 9e7] over 20 bins and park the whole
+    // bulk in one — the derived width must resolve the bulk
+    assert(spec.lo >= 50.0 && spec.hi <= 300.0,
+      s"bounds [${spec.lo}, ${spec.hi}) stretched by tail outliers")
+    // NaN excluded from the sample, not a crash; all-equal -> unit span
+    val withNan = (Seq(Double.NaN, Double.NaN) ++ bulk).toDF("value")
+    val s2 = HistogramSketch.fromSample(withNan, "value", nBins = 10)
+    assert(java.lang.Double.isFinite(s2.lo) && java.lang.Double.isFinite(s2.hi))
+    val flat = Seq(7.0, 7.0, 7.0).toDF("value")
+    val s3 = HistogramSketch.fromSample(flat, "value", nBins = 4)
+    assert(s3.lo == 7.0 && s3.hi == 8.0)
+    // binExpr over the derived spec puts all mass in range
+    val c3 = HistogramSketch.counts(flat, "value", s3).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(c3 == Map(0 -> 3L))
+    // loud contract errors
+    intercept[IllegalArgumentException](
+      HistogramSketch.fromSample(flat, "value", 4, coverage = 0.0))
+    intercept[IllegalArgumentException](
+      HistogramSketch.fromSample(
+        Seq.empty[Double].toDF("value"), "value", 4))
+  }
+
+  test("countsPerGroup matches per-group flat counts; null groups excluded") {
+    val df = Seq(("a", 5.0), ("a", 15.0), ("a", 205.0), ("b", 5.0),
+      ("b", -3.0), (null.asInstanceOf[String], 7.0)).toDF("g", "value")
+    val s = HistogramSpec(0.0, 100.0, 10)
+    val got = HistogramSketch.countsPerGroup(df, "g", "value", s).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("a", 0) -> 1L, ("a", 1) -> 1L, ("a", 10) -> 1L,
+      ("b", 0) -> 1L, ("b", -1) -> 1L))
+    // parity with the flat counts restricted to one group
+    val flatA = HistogramSketch.counts(
+      df.filter(col("g") === "a"), "value", s).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(flatA == got.collect { case (("a", b), c) => b -> c })
+  }
+
   test("bin assignment: boundaries, out-of-range, NULL, driver/plan parity") {
     val s = HistogramSpec(0.0, 100.0, 10)
     assert(s.binOf(0.0) == 0 && s.binOf(9.999) == 0 && s.binOf(10.0) == 1)
