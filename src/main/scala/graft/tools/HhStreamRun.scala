@@ -54,14 +54,17 @@ object HhStreamRun {
     val baseDocs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
     // width mode: N synthetic sources carved from doc_id over REAL text,
-    // so per-group token distributions are the documents table's own
-    val docs = widthGroups match {
-      case Some(g) if grouped => baseDocs.select(col("doc_id"),
-        concat(lit("src_"), pmod(col("doc_id"), lit(g.toLong)).cast("string"))
-          .as("source"),
-        col("text"))
-      case _ => baseDocs
-    }
+    // so per-group token distributions are the documents table's own.
+    // The residue is shifted by a g-coprime stride per BATCH (see
+    // widthSource below): with fewer distinct doc_ids than g (the
+    // 10,000-group default-cap leg over 5,000 docs), a single fixed
+    // mod-g would plateau at |docs| groups — the per-batch shift walks
+    // the full residue ring so the STATE genuinely accumulates g groups
+    // within the first few batches.
+    def widthSource(g: Int, batchId: Int) =
+      concat(lit("src_"), pmod(col("doc_id") + lit(batchId.toLong * 4999L),
+        lit(g.toLong)).cast("string"))
+    val docs = baseDocs
     val denom = if (grouped) 100L else 200L
     val k = if (grouped) 256 else 512
     val tag = (if (grouped) "hhrun-grouped" else "hhrun") +
@@ -75,10 +78,14 @@ object HhStreamRun {
         // distribution (and therefore the MG decrement pressure) is the
         // documents table's own
         for (i <- 1 to nBatches) {
+          val srcCol = widthGroups match {
+            case Some(g) if grouped => widthSource(g, i)
+            case _ => col("source")
+          }
           docs.withColumn("rep", explode(sequence(lit(0), lit(scale - 1))))
             .select((col("doc_id") + col("rep") * 1000000L
               + lit(i.toLong * 100000000L)).as("doc_id"),
-              col("source"), col("text"))
+              srcCol.as("source"), col("text"))
             .coalesce(1)
             .write.mode("append").parquet(s"$tmp/src")
         }
