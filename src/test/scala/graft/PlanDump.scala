@@ -216,6 +216,38 @@ object PlanDump {
       sb.append(df.queryExecution.executedPlan.toString.take(6000))
       sb.append("\n```\n")
     }
+    // the store_opq_search registry row wraps recall verdicts — dump the
+    // OPQ STORE serving walk itself (the plan that runs per query batch)
+    locally {
+      import org.apache.spark.sql.functions._
+      val base = graft.queries.StoreQueries.ensureOpqServingStore(spark, dir)
+      val st = new graft.store.VectorStore(spark, s"$base/store",
+        graft.store.VectorStore.Config(
+          recentThresholdSeconds = 3600, nClusters = 8, nProbe = 8))
+      val corpus = graft.queries.QueryShapes.stretchedCorpus(
+        graft.core.Tables.load(spark, dir, "embeddings"))
+      val queries = corpus.filter(col("id") < 8)
+        .select(col("id").as("query_id"), col("embedding").as("q_embedding"))
+      val df = st.searchBatchOpq(queries, k = 10, nProbe = 4, shortlist = 30)
+      df.collect()
+      sb.append("\n## store_opq_search — the OPQ code tier through the store\n\n")
+      sb.append(("""The OPQ tier's serving walk is searchBatchPq's plan with rotated
+        |ADC tables: the coarse probe collects to a static cluster_id
+        |IN (...) filter -> PartitionFilters on the opq_codes scan (only
+        |probed cluster directories are read, 8-byte codes per row), the
+        |per-query ADC tables were built from DRIVER-rotated queries (m x
+        |d dots per query, once — no corpus row is ever rotated at search
+        |time), the broadcast probe relation joins in, and the exact
+        |rerank reads raw embeddings only for the broadcast shortlist x
+        |queries rows, raw-vs-raw (orthogonality makes rotated distances
+        |equal raw ones). Tombstone anti-join + post-encode delta compose
+        |around it exactly as for PQ/SQ/BQ. (The registry row wraps
+        |recall verdicts; this is the plan that does the work.)""".stripMargin)
+        .linesIterator.map(_.trim).mkString(" "))
+      sb.append("\n\n```\n")
+      sb.append(df.queryExecution.executedPlan.toString.take(6000))
+      sb.append("\n```\n")
+    }
     // the streaming_histogram row likewise wraps driver-built output —
     // dump the per-batch FOLD plan (the part that sees every row)
     locally {
