@@ -53,6 +53,33 @@ object Curation {
     docs.withColumn("split", label)
   }
 
+  /** Leakage-safe split: near-duplicate documents MUST land on the same
+    * side of a train/val/test split — a benchmark whose eval twin sits in
+    * train is measuring memorization — so the split decision hashes the
+    * doc's near-dup CLUSTER key instead of the doc itself. The cluster
+    * key is the transitive component representative from
+    * [[Dedup.duplicateClusters]] over `pairs` (any verified near-dup pair
+    * list: MinHash/LSH, SimHash, embedding — caller's choice); docs with
+    * no near-dup pair are their own singleton key, so for them this IS
+    * [[hashSplit]] with the same salt arithmetic. Output adds `split`
+    * and the `split_key` it was decided on (auditable: equal keys ⇒ equal
+    * splits, by construction).
+    *
+    * Scale shape: the component labeling is [[Dedup.duplicateClusters]]'s
+    * bounded label-propagation over PAIRS (pair-count-sized, never
+    * corpus-sized); the only corpus-sized step is one left join of docs
+    * against that (small) component relation, then the map-only hash. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      splits: Seq[(String, Double)], salt: String = "split",
+      idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+    val comps = Dedup.duplicateClusters(pairs, maxIter)
+      .select(col("id").as(idCol), col("comp"))
+    val keyed = docs.join(comps, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    hashSplit(keyed, splits, salt, idCol = "split_key")
+  }
+
   /** Mixture sampling toward a target data mix: each doc is kept with its
     * source's rate (default for unlisted sources), decided by id hash —
     * deterministic, map-only, no shuffle. Rates above 1.0 UPSAMPLE: a doc

@@ -33,6 +33,26 @@ object CurationQueries {
             .as("n_tokens"))
         .orderBy("split")
     }),
+    // leakage-safe split: the assignment hashes the near-dup CLUSTER key
+    // (transitive MinHash/LSH component representative), so duplicate
+    // twins can never straddle train/eval. The oracle replays the WHOLE
+    // derivation — shingles, MinHash signatures, banding, Jaccard verify,
+    // recursive transitive closure, the component-keyed hash bucket, and
+    // the split CASE — so a single doc split apart from its cluster
+    // changes a checksum. n_keys (distinct split keys per side) pins the
+    // cluster-collapse itself, not just the membership.
+    "leakage_split" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = graft.operators.Dedup.minhashLshPairs(docs,
+        shingleN = 2, bands = 4, rowsPerBand = 2, threshold = 0.3)
+      Curation.leakageSafeSplit(docs, pairs,
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_checksum"),
+          countDistinct(col("split_key")).as("n_keys"))
+        .orderBy("split")
+    }),
     // hash-deterministic mixture sampling toward a target source mix
     "mixture_sample" -> ((s, dir) => {
       Curation.mixtureSample(Tables.load(s, dir, "documents"),
@@ -122,6 +142,40 @@ object CurationQueries {
          |SELECT CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
          |    ELSE 'test' END AS split,
          |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "leakage_split" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  list_transform(range(1, len(toks)),
+         |    i -> ${hash32("toks[i] || ' ' || toks[i+1]")}::BIGINT)) AS hs
+         |  FROM t),
+         |sig AS (SELECT doc_id, hs,
+         |  [list_min(list_transform(hs, h -> (h * (2 * i + 1) + 7919 * i) % 4294967311))::BIGINT
+         |   FOR i IN range(1, 9)] AS sig
+         |  FROM sh),
+         |banded AS (SELECT doc_id, b AS band, sig[b*2+1:b*2+2] AS bucket
+         |  FROM sig, range(0, 4) r(b)),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |p AS (SELECT id_a, id_b
+         |  FROM (SELECT id_a, id_b, a.hs AS hs_a, b.hs AS hs_b
+         |    FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+         |  WHERE len(list_intersect(hs_a, hs_b))::DOUBLE / len(list_distinct(hs_a || hs_b)) >= 0.3),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM p
+         |  UNION ALL SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (SELECT a, b FROM sym
+         |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         |  FROM reach GROUP BY a),
+         |k AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS key
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |f AS (SELECT doc_id, key,
+         |  ${hash32("key::VARCHAR || ':split'")} % 10000 AS b FROM k)
+         |SELECT CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  count(*) AS n_docs, sum(doc_id)::BIGINT AS id_checksum,
+         |  count(DISTINCT key)::BIGINT AS n_keys
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "mixture_sample" ->
       s"""WITH f AS (SELECT source, ${bucketSql("mix")} AS b FROM documents)

@@ -37,6 +37,39 @@ class CurationSpec extends SparkSpec {
     assert(counts("big") == exact)
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle a split") {
+    val splits = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+    val ids = (0L until 400L).toDF("doc_id")
+    // planted pair list with chains (0-1-2, 10-11, ...) — the transitive
+    // component, not just the direct pair, must co-locate
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (22L, 23L), (300L, 301L))
+      .toDF("id_a", "id_b")
+    val out = Curation.leakageSafeSplit(ids, pairs, splits)
+      .select("doc_id", "split", "split_key")
+      .as[(Long, String, Long)].collect()
+    val bySplit = out.map(r => r._1 -> r._2).toMap
+    // chained near-dups land together, transitively
+    assert(Set(bySplit(0L), bySplit(1L), bySplit(2L)).size == 1)
+    assert(Set(bySplit(20L), bySplit(21L), bySplit(22L), bySplit(23L)).size == 1)
+    assert(bySplit(10L) == bySplit(11L))
+    assert(bySplit(300L) == bySplit(301L))
+    // clustered docs share the component representative as their key
+    val keyOf = out.map(r => r._1 -> r._3).toMap
+    assert(keyOf(0L) == 0L && keyOf(2L) == 0L && keyOf(23L) == 20L)
+    // singletons degrade to plain hashSplit with identical arithmetic
+    val plain = Curation.hashSplit(ids, splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    out.filter(r => r._1 == r._3).foreach { case (id, split, _) =>
+      assert(split == plain(id), s"singleton $id diverged from hashSplit")
+    }
+    // general property over EVERY pair row: both ends on the same side
+    val straddled = pairs.as[(Long, Long)].collect().count {
+      case (a, b) => bySplit(a) != bySplit(b)
+    }
+    assert(straddled == 0, s"$straddled pairs straddle a split boundary")
+  }
+
   test("mixtureSample keeps everything at 1.0, nothing at 0.0, rates by source") {
     val n = docs.count()
     assert(Curation.mixtureSample(docs, Map.empty, default = 1.0).count() == n)

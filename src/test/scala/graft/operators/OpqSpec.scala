@@ -123,6 +123,32 @@ class OpqSpec extends SparkSpec {
     assert(opqR >= 0.3, s"OPQ recall $opqR under the 0.3 ADC-only gate")
   }
 
+  test("searchBatchIvf: full probe + exact rerank equals the exact top-k") {
+    import spark.implicits._
+    // coarse clusters in RAW space — exactly the store's layout: the
+    // probe and rerank run raw, only the ADC tables see the rotation
+    val cents = Ivf.train(stretched, Ivf.IvfConfig(nClusters = 4))
+    val assigned = Ivf.assign(stretched, cents, embCol = "embedding")
+    val enc = assigned.select(col("id"),
+      col("cluster_id").cast("long").as("cluster_id"),
+      Opq.encode(model, col("embedding")).as("codes"))
+    val queries = stretched.filter(col("id") < 6)
+      .select(col("id").as("query_id"), col("embedding").as("q_embedding"))
+    // nProbe = all clusters and a corpus-sized shortlist: the rotated ADC
+    // ranking covers everything, so the raw-space rerank must reproduce
+    // the exact answer bit-for-bit (ids AND distances)
+    val n = stretched.count().toInt
+    val got = Opq.searchBatchIvf(enc, cents, model, queries, k = 5,
+      nProbe = 4, shortlist = n, rerank = Some(stretched))
+      .select(col("query_id"), col("id"), round(col("distance"), 6).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Knn.batch(stretched, queries, k = 5, metric = "l2",
+      roundDecimals = 6)
+      .select(col("query_id"), col("id"), col("distance"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exact, "full-probe IVF-OPQ with exact rerank must equal exact")
+  }
+
   test("save/load round-trips rotation and codebooks") {
     val dir = java.nio.file.Files.createTempDirectory("graft_opq_").toString
     try {

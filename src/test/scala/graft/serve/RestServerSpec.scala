@@ -207,12 +207,20 @@ class RestServerSpec extends SparkSpec {
       assert(ps == 200 && pq.get("enabled").asBoolean())
       assert(call(srv, "POST", "/api/v1/admin/index/sq", "{}")._1 == 200)
       assert(call(srv, "POST", "/api/v1/admin/index/bq", "{}")._1 == 200)
+      val (os1, oq) = call(srv, "POST", "/api/v1/admin/index/opq",
+        """{"m": 4, "k_codes": 8, "train_size": 30, "iters": 2}""")
+      assert(os1 == 200 && oq.get("enabled").asBoolean(), oq.toString)
+      // the refresh face: no delta yet -> refreshed with 0 encoded
+      val (os2, or0) = call(srv, "POST", "/api/v1/admin/index/opq",
+        """{"refresh": true}""")
+      assert(os2 == 200 && or0.get("refreshed").asBoolean()
+        && or0.get("encoded").asLong() == 0L, or0.toString)
 
       // every serving mode finds the exact row as its top hit, and serves
       // the STORED embedding payload on request (include_vectors is
       // uniform across modes — the code tiers return the exact vector
       // from the store, not a dequantized reconstruction)
-      for (mode <- Seq("exact", "recent_index", "pq", "sq", "bq")) {
+      for (mode <- Seq("exact", "recent_index", "pq", "opq", "sq", "bq")) {
         val (ss, sr) = call(srv, "POST", "/api/v1/search",
           s"""{"vector": ${vecJson(33)}, "k": 3,
               "options": {"metric": "l2", "mode": "$mode",
@@ -230,7 +238,7 @@ class RestServerSpec extends SparkSpec {
           s"mode $mode vector[$j]"))
       }
       // historical row reachable through the code tiers too
-      for (mode <- Seq("pq", "sq", "bq")) {
+      for (mode <- Seq("pq", "opq", "sq", "bq")) {
         val (_, sr) = call(srv, "POST", "/api/v1/search",
           s"""{"vector": ${vecJson(7)}, "k": 3,
               "options": {"metric": "l2", "mode": "$mode"}}""")

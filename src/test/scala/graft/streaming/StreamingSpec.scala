@@ -198,12 +198,15 @@ class StreamingSpec extends SparkSpec {
     // scheduler that forgot the re-encode would leave hasSq false and the
     // searchBatchSq below would hard-fail)
     store.enableSq()
+    store.enableOpq(m = 4, kCodes = 8, trainSize = 60, iters = 1)
     store.insert((100 until 140).map(i => VectorStore.VectorRecord(
       s"x$i", bvec(0, i), tsString = Some(oldTs.toString)))) // re-skew blob 0
     val r2 = sched.runMigration()
     assert(r2.vectorsMigrated == 40L)
     assert(r2.vectorsRebalanced > 0, "re-skewed store must re-trigger")
     assert(store.hasSq, "rebalance must not leave the SQ tier dark")
+    assert(store.hasOpq, "rebalance must re-encode the OPQ tier from " +
+      "its saved rotation (enableOpq(retrain = false))")
     val hit2 = store.searchBatchSq(
       spark.createDataFrame(
         java.util.Arrays.asList(org.apache.spark.sql.Row(0L, bvec(0, 17).toSeq)),
