@@ -388,14 +388,16 @@ object StoreQueries {
       val now = Some(java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))
       store.migrate(now) // evens -> clustered historical (8 centroids)
       // r13: EVERY code tier enabled (the reference's check_integrity
-      // walks every persisted structure, ivf/persistence.rs:299-349) —
-      // all three snapshot the historical tier BEFORE the plants, so the
+      // walks every persisted structure, ivf/persistence.rs:299-349;
+      // r15: + the OPQ tier) — all four snapshot the historical tier
+      // BEFORE the plants, so the
       // historical plant drifts each tier's `missing` identically, and
       // the bq orphan plant below drifts `orphaned` on ONE tier only
       // (the per-tier split a single-tier replay could fake)
       store.enableSq()
       store.enableBq()
       store.enablePq(m = 4, kCodes = 16, trainSize = 2048)
+      store.enableOpq(m = 4, kCodes = 16, trainSize = 2048, iters = 1)
       val ts = lit("2026-01-01 23:30:00").cast("timestamp")
       // orphaned-code plant: bq_codes rows whose ids exist in NO tier
       // (the crash-between-tier-rewrite-and-code-refresh direction the
@@ -436,16 +438,18 @@ object StoreQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
       val (sqMissing, sqOrphaned) = r.codeTierDrift("sq_codes")
       val (pqMissing, pqOrphaned) = r.codeTierDrift("pq_codes")
+      val (opqMissing, opqOrphaned) = r.codeTierDrift("opq_codes")
       val (bqMissing, bqOrphaned) = r.codeTierDrift("bq_codes")
       Seq((r.liveRecent, r.liveHistorical, r.wrongDimCount,
           r.duplicateIdCount, r.crossTierDuplicateCount,
           r.invalidClusterCount, sqMissing, sqOrphaned,
-          pqMissing, pqOrphaned, bqMissing, bqOrphaned, r.isComplete))
+          pqMissing, pqOrphaned, opqMissing, opqOrphaned,
+          bqMissing, bqOrphaned, r.isComplete))
         .toDF("live_recent", "live_historical", "wrong_dim_count",
           "duplicate_id_count", "cross_tier_dup_count",
           "invalid_cluster_count", "sq_missing", "sq_orphaned",
-          "pq_missing", "pq_orphaned", "bq_missing", "bq_orphaned",
-          "is_complete")
+          "pq_missing", "pq_orphaned", "opq_missing", "opq_orphaned",
+          "bq_missing", "bq_orphaned", "is_complete")
     }),
     // The r14 confirm pass, driver-visible on its own row (integrity_scan
     // keeps its r13 shape and band): a store is built from a bounded
@@ -651,6 +655,7 @@ object StoreQueries {
         |  n_ic::BIGINT AS invalid_cluster_count,
         |  n_ic::BIGINT AS sq_missing, CAST(0 AS BIGINT) AS sq_orphaned,
         |  n_ic::BIGINT AS pq_missing, CAST(0 AS BIGINT) AS pq_orphaned,
+        |  n_ic::BIGINT AS opq_missing, CAST(0 AS BIGINT) AS opq_orphaned,
         |  n_ic::BIGINT AS bq_missing, n_orph::BIGINT AS bq_orphaned,
         |  (n_wd = 0 AND n_dup = 0 AND n_ic = 0 AND n_orph = 0) AS is_complete
         |FROM c""".stripMargin,
