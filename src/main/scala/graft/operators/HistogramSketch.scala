@@ -86,9 +86,11 @@ object HistogramSketch {
     * `out_of_range_mass_fraction` alert, which flags drift AFTER the
     * bounds are chosen.
     *
-    * NaN values are excluded from the sample (they carry no order
-    * information; at fold time they land in the overflow bin and count
-    * toward the out-of-range alert). All-equal samples get a unit span
+    * NaN and ±Infinity values are excluded from the sample (NaN carries
+    * no order information; an Infinity at a quantile index would fail
+    * HistogramSpec's finiteness contract — at fold time NaN and +Inf
+    * land in the overflow bin, -Inf in underflow, all counting toward
+    * the out-of-range alert). All-equal samples get a unit span
     * [v, v+1) rather than a degenerate zero-width refusal — the fold
     * still counts everything, in one bin. */
   def fromSample(df: DataFrame, valueCol: String, nBins: Int,
@@ -99,11 +101,15 @@ object HistogramSketch {
     require(sampleSize > 0, s"sampleSize must be positive, got $sampleSize")
     val sample = df
       .select(col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull && !isnan(col("v")))
+      // strict open-interval bounds exclude NULL, NaN (compares greater
+      // than everything in Spark's ordering, so it fails the upper
+      // bound), and both infinities in one predicate
+      .filter(col("v") > Double.NegativeInfinity &&
+        col("v") < Double.PositiveInfinity)
       .orderBy(rand(seed)).limit(sampleSize)
       .collect().map(_.getDouble(0))
     require(sample.nonEmpty,
-      s"cannot derive a binning: no non-null finite-orderable values in " +
+      s"cannot derive a binning: no non-null finite values in " +
         s"'$valueCol'")
     val sorted = sample.sorted
     val tail = (1.0 - coverage) / 2.0

@@ -52,19 +52,13 @@ object AnnQueries {
   def ensureIvfScaleIndex(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = s"/tmp/graft_ivf_idx/${tag}_k32_v2"
-    // build-complete marker is an explicit _DONE written LAST (the
-    // ensureServingStore pattern): gating on data/_SUCCESS would wedge
-    // the cache forever if a crash landed between the data write and the
-    // centroids export — data present, centroids missing, build skipped
-    // on every subsequent run
-    val done = new org.apache.hadoop.fs.Path(base, "_DONE")
-    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
-      fs.delete(new org.apache.hadoop.fs.Path(base), true) // drop partials
+    QueryShapes.buildOnce(s, base) {
       // DEPENDENT caches die with this one: the BQ code table carries this
       // index's cluster assignments and reranks against its raw inverted
       // file — a rebuild here with a stale BQ sidecar would silently serve
       // codes routed by the OLD clustering
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"/tmp/graft_bq_idx/${tag}_d64_v2"), true)
       val corpus = scaleCorpus(Tables.load(s, dir, "embeddings"))
       val cents = Ivf.train(corpus, Ivf.IvfConfig(nClusters = 32,
@@ -72,9 +66,7 @@ object AnnQueries {
       val assigned = Ivf.assign(corpus, cents)
       Ivf.writePartitioned(assigned, s"$base/data")
       Ivf.exportCentroids(cents, s"$base/centroids")
-      fs.create(done, true).close()
     }
-    base
   }
 
   /** Build-once persisted sign-bit code table over the 100K scale corpus
@@ -110,17 +102,13 @@ object AnnQueries {
     * oracle replays. Idempotent via a _DONE marker written LAST. */
   def ensureGraphStatsIndex(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val base = s"/tmp/graft_hnsw_gstats/${tag}_v1"
-    val done = new org.apache.hadoop.fs.Path(base, "_DONE")
-    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val base = QueryShapes.buildOnce(s, s"/tmp/graft_hnsw_gstats/${tag}_v1") {
       val e = Tables.load(s, dir, "embeddings")
       val corpus = e.select(col("vec_id").cast("long").as("id"), col("embedding"))
-      Hnsw.buildAndSave(corpus, s"$base/idx")
+      Hnsw.buildAndSave(corpus, s"/tmp/graft_hnsw_gstats/${tag}_v1/idx")
       val maxId = corpus.agg(max("id")).head.getLong(0)
-      Hnsw.deleteFromSaved(s, s"$base/idx", 0L.to(maxId).by(3L))
-      fs.create(done, true).close()
+      Hnsw.deleteFromSaved(s, s"/tmp/graft_hnsw_gstats/${tag}_v1/idx",
+        0L.to(maxId).by(3L))
     }
     s"$base/idx"
   }

@@ -19,6 +19,25 @@ object QueryShapes {
     * silently gating against garbage. Rank-insensitive by design (the
     * store's exact path carries no rank column): membership + distance
     * sum pins the set, and rank is a function of (distance, id) anyway. */
+  /** Build-once cache protocol shared by every persisted query fixture
+    * (serving stores, scale indexes): gate on an explicit `_DONE` marker
+    * written LAST — never on a data dir's own `_SUCCESS`, which would
+    * wedge the cache forever if a crash landed between two artifact
+    * writes (data present, sidecar missing, build skipped on every
+    * subsequent run) — drop partials before rebuilding, and create the
+    * marker only after `build` returns. Returns `base`. */
+  def buildOnce(s: org.apache.spark.sql.SparkSession, base: String)(
+      build: => Unit): String = {
+    val done = new org.apache.hadoop.fs.Path(base, "_DONE")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      build
+      fs.create(done, true).close()
+    }
+    base
+  }
+
   def exactDigest(exact: DataFrame): DataFrame =
     exact.agg(
       sum(col("id").cast("long")).cast("long").as("exact_id_checksum"),

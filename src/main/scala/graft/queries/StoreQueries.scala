@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
 object StoreQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val storeConfig = VectorStore.Config(
+  // private[graft]: PlanDump opens the same persisted stores these
+  // helpers build and must use the SAME config, not a hand-copied one
+  private[graft] val storeConfig = VectorStore.Config(
     recentThresholdSeconds = 3600, nClusters = 8, nProbe = 8)
 
   /** Build-once serving store per corpus version: embeddings split across
@@ -25,12 +27,10 @@ object StoreQueries {
     * a stale /tmp store must never outlive the code that built it. */
   def ensureServingStore(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val base = s"/tmp/graft_store_idx/${tag}_v5" // v5: +BQ code tier
-    val done = new org.apache.hadoop.fs.Path(base, "_DONE")
-    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      val st = new VectorStore(s, s"$base/store", storeConfig)
+    // bump the version suffix when construction changes
+    QueryShapes.buildOnce(s, s"/tmp/graft_store_idx/${tag}_v5") {
+      val st = new VectorStore(s, s"/tmp/graft_store_idx/${tag}_v5/store",
+        storeConfig)
       val e = Tables.load(s, dir, "embeddings")
       val oldTs = java.sql.Timestamp.from(
         java.time.Instant.now().minusSeconds(7200))
@@ -46,9 +46,7 @@ object StoreQueries {
       st.enablePq(m = 8, kCodes = 64, trainSize = 2000)
       st.enableSq()         // u8 code tier over the same historical rows
       st.enableBq()         // sign-bit code tier (coarsest rung, 32x smaller)
-      val out = fs.create(done, true); out.close()
     }
-    base
   }
 
   /** Build-once store behind `store_opq_search`: the ann_opq anisotropic
@@ -61,12 +59,9 @@ object StoreQueries {
     * tier-vs-tier comparison through the store front door. */
   def ensureOpqServingStore(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val base = s"/tmp/graft_store_idx/${tag}_opq_v1"
-    val done = new org.apache.hadoop.fs.Path(base, "_DONE")
-    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      val st = new VectorStore(s, s"$base/store", storeConfig)
+    QueryShapes.buildOnce(s, s"/tmp/graft_store_idx/${tag}_opq_v1") {
+      val st = new VectorStore(s,
+        s"/tmp/graft_store_idx/${tag}_opq_v1/store", storeConfig)
       val corpus = QueryShapes.stretchedCorpus(Tables.load(s, dir, "embeddings"))
       val oldTs = java.sql.Timestamp.from(
         java.time.Instant.now().minusSeconds(7200))
@@ -76,9 +71,7 @@ object StoreQueries {
       st.migrate() // everything -> clustered historical (trains centroids)
       st.enablePq(m = 8, kCodes = 16, trainSize = 1000)
       st.enableOpq(m = 8, kCodes = 16, trainSize = 1000, iters = 5)
-      val out = fs.create(done, true); out.close()
     }
-    base
   }
 
   private def queries8(e: DataFrame): DataFrame =
@@ -97,12 +90,10 @@ object StoreQueries {
     * measure fixed plan overhead instead. */
   def ensureScaleServingStore(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val base = s"/tmp/graft_store_idx/${tag}_scale_v6" // v6: +PQ code tier
-    val done = new org.apache.hadoop.fs.Path(base, "_DONE")
-    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      val st = new VectorStore(s, s"$base/store", scaleStoreConfig)
+    QueryShapes.buildOnce(s,
+        s"/tmp/graft_store_idx/${tag}_scale_v6") { // v6: +PQ code tier
+      val st = new VectorStore(s,
+        s"/tmp/graft_store_idx/${tag}_scale_v6/store", scaleStoreConfig)
       val corpus = QueryShapes.scaleCorpus(Tables.load(s, dir, "embeddings"))
       val oldTs = java.sql.Timestamp.from(
         java.time.Instant.now().minusSeconds(7200))
@@ -119,9 +110,7 @@ object StoreQueries {
       st.enablePq(m = 8, kCodes = 64, trainSize = 2000)
       st.enableSq()
       st.enableBq()
-      val out = fs.create(done, true); out.close()
     }
-    base
   }
 
   /** 100 corpus-vector queries against the scale store, aimed at one tier

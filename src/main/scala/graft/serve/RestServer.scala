@@ -133,7 +133,13 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     frequentItemsSourceDir: Option[String] = None,
     histogramStateDir: Option[String] = None,
     histogramSourceDir: Option[String] = None,
-    histogramOutOfRangeAlert: Double = 0.05) {
+    histogramOutOfRangeAlert: Double = 0.05,
+    // the verify recount must read the SAME columns the ingest folded;
+    // both ingests parameterize them, so the server does too (defaults
+    // match the ingest defaults). The state file records no column
+    // names — this is operator configuration, like the source dir.
+    histogramGroupCol: String = "event_type",
+    histogramValueCol: String = "value") {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -1097,8 +1103,8 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                       // bounded collect: <= maxGroups x (nBins+2) cells,
                       // the same bound as the state file itself
                       val rows = graft.operators.HistogramSketch
-                        .countsPerGroup(corpus, "event_type", "value",
-                          g0.spec).collect()
+                        .countsPerGroup(corpus, histogramGroupCol,
+                          histogramValueCol, g0.spec).collect()
                       val recount = rows.groupBy(_.getString(0)).map {
                         case (g, rs) => g -> rs.map(r =>
                           r.getInt(1) -> r.getLong(2)).toMap
@@ -1118,7 +1124,8 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                       bad.take(10).foreach(bl.add)
                     case None =>
                       val recount = graft.operators.HistogramSketch
-                        .counts(corpus.select(col("value")), "value", st.spec)
+                        .counts(corpus.select(col(histogramValueCol)),
+                          histogramValueCol, st.spec)
                         .collect() // bounded: <= nBins+2 rows
                         .map(r => r.getInt(0) -> r.getLong(1)).toMap
                       val mismatches = diffCells(st.bins, recount)

@@ -74,11 +74,17 @@ object ConfirmRun {
               concat(lit(s"c${gap}_${i}_"), col("vec_id")).as("id"),
               col("embedding"), lit(oldTs).as("ts")))
             sched.runMigration()
-          } catch { case scala.util.control.NonFatal(e) =>
-            println(s"[confirmrun] writer cycle failed: ${e.getMessage}") }
+          } catch {
+            // InterruptedException is not NonFatal: the stop interrupt
+            // can land inside Spark code, and the loop must still exit
+            // cleanly with its cycle stats recorded
+            case _: InterruptedException => running = false
+            case scala.util.control.NonFatal(e) =>
+              println(s"[confirmrun] writer cycle failed: ${e.getMessage}")
+          }
           cycleS.add((System.nanoTime() - t0) / 1e9)
           i += 1
-          if (gap > 0) try Thread.sleep(gap)
+          if (running && gap > 0) try Thread.sleep(gap)
             catch { case _: InterruptedException => running = false }
         }
       }, s"confirmrun-writer-gap$gap")
@@ -113,7 +119,12 @@ object ConfirmRun {
       }
       running = false
       writerT.interrupt()
-      writerT.join(30000)
+      // unbounded: a timed-out join would let the next gap leg start a
+      // SECOND concurrent writer on the same store handle (same lease
+      // token — withLease would not serialize them) and contaminate the
+      // per-gap cycle stats; the thread always exits after its current
+      // cycle once `running` is false
+      writerT.join()
       val cs = cycleS.toArray(Array.empty[java.lang.Double])
         .map(_.doubleValue).sorted
       if (cs.nonEmpty)

@@ -60,11 +60,16 @@ object HhStreamRun {
     // 10,000-group default-cap leg over 5,000 docs), a single fixed
     // mod-g would plateau at |docs| groups — the per-batch shift walks
     // the full residue ring so the STATE genuinely accumulates g groups
-    // within the first few batches.
+    // within the first few batches. The stride is gcd-checked at
+    // runtime (first candidate >= 4999 coprime to g — 4999 itself for
+    // the published g=10000 leg), since a fixed constant silently stops
+    // walking the ring whenever g shares a factor with it.
+    def widthStride(g: Int): Long =
+      Iterator.from(4999).find(s => BigInt(s).gcd(BigInt(g)) == 1).get.toLong
     def widthSource(g: Int, batchId: Int) =
-      concat(lit("src_"), pmod(col("doc_id") + lit(batchId.toLong * 4999L),
-        lit(g.toLong)).cast("string"))
-    val docs = baseDocs
+      concat(lit("src_"),
+        pmod(col("doc_id") + lit(batchId.toLong * widthStride(g)),
+          lit(g.toLong)).cast("string"))
     val denom = if (grouped) 100L else 200L
     val k = if (grouped) 256 else 512
     val tag = (if (grouped) "hhrun-grouped" else "hhrun") +
@@ -82,7 +87,7 @@ object HhStreamRun {
             case Some(g) if grouped => widthSource(g, i)
             case _ => col("source")
           }
-          docs.withColumn("rep", explode(sequence(lit(0), lit(scale - 1))))
+          baseDocs.withColumn("rep", explode(sequence(lit(0), lit(scale - 1))))
             .select((col("doc_id") + col("rep") * 1000000L
               + lit(i.toLong * 100000000L)).as("doc_id"),
               srcCol.as("source"), col("text"))

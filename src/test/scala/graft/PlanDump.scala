@@ -221,9 +221,10 @@ object PlanDump {
     locally {
       import org.apache.spark.sql.functions._
       val base = graft.queries.StoreQueries.ensureOpqServingStore(spark, dir)
+      // the SAME config the builder used — a hand-copied one would let
+      // the dumped plan silently diverge from the registry row's
       val st = new graft.store.VectorStore(spark, s"$base/store",
-        graft.store.VectorStore.Config(
-          recentThresholdSeconds = 3600, nClusters = 8, nProbe = 8))
+        graft.queries.StoreQueries.storeConfig)
       val corpus = graft.queries.QueryShapes.stretchedCorpus(
         graft.core.Tables.load(spark, dir, "embeddings"))
       val queries = corpus.filter(col("id") < 8)

@@ -669,6 +669,26 @@ class RestServerSpec extends SparkSpec {
       assert(r2.get("verify").get("recount_n").asLong() == 8L)
     } finally srvV.stop()
 
+    // custom stream columns: the recount must read the SAME column the
+    // ingest folded — histogramValueCol configures it (the r15 review
+    // fix: a hardcoded "value" either 500s or recounts the wrong column)
+    val sdC = java.nio.file.Files.createTempDirectory("graft_hgd_cs_").toString
+    val srcC = java.nio.file.Files.createTempDirectory("graft_hgd_csrc_").toString + "/files"
+    Seq(5.0, 15.0, 95.0).toDF("latency_ms").coalesce(1).write.parquet(srcC)
+    val qc = graft.streaming.StreamingHistogram.ingest(spark, srcC, sdC,
+      java.nio.file.Files.createTempDirectory("graft_hgd_cck_").toString,
+      s10, valueCol = "latency_ms")
+    qc.processAllAvailable(); qc.stop()
+    val srvC = new RestServer(store, histogramStateDir = Some(sdC),
+      histogramSourceDir = Some(srcC),
+      histogramValueCol = "latency_ms").start()
+    try {
+      val (s, r) = call(srvC, "GET", "/api/v1/admin/histogram?verify=true")
+      assert(s == 200, r.toString)
+      assert(r.get("verify").get("matched").asBoolean(), r.toString)
+      assert(r.get("verify").get("recount_n").asLong() == 3L)
+    } finally srvC.stop()
+
     // ---- the verify face (grouped) ----
     val gsd = java.nio.file.Files.createTempDirectory("graft_hgd_gs_").toString
     val gsrc = java.nio.file.Files.createTempDirectory("graft_hgd_gsrc_").toString + "/files"

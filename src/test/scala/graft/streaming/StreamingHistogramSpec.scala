@@ -134,10 +134,18 @@ class StreamingHistogramSpec extends SparkSpec {
     // bulk in one — the derived width must resolve the bulk
     assert(spec.lo >= 50.0 && spec.hi <= 300.0,
       s"bounds [${spec.lo}, ${spec.hi}) stretched by tail outliers")
-    // NaN excluded from the sample, not a crash; all-equal -> unit span
-    val withNan = (Seq(Double.NaN, Double.NaN) ++ bulk).toDF("value")
-    val s2 = HistogramSketch.fromSample(withNan, "value", nBins = 10)
+    // NaN AND ±Infinity excluded from the sample, not a crash (an Inf at
+    // a quantile index would fail the spec's finiteness contract); at
+    // fold time they land in the explicit out-of-range bins instead
+    val withNan = (Seq(Double.NaN, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity) ++ bulk).toDF("value")
+    val s2 = HistogramSketch.fromSample(withNan, "value", nBins = 10,
+      coverage = 1.0)
     assert(java.lang.Double.isFinite(s2.lo) && java.lang.Double.isFinite(s2.hi))
+    val c2 = HistogramSketch.counts(withNan, "value", s2).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(c2.getOrElse(10, 0L) == 3L, s"NaN + +Inf must overflow: $c2")
+    assert(c2.getOrElse(-1, 0L) == 1L, s"-Inf must underflow: $c2")
     val flat = Seq(7.0, 7.0, 7.0).toDF("value")
     val s3 = HistogramSketch.fromSample(flat, "value", nBins = 4)
     assert(s3.lo == 7.0 && s3.hi == 8.0)
