@@ -68,7 +68,18 @@ object Curation {
     * Scale shape: the component labeling is [[Dedup.duplicateClusters]]'s
     * bounded label-propagation over PAIRS (pair-count-sized, never
     * corpus-sized); the only corpus-sized step is one left join of docs
-    * against that (small) component relation, then the map-only hash. */
+    * against that (small) component relation, then the map-only hash.
+    *
+    * Stability caveat (append-only corpora): the cluster key is the
+    * component's MIN id, so a later re-run over a GROWN corpus keeps
+    * every existing assignment only if new members never lower a
+    * cluster's min — true under monotone ids (the common ingest shape:
+    * new docs get larger ids), in which case old docs keep their exact
+    * `split` and new docs adopt their cluster's existing side. With
+    * non-monotone ids a new smaller-id member re-keys its cluster and
+    * can flip the WHOLE cluster's side on the next run — deterministic
+    * but not incremental; re-split in epochs (and retrain accordingly)
+    * or assign monotone ingest ids if that matters. */
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
       splits: Seq[(String, Double)], salt: String = "split",
       idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
