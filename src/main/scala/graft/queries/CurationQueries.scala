@@ -53,6 +53,33 @@ object CurationQueries {
           countDistinct(col("split_key")).as("n_keys"))
         .orderBy("split")
     }),
+    // §2.11 + sampling: the streaming deterministic bottom-k sample fold
+    // — documents staged as 4 micro-batches, the k smallest salted-hash
+    // priorities folded through SwapStateFile state. The fold is an
+    // exact semilattice merge (no reservoir error, no RNG state), so the
+    // result is a deterministic FUNCTION of the corpus that DuckDB
+    // replays bit-exactly: ORDER BY hash32(id || ':sample'), id LIMIT k.
+    // A dropped batch loses exactly its ids; a double-applied one
+    // changes nothing — which is why rows+hash compare IS the
+    // exactly-once check.
+    "streaming_sample" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ssample_q_").toString
+      try {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("double").as("value"))
+          .repartition(4).write.parquet(s"$tmp/src")
+        val q = graft.streaming.StreamingSample.ingest(s, s"$tmp/src",
+          s"$tmp/state", s"$tmp/chk", k = 32, valueCol = Some("value"),
+          maxFilesPerTrigger = 1)
+        try q.processAllAvailable() finally q.stop()
+        val st = graft.streaming.StreamingSample.readState(s, s"$tmp/state")
+        import s.implicits._
+        st.entries.map(e => (e.id, e.value.get))
+          .toDF("doc_id", "value").orderBy("doc_id")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
+    }),
     // hash-deterministic mixture sampling toward a target source mix
     "mixture_sample" -> ((s, dir) => {
       Curation.mixtureSample(Tables.load(s, dir, "documents"),
@@ -177,6 +204,13 @@ object CurationQueries {
          |  count(*) AS n_docs, sum(doc_id)::BIGINT AS id_checksum,
          |  count(DISTINCT key)::BIGINT AS n_keys
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "streaming_sample" ->
+      s"""WITH bk AS (
+         |  SELECT doc_id, n_chars::DOUBLE AS value
+         |  FROM documents
+         |  ORDER BY ${hash32("doc_id::VARCHAR || ':sample'")}, doc_id
+         |  LIMIT 32)
+         |SELECT doc_id, value FROM bk ORDER BY doc_id""".stripMargin,
     "mixture_sample" ->
       s"""WITH f AS (SELECT source, ${bucketSql("mix")} AS b FROM documents)
          |SELECT source, count(*) AS n_kept FROM f
