@@ -249,6 +249,34 @@ object PlanDump {
       sb.append(df.queryExecution.executedPlan.toString.take(6000))
       sb.append("\n```\n")
     }
+    // the streaming_sample row wraps driver-built output — dump the
+    // per-batch bottom-k plan (the part that sees every row)
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = graft.core.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("double").as("value"))
+      val df = docs.select(
+          graft.streaming.StreamingSample.priority(col("doc_id"), "sample")
+            .as("__key"),
+          col("doc_id").as("__id"), col("value").as("__value"))
+        .dropDuplicates("__id")
+        .orderBy(col("__key"), col("__id")).limit(32)
+      df.collect()
+      sb.append("\n## streaming_sample — per-batch deterministic bottom-k\n\n")
+      sb.append(("""The sample fold's per-batch aggregation: the salted-hash
+        |priority is md5 arithmetic in the scan-side project (engine-
+        |stable — DuckDB replays the whole sample bit-exactly), the
+        |duplicate-id dedup is one hash aggregate, and the bottom-k is
+        |TakeOrderedAndProject — each task keeps its own k smallest, the
+        |driver merges <= k per partition; no full sort, no row shuffle
+        |beyond the dedup's. The driver-side semilattice merge into the
+        |FsSwap-committed state is O(k); no plan at all. Nothing grows
+        |with stream length.""".stripMargin)
+        .linesIterator.map(_.trim).mkString(" "))
+      sb.append("\n\n```\n")
+      sb.append(df.queryExecution.executedPlan.toString.take(6000))
+      sb.append("\n```\n")
+    }
     // the streaming_histogram row likewise wraps driver-built output —
     // dump the per-batch FOLD plan (the part that sees every row)
     locally {
