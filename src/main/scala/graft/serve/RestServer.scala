@@ -76,6 +76,10 @@ import scala.util.control.NonFatal
   *                                      (histogramSourceDir; admin-gated, no
   *                                      client paths) and reports cell-level
   *                                      parity against the same snapshot
+  *   GET    /api/v1/admin/sample — the folded deterministic bottom-k
+  *                                      sample (ids + carried values,
+  *                                      linearizable locked read; exact —
+  *                                      a pure function of the corpus)
   *   POST   /api/v1/admin/frequent-items/recount {denominator} — the EXACT
   *                                      face of the folded stream state: a
   *                                      Spark recount of the candidates over
@@ -139,7 +143,8 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     // match the ingest defaults). The state file records no column
     // names — this is operator configuration, like the source dir.
     histogramGroupCol: String = "event_type",
-    histogramValueCol: String = "value") {
+    histogramValueCol: String = "value",
+    sampleStateDir: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -1139,6 +1144,43 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                 (200, n)
                 }
             }
+        }
+      // the folded deterministic bottom-k sample (graft extension):
+      // served via the LINEARIZABLE locked read like the family's other
+      // folds. Entries are exact — the sample is a deterministic
+      // function of the corpus (salted-hash bottom-k), so a monitor can
+      // cross-check it against any batch replay bit-for-bit.
+      case ("GET", "/api/v1/admin/sample") =>
+        sampleStateDir match {
+          case None => (404, err(
+            "sample state not configured on this server " +
+              "(pass sampleStateDir to RestServer)"))
+          case Some(sd) =>
+            val st = graft.streaming.StreamingSample
+              .readStateLocked(store.spark, sd)
+            val n = obj()
+            if (st.lastBatchId < 0L) {
+              // nothing folded: the family's well-formed empty envelope
+              n.put("folded", false)
+              n.put("last_batch_id", -1L)
+              n.put("n_seen", 0L)
+            } else {
+              n.put("folded", true)
+              n.put("k", st.k)
+              n.put("salt", st.salt)
+              n.put("checkpoint", st.checkpoint)
+              n.put("last_batch_id", st.lastBatchId)
+              n.put("n_seen", st.nSeen)
+              n.put("sample_size", st.entries.size)
+              n.put("entries_are_exact", true)
+              val arr = n.putArray("entries")
+              st.entries.foreach { e =>
+                val en = arr.addObject()
+                en.put("id", e.id)
+                e.value.foreach(v => en.put("value", v))
+              }
+            }
+            (200, n)
         }
       case ("POST", "/api/v1/admin/frequent-items/recount") =>
         (frequentItemsStateDir, frequentItemsSourceDir) match {

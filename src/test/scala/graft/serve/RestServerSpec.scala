@@ -717,6 +717,52 @@ class RestServerSpec extends SparkSpec {
     } finally srvG.stop()
   }
 
+  test("admin sample route serves the folded bottom-k via the locked read") {
+    import spark.implicits._
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_smp_rest_").toString)
+    // unconfigured: disabled (backupBase posture)
+    val srv0 = new RestServer(store).start()
+    try {
+      val (s404, r404) = call(srv0, "GET", "/api/v1/admin/sample")
+      assert(s404 == 404 && r404.get("error").asText().contains("not configured"))
+    } finally srv0.stop()
+    // empty state dir: a well-formed empty envelope
+    val empty = java.nio.file.Files.createTempDirectory("graft_smp_e_").toString
+    val srvE = new RestServer(store, sampleStateDir = Some(empty)).start()
+    try {
+      val (s, r) = call(srvE, "GET", "/api/v1/admin/sample")
+      assert(s == 200 && !r.get("folded").asBoolean() && !r.has("entries"))
+    } finally srvE.stop()
+    // folded: bindings + exact entries with carried values
+    val sd = java.nio.file.Files.createTempDirectory("graft_smp_s_").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_smp_src_").toString + "/files"
+    (0L until 100L).map(i => (i, i * 2.0)).toDF("doc_id", "value")
+      .coalesce(1).write.parquet(src)
+    val q = graft.streaming.StreamingSample.ingest(spark, src, sd,
+      java.nio.file.Files.createTempDirectory("graft_smp_ck_").toString,
+      k = 16, valueCol = Some("value"))
+    q.processAllAvailable(); q.stop()
+    val srv = new RestServer(store, sampleStateDir = Some(sd)).start()
+    try {
+      val (s, r) = call(srv, "GET", "/api/v1/admin/sample")
+      assert(s == 200, r.toString)
+      assert(r.get("folded").asBoolean() && r.get("k").asInt() == 16)
+      assert(r.get("n_seen").asLong() == 100L)
+      assert(r.get("sample_size").asInt() == 16)
+      assert(r.get("entries_are_exact").asBoolean())
+      assert(r.get("entries").size() == 16)
+      // entries match the batch bottom-k bit-for-bit, values carried
+      val expect = graft.streaming.StreamingSample.batchBottomK(
+        spark.read.parquet(src), k = 16, valueCol = Some("value"))
+      (0 until 16).foreach { i =>
+        val e = r.get("entries").get(i)
+        assert(e.get("id").asLong() == expect(i).id)
+        assert(e.get("value").asDouble() == expect(i).value.get)
+      }
+    } finally srv.stop()
+  }
+
   test("admin frequent-items recount serves the EXACT face of the folded state") {
     import spark.implicits._
     val store = new VectorStore(spark,
