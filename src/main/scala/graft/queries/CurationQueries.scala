@@ -74,9 +74,13 @@ object CurationQueries {
           maxFilesPerTrigger = 1)
         try q.processAllAvailable() finally q.stop()
         val st = graft.streaming.StreamingSample.readState(s, s"$tmp/state")
-        import s.implicits._
-        st.entries.map(e => (e.id, e.value.get))
-          .toDF("doc_id", "value").orderBy("doc_id")
+        // through the ONE state->relation definition (toDF), which
+        // carries a null value as SQL NULL — matching what the oracle's
+        // replay would produce for a null-valued doc, instead of an
+        // opaque NoSuchElementException from Option.get
+        graft.streaming.StreamingSample.toDF(s, st)
+          .select(col("id").as("doc_id"), col("value"))
+          .orderBy("doc_id")
       } finally org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(tmp))
     }),

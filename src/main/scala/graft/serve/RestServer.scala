@@ -1098,6 +1098,23 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                 // last_batch_id is in the envelope for that call.
                 if (wantVerify) {
                   val corpus = store.spark.read.parquet(histogramSourceDir.get)
+                  // the recount reads the operator-configured columns; a
+                  // source whose schema no longer carries them must be a
+                  // configuration-naming 422, not an AnalysisException
+                  // surfacing as an opaque 500 mid-recount
+                  val srcCols = corpus.columns.toSet
+                  val needed =
+                    (if (gst.isDefined) Seq(histogramGroupCol)
+                     else Seq.empty[String]) :+ histogramValueCol
+                  val missing = needed.filterNot(srcCols.contains)
+                  if (missing.nonEmpty)
+                    (422, err("histogram verify: configured column(s) " +
+                      missing.mkString("'", "', '", "'") +
+                      " not present in the source corpus schema (" +
+                      corpus.columns.mkString(", ") + ") — the server's " +
+                      "histogramGroupCol/histogramValueCol must name the " +
+                      "columns the ingest folded"))
+                  else {
                   val v = n.putObject("verify")
                   def diffCells(state: Map[Int, Long],
                       recount: Map[Int, Long]): Int =
@@ -1105,11 +1122,44 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                       state.getOrElse(b, 0L) != recount.getOrElse(b, 0L))
                   gst match {
                     case Some(g0) =>
-                      // bounded collect: <= maxGroups x (nBins+2) cells,
-                      // the same bound as the state file itself
+                      // both the fold and the recount skip NULL values, so
+                      // a valueCol rotting to NULL would verify "matched"
+                      // invisibly — count the recount-side exclusions on
+                      // the SAME scan (a CollectMetrics node under the
+                      // aggregation barrier sees every source row, no
+                      // second pass)
+                      val nullObs = org.apache.spark.sql.Observation()
+                      val observed = corpus.observe(nullObs,
+                        count(when(col(histogramGroupCol).isNotNull &&
+                          col(histogramValueCol).cast("double").isNull,
+                          1)).as("null_values"))
+                      // bounded collect: the state's own group count is the
+                      // healthy recount's cardinality (state bins ⊆ source
+                      // groups on a drained stream). The fold's maxGroups
+                      // cap bounded the STATE at ingest time, but the
+                      // recount reads the CURRENT source — a group column
+                      // drifted toward per-row cardinality would otherwise
+                      // pull groups × (nBins+2) rows into the serving heap.
+                      // Small slack so a few legitimately-new groups still
+                      // report as named mismatches rather than a refusal.
+                      val cellCap =
+                        (g0.groups.size + 16) * (g0.spec.nBins + 2)
                       val rows = graft.operators.HistogramSketch
-                        .countsPerGroup(corpus, histogramGroupCol,
-                          histogramValueCol, g0.spec).collect()
+                        .countsPerGroup(observed, histogramGroupCol,
+                          histogramValueCol, g0.spec).head(cellCap + 1)
+                      if (rows.length > cellCap) {
+                        v.put("matched", false)
+                        v.put("error", "source group cardinality exceeds " +
+                          s"the verify bound: the folded state holds " +
+                          s"${g0.groups.size} groups but the source " +
+                          s"recount produced more than $cellCap cells — " +
+                          "the group column has drifted (e.g. toward " +
+                          "per-row cardinality); the cell compare was " +
+                          "skipped rather than collecting an unbounded " +
+                          "relation into the serving driver. Fix the " +
+                          "source (or re-fold with the wider key) before " +
+                          "verifying")
+                      } else {
                       val recount = rows.groupBy(_.getString(0)).map {
                         case (g, rs) => g -> rs.map(r =>
                           r.getInt(1) -> r.getLong(2)).toMap
@@ -1124,12 +1174,19 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                       v.put("matched", bad.isEmpty)
                       v.put("recount_n", rows.map(_.getLong(2)).sum)
                       v.put("state_n", g0.groups.valuesIterator.map(_.n).sum)
+                      v.put("recount_excluded_null_values",
+                        nullObs.get("null_values").asInstanceOf[Long])
                       v.put("mismatched_group_count", bad.size)
                       val bl = v.putArray("mismatched_groups")
                       bad.take(10).foreach(bl.add)
+                      }
                     case None =>
+                      val nullObs = org.apache.spark.sql.Observation()
                       val recount = graft.operators.HistogramSketch
-                        .counts(corpus.select(col(histogramValueCol)),
+                        .counts(corpus.select(col(histogramValueCol))
+                          .observe(nullObs, count(when(
+                            col(histogramValueCol).cast("double").isNull,
+                            1)).as("null_values")),
                           histogramValueCol, st.spec)
                         .collect() // bounded: <= nBins+2 rows
                         .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -1137,11 +1194,14 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                       v.put("matched", mismatches == 0)
                       v.put("recount_n", recount.valuesIterator.sum)
                       v.put("state_n", st.n)
+                      v.put("recount_excluded_null_values",
+                        nullObs.get("null_values").asInstanceOf[Long])
                       v.put("mismatched_bin_count", mismatches)
                   }
                   v.put("counts_are_exact", true)
-                }
-                (200, n)
+                  (200, n)
+                  }
+                } else (200, n)
                 }
             }
         }

@@ -43,10 +43,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
   * (never phantom-empty) reads, linearizable [[readStateLocked]] for
   * monitors.
   *
-  * 100 TB/day posture: per batch one TakeOrdered over the salted hash
-  * (each task keeps its own bottom-k — no shuffle of rows, the driver
-  * merges ≤ k per partition), one ≤ 2k driver merge, one O(k) state
-  * file — no per-key state, no growth, at any stream length. */
+  * 100 TB/day posture: per batch ONE pass — one TakeOrdered over the
+  * salted hash (each task keeps its own bottom-k — no shuffle of rows,
+  * the driver merges ≤ k per partition) with the nSeen row count
+  * observed on the same scan (a CollectMetrics node, not a second
+  * action re-reading the batch's files), one ≤ 2k driver merge, one
+  * O(k) state file — no per-key state, no growth, at any stream
+  * length. */
 object StreamingSample {
 
   /** One sampled row: the salted-hash priority it won with, its id, and
@@ -175,12 +178,18 @@ object StreamingSample {
       stateDir, batchId)
     if (batchId <= st.lastBatchId) st // replayed batch: already folded
     else {
+      // nSeen rides the SAME pass as the bottom-k: a CollectMetrics node
+      // (Dataset.observe) under the dedup counts every row as it flows
+      // through the scan — a separate batch.count() would read each
+      // batch's source files twice, doubling the per-batch scan cost the
+      // 100 TB/day posture prices at one TakeOrdered
+      val nSeenObs = org.apache.spark.sql.Observation()
       val keyed = batch.select(
-        priority(col(idCol), salt).as("__key"),
-        col(idCol).cast("long").as("__id"),
-        valueCol.map(v => col(v).cast("double"))
-          .getOrElse(lit(null).cast(DoubleType)).as("__value"))
-      val bn = batch.count()
+          priority(col(idCol), salt).as("__key"),
+          col(idCol).cast("long").as("__id"),
+          valueCol.map(v => col(v).cast("double"))
+            .getOrElse(lit(null).cast(DoubleType)).as("__value"))
+        .observe(nSeenObs, count(lit(1)).as("n_rows"))
       // dedup by id FIRST: duplicate ids inside one batch would otherwise
       // occupy several of the k bottom slots and the fold could end up
       // holding fewer distinct ids than the batch twin — the equality the
@@ -193,6 +202,7 @@ object StreamingSample {
         .collect()
         .map(r => SampleEntry(r.getLong(0), r.getLong(1),
           if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      val bn = nSeenObs.get("n_rows").asInstanceOf[Long]
       val next = SampleSnapshot(k, salt, checkpoint, batchId,
         st.nSeen + bn, mergeBottomK(k, st.entries, bottom))
       writeState(spark, stateDir, next)

@@ -717,6 +717,76 @@ class RestServerSpec extends SparkSpec {
     } finally srvG.stop()
   }
 
+  test("histogram verify: column validation, null-value counter, " +
+      "cardinality bound") {
+    import spark.implicits._
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_hgv_").toString)
+    val s10 = graft.operators.HistogramSketch.HistogramSpec(0.0, 100.0, 10)
+
+    // flat fold whose source carries NULL values: the fold and the
+    // recount both exclude them (percentile convention) — the verify
+    // face must COUNT the recount-side exclusions so a valueCol rotting
+    // to NULL is visible even though the cells still match
+    val sd = java.nio.file.Files.createTempDirectory("graft_hgv_s_").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_hgv_src_").toString + "/files"
+    Seq(Some(5.0), Some(15.0), None, None, Some(95.0))
+      .toDF("value").coalesce(1).write.parquet(src)
+    val q = graft.streaming.StreamingHistogram.ingest(spark, src, sd,
+      java.nio.file.Files.createTempDirectory("graft_hgv_ck_").toString, s10)
+    q.processAllAvailable(); q.stop()
+    val srv = new RestServer(store, histogramStateDir = Some(sd),
+      histogramSourceDir = Some(src)).start()
+    try {
+      val (s, r) = call(srv, "GET", "/api/v1/admin/histogram?verify=true")
+      assert(s == 200, r.toString)
+      val v = r.get("verify")
+      assert(v.get("matched").asBoolean(), r.toString)
+      assert(v.get("recount_n").asLong() == 3L)
+      assert(v.get("recount_excluded_null_values").asLong() == 2L, r.toString)
+    } finally srv.stop()
+
+    // configured value column missing from the source schema: a
+    // configuration-naming 422, not an AnalysisException-shaped 500
+    val srvBadCol = new RestServer(store, histogramStateDir = Some(sd),
+      histogramSourceDir = Some(src),
+      histogramValueCol = "no_such_col").start()
+    try {
+      val (s, r) = call(srvBadCol, "GET", "/api/v1/admin/histogram?verify=true")
+      assert(s == 422, s"$s $r")
+      assert(r.get("error").asText().contains("no_such_col"), r.toString)
+      assert(r.get("error").asText().contains("histogramGroupCol") ||
+        r.get("error").asText().contains("histogramValueCol"), r.toString)
+    } finally srvBadCol.stop()
+
+    // grouped fold, then the source's group column drifts toward per-row
+    // cardinality: the recount collect is BOUNDED — past
+    // (stateGroups + 16) x (nBins + 2) cells the face refuses with a
+    // named error instead of pulling an unbounded relation into the
+    // serving driver
+    val gsd = java.nio.file.Files.createTempDirectory("graft_hgv_gs_").toString
+    val gsrc = java.nio.file.Files.createTempDirectory("graft_hgv_gsrc_").toString + "/files"
+    Seq(("a", 10.0), ("a", 30.0)).toDF("event_type", "value")
+      .coalesce(1).write.parquet(gsrc)
+    val gq = graft.streaming.StreamingGroupedHistogram.ingest(spark, gsrc,
+      gsd, java.nio.file.Files.createTempDirectory("graft_hgv_gck_").toString, s10)
+    gq.processAllAvailable(); gq.stop()
+    // cap for 1 state group = (1 + 16) x 12 = 204 cells; 300 one-row
+    // groups overflow it
+    (0 until 300).map(i => (s"g$i", 50.0)).toDF("event_type", "value")
+      .coalesce(1).write.mode("append").parquet(gsrc)
+    val srvG = new RestServer(store, histogramStateDir = Some(gsd),
+      histogramSourceDir = Some(gsrc)).start()
+    try {
+      val (s, r) = call(srvG, "GET", "/api/v1/admin/histogram?verify=true")
+      assert(s == 200, r.toString)
+      val v = r.get("verify")
+      assert(!v.get("matched").asBoolean(), r.toString)
+      assert(v.get("error").asText().contains("group cardinality"), r.toString)
+      assert(!v.has("mismatched_groups"), r.toString) // compare skipped
+    } finally srvG.stop()
+  }
+
   test("admin sample route serves the folded bottom-k via the locked read") {
     import spark.implicits._
     val store = new VectorStore(spark,
