@@ -214,6 +214,147 @@ case class TopKStrAgg(idExpr: Expression, distExpr: Expression, k: Int,
     copy(idExpr = cs(0), distExpr = cs(1))
 }
 
+/** Mutable bottom-k sample state: parallel primitive arrays for the
+  * (key, id) priority pair plus the carried optional value, live prefix n.
+  * Distinctness over ids is enforced IN the compaction (see
+  * [[dedupCompactTo]]), so the buffer never needs an unbounded id set. */
+final class BottomKSampleState(var keys: Array[Long], var ids: Array[Long],
+    var values: Array[Double], var hasValue: Array[Boolean], var n: Int) {
+  /** Sort by (key, id), drop adjacent duplicate (key, id) pairs, keep at
+    * most `keep`. A duplicate id carries the SAME key by the aggregate's
+    * contract (key is a pure salted hash of id), so duplicates are
+    * adjacent after the sort and the first occurrence's value wins (ids
+    * are stable identities — duplicates carry the same value; the
+    * streaming fold's mergeBottomK rule). Always rebuilds the sorted
+    * prefix — callers rely on it. */
+  def dedupCompactTo(keep: Int): Unit = {
+    val idx = Array.range(0, n).sortBy(i => (keys(i), ids(i)))
+    val nk = new Array[Long](keys.length); val ni = new Array[Long](ids.length)
+    val nv = new Array[Double](values.length)
+    val nh = new Array[Boolean](hasValue.length)
+    var out = 0; var i = 0
+    while (i < n && out < keep) {
+      val j = idx(i)
+      if (out == 0 || nk(out - 1) != keys(j) || ni(out - 1) != ids(j)) {
+        nk(out) = keys(j); ni(out) = ids(j)
+        nv(out) = values(j); nh(out) = hasValue(j)
+        out += 1
+      }
+      i += 1
+    }
+    keys = nk; ids = ni; values = nv; hasValue = nh; n = out
+  }
+}
+
+/** Grouped bottom-k sample aggregate — the per-group form of the streaming
+  * sample fold's per-batch reduction: keeps the k smallest (key, id) pairs
+  * over DISTINCT ids per group, carrying an optional DOUBLE value payload
+  * with each id. `keyExpr` MUST be a pure function of `idExpr` (the salted
+  * hash priority) — that is what lets the compaction dedup by (key, id)
+  * adjacency in O(cap log cap) with no id hash set.
+  *
+  * Like [[TopKAgg]] this is a TypedImperativeAggregate, so the per-batch
+  * grouped bottom-k runs with map-side partial aggregation: each task
+  * holds O(cap) per group and ships ≤ k candidates per group per
+  * partition — no shuffle of raw rows, the same posture as the grouped MG
+  * fold. Output: ARRAY<STRUCT<key LONG, id LONG, value DOUBLE>> sorted by
+  * (key, id), length ≤ k, value null where the input value was null. */
+case class BottomKSampleAgg(keyExpr: Expression, idExpr: Expression,
+    valueExpr: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BottomKSampleState] {
+
+  private val cap = math.max(4 * k, 64)
+
+  override def children: Seq[Expression] = Seq(keyExpr, idExpr, valueExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", LongType), StructField("id", LongType),
+    StructField("value", DoubleType))))
+  override def prettyName: String = "bottom_k_sample"
+
+  override def createAggregationBuffer(): BottomKSampleState =
+    new BottomKSampleState(new Array[Long](cap), new Array[Long](cap),
+      new Array[Double](cap), new Array[Boolean](cap), 0)
+
+  override def update(b: BottomKSampleState, input: InternalRow): BottomKSampleState = {
+    val kV = keyExpr.eval(input)
+    val idV = idExpr.eval(input)
+    if (kV != null && idV != null) {
+      if (b.n >= b.keys.length) b.dedupCompactTo(k)
+      val vV = valueExpr.eval(input)
+      b.keys(b.n) = kV.asInstanceOf[Long]
+      b.ids(b.n) = idV.asInstanceOf[Long]
+      if (vV != null) { b.values(b.n) = vV.asInstanceOf[Double]; b.hasValue(b.n) = true }
+      else { b.values(b.n) = 0.0; b.hasValue(b.n) = false }
+      b.n += 1
+    }
+    b
+  }
+
+  override def merge(b: BottomKSampleState, o: BottomKSampleState): BottomKSampleState = {
+    var i = 0
+    while (i < o.n) {
+      if (b.n >= b.keys.length) b.dedupCompactTo(k)
+      b.keys(b.n) = o.keys(i); b.ids(b.n) = o.ids(i)
+      b.values(b.n) = o.values(i); b.hasValue(b.n) = o.hasValue(i)
+      b.n += 1
+      i += 1
+    }
+    b
+  }
+
+  override def eval(b: BottomKSampleState): Any = {
+    b.dedupCompactTo(k)
+    val rows = new Array[Any](b.n)
+    var i = 0
+    while (i < b.n) {
+      rows(i) = InternalRow(b.keys(i), b.ids(i),
+        if (b.hasValue(i)) b.values(i) else null)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(b: BottomKSampleState): Array[Byte] = {
+    b.dedupCompactTo(k)
+    val buf = ByteBuffer.allocate(4 + b.n * 25)
+    buf.putInt(b.n)
+    var i = 0
+    while (i < b.n) {
+      buf.putLong(b.keys(i)); buf.putLong(b.ids(i))
+      buf.put(if (b.hasValue(i)) 1.toByte else 0.toByte)
+      buf.putDouble(b.values(i))
+      i += 1
+    }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BottomKSampleState = {
+    val buf = ByteBuffer.wrap(bytes)
+    val n = buf.getInt()
+    val size = math.max(cap, n)
+    val s = new BottomKSampleState(new Array[Long](size),
+      new Array[Long](size), new Array[Double](size),
+      new Array[Boolean](size), n)
+    var i = 0
+    while (i < n) {
+      s.keys(i) = buf.getLong(); s.ids(i) = buf.getLong()
+      s.hasValue(i) = buf.get() == 1.toByte
+      s.values(i) = buf.getDouble()
+      i += 1
+    }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BottomKSampleAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BottomKSampleAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): BottomKSampleAgg =
+    copy(keyExpr = cs(0), idExpr = cs(1), valueExpr = cs(2))
+}
+
 object TopKImperative {
   /** Column form: topK(id, dist) -> ARRAY<STRUCT<id,dist>>, k best. */
   def topK(k: Int)(id: Column, dist: Column): Column =
@@ -225,5 +366,14 @@ object TopKImperative {
   def topKStr(k: Int)(id: Column, dist: Column): Column =
     ColumnBridge.column(
       TopKStrAgg(ColumnBridge.expression(id), ColumnBridge.expression(dist), k)
+        .toAggregateExpression())
+
+  /** Distinct-id bottom-k with a carried value: bottomKSample(key, id,
+    * value) -> ARRAY<STRUCT<key, id, value>>, k smallest (key, id) over
+    * distinct ids. `key` must be a pure function of `id`. */
+  def bottomKSample(k: Int)(key: Column, id: Column, value: Column): Column =
+    ColumnBridge.column(
+      BottomKSampleAgg(ColumnBridge.expression(key),
+        ColumnBridge.expression(id), ColumnBridge.expression(value), k)
         .toAggregateExpression())
 }

@@ -84,6 +84,35 @@ object CurationQueries {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(tmp))
     }),
+    // the grouped face of the sample fold — one bottom-k PER SOURCE,
+    // folded per micro-batch through the imperative per-group aggregate
+    // and the shared mergeBottomK. Groups never mix, so the flat row's
+    // exactness argument applies group-pointwise and DuckDB replays
+    // EVERY group's sample (ids, priorities' order, and carried values)
+    // via a window rank over the same salted hash — a wrong per-group
+    // merge, a dropped group, or a value misattributed across groups
+    // hash-mismatches.
+    "streaming_sample_by_source" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_gssample_q_").toString
+      try {
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            col("n_chars").cast("double").as("value"))
+          .repartition(4).write.parquet(s"$tmp/src")
+        val q = graft.streaming.StreamingGroupedSample.ingest(s,
+          s"$tmp/src", s"$tmp/state", s"$tmp/chk", k = 8,
+          valueCol = Some("value"), maxFilesPerTrigger = 1)
+        try q.processAllAvailable() finally q.stop()
+        val st = graft.streaming.StreamingGroupedSample
+          .readState(s, s"$tmp/state")
+        graft.streaming.StreamingGroupedSample.toDF(s, st)
+          .select(col("group").as("source"), col("id").as("doc_id"),
+            col("value"))
+          .orderBy("source", "doc_id")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
+    }),
     // hash-deterministic mixture sampling toward a target source mix
     "mixture_sample" -> ((s, dir) => {
       Curation.mixtureSample(Tables.load(s, dir, "documents"),
@@ -215,6 +244,16 @@ object CurationQueries {
          |  ORDER BY ${hash32("doc_id::VARCHAR || ':sample'")}, doc_id
          |  LIMIT 32)
          |SELECT doc_id, value FROM bk ORDER BY doc_id""".stripMargin,
+    // every group's bottom-k replayed via a window rank over the SAME
+    // salted hash the fold uses as its priority
+    "streaming_sample_by_source" ->
+      s"""WITH bk AS (
+         |  SELECT source, doc_id, n_chars::DOUBLE AS value,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${hash32("doc_id::VARCHAR || ':sample'")}, doc_id) AS rn
+         |  FROM documents)
+         |SELECT source, doc_id, value FROM bk WHERE rn <= 8
+         |ORDER BY source, doc_id""".stripMargin,
     "mixture_sample" ->
       s"""WITH f AS (SELECT source, ${bucketSql("mix")} AS b FROM documents)
          |SELECT source, count(*) AS n_kept FROM f

@@ -76,10 +76,16 @@ import scala.util.control.NonFatal
   *                                      (histogramSourceDir; admin-gated, no
   *                                      client paths) and reports cell-level
   *                                      parity against the same snapshot
-  *   GET    /api/v1/admin/sample — the folded deterministic bottom-k
-  *                                      sample (ids + carried values,
+  *   GET    /api/v1/admin/sample?group=NAME — the folded deterministic
+  *                                      bottom-k sample, flat OR grouped
+  *                                      (the family's selection rule: one
+  *                                      state dir, flat wins ties); ids +
+  *                                      carried values via the
   *                                      linearizable locked read; exact —
-  *                                      a pure function of the corpus)
+  *                                      a pure function of the corpus.
+  *                                      ?group selects one group's sample
+  *                                      from a grouped fold (404 if the
+  *                                      group was never folded)
   *   POST   /api/v1/admin/frequent-items/recount {denominator} — the EXACT
   *                                      face of the folded stream state: a
   *                                      Spark recount of the candidates over
@@ -1207,40 +1213,92 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         }
       // the folded deterministic bottom-k sample (graft extension):
       // served via the LINEARIZABLE locked read like the family's other
-      // folds. Entries are exact — the sample is a deterministic
-      // function of the corpus (salted-hash bottom-k), so a monitor can
-      // cross-check it against any batch replay bit-for-bit.
+      // folds, with the family's flat-vs-grouped selection rule (one
+      // state dir holds either fold's file; flat wins ties). Entries are
+      // exact — each (group's) sample is a deterministic function of the
+      // corpus (salted-hash bottom-k), so a monitor can cross-check it
+      // against any batch replay bit-for-bit. ?group=NAME selects one
+      // group's sample from a grouped fold.
       case ("GET", "/api/v1/admin/sample") =>
         sampleStateDir match {
           case None => (404, err(
             "sample state not configured on this server " +
               "(pass sampleStateDir to RestServer)"))
           case Some(sd) =>
-            val st = graft.streaming.StreamingSample
-              .readStateLocked(store.spark, sd)
-            val n = obj()
-            if (st.lastBatchId < 0L) {
-              // nothing folded: the family's well-formed empty envelope
-              n.put("folded", false)
-              n.put("last_batch_id", -1L)
-              n.put("n_seen", 0L)
-            } else {
-              n.put("folded", true)
-              n.put("k", st.k)
-              n.put("salt", st.salt)
-              n.put("checkpoint", st.checkpoint)
-              n.put("last_batch_id", st.lastBatchId)
-              n.put("n_seen", st.nSeen)
-              n.put("sample_size", st.entries.size)
-              n.put("entries_are_exact", true)
-              val arr = n.putArray("entries")
-              st.entries.foreach { e =>
+            def writeEntries(into: ObjectNode,
+                es: Seq[graft.streaming.StreamingSample.SampleEntry]): Unit = {
+              val arr = into.putArray("entries")
+              es.foreach { e =>
                 val en = arr.addObject()
                 en.put("id", e.id)
                 e.value.foreach(v => en.put("value", v))
               }
             }
-            (200, n)
+            val st = graft.streaming.StreamingSample
+              .readStateLocked(store.spark, sd)
+            val gst =
+              if (st.lastBatchId < 0L)
+                Some(graft.streaming.StreamingGroupedSample
+                  .readStateLocked(store.spark, sd))
+                  .filter(_.lastBatchId >= 0L)
+              else None
+            val wantGroup = Option(ex.getRequestURI.getQuery)
+              .map(_.split("&").toSeq).getOrElse(Seq.empty)
+              .collectFirst {
+                case s if s.startsWith("group=") => s.drop("group=".length)
+              }
+            val n = obj()
+            gst match {
+              case Some(g0) =>
+                wantGroup match {
+                  case Some(g) if !g0.groups.contains(g) =>
+                    (404, err(s"group '$g' not in the folded grouped " +
+                      s"sample state (${g0.groups.size} groups folded)"))
+                  case _ =>
+                    n.put("folded", true)
+                    n.put("grouped", true)
+                    n.put("k", g0.k)
+                    n.put("salt", g0.salt)
+                    n.put("checkpoint", g0.checkpoint)
+                    n.put("last_batch_id", g0.lastBatchId)
+                    n.put("n_seen",
+                      g0.groups.valuesIterator.map(_.nSeen).sum)
+                    n.put("group_count", g0.groups.size)
+                    n.put("excluded_null_rows", g0.excludedNullRows)
+                    n.put("entries_are_exact", true)
+                    val selected = wantGroup match {
+                      case Some(g) => Seq(g -> g0.groups(g))
+                      case None => g0.groups.toSeq.sortBy(_._1)
+                    }
+                    val gs = n.putObject("groups")
+                    selected.foreach { case (g, s0) =>
+                      val gn = gs.putObject(g)
+                      gn.put("n_seen", s0.nSeen)
+                      gn.put("sample_size", s0.entries.size)
+                      writeEntries(gn, s0.entries)
+                    }
+                    (200, n)
+                }
+              case None if st.lastBatchId < 0L =>
+                // nothing folded in either shape: the family's
+                // well-formed empty envelope
+                n.put("folded", false)
+                n.put("last_batch_id", -1L)
+                n.put("n_seen", 0L)
+                (200, n)
+              case None =>
+                n.put("folded", true)
+                n.put("grouped", false)
+                n.put("k", st.k)
+                n.put("salt", st.salt)
+                n.put("checkpoint", st.checkpoint)
+                n.put("last_batch_id", st.lastBatchId)
+                n.put("n_seen", st.nSeen)
+                n.put("sample_size", st.entries.size)
+                n.put("entries_are_exact", true)
+                writeEntries(n, st.entries)
+                (200, n)
+            }
         }
       case ("POST", "/api/v1/admin/frequent-items/recount") =>
         (frequentItemsStateDir, frequentItemsSourceDir) match {

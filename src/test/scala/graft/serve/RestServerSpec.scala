@@ -830,7 +830,47 @@ class RestServerSpec extends SparkSpec {
         assert(e.get("id").asLong() == expect(i).id)
         assert(e.get("value").asDouble() == expect(i).value.get)
       }
+      // a flat fold never serves the grouped shape
+      assert(!r.get("grouped").asBoolean(), r.toString)
     } finally srv.stop()
+
+    // grouped fold in its own state dir: the selection rule picks it up,
+    // serves per-group samples, and ?group selects one
+    val gsd = java.nio.file.Files.createTempDirectory("graft_smp_gs_").toString
+    val gsrc = java.nio.file.Files.createTempDirectory("graft_smp_gsrc_").toString + "/files"
+    (0L until 100L).map(i => (s"s${i % 3}", i, i * 2.0))
+      .toDF("source", "doc_id", "value").coalesce(1).write.parquet(gsrc)
+    val gq = graft.streaming.StreamingGroupedSample.ingest(spark, gsrc, gsd,
+      java.nio.file.Files.createTempDirectory("graft_smp_gck_").toString,
+      k = 4, valueCol = Some("value"))
+    gq.processAllAvailable(); gq.stop()
+    val srvG = new RestServer(store, sampleStateDir = Some(gsd)).start()
+    try {
+      val (s, r) = call(srvG, "GET", "/api/v1/admin/sample")
+      assert(s == 200, r.toString)
+      assert(r.get("folded").asBoolean() && r.get("grouped").asBoolean())
+      assert(r.get("group_count").asInt() == 3)
+      assert(r.get("n_seen").asLong() == 100L)
+      assert(r.get("excluded_null_rows").asLong() == 0L)
+      // every group's entries match ITS batch bottom-k bit-for-bit
+      val twin = graft.streaming.StreamingGroupedSample
+        .batchBottomKPerGroup(spark.read.parquet(gsrc), k = 4,
+          valueCol = Some("value"))
+        .collect().groupBy(_.getString(0))
+      (0 until 3).foreach { gi =>
+        val g = s"s$gi"
+        val gn = r.get("groups").get(g)
+        assert(gn.get("sample_size").asInt() == 4, r.toString)
+        val ids = (0 until 4).map(i => gn.get("entries").get(i).get("id").asLong())
+        assert(ids.sorted == twin(g).map(_.getLong(2)).sorted.toSeq, g)
+      }
+      // ?group selection: one group only; unknown group is a 404
+      val (s1, r1) = call(srvG, "GET", "/api/v1/admin/sample?group=s1")
+      assert(s1 == 200 && r1.get("groups").size() == 1
+        && r1.get("groups").has("s1"), r1.toString)
+      val (s2, r2) = call(srvG, "GET", "/api/v1/admin/sample?group=nope")
+      assert(s2 == 404 && r2.get("error").asText().contains("nope"), r2.toString)
+    } finally srvG.stop()
   }
 
   test("admin frequent-items recount serves the EXACT face of the folded state") {
