@@ -76,6 +76,17 @@ import scala.util.control.NonFatal
   *                                      (histogramSourceDir; admin-gated, no
   *                                      client paths) and reports cell-level
   *                                      parity against the same snapshot
+  *   POST   /api/v1/admin/histogram/from-sample {n_bins?, coverage?,
+  *                                      group?} — derive a [lo, hi)
+  *                                      binning from the standing sample
+  *                                      fold's carried values
+  *                                      (HistogramSketch.fromSample); the
+  *                                      spec an operator passes to a new
+  *                                      histogram fold. Derives only —
+  *                                      stream lifecycle stays with the
+  *                                      operator's driver app. 'group'
+  *                                      required when the sample fold is
+  *                                      grouped
   *   GET    /api/v1/admin/sample?group=NAME — the folded deterministic
   *                                      bottom-k sample, flat OR grouped
   *                                      (the family's selection rule: one
@@ -1209,6 +1220,111 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                   }
                 } else (200, n)
                 }
+            }
+        }
+      // the sample→histogram bootstrap face: derive a fresh [lo, hi)
+      // binning from the STANDING sample fold's carried values (the
+      // HistogramSketch.fromSample arithmetic over the ≤ k locked-read
+      // entries — no Spark job, no corpus rescan) and return the spec an
+      // operator passes to StreamingHistogram.ingest (or
+      // ingestAutoBinned, the one-call programmatic form). The route
+      // DERIVES, it does not start a stream — a fold's lifecycle (its
+      // checkpoint, its state dir, who stops it) belongs to the
+      // operator's driver app, not an HTTP handler. Admin-gated by the
+      // same construction as the family: it reads only the
+      // operator-configured sampleStateDir.
+      case ("POST", "/api/v1/admin/histogram/from-sample") =>
+        sampleStateDir match {
+          case None => (404, err(
+            "sample state not configured on this server (pass " +
+              "sampleStateDir to RestServer) — the from-sample binning " +
+              "derives from the standing sample fold"))
+          case Some(sd) =>
+            val req = body(ex)
+            val nBins = Option(req).flatMap(r => Option(r.get("n_bins")))
+              .map(_.asInt()).getOrElse(32)
+            val coverage = Option(req).flatMap(r => Option(r.get("coverage")))
+              .map(_.asDouble()).getOrElse(0.99)
+            if (nBins <= 0)
+              (400, err(s"'n_bins' must be a positive integer, got $nBins"))
+            else if (coverage.isNaN || coverage <= 0.0 || coverage > 1.0)
+              (400, err(s"'coverage' must be in (0, 1], got $coverage"))
+            else {
+              // the sample route's flat-vs-grouped selection rule; a
+              // grouped fold requires naming WHICH group's distribution
+              // to bin for (a stratified binning is per-group by nature)
+              val st = graft.streaming.StreamingSample
+                .readStateLocked(store.spark, sd)
+              val gst =
+                if (st.lastBatchId < 0L)
+                  Some(graft.streaming.StreamingGroupedSample
+                    .readStateLocked(store.spark, sd))
+                    .filter(_.lastBatchId >= 0L)
+                else None
+              val entriesOr: Either[(Int, ObjectNode),
+                  Seq[graft.streaming.StreamingSample.SampleEntry]] =
+                gst match {
+                  case Some(g0) =>
+                    Option(req).flatMap(r => Option(r.get("group")))
+                      .map(_.asText()) match {
+                      case None => Left((400, err("the folded sample is " +
+                        s"GROUPED (${g0.groups.size} groups) — pass " +
+                        "'group' to derive a binning from one group's " +
+                        "sample")))
+                      case Some(g) => g0.groups.get(g)
+                        .map(gs => Right(gs.entries))
+                        .getOrElse(Left((404, err(s"group '$g' not in " +
+                          s"the folded grouped sample state " +
+                          s"(${g0.groups.size} groups folded)"))))
+                    }
+                  case None if st.lastBatchId < 0L =>
+                    // nothing folded: deriving is a category error (the
+                    // recount/verify 409 rule)
+                    Left((409, err(s"no folded sample state under $sd — " +
+                      "start the sample ingest (with a valueCol) before " +
+                      "asking for a from-sample binning")))
+                  case None => Right(st.entries)
+                }
+              entriesOr match {
+                case Left(resp) => resp
+                case Right(entries)
+                    if !entries.exists(_.value.exists(
+                      java.lang.Double.isFinite)) =>
+                  // folded, but no distribution to bin: a configuration
+                  // category (sample folded without a valueCol)
+                  (422, err("the folded sample carries no finite values " +
+                    "— it was folded without a valueCol (or every value " +
+                    "is null/NaN/Inf); re-fold the sample with the " +
+                    "column the histogram will bin"))
+                case Right(entries) =>
+                  val vals = entries.flatMap(_.value)
+                    .filter(java.lang.Double.isFinite).sorted
+                  // the ONE fromSample arithmetic over the ≤ k entries
+                  // (a LocalRelation — the collect is trivial):
+                  // rank-quantile tails at (1-coverage)/2 each side,
+                  // one-ulp-open hi, unit span for a degenerate spread —
+                  // via the operator itself so the arithmetic cannot
+                  // drift from the programmatic ingestAutoBinned path
+                  val spec = graft.operators.HistogramSketch.fromSample(
+                    store.spark.createDataFrame(
+                      java.util.Arrays.asList(vals.map(v =>
+                        org.apache.spark.sql.Row(Double.box(v))): _*),
+                      new org.apache.spark.sql.types.StructType()
+                        .add("value",
+                          org.apache.spark.sql.types.DoubleType)),
+                    "value", nBins, coverage,
+                    sampleSize = math.max(vals.size, 1))
+                  val n = obj()
+                  n.put("lo", spec.lo)
+                  n.put("hi", spec.hi)
+                  n.put("n_bins", spec.nBins)
+                  n.put("value_resolution", spec.width)
+                  n.put("coverage", coverage)
+                  n.put("sample_values", vals.size)
+                  n.put("sample_last_batch_id",
+                    gst.map(_.lastBatchId).getOrElse(st.lastBatchId))
+                  (200, n)
+              }
             }
         }
       // the folded deterministic bottom-k sample (graft extension):

@@ -163,6 +163,48 @@ object StreamingHistogram {
     }
   }
 
+  /** One-call sample→histogram bootstrap: derive the binning from a
+    * STANDING [[StreamingSample]] fold (its ≤ k carried values, read
+    * through the linearizable locked read) via
+    * [[HistogramSketch.fromSample]], then start the fold with that spec —
+    * no corpus rescan to choose [lo, hi). The operational closing of the
+    * misconfigured-range loop: the envelope's
+    * `out_of_range_mass_fraction` alert says the bounds drifted, the
+    * standing sample supplies fresh ones, this starts the re-fold.
+    *
+    * The derived spec lands in the state binding like any explicit one,
+    * so a LATER ingestAutoBinned against the same state dir whose sample
+    * has drifted to different bounds refuses loudly through the existing
+    * binding guard (re-binning requires a fresh state dir, deliberately —
+    * folded counts are only meaningful relative to their bins). Refuses
+    * loudly when the sample is empty or carries no values (folded
+    * without a valueCol).
+    *
+    * @return the started query and the derived spec (also recoverable
+    *         from the state file after the first batch) */
+  def ingestAutoBinned(spark: SparkSession, sourceDir: String,
+      stateDir: String, checkpointDir: String, sampleStateDir: String,
+      nBins: Int, coverage: Double = 0.99, valueCol: String = "value",
+      maxFilesPerTrigger: Int = 0): (StreamingQuery, HistogramSpec) = {
+    val sample = StreamingSample.readStateLocked(spark, sampleStateDir)
+    if (sample.lastBatchId < 0L)
+      throw new IllegalStateException(
+        s"no folded sample state under $sampleStateDir — the auto-binned " +
+          "fold derives its [lo, hi) from the standing sample; start the " +
+          "sample stream (with a valueCol) first, or pass an explicit " +
+          "HistogramSpec to ingest")
+    if (!sample.entries.exists(_.value.exists(java.lang.Double.isFinite)))
+      throw new IllegalStateException(
+        s"sample state under $sampleStateDir carries no finite values " +
+          "(folded without a valueCol, or every carried value is " +
+          "null/NaN/Inf) — re-fold the sample with a valueCol so " +
+          "fromSample has a distribution to derive bounds from")
+    val spec = HistogramSketch.fromSample(
+      StreamingSample.toDF(spark, sample), "value", nBins, coverage)
+    (ingest(spark, sourceDir, stateDir, checkpointDir, spec, valueCol,
+      maxFilesPerTrigger), spec)
+  }
+
   /** Start the stream: parquet arrivals under `sourceDir` with a DOUBLE
     * `valueCol`, folded per micro-batch into the histogram state under
     * `stateDir`. Single-stream-per-state-dir contract, non-atomic-rename

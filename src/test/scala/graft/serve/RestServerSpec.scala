@@ -870,7 +870,78 @@ class RestServerSpec extends SparkSpec {
         && r1.get("groups").has("s1"), r1.toString)
       val (s2, r2) = call(srvG, "GET", "/api/v1/admin/sample?group=nope")
       assert(s2 == 404 && r2.get("error").asText().contains("nope"), r2.toString)
+
+      // from-sample binning over the grouped fold: 'group' required,
+      // then the derived spec equals the offline fromSample over that
+      // group's entries (the one-arithmetic rule)
+      val (sFs0, rFs0) = call(srvG, "POST",
+        "/api/v1/admin/histogram/from-sample", """{"n_bins": 4}""")
+      assert(sFs0 == 400 && rFs0.get("error").asText().contains("GROUPED"),
+        rFs0.toString)
+      val (sFs, rFs) = call(srvG, "POST",
+        "/api/v1/admin/histogram/from-sample",
+        """{"n_bins": 4, "coverage": 1.0, "group": "s1"}""")
+      assert(sFs == 200, rFs.toString)
+      val gSt = graft.streaming.StreamingGroupedSample
+        .readState(spark, gsd)
+      val offline = graft.operators.HistogramSketch.fromSample(
+        graft.streaming.StreamingGroupedSample.toDF(spark, gSt)
+          .filter(org.apache.spark.sql.functions.col("group") === "s1"),
+        "value", 4, coverage = 1.0, sampleSize = 1000)
+      assert(rFs.get("lo").asDouble() == offline.lo, rFs.toString)
+      assert(rFs.get("hi").asDouble() == offline.hi, rFs.toString)
+      assert(rFs.get("n_bins").asInt() == 4)
+      assert(rFs.get("sample_values").asInt() == 4)
     } finally srvG.stop()
+
+    // from-sample over the FLAT fold + the refusal ladder
+    val srvFs = new RestServer(store, sampleStateDir = Some(sd)).start()
+    try {
+      val (s, r) = call(srvFs, "POST",
+        "/api/v1/admin/histogram/from-sample",
+        """{"n_bins": 8, "coverage": 1.0}""")
+      assert(s == 200, r.toString)
+      val flatSt = graft.streaming.StreamingSample.readState(spark, sd)
+      val offline = graft.operators.HistogramSketch.fromSample(
+        graft.streaming.StreamingSample.toDF(spark, flatSt),
+        "value", 8, coverage = 1.0, sampleSize = 1000)
+      assert(r.get("lo").asDouble() == offline.lo, r.toString)
+      assert(r.get("hi").asDouble() == offline.hi, r.toString)
+      assert(r.get("value_resolution").asDouble() == offline.width)
+      // malformed knobs 400 loudly
+      val (sB, rB) = call(srvFs, "POST",
+        "/api/v1/admin/histogram/from-sample", """{"n_bins": 0}""")
+      assert(sB == 400 && rB.get("error").asText().contains("n_bins"))
+      val (sC, rC) = call(srvFs, "POST",
+        "/api/v1/admin/histogram/from-sample", """{"coverage": 1.5}""")
+      assert(sC == 400 && rC.get("error").asText().contains("coverage"))
+    } finally srvFs.stop()
+    // unconfigured: 404; empty state: 409 (category error); no values: 422
+    val srvFs0 = new RestServer(store).start()
+    try {
+      val (s, r) = call(srvFs0, "POST",
+        "/api/v1/admin/histogram/from-sample", "{}")
+      assert(s == 404 && r.get("error").asText().contains("not configured"))
+    } finally srvFs0.stop()
+    val srvFsE = new RestServer(store, sampleStateDir = Some(empty)).start()
+    try {
+      val (s, r) = call(srvFsE, "POST",
+        "/api/v1/admin/histogram/from-sample", "{}")
+      assert(s == 409 && r.get("error").asText().contains("no folded"), r.toString)
+    } finally srvFsE.stop()
+    val nvSd = java.nio.file.Files.createTempDirectory("graft_smp_nv_").toString
+    val nvSrc = java.nio.file.Files.createTempDirectory("graft_smp_nvsrc_").toString + "/files"
+    (0L until 20L).toDF("doc_id").coalesce(1).write.parquet(nvSrc)
+    val nvQ = graft.streaming.StreamingSample.ingest(spark, nvSrc, nvSd,
+      java.nio.file.Files.createTempDirectory("graft_smp_nvck_").toString, k = 8)
+    nvQ.processAllAvailable(); nvQ.stop()
+    val srvFsNv = new RestServer(store, sampleStateDir = Some(nvSd)).start()
+    try {
+      val (s, r) = call(srvFsNv, "POST",
+        "/api/v1/admin/histogram/from-sample", "{}")
+      assert(s == 422 && r.get("error").asText().contains("no finite values"),
+        r.toString)
+    } finally srvFsNv.stop()
   }
 
   test("admin frequent-items recount serves the EXACT face of the folded state") {

@@ -285,4 +285,59 @@ class StreamingHistogramSpec extends SparkSpec {
     }
     assert(eWedge.getMessage.contains("persists after recovery"))
   }
+
+  test("ingestAutoBinned: bins derive from the standing sample; " +
+      "binding guard still refuses drift") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_hist_ab_").toString
+    // 1. a standing sample fold over the corpus's value column
+    (0L until 200L).map(i => (i, 10.0 + i)).toDF("doc_id", "value")
+      .coalesce(1).write.parquet(s"$tmp/src")
+    val sq = StreamingSample.ingest(spark, s"$tmp/src", s"$tmp/sample",
+      s"$tmp/sck", k = 64, valueCol = Some("value"))
+    sq.processAllAvailable(); sq.stop()
+    // 2. one call: derive bins from the sample, start the fold
+    val (q, spec) = StreamingHistogram.ingestAutoBinned(spark,
+      s"$tmp/src", s"$tmp/hist", s"$tmp/hck", s"$tmp/sample",
+      nBins = 8, coverage = 1.0)
+    q.processAllAvailable(); q.stop()
+    // 3. the spec in the STATE equals an offline fromSample over the
+    // same standing sample (the one-arithmetic rule)
+    val sample = StreamingSample.readState(spark, s"$tmp/sample")
+    val offline = graft.operators.HistogramSketch.fromSample(
+      StreamingSample.toDF(spark, sample), "value", 8, coverage = 1.0)
+    val hst = StreamingHistogram.readState(spark, s"$tmp/hist")
+    assert(hst.spec == offline, s"state ${hst.spec} vs offline $offline")
+    assert(hst.spec == spec)
+    assert(hst.n == 200L)
+    // coverage 1.0 over a uniform sample: the folded mass lands in range
+    // except values outside the SAMPLE's min/max span
+    val oor = hst.bins.getOrElse(-1, 0L) + hst.bins.getOrElse(8, 0L)
+    assert(oor.toDouble / hst.n < 0.2, s"out-of-range $oor of ${hst.n}")
+    // 4. the binding guard: re-deriving against the same state dir with
+    // a DIFFERENT coverage (different bounds) refuses loudly
+    val e = intercept[IllegalStateException] {
+      StreamingHistogram.ingestAutoBinned(spark, s"$tmp/src",
+        s"$tmp/hist", s"$tmp/hck", s"$tmp/sample",
+        nBins = 8, coverage = 0.5)
+    }
+    assert(e.getMessage.contains("binning"), e.getMessage)
+    // 5. loud refusals: no sample state / no carried values
+    val eNone = intercept[IllegalStateException] {
+      StreamingHistogram.ingestAutoBinned(spark, s"$tmp/src",
+        s"$tmp/h2", s"$tmp/hck3",
+        Files.createTempDirectory("graft_hist_ab_none_").toString, 8)
+    }
+    assert(eNone.getMessage.contains("no folded sample state"))
+    val nv = Files.createTempDirectory("graft_hist_ab_nv_").toString
+    (0L until 20L).toDF("doc_id").coalesce(1).write.parquet(s"$nv/src")
+    val sq2 = StreamingSample.ingest(spark, s"$nv/src", s"$nv/sample",
+      s"$nv/sck", k = 8)
+    sq2.processAllAvailable(); sq2.stop()
+    val eNoVal = intercept[IllegalStateException] {
+      StreamingHistogram.ingestAutoBinned(spark, s"$tmp/src",
+        s"$tmp/h3", s"$tmp/hck4", s"$nv/sample", 8)
+    }
+    assert(eNoVal.getMessage.contains("no finite values"), eNoVal.getMessage)
+  }
 }
