@@ -303,6 +303,32 @@ object Opq {
       shortlist, rerank, idCol, queryIdCol, queryEmbCol, metric,
       adcQueryTransform = rotateOne(model, _))
 
+  /** Mean squared reconstruction error of `vecs` under the model — the
+    * quantity OPQ training minimizes, computed in the ROTATED space
+    * (R·v vs the nearest-code reconstruction; orthogonality makes it
+    * equal the raw-space error, see the object scaladoc). Driver-side
+    * over a bounded sample: this is the staleness probe's kernel — a
+    * rotation learned on yesterday's corpus reconstructs today's drifted
+    * corpus measurably worse, eroding the ADC recall edge the tier
+    * exists for, long before any search-visible symptom. */
+  def reconstructionMse(model: OpqModel, vecs: Array[Array[Float]]): Double = {
+    require(vecs.nonEmpty, "empty sample for reconstructionMse")
+    val dim = model.dim
+    var sum = 0.0
+    vecs.foreach { v =>
+      require(v.length == dim,
+        s"sampled vector length ${v.length} != model dim=$dim")
+      val rv = matVec(model.rotation, v)
+      val rec = reconstruct(model.pq.codebooks, model.pq.subDim, dim, rv)
+      var j = 0; var d = 0.0
+      while (j < dim) {
+        val t = rv(j).toDouble - rec(j).toDouble; d += t * t; j += 1
+      }
+      sum += d
+    }
+    sum / vecs.length
+  }
+
   // ---- persistence (the PQ sidecar shape + rotation rows) ----
 
   def save(spark: org.apache.spark.sql.SparkSession, model: OpqModel,

@@ -884,6 +884,20 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           val t = d.putObject(tier)
           t.put("missing", missing); t.put("orphaned", orphaned)
         }
+        // OPQ rotation staleness: fresh/train reconstruction-MSE ratio
+        // under the saved model (-1 = no OPQ tier or baseline unknown
+        // this scan). Advisory: at >= OpqStaleRatioAlert (1.5) the
+        // rotation was learned on a corpus that has drifted away —
+        // retrain via POST /admin/index/opq {retrain: true}; a loud
+        // warning field appears so a monitor needn't hardcode the
+        // threshold
+        n.put("opq_rotation_mse_ratio", r.opqRotationMseRatio)
+        if (r.opqRotationMseRatio >= VectorStore.OpqStaleRatioAlert)
+          n.put("opq_rotation_warning",
+            f"fresh-sample reconstruction MSE is ${r.opqRotationMseRatio}%.2f" +
+              "x the training baseline — the saved rotation is stale; " +
+              "re-train via POST /admin/index/opq {\"retrain\": true} to " +
+              "restore the tier's recall edge")
         // confirm-pass envelope: transients_confirmed = the re-probe ran
         // after the lease quiesced; confirmed counts are −1 when not
         // confirmed (not requested / writer stayed live / coverage

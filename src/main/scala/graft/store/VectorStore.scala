@@ -1291,6 +1291,11 @@ class VectorStore(val spark: SparkSession, val path: String,
       invalidClusterCount = invalidCluster, codeTierDrift = drift,
       recentIndexStaleParts = idxStale,
       recentIndexMissingParts = idxMissing,
+      // the rotation staleness probe rides the scan when the OPQ tier is
+      // up: one bounded sample collect + driver-side reconstruction —
+      // O(sample x d^2), trivial beside the tier anti-joins above
+      opqRotationMseRatio = opqRotationDrift()
+        .map(_.ratio).getOrElse(-1.0),
       isComplete = manifest.isDefined && wrongDim == 0 && dupIds == 0 &&
         invalidCluster == 0 &&
         drift.values.forall(p => p._1 == 0 && p._2 == 0),
@@ -1938,6 +1943,16 @@ class VectorStore(val spark: SparkSession, val path: String,
         Opq.save(spark, t, dir("opq_model"))
         t
       }
+    // the staleness baseline: reconstruction MSE of a bounded sample of
+    // the corpus the model was trained FOR, persisted beside the model.
+    // Written on retrain (fresh model = fresh baseline) and backfilled
+    // when a kept model (retrain=false) predates the stats sidecar —
+    // that backfill measures the CURRENT corpus, the best available
+    // proxy for the lost training-time one (noted in the probe contract)
+    if (retrain || !exists("opq_model/train_stats")) {
+      val probe = sampleEmbeddings(hist, OpqDriftSampleSize, seed = 7L)
+      writeOpqTrainStats(Opq.reconstructionMse(model, probe), probe.length)
+    }
     val codes = hist.select(col("id"), col("vid"), col("ts"),
       col("cluster_id").cast("long").as("cluster_id"),
       Opq.encode(model, col("embedding")).as("codes"))
@@ -1952,6 +1967,61 @@ class VectorStore(val spark: SparkSession, val path: String,
     exists("opq_model/codebooks") && exists("opq_model/rotation")
 
   def hasOpq: Boolean = hasOpqModel && hasRowsRecursive("opq_codes")
+
+  /** Bounded sample of historical embeddings (the [[Opq.train]] collect
+    * discipline: orderBy(rand).limit, never a full scan). */
+  private def sampleEmbeddings(hist: DataFrame, n: Int,
+      seed: Long): Array[Array[Float]] =
+    hist.select(col("embedding")).orderBy(rand(seed)).limit(n)
+      .collect().map(_.getSeq[Float](0).toArray)
+
+  private def writeOpqTrainStats(mse: Double, sampleN: Int): Unit = {
+    import spark.implicits._
+    Seq((mse, sampleN.toLong)).toDF("train_mse", "sample_n").repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(dir("opq_model/train_stats"))
+  }
+
+  /** The OPQ rotation staleness probe: reconstruction MSE of a bounded
+    * FRESH sample of the current historical tier under the SAVED model,
+    * against the persisted training-time baseline. `refreshOpq` always
+    * delta-encodes with the saved rotation (correct — codes must share
+    * one space), so after heavy drift (many migrations/rebalances since
+    * training) the rotation was learned on a corpus that no longer
+    * exists and the tier's recall edge over plain PQ silently erodes;
+    * the MSE ratio is the leading indicator. Guidance: alert at ratio ≥
+    * [[VectorStore.OpqStaleRatioAlert]] (1.5 — reconstruction error half
+    * again over baseline) and re-train via `enableOpq(retrain = true)`,
+    * which re-encodes the whole tier in the new space and resets the
+    * baseline. None when the tier isn't built or the model predates the
+    * stats sidecar AND no enableOpq has backfilled it yet — "could not
+    * verify", never a fake 1.0 (the -1 sentinel posture). */
+  def opqRotationDrift(sampleSize: Int = OpqDriftSampleSize,
+      seed: Long = 11L): Option[OpqDriftProbe] = {
+    if (!hasOpq || !exists("opq_model/train_stats")) None
+    else {
+      val stats = spark.read.parquet(dir("opq_model/train_stats"))
+        .select(col("train_mse")).head()
+      val trainMse = stats.getDouble(0)
+      val model = Opq.load(spark, dir("opq_model"))
+      // wrong-dim rows are checkIntegrity's wrongDimCount class — the
+      // probe skips them rather than turning a counted defect into a
+      // scan-killing throw inside reconstructionMse
+      val fresh = sampleEmbeddings(historical, sampleSize, seed)
+        .filter(_.length == model.dim)
+      if (fresh.isEmpty) None
+      else {
+        val freshMse = Opq.reconstructionMse(model, fresh)
+        // a zero baseline (degenerate all-equal training corpus) makes
+        // the ratio meaningless — report Inf only when fresh error is
+        // real, 1.0 when both are zero (nothing drifted)
+        val ratio =
+          if (trainMse > 0.0) freshMse / trainMse
+          else if (freshMse == 0.0) 1.0
+          else Double.PositiveInfinity
+        Some(OpqDriftProbe(trainMse, freshMse, ratio))
+      }
+    }
+  }
 
   /** [[refreshPq]] for the OPQ tier: encode the post-enable historical
     * delta with the saved rotation + codebooks and append. */
@@ -2377,12 +2447,33 @@ object VectorStore {
     * on a malformed `files` list (serving survives what the admin scan
     * flags); an UNPARSEABLE meta.json fails search too, since it is
     * load-bearing for the index metric. */
+  /** [[VectorStore.opqRotationDrift]] result: training-baseline vs
+    * fresh-sample reconstruction MSE under the saved OPQ model, and
+    * their ratio (the staleness measurable; alert guidance at
+    * [[OpqStaleRatioAlert]]). */
+  case class OpqDriftProbe(trainMse: Double, freshMse: Double, ratio: Double)
+
+  /** Bounded sample size for the OPQ train-baseline and drift probes. */
+  val OpqDriftSampleSize: Int = 2000
+
+  /** Documented alert threshold for [[VectorStore.opqRotationDrift]]'s
+    * MSE ratio: at 1.5 the saved rotation reconstructs the current
+    * corpus half again worse than its training baseline — re-train via
+    * `enableOpq(retrain = true)`. Advisory (never folded into
+    * `isComplete`): drift erodes recall, it does not corrupt data. */
+  val OpqStaleRatioAlert: Double = 1.5
+
   case class IntegrityReport(hasManifest: Boolean, hasCentroids: Boolean,
       liveRecent: Long, liveHistorical: Long, wrongDimCount: Long,
       duplicateIdCount: Long, crossTierDuplicateCount: Long,
       invalidClusterCount: Long,
       codeTierDrift: Map[String, (Long, Long)],
       recentIndexStaleParts: Long, recentIndexMissingParts: Long,
+      // OPQ rotation staleness (fresh/train reconstruction-MSE ratio;
+      // -1 = no OPQ tier or baseline unknown this scan — never a fake
+      // healthy 1.0). Advisory like the index part probes: alert at
+      // ratio >= OpqStaleRatioAlert and retrain
+      opqRotationMseRatio: Double = -1.0,
       isComplete: Boolean,
       // the r14 confirm pass (checkIntegrity(confirmTransients = true)):
       // transientsConfirmed = the re-probe RAN after the writer lease

@@ -282,6 +282,58 @@ class StoreIndexSpec extends SparkSpec {
     assert(sm.select("id").head().getString(0) == "o22")
   }
 
+  test("OPQ rotation staleness probe trips on drift; retrain restores it") {
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_opqd_").toString,
+      Config(recentThresholdSeconds = 3600, nClusters = 4))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    // distribution A: variance lives in the first two dims
+    def vecA(i: Int): Array[Float] = Array.tabulate(8)(j =>
+      if (j < 2) math.sin(i * (j + 1)).toFloat else 0.01f * j)
+    // distribution B: variance lives in the LAST dims, 10x the scale —
+    // a rotation+codebooks learned on A reconstructs it badly
+    def vecB(i: Int): Array[Float] = Array.tabulate(8)(j =>
+      if (j >= 6) 10f * math.cos(i * (j + 1)).toFloat else 0.01f * j)
+    st.insert((0 until 60).map(i =>
+      VectorRecord(s"a$i", vecA(i), tsString = Some(oldTs))))
+    assert(st.migrate() == 60)
+    st.enableOpq(m = 4, kCodes = 8, trainSize = 60, iters = 2)
+    // freshly trained: fresh sample IS the training corpus — ratio ~ 1
+    val p0 = st.opqRotationDrift().get
+    assert(p0.ratio < VectorStore.OpqStaleRatioAlert,
+      s"fresh model must not read stale: $p0")
+    assert(st.checkIntegrity().opqRotationMseRatio == p0.ratio)
+
+    // drift: B floods the tier; refreshOpq delta-encodes with the SAVED
+    // (now stale) rotation — correct code-space behavior, eroding recall
+    st.insert((0 until 240).map(i =>
+      VectorRecord(s"b$i", vecB(i), tsString = Some(oldTs))))
+    assert(st.migrate() == 240)
+    assert(st.refreshOpq() == 240)
+    val p1 = st.opqRotationDrift().get
+    assert(p1.ratio >= VectorStore.OpqStaleRatioAlert,
+      s"probe must trip after the corpus drifted: $p1")
+    assert(st.checkIntegrity().opqRotationMseRatio >=
+      VectorStore.OpqStaleRatioAlert)
+
+    // retrain: new rotation + codebooks on the CURRENT corpus, new
+    // baseline — the gate is restored
+    st.enableOpq(m = 4, kCodes = 8, trainSize = 300, iters = 2,
+      retrain = true)
+    val p2 = st.opqRotationDrift().get
+    assert(p2.ratio < VectorStore.OpqStaleRatioAlert,
+      s"retrain must restore the gate: $p2")
+
+    // no-OPQ store: the -1 "could not verify" sentinel, never a fake 1.0
+    val st2 = new VectorStore(spark,
+      Files.createTempDirectory("graft_opqd2_").toString,
+      Config(recentThresholdSeconds = 3600, nClusters = 4))
+    st2.insert(Seq(VectorRecord("x", vec(1), tsString = Some(oldTs))))
+    st2.migrate()
+    assert(st2.opqRotationDrift().isEmpty)
+    assert(st2.checkIntegrity().opqRotationMseRatio == -1.0)
+  }
+
   test("SQ tier round-trips and serves oracle-equal top-k with full probe") {
     val st = new VectorStore(spark,
       Files.createTempDirectory("graft_sqt_").toString,
