@@ -202,15 +202,20 @@ object Dedup {
     * removed); component labels give one canonical survivor per cluster and
     * the cluster-size statistics a curation report needs.
     *
-    * Algorithm: min-label propagation. `label(v)` starts at `v`; each round
-    * every vertex takes the min of its own label and its neighbors' labels;
-    * converges in O(cluster diameter) rounds. Near-dup graphs are stars and
-    * short chains, so 2–4 rounds in practice; each round is one shuffle on
-    * the id key, and the driver sees only a per-round changed-count
+    * Algorithm: min-label propagation WITH pointer jumping. `label(v)`
+    * starts at `v`; each round every vertex takes the min of its own
+    * label, its neighbors' labels, and its label's label (path doubling —
+    * one extra self-join ∝ nodes per round); converges in O(log cluster
+    * diameter) rounds, so even a pathological chain-shaped component
+    * (templated pages chaining pairwise) cannot blow the iteration
+    * budget — a 4096-deep chain converges in 14 rounds (SCALING.md width
+    * legs). Near-dup graphs are stars and short chains, so 2–4 rounds in
+    * practice; each round is one shuffle on the id key plus the label
+    * self-join, and the driver sees only a per-round changed-count
     * aggregate, never row data. Lineage is truncated per round
     * (localCheckpoint) so plan depth stays constant; on a real cluster use
     * a checkpoint dir — the loop itself is scale-safe because rounds are
-    * bounded by the deepest chain, not by corpus size.
+    * logarithmic in the deepest chain and independent of corpus size.
     *
     * Returns (id, component) for every id that appears in a pair. Docs with
     * no near-dup pair are their own singleton component and are omitted.
@@ -236,10 +241,28 @@ object Dedup {
     while (!converged && it < maxIter) {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("comp").as("nbr_comp"))
+      // pointer jumping (path doubling): besides the neighbor minimum,
+      // each node also adopts its CURRENT label's label — comp values are
+      // always node ids (init: own id; updates: mins over node labels),
+      // so the lookup is one self-equi-join on the label relation. This
+      // turns rounds-to-fixpoint from O(eccentricity of the min node) —
+      // which a chain-shaped component makes O(component size) — into
+      // O(log diameter): after the first round a node's label is 1 hop
+      // closer to the min, and each later round roughly doubles the
+      // covered distance (measured: a 4096-deep chain converges in 14
+      // rounds, SCALING.md). One extra shuffle ∝ nodes per round buys an
+      // exponential drop in rounds on exactly the graphs that used to
+      // threaten the iteration budget.
+      val compOfComp = labels
+        .select(col("id").as("comp"), col("comp").as("comp2"))
       val updated = labels.join(nbrMin, Seq("id"), "left")
+        .join(compOfComp, Seq("comp"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
-          (col("nbr_comp") < col("comp")).as("changed"))
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")),
+            coalesce(col("comp2"), col("comp"))).as("new_comp"),
+          col("comp"))
+        .select(col("id"), col("new_comp").as("comp"),
+          (col("new_comp") < col("comp")).as("changed"))
         .localCheckpoint(true)
       converged = updated.filter(col("changed")).count() == 0
       labels = updated.drop("changed")
@@ -261,7 +284,7 @@ object Dedup {
   /** Rounds the most recent [[duplicateClusters]] call took to converge
     * (including the final no-change confirmation round) — measurement
     * surface for the scaling harness: the scale claim is rounds ~
-    * O(cluster diameter), flat in corpus size. */
+    * O(log cluster diameter), flat in corpus size. */
   @volatile var lastPropagationRounds: Int = 0
 
   /** Transitive near-dup removal: one canonical survivor (the minimum id)

@@ -328,8 +328,8 @@ object ScalingCurve {
               rowsPerBand = rpb, threshold = 0.5).count())))
 
       // label-propagation family over the SAME corpus: the scale claim is
-      // rounds ~ O(cluster diameter) — FLAT in corpus size (the replica
-      // corpus repeats the base graph's structure, so diameter is
+      // rounds ~ O(log cluster diameter) — FLAT in corpus size (the
+      // replica corpus repeats the base graph's structure, so diameter is
       // unchanged) — with per-round cost ∝ pairs. The pair list is
       // materialized first so the propagation number times the loop, not
       // a re-run of the LSH pipeline per round.

@@ -115,4 +115,18 @@ class DedupClustersSpec extends SparkSpec {
     intercept[IllegalStateException](
       Dedup.duplicateClusters(pairs, maxIter = 2))
   }
+
+  test("pointer jumping converges chains in O(log depth) rounds") {
+    // a 64-deep chain under pure neighbor-min propagation would need
+    // ~64 rounds; path doubling covers distance ~2^r by round r, so the
+    // default maxIter=20 budget absorbs it with a wide margin — the
+    // property that makes chain-shaped components (the leakage-split
+    // width concern) safe at any corpus scale
+    val depth = 64L
+    val pairs = (1L until depth).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(comps.size == depth && comps.values.forall(_ == 1L))
+    assert(Dedup.lastPropagationRounds <= 10,
+      s"expected ~log2(64)+3 rounds, took ${Dedup.lastPropagationRounds}")
+  }
 }
