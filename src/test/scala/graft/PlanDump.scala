@@ -255,23 +255,60 @@ object PlanDump {
       import org.apache.spark.sql.functions._
       val docs = graft.core.Tables.load(spark, dir, "documents")
         .select(col("doc_id"), col("n_chars").cast("double").as("value"))
+      val obs = org.apache.spark.sql.Observation()
       val df = docs.select(
           graft.streaming.StreamingSample.priority(col("doc_id"), "sample")
             .as("__key"),
           col("doc_id").as("__id"), col("value").as("__value"))
+        .observe(obs, count(lit(1)).as("n_rows"))
         .dropDuplicates("__id")
         .orderBy(col("__key"), col("__id")).limit(32)
       df.collect()
       sb.append("\n## streaming_sample — per-batch deterministic bottom-k\n\n")
       sb.append(("""The sample fold's per-batch aggregation: the salted-hash
         |priority is md5 arithmetic in the scan-side project (engine-
-        |stable — DuckDB replays the whole sample bit-exactly), the
-        |duplicate-id dedup is one hash aggregate, and the bottom-k is
-        |TakeOrderedAndProject — each task keeps its own k smallest, the
-        |driver merges <= k per partition; no full sort, no row shuffle
-        |beyond the dedup's. The driver-side semilattice merge into the
-        |FsSwap-committed state is O(k); no plan at all. Nothing grows
-        |with stream length.""".stripMargin)
+        |stable — DuckDB replays the whole sample bit-exactly), the nSeen
+        |row count is a CollectMetrics node riding the SAME scan (r16 —
+        |one pass per batch, no second count action re-reading the
+        |files), the duplicate-id dedup is one hash aggregate, and the
+        |bottom-k is TakeOrderedAndProject — each task keeps its own k
+        |smallest, the driver merges <= k per partition; no full sort, no
+        |row shuffle beyond the dedup's. The driver-side semilattice
+        |merge into the FsSwap-committed state is O(k); no plan at all.
+        |Nothing grows with stream length.""".stripMargin)
+        .linesIterator.map(_.trim).mkString(" "))
+      sb.append("\n\n```\n")
+      sb.append(df.queryExecution.executedPlan.toString.take(6000))
+      sb.append("\n```\n")
+    }
+    // the grouped sample fold's per-batch plan: ONE grouped imperative
+    // bottom-k aggregate (objHashAggregate), partial before the exchange
+    // — each task ships <= k candidates per group, never rows
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = graft.core.Tables.load(spark, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("double").as("value"))
+      val df = docs.select(col("source").as("__g"),
+          graft.streaming.StreamingSample.priority(col("doc_id"), "sample")
+            .as("__key"),
+          col("doc_id").as("__id"), col("value").as("__v"))
+        .groupBy("__g")
+        .agg(graft.operators.TopKImperative.bottomKSample(8)(
+            col("__key"), col("__id"), col("__v")).as("bk"),
+          count(lit(1)).as("n"))
+      df.collect()
+      sb.append("\n## streaming_sample_by_source — grouped per-batch bottom-k\n\n")
+      sb.append(("""The grouped sample fold's per-batch aggregation: ONE grouped
+        |TypedImperativeAggregate (BottomKSampleAgg) with map-side
+        |partial aggregation — each task holds O(k) per group with
+        |in-buffer duplicate-id dedup and ships <= k candidates per group
+        |per partition, so the exchange carries per-group summaries,
+        |never rows (the grouped-MG posture). The per-group row count
+        |rides the same aggregate; the null group is its own groupBy key,
+        |counted and dropped on the driver. The driver fold is the flat
+        |merge per group, <= maxGroups x k state. Nothing grows with
+        |stream length; the group dimension is capped loudly.""".stripMargin)
         .linesIterator.map(_.trim).mkString(" "))
       sb.append("\n\n```\n")
       sb.append(df.queryExecution.executedPlan.toString.take(6000))
