@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_SAMPLE_SCALES  (default "1,10")    corpus decades
   *   SPARK_GRAFT_SAMPLE_KS      (default "32,1024") k decades
   *   SPARK_GRAFT_SAMPLE_GROUPED=1                   per-source fold
+  *   SPARK_GRAFT_SAMPLE_GROUPS=N                    width leg: N synthetic
+  *     sources (the HhStreamRun stride-walked residue ring, so the state
+  *     genuinely accumulates N groups) — prices the groups × k state and
+  *     the per-batch driver fold at e.g. the 10,000-group default cap
   *   SPARK_GRAFT_SAMPLE_POLL_MS=M                   hot locked-read poller
   *   SPARK_GRAFT_LONGRUN_BATCHES (default 50)
   * Results -> SCALING.md.
@@ -33,6 +37,7 @@ object SampleStreamRun {
     val ks = sys.env.getOrElse("SPARK_GRAFT_SAMPLE_KS", "32,1024")
       .split(",").map(_.trim.toInt).toSeq
     val grouped = sys.env.get("SPARK_GRAFT_SAMPLE_GROUPED").contains("1")
+    val widthGroups = sys.env.get("SPARK_GRAFT_SAMPLE_GROUPS").map(_.toInt)
     val pollMs = sys.env.getOrElse("SPARK_GRAFT_SAMPLE_POLL_MS", "0").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -47,9 +52,19 @@ object SampleStreamRun {
     val baseDocs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         col("n_chars").cast("double").as("value"))
-    val tag = if (grouped) "samplerun-grouped" else "samplerun"
+    val tag = (if (grouped) "samplerun-grouped" else "samplerun") +
+      widthGroups.filter(_ => grouped).map(g => s"-w$g").getOrElse("")
     val stateName =
       if (grouped) "sample_grouped_state.json" else "sample_state.json"
+    // width mode: the HhStreamRun residue-ring walk — g synthetic sources
+    // with a per-batch g-coprime stride so the STATE accumulates g groups
+    // within the first few batches even when |docs| < g
+    def widthStride(g: Int): Long =
+      Iterator.from(4999).find(s => BigInt(s).gcd(BigInt(g)) == 1).get.toLong
+    def widthSource(g: Int, batchId: Int) =
+      concat(lit("src_"),
+        pmod(col("doc_id") + lit(batchId.toLong * widthStride(g)),
+          lit(g.toLong)).cast("string"))
 
     def runLeg(scale: Int, k: Int, poll: Boolean): Unit = {
       val tmp = java.nio.file.Files
@@ -58,13 +73,18 @@ object SampleStreamRun {
         // one source file per micro-batch; ids disjoint per batch and per
         // replica so the distinct-id universe genuinely grows with the
         // stream (the case the bottom-k must stay O(k) against)
-        for (i <- 1 to nBatches)
+        for (i <- 1 to nBatches) {
+          val srcCol = widthGroups match {
+            case Some(g) if grouped => widthSource(g, i)
+            case _ => col("source")
+          }
           baseDocs.withColumn("rep", explode(sequence(lit(0), lit(scale - 1))))
             .select((col("doc_id") + col("rep") * 1000000L
               + lit(i.toLong * 100000000L)).as("doc_id"),
-              col("source"), col("value"))
+              srcCol.as("source"), col("value"))
             .coalesce(1)
             .write.mode("append").parquet(s"$tmp/src")
+        }
         val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Int)]()
         val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
           override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()

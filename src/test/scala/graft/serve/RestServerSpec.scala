@@ -350,6 +350,10 @@ class RestServerSpec extends SparkSpec {
       assert(s0 == 200 && r0.get("is_complete").asBoolean(), r0.toString)
       assert(r0.get("live_historical").asLong() == 10L)
       assert(r0.get("code_tier_drift").get("sq_codes").get("missing").asLong() == 0L)
+      // no OPQ tier: the rotation-staleness probe serves its -1
+      // "could not verify" sentinel, and no warning field phantoms in
+      assert(r0.get("opq_rotation_mse_ratio").asDouble() == -1.0, r0.toString)
+      assert(!r0.has("opq_rotation_warning"))
       // drift: a raw migrate() does not refresh code tiers
       store.insert(Seq(VectorStore.VectorRecord("late",
         Array.tabulate(8)(j => math.cos(j + 1).toFloat), tsString = Some(oldTs))))
