@@ -87,16 +87,24 @@ import scala.util.control.NonFatal
   *                                      operator's driver app. 'group'
   *                                      required when the sample fold is
   *                                      grouped
-  *   GET    /api/v1/admin/sample?group=NAME — the folded deterministic
-  *                                      bottom-k sample, flat OR grouped
-  *                                      (the family's selection rule: one
-  *                                      state dir, flat wins ties); ids +
-  *                                      carried values via the
-  *                                      linearizable locked read; exact —
-  *                                      a pure function of the corpus.
-  *                                      ?group selects one group's sample
-  *                                      from a grouped fold (404 if the
-  *                                      group was never folded)
+  *   GET    /api/v1/admin/sample?group=NAME&verify=true — the folded
+  *                                      deterministic bottom-k sample,
+  *                                      flat OR grouped (the family's
+  *                                      selection rule: one state dir,
+  *                                      flat wins ties); ids + carried
+  *                                      values via the linearizable
+  *                                      locked read; exact — a pure
+  *                                      function of the corpus. ?group
+  *                                      selects one group's sample from a
+  *                                      grouped fold (404 if the group
+  *                                      was never folded); ?verify=true
+  *                                      recomputes the (per-group)
+  *                                      bottom-k one-shot over the
+  *                                      operator-configured source corpus
+  *                                      (sampleSourceDir; admin-gated, no
+  *                                      client paths) and reports
+  *                                      entry-level parity against the
+  *                                      same snapshot
   *   POST   /api/v1/admin/frequent-items/recount {denominator} — the EXACT
   *                                      face of the folded stream state: a
   *                                      Spark recount of the candidates over
@@ -161,7 +169,17 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     // names — this is operator configuration, like the source dir.
     histogramGroupCol: String = "event_type",
     histogramValueCol: String = "value",
-    sampleStateDir: Option[String] = None) {
+    sampleStateDir: Option[String] = None,
+    // the sample verify face's recount corpus (GET /admin/sample?
+    // verify=true) — operator-configured like histogramSourceDir /
+    // frequentItemsSourceDir: the recount is a Spark job, so client-
+    // supplied paths are refused by construction. The recount reads the
+    // columns the ingest folded; both ingests parameterize them, so the
+    // server does too (defaults match the ingest defaults)
+    sampleSourceDir: Option[String] = None,
+    sampleGroupCol: String = "source",
+    sampleIdCol: String = "doc_id",
+    sampleValueCol: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -1372,11 +1390,53 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                   .readStateLocked(store.spark, sd))
                   .filter(_.lastBatchId >= 0L)
               else None
-            val wantGroup = Option(ex.getRequestURI.getQuery)
+            val qp = Option(ex.getRequestURI.getQuery)
               .map(_.split("&").toSeq).getOrElse(Seq.empty)
-              .collectFirst {
-                case s if s.startsWith("group=") => s.drop("group=".length)
-              }
+            val wantGroup = qp.collectFirst {
+              case s if s.startsWith("group=") => s.drop("group=".length)
+            }
+            // ?verify=true — the sampling face's recount twin (the
+            // histogram's verify=true / frequent-items' /recount analog):
+            // recompute the (per-group) bottom-k ONE-SHOT over the
+            // operator-configured source corpus with the state's own
+            // (k, salt) and compare entry-for-entry against the SAME
+            // locked snapshot the envelope serves. The fold is a pure
+            // function of the corpus, so on a drained stream any
+            // mismatch is a real defect — skipped data, a corrupted
+            // state file, or a source/state mismatch; a still-ingesting
+            // stream legitimately trails (last_batch_id is in the
+            // envelope for that call).
+            val wantVerify = qp.contains("verify=true")
+            if (wantVerify && sampleSourceDir.isEmpty)
+              (403, err("sample verify not configured on this server: " +
+                "the recount is a Spark job over the stream's source " +
+                "corpus — pass sampleSourceDir to RestServer (client-" +
+                "supplied paths are not accepted, same posture as " +
+                "histogram verify)"))
+            else if (wantVerify && st.lastBatchId < 0L && gst.isEmpty)
+              (409, err(s"no folded sample state under $sd — start the " +
+                "ingest (or point the server at its state dir) before " +
+                "asking for a recount verify"))
+            else {
+            // shared by both shapes: 422 when the configured recount
+            // columns are missing from the source schema (the histogram
+            // verify rule — configuration-naming, never an opaque 500)
+            def verifyCorpus(needGroup: Boolean)
+                : Either[(Int, ObjectNode), org.apache.spark.sql.DataFrame] = {
+              val corpus = store.spark.read.parquet(sampleSourceDir.get)
+              val needed = (if (needGroup) Seq(sampleGroupCol)
+                else Seq.empty[String]) ++ Seq(sampleIdCol) ++
+                sampleValueCol.toSeq
+              val missing = needed.filterNot(corpus.columns.toSet.contains)
+              if (missing.nonEmpty)
+                Left((422, err("sample verify: configured column(s) " +
+                  missing.mkString("'", "', '", "'") +
+                  " not present in the source corpus schema (" +
+                  corpus.columns.mkString(", ") + ") — the server's " +
+                  "sampleGroupCol/sampleIdCol/sampleValueCol must name " +
+                  "the columns the ingest folded")))
+              else Right(corpus)
+            }
             val n = obj()
             gst match {
               case Some(g0) =>
@@ -1407,7 +1467,56 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                       gn.put("sample_size", s0.entries.size)
                       writeEntries(gn, s0.entries)
                     }
-                    (200, n)
+                    if (!wantVerify) (200, n)
+                    else verifyCorpus(needGroup = true) match {
+                      case Left(resp) => resp
+                      case Right(corpus) =>
+                        val v = n.putObject("verify")
+                        // bounded collect: the recount twin yields ≤ k
+                        // rows per source group — a group column drifted
+                        // toward per-row cardinality would make that
+                        // groups × k; cap at (stateGroups + 16) × k and
+                        // refuse loudly past it (the histogram verify
+                        // bound rule)
+                        val rowCap = (g0.groups.size + 16) * g0.k
+                        val rows = graft.streaming.StreamingGroupedSample
+                          .batchBottomKPerGroup(corpus, g0.k, g0.salt,
+                            sampleGroupCol, sampleIdCol, sampleValueCol)
+                          .head(rowCap + 1)
+                        if (rows.length > rowCap) {
+                          v.put("matched", false)
+                          v.put("error", "source group cardinality " +
+                            s"exceeds the verify bound: the folded state " +
+                            s"holds ${g0.groups.size} groups but the " +
+                            s"recount produced more than $rowCap rows — " +
+                            "the group column has drifted; the compare " +
+                            "was skipped rather than collecting an " +
+                            "unbounded relation into the serving driver")
+                        } else {
+                          val recount = rows.groupBy(_.getString(0)).map {
+                            case (g, rs) => g -> rs.map(r =>
+                              graft.streaming.StreamingSample.SampleEntry(
+                                r.getLong(1), r.getLong(2),
+                                if (r.isNullAt(3)) None
+                                else Some(r.getDouble(3))))
+                              .sortBy(e => (e.key, e.id)).toSeq
+                          }
+                          val allGroups = (g0.groups.keySet ++
+                            recount.keySet).toSeq.sorted
+                          val bad = allGroups.filter(g =>
+                            g0.groups.get(g).map(_.entries)
+                              .getOrElse(Seq.empty) !=
+                              recount.getOrElse(g, Seq.empty))
+                          v.put("matched", bad.isEmpty)
+                          v.put("state_group_count", g0.groups.size)
+                          v.put("recount_group_count", recount.size)
+                          v.put("mismatched_group_count", bad.size)
+                          val bl = v.putArray("mismatched_groups")
+                          bad.take(10).foreach(bl.add)
+                        }
+                        v.put("entries_are_exact", true)
+                        (200, n)
+                    }
                 }
               case None if st.lastBatchId < 0L =>
                 // nothing folded in either shape: the family's
@@ -1427,7 +1536,36 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                 n.put("sample_size", st.entries.size)
                 n.put("entries_are_exact", true)
                 writeEntries(n, st.entries)
-                (200, n)
+                if (!wantVerify) (200, n)
+                else verifyCorpus(needGroup = false) match {
+                  case Left(resp) => resp
+                  case Right(corpus) =>
+                    val v = n.putObject("verify")
+                    // bounded by construction: batchBottomK collects ≤ k
+                    val recount = graft.streaming.StreamingSample
+                      .batchBottomK(corpus, st.k, st.salt, sampleIdCol,
+                        sampleValueCol)
+                    // split the verdict so an operator can tell skipped
+                    // data (ids differ) from a value-column misconfig
+                    // (ids equal, carried values differ — e.g. the
+                    // server's sampleValueCol names a different column
+                    // than the ingest folded)
+                    val idsMatch = recount.map(e => (e.key, e.id)) ==
+                      st.entries.map(e => (e.key, e.id))
+                    val valuesMatch = recount.map(_.value) ==
+                      st.entries.map(_.value)
+                    v.put("matched", idsMatch && valuesMatch)
+                    v.put("ids_matched", idsMatch)
+                    v.put("values_matched", valuesMatch)
+                    v.put("state_size", st.entries.size)
+                    v.put("recount_size", recount.size)
+                    val bl = v.putArray("mismatched_ids")
+                    (recount.map(_.id).toSet -- st.entries.map(_.id).toSet)
+                      .toSeq.sorted.take(10).foreach(bl.add)
+                    v.put("entries_are_exact", true)
+                    (200, n)
+                }
+            }
             }
         }
       case ("POST", "/api/v1/admin/frequent-items/recount") =>

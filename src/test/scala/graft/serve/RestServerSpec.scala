@@ -874,6 +874,9 @@ class RestServerSpec extends SparkSpec {
         && r1.get("groups").has("s1"), r1.toString)
       val (s2, r2) = call(srvG, "GET", "/api/v1/admin/sample?group=nope")
       assert(s2 == 404 && r2.get("error").asText().contains("nope"), r2.toString)
+      // verify without a configured source: the 403 posture
+      val (sV0, rV0) = call(srvG, "GET", "/api/v1/admin/sample?verify=true")
+      assert(sV0 == 403 && rV0.get("error").asText().contains("sampleSourceDir"))
 
       // from-sample binning over the grouped fold: 'group' required,
       // then the derived spec equals the offline fromSample over that
@@ -946,6 +949,110 @@ class RestServerSpec extends SparkSpec {
       assert(s == 422 && r.get("error").asText().contains("no finite values"),
         r.toString)
     } finally srvFsNv.stop()
+  }
+
+  test("sample verify face: recount parity, drift, value-col verdict, " +
+      "grouped bound") {
+    import spark.implicits._
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_smpv_").toString)
+    val sd = java.nio.file.Files.createTempDirectory("graft_smpv_s_").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_smpv_src_").toString + "/files"
+    (0L until 100L).map(i => (i, i * 2.0)).toDF("doc_id", "value")
+      .coalesce(1).write.parquet(src)
+    val q = graft.streaming.StreamingSample.ingest(spark, src, sd,
+      java.nio.file.Files.createTempDirectory("graft_smpv_ck_").toString,
+      k = 16, valueCol = Some("value"))
+    q.processAllAvailable(); q.stop()
+
+    // quiesced stream over its own source: entry-for-entry parity
+    val srv = new RestServer(store, sampleStateDir = Some(sd),
+      sampleSourceDir = Some(src), sampleValueCol = Some("value")).start()
+    try {
+      val (s, r) = call(srv, "GET", "/api/v1/admin/sample?verify=true")
+      assert(s == 200, r.toString)
+      val v = r.get("verify")
+      assert(v.get("matched").asBoolean(), r.toString)
+      assert(v.get("ids_matched").asBoolean() && v.get("values_matched").asBoolean())
+      assert(v.get("recount_size").asInt() == 16)
+      // drift the source AFTER the fold: ids the state never saw now win
+      // bottom slots and the face says so, naming some of them
+      (100L until 300L).map(i => (i, i * 2.0)).toDF("doc_id", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      // deterministic precondition: the twin over the drifted source
+      // really differs from the folded state
+      val stNow = graft.streaming.StreamingSample.readState(spark, sd)
+      val twinAfter = graft.streaming.StreamingSample.batchBottomK(
+        spark.read.parquet(src), k = 16, valueCol = Some("value"))
+      assert(twinAfter != stNow.entries, "drift failed to change the twin")
+      val (s2, r2) = call(srv, "GET", "/api/v1/admin/sample?verify=true")
+      assert(s2 == 200 && !r2.get("verify").get("matched").asBoolean(), r2.toString)
+      assert(!r2.get("verify").get("ids_matched").asBoolean())
+      assert(r2.get("verify").get("mismatched_ids").size() > 0)
+    } finally srv.stop()
+
+    // value-column misconfig: ids match, carried values don't — the
+    // split verdict names the defect class (sampleValueCol = None while
+    // the fold carried values)
+    val srvNoVal = new RestServer(store, sampleStateDir = Some(sd),
+      sampleSourceDir = Some(src)).start()
+    try {
+      // re-fold a fresh state over the CURRENT source so ids match
+      val sd2 = java.nio.file.Files.createTempDirectory("graft_smpv_s2_").toString
+      val q2 = graft.streaming.StreamingSample.ingest(spark, src, sd2,
+        java.nio.file.Files.createTempDirectory("graft_smpv_ck2_").toString,
+        k = 16, valueCol = Some("value"))
+      q2.processAllAvailable(); q2.stop()
+      val srv2 = new RestServer(store, sampleStateDir = Some(sd2),
+        sampleSourceDir = Some(src)).start() // sampleValueCol = None
+      try {
+        val (s, r) = call(srv2, "GET", "/api/v1/admin/sample?verify=true")
+        assert(s == 200, r.toString)
+        val v = r.get("verify")
+        assert(v.get("ids_matched").asBoolean(), r.toString)
+        assert(!v.get("values_matched").asBoolean(), r.toString)
+        assert(!v.get("matched").asBoolean())
+      } finally srv2.stop()
+      // missing configured id column: the 422 configuration-naming rule
+      val srvBad = new RestServer(store, sampleStateDir = Some(sd2),
+        sampleSourceDir = Some(src), sampleIdCol = "no_such").start()
+      try {
+        val (s, r) = call(srvBad, "GET", "/api/v1/admin/sample?verify=true")
+        assert(s == 422 && r.get("error").asText().contains("no_such"), r.toString)
+      } finally srvBad.stop()
+    } finally srvNoVal.stop()
+
+    // grouped: parity over a drained grouped fold, then the bounded
+    // refusal when the source's group column drifts to wide cardinality
+    val gsd = java.nio.file.Files.createTempDirectory("graft_smpv_gs_").toString
+    val gsrc = java.nio.file.Files.createTempDirectory("graft_smpv_gsrc_").toString + "/files"
+    (0L until 90L).map(i => (s"g${i % 3}", i, i * 1.0))
+      .toDF("source", "doc_id", "value").coalesce(1).write.parquet(gsrc)
+    val gq = graft.streaming.StreamingGroupedSample.ingest(spark, gsrc, gsd,
+      java.nio.file.Files.createTempDirectory("graft_smpv_gck_").toString,
+      k = 4, valueCol = Some("value"))
+    gq.processAllAvailable(); gq.stop()
+    val srvG = new RestServer(store, sampleStateDir = Some(gsd),
+      sampleSourceDir = Some(gsrc), sampleValueCol = Some("value")).start()
+    try {
+      val (s, r) = call(srvG, "GET", "/api/v1/admin/sample?verify=true")
+      assert(s == 200, r.toString)
+      val v = r.get("verify")
+      assert(v.get("matched").asBoolean(), r.toString)
+      assert(v.get("mismatched_group_count").asInt() == 0)
+      assert(v.get("recount_group_count").asInt() == 3)
+      // cap for 3 state groups at k=4 = (3+16)*4 = 76 recount rows; 100
+      // new one-row groups push past it -> loud refusal, compare skipped
+      (0 until 100).map(i => (s"w$i", 1000L + i, 1.0))
+        .toDF("source", "doc_id", "value")
+        .coalesce(1).write.mode("append").parquet(gsrc)
+      val (s2, r2) = call(srvG, "GET", "/api/v1/admin/sample?verify=true")
+      assert(s2 == 200, r2.toString)
+      val v2 = r2.get("verify")
+      assert(!v2.get("matched").asBoolean(), r2.toString)
+      assert(v2.get("error").asText().contains("group cardinality"), r2.toString)
+      assert(!v2.has("mismatched_groups"))
+    } finally srvG.stop()
   }
 
   test("admin frequent-items recount serves the EXACT face of the folded state") {
