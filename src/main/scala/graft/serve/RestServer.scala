@@ -1916,15 +1916,28 @@ object ServeMain {
     // env-wired optional surfaces (the operator-config posture: routes
     // stay disabled-404 unless explicitly pointed at a path) — without
     // these the standalone entrypoint could never enable the backup
-    // route or the r13 frequent-items monitor at all
+    // route or the streaming-profile monitors (frequent-items r13,
+    // histogram r14-15, sample r15-16) at all
     val backupBase = sys.env.get("SPARK_GRAFT_BACKUP_BASE")
     val fiStateDir = sys.env.get("SPARK_GRAFT_FREQUENT_ITEMS_STATE")
+    val fiSourceDir = sys.env.get("SPARK_GRAFT_FREQUENT_ITEMS_SOURCE")
+    val histStateDir = sys.env.get("SPARK_GRAFT_HISTOGRAM_STATE")
+    val histSourceDir = sys.env.get("SPARK_GRAFT_HISTOGRAM_SOURCE")
+    val sampleStateDir = sys.env.get("SPARK_GRAFT_SAMPLE_STATE")
+    val sampleSourceDir = sys.env.get("SPARK_GRAFT_SAMPLE_SOURCE")
     val srv = new RestServer(new VectorStore(spark, path), port,
       backupBase = backupBase, wsPort = wsPort,
-      frequentItemsStateDir = fiStateDir).start()
+      frequentItemsStateDir = fiStateDir,
+      frequentItemsSourceDir = fiSourceDir,
+      histogramStateDir = histStateDir,
+      histogramSourceDir = histSourceDir,
+      sampleStateDir = sampleStateDir,
+      sampleSourceDir = sampleSourceDir).start()
     println(s"graft serving on :${srv.boundPort} " +
       s"(ws :${srv.boundWsPort}, store: $path" +
       fiStateDir.map(d => s", frequent-items: $d").getOrElse("") +
+      histStateDir.map(d => s", histogram: $d").getOrElse("") +
+      sampleStateDir.map(d => s", sample: $d").getOrElse("") +
       backupBase.map(b => s", backups under: $b").getOrElse("") + ")")
     Thread.currentThread().join()
   }

@@ -146,6 +146,42 @@ class StreamingGroupedSampleSpec extends SparkSpec {
     assert(after.lastBatchId == 1L, "refused batch must not advance state")
   }
 
+  test("bottom-k sample aggregate: property check vs a Scala reference") {
+    // deterministic scalacheck sampling (the VectorKernelSpec idiom — no
+    // scalatestplus in the offline cache): random multisets of
+    // (group, id) rows with heavy duplication, key a pure hash of id,
+    // value = f(id); the aggregate must equal take-k over distinct ids
+    // sorted by (key, id), per group, for every k
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[T](gen: Gen[T], n: Int): Seq[T] =
+      (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(7L + i)))
+    val rowGen = Gen.listOfN(300, for {
+      g <- Gen.choose(0, 3)
+      id <- Gen.choose(0L, 40L)
+    } yield (s"g$g", id))
+    def keyOf(id: Long): Long = (id * 2654435761L) % 1000003L
+    for ((rows, k) <- samples(rowGen, 3).zip(Seq(1, 5, 17))) {
+      val df = rows.map { case (g, id) => (g, keyOf(id), id, id * 0.25) }
+        .toDF("g", "key", "id", "value")
+      val got = df.groupBy("g")
+        .agg(graft.operators.TopKImperative.bottomKSample(k)(
+          col("key"), col("id"), col("value")).as("bk"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getLong(0), e.getLong(1), e.getDouble(2))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(_._2).distinct.map(id => (keyOf(id), id, id * 0.25))
+          .sortBy(e => (e._1, e._2)).take(k)
+      }
+      assert(got.keySet == want.keySet)
+      got.foreach { case (g, es) =>
+        assert(es == want(g), s"k=$k group $g: $es vs ${want(g)}")
+      }
+    }
+  }
+
   test("bottom-k sample aggregate: dedup under compaction pressure") {
     // force many compactions: k=2 (cap=64), 500 rows over 10 ids with
     // heavy duplication — the aggregate must still land on the exact
