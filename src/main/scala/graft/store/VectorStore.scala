@@ -2023,6 +2023,22 @@ class VectorStore(val spark: SparkSession, val path: String,
     }
   }
 
+  /** Re-train the OPQ tier in the model's OWN persisted shape (m, code
+    * count) — the drift-gate remediation: fresh rotation + codebooks on
+    * the CURRENT corpus, full tier re-encode, staleness baseline reset.
+    * Shape comes from the saved model (the
+    * [[recentIndexBuildParams]] rebuild-with-original-params rule), so a
+    * policy-triggered retrain can never silently change the tier's
+    * code geometry; trainSize/iters are not persisted — callers that
+    * trained with non-defaults pass them. */
+  def retrainOpq(trainSize: Int = 10000, iters: Int = 5): Unit = {
+    require(hasOpqModel, "no saved OPQ model to take the shape from; " +
+      "call enableOpq() with explicit parameters instead")
+    val model = Opq.load(spark, dir("opq_model"))
+    enableOpq(m = model.pq.m, kCodes = model.pq.k, trainSize = trainSize,
+      retrain = true, iters = iters)
+  }
+
   /** [[refreshPq]] for the OPQ tier: encode the post-enable historical
     * delta with the saved rotation + codebooks and append. */
   def refreshOpq(): Long = lease.withLease {

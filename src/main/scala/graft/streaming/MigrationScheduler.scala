@@ -40,6 +40,18 @@ import graft.store.VectorStore
   *    Rebalance invalidates the PQ/SQ code tables (rows changed cluster);
   *    the scheduler re-encodes whichever tiers were enabled
   *    (`enablePq(retrain = false)` / `enableSq`), keeping serving whole.
+  *  - `opqRetrainAtRatio` (opt-in, r16): after the slice (and any
+  *    rebalance re-encode), probe [[VectorStore.opqRotationDrift]] — the
+  *    fresh/train reconstruction-MSE ratio under the saved rotation — and
+  *    when it reaches the threshold, re-train the OPQ tier via
+  *    [[VectorStore.retrainOpq]] (the model's OWN persisted shape, full
+  *    re-encode, baseline reset), so a long-running ingest whose corpus
+  *    drifts away from the training-time distribution recovers the
+  *    tier's recall edge on policy instead of waiting for an operator to
+  *    read the integrity warning. Default off: retrain is a full-tier
+  *    re-encode, an operator decision by default
+  *    ([[VectorStore.OpqStaleRatioAlert]] is the documented advisory
+  *    threshold to start from).
   */
 case class MigrationPolicy(
     maxVectorsPerRun: Int = 1000,
@@ -51,7 +63,8 @@ case class MigrationPolicy(
     autoRebalance: Boolean = false,
     imbalanceThreshold: Double = 2.0,
     minVectorsForRebalance: Long = 1000L,
-    rebalanceTargetFactor: Double = 1.0) {
+    rebalanceTargetFactor: Double = 1.0,
+    opqRetrainAtRatio: Option[Double] = None) {
   require(maxVectorsPerRun > 0, "maxVectorsPerRun must be positive")
   require(batchSize > 0, "batchSize must be positive")
   require(checkIntervalBatches > 0, "checkIntervalBatches must be positive")
@@ -60,10 +73,15 @@ case class MigrationPolicy(
   require(imbalanceThreshold > 1.0, "imbalanceThreshold must exceed 1.0")
   require(minVectorsForRebalance >= 0, "minVectorsForRebalance must be >= 0")
   require(rebalanceTargetFactor >= 1.0, "rebalanceTargetFactor must be >= 1.0")
+  // a ratio <= 1.0 would retrain on EVERY run (fresh error never beats the
+  // training baseline by construction) — a misconfiguration, refuse loudly
+  require(opqRetrainAtRatio.forall(_ > 1.0),
+    "opqRetrainAtRatio must exceed 1.0")
 }
 
 case class MigrationRunResult(vectorsMigrated: Long, batchesProcessed: Long,
-    skippedQuietHours: Boolean, vectorsRebalanced: Long = 0L)
+    skippedQuietHours: Boolean, vectorsRebalanced: Long = 0L,
+    opqRetrained: Boolean = false)
 
 /** The reference `MigrationStatistics` field set
   * (`hybrid/maintenance.rs:61-68`): running totals plus two running
@@ -119,6 +137,16 @@ class MigrationScheduler(store: VectorStore,
         store.buildRecentIndex(ef, m, metric, blobs, routed)
       }
       val moved = if (!p.autoRebalance) 0L else maybeRebalance(p)
+      // the drift gate runs AFTER any rebalance re-encode (which used the
+      // saved — possibly stale — model): when it trips, retrainOpq learns
+      // a fresh rotation in the model's own persisted shape, re-encodes
+      // the whole tier, and resets the staleness baseline
+      val retrained = p.opqRetrainAtRatio.exists { thr =>
+        store.hasOpq &&
+          store.opqRotationDrift().exists(_.ratio >= thr) && {
+            store.retrainOpq(); true
+          }
+      }
       val batches = (n + p.batchSize - 1) / p.batchSize
       // the reference's min-1ms duration floor (maintenance.rs:394-398)
       val durMs = math.max(1.0, (System.nanoTime() - t0) / 1e6)
@@ -133,7 +161,7 @@ class MigrationScheduler(store: VectorStore,
           lastRunEpochMs = Some(System.currentTimeMillis()))
       }
       MigrationRunResult(n, batches, skippedQuietHours = false,
-        vectorsRebalanced = moved)
+        vectorsRebalanced = moved, opqRetrained = retrained)
     }
   }
 

@@ -334,6 +334,47 @@ class StoreIndexSpec extends SparkSpec {
     assert(st2.checkIntegrity().opqRotationMseRatio == -1.0)
   }
 
+  test("scheduler drift gate: opt-in policy retrains the stale OPQ tier " +
+      "in its own shape") {
+    import graft.streaming.{MigrationPolicy, MigrationScheduler}
+    val st = new VectorStore(spark,
+      Files.createTempDirectory("graft_opqsch_").toString,
+      Config(recentThresholdSeconds = 3600, nClusters = 4))
+    val oldTs = java.time.Instant.now().minusSeconds(7200).toString
+    def vecA(i: Int): Array[Float] = Array.tabulate(8)(j =>
+      if (j < 2) math.sin(i * (j + 1)).toFloat else 0.01f * j)
+    def vecB(i: Int): Array[Float] = Array.tabulate(8)(j =>
+      if (j >= 6) 10f * math.cos(i * (j + 1)).toFloat else 0.01f * j)
+    st.insert((0 until 60).map(i =>
+      VectorRecord(s"a$i", vecA(i), tsString = Some(oldTs))))
+    assert(st.migrate() == 60)
+    st.enableOpq(m = 4, kCodes = 8, trainSize = 60, iters = 1)
+    // a ratio <= 1.0 would retrain every run: policy refuses it loudly
+    intercept[IllegalArgumentException](
+      MigrationPolicy(opqRetrainAtRatio = Some(1.0)))
+    val sched = new MigrationScheduler(st, MigrationPolicy(
+      maxVectorsPerRun = 500,
+      opqRetrainAtRatio = Some(VectorStore.OpqStaleRatioAlert)))
+    // drift lands as RECENT rows; ONE scheduler run must migrate them,
+    // delta-refresh the codes with the (stale) saved rotation, see the
+    // drift gate trip, and retrain — the full loop on policy
+    st.insert((0 until 240).map(i =>
+      VectorRecord(s"b$i", vecB(i), tsString = Some(oldTs))))
+    val r = sched.runMigration()
+    assert(r.vectorsMigrated == 240L)
+    assert(r.opqRetrained, "drift gate must have retrained")
+    val p = st.opqRotationDrift().get
+    assert(p.ratio < VectorStore.OpqStaleRatioAlert,
+      s"retrain must restore the gate: $p")
+    // the retrain kept the tier's persisted shape (m=4, 8 codes), never
+    // the enableOpq defaults
+    val model = graft.operators.Opq.load(spark, st.path + "/opq_model")
+    assert(model.pq.m == 4 && model.pq.k == 8)
+    // a quiet (undrifted) follow-up run does NOT retrain
+    val r2 = sched.runMigration()
+    assert(!r2.opqRetrained, "no drift, no retrain")
+  }
+
   test("SQ tier round-trips and serves oracle-equal top-k with full probe") {
     val st = new VectorStore(spark,
       Files.createTempDirectory("graft_sqt_").toString,
