@@ -111,7 +111,23 @@ object HistogramSketch {
     require(sample.nonEmpty,
       s"cannot derive a binning: no non-null finite values in " +
         s"'$valueCol'")
-    val sorted = sample.sorted
+    fromValues(sample.toSeq, nBins, coverage)
+  }
+
+  /** The [[fromSample]] arithmetic over ALREADY-LOCAL values — the ONE
+    * definition (rank-quantile tails, one-ulp-open hi, unit span on a
+    * degenerate spread) shared by the DataFrame face above, the
+    * streaming bootstrap (`StreamingHistogram.ingestAutoBinned`), and
+    * the REST derive face, so the three entry points cannot drift.
+    * Non-finite values (NaN/±Inf) are excluded, as in [[fromSample]]. */
+  def fromValues(values: Seq[Double], nBins: Int,
+      coverage: Double = 0.99): HistogramSpec = {
+    require(coverage > 0.0 && coverage <= 1.0,
+      s"coverage must be in (0, 1], got $coverage")
+    val finite = values.filter(java.lang.Double.isFinite)
+    require(finite.nonEmpty,
+      "cannot derive a binning: no finite values in the sample")
+    val sorted = finite.sorted
     val tail = (1.0 - coverage) / 2.0
     val loIdx = math.floor(tail * (sorted.length - 1)).toInt
     val hiIdx = math.ceil((1.0 - tail) * (sorted.length - 1)).toInt

@@ -909,7 +909,12 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
         // retrain via POST /admin/index/opq {retrain: true}; a loud
         // warning field appears so a monitor needn't hardcode the
         // threshold
-        n.put("opq_rotation_mse_ratio", r.opqRotationMseRatio)
+        // clamped to a finite ceiling: a zero training baseline with real
+        // fresh error yields ratio = +Infinity, which Jackson would emit
+        // as the non-JSON token "Infinity" and break strict monitors'
+        // parse of the WHOLE envelope — 1e12 is unambiguous "retrain now"
+        n.put("opq_rotation_mse_ratio",
+          math.min(r.opqRotationMseRatio, 1e12))
         if (r.opqRotationMseRatio >= VectorStore.OpqStaleRatioAlert)
           n.put("opq_rotation_warning",
             f"fresh-sample reconstruction MSE is ${r.opqRotationMseRatio}%.2f" +
@@ -1330,22 +1335,13 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                     "column the histogram will bin"))
                 case Right(entries) =>
                   val vals = entries.flatMap(_.value)
-                    .filter(java.lang.Double.isFinite).sorted
-                  // the ONE fromSample arithmetic over the ≤ k entries
-                  // (a LocalRelation — the collect is trivial):
-                  // rank-quantile tails at (1-coverage)/2 each side,
-                  // one-ulp-open hi, unit span for a degenerate spread —
-                  // via the operator itself so the arithmetic cannot
-                  // drift from the programmatic ingestAutoBinned path
-                  val spec = graft.operators.HistogramSketch.fromSample(
-                    store.spark.createDataFrame(
-                      java.util.Arrays.asList(vals.map(v =>
-                        org.apache.spark.sql.Row(Double.box(v))): _*),
-                      new org.apache.spark.sql.types.StructType()
-                        .add("value",
-                          org.apache.spark.sql.types.DoubleType)),
-                    "value", nBins, coverage,
-                    sampleSize = math.max(vals.size, 1))
+                    .filter(java.lang.Double.isFinite)
+                  // the ONE derive arithmetic — fromValues, shared with
+                  // the DataFrame face and ingestAutoBinned so the
+                  // three entry points cannot drift — over the ≤ k
+                  // already-local carried values (no Spark job)
+                  val spec = graft.operators.HistogramSketch
+                    .fromValues(vals, nBins, coverage)
                   val n = obj()
                   n.put("lo", spec.lo)
                   n.put("hi", spec.hi)
@@ -1518,6 +1514,14 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                         (200, n)
                     }
                 }
+              // a ?group ask can only be answered from a GROUPED fold —
+              // silently serving the flat (or empty) envelope would let a
+              // monitor parse the whole sample as one stratum's
+              case None if wantGroup.isDefined =>
+                (404, err(s"group '${wantGroup.get}' not available: the " +
+                  (if (st.lastBatchId < 0L) "state dir holds no folded sample"
+                   else "folded sample is flat (no groups)") +
+                  " — group selection needs a StreamingGroupedSample fold"))
               case None if st.lastBatchId < 0L =>
                 // nothing folded in either shape: the family's
                 // well-formed empty envelope
@@ -1716,6 +1720,23 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           val encoded = store.refreshOpq()
           queryCache.clear()
           val n = obj(); n.put("refreshed", true); n.put("encoded", encoded); (200, n)
+        } else if ((req == null || !req.hasNonNull("retrain") ||
+            req.get("retrain").asBoolean()) &&
+            (req == null || (!req.hasNonNull("m") &&
+              !req.hasNonNull("k_codes"))) && store.hasOpqModel) {
+          // an existing tier retrained WITHOUT explicit shape params must
+          // keep the shape it was built with (the drift-gate remediation
+          // the integrity warning points at) — the enableOpq defaults
+          // (m=8, 64 codes) would otherwise silently change the tier's
+          // code geometry on a bare {"retrain": true}
+          store.retrainOpq(
+            trainSize = Option(req).flatMap(r =>
+              Option(r.get("train_size"))).filter(_.isInt).map(_.asInt()),
+            iters = Option(req).flatMap(r =>
+              Option(r.get("iters"))).filter(_.isInt).map(_.asInt()))
+          queryCache.clear()
+          val n = obj(); n.put("enabled", true)
+          n.put("shape_preserved", true); (200, n)
         } else {
           store.enableOpq(m = optInt(req, "m", 8),
             kCodes = optInt(req, "k_codes", 64),
@@ -1925,14 +1946,28 @@ object ServeMain {
     val histSourceDir = sys.env.get("SPARK_GRAFT_HISTOGRAM_SOURCE")
     val sampleStateDir = sys.env.get("SPARK_GRAFT_SAMPLE_STATE")
     val sampleSourceDir = sys.env.get("SPARK_GRAFT_SAMPLE_SOURCE")
+    // the recount/verify faces read the COLUMNS the ingests folded —
+    // without these the standalone server could never verify a fold
+    // ingested with non-default column names (or a value-carrying
+    // sample at all: values_matched would false-alarm forever)
     val srv = new RestServer(new VectorStore(spark, path), port,
       backupBase = backupBase, wsPort = wsPort,
       frequentItemsStateDir = fiStateDir,
       frequentItemsSourceDir = fiSourceDir,
       histogramStateDir = histStateDir,
       histogramSourceDir = histSourceDir,
+      histogramGroupCol =
+        sys.env.getOrElse("SPARK_GRAFT_HISTOGRAM_GROUP_COL", "event_type"),
+      histogramValueCol =
+        sys.env.getOrElse("SPARK_GRAFT_HISTOGRAM_VALUE_COL", "value"),
       sampleStateDir = sampleStateDir,
-      sampleSourceDir = sampleSourceDir).start()
+      sampleSourceDir = sampleSourceDir,
+      sampleGroupCol =
+        sys.env.getOrElse("SPARK_GRAFT_SAMPLE_GROUP_COL", "source"),
+      sampleIdCol =
+        sys.env.getOrElse("SPARK_GRAFT_SAMPLE_ID_COL", "doc_id"),
+      sampleValueCol =
+        sys.env.get("SPARK_GRAFT_SAMPLE_VALUE_COL")).start()
     println(s"graft serving on :${srv.boundPort} " +
       s"(ws :${srv.boundWsPort}, store: $path" +
       fiStateDir.map(d => s", frequent-items: $d").getOrElse("") +

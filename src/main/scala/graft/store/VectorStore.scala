@@ -1951,7 +1951,8 @@ class VectorStore(val spark: SparkSession, val path: String,
     // proxy for the lost training-time one (noted in the probe contract)
     if (retrain || !exists("opq_model/train_stats")) {
       val probe = sampleEmbeddings(hist, OpqDriftSampleSize, seed = 7L)
-      writeOpqTrainStats(Opq.reconstructionMse(model, probe), probe.length)
+      writeOpqTrainStats(Opq.reconstructionMse(model, probe), probe.length,
+        trainSize, iters)
     }
     val codes = hist.select(col("id"), col("vid"), col("ts"),
       col("cluster_id").cast("long").as("cluster_id"),
@@ -1962,8 +1963,10 @@ class VectorStore(val spark: SparkSession, val path: String,
   }
 
   // the OPQ model is two parquet tables under opq_model/ (codebooks +
-  // rotation), so the _SUCCESS probe goes to the subdirs, not the parent
-  private def hasOpqModel: Boolean =
+  // rotation), so the _SUCCESS probe goes to the subdirs, not the parent.
+  // Public: the REST index route's shape-preserving retrain dispatch
+  // needs it (a saved model + no explicit shape => retrainOpq)
+  def hasOpqModel: Boolean =
     exists("opq_model/codebooks") && exists("opq_model/rotation")
 
   def hasOpq: Boolean = hasOpqModel && hasRowsRecursive("opq_codes")
@@ -1975,9 +1978,15 @@ class VectorStore(val spark: SparkSession, val path: String,
     hist.select(col("embedding")).orderBy(rand(seed)).limit(n)
       .collect().map(_.getSeq[Float](0).toArray)
 
-  private def writeOpqTrainStats(mse: Double, sampleN: Int): Unit = {
+  // the baseline MSE plus the TRAINING PARAMS it was achieved with —
+  // trainSize/iters are not part of the model proper, but a
+  // shape-preserving retrain must reproduce them or it silently degrades
+  // training quality (the recentIndexBuildParams rule)
+  private def writeOpqTrainStats(mse: Double, sampleN: Int,
+      trainSize: Int, iters: Int): Unit = {
     import spark.implicits._
-    Seq((mse, sampleN.toLong)).toDF("train_mse", "sample_n").repartition(1)
+    Seq((mse, sampleN.toLong, trainSize, iters))
+      .toDF("train_mse", "sample_n", "train_size", "iters").repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(dir("opq_model/train_stats"))
   }
 
@@ -2023,20 +2032,32 @@ class VectorStore(val spark: SparkSession, val path: String,
     }
   }
 
-  /** Re-train the OPQ tier in the model's OWN persisted shape (m, code
-    * count) — the drift-gate remediation: fresh rotation + codebooks on
+  /** Re-train the OPQ tier with the parameters it was originally built
+    * with — the drift-gate remediation: fresh rotation + codebooks on
     * the CURRENT corpus, full tier re-encode, staleness baseline reset.
-    * Shape comes from the saved model (the
+    * Shape (m, code count) comes from the saved model and
+    * trainSize/iters from the train_stats sidecar (the
     * [[recentIndexBuildParams]] rebuild-with-original-params rule), so a
-    * policy-triggered retrain can never silently change the tier's
-    * code geometry; trainSize/iters are not persisted — callers that
-    * trained with non-defaults pass them. */
-  def retrainOpq(trainSize: Int = 10000, iters: Int = 5): Unit = {
+    * policy-triggered retrain can never silently change the tier's code
+    * geometry OR degrade its training quality; explicit overrides win.
+    * A pre-param-sidecar model falls back to the enableOpq defaults. */
+  def retrainOpq(trainSize: Option[Int] = None,
+      iters: Option[Int] = None): Unit = {
     require(hasOpqModel, "no saved OPQ model to take the shape from; " +
       "call enableOpq() with explicit parameters instead")
     val model = Opq.load(spark, dir("opq_model"))
-    enableOpq(m = model.pq.m, kCodes = model.pq.k, trainSize = trainSize,
-      retrain = true, iters = iters)
+    val (savedTs, savedIt) =
+      if (!exists("opq_model/train_stats")) (10000, 5)
+      else {
+        val df = spark.read.parquet(dir("opq_model/train_stats"))
+        if (df.columns.contains("train_size")) {
+          val r = df.select(col("train_size"), col("iters")).head()
+          (r.getInt(0), r.getInt(1))
+        } else (10000, 5) // pre-param sidecar: best available
+      }
+    enableOpq(m = model.pq.m, kCodes = model.pq.k,
+      trainSize = trainSize.getOrElse(savedTs), retrain = true,
+      iters = iters.getOrElse(savedIt))
   }
 
   /** [[refreshPq]] for the OPQ tier: encode the post-enable historical

@@ -139,10 +139,15 @@ class MigrationScheduler(store: VectorStore,
       val moved = if (!p.autoRebalance) 0L else maybeRebalance(p)
       // the drift gate runs AFTER any rebalance re-encode (which used the
       // saved — possibly stale — model): when it trips, retrainOpq learns
-      // a fresh rotation in the model's own persisted shape, re-encodes
-      // the whole tier, and resets the staleness baseline
+      // a fresh rotation with the model's own persisted shape and
+      // training params, re-encodes the whole tier, and resets the
+      // staleness baseline. Gated on THIS RUN having mutated the tier
+      // (migrated or rebalanced rows): the probe is a bounded-sample scan
+      // of the historical tier, and a scheduler polling a quiet store
+      // would otherwise pay it every few minutes for a ratio that cannot
+      // have moved since the last mutation
       val retrained = p.opqRetrainAtRatio.exists { thr =>
-        store.hasOpq &&
+        (n > 0 || moved > 0) && store.hasOpq &&
           store.opqRotationDrift().exists(_.ratio >= thr) && {
             store.retrainOpq(); true
           }

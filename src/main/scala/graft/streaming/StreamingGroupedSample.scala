@@ -305,7 +305,11 @@ object StreamingGroupedSample {
         col(idCol).cast("long").as("id"),
         valueCol.map(v => col(v).cast("double"))
           .getOrElse(lit(null).cast(DoubleType)).as("value"))
-      .filter(col("group").isNotNull)
+      // null groups AND null ids excluded — the fold's aggregate skips
+      // null-id rows (no identity to sample), so the twin must too or a
+      // null-id row's null key would rank FIRST in its group and the
+      // twin would diverge from a healthy fold
+      .filter(col("group").isNotNull && col("id").isNotNull)
       .dropDuplicates("group", "id")
       .withColumn("__rn", row_number().over(
         Window.partitionBy("group").orderBy("key", "id")))

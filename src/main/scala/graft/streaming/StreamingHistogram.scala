@@ -199,8 +199,11 @@ object StreamingHistogram {
           "(folded without a valueCol, or every carried value is " +
           "null/NaN/Inf) — re-fold the sample with a valueCol so " +
           "fromSample has a distribution to derive bounds from")
-    val spec = HistogramSketch.fromSample(
-      StreamingSample.toDF(spark, sample), "value", nBins, coverage)
+    // the ONE derive arithmetic (fromValues — shared with the DataFrame
+    // face and the REST derive route), over the ≤ k already-local
+    // carried values: no Spark job, no subsampling
+    val spec = HistogramSketch.fromValues(
+      sample.entries.flatMap(_.value), nBins, coverage)
     (ingest(spark, sourceDir, stateDir, checkpointDir, spec, valueCol,
       maxFilesPerTrigger), spec)
   }

@@ -195,9 +195,14 @@ object StreamingSample {
       // holding fewer distinct ids than the batch twin — the equality the
       // family's exactness story rests on. (Duplicates of an id carry the
       // same priority and, by the stable-identity contract, the same
-      // value.) Then TakeOrderedAndProject: each task keeps its own
-      // bottom-k, the driver merges ≤ k rows.
-      val bottom = keyed.dropDuplicates("__id")
+      // value.) NULL ids are excluded — no identity, nothing to sample —
+      // though they still count toward nSeen (arrival observability);
+      // without the filter a null id would sort FIRST (null key) and
+      // permanently occupy a bottom slot, and the state write would
+      // crash on the missing long. Then TakeOrderedAndProject: each task
+      // keeps its own bottom-k, the driver merges ≤ k rows.
+      val bottom = keyed.filter(col("__id").isNotNull)
+        .dropDuplicates("__id")
         .orderBy(col("__key"), col("__id")).limit(k)
         .collect()
         .map(r => SampleEntry(r.getLong(0), r.getLong(1),
@@ -271,6 +276,7 @@ object StreamingSample {
         col(idCol).cast("long").as("__id"),
         valueCol.map(v => col(v).cast("double"))
           .getOrElse(lit(null).cast(DoubleType)).as("__value"))
+      .filter(col("__id").isNotNull) // same null-id exclusion as the fold
       .dropDuplicates("__id") // same distinct-ids rule as the fold
       .orderBy(col("__key"), col("__id")).limit(k).collect()
       .map(r => SampleEntry(r.getLong(0), r.getLong(1),

@@ -215,6 +215,18 @@ class RestServerSpec extends SparkSpec {
         """{"refresh": true}""")
       assert(os2 == 200 && or0.get("refreshed").asBoolean()
         && or0.get("encoded").asLong() == 0L, or0.toString)
+      // a bare retrain (no m/k_codes) against an existing model must
+      // keep the tier's OWN shape (m=4, 8 codes above) — following the
+      // integrity warning's advice verbatim must never silently switch
+      // the tier to the enableOpq defaults (m=8, 64 codes)
+      val (os3, or1) = call(srv, "POST", "/api/v1/admin/index/opq",
+        """{"retrain": true}""")
+      assert(os3 == 200 && or1.get("shape_preserved").asBoolean(), or1.toString)
+      val modelAfter = graft.operators.Opq.load(spark,
+        store.path + "/opq_model")
+      assert(modelAfter.pq.m == 4 && modelAfter.pq.k == 8,
+        s"bare retrain changed the tier shape: m=${modelAfter.pq.m} " +
+          s"k=${modelAfter.pq.k}")
 
       // every serving mode finds the exact row as its top hit, and serves
       // the STORED embedding payload on request (include_vectors is
@@ -834,8 +846,12 @@ class RestServerSpec extends SparkSpec {
         assert(e.get("id").asLong() == expect(i).id)
         assert(e.get("value").asDouble() == expect(i).value.get)
       }
-      // a flat fold never serves the grouped shape
+      // a flat fold never serves the grouped shape, and a ?group ask
+      // against it refuses rather than serving the whole flat sample as
+      // if it were one stratum's
       assert(!r.get("grouped").asBoolean(), r.toString)
+      val (sFg, rFg) = call(srv, "GET", "/api/v1/admin/sample?group=s0")
+      assert(sFg == 404 && rFg.get("error").asText().contains("flat"), rFg.toString)
     } finally srv.stop()
 
     // grouped fold in its own state dir: the selection rule picks it up,

@@ -84,6 +84,18 @@ class StreamingGroupedSampleSpec extends SparkSpec {
     def df(rows: Seq[(Option[String], Long, Double)]) =
       rows.map { case (g, i, v) => (g.orNull, i, v) }
         .toDF("source", "doc_id", "value")
+    // null ids excluded by fold AND twin (the aggregate skips them; the
+    // window twin filters them — a null priority would rank first)
+    val nullIdDf = Seq(("a", Long.box(1L), 1.0), ("a", null: java.lang.Long, 9.0))
+      .toDF("source", "doc_id", "value")
+    val stNi = StreamingGroupedSample.applyBatch(spark,
+      Files.createTempDirectory("graft_gsample_ni_").toString, k = 2,
+      salt = "sample", maxGroups = 10, checkpoint = ck, batch = nullIdDf,
+      groupCol = "source", idCol = "doc_id", valueCol = Some("value"),
+      batchId = 0L)
+    assert(stNi.groups("a").entries.map(_.id) == Seq(1L))
+    assert(StreamingGroupedSample.batchBottomKPerGroup(nullIdDf, k = 2,
+      valueCol = Some("value")).collect().map(_.getLong(2)).toSeq == Seq(1L))
     // duplicate ids within a batch dedup INSIDE the aggregate (same
     // group), and null-group rows are excluded but counted
     val b0 = Seq((Some("a"), 1L, 1.0), (Some("a"), 1L, 1.0),

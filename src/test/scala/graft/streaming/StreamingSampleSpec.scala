@@ -110,6 +110,25 @@ class StreamingSampleSpec extends SparkSpec {
     assert(mergeBottomK(3, a, a) == mergeBottomK(3, a, Seq.empty))
   }
 
+  test("null ids are excluded by both the fold and the batch twin") {
+    // a null id has no identity to sample; without exclusion its NULL
+    // priority would sort FIRST and permanently occupy a bottom slot
+    // (and the state write would crash on the missing long)
+    val tmp = Files.createTempDirectory("graft_ssample_ni_").toString
+    val ck = "file:ckpt-ni"
+    val df = Seq[(Option[Long], Double)](
+      (Some(1L), 1.0), (None, 9.0), (Some(2L), 2.0), (None, 8.0))
+      .map { case (id, v) => (id.map(Long.box).orNull, v) }
+      .toDF("doc_id", "value")
+    val st = StreamingSample.applyBatch(spark, tmp, k = 3, salt = "sample",
+      checkpoint = ck, batch = df, idCol = "doc_id",
+      valueCol = Some("value"), batchId = 0L)
+    assert(st.entries.map(_.id).sorted == Seq(1L, 2L))
+    assert(st.nSeen == 4L, "null-id rows still count toward nSeen")
+    assert(st.entries == StreamingSample.batchBottomK(df, k = 3,
+      valueCol = Some("value")))
+  }
+
   test("sample without a value column carries None") {
     val tmp = Files.createTempDirectory("graft_ssample_nv_").toString
     (0L until 50L).toDF("doc_id").coalesce(1).write.parquet(s"$tmp/src")
