@@ -46,4 +46,64 @@ object Profile {
     }
     wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
+
+  /** The moments aggregate columns — ONE definition shared by the batch
+    * faces below and the streaming folds
+    * ([[graft.streaming.StreamingMoments]] /
+    * [[graft.streaming.StreamingGroupedMoments]]), so the four corners of
+    * the moments square cannot drift arithmetically.
+    *
+    * Exactness is the point: the value column is INTEGRAL (cast to long —
+    * token counts, char counts, byte sizes; the natural numeric-profile
+    * targets of a training-data pipeline), and the sums accumulate as
+    * decimal(38,0), so sum and sum-of-squares are EXACT integers — no FP
+    * rounding, no addition-order dependence — which is what lets a folded
+    * stream state equal the one-shot batch answer bit-for-bit and lets
+    * DuckDB replay both (HUGEINT arithmetic). Squares of longs fit
+    * decimal(38,0) (max long² ≈ 8.5e37 < 1e38); a sum that would overflow
+    * 38 digits comes back NULL and the callers refuse loudly rather than
+    * serving a wrapped number. Mean/variance are DERIVED, FP-only views
+    * computed from the exact sums at read time — never part of state or
+    * merge arithmetic. Doubles (or any non-integral column) belong on the
+    * histogram face, whose rank accounting stays exact under quantized
+    * values. */
+  private[graft] def momentsAggs(valueCol: String): Seq[Column] = {
+    val v = col("`" + valueCol.replace("`", "``") + "`").cast("long")
+    val d = v.cast("decimal(38,0)")
+    Seq(count(lit(1)).as("n_rows"), count(v).as("n"),
+      (count(lit(1)) - count(v)).as("n_null"),
+      min(v).as("vmin"), max(v).as("vmax"),
+      sum(d).as("vsum"), sum(d * d).as("vsum_sq"))
+  }
+
+  /** Exact integer moments of one integral column, one row:
+    * (n_rows, n, n_null, vmin, vmax, vsum, vsum_sq) — counts and min/max
+    * as long, the two sums as decimal(38,0) (exact; see [[momentsAggs]]).
+    * vmin/vmax/vsum/vsum_sq are NULL when every value is null. One
+    * map-side-combined aggregate over one scan at any corpus size. */
+  def moments(df: DataFrame, valueCol: String): DataFrame = {
+    require(df.columns.contains(valueCol),
+      s"moments: unknown column '$valueCol'")
+    val a = momentsAggs(valueCol)
+    df.agg(a.head, a.tail: _*)
+  }
+
+  /** Per-group exact integer moments: [[moments]] grouped by `groupCol`,
+    * NULL group keys excluded (no identity to profile under — the
+    * grouped-family rule; callers wanting them as a stratum should
+    * coalesce first). Output ordered by group. Still one aggregate, one
+    * scan; the result is one row per group. */
+  def momentsPerGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    require(df.columns.contains(groupCol),
+      s"momentsPerGroup: unknown group column '$groupCol'")
+    require(df.columns.contains(valueCol),
+      s"momentsPerGroup: unknown value column '$valueCol'")
+    val g = col("`" + groupCol.replace("`", "``") + "`")
+    val a = momentsAggs(valueCol)
+    df.filter(g.isNotNull)
+      .groupBy(g.as("group"))
+      .agg(a.head, a.tail: _*)
+      .orderBy("group")
+  }
 }

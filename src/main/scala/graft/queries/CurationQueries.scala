@@ -113,6 +113,60 @@ object CurationQueries {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(tmp))
     }),
+    // §2.11 + profiling: the streaming exact-moments fold — the fourth
+    // face of the profiling family. Documents staged as 4 micro-batches;
+    // each batch contributes ONE seven-counter aggregate row, folded as
+    // the moments semilattice (counts add, min/min, max/max, exact
+    // decimal sums add). No estimator anywhere: the folded state IS the
+    // batch aggregate of everything folded, so DuckDB replays every
+    // number with HUGEINT arithmetic and the rows+hash compare IS the
+    // exactly-once check (a dropped or double-applied batch changes an
+    // exact count).
+    "streaming_moments" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_smom_q_").toString
+      try {
+        Tables.load(s, dir, "documents")
+          .select(col("n_chars").cast("long").as("value"))
+          .repartition(4).write.parquet(s"$tmp/src")
+        val q = graft.streaming.StreamingMoments.ingest(s, s"$tmp/src",
+          s"$tmp/state", s"$tmp/chk", maxFilesPerTrigger = 1)
+        try q.processAllAvailable() finally q.stop()
+        val st = graft.streaming.StreamingMoments.readState(s, s"$tmp/state")
+        // exact sums leave as long for the hash compare (loud decimal->
+        // long overflow is ~25 decimal digits away at any test SF)
+        graft.streaming.StreamingMoments.toDF(s, st)
+          .select(col("n_rows"), col("n"), col("n_null"), col("vmin"),
+            col("vmax"), col("vsum").cast("long").as("vsum"),
+            col("vsum_sq").cast("long").as("vsum_sq"))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
+    }),
+    // the grouped face — one exact moments entry PER SOURCE; groups never
+    // mix, so the flat row's exactness argument applies group-pointwise
+    // and DuckDB replays every group's seven numbers (a misattributed
+    // value, a dropped group, or a wrong per-group merge hash-mismatches)
+    "streaming_moments_by_source" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_gsmom_q_").toString
+      try {
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("n_chars").cast("long").as("value"))
+          .repartition(4).write.parquet(s"$tmp/src")
+        val q = graft.streaming.StreamingGroupedMoments.ingest(s,
+          s"$tmp/src", s"$tmp/state", s"$tmp/chk", maxFilesPerTrigger = 1)
+        try q.processAllAvailable() finally q.stop()
+        val st = graft.streaming.StreamingGroupedMoments
+          .readState(s, s"$tmp/state")
+        graft.streaming.StreamingGroupedMoments.toDF(s, st)
+          .select(col("group").as("source"), col("n_rows"), col("n"),
+            col("n_null"), col("vmin"), col("vmax"),
+            col("vsum").cast("long").as("vsum"),
+            col("vsum_sq").cast("long").as("vsum_sq"))
+          .orderBy("source")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
+    }),
     // hash-deterministic mixture sampling toward a target source mix
     "mixture_sample" -> ((s, dir) => {
       Curation.mixtureSample(Tables.load(s, dir, "documents"),
@@ -254,6 +308,24 @@ object CurationQueries {
          |  FROM documents)
          |SELECT source, doc_id, value FROM bk WHERE rn <= 8
          |ORDER BY source, doc_id""".stripMargin,
+    // the moments fold replayed with exact HUGEINT arithmetic — the same
+    // integers the fold's decimal(38,0)/BigInt legs carry
+    "streaming_moments" ->
+      """SELECT count(*)::BIGINT AS n_rows, count(n_chars)::BIGINT AS n,
+        |  (count(*) - count(n_chars))::BIGINT AS n_null,
+        |  min(n_chars)::BIGINT AS vmin, max(n_chars)::BIGINT AS vmax,
+        |  sum(n_chars::HUGEINT)::BIGINT AS vsum,
+        |  sum(n_chars::HUGEINT * n_chars::HUGEINT)::BIGINT AS vsum_sq
+        |FROM documents""".stripMargin,
+    "streaming_moments_by_source" ->
+      """SELECT source, count(*)::BIGINT AS n_rows,
+        |  count(n_chars)::BIGINT AS n,
+        |  (count(*) - count(n_chars))::BIGINT AS n_null,
+        |  min(n_chars)::BIGINT AS vmin, max(n_chars)::BIGINT AS vmax,
+        |  sum(n_chars::HUGEINT)::BIGINT AS vsum,
+        |  sum(n_chars::HUGEINT * n_chars::HUGEINT)::BIGINT AS vsum_sq
+        |FROM documents WHERE source IS NOT NULL
+        |GROUP BY source ORDER BY source""".stripMargin,
     "mixture_sample" ->
       s"""WITH f AS (SELECT source, ${bucketSql("mix")} AS b FROM documents)
          |SELECT source, count(*) AS n_kept FROM f

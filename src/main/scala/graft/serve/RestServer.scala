@@ -105,6 +105,23 @@ import scala.util.control.NonFatal
   *                                      client paths) and reports
   *                                      entry-level parity against the
   *                                      same snapshot
+  *   GET    /api/v1/admin/moments?group=NAME&verify=true — the folded
+  *                                      streaming exact-moments state
+  *                                      (count/nulls/min/max + exact
+  *                                      integer sums as strings; mean/
+  *                                      stddev_pop derived), flat OR
+  *                                      grouped (the family's selection
+  *                                      rule: one state dir, flat wins
+  *                                      ties), linearizable locked read.
+  *                                      ?group selects one group (404 if
+  *                                      never folded); ?verify=true
+  *                                      recomputes the (per-group)
+  *                                      moments one-shot over the
+  *                                      operator-configured source corpus
+  *                                      (momentsSourceDir; admin-gated,
+  *                                      no client paths) and reports
+  *                                      number-level parity against the
+  *                                      same snapshot
   *   POST   /api/v1/admin/frequent-items/recount {denominator} — the EXACT
   *                                      face of the folded stream state: a
   *                                      Spark recount of the candidates over
@@ -179,7 +196,16 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     sampleSourceDir: Option[String] = None,
     sampleGroupCol: String = "source",
     sampleIdCol: String = "doc_id",
-    sampleValueCol: Option[String] = None) {
+    sampleValueCol: Option[String] = None,
+    // the moments face (GET /admin/moments): same operator-config posture
+    // as the other three profiling monitors — state dir enables the
+    // route, source dir enables its verify recount, the column names
+    // must name what the ingest folded (defaults match the ingest
+    // defaults)
+    momentsStateDir: Option[String] = None,
+    momentsSourceDir: Option[String] = None,
+    momentsGroupCol: String = "source",
+    momentsValueCol: String = "value") {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -1572,6 +1598,184 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             }
             }
         }
+      case ("GET", "/api/v1/admin/moments") =>
+        momentsStateDir match {
+          case None => (404, err(
+            "moments state not configured on this server " +
+              "(pass momentsStateDir to RestServer)"))
+          case Some(sd) =>
+            import graft.streaming.StreamingMoments.Moments
+            def writeMoments(into: ObjectNode, m: Moments): Unit = {
+              into.put("n_rows", m.nRows)
+              into.put("n", m.n)
+              into.put("n_null", m.nNull)
+              if (m.n > 0L) {
+                into.put("min", m.min)
+                into.put("max", m.max)
+                // exact integers of unbounded width: strings, never a
+                // JSON double that silently rounds past 2^53
+                into.put("sum", m.sum.toString)
+                into.put("sum_sq", m.sumSq.toString)
+                // the derived FP views a monitor actually plots
+                m.mean.foreach(v => into.put("mean", v))
+                m.stddevPop.foreach(v => into.put("stddev_pop", v))
+              }
+            }
+            // the family's flat-vs-grouped selection rule (one state dir,
+            // flat wins ties), both reads linearizable
+            val st = graft.streaming.StreamingMoments
+              .readStateLocked(store.spark, sd)
+            val gst =
+              if (st.lastBatchId < 0L)
+                Some(graft.streaming.StreamingGroupedMoments
+                  .readStateLocked(store.spark, sd))
+                  .filter(_.lastBatchId >= 0L)
+              else None
+            val qp = Option(ex.getRequestURI.getQuery)
+              .map(_.split("&").toSeq).getOrElse(Seq.empty)
+            val wantGroup = qp.collectFirst {
+              case s if s.startsWith("group=") => s.drop("group=".length)
+            }
+            // ?verify=true — the moments face's recount twin: recompute
+            // the (per-group) exact moments ONE-SHOT over the operator-
+            // configured source corpus and compare number-for-number
+            // against the SAME locked snapshot the envelope serves. The
+            // fold is exact, so on a drained stream any mismatch is a
+            // real defect; a still-ingesting stream legitimately trails
+            // (last_batch_id is in the envelope for that call).
+            val wantVerify = qp.contains("verify=true")
+            if (wantVerify && momentsSourceDir.isEmpty)
+              (403, err("moments verify not configured on this server: " +
+                "the recount is a Spark job over the stream's source " +
+                "corpus — pass momentsSourceDir to RestServer (client-" +
+                "supplied paths are not accepted, same posture as the " +
+                "other profiling verifies)"))
+            else if (wantVerify && st.lastBatchId < 0L && gst.isEmpty)
+              (409, err(s"no folded moments state under $sd — start the " +
+                "ingest (or point the server at its state dir) before " +
+                "asking for a recount verify"))
+            else {
+            // 422 when the configured recount columns are missing from
+            // the source schema (configuration-naming, never an opaque
+            // 500) — the histogram/sample verify rule
+            def verifyCorpus(needGroup: Boolean)
+                : Either[(Int, ObjectNode), org.apache.spark.sql.DataFrame] = {
+              val corpus = store.spark.read.parquet(momentsSourceDir.get)
+              val needed = (if (needGroup) Seq(momentsGroupCol)
+                else Seq.empty[String]) :+ momentsValueCol
+              val missing = needed.filterNot(corpus.columns.toSet.contains)
+              if (missing.nonEmpty)
+                Left((422, err("moments verify: configured column(s) " +
+                  missing.mkString("'", "', '", "'") +
+                  " not present in the source corpus schema (" +
+                  corpus.columns.mkString(", ") + ") — the server's " +
+                  "momentsGroupCol/momentsValueCol must name the columns " +
+                  "the ingest folded")))
+              else Right(corpus)
+            }
+            val n = obj()
+            gst match {
+              case Some(g0) =>
+                wantGroup match {
+                  case Some(g) if !g0.groups.contains(g) =>
+                    (404, err(s"group '$g' not in the folded grouped " +
+                      s"moments state (${g0.groups.size} groups folded)"))
+                  case _ =>
+                    n.put("folded", true)
+                    n.put("grouped", true)
+                    n.put("value_col", g0.valueCol)
+                    n.put("checkpoint", g0.checkpoint)
+                    n.put("last_batch_id", g0.lastBatchId)
+                    n.put("group_count", g0.groups.size)
+                    n.put("excluded_null_rows", g0.excludedNullRows)
+                    n.put("moments_are_exact", true)
+                    val selected = wantGroup match {
+                      case Some(g) => Seq(g -> g0.groups(g))
+                      case None => g0.groups.toSeq.sortBy(_._1)
+                    }
+                    val gs = n.putObject("groups")
+                    selected.foreach { case (g, m) =>
+                      writeMoments(gs.putObject(g), m)
+                    }
+                    if (!wantVerify) (200, n)
+                    else verifyCorpus(needGroup = true) match {
+                      case Left(resp) => resp
+                      case Right(corpus) =>
+                        val v = n.putObject("verify")
+                        // bounded collect: one row per source group — a
+                        // group column drifted toward per-row cardinality
+                        // would make that unbounded; cap at stateGroups +
+                        // 16 and refuse loudly past it (the family's
+                        // verify bound rule)
+                        val rowCap = g0.groups.size + 16
+                        val rows = graft.operators.Profile
+                          .momentsPerGroup(corpus, momentsGroupCol,
+                            momentsValueCol)
+                          .head(rowCap + 1)
+                        if (rows.length > rowCap) {
+                          v.put("matched", false)
+                          v.put("error", "source group cardinality " +
+                            s"exceeds the verify bound: the folded state " +
+                            s"holds ${g0.groups.size} groups but the " +
+                            s"recount produced more than $rowCap rows — " +
+                            "the group column has drifted; the compare " +
+                            "was skipped rather than collecting an " +
+                            "unbounded relation into the serving driver")
+                        } else {
+                          val recount = rows.map(r => r.getString(0) ->
+                            graft.streaming.StreamingMoments.momentsFromRow(
+                              r, 1, "moments verify recount")).toMap
+                          val allGroups = (g0.groups.keySet ++
+                            recount.keySet).toSeq.sorted
+                          val bad = allGroups.filter(g =>
+                            !g0.groups.get(g).zip(recount.get(g))
+                              .exists { case (a, b) => a == b })
+                          v.put("matched", bad.isEmpty)
+                          v.put("state_group_count", g0.groups.size)
+                          v.put("recount_group_count", recount.size)
+                          v.put("mismatched_group_count", bad.size)
+                          val bl = v.putArray("mismatched_groups")
+                          bad.take(10).foreach(bl.add)
+                        }
+                        v.put("moments_are_exact", true)
+                        (200, n)
+                    }
+                }
+              case None if wantGroup.isDefined =>
+                (404, err(s"group '${wantGroup.get}' not available: the " +
+                  (if (st.lastBatchId < 0L) "state dir holds no folded moments"
+                   else "folded moments are flat (no groups)") +
+                  " — group selection needs a StreamingGroupedMoments fold"))
+              case None if st.lastBatchId < 0L =>
+                n.put("folded", false)
+                n.put("last_batch_id", -1L)
+                n.put("n_rows", 0L)
+                (200, n)
+              case None =>
+                n.put("folded", true)
+                n.put("grouped", false)
+                n.put("value_col", st.valueCol)
+                n.put("checkpoint", st.checkpoint)
+                n.put("last_batch_id", st.lastBatchId)
+                n.put("moments_are_exact", true)
+                writeMoments(n, st.moments)
+                if (!wantVerify) (200, n)
+                else verifyCorpus(needGroup = false) match {
+                  case Left(resp) => resp
+                  case Right(corpus) =>
+                    val v = n.putObject("verify")
+                    // bounded by construction: the recount is ONE row
+                    val recount = graft.streaming.StreamingMoments
+                      .batchMoments(corpus, momentsValueCol)
+                    v.put("matched", recount == st.moments)
+                    v.put("state_n_rows", st.moments.nRows)
+                    v.put("recount_n_rows", recount.nRows)
+                    v.put("moments_are_exact", true)
+                    (200, n)
+                }
+            }
+            }
+        }
       case ("POST", "/api/v1/admin/frequent-items/recount") =>
         (frequentItemsStateDir, frequentItemsSourceDir) match {
           case (Some(sd), Some(srcDir)) =>
@@ -1946,6 +2150,8 @@ object ServeMain {
     val histSourceDir = sys.env.get("SPARK_GRAFT_HISTOGRAM_SOURCE")
     val sampleStateDir = sys.env.get("SPARK_GRAFT_SAMPLE_STATE")
     val sampleSourceDir = sys.env.get("SPARK_GRAFT_SAMPLE_SOURCE")
+    val momentsStateDir = sys.env.get("SPARK_GRAFT_MOMENTS_STATE")
+    val momentsSourceDir = sys.env.get("SPARK_GRAFT_MOMENTS_SOURCE")
     // the recount/verify faces read the COLUMNS the ingests folded —
     // without these the standalone server could never verify a fold
     // ingested with non-default column names (or a value-carrying
@@ -1967,12 +2173,19 @@ object ServeMain {
       sampleIdCol =
         sys.env.getOrElse("SPARK_GRAFT_SAMPLE_ID_COL", "doc_id"),
       sampleValueCol =
-        sys.env.get("SPARK_GRAFT_SAMPLE_VALUE_COL")).start()
+        sys.env.get("SPARK_GRAFT_SAMPLE_VALUE_COL"),
+      momentsStateDir = momentsStateDir,
+      momentsSourceDir = momentsSourceDir,
+      momentsGroupCol =
+        sys.env.getOrElse("SPARK_GRAFT_MOMENTS_GROUP_COL", "source"),
+      momentsValueCol =
+        sys.env.getOrElse("SPARK_GRAFT_MOMENTS_VALUE_COL", "value")).start()
     println(s"graft serving on :${srv.boundPort} " +
       s"(ws :${srv.boundWsPort}, store: $path" +
       fiStateDir.map(d => s", frequent-items: $d").getOrElse("") +
       histStateDir.map(d => s", histogram: $d").getOrElse("") +
       sampleStateDir.map(d => s", sample: $d").getOrElse("") +
+      momentsStateDir.map(d => s", moments: $d").getOrElse("") +
       backupBase.map(b => s", backups under: $b").getOrElse("") + ")")
     Thread.currentThread().join()
   }

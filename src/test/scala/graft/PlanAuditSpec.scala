@@ -73,6 +73,26 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstIn(grouped).isDefined, grouped)
   }
 
+  test("moments fold plans: map-side partials, two-column scan, no sort") {
+    // the moments folds' per-batch aggregation: seven counters per
+    // group, all map-side combined — the exchange carries one partial
+    // per group per task, never rows — and nothing sorts
+    val docs = Tables.load(spark, sfDir, "documents")
+    val flat = executedPlan(graft.operators.Profile.moments(docs, "n_chars"))
+    // ungrouped two-phase: final agg above the exchange, partial_* below
+    assert("(?s).*HashAggregate.*Exchange.*HashAggregate.*partial_min.*".r
+      .findFirstIn(flat).isDefined, flat)
+    assert(!flat.contains("Sort "), flat)
+    // column pruning: the scan reads ONLY the value column
+    assert(flat.contains("ReadSchema: struct<n_chars:bigint>"), flat)
+    val grouped = executedPlan(graft.operators.Profile.momentsPerGroup(
+      docs, "source", "n_chars"))
+    assert("(?s).*HashAggregate.*Exchange hashpartitioning\\(source.*HashAggregate.*partial_min.*".r
+      .findFirstIn(grouped).isDefined, grouped)
+    assert(grouped.contains("ReadSchema: struct<source:string,n_chars:bigint>"),
+      grouped)
+  }
+
   test("OPQ rotation is a scan-side codegen project; search is the PQ two-phase top-k") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val corpus = graft.queries.QueryShapes.stretchedCorpus(emb)

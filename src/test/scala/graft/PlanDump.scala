@@ -314,6 +314,33 @@ object PlanDump {
       sb.append(df.queryExecution.executedPlan.toString.take(6000))
       sb.append("\n```\n")
     }
+    // the moments folds likewise wrap driver-built output — dump the
+    // grouped per-batch aggregate (it subsumes the flat one: same seven
+    // counters, no grouping key)
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = graft.core.Tables.load(spark, dir, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("value"))
+      val aggs = graft.operators.Profile.momentsAggs("value")
+      val df = docs.groupBy(col("source").as("__group"))
+        .agg(aggs.head, aggs.tail: _*)
+      df.collect()
+      sb.append("\n## streaming_moments_by_source — grouped per-batch exact moments\n\n")
+      sb.append(("""The moments folds' per-batch aggregation (flat is this plan
+        |minus the grouping key): seven codegen'd counters per group —
+        |count/count(v)/nulls/min/max as longs, the two sums as
+        |decimal(38,0) over the long-cast values, all map-side combined
+        |in a two-phase HashAggregate — so the exchange carries one
+        |seven-counter partial per group per task, never rows, and the
+        |scan reads ONLY (group, value) (ReadSchema). The driver fold is
+        |the moments semilattice per group (BigInt sums — exact at any
+        |stream length), <= maxGroups state. No sort, no per-key state,
+        |nothing grows with stream length.""".stripMargin)
+        .linesIterator.map(_.trim).mkString(" "))
+      sb.append("\n\n```\n")
+      sb.append(df.queryExecution.executedPlan.toString.take(6000))
+      sb.append("\n```\n")
+    }
     // the streaming_histogram row likewise wraps driver-built output —
     // dump the per-batch FOLD plan (the part that sees every row)
     locally {

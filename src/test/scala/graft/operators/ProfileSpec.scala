@@ -29,6 +29,44 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profile.profile(df, Seq("nope")))
   }
 
+  test("moments: exact integer sums, null accounting, overflow headroom") {
+    val m = Seq(("a", Some(3L)), ("b", None), ("a", Some(-2L)),
+        ("b", Some(7L)))
+      .map { case (g, v) => (g, v.map(Long.box).orNull) }
+      .toDF("g", "v")
+    val r = Profile.moments(m, "v").head()
+    // (n_rows, n, n_null, vmin, vmax, vsum, vsum_sq)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == -2L && r.getLong(4) == 7L)
+    assert(r.getDecimal(5).longValueExact() == 8L)
+    assert(r.getDecimal(6).longValueExact() == 9L + 4L + 49L)
+    // a long² near the top of the range stays exact (decimal(38,0)
+    // headroom — a double would have rounded 18 digits ago)
+    val big = Seq(3037000499L, 3037000499L).toDF("v")
+    val rb = Profile.moments(big, "v").head()
+    assert(BigInt(rb.getDecimal(6).toBigInteger) ==
+      BigInt(3037000499L) * 3037000499L * 2)
+    intercept[IllegalArgumentException](Profile.moments(m, "nope"))
+  }
+
+  test("momentsPerGroup: per-group exactness, null groups excluded") {
+    val m = Seq((Some("a"), Some(3L)), (None, Some(100L)),
+        (Some("a"), None), (Some("b"), Some(-1L)))
+      .map { case (g, v) => (g.orNull, v.map(Long.box).orNull) }
+      .toDF("g", "v")
+    val rows = Profile.momentsPerGroup(m, "g", "v").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"),
+      "null group excluded; ordered by group")
+    val a = rows(0)
+    assert(a.getLong(1) == 2L && a.getLong(2) == 1L && a.getLong(3) == 1L)
+    assert(a.getLong(4) == 3L && a.getLong(5) == 3L)
+    val b = rows(1)
+    assert(b.getDecimal(6).longValueExact() == -1L &&
+      b.getDecimal(7).longValueExact() == 1L)
+    intercept[IllegalArgumentException](
+      Profile.momentsPerGroup(m, "nope", "v"))
+  }
+
   test("profile handles parser-special column names (dots, backticks)") {
     // a dotted name must resolve as the top-level column the validation
     // accepted — not parse as a nested-field path and fail the select

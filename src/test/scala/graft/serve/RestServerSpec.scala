@@ -1400,4 +1400,160 @@ class RestServerSpec extends SparkSpec {
       sock2.close()
     } finally srv.stop()
   }
+
+  test("admin moments route serves the folded exact moments via the locked read") {
+    import spark.implicits._
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_mom_rest_").toString)
+    // unconfigured: disabled (backupBase posture)
+    val srv0 = new RestServer(store).start()
+    try {
+      val (s404, r404) = call(srv0, "GET", "/api/v1/admin/moments")
+      assert(s404 == 404 && r404.get("error").asText().contains("not configured"))
+    } finally srv0.stop()
+    // empty state dir: a well-formed empty envelope
+    val empty = java.nio.file.Files.createTempDirectory("graft_mom_e_").toString
+    val srvE = new RestServer(store, momentsStateDir = Some(empty)).start()
+    try {
+      val (s, r) = call(srvE, "GET", "/api/v1/admin/moments")
+      assert(s == 200 && !r.get("folded").asBoolean() && !r.has("sum"))
+    } finally srvE.stop()
+    // flat fold: exact numbers, sums as STRINGS, derived mean/std
+    val sd = java.nio.file.Files.createTempDirectory("graft_mom_s_").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_mom_src_").toString + "/files"
+    (0L until 100L).toDF("value").coalesce(1).write.parquet(src)
+    val q = graft.streaming.StreamingMoments.ingest(spark, src, sd,
+      java.nio.file.Files.createTempDirectory("graft_mom_ck_").toString)
+    q.processAllAvailable(); q.stop()
+    val srv = new RestServer(store, momentsStateDir = Some(sd)).start()
+    try {
+      val (s, r) = call(srv, "GET", "/api/v1/admin/moments")
+      assert(s == 200, r.toString)
+      assert(r.get("folded").asBoolean() && !r.get("grouped").asBoolean())
+      assert(r.get("value_col").asText() == "value")
+      assert(r.get("n_rows").asLong() == 100L && r.get("n_null").asLong() == 0L)
+      assert(r.get("min").asLong() == 0L && r.get("max").asLong() == 99L)
+      // exact sums ride as strings (unbounded width, never a rounded
+      // JSON double); 0..99: sum 4950, sumsq 99*100*199/6 = 328350
+      assert(r.get("sum").isTextual && r.get("sum").asText() == "4950")
+      assert(r.get("sum_sq").asText() == "328350")
+      assert(r.get("mean").asDouble() == 49.5)
+      assert(r.get("moments_are_exact").asBoolean())
+      // a ?group ask against a flat fold refuses
+      val (sFg, rFg) = call(srv, "GET", "/api/v1/admin/moments?group=s0")
+      assert(sFg == 404 && rFg.get("error").asText().contains("flat"), rFg.toString)
+      // verify without a configured source: the 403 posture
+      val (sV0, rV0) = call(srv, "GET", "/api/v1/admin/moments?verify=true")
+      assert(sV0 == 403 && rV0.get("error").asText().contains("momentsSourceDir"))
+    } finally srv.stop()
+
+    // grouped fold: per-group exact numbers + selection
+    val gsd = java.nio.file.Files.createTempDirectory("graft_mom_gs_").toString
+    val gsrc = java.nio.file.Files.createTempDirectory("graft_mom_gsrc_").toString + "/files"
+    (0L until 90L).map(i => (s"s${i % 3}", i))
+      .toDF("source", "value").coalesce(1).write.parquet(gsrc)
+    val gq = graft.streaming.StreamingGroupedMoments.ingest(spark, gsrc, gsd,
+      java.nio.file.Files.createTempDirectory("graft_mom_gck_").toString)
+    gq.processAllAvailable(); gq.stop()
+    val srvG = new RestServer(store, momentsStateDir = Some(gsd)).start()
+    try {
+      val (s, r) = call(srvG, "GET", "/api/v1/admin/moments")
+      assert(s == 200, r.toString)
+      assert(r.get("folded").asBoolean() && r.get("grouped").asBoolean())
+      assert(r.get("group_count").asInt() == 3)
+      assert(r.get("excluded_null_rows").asLong() == 0L)
+      // every group's envelope numbers equal the batch face's row
+      val twin = graft.operators.Profile
+        .momentsPerGroup(spark.read.parquet(gsrc), "source", "value")
+        .collect().map(x => x.getString(0) -> x).toMap
+      (0 until 3).foreach { gi =>
+        val g = s"s$gi"
+        val gn = r.get("groups").get(g)
+        assert(gn.get("n_rows").asLong() == twin(g).getLong(1), g)
+        assert(gn.get("min").asLong() == twin(g).getLong(4), g)
+        assert(gn.get("sum").asText() ==
+          twin(g).getDecimal(6).toBigInteger.toString, g)
+      }
+      // ?group selection: one group only; unknown group is a 404
+      val (s1, r1) = call(srvG, "GET", "/api/v1/admin/moments?group=s1")
+      assert(s1 == 200 && r1.get("groups").size() == 1
+        && r1.get("groups").has("s1"), r1.toString)
+      val (s2, r2) = call(srvG, "GET", "/api/v1/admin/moments?group=nope")
+      assert(s2 == 404 && r2.get("error").asText().contains("nope"), r2.toString)
+    } finally srvG.stop()
+  }
+
+  test("moments verify face: recount parity, drift, column 422, grouped bound") {
+    import spark.implicits._
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_momv_").toString)
+    val sd = java.nio.file.Files.createTempDirectory("graft_momv_s_").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_momv_src_").toString + "/files"
+    (0L until 100L).toDF("value").coalesce(1).write.parquet(src)
+    val q = graft.streaming.StreamingMoments.ingest(spark, src, sd,
+      java.nio.file.Files.createTempDirectory("graft_momv_ck_").toString)
+    q.processAllAvailable(); q.stop()
+    // quiesced stream over its own source: number-for-number parity
+    val srv = new RestServer(store, momentsStateDir = Some(sd),
+      momentsSourceDir = Some(src)).start()
+    try {
+      val (s, r) = call(srv, "GET", "/api/v1/admin/moments?verify=true")
+      assert(s == 200, r.toString)
+      assert(r.get("verify").get("matched").asBoolean(), r.toString)
+      assert(r.get("verify").get("recount_n_rows").asLong() == 100L)
+      // drift the source AFTER the fold: the recount sees rows the state
+      // never folded and the face says so
+      (100L until 150L).toDF("value").coalesce(1)
+        .write.mode("append").parquet(src)
+      val (s2, r2) = call(srv, "GET", "/api/v1/admin/moments?verify=true")
+      assert(s2 == 200 && !r2.get("verify").get("matched").asBoolean(), r2.toString)
+      assert(r2.get("verify").get("recount_n_rows").asLong() == 150L)
+    } finally srv.stop()
+    // configured value column missing from the source schema: a
+    // configuration-naming 422, never an AnalysisException-shaped 500
+    val srvBad = new RestServer(store, momentsStateDir = Some(sd),
+      momentsSourceDir = Some(src), momentsValueCol = "no_such_col").start()
+    try {
+      val (s, r) = call(srvBad, "GET", "/api/v1/admin/moments?verify=true")
+      assert(s == 422, s"$s $r")
+      assert(r.get("error").asText().contains("no_such_col"), r.toString)
+      assert(r.get("error").asText().contains("momentsValueCol"), r.toString)
+    } finally srvBad.stop()
+    // nothing folded: verify is a category error (409), not an empty 200
+    val empty = java.nio.file.Files.createTempDirectory("graft_momv_e_").toString
+    val srvE = new RestServer(store, momentsStateDir = Some(empty),
+      momentsSourceDir = Some(src)).start()
+    try {
+      val (s, r) = call(srvE, "GET", "/api/v1/admin/moments?verify=true")
+      assert(s == 409 && r.get("error").asText().contains("no folded"), r.toString)
+    } finally srvE.stop()
+    // grouped fold, then the source's group column drifts toward per-row
+    // cardinality: the recount collect is BOUNDED — past stateGroups + 16
+    // rows the face refuses with a named error instead of pulling an
+    // unbounded relation into the serving driver
+    val gsd = java.nio.file.Files.createTempDirectory("graft_momv_gs_").toString
+    val gsrc = java.nio.file.Files.createTempDirectory("graft_momv_gsrc_").toString + "/files"
+    Seq(("a", 10L), ("a", 30L)).toDF("source", "value")
+      .coalesce(1).write.parquet(gsrc)
+    val gq = graft.streaming.StreamingGroupedMoments.ingest(spark, gsrc, gsd,
+      java.nio.file.Files.createTempDirectory("graft_momv_gck_").toString)
+    gq.processAllAvailable(); gq.stop()
+    val srvG = new RestServer(store, momentsStateDir = Some(gsd),
+      momentsSourceDir = Some(gsrc)).start()
+    try {
+      // parity first (1 group, quiesced)
+      val (s0, r0) = call(srvG, "GET", "/api/v1/admin/moments?verify=true")
+      assert(s0 == 200 && r0.get("verify").get("matched").asBoolean(), r0.toString)
+      // cap for 1 state group = 1 + 16 = 17 recount rows; 300 one-row
+      // groups overflow it
+      (0 until 300).map(i => (s"g$i", 50L)).toDF("source", "value")
+        .coalesce(1).write.mode("append").parquet(gsrc)
+      val (s, r) = call(srvG, "GET", "/api/v1/admin/moments?verify=true")
+      assert(s == 200, r.toString)
+      val v = r.get("verify")
+      assert(!v.get("matched").asBoolean(), r.toString)
+      assert(v.get("error").asText().contains("group cardinality"), r.toString)
+      assert(!v.has("mismatched_groups"), r.toString) // compare skipped
+    } finally srvG.stop()
+  }
 }
