@@ -40,6 +40,74 @@ object AggQueries {
             / col("n_exact") <= 0.05).as("approx_ok"))
         .orderBy("source")
     }),
+    // §2.11 + profiling: the streaming distinct-count fold — the
+    // cardinality face of the profiling family (the standing form of
+    // sketch_distinct above). Documents staged as 4 micro-batches of
+    // content fingerprints; each batch contributes ONE fixed-size HLL
+    // sketch, unioned driver-side (the HLL semilattice). The row emits
+    // the state's EXACT row counter (pinning exactly-once independently
+    // of the sketch: a dropped batch changes n_rows) plus the verdict
+    // gating the folded estimate against the DuckDB-exact distinct count
+    // at the documented 5% bound (sparse-mode exact at these
+    // cardinalities, so the verdict is deterministic).
+    "streaming_distinct" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sdis_q_").toString
+      try {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(graft.functions.TextFunctions
+            .contentFingerprint(col("text")).as("value"))
+          .repartition(4).write.parquet(s"$tmp/src")
+        val q = graft.streaming.StreamingDistinct.ingest(s, s"$tmp/src",
+          s"$tmp/state", s"$tmp/chk", maxFilesPerTrigger = 1)
+        try q.processAllAvailable() finally q.stop()
+        val st = graft.streaming.StreamingDistinct.readState(s, s"$tmp/state")
+        val est = st.estimate.getOrElse(0.0)
+        docs.agg(
+            count(lit(1)).as("spark_rows"),
+            countDistinct(graft.functions.TextFunctions
+              .contentFingerprint(col("text"))).as("n_exact"))
+          .select(
+            lit(st.nRows).as("n_rows"),
+            col("n_exact"),
+            (lit(est) - col("n_exact")).cast("double").as("err"))
+          .select(col("n_rows"), col("n_exact"),
+            (abs(col("err")) / col("n_exact") <= 0.05).as("approx_ok"))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
+    }),
+    // the grouped face — one running sketch PER SOURCE; groups never
+    // mix, so the flat row's argument applies group-pointwise and the
+    // exact per-group row counters pin exactly-once per group
+    "streaming_distinct_by_source" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_gdis_q_").toString
+      try {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(col("source"), graft.functions.TextFunctions
+            .contentFingerprint(col("text")).as("value"))
+          .repartition(4).write.parquet(s"$tmp/src")
+        val q = graft.streaming.StreamingGroupedDistinct.ingest(s,
+          s"$tmp/src", s"$tmp/state", s"$tmp/chk", maxFilesPerTrigger = 1)
+        try q.processAllAvailable() finally q.stop()
+        val st = graft.streaming.StreamingGroupedDistinct
+          .readState(s, s"$tmp/state")
+        import s.implicits._
+        val folded = st.groups.toSeq.map { case (g, d) =>
+          (g, d.nRows, d.estimate.getOrElse(0.0))
+        }.toDF("source", "n_rows", "est")
+        docs.filter(col("source").isNotNull)
+          .groupBy("source")
+          .agg(countDistinct(graft.functions.TextFunctions
+            .contentFingerprint(col("text"))).as("n_exact"))
+          .join(broadcast(folded), Seq("source"), "inner")
+          .select(col("source"), col("n_rows"), col("n_exact"),
+            (abs(col("est") - col("n_exact")) / col("n_exact") <= 0.05)
+              .as("approx_ok"))
+          .orderBy("source")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
+    }),
     // GK-sketch quantiles gated against the exact percentile: the
     // mergeable sketch is how a 100 TB events table reports latency
     // quantiles without a global sort. The gate is the sketch's OWN
@@ -478,6 +546,22 @@ object AggQueries {
         |    ${TextQueries.toksSqlOf("text")}, ' '))) AS n_exact,
         |  true AS approx_ok
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the streaming cardinality fold: the exact row counter replays as
+    // count(*) (the exactly-once pin) and the estimate verdict is true
+    // by the sketch's sparse-mode exactness at test cardinalities
+    "streaming_distinct" ->
+      s"""SELECT count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT md5(array_to_string(
+        |    ${TextQueries.toksSqlOf("text")}, ' '))) AS n_exact,
+        |  true AS approx_ok
+        |FROM documents""".stripMargin,
+    "streaming_distinct_by_source" ->
+      s"""SELECT source, count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT md5(array_to_string(
+        |    ${TextQueries.toksSqlOf("text")}, ' '))) AS n_exact,
+        |  true AS approx_ok
+        |FROM documents WHERE source IS NOT NULL
+        |GROUP BY source ORDER BY source""".stripMargin,
     "age_histogram" ->
       """WITH ev AS (SELECT date_trunc('second', ts) AS tss FROM events),
         |mx AS (SELECT max(tss) AS mx FROM ev)

@@ -122,6 +122,18 @@ import scala.util.control.NonFatal
   *                                      no client paths) and reports
   *                                      number-level parity against the
   *                                      same snapshot
+  *   GET    /api/v1/admin/distinct?group=NAME&verify=true — the folded
+  *                                      streaming distinct-count state
+  *                                      (exact row/null counters + the
+  *                                      HLL estimate), flat OR grouped,
+  *                                      linearizable locked read; ?group
+  *                                      selects one group; ?verify=true
+  *                                      rebuilds the one-shot sketch over
+  *                                      the operator-configured source
+  *                                      corpus (distinctSourceDir) and
+  *                                      compares canonical estimates +
+  *                                      exact counters against the same
+  *                                      snapshot
   *   POST   /api/v1/admin/frequent-items/recount {denominator} — the EXACT
   *                                      face of the folded stream state: a
   *                                      Spark recount of the candidates over
@@ -205,7 +217,12 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     momentsStateDir: Option[String] = None,
     momentsSourceDir: Option[String] = None,
     momentsGroupCol: String = "source",
-    momentsValueCol: String = "value") {
+    momentsValueCol: String = "value",
+    // the cardinality face (GET /admin/distinct): same posture
+    distinctStateDir: Option[String] = None,
+    distinctSourceDir: Option[String] = None,
+    distinctGroupCol: String = "source",
+    distinctValueCol: String = "value") {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -1776,6 +1793,188 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             }
             }
         }
+      case ("GET", "/api/v1/admin/distinct") =>
+        distinctStateDir match {
+          case None => (404, err(
+            "distinct state not configured on this server " +
+              "(pass distinctStateDir to RestServer)"))
+          case Some(sd) =>
+            def writeDistinct(into: ObjectNode, nRows: Long, nNull: Long,
+                est: Option[Double]): Unit = {
+              into.put("n_rows", nRows)
+              into.put("n_null", nNull)
+              est.foreach(e => into.put("estimate", e))
+            }
+            // the family's flat-vs-grouped selection rule, both reads
+            // linearizable
+            val st = graft.streaming.StreamingDistinct
+              .readStateLocked(store.spark, sd)
+            val gst =
+              if (st.lastBatchId < 0L)
+                Some(graft.streaming.StreamingGroupedDistinct
+                  .readStateLocked(store.spark, sd))
+                  .filter(_.lastBatchId >= 0L)
+              else None
+            val qp = Option(ex.getRequestURI.getQuery)
+              .map(_.split("&").toSeq).getOrElse(Seq.empty)
+            val wantGroup = qp.collectFirst {
+              case s if s.startsWith("group=") => s.drop("group=".length)
+            }
+            // ?verify=true — the cardinality face's recount twin: build
+            // the one-shot sketch over the operator-configured source
+            // corpus and compare CANONICAL estimates (union-composite on
+            // both sides — the HLL semilattice makes them equal on a
+            // drained stream) plus the exact row counters.
+            val wantVerify = qp.contains("verify=true")
+            if (wantVerify && distinctSourceDir.isEmpty)
+              (403, err("distinct verify not configured on this server: " +
+                "the recount is a Spark job over the stream's source " +
+                "corpus — pass distinctSourceDir to RestServer (client-" +
+                "supplied paths are not accepted, same posture as the " +
+                "other profiling verifies)"))
+            else if (wantVerify && st.lastBatchId < 0L && gst.isEmpty)
+              (409, err(s"no folded distinct state under $sd — start the " +
+                "ingest (or point the server at its state dir) before " +
+                "asking for a recount verify"))
+            else {
+            def verifyCorpus(needGroup: Boolean)
+                : Either[(Int, ObjectNode), org.apache.spark.sql.DataFrame] = {
+              val corpus = store.spark.read.parquet(distinctSourceDir.get)
+              val needed = (if (needGroup) Seq(distinctGroupCol)
+                else Seq.empty[String]) :+ distinctValueCol
+              val missing = needed.filterNot(corpus.columns.toSet.contains)
+              if (missing.nonEmpty)
+                Left((422, err("distinct verify: configured column(s) " +
+                  missing.mkString("'", "', '", "'") +
+                  " not present in the source corpus schema (" +
+                  corpus.columns.mkString(", ") + ") — the server's " +
+                  "distinctGroupCol/distinctValueCol must name the " +
+                  "columns the ingest folded")))
+              else Right(corpus)
+            }
+            def cEst(bytes: Array[Byte], lgK: Int): Option[Double] =
+              graft.streaming.StreamingDistinct.canonicalEstimate(lgK, bytes)
+            val n = obj()
+            gst match {
+              case Some(g0) =>
+                wantGroup match {
+                  case Some(g) if !g0.groups.contains(g) =>
+                    (404, err(s"group '$g' not in the folded grouped " +
+                      s"distinct state (${g0.groups.size} groups folded)"))
+                  case _ =>
+                    n.put("folded", true)
+                    n.put("grouped", true)
+                    n.put("lg_k", g0.lgK)
+                    n.put("value_col", g0.valueCol)
+                    n.put("checkpoint", g0.checkpoint)
+                    n.put("last_batch_id", g0.lastBatchId)
+                    n.put("group_count", g0.groups.size)
+                    n.put("excluded_null_rows", g0.excludedNullRows)
+                    n.put("counters_are_exact", true)
+                    val selected = wantGroup match {
+                      case Some(g) => Seq(g -> g0.groups(g))
+                      case None => g0.groups.toSeq.sortBy(_._1)
+                    }
+                    val gs = n.putObject("groups")
+                    selected.foreach { case (g, d) =>
+                      writeDistinct(gs.putObject(g), d.nRows, d.nNull,
+                        d.estimate)
+                    }
+                    if (!wantVerify) (200, n)
+                    else verifyCorpus(needGroup = true) match {
+                      case Left(resp) => resp
+                      case Right(corpus) =>
+                        val v = n.putObject("verify")
+                        // bounded collect: one sketch row per source
+                        // group, capped like the other grouped verifies
+                        val rowCap = g0.groups.size + 16
+                        val gcol = col("`" + distinctGroupCol
+                          .replace("`", "``") + "`")
+                        val vcol = col("`" + distinctValueCol
+                          .replace("`", "``") + "`")
+                        val rows = corpus.filter(gcol.isNotNull)
+                          .groupBy(gcol.as("g"))
+                          .agg(count(lit(1)).as("n_rows"),
+                            count(vcol).as("n"),
+                            hll_sketch_agg(vcol, lit(g0.lgK)).as("sk"))
+                          .head(rowCap + 1)
+                        if (rows.length > rowCap) {
+                          v.put("matched", false)
+                          v.put("error", "source group cardinality " +
+                            s"exceeds the verify bound: the folded state " +
+                            s"holds ${g0.groups.size} groups but the " +
+                            s"recount produced more than $rowCap rows — " +
+                            "the group column has drifted; the compare " +
+                            "was skipped rather than collecting an " +
+                            "unbounded relation into the serving driver")
+                        } else {
+                          val recount = rows.map { r =>
+                            val bytes = if (r.getLong(2) == 0L ||
+                                r.isNullAt(3)) Array.empty[Byte]
+                              else r.getAs[Array[Byte]](3)
+                            r.getString(0) -> ((r.getLong(1),
+                              r.getLong(1) - r.getLong(2), bytes))
+                          }.toMap
+                          val allGroups = (g0.groups.keySet ++
+                            recount.keySet).toSeq.sorted
+                          val bad = allGroups.filter { g =>
+                            (g0.groups.get(g), recount.get(g)) match {
+                              case (Some(a), Some((bn, bnull, bsk))) =>
+                                a.nRows != bn || a.nNull != bnull ||
+                                  cEst(a.sketch, g0.lgK) != cEst(bsk, g0.lgK)
+                              case _ => true
+                            }
+                          }
+                          v.put("matched", bad.isEmpty)
+                          v.put("state_group_count", g0.groups.size)
+                          v.put("recount_group_count", recount.size)
+                          v.put("mismatched_group_count", bad.size)
+                          val bl = v.putArray("mismatched_groups")
+                          bad.take(10).foreach(bl.add)
+                        }
+                        (200, n)
+                    }
+                }
+              case None if wantGroup.isDefined =>
+                (404, err(s"group '${wantGroup.get}' not available: the " +
+                  (if (st.lastBatchId < 0L) "state dir holds no folded distinct state"
+                   else "folded distinct state is flat (no groups)") +
+                  " — group selection needs a StreamingGroupedDistinct fold"))
+              case None if st.lastBatchId < 0L =>
+                n.put("folded", false)
+                n.put("last_batch_id", -1L)
+                n.put("n_rows", 0L)
+                (200, n)
+              case None =>
+                n.put("folded", true)
+                n.put("grouped", false)
+                n.put("lg_k", st.lgK)
+                n.put("value_col", st.valueCol)
+                n.put("checkpoint", st.checkpoint)
+                n.put("last_batch_id", st.lastBatchId)
+                n.put("counters_are_exact", true)
+                writeDistinct(n, st.nRows, st.nNull, st.estimate)
+                if (!wantVerify) (200, n)
+                else verifyCorpus(needGroup = false) match {
+                  case Left(resp) => resp
+                  case Right(corpus) =>
+                    val v = n.putObject("verify")
+                    val (tn, tnull, tsk) = graft.streaming.StreamingDistinct
+                      .batchSketch(corpus, distinctValueCol, st.lgK)
+                    val countersMatch =
+                      tn == st.nRows && tnull == st.nNull
+                    val estMatch =
+                      cEst(st.sketch, st.lgK) == cEst(tsk, st.lgK)
+                    v.put("matched", countersMatch && estMatch)
+                    v.put("counters_matched", countersMatch)
+                    v.put("estimate_matched", estMatch)
+                    v.put("state_n_rows", st.nRows)
+                    v.put("recount_n_rows", tn)
+                    (200, n)
+                }
+            }
+            }
+        }
       case ("POST", "/api/v1/admin/frequent-items/recount") =>
         (frequentItemsStateDir, frequentItemsSourceDir) match {
           case (Some(sd), Some(srcDir)) =>
@@ -2152,6 +2351,8 @@ object ServeMain {
     val sampleSourceDir = sys.env.get("SPARK_GRAFT_SAMPLE_SOURCE")
     val momentsStateDir = sys.env.get("SPARK_GRAFT_MOMENTS_STATE")
     val momentsSourceDir = sys.env.get("SPARK_GRAFT_MOMENTS_SOURCE")
+    val distinctStateDir = sys.env.get("SPARK_GRAFT_DISTINCT_STATE")
+    val distinctSourceDir = sys.env.get("SPARK_GRAFT_DISTINCT_SOURCE")
     // the recount/verify faces read the COLUMNS the ingests folded —
     // without these the standalone server could never verify a fold
     // ingested with non-default column names (or a value-carrying
@@ -2179,13 +2380,20 @@ object ServeMain {
       momentsGroupCol =
         sys.env.getOrElse("SPARK_GRAFT_MOMENTS_GROUP_COL", "source"),
       momentsValueCol =
-        sys.env.getOrElse("SPARK_GRAFT_MOMENTS_VALUE_COL", "value")).start()
+        sys.env.getOrElse("SPARK_GRAFT_MOMENTS_VALUE_COL", "value"),
+      distinctStateDir = distinctStateDir,
+      distinctSourceDir = distinctSourceDir,
+      distinctGroupCol =
+        sys.env.getOrElse("SPARK_GRAFT_DISTINCT_GROUP_COL", "source"),
+      distinctValueCol =
+        sys.env.getOrElse("SPARK_GRAFT_DISTINCT_VALUE_COL", "value")).start()
     println(s"graft serving on :${srv.boundPort} " +
       s"(ws :${srv.boundWsPort}, store: $path" +
       fiStateDir.map(d => s", frequent-items: $d").getOrElse("") +
       histStateDir.map(d => s", histogram: $d").getOrElse("") +
       sampleStateDir.map(d => s", sample: $d").getOrElse("") +
       momentsStateDir.map(d => s", moments: $d").getOrElse("") +
+      distinctStateDir.map(d => s", distinct: $d").getOrElse("") +
       backupBase.map(b => s", backups under: $b").getOrElse("") + ")")
     Thread.currentThread().join()
   }

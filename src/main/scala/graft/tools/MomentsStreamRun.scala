@@ -39,13 +39,6 @@ object MomentsStreamRun {
 
     val baseDocs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars").as("value"))
-    val docs = widthGroups match {
-      case Some(g) if grouped => baseDocs.select(
-        concat(lit("src_"), pmod(col("doc_id"), lit(g.toLong))
-          .cast("string")).as("source"),
-        col("value"))
-      case _ => baseDocs.select(col("source"), col("value"))
-    }
     val tag = (if (grouped) "momrun-grouped" else "momrun") +
       widthGroups.filter(_ => grouped).map(g => s"-w$g").getOrElse("")
     val maxGroups = widthGroups.map(g => math.max(g + 10,
@@ -58,11 +51,22 @@ object MomentsStreamRun {
       try {
         // one source file per micro-batch; replication scales row counts,
         // not distribution shape — the fold's cost is the per-batch
-        // aggregation plus the O(state) driver merge
+        // aggregation plus the O(state) driver merge. Width legs
+        // synthesize the group key over (doc_id, replica) so the group
+        // domain is scale x |docs| — measurable AT the default cap even
+        // when the corpus has fewer distinct ids than the cap.
         for (_ <- 1 to nBatches) {
-          docs.withColumn("rep", explode(sequence(lit(0), lit(scale - 1))))
-            .select(col("source"), col("value"))
-            .coalesce(1)
+          val staged = baseDocs
+            .withColumn("rep", explode(sequence(lit(0), lit(scale - 1))))
+          val withGroup = widthGroups match {
+            case Some(g) if grouped => staged.select(
+              concat(lit("src_"),
+                pmod(col("doc_id") * lit(scale.toLong) + col("rep"),
+                  lit(g.toLong)).cast("string")).as("source"),
+              col("value"))
+            case _ => staged.select(col("source"), col("value"))
+          }
+          withGroup.coalesce(1)
             .write.mode("append").parquet(s"$tmp/src")
         }
         val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Int)]()

@@ -93,6 +93,22 @@ class PlanAuditSpec extends SparkSpec {
       grouped)
   }
 
+  test("distinct fold plans: sketch partials map-side, no raw values in the exchange") {
+    // the cardinality fold's per-batch aggregation: a two-phase HLL
+    // sketch aggregate — fixed-size sketch partials merge map-side, so
+    // the exchange carries sketches per group per task, never values
+    val docs = Tables.load(spark, sfDir, "documents")
+    val grouped = executedPlan(
+      docs.groupBy(col("source").as("g"))
+        .agg(count(lit(1)).as("n_rows"), count(col("text")).as("n"),
+          hll_sketch_agg(col("text"), lit(12)).as("sk")))
+    assert("(?s).*Aggregate.*Exchange hashpartitioning\\(source.*Aggregate.*partial_hll_sketch_agg.*".r
+      .findFirstIn(grouped).isDefined, grouped)
+    assert(grouped.contains("ReadSchema: struct<text:string,source:string>") ||
+      grouped.contains("ReadSchema: struct<source:string,text:string>"),
+      grouped)
+  }
+
   test("OPQ rotation is a scan-side codegen project; search is the PQ two-phase top-k") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val corpus = graft.queries.QueryShapes.stretchedCorpus(emb)

@@ -341,6 +341,34 @@ object PlanDump {
       sb.append(df.queryExecution.executedPlan.toString.take(6000))
       sb.append("\n```\n")
     }
+    // the distinct folds likewise — dump the grouped per-batch sketch
+    // aggregate (flat is this minus the grouping key)
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = graft.core.Tables.load(spark, dir, "documents")
+        .select(col("source"),
+          graft.functions.TextFunctions.contentFingerprint(col("text"))
+            .as("value"))
+      val df = docs.groupBy(col("source").as("__group"))
+        .agg(count(lit(1)).as("n_rows"), count(col("value")).as("n"),
+          hll_sketch_agg(col("value"), lit(12)).as("sk"))
+      df.collect()
+      sb.append("\n## streaming_distinct_by_source — grouped per-batch HLL sketch\n\n")
+      sb.append(("""The cardinality folds' per-batch aggregation (flat is this plan
+        |minus the grouping key): one two-phase HLL sketch aggregate
+        |riding with the exact row/null counters — fixed-size sketch
+        |partials merge map-side, so the exchange carries one sketch per
+        |group per task, NEVER the values (at 100 TB the exact
+        |count(DISTINCT) alternative shuffles every distinct value). The
+        |driver fold is a Datasketches union per group (the HLL
+        |semilattice: register-wise max, exact sparse set union) into
+        |O(groups x 2^lgK) state — independent of row volume AND of
+        |per-group cardinality, at any stream length.""".stripMargin)
+        .linesIterator.map(_.trim).mkString(" "))
+      sb.append("\n\n```\n")
+      sb.append(df.queryExecution.executedPlan.toString.take(6000))
+      sb.append("\n```\n")
+    }
     // the streaming_histogram row likewise wraps driver-built output —
     // dump the per-batch FOLD plan (the part that sees every row)
     locally {

@@ -1556,4 +1556,102 @@ class RestServerSpec extends SparkSpec {
       assert(!v.has("mismatched_groups"), r.toString) // compare skipped
     } finally srvG.stop()
   }
+
+  test("admin distinct route: envelope, selection, verify parity and drift") {
+    import spark.implicits._
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_dis_rest_").toString)
+    // unconfigured: disabled
+    val srv0 = new RestServer(store).start()
+    try {
+      val (s404, r404) = call(srv0, "GET", "/api/v1/admin/distinct")
+      assert(s404 == 404 && r404.get("error").asText().contains("not configured"))
+    } finally srv0.stop()
+    // flat fold over values with heavy duplication: the envelope's
+    // estimate is the exact distinct count (sparse regime) and the
+    // counters are exact
+    val sd = java.nio.file.Files.createTempDirectory("graft_dis_s_").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_dis_src_").toString + "/files"
+    (0 until 200).map(i => s"v${i % 37}").toDF("value")
+      .coalesce(1).write.parquet(src)
+    val q = graft.streaming.StreamingDistinct.ingest(spark, src, sd,
+      java.nio.file.Files.createTempDirectory("graft_dis_ck_").toString)
+    q.processAllAvailable(); q.stop()
+    val srv = new RestServer(store, distinctStateDir = Some(sd),
+      distinctSourceDir = Some(src)).start()
+    try {
+      val (s, r) = call(srv, "GET", "/api/v1/admin/distinct")
+      assert(s == 200, r.toString)
+      assert(r.get("folded").asBoolean() && !r.get("grouped").asBoolean())
+      assert(r.get("lg_k").asInt() == 12 && r.get("value_col").asText() == "value")
+      assert(r.get("n_rows").asLong() == 200L && r.get("n_null").asLong() == 0L)
+      assert(math.round(r.get("estimate").asDouble()) == 37L, r.toString)
+      assert(r.get("counters_are_exact").asBoolean())
+      // ?group against a flat fold refuses
+      val (sFg, rFg) = call(srv, "GET", "/api/v1/admin/distinct?group=s0")
+      assert(sFg == 404 && rFg.get("error").asText().contains("flat"), rFg.toString)
+      // verify: quiesced parity, then source drift flips the verdict
+      val (sV, rV) = call(srv, "GET", "/api/v1/admin/distinct?verify=true")
+      assert(sV == 200 && rV.get("verify").get("matched").asBoolean(), rV.toString)
+      (0 until 50).map(i => s"fresh$i").toDF("value")
+        .coalesce(1).write.mode("append").parquet(src)
+      val (sV2, rV2) = call(srv, "GET", "/api/v1/admin/distinct?verify=true")
+      assert(sV2 == 200 && !rV2.get("verify").get("matched").asBoolean(), rV2.toString)
+      assert(rV2.get("verify").get("recount_n_rows").asLong() == 250L)
+    } finally srv.stop()
+    // grouped fold: per-group envelopes + selection + verify parity
+    val gsd = java.nio.file.Files.createTempDirectory("graft_dis_gs_").toString
+    val gsrc = java.nio.file.Files.createTempDirectory("graft_dis_gsrc_").toString + "/files"
+    (0 until 300).map(i => (s"s${i % 3}", s"${i % 3}_v${i % 41}"))
+      .toDF("source", "value").coalesce(1).write.parquet(gsrc)
+    val gq = graft.streaming.StreamingGroupedDistinct.ingest(spark, gsrc,
+      gsd, java.nio.file.Files.createTempDirectory("graft_dis_gck_").toString)
+    gq.processAllAvailable(); gq.stop()
+    val srvG = new RestServer(store, distinctStateDir = Some(gsd),
+      distinctSourceDir = Some(gsrc)).start()
+    try {
+      val (s, r) = call(srvG, "GET", "/api/v1/admin/distinct")
+      assert(s == 200, r.toString)
+      assert(r.get("grouped").asBoolean() && r.get("group_count").asInt() == 3)
+      val truth = spark.read.parquet(gsrc).groupBy("source")
+        .agg(org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.col("value")).as("d"))
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      (0 until 3).foreach { gi =>
+        val g = s"s$gi"
+        val gn = r.get("groups").get(g)
+        assert(math.round(gn.get("estimate").asDouble()) == truth(g), g)
+        assert(gn.get("n_rows").asLong() == 100L, g)
+      }
+      val (s1, r1) = call(srvG, "GET", "/api/v1/admin/distinct?group=s1")
+      assert(s1 == 200 && r1.get("groups").size() == 1 &&
+        r1.get("groups").has("s1"), r1.toString)
+      val (s2, r2) = call(srvG, "GET", "/api/v1/admin/distinct?group=nope")
+      assert(s2 == 404 && r2.get("error").asText().contains("nope"), r2.toString)
+      val (sV, rV) = call(srvG, "GET", "/api/v1/admin/distinct?verify=true")
+      assert(sV == 200 && rV.get("verify").get("matched").asBoolean(), rV.toString)
+    } finally srvG.stop()
+    // verify misconfig ladder: no source dir 403; bad column 422;
+    // empty state 409
+    val srvNoSrc = new RestServer(store, distinctStateDir = Some(sd)).start()
+    try {
+      val (s, r) = call(srvNoSrc, "GET", "/api/v1/admin/distinct?verify=true")
+      assert(s == 403 && r.get("error").asText().contains("distinctSourceDir"))
+    } finally srvNoSrc.stop()
+    val srvBad = new RestServer(store, distinctStateDir = Some(sd),
+      distinctSourceDir = Some(src), distinctValueCol = "no_such_col").start()
+    try {
+      val (s, r) = call(srvBad, "GET", "/api/v1/admin/distinct?verify=true")
+      assert(s == 422 && r.get("error").asText().contains("no_such_col"), s"$s $r")
+    } finally srvBad.stop()
+    val empty = java.nio.file.Files.createTempDirectory("graft_dis_e_").toString
+    val srvE = new RestServer(store, distinctStateDir = Some(empty),
+      distinctSourceDir = Some(src)).start()
+    try {
+      val (sE0, rE0) = call(srvE, "GET", "/api/v1/admin/distinct")
+      assert(sE0 == 200 && !rE0.get("folded").asBoolean())
+      val (s, r) = call(srvE, "GET", "/api/v1/admin/distinct?verify=true")
+      assert(s == 409 && r.get("error").asText().contains("no folded"), r.toString)
+    } finally srvE.stop()
+  }
 }
