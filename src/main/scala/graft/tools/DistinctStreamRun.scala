@@ -30,6 +30,9 @@ object DistinctStreamRun {
     val grouped = sys.env.get("SPARK_GRAFT_DIS_GROUPED").contains("1")
     val grow = sys.env.get("SPARK_GRAFT_DIS_GROW").contains("1")
     val widthGroups = sys.env.get("SPARK_GRAFT_DIS_GROUPS").map(_.toInt)
+    // hot locked-read poller (ms cadence; 0 = off) — the family's r14
+    // contention methodology
+    val pollMs = sys.env.getOrElse("SPARK_GRAFT_DIS_POLL_MS", "0").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -91,6 +94,27 @@ object DistinctStreamRun {
             }
           }
         }
+        val pollLat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val pollErr = new java.util.concurrent.atomic.AtomicInteger(0)
+        @volatile var polling = pollMs > 0
+        val poller = new Thread(() => {
+          while (polling) {
+            val p0 = System.nanoTime()
+            try {
+              if (grouped)
+                graft.streaming.StreamingGroupedDistinct
+                  .readStateLocked(spark, s"$tmp/state")
+              else
+                graft.streaming.StreamingDistinct
+                  .readStateLocked(spark, s"$tmp/state")
+              pollLat.add(System.nanoTime() - p0)
+            } catch { case scala.util.control.NonFatal(_) =>
+              pollErr.incrementAndGet() }
+            try Thread.sleep(pollMs)
+            catch { case _: InterruptedException => polling = false }
+          }
+        }, "disrun-locked-poller")
+        poller.setDaemon(true)
         spark.streams.addListener(listener)
         val t0 = System.nanoTime()
         val q =
@@ -103,8 +127,23 @@ object DistinctStreamRun {
             graft.streaming.StreamingDistinct.ingest(
               spark, s"$tmp/src", s"$tmp/state", s"$tmp/chk",
               maxFilesPerTrigger = 1)
+        if (pollMs > 0) poller.start()
         try q.processAllAvailable()
-        finally { q.stop(); spark.streams.removeListener(listener) }
+        finally {
+          q.stop()
+          polling = false
+          if (pollMs > 0) { poller.interrupt(); poller.join(5000) }
+          spark.streams.removeListener(listener)
+        }
+        if (pollMs > 0) {
+          val lats = pollLat.toArray(Array.empty[java.lang.Long])
+            .map(_.longValue / 1e6).sorted
+          if (lats.nonEmpty)
+            println(f"[$tag] locked-read poller (${pollMs}ms cadence): " +
+              f"n=${lats.length} median=${lats(lats.length / 2)}%.1fms " +
+              f"p99=${lats((lats.length * 99) / 100)}%.1fms " +
+              f"max=${lats.last}%.1fms errors=${pollErr.get()}")
+        }
         val total = (System.nanoTime() - t0) / 1e9
         val recs = rows.toArray(Array.empty[(Long, Double, Long)]).sortBy(_._1)
         val corpus = spark.read.parquet(s"$tmp/src")

@@ -26,6 +26,10 @@ object MomentsStreamRun {
       .split(",").map(_.trim.toInt).toSeq
     val grouped = sys.env.get("SPARK_GRAFT_MOM_GROUPED").contains("1")
     val widthGroups = sys.env.get("SPARK_GRAFT_MOM_GROUPS").map(_.toInt)
+    // hot locked-read poller (ms cadence; 0 = off) — the family's r14
+    // contention methodology: a monitor hammering readStateLocked while
+    // the writer folds, reporting reader latency + writer slowdown
+    val pollMs = sys.env.getOrElse("SPARK_GRAFT_MOM_POLL_MS", "0").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -91,6 +95,27 @@ object MomentsStreamRun {
             }
           }
         }
+        val pollLat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val pollErr = new java.util.concurrent.atomic.AtomicInteger(0)
+        @volatile var polling = pollMs > 0
+        val poller = new Thread(() => {
+          while (polling) {
+            val p0 = System.nanoTime()
+            try {
+              if (grouped)
+                graft.streaming.StreamingGroupedMoments
+                  .readStateLocked(spark, s"$tmp/state")
+              else
+                graft.streaming.StreamingMoments
+                  .readStateLocked(spark, s"$tmp/state")
+              pollLat.add(System.nanoTime() - p0)
+            } catch { case scala.util.control.NonFatal(_) =>
+              pollErr.incrementAndGet() }
+            try Thread.sleep(pollMs)
+            catch { case _: InterruptedException => polling = false }
+          }
+        }, "momrun-locked-poller")
+        poller.setDaemon(true)
         spark.streams.addListener(listener)
         val t0 = System.nanoTime()
         val q =
@@ -103,8 +128,23 @@ object MomentsStreamRun {
             graft.streaming.StreamingMoments.ingest(
               spark, s"$tmp/src", s"$tmp/state", s"$tmp/chk",
               maxFilesPerTrigger = 1)
+        if (pollMs > 0) poller.start()
         try q.processAllAvailable()
-        finally { q.stop(); spark.streams.removeListener(listener) }
+        finally {
+          q.stop()
+          polling = false
+          if (pollMs > 0) { poller.interrupt(); poller.join(5000) }
+          spark.streams.removeListener(listener)
+        }
+        if (pollMs > 0) {
+          val lats = pollLat.toArray(Array.empty[java.lang.Long])
+            .map(_.longValue / 1e6).sorted
+          if (lats.nonEmpty)
+            println(f"[$tag] locked-read poller (${pollMs}ms cadence): " +
+              f"n=${lats.length} median=${lats(lats.length / 2)}%.1fms " +
+              f"p99=${lats((lats.length * 99) / 100)}%.1fms " +
+              f"max=${lats.last}%.1fms errors=${pollErr.get()}")
+        }
         val total = (System.nanoTime() - t0) / 1e9
         val recs = rows.toArray(Array.empty[(Long, Double, Int)]).sortBy(_._1)
         val dropped = recs.count(_._3 < 0)
