@@ -64,7 +64,6 @@ object AggQueries {
         val st = graft.streaming.StreamingDistinct.readState(s, s"$tmp/state")
         val est = st.estimate.getOrElse(0.0)
         docs.agg(
-            count(lit(1)).as("spark_rows"),
             countDistinct(graft.functions.TextFunctions
               .contentFingerprint(col("text"))).as("n_exact"))
           .select(

@@ -1429,10 +1429,15 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                   .readStateLocked(store.spark, sd))
                   .filter(_.lastBatchId >= 0L)
               else None
-            val qp = Option(ex.getRequestURI.getQuery)
+            // RAW query, decoded per VALUE after the '&' split: getQuery
+            // pre-decodes percent-escapes, so a group name containing '&'
+            // or '=' (sent correctly encoded, e.g. group=r%26d) would be
+            // truncated at the decoded separator and 404 as 'r'
+            val qp = Option(ex.getRequestURI.getRawQuery)
               .map(_.split("&").toSeq).getOrElse(Seq.empty)
             val wantGroup = qp.collectFirst {
-              case s if s.startsWith("group=") => s.drop("group=".length)
+              case s if s.startsWith("group=") => java.net.URLDecoder
+                .decode(s.drop("group=".length), "UTF-8")
             }
             // ?verify=true — the sampling face's recount twin (the
             // histogram's verify=true / frequent-items' /recount analog):
@@ -1622,18 +1627,14 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
               "(pass momentsStateDir to RestServer)"))
           case Some(sd) =>
             import graft.streaming.StreamingMoments.Moments
+            // the ONE state-field contract (putMoments — n_rows/n_null +
+            // the n>0-gated min/max/string-sums rule, shared with both
+            // fold writers) plus the envelope-only extras: n and the
+            // derived FP views a monitor actually plots
             def writeMoments(into: ObjectNode, m: Moments): Unit = {
-              into.put("n_rows", m.nRows)
+              graft.streaming.StreamingMoments.putMoments(into, m)
               into.put("n", m.n)
-              into.put("n_null", m.nNull)
               if (m.n > 0L) {
-                into.put("min", m.min)
-                into.put("max", m.max)
-                // exact integers of unbounded width: strings, never a
-                // JSON double that silently rounds past 2^53
-                into.put("sum", m.sum.toString)
-                into.put("sum_sq", m.sumSq.toString)
-                // the derived FP views a monitor actually plots
                 m.mean.foreach(v => into.put("mean", v))
                 m.stddevPop.foreach(v => into.put("stddev_pop", v))
               }
@@ -1648,10 +1649,15 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                   .readStateLocked(store.spark, sd))
                   .filter(_.lastBatchId >= 0L)
               else None
-            val qp = Option(ex.getRequestURI.getQuery)
+            // RAW query, decoded per VALUE after the '&' split: getQuery
+            // pre-decodes percent-escapes, so a group name containing '&'
+            // or '=' (sent correctly encoded, e.g. group=r%26d) would be
+            // truncated at the decoded separator and 404 as 'r'
+            val qp = Option(ex.getRequestURI.getRawQuery)
               .map(_.split("&").toSeq).getOrElse(Seq.empty)
             val wantGroup = qp.collectFirst {
-              case s if s.startsWith("group=") => s.drop("group=".length)
+              case s if s.startsWith("group=") => java.net.URLDecoder
+                .decode(s.drop("group=".length), "UTF-8")
             }
             // ?verify=true — the moments face's recount twin: recompute
             // the (per-group) exact moments ONE-SHOT over the operator-
@@ -1815,10 +1821,15 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                   .readStateLocked(store.spark, sd))
                   .filter(_.lastBatchId >= 0L)
               else None
-            val qp = Option(ex.getRequestURI.getQuery)
+            // RAW query, decoded per VALUE after the '&' split: getQuery
+            // pre-decodes percent-escapes, so a group name containing '&'
+            // or '=' (sent correctly encoded, e.g. group=r%26d) would be
+            // truncated at the decoded separator and 404 as 'r'
+            val qp = Option(ex.getRequestURI.getRawQuery)
               .map(_.split("&").toSeq).getOrElse(Seq.empty)
             val wantGroup = qp.collectFirst {
-              case s if s.startsWith("group=") => s.drop("group=".length)
+              case s if s.startsWith("group=") => java.net.URLDecoder
+                .decode(s.drop("group=".length), "UTF-8")
             }
             // ?verify=true — the cardinality face's recount twin: build
             // the one-shot sketch over the operator-configured source

@@ -187,7 +187,8 @@ object StreamingDistinct {
     val st = readState(spark, stateDir)
     checkStateBindings(st, stateDir, checkpoint, lgK, valueCol)
     StreamingHeavyHitters.checkFreshStateVsCheckpoint(st.lastBatchId,
-      stateDir, batchId)
+      stateDir, batchId,
+      "distinct state")
     if (batchId <= st.lastBatchId) st // replayed batch: already folded
     else {
       val v = col("`" + valueCol.replace("`", "``") + "`")

@@ -166,7 +166,8 @@ object StreamingGroupedDistinct {
     val st = readState(spark, stateDir)
     checkStateBindings(st, stateDir, checkpoint, lgK, valueCol)
     StreamingHeavyHitters.checkFreshStateVsCheckpoint(st.lastBatchId,
-      stateDir, batchId)
+      stateDir, batchId,
+      "grouped distinct state")
     if (batchId <= st.lastBatchId) st // replayed batch: already folded
     else {
       val g = col("`" + groupCol.replace("`", "``") + "`")

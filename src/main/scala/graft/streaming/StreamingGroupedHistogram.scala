@@ -149,7 +149,8 @@ object StreamingGroupedHistogram {
     val st = readState(spark, stateDir)
     checkStateBindings(st, stateDir, checkpoint, spec)
     StreamingHeavyHitters.checkFreshStateVsCheckpoint(st.lastBatchId,
-      stateDir, batchId)
+      stateDir, batchId,
+      "grouped histogram state")
     if (batchId <= st.lastBatchId) st // replayed batch: already folded
     else {
       // one pass: null-group rows are kept (ALL of them — their values,

@@ -155,7 +155,8 @@ object StreamingGroupedMoments {
     val st = readState(spark, stateDir)
     checkStateBindings(st, stateDir, checkpoint, valueCol)
     StreamingHeavyHitters.checkFreshStateVsCheckpoint(st.lastBatchId,
-      stateDir, batchId)
+      stateDir, batchId,
+      "grouped moments state")
     if (batchId <= st.lastBatchId) st // replayed batch: already folded
     else {
       // groupBy KEEPS the null group as its own row (unlike the batch

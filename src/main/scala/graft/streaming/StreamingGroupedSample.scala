@@ -181,7 +181,8 @@ object StreamingGroupedSample {
     val st = readState(spark, stateDir)
     checkStateBindings(st, stateDir, checkpoint, k, salt)
     StreamingHeavyHitters.checkFreshStateVsCheckpoint(st.lastBatchId,
-      stateDir, batchId)
+      stateDir, batchId,
+      "grouped sample state")
     if (batchId <= st.lastBatchId) st // replayed batch: already folded
     else {
       // groupBy keeps a NULL group as its own group, so the null-row

@@ -170,10 +170,13 @@ object StreamingHeavyHitters {
     * re-delivered — their items would be permanently missing from a state
     * claimed exact. */
   private[streaming] def checkFreshStateVsCheckpoint(stLastBatchId: Long,
-      stateDir: String, batchId: Long): Unit =
+      stateDir: String, batchId: Long,
+      // the guard is shared family-wide; the label must name the CALLER'S
+      // state so the omitted-data diagnostic points at the right operator
+      what: String = "MG state"): Unit =
     if (stLastBatchId < 0L && batchId > 0L)
       throw new IllegalStateException(
-        s"MG state at $stateDir is empty but the checkpoint resumes at " +
+        s"$what at $stateDir is empty but the checkpoint resumes at " +
           s"batch $batchId — batches 0..${batchId - 1} were already " +
           "committed and will not be re-delivered, so folding from here " +
           "would silently omit them. Use a fresh checkpoint with a fresh " +

@@ -144,7 +144,8 @@ object StreamingHistogram {
     val st = readState(spark, stateDir)
     checkStateBindings(st, stateDir, checkpoint, spec)
     StreamingHeavyHitters.checkFreshStateVsCheckpoint(st.lastBatchId,
-      stateDir, batchId)
+      stateDir, batchId,
+      "histogram state")
     if (batchId <= st.lastBatchId) st // replayed batch: already folded
     else {
       val rows = HistogramSketch.counts(

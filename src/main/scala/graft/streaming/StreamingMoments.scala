@@ -108,7 +108,7 @@ object StreamingMoments {
     * (they are exact integers of unbounded width; a JSON double would
     * silently round past 2^53), min/max only when n > 0 (no phantom
     * fields on an all-null fold). */
-  private[streaming] def putMoments(
+  private[graft] def putMoments(
       into: com.fasterxml.jackson.databind.node.ObjectNode,
       m: Moments): Unit = {
     into.put("n_rows", m.nRows)
@@ -218,7 +218,8 @@ object StreamingMoments {
     val st = readState(spark, stateDir)
     checkStateBindings(st, stateDir, checkpoint, valueCol)
     StreamingHeavyHitters.checkFreshStateVsCheckpoint(st.lastBatchId,
-      stateDir, batchId)
+      stateDir, batchId,
+      "moments state")
     if (batchId <= st.lastBatchId) st // replayed batch: already folded
     else {
       // ONE aggregate, ONE row back — Profile.moments IS the per-batch

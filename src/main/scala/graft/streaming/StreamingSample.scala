@@ -175,7 +175,8 @@ object StreamingSample {
     val st = readState(spark, stateDir)
     checkStateBindings(st, stateDir, checkpoint, k, salt)
     StreamingHeavyHitters.checkFreshStateVsCheckpoint(st.lastBatchId,
-      stateDir, batchId)
+      stateDir, batchId,
+      "sample state")
     if (batchId <= st.lastBatchId) st // replayed batch: already folded
     else {
       // nSeen rides the SAME pass as the bottom-k: a CollectMetrics node

@@ -63,7 +63,12 @@ object DistinctStreamRun {
           val staged = baseDocs
             .withColumn("rep", explode(sequence(lit(0), lit(scale - 1))))
           val grownValue =
-            if (grow) concat(col("value"), lit(s"_b$i"), col("rep").cast("string"))
+            // unambiguous (batch, replica) suffix: without the trailing
+            // separator, batch 1/rep 10 and batch 11/rep 0 would both
+            // produce "_b110" and the growth stress would self-collide
+            // at scale >= 11
+            if (grow) concat(col("value"), lit(s"_b${i}_"),
+              col("rep").cast("string"))
             else col("value")
           val withGroup = widthGroups match {
             case Some(g) if grouped => staged.select(

@@ -1481,6 +1481,25 @@ class RestServerSpec extends SparkSpec {
       val (s2, r2) = call(srvG, "GET", "/api/v1/admin/moments?group=nope")
       assert(s2 == 404 && r2.get("error").asText().contains("nope"), r2.toString)
     } finally srvG.stop()
+
+    // a group name carrying '&' must be reachable through its
+    // percent-encoded form: the route splits the RAW query on '&' and
+    // decodes each value AFTER (getQuery pre-decodes, which would
+    // truncate "r&d" to "r" and 404)
+    val esd = java.nio.file.Files.createTempDirectory("graft_mom_es_").toString
+    val esrc = java.nio.file.Files.createTempDirectory("graft_mom_esrc_").toString + "/files"
+    Seq(("r&d", 5L), ("plain", 7L)).toDF("source", "value")
+      .coalesce(1).write.parquet(esrc)
+    val eq = graft.streaming.StreamingGroupedMoments.ingest(spark, esrc, esd,
+      java.nio.file.Files.createTempDirectory("graft_mom_eck_").toString)
+    eq.processAllAvailable(); eq.stop()
+    val srvE2 = new RestServer(store, momentsStateDir = Some(esd)).start()
+    try {
+      val (s, r) = call(srvE2, "GET", "/api/v1/admin/moments?group=r%26d")
+      assert(s == 200, s"$s $r")
+      assert(r.get("groups").size() == 1 && r.get("groups").has("r&d"), r.toString)
+      assert(r.get("groups").get("r&d").get("sum").asText() == "5", r.toString)
+    } finally srvE2.stop()
   }
 
   test("moments verify face: recount parity, drift, column 422, grouped bound") {
