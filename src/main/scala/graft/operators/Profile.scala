@@ -106,4 +106,75 @@ object Profile {
       .agg(a.head, a.tail: _*)
       .orderBy("group")
   }
+
+  /** The co-moments aggregate columns — ONE definition shared by the
+    * bivariate batch faces below and the streaming folds
+    * ([[graft.streaming.StreamingComoments]] /
+    * [[graft.streaming.StreamingGroupedComoments]]), the bivariate
+    * sibling of [[momentsAggs]] with the same exactness posture: both
+    * columns are INTEGRAL (cast to long), all five sums accumulate as
+    * decimal(38,0) — EXACT integers, no FP rounding, no addition-order
+    * dependence — so a folded stream state equals the one-shot batch
+    * answer bit-for-bit and DuckDB replays both with HUGEINT arithmetic.
+    * A cross product of two longs fits decimal(38,0) (|xy| ≤ long² ≈
+    * 8.5e37 < 1e38); a sum past 38 digits comes back NULL and callers
+    * refuse loudly. Covariance and Pearson correlation are DERIVED,
+    * FP-only views computed from the exact sums at read time.
+    *
+    * Semantics are PAIRWISE-COMPLETE: a row contributes to n and to
+    * every min/max/sum only when BOTH columns are non-null, so all
+    * eleven statistics describe the SAME sample and the derived
+    * covariance/correlation are internally consistent. Rows missing
+    * either side are excluded but exactly counted per axis (n_null_x /
+    * n_null_y over ALL rows), so a column rotting to NULL is visible on
+    * the envelope rather than silently thinning the pair sample. */
+  private[graft] def comomentsAggs(xCol: String, yCol: String): Seq[Column] = {
+    val x = col("`" + xCol.replace("`", "``") + "`").cast("long")
+    val y = col("`" + yCol.replace("`", "``") + "`").cast("long")
+    val both = x.isNotNull && y.isNotNull
+    val xp = when(both, x)
+    val yp = when(both, y)
+    val xd = xp.cast("decimal(38,0)")
+    val yd = yp.cast("decimal(38,0)")
+    Seq(count(lit(1)).as("n_rows"), count(xp).as("n"),
+      (count(lit(1)) - count(x)).as("n_null_x"),
+      (count(lit(1)) - count(y)).as("n_null_y"),
+      min(xp).as("xmin"), max(xp).as("xmax"),
+      min(yp).as("ymin"), max(yp).as("ymax"),
+      sum(xd).as("xsum"), sum(yd).as("ysum"),
+      sum(xd * xd).as("xsum_sq"), sum(yd * yd).as("ysum_sq"),
+      sum(xd * yd).as("xysum"))
+  }
+
+  /** Exact integer co-moments of two integral columns, one row:
+    * (n_rows, n, n_null_x, n_null_y, xmin, xmax, ymin, ymax, xsum, ysum,
+    * xsum_sq, ysum_sq, xysum) — counts and min/max as long, the five sums
+    * as decimal(38,0) (exact; see [[comomentsAggs]]). The pair stats are
+    * NULL when no row has both values. One map-side-combined aggregate
+    * over one scan at any corpus size. */
+  def comoments(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    require(df.columns.contains(xCol), s"comoments: unknown column '$xCol'")
+    require(df.columns.contains(yCol), s"comoments: unknown column '$yCol'")
+    val a = comomentsAggs(xCol, yCol)
+    df.agg(a.head, a.tail: _*)
+  }
+
+  /** Per-group exact co-moments: [[comoments]] grouped by `groupCol`,
+    * NULL group keys excluded (the grouped-family rule). Output ordered
+    * by group; still one aggregate, one scan, one row per group. */
+  def comomentsPerGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    require(df.columns.contains(groupCol),
+      s"comomentsPerGroup: unknown group column '$groupCol'")
+    require(df.columns.contains(xCol),
+      s"comomentsPerGroup: unknown column '$xCol'")
+    require(df.columns.contains(yCol),
+      s"comomentsPerGroup: unknown column '$yCol'")
+    val g = col("`" + groupCol.replace("`", "``") + "`")
+    val a = comomentsAggs(xCol, yCol)
+    df.filter(g.isNotNull)
+      .groupBy(g.as("group"))
+      .agg(a.head, a.tail: _*)
+      .orderBy("group")
+  }
 }

@@ -167,6 +167,138 @@ object CurationQueries {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(tmp))
     }),
+    // §2.11 + profiling: the streaming exact CO-moments fold — the
+    // bivariate face. The pair is (n_chars, whitespace-token count): the
+    // chars-per-token relationship a tokenizer-drift monitor watches.
+    // Documents staged as 4 micro-batches; each batch contributes ONE
+    // thirteen-counter aggregate row (pairwise-complete semantics),
+    // folded as the co-moments semilattice. No estimator anywhere: the
+    // folded state IS the batch aggregate of everything folded, so
+    // DuckDB replays every number with HUGEINT arithmetic — including
+    // the cross sum Σxy that covariance/correlation derive from — and
+    // the rows+hash compare IS the exactly-once check.
+    "streaming_comoments" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_scomom_q_").toString
+      try {
+        Tables.load(s, dir, "documents")
+          .select(col("n_chars").cast("long").as("x"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .cast("long").as("y"))
+          .repartition(4).write.parquet(s"$tmp/src")
+        val q = graft.streaming.StreamingComoments.ingest(s, s"$tmp/src",
+          s"$tmp/state", s"$tmp/chk", maxFilesPerTrigger = 1)
+        try q.processAllAvailable() finally q.stop()
+        val st = graft.streaming.StreamingComoments
+          .readState(s, s"$tmp/state")
+        // exact sums leave as long for the hash compare (loud decimal->
+        // long overflow is ~20 decimal digits away at any test SF)
+        graft.streaming.StreamingComoments.toDF(s, st)
+          .select(col("n_rows"), col("n"), col("n_null_x"), col("n_null_y"),
+            col("xmin"), col("xmax"), col("ymin"), col("ymax"),
+            col("xsum").cast("long").as("xsum"),
+            col("ysum").cast("long").as("ysum"),
+            col("xsum_sq").cast("long").as("xsum_sq"),
+            col("ysum_sq").cast("long").as("ysum_sq"),
+            col("xysum").cast("long").as("xysum"))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
+    }),
+    // the grouped face — one exact co-moments entry PER SOURCE; groups
+    // never mix, so the flat row's exactness argument applies
+    // group-pointwise and DuckDB replays every group's thirteen numbers
+    // (a misattributed pair, a dropped group, or a wrong per-group merge
+    // hash-mismatches)
+    "streaming_comoments_by_source" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_gscomom_q_").toString
+      try {
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("n_chars").cast("long").as("x"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .cast("long").as("y"))
+          .repartition(4).write.parquet(s"$tmp/src")
+        val q = graft.streaming.StreamingGroupedComoments.ingest(s,
+          s"$tmp/src", s"$tmp/state", s"$tmp/chk", maxFilesPerTrigger = 1)
+        try q.processAllAvailable() finally q.stop()
+        val st = graft.streaming.StreamingGroupedComoments
+          .readState(s, s"$tmp/state")
+        graft.streaming.StreamingGroupedComoments.toDF(s, st)
+          .select(col("group").as("source"), col("n_rows"), col("n"),
+            col("n_null_x"), col("n_null_y"),
+            col("xmin"), col("xmax"), col("ymin"), col("ymax"),
+            col("xsum").cast("long").as("xsum"),
+            col("ysum").cast("long").as("ysum"),
+            col("xsum_sq").cast("long").as("xsum_sq"),
+            col("ysum_sq").cast("long").as("ysum_sq"),
+            col("xysum").cast("long").as("xysum"))
+          .orderBy("source")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
+    }),
+    // cross-cluster state merge, moments face: the corpus is split into
+    // two disjoint "regions" (doc_id parity), each folded by its OWN
+    // stream (own checkpoint, own state dir — two independent regional
+    // ingest clusters in miniature), then merged centrally with
+    // mergeStates. The fold is a semilattice, so the merged state must
+    // EQUAL the single-cluster fold over everything — which is exactly
+    // what DuckDB replays (whole-corpus HUGEINT moments): a lost region,
+    // a double-merged region, or any drift in the merge arithmetic
+    // changes an exact integer and hash-mismatches.
+    "merged_moments_regions" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_mmerge_q_").toString
+      try {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("value"))
+        Seq(0, 1).foreach { region =>
+          docs.filter(col("doc_id") % 2 === region).select(col("value"))
+            .repartition(2).write.parquet(s"$tmp/r$region/src")
+          val q = graft.streaming.StreamingMoments.ingest(s,
+            s"$tmp/r$region/src", s"$tmp/r$region/state",
+            s"$tmp/r$region/chk", maxFilesPerTrigger = 1)
+          try q.processAllAvailable() finally q.stop()
+        }
+        val merged = graft.streaming.StreamingMoments.mergeStates(s,
+          Seq(s"$tmp/r0/state", s"$tmp/r1/state"), s"$tmp/merged")
+        graft.streaming.StreamingMoments.toDF(s, merged)
+          .select(col("n_rows"), col("n"), col("n_null"), col("vmin"),
+            col("vmax"), col("vsum").cast("long").as("vsum"),
+            col("vsum_sq").cast("long").as("vsum_sq"))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
+    }),
+    // cross-cluster state merge, sampling face: two regional bottom-k
+    // folds (disjoint doc_id halves, same (k, salt)) merged centrally.
+    // The bottom-k is an exact semilattice — k smallest of a union = k
+    // smallest of the per-region bottom-ks — so the merged sample is
+    // BIT-IDENTICAL to the global sample, and DuckDB replays it over
+    // the WHOLE corpus with the same salted hash: any region boundary
+    // leaking into the sample (a wrong merge, a lost region) changes
+    // ids and hash-mismatches.
+    "merged_sample_regions" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_smerge_q_").toString
+      try {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("double").as("value"))
+        Seq(0, 1).foreach { region =>
+          docs.filter(col("doc_id") % 2 === region)
+            .repartition(2).write.parquet(s"$tmp/r$region/src")
+          val q = graft.streaming.StreamingSample.ingest(s,
+            s"$tmp/r$region/src", s"$tmp/r$region/state",
+            s"$tmp/r$region/chk", k = 32, valueCol = Some("value"),
+            maxFilesPerTrigger = 1)
+          try q.processAllAvailable() finally q.stop()
+        }
+        val merged = graft.streaming.StreamingSample.mergeStates(s,
+          Seq(s"$tmp/r0/state", s"$tmp/r1/state"), s"$tmp/merged")
+        graft.streaming.StreamingSample.toDF(s, merged)
+          .select(col("id").as("doc_id"), col("value"))
+          .orderBy("doc_id")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
+    }),
     // hash-deterministic mixture sampling toward a target source mix
     "mixture_sample" -> ((s, dir) => {
       Curation.mixtureSample(Tables.load(s, dir, "documents"),
@@ -326,6 +458,66 @@ object CurationQueries {
         |  sum(n_chars::HUGEINT * n_chars::HUGEINT)::BIGINT AS vsum_sq
         |FROM documents WHERE source IS NOT NULL
         |GROUP BY source ORDER BY source""".stripMargin,
+    // the co-moments fold replayed with exact HUGEINT arithmetic — the
+    // same integers the fold's decimal(38,0)/BigInt legs carry; y is the
+    // ONE shared tokenization rule (toksSql), so the fold's token counts
+    // and the oracle's cannot diverge on the edge rules
+    "streaming_comoments" ->
+      s"""WITH t AS (SELECT n_chars::BIGINT AS x,
+         |    len($toksSql)::BIGINT AS y FROM documents),
+         |p AS (SELECT CASE WHEN x IS NOT NULL AND y IS NOT NULL
+         |    THEN x END AS px,
+         |  CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END AS py,
+         |  x, y FROM t)
+         |SELECT count(*)::BIGINT AS n_rows, count(px)::BIGINT AS n,
+         |  (count(*) - count(x))::BIGINT AS n_null_x,
+         |  (count(*) - count(y))::BIGINT AS n_null_y,
+         |  min(px)::BIGINT AS xmin, max(px)::BIGINT AS xmax,
+         |  min(py)::BIGINT AS ymin, max(py)::BIGINT AS ymax,
+         |  sum(px::HUGEINT)::BIGINT AS xsum,
+         |  sum(py::HUGEINT)::BIGINT AS ysum,
+         |  sum(px::HUGEINT * px::HUGEINT)::BIGINT AS xsum_sq,
+         |  sum(py::HUGEINT * py::HUGEINT)::BIGINT AS ysum_sq,
+         |  sum(px::HUGEINT * py::HUGEINT)::BIGINT AS xysum
+         |FROM p""".stripMargin,
+    "streaming_comoments_by_source" ->
+      s"""WITH t AS (SELECT source, n_chars::BIGINT AS x,
+         |    len($toksSql)::BIGINT AS y FROM documents
+         |  WHERE source IS NOT NULL),
+         |p AS (SELECT source, CASE WHEN x IS NOT NULL AND y IS NOT NULL
+         |    THEN x END AS px,
+         |  CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END AS py,
+         |  x, y FROM t)
+         |SELECT source, count(*)::BIGINT AS n_rows, count(px)::BIGINT AS n,
+         |  (count(*) - count(x))::BIGINT AS n_null_x,
+         |  (count(*) - count(y))::BIGINT AS n_null_y,
+         |  min(px)::BIGINT AS xmin, max(px)::BIGINT AS xmax,
+         |  min(py)::BIGINT AS ymin, max(py)::BIGINT AS ymax,
+         |  sum(px::HUGEINT)::BIGINT AS xsum,
+         |  sum(py::HUGEINT)::BIGINT AS ysum,
+         |  sum(px::HUGEINT * px::HUGEINT)::BIGINT AS xsum_sq,
+         |  sum(py::HUGEINT * py::HUGEINT)::BIGINT AS ysum_sq,
+         |  sum(px::HUGEINT * py::HUGEINT)::BIGINT AS xysum
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    // the merged regional folds must equal the WHOLE-corpus moments —
+    // the same replay as streaming_moments: region boundaries must be
+    // invisible in the merged state
+    "merged_moments_regions" ->
+      """SELECT count(*)::BIGINT AS n_rows, count(n_chars)::BIGINT AS n,
+        |  (count(*) - count(n_chars))::BIGINT AS n_null,
+        |  min(n_chars)::BIGINT AS vmin, max(n_chars)::BIGINT AS vmax,
+        |  sum(n_chars::HUGEINT)::BIGINT AS vsum,
+        |  sum(n_chars::HUGEINT * n_chars::HUGEINT)::BIGINT AS vsum_sq
+        |FROM documents""".stripMargin,
+    // the merged regional bottom-ks must equal the GLOBAL bottom-k —
+    // the same replay as streaming_sample, over the whole corpus
+    "merged_sample_regions" ->
+      s"""WITH bk AS (
+         |  SELECT doc_id, n_chars::DOUBLE AS value
+         |  FROM documents
+         |  ORDER BY ${hash32("doc_id::VARCHAR || ':sample'")}, doc_id
+         |  LIMIT 32)
+         |SELECT doc_id, value FROM bk ORDER BY doc_id""".stripMargin,
     "mixture_sample" ->
       s"""WITH f AS (SELECT source, ${bucketSql("mix")} AS b FROM documents)
          |SELECT source, count(*) AS n_kept FROM f

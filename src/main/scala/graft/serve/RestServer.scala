@@ -134,6 +134,21 @@ import scala.util.control.NonFatal
   *                                      compares canonical estimates +
   *                                      exact counters against the same
   *                                      snapshot
+  *   GET    /api/v1/admin/comoments?group=NAME&verify=true — the folded
+  *                                      streaming exact CO-moments state
+  *                                      (counts/per-axis nulls/min/max +
+  *                                      the five exact integer sums as
+  *                                      strings; mean_x/mean_y/
+  *                                      covariance_pop/correlation
+  *                                      derived), flat OR grouped,
+  *                                      linearizable locked read; ?group
+  *                                      selects one group; ?verify=true
+  *                                      recomputes the (per-group) pair
+  *                                      statistics one-shot over the
+  *                                      operator-configured source corpus
+  *                                      (comomentsSourceDir) and reports
+  *                                      number-level parity against the
+  *                                      same snapshot
   *   POST   /api/v1/admin/frequent-items/recount {denominator} — the EXACT
   *                                      face of the folded stream state: a
   *                                      Spark recount of the candidates over
@@ -222,7 +237,15 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     distinctStateDir: Option[String] = None,
     distinctSourceDir: Option[String] = None,
     distinctGroupCol: String = "source",
-    distinctValueCol: String = "value") {
+    distinctValueCol: String = "value",
+    // the bivariate face (GET /admin/comoments): same posture; the two
+    // value columns are an ORDERED pair — they must name (in order) what
+    // the ingest folded, the fold's own binding rule
+    comomentsStateDir: Option[String] = None,
+    comomentsSourceDir: Option[String] = None,
+    comomentsGroupCol: String = "source",
+    comomentsXCol: String = "x",
+    comomentsYCol: String = "y") {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -1799,6 +1822,186 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             }
             }
         }
+      case ("GET", "/api/v1/admin/comoments") =>
+        comomentsStateDir match {
+          case None => (404, err(
+            "comoments state not configured on this server " +
+              "(pass comomentsStateDir to RestServer)"))
+          case Some(sd) =>
+            import graft.streaming.StreamingComoments.Comoments
+            // the ONE state-field contract (putComoments — the counts +
+            // the n>0-gated min/max/string-sums rule, shared with both
+            // fold writers) plus the envelope-only extras: the derived
+            // FP views a ratio-drift monitor actually plots
+            def writeComoments(into: ObjectNode, m: Comoments): Unit = {
+              graft.streaming.StreamingComoments.putComoments(into, m)
+              if (m.n > 0L) {
+                m.meanX.foreach(v => into.put("mean_x", v))
+                m.meanY.foreach(v => into.put("mean_y", v))
+                m.covariancePop.foreach(v => into.put("covariance_pop", v))
+                // None when either side is constant (zero variance):
+                // the field is simply absent, never NaN
+                m.correlation.foreach(v => into.put("correlation", v))
+              }
+            }
+            // the family's flat-vs-grouped selection rule (one state dir,
+            // flat wins ties), both reads linearizable
+            val st = graft.streaming.StreamingComoments
+              .readStateLocked(store.spark, sd)
+            val gst =
+              if (st.lastBatchId < 0L)
+                Some(graft.streaming.StreamingGroupedComoments
+                  .readStateLocked(store.spark, sd))
+                  .filter(_.lastBatchId >= 0L)
+              else None
+            // RAW query, decoded per VALUE after the '&' split (the
+            // family's encoded-group rule)
+            val qp = Option(ex.getRequestURI.getRawQuery)
+              .map(_.split("&").toSeq).getOrElse(Seq.empty)
+            val wantGroup = qp.collectFirst {
+              case s if s.startsWith("group=") => java.net.URLDecoder
+                .decode(s.drop("group=".length), "UTF-8")
+            }
+            // ?verify=true — the bivariate face's recount twin: recompute
+            // the (per-group) exact co-moments ONE-SHOT over the operator-
+            // configured source corpus and compare number-for-number
+            // against the SAME locked snapshot the envelope serves
+            val wantVerify = qp.contains("verify=true")
+            if (wantVerify && comomentsSourceDir.isEmpty)
+              (403, err("comoments verify not configured on this server: " +
+                "the recount is a Spark job over the stream's source " +
+                "corpus — pass comomentsSourceDir to RestServer (client-" +
+                "supplied paths are not accepted, same posture as the " +
+                "other profiling verifies)"))
+            else if (wantVerify && st.lastBatchId < 0L && gst.isEmpty)
+              (409, err(s"no folded comoments state under $sd — start " +
+                "the ingest (or point the server at its state dir) " +
+                "before asking for a recount verify"))
+            else {
+            // 422 when the configured recount columns are missing from
+            // the source schema (configuration-naming, never an opaque
+            // 500) — the profiling-family verify rule
+            def verifyCorpus(needGroup: Boolean)
+                : Either[(Int, ObjectNode), org.apache.spark.sql.DataFrame] = {
+              val corpus = store.spark.read.parquet(comomentsSourceDir.get)
+              val needed = (if (needGroup) Seq(comomentsGroupCol)
+                else Seq.empty[String]) ++ Seq(comomentsXCol, comomentsYCol)
+              val missing = needed.filterNot(corpus.columns.toSet.contains)
+              if (missing.nonEmpty)
+                Left((422, err("comoments verify: configured column(s) " +
+                  missing.mkString("'", "', '", "'") +
+                  " not present in the source corpus schema (" +
+                  corpus.columns.mkString(", ") + ") — the server's " +
+                  "comomentsGroupCol/comomentsXCol/comomentsYCol must " +
+                  "name the columns the ingest folded")))
+              else Right(corpus)
+            }
+            val n = obj()
+            gst match {
+              case Some(g0) =>
+                wantGroup match {
+                  case Some(g) if !g0.groups.contains(g) =>
+                    (404, err(s"group '$g' not in the folded grouped " +
+                      s"comoments state (${g0.groups.size} groups folded)"))
+                  case _ =>
+                    n.put("folded", true)
+                    n.put("grouped", true)
+                    n.put("x_col", g0.xCol)
+                    n.put("y_col", g0.yCol)
+                    n.put("checkpoint", g0.checkpoint)
+                    n.put("last_batch_id", g0.lastBatchId)
+                    n.put("group_count", g0.groups.size)
+                    n.put("excluded_null_rows", g0.excludedNullRows)
+                    n.put("comoments_are_exact", true)
+                    val selected = wantGroup match {
+                      case Some(g) => Seq(g -> g0.groups(g))
+                      case None => g0.groups.toSeq.sortBy(_._1)
+                    }
+                    val gs = n.putObject("groups")
+                    selected.foreach { case (g, m) =>
+                      writeComoments(gs.putObject(g), m)
+                    }
+                    if (!wantVerify) (200, n)
+                    else verifyCorpus(needGroup = true) match {
+                      case Left(resp) => resp
+                      case Right(corpus) =>
+                        val v = n.putObject("verify")
+                        // bounded collect: one row per source group — cap
+                        // at stateGroups + 16 and refuse loudly past it
+                        // (the family's verify bound rule)
+                        val rowCap = g0.groups.size + 16
+                        val rows = graft.operators.Profile
+                          .comomentsPerGroup(corpus, comomentsGroupCol,
+                            comomentsXCol, comomentsYCol)
+                          .head(rowCap + 1)
+                        if (rows.length > rowCap) {
+                          v.put("matched", false)
+                          v.put("error", "source group cardinality " +
+                            s"exceeds the verify bound: the folded state " +
+                            s"holds ${g0.groups.size} groups but the " +
+                            s"recount produced more than $rowCap rows — " +
+                            "the group column has drifted; the compare " +
+                            "was skipped rather than collecting an " +
+                            "unbounded relation into the serving driver")
+                        } else {
+                          val recount = rows.map(r => r.getString(0) ->
+                            graft.streaming.StreamingComoments
+                              .comomentsFromRow(r, 1,
+                                "comoments verify recount")).toMap
+                          val allGroups = (g0.groups.keySet ++
+                            recount.keySet).toSeq.sorted
+                          val bad = allGroups.filter(g =>
+                            !g0.groups.get(g).zip(recount.get(g))
+                              .exists { case (a, b) => a == b })
+                          v.put("matched", bad.isEmpty)
+                          v.put("state_group_count", g0.groups.size)
+                          v.put("recount_group_count", recount.size)
+                          v.put("mismatched_group_count", bad.size)
+                          val bl = v.putArray("mismatched_groups")
+                          bad.take(10).foreach(bl.add)
+                        }
+                        v.put("comoments_are_exact", true)
+                        (200, n)
+                    }
+                }
+              case None if wantGroup.isDefined =>
+                (404, err(s"group '${wantGroup.get}' not available: the " +
+                  (if (st.lastBatchId < 0L)
+                    "state dir holds no folded comoments"
+                   else "folded comoments are flat (no groups)") +
+                  " — group selection needs a StreamingGroupedComoments " +
+                  "fold"))
+              case None if st.lastBatchId < 0L =>
+                n.put("folded", false)
+                n.put("last_batch_id", -1L)
+                n.put("n_rows", 0L)
+                (200, n)
+              case None =>
+                n.put("folded", true)
+                n.put("grouped", false)
+                n.put("x_col", st.xCol)
+                n.put("y_col", st.yCol)
+                n.put("checkpoint", st.checkpoint)
+                n.put("last_batch_id", st.lastBatchId)
+                n.put("comoments_are_exact", true)
+                writeComoments(n, st.comoments)
+                if (!wantVerify) (200, n)
+                else verifyCorpus(needGroup = false) match {
+                  case Left(resp) => resp
+                  case Right(corpus) =>
+                    val v = n.putObject("verify")
+                    // bounded by construction: the recount is ONE row
+                    val recount = graft.streaming.StreamingComoments
+                      .batchComoments(corpus, comomentsXCol, comomentsYCol)
+                    v.put("matched", recount == st.comoments)
+                    v.put("state_n_rows", st.comoments.nRows)
+                    v.put("recount_n_rows", recount.nRows)
+                    v.put("comoments_are_exact", true)
+                    (200, n)
+                }
+            }
+            }
+        }
       case ("GET", "/api/v1/admin/distinct") =>
         distinctStateDir match {
           case None => (404, err(
@@ -2364,6 +2567,8 @@ object ServeMain {
     val momentsSourceDir = sys.env.get("SPARK_GRAFT_MOMENTS_SOURCE")
     val distinctStateDir = sys.env.get("SPARK_GRAFT_DISTINCT_STATE")
     val distinctSourceDir = sys.env.get("SPARK_GRAFT_DISTINCT_SOURCE")
+    val comomentsStateDir = sys.env.get("SPARK_GRAFT_COMOMENTS_STATE")
+    val comomentsSourceDir = sys.env.get("SPARK_GRAFT_COMOMENTS_SOURCE")
     // the recount/verify faces read the COLUMNS the ingests folded —
     // without these the standalone server could never verify a fold
     // ingested with non-default column names (or a value-carrying
@@ -2397,7 +2602,15 @@ object ServeMain {
       distinctGroupCol =
         sys.env.getOrElse("SPARK_GRAFT_DISTINCT_GROUP_COL", "source"),
       distinctValueCol =
-        sys.env.getOrElse("SPARK_GRAFT_DISTINCT_VALUE_COL", "value")).start()
+        sys.env.getOrElse("SPARK_GRAFT_DISTINCT_VALUE_COL", "value"),
+      comomentsStateDir = comomentsStateDir,
+      comomentsSourceDir = comomentsSourceDir,
+      comomentsGroupCol =
+        sys.env.getOrElse("SPARK_GRAFT_COMOMENTS_GROUP_COL", "source"),
+      comomentsXCol =
+        sys.env.getOrElse("SPARK_GRAFT_COMOMENTS_X_COL", "x"),
+      comomentsYCol =
+        sys.env.getOrElse("SPARK_GRAFT_COMOMENTS_Y_COL", "y")).start()
     println(s"graft serving on :${srv.boundPort} " +
       s"(ws :${srv.boundWsPort}, store: $path" +
       fiStateDir.map(d => s", frequent-items: $d").getOrElse("") +
@@ -2405,6 +2618,7 @@ object ServeMain {
       sampleStateDir.map(d => s", sample: $d").getOrElse("") +
       momentsStateDir.map(d => s", moments: $d").getOrElse("") +
       distinctStateDir.map(d => s", distinct: $d").getOrElse("") +
+      comomentsStateDir.map(d => s", comoments: $d").getOrElse("") +
       backupBase.map(b => s", backups under: $b").getOrElse("") + ")")
     Thread.currentThread().join()
   }

@@ -1576,6 +1576,136 @@ class RestServerSpec extends SparkSpec {
     } finally srvG.stop()
   }
 
+  test("admin comoments route: envelope, selection, verify parity and drift") {
+    import spark.implicits._
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_com_rest_").toString)
+    // unconfigured: disabled (backupBase posture)
+    val srv0 = new RestServer(store).start()
+    try {
+      val (s404, r404) = call(srv0, "GET", "/api/v1/admin/comoments")
+      assert(s404 == 404 && r404.get("error").asText().contains("not configured"))
+    } finally srv0.stop()
+    // empty state dir: a well-formed empty envelope
+    val empty = java.nio.file.Files.createTempDirectory("graft_com_e_").toString
+    val srvE = new RestServer(store, comomentsStateDir = Some(empty)).start()
+    try {
+      val (s, r) = call(srvE, "GET", "/api/v1/admin/comoments")
+      assert(s == 200 && !r.get("folded").asBoolean() && !r.has("x_sum"))
+    } finally srvE.stop()
+    // flat fold: exact numbers, sums as STRINGS, derived cov/correlation
+    val sd = java.nio.file.Files.createTempDirectory("graft_com_s_").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_com_src_").toString + "/files"
+    (0L until 100L).map(i => (i, 2L * i)).toDF("x", "y")
+      .coalesce(1).write.parquet(src)
+    val q = graft.streaming.StreamingComoments.ingest(spark, src, sd,
+      java.nio.file.Files.createTempDirectory("graft_com_ck_").toString)
+    q.processAllAvailable(); q.stop()
+    val srv = new RestServer(store, comomentsStateDir = Some(sd),
+      comomentsSourceDir = Some(src)).start()
+    try {
+      val (s, r) = call(srv, "GET", "/api/v1/admin/comoments")
+      assert(s == 200, r.toString)
+      assert(r.get("folded").asBoolean() && !r.get("grouped").asBoolean())
+      assert(r.get("x_col").asText() == "x" && r.get("y_col").asText() == "y")
+      assert(r.get("n_rows").asLong() == 100L && r.get("n").asLong() == 100L)
+      assert(r.get("n_null_x").asLong() == 0L && r.get("n_null_y").asLong() == 0L)
+      assert(r.get("x_min").asLong() == 0L && r.get("y_max").asLong() == 198L)
+      // exact sums ride as strings; 0..99: Σx 4950, Σxy = 2Σx² = 656700
+      assert(r.get("x_sum").isTextual && r.get("x_sum").asText() == "4950")
+      assert(r.get("xy_sum").asText() == "656700")
+      // y = 2x exactly: correlation 1 (within FP of the exact-sums path)
+      assert(math.abs(r.get("correlation").asDouble() - 1.0) < 1e-12, r.toString)
+      assert(r.get("comoments_are_exact").asBoolean())
+      // a ?group ask against a flat fold refuses
+      val (sFg, rFg) = call(srv, "GET", "/api/v1/admin/comoments?group=s0")
+      assert(sFg == 404 && rFg.get("error").asText().contains("flat"), rFg.toString)
+      // verify: quiesced stream over its own source matches exactly
+      val (sV, rV) = call(srv, "GET", "/api/v1/admin/comoments?verify=true")
+      assert(sV == 200 && rV.get("verify").get("matched").asBoolean(), rV.toString)
+      // drift the source AFTER the fold: the recount sees unfolded rows
+      (100L until 150L).map(i => (i, 2L * i)).toDF("x", "y")
+        .coalesce(1).write.mode("append").parquet(src)
+      val (sD, rD) = call(srv, "GET", "/api/v1/admin/comoments?verify=true")
+      assert(sD == 200 && !rD.get("verify").get("matched").asBoolean(), rD.toString)
+      assert(rD.get("verify").get("recount_n_rows").asLong() == 150L)
+    } finally srv.stop()
+    // verify without a configured source: the 403 posture; nothing
+    // folded: 409; configured column missing from the schema: 422
+    val srvNoSrc = new RestServer(store, comomentsStateDir = Some(sd)).start()
+    try {
+      val (s, r) = call(srvNoSrc, "GET", "/api/v1/admin/comoments?verify=true")
+      assert(s == 403 && r.get("error").asText().contains("comomentsSourceDir"))
+    } finally srvNoSrc.stop()
+    val srvE2 = new RestServer(store, comomentsStateDir = Some(empty),
+      comomentsSourceDir = Some(src)).start()
+    try {
+      val (s, r) = call(srvE2, "GET", "/api/v1/admin/comoments?verify=true")
+      assert(s == 409 && r.get("error").asText().contains("no folded"), r.toString)
+    } finally srvE2.stop()
+    val srvBad = new RestServer(store, comomentsStateDir = Some(sd),
+      comomentsSourceDir = Some(src), comomentsYCol = "no_such_col").start()
+    try {
+      val (s, r) = call(srvBad, "GET", "/api/v1/admin/comoments?verify=true")
+      assert(s == 422, s"$s $r")
+      assert(r.get("error").asText().contains("no_such_col"), r.toString)
+      assert(r.get("error").asText().contains("comomentsYCol"), r.toString)
+    } finally srvBad.stop()
+
+    // grouped fold: per-group envelope equals the batch twin, ?group
+    // selection (incl. the encoded-'&' rule), verify parity per group
+    val gsd = java.nio.file.Files.createTempDirectory("graft_com_gs_").toString
+    val gsrc = java.nio.file.Files.createTempDirectory("graft_com_gsrc_").toString + "/files"
+    ((0L until 90L).map(i => (s"s${i % 3}", i, 3L * i + i % 5)) :+
+      (("r&d", 5L, 9L)))
+      .toDF("source", "x", "y").coalesce(1).write.parquet(gsrc)
+    val gq = graft.streaming.StreamingGroupedComoments.ingest(spark, gsrc,
+      gsd, java.nio.file.Files.createTempDirectory("graft_com_gck_").toString)
+    gq.processAllAvailable(); gq.stop()
+    val srvG = new RestServer(store, comomentsStateDir = Some(gsd),
+      comomentsSourceDir = Some(gsrc)).start()
+    try {
+      val (s, r) = call(srvG, "GET", "/api/v1/admin/comoments")
+      assert(s == 200, r.toString)
+      assert(r.get("folded").asBoolean() && r.get("grouped").asBoolean())
+      assert(r.get("group_count").asInt() == 4)
+      // every group's envelope numbers equal the batch face's row
+      val twin = graft.operators.Profile
+        .comomentsPerGroup(spark.read.parquet(gsrc), "source", "x", "y")
+        .collect().map(x => x.getString(0) -> x).toMap
+      (0 until 3).foreach { gi =>
+        val g = s"s$gi"
+        val gn = r.get("groups").get(g)
+        assert(gn.get("n_rows").asLong() == twin(g).getLong(1), g)
+        assert(gn.get("x_min").asLong() == twin(g).getLong(5), g)
+        assert(gn.get("xy_sum").asText() ==
+          twin(g).getDecimal(13).toBigInteger.toString, g)
+      }
+      // ?group selection: one group only; unknown group is a 404; a
+      // group named with '&' reachable through its encoded form
+      val (s1, r1) = call(srvG, "GET", "/api/v1/admin/comoments?group=s1")
+      assert(s1 == 200 && r1.get("groups").size() == 1
+        && r1.get("groups").has("s1"), r1.toString)
+      val (s2, r2) = call(srvG, "GET", "/api/v1/admin/comoments?group=nope")
+      assert(s2 == 404 && r2.get("error").asText().contains("nope"), r2.toString)
+      val (s3, r3) = call(srvG, "GET", "/api/v1/admin/comoments?group=r%26d")
+      assert(s3 == 200 && r3.get("groups").has("r&d"), r3.toString)
+      assert(r3.get("groups").get("r&d").get("x_sum").asText() == "5")
+      // grouped verify parity on the quiesced stream
+      val (sV, rV) = call(srvG, "GET", "/api/v1/admin/comoments?verify=true")
+      assert(sV == 200 && rV.get("verify").get("matched").asBoolean(), rV.toString)
+      // the group column drifts toward per-row cardinality: the recount
+      // collect is BOUNDED (stateGroups + 16) and refuses loudly past it
+      (0 until 300).map(i => (s"g$i", 50L, 1L)).toDF("source", "x", "y")
+        .coalesce(1).write.mode("append").parquet(gsrc)
+      val (sB, rB) = call(srvG, "GET", "/api/v1/admin/comoments?verify=true")
+      assert(sB == 200, rB.toString)
+      val v = rB.get("verify")
+      assert(!v.get("matched").asBoolean(), rB.toString)
+      assert(v.get("error").asText().contains("group cardinality"), rB.toString)
+    } finally srvG.stop()
+  }
+
   test("admin distinct route: envelope, selection, verify parity and drift") {
     import spark.implicits._
     val store = new VectorStore(spark,
