@@ -252,6 +252,55 @@ object StreamingDistinct {
       .start()
   }
 
+  /** Cross-cluster merge — the cardinality face of
+    * [[StreamingMoments.mergeStates]]: union ≥ 2 independently-folded
+    * distinct states (one regional ingest each, SAME (lgK, valueCol))
+    * into one state under `outDir`. The HLL union is the semilattice
+    * the fold itself runs on, so the merged registers EQUAL what one
+    * cluster sketching every region's arrivals would hold — the global
+    * distinct estimate from per-region O(2^lgK) states, no data
+    * movement, duplicates across regions counted once by construction.
+    * Exact row/null counters add (they count ARRIVALS per region). Same
+    * contract: locked input reads, every input folded, a synthetic
+    * `merged:[...]` checkpoint that trips the ingest binding, no
+    * clobbering. */
+  def mergeStates(spark: SparkSession, inDirs: Seq[String],
+      outDir: String): DistinctSnapshot = {
+    require(inDirs.size >= 2,
+      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
+    require(!inDirs.contains(outDir),
+      "mergeStates output dir must not be one of the inputs")
+    val states = inDirs.map(d => d -> readStateLocked(spark, d))
+    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
+      throw new IllegalStateException(
+        s"distinct state under $d holds no folded batches — refusing " +
+          "to merge an empty region (it would silently misreport the " +
+          "global cardinality as complete); start that fold or drop it " +
+          "from the merge")
+    }
+    val bindings = states.map(s => (s._2.lgK, s._2.valueCol)).distinct
+    if (bindings.size > 1)
+      throw new IllegalStateException(
+        "mergeStates: inputs fold different (lgK, valueCol) bindings " +
+          bindings.map(b => s"(lgK=${b._1}, '${b._2}')").mkString(", ") +
+          " — sketches of different columns cannot be unioned " +
+          "meaningfully and mixed precisions degrade silently; merge " +
+          "only states folded with the same binding")
+    val prior = readState(spark, outDir)
+    if (prior.lastBatchId >= 0L)
+      throw new IllegalStateException(
+        s"merge output dir $outDir already holds a folded distinct " +
+          "state — merges never clobber; use a fresh output dir")
+    val (lgK, valueCol) = bindings.head
+    val merged = DistinctSnapshot(lgK, valueCol,
+      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
+      states.map(_._2.lastBatchId).max,
+      states.map(_._2.nRows).sum, states.map(_._2.nNull).sum,
+      states.map(_._2.sketch).reduce(unionSketches(lgK, _, _)))
+    writeState(spark, outDir, merged)
+    merged
+  }
+
   /** The batch twin, for cross-checks: the one-shot sketch over a corpus
     * — by the HLL semilattice its registers EQUAL the fold's union on a
     * drained stream, so the twin's estimate equals the fold's, exactly

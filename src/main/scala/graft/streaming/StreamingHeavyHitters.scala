@@ -271,6 +271,57 @@ object StreamingHeavyHitters {
       .start()
   }
 
+  /** Cross-cluster merge — the frequency face of
+    * [[StreamingMoments.mergeStates]]: combine ≥ 2 independently-folded
+    * MG states (one regional ingest each, SAME k) into one state under
+    * `outDir` with the standard mergeable-summaries MG merge (add
+    * counts, decrement by the (k+1)-th largest, drop non-positives —
+    * [[graft.operators.HeavyHitters.mgMergeInto]], the SAME arithmetic
+    * the per-batch fold runs). The error bounds COMPOSE: each region's
+    * state errs ≤ nᵢ/(k+1), the merged state errs ≤ Σnᵢ/(k+1) = N/(k+1)
+    * — the bound one cluster folding everything would carry, so
+    * [[heavyHittersFromState]]'s exactness argument (k > denominator ⇒
+    * recount exact) holds over the merged state verbatim, with the
+    * recount running over the union corpus. Same contract: locked input
+    * reads, every input folded, a synthetic `merged:[...]` checkpoint
+    * that trips the ingest binding, no clobbering. */
+  def mergeStates(spark: SparkSession, inDirs: Seq[String],
+      outDir: String): MgSnapshot = {
+    require(inDirs.size >= 2,
+      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
+    require(!inDirs.contains(outDir),
+      "mergeStates output dir must not be one of the inputs")
+    val states = inDirs.map(d => d -> readStateLocked(spark, d))
+    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
+      throw new IllegalStateException(
+        s"MG state under $d holds no folded batches — refusing to " +
+          "merge an empty region (it would silently misreport the " +
+          "global frequencies as complete); start that fold or drop it " +
+          "from the merge")
+    }
+    val ks = states.map(_._2.k).distinct
+    if (ks.size > 1)
+      throw new IllegalStateException(
+        "mergeStates: inputs fold different k values " +
+          ks.mkString(", ") +
+          " — mixed-k merges weaken the composed error bound the exact " +
+          "recount rests on; merge only states folded with the same k")
+    val prior = readState(spark, outDir)
+    if (prior.lastBatchId >= 0L)
+      throw new IllegalStateException(
+        s"merge output dir $outDir already holds a folded MG state — " +
+          "merges never clobber; use a fresh output dir")
+    val k = ks.head
+    val merged = MgSnapshot(k,
+      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
+      states.map(_._2.lastBatchId).max,
+      states.map(_._2.n).sum,
+      states.map(_._2.counts)
+        .reduce((a, b) => mergeMg(k, a, b.toSeq)))
+    writeState(spark, outDir, merged)
+    merged
+  }
+
   /** Exact heavy hitters from the folded state: recount the ≤ k candidates
     * over `items` (the stream's full corpus) and keep those at
     * ≥ ceil(N/denominator), N from the state's own mass tracking — the

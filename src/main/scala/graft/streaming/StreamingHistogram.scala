@@ -164,6 +164,56 @@ object StreamingHistogram {
     }
   }
 
+  /** Cross-cluster merge — the quantile face of
+    * [[StreamingMoments.mergeStates]]: combine ≥ 2 independently-folded
+    * histogram states (one regional ingest each, IDENTICAL binning —
+    * counts are meaningless under any other) into one state under
+    * `outDir` by exact bin-wise addition (including the underflow/
+    * overflow cells). The counts are exact, so the merged histogram
+    * EQUALS what one cluster folding every region's arrivals would hold
+    * — global quantiles from per-region O(bins) states, no data
+    * movement. Same contract: locked input reads, every input folded, a
+    * synthetic `merged:[...]` checkpoint that trips the ingest binding,
+    * no clobbering. */
+  def mergeStates(spark: SparkSession, inDirs: Seq[String],
+      outDir: String): HistSnapshot = {
+    require(inDirs.size >= 2,
+      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
+    require(!inDirs.contains(outDir),
+      "mergeStates output dir must not be one of the inputs")
+    val states = inDirs.map(d => d -> readStateLocked(spark, d))
+    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
+      throw new IllegalStateException(
+        s"histogram state under $d holds no folded batches — refusing " +
+          "to merge an empty region (it would silently misreport the " +
+          "global histogram as complete); start that fold or drop it " +
+          "from the merge")
+    }
+    val specs = states.map(_._2.spec).distinct
+    if (specs.size > 1)
+      throw new IllegalStateException(
+        "mergeStates: inputs fold different binnings " +
+          specs.map(s => s"[${s.lo}, ${s.hi}) x ${s.nBins}").mkString(", ") +
+          " — bin counts are only meaningful relative to their binning; " +
+          "merge only states folded with the identical spec (re-fold " +
+          "divergent regions under one shared binning first)")
+    val prior = readState(spark, outDir)
+    if (prior.lastBatchId >= 0L)
+      throw new IllegalStateException(
+        s"merge output dir $outDir already holds a folded histogram " +
+          "state — merges never clobber; use a fresh output dir")
+    val bins = scala.collection.mutable.Map.empty[Int, Long]
+    states.foreach { case (_, st) =>
+      st.bins.foreach { case (b, c) => bins.put(b, bins.getOrElse(b, 0L) + c) }
+    }
+    val merged = HistSnapshot(specs.head,
+      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
+      states.map(_._2.lastBatchId).max,
+      states.map(_._2.n).sum, bins.toMap)
+    writeState(spark, outDir, merged)
+    merged
+  }
+
   /** One-call sample→histogram bootstrap: derive the binning from a
     * STANDING [[StreamingSample]] fold (its ≤ k carried values, read
     * through the linearizable locked read) via

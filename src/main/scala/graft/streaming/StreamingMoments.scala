@@ -276,6 +276,59 @@ object StreamingMoments {
   def batchMoments(df: DataFrame, valueCol: String): Moments =
     momentsFromRow(Profile.moments(df, valueCol).head(), 0, "batchMoments")
 
+  /** Cross-cluster merge: combine ≥ 2 independently-folded moments
+    * states (each from its OWN stream/checkpoint — e.g. one regional
+    * ingest cluster each) into one state under `outDir`. The fold is a
+    * semilattice, so the merged state EQUALS what one cluster folding
+    * everything would hold — exactly, no error term — which is the
+    * 100 TB multi-region posture: each region folds its own arrivals
+    * locally, a central merge (O(1) driver arithmetic, no data moves)
+    * serves the global profile.
+    *
+    * Inputs are read LOCKED (a still-ingesting region contributes its
+    * linearizable snapshot as of the merge). Every input must be folded
+    * (an empty region is refused loudly: silently contributing nothing
+    * would misreport the global profile as complete) and fold the SAME
+    * value column. The output is a read-only ARTIFACT, not a fold
+    * state: its checkpoint binding is the synthetic
+    * `merged:[ckpt,...]`, which can never equal a real qualified
+    * checkpoint path — so any attempt to ingest INTO it trips the
+    * existing checkpoint binding refusal. An outDir already holding a
+    * folded state is refused (merges never clobber). */
+  def mergeStates(spark: SparkSession, inDirs: Seq[String],
+      outDir: String): MomentsSnapshot = {
+    require(inDirs.size >= 2,
+      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
+    require(!inDirs.contains(outDir),
+      "mergeStates output dir must not be one of the inputs")
+    val states = inDirs.map(d => d -> readStateLocked(spark, d))
+    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
+      throw new IllegalStateException(
+        s"moments state under $d holds no folded batches — refusing to " +
+          "merge an empty region (it would silently misreport the " +
+          "global profile as complete); start that fold or drop it from " +
+          "the merge")
+    }
+    val cols = states.map(_._2.valueCol).distinct
+    if (cols.size > 1)
+      throw new IllegalStateException(
+        "mergeStates: inputs fold different value columns " +
+          cols.mkString("'", "', '", "'") +
+          " — the merged state would be the moments of neither; merge " +
+          "only states folded over the same column")
+    val prior = readState(spark, outDir)
+    if (prior.lastBatchId >= 0L)
+      throw new IllegalStateException(
+        s"merge output dir $outDir already holds a folded moments state " +
+          "— merges never clobber; use a fresh output dir")
+    val merged = MomentsSnapshot(cols.head,
+      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
+      states.map(_._2.lastBatchId).max,
+      states.map(_._2.moments).reduce(mergeMoments))
+    writeState(spark, outDir, merged)
+    merged
+  }
+
   /** The folded state as a one-row relation — counts/min/max as long,
     * the exact sums as decimal(38,0) (loud on the astronomically-remote
     * overflow past 38 digits, never a wrapped long). Schema matches

@@ -257,6 +257,56 @@ object StreamingSample {
       .start()
   }
 
+  /** Cross-cluster merge — the sampling face of
+    * [[StreamingMoments.mergeStates]]: combine ≥ 2 independently-folded
+    * sample states (one regional ingest each, SAME (k, salt)) into one
+    * state under `outDir`. The bottom-k is an exact semilattice (k
+    * smallest of a union = k smallest of the per-region bottom-ks), so
+    * the merged sample is BIT-IDENTICAL to what one cluster sampling
+    * all regions' arrivals would hold — a uniform global sample from
+    * per-region O(k) states, no data movement. nSeen counters add
+    * (regions see disjoint arrival streams; an id arriving in two
+    * regions dedups by identity in the merge, exactly as re-arrivals
+    * dedup within one fold). Same contract: locked input reads, every
+    * input folded, a synthetic `merged:[...]` checkpoint that trips the
+    * ingest binding, no clobbering. */
+  def mergeStates(spark: SparkSession, inDirs: Seq[String],
+      outDir: String): SampleSnapshot = {
+    require(inDirs.size >= 2,
+      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
+    require(!inDirs.contains(outDir),
+      "mergeStates output dir must not be one of the inputs")
+    val states = inDirs.map(d => d -> readStateLocked(spark, d))
+    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
+      throw new IllegalStateException(
+        s"sample state under $d holds no folded batches — refusing to " +
+          "merge an empty region (it would silently misreport the " +
+          "global sample as complete); start that fold or drop it from " +
+          "the merge")
+    }
+    val bindings = states.map(s => (s._2.k, s._2.salt)).distinct
+    if (bindings.size > 1)
+      throw new IllegalStateException(
+        "mergeStates: inputs fold different (k, salt) bindings " +
+          bindings.map(b => s"(k=${b._1}, salt='${b._2}')").mkString(", ") +
+          " — bottom-k sets are only comparable under identical " +
+          "priorities and budgets; merge only states folded with the " +
+          "same (k, salt)")
+    val prior = readState(spark, outDir)
+    if (prior.lastBatchId >= 0L)
+      throw new IllegalStateException(
+        s"merge output dir $outDir already holds a folded sample state " +
+          "— merges never clobber; use a fresh output dir")
+    val (k, salt) = bindings.head
+    val merged = SampleSnapshot(k, salt,
+      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
+      states.map(_._2.lastBatchId).max,
+      states.map(_._2.nSeen).sum,
+      states.map(_._2.entries).reduce(mergeBottomK(k, _, _)))
+    writeState(spark, outDir, merged)
+    merged
+  }
+
   /** The folded sample as a (id LONG, value DOUBLE) local relation — the
     * direct feed for [[graft.operators.HistogramSketch.fromSample]] (its
     * bounded collect over ≤ k local rows is trivial) or any
