@@ -233,6 +233,65 @@ object StreamingGroupedHeavyHitters {
     * tokenization as the flat fold and the batch profiler). Same
     * single-stream contract and entry-time guards as
     * [[StreamingHeavyHitters.ingest]]. */
+  /** Cross-cluster merge — the grouped frequency face of
+    * [[StreamingMoments.mergeStates]]: union of the regional group maps
+    * with colliding groups merged by the standard mergeable-summaries
+    * MG merge ([[StreamingHeavyHitters.mergeMg]] pointwise — per group
+    * the composed error stays ≤ that group's total mass / (k+1), so the
+    * per-group exact-recount guarantee survives regioning) and
+    * per-group mass added; excluded-null counters add. Same contract as
+    * the flat face: locked input reads, every input folded, the same k,
+    * a synthetic `merged:[...]` checkpoint that trips the ingest
+    * binding, no clobbering — plus the family's cap discipline on the
+    * UNION of the group sets. */
+  def mergeStates(spark: SparkSession, inDirs: Seq[String], outDir: String,
+      maxGroups: Int = DefaultMaxGroups): GroupedMgSnapshot = {
+    require(inDirs.size >= 2,
+      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
+    require(!inDirs.contains(outDir),
+      "mergeStates output dir must not be one of the inputs")
+    val states = inDirs.map(d => d -> readStateLocked(spark, d))
+    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
+      throw new IllegalStateException(
+        s"grouped MG state under $d holds no folded batches — refusing " +
+          "to merge an empty region (it would silently misreport the " +
+          "global frequencies as complete); start that fold or drop it " +
+          "from the merge")
+    }
+    val ks = states.map(_._2.k).distinct
+    if (ks.size > 1)
+      throw new IllegalStateException(
+        "mergeStates: inputs fold different k values " + ks.mkString(", ") +
+          " — mixed-k merges weaken the composed error bound the exact " +
+          "recount rests on; merge only states folded with the same k")
+    val prior = readState(spark, outDir)
+    if (prior.lastBatchId >= 0L)
+      throw new IllegalStateException(
+        s"merge output dir $outDir already holds a folded grouped MG " +
+          "state — merges never clobber; use a fresh output dir")
+    val k = ks.head
+    val groups = scala.collection.mutable.Map.empty[String, GroupState]
+    states.foreach { case (_, st) =>
+      st.groups.foreach { case (g, s) =>
+        val prev = groups.getOrElse(g, GroupState(0L, Map.empty))
+        groups.put(g, GroupState(prev.n + s.n,
+          StreamingHeavyHitters.mergeMg(k, prev.counts, s.counts.toSeq)))
+      }
+    }
+    if (groups.size > maxGroups)
+      throw new IllegalStateException(
+        s"merged grouped MG state would hold ${groups.size} groups, " +
+          s"past maxGroups=$maxGroups — the regional group sets union " +
+          "wider than the cap. Raise maxGroups if the merged driver/" +
+          "monitor can hold it, or coarsen the group key before folding")
+    val merged = GroupedMgSnapshot(k,
+      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
+      states.map(_._2.lastBatchId).max, groups.toMap,
+      states.map(_._2.excludedNullRows).sum)
+    writeState(spark, outDir, merged)
+    merged
+  }
+
   def ingest(spark: SparkSession, sourceDir: String, stateDir: String,
       checkpointDir: String, denominator: Long, sketchK: Int = 0,
       maxFilesPerTrigger: Int = 0,

@@ -235,6 +235,69 @@ object StreamingGroupedHistogram {
     * single-stream contract and entry-time guards as the family's other
     * ingests (blocklist + conf-gated functional FS probe, binding checks
     * before any checkpoint WAL). */
+  /** Cross-cluster merge — the grouped quantile face of
+    * [[StreamingMoments.mergeStates]]: union of the regional group maps
+    * with colliding groups merged by exact bin-wise addition (the flat
+    * histogram semilattice pointwise — counts are exact, so each
+    * group's merged histogram EQUALS the single-cluster fold) and
+    * per-group n added; excluded-null counters add. Same contract as
+    * the flat face: locked input reads, every input folded, IDENTICAL
+    * binning, a synthetic `merged:[...]` checkpoint that trips the
+    * ingest binding, no clobbering — plus the family's cap discipline
+    * on the UNION of the group sets. */
+  def mergeStates(spark: SparkSession, inDirs: Seq[String], outDir: String,
+      maxGroups: Int = DefaultMaxGroups): GroupedHistSnapshot = {
+    require(inDirs.size >= 2,
+      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
+    require(!inDirs.contains(outDir),
+      "mergeStates output dir must not be one of the inputs")
+    val states = inDirs.map(d => d -> readStateLocked(spark, d))
+    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
+      throw new IllegalStateException(
+        s"grouped histogram state under $d holds no folded batches — " +
+          "refusing to merge an empty region (it would silently " +
+          "misreport the global histogram as complete); start that fold " +
+          "or drop it from the merge")
+    }
+    val specs = states.map(_._2.spec).distinct
+    if (specs.size > 1)
+      throw new IllegalStateException(
+        "mergeStates: inputs fold different binnings " +
+          specs.map(s => s"[${s.lo}, ${s.hi}) x ${s.nBins}").mkString(", ") +
+          " — bin counts are only meaningful relative to their binning; " +
+          "merge only states folded with the identical spec (re-fold " +
+          "divergent regions under one shared binning first)")
+    val prior = readState(spark, outDir)
+    if (prior.lastBatchId >= 0L)
+      throw new IllegalStateException(
+        s"merge output dir $outDir already holds a folded grouped " +
+          "histogram state — merges never clobber; use a fresh output dir")
+    val groups = scala.collection.mutable.Map.empty[String, GroupHist]
+    states.foreach { case (_, st) =>
+      st.groups.foreach { case (g, h) =>
+        val prev = groups.getOrElse(g, GroupHist(0L, Map.empty))
+        val bins = scala.collection.mutable.Map.empty[Int, Long]
+        bins ++= prev.bins
+        h.bins.foreach { case (b, c) =>
+          bins.put(b, bins.getOrElse(b, 0L) + c) }
+        groups.put(g, GroupHist(prev.n + h.n, bins.toMap))
+      }
+    }
+    if (groups.size > maxGroups)
+      throw new IllegalStateException(
+        s"merged grouped histogram state would hold ${groups.size} " +
+          s"groups, past maxGroups=$maxGroups — the regional group sets " +
+          "union wider than the cap. Raise maxGroups if the merged " +
+          "driver/monitor can hold it, or coarsen the group key before " +
+          "folding")
+    val merged = GroupedHistSnapshot(specs.head,
+      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
+      states.map(_._2.lastBatchId).max, groups.toMap,
+      states.map(_._2.excludedNullRows).sum)
+    writeState(spark, outDir, merged)
+    merged
+  }
+
   def ingest(spark: SparkSession, sourceDir: String, stateDir: String,
       checkpointDir: String, spec: HistogramSpec,
       groupCol: String = "event_type", valueCol: String = "value",

@@ -259,6 +259,107 @@ class StateMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("different binnings"))
   }
 
+  test("grouped sample/distinct/histogram/MG merges: pointwise vs twins") {
+    val tmp = Files.createTempDirectory("graft_merge_g4_").toString
+    // grouped SAMPLE: region A holds s0+s1, region B holds s1+s2 with
+    // ids overlapping A's in the colliding group
+    def sfold(name: String, rows: Seq[(String, Long)]): String = {
+      val src = s"$tmp/$name/ssrc"
+      rows.map { case (g, i) => (g, i, i.toDouble) }
+        .toDF("source", "doc_id", "value").coalesce(1).write.parquet(src)
+      val q = StreamingGroupedSample.ingest(spark, src, s"$tmp/$name/sstate",
+        s"$tmp/$name/schk", k = 8, valueCol = Some("value"))
+      q.processAllAvailable(); q.stop()
+      s"$tmp/$name/sstate"
+    }
+    val sRowsA = (0 until 60).map(i => (s"s${i % 2}", i.toLong))
+    val sRowsB = (30 until 120).map(i => (s"s${i % 2 + 1}", i.toLong))
+    val sm = StreamingGroupedSample.mergeStates(spark,
+      Seq(sfold("a", sRowsA), sfold("b", sRowsB)), s"$tmp/smerged")
+    assert(sm.groups.keySet == Set("s0", "s1", "s2"))
+    // each group's merged bottom-k is bit-identical to a single-cluster
+    // fold over the UNION of that group's distinct ids
+    val unionRows = (sRowsA ++ sRowsB).distinct
+    val twinDir = sfold("all", unionRows)
+    val twin = StreamingGroupedSample.readState(spark, twinDir)
+    sm.groups.foreach { case (g, s) =>
+      assert(s.entries == twin.groups(g).entries, s"sample group $g") }
+
+    // grouped DISTINCT: overlapping per-group value sets count once
+    def dfold(name: String, rows: Seq[(String, String)]): String = {
+      val src = s"$tmp/$name/dsrc"
+      rows.toDF("source", "value").coalesce(1).write.parquet(src)
+      val q = StreamingGroupedDistinct.ingest(spark, src,
+        s"$tmp/$name/dstate", s"$tmp/$name/dchk")
+      q.processAllAvailable(); q.stop()
+      s"$tmp/$name/dstate"
+    }
+    val dRowsA = (0 until 100).map(i => (s"g${i % 2}", s"v${i % 40}"))
+    val dRowsB = (20 until 140).map(i => (s"g${i % 2}", s"v${i % 60}"))
+    val dm = StreamingGroupedDistinct.mergeStates(spark,
+      Seq(dfold("a", dRowsA), dfold("b", dRowsB)), s"$tmp/dmerged")
+    // sparse-regime exactness per group: estimate == exact distinct of
+    // the union of that group's values
+    val dUnion = (dRowsA ++ dRowsB).groupBy(_._1)
+      .map { case (g, rs) => g -> rs.map(_._2).distinct.size }
+    dm.groups.foreach { case (g, d) =>
+      assert(math.rint(d.estimate.getOrElse(0.0)).toInt == dUnion(g),
+        s"distinct group $g: ${d.estimate} vs ${dUnion(g)}") }
+    assert(dm.groups("g0").nRows == 110L, "per-group row counters add")
+
+    // grouped HISTOGRAM: bin-wise exact per group vs one-shot counts
+    val spec = HistogramSpec(0.0, 50.0, 5)
+    def hfold(name: String, rows: Seq[(String, Double)]): String = {
+      val src = s"$tmp/$name/hsrc"
+      rows.toDF("source", "value").coalesce(1).write.parquet(src)
+      val q = StreamingGroupedHistogram.ingest(spark, src,
+        s"$tmp/$name/hstate", s"$tmp/$name/hchk", spec,
+        groupCol = "source")
+      q.processAllAvailable(); q.stop()
+      s"$tmp/$name/hstate"
+    }
+    val hRowsA = (0 until 80).map(i => (s"e${i % 2}", (i % 60).toDouble))
+    val hRowsB = (0 until 70).map(i => (s"e${i % 2 + 1}", (i % 45).toDouble))
+    val hm = StreamingGroupedHistogram.mergeStates(spark,
+      Seq(hfold("a", hRowsA), hfold("b", hRowsB)), s"$tmp/hmerged")
+    assert(hm.groups.keySet == Set("e0", "e1", "e2"))
+    val hUnion = (hRowsA ++ hRowsB).toDF("source", "value")
+    hm.groups.foreach { case (g, h) =>
+      val twinBins = HistogramSketch.counts(
+        hUnion.filter(col("source") === g).select("value"), "value", spec)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(h.bins == twinBins, s"histogram group $g") }
+
+    // grouped MG: per-group recount over the union equals exact
+    def mgfold(name: String, rows: Seq[(Long, String, String)]): String = {
+      val src = s"$tmp/$name/msrc"
+      rows.toDF("doc_id", "source", "text").coalesce(1).write.parquet(src)
+      val q = StreamingGroupedHeavyHitters.ingest(spark, src,
+        s"$tmp/$name/mstate", s"$tmp/$name/mchk", denominator = 5)
+      q.processAllAvailable(); q.stop()
+      s"$tmp/$name/mstate"
+    }
+    def mgdocs(pref: String, hot: String, n: Int) = (0 until n).map(i =>
+      (i.toLong, s"d${i % 2}",
+        if (i % 2 == 0) s"$hot $hot filler" else s"$pref$i tail"))
+    val ma = mgfold("a", mgdocs("a", "hot", 60))
+    val mb = mgfold("b", mgdocs("b", "hot", 40))
+    val mm = StreamingGroupedHeavyHitters.mergeStates(spark, Seq(ma, mb),
+      s"$tmp/mmerged")
+    val mgUnion = (mgdocs("a", "hot", 60) ++ mgdocs("b", "hot", 40))
+      .toDF("doc_id", "source", "text")
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("token"))
+    val got = StreamingGroupedHeavyHitters.heavyHittersFromSnapshot(mm,
+      s"$tmp/mmerged", spark, mgUnion, "source", "token", denominator = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val exact = graft.operators.HeavyHitters.exactPerGroup(mgUnion,
+      "source", "token", denominator = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == exact, s"grouped MG merged recount $got != exact $exact")
+  }
+
   test("MG merge: composed bound holds — recount over the union is exact") {
     val tmp = Files.createTempDirectory("graft_merge_mg_").toString
     // two regions with one shared dominant token and disjoint tails
