@@ -149,6 +149,17 @@ import scala.util.control.NonFatal
   *                                      (comomentsSourceDir) and reports
   *                                      number-level parity against the
   *                                      same snapshot
+  *   GET    /api/v1/admin/profile    — the ONE-POLL monitor face: every
+  *                                      configured profiling face's
+  *                                      headline envelope (liveness +
+  *                                      the drift number) in a single
+  *                                      response; per-face linearizable
+  *                                      locked reads (NOT atomic across
+  *                                      faces — each carries its own
+  *                                      last_batch_id), per-face named
+  *                                      errors instead of a whole-poll
+  *                                      500, 404 when no face is
+  *                                      configured
   *   POST   /api/v1/admin/frequent-items/recount {denominator} — the EXACT
   *                                      face of the folded stream state: a
   *                                      Spark recount of the candidates over
@@ -1822,6 +1833,190 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             }
             }
         }
+      case ("GET", "/api/v1/admin/profile") =>
+        // the ONE-POLL monitor face: every CONFIGURED profiling face's
+        // headline envelope in a single response — liveness
+        // (last_batch_id per face) plus the number a drift dashboard
+        // plots (mass / n / estimate / mean / correlation), with the
+        // full per-face routes for drill-down. Reads are per-face
+        // LINEARIZABLE (each face's own locked read) but NOT atomic
+        // across faces — the faces are independent streams with
+        // independent folds, so there is no cross-face snapshot to
+        // serve; each face carries its own last_batch_id so a consumer
+        // can see exactly what it is looking at. A face whose state
+        // read fails (e.g. the locked read's contention path) reports a
+        // NAMED per-face error instead of failing the whole envelope —
+        // a combined monitor poll must not go dark because one of six
+        // streams is mid-swap.
+        val n = obj()
+        val faces = n.putObject("faces")
+        var configured = 0
+        def face(name: String)(fill: ObjectNode => Unit): Unit = {
+          configured += 1
+          val f = faces.putObject(name)
+          try fill(f)
+          catch { case scala.util.control.NonFatal(e) =>
+            f.put("error", s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(300))
+          }
+        }
+        frequentItemsStateDir.foreach(sd => face("frequent_items") { f =>
+          val st = graft.streaming.StreamingHeavyHitters
+            .readStateLocked(store.spark, sd)
+          if (st.lastBatchId >= 0L) {
+            f.put("folded", true); f.put("grouped", false)
+            f.put("last_batch_id", st.lastBatchId)
+            f.put("checkpoint", st.checkpoint)
+            f.put("n", st.n)
+            f.put("candidate_count", st.counts.size)
+            f.put("k", st.k)
+          } else {
+            val g = graft.streaming.StreamingGroupedHeavyHitters
+              .readStateLocked(store.spark, sd)
+            if (g.lastBatchId >= 0L) {
+              f.put("folded", true); f.put("grouped", true)
+              f.put("last_batch_id", g.lastBatchId)
+              f.put("checkpoint", g.checkpoint)
+              f.put("group_count", g.groups.size)
+              f.put("total_entries", g.totalEntries)
+              f.put("excluded_null_rows", g.excludedNullRows)
+              f.put("k", g.k)
+            } else f.put("folded", false)
+          }
+        })
+        histogramStateDir.foreach(sd => face("histogram") { f =>
+          val st = graft.streaming.StreamingHistogram
+            .readStateLocked(store.spark, sd)
+          if (st.lastBatchId >= 0L) {
+            f.put("folded", true); f.put("grouped", false)
+            f.put("last_batch_id", st.lastBatchId)
+            f.put("checkpoint", st.checkpoint)
+            f.put("n", st.n)
+            f.put("lo", st.spec.lo); f.put("hi", st.spec.hi)
+            f.put("n_bins", st.spec.nBins)
+            f.put("underflow", st.underflow); f.put("overflow", st.overflow)
+          } else {
+            val g = graft.streaming.StreamingGroupedHistogram
+              .readStateLocked(store.spark, sd)
+            if (g.lastBatchId >= 0L) {
+              f.put("folded", true); f.put("grouped", true)
+              f.put("last_batch_id", g.lastBatchId)
+              f.put("checkpoint", g.checkpoint)
+              f.put("group_count", g.groups.size)
+              f.put("total_cells", g.totalCells)
+              f.put("excluded_null_rows", g.excludedNullRows)
+            } else f.put("folded", false)
+          }
+        })
+        sampleStateDir.foreach(sd => face("sample") { f =>
+          val st = graft.streaming.StreamingSample
+            .readStateLocked(store.spark, sd)
+          if (st.lastBatchId >= 0L) {
+            f.put("folded", true); f.put("grouped", false)
+            f.put("last_batch_id", st.lastBatchId)
+            f.put("checkpoint", st.checkpoint)
+            f.put("k", st.k)
+            f.put("n_seen", st.nSeen)
+            f.put("entry_count", st.entries.size)
+          } else {
+            val g = graft.streaming.StreamingGroupedSample
+              .readStateLocked(store.spark, sd)
+            if (g.lastBatchId >= 0L) {
+              f.put("folded", true); f.put("grouped", true)
+              f.put("last_batch_id", g.lastBatchId)
+              f.put("checkpoint", g.checkpoint)
+              f.put("k", g.k)
+              f.put("group_count", g.groups.size)
+              f.put("total_entries", g.totalEntries)
+              f.put("excluded_null_rows", g.excludedNullRows)
+            } else f.put("folded", false)
+          }
+        })
+        momentsStateDir.foreach(sd => face("moments") { f =>
+          val st = graft.streaming.StreamingMoments
+            .readStateLocked(store.spark, sd)
+          if (st.lastBatchId >= 0L) {
+            f.put("folded", true); f.put("grouped", false)
+            f.put("last_batch_id", st.lastBatchId)
+            f.put("checkpoint", st.checkpoint)
+            f.put("value_col", st.valueCol)
+            f.put("n_rows", st.moments.nRows)
+            f.put("n_null", st.moments.nNull)
+            st.moments.mean.foreach(v => f.put("mean", v))
+            st.moments.stddevPop.foreach(v => f.put("stddev_pop", v))
+          } else {
+            val g = graft.streaming.StreamingGroupedMoments
+              .readStateLocked(store.spark, sd)
+            if (g.lastBatchId >= 0L) {
+              f.put("folded", true); f.put("grouped", true)
+              f.put("last_batch_id", g.lastBatchId)
+              f.put("checkpoint", g.checkpoint)
+              f.put("value_col", g.valueCol)
+              f.put("group_count", g.groups.size)
+              f.put("excluded_null_rows", g.excludedNullRows)
+            } else f.put("folded", false)
+          }
+        })
+        distinctStateDir.foreach(sd => face("distinct") { f =>
+          val st = graft.streaming.StreamingDistinct
+            .readStateLocked(store.spark, sd)
+          if (st.lastBatchId >= 0L) {
+            f.put("folded", true); f.put("grouped", false)
+            f.put("last_batch_id", st.lastBatchId)
+            f.put("checkpoint", st.checkpoint)
+            f.put("value_col", st.valueCol)
+            f.put("n_rows", st.nRows)
+            f.put("n_null", st.nNull)
+            st.estimate.foreach(v => f.put("estimate", v))
+          } else {
+            val g = graft.streaming.StreamingGroupedDistinct
+              .readStateLocked(store.spark, sd)
+            if (g.lastBatchId >= 0L) {
+              f.put("folded", true); f.put("grouped", true)
+              f.put("last_batch_id", g.lastBatchId)
+              f.put("checkpoint", g.checkpoint)
+              f.put("value_col", g.valueCol)
+              f.put("group_count", g.groups.size)
+              f.put("excluded_null_rows", g.excludedNullRows)
+            } else f.put("folded", false)
+          }
+        })
+        comomentsStateDir.foreach(sd => face("comoments") { f =>
+          val st = graft.streaming.StreamingComoments
+            .readStateLocked(store.spark, sd)
+          if (st.lastBatchId >= 0L) {
+            f.put("folded", true); f.put("grouped", false)
+            f.put("last_batch_id", st.lastBatchId)
+            f.put("checkpoint", st.checkpoint)
+            f.put("x_col", st.xCol); f.put("y_col", st.yCol)
+            f.put("n_rows", st.comoments.nRows)
+            f.put("n", st.comoments.n)
+            st.comoments.covariancePop.foreach(v =>
+              f.put("covariance_pop", v))
+            st.comoments.correlation.foreach(v => f.put("correlation", v))
+          } else {
+            val g = graft.streaming.StreamingGroupedComoments
+              .readStateLocked(store.spark, sd)
+            if (g.lastBatchId >= 0L) {
+              f.put("folded", true); f.put("grouped", true)
+              f.put("last_batch_id", g.lastBatchId)
+              f.put("checkpoint", g.checkpoint)
+              f.put("x_col", g.xCol); f.put("y_col", g.yCol)
+              f.put("group_count", g.groups.size)
+              f.put("excluded_null_rows", g.excludedNullRows)
+            } else f.put("folded", false)
+          }
+        })
+        if (configured == 0)
+          (404, err("no profiling faces configured on this server — " +
+            "pass at least one of frequentItemsStateDir/" +
+            "histogramStateDir/sampleStateDir/momentsStateDir/" +
+            "distinctStateDir/comomentsStateDir to RestServer"))
+        else {
+          n.put("face_count", configured)
+          (200, n)
+        }
+
       case ("GET", "/api/v1/admin/comoments") =>
         comomentsStateDir match {
           case None => (404, err(

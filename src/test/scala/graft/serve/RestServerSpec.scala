@@ -1576,6 +1576,88 @@ class RestServerSpec extends SparkSpec {
     } finally srvG.stop()
   }
 
+  test("admin profile route: one-poll envelope over every configured face") {
+    import spark.implicits._
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_prof_rest_").toString)
+    // nothing configured: 404, not an empty 200
+    val srv0 = new RestServer(store).start()
+    try {
+      val (s404, r404) = call(srv0, "GET", "/api/v1/admin/profile")
+      assert(s404 == 404 &&
+        r404.get("error").asText().contains("no profiling faces"))
+    } finally srv0.stop()
+    // three faces folded (moments flat, distinct flat, comoments flat),
+    // one configured-but-empty (sample): the envelope carries each
+    // configured face, liveness per face, headline numbers, and the
+    // empty face as folded=false — never a phantom or an omission
+    def tmpd(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val momSd = tmpd("graft_prof_mom_")
+    val momSrc = tmpd("graft_prof_msrc_") + "/f"
+    (0L until 100L).toDF("value").coalesce(1).write.parquet(momSrc)
+    val q1 = graft.streaming.StreamingMoments.ingest(spark, momSrc, momSd,
+      tmpd("graft_prof_mck_"))
+    q1.processAllAvailable(); q1.stop()
+    val disSd = tmpd("graft_prof_dis_")
+    val disSrc = tmpd("graft_prof_dsrc_") + "/f"
+    (0 until 50).map(i => s"v${i % 7}").toDF("value")
+      .coalesce(1).write.parquet(disSrc)
+    val q2 = graft.streaming.StreamingDistinct.ingest(spark, disSrc, disSd,
+      tmpd("graft_prof_dck_"))
+    q2.processAllAvailable(); q2.stop()
+    val comSd = tmpd("graft_prof_com_")
+    val comSrc = tmpd("graft_prof_csrc_") + "/f"
+    (0L until 60L).map(i => (i, 2L * i)).toDF("x", "y")
+      .coalesce(1).write.parquet(comSrc)
+    val q3 = graft.streaming.StreamingComoments.ingest(spark, comSrc, comSd,
+      tmpd("graft_prof_cck_"))
+    q3.processAllAvailable(); q3.stop()
+    val emptySample = tmpd("graft_prof_smp_")
+    val srv = new RestServer(store,
+      momentsStateDir = Some(momSd), distinctStateDir = Some(disSd),
+      comomentsStateDir = Some(comSd),
+      sampleStateDir = Some(emptySample)).start()
+    try {
+      val (s, r) = call(srv, "GET", "/api/v1/admin/profile")
+      assert(s == 200, r.toString)
+      assert(r.get("face_count").asInt() == 4)
+      val faces = r.get("faces")
+      // unconfigured faces are OMITTED, configured ones present
+      assert(!faces.has("frequent_items") && !faces.has("histogram"))
+      val mom = faces.get("moments")
+      assert(mom.get("folded").asBoolean() && !mom.get("grouped").asBoolean())
+      assert(mom.get("n_rows").asLong() == 100L &&
+        mom.get("mean").asDouble() == 49.5)
+      assert(mom.get("last_batch_id").asLong() == 0L)
+      val dis = faces.get("distinct")
+      assert(dis.get("folded").asBoolean() &&
+        dis.get("n_rows").asLong() == 50L)
+      assert(math.rint(dis.get("estimate").asDouble()) == 7.0)
+      val com = faces.get("comoments")
+      assert(com.get("folded").asBoolean() && com.get("n").asLong() == 60L)
+      assert(math.abs(com.get("correlation").asDouble() - 1.0) < 1e-12)
+      // the configured-but-never-folded face says so
+      assert(!faces.get("sample").get("folded").asBoolean())
+    } finally srv.stop()
+    // a grouped fold under the same poll reports the grouped headline
+    val gSd = tmpd("graft_prof_gm_")
+    val gSrc = tmpd("graft_prof_gmsrc_") + "/f"
+    (0L until 90L).map(i => (s"s${i % 3}", i)).toDF("source", "value")
+      .coalesce(1).write.parquet(gSrc)
+    val q4 = graft.streaming.StreamingGroupedMoments.ingest(spark, gSrc,
+      gSd, tmpd("graft_prof_gmck_"))
+    q4.processAllAvailable(); q4.stop()
+    val srvG = new RestServer(store, momentsStateDir = Some(gSd)).start()
+    try {
+      val (s, r) = call(srvG, "GET", "/api/v1/admin/profile")
+      assert(s == 200, r.toString)
+      val mom = r.get("faces").get("moments")
+      assert(mom.get("grouped").asBoolean() &&
+        mom.get("group_count").asInt() == 3, r.toString)
+    } finally srvG.stop()
+  }
+
   test("admin comoments route: envelope, selection, verify parity and drift") {
     import spark.implicits._
     val store = new VectorStore(spark,
