@@ -252,7 +252,13 @@ object CurationQueries {
         val docs = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("n_chars").cast("long").as("value"))
         Seq(0, 1).foreach { region =>
-          docs.filter(col("doc_id") % 2 === region).select(col("value"))
+          // pmod, not %: the region assignment must be TOTAL over any
+          // doc_id sign (Spark % keeps the dividend's sign, so a
+          // negative id would land in NEITHER region while the oracle
+          // replays the whole corpus). doc_id is the table's non-null
+          // key — the same assumption every id-keyed row makes.
+          docs.filter(pmod(col("doc_id"), lit(2)) === region)
+            .select(col("value"))
             .repartition(2).write.parquet(s"$tmp/r$region/src")
           val q = graft.streaming.StreamingMoments.ingest(s,
             s"$tmp/r$region/src", s"$tmp/r$region/state",
@@ -283,7 +289,8 @@ object CurationQueries {
         val docs = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("n_chars").cast("double").as("value"))
         Seq(0, 1).foreach { region =>
-          docs.filter(col("doc_id") % 2 === region)
+          // pmod for sign-totality — see merged_moments_regions
+          docs.filter(pmod(col("doc_id"), lit(2)) === region)
             .repartition(2).write.parquet(s"$tmp/r$region/src")
           val q = graft.streaming.StreamingSample.ingest(s,
             s"$tmp/r$region/src", s"$tmp/r$region/state",

@@ -1765,9 +1765,13 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                         // 16 and refuse loudly past it (the family's
                         // verify bound rule)
                         val rowCap = g0.groups.size + 16
+                        // group cast to string — the comoments face's
+                        // rule: a non-string source group column reads
+                        // as named mismatches, never a getString 500
                         val rows = graft.operators.Profile
                           .momentsPerGroup(corpus, momentsGroupCol,
                             momentsValueCol)
+                          .withColumn("group", col("group").cast("string"))
                           .head(rowCap + 1)
                         if (rows.length > rowCap) {
                           v.put("matched", false)
@@ -2125,9 +2129,15 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                         // at stateGroups + 16 and refuse loudly past it
                         // (the family's verify bound rule)
                         val rowCap = g0.groups.size + 16
+                        // group cast to string: the folded state's keys
+                        // are strings by the ingest schema, and a
+                        // non-string source group column must surface
+                        // as NAMED group mismatches, never as a
+                        // ClassCastException-shaped 500 off getString
                         val rows = graft.operators.Profile
                           .comomentsPerGroup(corpus, comomentsGroupCol,
                             comomentsXCol, comomentsYCol)
+                          .withColumn("group", col("group").cast("string"))
                           .head(rowCap + 1)
                         if (rows.length > rowCap) {
                           v.put("matched", false)

@@ -66,29 +66,49 @@ object StreamingComoments {
     /** Derived FP view: mean of y over the pairwise-complete rows. */
     def meanY: Option[Double] =
       if (n <= 0L) None else Some((BigDecimal(ySum) / BigDecimal(n)).toDouble)
-    /** Derived FP view: POPULATION covariance (xysum/n − meanX·meanY). */
+    /** The exact INTEGER co-moment identities, the basis of both derived
+      * views: (n·Σxy − Σx·Σy, n·Σx² − (Σx)², n·Σy² − (Σy)²) computed
+      * entirely in BigInt — unbounded precision, so the subtractions
+      * cancel EXACT operands (BigDecimal's default DECIMAL128 context
+      * would round each product to 34 significant digits first, and a
+      * near-zero covariance on a long-enough stream would then be the
+      * difference of two ROUNDED numbers — the cancellation pitfall the
+      * exact-sums design exists to rule out). */
+    private def covVarTerms: (BigInt, BigInt, BigInt) = {
+      val nb = BigInt(n)
+      (nb * xySum - xSum * ySum,
+        nb * xSumSq - xSum * xSum,
+        nb * ySumSq - ySum * ySum)
+    }
+    /** Derived FP view: POPULATION covariance — the exact BigInt
+      * numerator (n·Σxy − Σx·Σy) over n², one rounding at the final
+      * division. */
     def covariancePop: Option[Double] =
       if (n <= 0L) None
       else {
-        val nd = BigDecimal(n)
-        Some(((BigDecimal(xySum) / nd) -
-          (BigDecimal(xSum) / nd) * (BigDecimal(ySum) / nd)).toDouble)
+        val (cov, _, _) = covVarTerms
+        Some((BigDecimal(cov) / (BigDecimal(n) * BigDecimal(n))).toDouble)
       }
     /** Derived FP view: Pearson correlation, via the exact integer
-      * identity n·Σxy − Σx·Σy over √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)) —
-      * the numerator and both variance terms are computed in exact
-      * BigDecimal before the one FP division, so catastrophic
-      * cancellation (the naive-sums pitfall) cannot occur. None when
-      * either side is constant (zero variance: correlation undefined). */
+      * identity (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²)) —
+      * numerator and denominator-squared are EXACT BigInts (see
+      * [[covVarTerms]]); the only roundings are the final conversions
+      * into the one FP quotient. None when either side is constant
+      * (zero variance: correlation undefined — never NaN). */
     def correlation: Option[Double] =
       if (n <= 0L) None
       else {
-        val nb = BigDecimal(n)
-        val cov = nb * BigDecimal(xySum) - BigDecimal(xSum) * BigDecimal(ySum)
-        val vx = nb * BigDecimal(xSumSq) - BigDecimal(xSum).pow(2)
-        val vy = nb * BigDecimal(ySumSq) - BigDecimal(ySum).pow(2)
+        val (cov, vx, vy) = covVarTerms
         if (vx <= 0 || vy <= 0) None
-        else Some((cov.toDouble / math.sqrt(vx.toDouble)) / math.sqrt(vy.toDouble))
+        else {
+          // √(vx·vy) via the exact product's BigDecimal square root
+          // (unlimited-precision input, rounding only at the DECIMAL128
+          // root itself) — vx.toDouble · vy.toDouble could each
+          // overflow Double separately long before the RATIO is extreme
+          val denom = BigDecimal(vx * vy)
+            .bigDecimal.sqrt(java.math.MathContext.DECIMAL128)
+          Some((BigDecimal(cov) / BigDecimal(denom)).toDouble)
+        }
       }
   }
 
@@ -334,18 +354,12 @@ object StreamingComoments {
     * binding, no clobbering. */
   def mergeStates(spark: SparkSession, inDirs: Seq[String],
       outDir: String): ComomentsSnapshot = {
-    require(inDirs.size >= 2,
-      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
-    require(!inDirs.contains(outDir),
-      "mergeStates output dir must not be one of the inputs")
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
-      throw new IllegalStateException(
-        s"comoments state under $d holds no folded batches — refusing " +
-          "to merge an empty region (it would silently misreport the " +
-          "global profile as complete); start that fold or drop it from " +
-          "the merge")
-    }
+    val (ckpt, lastId) = StateMerge.guard("comoments state",
+      "global profile", inDirs, outDir, states,
+      (s: ComomentsSnapshot) => s.lastBatchId,
+      (s: ComomentsSnapshot) => s.checkpoint,
+      readState(spark, outDir).lastBatchId)
     val pairs = states.map(s => (s._2.xCol, s._2.yCol)).distinct
     if (pairs.size > 1)
       throw new IllegalStateException(
@@ -353,15 +367,8 @@ object StreamingComoments {
           pairs.map(p => s"('${p._1}', '${p._2}')").mkString(", ") +
           " — the merged state would be the co-moments of neither; " +
           "merge only states folded over the same pair")
-    val prior = readState(spark, outDir)
-    if (prior.lastBatchId >= 0L)
-      throw new IllegalStateException(
-        s"merge output dir $outDir already holds a folded comoments " +
-          "state — merges never clobber; use a fresh output dir")
-    val merged = ComomentsSnapshot(pairs.head._1, pairs.head._2,
-      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
-      states.map(_._2.lastBatchId).max,
-      states.map(_._2.comoments).reduce(mergeComoments))
+    val merged = ComomentsSnapshot(pairs.head._1, pairs.head._2, ckpt,
+      lastId, states.map(_._2.comoments).reduce(mergeComoments))
     writeState(spark, outDir, merged)
     merged
   }

@@ -266,18 +266,12 @@ object StreamingDistinct {
     * clobbering. */
   def mergeStates(spark: SparkSession, inDirs: Seq[String],
       outDir: String): DistinctSnapshot = {
-    require(inDirs.size >= 2,
-      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
-    require(!inDirs.contains(outDir),
-      "mergeStates output dir must not be one of the inputs")
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
-      throw new IllegalStateException(
-        s"distinct state under $d holds no folded batches — refusing " +
-          "to merge an empty region (it would silently misreport the " +
-          "global cardinality as complete); start that fold or drop it " +
-          "from the merge")
-    }
+    val (ckpt, lastId) = StateMerge.guard("distinct state",
+      "global cardinality", inDirs, outDir, states,
+      (s: DistinctSnapshot) => s.lastBatchId,
+      (s: DistinctSnapshot) => s.checkpoint,
+      readState(spark, outDir).lastBatchId)
     val bindings = states.map(s => (s._2.lgK, s._2.valueCol)).distinct
     if (bindings.size > 1)
       throw new IllegalStateException(
@@ -286,15 +280,8 @@ object StreamingDistinct {
           " — sketches of different columns cannot be unioned " +
           "meaningfully and mixed precisions degrade silently; merge " +
           "only states folded with the same binding")
-    val prior = readState(spark, outDir)
-    if (prior.lastBatchId >= 0L)
-      throw new IllegalStateException(
-        s"merge output dir $outDir already holds a folded distinct " +
-          "state — merges never clobber; use a fresh output dir")
     val (lgK, valueCol) = bindings.head
-    val merged = DistinctSnapshot(lgK, valueCol,
-      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
-      states.map(_._2.lastBatchId).max,
+    val merged = DistinctSnapshot(lgK, valueCol, ckpt, lastId,
       states.map(_._2.nRows).sum, states.map(_._2.nNull).sum,
       states.map(_._2.sketch).reduce(unionSketches(lgK, _, _)))
     writeState(spark, outDir, merged)

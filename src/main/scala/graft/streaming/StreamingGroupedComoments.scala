@@ -263,18 +263,12 @@ object StreamingGroupedComoments {
     * column pair, a synthetic `merged:[...]` checkpoint, no clobbering. */
   def mergeStates(spark: SparkSession, inDirs: Seq[String], outDir: String,
       maxGroups: Int = DefaultMaxGroups): GroupedComomentsSnapshot = {
-    require(inDirs.size >= 2,
-      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
-    require(!inDirs.contains(outDir),
-      "mergeStates output dir must not be one of the inputs")
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
-      throw new IllegalStateException(
-        s"grouped comoments state under $d holds no folded batches — " +
-          "refusing to merge an empty region (it would silently " +
-          "misreport the global profile as complete); start that fold " +
-          "or drop it from the merge")
-    }
+    val (ckpt, lastId) = StateMerge.guard("grouped comoments state",
+      "global profile", inDirs, outDir, states,
+      (s: GroupedComomentsSnapshot) => s.lastBatchId,
+      (s: GroupedComomentsSnapshot) => s.checkpoint,
+      readState(spark, outDir).lastBatchId)
     val pairs = states.map(s => (s._2.xCol, s._2.yCol)).distinct
     if (pairs.size > 1)
       throw new IllegalStateException(
@@ -282,11 +276,6 @@ object StreamingGroupedComoments {
           pairs.map(p => s"('${p._1}', '${p._2}')").mkString(", ") +
           " — the merged state would be the co-moments of neither; " +
           "merge only states folded over the same pair")
-    val prior = readState(spark, outDir)
-    if (prior.lastBatchId >= 0L)
-      throw new IllegalStateException(
-        s"merge output dir $outDir already holds a folded grouped " +
-          "comoments state — merges never clobber; use a fresh output dir")
     val groups = scala.collection.mutable.Map.empty[String, Comoments]
     states.foreach { case (_, st) =>
       st.groups.foreach { case (g, m) =>
@@ -294,16 +283,10 @@ object StreamingGroupedComoments {
           groups.getOrElse(g, StreamingComoments.emptyComoments), m))
       }
     }
-    if (groups.size > maxGroups)
-      throw new IllegalStateException(
-        s"merged grouped comoments state would hold ${groups.size} " +
-          s"groups, past maxGroups=$maxGroups — the regional group sets " +
-          "union wider than the cap. Raise maxGroups if the merged " +
-          "driver/monitor can hold it, or coarsen the group key before " +
-          "folding")
+    StateMerge.checkMergedGroupCap("grouped comoments state", groups.size,
+      maxGroups)
     val merged = GroupedComomentsSnapshot(pairs.head._1, pairs.head._2,
-      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
-      states.map(_._2.lastBatchId).max, groups.toMap,
+      ckpt, lastId, groups.toMap,
       states.map(_._2.excludedNullRows).sum)
     writeState(spark, outDir, merged)
     merged

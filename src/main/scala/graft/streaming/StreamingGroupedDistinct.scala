@@ -219,10 +219,6 @@ object StreamingGroupedDistinct {
     }
   }
 
-  /** Start the stream: parquet arrivals under `sourceDir` with STRING
-    * `groupCol` and `valueCol`, folded per micro-batch into the grouped
-    * distinct state under `stateDir`. Same single-stream contract and
-    * entry-time guards as the rest of the family. */
   /** Cross-cluster merge — the grouped cardinality face of
     * [[StreamingMoments.mergeStates]]: union of the regional group maps
     * with colliding groups merged by the HLL register union
@@ -235,18 +231,12 @@ object StreamingGroupedDistinct {
     * cap discipline on the UNION of the group sets. */
   def mergeStates(spark: SparkSession, inDirs: Seq[String], outDir: String,
       maxGroups: Int = DefaultMaxGroups): GroupedDistinctSnapshot = {
-    require(inDirs.size >= 2,
-      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
-    require(!inDirs.contains(outDir),
-      "mergeStates output dir must not be one of the inputs")
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
-      throw new IllegalStateException(
-        s"grouped distinct state under $d holds no folded batches — " +
-          "refusing to merge an empty region (it would silently " +
-          "misreport the global cardinality as complete); start that " +
-          "fold or drop it from the merge")
-    }
+    val (ckpt, lastId) = StateMerge.guard("grouped distinct state",
+      "global cardinality", inDirs, outDir, states,
+      (s: GroupedDistinctSnapshot) => s.lastBatchId,
+      (s: GroupedDistinctSnapshot) => s.checkpoint,
+      readState(spark, outDir).lastBatchId)
     val bindings = states.map(s => (s._2.lgK, s._2.valueCol)).distinct
     if (bindings.size > 1)
       throw new IllegalStateException(
@@ -255,11 +245,6 @@ object StreamingGroupedDistinct {
           " — sketches of different columns cannot be unioned " +
           "meaningfully and mixed precisions degrade silently; merge " +
           "only states folded with the same binding")
-    val prior = readState(spark, outDir)
-    if (prior.lastBatchId >= 0L)
-      throw new IllegalStateException(
-        s"merge output dir $outDir already holds a folded grouped " +
-          "distinct state — merges never clobber; use a fresh output dir")
     val (lgK, valueCol) = bindings.head
     val groups = scala.collection.mutable.Map.empty[String, GroupDistinct]
     states.foreach { case (_, st) =>
@@ -270,21 +255,18 @@ object StreamingGroupedDistinct {
           StreamingDistinct.unionSketches(lgK, prev.sketch, d.sketch)))
       }
     }
-    if (groups.size > maxGroups)
-      throw new IllegalStateException(
-        s"merged grouped distinct state would hold ${groups.size} " +
-          s"groups, past maxGroups=$maxGroups — the regional group sets " +
-          "union wider than the cap. Raise maxGroups if the merged " +
-          "driver/monitor can hold it, or coarsen the group key before " +
-          "folding")
-    val merged = GroupedDistinctSnapshot(lgK, valueCol,
-      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
-      states.map(_._2.lastBatchId).max, groups.toMap,
-      states.map(_._2.excludedNullRows).sum)
+    StateMerge.checkMergedGroupCap("grouped distinct state", groups.size,
+      maxGroups)
+    val merged = GroupedDistinctSnapshot(lgK, valueCol, ckpt, lastId,
+      groups.toMap, states.map(_._2.excludedNullRows).sum)
     writeState(spark, outDir, merged)
     merged
   }
 
+  /** Start the stream: parquet arrivals under `sourceDir` with STRING
+    * `groupCol` and `valueCol`, folded per micro-batch into the grouped
+    * distinct state under `stateDir`. Same single-stream contract and
+    * entry-time guards as the rest of the family. */
   def ingest(spark: SparkSession, sourceDir: String, stateDir: String,
       checkpointDir: String, groupCol: String = "source",
       valueCol: String = "value", lgK: Int = StreamingDistinct.DefaultLgK,

@@ -227,12 +227,6 @@ object StreamingGroupedHeavyHitters {
     }
   }
 
-  /** Start the stream: parquet (doc_id, source, text) arrivals under
-    * `sourceDir`, folded per micro-batch into the grouped MG state under
-    * `stateDir` (group = source, items = whitespace tokens — the same
-    * tokenization as the flat fold and the batch profiler). Same
-    * single-stream contract and entry-time guards as
-    * [[StreamingHeavyHitters.ingest]]. */
   /** Cross-cluster merge — the grouped frequency face of
     * [[StreamingMoments.mergeStates]]: union of the regional group maps
     * with colliding groups merged by the standard mergeable-summaries
@@ -246,29 +240,18 @@ object StreamingGroupedHeavyHitters {
     * UNION of the group sets. */
   def mergeStates(spark: SparkSession, inDirs: Seq[String], outDir: String,
       maxGroups: Int = DefaultMaxGroups): GroupedMgSnapshot = {
-    require(inDirs.size >= 2,
-      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
-    require(!inDirs.contains(outDir),
-      "mergeStates output dir must not be one of the inputs")
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
-      throw new IllegalStateException(
-        s"grouped MG state under $d holds no folded batches — refusing " +
-          "to merge an empty region (it would silently misreport the " +
-          "global frequencies as complete); start that fold or drop it " +
-          "from the merge")
-    }
+    val (ckpt, lastId) = StateMerge.guard("grouped MG state",
+      "global frequencies", inDirs, outDir, states,
+      (s: GroupedMgSnapshot) => s.lastBatchId,
+      (s: GroupedMgSnapshot) => s.checkpoint,
+      readState(spark, outDir).lastBatchId)
     val ks = states.map(_._2.k).distinct
     if (ks.size > 1)
       throw new IllegalStateException(
         "mergeStates: inputs fold different k values " + ks.mkString(", ") +
           " — mixed-k merges weaken the composed error bound the exact " +
           "recount rests on; merge only states folded with the same k")
-    val prior = readState(spark, outDir)
-    if (prior.lastBatchId >= 0L)
-      throw new IllegalStateException(
-        s"merge output dir $outDir already holds a folded grouped MG " +
-          "state — merges never clobber; use a fresh output dir")
     val k = ks.head
     val groups = scala.collection.mutable.Map.empty[String, GroupState]
     states.foreach { case (_, st) =>
@@ -278,20 +261,20 @@ object StreamingGroupedHeavyHitters {
           StreamingHeavyHitters.mergeMg(k, prev.counts, s.counts.toSeq)))
       }
     }
-    if (groups.size > maxGroups)
-      throw new IllegalStateException(
-        s"merged grouped MG state would hold ${groups.size} groups, " +
-          s"past maxGroups=$maxGroups — the regional group sets union " +
-          "wider than the cap. Raise maxGroups if the merged driver/" +
-          "monitor can hold it, or coarsen the group key before folding")
-    val merged = GroupedMgSnapshot(k,
-      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
-      states.map(_._2.lastBatchId).max, groups.toMap,
+    StateMerge.checkMergedGroupCap("grouped MG state", groups.size,
+      maxGroups)
+    val merged = GroupedMgSnapshot(k, ckpt, lastId, groups.toMap,
       states.map(_._2.excludedNullRows).sum)
     writeState(spark, outDir, merged)
     merged
   }
 
+  /** Start the stream: parquet (doc_id, source, text) arrivals under
+    * `sourceDir`, folded per micro-batch into the grouped MG state under
+    * `stateDir` (group = source, items = whitespace tokens — the same
+    * tokenization as the flat fold and the batch profiler). Same
+    * single-stream contract and entry-time guards as
+    * [[StreamingHeavyHitters.ingest]]. */
   def ingest(spark: SparkSession, sourceDir: String, stateDir: String,
       checkpointDir: String, denominator: Long, sketchK: Int = 0,
       maxFilesPerTrigger: Int = 0,

@@ -230,11 +230,6 @@ object StreamingGroupedHistogram {
           "a fresh state dir to change the binning")
   }
 
-  /** Start the stream: parquet (group, value) arrivals under `sourceDir`,
-    * folded per micro-batch into the grouped histogram state. Same
-    * single-stream contract and entry-time guards as the family's other
-    * ingests (blocklist + conf-gated functional FS probe, binding checks
-    * before any checkpoint WAL). */
   /** Cross-cluster merge — the grouped quantile face of
     * [[StreamingMoments.mergeStates]]: union of the regional group maps
     * with colliding groups merged by exact bin-wise addition (the flat
@@ -247,18 +242,12 @@ object StreamingGroupedHistogram {
     * on the UNION of the group sets. */
   def mergeStates(spark: SparkSession, inDirs: Seq[String], outDir: String,
       maxGroups: Int = DefaultMaxGroups): GroupedHistSnapshot = {
-    require(inDirs.size >= 2,
-      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
-    require(!inDirs.contains(outDir),
-      "mergeStates output dir must not be one of the inputs")
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
-      throw new IllegalStateException(
-        s"grouped histogram state under $d holds no folded batches — " +
-          "refusing to merge an empty region (it would silently " +
-          "misreport the global histogram as complete); start that fold " +
-          "or drop it from the merge")
-    }
+    val (ckpt, lastId) = StateMerge.guard("grouped histogram state",
+      "global histogram", inDirs, outDir, states,
+      (s: GroupedHistSnapshot) => s.lastBatchId,
+      (s: GroupedHistSnapshot) => s.checkpoint,
+      readState(spark, outDir).lastBatchId)
     val specs = states.map(_._2.spec).distinct
     if (specs.size > 1)
       throw new IllegalStateException(
@@ -267,11 +256,6 @@ object StreamingGroupedHistogram {
           " — bin counts are only meaningful relative to their binning; " +
           "merge only states folded with the identical spec (re-fold " +
           "divergent regions under one shared binning first)")
-    val prior = readState(spark, outDir)
-    if (prior.lastBatchId >= 0L)
-      throw new IllegalStateException(
-        s"merge output dir $outDir already holds a folded grouped " +
-          "histogram state — merges never clobber; use a fresh output dir")
     val groups = scala.collection.mutable.Map.empty[String, GroupHist]
     states.foreach { case (_, st) =>
       st.groups.foreach { case (g, h) =>
@@ -283,21 +267,19 @@ object StreamingGroupedHistogram {
         groups.put(g, GroupHist(prev.n + h.n, bins.toMap))
       }
     }
-    if (groups.size > maxGroups)
-      throw new IllegalStateException(
-        s"merged grouped histogram state would hold ${groups.size} " +
-          s"groups, past maxGroups=$maxGroups — the regional group sets " +
-          "union wider than the cap. Raise maxGroups if the merged " +
-          "driver/monitor can hold it, or coarsen the group key before " +
-          "folding")
-    val merged = GroupedHistSnapshot(specs.head,
-      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
-      states.map(_._2.lastBatchId).max, groups.toMap,
-      states.map(_._2.excludedNullRows).sum)
+    StateMerge.checkMergedGroupCap("grouped histogram state", groups.size,
+      maxGroups)
+    val merged = GroupedHistSnapshot(specs.head, ckpt, lastId,
+      groups.toMap, states.map(_._2.excludedNullRows).sum)
     writeState(spark, outDir, merged)
     merged
   }
 
+  /** Start the stream: parquet (group, value) arrivals under `sourceDir`,
+    * folded per micro-batch into the grouped histogram state. Same
+    * single-stream contract and entry-time guards as the family's other
+    * ingests (blocklist + conf-gated functional FS probe, binding checks
+    * before any checkpoint WAL). */
   def ingest(spark: SparkSession, sourceDir: String, stateDir: String,
       checkpointDir: String, spec: HistogramSpec,
       groupCol: String = "event_type", valueCol: String = "value",

@@ -259,18 +259,12 @@ object StreamingGroupedMoments {
     * the union can exceed what any one region held). */
   def mergeStates(spark: SparkSession, inDirs: Seq[String], outDir: String,
       maxGroups: Int = DefaultMaxGroups): GroupedMomentsSnapshot = {
-    require(inDirs.size >= 2,
-      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
-    require(!inDirs.contains(outDir),
-      "mergeStates output dir must not be one of the inputs")
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
-      throw new IllegalStateException(
-        s"grouped moments state under $d holds no folded batches — " +
-          "refusing to merge an empty region (it would silently " +
-          "misreport the global profile as complete); start that fold " +
-          "or drop it from the merge")
-    }
+    val (ckpt, lastId) = StateMerge.guard("grouped moments state",
+      "global profile", inDirs, outDir, states,
+      (s: GroupedMomentsSnapshot) => s.lastBatchId,
+      (s: GroupedMomentsSnapshot) => s.checkpoint,
+      readState(spark, outDir).lastBatchId)
     val cols = states.map(_._2.valueCol).distinct
     if (cols.size > 1)
       throw new IllegalStateException(
@@ -278,11 +272,6 @@ object StreamingGroupedMoments {
           cols.mkString("'", "', '", "'") +
           " — the merged state would be the moments of neither; merge " +
           "only states folded over the same column")
-    val prior = readState(spark, outDir)
-    if (prior.lastBatchId >= 0L)
-      throw new IllegalStateException(
-        s"merge output dir $outDir already holds a folded grouped " +
-          "moments state — merges never clobber; use a fresh output dir")
     val groups = scala.collection.mutable.Map.empty[String, StreamingMoments.Moments]
     states.foreach { case (_, st) =>
       st.groups.foreach { case (g, m) =>
@@ -290,16 +279,10 @@ object StreamingGroupedMoments {
           groups.getOrElse(g, StreamingMoments.emptyMoments), m))
       }
     }
-    if (groups.size > maxGroups)
-      throw new IllegalStateException(
-        s"merged grouped moments state would hold ${groups.size} groups, " +
-          s"past maxGroups=$maxGroups — the regional group sets union " +
-          "wider than the cap. Raise maxGroups if the merged driver/" +
-          "monitor can hold it, or coarsen the group key before folding")
-    val merged = GroupedMomentsSnapshot(cols.head,
-      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
-      states.map(_._2.lastBatchId).max, groups.toMap,
-      states.map(_._2.excludedNullRows).sum)
+    StateMerge.checkMergedGroupCap("grouped moments state", groups.size,
+      maxGroups)
+    val merged = GroupedMomentsSnapshot(cols.head, ckpt, lastId,
+      groups.toMap, states.map(_._2.excludedNullRows).sum)
     writeState(spark, outDir, merged)
     merged
   }

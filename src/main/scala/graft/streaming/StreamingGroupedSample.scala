@@ -238,11 +238,6 @@ object StreamingGroupedSample {
     }
   }
 
-  /** Start the stream: parquet arrivals under `sourceDir` with a STRING
-    * `groupCol`, LONG `idCol` (and optionally a DOUBLE `valueCol` payload
-    * carried with each sampled id), folded per micro-batch into the
-    * per-group bottom-k sample state under `stateDir`. Same entry-time
-    * chokepoint guards as the family's other folds. */
   /** Cross-cluster merge — the grouped sampling face of
     * [[StreamingMoments.mergeStates]]: union of the regional group maps
     * with colliding groups merged by the exact bottom-k-of-the-union
@@ -255,18 +250,12 @@ object StreamingGroupedSample {
     * cap discipline on the UNION of the group sets. */
   def mergeStates(spark: SparkSession, inDirs: Seq[String], outDir: String,
       maxGroups: Int = DefaultMaxGroups): GroupedSampleSnapshot = {
-    require(inDirs.size >= 2,
-      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
-    require(!inDirs.contains(outDir),
-      "mergeStates output dir must not be one of the inputs")
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
-      throw new IllegalStateException(
-        s"grouped sample state under $d holds no folded batches — " +
-          "refusing to merge an empty region (it would silently " +
-          "misreport the global sample as complete); start that fold " +
-          "or drop it from the merge")
-    }
+    val (ckpt, lastId) = StateMerge.guard("grouped sample state",
+      "global sample", inDirs, outDir, states,
+      (s: GroupedSampleSnapshot) => s.lastBatchId,
+      (s: GroupedSampleSnapshot) => s.checkpoint,
+      readState(spark, outDir).lastBatchId)
     val bindings = states.map(s => (s._2.k, s._2.salt)).distinct
     if (bindings.size > 1)
       throw new IllegalStateException(
@@ -275,11 +264,6 @@ object StreamingGroupedSample {
           " — bottom-k sets are only comparable under identical " +
           "priorities and budgets; merge only states folded with the " +
           "same (k, salt)")
-    val prior = readState(spark, outDir)
-    if (prior.lastBatchId >= 0L)
-      throw new IllegalStateException(
-        s"merge output dir $outDir already holds a folded grouped " +
-          "sample state — merges never clobber; use a fresh output dir")
     val (k, salt) = bindings.head
     val groups = scala.collection.mutable.Map.empty[String, GroupSample]
     states.foreach { case (_, st) =>
@@ -289,20 +273,19 @@ object StreamingGroupedSample {
           StreamingSample.mergeBottomK(k, prev.entries, s.entries)))
       }
     }
-    if (groups.size > maxGroups)
-      throw new IllegalStateException(
-        s"merged grouped sample state would hold ${groups.size} groups, " +
-          s"past maxGroups=$maxGroups — the regional group sets union " +
-          "wider than the cap. Raise maxGroups if the merged driver/" +
-          "monitor can hold it, or coarsen the group key before folding")
-    val merged = GroupedSampleSnapshot(k, salt,
-      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
-      states.map(_._2.lastBatchId).max, groups.toMap,
+    StateMerge.checkMergedGroupCap("grouped sample state", groups.size,
+      maxGroups)
+    val merged = GroupedSampleSnapshot(k, salt, ckpt, lastId, groups.toMap,
       states.map(_._2.excludedNullRows).sum)
     writeState(spark, outDir, merged)
     merged
   }
 
+  /** Start the stream: parquet arrivals under `sourceDir` with a STRING
+    * `groupCol`, LONG `idCol` (and optionally a DOUBLE `valueCol` payload
+    * carried with each sampled id), folded per micro-batch into the
+    * per-group bottom-k sample state under `stateDir`. Same entry-time
+    * chokepoint guards as the family's other folds. */
   def ingest(spark: SparkSession, sourceDir: String, stateDir: String,
       checkpointDir: String, k: Int, salt: String = "sample",
       groupCol: String = "source", idCol: String = "doc_id",

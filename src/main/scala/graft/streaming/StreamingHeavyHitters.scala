@@ -287,18 +287,11 @@ object StreamingHeavyHitters {
     * that trips the ingest binding, no clobbering. */
   def mergeStates(spark: SparkSession, inDirs: Seq[String],
       outDir: String): MgSnapshot = {
-    require(inDirs.size >= 2,
-      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
-    require(!inDirs.contains(outDir),
-      "mergeStates output dir must not be one of the inputs")
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
-      throw new IllegalStateException(
-        s"MG state under $d holds no folded batches — refusing to " +
-          "merge an empty region (it would silently misreport the " +
-          "global frequencies as complete); start that fold or drop it " +
-          "from the merge")
-    }
+    val (ckpt, lastId) = StateMerge.guard("MG state",
+      "global frequencies", inDirs, outDir, states,
+      (s: MgSnapshot) => s.lastBatchId, (s: MgSnapshot) => s.checkpoint,
+      readState(spark, outDir).lastBatchId)
     val ks = states.map(_._2.k).distinct
     if (ks.size > 1)
       throw new IllegalStateException(
@@ -306,15 +299,8 @@ object StreamingHeavyHitters {
           ks.mkString(", ") +
           " — mixed-k merges weaken the composed error bound the exact " +
           "recount rests on; merge only states folded with the same k")
-    val prior = readState(spark, outDir)
-    if (prior.lastBatchId >= 0L)
-      throw new IllegalStateException(
-        s"merge output dir $outDir already holds a folded MG state — " +
-          "merges never clobber; use a fresh output dir")
     val k = ks.head
-    val merged = MgSnapshot(k,
-      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
-      states.map(_._2.lastBatchId).max,
+    val merged = MgSnapshot(k, ckpt, lastId,
       states.map(_._2.n).sum,
       states.map(_._2.counts)
         .reduce((a, b) => mergeMg(k, a, b.toSeq)))

@@ -177,18 +177,11 @@ object StreamingHistogram {
     * no clobbering. */
   def mergeStates(spark: SparkSession, inDirs: Seq[String],
       outDir: String): HistSnapshot = {
-    require(inDirs.size >= 2,
-      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
-    require(!inDirs.contains(outDir),
-      "mergeStates output dir must not be one of the inputs")
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
-      throw new IllegalStateException(
-        s"histogram state under $d holds no folded batches — refusing " +
-          "to merge an empty region (it would silently misreport the " +
-          "global histogram as complete); start that fold or drop it " +
-          "from the merge")
-    }
+    val (ckpt, lastId) = StateMerge.guard("histogram state",
+      "global histogram", inDirs, outDir, states,
+      (s: HistSnapshot) => s.lastBatchId, (s: HistSnapshot) => s.checkpoint,
+      readState(spark, outDir).lastBatchId)
     val specs = states.map(_._2.spec).distinct
     if (specs.size > 1)
       throw new IllegalStateException(
@@ -197,18 +190,11 @@ object StreamingHistogram {
           " — bin counts are only meaningful relative to their binning; " +
           "merge only states folded with the identical spec (re-fold " +
           "divergent regions under one shared binning first)")
-    val prior = readState(spark, outDir)
-    if (prior.lastBatchId >= 0L)
-      throw new IllegalStateException(
-        s"merge output dir $outDir already holds a folded histogram " +
-          "state — merges never clobber; use a fresh output dir")
     val bins = scala.collection.mutable.Map.empty[Int, Long]
     states.foreach { case (_, st) =>
       st.bins.foreach { case (b, c) => bins.put(b, bins.getOrElse(b, 0L) + c) }
     }
-    val merged = HistSnapshot(specs.head,
-      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
-      states.map(_._2.lastBatchId).max,
+    val merged = HistSnapshot(specs.head, ckpt, lastId,
       states.map(_._2.n).sum, bins.toMap)
     writeState(spark, outDir, merged)
     merged

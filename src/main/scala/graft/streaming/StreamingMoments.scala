@@ -297,18 +297,11 @@ object StreamingMoments {
     * folded state is refused (merges never clobber). */
   def mergeStates(spark: SparkSession, inDirs: Seq[String],
       outDir: String): MomentsSnapshot = {
-    require(inDirs.size >= 2,
-      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
-    require(!inDirs.contains(outDir),
-      "mergeStates output dir must not be one of the inputs")
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
-      throw new IllegalStateException(
-        s"moments state under $d holds no folded batches — refusing to " +
-          "merge an empty region (it would silently misreport the " +
-          "global profile as complete); start that fold or drop it from " +
-          "the merge")
-    }
+    val (ckpt, lastId) = StateMerge.guard("moments state", "global profile",
+      inDirs, outDir, states, (s: MomentsSnapshot) => s.lastBatchId,
+      (s: MomentsSnapshot) => s.checkpoint,
+      readState(spark, outDir).lastBatchId)
     val cols = states.map(_._2.valueCol).distinct
     if (cols.size > 1)
       throw new IllegalStateException(
@@ -316,14 +309,7 @@ object StreamingMoments {
           cols.mkString("'", "', '", "'") +
           " — the merged state would be the moments of neither; merge " +
           "only states folded over the same column")
-    val prior = readState(spark, outDir)
-    if (prior.lastBatchId >= 0L)
-      throw new IllegalStateException(
-        s"merge output dir $outDir already holds a folded moments state " +
-          "— merges never clobber; use a fresh output dir")
-    val merged = MomentsSnapshot(cols.head,
-      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
-      states.map(_._2.lastBatchId).max,
+    val merged = MomentsSnapshot(cols.head, ckpt, lastId,
       states.map(_._2.moments).reduce(mergeMoments))
     writeState(spark, outDir, merged)
     merged

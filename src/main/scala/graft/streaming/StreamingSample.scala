@@ -272,18 +272,11 @@ object StreamingSample {
     * ingest binding, no clobbering. */
   def mergeStates(spark: SparkSession, inDirs: Seq[String],
       outDir: String): SampleSnapshot = {
-    require(inDirs.size >= 2,
-      s"mergeStates needs >= 2 input state dirs, got ${inDirs.size}")
-    require(!inDirs.contains(outDir),
-      "mergeStates output dir must not be one of the inputs")
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    states.find(_._2.lastBatchId < 0L).foreach { case (d, _) =>
-      throw new IllegalStateException(
-        s"sample state under $d holds no folded batches — refusing to " +
-          "merge an empty region (it would silently misreport the " +
-          "global sample as complete); start that fold or drop it from " +
-          "the merge")
-    }
+    val (ckpt, lastId) = StateMerge.guard("sample state", "global sample",
+      inDirs, outDir, states, (s: SampleSnapshot) => s.lastBatchId,
+      (s: SampleSnapshot) => s.checkpoint,
+      readState(spark, outDir).lastBatchId)
     val bindings = states.map(s => (s._2.k, s._2.salt)).distinct
     if (bindings.size > 1)
       throw new IllegalStateException(
@@ -292,15 +285,8 @@ object StreamingSample {
           " — bottom-k sets are only comparable under identical " +
           "priorities and budgets; merge only states folded with the " +
           "same (k, salt)")
-    val prior = readState(spark, outDir)
-    if (prior.lastBatchId >= 0L)
-      throw new IllegalStateException(
-        s"merge output dir $outDir already holds a folded sample state " +
-          "— merges never clobber; use a fresh output dir")
     val (k, salt) = bindings.head
-    val merged = SampleSnapshot(k, salt,
-      "merged:" + states.map(_._2.checkpoint).sorted.mkString("[", ",", "]"),
-      states.map(_._2.lastBatchId).max,
+    val merged = SampleSnapshot(k, salt, ckpt, lastId,
       states.map(_._2.nSeen).sum,
       states.map(_._2.entries).reduce(mergeBottomK(k, _, _)))
     writeState(spark, outDir, merged)
