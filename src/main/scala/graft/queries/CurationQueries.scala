@@ -236,6 +236,49 @@ object CurationQueries {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(tmp))
     }),
+    // the profiling family's TIME dimension: the sliding-window exact
+    // moments fold. Six deterministic micro-batches (doc_id mod 6, file
+    // mtimes forced strictly increasing so the file source's
+    // timestamp ordering IS the staged order) folded at window=3 — the
+    // served aggregate must be the moments of EXACTLY the last three
+    // batches' rows, which DuckDB replays as WHERE doc_id % 6 >= 3 with
+    // HUGEINT arithmetic. An eviction that is off by one batch, a
+    // running-total design that can't un-count an evicted extremum, or
+    // a wrong batch order all change an exact integer and
+    // hash-mismatch.
+    "streaming_windowed_moments" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_swmom_q_").toString
+      try {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("value"))
+        // a fixed past base: only the ORDER of the stamps matters
+        val base = 1600000000000L
+        (0 until 6).foreach { b =>
+          docs.filter(pmod(col("doc_id"), lit(6)) === b)
+            .select(col("value"))
+            .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+          // stamp the not-yet-stamped data files with this batch's
+          // strictly-increasing mtime (fresh writes carry now(), far
+          // above the base, so already-stamped files are left alone)
+          new java.io.File(s"$tmp/src").listFiles()
+            .filter(f => f.getName.endsWith(".parquet"))
+            .filter(_.lastModified() > base + 6000L)
+            .foreach(f => f.setLastModified(base + b * 1000L))
+        }
+        val q = graft.streaming.StreamingWindowedMoments.ingest(s,
+          s"$tmp/src", s"$tmp/state", s"$tmp/chk", window = 3,
+          maxFilesPerTrigger = 1)
+        try q.processAllAvailable() finally q.stop()
+        val st = graft.streaming.StreamingWindowedMoments
+          .readState(s, s"$tmp/state")
+        graft.streaming.StreamingWindowedMoments.toDF(s, st)
+          .select(col("n_rows"), col("n"), col("n_null"), col("vmin"),
+            col("vmax"), col("vsum").cast("long").as("vsum"),
+            col("vsum_sq").cast("long").as("vsum_sq"))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
+    }),
     // cross-cluster state merge, moments face: the corpus is split into
     // two disjoint "regions" (doc_id parity), each folded by its OWN
     // stream (own checkpoint, own state dir — two independent regional
@@ -506,6 +549,15 @@ object CurationQueries {
          |  sum(py::HUGEINT * py::HUGEINT)::BIGINT AS ysum_sq,
          |  sum(px::HUGEINT * py::HUGEINT)::BIGINT AS xysum
          |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    // the window aggregate replayed over exactly the last three staged
+    // batches' rows (batch b = doc_id % 6 == b, window 3 keeps 3..5)
+    "streaming_windowed_moments" ->
+      """SELECT count(*)::BIGINT AS n_rows, count(n_chars)::BIGINT AS n,
+        |  (count(*) - count(n_chars))::BIGINT AS n_null,
+        |  min(n_chars)::BIGINT AS vmin, max(n_chars)::BIGINT AS vmax,
+        |  sum(n_chars::HUGEINT)::BIGINT AS vsum,
+        |  sum(n_chars::HUGEINT * n_chars::HUGEINT)::BIGINT AS vsum_sq
+        |FROM documents WHERE doc_id % 6 >= 3""".stripMargin,
     // the merged regional folds must equal the WHOLE-corpus moments —
     // the same replay as streaming_moments: region boundaries must be
     // invisible in the merged state

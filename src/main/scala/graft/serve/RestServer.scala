@@ -110,9 +110,11 @@ import scala.util.control.NonFatal
   *                                      (count/nulls/min/max + exact
   *                                      integer sums as strings; mean/
   *                                      stddev_pop derived), flat OR
-  *                                      grouped (the family's selection
-  *                                      rule: one state dir, flat wins
-  *                                      ties), linearizable locked read.
+  *                                      grouped OR windowed (the
+  *                                      family's selection ladder: flat
+  *                                      → grouped → windowed, one state
+  *                                      dir, earlier rungs win ties),
+  *                                      linearizable locked read.
   *                                      ?group selects one group (404 if
   *                                      never folded); ?verify=true
   *                                      recomputes the (per-group)
@@ -1674,12 +1676,20 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
               }
             }
             // the family's flat-vs-grouped selection rule (one state dir,
-            // flat wins ties), both reads linearizable
+            // flat wins ties), extended one rung for this face's TIME
+            // dimension: flat → grouped → windowed. All reads
+            // linearizable
             val st = graft.streaming.StreamingMoments
               .readStateLocked(store.spark, sd)
             val gst =
               if (st.lastBatchId < 0L)
                 Some(graft.streaming.StreamingGroupedMoments
+                  .readStateLocked(store.spark, sd))
+                  .filter(_.lastBatchId >= 0L)
+              else None
+            val wst =
+              if (st.lastBatchId < 0L && gst.isEmpty)
+                Some(graft.streaming.StreamingWindowedMoments
                   .readStateLocked(store.spark, sd))
                   .filter(_.lastBatchId >= 0L)
               else None
@@ -1707,7 +1717,8 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                 "corpus — pass momentsSourceDir to RestServer (client-" +
                 "supplied paths are not accepted, same posture as the " +
                 "other profiling verifies)"))
-            else if (wantVerify && st.lastBatchId < 0L && gst.isEmpty)
+            else if (wantVerify && st.lastBatchId < 0L && gst.isEmpty &&
+                wst.isEmpty)
               (409, err(s"no folded moments state under $sd — start the " +
                 "ingest (or point the server at its state dir) before " +
                 "asking for a recount verify"))
@@ -1801,6 +1812,33 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                         v.put("moments_are_exact", true)
                         (200, n)
                     }
+                }
+              case None if wst.isDefined =>
+                val w = wst.get
+                if (wantGroup.isDefined)
+                  (404, err(s"group '${wantGroup.get}' not available: " +
+                    "the folded moments are a sliding WINDOW (no " +
+                    "groups) — group selection needs a " +
+                    "StreamingGroupedMoments fold"))
+                else if (wantVerify)
+                  (409, err("windowed moments cannot be recount-verified " +
+                    "against the source corpus: the corpus does not " +
+                    "record which rows arrived in the newest " +
+                    s"${w.window} micro-batches, so an all-time recount " +
+                    "cannot reproduce the window. The ring's exactness " +
+                    "is pinned by the fold's own oracle row and spec"))
+                else {
+                  n.put("folded", true)
+                  n.put("grouped", false)
+                  n.put("windowed", true)
+                  n.put("value_col", w.valueCol)
+                  n.put("checkpoint", w.checkpoint)
+                  n.put("last_batch_id", w.lastBatchId)
+                  n.put("window", w.window)
+                  n.put("ring_depth", w.ring.size)
+                  n.put("moments_are_exact", true)
+                  writeMoments(n, w.aggregate)
+                  (200, n)
                 }
               case None if wantGroup.isDefined =>
                 (404, err(s"group '${wantGroup.get}' not available: the " +
@@ -1958,7 +1996,24 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
               f.put("value_col", g.valueCol)
               f.put("group_count", g.groups.size)
               f.put("excluded_null_rows", g.excludedNullRows)
-            } else f.put("folded", false)
+            } else {
+              val w = graft.streaming.StreamingWindowedMoments
+                .readStateLocked(store.spark, sd)
+              if (w.lastBatchId >= 0L) {
+                f.put("folded", true); f.put("grouped", false)
+                f.put("windowed", true)
+                f.put("last_batch_id", w.lastBatchId)
+                f.put("checkpoint", w.checkpoint)
+                f.put("value_col", w.valueCol)
+                f.put("window", w.window)
+                f.put("ring_depth", w.ring.size)
+                val agg = w.aggregate
+                f.put("n_rows", agg.nRows)
+                f.put("n_null", agg.nNull)
+                agg.mean.foreach(v => f.put("mean", v))
+                agg.stddevPop.foreach(v => f.put("stddev_pop", v))
+              } else f.put("folded", false)
+            }
           }
         })
         distinctStateDir.foreach(sd => face("distinct") { f =>

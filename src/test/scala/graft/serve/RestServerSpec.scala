@@ -1502,6 +1502,46 @@ class RestServerSpec extends SparkSpec {
     } finally srvE2.stop()
   }
 
+  test("moments route windowed rung: aggregate envelope, group 404, verify 409") {
+    import spark.implicits._
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_wmom_rest_").toString)
+    val sd = java.nio.file.Files.createTempDirectory("graft_wmom_s_").toString
+    // fold 5 deterministic batches at window=2 through applyBatch (order
+    // is the point of the windowed face)
+    val ck = "file:wmom-ckpt"
+    (0 until 5).foreach { b =>
+      graft.streaming.StreamingWindowedMoments.applyBatch(spark, sd, 2, ck,
+        (0 until 10).map(j => b * 100L + j).toDF("value"), "value", b.toLong)
+    }
+    val srv = new RestServer(store, momentsStateDir = Some(sd),
+      momentsSourceDir = Some("/nonexistent")).start()
+    try {
+      val (s, r) = call(srv, "GET", "/api/v1/admin/moments")
+      assert(s == 200, r.toString)
+      assert(r.get("folded").asBoolean() && r.get("windowed").asBoolean())
+      assert(r.get("window").asInt() == 2 && r.get("ring_depth").asInt() == 2)
+      // aggregate = batches 3 and 4: 300..309 + 400..409
+      assert(r.get("n_rows").asLong() == 20L)
+      assert(r.get("min").asLong() == 300L && r.get("max").asLong() == 409L)
+      assert(r.get("moments_are_exact").asBoolean())
+      // a windowed fold has no groups; verify is a category error with a
+      // NAMED reason, not an attempted (wrong) all-time recount
+      val (sG, rG) = call(srv, "GET", "/api/v1/admin/moments?group=s0")
+      assert(sG == 404 && rG.get("error").asText().contains("WINDOW"), rG.toString)
+      val (sV, rV) = call(srv, "GET", "/api/v1/admin/moments?verify=true")
+      assert(sV == 409 &&
+        rV.get("error").asText().contains("cannot be recount-verified"), rV.toString)
+      // the one-poll profile face reports the windowed rung too
+      val (sP, rP) = call(srv, "GET", "/api/v1/admin/profile")
+      assert(sP == 200, rP.toString)
+      val mom = rP.get("faces").get("moments")
+      assert(mom.get("windowed").asBoolean() &&
+        mom.get("ring_depth").asInt() == 2 &&
+        mom.get("n_rows").asLong() == 20L, rP.toString)
+    } finally srv.stop()
+  }
+
   test("moments verify face: recount parity, drift, column 422, grouped bound") {
     import spark.implicits._
     val store = new VectorStore(spark,
