@@ -200,6 +200,50 @@ object AggQueries {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(tmp))
     }),
+    // the quantile face's TIME dimension: the sliding-window histogram
+    // fold (the ring design — see streaming_windowed_moments). Six
+    // deterministic micro-batches (event_id mod 6, file mtimes forced
+    // strictly increasing so the file source's timestamp ordering IS
+    // the staged order) folded at window=3: the served histogram — n,
+    // out-of-range counts, AND the interpolated quantiles — must equal
+    // the one-shot answer over exactly the last three batches' rows,
+    // which DuckDB replays as WHERE event_id % 6 >= 3 through the same
+    // bin/interpolation arithmetic as streaming_histogram.
+    "streaming_windowed_histogram" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_swhist_q_").toString
+      try {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("value"))
+        val base = 1600000000000L
+        (0 until 6).foreach { b =>
+          ev.filter(pmod(col("event_id"), lit(6)) === b).select(col("value"))
+            .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+          new java.io.File(s"$tmp/src").listFiles()
+            .filter(f => f.getName.endsWith(".parquet"))
+            .filter(_.lastModified() > base + 6000L)
+            .foreach(f => f.setLastModified(base + b * 1000L))
+        }
+        val q = graft.streaming.StreamingWindowedHistogram.ingest(
+          s, s"$tmp/src", s"$tmp/state", s"$tmp/chk", histRowSpec,
+          window = 3, maxFilesPerTrigger = 1)
+        try q.processAllAvailable() finally q.stop()
+        val st = graft.streaming.StreamingWindowedHistogram
+          .readState(s, s"$tmp/state")
+        val agg = st.aggregate
+        val qs = graft.streaming.StreamingWindowedHistogram
+          .quantilesFromSnapshot(st, Seq(0.5, 0.9, 0.99)).toMap
+        def est(p: Double): Double = qs.getOrElse(p, histRowSpec.hi)
+        import s.implicits._
+        Seq((agg.n, agg.underflow, agg.overflow,
+            est(0.5), est(0.9), est(0.99)))
+          .toDF("n", "underflow", "overflow", "p50", "p90", "p99")
+          .select(col("n"), col("underflow"), col("overflow"),
+            round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90"),
+            round(col("p99"), 6).as("p99"))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
+    }),
     // the grouped variant: per-event-type exact histograms folded from
     // the same four staged micro-batches — completing the quantile
     // square (batch flat/grouped, streaming flat/grouped) exactly like
@@ -446,6 +490,41 @@ object AggQueries {
         |  round(quantile_cont(value, 0.99), 4) AS p99_exact,
         |  true AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the windowed fold replayed over exactly the last three staged
+    // batches' rows (batch b = event_id % 6 == b, window 3 keeps 3..5)
+    // through the SAME bin/interpolation arithmetic
+    "streaming_windowed_histogram" ->
+      s"""WITH v AS (SELECT value FROM events
+         |  WHERE value IS NOT NULL AND event_id % 6 >= 3),
+         |b AS (SELECT ${histRowSpec.binSql("value")} AS bin FROM v),
+         |c AS (SELECT bin, count(*)::BIGINT AS cnt FROM b GROUP BY bin),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM b),
+         |uf AS (SELECT coalesce(
+         |  (SELECT cnt FROM c WHERE bin = -1), 0)::BIGINT AS u),
+         |ov AS (SELECT coalesce(
+         |  (SELECT cnt FROM c WHERE bin = ${histRowSpec.nBins}),
+         |  0)::BIGINT AS o),
+         |cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cume
+         |  FROM c WHERE bin >= 0 AND bin < ${histRowSpec.nBins}),
+         |probs(p) AS (VALUES (0.5), (0.9), (0.99)),
+         |sel AS (SELECT p, bin, cnt, cume FROM probs, tot, uf, cum
+         |  WHERE (u + cume - cnt) < (1.0 + (n - 1) * p)
+         |    AND (u + cume) >= (1.0 + (n - 1) * p)),
+         |q AS (SELECT probs.p AS p,
+         |    CASE WHEN (1.0 + (n - 1) * probs.p) <= u THEN ${histRowSpec.lo}
+         |         WHEN sel.bin IS NULL THEN ${histRowSpec.hi}
+         |         ELSE ${histRowSpec.lo}
+         |           + ((${histRowSpec.hi} - ${histRowSpec.lo})
+         |              / ${histRowSpec.nBins})
+         |           * (sel.bin + ((1.0 + (n - 1) * probs.p)
+         |              - (u + sel.cume - sel.cnt)) / sel.cnt)
+         |    END AS est
+         |  FROM probs LEFT JOIN sel ON probs.p = sel.p, tot, uf)
+         |SELECT n, u AS underflow, o AS overflow,
+         |  round((SELECT est FROM q WHERE p = 0.5), 6) AS p50,
+         |  round((SELECT est FROM q WHERE p = 0.9), 6) AS p90,
+         |  round((SELECT est FROM q WHERE p = 0.99), 6) AS p99
+         |FROM tot, uf, ov""".stripMargin,
     "streaming_histogram" ->
       s"""WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
          |b AS (SELECT ${histRowSpec.binSql("value")} AS bin FROM v),

@@ -75,7 +75,13 @@ import scala.util.control.NonFatal
   *                                      operator-configured source corpus
   *                                      (histogramSourceDir; admin-gated, no
   *                                      client paths) and reports cell-level
-  *                                      parity against the same snapshot
+  *                                      parity against the same snapshot.
+  *                                      Selection ladder: flat → grouped →
+  *                                      WINDOWED (the sliding-window rung
+  *                                      serves the ring aggregate's
+  *                                      quantiles; its verify is a named
+  *                                      409 — an all-time recount cannot
+  *                                      reproduce a window)
   *   POST   /api/v1/admin/histogram/from-sample {n_bins?, coverage?,
   *                                      group?} — derive a [lo, hi)
   *                                      binning from the standing sample
@@ -1113,9 +1119,21 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             probsParsed match {
               case Left(msg) => (400, err(msg))
               case Right(probs) =>
-                val (st, gst) = foldedHistograms(sd)
+                val (st, gst, wst) = foldedHistograms(sd)
                 val wantVerify = qp.contains("verify=true")
-                if (wantVerify && histogramSourceDir.isEmpty)
+                if (wantVerify && wst.isDefined)
+                  // the windowed rung cannot be recount-verified: the
+                  // corpus does not record which rows arrived in the
+                  // newest N micro-batches — a named category error, not
+                  // an attempted (wrong) all-time recount
+                  (409, err("windowed histogram cannot be " +
+                    "recount-verified against the source corpus: the " +
+                    "corpus does not record which rows arrived in the " +
+                    s"newest ${wst.get.window} micro-batches, so an " +
+                    "all-time recount cannot reproduce the window. The " +
+                    "ring's exactness is pinned by the fold's own oracle " +
+                    "row and spec"))
+                else if (wantVerify && histogramSourceDir.isEmpty)
                   (403, err("histogram verify not configured on this " +
                     "server: the recount is a Spark job over the stream's " +
                     "source corpus — pass histogramSourceDir to RestServer " +
@@ -1189,6 +1207,32 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                           b.put(bin.toString, c)
                         }
                       }
+                    }
+                  case None if wst.isDefined =>
+                    // the windowed rung: the flat envelope over the
+                    // ring's bin-wise aggregate, plus the window fields
+                    val w = wst.get
+                    val agg = w.aggregate
+                    n.put("folded", true)
+                    n.put("grouped", false)
+                    n.put("windowed", true)
+                    binning(agg.spec)
+                    n.put("checkpoint", w.checkpoint)
+                    n.put("last_batch_id", w.lastBatchId)
+                    n.put("window", w.window)
+                    n.put("ring_depth", w.ring.size)
+                    n.put("n", agg.n)
+                    n.put("underflow", agg.underflow)
+                    n.put("overflow", agg.overflow)
+                    outOfRange(agg.n, agg.underflow + agg.overflow)
+                    val wq = n.putObject("quantiles")
+                    graft.streaming.StreamingHistogram
+                      .quantilesFromSnapshot(agg, probs)
+                      .foreach { case (p, est) => wq.put(p.toString, est) }
+                    if (qp.contains("bins=true")) {
+                      val bl = n.putObject("bins")
+                      agg.bins.toSeq.sortBy(_._1).foreach { case (b, c) =>
+                        bl.put(b.toString, c) }
                     }
                   case None if st.lastBatchId < 0L =>
                     // nothing folded in either shape: a well-formed empty
@@ -1947,7 +1991,22 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
               f.put("group_count", g.groups.size)
               f.put("total_cells", g.totalCells)
               f.put("excluded_null_rows", g.excludedNullRows)
-            } else f.put("folded", false)
+            } else {
+              val w = graft.streaming.StreamingWindowedHistogram
+                .readStateLocked(store.spark, sd)
+              if (w.lastBatchId >= 0L) {
+                val agg = w.aggregate
+                f.put("folded", true); f.put("grouped", false)
+                f.put("windowed", true)
+                f.put("last_batch_id", w.lastBatchId)
+                f.put("checkpoint", w.checkpoint)
+                f.put("window", w.window)
+                f.put("ring_depth", w.ring.size)
+                f.put("n", agg.n)
+                f.put("underflow", agg.underflow)
+                f.put("overflow", agg.overflow)
+              } else f.put("folded", false)
+            }
           }
         })
         sampleStateDir.foreach(sd => face("sample") { f =>
@@ -2750,7 +2809,8 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     * (hist_state.json) or the GROUPED fold's (hist_grouped_state.json). */
   private def foldedHistograms(sd: String)
       : (graft.streaming.StreamingHistogram.HistSnapshot,
-         Option[graft.streaming.StreamingGroupedHistogram.GroupedHistSnapshot]) = {
+         Option[graft.streaming.StreamingGroupedHistogram.GroupedHistSnapshot],
+         Option[graft.streaming.StreamingWindowedHistogram.WindowedHistSnapshot]) = {
     val st = graft.streaming.StreamingHistogram
       .readStateLocked(store.spark, sd)
     val gst =
@@ -2759,7 +2819,14 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           .readStateLocked(store.spark, sd))
           .filter(_.lastBatchId >= 0L)
       else None
-    (st, gst)
+    // the face's TIME-dimension rung: flat → grouped → windowed
+    val wst =
+      if (st.lastBatchId < 0L && gst.isEmpty)
+        Some(graft.streaming.StreamingWindowedHistogram
+          .readStateLocked(store.spark, sd))
+          .filter(_.lastBatchId >= 0L)
+      else None
+    (st, gst, wst)
   }
 
   private def floats(n: JsonNode): Array[Float] =

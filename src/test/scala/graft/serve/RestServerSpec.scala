@@ -1502,6 +1502,52 @@ class RestServerSpec extends SparkSpec {
     } finally srvE2.stop()
   }
 
+  test("histogram route windowed rung: aggregate envelope + quantiles, verify 409") {
+    import spark.implicits._
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_whist_rest_").toString)
+    val sd = java.nio.file.Files.createTempDirectory("graft_whist_s_").toString
+    val spec = graft.operators.HistogramSketch.HistogramSpec(0.0, 100.0, 20)
+    val ck = "file:whist-ckpt"
+    // 5 batches at window=2: only batches 3 and 4 (30..59 and 40..69)
+    // survive in the window
+    (0 until 5).foreach { b =>
+      graft.streaming.StreamingWindowedHistogram.applyBatch(spark, sd,
+        spec, 2, ck,
+        (0 until 30).map(j => (b * 10 + j).toDouble).toDF("value"),
+        "value", b.toLong)
+    }
+    val srv = new RestServer(store, histogramStateDir = Some(sd),
+      histogramSourceDir = Some("/nonexistent")).start()
+    try {
+      val (s, r) = call(srv, "GET", "/api/v1/admin/histogram?bins=true")
+      assert(s == 200, r.toString)
+      assert(r.get("folded").asBoolean() && r.get("windowed").asBoolean())
+      assert(r.get("window").asInt() == 2 && r.get("ring_depth").asInt() == 2)
+      assert(r.get("n").asLong() == 60L)
+      assert(r.get("underflow").asLong() == 0L && r.get("overflow").asLong() == 0L)
+      // quantiles ride the window aggregate: the twin interpolation over
+      // the last two batches' values
+      val twin = graft.operators.HistogramSketch.quantiles(spec,
+        graft.operators.HistogramSketch.counts(
+          ((30 until 60) ++ (40 until 70)).map(_.toDouble).toDF("value"),
+          "value", spec).collect().map(x => x.getInt(0) -> x.getLong(1)).toMap,
+        Seq(0.5)).head._2
+      assert(math.abs(r.get("quantiles").get("0.5").asDouble() - twin) < 1e-9,
+        r.toString)
+      assert(r.get("bins").size() > 0)
+      // verify on a windowed fold: a named 409 category error
+      val (sV, rV) = call(srv, "GET", "/api/v1/admin/histogram?verify=true")
+      assert(sV == 409 &&
+        rV.get("error").asText().contains("cannot be recount-verified"), rV.toString)
+      // the one-poll profile face reports the windowed rung
+      val (sP, rP) = call(srv, "GET", "/api/v1/admin/profile")
+      assert(sP == 200, rP.toString)
+      val h = rP.get("faces").get("histogram")
+      assert(h.get("windowed").asBoolean() && h.get("n").asLong() == 60L, rP.toString)
+    } finally srv.stop()
+  }
+
   test("moments route windowed rung: aggregate envelope, group 404, verify 409") {
     import spark.implicits._
     val store = new VectorStore(spark,
