@@ -215,15 +215,11 @@ object AggQueries {
       try {
         val ev = Tables.load(s, dir, "events")
           .select(col("event_id"), col("value"))
-        val base = 1600000000000L
-        (0 until 6).foreach { b =>
-          ev.filter(pmod(col("event_id"), lit(6)) === b).select(col("value"))
-            .coalesce(1).write.mode("append").parquet(s"$tmp/src")
-          new java.io.File(s"$tmp/src").listFiles()
-            .filter(f => f.getName.endsWith(".parquet"))
-            .filter(_.lastModified() > base + 6000L)
-            .foreach(f => f.setLastModified(base + b * 1000L))
-        }
+        QueryShapes.stageOrderedBatches(
+          (0 until 6).map(b => ev
+            .filter(pmod(col("event_id"), lit(6)) === b)
+            .select(col("value"))),
+          s"$tmp/src")
         val q = graft.streaming.StreamingWindowedHistogram.ingest(
           s, s"$tmp/src", s"$tmp/state", s"$tmp/chk", histRowSpec,
           window = 3, maxFilesPerTrigger = 1)

@@ -252,20 +252,11 @@ object CurationQueries {
       try {
         val docs = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("n_chars").cast("long").as("value"))
-        // a fixed past base: only the ORDER of the stamps matters
-        val base = 1600000000000L
-        (0 until 6).foreach { b =>
-          docs.filter(pmod(col("doc_id"), lit(6)) === b)
-            .select(col("value"))
-            .coalesce(1).write.mode("append").parquet(s"$tmp/src")
-          // stamp the not-yet-stamped data files with this batch's
-          // strictly-increasing mtime (fresh writes carry now(), far
-          // above the base, so already-stamped files are left alone)
-          new java.io.File(s"$tmp/src").listFiles()
-            .filter(f => f.getName.endsWith(".parquet"))
-            .filter(_.lastModified() > base + 6000L)
-            .foreach(f => f.setLastModified(base + b * 1000L))
-        }
+        QueryShapes.stageOrderedBatches(
+          (0 until 6).map(b => docs
+            .filter(pmod(col("doc_id"), lit(6)) === b)
+            .select(col("value"))),
+          s"$tmp/src")
         val q = graft.streaming.StreamingWindowedMoments.ingest(s,
           s"$tmp/src", s"$tmp/state", s"$tmp/chk", window = 3,
           maxFilesPerTrigger = 1)

@@ -19,6 +19,29 @@ object QueryShapes {
     * silently gating against garbage. Rank-insensitive by design (the
     * store's exact path carries no rank column): membership + distance
     * sum pins the set, and rank is a function of (distance, id) anyway. */
+  /** Stage one single-file parquet batch per DataFrame with FORCED
+    * strictly-increasing file mtimes, so the file source's timestamp
+    * ordering IS the element order — ONE definition for every consumer
+    * whose semantics depend on batch ORDER (the sliding-window oracle
+    * rows and their specs). The re-stamp threshold derives from the
+    * batch count (never a hardcoded constant: a constant lower than the
+    * final stamp would let later iterations re-stamp earlier batches'
+    * files with the wrong mtime, silently corrupting the very order the
+    * windowed comparison depends on). `base` is an arbitrary past
+    * epoch-ms; pass a later base to APPEND more ordered batches to an
+    * already-staged dir (the new stamps must exceed every old one). */
+  def stageOrderedBatches(dfs: Seq[DataFrame], dir: String,
+      base: Long = 1600000000000L): Unit = {
+    val threshold = base + dfs.size * 1000L
+    dfs.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("append").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .filter(_.lastModified() > threshold)
+        .foreach(f => f.setLastModified(base + i * 1000L))
+    }
+  }
+
   /** Build-once cache protocol shared by every persisted query fixture
     * (serving stores, scale indexes): gate on an explicit `_DONE` marker
     * written LAST — never on a data dir's own `_SUCCESS`, which would

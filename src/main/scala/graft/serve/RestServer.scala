@@ -1755,7 +1755,20 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             // real defect; a still-ingesting stream legitimately trails
             // (last_batch_id is in the envelope for that call).
             val wantVerify = qp.contains("verify=true")
-            if (wantVerify && momentsSourceDir.isEmpty)
+            // the windowed 409 is checked BEFORE the unconfigured-source
+            // 403 (the histogram route's order): a windowed fold can
+            // never be recount-verified, so a 403 telling the operator
+            // to configure momentsSourceDir would send them on an
+            // errand that cannot end in a working verify
+            if (wantVerify && wst.isDefined)
+              (409, err("windowed moments cannot be recount-verified " +
+                "against the source corpus: the corpus does not record " +
+                "which rows arrived in the newest " +
+                s"${wst.get.window} micro-batches, so an all-time " +
+                "recount cannot reproduce the window. The ring's " +
+                "exactness is pinned by the fold's own oracle row and " +
+                "spec"))
+            else if (wantVerify && momentsSourceDir.isEmpty)
               (403, err("moments verify not configured on this server: " +
                 "the recount is a Spark job over the stream's source " +
                 "corpus — pass momentsSourceDir to RestServer (client-" +
@@ -1859,18 +1872,13 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                 }
               case None if wst.isDefined =>
                 val w = wst.get
+                // wantVerify cannot reach here: the windowed 409 is the
+                // FIRST verify pre-check above (before the 403)
                 if (wantGroup.isDefined)
                   (404, err(s"group '${wantGroup.get}' not available: " +
                     "the folded moments are a sliding WINDOW (no " +
                     "groups) — group selection needs a " +
                     "StreamingGroupedMoments fold"))
-                else if (wantVerify)
-                  (409, err("windowed moments cannot be recount-verified " +
-                    "against the source corpus: the corpus does not " +
-                    "record which rows arrived in the newest " +
-                    s"${w.window} micro-batches, so an all-time recount " +
-                    "cannot reproduce the window. The ring's exactness " +
-                    "is pinned by the fold's own oracle row and spec"))
                 else {
                   n.put("folded", true)
                   n.put("grouped", false)

@@ -136,14 +136,6 @@ object StreamingWindowedHistogram {
       stateDir: String, checkpoint: String, spec: HistogramSpec,
       window: Int): Unit = {
     if (st.lastBatchId < 0L) return
-    if (st.checkpoint != checkpoint)
-      throw new IllegalStateException(
-        s"windowed histogram state at $stateDir was folded under " +
-          s"checkpoint '${st.checkpoint}' but this stream runs under " +
-          s"'$checkpoint' — batch ids restart at 0 per checkpoint, so " +
-          "continuing would skip new data as replays (or double-count " +
-          "on a rewound checkpoint). Use a fresh state dir with a fresh " +
-          "checkpoint")
     if (st.spec != spec)
       throw new IllegalStateException(
         s"windowed histogram state at $stateDir was folded under binning " +
@@ -151,14 +143,8 @@ object StreamingWindowedHistogram {
           s"stream uses [${spec.lo}, ${spec.hi}) x ${spec.nBins} — bin " +
           "counts are only meaningful relative to their binning. Use a " +
           "fresh state dir to change the binning")
-    if (st.window != window)
-      throw new IllegalStateException(
-        s"windowed histogram state at $stateDir was folded at " +
-          s"window=${st.window} but this stream uses window=$window — " +
-          "a window's ring is only meaningful at its own width (widening " +
-          "cannot recover already-evicted batches; narrowing silently " +
-          "reinterprets history). Use a fresh state dir to change the " +
-          "window")
+    WindowedRing.checkCommonBindings("windowed histogram state", stateDir,
+      st.checkpoint, checkpoint, st.window, window)
   }
 
   /** Apply ONE micro-batch: skip if already applied, else append the
@@ -182,7 +168,7 @@ object StreamingWindowedHistogram {
       val bins = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
       val n = rows.map(_.getLong(1)).sum
       val next = WindowedHistSnapshot(spec, checkpoint, window, batchId,
-        (st.ring :+ ((batchId, n, bins))).takeRight(window))
+        WindowedRing.slide(st.ring, (batchId, n, bins), window))
       writeState(spark, stateDir, next)
       next
     }
@@ -196,7 +182,7 @@ object StreamingWindowedHistogram {
       checkpointDir: String, spec: HistogramSpec, window: Int,
       valueCol: String = "value",
       maxFilesPerTrigger: Int = 0): StreamingQuery = {
-    require(window > 0, s"window must be positive, got $window")
+    WindowedRing.requireWindow(window)
     val srcSchema = new StructType().add(valueCol, DoubleType)
     val stateFs = new Path(stateDir, StateName)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -126,28 +126,14 @@ object StreamingWindowedMoments {
       stateDir: String, checkpoint: String, valueCol: String,
       window: Int): Unit = {
     if (st.lastBatchId < 0L) return
-    if (st.checkpoint != checkpoint)
-      throw new IllegalStateException(
-        s"windowed moments state at $stateDir was folded under " +
-          s"checkpoint '${st.checkpoint}' but this stream runs under " +
-          s"'$checkpoint' — batch ids restart at 0 per checkpoint, so " +
-          "continuing would skip new data as replays (or double-count " +
-          "on a rewound checkpoint). Use a fresh state dir with a fresh " +
-          "checkpoint")
     if (st.valueCol != valueCol)
       throw new IllegalStateException(
         s"windowed moments state at $stateDir was folded over column " +
           s"'${st.valueCol}' but this stream folds '$valueCol' — the " +
           "mixed state would be the moments of neither column. Use a " +
           "fresh state dir to profile a different column")
-    if (st.window != window)
-      throw new IllegalStateException(
-        s"windowed moments state at $stateDir was folded at " +
-          s"window=${st.window} but this stream uses window=$window — " +
-          "a window's ring is only meaningful at its own width (widening " +
-          "cannot recover already-evicted batches; narrowing silently " +
-          "reinterprets history). Use a fresh state dir to change the " +
-          "window")
+    WindowedRing.checkCommonBindings("windowed moments state", stateDir,
+      st.checkpoint, checkpoint, st.window, window)
   }
 
   /** Apply ONE micro-batch: skip if already applied, else append the
@@ -170,7 +156,7 @@ object StreamingWindowedMoments {
         Profile.moments(batch, valueCol).head(), 0,
         s"windowed moments fold at $stateDir (batch $batchId)")
       val next = WindowedMomentsSnapshot(valueCol, checkpoint, window,
-        batchId, (st.ring :+ (batchId -> bm)).takeRight(window))
+        batchId, WindowedRing.slide(st.ring, batchId -> bm, window))
       writeState(spark, stateDir, next)
       next
     }
@@ -183,7 +169,7 @@ object StreamingWindowedMoments {
   def ingest(spark: SparkSession, sourceDir: String, stateDir: String,
       checkpointDir: String, window: Int, valueCol: String = "value",
       maxFilesPerTrigger: Int = 0): StreamingQuery = {
-    require(window > 0, s"window must be positive, got $window")
+    WindowedRing.requireWindow(window)
     val srcSchema = new StructType().add(valueCol, LongType)
     val stateFs = new Path(stateDir, StateName)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -13,20 +13,13 @@ import org.apache.spark.sql.functions._
 class StreamingWindowedMomentsSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Stage one batch per file with FORCED strictly-increasing mtimes so
-    * the file source's timestamp ordering IS the staged order — the
-    * window's semantics depend on batch ORDER, unlike every other fold
-    * in the family. */
-  private def stageOrdered(src: String, batches: Seq[Seq[Long]]): Unit = {
-    val base = 1600000000000L
-    batches.zipWithIndex.foreach { case (b, i) =>
-      b.toDF("value").coalesce(1).write.mode("append").parquet(src)
-      new java.io.File(src).listFiles()
-        .filter(f => f.getName.endsWith(".parquet"))
-        .filter(_.lastModified() > base + batches.size * 1000L)
-        .foreach(f => f.setLastModified(base + i * 1000L))
-    }
-  }
+  /** The ONE ordered-staging definition ([[graft.queries.QueryShapes
+    * .stageOrderedBatches]]) — the window's semantics depend on batch
+    * ORDER, unlike every other fold in the family. */
+  private def stageOrdered(src: String, batches: Seq[Seq[Long]],
+      base: Long = 1600000000000L): Unit =
+    graft.queries.QueryShapes.stageOrderedBatches(
+      batches.map(_.toDF("value")), src, base)
 
   test("window aggregate EQUALS the batch moments of the newest N batches") {
     val tmp = Files.createTempDirectory("graft_swmom_").toString
@@ -54,15 +47,9 @@ class StreamingWindowedMomentsSpec extends SparkSpec {
     assert(r.getLong(0) == 60L && r.getLong(3) == 500L)
 
     // resume under the same checkpoint: new arrivals slide the window
+    // (a LATER base, so the new stamps exceed every first-leg one)
     val more = Seq(Seq(7L, 8L, 9L))
-    val base2 = 1600000100000L
-    more.zipWithIndex.foreach { case (b, i) =>
-      b.toDF("value").coalesce(1).write.mode("append").parquet(s"$tmp/src")
-      new java.io.File(s"$tmp/src").listFiles()
-        .filter(f => f.getName.endsWith(".parquet"))
-        .filter(_.lastModified() > base2 + 10000L)
-        .foreach(f => f.setLastModified(base2 + i * 1000L))
-    }
+    stageOrdered(s"$tmp/src", more, base = 1600000100000L)
     val q2 = StreamingWindowedMoments.ingest(spark, s"$tmp/src",
       s"$tmp/state", s"$tmp/chk", window = 3, maxFilesPerTrigger = 1)
     q2.processAllAvailable(); q2.stop()
