@@ -355,7 +355,7 @@ object StreamingComoments {
   def mergeStates(spark: SparkSession, inDirs: Seq[String],
       outDir: String): ComomentsSnapshot = {
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    val (ckpt, lastId) = StateMerge.guard("comoments state",
+    val (ckpt, lastId) = StateMerge.guard(spark, "comoments state",
       "global profile", inDirs, outDir, states,
       (s: ComomentsSnapshot) => s.lastBatchId,
       (s: ComomentsSnapshot) => s.checkpoint,

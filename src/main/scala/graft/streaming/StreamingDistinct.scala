@@ -267,7 +267,7 @@ object StreamingDistinct {
   def mergeStates(spark: SparkSession, inDirs: Seq[String],
       outDir: String): DistinctSnapshot = {
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    val (ckpt, lastId) = StateMerge.guard("distinct state",
+    val (ckpt, lastId) = StateMerge.guard(spark, "distinct state",
       "global cardinality", inDirs, outDir, states,
       (s: DistinctSnapshot) => s.lastBatchId,
       (s: DistinctSnapshot) => s.checkpoint,

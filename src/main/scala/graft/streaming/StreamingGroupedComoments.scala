@@ -264,7 +264,7 @@ object StreamingGroupedComoments {
   def mergeStates(spark: SparkSession, inDirs: Seq[String], outDir: String,
       maxGroups: Int = DefaultMaxGroups): GroupedComomentsSnapshot = {
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    val (ckpt, lastId) = StateMerge.guard("grouped comoments state",
+    val (ckpt, lastId) = StateMerge.guard(spark, "grouped comoments state",
       "global profile", inDirs, outDir, states,
       (s: GroupedComomentsSnapshot) => s.lastBatchId,
       (s: GroupedComomentsSnapshot) => s.checkpoint,

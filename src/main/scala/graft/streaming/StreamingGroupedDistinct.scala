@@ -232,7 +232,7 @@ object StreamingGroupedDistinct {
   def mergeStates(spark: SparkSession, inDirs: Seq[String], outDir: String,
       maxGroups: Int = DefaultMaxGroups): GroupedDistinctSnapshot = {
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    val (ckpt, lastId) = StateMerge.guard("grouped distinct state",
+    val (ckpt, lastId) = StateMerge.guard(spark, "grouped distinct state",
       "global cardinality", inDirs, outDir, states,
       (s: GroupedDistinctSnapshot) => s.lastBatchId,
       (s: GroupedDistinctSnapshot) => s.checkpoint,

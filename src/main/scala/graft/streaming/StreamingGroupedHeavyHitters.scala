@@ -241,7 +241,7 @@ object StreamingGroupedHeavyHitters {
   def mergeStates(spark: SparkSession, inDirs: Seq[String], outDir: String,
       maxGroups: Int = DefaultMaxGroups): GroupedMgSnapshot = {
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    val (ckpt, lastId) = StateMerge.guard("grouped MG state",
+    val (ckpt, lastId) = StateMerge.guard(spark, "grouped MG state",
       "global frequencies", inDirs, outDir, states,
       (s: GroupedMgSnapshot) => s.lastBatchId,
       (s: GroupedMgSnapshot) => s.checkpoint,

@@ -243,7 +243,7 @@ object StreamingGroupedHistogram {
   def mergeStates(spark: SparkSession, inDirs: Seq[String], outDir: String,
       maxGroups: Int = DefaultMaxGroups): GroupedHistSnapshot = {
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    val (ckpt, lastId) = StateMerge.guard("grouped histogram state",
+    val (ckpt, lastId) = StateMerge.guard(spark, "grouped histogram state",
       "global histogram", inDirs, outDir, states,
       (s: GroupedHistSnapshot) => s.lastBatchId,
       (s: GroupedHistSnapshot) => s.checkpoint,

@@ -260,7 +260,7 @@ object StreamingGroupedMoments {
   def mergeStates(spark: SparkSession, inDirs: Seq[String], outDir: String,
       maxGroups: Int = DefaultMaxGroups): GroupedMomentsSnapshot = {
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    val (ckpt, lastId) = StateMerge.guard("grouped moments state",
+    val (ckpt, lastId) = StateMerge.guard(spark, "grouped moments state",
       "global profile", inDirs, outDir, states,
       (s: GroupedMomentsSnapshot) => s.lastBatchId,
       (s: GroupedMomentsSnapshot) => s.checkpoint,

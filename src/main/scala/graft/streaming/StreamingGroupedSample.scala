@@ -251,7 +251,7 @@ object StreamingGroupedSample {
   def mergeStates(spark: SparkSession, inDirs: Seq[String], outDir: String,
       maxGroups: Int = DefaultMaxGroups): GroupedSampleSnapshot = {
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    val (ckpt, lastId) = StateMerge.guard("grouped sample state",
+    val (ckpt, lastId) = StateMerge.guard(spark, "grouped sample state",
       "global sample", inDirs, outDir, states,
       (s: GroupedSampleSnapshot) => s.lastBatchId,
       (s: GroupedSampleSnapshot) => s.checkpoint,

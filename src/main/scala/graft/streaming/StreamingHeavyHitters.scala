@@ -288,7 +288,7 @@ object StreamingHeavyHitters {
   def mergeStates(spark: SparkSession, inDirs: Seq[String],
       outDir: String): MgSnapshot = {
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    val (ckpt, lastId) = StateMerge.guard("MG state",
+    val (ckpt, lastId) = StateMerge.guard(spark, "MG state",
       "global frequencies", inDirs, outDir, states,
       (s: MgSnapshot) => s.lastBatchId, (s: MgSnapshot) => s.checkpoint,
       readState(spark, outDir).lastBatchId)

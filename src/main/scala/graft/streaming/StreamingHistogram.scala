@@ -178,7 +178,7 @@ object StreamingHistogram {
   def mergeStates(spark: SparkSession, inDirs: Seq[String],
       outDir: String): HistSnapshot = {
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    val (ckpt, lastId) = StateMerge.guard("histogram state",
+    val (ckpt, lastId) = StateMerge.guard(spark, "histogram state",
       "global histogram", inDirs, outDir, states,
       (s: HistSnapshot) => s.lastBatchId, (s: HistSnapshot) => s.checkpoint,
       readState(spark, outDir).lastBatchId)

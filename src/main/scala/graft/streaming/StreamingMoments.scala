@@ -298,7 +298,8 @@ object StreamingMoments {
   def mergeStates(spark: SparkSession, inDirs: Seq[String],
       outDir: String): MomentsSnapshot = {
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    val (ckpt, lastId) = StateMerge.guard("moments state", "global profile",
+    val (ckpt, lastId) = StateMerge.guard(spark, "moments state",
+      "global profile",
       inDirs, outDir, states, (s: MomentsSnapshot) => s.lastBatchId,
       (s: MomentsSnapshot) => s.checkpoint,
       readState(spark, outDir).lastBatchId)

@@ -264,16 +264,22 @@ object StreamingSample {
     * smallest of a union = k smallest of the per-region bottom-ks), so
     * the merged sample is BIT-IDENTICAL to what one cluster sampling
     * all regions' arrivals would hold — a uniform global sample from
-    * per-region O(k) states, no data movement. nSeen counters add
-    * (regions see disjoint arrival streams; an id arriving in two
-    * regions dedups by identity in the merge, exactly as re-arrivals
-    * dedup within one fold). Same contract: locked input reads, every
-    * input folded, a synthetic `merged:[...]` checkpoint that trips the
-    * ingest binding, no clobbering. */
+    * per-region O(k) states, no data movement. The merged nSeen is the
+    * SUM OF PER-REGION ARRIVALS, not a deduplicated global arrival
+    * count: an id arriving in two regions dedups by identity in the
+    * ENTRY SET (exactly as re-arrivals dedup within one fold), but the
+    * per-region counters cannot know about each other's arrivals, so
+    * under cross-region overlap the merged nSeen exceeds what a
+    * single-cluster fold of the deduplicated stream would count — read
+    * it as total regional ingest volume, never as distinct arrivals
+    * (the entry set itself stays exactly the single-cluster bottom-k).
+    * Same contract: locked input reads, every input folded, a synthetic
+    * `merged:[...]` checkpoint that trips the ingest binding, no
+    * clobbering. */
   def mergeStates(spark: SparkSession, inDirs: Seq[String],
       outDir: String): SampleSnapshot = {
     val states = inDirs.map(d => d -> readStateLocked(spark, d))
-    val (ckpt, lastId) = StateMerge.guard("sample state", "global sample",
+    val (ckpt, lastId) = StateMerge.guard(spark, "sample state", "global sample",
       inDirs, outDir, states, (s: SampleSnapshot) => s.lastBatchId,
       (s: SampleSnapshot) => s.checkpoint,
       readState(spark, outDir).lastBatchId)

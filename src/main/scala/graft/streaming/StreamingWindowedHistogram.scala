@@ -1,13 +1,11 @@
 package graft.streaming
 
-import com.fasterxml.jackson.databind.ObjectMapper
 import graft.operators.HistogramSketch
 import graft.operators.HistogramSketch.HistogramSpec
 import graft.streaming.StreamingHistogram.HistSnapshot
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{DoubleType, StructType}
 
 /** Sliding-window exact histogram — the quantile face's TIME dimension,
@@ -19,7 +17,7 @@ import org.apache.spark.sql.types.{DoubleType, StructType}
   * EXACT per-batch bin counts; the served view re-ADDS them bin-wise
   * per batch (histogram counts are a commutative monoid — unlike
   * min/max there IS an inverse here, but the ring re-reduce is O(window
-  * × bins) driver arithmetic anyway and keeps the two windowed faces on
+  * × bins) driver arithmetic anyway and keeps the windowed faces on
   * one design), so the window histogram — and every quantile
   * interpolated from it — EQUALS the one-shot batch histogram over
   * exactly the newest `window` batches' rows.
@@ -28,8 +26,9 @@ import org.apache.spark.sql.types.{DoubleType, StructType}
   * (a window-6 state is not comparable to a window-3 one; counts are
   * meaningless under any other binning). Empty batches occupy a slot —
   * the window counts ingest time, not rows. State: window × (≤ nBins+2)
-  * exact cells, one JSON file through the SwapStateFile swap, replay
-  * idempotence, loud reads, linearizable [[readStateLocked]].
+  * exact cells through the shared [[RingStateStore]] scaffold (swap
+  * protocol, replay idempotence, loud reads, linearizable
+  * [[readStateLocked]]).
   *
   * 100 TB/day posture: per batch ONE ≤ nBins+2-key aggregation
   * (map-side combined), one O(window × bins) driver re-reduce, one
@@ -55,82 +54,62 @@ object StreamingWindowedHistogram {
     }
   }
 
-  private val StateName = "hist_window_state.json"
-
-  private def stateFile(spark: SparkSession, stateDir: String) =
-    new graft.core.SwapStateFile(
-      new Path(stateDir, StateName)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration),
-      stateDir, StateName, "hist_window_state.swap.inprogress",
-      "windowed histogram state")
-
-  private def emptySnapshot =
-    WindowedHistSnapshot(HistogramSpec(0.0, 1.0, 1), "", -1, -1L, Seq.empty)
-
-  private def parseSnapshot(stateDir: String)(
-      txt: String): WindowedHistSnapshot = {
-    val node = new ObjectMapper().readTree(txt)
-    if (node.get("lo") == null || node.get("hi") == null ||
-        node.get("n_bins") == null || node.get("checkpoint") == null ||
-        node.get("window") == null)
-      throw new IllegalStateException(
-        s"windowed histogram state file under $stateDir lacks the " +
-          "binning/checkpoint/window binding fields — refusing to guess " +
-          "which stream it belongs to; re-fold from the source with a " +
-          "fresh state dir")
-    val ring = Seq.newBuilder[(Long, Long, Map[Int, Long])]
-    val it = node.get("ring").elements()
-    while (it.hasNext) {
-      val e = it.next()
-      val bins = Map.newBuilder[Int, Long]
-      val bit = e.get("bins").fields()
-      while (bit.hasNext) {
-        val be = bit.next(); bins += be.getKey.toInt -> be.getValue.asLong()
+  private val store = new RingStateStore[WindowedHistSnapshot](
+    "windowed histogram state", "hist_window_state.json",
+    "hist_window_state.swap.inprogress",
+    Seq("lo", "hi", "n_bins", "checkpoint", "window"),
+    WindowedHistSnapshot(HistogramSpec(0.0, 1.0, 1), "", -1, -1L,
+      Seq.empty),
+    _.lastBatchId,
+    encode = (root, snap) => {
+      root.put("lo", snap.spec.lo)
+      root.put("hi", snap.spec.hi)
+      root.put("n_bins", snap.spec.nBins)
+      root.put("checkpoint", snap.checkpoint)
+      root.put("window", snap.window)
+      root.put("batch_id", snap.lastBatchId)
+      val arr = root.putArray("ring")
+      snap.ring.foreach { case (bid, n, bins) =>
+        val e = arr.addObject()
+        e.put("batch_id", bid)
+        e.put("n", n)
+        val b = e.putObject("bins")
+        bins.toSeq.sortBy(_._1).foreach { case (bin, c) =>
+          b.put(bin.toString, c) }
       }
-      ring += ((e.get("batch_id").asLong(), e.get("n").asLong(),
-        bins.result()))
-    }
-    WindowedHistSnapshot(
-      HistogramSpec(node.get("lo").asDouble(), node.get("hi").asDouble(),
-        node.get("n_bins").asInt()),
-      node.get("checkpoint").asText(), node.get("window").asInt(),
-      node.get("batch_id").asLong(), ring.result())
-  }
+    },
+    decode = node => {
+      val ring = Seq.newBuilder[(Long, Long, Map[Int, Long])]
+      val it = node.get("ring").elements()
+      while (it.hasNext) {
+        val e = it.next()
+        val bins = Map.newBuilder[Int, Long]
+        val bit = e.get("bins").fields()
+        while (bit.hasNext) {
+          val be = bit.next()
+          bins += be.getKey.toInt -> be.getValue.asLong()
+        }
+        ring += ((e.get("batch_id").asLong(), e.get("n").asLong(),
+          bins.result()))
+      }
+      WindowedHistSnapshot(
+        HistogramSpec(node.get("lo").asDouble(), node.get("hi").asDouble(),
+          node.get("n_bins").asInt()),
+        node.get("checkpoint").asText(), node.get("window").asInt(),
+        node.get("batch_id").asLong(), ring.result())
+    })
 
   /** Lock-free read ([[graft.core.SwapStateFile.read]] protocol); absent
     * file = empty stream. Monitors on a hot stream should use
     * [[readStateLocked]]. */
   def readState(spark: SparkSession,
       stateDir: String): WindowedHistSnapshot =
-    stateFile(spark, stateDir).read(parseSnapshot(stateDir), emptySnapshot)
+    store.read(spark, stateDir)
 
   /** Linearizable read under the writer's own swap lock. */
   def readStateLocked(spark: SparkSession,
       stateDir: String): WindowedHistSnapshot =
-    stateFile(spark, stateDir)
-      .readLocked(parseSnapshot(stateDir), emptySnapshot)
-
-  private def writeState(spark: SparkSession, stateDir: String,
-      snap: WindowedHistSnapshot): Unit = {
-    val mapper = new ObjectMapper()
-    val root = mapper.createObjectNode()
-    root.put("lo", snap.spec.lo)
-    root.put("hi", snap.spec.hi)
-    root.put("n_bins", snap.spec.nBins)
-    root.put("checkpoint", snap.checkpoint)
-    root.put("window", snap.window)
-    root.put("batch_id", snap.lastBatchId)
-    val arr = root.putArray("ring")
-    snap.ring.foreach { case (bid, n, bins) =>
-      val e = arr.addObject()
-      e.put("batch_id", bid)
-      e.put("n", n)
-      val b = e.putObject("bins")
-      bins.toSeq.sortBy(_._1).foreach { case (bin, c) =>
-        b.put(bin.toString, c) }
-    }
-    stateFile(spark, stateDir).write(mapper.writeValueAsBytes(root))
-  }
+    store.readLocked(spark, stateDir)
 
   private[streaming] def checkStateBindings(st: WindowedHistSnapshot,
       stateDir: String, checkpoint: String, spec: HistogramSpec,
@@ -154,25 +133,18 @@ object StreamingWindowedHistogram {
   private[graft] def applyBatch(spark: SparkSession, stateDir: String,
       spec: HistogramSpec, window: Int, checkpoint: String,
       batch: DataFrame, valueCol: String,
-      batchId: Long): WindowedHistSnapshot = {
-    val st = readState(spark, stateDir)
-    checkStateBindings(st, stateDir, checkpoint, spec, window)
-    StreamingHeavyHitters.checkFreshStateVsCheckpoint(st.lastBatchId,
-      stateDir, batchId,
-      "windowed histogram state")
-    if (batchId <= st.lastBatchId) st // replayed batch: already folded
-    else {
-      val rows = HistogramSketch.counts(
-        batch.select(col(valueCol).as("v")), "v", spec)
-        .collect() // bounded: <= nBins+2 rows
-      val bins = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val n = rows.map(_.getLong(1)).sum
-      val next = WindowedHistSnapshot(spec, checkpoint, window, batchId,
-        WindowedRing.slide(st.ring, (batchId, n, bins), window))
-      writeState(spark, stateDir, next)
-      next
-    }
-  }
+      batchId: Long): WindowedHistSnapshot =
+    store.applyBatch(spark, stateDir, batchId,
+      st => checkStateBindings(st, stateDir, checkpoint, spec, window),
+      st => {
+        val rows = HistogramSketch.counts(
+          batch.select(col(valueCol).as("v")), "v", spec)
+          .collect() // bounded: <= nBins+2 rows
+        val bins = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val n = rows.map(_.getLong(1)).sum
+        WindowedHistSnapshot(spec, checkpoint, window, batchId,
+          WindowedRing.slide(st.ring, (batchId, n, bins), window))
+      })
 
   /** Start the stream: parquet arrivals under `sourceDir` with a DOUBLE
     * `valueCol`, the newest `window` micro-batches' exact bin counts
@@ -181,35 +153,20 @@ object StreamingWindowedHistogram {
   def ingest(spark: SparkSession, sourceDir: String, stateDir: String,
       checkpointDir: String, spec: HistogramSpec, window: Int,
       valueCol: String = "value",
-      maxFilesPerTrigger: Int = 0): StreamingQuery = {
-    WindowedRing.requireWindow(window)
-    val srcSchema = new StructType().add(valueCol, DoubleType)
-    val stateFs = new Path(stateDir, StateName)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.core.FsCapabilities.assertAtomicRenameAtOpen(stateFs,
-      new Path(stateDir), "streaming windowed histogram state commit")
-    val ckptPath = new Path(checkpointDir)
-    val ckptId = ckptPath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(ckptPath).toString
-    val st0 = readState(spark, stateDir)
-    checkStateBindings(st0, stateDir, ckptId, spec, window)
-    val reader = spark.readStream.schema(srcSchema)
-    val src =
-      if (maxFilesPerTrigger > 0)
-        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
-          .parquet(sourceDir)
-      else reader.parquet(sourceDir)
-    src.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, stateDir, spec, window, ckptId, batch, valueCol,
-          batchId); ()
-      }
-      .start()
-  }
+      maxFilesPerTrigger: Int = 0): StreamingQuery =
+    store.ingest(spark, sourceDir, stateDir, checkpointDir, window,
+      new StructType().add(valueCol, DoubleType), maxFilesPerTrigger,
+      entryCheck = (st, ckptId) =>
+        checkStateBindings(st, stateDir, ckptId, spec, window),
+      applyB = (batch, batchId, ckptId) =>
+        { applyBatch(spark, stateDir, spec, window, ckptId, batch,
+            valueCol, batchId); () })
+
+  /** Ring states cannot be cross-cluster merged — refused loudly with
+    * the real reason ([[WindowedRing.refuseMerge]]). */
+  def mergeStates(spark: SparkSession, inDirs: Seq[String],
+      outDir: String): Nothing =
+    WindowedRing.refuseMerge("windowed histogram state")
 
   /** Quantile estimates from the window aggregate — the flat face's
     * interpolation verbatim over the ring's bin-wise sum. */

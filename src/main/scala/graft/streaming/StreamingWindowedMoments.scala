@@ -1,11 +1,9 @@
 package graft.streaming
 
-import com.fasterxml.jackson.databind.ObjectMapper
 import graft.operators.Profile
 import graft.streaming.StreamingMoments.{emptyMoments, mergeMoments, momentsFromRow, Moments}
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Sliding-window exact moments — the profiling family's TIME dimension.
@@ -29,9 +27,10 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *
   * The same ring design generalizes to any face whose per-batch summary
   * is bounded (per-batch histograms, HLL sketches, MG summaries: keep
-  * the ring, re-merge over it), because it never needs subtraction —
-  * this face ships first as the family's cheapest demonstration
-  * (7 counters × window slots of state).
+  * the ring, re-merge over it); the state-file scaffold every windowed
+  * face shares lives in [[RingStateStore]] (promoted at the documented
+  * third-instantiation threshold — [[StreamingWindowedDistinct]]); this
+  * face keeps only its own codec, bindings, and per-batch arithmetic.
   *
   * State protocol is the family's verbatim: SwapStateFile swap, bindings
   * refused loudly — (checkpoint, valueCol, AND the window width: a
@@ -59,68 +58,48 @@ object StreamingWindowedMoments {
       else ring.map(_._2).reduce(mergeMoments)
   }
 
-  private val StateName = "moments_window_state.json"
-
-  private def stateFile(spark: SparkSession, stateDir: String) =
-    new graft.core.SwapStateFile(
-      new Path(stateDir, StateName)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration),
-      stateDir, StateName, "moments_window_state.swap.inprogress",
-      "windowed moments state")
-
-  private def emptySnapshot =
-    WindowedMomentsSnapshot("", "", -1, -1L, Seq.empty)
-
-  private def parseSnapshot(stateDir: String)(
-      txt: String): WindowedMomentsSnapshot = {
-    val node = new ObjectMapper().readTree(txt)
-    if (node.get("value_col") == null || node.get("checkpoint") == null ||
-        node.get("window") == null)
-      throw new IllegalStateException(
-        s"windowed moments state file under $stateDir lacks the " +
-          "value_col/checkpoint/window binding fields — refusing to " +
-          "guess which stream it belongs to; re-fold from the source " +
-          "with a fresh state dir")
-    val ring = Seq.newBuilder[(Long, Moments)]
-    val it = node.get("ring").elements()
-    while (it.hasNext) {
-      val e = it.next()
-      ring += e.get("batch_id").asLong() -> StreamingMoments.parseMoments(e)
-    }
-    WindowedMomentsSnapshot(node.get("value_col").asText(),
-      node.get("checkpoint").asText(), node.get("window").asInt(),
-      node.get("batch_id").asLong(), ring.result())
-  }
+  private val store = new RingStateStore[WindowedMomentsSnapshot](
+    "windowed moments state", "moments_window_state.json",
+    "moments_window_state.swap.inprogress",
+    Seq("value_col", "checkpoint", "window"),
+    WindowedMomentsSnapshot("", "", -1, -1L, Seq.empty),
+    _.lastBatchId,
+    encode = (root, snap) => {
+      root.put("value_col", snap.valueCol)
+      root.put("checkpoint", snap.checkpoint)
+      root.put("window", snap.window)
+      root.put("batch_id", snap.lastBatchId)
+      val arr = root.putArray("ring")
+      snap.ring.foreach { case (bid, m) =>
+        val e = arr.addObject()
+        e.put("batch_id", bid)
+        StreamingMoments.putMoments(e, m)
+      }
+    },
+    decode = node => {
+      val ring = Seq.newBuilder[(Long, Moments)]
+      val it = node.get("ring").elements()
+      while (it.hasNext) {
+        val e = it.next()
+        ring += e.get("batch_id").asLong() ->
+          StreamingMoments.parseMoments(e)
+      }
+      WindowedMomentsSnapshot(node.get("value_col").asText(),
+        node.get("checkpoint").asText(), node.get("window").asInt(),
+        node.get("batch_id").asLong(), ring.result())
+    })
 
   /** Lock-free read ([[graft.core.SwapStateFile.read]] protocol); absent
     * file = empty stream. Monitors on a hot stream should use
     * [[readStateLocked]]. */
   def readState(spark: SparkSession,
       stateDir: String): WindowedMomentsSnapshot =
-    stateFile(spark, stateDir).read(parseSnapshot(stateDir), emptySnapshot)
+    store.read(spark, stateDir)
 
   /** Linearizable read under the writer's own swap lock. */
   def readStateLocked(spark: SparkSession,
       stateDir: String): WindowedMomentsSnapshot =
-    stateFile(spark, stateDir)
-      .readLocked(parseSnapshot(stateDir), emptySnapshot)
-
-  private def writeState(spark: SparkSession, stateDir: String,
-      snap: WindowedMomentsSnapshot): Unit = {
-    val mapper = new ObjectMapper()
-    val root = mapper.createObjectNode()
-    root.put("value_col", snap.valueCol)
-    root.put("checkpoint", snap.checkpoint)
-    root.put("window", snap.window)
-    root.put("batch_id", snap.lastBatchId)
-    val arr = root.putArray("ring")
-    snap.ring.foreach { case (bid, m) =>
-      val e = arr.addObject()
-      e.put("batch_id", bid)
-      StreamingMoments.putMoments(e, m)
-    }
-    stateFile(spark, stateDir).write(mapper.writeValueAsBytes(root))
-  }
+    store.readLocked(spark, stateDir)
 
   private[streaming] def checkStateBindings(st: WindowedMomentsSnapshot,
       stateDir: String, checkpoint: String, valueCol: String,
@@ -144,23 +123,16 @@ object StreamingWindowedMoments {
     * eviction are directly testable. */
   private[graft] def applyBatch(spark: SparkSession, stateDir: String,
       window: Int, checkpoint: String, batch: DataFrame, valueCol: String,
-      batchId: Long): WindowedMomentsSnapshot = {
-    val st = readState(spark, stateDir)
-    checkStateBindings(st, stateDir, checkpoint, valueCol, window)
-    StreamingHeavyHitters.checkFreshStateVsCheckpoint(st.lastBatchId,
-      stateDir, batchId,
-      "windowed moments state")
-    if (batchId <= st.lastBatchId) st // replayed batch: already folded
-    else {
-      val bm = momentsFromRow(
-        Profile.moments(batch, valueCol).head(), 0,
-        s"windowed moments fold at $stateDir (batch $batchId)")
-      val next = WindowedMomentsSnapshot(valueCol, checkpoint, window,
-        batchId, WindowedRing.slide(st.ring, batchId -> bm, window))
-      writeState(spark, stateDir, next)
-      next
-    }
-  }
+      batchId: Long): WindowedMomentsSnapshot =
+    store.applyBatch(spark, stateDir, batchId,
+      st => checkStateBindings(st, stateDir, checkpoint, valueCol, window),
+      st => {
+        val bm = momentsFromRow(
+          Profile.moments(batch, valueCol).head(), 0,
+          s"windowed moments fold at $stateDir (batch $batchId)")
+        WindowedMomentsSnapshot(valueCol, checkpoint, window, batchId,
+          WindowedRing.slide(st.ring, batchId -> bm, window))
+      })
 
   /** Start the stream: parquet arrivals under `sourceDir` with a LONG
     * `valueCol`, the newest `window` micro-batches' exact moments kept
@@ -168,35 +140,21 @@ object StreamingWindowedMoments {
     * the rest of the family. */
   def ingest(spark: SparkSession, sourceDir: String, stateDir: String,
       checkpointDir: String, window: Int, valueCol: String = "value",
-      maxFilesPerTrigger: Int = 0): StreamingQuery = {
-    WindowedRing.requireWindow(window)
-    val srcSchema = new StructType().add(valueCol, LongType)
-    val stateFs = new Path(stateDir, StateName)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.core.FsCapabilities.assertAtomicRenameAtOpen(stateFs,
-      new Path(stateDir), "streaming windowed moments state commit")
-    val ckptPath = new Path(checkpointDir)
-    val ckptId = ckptPath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(ckptPath).toString
-    val st0 = readState(spark, stateDir)
-    checkStateBindings(st0, stateDir, ckptId, valueCol, window)
-    val reader = spark.readStream.schema(srcSchema)
-    val src =
-      if (maxFilesPerTrigger > 0)
-        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
-          .parquet(sourceDir)
-      else reader.parquet(sourceDir)
-    src.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, stateDir, window, ckptId, batch, valueCol,
-          batchId); ()
-      }
-      .start()
-  }
+      maxFilesPerTrigger: Int = 0): StreamingQuery =
+    store.ingest(spark, sourceDir, stateDir, checkpointDir, window,
+      new StructType().add(valueCol, LongType), maxFilesPerTrigger,
+      entryCheck = (st, ckptId) =>
+        checkStateBindings(st, stateDir, ckptId, valueCol, window),
+      applyB = (batch, batchId, ckptId) =>
+        { applyBatch(spark, stateDir, window, ckptId, batch, valueCol,
+            batchId); () })
+
+  /** Ring states cannot be cross-cluster merged — refused loudly with
+    * the real reason ([[WindowedRing.refuseMerge]]: non-aligned batch
+    * windows), so the mistake never reads as a missing-state error. */
+  def mergeStates(spark: SparkSession, inDirs: Seq[String],
+      outDir: String): Nothing =
+    WindowedRing.refuseMerge("windowed moments state")
 
   /** The window aggregate as a one-row relation — the same schema as
     * [[StreamingMoments.toDF]]/[[Profile.moments]], so the windowed view

@@ -12,8 +12,29 @@ package graft.streaming
   * faces' worth of duplication is the documented threshold. */
 private[streaming] object WindowedRing {
 
+  /** Every ring state file name — [[StateMerge]] probes these so a
+    * windowed dir fed to an all-time merge is refused with the real
+    * reason instead of the misleading "holds no folded batches". A new
+    * ring face MUST add its file name here. */
+  val StateFileNames: Seq[String] = Seq("moments_window_state.json",
+    "hist_window_state.json", "distinct_window_state.json")
+
   def requireWindow(window: Int): Unit =
     require(window > 0, s"window must be positive, got $window")
+
+  /** The ring faces' OWN merge refusal — the flat-dir-into-ring mistake
+    * (someone calling a windowed face's mergeStates at all): every ring
+    * face exposes a `mergeStates` that throws this, so the error names
+    * the real reason instead of a missing method or a generic read
+    * failure. ONE message with the all-time remediation. */
+  def refuseMerge(face: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$face cannot be cross-cluster merged: ring states from " +
+        "different checkpoints hold non-aligned batch windows (batch " +
+        "ids restart per checkpoint and slide independently), so a " +
+        "merged \"last N batches\" is not well-defined. Merge the " +
+        "all-time faces instead, or compare the windowed envelopes " +
+        "side by side")
 
   /** The two ring-universal binding refusals: checkpoint identity (the
     * family rule) and WINDOW WIDTH identity (ring-specific: widening

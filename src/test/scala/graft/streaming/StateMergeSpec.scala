@@ -67,6 +67,61 @@ class StateMergeSpec extends SparkSpec {
       StreamingMoments.mergeStates(spark, Seq(a), s"$tmp/m4"))
     intercept[IllegalArgumentException](
       StreamingMoments.mergeStates(spark, Seq(a, b), a))
+    // self-output under an ALTERNATE SPELLING of the same path: the
+    // qualified-path compare must catch it with the self-output
+    // remediation, not fall through to the generic no-clobber message
+    val eSelf = intercept[IllegalArgumentException](
+      StreamingMoments.mergeStates(spark, Seq(a, b), a + "/"))
+    assert(eSelf.getMessage.contains("must not be one of the inputs"))
+    // a duplicated INPUT dir (same path twice) refuses — it would
+    // double-count that region on every additive statistic
+    val eDup = intercept[IllegalArgumentException](
+      StreamingMoments.mergeStates(spark, Seq(a, a + "/"), s"$tmp/m5"))
+    assert(eDup.getMessage.contains("listed more than once"))
+    // two DIFFERENT dirs holding copies of the same regional fold (same
+    // checkpoint binding) are the same stream's state twice — refused
+    // on the checkpoint identity
+    val aCopy = s"$tmp/a_copy"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(a), new java.io.File(aCopy))
+    val eCk = intercept[IllegalStateException](
+      StreamingMoments.mergeStates(spark, Seq(a, aCopy), s"$tmp/m6"))
+    assert(eCk.getMessage.contains("same checkpoint binding") &&
+      eCk.getMessage.contains("double-count"))
+  }
+
+  test("ring states refuse merging in BOTH directions, with the real reason") {
+    val tmp = Files.createTempDirectory("graft_merge_ring_").toString
+    // a windowed (ring) state dir
+    val ringDir = s"$tmp/ring"
+    StreamingWindowedMoments.applyBatch(spark, ringDir, 3, "file:ckpt-r",
+      Seq(1L, 2L).toDF("value"), "value", 0L)
+    // and a real flat regional fold
+    val flat = foldMoments(tmp, "flat", 0L until 50L)
+    // ring-into-flat: an all-time merge handed a ring dir must name the
+    // REAL mistake (non-aligned windows), not "holds no folded batches"
+    val e1 = intercept[IllegalStateException](StreamingMoments
+      .mergeStates(spark, Seq(flat, ringDir), s"$tmp/m1"))
+    assert(e1.getMessage.contains("WINDOWED ring state") &&
+      e1.getMessage.contains("not well-defined") &&
+      !e1.getMessage.contains("holds no folded batches"))
+    // the same misdirection through ANY all-time face's merge
+    val e1d = intercept[IllegalStateException](StreamingDistinct
+      .mergeStates(spark, Seq(flat, ringDir), s"$tmp/m1d"))
+    assert(e1d.getMessage.contains("WINDOWED ring state"))
+    // flat-into-ring: the windowed faces' own mergeStates refuses
+    // up front — every ring face, one shared message
+    val e2 = intercept[UnsupportedOperationException](
+      StreamingWindowedMoments.mergeStates(spark,
+        Seq(s"$tmp/x", s"$tmp/y"), s"$tmp/m2"))
+    assert(e2.getMessage.contains("non-aligned batch windows") &&
+      e2.getMessage.contains("Merge the all-time faces"))
+    intercept[UnsupportedOperationException](
+      StreamingWindowedHistogram.mergeStates(spark,
+        Seq(s"$tmp/x", s"$tmp/y"), s"$tmp/m3"))
+    intercept[UnsupportedOperationException](
+      StreamingWindowedDistinct.mergeStates(spark,
+        Seq(s"$tmp/x", s"$tmp/y"), s"$tmp/m4"))
   }
 
   test("grouped moments merge: pointwise, disjoint+colliding groups, cap") {

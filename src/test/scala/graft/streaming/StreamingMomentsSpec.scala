@@ -119,4 +119,52 @@ class StreamingMomentsSpec extends SparkSpec {
     val r = StreamingMoments.toDF(spark, rt).head()
     assert(r.getLong(0) == 2L && r.isNullAt(3) && r.isNullAt(5))
   }
+
+  test("decimal-overflow refusal and BigInt state roundtrip at the " +
+      "2^63 boundary") {
+    import org.apache.spark.sql.Row
+    // a NULL decimal sum with n > 0 is a batch that overflowed
+    // decimal(38,0) — the fold must refuse LOUDLY, never fold a wrapped
+    // number (pinned directly so the refusal can't rot unobserved)
+    val overflowed = Row(4L, 3L, 1L, -2L, 7L, null, null)
+    val e = intercept[IllegalStateException](
+      StreamingMoments.momentsFromRow(overflowed, 0, "overflow spec"))
+    assert(e.getMessage.contains("overflowed decimal(38,0)") &&
+      e.getMessage.contains("maxFilesPerTrigger"))
+    // one null leg alone (sum ok, sum_sq null) must refuse the same way
+    val half = Row(2L, 2L, 0L, 1L, 2L,
+      new java.math.BigDecimal(3), null)
+    intercept[IllegalStateException](
+      StreamingMoments.momentsFromRow(half, 0, "overflow spec"))
+    // the all-null shape (n == 0) is NOT an overflow — nulls are legal
+    assert(StreamingMoments.momentsFromRow(
+      Row(2L, 0L, 2L, null, null, null, null), 0, "overflow spec").n == 0L)
+    // JSON state roundtrip at the long boundary: min/max at ±2^63-ε and
+    // sums far past long range must come back bit-exact (sums are
+    // STRING-encoded — a JSON double would round past 2^53)
+    val big = StreamingMoments.Moments(5L, 1L, Long.MinValue,
+      Long.MaxValue, BigInt(Long.MaxValue) * 3 + 7,
+      BigInt("170141183460469231731687303715884105727"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    StreamingMoments.putMoments(node, big)
+    assert(StreamingMoments.parseMoments(node) == big,
+      "moments JSON roundtrip lost precision at the boundary")
+    // the comoments twin: same refusal, same boundary roundtrip
+    val cOver = Row(4L, 3L, 1L, 0L, -2L, 7L, 0L, 9L,
+      null, null, null, null, null)
+    val ec = intercept[IllegalStateException](
+      StreamingComoments.comomentsFromRow(cOver, 0, "overflow spec"))
+    assert(ec.getMessage.contains("overflowed decimal(38,0)"))
+    val cBig = StreamingComoments.Comoments(5L, 1L, 0L, 4L,
+      Long.MinValue, Long.MaxValue, -9L, 9L,
+      BigInt(Long.MaxValue) * 5 + 1, BigInt(Long.MinValue) * 4 - 3,
+      BigInt("99999999999999999999999999999999999999"),
+      BigInt("12345678901234567890123456789012345678"),
+      BigInt("-99999999999999999999999999999999999999"))
+    val cNode = mapper.createObjectNode()
+    StreamingComoments.putComoments(cNode, cBig)
+    assert(StreamingComoments.parseComoments(cNode) == cBig,
+      "comoments JSON roundtrip lost precision at the boundary")
+  }
 }
