@@ -133,15 +133,21 @@ import scala.util.control.NonFatal
   *   GET    /api/v1/admin/distinct?group=NAME&verify=true — the folded
   *                                      streaming distinct-count state
   *                                      (exact row/null counters + the
-  *                                      HLL estimate), flat OR grouped,
-  *                                      linearizable locked read; ?group
-  *                                      selects one group; ?verify=true
-  *                                      rebuilds the one-shot sketch over
-  *                                      the operator-configured source
+  *                                      HLL estimate), flat OR grouped
+  *                                      OR windowed (the selection
+  *                                      ladder: flat → grouped →
+  *                                      windowed, earlier rungs win
+  *                                      ties), linearizable locked
+  *                                      read; ?group selects one group;
+  *                                      ?verify=true rebuilds the
+  *                                      one-shot sketch over the
+  *                                      operator-configured source
   *                                      corpus (distinctSourceDir) and
   *                                      compares canonical estimates +
   *                                      exact counters against the same
-  *                                      snapshot
+  *                                      snapshot (409 on a windowed
+  *                                      fold — the corpus cannot
+  *                                      reproduce the window)
   *   GET    /api/v1/admin/comoments?group=NAME&verify=true — the folded
   *                                      streaming exact CO-moments state
   *                                      (counts/per-axis nulls/min/max +
@@ -2104,7 +2110,22 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
               f.put("value_col", g.valueCol)
               f.put("group_count", g.groups.size)
               f.put("excluded_null_rows", g.excludedNullRows)
-            } else f.put("folded", false)
+            } else {
+              val w = graft.streaming.StreamingWindowedDistinct
+                .readStateLocked(store.spark, sd)
+              if (w.lastBatchId >= 0L) {
+                f.put("folded", true); f.put("grouped", false)
+                f.put("windowed", true)
+                f.put("last_batch_id", w.lastBatchId)
+                f.put("checkpoint", w.checkpoint)
+                f.put("value_col", w.valueCol)
+                f.put("window", w.window)
+                f.put("ring_depth", w.ring.size)
+                f.put("n_rows", w.nRows)
+                f.put("n_null", w.nNull)
+                w.estimate.foreach(v => f.put("estimate", v))
+              } else f.put("folded", false)
+            }
           }
         })
         comomentsStateDir.foreach(sd => face("comoments") { f =>
@@ -2341,13 +2362,20 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
               into.put("n_null", nNull)
               est.foreach(e => into.put("estimate", e))
             }
-            // the family's flat-vs-grouped selection rule, both reads
+            // the family's selection ladder (one state dir, earlier
+            // rungs win ties): flat → grouped → windowed. All reads
             // linearizable
             val st = graft.streaming.StreamingDistinct
               .readStateLocked(store.spark, sd)
             val gst =
               if (st.lastBatchId < 0L)
                 Some(graft.streaming.StreamingGroupedDistinct
+                  .readStateLocked(store.spark, sd))
+                  .filter(_.lastBatchId >= 0L)
+              else None
+            val wst =
+              if (st.lastBatchId < 0L && gst.isEmpty)
+                Some(graft.streaming.StreamingWindowedDistinct
                   .readStateLocked(store.spark, sd))
                   .filter(_.lastBatchId >= 0L)
               else None
@@ -2367,13 +2395,26 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             // both sides — the HLL semilattice makes them equal on a
             // drained stream) plus the exact row counters.
             val wantVerify = qp.contains("verify=true")
-            if (wantVerify && distinctSourceDir.isEmpty)
+            // the windowed 409 before the unconfigured-source 403 — the
+            // moments route's ordering: a windowed fold can never be
+            // recount-verified, so a 403 would send the operator on an
+            // errand that cannot end in a working verify
+            if (wantVerify && wst.isDefined)
+              (409, err("windowed distinct cannot be recount-verified " +
+                "against the source corpus: the corpus does not record " +
+                "which rows arrived in the newest " +
+                s"${wst.get.window} micro-batches, so an all-time " +
+                "recount cannot reproduce the window. The ring's " +
+                "semilattice equality is pinned by the fold's own " +
+                "oracle row and spec"))
+            else if (wantVerify && distinctSourceDir.isEmpty)
               (403, err("distinct verify not configured on this server: " +
                 "the recount is a Spark job over the stream's source " +
                 "corpus — pass distinctSourceDir to RestServer (client-" +
                 "supplied paths are not accepted, same posture as the " +
                 "other profiling verifies)"))
-            else if (wantVerify && st.lastBatchId < 0L && gst.isEmpty)
+            else if (wantVerify && st.lastBatchId < 0L && gst.isEmpty &&
+                wst.isEmpty)
               (409, err(s"no folded distinct state under $sd — start the " +
                 "ingest (or point the server at its state dir) before " +
                 "asking for a recount verify"))
@@ -2475,6 +2516,29 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                         }
                         (200, n)
                     }
+                }
+              case None if wst.isDefined =>
+                val w = wst.get
+                // wantVerify cannot reach here: the windowed 409 is the
+                // FIRST verify pre-check above (before the 403)
+                if (wantGroup.isDefined)
+                  (404, err(s"group '${wantGroup.get}' not available: " +
+                    "the folded distinct state is a sliding WINDOW (no " +
+                    "groups) — group selection needs a " +
+                    "StreamingGroupedDistinct fold"))
+                else {
+                  n.put("folded", true)
+                  n.put("grouped", false)
+                  n.put("windowed", true)
+                  n.put("lg_k", w.lgK)
+                  n.put("value_col", w.valueCol)
+                  n.put("checkpoint", w.checkpoint)
+                  n.put("last_batch_id", w.lastBatchId)
+                  n.put("window", w.window)
+                  n.put("ring_depth", w.ring.size)
+                  n.put("counters_are_exact", true)
+                  writeDistinct(n, w.nRows, w.nNull, w.estimate)
+                  (200, n)
                 }
               case None if wantGroup.isDefined =>
                 (404, err(s"group '${wantGroup.get}' not available: the " +

@@ -1588,6 +1588,137 @@ class RestServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("distinct route windowed rung: envelope, group 404, verify 409") {
+    import spark.implicits._
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_wdis_rest_").toString)
+    val sd = java.nio.file.Files.createTempDirectory("graft_wdis_s_").toString
+    val ck = "file:wdis-ckpt"
+    // 5 batches at window=2: only batches 3 (d30..d49) and 4 (d40..d59)
+    // survive — 30 distinct values in the window
+    (0 until 5).foreach { b =>
+      graft.streaming.StreamingWindowedDistinct.applyBatch(spark, sd, 12,
+        2, ck, (0 until 20).map(j => s"d${b * 10 + j}").toDF("value"),
+        "value", b.toLong)
+    }
+    val srv = new RestServer(store, distinctStateDir = Some(sd),
+      distinctSourceDir = Some("/nonexistent")).start()
+    try {
+      val (s, r) = call(srv, "GET", "/api/v1/admin/distinct")
+      assert(s == 200, r.toString)
+      assert(r.get("folded").asBoolean() && r.get("windowed").asBoolean())
+      assert(r.get("window").asInt() == 2 && r.get("ring_depth").asInt() == 2)
+      assert(r.get("n_rows").asLong() == 40L && r.get("n_null").asLong() == 0L)
+      assert(r.get("lg_k").asInt() == 12)
+      assert(math.rint(r.get("estimate").asDouble()) == 30.0, r.toString)
+      // a windowed fold has no groups; verify is a named 409
+      val (sG, rG) = call(srv, "GET", "/api/v1/admin/distinct?group=s0")
+      assert(sG == 404 && rG.get("error").asText().contains("WINDOW"), rG.toString)
+      val (sV, rV) = call(srv, "GET", "/api/v1/admin/distinct?verify=true")
+      assert(sV == 409 &&
+        rV.get("error").asText().contains("cannot be recount-verified"), rV.toString)
+      // the one-poll profile face reports the windowed rung
+      val (sP, rP) = call(srv, "GET", "/api/v1/admin/profile")
+      assert(sP == 200, rP.toString)
+      val d = rP.get("faces").get("distinct")
+      assert(d.get("windowed").asBoolean() &&
+        d.get("ring_depth").asInt() == 2 &&
+        d.get("n_rows").asLong() == 40L &&
+        math.rint(d.get("estimate").asDouble()) == 30.0, rP.toString)
+    } finally srv.stop()
+  }
+
+  test("one-poll profile: the full configured-face matrix, windowed rungs " +
+      "and liveness per face") {
+    import spark.implicits._
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_pmat_rest_").toString)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    // six faces, three of them on their WINDOWED rung (moments,
+    // histogram, distinct — the three ring instantiations), the other
+    // three flat — the widest simultaneous configuration the monitor
+    // serves, each face with its own liveness (last_batch_id, and the
+    // ring faces' window/ring_depth)
+    val momSd = tmp("graft_pmat_mom_")
+    (0 until 3).foreach { b =>
+      graft.streaming.StreamingWindowedMoments.applyBatch(spark, momSd, 2,
+        "file:pm-mom", (0 until 5).map(j => b * 10L + j).toDF("value"),
+        "value", b.toLong)
+    }
+    val histSd = tmp("graft_pmat_hist_")
+    val spec = graft.operators.HistogramSketch.HistogramSpec(0.0, 50.0, 5)
+    (0 until 3).foreach { b =>
+      graft.streaming.StreamingWindowedHistogram.applyBatch(spark, histSd,
+        spec, 2, "file:pm-hist",
+        (0 until 5).map(j => (b * 10 + j).toDouble).toDF("value"),
+        "value", b.toLong)
+    }
+    val disSd = tmp("graft_pmat_dis_")
+    (0 until 3).foreach { b =>
+      graft.streaming.StreamingWindowedDistinct.applyBatch(spark, disSd,
+        12, 2, "file:pm-dis",
+        (0 until 5).map(j => s"v${b * 3 + j}").toDF("value"),
+        "value", b.toLong)
+    }
+    val hhSd = tmp("graft_pmat_hh_")
+    val hhSrc = tmp("graft_pmat_hhsrc_") + "/files"
+    Seq((1L, "a a b"), (2L, "a c d")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(hhSrc)
+    val qHh = graft.streaming.StreamingHeavyHitters.ingest(spark, hhSrc,
+      hhSd, tmp("graft_pmat_hhck_"), denominator = 5)
+    qHh.processAllAvailable(); qHh.stop()
+    val smpSd = tmp("graft_pmat_smp_")
+    val smpSrc = tmp("graft_pmat_smpsrc_") + "/files"
+    Seq((1L, 1.0), (2L, 2.0)).toDF("doc_id", "value")
+      .coalesce(1).write.parquet(smpSrc)
+    val qSmp = graft.streaming.StreamingSample.ingest(spark, smpSrc,
+      smpSd, tmp("graft_pmat_smpck_"), k = 4, valueCol = Some("value"))
+    qSmp.processAllAvailable(); qSmp.stop()
+    val comSd = tmp("graft_pmat_com_")
+    val comSrc = tmp("graft_pmat_comsrc_") + "/files"
+    Seq((1L, 2L), (3L, 5L)).toDF("x", "y")
+      .coalesce(1).write.parquet(comSrc)
+    val qCom = graft.streaming.StreamingComoments.ingest(spark, comSrc,
+      comSd, tmp("graft_pmat_comck_"))
+    qCom.processAllAvailable(); qCom.stop()
+    val srv = new RestServer(store,
+      frequentItemsStateDir = Some(hhSd), histogramStateDir = Some(histSd),
+      sampleStateDir = Some(smpSd), momentsStateDir = Some(momSd),
+      distinctStateDir = Some(disSd), comomentsStateDir = Some(comSd))
+      .start()
+    try {
+      val (s, r) = call(srv, "GET", "/api/v1/admin/profile")
+      assert(s == 200, r.toString)
+      assert(r.get("face_count").asInt() == 6, r.toString)
+      val faces = r.get("faces")
+      // every configured face present, folded, with its own liveness
+      Seq("frequent_items", "histogram", "sample", "moments", "distinct",
+        "comoments").foreach { name =>
+        val f = faces.get(name)
+        assert(f != null && f.get("folded").asBoolean(), s"$name: $r")
+        assert(f.has("last_batch_id"), s"$name lacks liveness: $r")
+        assert(!f.has("error"), s"$name errored: $r")
+      }
+      // the three ring faces carry their windowed identity
+      Seq("histogram", "moments", "distinct").foreach { name =>
+        val f = faces.get(name)
+        assert(f.get("windowed").asBoolean() &&
+          f.get("window").asInt() == 2 &&
+          f.get("ring_depth").asInt() == 2 &&
+          f.get("last_batch_id").asLong() == 2L, s"$name: $r")
+      }
+      // and the flat faces do NOT claim a window
+      Seq("frequent_items", "sample", "comoments").foreach { name =>
+        assert(!faces.get(name).has("windowed"), s"$name: $r")
+      }
+      // headline numbers ride the windowed aggregates
+      assert(faces.get("moments").get("n_rows").asLong() == 10L, r.toString)
+      assert(faces.get("histogram").get("n").asLong() == 10L, r.toString)
+      assert(faces.get("distinct").get("n_rows").asLong() == 10L, r.toString)
+    } finally srv.stop()
+  }
+
   test("moments verify face: recount parity, drift, column 422, grouped bound") {
     import spark.implicits._
     val store = new VectorStore(spark,
