@@ -4,13 +4,20 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling — the per-shard quality report a curation
-  * run ships next to its output: row count, null count, exact distinct
-  * count, and min/max per column. One aggregate over one scan; the
-  * multi-column distinct counts expand map-side (Spark's Expand node) and
-  * every partial is a counter, so the report costs one pass at any corpus
-  * size. Min/max are cast to string AFTER aggregating (never before —
-  * lexicographic min of a numeric column is wrong), so the output schema
-  * is uniform across column types.
+  * run ships next to its output: row count, null count, distinct count,
+  * and min/max per column. Min/max are cast to string AFTER aggregating
+  * (never before — lexicographic min of a numeric column is wrong), so
+  * the output schema is uniform across column types.
+  *
+  * The distinct counts are SKETCHED by default (`approx_count_distinct`,
+  * HyperLogLog++): every partial is a fixed-size sketch, so the whole
+  * report is one map-side-combined pass at any corpus size — profiling a
+  * per-row-unique column (doc_id at 100 TB) still shuffles only sketches.
+  * `exactDistinct = true` is the explicit opt-in for bounded-cardinality
+  * corpora where the report must carry exact distincts: Spark plans
+  * multi-column DISTINCT aggregates as an Expand whose first exchange is
+  * keyed on (gid, value) — that shuffle carries every distinct VALUE, ~N
+  * rows for a unique column, which is why exactness is not the default.
   *
   * The reference ships index stats, not table profiles
   * (`src/hybrid/core.rs:703-757` hybrid stats); this is the corpus-side
@@ -19,21 +26,32 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   /** One row per profiled column: (col_name, n, n_null, n_distinct, min,
-    * max). `cols` defaults to every column of `df`. */
-  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    * max). `cols` defaults to every column of `df`. `n_distinct` is an
+    * HLL++ estimate at `rsd` relative error by default (fixed-size
+    * partials — the scale path; sparse-mode exact at small
+    * cardinalities); pass `exactDistinct = true` to opt in to exact
+    * distincts (an Expand + value-keyed shuffle — see the object
+    * scaladoc for why that is opt-in). */
+  def profile(df: DataFrame, cols: Seq[String] = Nil,
+      exactDistinct: Boolean = false, rsd: Double = 0.02): DataFrame = {
     val targets = if (cols.nonEmpty) cols else df.columns.toSeq
     require(targets.nonEmpty, "profile: no columns to profile")
     require(targets.forall(df.columns.contains),
       s"profile: unknown columns ${targets.filterNot(df.columns.contains).mkString(",")}")
+    require(rsd > 0.0 && rsd < 1.0,
+      s"profile: rsd must be in (0, 1), got $rsd")
     // every name -> Column round-trip goes through backticks: a profiled
     // column named "a.b" (or carrying any parser-special char) must
     // resolve as the top-level column the validation above accepted, not
     // parse as a nested-field path and fail the select
     def qcol(name: String): Column = col("`" + name.replace("`", "``") + "`")
+    def distinctAgg(c: String): Column =
+      if (exactDistinct) countDistinct(qcol(c))
+      else approx_count_distinct(qcol(c), rsd)
     val aggs: Seq[Column] = targets.flatMap { c =>
       Seq(
         sum(when(qcol(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(qcol(c)).as(s"${c}__distinct"),
+        distinctAgg(c).as(s"${c}__distinct"),
         min(qcol(c)).cast("string").as(s"${c}__min"),
         max(qcol(c)).cast("string").as(s"${c}__max"))
     }

@@ -107,6 +107,45 @@ object AggQueries {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(tmp))
     }),
+    // the cardinality face's TIME dimension: the sliding-window distinct
+    // fold (the ring design's third instantiation — a ring of per-batch
+    // HLL sketches re-unioned per read). Six deterministic micro-batches
+    // (doc_id mod 6, mtime-forced order) folded at window=3: the served
+    // envelope must describe EXACTLY the last three batches' rows — the
+    // exact n_rows counter replays as count(*) over doc_id % 6 >= 3 (an
+    // eviction off by one batch changes it and hash-mismatches), and the
+    // windowed estimate is gated against the DuckDB-exact distinct count
+    // of the same window at the documented 5% bound (the HLL semilattice:
+    // the ring union's registers equal the one-shot sketch over the
+    // window's rows, so no windowing error stacks on the sketch's own).
+    "streaming_windowed_distinct" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_swdis_q_").toString
+      try {
+        val docs = Tables.load(s, dir, "documents")
+        val fp = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.contentFingerprint(col("text"))
+            .as("value"))
+        QueryShapes.stageOrderedBatches(
+          (0 until 6).map(b => fp
+            .filter(pmod(col("doc_id"), lit(6)) === b)
+            .select(col("value"))),
+          s"$tmp/src")
+        val q = graft.streaming.StreamingWindowedDistinct.ingest(s,
+          s"$tmp/src", s"$tmp/state", s"$tmp/chk", window = 3,
+          maxFilesPerTrigger = 1)
+        try q.processAllAvailable() finally q.stop()
+        val st = graft.streaming.StreamingWindowedDistinct
+          .readState(s, s"$tmp/state")
+        val est = st.estimate.getOrElse(0.0)
+        fp.filter(pmod(col("doc_id"), lit(6)) >= 3)
+          .agg(countDistinct(col("value")).as("n_exact"))
+          .select(lit(st.nRows).as("n_rows"), col("n_exact"),
+            (abs(lit(est) - col("n_exact")).cast("double")
+              / col("n_exact") <= 0.05).as("approx_ok"))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
+    }),
     // GK-sketch quantiles gated against the exact percentile: the
     // mergeable sketch is how a 100 TB events table reports latency
     // quantiles without a global sort. The gate is the sketch's OWN
@@ -281,11 +320,37 @@ object AggQueries {
         new java.io.File(tmp))
     }),
     // column-level profile of the documents table — the per-shard data
-    // quality report (nulls / exact distincts / min-max per column) in
-    // one aggregate over one scan
+    // quality report (nulls / distincts / min-max per column). EXACT
+    // distincts are the explicit opt-in here (the oracle corpus is
+    // bounded and DuckDB's count(DISTINCT) is the natural twin); the
+    // DEFAULT sketched mode — the 100 TB path — is pinned by
+    // table_profile_approx below
     "table_profile" -> ((s, dir) => {
       graft.operators.Profile.profile(Tables.load(s, dir, "documents"),
-          Seq("doc_id", "lang", "source", "n_chars"))
+          Seq("doc_id", "lang", "source", "n_chars"),
+          exactDistinct = true)
+        .orderBy("col_name")
+    }),
+    // the profiler's DEFAULT (sketched-distinct) mode: one pass of
+    // fixed-size HLL++ partials even over the per-row-unique doc_id —
+    // the posture that survives 100 TB. The row computes BOTH modes and
+    // gates each sketch estimate against the exact count at the
+    // documented 5% bound (rsd 0.02, sparse-mode exact at most of these
+    // cardinalities, so the verdict is deterministic); the oracle pins
+    // the exact counts and the verdict — the sketch_distinct device.
+    "table_profile_approx" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val approx = graft.operators.Profile.profile(docs, cols)
+        .select(col("col_name"), col("n"), col("n_null"),
+          col("n_distinct").as("n_approx"))
+      val exact = graft.operators.Profile
+        .profile(docs, cols, exactDistinct = true)
+        .select(col("col_name"), col("n_distinct").as("n_exact"))
+      approx.join(exact, "col_name")
+        .select(col("col_name"), col("n"), col("n_null"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double")
+            / col("n_exact") <= 0.05).as("approx_ok"))
         .orderBy("col_name")
     }),
     // A7 age-distribution histogram (hybrid/core.rs:758-820): buckets
@@ -614,6 +679,28 @@ object AggQueries {
         |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
         |  FROM documents
         |) ORDER BY col_name""".stripMargin,
+    // the profiler's default sketched mode: the oracle replays the exact
+    // distincts and the verdict is true by the sketch's accuracy at the
+    // documented bound (the sketch_distinct device)
+    "table_profile_approx" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name, count(*) AS n,
+        |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |    count(DISTINCT doc_id) AS n_exact, true AS approx_ok
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*),
+        |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT lang), true FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*),
+        |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT source), true FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*),
+        |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT n_chars), true FROM documents
+        |) ORDER BY col_name""".stripMargin,
     "sketch_distinct" ->
       s"""SELECT source,
         |  count(DISTINCT md5(array_to_string(
@@ -636,6 +723,16 @@ object AggQueries {
         |  true AS approx_ok
         |FROM documents WHERE source IS NOT NULL
         |GROUP BY source ORDER BY source""".stripMargin,
+    // the windowed cardinality fold: the exact window envelope replays
+    // over exactly the newest window's batches (doc_id mod 6 >= 3 at
+    // window 3 of 6 staged batches) and the estimate verdict is true at
+    // the documented 5% bound
+    "streaming_windowed_distinct" ->
+      s"""SELECT count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT md5(array_to_string(
+        |    ${TextQueries.toksSqlOf("text")}, ' '))) AS n_exact,
+        |  true AS approx_ok
+        |FROM documents WHERE doc_id % 6 >= 3""".stripMargin,
     "age_histogram" ->
       """WITH ev AS (SELECT date_trunc('second', ts) AS tss FROM events),
         |mx AS (SELECT max(tss) AS mx FROM ev)

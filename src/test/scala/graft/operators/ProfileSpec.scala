@@ -13,7 +13,8 @@ class ProfileSpec extends SparkSpec {
     (1L, Some("a"), 10L), (2L, None, 9L), (3L, Some("b"), 10L)
   ).toDF("id", "s", "v")
 
-  test("profile counts nulls and exact distincts per column") {
+  test("profile counts nulls and distincts per column (default sketched " +
+      "mode, sparse-exact at these cardinalities)") {
     val p = Profile.profile(df).collect()
       .map(r => r.getString(0) -> r).toMap
     assert(p.keySet == Set("id", "s", "v"))
@@ -21,6 +22,42 @@ class ProfileSpec extends SparkSpec {
     assert(p("id").getLong(1) == 3 && p("id").getLong(2) == 0)
     // numeric min/max: 9 < 10 even though "10" < "9" lexicographically
     assert(p("v").getString(4) == "9" && p("v").getString(5) == "10")
+  }
+
+  test("profile distinct modes: exact opt-in equals ground truth; the " +
+      "default sketch lands inside its error bound on a wide column") {
+    // 5000 distinct ids — past sparse mode at rsd 0.02, so this pins the
+    // ESTIMATOR's bound, not sparse-mode exactness
+    val wide = spark.range(5000L).toDF("id")
+      .select(col("id"), (col("id") % 7).as("small"))
+    val exact = Profile.profile(wide, Seq("id", "small"),
+        exactDistinct = true)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(exact("id") == 5000L && exact("small") == 7L)
+    val approx = Profile.profile(wide, Seq("id", "small"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(approx("small") == 7L, "sparse-exact on the narrow column")
+    assert(math.abs(approx("id") - 5000.0) / 5000.0 <= 0.05,
+      s"sketch estimate ${approx("id")} outside 5% of 5000")
+    intercept[IllegalArgumentException](
+      Profile.profile(wide, Seq("id"), rsd = 0.0))
+  }
+
+  test("profile plan shape: the default mode shuffles sketches (no " +
+      "Expand), the exact opt-in pays the Expand + value-keyed shuffle") {
+    val wide = spark.range(100L).toDF("id")
+      .select(col("id"), (col("id") % 7).as("small"))
+    val approxPlan = Profile.profile(wide, Seq("id", "small"))
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"),
+      "default (sketched) profile must not plan an Expand — partials " +
+        "are fixed-size HLL++ sketches at any cardinality")
+    val exactPlan = Profile.profile(wide, Seq("id", "small"),
+        exactDistinct = true)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "the exact opt-in IS the Expand plan — that cost is the reason " +
+        "exactness is not the default")
   }
 
   test("profile restricts to requested columns and rejects unknown ones") {
