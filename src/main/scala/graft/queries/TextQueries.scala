@@ -231,6 +231,50 @@ ORDER BY d$rounds.doc_id"""
       } finally org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(tmp))
     }),
+    // the frequency face's TIME dimension — "trending now": the
+    // sliding-window MG fold (the ring design's fourth instantiation).
+    // Six deterministic micro-batches (doc_id mod 6, mtime-forced
+    // order) folded at window=3, each batch keeping its OWN <= k MG
+    // summary in the ring; the served window candidates are the
+    // mergeable-summaries reduction over exactly the newest three
+    // slots, with the composed bound (k=512 > denominator=200 over the
+    // WINDOW's mass) guaranteeing no true window heavy hitter was
+    // evicted — so the recount of the candidates over the window's
+    // rows EQUALS the full-groupBy answer over WHERE doc_id % 6 >= 3,
+    // which is what DuckDB replays. The threshold's denominator base is
+    // the STATE's exact window mass: an eviction off by one batch, a
+    // dropped slot, or a wrong ring merge changes the row set or the
+    // counts and hash-mismatches.
+    "streaming_windowed_hh" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_swhh_q_").toString
+      try {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        QueryShapes.stageOrderedBatches(
+          (0 until 6).map(b => docs
+            .filter(pmod(col("doc_id"), lit(6)) === b)),
+          s"$tmp/src")
+        val q = graft.streaming.StreamingWindowedHeavyHitters.ingest(
+          s, s"$tmp/src", s"$tmp/state", s"$tmp/chk",
+          denominator = 200L, window = 3, sketchK = 512,
+          maxFilesPerTrigger = 1)
+        try q.processAllAvailable() finally q.stop()
+        val st = graft.streaming.StreamingWindowedHeavyHitters
+          .readState(s, s"$tmp/state")
+        val windowToks = docs.filter(pmod(col("doc_id"), lit(6)) >= 3)
+          .select(explode(tokens(col("text"))).as("token"))
+        val out = graft.streaming.StreamingWindowedHeavyHitters
+          .heavyHittersFromSnapshot(st, s"$tmp/state", windowToks,
+            "token", 200L)
+          .collect()
+        import s.implicits._
+        out.toSeq.map(r => (r.getString(0), r.getLong(1)))
+          .toDF("token", "cnt")
+          .orderBy(col("cnt").desc, col("token").asc)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
+    }),
     // content + winnowing fingerprints (map-only)
     "doc_fingerprint" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -916,6 +960,18 @@ ORDER BY d$rounds.doc_id"""
     // the MG guarantee composes across micro-batch merges
     "streaming_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+         |tot AS (SELECT count(*) AS n FROM tok)
+         |SELECT token, count(*) AS cnt
+         |FROM tok GROUP BY 1
+         |HAVING count(*) >= ceil((SELECT n FROM tot) / 200.0)
+         |ORDER BY cnt DESC, token ASC""".stripMargin,
+    // the windowed fold recounts to the full-groupBy answer over
+    // exactly the newest window's batches (doc_id mod 6 >= 3 at
+    // window 3 of 6 staged batches) — the composed MG bound applies to
+    // the ring merge just as it does to the all-time fold
+    "streaming_windowed_hh" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents
+         |  WHERE doc_id % 6 >= 3),
          |tot AS (SELECT count(*) AS n FROM tok)
          |SELECT token, count(*) AS cnt
          |FROM tok GROUP BY 1

@@ -62,7 +62,15 @@ import scala.util.control.NonFatal
   *                                      persisting ones; the quiesce wait
   *                                      (default 2 s, clamped ≤ 10 s) runs
   *                                      on the serial dispatcher
-  *   GET    /api/v1/admin/frequent-items
+  *   GET    /api/v1/admin/frequent-items — flat OR grouped OR windowed
+  *                                      (the selection ladder; the
+  *                                      windowed rung is "trending now":
+  *                                      window/ring_depth + the ring-
+  *                                      merged MG candidates over the
+  *                                      newest N batches); POST recount
+  *                                      on a windowed fold is a named
+  *                                      409 (the corpus cannot
+  *                                      reproduce the window)
   *   GET    /api/v1/admin/histogram?probs=0.5,0.9&bins=true&verify=true —
   *                                      the folded streaming exact-histogram
   *                                      state: rank-exact quantile estimates
@@ -1036,9 +1044,25 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
             "frequent-items state not configured on this server " +
               "(pass frequentItemsStateDir to RestServer)"))
           case Some(sd) =>
-            val (st, gst) = foldedFrequentItems(sd)
+            val (st, gst, wst) = foldedFrequentItems(sd)
             val n = obj()
             gst match {
+              case None if wst.isDefined =>
+                // the selection ladder's windowed rung — "trending now"
+                val w = wst.get
+                n.put("grouped", false)
+                n.put("windowed", true)
+                n.put("k", w.k)
+                n.put("checkpoint", w.checkpoint)
+                n.put("last_batch_id", w.lastBatchId)
+                n.put("window", w.window)
+                n.put("ring_depth", w.ring.size)
+                n.put("n", w.n)
+                val agg = w.aggregateCounts
+                n.put("state_entries", agg.size)
+                val c = n.putObject("counts")
+                agg.toSeq.sortBy { case (item, cnt) => (-cnt, item) }
+                  .foreach { case (item, cnt) => c.put(item, cnt) }
               case Some(g0) =>
                 n.put("grouped", true)
                 n.put("k", g0.k)
@@ -1981,7 +2005,21 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
               f.put("total_entries", g.totalEntries)
               f.put("excluded_null_rows", g.excludedNullRows)
               f.put("k", g.k)
-            } else f.put("folded", false)
+            } else {
+              val w = graft.streaming.StreamingWindowedHeavyHitters
+                .readStateLocked(store.spark, sd)
+              if (w.lastBatchId >= 0L) {
+                f.put("folded", true); f.put("grouped", false)
+                f.put("windowed", true)
+                f.put("last_batch_id", w.lastBatchId)
+                f.put("checkpoint", w.checkpoint)
+                f.put("window", w.window)
+                f.put("ring_depth", w.ring.size)
+                f.put("n", w.n)
+                f.put("candidate_count", w.aggregateCounts.size)
+                f.put("k", w.k)
+              } else f.put("folded", false)
+            }
           }
         })
         histogramStateDir.foreach(sd => face("histogram") { f =>
@@ -2602,8 +2640,21 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
                 // lock-free re-read): under a hot writer the route can
                 // neither hit the lock-free read's contention error nor
                 // serve totals from a different batch than the counts
-                val (st, gstOpt) = foldedFrequentItems(sd)
-                if (st.lastBatchId < 0L && gstOpt.isEmpty)
+                val (st, gstOpt, wstOpt) = foldedFrequentItems(sd)
+                if (wstOpt.isDefined)
+                  // the family's windowed-verify rule: the corpus does
+                  // not record which rows arrived in the newest N
+                  // batches, so an all-time recount cannot reproduce
+                  // the window — a named 409, checked BEFORE the
+                  // no-state one (the windowed state IS folded)
+                  (409, err("windowed frequent-items cannot be exactly " +
+                    "recounted against the source corpus: the corpus " +
+                    "does not record which rows arrived in the newest " +
+                    s"${wstOpt.get.window} micro-batches. The window's " +
+                    "coverage guarantee is pinned by the fold's own " +
+                    "oracle row and spec; serve the envelope's MG " +
+                    "lower bounds instead"))
+                else if (st.lastBatchId < 0L && gstOpt.isEmpty)
                   // nothing folded: recounting is a category error, not an
                   // empty answer — 409 so a misconfigured monitor can't
                   // read "no state" as "no heavy hitters"
@@ -2861,7 +2912,8 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
     * never a second read behind it. */
   private def foldedFrequentItems(sd: String)
       : (graft.streaming.StreamingHeavyHitters.MgSnapshot,
-         Option[graft.streaming.StreamingGroupedHeavyHitters.GroupedMgSnapshot]) = {
+         Option[graft.streaming.StreamingGroupedHeavyHitters.GroupedMgSnapshot],
+         Option[graft.streaming.StreamingWindowedHeavyHitters.WindowedMgSnapshot]) = {
     val st = graft.streaming.StreamingHeavyHitters
       .readStateLocked(store.spark, sd)
     val gst =
@@ -2870,7 +2922,13 @@ class RestServer(store: VectorStore, port: Int = 0, cacheSize: Int = 128,
           .readStateLocked(store.spark, sd))
           .filter(_.lastBatchId >= 0L)
       else None
-    (st, gst)
+    val wst =
+      if (st.lastBatchId < 0L && gst.isEmpty)
+        Some(graft.streaming.StreamingWindowedHeavyHitters
+          .readStateLocked(store.spark, sd))
+          .filter(_.lastBatchId >= 0L)
+      else None
+    (st, gst, wst)
   }
 
   /** The histogram instantiation of the frequent-items flat-vs-grouped

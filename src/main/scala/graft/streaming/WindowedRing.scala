@@ -17,7 +17,8 @@ private[streaming] object WindowedRing {
     * reason instead of the misleading "holds no folded batches". A new
     * ring face MUST add its file name here. */
   val StateFileNames: Seq[String] = Seq("moments_window_state.json",
-    "hist_window_state.json", "distinct_window_state.json")
+    "hist_window_state.json", "distinct_window_state.json",
+    "mg_window_state.json")
 
   def requireWindow(window: Int): Unit =
     require(window > 0, s"window must be positive, got $window")

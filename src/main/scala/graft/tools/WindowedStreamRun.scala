@@ -51,6 +51,7 @@ object WindowedStreamRun {
       case "moments" => "moments_window_state.json"
       case "hist" => "hist_window_state.json"
       case "distinct" => "distinct_window_state.json"
+      case "hh" => "mg_window_state.json"
       case other => sys.error(s"unknown face '$other'")
     }
 
@@ -71,6 +72,7 @@ object WindowedStreamRun {
             .select(col("n_chars").cast("long").as("value"))
           case "hist" => staged
             .select(col("n_chars").cast("double").as("value"))
+          case "hh" => staged.select(col("doc_id"), col("text"))
           case _ => staged.select(concat(col("doc_id"), lit("_"),
             col("rep")).cast("string").as("value"))
         }
@@ -89,6 +91,8 @@ object WindowedStreamRun {
                     case "moments" => graft.streaming.StreamingWindowedMoments
                       .readStateLocked(spark, s"$tmp/state").ring.size
                     case "hist" => graft.streaming.StreamingWindowedHistogram
+                      .readStateLocked(spark, s"$tmp/state").ring.size
+                    case "hh" => graft.streaming.StreamingWindowedHeavyHitters
                       .readStateLocked(spark, s"$tmp/state").ring.size
                     case _ => graft.streaming.StreamingWindowedDistinct
                       .readStateLocked(spark, s"$tmp/state").ring.size
@@ -112,6 +116,8 @@ object WindowedStreamRun {
                   .readStateLocked(spark, s"$tmp/state")
                 case "hist" => graft.streaming.StreamingWindowedHistogram
                   .readStateLocked(spark, s"$tmp/state")
+                case "hh" => graft.streaming.StreamingWindowedHeavyHitters
+                  .readStateLocked(spark, s"$tmp/state")
                 case _ => graft.streaming.StreamingWindowedDistinct
                   .readStateLocked(spark, s"$tmp/state")
               }
@@ -132,6 +138,10 @@ object WindowedStreamRun {
           case "hist" => graft.streaming.StreamingWindowedHistogram
             .ingest(spark, s"$tmp/src", s"$tmp/state", s"$tmp/chk", spec,
               window, maxFilesPerTrigger = 1)
+          case "hh" => graft.streaming.StreamingWindowedHeavyHitters
+            .ingest(spark, s"$tmp/src", s"$tmp/state", s"$tmp/chk",
+              denominator = 200L, window = window, sketchK = 512,
+              maxFilesPerTrigger = 1)
           case _ => graft.streaming.StreamingWindowedDistinct
             .ingest(spark, s"$tmp/src", s"$tmp/state", s"$tmp/chk",
               window, maxFilesPerTrigger = 1)
@@ -175,6 +185,20 @@ object WindowedStreamRun {
               windowCorpus.select(col("value")), "value", spec)
               .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
             st.aggregate.bins == twin
+          case "hh" =>
+            val st = graft.streaming.StreamingWindowedHeavyHitters
+              .readState(spark, s"$tmp/state")
+            val toks = windowCorpus.select(explode(
+              graft.functions.TextFunctions.tokens(col("text")))
+              .as("token"))
+            val got = graft.streaming.StreamingWindowedHeavyHitters
+              .heavyHittersFromSnapshot(st, s"$tmp/state", toks, "token",
+                200L)
+              .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+            val exact = graft.operators.HeavyHitters.exact(toks, "token",
+              denominator = 200L, sketchK = 512)
+              .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+            got == exact
           case _ =>
             val st = graft.streaming.StreamingWindowedDistinct
               .readState(spark, s"$tmp/state")

@@ -1628,6 +1628,51 @@ class RestServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("frequent-items windowed rung: trending envelope, recount 409") {
+    import spark.implicits._
+    val store = new VectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_whh_rest_").toString)
+    val sd = java.nio.file.Files.createTempDirectory("graft_whh_s_").toString
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_whh_src_").toString + "/files"
+    Seq((1L, "x y")).toDF("doc_id", "text").coalesce(1).write.parquet(src)
+    val ck = "file:whh-ckpt"
+    // 4 batches at window=2: batches 0-1 dominated by "old", 2-3 by
+    // "hot" — the served window candidates must be the trending set
+    (0 until 4).foreach { b =>
+      val tok = if (b < 2) "old" else "hot"
+      graft.streaming.StreamingWindowedHeavyHitters.applyBatch(spark, sd, 8, 2, ck,
+        (0 until 10).map(i => ((b * 10 + i).toLong, s"$tok $tok t${b}_$i"))
+          .toDF("doc_id", "text"), b.toLong)
+    }
+    val srv = new RestServer(store, frequentItemsStateDir = Some(sd),
+      frequentItemsSourceDir = Some(src)).start()
+    try {
+      val (s, r) = call(srv, "GET", "/api/v1/admin/frequent-items")
+      assert(s == 200, r.toString)
+      assert(r.get("windowed").asBoolean() && !r.get("grouped").asBoolean())
+      assert(r.get("window").asInt() == 2 && r.get("ring_depth").asInt() == 2)
+      assert(r.get("n").asLong() == 60L, r.toString)
+      assert(r.get("counts").has("hot") && !r.get("counts").has("old"),
+        s"trending set wrong: $r")
+      assert(r.get("counts_are_mg_estimates").asBoolean())
+      // the exact recount is a named 409 on a windowed fold (checked
+      // before the no-state 409 — the windowed state IS folded)
+      val (s2, r2) = call(srv, "POST",
+        "/api/v1/admin/frequent-items/recount", "{\"denominator\": 4}")
+      assert(s2 == 409 &&
+        r2.get("error").asText().contains("cannot be exactly recounted"),
+        s"$s2 $r2")
+      // the one-poll profile face reports the windowed rung
+      val (sP, rP) = call(srv, "GET", "/api/v1/admin/profile")
+      assert(sP == 200, rP.toString)
+      val f = rP.get("faces").get("frequent_items")
+      assert(f.get("windowed").asBoolean() &&
+        f.get("ring_depth").asInt() == 2 &&
+        f.get("n").asLong() == 60L, rP.toString)
+    } finally srv.stop()
+  }
+
   test("one-poll profile: the full configured-face matrix, windowed rungs " +
       "and liveness per face") {
     import spark.implicits._
