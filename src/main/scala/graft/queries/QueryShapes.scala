@@ -32,14 +32,44 @@ object QueryShapes {
     * already-staged dir (the new stamps must exceed every old one). */
   def stageOrderedBatches(dfs: Seq[DataFrame], dir: String,
       base: Long = 1600000000000L): Unit = {
-    val threshold = base + dfs.size * 1000L
-    dfs.zipWithIndex.foreach { case (df, i) =>
-      df.coalesce(1).write.mode("append").parquet(dir)
-      new java.io.File(dir).listFiles()
-        .filter(f => f.getName.endsWith(".parquet"))
-        .filter(_.lastModified() > threshold)
-        .foreach(f => f.setLastModified(base + i * 1000L))
+    // ONE tagged-union write instead of one scan+write job per batch
+    // (guide §2.4/§1.2: N sequential jobs over the same source collapse
+    // into one pass): each batch df gets a literal tag, one shuffle
+    // hashes each tag to one task, and partitionBy splits the writer by
+    // tag — so every non-empty batch lands as exactly one file, exactly
+    // as the old per-batch coalesce(1) produced. The files are then
+    // MOVED up to the flat layout the file stream source reads, with
+    // the mtimes assigned explicitly (batch i = base + i s) — same
+    // mtime-order contract, minus the listing/threshold dance.
+    import org.apache.spark.sql.functions.{col, lit}
+    val tag = "__graft_batch"
+    val staging = dir + "_staged"
+    val tagged = dfs.zipWithIndex
+      .map { case (df, i) => df.withColumn(tag, lit(i)) }
+      .reduce(_ unionByName _)
+    tagged.repartition(col(tag)).write.partitionBy(tag).parquet(staging)
+    val stagingDir = new java.io.File(staging)
+    val outDir = new java.io.File(dir); outDir.mkdirs()
+    dfs.indices.foreach { i =>
+      val partDir = new java.io.File(stagingDir, s"$tag=$i")
+      val files = Option(partDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      if (files.isEmpty) {
+        // an EMPTY batch writes no partition dir: fall back to the old
+        // per-batch write for just that batch so the stream still sees
+        // one (zero-row) file and the batch numbering is unchanged
+        dfs(i).coalesce(1).write.mode("append").parquet(dir)
+        new java.io.File(dir).listFiles()
+          .filter(f => f.getName.endsWith(".parquet"))
+          .filter(_.lastModified() > base + dfs.size * 1000L)
+          .foreach(f => f.setLastModified(base + i * 1000L))
+      } else files.zipWithIndex.foreach { case (f, j) =>
+        val dst = new java.io.File(outDir, s"batch-$i-$j-${f.getName}")
+        require(f.renameTo(dst), s"staging rename failed: $f -> $dst")
+        dst.setLastModified(base + i * 1000L)
+      }
     }
+    org.apache.commons.io.FileUtils.deleteQuietly(stagingDir)
   }
 
   /** Build-once cache protocol shared by every persisted query fixture

@@ -752,10 +752,16 @@ class VectorStore(val spark: SparkSession, val path: String,
         if (exists("centroids")) centroids
         else {
           val kClusters = math.min(config.nClusters, math.max(1, nOld.toInt / 2))
-          // MLlib KMeans rejects k < 2; tiny first migrations (and any
-          // bounded sample, really) train faster in-driver anyway
+          // train in-driver on the bounded sample (<= IvfConfig.trainSize
+          // rows): the sample fits on the driver BY CONSTRUCTION at any
+          // corpus size, so the distributed k-means||'s ~15-25 tiny jobs
+          // (init passes + per-iteration aggregates) are pure scheduling
+          // overhead over a collect-and-loop — measured 2-4 s of the
+          // integrity/migrate lifecycle rows at sf0.1, and the same
+          // fixed cost on a 100 TB corpus (training is O(sample) either
+          // way; only the sampling pass scans the tier)
           val trained = Ivf.train(old, Ivf.IvfConfig(nClusters = kClusters,
-            initMode = if (kClusters < 2 || nOld < 1000) "driver" else "k-means||"))
+            initMode = "driver"))
           storeWrite(trained).mode(SaveMode.Overwrite).parquet(dir("centroids"))
           trained
         }
@@ -1131,8 +1137,22 @@ class VectorStore(val spark: SparkSession, val path: String,
     * counts ride the report (−1 = not confirmed: confirm not requested,
     * writer stayed live, or index coverage unknown); `isComplete` is
     * unchanged — transient classes stay non-gating by design. */
-  def checkIntegrity(confirmTransients: Boolean = false,
-      confirmWaitMs: Long = 10000L): IntegrityReport = {
+  /** The one-pass per-id frame behind [[checkIntegrity]] (guide §2.4:
+    * remove shuffles outright): recent, historical (with its
+    * cluster-validity flag riding the same rows), and every enabled code
+    * tier are unioned with a source tag and grouped by id ONCE —
+    * previously the scan read the historical tier up to six times
+    * (per-id agg, the invalid-cluster count, and one anti-join per code
+    * tier) across five shuffles; now one Exchange(id) carries
+    * map-side-combined per-id counters and every report field falls out
+    * of one grouped frame. The drift arithmetic is join-free: per id, a
+    * tier missing the id contributes that id's historical row count to
+    * `missing`, an id absent from the historical tier contributes its
+    * code row count to `orphaned` — exactly the row multiplicities the
+    * old per-tier full_outer joins counted (when both sides hold the id
+    * both contributed 0). Returns (perId frame, enabled tier names);
+    * also the plan-audit hook ([[integrityPerIdPlan]]). */
+  private def integrityPerId(): (DataFrame, Seq[String]) = {
     val manifest =
       try readManifest() catch { case _: Exception => None }
     val dim = manifest.map(_.dim)
@@ -1140,16 +1160,53 @@ class VectorStore(val spark: SparkSession, val path: String,
       case Some(d) => size(col("embedding")) =!= d // size(null) = -1 ≠ d
       case None => lit(false) // no manifest: nothing to check against
     }
-    // the raw live union, NOT [[vectors]]: the metadata-overlay join is
-    // irrelevant to id/dim invariants and would be pure added cost here
-    val live = dropTombstoned(
-      recent.withColumn("tier", lit("recent")).unionByName(
-        historical.drop("cluster_id").withColumn("tier", lit("historical"))))
-    val perId0 = live
-      .select(col("id"), col("tier"), dimCheck.cast("long").as("w"))
+    val hasCentroids = exists("centroids")
+    val nCents =
+      if (hasCentroids && hasRowsRecursive("historical")) centroids.count()
+      else -1L // sentinel: cluster validity not checkable this scan
+    val histBad =
+      if (nCents < 0) lit(0L)
+      else (col("cluster_id").isNull || col("cluster_id") < 0 ||
+        col("cluster_id") >= nCents).cast("long")
+    val enabledTiers = Seq("pq_codes" -> hasPq, "opq_codes" -> hasOpq,
+      "sq_codes" -> hasSq, "bq_codes" -> hasBq).collect {
+      case (tier, true) => tier }
+    val recentSrc = dropTombstoned(recent)
+      .select(col("id"), lit("r").as("src"),
+        dimCheck.cast("long").as("w"), lit(0L).as("bad"))
+    val histSrc = dropTombstoned(historical)
+      .select(col("id"), lit("h").as("src"),
+        dimCheck.cast("long").as("w"), histBad.as("bad"))
+    val codeSrcs = enabledTiers.map { tier =>
+      dropTombstoned(
+        spark.read.schema(codesSchema(tier)).parquet(dir(tier)))
+        .select(col("id"), lit(tier).as("src"), lit(0L).as("w"),
+          lit(0L).as("bad"))
+    }
+    val tierCnt = enabledTiers.map(t =>
+      sum(when(col("src") === t, 1L).otherwise(0L)).as(s"n_$t"))
+    val perId0 = (recentSrc +: histSrc +: codeSrcs).reduce(_ unionByName _)
       .groupBy("id").agg(
-        count(lit(1)).as("c"), sum(col("w")).as("w"),
-        sum(when(col("tier") === "recent", 1L).otherwise(0L)).as("r"))
+        sum(when(col("src") === "r", 1L).otherwise(0L)).as("r"),
+        (sum(when(col("src") === "h", 1L).otherwise(0L)).as("h") +:
+          sum(col("w")).as("w") +: sum(col("bad")).as("bad") +:
+          tierCnt): _*)
+      // `c` (live row count) kept as a derived column so the
+      // crossDupPred and dup predicates below read as before
+      .withColumn("c", col("r") + col("h"))
+    (perId0, enabledTiers)
+  }
+
+  /** Plan-audit hook (tools/PlanCapture, PLANS.md): the one-pass per-id
+    * frame, plan only — callers explain it, never execute it. */
+  private[graft] def integrityPerIdPlan(): DataFrame = integrityPerId()._1
+
+  def checkIntegrity(confirmTransients: Boolean = false,
+      confirmWaitMs: Long = 10000L): IntegrityReport = {
+    val manifest =
+      try readManifest() catch { case _: Exception => None }
+    val hasCentroids = exists("centroids")
+    val (perId0, enabledTiers) = integrityPerId()
     // under confirm, the per-id frame is CACHED so the confirm pass's
     // pass-1 cross-tier dup ID SET is derived from the very observation
     // the raw count below reports (one scan, one snapshot — raw and
@@ -1176,25 +1233,35 @@ class VectorStore(val spark: SparkSession, val path: String,
     // polling the admin endpoint doesn't false-alarm. A cross-tier count
     // that PERSISTS across consecutive scans with no migrate running is a
     // real defect (e.g. out-of-band tier edits) and should be alerted on.
-    val row = perId.agg(
-      coalesce(sum(col("r")), lit(0L)),
-      coalesce(sum(col("c") - col("r")), lit(0L)),
-      coalesce(sum(col("w")), lit(0L)),
-      coalesce(sum(when(col("r") > 1 || (col("c") - col("r")) > 1, 1L)
-        .otherwise(0L)), lit(0L)),
-      coalesce(sum(when(crossDupPred, 1L).otherwise(0L)), lit(0L))).head()
+    // ONE single-row aggregate serves every count, including the
+    // per-tier drift legs and the invalid-cluster count that used to be
+    // their own scans: per id, `missing` gains the id's historical row
+    // count when the tier holds no row for it, `orphaned` gains the
+    // tier's row count when the historical tier holds none — the exact
+    // row multiplicities of the former per-tier full_outer joins.
+    val driftCols = enabledTiers.flatMap { tier =>
+      Seq(
+        coalesce(sum(when(col(s"n_$tier") === 0L, col("h"))
+          .otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("h") === 0L, col(s"n_$tier"))
+          .otherwise(0L)), lit(0L)))
+    }
+    val rowAggs: Seq[org.apache.spark.sql.Column] =
+      Seq(coalesce(sum(col("r")), lit(0L)),
+        coalesce(sum(col("h")), lit(0L)),
+        coalesce(sum(col("w")), lit(0L)),
+        coalesce(sum(when(col("r") > 1 || col("h") > 1, 1L)
+          .otherwise(0L)), lit(0L)),
+        coalesce(sum(when(crossDupPred, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(col("bad")), lit(0L))) ++ driftCols
+    val row = perId.agg(rowAggs.head, rowAggs.tail: _*).head()
     val (liveRecent, liveHistorical, wrongDim, dupIds, crossDupIds) =
       (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
         row.getLong(4))
-    val hasCentroids = exists("centroids")
-    val invalidCluster =
-      if (!hasCentroids || !hasRowsRecursive("historical")) 0L
-      else {
-        val n = centroids.count() // bounded: <= nClusters rows
-        dropTombstoned(historical).filter(
-          col("cluster_id").isNull || col("cluster_id") < 0 ||
-            col("cluster_id") >= n).count()
-      }
+    val invalidCluster = row.getLong(5)
+    val driftFromRow = enabledTiers.zipWithIndex.map { case (tier, i) =>
+      tier -> ((row.getLong(6 + 2 * i), row.getLong(7 + 2 * i)))
+    }.toMap
     // saved-HNSW recent index vs its recorded part list — pure FS
     // metadata, no scan (the r13 "blob count probe" leg): STALE parts
     // (tier parts the index doesn't cover) are normal operation — the
@@ -1219,9 +1286,10 @@ class VectorStore(val spark: SparkSession, val path: String,
     val (idxStale, idxMissing) = idxDelta
       .map { case (st, mi) => (st.size.toLong, mi.size.toLong) }
       .getOrElse((-1L, -1L))
-    val histIds = dropTombstoned(historical).select("id")
-    val drift = Seq("pq_codes" -> hasPq, "opq_codes" -> hasOpq,
-        "sq_codes" -> hasSq, "bq_codes" -> hasBq).collect { case (tier, true) =>
+    // the drift counts themselves rode the one grouped pass above
+    // (driftFromRow); what remains per enabled tier is the sidecar
+    // validation — pure driver-side file reads, no scan
+    val drift = enabledTiers.map { tier =>
       // the tier's part-list sidecar gets the same loud-malformed
       // contract as the index meta: a corrupted `*_files.json` makes
       // every refresh and search delta silently degrade to the
@@ -1261,15 +1329,7 @@ class VectorStore(val spark: SparkSession, val path: String,
               "full-tier anti-join. Re-enable the tier (or refresh " +
               "it) to rewrite the sidecar")
       }
-      val codeIds = dropTombstoned(
-        spark.read.schema(codesSchema(tier)).parquet(dir(tier))).select("id")
-      val d = histIds.withColumn("h", lit(1))
-        .join(codeIds.withColumn("q", lit(1)), Seq("id"), "full_outer")
-        .agg(
-          coalesce(sum(when(col("q").isNull, 1L).otherwise(0L)), lit(0L)),
-          coalesce(sum(when(col("h").isNull, 1L).otherwise(0L)), lit(0L)))
-        .head()
-      tier -> ((d.getLong(0), d.getLong(1)))
+      tier -> driftFromRow(tier)
     }.toMap
     val (confirmed, confCross, confMissing) =
       if (!confirmTransients) (false, -1L, -1L)
@@ -1293,7 +1353,7 @@ class VectorStore(val spark: SparkSession, val path: String,
       recentIndexMissingParts = idxMissing,
       // the rotation staleness probe rides the scan when the OPQ tier is
       // up: one bounded sample collect + driver-side reconstruction —
-      // O(sample x d^2), trivial beside the tier anti-joins above
+      // O(sample x d^2), trivial beside the one-pass tier scan above
       opqRotationMseRatio = opqRotationDrift()
         .map(_.ratio).getOrElse(-1.0),
       isComplete = manifest.isDefined && wrongDim == 0 && dupIds == 0 &&

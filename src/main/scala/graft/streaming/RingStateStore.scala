@@ -119,6 +119,7 @@ private[streaming] final class RingStateStore[S](
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BatchShuffleTuning.tune(batch)
         applyB(batch, batchId, ckptId); ()
       }
       .start()

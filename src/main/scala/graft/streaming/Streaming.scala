@@ -50,6 +50,7 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BatchShuffleTuning.tune(batch)
         store.dimension match {
           case None =>
             val d = batch.select(size(col("embedding"))).head(1)
@@ -162,6 +163,7 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batchRaw: DataFrame, batchId: Long) =>
+        BatchShuffleTuning.tune(batchRaw)
         // finish any state compaction a previous process died inside (the
         // same tmp+swap+marker recovery contract as the store's tier
         // rewrites — see VectorStore.recoverSwaps)

@@ -339,6 +339,7 @@ object StreamingComoments {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BatchShuffleTuning.tune(batch)
         applyBatch(spark, stateDir, ckptId, batch, xCol, yCol, batchId); ()
       }
       .start()

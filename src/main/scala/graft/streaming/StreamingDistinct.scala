@@ -246,6 +246,7 @@ object StreamingDistinct {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BatchShuffleTuning.tune(batch)
         applyBatch(spark, stateDir, lgK, ckptId, batch, valueCol, batchId)
         ()
       }

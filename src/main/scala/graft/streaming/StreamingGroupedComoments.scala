@@ -248,6 +248,7 @@ object StreamingGroupedComoments {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BatchShuffleTuning.tune(batch)
         applyBatch(spark, stateDir, maxGroups, ckptId, batch, groupCol,
           xCol, yCol, batchId); ()
       }

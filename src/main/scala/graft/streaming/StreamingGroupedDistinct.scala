@@ -298,6 +298,7 @@ object StreamingGroupedDistinct {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BatchShuffleTuning.tune(batch)
         applyBatch(spark, stateDir, lgK, maxGroups, ckptId, batch,
           groupCol, valueCol, batchId); ()
       }

@@ -312,6 +312,7 @@ object StreamingGroupedHeavyHitters {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BatchShuffleTuning.tune(batch)
         applyBatch(spark, stateDir, k, maxGroups, ckptId, batch, batchId); ()
       }
       .start()

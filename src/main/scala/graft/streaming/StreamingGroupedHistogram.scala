@@ -309,6 +309,7 @@ object StreamingGroupedHistogram {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BatchShuffleTuning.tune(batch)
         applyBatch(spark, stateDir, spec, maxGroups, ckptId, batch,
           groupCol, valueCol, batchId); ()
       }

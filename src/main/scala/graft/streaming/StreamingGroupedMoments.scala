@@ -240,6 +240,7 @@ object StreamingGroupedMoments {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BatchShuffleTuning.tune(batch)
         applyBatch(spark, stateDir, maxGroups, ckptId, batch, groupCol,
           valueCol, batchId); ()
       }

@@ -317,6 +317,7 @@ object StreamingGroupedSample {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BatchShuffleTuning.tune(batch)
         applyBatch(spark, stateDir, k, salt, maxGroups, ckptId, batch,
           groupCol, idCol, valueCol, batchId); ()
       }

@@ -266,6 +266,7 @@ object StreamingHeavyHitters {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BatchShuffleTuning.tune(batch)
         applyBatch(spark, stateDir, k, ckptId, batch, batchId); ()
       }
       .start()

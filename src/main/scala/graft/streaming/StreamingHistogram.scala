@@ -276,6 +276,7 @@ object StreamingHistogram {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BatchShuffleTuning.tune(batch)
         applyBatch(spark, stateDir, spec, ckptId, batch, valueCol,
           batchId); ()
       }

@@ -265,6 +265,7 @@ object StreamingMoments {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BatchShuffleTuning.tune(batch)
         applyBatch(spark, stateDir, ckptId, batch, valueCol, batchId); ()
       }
       .start()

@@ -251,6 +251,7 @@ object StreamingSample {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BatchShuffleTuning.tune(batch)
         applyBatch(spark, stateDir, k, salt, ckptId, batch, idCol,
           valueCol, batchId); ()
       }
