@@ -42,12 +42,16 @@ object QueryShapes {
     // the mtimes assigned explicitly (batch i = base + i s) — same
     // mtime-order contract, minus the listing/threshold dance.
     import org.apache.spark.sql.functions.{col, lit}
+    if (dfs.isEmpty) return // nothing to stage (the old per-batch loop was a no-op)
     val tag = "__graft_batch"
     val staging = dir + "_staged"
     val tagged = dfs.zipWithIndex
       .map { case (df, i) => df.withColumn(tag, lit(i)) }
       .reduce(_ unionByName _)
-    tagged.repartition(col(tag)).write.partitionBy(tag).parquet(staging)
+    // Overwrite: a staging dir stranded by a crashed prior run must not
+    // fail every retry (the default ErrorIfExists would).
+    tagged.repartition(col(tag)).write.mode("overwrite")
+      .partitionBy(tag).parquet(staging)
     val stagingDir = new java.io.File(staging)
     val outDir = new java.io.File(dir); outDir.mkdirs()
     dfs.indices.foreach { i =>
@@ -63,8 +67,19 @@ object QueryShapes {
           .filter(f => f.getName.endsWith(".parquet"))
           .filter(_.lastModified() > base + dfs.size * 1000L)
           .foreach(f => f.setLastModified(base + i * 1000L))
-      } else files.zipWithIndex.foreach { case (f, j) =>
-        val dst = new java.io.File(outDir, s"batch-$i-$j-${f.getName}")
+      } else {
+        // The batch-boundary contract is EXACTLY one file per non-empty
+        // tag (one staged batch = one micro-batch under
+        // maxFilesPerTrigger=1). If the tagged write ever splits a tag
+        // across files (a session's maxRecordsPerFile, a future AQE
+        // change to RepartitionByExpression), the files would share one
+        // mtime and silently split one batch into several — fail loudly
+        // instead of corrupting the order the windowed rows depend on.
+        require(files.length == 1,
+          s"staged batch $i produced ${files.length} files (expected 1): " +
+            files.map(_.getName).mkString(", "))
+        val f = files.head
+        val dst = new java.io.File(outDir, s"batch-$i-0-${f.getName}")
         require(f.renameTo(dst), s"staging rename failed: $f -> $dst")
         dst.setLastModified(base + i * 1000L)
       }

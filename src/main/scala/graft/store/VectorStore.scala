@@ -1198,7 +1198,10 @@ class VectorStore(val spark: SparkSession, val path: String,
   }
 
   /** Plan-audit hook (tools/PlanCapture, PLANS.md): the one-pass per-id
-    * frame, plan only — callers explain it, never execute it. */
+    * frame for callers to `explain`. NOTE: constructing it is not free —
+    * [[integrityPerId]] eagerly runs the bounded centroid count and the
+    * tier-existence FS probes while assembling the plan; only the heavy
+    * per-id pass itself stays unexecuted. */
   private[graft] def integrityPerIdPlan(): DataFrame = integrityPerId()._1
 
   def checkIntegrity(confirmTransients: Boolean = false,

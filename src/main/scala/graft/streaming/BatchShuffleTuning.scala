@@ -43,11 +43,14 @@ object BatchShuffleTuning {
   def tune(batch: DataFrame): Unit = {
     try {
       val ss = batch.sparkSession
-      // the micro-batch session is a clone; if it is ever the shared
-      // session (API change, direct batch-mode call), leave it alone —
-      // mutating shared conf from inside a batch body is not this
-      // helper's contract
-      if (SparkSession.getDefaultSession.exists(_ eq ss)) return
+      // the micro-batch session is a clone; if it is ever a SHARED session
+      // (API change, direct batch-mode call, a caller-built newSession()
+      // handed in as the active one), leave it alone — mutating shared
+      // conf from inside a batch body is not this helper's contract. The
+      // default-session check alone misses non-default shared sessions,
+      // so the active session is checked too.
+      if (SparkSession.getDefaultSession.exists(_ eq ss) ||
+          SparkSession.getActiveSession.exists(_ eq ss)) return
       val orig = ss.conf.getOption(OrigKey).map(_.toInt).getOrElse {
         val v = ss.conf.get("spark.sql.shuffle.partitions").toInt
         ss.conf.set(OrigKey, v.toString)

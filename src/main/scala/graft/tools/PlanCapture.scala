@@ -30,7 +30,9 @@ object PlanCapture {
 
     if (want("integrity_perid")) {
       // the integrity store shape, then capture the one-pass perId plan
-      // via the public integrityPlanProbe hook (plan only, no execution)
+      // via the integrityPerIdPlan hook (the heavy per-id pass stays
+      // unexecuted; the hook itself runs the bounded centroid count and
+      // tier FS probes while assembling the plan)
       println("### integrity_perid: checkIntegrity per-id pass ###")
       val path = java.nio.file.Files
         .createTempDirectory("graft_plancap_").toString
