@@ -1260,14 +1260,25 @@ object Hnsw {
       }
       .toDF("part_id", "graph", "centroid", "mc", "live")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mcs = blobs.select("mc").distinct().as[Int].collect()
+    // ONE aggregate job over the persisted blobs for all four driver
+    // scalars (guide §2.4 — this was four separate jobs: metric-code
+    // distinct, small-blob count, small-node sum, and the max-part_id agg
+    // inlined into the rebuilt plan below; each re-traversed the cached
+    // blob relation for one number)
+    val statsRow = blobs.agg(
+      collect_set(col("mc")).as("mcs"),
+      coalesce(sum(when(col("live") < minNodes, 1L)), lit(0L)).as("n_small"),
+      coalesce(sum(when(col("live") < minNodes, col("live").cast("long"))),
+        lit(0L)).as("total_small"),
+      coalesce(max("part_id"), lit(0L)).as("max_pid")).head()
+    val mcs = statsRow.getSeq[Int](0)
     if (mcs.isEmpty) { blobs.unpersist(); return 0L }
     require(mcs.length == 1, s"mixed metric codes in saved index: ${mcs.mkString(",")}")
     val metric = FrozenGraph.metricName(mcs.head)
-    val nSmall = blobs.filter(col("live") < minNodes).count()
+    val nSmall = statsRow.getLong(1)
     if (nSmall <= 1) { blobs.unpersist(); return 0L }
-    val totalSmall = blobs.filter(col("live") < minNodes)
-      .agg(sum("live")).head().getLong(0)
+    val totalSmall = statsRow.getLong(2)
+    val maxPid = statsRow.getLong(3)
     // explode small blobs to live rows, rebuild into ~targetNodes graphs.
     // Rows keep their SOURCE blob id and the rebuild repartitions on it —
     // whole small blobs merge into a rebuilt blob, never a round-robin
@@ -1300,9 +1311,8 @@ object Hnsw {
       .toDF("graph", "centroid")
       // offset past the surviving blobs' max pid, not a fixed constant —
       // partitionId << 33 values from earlier appends can exceed any
-      // constant and collide
-      .withColumn("part_id", monotonically_increasing_id()
-        + lit(blobs.agg(coalesce(max("part_id"), lit(0L))).head().getLong(0) + 1))
+      // constant and collide (maxPid rides the fused stats aggregate above)
+      .withColumn("part_id", monotonically_increasing_id() + lit(maxPid + 1))
     blobs.filter(col("live") >= minNodes).select("part_id", "graph", "centroid")
       .unionByName(rebuilt.select("part_id", "graph", "centroid"))
       .write.mode("overwrite").parquet(path + "_tmp")

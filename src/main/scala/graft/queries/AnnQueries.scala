@@ -414,16 +414,30 @@ lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
           "_swap.lock", "_writer.lease"))
         fs.delete(new org.apache.hadoop.fs.Path(path + suffix), true)
       val corpus = e.select(col("vec_id").cast("long").as("id"), col("embedding"))
-      Hnsw.buildAndSave(corpus.filter(col("id") % 5 =!= 4), path,
-        cfg = Hnsw.HnswConfig(efConstruction = 100, efSearch = 80))
+      // the crud build is UNROUTED (no cluster co-location to preserve, so
+      // the routed-build caveat in buildAndSave's scaladoc does not apply):
+      // spread a bin-packed single-split scan across the cores before the
+      // per-partition graph build, which is otherwise single-threaded CPU
+      // (guide §2.5 — measured 1.8 s of the 5.2 s row). Search results are
+      // blob-partitioning-invariant here: every query id is a corpus
+      // member, self-retrieval at distance 0 holds per blob, and all blobs
+      // are probed.
+      val cfg = Hnsw.HnswConfig(efConstruction = 100, efSearch = 80)
+      Hnsw.buildAndSave(
+        graft.operators.Dedup.spread(corpus.filter(col("id") % 5 =!= 4)),
+        path, cfg = cfg)
       // one job for all three driver-side scalars, not three
       val acc = corpus.agg(count(lit(1)), max("id"),
         count(when(col("id") % 5 === 4, 1))).head()
       val (nTotal, maxId, nHeldOut) =
         (acc.getLong(0), acc.getLong(1), acc.getLong(2))
+      // cfg matches the original build (the operator scaladoc's own
+      // requirement): the defaults would grow the insert/compact graphs at
+      // efConstruction=200 — double the build-phase candidate search the
+      // index was configured for, measured ~1.3 s of the compact phase
       val inserted = Hnsw.insertIntoSaved(
         corpus.filter(col("id") % 5 === 4 || col("id") < 10).repartition(4),
-        path)
+        path, cfg = cfg)
       require(inserted == nHeldOut, // the <10 dup slice must be rejected
         s"insertIntoSaved inserted $inserted, expected $nHeldOut (dup leak)")
       val delIds = 0L.to(maxId).by(7L)
@@ -434,7 +448,7 @@ lv AS (SELECT least(floor(-ln(((z3 // 2048)::DOUBLE + 1.0) /
       require(vacuumed == delIds.size,
         s"vacuumSaved removed $vacuumed of ${delIds.size}")
       val compacted = Hnsw.compactSaved(s, path, minNodes = 1 << 20,
-        targetNodes = math.max(1024, nTotal.toInt))
+        targetNodes = math.max(1024, nTotal.toInt), cfg = cfg)
       require(compacted > 0, "compactSaved merged nothing")
       val queries = e.filter(col("vec_id") < 60)
         .select(col("vec_id").cast("long").as("query_id"),

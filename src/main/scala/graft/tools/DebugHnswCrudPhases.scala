@@ -38,9 +38,11 @@ object DebugHnswCrudPhases {
           "_swap.lock", "_writer.lease"))
         fs.delete(new org.apache.hadoop.fs.Path(path + suffix), true)
       val corpus = e.select(col("vec_id").cast("long").as("id"), col("embedding"))
+      val cfg = Hnsw.HnswConfig(efConstruction = 100, efSearch = 80)
       t("buildAndSave") {
-        Hnsw.buildAndSave(corpus.filter(col("id") % 5 =!= 4), path,
-          cfg = Hnsw.HnswConfig(efConstruction = 100, efSearch = 80))
+        Hnsw.buildAndSave(
+          graft.operators.Dedup.spread(corpus.filter(col("id") % 5 =!= 4)),
+          path, cfg = cfg)
       }
       val acc = t("stats agg") {
         corpus.agg(count(lit(1)), max("id"),
@@ -50,14 +52,14 @@ object DebugHnswCrudPhases {
       t("insertIntoSaved") {
         Hnsw.insertIntoSaved(
           corpus.filter(col("id") % 5 === 4 || col("id") < 10).repartition(4),
-          path)
+          path, cfg = cfg)
       }
       val delIds = 0L.to(maxId).by(7L)
       t("deleteFromSaved") { Hnsw.deleteFromSaved(spark, path, delIds) }
       t("vacuumSaved") { Hnsw.vacuumSaved(spark, path) }
       t("compactSaved") {
         Hnsw.compactSaved(spark, path, minNodes = 1 << 20,
-          targetNodes = math.max(1024, nTotal.toInt))
+          targetNodes = math.max(1024, nTotal.toInt), cfg = cfg)
       }
       val queries = e.filter(col("vec_id") < 60)
         .select(col("vec_id").cast("long").as("query_id"),
