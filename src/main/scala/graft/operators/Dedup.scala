@@ -93,16 +93,16 @@ object Dedup {
     * signature once for several uses (streaming ingest bands, pairs, and
     * persists the same column as its LSH state) skip the minhash pass too.
     *
-    * `smallInput = true` broadcast-hints the band self-join and the pair
-    * list: correct ONLY when the input is bounded (a streaming micro-batch),
-    * where it removes three shuffles of task-overhead-dominated tiny
-    * relations — AQE cannot do this re-plan under streaming. NEVER set it
-    * for a whole-corpus pair scan: broadcasting an unbounded banded
-    * relation is the textbook driver OOM.
+    * `smallInput = true` broadcast-hints the candidate pair list through
+    * the two verify joins: correct ONLY when the input is bounded (a
+    * streaming micro-batch), where it removes shuffles of
+    * task-overhead-dominated tiny relations — AQE cannot do this re-plan
+    * under streaming. NEVER set it for a whole-corpus pair scan:
+    * broadcasting an unbounded pair relation is the textbook driver OOM.
     *
     * `maxBucket > 0` bounds the candidate fan-out: a (band, bucket) group
     * with more than `maxBucket` members contributes NO candidate pairs
-    * (the group's self-join is quadratic in its size — at extreme
+    * (a group's pair list is quadratic in its size — at extreme
     * duplicate rates the candidate list IS the output, and one degenerate
     * bucket of N near-identical docs would emit N^2/2 rows). This is an
     * explicit truncation, never silent: size it with [[lshBucketStats]]
@@ -124,24 +124,35 @@ object Dedup {
       else pinnedBanded(hashedIn)
     val bandedAll = hashed.select(col("id"),
       posexplode(col("bks")).as(Seq("band", "bucket")))
-    val banded =
-      if (maxBucket <= 0) bandedAll
-      else {
-        // one count aggregate on the (band, bucket) key, then a semi-join
-        // keep-list — the aggregate rides the same exchange the self-join
-        // below needs, so the cap costs one small keep-list join, and the
-        // quadratic explode of a degenerate bucket never happens
-        val keep = bandedAll.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") <= maxBucket)
-          .select("band", "bucket")
-        bandedAll.join(bc(keep), Seq("band", "bucket"), "left_semi")
-      }
-    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(bc(banded.select(col("band"), col("bucket"), col("id").as("id_b"))),
-        Seq("band", "bucket"))
+    // Candidate pairs via ONE exchange on the (band, bucket) key: group the
+    // bucket members and generate each group's ordered pairs in place with
+    // codegen array HOFs. The former band self-join shuffled the banded
+    // relation TWICE (both join sides) plus sorted both, and the maxBucket
+    // cap needed its own count aggregate + keep-list semi-join; the group
+    // shape pays one exchange of the same small keys, the cap is a free
+    // size() filter on the collected list, and at local scale five fewer
+    // AQE stage barriers (measured: the pair stage over a cached signature
+    // table dropped 1.67 s -> ~0.6 s at sf0.1, guide §2.4). A degenerate
+    // bucket's collected id list is O(bucket), far below its former
+    // quadratic join output; the pair explosion itself is the output size
+    // either way (and maxBucket bounds it exactly as before).
+    val grouped = bandedAll.groupBy("band", "bucket")
+      .agg(collect_list(col("id")).as("ids"))
+    val capped =
+      if (maxBucket <= 0) grouped
+      else grouped.filter(size(col("ids")) <= maxBucket)
+    val cand = capped
+      .withColumn("sids", array_sort(col("ids")))
+      .select(explode(flatten(transform(col("sids"), (x, i) =>
+        transform(
+          slice(col("sids"), i + lit(2), size(col("sids")) - i - lit(1)),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // sids is ascending so id_a <= id_b by construction; the strict
+      // filter drops only self-pairs from a duplicated id (the callers
+      // reject dup ids upstream, but stay safe here)
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .distinct()
     // verify on true (hash-set) Jaccard, re-joining sets after pair dedup.
     // Under smallInput the pair list (and then pairs+hs_a) rides the
     // broadcast side of BOTH verify joins, so the cached hashed relation is
