@@ -230,6 +230,14 @@ object Dedup {
     *
     * Returns (id, component) for every id that appears in a pair. Docs with
     * no near-dup pair are their own singleton component and are omitted.
+    *
+    * Bounded fast path: when the measured pair count is at most
+    * `spark.graft.dedup.localClusterMaxEdges` (default 100k, ≈ a few MB —
+    * broadcast-relation territory) and the ids are LONGs, the edges are
+    * collected and labeled with an exact in-driver union-find (one job
+    * instead of 2-3 per round), producing the identical min-label map;
+    * `lastPropagationRounds` reads 0 for that path. Set the conf to 0 to
+    * pin the distributed rounds (the scaling tools and specs do).
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
       idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
@@ -240,6 +248,53 @@ object Dedup {
     // the whole signature/band/verify pipeline twice
     val fwd = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // In-driver union-find for BOUNDED pair lists (long-id edges only) —
+    // the same job-count argument as the store's in-driver k-means init:
+    // each distributed label round costs 2-3 jobs (edge join + label
+    // self-join + convergence count) over data that, under the limit, is
+    // at most a few MB; a broadcast-sized collect computes the exact same
+    // min-label components in one job + driver microseconds. The limit is
+    // on the MEASURED pair count (one count over the already-persisted
+    // relation, which the distributed path pays too via its distinct), so
+    // a dup-heavy corpus whose pair list outgrows it takes the distributed
+    // rounds unchanged — scale-adaptive, not a local-mode constant.
+    val spark0 = pairs.sparkSession
+    val localLimit = spark0.conf
+      .getOption("spark.graft.dedup.localClusterMaxEdges")
+      .map(_.toLong).getOrElse(100000L)
+    val longIds = fwd.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val nPairs = fwd.count()
+    if (longIds && nPairs <= localLimit) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          val gp = parent.getOrElse(p, p)
+          parent(x) = gp // path halving
+          x = gp
+        }
+        x
+      }
+      val collected = fwd.collect()
+      fwd.unpersist()
+      collected.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        // link the larger root under the smaller: roots are then always
+        // the component minimum, which IS the distributed algorithm's
+        // label fixpoint (min id reachable through any chain)
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+      lastPropagationRounds = 0 // local path: no distributed rounds ran
+      import spark0.implicits._
+      return collected.iterator
+        .flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+        .toArray.distinct.sorted
+        .map(id => (id, find(id))).toSeq
+        .toDF("id", "comp")
+    }
     val edges = fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

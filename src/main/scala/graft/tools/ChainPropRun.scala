@@ -33,6 +33,9 @@ object ChainPropRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // this tool MEASURES the distributed propagation rounds — disable the
+    // bounded in-driver union-find path so small legs stay comparable
+    spark.conf.set("spark.graft.dedup.localClusterMaxEdges", "0")
     spark.range(1000000L).agg(sum("id")).collect()
 
     /** `nPairs` total edges as parallel chains of `depth` nodes each:

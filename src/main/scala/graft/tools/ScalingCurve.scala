@@ -342,6 +342,9 @@ object ScalingCurve {
             .write.mode("overwrite").parquet(pairsPath)
         val pairs = spark.read.parquet(pairsPath)
         val nPairs = pairs.count()
+        // the leg measures the DISTRIBUTED rounds' scaling, not the
+        // bounded in-driver fast path
+        spark.conf.set("spark.graft.dedup.localClusterMaxEdges", "0")
         results += ((s"dup_clusters", reps, nPairs,
           best(s"duplicateClusters ($nPairs pairs)")(
             Dedup.duplicateClusters(pairs).count())))

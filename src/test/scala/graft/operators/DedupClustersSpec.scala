@@ -110,10 +110,35 @@ class DedupClustersSpec extends SparkSpec {
 
   test("an undersized iteration budget fails loudly, never partial labels") {
     // a 10-deep chain cannot converge in 2 rounds; silent partial labels
-    // would break the kept-representative guarantee downstream
+    // would break the kept-representative guarantee downstream. Pins the
+    // DISTRIBUTED path (the in-driver union-find below the edge limit is
+    // exact and has no iteration budget).
     val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    intercept[IllegalStateException](
+    spark.conf.set("spark.graft.dedup.localClusterMaxEdges", "0")
+    try intercept[IllegalStateException](
       Dedup.duplicateClusters(pairs, maxIter = 2))
+    finally spark.conf.unset("spark.graft.dedup.localClusterMaxEdges")
+  }
+
+  test("in-driver union-find below the edge limit matches the distributed labels") {
+    // chains, a star, a cycle, self-pairs, reversed endpoints — the local
+    // path must produce the identical (id -> min reachable id) map
+    val pairs = Seq(
+      (1L, 2L), (3L, 2L), (3L, 4L), (9L, 8L), (8L, 7L), (7L, 9L),
+      (20L, 21L), (20L, 22L), (30L, 30L), (41L, 40L)
+    ).toDF("id_a", "id_b")
+    val local = Dedup.duplicateClusters(pairs).as[(Long, Long)]
+      .collect().toMap
+    assert(Dedup.lastPropagationRounds == 0, "expected the local path")
+    spark.conf.set("spark.graft.dedup.localClusterMaxEdges", "0")
+    val dist =
+      try Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+      finally spark.conf.unset("spark.graft.dedup.localClusterMaxEdges")
+    assert(Dedup.lastPropagationRounds > 0, "expected the distributed path")
+    assert(local == dist)
+    assert(local == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 40L -> 40L, 41L -> 40L))
   }
 
   test("pointer jumping converges chains in O(log depth) rounds") {
@@ -124,7 +149,10 @@ class DedupClustersSpec extends SparkSpec {
     // width concern) safe at any corpus scale
     val depth = 64L
     val pairs = (1L until depth).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comps = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    spark.conf.set("spark.graft.dedup.localClusterMaxEdges", "0")
+    val comps =
+      try Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+      finally spark.conf.unset("spark.graft.dedup.localClusterMaxEdges")
     assert(comps.size == depth && comps.values.forall(_ == 1L))
     assert(Dedup.lastPropagationRounds <= 10,
       s"expected ~log2(64)+3 rounds, took ${Dedup.lastPropagationRounds}")
