@@ -72,6 +72,7 @@ object Bench {
     graft.queries.AnnQueries.ensureHnswScaleIndex(spark, sfDir)
     graft.queries.AnnQueries.ensureIvfScaleIndex(spark, sfDir)
     graft.queries.AnnQueries.ensureBqScaleIndex(spark, sfDir)
+    graft.queries.AnnQueries.ensureOpqBenchModels(spark, sfDir)
     graft.queries.StoreQueries.ensureServingStore(spark, sfDir)
     graft.queries.StoreQueries.ensureScaleServingStore(spark, sfDir)
 
