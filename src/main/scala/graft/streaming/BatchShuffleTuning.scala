@@ -43,6 +43,10 @@ object BatchShuffleTuning {
   def tune(batch: DataFrame): Unit = {
     try {
       val ss = batch.sparkSession
+      // operational kill switch + A/B measurement surface (set it on the
+      // session that STARTS the stream; the micro-batch clone inherits it)
+      if (ss.conf.get("spark.graft.streaming.batchShuffleTuning.enabled",
+          "true") == "false") return
       // the micro-batch session is a clone; if it is ever a SHARED session
       // (API change, direct batch-mode call, a caller-built newSession()
       // handed in as the active one), leave it alone — mutating shared
