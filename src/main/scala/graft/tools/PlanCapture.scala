@@ -53,6 +53,16 @@ object PlanCapture {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     }
 
+    if (want("lsh_pairs")) {
+      // the MinHash-LSH candidate+verify plan shared by minhash_lsh_pairs /
+      // dup_clusters / dup_keep_best / leakage_split / decontaminate
+      println("### lsh_pairs: MinHash-LSH candidate generation + verify ###")
+      val docs = Tables.load(spark, sfDir, "documents")
+      graft.operators.Dedup.minhashLshPairs(docs,
+        shingleN = 2, bands = 4, rowsPerBand = 2, threshold = 0.3)
+        .explain("formatted")
+    }
+
     if (want("windowed_staging")) {
       println("### windowed_staging: one-pass tagged-union stage write ###")
       val docs = Tables.load(spark, sfDir, "documents")
@@ -74,8 +84,8 @@ object PlanCapture {
       Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("n_chars").cast("long").as("value"),
           (col("doc_id") % 3).cast("string").as("source"))
-        .repartition(4).write.parquet(tmp)
-      val batch = spark.read.parquet(tmp)
+        .repartition(4).write.parquet(s"$tmp/data")
+      val batch = spark.read.parquet(s"$tmp/data")
       spark.conf.set("spark.sql.adaptive.enabled", "false") // streaming has no AQE
       println("-- at session shuffle partitions (32, the untuned plan) --")
       batch.groupBy("source").agg(count(lit(1)), sum("value"))

@@ -546,6 +546,50 @@ class PlanAuditSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(finalPlan).length == 1, finalPlan)
   }
 
+  test("integrity per-id pass: ONE id exchange carries map-side-combined counters") {
+    // the r17 one-pass checkIntegrity rewrite (plans/r18/integrity_perid.txt):
+    // every tier scan unions into one partial HashAggregate, ONE
+    // Exchange(hashpartitioning(id)) moves the combined counters, and no
+    // join appears anywhere — a regression back to per-tier full_outer
+    // joins or per-tier scans would add exchanges/joins here
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_planaudit_integ_").toString
+    try {
+      val store = new graft.store.VectorStore(spark, path,
+        graft.store.VectorStore.Config(
+          recentThresholdSeconds = 7L * 24 * 3600, nClusters = 4, nProbe = 2))
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < 200)
+      store.insertDF(emb.select(
+        concat(lit("v"), col("vec_id")).as("id"), col("embedding"),
+        when(col("vec_id") % 2 === 0, lit("2020-01-01 00:00:00"))
+          .otherwise(lit("2026-01-01 23:00:00")).cast("timestamp").as("ts")))
+      store.migrate(Some(java.sql.Timestamp.valueOf("2026-01-02 00:00:00")))
+      store.enableSq()
+      val plan = store.integrityPerIdPlan().queryExecution.executedPlan.toString
+      val idExchanges = "Exchange hashpartitioning\\(id".r.findAllIn(plan).length
+      assert(idExchanges == 1, plan)
+      assert(!plan.contains("Join"), plan)
+      assert(plan.contains("Union"), plan)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(path))
+  }
+
+  test("LSH candidates generate from ONE banded pass, not a band self-join") {
+    // the r18 bucket-group rewrite (plans/r18/minhash_lsh_pairs_*.txt):
+    // the banded relation is exploded ONCE into a groupBy — the former
+    // self-join exploded it twice (once per join side) and shuffled both
+    // sides at scale. Exactly one posexplode Generate pins the shape.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val df = graft.operators.Dedup.minhashLshPairs(docs,
+      shingleN = 2, bands = 4, rowsPerBand = 2, threshold = 0.3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("posexplode".r.findAllIn(finalPlan).length == 1, finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+  }
+
   test("text prep queries (html/quality/url) are pure map until the final sort") {
     for (name <- Seq("html_extract", "quality_rules", "url_canonical")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
