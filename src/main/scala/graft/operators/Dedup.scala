@@ -24,9 +24,26 @@ object Dedup {
     * (shingle md5 hashing): a small corpus arriving as one parquet file is
     * one partition, which would serialize the whole hash stage on a single
     * core. At scale the input is already many splits and this is a no-op —
-    * the guard only fires when partitions < parallelism. */
-  private[graft] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    * the guard only fires when partitions < the target.
+    *
+    * The target is BYTE-DERIVED, not the bare core count (guide §2.5 —
+    * partition counts must be scale-adaptive): min(defaultParallelism,
+    * plan-stats bytes / `bytesPerPartition`). The default 32 KB/partition
+    * fits the md5-per-shingle workloads (~0.4 µs/byte measured: 580 KB of
+    * sf0.1 documents hash in ~1.3 s on one core), so real corpora still
+    * spread to full width while a small fixture stops paying
+    * core-count-many near-empty tasks per stage — the r17 scaling block's
+    * inverse-scaling disease (rows FASTER at 8 cores than 32). Callers
+    * whose per-byte map work is light (one md5 per document/segment)
+    * pass a larger `bytesPerPartition`. Sources without size estimates
+    * (streaming micro-batch LogicalRDDs report the conservative huge
+    * default) spread to full width exactly as before. */
+  private[graft] def spread(df: DataFrame,
+      bytesPerPartition: Long = 32L << 10): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target =
+      (bytes / bytesPerPartition).min(BigInt(cores)).max(BigInt(1)).toInt
     // queryExecution.toRdd asks the planned scan for its true partition
     // count (planning only, no job) — a file count would overestimate
     // parallelism whenever Spark bin-packs many small files into few
@@ -37,11 +54,17 @@ object Dedup {
     else df
   }
 
+  /** [[spread]] sizing for light map work — one md5 over the whole
+    * document/segment (~tens of ms per MB), where hash parallelism stops
+    * mattering long before shuffle/task overhead does. */
+  private val LightHashBytesPerPartition = 1L << 20
+
   /** Exact duplicate groups: (fingerprint, cnt, keep_id) for groups of
     * size >= minGroup; keep_id is the smallest id (the canonical survivor). */
   def exactGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       minGroup: Long = 1L): DataFrame =
-    spread(docs).groupBy(contentFingerprint(col(textCol)).as("fingerprint"))
+    spread(docs, LightHashBytesPerPartition)
+      .groupBy(contentFingerprint(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
       .filter(col("cnt") >= minGroup)
 
@@ -49,7 +72,8 @@ object Dedup {
     * one shuffle, resolved with min_by not a self-join. */
   def dropExactDuplicates(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val keep = spread(docs).groupBy(contentFingerprint(col(textCol)).as("fp"))
+    val keep = spread(docs, LightHashBytesPerPartition)
+      .groupBy(contentFingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
     docs.join(keep, Seq(idCol), "left_semi")
@@ -474,7 +498,7 @@ object Dedup {
     * joined pairwise. */
   def dedupSegments(docs: DataFrame, sep: String = "\n\n",
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val segs = spread(docs)
+    val segs = spread(docs, LightHashBytesPerPartition)
       .select(col(idCol).as("id"),
         posexplode(filter(split(col(textCol), java.util.regex.Pattern.quote(sep)),
           s => length(trim(s)) > 0)).as(Seq("seg_idx", "segment")))
