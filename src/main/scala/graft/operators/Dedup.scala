@@ -148,33 +148,58 @@ object Dedup {
       else pinnedBanded(hashedIn)
     val bandedAll = hashed.select(col("id"),
       posexplode(col("bks")).as(Seq("band", "bucket")))
-    // Candidate pairs via ONE exchange on the (band, bucket) key: group the
-    // bucket members and generate each group's ordered pairs in place with
-    // codegen array HOFs. The former band self-join shuffled the banded
-    // relation TWICE (both join sides) plus sorted both, and the maxBucket
-    // cap needed its own count aggregate + keep-list semi-join; the group
-    // shape pays one exchange of the same small keys, the cap is a free
-    // size() filter on the collected list, and at local scale five fewer
-    // AQE stage barriers (measured: the pair stage over a cached signature
-    // table dropped 1.67 s -> ~0.6 s at sf0.1, guide §2.4). A degenerate
-    // bucket's collected id list is O(bucket), far below its former
-    // quadratic join output; the pair explosion itself is the output size
-    // either way (and maxBucket bounds it exactly as before).
-    val grouped = bandedAll.groupBy("band", "bucket")
-      .agg(collect_list(col("id")).as("ids"))
-    val capped =
-      if (maxBucket <= 0) grouped
-      else grouped.filter(size(col("ids")) <= maxBucket)
-    val cand = capped
-      .withColumn("sids", array_sort(col("ids")))
-      .select(explode(flatten(transform(col("sids"), (x, i) =>
-        transform(
-          slice(col("sids"), i + lit(2), size(col("sids")) - i - lit(1)),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      // sids is ascending so id_a <= id_b by construction; the strict
-      // filter drops only self-pairs from a duplicated id (the callers
-      // reject dup ids upstream, but stay safe here)
+    // Candidate generation, two shapes with an IDENTICAL candidate set:
+    //
+    // - smallInput (a bounded streaming micro-batch): the broadcast band
+    //   self-join — ZERO per-batch shuffles, which matters under streaming
+    //   where AQE is off and every exchange would run at the session's
+    //   full width (measured: switching the micro-batch path to the group
+    //   shape below cost streaming_ingest ~0.5 s/run at sf0.1).
+    //
+    // - scan path: ONE exchange on the (band, bucket) key — groupBy +
+    //   collect_list, each group's ordered pairs generated in place with
+    //   codegen array HOFs. The former self-join shuffled the banded
+    //   relation TWICE (both join sides) plus sorted both at scale, and
+    //   the maxBucket cap needed its own count aggregate + keep-list
+    //   semi-join; the group shape pays one exchange of the same small
+    //   keys, the cap is a free size() filter, and at local scale five
+    //   fewer AQE stage barriers (measured: the pair stage over a cached
+    //   signature table dropped 1.67 s -> ~0.7 s at sf0.1, guide §2.4).
+    //   A degenerate bucket's collected id list is O(bucket), far below
+    //   its former quadratic join output; the pair explosion itself is
+    //   the output size either way (and maxBucket bounds it as before).
+    val cand = (if (smallInput) {
+      val banded =
+        if (maxBucket <= 0) bandedAll
+        else {
+          val keep = bandedAll.groupBy("band", "bucket")
+            .agg(count(lit(1)).as("bsz"))
+            .filter(col("bsz") <= maxBucket)
+            .select("band", "bucket")
+          bandedAll.join(broadcast(keep), Seq("band", "bucket"), "left_semi")
+        }
+      banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+        .join(broadcast(banded
+          .select(col("band"), col("bucket"), col("id").as("id_b"))),
+          Seq("band", "bucket"))
+        .select("id_a", "id_b")
+    } else {
+      val grouped = bandedAll.groupBy("band", "bucket")
+        .agg(collect_list(col("id")).as("ids"))
+      val capped =
+        if (maxBucket <= 0) grouped
+        else grouped.filter(size(col("ids")) <= maxBucket)
+      capped
+        .withColumn("sids", array_sort(col("ids")))
+        .select(explode(flatten(transform(col("sids"), (x, i) =>
+          transform(
+            slice(col("sids"), i + lit(2), size(col("sids")) - i - lit(1)),
+            y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    })
+      // group shape: sids ascending makes id_a <= id_b by construction and
+      // the strict filter drops only dup-id self-pairs; join shape: the
+      // filter IS the ordering rule
       .filter(col("id_a") < col("id_b"))
       .distinct()
     // verify on true (hash-set) Jaccard, re-joining sets after pair dedup.
