@@ -744,9 +744,19 @@ class VectorStore(val spark: SparkSession, val path: String,
     val capped = nEligible > maxVectors
     val old =
       if (!capped) eligible
-      // oldest-first slice, ts then vid so the cut is deterministic
+      // oldest-first slice, ts then vid so the cut is deterministic.
+      // PERSISTED: the slice is referenced up to three times (first-
+      // migration k-means sample, the historical write's assign, the
+      // recent rewrite's anti-join), and each reference would otherwise
+      // re-run the global sort-limit (measured as two ~0.6 s single-task
+      // jobs of the migrate_tiers bench row). Bounded by maxVectors rows
+      // BY CONSTRUCTION, so the pin is broadcast-sized at any corpus
+      // scale; the uncapped branch stays unpinned (a plain ts filter over
+      // a possibly store-sized tier — scans are cheaper than caching it).
       else eligible.orderBy(col("ts").asc, col("vid").asc).limit(maxVectors)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nOld = math.min(nEligible, maxVectors.toLong)
+    try {
     if (nOld > 0) {
       val cents =
         if (exists("centroids")) centroids
@@ -790,6 +800,7 @@ class VectorStore(val spark: SparkSession, val path: String,
       fs.delete(new Path(dir("recent_index")), true)
     }
     nOld
+    } finally if (capped) old.unpersist(blocking = false)
   }
 
   // ---- X9 rebalance on the historical tier ----
