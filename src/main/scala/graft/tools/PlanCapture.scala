@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Optimization-round plan capture: prints `.explain("formatted")` for the
   * INTERNAL distributed plans the round touched (the declared queries
   * mostly return driver-local relations, so the meaningful plans are the
-  * operators' internals). Output is redirected into plans/r17/<name>.txt.
+  * operators' internals). Output is redirected into plans/r18/<name>.txt.
   *
   * {{{ sbt "runMain graft.tools.PlanCapture /root/testdata/sf0.1 integrity_perid" }}}
   */
